@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place that knows how to build a correctly-configured session.
+  *
+  * Replaces the reference's hand-rolled runtime (memory pools, sutexes,
+  * mmap early-queue — /root/reference/concurrency-model.md) with Spark's
+  * executor model; the configs below are the scale-relevant knobs:
+  *
+  *  - `spark.sql.shuffle.partitions` sized to the local core count (the
+  *    driver harness runs local[32]); on a real cluster AQE coalesces.
+  *  - AQE on: runtime shuffle-partition coalescing + skew-join splitting,
+  *    the Spark analog of the reference folio rebalancing
+  *    (/root/reference/adverbs.h:211–295).
+  *  - `nanosAsLong`: the `events` fixture carries timestamp[ns] (Kerf's
+  *    STAMP_DATETIME is ns, /root/reference/enums.h:166); Spark's
+  *    TimestampType is µs, so we read ns as a long shadow column and
+  *    derive a µs timestamp where µs fidelity suffices (SURVEY §7.5.2).
+  */
+object Engine {
+  def session(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",
+              shufflePartitions: Int = 32): SparkSession = {
+    val cores = "local\\[(\\d+)\\]".r.findFirstMatchIn(master).map(_.group(1).toInt)
+    val sp = math.min(shufflePartitions, cores.map(_ * 2).getOrElse(shufflePartitions))
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", sp.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

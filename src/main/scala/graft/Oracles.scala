@@ -1,0 +1,160 @@
+package graft
+
+/** DuckDB-runnable ANSI SQL twins of [[Queries]]. Same table names, same
+  * output column aliases, same ORDER BY, same exact-decimal arithmetic —
+  * the driver hash-compares after sorting columns by name.
+  *
+  * events.ts is TIMESTAMP_NS in DuckDB; the Spark side reads it as a
+  * ns-long (`ts_ns`) → the SQL twin uses epoch_ns(ts).
+  */
+object Oracles {
+  val all: Map[String, String] = Map(
+
+    "q01_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         avg(l_quantity) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-03-01'
+           AND l_discount >= 0.05 AND l_quantity < 5
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q03_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""",
+
+    "q04_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q05_star_join" ->
+      """SELECT n_name,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         count(*) AS n_lines
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         GROUP BY n_name ORDER BY n_name""",
+
+    "q06_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+         ORDER BY c_custkey""",
+
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+
+    "q08_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+         coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS spend
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+
+    "q09_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q10_set_ops" ->
+      """WITH cn AS (SELECT c_nationkey AS nk FROM customer),
+              sn AS (SELECT s_nationkey AS nk FROM supplier),
+              onlyc AS (SELECT nk, 'customers_only' AS tag FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)),
+              inboth AS (SELECT nk, 'both' AS tag FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn))
+         SELECT nk, tag FROM onlyc UNION ALL SELECT nk, tag FROM inboth
+         ORDER BY tag, nk""",
+
+    "q11_window_rank" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM orders) t
+         WHERE rk <= 3 ORDER BY o_custkey, rk""",
+
+    "q12_window_running" ->
+      """SELECT o_custkey, order_seq, o_orderkey, running_spend FROM (
+           SELECT o_custkey, o_orderkey,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS order_seq
+           FROM orders) t
+         ORDER BY o_custkey, order_seq""",
+
+    "q13_mapback_delta" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+                value - lag(value) OVER (PARTITION BY user_id
+                                         ORDER BY epoch_us(ts), event_id) AS delta
+         FROM events
+         ORDER BY user_id, epoch_us(ts), event_id""",
+
+    "q14_hourly_buckets" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
+                count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+                min(value) AS low, max(value) AS high
+         FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""",
+
+    "q15_span_shift" ->
+      """SELECT strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m') AS due_month,
+                count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_total
+         FROM orders GROUP BY 1 ORDER BY due_month""",
+
+    "q16_cond_agg" ->
+      """SELECT l_returnflag,
+                sum(CASE WHEN l_discount > 0.05 THEN l_quantity ELSE 0.0 END) AS qty_discounted,
+                sum(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS n_taxed,
+                count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q17_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q18_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u, substr(p_name, 1, 12) AS name12,
+                length(p_name) AS name_len, concat_ws('|', p_brand, p_type) AS brand_type
+         FROM part WHERE p_name LIKE '%gre%' ORDER BY p_partkey""",
+
+    "q19_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+                sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q20_in_subquery" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q21_update_delete" ->
+      """SELECT l_returnflag,
+                CAST(sum(CAST(new_disc AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
+                count(*) AS n
+         FROM (SELECT l_returnflag,
+                      CASE WHEN l_shipdate < TIMESTAMP '1993-01-01' THEN 0.0 ELSE l_discount END AS new_disc
+               FROM lineitem WHERE l_quantity >= 2) t
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+  )
+}

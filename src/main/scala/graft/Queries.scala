@@ -1,0 +1,314 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+
+/** The operator inventory (SURVEY.md §2) expressed as named queries over
+  * the driver fixtures, each paired (in [[Oracles]]) with ANSI SQL that
+  * DuckDB runs on the same parquet files.
+  *
+  * Determinism rules (the driver hash-compares results):
+  *  - every output column is aliased identically in Spark and SQL;
+  *  - every query ends with a total ORDER BY;
+  *  - double aggregates go through exact decimal arithmetic on the raw
+  *    2-decimal columns, cast back to double (bit-identical across
+  *    engines), or are rounded where exactness is impossible.
+  */
+object Queries {
+
+  /** Exact money arithmetic: raw 2-decimal double → decimal(18,2). */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- core agg
+
+  /** TPC-H Q1 flavor: the reference's canonical fold-over-table
+    * (adverbs.h:34–71 fold; SQL group-by surface lexer.h:103). */
+  val q01_agg_pricing: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        avg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  // ------------------------------------------------------------ filter/scan
+
+  /** Predicate + projection pushed to the parquet scan (Kerf `where`
+    * boolean-vector filtering, presented.h:410). */
+  val q02_filter_project: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01") &&
+              col("l_shipdate") < lit("1995-03-01") &&
+              col("l_discount") >= 0.05 && col("l_quantity") < 5)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+              col("l_extendedprice"), col("l_discount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Top-k: Catalyst rewrites orderBy+limit to TakeOrderedAndProject —
+    * no full sort at scale (Kerf SQL `order`/`limit`, lexer.h:104). */
+  val q03_topk: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+  }
+
+  // ---------------------------------------------------------------- joins
+
+  /** Equi-join + group agg; dimension side broadcast. */
+  val q04_join_agg: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** 5-way star join (TPC-H Q5 flavor): revenue per nation. Dimension
+    * chain broadcast; the single shuffle is lineitem⋈orders. */
+  val q05_star_join: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val o  = Tables.orders(s, dir)
+    val c  = Tables.customer(s, dir)
+    val n  = Tables.nation(s, dir)
+    val r  = Tables.region(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+             .cast("double").as("revenue"),
+           count(lit(1)).as("n_lines"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Semi-join (EXISTS): customers having a >100k order. */
+  val q06_semi_join: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val big = Tables.orders(s, dir).filter(col("o_totalprice") > 100000)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Anti-join (NOT EXISTS): customers with no orders at all. */
+  val q07_anti_join: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left outer join preserving empty groups (count=0 customers). */
+  val q08_outer_join: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+           coalesce(sum(dec(col("o_totalprice"))).cast("double"), lit(0.0)).as("spend"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // ------------------------------------------------------- distinct / sets
+
+  /** Distinct = Kerf SET dedup-on-append (presented.cc:475–503). */
+  val q09_distinct: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Relational set ops (SURVEY §2.7): nation keys with customers but no
+    * suppliers (except), and with both (intersect). */
+  val q10_set_ops: Q = (s, dir) => {
+    val cn = Tables.customer(s, dir).select(col("c_nationkey").as("nk"))
+    val sn = Tables.supplier(s, dir).select(col("s_nationkey").as("nk"))
+    val only = cn.except(sn).withColumn("tag", lit("customers_only"))
+    val both = cn.intersect(sn).withColumn("tag", lit("both"))
+    only.unionAll(both).orderBy(col("tag"), col("nk"))
+  }
+
+  // ---------------------------------------------------------------- windows
+
+  /** Ranking windows (SORT_INDEX analog, enums.h:265): top-3 orders per
+    * customer by price; deterministic tie-break on orderkey. */
+  val q11_window_rank: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** Running (prefix) aggregation — Kerf `unfold` scan (adverbs.h:76–120)
+    * as a frame-bounded window; exact via decimal. */
+  val q12_window_running: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .withColumn("running_spend", sum(dec(col("o_totalprice"))).over(w).cast("double"))
+      .withColumn("order_seq", row_number().over(
+        Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))))
+      .select(col("o_custkey"), col("order_seq"), col("o_orderkey"), col("running_spend"))
+      .orderBy(col("o_custkey"), col("order_seq"))
+  }
+
+  /** Delta vs previous row — Kerf `mapback`/eachprior (adverbs.h:157–206):
+    * per-user event value deltas in time order. ts emitted at µs (DuckDB's
+    * parquet reader truncates ns→µs, so the oracle can't see ns). */
+  val q13_mapback_delta: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val tsUs = expr("ts_ns div 1000") // integer div: ns epoch overflows double
+    val w = Window.partitionBy(col("user_id")).orderBy(tsUs, col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("ts_us", tsUs)
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("delta", col("value") - col("prev_value"))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"), col("delta"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
+  // --------------------------------------------------------------- temporal
+
+  /** Hourly per-type OHLC-style buckets over the ns-stamp events table —
+    * Kerf's stamp-granularity bucketing (enums.h:203–212). Bucket emitted
+    * as epoch seconds (bigint) to dodge cross-engine timestamp repr. */
+  val q14_hourly_buckets: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("bucket"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(dec(col("value"))).cast("double").as("sum_value"),
+           min(col("value")).as("low"),
+           max(col("value")).as("high"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
+  /** Calendar extraction + span arithmetic on the µs stamps (Kerf temporal
+    * verbs, verbs.cc:121–204): orders shifted by a 3-month span, grouped
+    * by shifted month. */
+  val q15_span_shift: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .withColumn("due", col("o_orderdate") + expr("INTERVAL '3' MONTH"))
+      .groupBy(date_format(col("due"), "yyyy-MM").as("due_month"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(dec(col("o_totalprice"))).cast("double").as("month_total"))
+      .orderBy(col("due_month"))
+  }
+
+  /** Conditional aggregation (CASE WHEN fold). */
+  val q16_cond_agg: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("l_discount") > 0.05, col("l_quantity")).otherwise(lit(0.0))).as("qty_discounted"),
+        sum(when(col("l_tax") > 0.04, 1L).otherwise(0L)).as("n_taxed"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Rollup (grouping-sets surface, SURVEY §2.4 adopt-row). */
+  val q17_rollup: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  // ---------------------------------------------------------------- scalars
+
+  /** String verb family (SURVEY §2.8): substring/upper/length/like. */
+  val q18_string_funcs: Q = (s, dir) => {
+    Tables.part(s, dir)
+      .filter(col("p_name").like("%gre%"))
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 12).as("name12"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** JSON path extraction (ATLAS-style nested data, SURVEY §1.7). */
+  val q19_json_extract: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  /** IN-subquery shape: orders of BUILDING-segment customers. */
+  val q20_in_subquery: Q = (s, dir) => {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = Tables.orders(s, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_semi")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  // ---------------------------------------------------------------- update/delete surface
+
+  /** Kerf SQL `update`/`delete` (lexer.h:103) re-expressed immutably:
+    * versioned rewrite — discount voided on early-ship lines, rows with
+    * qty<2 deleted; aggregate of the rewritten table. */
+  val q21_update_delete: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity") >= 2)                       // DELETE
+      .withColumn("l_discount",                              // UPDATE
+        when(col("l_shipdate") < lit("1993-01-01"), lit(0.0)).otherwise(col("l_discount")))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(dec(col("l_discount"))).cast("double").as("sum_disc"),
+           count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // ---------------------------------------------------------------- registry
+
+  val all: Map[String, Q] = Map(
+    "q01_agg_pricing"    -> q01_agg_pricing,
+    "q02_filter_project" -> q02_filter_project,
+    "q03_topk"           -> q03_topk,
+    "q04_join_agg"       -> q04_join_agg,
+    "q05_star_join"      -> q05_star_join,
+    "q06_semi_join"      -> q06_semi_join,
+    "q07_anti_join"      -> q07_anti_join,
+    "q08_outer_join"     -> q08_outer_join,
+    "q09_distinct"       -> q09_distinct,
+    "q10_set_ops"        -> q10_set_ops,
+    "q11_window_rank"    -> q11_window_rank,
+    "q12_window_running" -> q12_window_running,
+    "q13_mapback_delta"  -> q13_mapback_delta,
+    "q14_hourly_buckets" -> q14_hourly_buckets,
+    "q15_span_shift"     -> q15_span_shift,
+    "q16_cond_agg"       -> q16_cond_agg,
+    "q17_rollup"         -> q17_rollup,
+    "q18_string_funcs"   -> q18_string_funcs,
+    "q19_json_extract"   -> q19_json_extract,
+    "q20_in_subquery"    -> q20_in_subquery,
+    "q21_update_delete"  -> q21_update_delete,
+  )
+}
