@@ -120,7 +120,7 @@ object Oracles {
     "q16_cond_agg" ->
       """SELECT l_returnflag,
                 sum(CASE WHEN l_discount > 0.05 THEN l_quantity ELSE 0.0 END) AS qty_discounted,
-                sum(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS n_taxed,
+                CAST(sum(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS n_taxed,
                 count(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
@@ -136,7 +136,7 @@ object Oracles {
 
     "q19_json_extract" ->
       """SELECT event_type, count(*) AS n,
-                sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                 min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                 max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
@@ -156,5 +156,85 @@ object Oracles {
                       CASE WHEN l_shipdate < TIMESTAMP '1993-01-01' THEN 0.0 ELSE l_discount END AS new_disc
                FROM lineitem WHERE l_quantity >= 2) t
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q22_asof_join" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value, event_type FROM events),
+              clicks AS (SELECT user_id, event_id, ts_us, value FROM ev WHERE event_type = 'click'),
+              purchases AS (SELECT user_id, ts_us AS pts, value AS purchase_value FROM ev WHERE event_type = 'purchase')
+         SELECT c.user_id, c.event_id, c.ts_us, p.purchase_value, p.pts AS purchase_ts_us
+         FROM clicks c ASOF LEFT JOIN purchases p
+           ON c.user_id = p.user_id AND p.pts <= c.ts_us
+         ORDER BY c.user_id, c.ts_us, c.event_id""",
+
+    "q23_enum_intern" ->
+      """SELECT g.event_type, d.code AS event_type_code, g.n FROM
+           (SELECT event_type, count(*) AS n FROM events GROUP BY event_type) g
+         JOIN (SELECT value, row_number() OVER (ORDER BY value) - 1 AS code
+               FROM (SELECT DISTINCT event_type AS value FROM events)) d
+           ON g.event_type = d.value
+         ORDER BY event_type_code""",
+
+    "q24_affine_range" ->
+      """SELECT count(*) AS n, CAST(sum(3 + 2*i) AS BIGINT) AS total,
+                CAST(min(3 + 2*i) AS BIGINT) AS lo, CAST(max(3 + 2*i) AS BIGINT) AS hi
+         FROM range(100000) t(i)""",
+
+    "q25_dedup_exact" ->
+      """SELECT source, count(*) AS n_docs,
+                count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_distinct
+         FROM documents GROUP BY source ORDER BY source""",
+
+    "q26_token_stats" ->
+      """WITH t AS (SELECT lang,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END AS toks,
+                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS subw
+              FROM documents)
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(toks) AS BIGINT) AS sum_tokens,
+                CAST(sum(subw) AS BIGINT) AS sum_subwords,
+                avg(toks) AS avg_tokens,
+                CAST(max(toks) AS BIGINT) AS max_tokens
+         FROM t GROUP BY lang ORDER BY lang""",
+
+    "q27_text_quality" ->
+      """SELECT doc_id,
+                length(text) AS n_chars,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                CAST(length(text) AS DOUBLE) / greatest(
+                  CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END, 1) AS avg_token_len,
+                CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
+                CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) / greatest(length(text), 1) AS upper_ratio,
+                CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                  w -> w IN ('the','a','an','of','to','and','in','is','it','that','for','on','as','with','was','at','by'))) AS DOUBLE)
+                  / greatest(CASE WHEN trim(text) = '' THEN 0
+                                  ELSE len(string_split_regex(trim(text), '\s+')) END, 1) AS stopword_ratio
+         FROM documents ORDER BY doc_id""",
+
+    "q28_sim_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+              c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM embeddings),
+              sims AS (
+                SELECT q_id, cand_id,
+                  round(
+                    list_sum(list_transform(range(1, len(q_vec)+1),
+                      i -> CAST(q_vec[i] AS DOUBLE) * CAST(cand_vec[i] AS DOUBLE)))
+                    / sqrt(list_sum(list_transform(q_vec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                    / sqrt(list_sum(list_transform(cand_vec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))), 6) AS sim
+                FROM c CROSS JOIN q WHERE q_id <> cand_id)
+         SELECT q_id, rk, cand_id, sim FROM (
+           SELECT q_id, cand_id, sim,
+                  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS rk
+           FROM sims) t
+         WHERE rk <= 5 ORDER BY q_id, rk""",
+
+    "q36_stream_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
+                count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+                min(value) AS low, max(value) AS high
+         FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""",
   )
 }

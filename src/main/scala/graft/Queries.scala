@@ -151,7 +151,7 @@ object Queries {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables.orders(s, dir)
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)
       .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("o_custkey"), col("rk"))
@@ -167,7 +167,8 @@ object Queries {
     Tables.orders(s, dir)
       .withColumn("running_spend", sum(dec(col("o_totalprice"))).over(w).cast("double"))
       .withColumn("order_seq", row_number().over(
-        Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))))
+        Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey")))
+        .cast("long"))
       .select(col("o_custkey"), col("order_seq"), col("o_orderkey"), col("running_spend"))
       .orderBy(col("o_custkey"), col("order_seq"))
   }
@@ -286,6 +287,152 @@ object Queries {
       .orderBy(col("l_returnflag"))
   }
 
+  // ------------------------------------------------------- as-of / enum / affine
+
+  /** As-of join (SURVEY §2.3, the tick-DB essential): each click matched
+    * with the user's latest at-or-before purchase. µs timestamps for
+    * oracle visibility. */
+  val q22_asof_join: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("value").as("purchase_value"))
+    ops.AsOf.join(clicks, purchases, Seq("user_id"), "ts_us", "ts_us",
+        Seq("purchase_value"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+              col("purchase_value"), col("ts_us_matched").as("purchase_ts_us"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
+  /** ENUM_INTERN (presented.h:545–557): dictionary codes for event_type
+    * + histogram over codes. */
+  val q23_enum_intern: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val dict = ops.MapSetEnum.internTable(ev, "event_type")
+    ops.MapSetEnum.applyIntern(ev, dict, "event_type")
+      .groupBy(col("event_type"), col("event_type_code").cast("long").as("event_type_code"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type_code"))
+  }
+
+  /** AFFINE range (presented.h:560–580): lazy arithmetic sequence,
+    * O(1) driver state, aggregated distributed. */
+  val q24_affine_range: Q = (s, _) => {
+    ops.MapSetEnum.affineRange(s, 100000, 3, 2)
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"),
+           min(col("value")).as("lo"), max(col("value")).as("hi"))
+  }
+
+  // --------------------------------------------------------- LLM: dedup/text
+
+  /** Exact dedup over normalized text (north-star): per-source doc counts
+    * vs distinct-text counts. */
+  val q25_dedup_exact: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(md5(llm.Dedup.normText(col("text")))).as("n_distinct"))
+      .orderBy(col("source"))
+  }
+
+  /** Token counting (north-star): whitespace tokens + BPE-ish subword
+    * units per language; integer sums → exact avg division. */
+  val q26_token_stats: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .withColumn("toks", llm.TextOps.tokenCount(col("text")).cast("long"))
+      .withColumn("subw", llm.TextOps.subwordCount(col("text")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("sum_tokens"),
+           sum(col("subw")).as("sum_subwords"),
+           avg(col("toks")).as("avg_tokens"), max(col("toks")).as("max_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  /** Quality scoring (north-star): per-doc heuristic features; ratios are
+    * exact integer-count divisions. */
+  val q27_text_quality: Q = (s, dir) =>
+    llm.TextOps.qualityFeatures(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Brute-force cosine top-k (north-star ANN baseline): 5 query vectors
+    * against the full candidate set. */
+  val q28_sim_topk: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    llm.Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 5)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  // ----------------------------------------- rows-only (no SQL-expressible oracle)
+
+  /** MinHash+LSH near-dup candidate pairs (north-star). Word-salad docs
+    * rarely collide at 0.7; threshold 0.2 exercises the full band→bucket→
+    * verify path with non-trivial output. */
+  val q29_minhash_dedup: Q = (s, dir) =>
+    llm.Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
+        jaccardThreshold = 0.2)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash signatures (north-star): 64-bit sign-sum sketch per doc. */
+  val q30_simhash: Q = (s, dir) =>
+    llm.Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Language-ID heuristic (north-star): predicted language distribution. */
+  val q31_lang_id: Q = (s, dir) =>
+    llm.TextOps.languageId(Tables.documents(s, dir), "doc_id", "text")
+      .groupBy(col("pred_lang")).agg(count(lit(1)).as("n"), sum(col("score")).as("total_score"))
+      .orderBy(col("pred_lang"))
+
+  /** Winnowing fingerprints (north-star): sketch sizes + first hash. */
+  val q32_fingerprint: Q = (s, dir) =>
+    llm.TextOps.fingerprint(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), size(col("fingerprint")).as("n_hashes"),
+              element_at(col("fingerprint"), 1).as("first_hash"))
+      .orderBy(col("doc_id"))
+
+  /** Hyperplane-LSH ANN (north-star scale path): bucketed candidates,
+    * exact re-rank. */
+  val q33_ann_lsh: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    llm.Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb, 5)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** n-gram Jaccard similarity matrix on a bounded sample (north-star):
+    * exact pairwise verification path without LSH pruning. */
+  val q34_ngram_jaccard: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).filter(col("doc_id") < 40)
+      .select(col("doc_id"), llm.Dedup.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), llm.Dedup.shinglesFromTokens(col("__toks"), 3).as("sh"))
+    val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
+      .filter(col("jaccard") > 0.05)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Multimodal stub pipeline (north-star): binary media column →
+    * deterministic fake features; real schema/partitioning/batch shape. */
+  val q35_multimodal: Q = (s, dir) =>
+    llm.Multimodal.pipeline(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("mime"), col("n_bytes"), col("n_frames"),
+              round(element_at(col("features"), 1), 6).as("f0"))
+      .orderBy(col("doc_id"))
+
+  /** Structured-streaming replay of the hourly aggregation — same answer
+    * as the batch q14 path (and checked against the same oracle). */
+  val q36_stream_hourly: Q = (s, dir) => {
+    val agg = streaming.EventStream.hourlyByType(
+      streaming.EventStream.readEvents(s, dir))
+    streaming.EventStream.runToCompletion(s, agg, s"stream_hourly_${System.nanoTime}")
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -310,5 +457,20 @@ object Queries {
     "q19_json_extract"   -> q19_json_extract,
     "q20_in_subquery"    -> q20_in_subquery,
     "q21_update_delete"  -> q21_update_delete,
+    "q22_asof_join"      -> q22_asof_join,
+    "q23_enum_intern"    -> q23_enum_intern,
+    "q24_affine_range"   -> q24_affine_range,
+    "q25_dedup_exact"    -> q25_dedup_exact,
+    "q26_token_stats"    -> q26_token_stats,
+    "q27_text_quality"   -> q27_text_quality,
+    "q28_sim_topk"       -> q28_sim_topk,
+    "q29_minhash_dedup"  -> q29_minhash_dedup,
+    "q30_simhash"        -> q30_simhash,
+    "q31_lang_id"        -> q31_lang_id,
+    "q32_fingerprint"    -> q32_fingerprint,
+    "q33_ann_lsh"        -> q33_ann_lsh,
+    "q34_ngram_jaccard"  -> q34_ngram_jaccard,
+    "q35_multimodal"     -> q35_multimodal,
+    "q36_stream_hourly"  -> q36_stream_hourly,
   )
 }

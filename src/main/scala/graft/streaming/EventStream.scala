@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over the events feed — the realtime half of the
+  * reference's design (bus/feed-handler skeleton /root/reference/
+  * bus.h:119–179, folio-of-sockets remote tables presented.h:427–430).
+  * Kerf's "in-memory realtime table + on-disk historical table" split
+  * becomes one code path: the same aggregation runs on `readStream` and
+  * on the batch table, and `foreachBatch` lands micro-batches in the
+  * same partitioned Parquet layout the batch engine reads.
+  */
+object EventStream {
+
+  /** The events parquet as an unbounded stream (file source replays the
+    * fixture; in production this is Kafka with the same schema). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    // on-disk schema: `ts` is a ns-long under nanosAsLong
+    val onDisk = spark.read.parquet(s"$dir/events.parquet").schema
+    // file stream source wants a directory: stream the sf dir, glob to
+    // the events file (in production: the events/ partition root or Kafka)
+    spark.readStream.schema(onDisk)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  /** Tumbling event-time window aggregation with watermark. Complete
+    * output mode so a bounded replay reproduces the batch answer exactly
+    * (watermark still bounds state on a live feed). */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+           min(col("value")).as("low"), max(col("value")).as("high"))
+      .select(unix_timestamp(col("window.start")).as("bucket"),
+              col("event_type"), col("n"), col("sum_value"), col("low"), col("high"))
+
+  /** Run a streaming aggregation to completion against the bounded
+    * fixture and hand back the result as a normal DataFrame (memory
+    * sink). This is the bridge Verify/tests use. */
+  def runToCompletion(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(name)
+  }
+
+  // ----- stateful: last-tick (Kerf's realtime "current value" table) -----
+
+  case class Tick(user_id: Long, ts_ns: Long, value: Double)
+  case class LastTick(user_id: Long, ts_ns: Long, value: Double, n_events: Long)
+
+  /** mapGroupsWithState keeper of the latest tick per key — the order-book
+    * /last-value state a tick DB maintains. State is one row per key
+    * (bounded); timeout drops idle keys on a live feed. */
+  def lastTickUpdate(key: Long, ticks: Iterator[Tick],
+                     state: GroupState[LastTick]): LastTick = {
+    val prev = state.getOption
+    val all = ticks.toSeq
+    val latest = (prev.map(p => Tick(p.user_id, p.ts_ns, p.value)) ++ all)
+      .maxBy(_.ts_ns)
+    val updated = LastTick(key, latest.ts_ns, latest.value,
+      prev.map(_.n_events).getOrElse(0L) + all.size)
+    state.update(updated)
+    updated
+  }
+
+  def lastTicks(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts_ns"), col("value")).as[Tick]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(lastTickUpdate)
+      .toDF()
+  }
+}
