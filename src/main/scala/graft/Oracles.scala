@@ -57,7 +57,8 @@ object Oracles {
 
     "q07_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
          ORDER BY c_custkey""",
 
     "q08_outer_join" ->
@@ -132,7 +133,7 @@ object Oracles {
     "q18_string_funcs" ->
       """SELECT p_partkey, upper(p_brand) AS brand_u, substr(p_name, 1, 12) AS name12,
                 length(p_name) AS name_len, concat_ws('|', p_brand, p_type) AS brand_type
-         FROM part WHERE p_name LIKE '%gre%' ORDER BY p_partkey""",
+         FROM part WHERE p_name LIKE '%re%' ORDER BY p_partkey""",
 
     "q19_json_extract" ->
       """SELECT event_type, count(*) AS n,

@@ -103,10 +103,10 @@ object Queries {
       .orderBy(col("c_custkey"))
   }
 
-  /** Anti-join (NOT EXISTS): customers with no orders at all. */
+  /** Anti-join (NOT EXISTS): customers with no urgent orders. */
   val q07_anti_join: Q = (s, dir) => {
     val c = Tables.customer(s, dir)
-    val o = Tables.orders(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy(col("c_custkey"))
@@ -240,7 +240,7 @@ object Queries {
   /** String verb family (SURVEY §2.8): substring/upper/length/like. */
   val q18_string_funcs: Q = (s, dir) => {
     Tables.part(s, dir)
-      .filter(col("p_name").like("%gre%"))
+      .filter(col("p_name").like("%re%"))
       .select(
         col("p_partkey"),
         upper(col("p_brand")).as("brand_u"),
@@ -395,7 +395,8 @@ object Queries {
     * exact re-rank. */
   val q33_ann_lsh: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
-    llm.Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb, 5)
+    llm.Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb, 5,
+        nBits = 8, tables = 8)
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -404,14 +405,14 @@ object Queries {
   val q34_ngram_jaccard: Q = (s, dir) => {
     val d = Tables.documents(s, dir).filter(col("doc_id") < 40)
       .select(col("doc_id"), llm.Dedup.tokens(col("text")).as("__toks"))
-      .select(col("doc_id"), llm.Dedup.shinglesFromTokens(col("__toks"), 3).as("sh"))
+      .select(col("doc_id"), llm.Dedup.shinglesFromTokens(col("__toks"), 2).as("sh"))
     val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .withColumn("jaccard",
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
               size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
-      .filter(col("jaccard") > 0.05)
+      .filter(col("jaccard") > 0.02)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }

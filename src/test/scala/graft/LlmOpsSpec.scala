@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Similarity, TextOps}
+
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+    (2L, "completely different content about spark catalyst optimizer rules and codegen"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today"),   // exact dup of 0
+    (4L, "THE  QUICK   brown fox jumps over the lazy dog near the river bank today") // case/ws dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates, keeps min id") {
+    val g = Dedup.exact(docs, "doc_id", "text").collect()
+    val big = g.find(_.getLong(2) == 3L) // group of 0,3,4
+    assert(big.isDefined && big.get.getLong(1) == 0L)
+    assert(g.length == 3) // {0,3,4}, {1}, {2}
+  }
+
+  test("minhash LSH finds the planted near-dup pair and skips unrelated") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) || pairs.contains((0L, 3L))) // near+exact dups collide
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("simhash: identical docs equal, near-dups close, unrelated far") {
+    val sigs = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0L), sigs(1L)) < ham(sigs(0L), sigs(2L)))
+  }
+
+  test("brute-force cosine top-k ranks by similarity") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, 3)
+      .orderBy("rk").select("cand_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 3L))
+  }
+
+  test("LSH ANN recall on clustered vectors (planted structure)") {
+    // two tight clusters around orthogonal centers; LSH must recover
+    // same-cluster neighbors. (The fixture embeddings are isotropic
+    // random — sim≈0.37 tops — where any LSH has weak recall by math,
+    // so the recall assertion needs planted structure.)
+    val rnd = new scala.util.Random(7)
+    def jitter(center: Array[Float]): Seq[Float] =
+      center.map(c => c + (rnd.nextFloat() - 0.5f) * 0.1f).toSeq
+    val ca = Array.fill(16)(0f); ca(0) = 1f
+    val cb = Array.fill(16)(0f); cb(8) = 1f
+    val vecs = ((0 until 50).map(i => (i.toLong, jitter(ca))) ++
+                (50 until 100).map(i => (i.toLong, jitter(cb))))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0)
+    val exact = Similarity.bruteForceTopK(q, vecs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.lshTopK(q, vecs, 5, nBits = 8, tables = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(exact.forall(_._2 < 50)) // brute force finds same-cluster only
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall too low on clustered data")
+  }
+
+  test("token counts: edge cases") {
+    val df = Seq("", "   ", "one", "a b  c").toDF("t")
+    val got = df.select(TextOps.tokenCount(col("t"))).as[Int].collect().toSeq
+    assert(got == Seq(0, 0, 1, 3))
+  }
+
+  test("language id picks marker-heavy language") {
+    val df = Seq((1L, "der hund und die katze sind schnell schon")).toDF("doc_id", "text")
+    val got = TextOps.languageId(df, "doc_id", "text").collect()(0).getString(1)
+    assert(got == "de")
+  }
+
+  test("fingerprint survives small edits (winnowing overlap)") {
+    val fp = TextOps.fingerprint(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val overlap01 = (fp(0L) & fp(1L)).size.toDouble / fp(0L).size
+    val overlap02 = (fp(0L) & fp(2L)).size.toDouble / fp(0L).size
+    assert(fp(0L) == fp(3L))          // identical text → identical sketch
+    assert(overlap01 > 0.5)           // near-dup → high overlap
+    assert(overlap02 < 0.2)           // unrelated → low overlap
+  }
+}
