@@ -352,13 +352,13 @@ object Queries {
   /** Quality scoring (north-star): per-doc heuristic features; ratios are
     * exact integer-count divisions. */
   val q27_text_quality: Q = (s, dir) =>
-    llm.TextOps.qualityFeatures(Tables.documents(s, dir), "doc_id", "text")
+    llm.TextOps.qualityFeatures(Tables.fanOut(Tables.documents(s, dir)), "doc_id", "text")
       .orderBy(col("doc_id"))
 
   /** Brute-force cosine top-k (north-star ANN baseline): 5 query vectors
     * against the full candidate set. */
   val q28_sim_topk: Q = (s, dir) => {
-    val emb = Tables.embeddings(s, dir)
+    val emb = Tables.fanOut(Tables.embeddings(s, dir))
     llm.Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 5)
       .orderBy(col("q_id"), col("rk"))
   }
@@ -369,24 +369,24 @@ object Queries {
     * rarely collide at 0.7; threshold 0.2 exercises the full band→bucket→
     * verify path with non-trivial output. */
   val q29_minhash_dedup: Q = (s, dir) =>
-    llm.Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
+    llm.Dedup.minhashPairs(Tables.fanOut(Tables.documents(s, dir)), "doc_id", "text",
         jaccardThreshold = 0.2)
       .orderBy(col("id_a"), col("id_b"))
 
   /** SimHash signatures (north-star): 64-bit sign-sum sketch per doc. */
   val q30_simhash: Q = (s, dir) =>
-    llm.Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
+    llm.Dedup.simhash(Tables.fanOut(Tables.documents(s, dir)), "doc_id", "text")
       .orderBy(col("doc_id"))
 
   /** Language-ID heuristic (north-star): predicted language distribution. */
   val q31_lang_id: Q = (s, dir) =>
-    llm.TextOps.languageId(Tables.documents(s, dir), "doc_id", "text")
+    llm.TextOps.languageId(Tables.fanOut(Tables.documents(s, dir)), "doc_id", "text")
       .groupBy(col("pred_lang")).agg(count(lit(1)).as("n"), sum(col("score")).as("total_score"))
       .orderBy(col("pred_lang"))
 
   /** Winnowing fingerprints (north-star): sketch sizes + first hash. */
   val q32_fingerprint: Q = (s, dir) =>
-    llm.TextOps.fingerprint(Tables.documents(s, dir), "doc_id", "text")
+    llm.TextOps.fingerprint(Tables.fanOut(Tables.documents(s, dir)), "doc_id", "text")
       .select(col("doc_id"), size(col("fingerprint")).as("n_hashes"),
               element_at(col("fingerprint"), 1).as("first_hash"))
       .orderBy(col("doc_id"))
@@ -394,7 +394,7 @@ object Queries {
   /** Hyperplane-LSH ANN (north-star scale path): bucketed candidates,
     * exact re-rank. */
   val q33_ann_lsh: Q = (s, dir) => {
-    val emb = Tables.embeddings(s, dir)
+    val emb = Tables.fanOut(Tables.embeddings(s, dir))
     llm.Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb, 5,
         nBits = 8, tables = 8)
       .orderBy(col("q_id"), col("rk"))
@@ -420,7 +420,7 @@ object Queries {
   /** Multimodal stub pipeline (north-star): binary media column →
     * deterministic fake features; real schema/partitioning/batch shape. */
   val q35_multimodal: Q = (s, dir) =>
-    llm.Multimodal.pipeline(Tables.documents(s, dir), "doc_id", "text")
+    llm.Multimodal.pipeline(Tables.fanOut(Tables.documents(s, dir)), "doc_id", "text")
       .select(col("doc_id"), col("mime"), col("n_bytes"), col("n_frames"),
               round(element_at(col("features"), 1), 6).as("f0"))
       .orderBy(col("doc_id"))

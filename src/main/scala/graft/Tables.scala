@@ -12,6 +12,18 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Fan a CPU-heavy-per-row stage out to all cores when the byte-based
+    * split heuristic under-partitions (a 0.5 MB parquet of 50k documents
+    * is one partition — and one core — however expensive the per-row
+    * work). No-op when the input is already split at least as wide as the
+    * cluster, so it costs nothing at real scale where inputs arrive as
+    * many files; locally it converts serial minhash/sketch stages into
+    * 32-way parallel ones. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")

@@ -41,12 +41,19 @@ object Dedup {
   /** Convenience one-shot (only for already-staged or tiny inputs). */
   def shingles(c: Column, n: Int = 3): Column = shinglesFromTokens(tokens(c), n)
 
-  /** MinHash signature: for seed s, min over shingles of xxhash64(s, sh).
+  /** MinHash signature: for seed s, min over shingle hashes of
+    * xxhash64(s, h). Expects a PRE-HASHED long-array column (see
+    * [[shingleHashes]]): hashing each shingle string once and re-hashing
+    * the 8-byte longs per seed is ~H× cheaper than re-hashing strings.
     * xxhash64's variadic fold makes the leading literal act as the seed —
     * H independent hash families without any UDF. */
-  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+  def minhashSignature(shingleHashesCol: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(transform(shinglesCol, sh => xxhash64(s, sh))))
+      s => array_min(transform(shingleHashesCol, h => xxhash64(s, h))))
+
+  /** One xxhash64 per shingle string — stage this before signatures. */
+  def shingleHashes(shinglesCol: Column): Column =
+    transform(shinglesCol, sh => xxhash64(sh))
 
   /** MinHash + LSH banding: docs whose banded signatures collide become
     * candidate pairs; candidates are verified with exact Jaccard over the
@@ -69,7 +76,8 @@ object Dedup {
     val signed = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), shinglesFromTokens(col("__toks"), shingleN).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("shh", shingleHashes(col("sh")))
+      .withColumn("sig", minhashSignature(col("shh"), numHashes))
 
     val banded = signed.select(
       col("doc_id"), col("sh"),

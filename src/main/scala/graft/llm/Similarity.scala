@@ -48,16 +48,25 @@ object Similarity {
       .select(col("q_id"), col("rk"), col("cand_id"), col("sim"))
   }
 
-  /** Sign-bit sketch: bit i = sign(Σ_j w(i,j)·v[j]) where w(i,j) is a
-    * deterministic pseudo-random ±weight derived from xxhash64(i,j).
-    * nBits ≤ 64, packed into one long. */
-  def hyperplaneSketch(vec: Column, nBits: Int): Column = {
+  /** Deterministic pseudo-random hyperplane weights, fixed at PLAN time —
+    * they depend only on (plane index, dim index), never on the data, so
+    * they ship as literal arrays instead of per-row hash evaluations
+    * (the naive xxhash-per-element form cost 4096 hashes PER ROW). */
+  private def planeWeights(plane: Int, dim: Int): Array[Double] = {
+    val rnd = new scala.util.Random(0x9E3779B97F4A7C15L ^ plane.toLong)
+    Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+  }
+
+  /** Sign-bit sketch against literal hyperplanes: bit i =
+    * sign(Σ_j w(i,j)·v[j]); nBits ≤ 64, packed into one long.
+    * Each projection is one zip_with/aggregate loop against a literal
+    * weight array — compact codegen (an unrolled element_at form blew
+    * past JIT limits and ran 30× slower interpreted). */
+  def hyperplaneSketch(vec: Column, nBits: Int, dim: Int, seedBase: Int = 0): Column = {
     val bits = (0 until nBits).map { i =>
+      val w = typedLit(planeWeights(seedBase + i, dim).toSeq)
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          // hash-derived weight in [-1,1): xxhash64(bit, idx) scaled
-          (x, j) => x.cast("double") *
-            (xxhash64(lit(i), j).cast("double") / lit(Long.MaxValue.toDouble))),
+        zip_with(vec, w, (x, wj) => x.cast("double") * wj),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, shiftleft(lit(1L), i)).otherwise(0L)
     }
@@ -67,24 +76,17 @@ object Similarity {
   /** ANN via multi-probe hyperplane LSH: `tables` independent sketches of
     * `nBits` bits; pairs colliding in any table are candidates; exact
     * cosine re-rank keeps top-k. Recall grows with tables, cost with
-    * bucket occupancy. */
+    * bucket occupancy. All sketches are computed in ONE pass over the
+    * un-exploded row, then unpacked. */
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               nBits: Int = 16, tables: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // per-table hyperplane family: bit index offset by table_id*nBits
+    val dim = queries.select(size(col(vecCol))).first().getInt(0)
     def sk(df: DataFrame, id: String, vec: String) =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
-        explode(sequence(lit(0), lit(tables - 1))).as("table_id"))
-        .withColumn("sketch",
-          (0 until nBits).map { i =>
-            val proj = aggregate(
-              zip_with(col(vec), sequence(lit(0), size(col(vec)) - 1),
-                (x, j) => x.cast("double") *
-                  (xxhash64(col("table_id") * nBits + i, j).cast("double") /
-                    lit(Long.MaxValue.toDouble))),
-              lit(0.0), (acc, v) => acc + v)
-            when(proj > 0, shiftleft(lit(1L), i)).otherwise(0L)
-          }.reduce(_.bitwiseOR(_)))
+        posexplode(array((0 until tables).map(t =>
+          hyperplaneSketch(col(vecCol), nBits, dim, seedBase = t * nBits)): _*))
+          .as(Seq("table_id", "sketch")))
 
     val q = sk(queries, "q_id", "q_vec")
     val c = sk(candidates, "cand_id", "cand_vec")

@@ -56,17 +56,26 @@ object TextOps {
     "es" -> Seq(" el ", " los ", " de ", " que ", "ción"),
     "zh" -> Seq("的", "是", "了", "在", "不"))
 
-  def langScore(text: Column, markers: Seq[String]): Column =
-    markers.map(m => size(split(concat(lit(" "), lower(text), lit(" ")),
-      java.util.regex.Pattern.quote(m))) - 1).reduce(_ + _)
+  /** Marker-occurrence count in ONE scan per language: a non-capturing
+    * alternation of all the language's markers (a per-marker replace or
+    * split allocated a fresh copy of the text per marker — 25 scans and
+    * 25 allocations per row). `padded` is the pre-staged " text " col. */
+  def langScore(padded: Column, markers: Seq[String]): Column = {
+    val alternation = markers.map(java.util.regex.Pattern.quote)
+      .mkString("(?:", "|", ")")
+    regexp_count(padded, lit(alternation)).cast("int")
+  }
 
   def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
-      struct(langScore(col(textCol), ms).as("score"), lit(lang).as("lang"))
+      struct(langScore(col("__padded"), ms).as("score"), lit(lang).as("lang"))
     }
-    docs.select(col(idCol),
-      greatest(scored: _*).getField("lang").as("pred_lang"),
-      greatest(scored: _*).getField("score").as("score"))
+    docs
+      .select(col(idCol), concat(lit(" "), lower(col(textCol)), lit(" ")).as("__padded"))
+      .select(col(idCol), array_max(array(scored: _*)).as("__best"))
+      .select(col(idCol),
+        col("__best").getField("lang").as("pred_lang"),
+        col("__best").getField("score").as("score"))
   }
 
   /** Winnowing-style document fingerprint: k-gram rolling hashes, keep the
