@@ -231,6 +231,53 @@ object Oracles {
            FROM sims) t
          WHERE rk <= 5 ORDER BY q_id, rk""",
 
+    "q37_upsert" ->
+      """WITH incoming AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  CAST(999.99 AS DOUBLE) AS o_totalprice, o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey % 100 = 0),
+         merged AS (
+           SELECT * FROM orders
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM incoming)
+           UNION ALL SELECT * FROM incoming)
+         SELECT o_orderstatus, count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q38_ohlc" ->
+      """SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+                arg_min(value, epoch_us(ts)) AS open,
+                max(value) AS high, min(value) AS low,
+                arg_max(value, epoch_us(ts)) AS close,
+                count(*) AS volume,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS notional
+         FROM events GROUP BY 1, 2 ORDER BY user_id, day""",
+
+    "q39_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+                sqrt(l_quantity) AS sqrt_qty,
+                abs(l_discount - 0.05) AS abs_disc,
+                CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+                CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+                pow(l_quantity, 2) AS qty_sq,
+                l_orderkey % 7 AS key_mod
+         FROM lineitem WHERE l_orderkey < 100
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q40_cube" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q41_array_agg" ->
+      """WITH g AS (SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys
+                    FROM lineitem WHERE l_orderkey < 200 GROUP BY l_orderkey)
+         SELECT l_orderkey, len(qtys) AS n_items,
+                list_sum(qtys) AS qty_total,
+                qtys[-1] AS qty_max,
+                list_reverse_sort(qtys) AS qtys_desc
+         FROM g ORDER BY l_orderkey""",
+
     "q36_stream_hourly" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
                 count(*) AS n,

@@ -434,6 +434,74 @@ object Queries {
       .orderBy(col("bucket"), col("event_type"))
   }
 
+  // ------------------------------------------------- mutation / agg surface
+
+  /** UPSERT (Kerf SQL `upsert`, lexer.h:103): replace-by-key merge of a
+    * price-corrected batch, then aggregate the merged table. */
+  val q37_upsert: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val incoming = o.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_totalprice", lit(999.99))
+    ops.TableOps.upsert(o, incoming, Seq("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+           sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Daily OHLC per user — the canonical tick-DB rollup (SURVEY §7.3);
+    * open/close via min_by/max_by on the unique µs stamp. */
+  val q38_ohlc: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+    ev.groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(min_by(col("value"), col("ts_us")).as("open"),
+           max(col("value")).as("high"),
+           min(col("value")).as("low"),
+           max_by(col("value"), col("ts_us")).as("close"),
+           count(lit(1)).as("volume"),
+           sum(dec(col("value"))).cast("double").as("notional"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** Math verb surface (SURVEY §2.8 adopt-row): IEEE-exact functions
+    * only (sqrt/abs/floor/ceil/power-of-2 are bit-identical across
+    * engines; ln/exp are libm-dependent and stay out of oracle scope). */
+  val q39_math_funcs: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        sqrt(col("l_quantity")).as("sqrt_qty"),
+        abs(col("l_discount") - 0.05).as("abs_disc"),
+        floor(col("l_extendedprice")).as("floor_price"),
+        ceil(col("l_extendedprice")).as("ceil_price"),
+        pow(col("l_quantity"), 2).as("qty_sq"),
+        (col("l_orderkey") % 7).as("key_mod"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** CUBE grouping sets (SURVEY §2.4 adopt-row). */
+  val q40_cube: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** Array verbs over grouped data (SURVEY §2.8 array fns): per-order
+    * sorted quantity vector + higher-order fold over it. */
+  val q41_array_agg: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") < 200)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_list(col("l_quantity"))).as("qtys"))
+      .select(col("l_orderkey"),
+        size(col("qtys")).as("n_items"),
+        aggregate(col("qtys"), lit(0.0), (acc, v) => acc + v).as("qty_total"),
+        element_at(col("qtys"), -1).as("qty_max"),
+        reverse(col("qtys")).as("qtys_desc"))
+      .orderBy(col("l_orderkey"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -473,5 +541,10 @@ object Queries {
     "q34_ngram_jaccard"  -> q34_ngram_jaccard,
     "q35_multimodal"     -> q35_multimodal,
     "q36_stream_hourly"  -> q36_stream_hourly,
+    "q37_upsert"         -> q37_upsert,
+    "q38_ohlc"           -> q38_ohlc,
+    "q39_math_funcs"     -> q39_math_funcs,
+    "q40_cube"           -> q40_cube,
+    "q41_array_agg"      -> q41_array_agg,
   )
 }

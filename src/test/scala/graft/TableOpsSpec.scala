@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TableOps
+import graft.functions.KerfOrdering
+
+class TableOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0))
+    .toDF("k", "name", "v")
+
+  test("update rewrites only matching rows (lexer.h:103 update)") {
+    val got = TableOps.update(base, col("k") === 2, "v" -> lit(99.0))
+      .orderBy("k").select("v").as[Double].collect().toSeq
+    assert(got == Seq(10.0, 99.0, 30.0))
+  }
+
+  test("delete removes matching rows") {
+    assert(TableOps.delete(base, col("v") > 15).count() == 1)
+  }
+
+  test("insert appends by name") {
+    val rows = Seq((4, "d", 40.0)).toDF("k", "name", "v")
+    assert(TableOps.insert(base, rows).count() == 4)
+  }
+
+  test("upsert replaces same-key rows and inserts new ones") {
+    val incoming = Seq((2, "B", 22.0), (4, "d", 40.0)).toDF("k", "name", "v")
+    val got = TableOps.upsert(base, incoming, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1, "a", 10.0), (2, "B", 22.0), (3, "c", 30.0), (4, "d", 40.0)))
+  }
+
+  test("select combinator chains where/group/order/limit (parser.h:541)") {
+    val got = TableOps.select(base,
+      where = Some(col("v") >= 10),
+      group = Seq(lit(1).as("g")),
+      aggs = Seq(sum("v").as("total")),
+      order = Seq(col("total")))
+    assert(got.collect()(0).getAs[Double]("total") == 60.0)
+  }
+
+  test("kerf truthiness: 0/0.0/nil falsy (test.cc:195)") {
+    val df = Seq[(java.lang.Double, Int)]((0.0, 0), (1.5, 1), (null, 0), (Double.NaN, 0))
+      .toDF("x", "want")
+    val got = df.select((KerfOrdering.truthy(col("x")) === (col("want") === 1)).as("ok"))
+      .as[Boolean].collect()
+    assert(got.forall(identity))
+  }
+
+  test("kerfEq: null == NaN (test.cc:102–108)") {
+    val df = Seq[(java.lang.Double, java.lang.Double)]((null, Double.NaN))
+      .toDF("a", "b")
+    assert(df.select(KerfOrdering.kerfEq(col("a"), col("b"))).as[Boolean].collect()(0))
+  }
+}
