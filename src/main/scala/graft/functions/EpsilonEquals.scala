@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.GraftColumnGlue
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType}
+
+/** Kerf's float equality as a NATIVE Catalyst expression with codegen
+  * (SURVEY §7.4: custom `Expression` tier): epsilon-relative compare
+  * `|a-b| <= ε·max(|a|,|b|)` (/root/reference/grade.cc:9,41) under Kerf's
+  * null/NaN regime where int-null == float-NaN == null compare EQUAL
+  * (/root/reference/test.cc:102–108, kerf.h:211–233).
+  *
+  * Never null-producing: missingness is a comparable value in Kerf, not
+  * SQL three-valued logic. The generated code is branch-light and inlines
+  * into whole-stage codegen — this is the (b) tier of the extension
+  * preference order, used when Column combinators would cost a when-chain
+  * per operand. */
+case class EpsilonEquals(left: Expression, right: Expression, eps: Double)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == DoubleType && right.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"eps_eq expects (double, double), got (${left.dataType}, ${right.dataType})")
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    val aMissing = a == null || a.asInstanceOf[Double].isNaN
+    val bMissing = b == null || b.asInstanceOf[Double].isNaN
+    if (aMissing || bMissing) aMissing && bMissing
+    else {
+      val x = a.asInstanceOf[Double]; val y = b.asInstanceOf[Double]
+      x == y || math.abs(x - y) <= eps * math.max(math.abs(x), math.abs(y))
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val a = left.genCode(ctx)
+    val b = right.genCode(ctx)
+    val aM = ctx.freshName("aMissing")
+    val bM = ctx.freshName("bMissing")
+    ev.copy(
+      code = code"""
+        ${a.code}
+        ${b.code}
+        boolean $aM = ${a.isNull} || Double.isNaN(${a.value});
+        boolean $bM = ${b.isNull} || Double.isNaN(${b.value});
+        boolean ${ev.value} = ($aM || $bM)
+          ? ($aM && $bM)
+          : (${a.value} == ${b.value} ||
+             Math.abs(${a.value} - ${b.value}) <=
+               $eps * Math.max(Math.abs(${a.value}), Math.abs(${b.value})));
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object EpsilonEquals {
+  /** Column API: `eps_eq($"a", $"b")`. Inputs cast to double. */
+  def eps_eq(a: Column, b: Column, eps: Double = 1e-14): Column =
+    GraftColumnGlue.toColumn(EpsilonEquals(
+      GraftColumnGlue.toExpr(a.cast("double")),
+      GraftColumnGlue.toExpr(b.cast("double")), eps))
+
+  /** Register as SQL function `eps_eq(a, b)` for the session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "eps_eq",
+      exprs => EpsilonEquals(exprs(0), exprs(1), 1e-14),
+      "built-in")
+}

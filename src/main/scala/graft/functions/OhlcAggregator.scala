@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed custom aggregate (SURVEY §2.10: Kerf fold with an arbitrary
+  * lambda → `Aggregator[IN,BUF,OUT]`): one-pass OHLC. The buffer is
+  * constant-size, merge is associative — Spark runs it partial+final
+  * exactly like a built-in, so it scales like `sum` (map-side combine,
+  * no row shuffle beyond the group key). */
+object OhlcAggregator {
+
+  case class Tick(ts: Long, value: Double)
+  case class Buf(openTs: Long, open: Double, high: Double, low: Double,
+                 closeTs: Long, close: Double, n: Long)
+  case class Ohlc(open: Double, high: Double, low: Double, close: Double, n: Long)
+
+  val empty: Buf = Buf(Long.MaxValue, 0.0, Double.NegativeInfinity,
+                       Double.PositiveInfinity, Long.MinValue, 0.0, 0L)
+
+  val ohlc: Aggregator[Tick, Buf, Ohlc] = new Aggregator[Tick, Buf, Ohlc] {
+    def zero: Buf = empty
+    def reduce(b: Buf, t: Tick): Buf = Buf(
+      if (t.ts < b.openTs) t.ts else b.openTs,
+      if (t.ts < b.openTs) t.value else b.open,
+      math.max(b.high, t.value),
+      math.min(b.low, t.value),
+      if (t.ts > b.closeTs) t.ts else b.closeTs,
+      if (t.ts > b.closeTs) t.value else b.close,
+      b.n + 1)
+    def merge(a: Buf, b: Buf): Buf = Buf(
+      if (a.openTs <= b.openTs) a.openTs else b.openTs,
+      if (a.openTs <= b.openTs) a.open else b.open,
+      math.max(a.high, b.high),
+      math.min(a.low, b.low),
+      if (a.closeTs >= b.closeTs) a.closeTs else b.closeTs,
+      if (a.closeTs >= b.closeTs) a.close else b.close,
+      a.n + b.n)
+    def finish(b: Buf): Ohlc = Ohlc(b.open, b.high, b.low, b.close, b.n)
+    def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    def outputEncoder: Encoder[Ohlc] = Encoders.product[Ohlc]
+  }
+}

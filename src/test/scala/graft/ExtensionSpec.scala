@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{EpsilonEquals, OhlcAggregator}
+import graft.functions.EpsilonEquals.eps_eq
+
+/** Custom-extension surface: native codegen Expression + typed
+  * Aggregator (SURVEY §2.10 / §7.4). */
+class ExtensionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("eps_eq: epsilon equality + Kerf null/NaN regime (grade.cc:41)") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 1.0 + 1e-21),          // within epsilon → true
+      (1.0, 1.2),                  // differs → false
+      (Double.NaN, null),          // NaN == null in Kerf → true
+      (Double.NaN, Double.NaN),    // NaN == NaN → true
+      (1.0, Double.NaN),           // value vs missing → false
+      (0.0, 0.0)                   // exact equal incl. zero → true
+    ).toDF("a", "b")
+    val got = df.select(eps_eq(col("a"), col("b"))).as[Boolean].collect().toSeq
+    assert(got == Seq(true, false, true, true, false, true))
+  }
+
+  test("eps_eq inlines into whole-stage codegen over a real scan") {
+    val li = Tables.lineitem(spark, sf)
+    val n = li.filter(eps_eq(col("l_discount"), lit(0.05))).count()
+    val exact = li.filter(col("l_discount") === 0.05).count()
+    assert(n == exact && n > 0)
+  }
+
+  test("eps_eq registers as a SQL function") {
+    EpsilonEquals.register(spark)
+    val got = spark.sql("SELECT eps_eq(CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE) + 1e-21)")
+      .collect()(0).getBoolean(0)
+    assert(got)
+  }
+
+  test("OHLC Aggregator matches min_by/max_by formulation (q38)") {
+    import OhlcAggregator._
+    val ev = Tables.events(spark, sf)
+      .select(expr("ts_ns div 1000").as("ts"), col("value"), col("user_id"))
+    val typed = ev.as[(Long, Double, Long)]
+      .map { case (ts, v, u) => (u, Tick(ts, v)) }
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(ohlc.toColumn)
+      .collect().toMap
+    val want = ev.groupBy(col("user_id")).agg(
+        min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        Ohlc(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))
+      .toMap
+    assert(typed == want)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+/** Physical-plan hygiene: the properties that decide whether a query
+  * survives a 100× scale-up. These assertions pin the plans we want —
+  * pushdown reaching the scan, broadcasts chosen for dims, top-k not
+  * full-sorting — so a regression in plan shape fails CI, not the
+  * cluster. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = Queries.all(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: filters and projection push down to the parquet scan") {
+    val p = planOf("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), "no pushed filters in scan")
+    assert(p.contains("l_shipdate"), "shipdate predicate not pushed")
+    // column pruning: scan must not read the 11-col schema
+    assert(!p.contains("l_returnflag"), "unused column read by scan")
+  }
+
+  test("q03: top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q03_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
+  }
+
+  test("q04/q05: dimension joins broadcast (no shuffle of the dims)") {
+    assert(planOf("q04_join_agg").contains("BroadcastHashJoin"))
+    val p5 = planOf("q05_star_join")
+    assert(p5.contains("BroadcastHashJoin"), "star dims not broadcast")
+  }
+
+  test("q01: aggregation is partial+final (map-side combine)") {
+    val p = planOf("q01_agg_pricing")
+    assert(p.contains("partial_sum") || p.contains("partial"),
+      "no partial aggregation before the shuffle")
+  }
+
+  test("q06/q07: semi/anti joins stay joins (no subquery materialization)") {
+    assert(planOf("q06_semi_join").contains("LeftSemi"))
+    assert(planOf("q07_anti_join").contains("LeftAnti"))
+  }
+
+  test("q22: as-of join is ONE shuffle per side (union+window, no join explosion)") {
+    val p = planOf("q22_asof_join")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"as-of should shuffle each side once, saw $exchanges exchanges")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q14: whole-stage codegen covers the aggregation pipeline") {
+    // AQE reveals the final physical plan only after executing THIS df's
+    // own QueryExecution (count() would plan a different query)
+    val df = Queries.all("q14_hourly_buckets")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd operators print with the `*(stageId)` star marker
+    assert(p.contains("*("), s"agg path fell out of whole-stage codegen:\n$p")
+    assert(p.contains("isFinalPlan=true"))
+  }
+
+  test("q29: minhash plan has no cartesian product (LSH bucketing holds)") {
+    val p = planOf("q29_minhash_dedup")
+    assert(!p.contains("CartesianProduct"), "pair generation exploded to n²")
+  }
+
+  test("entry: flagship plan reads only needed columns") {
+    val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema"), "no schema info in scan")
+  }
+}
