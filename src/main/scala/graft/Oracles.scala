@@ -278,6 +278,42 @@ object Oracles {
                 list_reverse_sort(qtys) AS qtys_desc
          FROM g ORDER BY l_orderkey""",
 
+    "q42_percentiles" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_extendedprice, 0.5) AS p50,
+                quantile_cont(l_extendedprice, 0.9) AS p90,
+                quantile_cont(l_quantity, 0.25) AS q1_qty,
+                count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q43_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+         flagged AS (
+           SELECT user_id, ts_us,
+                  CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                       WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+                       ELSE 0 END AS new_session
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+         sessions AS (
+           SELECT user_id, ts_us,
+                  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM flagged)
+         SELECT user_id, session_id, count(*) AS n_events,
+                min(ts_us) AS session_start,
+                max(ts_us) - min(ts_us) AS duration_us
+         FROM sessions GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
+
+    "q44_range_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         errs AS (SELECT user_id, event_id AS err_id, ts_us AS err_ts FROM e WHERE event_type = 'error'),
+         purchases AS (SELECT user_id, event_id AS p_id, ts_us AS p_ts FROM e WHERE event_type = 'purchase')
+         SELECT a.user_id, a.err_id, b.p_id, b.p_ts - a.err_ts AS delta_us
+         FROM errs a JOIN purchases b
+           ON a.user_id = b.user_id AND abs(b.p_ts - a.err_ts) <= 300000000
+         ORDER BY a.user_id, a.err_id, b.p_id""",
+
     "q36_stream_hourly" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
                 count(*) AS n,

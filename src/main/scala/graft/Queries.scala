@@ -502,6 +502,65 @@ object Queries {
       .orderBy(col("l_orderkey"))
   }
 
+  /** Order-statistics surface: exact percentiles (deterministic linear
+    * interpolation over the sorted multiset — same formula both engines). */
+  val q42_percentiles: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"),
+        expr("percentile(l_quantity, 0.25)").as("q1_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Gap-based sessionization — the tsdb idiom for user activity: a new
+    * session starts after >30min idle; session id = running count of
+    * session starts (scan over a flag, Kerf unfold-style). */
+  val q43_sessionize: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val tsUs = expr("ts_ns div 1000")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(s, dir)
+      .withColumn("ts_us", tsUs)
+      .withColumn("new_session",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L)
+          .when(lag(col("ts_us"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts_us")).as("session_start"),
+           (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** Range (band) join — SURVEY §2.3 theta row: error events paired with
+    * purchases of the same user within ±5min. Bucketed-band equi-join:
+    * each side joins on (user, time-bucket) with ±1 bucket replication,
+    * then the exact band predicate — turns an O(n²) theta join into an
+    * equi-shuffle + local filter (the 100 TB-safe plan). */
+  val q44_range_join: Q = (s, dir) => {
+    val bandUs = 5L * 60 * 1000000
+    val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_id"), col("ts_us").as("err_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts_us").as("p_ts"))
+    // replicate the (smaller) error side into the 3 adjacent buckets
+    val errsB = errs.withColumn("bucket",
+        explode(array((-1 to 1).map(d => expr("err_ts div 300000000") + d): _*)))
+    val purchB = purchases.withColumn("bucket", expr("p_ts div 300000000"))
+    errsB.join(purchB, Seq("user_id", "bucket"))
+      .filter(abs(col("p_ts") - col("err_ts")) <= bandUs)
+      .select(col("user_id"), col("err_id"), col("p_id"),
+              (col("p_ts") - col("err_ts")).as("delta_us"))
+      .distinct()
+      .orderBy(col("user_id"), col("err_id"), col("p_id"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -546,5 +605,8 @@ object Queries {
     "q39_math_funcs"     -> q39_math_funcs,
     "q40_cube"           -> q40_cube,
     "q41_array_agg"      -> q41_array_agg,
+    "q42_percentiles"    -> q42_percentiles,
+    "q43_sessionize"     -> q43_sessionize,
+    "q44_range_join"     -> q44_range_join,
   )
 }

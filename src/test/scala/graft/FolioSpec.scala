@@ -46,6 +46,22 @@ class FolioSpec extends SparkSpec {
     assert(Folio.read(spark, s"$dir/f").count() == ev.count())
   }
 
+  test("nested data round-trips (test.cc:690–823: [10,20,[30,40]] shapes)") {
+    import spark.implicits._
+    val dir = tmp()
+    val df = Seq(
+      (1L, Seq(10, 20), Seq(Seq(30, 40), Seq(50)), Map("a" -> 1, "b" -> 2)),
+      (2L, Seq.empty[Int], Seq(Seq.empty[Int]), Map.empty[String, Int])
+    ).toDF("id", "flat", "nested", "m")
+    df.write.mode("overwrite").parquet(s"$dir/nested")
+    val back = spark.read.parquet(s"$dir/nested").orderBy("id")
+    val rows = back.collect()
+    assert(rows(0).getSeq[Int](1) == Seq(10, 20))
+    assert(rows(0).getSeq[Seq[Int]](2) == Seq(Seq(30, 40), Seq(50)))
+    assert(rows(0).getMap[String, Int](3) == Map("a" -> 1, "b" -> 2))
+    assert(rows(1).getSeq[Int](1).isEmpty)
+  }
+
   test("workspace save/load restores all tables (file.cc:994, test.cc:825)") {
     val dir = tmp()
     val t1 = Tables.nation(spark, sf)
