@@ -26,6 +26,7 @@ object Engine {
     val spark = SparkSession.builder()
       .master(master)
       .appName("graft")
+      .withExtensions(e => e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy))
       .config("spark.sql.shuffle.partitions", sp.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -561,6 +561,23 @@ object Queries {
       .orderBy(col("user_id"), col("err_id"), col("p_id"))
   }
 
+  /** Same as-of semantics as q22 through the NATIVE physical operator
+    * (plans.AsOfJoinExec: custom LogicalPlan+Strategy+SparkPlan,
+    * two-pointer sort-merge per co-partition) — checked against the same
+    * DuckDB ASOF JOIN oracle. */
+  val q45_asof_native: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("purchase_ts_us"),
+              col("value").as("purchase_value"))
+    ops.AsOf.joinNative(clicks, purchases, Seq("user_id"), "ts_us", "purchase_ts_us")
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+              col("purchase_value"), col("purchase_ts_us"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -608,5 +625,6 @@ object Queries {
     "q42_percentiles"    -> q42_percentiles,
     "q43_sessionize"     -> q43_sessionize,
     "q44_range_join"     -> q44_range_join,
+    "q45_asof_native"    -> q45_asof_native,
   )
 }

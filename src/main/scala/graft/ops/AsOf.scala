@@ -63,4 +63,38 @@ object AsOf {
     ) { (df, c) => df.withColumn(c, col(payload).getField(c)) }
       .drop(ts, side, payload)
   }
+
+  /** Native physical as-of join (graft.plans.AsOfJoinExec): same backward
+    * semantics as [[join]], but as a first-class operator — sort-merge
+    * two-pointer scan per co-partition, O(1) state, no union/window
+    * machinery. ts columns must be LongType epochs (ns/µs). Right-side
+    * columns must not collide with left names (rename beforehand).
+    * Requires the session built by [[graft.Engine]] (strategy injected). */
+  def joinNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 leftTs: String, rightTs: String,
+                 strict: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.GraftColumnGlue._
+    val spark = left.sparkSession
+    require(left.schema(leftTs).dataType == org.apache.spark.sql.types.LongType &&
+            right.schema(rightTs).dataType == org.apache.spark.sql.types.LongType,
+      "joinNative expects LongType ts columns (epoch ns/µs)")
+    // Re-alias the whole right side: in the self-join case both inputs
+    // share attribute exprIds (same lineage), which would make the
+    // combined output ambiguous. toDF() allocates fresh exprIds.
+    val sfx = "__graft_r"
+    val r2 = right.toDF(right.columns.map(_ + sfx): _*)
+    val rightKeyExprs = keys.map(k => toExpr(r2(k + sfx)))
+    val plan = graft.plans.AsOfJoinPlan(
+      planOf(left), planOf(r2),
+      keys.map(k => toExpr(left(k))), rightKeyExprs,
+      toExpr(left(leftTs)), toExpr(r2(rightTs + sfx)), strict)
+    // drop the right-side key attrs (same values as left's)
+    val rightKeyIds = rightKeyExprs.collect {
+      case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.exprId
+    }.toSet
+    val pruned = org.apache.spark.sql.catalyst.plans.logical.Project(
+      plan.output.filterNot(a => rightKeyIds.contains(a.exprId)), plan)
+    val df = ofRows(spark, pruned)
+    df.toDF(df.columns.map(_.stripSuffix(sfx)): _*)
+  }
 }

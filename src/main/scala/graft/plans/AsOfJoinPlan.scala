@@ -1,0 +1,127 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native as-of join — the (c)-tier Catalyst extension (SURVEY §7.4
+  * phase 2): a first-class operator instead of the union+window rewrite.
+  *
+  * Semantics (backward as-of): for each left row, the single right row
+  * with the greatest `rightTs <= leftTs` (or `<` when strict) within the
+  * same key group; unmatched left rows keep nulls (left-outer flavor) —
+  * the tick-DB "latest quote for each trade" primitive the reference's
+  * table surface promises (/root/reference/presented.h:409–430).
+  *
+  * Physical contract: both children hash-clustered on the equi-keys and
+  * sorted by (keys, ts) — Spark inserts exchanges/sorts from
+  * `requiredChildDistribution/Ordering`, so the operator composes with
+  * AQE and bucketing (pre-bucketed tables elide the shuffle entirely).
+  * Per partition it is one forward two-pointer merge: O(|L|+|R|) time,
+  * O(1) state (a single held right row) — strictly less memory than the
+  * window rewrite, which buffers the whole union per key frame.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTs: Expression, rightTs: Expression,
+    strict: Boolean) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): LogicalPlan =
+    copy(left = l, right = r)
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTs: Expression, rightTs: Expression,
+    strict: Boolean) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTs).map(SortOrder(_, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKeyExprs = leftKeys; val rKeyExprs = rightKeys
+    val lTsExpr = leftTs; val rTsExpr = rightTs
+    val lOut = left.output; val rOut = right.output
+    val strictLocal = strict
+    val keyTypes = leftKeys.map(_.dataType)
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val lTsProj = UnsafeProjection.create(Seq(lTsExpr), lOut)
+      val rTsProj = UnsafeProjection.create(Seq(rTsExpr), rOut)
+      val keyOrd: Ordering[InternalRow] =
+        RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val nullRight = new GenericInternalRow(rOut.length)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        private var rHead: InternalRow = _       // lookahead right row (copied)
+        private var rHeadKey: InternalRow = _    // its key (copied)
+        private var rHeadTs: Long = _
+        private var held: InternalRow = _        // best match so far (copied)
+        private var heldKey: InternalRow = _
+
+        private def advanceRight(): Unit = {
+          if (rIter.hasNext) {
+            rHead = rIter.next().copy()
+            rHeadKey = rKeyProj(rHead).copy()
+            rHeadTs = rTsProj(rHead).getLong(0)
+          } else rHead = null
+        }
+        advanceRight()
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKey = lKeyProj(l)
+          val lTs = lTsProj(l).getLong(0)
+          if (held != null && keyOrd.compare(heldKey, lKey) != 0) held = null
+          // consume right rows in (key, ts) order up to the left cursor
+          var continue = rHead != null
+          while (continue) {
+            val kc = keyOrd.compare(rHeadKey, lKey)
+            if (kc < 0 || (kc == 0 && (if (strictLocal) rHeadTs < lTs else rHeadTs <= lTs))) {
+              if (kc == 0) { held = rHead; heldKey = rHeadKey }
+              advanceRight()
+              continue = rHead != null
+            } else continue = false
+          }
+          if (held != null && keyOrd.compare(heldKey, lKey) == 0) joined(l, held)
+          else joined(l, nullRight)
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan): SparkPlan =
+    copy(left = l, right = r)
+}
+
+/** Planner strategy lowering the logical node; registered through
+  * SparkSessionExtensions in [[graft.Engine]]. */
+object AsOfStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts, strict) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, strict) :: Nil
+    case _ => Nil
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.AsOf
+
+/** Native AsOfJoinExec (custom LogicalPlan+Strategy+SparkPlan) must agree
+  * with the union+window rewrite everywhere, and its plan must show the
+  * custom operator with one exchange per side. */
+class AsOfNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native backward as-of matches fixture truth (incl. equal-ts)") {
+    val left = Seq(("A", 5L, "q1"), ("A", 10L, "q2"), ("A", 20L, "q3"),
+                   ("A", 30L, "q4"), ("B", 7L, "q5"))
+      .toDF("k", "t", "qid")
+    val right = Seq(("A", 10L, 1.0), ("A", 25L, 2.0), ("C", 1L, 9.9))
+      .toDF("k", "rt", "px")
+    val got = AsOf.joinNative(left, right.withColumnRenamed("k", "k"),
+        Seq("k"), "t", "rt")
+      .orderBy("k", "t")
+      .select("qid", "px").as[(String, Option[Double])].collect().toSeq
+    assert(got == Seq(("q1", None), ("q2", Some(1.0)), ("q3", Some(1.0)),
+                      ("q4", Some(2.0)), ("q5", None)))
+  }
+
+  test("native matches union+window rewrite on the events table") {
+    val ev = Tables.events(spark, sf).withColumn("ts_us", expr("ts_ns div 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_us").as("p_ts"),
+              col("value").as("p_value"))
+
+    val native = AsOf.joinNative(
+        clicks, purchases.withColumnRenamed("p_user", "user_id"),
+        Seq("user_id"), "ts_us", "p_ts")
+      .select(col("event_id"), col("p_ts"), col("p_value"))
+      .orderBy("event_id")
+      .collect().toSeq
+
+    val rewrite = AsOf.join(clicks,
+        purchases.withColumnRenamed("p_user", "user_id"),
+        Seq("user_id"), "ts_us", "p_ts", Seq("p_value"))
+      .select(col("event_id"), col("p_ts_matched").as("p_ts"), col("p_value"))
+      .orderBy("event_id")
+      .collect().toSeq
+
+    assert(native == rewrite)
+  }
+
+  test("strict variant matches rewrite too") {
+    val ev = Tables.events(spark, sf).withColumn("ts_us", expr("ts_ns div 1000"))
+    val a = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    val b = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("u2"), col("ts_us").as("b_ts"), col("value").as("b_value"))
+    val native = AsOf.joinNative(a, b.withColumnRenamed("u2", "user_id"),
+        Seq("user_id"), "ts_us", "b_ts", strict = true)
+      .select(col("event_id"), col("b_ts"), col("b_value")).orderBy("event_id").collect().toSeq
+    val rewrite = AsOf.join(a, b.withColumnRenamed("u2", "user_id"),
+        Seq("user_id"), "ts_us", "b_ts", Seq("b_value"), strict = true)
+      .select(col("event_id"), col("b_ts_matched").as("b_ts"), col("b_value"))
+      .orderBy("event_id").collect().toSeq
+    assert(native == rewrite)
+  }
+
+  test("plan shows the custom exec with one exchange per side") {
+    val ev = Tables.events(spark, sf).withColumn("ts_us", expr("ts_ns div 1000"))
+    val a = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("user_id"), col("ts_us").as("p_ts"), col("value").as("p_value"))
+        .withColumnRenamed("user_id", "uid")
+    val df = AsOf.joinNative(a, b.withColumnRenamed("uid", "user_id"),
+      Seq("user_id"), "ts_us", "p_ts")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoinExec") || plan.contains("AsOfJoin"),
+      s"custom exec missing from plan:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges")
+  }
+}
