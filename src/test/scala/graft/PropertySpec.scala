@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Adverbs, AsOf}
+
+/** Property tests for the algebraic laws the reference hand-checks
+  * (SURVEY §5): adverb identities and as-of equivalence to the
+  * brute-force definition, over seeded random instances (deterministic;
+  * plain loops to keep Spark-job counts sane). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scan's last element equals fold, many random vectors (adverbs.h:76 vs 34)") {
+    val rnd = new scala.util.Random(42)
+    val vectors = (1 to 20).map(_ => (1 to (1 + rnd.nextInt(10))).map(_ => rnd.nextInt(200) - 100))
+    val df = vectors.map(Tuple1(_)).toDF("a")
+    val bad = df.select(
+        Adverbs.fold(col("a"), lit(0))(_ + _).as("f"),
+        element_at(Adverbs.scan(col("a"), lit(0))(_ + _), -1).as("s"))
+      .filter(col("f") =!= col("s")).count()
+    assert(bad == 0)
+  }
+
+  test("eachPrior-with-subtraction telescopes: fold(+)(deltas) == last - seed") {
+    val rnd = new scala.util.Random(7)
+    val vectors = (1 to 20).map(_ => (1 to (1 + rnd.nextInt(10))).map(_ => rnd.nextInt(200) - 100))
+    val df = vectors.map(v => (v, v.last)).toDF("a", "want")
+    val bad = df.select(col("want"),
+        Adverbs.fold(Adverbs.eachPrior(col("a"), lit(0))(_ - _), lit(0))(_ + _).as("got"))
+      .filter(col("want") =!= col("got")).count()
+    assert(bad == 0)
+  }
+
+  test("as-of (rewrite AND native) equals brute-force definition on random data") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 3) {
+      val keys = Seq("a", "b", "c")
+      val lefts = (0 until 40).map(i =>
+        (keys(rnd.nextInt(3)), rnd.nextInt(50).toLong, i.toLong))
+      // unique (k, rt) pairs so equal-ts tie-breaking can't differ
+      val rights = rnd.shuffle(
+        (for (k <- keys :+ "d"; t <- 0 until 50) yield (k, t.toLong)).toList)
+        .take(25).map { case (k, t) => (k, t, rnd.nextDouble().round.toDouble + t) }
+
+      val l = lefts.toDF("k", "t", "lid")
+      val r = rights.toDF("k", "rt", "px")
+
+      val want = lefts.map { case (k, t, lid) =>
+        val cands = rights.filter(row => row._1 == k && row._2 <= t)
+        lid -> (if (cands.isEmpty) None else Some(cands.maxBy(_._2)._3))
+      }.toMap
+
+      def collectMap(df: org.apache.spark.sql.DataFrame) =
+        df.select("lid", "px").collect()
+          .map(row => row.getLong(0) ->
+            (if (row.isNullAt(1)) None else Some(row.getDouble(1)))).toMap
+
+      assert(collectMap(AsOf.join(l, r, Seq("k"), "t", "rt", Seq("px"))) == want,
+        s"rewrite diverged on trial $trial")
+      assert(collectMap(AsOf.joinNative(l, r, Seq("k"), "t", "rt")) == want,
+        s"native diverged on trial $trial")
+    }
+  }
+
+  test("upsert idempotence: upserting the same batch twice == once") {
+    val base = Seq((1, 10.0), (2, 20.0)).toDF("k", "v")
+    val batch = Seq((2, 22.0), (3, 30.0)).toDF("k", "v")
+    import graft.ops.TableOps
+    val once = TableOps.upsert(base, batch, Seq("k")).orderBy("k").collect().toSeq
+    val twice = TableOps.upsert(TableOps.upsert(base, batch, Seq("k")), batch, Seq("k"))
+      .orderBy("k").collect().toSeq
+    assert(once == twice)
+  }
+}
