@@ -167,6 +167,24 @@ object Oracles {
            ON c.user_id = p.user_id AND p.pts <= c.ts_us
          ORDER BY c.user_id, c.ts_us, c.event_id""",
 
+    "q47_below_avg" ->
+      """SELECT count(*) AS n,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM lineitem l
+         JOIN (SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty
+               FROM lineitem GROUP BY l_partkey) p
+           ON l.l_partkey = p.pk
+         WHERE l.l_quantity < p.avg_qty * 0.5""",
+
+    "q48_topn_join" ->
+      """SELECT c_custkey, c_name, rk, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM orders) t
+         JOIN customer ON t.o_custkey = c_custkey
+         WHERE rk <= 2 ORDER BY c_custkey, rk""",
+
     "q45_asof_native" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value, event_type FROM events),
               clicks AS (SELECT user_id, event_id, ts_us FROM ev WHERE event_type = 'click'),

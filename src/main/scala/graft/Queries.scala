@@ -578,6 +578,45 @@ object Queries {
       .orderBy(col("user_id"), col("ts_us"), col("event_id"))
   }
 
+  /** IVF ANN (north-star "IVF or LSH" scale path): coarse-quantized
+    * inverted lists, nProbe-list probe, exact re-rank. */
+  val q46_ann_ivf: Q = (s, dir) => {
+    val emb = Tables.fanOut(Tables.embeddings(s, dir))
+    llm.Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb, 5,
+        nLists = 16, nProbe = 6)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Correlated-aggregate pattern (TPC-H Q17 flavor): lineitems below
+    * half their part's average quantity. The correlated subquery lowers
+    * to one extra aggregate + an equi-join — no per-row re-scan. avg is
+    * exact (integral quantities), comparison deterministic. */
+  val q47_below_avg: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val partAvg = li.groupBy(col("l_partkey").as("pk"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    li.join(partAvg, li("l_partkey") === partAvg("pk"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.5)
+      .agg(count(lit(1)).as("n"),
+           sum(dec(col("l_extendedprice"))).cast("double").as("total_price"))
+  }
+
+  /** Top-n-per-group then join back to the dimension (window + broadcast):
+    * each customer's 2 biggest orders with the customer name. */
+  val q48_topn_join: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val top2 = Tables.orders(s, dir)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 2)
+    val c = Tables.customer(s, dir)
+    top2.join(broadcast(c), top2("o_custkey") === c("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("rk"),
+              col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey"), col("rk"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -626,5 +665,8 @@ object Queries {
     "q43_sessionize"     -> q43_sessionize,
     "q44_range_join"     -> q44_range_join,
     "q45_asof_native"    -> q45_asof_native,
+    "q46_ann_ivf"        -> q46_ann_ivf,
+    "q47_below_avg"      -> q47_below_avg,
+    "q48_topn_join"      -> q48_topn_join,
   )
 }

@@ -73,6 +73,71 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  // ----- IVF (inverted-file) ANN — the second scale path -----
+
+  /** Deterministic coarse quantizer: seed centroids = first nLists
+    * vectors by id, refined by one Lloyd iteration (elementwise means via
+    * posexplode+groupBy — fully distributed; only the nLists×dim centroid
+    * matrix ever reaches the driver, which is the legitimate "model
+    * state" broadcast, ~16KB here, ≤MBs at production nLists). */
+  def trainCentroids(candidates: DataFrame, nLists: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    val dim = candidates.select(size(col(vecCol))).first().getInt(0)
+    val seeds = candidates.orderBy(col(idCol)).limit(nLists)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val assigned = assignLists(candidates, seeds, idCol, vecCol)
+    val means = assigned
+      .select(col("list_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("list_id"), col("pos"))
+      .agg(avg(col("x").cast("double")).as("m"))
+      .collect()
+    val refined = seeds.zipWithIndex.map { case (s, i) => s.clone() }
+    means.foreach { r =>
+      refined(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+    }
+    refined
+  }
+
+  /** Assign each vector to its nearest centroid (max cosine): one map
+    * pass against literal centroid arrays. */
+  def assignLists(df: DataFrame, centroids: Array[Array[Double]],
+                  idCol: String, vecCol: String): DataFrame = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(col(vecCol), typedLit(c.toSeq)).as("sim"), lit(i).as("cid"))
+    }
+    df.withColumn("list_id", array_max(array(scored: _*)).getField("cid"))
+  }
+
+  /** IVF top-k: probe the nProbe nearest inverted lists per query, exact
+    * cosine re-rank inside them. Cost = scan of |candidates|·nProbe/nLists
+    * instead of |candidates| — the classic IVF recall/cost dial. */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              nLists: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = trainCentroids(candidates, nLists, idCol, vecCol)
+    val lists = assignLists(candidates, centroids, idCol, vecCol)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"), col("list_id"))
+
+    // per query: nProbe nearest centroids → explode to (q, probe list)
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct((-cosine(col("q_vec"), typedLit(c.toSeq))).as("negsim"), lit(i).as("cid"))
+    }
+    val q = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("probes", slice(array_sort(array(scored: _*)), 1, nProbe))
+      .withColumn("list_id", explode(transform(col("probes"), p => p.getField("cid"))))
+      .drop("probes")
+
+    val cands = lists.join(broadcast(q), Seq("list_id"))
+      .filter(col("q_id") =!= col("cand_id"))
+      .withColumn("sim", round(cosine(col("q_vec"), col("cand_vec")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("cand_id"))
+    cands.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("cand_id"), col("sim"))
+  }
+
   /** ANN via multi-probe hyperplane LSH: `tables` independent sketches of
     * `nBits` bits; pairs colliding in any table are candidates; exact
     * cosine re-rank keeps top-k. Recall grows with tables, cost with

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The co-located join story (SURVEY §4 "reuse a partitioning across
+  * stages"): bucketed tables joined on the bucket key need NO exchange —
+  * Kerf's parted-table locality (presented.h:409–430) as Spark bucketing.
+  * At 100 TB this is the difference between re-shuffling the fact table
+  * per query and never shuffling it at all. */
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed sort-merge join elides both exchanges") {
+    // warehouse.dir is a static conf — use the default ./spark-warehouse
+    // (gitignored) with throwaway table names. Disable broadcast so the
+    // fixture-sized join takes the sort-merge path it would at scale.
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+
+    Tables.lineitem(spark, sf)
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_b")
+    Tables.orders(spark, sf)
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_b")
+
+    val joined = spark.table("li_b").join(spark.table("ord_b"),
+      col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
+
+    // correctness identical to the unbucketed plan
+    val want = Tables.lineitem(spark, sf).join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
+      .orderBy("o_orderstatus").collect().toSeq
+    assert(joined.orderBy("o_orderstatus").collect().toSeq == want)
+
+    // the join itself shuffles NEITHER side: a sort-merge join appears
+    // with only the aggregation's exchange in the whole plan
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+    assert(plan.contains("Bucketed: true"), "scan not bucketed")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    assert(exchanges == 1, // the groupBy's — the JOIN added none
+      s"bucketed join should read bucket files directly:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+}

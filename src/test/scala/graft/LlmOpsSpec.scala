@@ -71,6 +71,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall too low on clustered data")
   }
 
+  test("IVF ANN: full recall on clustered vectors") {
+    val rnd = new scala.util.Random(11)
+    def jitter(center: Array[Float]): Seq[Float] =
+      center.map(c => c + (rnd.nextFloat() - 0.5f) * 0.1f).toSeq
+    val ca = Array.fill(16)(0f); ca(0) = 1f
+    val cb = Array.fill(16)(0f); cb(8) = 1f
+    val vecs = ((0 until 50).map(i => (i.toLong, jitter(ca))) ++
+                (50 until 100).map(i => (i.toLong, jitter(cb))))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0)
+    val exact = Similarity.bruteForceTopK(q, vecs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(q, vecs, 5, nLists = 4, nProbe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall too low on clustered data")
+  }
+
   test("token counts: edge cases") {
     val df = Seq("", "   ", "one", "a b  c").toDF("t")
     val got = df.select(TextOps.tokenCount(col("t"))).as[Int].collect().toSeq
