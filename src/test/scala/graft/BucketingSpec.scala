@@ -15,6 +15,17 @@ class BucketingSpec extends SparkSpec {
     // fixture-sized join takes the sort-merge path it would at scale.
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
+    // the default-warehouse dirs outlive the in-memory catalog across
+    // JVM runs: DROP TABLE no-ops but the stale location blocks CREATE
+    Seq("li_b", "ord_b").foreach { t =>
+      val d = new java.io.File(s"spark-warehouse/$t")
+      if (d.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+        }
+        rm(d)
+      }
+    }
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
