@@ -41,6 +41,55 @@ object Folio {
                       sortCols: Seq[String]): Unit =
     write(df, path, partitionCols, sortCols, SaveMode.Append)
 
+  /** Kerf's transparent type promotion at the table boundary
+    * (/root/reference/layout.cc:726–836: vectors promote on append;
+    * SURVEY §7.5.5): appending a batch whose column widths exceed the
+    * stored schema widens BOTH to the least upper type and rewrites the
+    * folio schema forward. Parquet can't merge int32/int64 schemas, so
+    * promotion is explicit: numeric lattice byte<short<int<long<float<
+    * double; anything else must match exactly. */
+  private val widthRank: Map[org.apache.spark.sql.types.DataType, Int] = {
+    import org.apache.spark.sql.types._
+    Map(ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3,
+        FloatType -> 4, DoubleType -> 5)
+  }
+
+  def widen(a: org.apache.spark.sql.types.DataType,
+            b: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+    if (a == b) a
+    else (widthRank.get(a), widthRank.get(b)) match {
+      case (Some(ra), Some(rb)) => if (ra >= rb) a else b
+      case _ => throw new IllegalArgumentException(s"cannot promote $a vs $b")
+    }
+
+  /** Append with promote-on-append semantics: widens the on-disk data
+    * when the incoming batch needs it (one rewrite — the table-level
+    * analog of the reference's promote_or_expand_via_widths). */
+  def appendWithPromotion(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val existing = try Some(spark.read.parquet(path)) catch { case _: Exception => None }
+    existing match {
+      case None => df.write.mode(SaveMode.Overwrite).parquet(path)
+      case Some(old) =>
+        val target = org.apache.spark.sql.types.StructType(old.schema.map { f =>
+          val incoming = df.schema(f.name)
+          f.copy(dataType = widen(f.dataType, incoming.dataType))
+        })
+        def castTo(d: DataFrame) =
+          d.select(target.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+        val widened = castTo(old).unionByName(castTo(df))
+        // rewrite through a temp dir: can't overwrite a path being read
+        val tmp = path + "__promote_tmp"
+        widened.write.mode(SaveMode.Overwrite).parquet(tmp)
+        val fs = new java.io.File(path)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+        }
+        rm(fs)
+        new java.io.File(tmp).renameTo(fs)
+    }
+  }
+
   // ----- workspace (file.cc:994–1023 workspace_save/load) -----
 
   /** Persist a set of named tables — the Kerf Tree snapshot

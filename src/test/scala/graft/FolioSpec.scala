@@ -62,6 +62,28 @@ class FolioSpec extends SparkSpec {
     assert(rows(1).getSeq[Int](1).isEmpty)
   }
 
+  test("promote-on-append widens the folio schema (layout.cc:726, test.cc:620)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = tmp()
+    // start narrow: int column (the reference starts at int8 and widens;
+    // "appending 130 to an untyped array yields INT1_ARRAY")
+    val narrow = Seq(1, 2, 3).toDF("x")
+    Folio.appendWithPromotion(narrow, s"$dir/t")
+    assert(spark.read.parquet(s"$dir/t").schema("x").dataType == IntegerType)
+    // append a batch that needs int64 → whole column promotes
+    val wide = Seq(3000000000L, 4L).toDF("x")
+    Folio.appendWithPromotion(wide, s"$dir/t")
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.schema("x").dataType == LongType)
+    assert(back.count() == 5)
+    assert(back.agg(max("x")).collect()(0).getLong(0) == 3000000000L)
+    // double batch promotes again (int→float lattice)
+    Folio.appendWithPromotion(Seq(1.5).toDF("x"), s"$dir/t")
+    assert(spark.read.parquet(s"$dir/t").schema("x").dataType == DoubleType)
+    assert(spark.read.parquet(s"$dir/t").count() == 6)
+  }
+
   test("workspace save/load restores all tables (file.cc:994, test.cc:825)") {
     val dir = tmp()
     val t1 = Tables.nation(spark, sf)

@@ -31,6 +31,36 @@ class StreamingSpec extends SparkSpec {
     assert(back.select("event_type").distinct().count() == 5)
   }
 
+  test("stream-stream interval join (clicks enriched with recent purchases)") {
+    import org.apache.spark.sql.functions._
+    val ev = EventStream.readEvents(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+      col("p_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES") &&
+      col("p_ts") <= col("c_ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("t_ss_join").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("t_ss_join").count()
+    // batch truth: same join on the static frames
+    val evB = Tables.events(spark, sf)
+    val cB = evB.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val pB = evB.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val want = cB.join(pB,
+      col("user_id") === col("p_user") &&
+      col("p_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES") &&
+      col("p_ts") <= col("c_ts")).count()
+    assert(got == want && want > 0)
+  }
+
   test("last-tick state keeps the latest value per user") {
     val out = EventStream.lastTicks(Tables.events(spark, sf))
     val got = out.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
