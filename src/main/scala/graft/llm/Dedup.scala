@@ -73,14 +73,18 @@ object Dedup {
     val rows = bands; val r = numHashes / bands
     require(numHashes % bands == 0, "bands must divide numHashes")
 
+    // shingle strings never leave the map stage: only their 8-byte hashes
+    // travel through the band shuffle and pair join (Jaccard over hashed
+    // shingles — collision probability ~n²/2⁶⁴, irrelevant)
     val signed = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), shinglesFromTokens(col("__toks"), shingleN).as("sh"))
-      .withColumn("shh", shingleHashes(col("sh")))
+      .withColumn("shh", array_distinct(shingleHashes(col("sh"))))
       .withColumn("sig", minhashSignature(col("shh"), numHashes))
+      .drop("sh")
 
     val banded = signed.select(
-      col("doc_id"), col("sh"),
+      col("doc_id"), col("shh"),
       posexplode(transform(sequence(lit(0), lit(rows - 1)),
         b => xxhash64(b, concat_ws(",", slice(col("sig"), b * r + 1, lit(r))))))
         .as(Seq("band_id", "band_hash")))
@@ -92,9 +96,9 @@ object Dedup {
       .filter(col("bucket_n") <= maxBucket)
 
     val a = bucketed.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      col("doc_id").as("id_a"), col("shh").as("sh_a"))
     val b = bucketed.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      col("doc_id").as("id_b"), col("shh").as("sh_b"))
 
     a.join(b, Seq("band_id", "band_hash"))
       .filter(col("id_a") < col("id_b"))
@@ -107,21 +111,21 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash: sign-sum of token-hash bits. Pure column algebra:
-    * explode tokens, per-bit ±1 contributions, 64 sums, reassemble.
-    * One shuffle (groupBy doc). */
+  /** 64-bit SimHash: sign-sum of token-hash bits. MAP-ONLY: token hashes
+    * stay an array column and each bit's ±1 sum is an in-row aggregate —
+    * zero shuffles (an explode+groupBy formulation moved every token
+    * through a 64-agg shuffle; this touches each doc exactly once, which
+    * is also the right plan at 100 TB). Empty docs get signature 0. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-        explode(split(normText(col(textCol)), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
-    }
-    val summed = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val hashed = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), transform(col("__toks"), t => xxhash64(t)).as("__th"))
     val sig = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+      val bitSum = aggregate(col("__th"), lit(0),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(bitSum > 0, shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
-    summed.select(col("doc_id"), sig.as("simhash"))
+    hashed.select(col("doc_id"), sig.as("simhash"))
   }
 
   /** Hamming distance between two 64-bit simhashes. */
