@@ -57,10 +57,9 @@ object Dedup {
 
   /** MinHash + LSH banding: docs whose banded signatures collide become
     * candidate pairs; candidates are verified with exact Jaccard over the
-    * shingle sets. `maxBucket` caps pathological buckets (boilerplate
-    * text) — the classic LSH skew guard at scale; dropped buckets are
-    * counted in the `oversize_buckets` accumulator column of the plan
-    * (filter, not collect).
+    * shingle-hash sets. `maxBucket` caps pathological buckets
+    * (boilerplate text) — the classic LSH skew guard at scale; oversize
+    * buckets are dropped by a filter before any pair materializes.
     *
     * Cost model at 100 TB: shingle+sign is a map-only pass; the only
     * shuffle is groupBy(band_id, band_hash); pair verification touches

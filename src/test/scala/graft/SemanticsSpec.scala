@@ -89,6 +89,35 @@ class SemanticsSpec extends SparkSpec {
       .collect().map(_.getDouble(0)).toSeq
     assert(sorted.head.isNaN && sorted(1) == Double.NegativeInfinity && sorted(2) == 1.0)
   }
+  test("representational hash: width/type-insensitive (hash.h:23–27)") {
+    import graft.functions.KerfHash
+    import org.apache.spark.sql.types._
+    val df = Seq((1.toByte, 1, 1L, 1.0f, 1.0, 1.5)).toDF("b", "i", "l", "f", "d", "frac")
+    val r = df.select(
+      KerfHash.representational(col("b"), ByteType).as("hb"),
+      KerfHash.representational(col("i"), IntegerType).as("hi"),
+      KerfHash.representational(col("l"), LongType).as("hl"),
+      KerfHash.representational(col("f"), FloatType).as("hf"),
+      KerfHash.representational(col("d"), DoubleType).as("hd"),
+      KerfHash.representational(col("frac"), DoubleType).as("hfrac")).collect()(0)
+    // int8 == int32 == int64 == float(1.0) == double(1.0) representationally
+    assert(Set(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)).size == 1)
+    assert(r.getLong(5) != r.getLong(0)) // 1.5 differs
+    // array form: [1,2,3] as int equals as long (test.cc width invariance)
+    val arr = Seq((Seq(1, 2, 3), Seq(1L, 2L, 3L))).toDF("ai", "al")
+    val h = arr.select(
+      xxhash64(KerfHash.canonical(col("ai"), ArrayType(IntegerType))).as("x"),
+      xxhash64(KerfHash.canonical(col("al"), ArrayType(LongType))).as("y")).collect()(0)
+    assert(h.getLong(0) == h.getLong(1))
+  }
+
+  test("seeded rng is deterministic per row across runs (rng.h pcg64 analog)") {
+    def draw(seed: Int) = spark.range(100).select(col("id"), rand(seed).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1).toSeq
+    assert(draw(42) == draw(42))
+    assert(draw(42) != draw(43))
+  }
+
   test("epsilon float equality (grade.cc:9,41)") {
     def epsEq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       abs(a - b) <= lit(1e-14) * greatest(abs(a), abs(b))
