@@ -185,6 +185,15 @@ object Oracles {
          JOIN customer ON t.o_custkey = c_custkey
          WHERE rk <= 2 ORDER BY c_custkey, rk""",
 
+    "q49_range_frame" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                count(*) OVER w AS trailing_n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_sum
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, ts_us, event_id""",
+
     "q45_asof_native" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value, event_type FROM events),
               clicks AS (SELECT user_id, event_id, ts_us FROM ev WHERE event_type = 'click'),

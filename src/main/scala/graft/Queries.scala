@@ -617,6 +617,24 @@ object Queries {
       .orderBy(col("c_custkey"), col("rk"))
   }
 
+  /** Time-RANGE window frame (SURVEY §2.5 frame-specs row): per event,
+    * the rolling 1-hour trailing sum/count of the user's values —
+    * rangeBetween on the µs axis, Kerf's windowed time-series idiom. */
+  val q49_range_frame: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val hourUs = 3600L * 1000000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-hourUs, 0)
+    Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("trailing_n", count(lit(1)).over(w))
+      .withColumn("trailing_sum",
+        sum(dec(col("value"))).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+              col("trailing_n"), col("trailing_sum"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -668,5 +686,6 @@ object Queries {
     "q46_ann_ivf"        -> q46_ann_ivf,
     "q47_below_avg"      -> q47_below_avg,
     "q48_topn_join"      -> q48_topn_join,
+    "q49_range_frame"    -> q49_range_frame,
   )
 }

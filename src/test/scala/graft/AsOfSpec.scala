@@ -45,6 +45,21 @@ class AsOfSpec extends SparkSpec {
     assert(got.find(_._1 == "q3").get._2.isEmpty)
   }
 
+  test("multi-key as-of: (exchange, symbol) composite keys, both impls") {
+    val l = Seq(("X", "A", 10L, 1), ("X", "B", 10L, 2), ("Y", "A", 10L, 3))
+      .toDF("ex", "sym", "t", "lid")
+    val r = Seq(("X", "A", 5L, 1.1), ("X", "B", 7L, 2.2), ("Y", "A", 20L, 3.3))
+      .toDF("ex", "sym", "rt", "px")
+    val wantPairs = Map(1 -> Some(1.1), 2 -> Some(2.2), 3 -> None)
+    val viaRewrite = AsOf.join(l, r, Seq("ex", "sym"), "t", "rt", Seq("px"))
+      .collect().map(row => row.getAs[Int]("lid") ->
+        Option(row.getAs[java.lang.Double]("px")).map(_.toDouble)).toMap
+    val viaNative = AsOf.joinNative(l, r, Seq("ex", "sym"), "t", "rt")
+      .collect().map(row => row.getAs[Int]("lid") ->
+        Option(row.getAs[java.lang.Double]("px")).map(_.toDouble)).toMap
+    assert(viaRewrite == wantPairs && viaNative == wantPairs)
+  }
+
   test("matched right timestamp is carried") {
     val (l, r) = fixture
     val got = AsOf.join(l, r, Seq("k"), "t", "rt", Seq("px"))

@@ -61,6 +61,25 @@ class StreamingSpec extends SparkSpec {
     assert(got == want && want > 0)
   }
 
+  test("session windows (gap-based) in streaming match batch session counts") {
+    import org.apache.spark.sql.functions._
+    val agg = EventStream.readEvents(spark, sf)
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("t_sessions").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_sessions")
+    // session count per user must equal the batch q43 sessionization
+    val got = streamed.groupBy("user_id").count().orderBy("user_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val want = Queries.q43_sessionize(spark, sf)
+      .groupBy("user_id").count().orderBy("user_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got == want)
+  }
+
   test("last-tick state keeps the latest value per user") {
     val out = EventStream.lastTicks(Tables.events(spark, sf))
     val got = out.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
