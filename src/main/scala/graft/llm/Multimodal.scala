@@ -38,6 +38,37 @@ object Multimodal {
       f => struct(f.as("frame_no"),
                   xxhash64(f, media.getField("content_hash")).as("frame_hash")))
 
+  /** Per-partition decode path — the shape a REAL codec plugs into
+    * ((d)-tier mapPartitions, used deliberately: a JNI/image library call
+    * is genuine per-partition imperative logic). Iterator-to-iterator:
+    * one blob in flight per task at a time, so executor memory is bounded
+    * by (batch row size × open iterators), never by partition size —
+    * the property that matters when blobs are MBs and partitions are GBs.
+    * The decode itself is STUBBED deterministic (no media libs here). */
+  case class MediaRow(doc_id: Long, data: Array[Byte])
+  case class DecodedRow(doc_id: Long, n_bytes: Int, features: Array[Double])
+
+  def stubDecode(bytes: Array[Byte], dims: Int = 8): Array[Double] = {
+    // stand-in for decode→resize→embed: deterministic bytes→features
+    val h0 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 42)
+    Array.tabulate(dims)(i =>
+      scala.util.hashing.MurmurHash3.productHash((h0, i)).toDouble / Int.MaxValue)
+  }
+
+  def decodePartitioned(docs: DataFrame, idCol: String, textCol: String,
+                        dims: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), to_binary(col(textCol), lit("utf-8")))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          DecodedRow(id, bytes.length, stubDecode(bytes, dims))
+        }
+      }
+      .toDF()
+  }
+
   /** End-to-end demo pipeline over the documents fixture: text bytes as
     * the stand-in blob → media struct → features + frame samples. */
   def pipeline(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

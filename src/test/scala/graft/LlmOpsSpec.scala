@@ -89,6 +89,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall $recall too low on clustered data")
   }
 
+  test("multimodal partitioned decode: bounded-memory iterator path") {
+    import graft.llm.Multimodal
+    val out = Multimodal.decodePartitioned(Tables.documents(spark, sf), "doc_id", "text")
+    assert(out.columns.toSeq == Seq("doc_id", "n_bytes", "features"))
+    val rows = out.orderBy("doc_id").limit(3).collect()
+    assert(rows.forall(_.getSeq[Double](2).length == 8))
+    // deterministic: same input → same features
+    val again = Multimodal.decodePartitioned(Tables.documents(spark, sf), "doc_id", "text")
+      .orderBy("doc_id").limit(3).collect()
+    assert(rows.map(_.getSeq[Double](2)).toSeq == again.map(_.getSeq[Double](2)).toSeq)
+    assert(out.count() == Tables.documents(spark, sf).count())
+  }
+
   test("token counts: edge cases") {
     val df = Seq("", "   ", "one", "a b  c").toDF("t")
     val got = df.select(TextOps.tokenCount(col("t"))).as[Int].collect().toSeq
