@@ -33,10 +33,19 @@ for name in sorted(oracle):
         ddcols = [d[0] for d in con.description]
     except Exception as e:
         fails.append((name, f"duckdb error: {e}")); continue
+    ddtypes = dict(zip(ddcols, [str(t) for t in
+        con.execute("DESCRIBE " + oracle[name]).fetchall() and
+        [r[1] for r in con.execute("DESCRIBE " + oracle[name]).fetchall()]]))
     sp = con.execute(f"SELECT * FROM '{pq}/*.parquet'").fetchall()
     spcols = [d[0] for d in con.description]
     if sorted(ddcols) != sorted(spcols):
         fails.append((name, f"schema: spark={sorted(spcols)} duck={sorted(ddcols)}")); continue
+    sptypes = {r[0]: r[1] for r in
+               con.execute(f"DESCRIBE SELECT * FROM '{pq}/*.parquet'").fetchall()}
+    tmis = {c: (sptypes.get(c), ddtypes.get(c)) for c in ddcols
+            if sptypes.get(c) != ddtypes.get(c)}
+    if tmis:
+        print(f"TYPEWARN {name}: {tmis}")
     # driver sorts columns by name; do the same, then sort rows
     dperm = sorted(range(len(ddcols)), key=lambda i: ddcols[i])
     sperm = sorted(range(len(spcols)), key=lambda i: spcols[i])

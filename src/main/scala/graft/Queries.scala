@@ -245,7 +245,7 @@ object Queries {
         col("p_partkey"),
         upper(col("p_brand")).as("brand_u"),
         substring(col("p_name"), 1, 12).as("name12"),
-        length(col("p_name")).as("name_len"),
+        length(col("p_name")).cast("long").as("name_len"),
         concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
       .orderBy(col("p_partkey"))
   }
@@ -495,7 +495,7 @@ object Queries {
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_list(col("l_quantity"))).as("qtys"))
       .select(col("l_orderkey"),
-        size(col("qtys")).as("n_items"),
+        size(col("qtys")).cast("long").as("n_items"),
         aggregate(col("qtys"), lit(0.0), (acc, v) => acc + v).as("qty_total"),
         element_at(col("qtys"), -1).as("qty_max"),
         reverse(col("qtys")).as("qtys_desc"))

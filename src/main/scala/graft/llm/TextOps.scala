@@ -33,8 +33,8 @@ object TextOps {
     val chars = length(t)
     docs.select(
       col(idCol),
-      chars.as("n_chars"),
-      toks.as("n_tokens"),
+      chars.cast("long").as("n_chars"),
+      toks.cast("long").as("n_tokens"),
       (chars.cast("double") / greatest(toks, lit(1)).cast("double")).as("avg_token_len"),
       (size(regexp_extract_all(t, lit("[.,!?;:]"), lit(0))).cast("double") /
         greatest(chars, lit(1)).cast("double")).as("punct_ratio"),
