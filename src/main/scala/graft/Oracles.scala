@@ -194,6 +194,11 @@ object Oracles {
                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
          ORDER BY user_id, ts_us, event_id""",
 
+    "q50_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+                md5(text) AS content_md5, substr(text, 1, 1) AS first_char
+         FROM documents ORDER BY doc_id""",
+
     "q45_asof_native" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value, event_type FROM events),
               clicks AS (SELECT user_id, event_id, ts_us FROM ev WHERE event_type = 'click'),

@@ -635,6 +635,18 @@ object Queries {
       .orderBy(col("user_id"), col("ts_us"), col("event_id"))
   }
 
+  /** Binary/media metadata path with an oracle (north-star multimodal):
+    * blob length + content hash per doc — the part of the multimodal
+    * pipeline that is SQL-expressible (decode stays stubbed). */
+  val q50_binary_meta: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        length(to_binary(col("text"), lit("utf-8"))).cast("long").as("byte_len"),
+        md5(col("text")).as("content_md5"),
+        substring(col("text"), 1, 1).as("first_char"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -687,5 +699,6 @@ object Queries {
     "q47_below_avg"      -> q47_below_avg,
     "q48_topn_join"      -> q48_topn_join,
     "q49_range_frame"    -> q49_range_frame,
+    "q50_binary_meta"    -> q50_binary_meta,
   )
 }

@@ -68,6 +68,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "pair generation exploded to n²")
   }
 
+  test("q44: band range-join stays an equi-join (no nested-loop explosion)") {
+    val p = planOf("q44_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "band join fell back to a theta join")
+  }
+
+  test("q47: correlated avg lowers to one extra agg + join, not a rescan per row") {
+    val p = planOf("q47_below_avg")
+    assert(!p.contains("CartesianProduct"))
+    val scans = "Scan parquet|FileScan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"expected <=2 lineitem scans, got $scans") // self-agg + probe
+  }
+
   test("entry: flagship plan reads only needed columns") {
     val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     assert(p.contains("ReadSchema"), "no schema info in scan")

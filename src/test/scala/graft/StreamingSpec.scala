@@ -80,6 +80,21 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming dedup with watermark drops replayed event ids") {
+    import org.apache.spark.sql.functions._
+    val ev = EventStream.readEvents(spark, sf)
+    val deduped = ev
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy()
+      .agg(count(lit(1)).as("n"))
+    val q = deduped.writeStream.outputMode("complete")
+      .format("memory").queryName("t_dedup").start()
+    try q.processAllAvailable() finally q.stop()
+    val n = spark.table("t_dedup").collect()(0).getLong(0)
+    assert(n == Tables.events(spark, sf).count()) // fixture ids are unique
+  }
+
   test("last-tick state keeps the latest value per user") {
     val out = EventStream.lastTicks(Tables.events(spark, sf))
     val got = out.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
