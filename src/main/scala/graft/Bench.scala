@@ -7,7 +7,12 @@ object Bench {
     // untimed warmup: pays one-off session/codegen/JIT costs so per-query
     // numbers reflect steady state (first-run victim was +6s of warmup)
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated prefix filter for local iteration, e.g.
+    // SPARK_GRAFT_ONLY=q29,q33 — driver runs unfiltered
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

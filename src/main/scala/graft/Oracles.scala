@@ -316,7 +316,7 @@ object Oracles {
          SELECT l_orderkey, len(qtys) AS n_items,
                 list_sum(qtys) AS qty_total,
                 qtys[-1] AS qty_max,
-                list_reverse_sort(qtys) AS qtys_desc
+                array_to_string(list_reverse_sort(qtys), ',') AS qtys_desc
          FROM g ORDER BY l_orderkey""",
 
     "q42_percentiles" ->

@@ -498,7 +498,10 @@ object Queries {
         size(col("qtys")).cast("long").as("n_items"),
         aggregate(col("qtys"), lit(0.0), (acc, v) => acc + v).as("qty_total"),
         element_at(col("qtys"), -1).as("qty_max"),
-        reverse(col("qtys")).as("qtys_desc"))
+        // stringified (not a raw array) so the driver's pandas-based
+        // oracle compare can sort/hash the column
+        array_join(transform(reverse(col("qtys")), v => v.cast("string")), ",")
+          .as("qtys_desc"))
       .orderBy(col("l_orderkey"))
   }
 

@@ -59,11 +59,14 @@ object Dedup {
     * candidate pairs; candidates are verified with exact Jaccard over the
     * shingle-hash sets. `maxBucket` caps pathological buckets
     * (boilerplate text) — the classic LSH skew guard at scale; oversize
-    * buckets are dropped by a filter before any pair materializes.
+    * buckets are dropped before any pair materializes.
     *
-    * Cost model at 100 TB: shingle+sign is a map-only pass; the only
-    * shuffle is groupBy(band_id, band_hash); pair verification touches
-    * candidate pairs only (≪ n²).
+    * Cost model at 100 TB: shingle+sign is a map-only pass; only three
+    * longs per banded row (doc_id, band_id, band_hash) enter the band
+    * shuffle and self-join — the shingle-hash payload is re-joined ONLY
+    * for surviving candidate pairs (≪ n²), so the big array column never
+    * rides a wide shuffle. The skew guard is a partial-agg groupBy (map-
+    * side combine), not a window sort.
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 32, bands: Int = 8,
@@ -73,36 +76,50 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
 
     // shingle strings never leave the map stage: only their 8-byte hashes
-    // travel through the band shuffle and pair join (Jaccard over hashed
-    // shingles — collision probability ~n²/2⁶⁴, irrelevant)
-    val signed = docs
+    // are kept (Jaccard over hashed shingles — collision probability
+    // ~n²/2⁶⁴, irrelevant). Persisted: referenced once for signatures and
+    // twice for pair verification, on different join keys each time, so
+    // exchange reuse can never kick in and an unpersisted plan recomputes
+    // the shingling 3× (MLlib's MinHashLSH caches at the same point;
+    // MEMORY_AND_DISK spills rather than OOMs at scale).
+    val hashed = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), shinglesFromTokens(col("__toks"), shingleN).as("sh"))
-      .withColumn("shh", array_distinct(shingleHashes(col("sh"))))
-      .withColumn("sig", minhashSignature(col("shh"), numHashes))
-      .drop("sh")
+      .select(col("doc_id"), array_distinct(shingleHashes(col("sh"))).as("shh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val banded = signed.select(
-      col("doc_id"), col("shh"),
-      posexplode(transform(sequence(lit(0), lit(rows - 1)),
-        b => xxhash64(b, concat_ws(",", slice(col("sig"), b * r + 1, lit(r))))))
-        .as(Seq("band_id", "band_hash")))
+    // banded rows carry NOTHING but (doc_id, band_id, band_hash); also
+    // persisted — read by the skew-guard aggregate and both self-join
+    // sides (3×), and at 24 bytes/row it is far smaller than the docs
+    val banded = hashed
+      .select(col("doc_id"), minhashSignature(col("shh"), numHashes).as("sig"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(rows - 1)),
+          b => xxhash64(b, concat_ws(",", slice(col("sig"), b * r + 1, lit(r))))))
+          .as(Seq("band_id", "band_hash")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // skew guard: never materialize pairs from degenerate buckets
-    val bucketed = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band_id"), col("band_hash"))))
-      .filter(col("bucket_n") <= maxBucket)
+    // skew guard: degenerate buckets (boilerplate) are identified with a
+    // cheap partial aggregate and anti-joined away; the oversize list is
+    // tiny by construction so it broadcasts
+    val oversize = banded.groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+    val bucketed = banded.join(broadcast(oversize.select(col("band_id"), col("band_hash"))),
+      Seq("band_id", "band_hash"), "left_anti")
 
-    val a = bucketed.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("id_a"), col("shh").as("sh_a"))
-    val b = bucketed.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("id_b"), col("shh").as("sh_b"))
-
-    a.join(b, Seq("band_id", "band_hash"))
+    val a = bucketed.select(col("band_id"), col("band_hash"), col("doc_id").as("id_a"))
+    val b = bucketed.select(col("band_id"), col("band_hash"), col("doc_id").as("id_b"))
+    val candidates = a.join(b, Seq("band_id", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+
+    // exact-Jaccard verification: shingle hashes re-enter only here, for
+    // the candidate set (AQE broadcasts the small side at runtime)
+    candidates
+      .join(hashed.select(col("doc_id").as("id_a"), col("shh").as("sh_a")), Seq("id_a"))
+      .join(hashed.select(col("doc_id").as("id_b"), col("shh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
         size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -140,9 +157,12 @@ object Dedup {
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("chunk_id", "chunk")))
-    val guarded = chunked.withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("chunk_id"), col("chunk"))))
-      .filter(col("bucket_n") <= maxBucket)
+    // same partial-agg skew guard as minhashPairs: no window sort
+    val oversize = chunked.groupBy(col("chunk_id"), col("chunk"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+    val guarded = chunked.join(broadcast(oversize.select(col("chunk_id"), col("chunk"))),
+      Seq("chunk_id", "chunk"), "left_anti")
     val a = guarded.select(col("chunk_id"), col("chunk"),
       col("doc_id").as("id_a"), col("simhash").as("sig_a"))
     val b = guarded.select(col("chunk_id"), col("chunk"),

