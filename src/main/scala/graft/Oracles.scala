@@ -208,6 +208,17 @@ object Oracles {
            ON c.user_id = p.user_id AND p.pts <= c.ts_us
          ORDER BY c.user_id, c.ts_us, c.event_id""",
 
+    "q51_asof_fwd_tol" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value, event_type FROM events),
+              clicks AS (SELECT user_id, event_id, ts_us FROM ev WHERE event_type = 'click'),
+              purchases AS (SELECT user_id, ts_us AS pts, value AS purchase_value FROM ev WHERE event_type = 'purchase')
+         SELECT c.user_id, c.event_id, c.ts_us,
+                CASE WHEN p.pts - c.ts_us <= 3600000000 THEN p.purchase_value END AS purchase_value,
+                CASE WHEN p.pts - c.ts_us <= 3600000000 THEN p.pts END AS purchase_ts_us
+         FROM clicks c ASOF LEFT JOIN purchases p
+           ON c.user_id = p.user_id AND p.pts >= c.ts_us
+         ORDER BY c.user_id, c.ts_us, c.event_id""",
+
     "q23_enum_intern" ->
       """SELECT g.event_type, d.code AS event_type_code, g.n FROM
            (SELECT event_type, count(*) AS n FROM events GROUP BY event_type) g

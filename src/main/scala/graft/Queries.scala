@@ -650,6 +650,22 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Forward as-of with tolerance through the NATIVE exec (SURVEY §2.3):
+    * for each click, the next purchase by the same user within 1 hour —
+    * "next fill after each order", the dual of q22/q45's backward match. */
+  val q51_asof_fwd_tol: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("pts"), col("value").as("purchase_value"))
+    ops.AsOf.joinNative(clicks, purchases, Seq("user_id"), "ts_us", "pts",
+        forward = true, tolerance = Some(3600L * 1000000L))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+              col("purchase_value"), col("pts").as("purchase_ts_us"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -703,5 +719,6 @@ object Queries {
     "q48_topn_join"      -> q48_topn_join,
     "q49_range_frame"    -> q49_range_frame,
     "q50_binary_meta"    -> q50_binary_meta,
+    "q51_asof_fwd_tol"   -> q51_asof_fwd_tol,
   )
 }

@@ -34,10 +34,13 @@ object Adverbs {
         element_at(arr, 1), f))
 
   /** unfold/scan: all running prefixes (adverbs.h:76–120).
-    * scan([1,2,3], +) = [1,3,6]. */
+    * scan([1,2,3], +) = [1,3,6]. Empty in → empty out: unguarded,
+    * sequence(1, 0) would count DOWN (Spark defaults step to -1 when
+    * start > stop) and emit two spurious prefixes. */
   def scan(arr: Column, zero: Column)(f: (Column, Column) => Column): Column =
-    transform(sequence(lit(1), size(arr)),
-      i => aggregate(slice(arr, lit(1), i), zero, f))
+    when(size(arr) === 0, array()).otherwise(
+      transform(sequence(lit(1), size(arr)),
+        i => aggregate(slice(arr, lit(1), i), zero, f)))
 
   /** each/mapdown: elementwise (adverbs.h:125–134). */
   def each(arr: Column)(f: Column => Column): Column = transform(arr, f)
@@ -45,7 +48,10 @@ object Adverbs {
   /** eachprior/mapback: f(x[i], x[i-1]), first element paired with seed
     * (adverbs.h:157–206: mapback(range(4),4) with `-` = [-4,1,1,1]). */
   def eachPrior(arr: Column, seed: Column)(f: (Column, Column) => Column): Column =
-    zip_with(arr, concat(array(seed), slice(arr, lit(1), greatest(size(arr) - 1, lit(0)))), f)
+    // empty-guarded: zip_with pads the shorter side, so an unguarded empty
+    // input would yield one spurious element f(null, seed)
+    when(size(arr) === 0, array()).otherwise(
+      zip_with(arr, concat(array(seed), slice(arr, lit(1), greatest(size(arr) - 1, lit(0)))), f))
 
   /** mapleft/mapright: fix one side, iterate the other (adverbs.h:139–152). */
   def mapRight(x: Column, arr: Column)(f: (Column, Column) => Column): Column =

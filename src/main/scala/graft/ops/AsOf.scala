@@ -26,9 +26,15 @@ object AsOf {
 
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String, rightCols: Seq[String],
-           strict: Boolean = false, tolerance: Option[Long] = None): DataFrame = {
+           strict: Boolean = false, tolerance: Option[Long] = None,
+           forward: Boolean = false): DataFrame = {
     val ts = "__asof_ts"; val side = "__asof_side"; val payload = "__asof_payload"
-    val rightSide = if (strict) 2 else 0 // left = 1
+    // visibility of right rows at equal ts is purely their sort position
+    // relative to left (=1): backward frame looks back (right before left
+    // for <=), forward frame looks ahead (right after left for >=)
+    val rightSide =
+      if (forward) { if (strict) 0 else 2 }
+      else         { if (strict) 2 else 0 }
 
     // ts columns must share one orderable numeric type (epoch ns/µs longs
     // by convention here — timestamp→long would truncate to seconds).
@@ -42,19 +48,25 @@ object AsOf {
       .withColumn(side, lit(1))
       .withColumn(payload, lit(null).cast(payloadType))
 
-    val w = Window.partitionBy(keys.map(col): _*)
+    val w0 = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(ts).asc, col(side).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w =
+      if (forward) w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pick =
+      if (forward) first(col(payload), ignoreNulls = true)
+      else last(col(payload), ignoreNulls = true)
 
     val matched = l.unionByName(r, allowMissingColumns = true)
-      .withColumn(payload, last(col(payload), ignoreNulls = true).over(w))
+      .withColumn(payload, pick.over(w))
       .filter(col(side) === 1)
 
+    val delta =
+      if (forward) col(payload).getField("__rts") - col(ts)
+      else col(ts) - col(payload).getField("__rts")
     val withTol = tolerance match {
       case Some(t) => matched.withColumn(payload,
-        when(col(payload).isNotNull &&
-             col(ts) - col(payload).getField("__rts") <= t,
-             col(payload)))
+        when(col(payload).isNotNull && delta <= t, col(payload)))
       case None => matched
     }
 
@@ -72,7 +84,8 @@ object AsOf {
     * Requires the session built by [[graft.Engine]] (strategy injected). */
   def joinNative(left: DataFrame, right: DataFrame, keys: Seq[String],
                  leftTs: String, rightTs: String,
-                 strict: Boolean = false): DataFrame = {
+                 strict: Boolean = false, tolerance: Option[Long] = None,
+                 forward: Boolean = false): DataFrame = {
     import org.apache.spark.sql.GraftColumnGlue._
     val spark = left.sparkSession
     require(left.schema(leftTs).dataType == org.apache.spark.sql.types.LongType &&
@@ -87,7 +100,7 @@ object AsOf {
     val plan = graft.plans.AsOfJoinPlan(
       planOf(left), planOf(r2),
       keys.map(k => toExpr(left(k))), rightKeyExprs,
-      toExpr(left(leftTs)), toExpr(r2(rightTs + sfx)), strict)
+      toExpr(left(leftTs)), toExpr(r2(rightTs + sfx)), strict, tolerance, forward)
     // drop the right-side key attrs (same values as left's)
     val rightKeyIds = rightKeyExprs.collect {
       case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.exprId

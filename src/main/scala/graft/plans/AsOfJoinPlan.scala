@@ -10,11 +10,14 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 /** Native as-of join — the (c)-tier Catalyst extension (SURVEY §7.4
   * phase 2): a first-class operator instead of the union+window rewrite.
   *
-  * Semantics (backward as-of): for each left row, the single right row
-  * with the greatest `rightTs <= leftTs` (or `<` when strict) within the
-  * same key group; unmatched left rows keep nulls (left-outer flavor) —
-  * the tick-DB "latest quote for each trade" primitive the reference's
-  * table surface promises (/root/reference/presented.h:409–430).
+  * Semantics: for each left row, the single right row within the same key
+  * group that is
+  *  - backward (default): greatest `rightTs <= leftTs` (`<` when strict);
+  *  - forward: least `rightTs >= leftTs` (`>` when strict);
+  * optionally within `tolerance` ticks of the left timestamp. Unmatched
+  * left rows keep nulls (left-outer flavor) — the tick-DB "latest quote
+  * for each trade" / "next fill after each order" primitives the
+  * reference's table surface promises (/root/reference/presented.h:409–430).
   *
   * Physical contract: both children hash-clustered on the equi-keys and
   * sorted by (keys, ts) — Spark inserts exchanges/sorts from
@@ -23,12 +26,18 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * Per partition it is one forward two-pointer merge: O(|L|+|R|) time,
   * O(1) state (a single held right row) — strictly less memory than the
   * window rewrite, which buffers the whole union per key frame.
+  *
+  * Timestamps must be non-null LongType epochs: a null ts has no position
+  * on the merge axis, so the exec fails fast instead of silently treating
+  * it as epoch 0 (filter nulls upstream if they are expected).
   */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression,
-    strict: Boolean) extends BinaryNode {
+    strict: Boolean,
+    tolerance: Option[Long] = None,
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): LogicalPlan =
@@ -39,7 +48,9 @@ case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression,
-    strict: Boolean) extends BinaryExecNode {
+    strict: Boolean,
+    tolerance: Option[Long],
+    forward: Boolean) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -60,6 +71,8 @@ case class AsOfJoinExec(
     val lTsExpr = leftTs; val rTsExpr = rightTs
     val lOut = left.output; val rOut = right.output
     val strictLocal = strict
+    val forwardLocal = forward
+    val tolLocal = tolerance.getOrElse(Long.MaxValue)
     val keyTypes = leftKeys.map(_.dataType)
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -76,14 +89,19 @@ case class AsOfJoinExec(
         private var rHead: InternalRow = _       // lookahead right row (copied)
         private var rHeadKey: InternalRow = _    // its key (copied)
         private var rHeadTs: Long = _
-        private var held: InternalRow = _        // best match so far (copied)
+        private var held: InternalRow = _        // best backward match (copied)
         private var heldKey: InternalRow = _
+        private var heldTs: Long = _
 
         private def advanceRight(): Unit = {
           if (rIter.hasNext) {
             rHead = rIter.next().copy()
             rHeadKey = rKeyProj(rHead).copy()
-            rHeadTs = rTsProj(rHead).getLong(0)
+            val tsRow = rTsProj(rHead)
+            if (tsRow.isNullAt(0))
+              throw new IllegalArgumentException(
+                "as-of join: null right-side timestamp (filter nulls before joining)")
+            rHeadTs = tsRow.getLong(0)
           } else rHead = null
         }
         advanceRight()
@@ -93,20 +111,36 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val l = lIter.next()
           val lKey = lKeyProj(l)
-          val lTs = lTsProj(l).getLong(0)
+          val lTsRow = lTsProj(l)
+          if (lTsRow.isNullAt(0))
+            throw new IllegalArgumentException(
+              "as-of join: null left-side timestamp (filter nulls before joining)")
+          val lTs = lTsRow.getLong(0)
           if (held != null && keyOrd.compare(heldKey, lKey) != 0) held = null
-          // consume right rows in (key, ts) order up to the left cursor
+          // consume right rows in (key, ts) order up to the left cursor:
+          // backward keeps the last eligible row; forward stops AT the
+          // first eligible row and matches it without consuming it
           var continue = rHead != null
           while (continue) {
             val kc = keyOrd.compare(rHeadKey, lKey)
-            if (kc < 0 || (kc == 0 && (if (strictLocal) rHeadTs < lTs else rHeadTs <= lTs))) {
-              if (kc == 0) { held = rHead; heldKey = rHeadKey }
+            val behind =
+              if (forwardLocal) kc == 0 && (if (strictLocal) rHeadTs <= lTs else rHeadTs < lTs)
+              else kc == 0 && (if (strictLocal) rHeadTs < lTs else rHeadTs <= lTs)
+            if (kc < 0 || behind) {
+              if (!forwardLocal && kc == 0) { held = rHead; heldKey = rHeadKey; heldTs = rHeadTs }
               advanceRight()
               continue = rHead != null
             } else continue = false
           }
-          if (held != null && keyOrd.compare(heldKey, lKey) == 0) joined(l, held)
-          else joined(l, nullRight)
+          if (forwardLocal) {
+            if (rHead != null && keyOrd.compare(rHeadKey, lKey) == 0 &&
+                rHeadTs - lTs <= tolLocal) joined(l, rHead)
+            else joined(l, nullRight)
+          } else {
+            if (held != null && keyOrd.compare(heldKey, lKey) == 0 &&
+                lTs - heldTs <= tolLocal) joined(l, held)
+            else joined(l, nullRight)
+          }
         }
       }
     }
@@ -120,8 +154,8 @@ case class AsOfJoinExec(
   * SparkSessionExtensions in [[graft.Engine]]. */
 object AsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lts, rts, strict) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, strict) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts, strict, tol, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, strict, tol, fwd) :: Nil
     case _ => Nil
   }
 }

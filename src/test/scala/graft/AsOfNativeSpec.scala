@@ -64,6 +64,60 @@ class AsOfNativeSpec extends SparkSpec {
     assert(native == rewrite)
   }
 
+  test("native forward as-of matches fixture truth (incl. equal-ts + tolerance)") {
+    val left = Seq(("A", 5L, "q1"), ("A", 10L, "q2"), ("A", 20L, "q3"),
+                   ("A", 30L, "q4"), ("B", 7L, "q5"))
+      .toDF("k", "t", "qid")
+    val right = Seq(("A", 10L, 1.0), ("A", 25L, 2.0), ("C", 1L, 9.9))
+      .toDF("k", "rt", "px")
+    val fwd = AsOf.joinNative(left, right, Seq("k"), "t", "rt", forward = true)
+      .orderBy("k", "t")
+      .select("qid", "px").as[(String, Option[Double])].collect().toSeq
+    assert(fwd == Seq(("q1", Some(1.0)), ("q2", Some(1.0)), ("q3", Some(2.0)),
+                      ("q4", None), ("q5", None)))
+    val tol = AsOf.joinNative(left, right, Seq("k"), "t", "rt",
+        forward = true, tolerance = Some(4L))
+      .orderBy("k", "t")
+      .select("qid", "px").as[(String, Option[Double])].collect().toSeq
+    assert(tol == Seq(("q1", None), ("q2", Some(1.0)), ("q3", None),
+                      ("q4", None), ("q5", None)))
+  }
+
+  test("native tolerance + forward match the union+window rewrite on events") {
+    val ev = Tables.events(spark, sf).withColumn("ts_us", expr("ts_ns div 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_us").as("p_ts"),
+              col("value").as("p_value"))
+    for (fwd <- Seq(false, true); tolr <- Seq(None, Some(3600L * 1000000L))) {
+      val native = AsOf.joinNative(
+          clicks, purchases.withColumnRenamed("p_user", "user_id"),
+          Seq("user_id"), "ts_us", "p_ts", tolerance = tolr, forward = fwd)
+        .select(col("event_id"), col("p_ts"), col("p_value"))
+        .orderBy("event_id").collect().toSeq
+      val rewrite = AsOf.join(clicks,
+          purchases.withColumnRenamed("p_user", "user_id"),
+          Seq("user_id"), "ts_us", "p_ts", Seq("p_value"),
+          tolerance = tolr, forward = fwd)
+        .select(col("event_id"), col("p_ts_matched").as("p_ts"), col("p_value"))
+        .orderBy("event_id").collect().toSeq
+      assert(native == rewrite, s"forward=$fwd tolerance=$tolr")
+    }
+  }
+
+  test("null timestamps fail fast instead of matching as epoch 0") {
+    val left = Seq(("A", Some(5L), "q1"), ("A", None, "q2")).toDF("k", "t", "qid")
+    val right = Seq(("A", 1L, 1.0)).toDF("k", "rt", "px")
+    val ex = intercept[Exception] {
+      AsOf.joinNative(left, right, Seq("k"), "t", "rt").collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage)
+        .filter(_ != null)).mkString(" | ")
+    assert(rootMsg(ex).contains("null left-side timestamp"))
+  }
+
   test("plan shows the custom exec with one exchange per side") {
     val ev = Tables.events(spark, sf).withColumn("ts_us", expr("ts_ns div 1000"))
     val a = ev.filter(col("event_type") === "click")

@@ -26,6 +26,11 @@ class SemanticsSpec extends SparkSpec {
     assert(one(Adverbs.eachPrior(array(lit(0), lit(1), lit(2), lit(3)), lit(4))(_ - _))
       == Seq(-4, 1, 1, 1))
   }
+  test("scan/eachprior on empty arrays yield empty (sequence/zip_with edge)") {
+    val empty = slice(array(lit(1)), lit(1), lit(0)) // array<int> of size 0
+    assert(one(Adverbs.scan(empty, lit(0))(_ + _)) == Seq())
+    assert(one(Adverbs.eachPrior(empty, lit(4))(_ - _)) == Seq())
+  }
   test("each/mapdown doubles elements (adverbs.h:125)") {
     assert(one(Adverbs.each(array(lit(1), lit(2)))(_ * 2)) == Seq(2, 4))
   }
