@@ -208,6 +208,16 @@ object Oracles {
            ON c.user_id = p.user_id AND p.pts <= c.ts_us
          ORDER BY c.user_id, c.ts_us, c.event_id""",
 
+    "q52_kerf_text" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-02-01'
+           AND l_shipdate < TIMESTAMP '1995-08-01'
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q53_kerf_adverb" ->
+      """SELECT CAST(sum(x * x) AS BIGINT) AS value FROM range(101) t(x)""",
+
     "q51_asof_fwd_tol" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value, event_type FROM events),
               clicks AS (SELECT user_id, event_id, ts_us FROM ev WHERE event_type = 'click'),

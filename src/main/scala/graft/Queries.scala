@@ -666,6 +666,23 @@ object Queries {
       .orderBy(col("user_id"), col("ts_us"), col("event_id"))
   }
 
+  /** Kerf TEXT surface end-to-end (SURVEY §2.8 textual query): a span
+    * literal + group/order select parsed by KerfSql and lowered to
+    * DataFrame ops. l_quantity is integral so the double sum is exact. */
+  val q52_kerf_text: Q = (s, dir) => {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    sql.KerfSql.run(s,
+      "select l_returnflag, sum(l_quantity) as sum_qty, count(*) as n " +
+      "from lineitem where l_shipdate >= 1995.02.01 and l_shipdate < 1995.02.01 + 6m " +
+      "group l_returnflag order l_returnflag")
+  }
+
+  /** Kerf adverb expression through the text path: sum of squares via
+    * lambda+mapdown+fold (test.cc:330–346 style), oracled against
+    * DuckDB's range table function. */
+  val q53_kerf_adverb: Q = (s, _) =>
+    sql.KerfSql.run(s, "{[x,y] x+y} fold {[x] x*x} mapdown til 101")
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -720,5 +737,7 @@ object Queries {
     "q49_range_frame"    -> q49_range_frame,
     "q50_binary_meta"    -> q50_binary_meta,
     "q51_asof_fwd_tol"   -> q51_asof_fwd_tol,
+    "q52_kerf_text"      -> q52_kerf_text,
+    "q53_kerf_adverb"    -> q53_kerf_adverb,
   )
 }

@@ -2,47 +2,87 @@ package graft.sql
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.functions.Temporal
+import graft.ops.Verbs
 
-/** Textual front-end for the SQL dialect the reference's parser defines
-  * but never evaluates: `select/update/insert/upsert/delete` heads with
-  * `from/where/group/order/limit/values/set` middles
-  * (/root/reference/lexer.h:103–104, clause scooping parser.h:541–567,
-  * interpreter stub interpreter.h:8–23). Kerf-flavored details kept:
+/** Textual front-end for the Kerf language surface the reference's parser
+  * defines but never evaluates: SQL heads (`select/update/insert/upsert/
+  * delete` with `from/where/group/order/limit/values/set` middles,
+  * /root/reference/lexer.h:103–104, clause scooping parser.h:541–567,
+  * interpreter stub interpreter.h:8–23) PLUS the verbal/adverbial
+  * expression language those clauses embed (token grouping
+  * parser.h:431–507, lambda-args re-mark parser.h:471–487, literal DFAs
+  * lexer.h:212–364):
   *
-  *  - clause keywords without `by` (`group a`, `order -a`);
-  *  - Kerf temporal literals in expressions (`2024.01.05`,
-  *    `2024.01.05T12:00:00`, lexer.h:247–311);
-  *  - bare verb expressions with `+ - * / %` and comparison ops;
-  *  - `order -col` for descending (q-style).
+  *  - lambdas `{[x,y] x+y}` applied through adverbs or calls;
+  *  - adverbs `fold/over`, `unfold/scan`, `mapdown/each`,
+  *    `mapback/eachprior`, `mapright`, `mapleft` — infix
+  *    (`{[x] x+1} mapdown til 10`) and call form (`fold(+, 1 2 3)`),
+  *    golden semantics from /root/reference/test.cc:330–346;
+  *  - vector literals `1 2 3` (juxtaposition) and JSON-style `[1,2,3]`
+  *    (Kerf is a JSON superset);
+  *  - temporal literals: stamps `2024.01.05`, `2024.01.05T12:00:00`
+  *    (lexer.h ABS_DATE/ABS_DATETIME) and spans `1y2m`, `3d4h5i`
+  *    (REL_DATETIME, lexer.h:247–311) via [[Temporal.Span.parse]] —
+  *    `where ts > 2024.01.01 + 1d2h` parses and lowers to calendar-aware
+  *    stamp arithmetic;
+  *  - backtick symbols `` `sym `` (lexed as string atoms);
+  *  - `til n` / `range n` (verbs.cc:86–91);
+  *  - clause keywords without `by` (`group a`, `order -a` descending).
+  *
+  * Expressions are typed bottom-up (literal/schema types propagated
+  * through a plan-time mini type system) so binary verbs PERVADE like the
+  * reference's rank-polymorphic dispatch (verbs.cc:32–83): `+` over
+  * (array, scalar) lowers to `transform`, (array, array) to `zip_with` —
+  * all inside whole-stage codegen, never a UDF.
+  *
+  * A statement whose head is no SQL keyword is evaluated as a bare Kerf
+  * expression and returned as a one-row DataFrame (column `value`) — the
+  * reference REPL's expression statements.
   *
   * Lowering is to the DataFrame API — Catalyst does the optimizing; this
-  * class is ~pure syntax. Aggregates: sum/avg/min/max/count(*).
-  *
-  * Mutations (`update … set … where`, `delete from … where`,
-  * `insert into … values`, `upsert …`) lower to [[graft.ops.TableOps]]
-  * and return the rewritten DataFrame (caller persists via Folio).
+  * class is ~pure syntax. Mutations lower to [[graft.ops.TableOps]].
   */
 object KerfSql {
 
   // ---------------------------------------------------------------- lexer
+  private val spanReStr = """\d+[ymdhistun](?:\d+[ymdhistun])*"""
   private val tokenRe =
     ("""\s*(""" +
      """\d{4}\.\d{2}\.\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?|""" + // datetime lit
      """\d{4}\.\d{2}\.\d{2}|""" +                             // date lit
+     spanReStr + """|""" +                                    // span lit (1d2h)
      """\d+\.\d+|\.\d+|\d+|""" +                              // numbers
      """'[^']*'|""" +                                         // string lit
-     """<=|>=|!=|<>|==|[(),*+\-/%<>=]|""" +                   // operators
+     """`[A-Za-z_][A-Za-z0-9_]*|""" +                         // backtick symbol
+     """<=|>=|!=|<>|==|[(),*+\-/%<>=\[\]{};]|""" +            // operators
      """[A-Za-z_][A-Za-z0-9_.]*""" +                          // idents
      """)""").r
 
-  private def lex(s: String): List[String] =
-    tokenRe.findAllMatchIn(s).map(_.group(1)).toList
+  /** Tokenize; rejects unlexable residue instead of silently dropping it
+    * (the reference lexer fails the parse on any unmatched byte). */
+  private def lex(s: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var pos = 0
+    while (pos < s.length) {
+      tokenRe.findPrefixMatchOf(s.subSequence(pos, s.length)) match {
+        case Some(m) if m.end > 0 => out += m.group(1); pos += m.end
+        case _ =>
+          if (s.substring(pos).trim.isEmpty) pos = s.length
+          else throw new IllegalArgumentException(
+            s"unlexable input at offset $pos: '${s.substring(pos).take(20)}…'")
+      }
+    }
+    out.toList
+  }
 
   // ---------------------------------------------------------------- parser
   private class P(var toks: List[String]) {
     def peek: Option[String] = toks.headOption
     def peekIs(s: String): Boolean = peek.exists(_.equalsIgnoreCase(s))
+    def peek2: Option[String] = toks.drop(1).headOption
+    def peek3: Option[String] = toks.drop(2).headOption
     def pop(): String = { val h = toks.head; toks = toks.tail; h }
     def expect(s: String): Unit = {
       val t = pop()
@@ -54,69 +94,369 @@ object KerfSql {
   private val clauseWords = Set("from", "where", "group", "order", "limit",
     "select", "set", "values", "into")
   private val aggFns = Set("sum", "avg", "min", "max", "count")
+  private val verbSyms = Set("+", "-", "*", "/", "%")
+  private val adverbNames = Set("fold", "over", "unfold", "scan",
+    "mapdown", "each", "mapback", "eachprior", "mapright", "mapleft")
 
-  /** expression := term ((+|-) term)* ; term := factor ((*|/|%) factor)* ;
-    * factor := primary comparison?  — comparisons bind loosest. */
-  private def parseExpr(p: P): Column = {
-    var left = parseAdd(p)
+  /** A typed plan-time value: the Column, its DataType (drives pervasive
+    * dispatch), and — for span literals — the parsed Span (spans are a
+    * distinct unit family in Kerf, enums.h:166; they only merge with
+    * stamps/longs through +/-). */
+  private case class T(col: Column, dt: DataType, span: Option[Temporal.Span] = None)
+
+  /** Typing environment: the FROM table's schema + lambda parameters. */
+  private class Env(val schema: Option[StructType], val vars: Map[String, T]) {
+    def bind(ps: Seq[(String, T)]): Env = new Env(schema, vars ++ ps)
+  }
+  private def emptyEnv = new Env(None, Map.empty)
+
+  private def resolveIdent(name: String, env: Env): T =
+    env.vars.get(name).orElse(
+      env.schema.flatMap(_.find(_.name.equalsIgnoreCase(name))
+        .map(f => T(col(f.name), f.dataType))))
+      .getOrElse(T(col(name), NullType)) // late-bound (group/order names etc.)
+
+  // ------------------------------------------------------------- type algebra
+  private def widenArith(x: DataType, y: DataType): DataType = (x, y) match {
+    case (ArrayType(ea, _), ArrayType(eb, _)) => ArrayType(widenArith(ea, eb))
+    case (ArrayType(ea, _), s)                => ArrayType(widenArith(ea, s))
+    case (s, ArrayType(eb, _))                => ArrayType(widenArith(s, eb))
+    case (TimestampType, _) | (_, TimestampType) => TimestampType
+    case (DateType, _) | (_, DateType)        => DateType
+    case (StringType, _) | (_, StringType)    => StringType
+    case (DoubleType | FloatType, _)          => DoubleType
+    case (_, DoubleType | FloatType)          => DoubleType
+    case (_: DecimalType, _) | (_, _: DecimalType) => DoubleType
+    case _                                    => LongType
+  }
+
+  private def elemOf(t: T): DataType = t.dt match {
+    case ArrayType(e, _) => e
+    case other => throw new IllegalArgumentException(
+      s"adverb operand must be an array, got $other")
+  }
+
+  /** Pervasive dyad (verbs.cc:32–83): plan-time rank dispatch. */
+  private def dyad(a: T, b: T)(f: (Column, Column) => Column,
+                               rt: (DataType, DataType) => DataType = widenArith): T =
+    T(Verbs.pervade(a.dt, b.dt)(a.col, b.col)(f), rt(a.dt, b.dt))
+
+  /** +/- with span support: stamp±span is calendar arithmetic, long±span
+    * is exact ns arithmetic, span±span combines; everything else pervades. */
+  private def addSub(a: T, b: T, plus: Boolean): T = (a.span, b.span) match {
+    case (Some(s1), Some(s2)) =>
+      spanT(if (plus) s1 + s2 else s1 - s2)
+    case (None, Some(sp0)) =>
+      val sp = if (plus) sp0 else -sp0
+      a.dt match {
+        case TimestampType | DateType =>
+          T(Temporal.addSpan(a.col.cast(TimestampType), sp), TimestampType)
+        case LongType | IntegerType => T(Temporal.addSpanNs(a.col, sp), LongType)
+        case other => throw new IllegalArgumentException(
+          s"span arithmetic needs a stamp or ns-long left side, got $other")
+      }
+    case (Some(_), None) =>
+      throw new IllegalArgumentException("span literal must be on the right of +/-")
+    case _ => dyad(a, b)(if (plus) _ + _ else _ - _)
+  }
+
+  private def spanT(sp: Temporal.Span): T =
+    T(if (sp.months == 0) lit(sp.nanos) else null, LongType, Some(sp))
+
+  private def negT(t: T): T = t.span match {
+    case Some(sp) => spanT(-sp)
+    case None     => T(Verbs.neg(t.dt)(t.col), t.dt)
+  }
+
+  // ------------------------------------------------------------- functions
+  private sealed trait FVal { def apply(args: Seq[T]): T }
+
+  private case class Lambda(params: Seq[String], body: List[String], defEnv: Env) extends FVal {
+    def apply(args: Seq[T]): T = {
+      require(args.length == params.length,
+        s"lambda expects ${params.length} args (${params.mkString(",")}), got ${args.length}")
+      val p2 = new P(body)
+      val t = parseExpr(p2, defEnv.bind(params.zip(args)))
+      require(p2.done, s"trailing tokens in lambda body: ${p2.toks.mkString(" ")}")
+      t
+    }
+  }
+
+  private case class VerbFun(sym: String) extends FVal {
+    def apply(args: Seq[T]): T = {
+      require(args.length == 2, s"verb '$sym' is dyadic, got ${args.length} args")
+      val Seq(a, b) = args
+      sym match {
+        case "+" => addSub(a, b, plus = true)
+        case "-" => addSub(a, b, plus = false)
+        case "*" => dyad(a, b)(_ * _)
+        case "/" => dyad(a, b)(_ / _, (_, _) => DoubleType)
+        case "%" => dyad(a, b)(_ % _)
+      }
+    }
+  }
+
+  /** Result type of applying f to args of the given types — computed by a
+    * throwaway application to typed nulls (plan-time only). */
+  private def resultDt(f: FVal, argTypes: Seq[DataType]): DataType =
+    f(argTypes.map(dt => T(lit(null).cast(dt), dt))).dt
+
+  private def parseFun(p: P, env: Env): FVal = p.peek match {
+    case Some("{") => parseLambda(p, env)
+    case Some("(") if p.peek2.exists(verbSyms) && p.peek3.contains(")") =>
+      p.pop(); val v = p.pop(); p.expect(")"); VerbFun(v)
+    case Some(v) if verbSyms(v) => p.pop(); VerbFun(v)
+    case other => throw new IllegalArgumentException(
+      s"expected a function (lambda or verb), got $other")
+  }
+
+  private def parseLambda(p: P, env: Env): Lambda = {
+    p.expect("{")
+    val params = scala.collection.mutable.ArrayBuffer[String]()
+    if (p.peekIs("[")) {
+      p.pop()
+      while (!p.peekIs("]")) {
+        params += p.pop()
+        if (p.peekIs(",") || p.peekIs(";")) p.pop()
+      }
+      p.expect("]")
+    }
+    // body = tokens to the matching close brace (nesting-aware)
+    val body = scala.collection.mutable.ListBuffer[String]()
+    var depth = 1
+    while (depth > 0) {
+      require(!p.done, "unterminated lambda: missing '}'")
+      val t = p.pop()
+      t match {
+        case "{" => depth += 1; body += t
+        case "}" => depth -= 1; if (depth > 0) body += t
+        case _   => body += t
+      }
+    }
+    Lambda(params.toSeq, body.toList, env)
+  }
+
+  // ------------------------------------------------------------- adverbs
+  /** Adverb lowering (adverbs.h:34–206 semantics; goldens
+    * test.cc:330–346). Array-local: higher-order functions, codegen'd,
+    * shuffle-free — the distributed meaning of "within one row". */
+  private def applyAdverb(name: String, f: FVal, args: Seq[T]): T = {
+    def mapdown(xs: T): T = {
+      val e = elemOf(xs)
+      T(transform(xs.col, x => f(Seq(T(x, e))).col), ArrayType(resultDt(f, Seq(e))))
+    }
+    def fold1(xs: T): T = {
+      val e = elemOf(xs); val rDt = resultDt(f, Seq(e, e))
+      T(when(size(xs.col) === 0, lit(null).cast(rDt)).otherwise(
+          aggregate(slice(xs.col, lit(2), greatest(size(xs.col) - 1, lit(0))),
+            element_at(xs.col, 1).cast(rDt),
+            (acc, v) => f(Seq(T(acc, rDt), T(v, e))).col.cast(rDt))), rDt)
+    }
+    def foldSeeded(seed: T, xs: T): T = {
+      val e = elemOf(xs); val accDt = resultDt(f, Seq(seed.dt, e))
+      T(aggregate(xs.col, seed.col.cast(accDt),
+          (acc, v) => f(Seq(T(acc, accDt), T(v, e))).col.cast(accDt)), accDt)
+    }
+    def unfold1(xs: T): T = {
+      val e = elemOf(xs); val rDt = resultDt(f, Seq(e, e))
+      T(when(size(xs.col) === 0, array().cast(ArrayType(rDt))).otherwise(
+          transform(sequence(lit(1), size(xs.col)), i =>
+            aggregate(slice(xs.col, lit(2), i - 1), element_at(xs.col, 1).cast(rDt),
+              (acc, v) => f(Seq(T(acc, rDt), T(v, e))).col.cast(rDt)))),
+        ArrayType(rDt))
+    }
+    def unfoldSeeded(seed: T, xs: T): T = {
+      val e = elemOf(xs); val accDt = resultDt(f, Seq(seed.dt, e))
+      // prefix i=0 yields the seed itself — unfold(add,[1,2,3],[1,2,3]) =
+      // [[1,2,3],[2,3,4],[4,5,6],[7,8,9]] (test.cc:341)
+      T(transform(sequence(lit(0), size(xs.col)), i =>
+          aggregate(slice(xs.col, lit(1), i), seed.col.cast(accDt),
+            (acc, v) => f(Seq(T(acc, accDt), T(v, elemOf(xs)))).col.cast(accDt))),
+        ArrayType(accDt))
+    }
+    def mapback(xs: T, seedOpt: Option[T]): T = {
+      val e = elemOf(xs)
+      val seed = seedOpt.getOrElse(T(element_at(xs.col, 1), e))
+      val pe = widenArith(e, seed.dt)
+      val rDt = resultDt(f, Seq(e, pe))
+      val prior = concat(array(seed.col.cast(pe)),
+        slice(xs.col, lit(1), greatest(size(xs.col) - 1, lit(0))).cast(ArrayType(pe)))
+      // f(current, prior): mapback(-, range(4), 4) = [-4,1,1,1] (test.cc:344)
+      T(when(size(xs.col) === 0, array().cast(ArrayType(rDt))).otherwise(
+          zip_with(xs.col, prior, (x, pr) => f(Seq(T(x, e), T(pr, pe))).col)),
+        ArrayType(rDt))
+    }
+    def mapright(x: T, xs: T): T = {
+      val e = elemOf(xs)
+      T(transform(xs.col, y => f(Seq(x, T(y, e))).col), ArrayType(resultDt(f, Seq(x.dt, e))))
+    }
+    def mapleft(xs: T, y: T): T = {
+      val e = elemOf(xs)
+      T(transform(xs.col, x => f(Seq(T(x, e), y)).col), ArrayType(resultDt(f, Seq(e, y.dt))))
+    }
+    (name, args) match {
+      case ("mapdown" | "each", Seq(xs))        => mapdown(xs)
+      case ("fold" | "over", Seq(xs))           => fold1(xs)
+      case ("fold" | "over", Seq(seed, xs))     => foldSeeded(seed, xs)
+      case ("unfold" | "scan", Seq(xs))         => unfold1(xs)
+      case ("unfold" | "scan", Seq(seed, xs))   => unfoldSeeded(seed, xs)
+      case ("mapback" | "eachprior", Seq(xs))       => mapback(xs, None)
+      case ("mapback" | "eachprior", Seq(xs, seed)) => mapback(xs, Some(seed))
+      case ("mapright", Seq(x, xs))             => mapright(x, xs)
+      case ("mapleft", Seq(xs, y))              => mapleft(xs, y)
+      case _ => throw new IllegalArgumentException(
+        s"adverb '$name' does not take ${args.length} operands")
+    }
+  }
+
+  /** A function value must be applied: `f adverb operand` (infix) or
+    * `f(args)` (call). */
+  private def applyFunSite(f: FVal, p: P, env: Env): T = p.peek match {
+    case Some(w) if adverbNames(w.toLowerCase) =>
+      val adv = p.pop().toLowerCase
+      applyAdverb(adv, f, Seq(parseAdd(p, env)))
+    case Some("(") =>
+      p.pop()
+      val args = scala.collection.mutable.ArrayBuffer[T]()
+      if (!p.peekIs(")")) {
+        args += parseExpr(p, env)
+        while (p.peekIs(",")) { p.pop(); args += parseExpr(p, env) }
+      }
+      p.expect(")")
+      f(args.toSeq)
+    case other => throw new IllegalArgumentException(
+      s"function value must be applied via adverb or call, got $other")
+  }
+
+  // ------------------------------------------------------------- expressions
+  /** Precedence, loosest to tightest: or, and, comparisons, add/sub,
+    * mul/div/mod, primary — `a and b or c` is `(a and b) or c`,
+    * standard SQL precedence. */
+  private def parseExpr(p: P, env: Env): T = parseOr(p, env)
+
+  private def parseOr(p: P, env: Env): T = {
+    var left = parseAnd(p, env)
+    while (p.peekIs("or")) {
+      p.pop()
+      left = T(left.col || parseAnd(p, env).col, BooleanType)
+    }
+    left
+  }
+
+  private def parseAnd(p: P, env: Env): T = {
+    var left = parseCmp(p, env)
+    while (p.peekIs("and")) {
+      p.pop()
+      left = T(left.col && parseCmp(p, env).col, BooleanType)
+    }
+    left
+  }
+
+  private def parseCmp(p: P, env: Env): T = {
+    var left = parseAdd(p, env)
     while (p.peek.exists(t => Set("<", ">", "<=", ">=", "=", "==", "!=", "<>").contains(t))) {
       val op = p.pop()
-      val right = parseAdd(p)
-      left = op match {
-        case "<" => left < right;  case ">" => left > right
-        case "<=" => left <= right; case ">=" => left >= right
-        case "=" | "==" => left === right
-        case "!=" | "<>" => left =!= right
+      val right = parseAdd(p, env)
+      val c = op match {
+        case "<" => left.col < right.col;   case ">" => left.col > right.col
+        case "<=" => left.col <= right.col; case ">=" => left.col >= right.col
+        case "=" | "==" => left.col === right.col
+        case "!=" | "<>" => left.col =!= right.col
       }
-    }
-    // and/or chains
-    while (p.peekIs("and") || p.peekIs("or")) {
-      val op = p.pop().toLowerCase
-      val right = parseExpr(p)
-      left = if (op == "and") left && right else left || right
+      left = T(c, BooleanType)
     }
     left
   }
 
-  private def parseAdd(p: P): Column = {
-    var left = parseMul(p)
+  private def parseAdd(p: P, env: Env): T = {
+    var left = parseMul(p, env)
     while (p.peek.exists(t => t == "+" || t == "-")) {
-      val op = p.pop(); val right = parseMul(p)
-      left = if (op == "+") left + right else left - right
+      val op = p.pop()
+      left = addSub(left, parseMul(p, env), plus = op == "+")
     }
     left
   }
 
-  private def parseMul(p: P): Column = {
-    var left = parsePrimary(p)
+  private def parseMul(p: P, env: Env): T = {
+    var left = parsePrimary(p, env)
     while (p.peek.exists(t => t == "*" || t == "/" || t == "%")) {
-      val op = p.pop(); val right = parsePrimary(p)
+      val op = p.pop()
+      val right = parsePrimary(p, env)
       left = op match {
-        case "*" => left * right; case "/" => left / right; case "%" => left % right
+        case "*" => dyad(left, right)(_ * _)
+        case "/" => dyad(left, right)(_ / _, (_, _) => DoubleType)
+        case "%" => dyad(left, right)(_ % _)
       }
     }
     left
   }
 
-  private def parsePrimary(p: P): Column = {
+  private val dateReStr = """\d{4}\.\d{2}\.\d{2}(T.*)?"""
+  private def isNumTok(t: String): Boolean = t.matches("""\d+\.\d+|\.\d+|\d+""")
+  private def numT(v: String): T =
+    if (v.matches("""\d+""")) T(lit(v.toLong), LongType) else T(lit(v.toDouble), DoubleType)
+
+  private def buildArray(items: Seq[T]): T = {
+    val dt = items.map(_.dt).reduce(widenArith)
+    T(array(items.map(_.col.cast(dt)): _*), ArrayType(dt))
+  }
+
+  private def parsePrimary(p: P, env: Env): T = {
+    // function-first positions: lambda, or a parenthesized verb `(+)`
+    if (p.peekIs("{") ||
+        (p.peek.contains("(") && p.peek2.exists(verbSyms) && p.peek3.contains(")")))
+      return applyFunSite(parseFun(p, env), p, env)
     val t = p.pop()
     t match {
-      case "(" => val e = parseExpr(p); p.expect(")"); e
-      case "-" => -parsePrimary(p)
-      case v if v.matches("""\d{4}\.\d{2}\.\d{2}(T.*)?""") => Temporal.stampLit(v)
-      case v if v.matches("""\d+\.\d+|\.\d+""") => lit(v.toDouble)
-      case v if v.matches("""\d+""") => lit(v.toLong)
-      case v if v.startsWith("'") => lit(v.substring(1, v.length - 1))
+      case "(" => val e = parseExpr(p, env); p.expect(")"); e
+      case "-" => negT(parsePrimary(p, env))
+      case "[" => // JSON-style list literal
+        val items = scala.collection.mutable.ArrayBuffer[T]()
+        if (!p.peekIs("]")) {
+          items += parseExpr(p, env)
+          while (p.peekIs(",")) { p.pop(); items += parseExpr(p, env) }
+        }
+        p.expect("]")
+        require(items.nonEmpty, "empty list literal needs a type; use til 0")
+        buildArray(items.toSeq)
+      case v if v.startsWith("`") => T(lit(v.tail), StringType)
+      case v if v.matches(dateReStr) => T(Temporal.stampLit(v), TimestampType)
+      case v if v.matches(spanReStr) => spanT(Temporal.Span.parse(v))
+      case v if isNumTok(v) => // juxtaposed numbers form a vector literal
+        if (p.peek.exists(isNumTok)) {
+          val items = scala.collection.mutable.ArrayBuffer[T](numT(v))
+          while (p.peek.exists(isNumTok)) items += numT(p.pop())
+          buildArray(items.toSeq)
+        } else numT(v)
+      case v if v.startsWith("'") => T(lit(v.substring(1, v.length - 1)), StringType)
+      case fn if adverbNames(fn.toLowerCase) && p.peekIs("(") => // call-form adverb
+        p.pop()
+        val f = parseFun(p, env)
+        val rest = scala.collection.mutable.ArrayBuffer[T]()
+        while (p.peekIs(",")) { p.pop(); rest += parseExpr(p, env) }
+        p.expect(")")
+        applyAdverb(fn.toLowerCase, f, rest.toSeq)
       case fn if aggFns.contains(fn.toLowerCase) && p.peekIs("(") =>
         p.expect("(")
-        val inner = if (p.peekIs("*")) { p.pop(); lit(1) } else parseExpr(p)
+        val inner = if (p.peekIs("*")) { p.pop(); T(lit(1), IntegerType) }
+                    else parseExpr(p, env)
         p.expect(")")
         fn.toLowerCase match {
-          case "sum" => sum(inner); case "avg" => avg(inner)
-          case "min" => min(inner); case "max" => max(inner)
-          case "count" => count(inner)
+          case "sum" => T(sum(inner.col), inner.dt match {
+            case DoubleType | FloatType => DoubleType
+            case d: DecimalType => d
+            case _ => LongType
+          })
+          case "avg" => T(avg(inner.col), DoubleType)
+          case "min" => T(min(inner.col), inner.dt)
+          case "max" => T(max(inner.col), inner.dt)
+          case "count" => T(count(inner.col), LongType)
         }
-      case ident => col(ident)
+      case "til" | "range" => // verbs.cc:86–91; prefix (`til 10`) or call
+        val n = if (p.peekIs("(")) { p.pop(); val e = parseExpr(p, env); p.expect(")"); e }
+                else parsePrimary(p, env)
+        T(Verbs.rangeArr(n.col), ArrayType(LongType))
+      case ident => resolveIdent(ident, env)
     }
   }
 
@@ -125,21 +465,21 @@ object KerfSql {
     * groupBy().agg() auto-includes the keys). */
   private case class Item(col: Column, srcToks: List[String])
 
-  private def parseSelectItem(p: P): Item = {
+  private def parseSelectItem(p: P, env: Env): Item = {
     val start = p.toks
-    val e = parseExpr(p)
+    val e = parseExpr(p, env)
     val src = start.take(start.length - p.toks.length)
     val alias =
       if (p.peekIs("as")) { p.pop(); p.pop() }
       else src.mkString("_").replaceAll("[^A-Za-z0-9_]", "_")
-    Item(e.as(alias), src)
+    Item(e.col.as(alias), src)
   }
 
-  private def parseExprList(p: P)(stop: => Boolean): Seq[Item] = {
+  private def parseExprList(p: P, env: Env)(stop: => Boolean): Seq[Item] = {
     val items = scala.collection.mutable.ArrayBuffer[Item]()
     var more = true
     while (more && !p.done && !stop) {
-      items += parseSelectItem(p)
+      items += parseSelectItem(p, env)
       if (p.peekIs(",")) p.pop() else more = false
     }
     items.toSeq
@@ -147,29 +487,53 @@ object KerfSql {
 
   // ---------------------------------------------------------------- driver
 
-  /** Evaluate one Kerf-SQL statement against the session catalog (tables
-    * must be registered as temp views, e.g. via Folio.workspaceLoad). */
+  /** Evaluate one Kerf statement against the session catalog (tables must
+    * be registered as temp views, e.g. via Folio.workspaceLoad). SQL heads
+    * lower to DataFrame ops; anything else is a bare Kerf expression,
+    * returned as a one-row frame with column `value`. */
   def run(spark: SparkSession, statement: String): DataFrame = {
-    val p = new P(lex(statement))
-    val head = p.pop().toLowerCase
-    head match {
-      case "select" => runSelect(spark, p)
-      case "update" => runUpdate(spark, p)
-      case "delete" => runDelete(spark, p)
-      case "insert" | "upsert" => runMerge(spark, p, head == "upsert")
-      case other => throw new IllegalArgumentException(s"unknown statement head '$other'")
+    val toks = lex(statement)
+    val p = new P(toks)
+    p.peek.map(_.toLowerCase) match {
+      case Some("select") => p.pop(); runSelect(spark, p)
+      case Some("update") => p.pop(); runUpdate(spark, p)
+      case Some("delete") => p.pop(); runDelete(spark, p)
+      case Some(h @ ("insert" | "upsert")) => p.pop(); runMerge(spark, p, h == "upsert")
+      case _ =>
+        val t = parseExpr(p, emptyEnv)
+        require(p.done, s"trailing tokens: ${p.toks.mkString(" ")}")
+        spark.range(1).select(t.col.as("value"))
     }
   }
 
   private def stopAtClause(p: P): Boolean =
     p.peek.exists(t => clauseWords.contains(t.toLowerCase))
 
+  /** Find the top-level `from` (outside any nesting) so the table schema
+    * is known BEFORE the select items are typed. */
+  private def fromTable(toks: List[String]): Option[String] = {
+    var depth = 0
+    toks.zipWithIndex.foreach { case (t, i) =>
+      t match {
+        case "(" | "[" | "{" => depth += 1
+        case ")" | "]" | "}" => depth -= 1
+        case w if depth == 0 && w.equalsIgnoreCase("from") =>
+          return toks.drop(i + 1).headOption
+        case _ =>
+      }
+    }
+    None
+  }
+
   private def runSelect(spark: SparkSession, p: P): DataFrame = {
+    val env = fromTable(p.toks)
+      .map(t => new Env(Some(spark.table(t).schema), Map.empty))
+      .getOrElse(emptyEnv)
     val star = p.peekIs("*")
-    val items = if (star) { p.pop(); Nil } else parseExprList(p)(stopAtClause(p))
+    val items = if (star) { p.pop(); Nil } else parseExprList(p, env)(stopAtClause(p))
     p.expect("from")
     var df = spark.table(p.pop())
-    if (p.peekIs("where")) { p.pop(); df = df.filter(parseExpr(p)) }
+    if (p.peekIs("where")) { p.pop(); df = df.filter(parseExpr(p, env).col) }
     val groupNames =
       if (p.peekIs("group")) { p.pop(); parseGroupNames(p) } else Nil
     df =
@@ -214,21 +578,23 @@ object KerfSql {
 
   private def runUpdate(spark: SparkSession, p: P): DataFrame = {
     val df = spark.table(p.pop())
+    val env = new Env(Some(df.schema), Map.empty)
     p.expect("set")
     val sets = scala.collection.mutable.ArrayBuffer[(String, Column)]()
     var more = true
     while (more) {
-      val name = p.pop(); p.expect("="); sets += name -> parseExpr(p)
+      val name = p.pop(); p.expect("="); sets += name -> parseExpr(p, env).col
       if (p.peekIs(",")) p.pop() else more = false
     }
-    val pred = if (p.peekIs("where")) { p.pop(); parseExpr(p) } else lit(true)
+    val pred = if (p.peekIs("where")) { p.pop(); parseExpr(p, env).col } else lit(true)
     graft.ops.TableOps.update(df, pred, sets.toSeq: _*)
   }
 
   private def runDelete(spark: SparkSession, p: P): DataFrame = {
     p.expect("from")
     val df = spark.table(p.pop())
-    val pred = if (p.peekIs("where")) { p.pop(); parseExpr(p) } else lit(true)
+    val env = new Env(Some(df.schema), Map.empty)
+    val pred = if (p.peekIs("where")) { p.pop(); parseExpr(p, env).col } else lit(true)
     graft.ops.TableOps.delete(df, pred)
   }
 
@@ -265,7 +631,6 @@ object KerfSql {
       if (p.peekIs(",")) p.pop()
     }
     // values arrive untyped: build a string frame, cast per target schema
-    import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val strSchema = StructType(df.schema.map(f => StructField(f.name, StringType)))
     val rdd = spark.sparkContext.parallelize(rows.toSeq.map(r =>
       org.apache.spark.sql.Row.fromSeq(r.map(v => if (v == null) null else v.toString))))

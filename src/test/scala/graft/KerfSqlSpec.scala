@@ -53,6 +53,79 @@ class KerfSqlSpec extends SparkSpec {
     assert(df.count() == 5)
   }
 
+  // --- Kerf expression language: adverb goldens through the TEXT path
+  // (/root/reference/test.cc:330–346, grammar parser.h:431–507)
+
+  private def evalOne(s: String): Any =
+    KerfSql.run(spark, s).collect()(0).get(0)
+
+  test("fold: {[x,y] x+y} fold 1 2 3 = 6 (test.cc:336)") {
+    assert(evalOne("{[x,y] x+y} fold 1 2 3") == 6L)
+  }
+  test("seeded fold pervades: fold(+, 1 2 3, 1 2 3) = [7,8,9] (test.cc:338)") {
+    assert(evalOne("fold(+, 1 2 3, 1 2 3)") == Seq(7L, 8L, 9L))
+  }
+  test("unfold: (+) unfold 1 2 3 = [1,3,6] (test.cc:339)") {
+    assert(evalOne("(+) unfold 1 2 3") == Seq(1L, 3L, 6L))
+  }
+  test("seeded unfold includes the seed prefix (test.cc:341)") {
+    assert(evalOne("unfold(+, [1,2,3], 1 2 3)") ==
+      Seq(Seq(1L, 2L, 3L), Seq(2L, 3L, 4L), Seq(4L, 5L, 6L), Seq(7L, 8L, 9L)))
+  }
+  test("mapback: mapback(-, range(4), 4) = [-4,1,1,1] (test.cc:344)") {
+    assert(evalOne("mapback(-, range(4), 4)") == Seq(-4L, 1L, 1L, 1L))
+  }
+  test("lambda mapdown til: {[x] x+1} mapdown til 10") {
+    assert(evalOne("{[x] x+1} mapdown til 10") == (1L to 10L))
+  }
+  test("lambda direct call and nested adverb composition") {
+    assert(evalOne("{[x,y] x*y}(6, 7)") == 42L)
+    assert(evalOne("{[x,y] x+y} fold {[x] x*x} mapdown til 101") == 338350L)
+  }
+  test("vector literals: juxtaposed and JSON-style agree") {
+    assert(evalOne("1 2 3") == Seq(1L, 2L, 3L))
+    assert(evalOne("[1, 2, 3]") == Seq(1L, 2L, 3L))
+    assert(evalOne("[1.5, 2]") == Seq(1.5, 2.0))
+  }
+  test("span literals combine and shift stamps (lexer.h:247–311)") {
+    assert(evalOne("1d2h") == (26L * 3600L * 1000000000L))     // ns
+    assert(evalOne("1d + 2h - 1h") == (25L * 3600L * 1000000000L))
+    val shifted = evalOne("2024.01.05T00:00:00 + 1d2h")
+    assert(shifted.toString.startsWith("2024-01-06 02:00:00"))
+    val monthly = evalOne("2024.01.31T00:00:00 + 1m")          // calendar month
+    assert(monthly.toString.startsWith("2024-02-29"))
+  }
+  test("backtick symbols lex as atoms") {
+    assert(evalOne("`abc") == "abc")
+  }
+  test("span literal in a where clause (temporal algebra through text)") {
+    init
+    val got = KerfSql.run(spark,
+      "select count(*) as n from orders_v " +
+      "where o_orderdate >= 1994.01.01 and o_orderdate < 1994.01.01 + 3m")
+      .collect()(0).getLong(0)
+    val want = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1994-01-01") &&
+              col("o_orderdate") < lit("1994-04-01")).count()
+    assert(got == want)
+  }
+  test("boolean precedence: a and b or c groups (a and b) or c") {
+    init
+    val got = KerfSql.run(spark,
+      "select count(*) as n from orders_v " +
+      "where o_orderstatus = 'F' and o_totalprice < 1000 or o_orderstatus = 'O'")
+      .collect()(0).getLong(0)
+    val want = Tables.orders(spark, sf)
+      .filter((col("o_orderstatus") === "F" && col("o_totalprice") < 1000) ||
+              col("o_orderstatus") === "O").count()
+    assert(got == want)
+  }
+  test("lexer rejects garbage instead of dropping it") {
+    intercept[IllegalArgumentException] {
+      KerfSql.run(spark, "select # from orders_v")
+    }
+  }
+
   test("update … set … where lowers to TableOps.update") {
     init
     val got = KerfSql.run(spark,
