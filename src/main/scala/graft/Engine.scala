@@ -30,6 +30,12 @@ object Engine {
       .config("spark.sql.shuffle.partitions", sp.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // sorted-folio reads report their sort order: bucketed scans expose
+      // the sortBy order when every bucket is one file (guaranteed by
+      // Folio.writeSortedTable's pre-repartition), so merge consumers
+      // (sort-merge join, native as-of) skip both exchange AND sort —
+      // Kerf's parted+sorted table locality (presented.h:409–430)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")

@@ -62,32 +62,108 @@ object Folio {
       case _ => throw new IllegalArgumentException(s"cannot promote $a vs $b")
     }
 
+  // ----- promote-on-append: versioned rewrite + pointer swap (SURVEY §7.5.4)
+
+  private def currentFile(path: String) = new java.io.File(path, "_CURRENT")
+
+  /** Live version name (`vNNNNNNNN`) of a promoted folio, if the path
+    * uses the versioned layout. */
+  def currentVersion(path: String): Option[String] = {
+    val f = currentFile(path)
+    if (f.isFile)
+      Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim)
+        .filter(_.nonEmpty)
+    else None
+  }
+
+  /** Read a promoted folio: resolves the `_CURRENT` pointer when present,
+    * else falls back to a plain Parquet dir. */
+  def promotedRead(spark: SparkSession, path: String): DataFrame =
+    currentVersion(path) match {
+      case Some(v) => spark.read.parquet(s"$path/$v")
+      case None    => spark.read.parquet(path)
+    }
+
+  /** Publish `df` as the next folio version: write the data to a fresh
+    * `vN` dir, then ATOMICALLY swap the `_CURRENT` pointer (tmp file +
+    * rename — the only mutation readers can observe, and it is all-or-
+    * nothing). A crash at ANY earlier point leaves a stale `vN`/tmp dir
+    * on disk but readers still resolve the old version. Local-FS model of
+    * the object-store "write new immutable version, CAS the catalog
+    * pointer" protocol a 100 TB folio store uses. */
+  private def publishVersion(df: DataFrame, path: String, n: Long): Unit = {
+    val vname = f"v$n%08d"
+    df.write.mode(SaveMode.Overwrite).parquet(s"$path/$vname")
+    val tmp = new java.io.File(path, "_CURRENT.tmp")
+    java.nio.file.Files.write(tmp.toPath, vname.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, currentFile(path).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // GC versions older than the previous (kept as the crash fallback)
+    val dir = new java.io.File(path)
+    val live = Set(vname, f"v${n - 1}%08d")
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.matches("v\\d{8}") && !live(d.getName))
+      .foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete()
+        }
+        rm(d)
+      }
+  }
+
   /** Append with promote-on-append semantics: widens the on-disk data
     * when the incoming batch needs it (one rewrite — the table-level
-    * analog of the reference's promote_or_expand_via_widths). */
+    * analog of the reference's promote_or_expand_via_widths,
+    * layout.cc:726–836). The rewrite is a versioned publish, never a
+    * delete-then-rename of live data: a crash mid-promotion leaves the
+    * previous version intact and readable. Schemas are validated
+    * explicitly — a batch missing stored columns, or carrying unknown
+    * ones, is an error rather than silent data loss. */
   def appendWithPromotion(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
-    val existing = try Some(spark.read.parquet(path)) catch { case _: Exception => None }
+    val cur = currentVersion(path)
+    val existing: Option[DataFrame] = cur match {
+      case Some(v) => Some(spark.read.parquet(s"$path/$v"))
+      case None => try Some(spark.read.parquet(path)) catch { case _: Exception => None }
+    }
     existing match {
-      case None => df.write.mode(SaveMode.Overwrite).parquet(path)
+      case None => publishVersion(df, path, 1L)
       case Some(old) =>
+        val stored = old.schema.map(_.name).toSet
+        val incoming = df.schema.map(_.name).toSet
+        require((stored -- incoming).isEmpty,
+          s"incoming batch is missing stored columns: ${(stored -- incoming).mkString(", ")}")
+        require((incoming -- stored).isEmpty,
+          s"incoming batch has columns the folio lacks: ${(incoming -- stored).mkString(", ")}")
         val target = org.apache.spark.sql.types.StructType(old.schema.map { f =>
-          val incoming = df.schema(f.name)
-          f.copy(dataType = widen(f.dataType, incoming.dataType))
+          f.copy(dataType = widen(f.dataType, df.schema(f.name).dataType))
         })
         def castTo(d: DataFrame) =
           d.select(target.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-        val widened = castTo(old).unionByName(castTo(df))
-        // rewrite through a temp dir: can't overwrite a path being read
-        val tmp = path + "__promote_tmp"
-        widened.write.mode(SaveMode.Overwrite).parquet(tmp)
-        val fs = new java.io.File(path)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
-        }
-        rm(fs)
-        new java.io.File(tmp).renameTo(fs)
+        val next = cur.map(_.stripPrefix("v").toLong + 1L).getOrElse(1L)
+        publishVersion(castTo(old).unionByName(castTo(df)), path, next)
     }
+  }
+
+  /** Sorted PARTED folio as a bucketed catalog table — the blessed route
+    * for order-reporting reads (SURVEY §4): `bucketBy(keys)` makes every
+    * scan report hash-partitioning on the keys and `sortBy(keys, ts)`
+    * makes it report sort order, so a merge-style consumer (sort-merge
+    * join, the native as-of exec) runs with NO exchange and NO sort above
+    * the scans. `repartition(buckets, keys)` first ⇒ exactly one file per
+    * bucket — multi-file buckets void the scan's ordering report and
+    * Catalyst re-sorts. This is Kerf's parted-table promise
+    * (/root/reference/presented.h:409–430: "parted on date, sorted within")
+    * carried by the catalog instead of a filesystem convention. */
+  def writeSortedTable(df: DataFrame, table: String, keys: Seq[String],
+                       sortCols: Seq[String], buckets: Int = 8): Unit = {
+    val sorted = keys ++ sortCols
+    df.repartition(buckets, keys.map(col): _*)
+      .write.bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(sorted.head, sorted.tail: _*)
+      .mode(SaveMode.Overwrite).saveAsTable(table)
   }
 
   // ----- workspace (file.cc:994–1023 workspace_save/load) -----

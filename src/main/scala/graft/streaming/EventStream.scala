@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming over the events feed — the realtime half of the
   * reference's design (bus/feed-handler skeleton /root/reference/
@@ -77,6 +77,68 @@ object EventStream {
     events.select(col("user_id"), col("ts_ns"), col("value")).as[Tick]
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(lastTickUpdate)
+      .toDF()
+  }
+
+  /** transformWithState keeper of the latest tick per key — the
+    * state-store-sizing story for the 100 TB design point (SURVEY §2.9):
+    * typed ValueState in RocksDB (bounded off-heap state, changelog
+    * checkpointing) plus a per-key idle timer that EVICTS keys not seen
+    * for `idleTimeoutMs` — without eviction a long-lived feed's key space
+    * grows without bound. `idleTimeoutMs = 0` disables timers.
+    *
+    * Streaming queries over this need
+    * `spark.sql.streaming.stateStore.providerClass =
+    * ...state.RocksDBStateStoreProvider` (transformWithState requirement).
+    */
+  class LastTickProcessor(idleTimeoutMs: Long)
+      extends StatefulProcessor[Long, Tick, LastTick] {
+    @transient private var last: ValueState[LastTick] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[LastTick]("last",
+        Encoders.product[LastTick], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Tick],
+                                 tv: TimerValues): Iterator[LastTick] = {
+      val prev = if (last.exists()) Some(last.get()) else None
+      val all = rows.toSeq
+      val latest = (prev.map(p => Tick(p.user_id, p.ts_ns, p.value)) ++ all)
+        .maxBy(_.ts_ns)
+      val updated = LastTick(key, latest.ts_ns, latest.value,
+        prev.map(_.n_events).getOrElse(0L) + all.size)
+      last.update(updated)
+      if (idleTimeoutMs > 0) {
+        // re-arm the idle timer: stale timers from earlier batches would
+        // otherwise evict freshly-updated state
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(tv.getCurrentProcessingTimeInMs() + idleTimeoutMs)
+      }
+      Iterator.single(updated)
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[LastTick] = {
+      last.clear() // idle-key eviction: state size tracks the ACTIVE key set
+      Iterator.empty
+    }
+  }
+
+  /** Last-tick via transformWithState (the mapGroupsWithState successor).
+    * Emits the updated current-value row per key per micro-batch.
+    *
+    * TimeMode is None unless eviction is requested: under ProcessingTime
+    * the engine must keep scheduling batches so timers can fire even with
+    * no input — correct for a live feed, but it means
+    * `processAllAvailable` never quiesces; bounded replays/tests of the
+    * no-timer path want the data-driven mode. */
+  def lastTicksTws(events: DataFrame, idleTimeoutMs: Long = 0L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val mode = if (idleTimeoutMs > 0) TimeMode.ProcessingTime() else TimeMode.None()
+    events.select(col("user_id"), col("ts_ns"), col("value")).as[Tick]
+      .groupByKey(_.user_id)
+      .transformWithState(new LastTickProcessor(idleTimeoutMs), mode, OutputMode.Update())
       .toDF()
   }
 }

@@ -118,6 +118,50 @@ class AsOfNativeSpec extends SparkSpec {
     assert(rootMsg(ex).contains("null left-side timestamp"))
   }
 
+  test("sorted-folio (bucketed) inputs: as-of runs with NO exchange and NO sort") {
+    // the SURVEY §4 order-reporting pin: a parted+sorted folio written via
+    // Folio.writeSortedTable feeds the native as-of with zero re-shuffle
+    // and zero re-sort — the scan itself reports ordering+partitioning
+    Seq("clicks_b", "purch_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val d = new java.io.File(s"spark-warehouse/$t")
+      if (d.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+        }
+        rm(d)
+      }
+    }
+    val ev = Tables.events(spark, sf).withColumn("ts_us", expr("ts_ns div 1000"))
+    graft.io.Folio.writeSortedTable(
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts_us")),
+      "clicks_b", Seq("user_id"), Seq("ts_us"))
+    graft.io.Folio.writeSortedTable(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("p_ts"), col("value").as("p_value")),
+      "purch_b", Seq("user_id"), Seq("p_ts"))
+
+    val df = AsOf.joinNative(spark.table("clicks_b"), spark.table("purch_b"),
+      Seq("user_id"), "ts_us", "p_ts")
+    val got = df.select("event_id", "p_ts", "p_value").orderBy("event_id").collect().toSeq
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"custom exec missing:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed as-of should not shuffle:\n$plan")
+    assert(!plan.contains("Sort "), s"sorted-folio as-of should not re-sort:\n$plan")
+
+    // and the answer matches the unbucketed path
+    val want = AsOf.joinNative(
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("ts_us")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us").as("p_ts"), col("value").as("p_value")),
+        Seq("user_id"), "ts_us", "p_ts")
+      .select("event_id", "p_ts", "p_value").orderBy("event_id").collect().toSeq
+    assert(got == want)
+  }
+
   test("plan shows the custom exec with one exchange per side") {
     val ev = Tables.events(spark, sf).withColumn("ts_us", expr("ts_ns div 1000"))
     val a = ev.filter(col("event_type") === "click")

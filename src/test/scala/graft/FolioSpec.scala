@@ -87,18 +87,41 @@ class FolioSpec extends SparkSpec {
     // "appending 130 to an untyped array yields INT1_ARRAY")
     val narrow = Seq(1, 2, 3).toDF("x")
     Folio.appendWithPromotion(narrow, s"$dir/t")
-    assert(spark.read.parquet(s"$dir/t").schema("x").dataType == IntegerType)
+    assert(Folio.promotedRead(spark, s"$dir/t").schema("x").dataType == IntegerType)
     // append a batch that needs int64 → whole column promotes
     val wide = Seq(3000000000L, 4L).toDF("x")
     Folio.appendWithPromotion(wide, s"$dir/t")
-    val back = spark.read.parquet(s"$dir/t")
+    val back = Folio.promotedRead(spark, s"$dir/t")
     assert(back.schema("x").dataType == LongType)
     assert(back.count() == 5)
     assert(back.agg(max("x")).collect()(0).getLong(0) == 3000000000L)
     // double batch promotes again (int→float lattice)
     Folio.appendWithPromotion(Seq(1.5).toDF("x"), s"$dir/t")
-    assert(spark.read.parquet(s"$dir/t").schema("x").dataType == DoubleType)
-    assert(spark.read.parquet(s"$dir/t").count() == 6)
+    assert(Folio.promotedRead(spark, s"$dir/t").schema("x").dataType == DoubleType)
+    assert(Folio.promotedRead(spark, s"$dir/t").count() == 6)
+  }
+
+  test("promotion publish is crash-safe: stale version dirs never shadow _CURRENT") {
+    import spark.implicits._
+    val dir = tmp()
+    Folio.appendWithPromotion(Seq(1, 2, 3).toDF("x"), s"$dir/t")
+    Folio.appendWithPromotion(Seq(4L).toDF("x"), s"$dir/t")
+    val v = Folio.currentVersion(s"$dir/t").get
+    // simulate a crash mid-promotion: a NEWER version dir fully written
+    // but the pointer swap never happened
+    val orphan = new java.io.File(s"$dir/t", "v00000099")
+    Seq(999L).toDF("x").write.parquet(orphan.getAbsolutePath)
+    assert(Folio.currentVersion(s"$dir/t").contains(v)) // pointer untouched
+    val back = Folio.promotedRead(spark, s"$dir/t")
+    assert(back.count() == 4)                            // reader sees old version
+    assert(!back.collect().map(_.getLong(0)).contains(999L))
+    // schema mismatches are rejected explicitly, not silently dropped
+    intercept[IllegalArgumentException] {
+      Folio.appendWithPromotion(Seq((1L, 2L)).toDF("x", "y"), s"$dir/t")
+    }
+    intercept[IllegalArgumentException] {
+      Folio.appendWithPromotion(Seq(1L).toDF("z"), s"$dir/t")
+    }
   }
 
   test("workspace save/load restores all tables (file.cc:994, test.cc:825)") {

@@ -95,6 +95,81 @@ class StreamingSpec extends SparkSpec {
     assert(n == Tables.events(spark, sf).count()) // fixture ids are unique
   }
 
+  private def withRocksDb[A](f: => A): A = {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevProv = spark.conf.getOption(provKey)
+    val prevPart = spark.conf.get(partKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // state partition count is fixed at query start; 2 keeps the per-
+    // partition RocksDB instance load (~2s each) out of the test budget
+    spark.conf.set(partKey, "2")
+    try f finally {
+      spark.conf.set(partKey, prevPart)
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
+  test("transformWithState last-tick matches mapGroupsWithState on replay") {
+    withRocksDb {
+      val stream = EventStream.lastTicksTws(
+        EventStream.readEvents(spark, sf).drop("ts").withColumnRenamed("ts_ns", "ts_ns"))
+      val q = stream.writeStream.outputMode("update")
+        .format("memory").queryName("t_tws_last").start()
+      try q.processAllAvailable() finally q.stop()
+      // final row per key (highest n_events) == the mapGroupsWithState answer
+      val got = spark.table("t_tws_last")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy(col("n_events").desc)))
+        .filter(col("rn") === 1).drop("rn")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+      val want = EventStream.lastTicks(Tables.events(spark, sf))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+      assert(got == want)
+    }
+  }
+
+  test("transformWithState idle timer evicts state (n_events restarts)") {
+    withRocksDb {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[EventStream.Tick]
+      // ProcessingTime mode schedules batches continuously so timers can
+      // fire without input — poll the sink with a deadline instead of
+      // processAllAvailable (which never quiesces in this mode)
+      val q = EventStream.lastTicksTws(input.toDF(), idleTimeoutMs = 1L)
+        .writeStream.outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+        .format("memory").queryName("t_tws_evict").start()
+      def awaitRow(ts: Long): Unit = {
+        val deadline = System.currentTimeMillis() + 60000
+        while (spark.table("t_tws_evict")
+                 .filter(col("user_id") === 1L && col("ts_ns") === ts).isEmpty) {
+          assert(System.currentTimeMillis() < deadline, s"row ts=$ts never arrived")
+          Thread.sleep(50)
+        }
+      }
+      try {
+        input.addData(EventStream.Tick(1L, 100L, 1.0))
+        awaitRow(100L)
+        Thread.sleep(300) // let user 1's idle timer expire and fire
+        input.addData(EventStream.Tick(1L, 300L, 3.0))
+        awaitRow(300L)
+      } finally q.stop()
+      val u1 = spark.table("t_tws_evict").filter(col("user_id") === 1L)
+        .orderBy(col("ts_ns")).collect()
+      assert(u1.map(_.getLong(1)).toSeq == Seq(100L, 300L))
+      // state was evicted between the ticks: the counter restarted at 1
+      assert(u1.last.getLong(3) == 1L)
+    }
+  }
+
   test("last-tick state keeps the latest value per user") {
     val out = EventStream.lastTicks(Tables.events(spark, sf))
     val got = out.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
