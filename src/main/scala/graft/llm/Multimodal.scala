@@ -38,32 +38,49 @@ object Multimodal {
       f => struct(f.as("frame_no"),
                   xxhash64(f, media.getField("content_hash")).as("frame_hash")))
 
+  /** THE CODEC SEAM: a real decoder (JNI image/audio library, ONNX
+    * embedder, …) implements this one method and drops in — the
+    * Spark-side schema, partitioning, and iterator batching in
+    * [[decodePartitioned]] are codec-agnostic and stay as-is.
+    * Implementations must be Serializable (shipped to executors) and
+    * should hold native handles lazily/@transient (one init per task,
+    * not per row). */
+  trait MediaCodec extends Serializable {
+    def dims: Int
+    /** One blob → one feature vector. Called inside an iterator-to-
+      * iterator mapPartitions: never assume the whole partition fits. */
+    def decode(bytes: Array[Byte]): Array[Double]
+  }
+
+  /** Deterministic stand-in codec — this container ships no media libs
+    * (acknowledged limitation). Same decode contract as production. */
+  final case class StubCodec(dims: Int = 8) extends MediaCodec {
+    def decode(bytes: Array[Byte]): Array[Double] = {
+      // stand-in for decode→resize→embed: deterministic bytes→features
+      val h0 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 42)
+      Array.tabulate(dims)(i =>
+        scala.util.hashing.MurmurHash3.productHash((h0, i)).toDouble / Int.MaxValue)
+    }
+  }
+
   /** Per-partition decode path — the shape a REAL codec plugs into
     * ((d)-tier mapPartitions, used deliberately: a JNI/image library call
     * is genuine per-partition imperative logic). Iterator-to-iterator:
     * one blob in flight per task at a time, so executor memory is bounded
     * by (batch row size × open iterators), never by partition size —
-    * the property that matters when blobs are MBs and partitions are GBs.
-    * The decode itself is STUBBED deterministic (no media libs here). */
+    * the property that matters when blobs are MBs and partitions are GBs. */
   case class MediaRow(doc_id: Long, data: Array[Byte])
   case class DecodedRow(doc_id: Long, n_bytes: Int, features: Array[Double])
 
-  def stubDecode(bytes: Array[Byte], dims: Int = 8): Array[Double] = {
-    // stand-in for decode→resize→embed: deterministic bytes→features
-    val h0 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 42)
-    Array.tabulate(dims)(i =>
-      scala.util.hashing.MurmurHash3.productHash((h0, i)).toDouble / Int.MaxValue)
-  }
-
   def decodePartitioned(docs: DataFrame, idCol: String, textCol: String,
-                        dims: Int = 8): DataFrame = {
+                        codec: MediaCodec = StubCodec()): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long"), to_binary(col(textCol), lit("utf-8")))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          DecodedRow(id, bytes.length, stubDecode(bytes, dims))
+          DecodedRow(id, bytes.length, codec.decode(bytes))
         }
       }
       .toDF()

@@ -3,6 +3,15 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.llm.{Dedup, Similarity, TextOps}
 
+object LlmOpsSpec {
+  /** A "real" codec stand-in: features derived from blob length only —
+    * top-level so the closure ships without the spec instance. */
+  final case class LenCodec(dims: Int = 2) extends graft.llm.Multimodal.MediaCodec {
+    def decode(bytes: Array[Byte]): Array[Double] =
+      Array.tabulate(dims)(i => (bytes.length * (i + 1)).toDouble)
+  }
+}
+
 class LlmOpsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -100,6 +109,14 @@ class LlmOpsSpec extends SparkSpec {
       .orderBy("doc_id").limit(3).collect()
     assert(rows.map(_.getSeq[Double](2)).toSeq == again.map(_.getSeq[Double](2)).toSeq)
     assert(out.count() == Tables.documents(spark, sf).count())
+  }
+
+  test("multimodal codec seam: a custom decoder drops in unchanged") {
+    import graft.llm.Multimodal
+    val out = Multimodal.decodePartitioned(docs, "doc_id", "text", LlmOpsSpec.LenCodec())
+      .orderBy("doc_id").collect()
+    assert(out.forall(r => r.getSeq[Double](2) ==
+      Seq(r.getInt(1).toDouble, r.getInt(1) * 2.0)))
   }
 
   test("token counts: edge cases") {
