@@ -677,6 +677,26 @@ object Queries {
       "group l_returnflag order l_returnflag")
   }
 
+  /** Near-dup CLUSTERS (north-star dedup end-game): minhash pair list →
+    * connected components → per-cluster size. The "drop duplicates, keep
+    * one witness" step a training pipeline actually applies. */
+  val q54_dedup_clusters: Q = (s, dir) => {
+    val pairs = llm.Dedup.minhashPairs(Tables.fanOut(Tables.documents(s, dir)),
+      "doc_id", "text", jaccardThreshold = 0.2)
+    llm.Dedup.clusters(pairs)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Embedding-cosine near-dup pairs (north-star dedup flavor): LSH
+    * buckets → exact cosine ≥ τ. The fixture embeddings are isotropic, so
+    * τ sits above random-pair expectation (≈0.12 sd) but low enough to
+    * yield verifiable pairs. */
+  val q55_cosine_neardup: Q = (s, dir) =>
+    llm.Similarity.cosineNearDupPairs(Tables.fanOut(Tables.embeddings(s, dir)),
+        threshold = 0.25)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Kerf adverb expression through the text path: sum of squares via
     * lambda+mapdown+fold (test.cc:330–346 style), oracled against
     * DuckDB's range table function. */
@@ -739,5 +759,7 @@ object Queries {
     "q51_asof_fwd_tol"   -> q51_asof_fwd_tol,
     "q52_kerf_text"      -> q52_kerf_text,
     "q53_kerf_adverb"    -> q53_kerf_adverb,
+    "q54_dedup_clusters" -> q54_dedup_clusters,
+    "q55_cosine_neardup" -> q55_cosine_neardup,
   )
 }

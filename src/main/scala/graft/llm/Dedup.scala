@@ -127,6 +127,66 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over a near-dup PAIR list → (id, cluster) with
+    * cluster = the minimum id reachable from each node. Iterative min-
+    * label propagation: each round is one join + one partial-agg groupBy,
+    * converging in O(component diameter) rounds — near-dup components are
+    * shallow (dozens of docs sharing boilerplate), so a handful of rounds
+    * closes 100 TB-scale graphs; `maxIters` bounds the pathological case.
+    * Each iteration materializes (count) so lineage stays flat; previous
+    * iterations are unpersisted eagerly.
+    *
+    * This is the step a REAL dedup pipeline needs beyond pair lists: the
+    * reference's set-dedup keeps one witness per equivalence class
+    * (presented.cc:475–503); here the witness is min(id) per component. */
+  def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+               maxIters: Int = 10): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // pairs may be an expensive plan (minhash/LSH): cache it so the
+    // two-direction edge union computes it once, not twice
+    val p0 = pairs.select(col(idA).as("a"), col(idB).as("b")).persist(lvl)
+    val edges = p0.select(col("a").as("src"), col("b").as("dst"))
+      .union(p0.select(col("b").as("src"), col("a").as("dst")))
+      .persist(lvl)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(lvl)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      // one shuffle per round: current labels (flagged old=1) and
+      // neighbor-propagated labels union into a single groupBy that yields
+      // BOTH the new min-label and the old label (struct-max trick), so
+      // the convergence check is a count on the cached aggregate, not a
+      // second join
+      val prop = edges.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("label"), lit(0).as("isOld"))
+      val agg = labels.select(col("id"), col("label"), lit(1).as("isOld"))
+        .union(prop)
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"),
+             max(struct(col("isOld"), col("label"))).getField("label").as("__old"))
+        .persist(lvl)
+      val changed = agg.filter(col("label") < col("__old")).count()
+      labels.unpersist()
+      labels = agg.drop("__old")
+      converged = changed == 0
+      iters += 1
+    }
+    edges.unpersist(); p0.unpersist()
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
+  /** Keep one witness per near-dup cluster: drops every doc whose id is
+    * not its cluster's minimum. Docs in no pair are untouched. */
+  def dropNearDuplicates(docs: DataFrame, idCol: String, pairs: DataFrame,
+                         idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val losers = clusters(pairs, idA, idB)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash: sign-sum of token-hash bits. MAP-ONLY: token hashes
     * stay an array column and each bit's ±1 sum is an in-row aggregate —
     * zero shuffles (an explode+groupBy formulation moved every token

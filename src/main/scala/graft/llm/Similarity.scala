@@ -91,6 +91,48 @@ object Similarity {
       lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
+  /** Embedding-cosine NEAR-DUP PAIRS — the dedup flavor of similarity
+    * (drop-near-duplicate-documents by embedding): LSH-bucketed candidate
+    * generation (never all-pairs), exact-cosine verification, with the
+    * same partial-agg skew guard as [[graft.llm.Dedup.minhashPairs]].
+    * Banding rows carry (id, table, sketch) only — vectors re-enter for
+    * the surviving candidates. Persisted for the same 3-reference reason
+    * as minhash banding.
+    *
+    * Tuned for REAL near-duplicates (cos ≥ ~0.9): at nBits=10/tables=8 a
+    * cos-0.95 pair collides in ≥1 table w.p. ≈0.97 while bucket occupancy
+    * stays ~n/1024 per table, so candidates ≪ n². Lower nBits only if the
+    * target threshold is far from 1 (recall/cost dial, same as any LSH). */
+  def cosineNearDupPairs(df: DataFrame, threshold: Double,
+                         nBits: Int = 10, tables: Int = 8,
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         maxBucket: Int = 256): DataFrame = {
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val sk = df
+      .select(col(idCol).as("vid"),
+        projections(col(vecCol), tables * nBits, dim).as("__projs"))
+      .select(col("vid"),
+        posexplode(packSketches(col("__projs"), nBits, tables))
+          .as(Seq("table_id", "sketch")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val oversize = sk.groupBy(col("table_id"), col("sketch"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+    val guarded = sk.join(broadcast(oversize.select(col("table_id"), col("sketch"))),
+      Seq("table_id", "sketch"), "left_anti")
+    val a = guarded.select(col("table_id"), col("sketch"), col("vid").as("id_a"))
+    val b = guarded.select(col("table_id"), col("sketch"), col("vid").as("id_b"))
+    val cands = a.join(b, Seq("table_id", "sketch"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .join(df.select(col(idCol).as("id_a"), col(vecCol).as("__va")), Seq("id_a"))
+      .join(df.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), Seq("id_b"))
+      .withColumn("cos", round(cosine(col("__va"), col("__vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   // ----- IVF (inverted-file) ANN — the second scale path -----
 
   /** Deterministic coarse quantizer: seed centroids = first nLists

@@ -38,6 +38,39 @@ class LlmOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("clusters: min-label propagation closes transitive near-dup chains") {
+    val pairs = Seq((0L, 1L, 0.9), (1L, 2L, 0.9), (5L, 6L, 0.8))
+      .toDF("id_a", "id_b", "jaccard")
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("dropNearDuplicates keeps one witness per cluster, singletons untouched") {
+    val all = (0L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L, 0.9), (1L, 2L, 0.9), (5L, 6L, 0.8))
+      .toDF("id_a", "id_b", "jaccard")
+    val kept = Dedup.dropNearDuplicates(all, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 3L, 4L, 5L))
+  }
+
+  test("cosine near-dup pairs: same-cluster vectors pair, cross-cluster never") {
+    val rnd = new scala.util.Random(3)
+    def jitter(center: Array[Float]): Seq[Float] =
+      center.map(c => c + (rnd.nextFloat() - 0.5f) * 0.1f).toSeq
+    val ca = Array.fill(16)(0f); ca(0) = 1f
+    val cb = Array.fill(16)(0f); cb(8) = 1f
+    val vecs = ((0 until 20).map(i => (i.toLong, jitter(ca))) ++
+                (20 until 40).map(i => (i.toLong, jitter(cb))))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(vecs, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => (a < 20) == (b < 20) },
+      "cross-cluster pair leaked through the cosine threshold")
+  }
+
   test("simhash: identical docs equal, near-dups close, unrelated far") {
     val sigs = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

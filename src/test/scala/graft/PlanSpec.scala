@@ -66,6 +66,20 @@ class PlanSpec extends SparkSpec {
   test("q29: minhash plan has no cartesian product (LSH bucketing holds)") {
     val p = planOf("q29_minhash_dedup")
     assert(!p.contains("CartesianProduct"), "pair generation exploded to n²")
+    // the skew guard must be a partial aggregate, never a window sort of
+    // every banded row (the round-1 90s regression shape)
+    assert(!p.contains("Window"), s"minhash skew guard regressed to a window:\n$p")
+    // the banded self-join carries no array payload: shingle hashes enter
+    // only through the two verification joins on doc id
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"banded/hashed intermediates not cached (3x recompute):\n$p")
+  }
+
+  test("q52: text-front-end span filter pushes to the parquet scan") {
+    val p = planOf("q52_kerf_text")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"span-literal predicate did not reach the scan:\n$p")
+    assert(!p.contains("l_orderkey"), "unused columns read by text-lowered scan")
   }
 
   test("q44: band range-join stays an equi-join (no nested-loop explosion)") {
