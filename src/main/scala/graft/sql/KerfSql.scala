@@ -56,7 +56,7 @@ object KerfSql {
      """\d+\.\d+|\.\d+|\d+|""" +                              // numbers
      """'[^']*'|""" +                                         // string lit
      """`[A-Za-z_][A-Za-z0-9_]*|""" +                         // backtick symbol
-     """<=|>=|!=|<>|==|[(),*+\-/%<>=\[\]{};]|""" +            // operators
+     """<=|>=|!=|<>|==|[(),*+\-/%<>=\[\]{};:]|""" +           // operators
      """[A-Za-z_][A-Za-z0-9_.]*""" +                          // idents
      """)""").r
 
@@ -104,9 +104,11 @@ object KerfSql {
     * stamps/longs through +/-). */
   private case class T(col: Column, dt: DataType, span: Option[Temporal.Span] = None)
 
-  /** Typing environment: the FROM table's schema + lambda parameters. */
-  private class Env(val schema: Option[StructType], val vars: Map[String, T]) {
-    def bind(ps: Seq[(String, T)]): Env = new Env(schema, vars ++ ps)
+  /** Typing environment: the FROM table's schema + lambda parameters /
+    * program variables + named functions (`def`). */
+  private class Env(val schema: Option[StructType], val vars: Map[String, T],
+                    val funcs: Map[String, FVal] = Map.empty) {
+    def bind(ps: Seq[(String, T)]): Env = new Env(schema, vars ++ ps, funcs)
   }
   private def emptyEnv = new Env(None, Map.empty)
 
@@ -456,6 +458,8 @@ object KerfSql {
         val n = if (p.peekIs("(")) { p.pop(); val e = parseExpr(p, env); p.expect(")"); e }
                 else parsePrimary(p, env)
         T(Verbs.rangeArr(n.col), ArrayType(LongType))
+      case f if env.funcs.contains(f) => // named function: call or adverb operand
+        applyFunSite(env.funcs(f), p, env)
       case ident => resolveIdent(ident, env)
     }
   }
@@ -487,23 +491,177 @@ object KerfSql {
 
   // ---------------------------------------------------------------- driver
 
-  /** Evaluate one Kerf statement against the session catalog (tables must
-    * be registered as temp views, e.g. via Folio.workspaceLoad). SQL heads
-    * lower to DataFrame ops; anything else is a bare Kerf expression,
-    * returned as a one-row frame with column `value`. */
+  /** Evaluate a Kerf PROGRAM against the session catalog (tables must be
+    * registered as temp views, e.g. via Folio.workspaceLoad): statements
+    * separated by `;`, each one of
+    *
+    *  - a SQL head (`select/update/delete/insert/upsert …`) → DataFrame;
+    *  - `name : expr` — Kerf colon-assignment; the RHS is evaluated
+    *    EAGERLY (REPL semantics, keeps loop-carried expressions bounded)
+    *    and rebound as a literal;
+    *  - `def name(params) { body }` — a named lambda (expression body);
+    *  - `if (cond) { … } else { … }` / `while (cond) { … }` — control
+    *    flow, evaluated driver-side (the reference's interpreter loop,
+    *    TOKENS_IF/TOKENS_DEF parser.h:466; data-parallel work stays in
+    *    the cluster — only the scalar condition comes back);
+    *  - a bare Kerf expression.
+    *
+    * Returns the last statement's result (one-row `value` frame for
+    * expressions/assignments). */
   def run(spark: SparkSession, statement: String): DataFrame = {
-    val toks = lex(statement)
-    val p = new P(toks)
-    p.peek.map(_.toLowerCase) match {
-      case Some("select") => p.pop(); runSelect(spark, p)
-      case Some("update") => p.pop(); runUpdate(spark, p)
-      case Some("delete") => p.pop(); runDelete(spark, p)
-      case Some(h @ ("insert" | "upsert")) => p.pop(); runMerge(spark, p, h == "upsert")
-      case _ =>
-        val t = parseExpr(p, emptyEnv)
-        require(p.done, s"trailing tokens: ${p.toks.mkString(" ")}")
-        spark.range(1).select(t.col.as("value"))
+    val vars = scala.collection.mutable.Map[String, T]()
+    val funcs = scala.collection.mutable.Map[String, FVal]()
+    def env = new Env(None, vars.toMap, funcs.toMap)
+    var last: Either[DataFrame, T] = Right(T(lit(null), NullType))
+
+    def truthy(t: T): Boolean = evalScalar(spark, t) match {
+      case b: Boolean => b
+      case null => false
+      case n: Number => n.doubleValue() != 0.0
+      case other => throw new IllegalArgumentException(s"non-boolean condition: $other")
     }
+
+    def execBlock(toks: List[String]): Unit = splitTop(toks).foreach(execStmt)
+
+    def execStmt(toks: List[String]): Unit = {
+      if (toks.isEmpty) return
+      val p = new P(toks)
+      toks.head.toLowerCase match {
+        case "select" => p.pop(); last = Left(runSelect(spark, p))
+        case "update" => p.pop(); last = Left(runUpdate(spark, p))
+        case "delete" => p.pop(); last = Left(runDelete(spark, p))
+        case h @ ("insert" | "upsert") => p.pop(); last = Left(runMerge(spark, p, h == "upsert"))
+        case "def" =>
+          p.pop()
+          val name = p.pop()
+          p.expect("(")
+          val params = scala.collection.mutable.ArrayBuffer[String]()
+          while (!p.peekIs(")")) {
+            params += p.pop()
+            if (p.peekIs(",") || p.peekIs(";")) p.pop()
+          }
+          p.expect(")")
+          p.expect("{")
+          funcs(name) = Lambda(params.toSeq, blockBody(p), env)
+          require(p.done, s"trailing tokens after def: ${p.toks.mkString(" ")}")
+        case "if" =>
+          p.pop(); p.expect("(")
+          val cond = parseExpr(p, env); p.expect(")")
+          p.expect("{")
+          val thenToks = blockBody(p)
+          val elseToks = if (p.peekIs("else")) {
+            p.pop(); p.expect("{"); blockBody(p)
+          } else Nil
+          require(p.done, s"trailing tokens after if: ${p.toks.mkString(" ")}")
+          if (truthy(cond)) execBlock(thenToks) else execBlock(elseToks)
+        case "while" =>
+          p.pop(); p.expect("(")
+          val condToks = {
+            // capture the condition tokens so it re-evaluates per round
+            val start = p.toks
+            val t0 = parseExpr(p, env) // parse once for syntax
+            val n = start.length - p.toks.length
+            val _ = t0
+            start.take(n)
+          }
+          p.expect(")")
+          p.expect("{")
+          val body = blockBody(p)
+          require(p.done, s"trailing tokens after while: ${p.toks.mkString(" ")}")
+          var guard = 0
+          while ({
+            val cp = new P(condToks)
+            val c = parseExpr(cp, env)
+            truthy(c)
+          }) {
+            execBlock(body)
+            guard += 1
+            require(guard < 100000, "while: exceeded 100000 iterations")
+          }
+        case name if toks.lengthCompare(1) > 0 && toks(1) == ":" &&
+                     name.matches("[A-Za-z_][A-Za-z0-9_.]*") =>
+          p.pop(); p.pop() // name :
+          val t = parseExpr(p, env)
+          require(p.done, s"trailing tokens in assignment: ${p.toks.mkString(" ")}")
+          val bound = litOf(evalScalar(spark, t)) // eager (REPL) semantics
+          vars(name) = bound
+          last = Right(bound)
+        case _ =>
+          val t = parseExpr(p, env)
+          require(p.done, s"trailing tokens: ${p.toks.mkString(" ")}")
+          last = Right(t)
+      }
+    }
+
+    splitTop(lex(statement)).foreach(execStmt)
+    last match {
+      case Left(df) => df
+      case Right(t) => spark.range(1).select(t.col.as("value"))
+    }
+  }
+
+  /** Tokens of a `{ … }` block whose opening brace is already consumed. */
+  private def blockBody(p: P): List[String] = {
+    val body = scala.collection.mutable.ListBuffer[String]()
+    var depth = 1
+    while (depth > 0) {
+      require(!p.done, "unterminated block: missing '}'")
+      val t = p.pop()
+      t match {
+        case "{" => depth += 1; body += t
+        case "}" => depth -= 1; if (depth > 0) body += t
+        case _   => body += t
+      }
+    }
+    body.toList
+  }
+
+  /** Split a token stream on top-level `;` (outside (), [], {}). */
+  private def splitTop(toks: List[String]): List[List[String]] = {
+    val out = scala.collection.mutable.ListBuffer[List[String]]()
+    val cur = scala.collection.mutable.ListBuffer[String]()
+    var depth = 0
+    toks.foreach {
+      case t @ ("(" | "[" | "{") => depth += 1; cur += t
+      case t @ (")" | "]" | "}") => depth -= 1; cur += t
+      case ";" if depth == 0 => out += cur.toList; cur.clear()
+      case t => cur += t
+    }
+    if (cur.nonEmpty) out += cur.toList
+    out.toList
+  }
+
+  /** Evaluate a table-free expression to a driver value (plan-only input;
+    * one-row job). */
+  private def evalScalar(spark: SparkSession, t: T): Any =
+    spark.range(1).select(t.col).collect()(0).get(0)
+
+  /** Re-literalize a driver value (eager-assignment rebinding). */
+  private def litOf(v: Any): T = v match {
+    case null            => T(lit(null), NullType)
+    case b: Boolean      => T(lit(b), BooleanType)
+    case i: Int          => T(lit(i.toLong), LongType)
+    case l: Long         => T(lit(l), LongType)
+    case f: Float        => T(lit(f.toDouble), DoubleType)
+    case d: Double       => T(lit(d), DoubleType)
+    case s: String       => T(lit(s), StringType)
+    case ts: java.sql.Timestamp => T(lit(ts), TimestampType)
+    case seq: scala.collection.Seq[_] =>
+      val vals = seq.toSeq
+      if (vals.forall(_.isInstanceOf[Long]))
+        T(typedLit(vals.map(_.asInstanceOf[Long])), ArrayType(LongType))
+      else if (vals.forall(v2 => v2.isInstanceOf[Double] || v2.isInstanceOf[Long]))
+        T(typedLit(vals.map {
+          case d: Double => d
+          case l: Long => l.toDouble
+          case other => throw new IllegalArgumentException(s"bad element $other")
+        }), ArrayType(DoubleType))
+      else if (vals.forall(_.isInstanceOf[String]))
+        T(typedLit(vals.map(_.asInstanceOf[String])), ArrayType(StringType))
+      else throw new IllegalArgumentException(
+        s"cannot rebind array of ${vals.headOption.map(_.getClass).getOrElse("?")}")
+    case other => throw new IllegalArgumentException(
+      s"cannot rebind ${other.getClass.getSimpleName} in assignment")
   }
 
   private def stopAtClause(p: P): Boolean =

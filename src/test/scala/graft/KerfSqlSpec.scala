@@ -120,6 +120,31 @@ class KerfSqlSpec extends SparkSpec {
               col("o_orderstatus") === "O").count()
     assert(got == want)
   }
+  // --- programs: assignment, def, control flow (TOKENS_IF/DEF, parser.h:466)
+
+  test("colon assignment is eager and rebinds as literal") {
+    assert(evalOne("x: 5; x * 3") == 15L)
+    assert(evalOne("v: til 5; {[x,y] x+y} fold v") == 10L)
+  }
+  test("def defines a named function usable in calls and adverbs") {
+    assert(evalOne("def sq(x) {x*x}; sq(7)") == 49L)
+    assert(evalOne("def sq(x) {x*x}; sq mapdown til 4") == Seq(0L, 1L, 4L, 9L))
+    assert(evalOne("def add2(x,y) {x+y}; add2 fold 1 2 3") == 6L)
+  }
+  test("if/else executes one branch, bindings escape the block") {
+    assert(evalOne("x: 5; if (x > 3) { y: 1 } else { y: 2 }; y") == 1L)
+    assert(evalOne("x: 2; if (x > 3) { y: 1 } else { y: 2 }; y") == 2L)
+  }
+  test("while loops with driver-side condition") {
+    assert(evalOne("i: 0; s: 0; while (i < 5) { s: s + i; i: i + 1 }; s") == 10L)
+  }
+  test("program returns the last statement's result, SQL included") {
+    init
+    val df = KerfSql.run(spark,
+      "n: 3; select o_orderkey from orders_v order o_orderkey limit 3")
+    assert(df.count() == 3)
+  }
+
   test("lexer rejects garbage instead of dropping it") {
     intercept[IllegalArgumentException] {
       KerfSql.run(spark, "select # from orders_v")
