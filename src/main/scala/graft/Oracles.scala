@@ -218,6 +218,12 @@ object Oracles {
     "q53_kerf_adverb" ->
       """SELECT CAST(sum(x * x) AS BIGINT) AS value FROM range(101) t(x)""",
 
+    "q56_variant_json" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                count(json_extract(props, '$.nope')) AS n_missing
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
     "q51_asof_fwd_tol" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value, event_type FROM events),
               clicks AS (SELECT user_id, event_id, ts_us FROM ev WHERE event_type = 'click'),

@@ -260,6 +260,21 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** ATLAS via VariantType (SURVEY §1.7 modern form): semi-structured
+    * props parsed once to Variant (binary-encoded, no schema inference
+    * pass), typed path access + missing-path null semantics. At 100 TB
+    * this beats per-query get_json_object re-parsing: parse once, access
+    * many. */
+  val q56_variant_json: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .withColumn("v", parse_json(col("props")))
+      .withColumn("k", variant_get(col("v"), "$.k", "bigint"))
+      .withColumn("missing", try_variant_get(col("v"), "$.nope", "bigint"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+           count(col("missing")).as("n_missing"))
+      .orderBy(col("event_type"))
+
   /** IN-subquery shape: orders of BUILDING-segment customers. */
   val q20_in_subquery: Q = (s, dir) => {
     val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
@@ -761,5 +776,6 @@ object Queries {
     "q53_kerf_adverb"    -> q53_kerf_adverb,
     "q54_dedup_clusters" -> q54_dedup_clusters,
     "q55_cosine_neardup" -> q55_cosine_neardup,
+    "q56_variant_json"   -> q56_variant_json,
   )
 }

@@ -62,6 +62,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("as-of forward + tolerance equal brute force on random data (both impls)") {
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 3) {
+      val keys = Seq("a", "b", "c")
+      val lefts = (0 until 40).map(i =>
+        (keys(rnd.nextInt(3)), rnd.nextInt(50).toLong, i.toLong))
+      val rights = rnd.shuffle(
+        (for (k <- keys :+ "d"; t <- 0 until 50) yield (k, t.toLong)).toList)
+        .take(25).map { case (k, t) => (k, t, rnd.nextDouble().round.toDouble + t) }
+      val l = lefts.toDF("k", "t", "lid")
+      val r = rights.toDF("k", "rt", "px")
+      val tol = 7L
+
+      val want = lefts.map { case (k, t, lid) =>
+        val cands = rights.filter(row =>
+          row._1 == k && row._2 >= t && row._2 - t <= tol)
+        lid -> (if (cands.isEmpty) None else Some(cands.minBy(_._2)._3))
+      }.toMap
+
+      def collectMap(df: org.apache.spark.sql.DataFrame) =
+        df.select("lid", "px").collect()
+          .map(row => row.getLong(0) ->
+            (if (row.isNullAt(1)) None else Some(row.getDouble(1)))).toMap
+
+      assert(collectMap(AsOf.join(l, r, Seq("k"), "t", "rt", Seq("px"),
+          forward = true, tolerance = Some(tol))) == want,
+        s"forward rewrite diverged on trial $trial")
+      assert(collectMap(AsOf.joinNative(l, r, Seq("k"), "t", "rt",
+          forward = true, tolerance = Some(tol))) == want,
+        s"forward native diverged on trial $trial")
+    }
+  }
+
   test("upsert idempotence: upserting the same batch twice == once") {
     val base = Seq((1, 10.0), (2, 20.0)).toDF("k", "v")
     val batch = Seq((2, 22.0), (3, 30.0)).toDF("k", "v")

@@ -170,6 +170,30 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-static enrichment: dim join inside the stream equals batch") {
+    import spark.implicits._
+    // the tick-enrichment idiom: a live feed joined to a small static
+    // dimension — Spark broadcasts the dim into every micro-batch
+    val dim = Seq(("click", 1.0), ("purchase", 5.0), ("view", 0.5),
+                  ("signup", 2.0), ("error", 0.0)).toDF("event_type", "weight")
+    val enriched = EventStream.readEvents(spark, sf)
+      .join(broadcast(dim), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,2)") * col("weight").cast("decimal(18,2)"))
+        .cast("double").as("weighted"))
+    val q = enriched.writeStream.outputMode("complete")
+      .format("memory").queryName("t_enrich").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("t_enrich").orderBy("event_type").collect().toSeq
+    val want = Tables.events(spark, sf)
+      .join(broadcast(dim), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,2)") * col("weight").cast("decimal(18,2)"))
+        .cast("double").as("weighted"))
+      .orderBy("event_type").collect().toSeq
+    assert(got == want)
+  }
+
   test("last-tick state keeps the latest value per user") {
     val out = EventStream.lastTicks(Tables.events(spark, sf))
     val got = out.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
