@@ -42,6 +42,12 @@ object Verbs {
   def sub(ta: DataType, tb: DataType)(a: Column, b: Column): Column =
     pervade(ta, tb)(a, b)(_ - _)
 
-  /** range/til (verbs.cc:86–91): lazy affine sequence as an array column. */
-  def rangeArr(n: Column): Column = sequence(lit(0L), n.cast("long") - 1L)
+  /** range/til (verbs.cc:86–91): lazy affine sequence as an array column.
+    * range(0) is EMPTY (test.cc:350) — unguarded, sequence(0, -1) would
+    * count DOWN (Spark defaults step to -1 when start > stop). */
+  def rangeArr(n: Column): Column = {
+    val nn = n.cast("long")
+    when(nn <= 0, array().cast("array<bigint>"))
+      .otherwise(sequence(lit(0L), nn - 1L))
+  }
 }

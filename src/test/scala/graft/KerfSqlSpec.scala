@@ -82,6 +82,19 @@ class KerfSqlSpec extends SparkSpec {
     assert(evalOne("{[x,y] x*y}(6, 7)") == 42L)
     assert(evalOne("{[x,y] x+y} fold {[x] x*x} mapdown til 101") == 338350L)
   }
+  test("pervasive arithmetic goldens through text (test.cc:239–350)") {
+    assert(evalOne("13 - 13 - 13 - 13") == -26L)              // left-assoc
+    assert(evalOne("0 - 13 - 13 - 13 - 13") == -52L)
+    assert(evalOne("1 2 3 + 50 60 70") == Seq(51L, 62L, 73L)) // list+list
+    assert(evalOne("3 + 10 20") == Seq(13L, 23L))             // unit+list
+    assert(evalOne("[[10,20],[110,120]] + 3") ==
+      Seq(Seq(13L, 23L), Seq(113L, 123L)))                    // nested pervade
+    assert(evalOne("[[13,23],[113,123]] + [[13,23],[113,123]]") ==
+      Seq(Seq(26L, 46L), Seq(226L, 246L)))
+    assert(evalOne("1.2 + 3.4") == (1.2 + 3.4))
+    assert(evalOne("til 0") == Seq())                         // range(0) empty
+  }
+
   test("vector literals: juxtaposed and JSON-style agree") {
     assert(evalOne("1 2 3") == Seq(1L, 2L, 3L))
     assert(evalOne("[1, 2, 3]") == Seq(1L, 2L, 3L))
