@@ -218,6 +218,54 @@ object Oracles {
     "q53_kerf_adverb" ->
       """SELECT CAST(sum(x * x) AS BIGINT) AS value FROM range(101) t(x)""",
 
+    "q31_lang_id" ->
+      // mirrors TextOps.languageId exactly: one longest-first alternation
+      // extract (markers are literal text — no regex metachars, and both
+      // Java regex and RE2 alternations are leftmost-first), per-language
+      // in-row hit counts, argmax with largest-language tie-break
+      """WITH hits AS (
+           SELECT doc_id,
+                  regexp_extract_all(' ' || lower(text) || ' ', ' der | des | est | les | los | que | and | die | the | und | el | de | le | of |ción|ing|sch|ch|ou|th|不|了|在|是|的') AS hs
+           FROM documents),
+         scores AS (
+           SELECT doc_id,
+                  len(list_filter(hs, h -> h IN (' der ', ' und ', ' die ', 'sch', 'ch'))) AS s_de,
+                  len(list_filter(hs, h -> h IN (' the ', ' and ', ' of ', 'th', 'ing'))) AS s_en,
+                  len(list_filter(hs, h -> h IN (' el ', ' los ', ' de ', ' que ', 'ción'))) AS s_es,
+                  len(list_filter(hs, h -> h IN (' le ', ' les ', ' des ', ' est ', 'ou'))) AS s_fr,
+                  len(list_filter(hs, h -> h IN ('的', '是', '了', '在', '不'))) AS s_zh
+           FROM hits),
+         best AS (
+           SELECT doc_id,
+                  greatest(s_de, s_en, s_es, s_fr, s_zh) AS score,
+                  CASE greatest(s_de, s_en, s_es, s_fr, s_zh)
+                    WHEN s_zh THEN 'zh' WHEN s_fr THEN 'fr' WHEN s_es THEN 'es'
+                    WHEN s_en THEN 'en' WHEN s_de THEN 'de' END AS pred_lang
+           FROM scores)
+         SELECT pred_lang, count(*) AS n,
+                CAST(sum(score) AS BIGINT) AS total_score
+         FROM best GROUP BY pred_lang ORDER BY pred_lang""",
+
+    "q34_ngram_jaccard" ->
+      // mirrors Dedup.tokens/shinglesFromTokens(n=2) + exact Jaccard on
+      // the bounded sample — same normalize/split/distinct pipeline
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents WHERE doc_id < 40),
+         sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))])
+                  END AS s
+           FROM toks)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                      CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                     CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) > 0.02
+         ORDER BY id_a, id_b""",
+
     "q56_variant_json" ->
       """SELECT event_type, count(*) AS n,
                 CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
