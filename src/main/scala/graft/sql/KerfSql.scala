@@ -177,8 +177,23 @@ object KerfSql {
     def apply(args: Seq[T]): T = {
       require(args.length == params.length,
         s"lambda expects ${params.length} args (${params.mkString(",")}), got ${args.length}")
-      val p2 = new P(body)
-      val t = parseExpr(p2, defEnv.bind(params.zip(args)))
+      var env = defEnv.bind(params.zip(args))
+      val stmts = splitTop(body)
+      // leading `name: expr` statements are LAZY let-bindings (pure plan
+      // composition — they may reference lambda vars, so no driver
+      // evaluation here, unlike top-level colon assignment)
+      stmts.init.foreach { st =>
+        val p2 = new P(st)
+        val name = p2.pop()
+        require(p2.peek.contains(":"),
+          s"lambda body statement must be a let-binding: ${st.mkString(" ")}")
+        p2.pop()
+        val t = parseExpr(p2, env)
+        require(p2.done, s"trailing tokens in let-binding: ${p2.toks.mkString(" ")}")
+        env = env.bind(Seq(name -> t))
+      }
+      val p2 = new P(stmts.last)
+      val t = parseExpr(p2, env)
       require(p2.done, s"trailing tokens in lambda body: ${p2.toks.mkString(" ")}")
       t
     }

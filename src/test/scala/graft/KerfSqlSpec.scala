@@ -82,6 +82,10 @@ class KerfSqlSpec extends SparkSpec {
     assert(evalOne("{[x,y] x*y}(6, 7)") == 42L)
     assert(evalOne("{[x,y] x+y} fold {[x] x*x} mapdown til 101") == 338350L)
   }
+  test("lambda bodies support let-bindings over lambda vars") {
+    assert(evalOne("{[x] y: x*x; y + x} mapdown til 4") == Seq(0L, 2L, 6L, 12L))
+    assert(evalOne("{[a,b] s: a+b; d: a-b; s*d}(5, 3)") == 16L)
+  }
   test("pervasive arithmetic goldens through text (test.cc:239–350)") {
     assert(evalOne("13 - 13 - 13 - 13") == -26L)              // left-assoc
     assert(evalOne("0 - 13 - 13 - 13 - 13") == -52L)
