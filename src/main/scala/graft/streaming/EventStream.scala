@@ -124,6 +124,58 @@ object EventStream {
     }
   }
 
+  // ----- streaming as-of: trade enriched with the latest quote -----
+
+  case class MarketRow(user_id: Long, ts_ns: Long, kind: String, value: Double)
+  case class LastQuote(ts_ns: Long, value: Double)
+  case class EnrichedTrade(user_id: Long, ts_ns: Long, trade_value: Double,
+                           quote_ts_ns: Option[Long], quote_value: Option[Double])
+
+  /** Streaming BACKWARD AS-OF: each trade ("t" row) is enriched with the
+    * latest quote ("q" row) at-or-before its event time, per key — the
+    * realtime half of the tick-DB as-of join (the batch halves are
+    * `ops.AsOf.join/joinNative`). State per key is ONE quote row —
+    * the same O(1) bound as the native exec's merge cursor.
+    *
+    * Within a micro-batch rows are processed in event-time order (quotes
+    * first on ties — non-strict `<=` semantics, same as the batch op);
+    * across batches ordering is arrival order, the streaming reality — a
+    * quote arriving after a later-ts quote is ignored rather than
+    * regressing state. */
+  class AsOfEnrichProcessor extends StatefulProcessor[Long, MarketRow, EnrichedTrade] {
+    @transient private var quote: ValueState[LastQuote] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      quote = getHandle.getValueState[LastQuote]("quote",
+        Encoders.product[LastQuote], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[MarketRow],
+                                 tv: TimerValues): Iterator[EnrichedTrade] = {
+      val out = List.newBuilder[EnrichedTrade]
+      rows.toSeq.sortBy(r => (r.ts_ns, r.kind)).foreach { r =>
+        if (r.kind == "q") {
+          if (!quote.exists() || quote.get().ts_ns <= r.ts_ns)
+            quote.update(LastQuote(r.ts_ns, r.value))
+        } else {
+          val m = (if (quote.exists()) Some(quote.get()) else None)
+            .filter(_.ts_ns <= r.ts_ns)
+          out += EnrichedTrade(key, r.ts_ns, r.value, m.map(_.ts_ns), m.map(_.value))
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Input columns: (user_id, ts_ns, kind∈{"q","t"}, value). */
+  def asOfEnrich(stream: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col("user_id"), col("ts_ns"), col("kind"), col("value")).as[MarketRow]
+      .groupByKey(_.user_id)
+      .transformWithState(new AsOfEnrichProcessor, TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
   /** Last-tick via transformWithState (the mapGroupsWithState successor).
     * Emits the updated current-value row per key per micro-batch.
     *

@@ -194,6 +194,67 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming as-of enrichment equals the batch native as-of join") {
+    withRocksDb {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      // clicks = trades, purchases = quotes, from the real fixture
+      val ev = Tables.events(spark, sf)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts_ns"),
+          when(col("event_type") === "purchase", "q").otherwise("t").as("kind"),
+          col("value"))
+      val rows = ev.as[EventStream.MarketRow].collect().toSeq
+
+      val input = MemoryStream[EventStream.MarketRow]
+      val q = EventStream.asOfEnrich(input.toDF())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("t_asof_enrich").start()
+      try { input.addData(rows); q.processAllAvailable() } finally q.stop()
+
+      val got = spark.table("t_asof_enrich")
+        .orderBy("user_id", "ts_ns")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+
+      val trades = ev.filter(col("kind") === "t")
+        .select(col("user_id"), col("ts_ns"), col("value").as("trade_value"))
+      val quotes = ev.filter(col("kind") === "q")
+        .select(col("user_id"), col("ts_ns").as("q_ts"), col("value").as("quote_value"))
+      val want = graft.ops.AsOf.joinNative(trades, quotes, Seq("user_id"), "ts_ns", "q_ts")
+        .orderBy("user_id", "ts_ns")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+      assert(got == want)
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("streaming as-of: state carries across micro-batches") {
+    withRocksDb {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[EventStream.MarketRow]
+      val q = EventStream.asOfEnrich(input.toDF())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("t_asof_cross").start()
+      try {
+        input.addData(EventStream.MarketRow(1L, 10L, "q", 100.0))
+        q.processAllAvailable()
+        input.addData(EventStream.MarketRow(1L, 15L, "t", 7.0),  // matches quote@10
+                      EventStream.MarketRow(2L, 15L, "t", 8.0))  // no quote → null
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("t_asof_cross").orderBy("user_id").collect()
+      assert(got.length == 2)
+      assert(got(0).getLong(0) == 1L && got(0).getLong(3) == 10L &&
+             got(0).getDouble(4) == 100.0)
+      assert(got(1).getLong(0) == 2L && got(1).isNullAt(3))
+    }
+  }
+
   test("last-tick state keeps the latest value per user") {
     val out = EventStream.lastTicks(Tables.events(spark, sf))
     val got = out.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
