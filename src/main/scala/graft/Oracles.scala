@@ -266,6 +266,45 @@ object Oracles {
                      CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) > 0.02
          ORDER BY id_a, id_b""",
 
+    "q57_corpus_clean" ->
+      // composition of the proven q31 (language), q27 (token/char counts)
+      // and q25 (normalized-md5 dedup) formulas
+      """WITH hits AS (
+           SELECT doc_id,
+                  regexp_extract_all(' ' || lower(text) || ' ', ' der | des | est | les | los | que | and | die | the | und | el | de | le | of |ción|ing|sch|ch|ou|th|不|了|在|是|的') AS hs
+           FROM documents),
+         scores AS (
+           SELECT doc_id,
+                  len(list_filter(hs, h -> h IN (' der ', ' und ', ' die ', 'sch', 'ch'))) AS s_de,
+                  len(list_filter(hs, h -> h IN (' the ', ' and ', ' of ', 'th', 'ing'))) AS s_en,
+                  len(list_filter(hs, h -> h IN (' el ', ' los ', ' de ', ' que ', 'ción'))) AS s_es,
+                  len(list_filter(hs, h -> h IN (' le ', ' les ', ' des ', ' est ', 'ou'))) AS s_fr,
+                  len(list_filter(hs, h -> h IN ('的', '是', '了', '在', '不'))) AS s_zh
+           FROM hits),
+         best AS (
+           SELECT doc_id,
+                  CASE greatest(s_de, s_en, s_es, s_fr, s_zh)
+                    WHEN s_zh THEN 'zh' WHEN s_fr THEN 'fr' WHEN s_es THEN 'es'
+                    WHEN s_en THEN 'en' WHEN s_de THEN 'de' END AS pred_lang
+           FROM scores),
+         q AS (
+           SELECT doc_id, length(text) AS n_chars,
+                  CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+           FROM documents),
+         keep AS (
+           SELECT doc_id FROM (
+             SELECT doc_id, row_number() OVER (
+               PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               ORDER BY doc_id) AS rk
+             FROM documents) WHERE rk = 1)
+         SELECT best.pred_lang, count(*) AS n_docs,
+                CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens,
+                CAST(sum(q.n_chars) AS BIGINT) AS total_chars
+         FROM q JOIN best USING (doc_id) JOIN keep USING (doc_id)
+         WHERE q.n_tokens >= 20
+         GROUP BY best.pred_lang ORDER BY pred_lang""",
+
     "q56_variant_json" ->
       """SELECT event_type, count(*) AS n,
                 CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -718,6 +718,52 @@ object Queries {
   val q53_kerf_adverb: Q = (s, _) =>
     sql.KerfSql.run(s, "{[x,y] x+y} fold {[x] x*x} mapdown til 101")
 
+  /** END-TO-END corpus cleaning (the north-star composition): quality
+    * filter → language ID → exact dedup (keep min-id witness) → per-
+    * language corpus stats. Every stage is the library op the standalone
+    * queries exercise; the whole pipeline is one declarative plan —
+    * Catalyst fuses the three map-side feature passes over one scan. */
+  val q57_corpus_clean: Q = (s, dir) => {
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    val quality = llm.TextOps.qualityFeatures(docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"), col("n_chars"))
+    val lang = llm.TextOps.languageId(docs, "doc_id", "text")
+      .select(col("doc_id"), col("pred_lang"))
+    val keep = docs
+      .select(col("doc_id"), llm.Dedup.normText(col("text")).as("__norm"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("__norm"))).orderBy(col("doc_id"))))
+      .filter(col("__rk") === 1).select("doc_id")
+    quality.join(lang, Seq("doc_id")).join(keep, Seq("doc_id"))
+      .filter(col("n_tokens") >= 20)
+      .groupBy(col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("total_tokens"),
+           sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("pred_lang"))
+  }
+
+  /** Group-level set similarity via the MERGEABLE minhash sketch
+    * aggregate (custom TypedImperativeAggregate): one partial-merged pass
+    * builds a 64-slot signature per source; pairwise source similarity is
+    * then signature-slot agreement over the tiny sketch table (sources ≈
+    * dozens — the cross join is over sketches, never over documents). */
+  val q58_group_sketch: Q = (s, dir) => {
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    val sigs = docs
+      .select(col("source"), llm.Dedup.normText(col("text")).as("__t"))
+      .groupBy(col("source"))
+      .agg(functions.MinHashAgg.minhash(col("__t"), 64).as("sig"))
+    val a = sigs.select(col("source").as("src_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("source").as("src_b"), col("sig").as("sig_b"))
+    a.crossJoin(b).filter(col("src_a") < col("src_b"))
+      .withColumn("est_jaccard",
+        round(functions.MinHashAgg.estJaccard(col("sig_a"), col("sig_b"), 64), 6))
+      .select(col("src_a"), col("src_b"), col("est_jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -777,5 +823,7 @@ object Queries {
     "q54_dedup_clusters" -> q54_dedup_clusters,
     "q55_cosine_neardup" -> q55_cosine_neardup,
     "q56_variant_json"   -> q56_variant_json,
+    "q57_corpus_clean"   -> q57_corpus_clean,
+    "q58_group_sketch"   -> q58_group_sketch,
   )
 }

@@ -36,6 +36,37 @@ class ExtensionSpec extends SparkSpec {
     assert(got)
   }
 
+  test("MinHashAgg sketch == column-algebra minhash signature (same hash family)") {
+    import graft.functions.MinHashAgg
+    import spark.implicits._
+    val items = Seq(
+      ("g1", "alpha"), ("g1", "beta"), ("g1", "gamma"),
+      ("g2", "beta"), ("g2", "delta"),
+      ("g3", "alpha"), ("g3", "beta"), ("g3", "gamma")) // == g1's set
+      .toDF("grp", "item")
+    val viaAgg = items.groupBy("grp")
+      .agg(MinHashAgg.minhash(col("item"), 16).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val viaCols = items.groupBy("grp")
+      .agg(collect_list(col("item")).as("its"))
+      .select(col("grp"), graft.llm.Dedup.minhashSignature(
+        transform(col("its"), i => xxhash64(i)), 16).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(viaAgg == viaCols)
+    assert(viaAgg("g1") == viaAgg("g3")) // identical sets → identical sketch
+    assert(viaAgg("g1") != viaAgg("g2"))
+  }
+
+  test("MinHashAgg is partition-invariant (partial merge + serde path)") {
+    import graft.functions.MinHashAgg
+    import spark.implicits._
+    val items = (0 until 500).map(i => ("g" + (i % 3), "item" + (i % 50))).toDF("grp", "item")
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("grp").agg(MinHashAgg.minhash(col("item"), 32).as("sig"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(items.repartition(13)) == sigs(items.coalesce(1)))
+  }
+
   test("OHLC Aggregator matches min_by/max_by formulation (q38)") {
     import OhlcAggregator._
     val ev = Tables.events(spark, sf)
