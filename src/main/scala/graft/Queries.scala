@@ -725,18 +725,17 @@ object Queries {
     * Catalyst fuses the three map-side feature passes over one scan. */
   val q57_corpus_clean: Q = (s, dir) => {
     val docs = Tables.fanOut(Tables.documents(s, dir))
-    val quality = llm.TextOps.qualityFeatures(docs, "doc_id", "text")
-      .select(col("doc_id"), col("n_tokens"), col("n_chars"))
-    val lang = llm.TextOps.languageId(docs, "doc_id", "text")
-      .select(col("doc_id"), col("pred_lang"))
-    val keep = docs
-      .select(col("doc_id"), llm.Dedup.normText(col("text")).as("__norm"))
+      .select(col("doc_id"), col("text"))
+    // all feature passes are projections over ONE scan (the with* forms
+    // preserve columns — no self-joins); the only shuffles are the dedup
+    // window and the final aggregate
+    val feats = llm.TextOps.withLanguageId(
+        llm.TextOps.withQualityFeatures(docs, "text"), "text")
+      .withColumn("__norm", llm.Dedup.normText(col("text")))
       .withColumn("__rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(md5(col("__norm"))).orderBy(col("doc_id"))))
-      .filter(col("__rk") === 1).select("doc_id")
-    quality.join(lang, Seq("doc_id")).join(keep, Seq("doc_id"))
-      .filter(col("n_tokens") >= 20)
+    feats.filter(col("__rk") === 1 && col("n_tokens") >= 20)
       .groupBy(col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"),
            sum(col("n_tokens")).as("total_tokens"),

@@ -27,23 +27,30 @@ object TextOps {
   /** Heuristic quality features: length, token stats, punctuation /
     * stopword / uppercase ratios. Ratios are exact divisions of exact
     * integer counts — deterministic across engines. */
-  def qualityFeatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Append the quality-feature columns, PRESERVING existing ones — the
+    * composable form: a pipeline stacking several feature passes stays
+    * ONE scan (each pass is a projection, not a join). */
+  def withQualityFeatures(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     val toks = tokenCount(t)
     val chars = length(t)
-    docs.select(
-      col(idCol),
-      chars.cast("long").as("n_chars"),
-      toks.cast("long").as("n_tokens"),
-      (chars.cast("double") / greatest(toks, lit(1)).cast("double")).as("avg_token_len"),
-      (size(regexp_extract_all(t, lit("[.,!?;:]"), lit(0))).cast("double") /
-        greatest(chars, lit(1)).cast("double")).as("punct_ratio"),
-      (size(regexp_extract_all(t, lit("[A-Z]"), lit(0))).cast("double") /
-        greatest(chars, lit(1)).cast("double")).as("upper_ratio"),
-      (size(filter(split(lower(t), "\\s+"),
+    df.withColumns(Map(
+      "n_chars" -> chars.cast("long"),
+      "n_tokens" -> toks.cast("long"),
+      "avg_token_len" -> (chars.cast("double") / greatest(toks, lit(1)).cast("double")),
+      "punct_ratio" -> (size(regexp_extract_all(t, lit("[.,!?;:]"), lit(0))).cast("double") /
+        greatest(chars, lit(1)).cast("double")),
+      "upper_ratio" -> (size(regexp_extract_all(t, lit("[A-Z]"), lit(0))).cast("double") /
+        greatest(chars, lit(1)).cast("double")),
+      "stopword_ratio" -> (size(filter(split(lower(t), "\\s+"),
         w => w.isInCollection(stopwords))).cast("double") /
-        greatest(toks, lit(1)).cast("double")).as("stopword_ratio"))
+        greatest(toks, lit(1)).cast("double"))))
   }
+
+  def qualityFeatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    withQualityFeatures(docs, textCol)
+      .select(col(idCol), col("n_chars"), col("n_tokens"), col("avg_token_len"),
+              col("punct_ratio"), col("upper_ratio"), col("stopword_ratio"))
 
   /** Character-frequency language-ID heuristic: scores each candidate
     * language by frequency of its marker n-grams, argmax wins. A toy
@@ -71,7 +78,9 @@ object TextOps {
     * language's score is then an in-row count over that (small) hit
     * array. Round 1 ran one `regexp_count` scan per language — 5 full
     * passes over every doc on the hot text path. */
-  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Append `pred_lang`/`score`, preserving existing columns (staged
+    * through real projections — the lambda-CSE discipline). */
+  def withLanguageId(df: DataFrame, textCol: String): DataFrame = {
     val master = langMarkers.values.flatten.toSeq.distinct
       .sortBy(m => (-m.length, m))                    // longest-first ≈ longest-match
       .map(java.util.regex.Pattern.quote).mkString("|")
@@ -79,15 +88,17 @@ object TextOps {
       struct(size(filter(col("__hits"), h => h.isInCollection(ms))).as("score"),
              lit(lang).as("lang"))
     }
-    docs
-      .select(col(idCol), concat(lit(" "), lower(col(textCol)), lit(" ")).as("__padded"))
-      .select(col(idCol),
-        regexp_extract_all(col("__padded"), lit(master), lit(0)).as("__hits"))
-      .select(col(idCol), array_max(array(scored: _*)).as("__best"))
-      .select(col(idCol),
-        col("__best").getField("lang").as("pred_lang"),
-        col("__best").getField("score").as("score"))
+    df.withColumn("__padded", concat(lit(" "), lower(col(textCol)), lit(" ")))
+      .withColumn("__hits", regexp_extract_all(col("__padded"), lit(master), lit(0)))
+      .withColumn("__best", array_max(array(scored: _*)))
+      .withColumn("pred_lang", col("__best").getField("lang"))
+      .withColumn("score", col("__best").getField("score"))
+      .drop("__padded", "__hits", "__best")
   }
+
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    withLanguageId(docs, textCol)
+      .select(col(idCol), col("pred_lang"), col("score"))
 
   /** Winnowing-style document fingerprint: k-gram rolling hashes, keep the
     * min hash in each window of w consecutive k-grams → compact sketch of

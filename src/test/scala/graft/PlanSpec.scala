@@ -75,6 +75,12 @@ class PlanSpec extends SparkSpec {
       s"banded/hashed intermediates not cached (3x recompute):\n$p")
   }
 
+  test("q57: corpus-clean composition is ONE scan (features are projections)") {
+    val p = planOf("q57_corpus_clean")
+    val scans = "Scan parquet|FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"feature passes re-scanned the corpus ($scans scans):\n$p")
+  }
+
   test("q52: text-front-end span filter pushes to the parquet scan") {
     val p = planOf("q52_kerf_text")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
