@@ -90,7 +90,10 @@ object Folio {
     * nothing). A crash at ANY earlier point leaves a stale `vN`/tmp dir
     * on disk but readers still resolve the old version. Local-FS model of
     * the object-store "write new immutable version, CAS the catalog
-    * pointer" protocol a 100 TB folio store uses. */
+    * pointer" protocol a 100 TB folio store uses. SINGLE WRITER per folio
+    * (the reference's FILE_REGISTRY lock, kept as a protocol rule here):
+    * concurrent promoters are last-pointer-wins, with the loser's data in
+    * an orphaned version dir. */
   private def publishVersion(df: DataFrame, path: String, n: Long): Unit = {
     val vname = f"v$n%08d"
     df.write.mode(SaveMode.Overwrite).parquet(s"$path/$vname")

@@ -542,9 +542,9 @@ object KerfSql {
       if (toks.isEmpty) return
       val p = new P(toks)
       toks.head.toLowerCase match {
-        case "select" => p.pop(); last = Left(runSelect(spark, p))
-        case "update" => p.pop(); last = Left(runUpdate(spark, p))
-        case "delete" => p.pop(); last = Left(runDelete(spark, p))
+        case "select" => p.pop(); last = Left(runSelect(spark, p, vars.toMap))
+        case "update" => p.pop(); last = Left(runUpdate(spark, p, vars.toMap))
+        case "delete" => p.pop(); last = Left(runDelete(spark, p, vars.toMap))
         case h @ ("insert" | "upsert") => p.pop(); last = Left(runMerge(spark, p, h == "upsert"))
         case "def" =>
           p.pop()
@@ -698,10 +698,11 @@ object KerfSql {
     None
   }
 
-  private def runSelect(spark: SparkSession, p: P): DataFrame = {
+  private def runSelect(spark: SparkSession, p: P,
+                        programVars: Map[String, T] = Map.empty): DataFrame = {
     val env = fromTable(p.toks)
-      .map(t => new Env(Some(spark.table(t).schema), Map.empty))
-      .getOrElse(emptyEnv)
+      .map(t => new Env(Some(spark.table(t).schema), programVars))
+      .getOrElse(new Env(None, programVars))
     val star = p.peekIs("*")
     val items = if (star) { p.pop(); Nil } else parseExprList(p, env)(stopAtClause(p))
     p.expect("from")
@@ -723,7 +724,17 @@ object KerfSql {
       p.pop()
       df = df.orderBy(parseOrderCols(p): _*)
     }
-    if (p.peekIs("limit")) { p.pop(); df = df.limit(p.pop().toInt) }
+    if (p.peekIs("limit")) {
+      p.pop()
+      val t = p.pop()
+      val n =
+        if (t.matches("""\d+""")) t.toInt
+        else evalScalar(spark, resolveIdent(t, env)) match {
+          case num: Number => num.intValue()
+          case other => throw new IllegalArgumentException(s"limit needs a number, got $other")
+        }
+      df = df.limit(n)
+    }
     df
   }
 
@@ -749,9 +760,10 @@ object KerfSql {
     cols.toSeq
   }
 
-  private def runUpdate(spark: SparkSession, p: P): DataFrame = {
+  private def runUpdate(spark: SparkSession, p: P,
+                        programVars: Map[String, T] = Map.empty): DataFrame = {
     val df = spark.table(p.pop())
-    val env = new Env(Some(df.schema), Map.empty)
+    val env = new Env(Some(df.schema), programVars)
     p.expect("set")
     val sets = scala.collection.mutable.ArrayBuffer[(String, Column)]()
     var more = true
@@ -763,10 +775,11 @@ object KerfSql {
     graft.ops.TableOps.update(df, pred, sets.toSeq: _*)
   }
 
-  private def runDelete(spark: SparkSession, p: P): DataFrame = {
+  private def runDelete(spark: SparkSession, p: P,
+                        programVars: Map[String, T] = Map.empty): DataFrame = {
     p.expect("from")
     val df = spark.table(p.pop())
-    val env = new Env(Some(df.schema), Map.empty)
+    val env = new Env(Some(df.schema), programVars)
     val pred = if (p.peekIs("where")) { p.pop(); parseExpr(p, env).col } else lit(true)
     graft.ops.TableOps.delete(df, pred)
   }

@@ -161,6 +161,17 @@ class KerfSqlSpec extends SparkSpec {
       "n: 3; select o_orderkey from orders_v order o_orderkey limit 3")
     assert(df.count() == 3)
   }
+  test("program variables are visible inside SQL statements") {
+    init
+    val df = KerfSql.run(spark,
+      "n: 2; select o_orderkey from orders_v order o_orderkey limit n")
+    assert(df.count() == 2)
+    val got = KerfSql.run(spark,
+      "thr: 100000; select count(*) as n from orders_v where o_totalprice < thr")
+      .collect()(0).getLong(0)
+    val want = Tables.orders(spark, sf).filter(col("o_totalprice") < 100000).count()
+    assert(got == want)
+  }
 
   test("lexer rejects garbage instead of dropping it") {
     intercept[IllegalArgumentException] {
