@@ -43,11 +43,21 @@ object EventStream {
 
   /** Run a streaming aggregation to completion against the bounded
     * fixture and hand back the result as a normal DataFrame (memory
-    * sink). This is the bridge Verify/tests use. */
+    * sink). This is the bridge Verify/tests use.
+    *
+    * State-partition count is pinned low for the replay: it is fixed at
+    * QUERY START (not per batch), and 32 near-empty state stores cost
+    * more per micro-batch than 4 full ones at replay volume. A live
+    * deployment sizes it to keys×state instead. */
   def runToCompletion(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
-    val q = agg.writeStream.outputMode(OutputMode.Complete())
-      .format("memory").queryName(name).start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try {
+      val q = agg.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    } finally spark.conf.set(key, prev)
     spark.table(name)
   }
 
