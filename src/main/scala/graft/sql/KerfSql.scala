@@ -479,10 +479,10 @@ object KerfSql {
     }
   }
 
-  /** A select-list entry: the Column, its auto/explicit alias, and its
-    * source tokens (used to drop bare group columns from the agg list —
-    * groupBy().agg() auto-includes the keys). */
-  private case class Item(col: Column, srcToks: List[String])
+  /** A select/group-list entry: the Column, its source tokens and alias
+    * (used to drop group items from the agg list — groupBy().agg()
+    * auto-includes the keys). */
+  private case class Item(col: Column, srcToks: List[String], alias: String)
 
   private def parseSelectItem(p: P, env: Env): Item = {
     val start = p.toks
@@ -491,7 +491,7 @@ object KerfSql {
     val alias =
       if (p.peekIs("as")) { p.pop(); p.pop() }
       else src.mkString("_").replaceAll("[^A-Za-z0-9_]", "_")
-    Item(e.col.as(alias), src)
+    Item(e.col.as(alias), src, alias)
   }
 
   private def parseExprList(p: P, env: Env)(stop: => Boolean): Seq[Item] = {
@@ -708,15 +708,20 @@ object KerfSql {
     p.expect("from")
     var df = spark.table(p.pop())
     if (p.peekIs("where")) { p.pop(); df = df.filter(parseExpr(p, env).col) }
-    val groupNames =
-      if (p.peekIs("group")) { p.pop(); parseGroupNames(p) } else Nil
+    val groupItems =
+      if (p.peekIs("group")) { p.pop(); parseGroupItems(p, env) } else Nil
     df =
-      if (groupNames.nonEmpty) {
-        // bare group-column items are auto-included by groupBy().agg()
+      if (groupItems.nonEmpty) {
+        // group items matching a select item (same source tokens, or the
+        // select item is just the group alias) are auto-included by
+        // groupBy().agg()
+        val groupSrc = groupItems.map(_.srcToks).toSet
+        val groupAliases = groupItems.map(_.alias).toSet
         val aggs = items.filterNot(i =>
-          i.srcToks.lengthCompare(1) == 0 && groupNames.contains(i.srcToks.head))
+          groupSrc.contains(i.srcToks) ||
+          (i.srcToks.lengthCompare(1) == 0 && groupAliases.contains(i.srcToks.head)))
         require(aggs.nonEmpty, "grouped select needs at least one aggregate")
-        df.groupBy(groupNames.map(col): _*).agg(aggs.head.col, aggs.tail.map(_.col): _*)
+        df.groupBy(groupItems.map(_.col): _*).agg(aggs.head.col, aggs.tail.map(_.col): _*)
       }
       else if (items.nonEmpty) df.select(items.map(_.col): _*)
       else df
@@ -738,15 +743,10 @@ object KerfSql {
     df
   }
 
-  private def parseGroupNames(p: P): Seq[String] = {
-    val names = scala.collection.mutable.ArrayBuffer[String]()
-    var more = true
-    while (more) {
-      names += p.pop()
-      if (p.peekIs(",")) p.pop() else more = false
-    }
-    names.toSeq
-  }
+  /** `group a, b % 3 as bucket` — full expressions with optional aliases
+    * (Kerf groups by computed keys: time buckets, mod classes, …). */
+  private def parseGroupItems(p: P, env: Env): Seq[Item] =
+    parseExprList(p, env)(stopAtClause(p))
 
   /** `order a, -b` — q-style leading minus for descending. */
   private def parseOrderCols(p: P): Seq[Column] = {

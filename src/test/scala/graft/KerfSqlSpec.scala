@@ -161,6 +161,19 @@ class KerfSqlSpec extends SparkSpec {
       "n: 3; select o_orderkey from orders_v order o_orderkey limit 3")
     assert(df.count() == 3)
   }
+  test("group by computed expression with alias") {
+    init
+    val got = KerfSql.run(spark,
+      "select count(*) as n, sum(o_totalprice) as total " +
+      "from orders_v group o_orderkey % 3 as bucket order bucket")
+    assert(got.columns.toSeq == Seq("bucket", "n", "total"))
+    val want = Tables.orders(spark, sf)
+      .groupBy((col("o_orderkey") % 3).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total"))
+      .orderBy("bucket")
+    assert(got.collect().toSeq == want.collect().toSeq)
+  }
+
   test("program variables are visible inside SQL statements") {
     init
     val df = KerfSql.run(spark,
