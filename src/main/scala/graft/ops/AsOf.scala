@@ -87,10 +87,16 @@ object AsOf {
                  strict: Boolean = false, tolerance: Option[Long] = None,
                  forward: Boolean = false): DataFrame = {
     import org.apache.spark.sql.GraftColumnGlue._
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
     val spark = left.sparkSession
-    require(left.schema(leftTs).dataType == org.apache.spark.sql.types.LongType &&
-            right.schema(rightTs).dataType == org.apache.spark.sql.types.LongType,
-      "joinNative expects LongType ts columns (epoch ns/µs)")
+    // timestamps are µs-longs internally, so the merge exec reads them
+    // via getLong either way; anything else has no defined merge axis
+    val okTypes: Set[org.apache.spark.sql.types.DataType] =
+      Set(LongType, TimestampType, TimestampNTZType)
+    val lt = left.schema(leftTs).dataType
+    val rt = right.schema(rightTs).dataType
+    require(okTypes.contains(lt) && rt == lt,
+      s"joinNative expects matching LongType (epoch ns/µs) or Timestamp ts columns, got $lt/$rt")
     // Re-alias the whole right side: in the self-join case both inputs
     // share attribute exprIds (same lineage), which would make the
     // combined output ambiguous. toDF() allocates fresh exprIds.

@@ -596,11 +596,21 @@ object KerfSql {
         case name if toks.lengthCompare(1) > 0 && toks(1) == ":" &&
                      name.matches("[A-Za-z_][A-Za-z0-9_.]*") =>
           p.pop(); p.pop() // name :
-          val t = parseExpr(p, env)
-          require(p.done, s"trailing tokens in assignment: ${p.toks.mkString(" ")}")
-          val bound = litOf(evalScalar(spark, t)) // eager (REPL) semantics
-          vars(name) = bound
-          last = Right(bound)
+          if (p.peekIs("select")) {
+            // table-valued variable: the result registers as a temp view,
+            // so later statements can `from` it by name
+            p.pop()
+            val df = runSelect(spark, p, vars.toMap)
+            require(p.done, s"trailing tokens in assignment: ${p.toks.mkString(" ")}")
+            df.createOrReplaceTempView(name)
+            last = Left(df)
+          } else {
+            val t = parseExpr(p, env)
+            require(p.done, s"trailing tokens in assignment: ${p.toks.mkString(" ")}")
+            val bound = litOf(evalScalar(spark, t)) // eager (REPL) semantics
+            vars(name) = bound
+            last = Right(bound)
+          }
         case _ =>
           val t = parseExpr(p, env)
           require(p.done, s"trailing tokens: ${p.toks.mkString(" ")}")

@@ -106,6 +106,23 @@ class AsOfNativeSpec extends SparkSpec {
     }
   }
 
+  test("timestamp-typed ts columns work directly (µs-longs under the hood)") {
+    import java.sql.Timestamp
+    val left = Seq(("A", Timestamp.valueOf("2024-01-01 00:00:05"), "q1"),
+                   ("A", Timestamp.valueOf("2024-01-01 00:00:20"), "q2"))
+      .toDF("k", "t", "qid")
+    val right = Seq(("A", Timestamp.valueOf("2024-01-01 00:00:10"), 1.0))
+      .toDF("k", "rt", "px")
+    val got = AsOf.joinNative(left, right, Seq("k"), "t", "rt")
+      .orderBy("t").select("qid", "px").as[(String, Option[Double])].collect().toSeq
+    assert(got == Seq(("q1", None), ("q2", Some(1.0))))
+    // mixed long/timestamp axes are rejected (different scales)
+    intercept[IllegalArgumentException] {
+      AsOf.joinNative(left, Seq(("A", 10L, 1.0)).toDF("k", "rt", "px"),
+        Seq("k"), "t", "rt")
+    }
+  }
+
   test("null timestamps fail fast instead of matching as epoch 0") {
     val left = Seq(("A", Some(5L), "q1"), ("A", None, "q2")).toDF("k", "t", "qid")
     val right = Seq(("A", 1L, 1.0)).toDF("k", "rt", "px")

@@ -186,6 +186,16 @@ class KerfSqlSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("table-valued variables: 't: select …; select … from t'") {
+    init
+    val got = KerfSql.run(spark,
+      "big: select o_orderkey, o_totalprice from orders_v where o_totalprice > 100000; " +
+      "select count(*) as n from big")
+      .collect()(0).getLong(0)
+    val want = Tables.orders(spark, sf).filter(col("o_totalprice") > 100000).count()
+    assert(got == want)
+  }
+
   test("lexer rejects garbage instead of dropping it") {
     intercept[IllegalArgumentException] {
       KerfSql.run(spark, "select # from orders_v")
