@@ -100,4 +100,20 @@ object MinHashAgg {
     aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / numHashes
   }
+
+  /** Register as SQL aggregate `minhash_agg(item, k)` for the session
+    * (k must be a literal int). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_agg",
+      exprs => {
+        require(exprs.length == 2, "minhash_agg(item, k) takes 2 args")
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_agg: k must be a literal int, got $other")
+        }
+        MinHashAgg(exprs.head, k).toAggregateExpression()
+      },
+      "built-in")
 }

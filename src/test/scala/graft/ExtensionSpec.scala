@@ -57,6 +57,21 @@ class ExtensionSpec extends SparkSpec {
     assert(viaAgg("g1") != viaAgg("g2"))
   }
 
+  test("minhash_agg registers as a SQL aggregate") {
+    import graft.functions.MinHashAgg
+    import spark.implicits._
+    MinHashAgg.register(spark)
+    Seq(("g1", "alpha"), ("g1", "beta"), ("g2", "alpha"))
+      .toDF("grp", "item").createOrReplaceTempView("mh_items")
+    val viaSql = spark.sql(
+      "SELECT grp, minhash_agg(item, 8) AS sig FROM mh_items GROUP BY grp")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val viaApi = spark.table("mh_items").groupBy("grp")
+      .agg(MinHashAgg.minhash(col("item"), 8).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(viaSql == viaApi)
+  }
+
   test("MinHashAgg is partition-invariant (partial merge + serde path)") {
     import graft.functions.MinHashAgg
     import spark.implicits._
