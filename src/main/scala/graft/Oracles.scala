@@ -305,6 +305,16 @@ object Oracles {
          WHERE q.n_tokens >= 20
          GROUP BY best.pred_lang ORDER BY pred_lang""",
 
+    "q59_text_clean" ->
+      """SELECT doc_id,
+                length(trim(regexp_replace(regexp_replace(regexp_replace(
+                  text, '<[^>]*>', ' ', 'g'), 'https?://[^\s]+', ' ', 'g'),
+                  '\s+', ' ', 'g'))) AS clean_len,
+                md5(trim(regexp_replace(regexp_replace(regexp_replace(
+                  text, '<[^>]*>', ' ', 'g'), 'https?://[^\s]+', ' ', 'g'),
+                  '\s+', ' ', 'g'))) AS clean_md5
+         FROM documents ORDER BY doc_id""",
+
     "q56_variant_json" ->
       """SELECT event_type, count(*) AS n,
                 CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -763,6 +763,17 @@ object Queries {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Text-cleaning stages (north-star pre-tokenization): strip tags/urls,
+    * collapse whitespace — digest + length per doc so the oracle checks
+    * the exact transform output without shipping full text. */
+  val q59_text_clean: Q = (s, dir) =>
+    Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), llm.TextOps.cleanText(col("text")).as("__clean"))
+      .select(col("doc_id"),
+        length(col("__clean")).cast("long").as("clean_len"),
+        md5(col("__clean")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -824,5 +835,6 @@ object Queries {
     "q56_variant_json"   -> q56_variant_json,
     "q57_corpus_clean"   -> q57_corpus_clean,
     "q58_group_sketch"   -> q58_group_sketch,
+    "q59_text_clean"     -> q59_text_clean,
   )
 }

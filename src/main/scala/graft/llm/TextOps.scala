@@ -100,6 +100,20 @@ object TextOps {
     withLanguageId(docs, textCol)
       .select(col(idCol), col("pred_lang"), col("score"))
 
+  /** Pipeline text cleaning (the pre-tokenization stages every corpus
+    * build runs): each is one codegen'd regex pass; chain as needed.
+    * Patterns use only RE2-compatible syntax so the DuckDB oracle can
+    * mirror them exactly. */
+  def stripHtml(t: Column): Column =
+    regexp_replace(t, "<[^>]*>", " ")
+  def stripUrls(t: Column): Column =
+    regexp_replace(t, "https?://[^\\s]+", " ")
+  def collapseWhitespace(t: Column): Column =
+    trim(regexp_replace(t, "\\s+", " "))
+  /** Full cleaning chain: tags → urls → whitespace. */
+  def cleanText(t: Column): Column =
+    collapseWhitespace(stripUrls(stripHtml(t)))
+
   /** Winnowing-style document fingerprint: k-gram rolling hashes, keep the
     * min hash in each window of w consecutive k-grams → compact sketch of
     * positions that survives small edits (Schleimer et al., SIGMOD'03). */

@@ -30,12 +30,10 @@ class BucketingSpec extends SparkSpec {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
 
-    Tables.lineitem(spark, sf)
-      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable("li_b")
-    Tables.orders(spark, sf)
-      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable("ord_b")
+    graft.io.Folio.writeSortedTable(Tables.lineitem(spark, sf), "li_b",
+      Seq("l_orderkey"), Nil)
+    graft.io.Folio.writeSortedTable(Tables.orders(spark, sf), "ord_b",
+      Seq("o_orderkey"), Nil)
 
     val joined = spark.table("li_b").join(spark.table("ord_b"),
       col("l_orderkey") === col("o_orderkey"))
@@ -60,6 +58,10 @@ class BucketingSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
     assert(exchanges == 1, // the groupBy's — the JOIN added none
       s"bucketed join should read bucket files directly:\n$plan")
+    // one file per bucket + ordering report ⇒ the SMJ needs no SortExec
+    val sorts = "\\bSort \\[".r.findAllIn(finalPlan).length
+    assert(sorts == 0,
+      s"sorted-folio SMJ should not re-sort (got $sorts sorts):\n$plan")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
