@@ -458,16 +458,37 @@ object KerfSql {
         val inner = if (p.peekIs("*")) { p.pop(); T(lit(1), IntegerType) }
                     else parseExpr(p, env)
         p.expect(")")
-        fn.toLowerCase match {
-          case "sum" => T(sum(inner.col), inner.dt match {
-            case DoubleType | FloatType => DoubleType
-            case d: DecimalType => d
-            case _ => LongType
-          })
-          case "avg" => T(avg(inner.col), DoubleType)
-          case "min" => T(min(inner.col), inner.dt)
-          case "max" => T(max(inner.col), inner.dt)
-          case "count" => T(count(inner.col), LongType)
+        inner.dt match {
+          case ArrayType(e, _) =>
+            // rank polymorphism, Kerf-style: an aggregate applied to a
+            // VECTOR reduces the vector in-row (sum 1 2 3 = 6) — the SQL
+            // row-aggregate meaning applies only to scalar operands
+            val sumDt = e match {
+              case DoubleType | FloatType => DoubleType
+              case _ => LongType
+            }
+            def arrSum = aggregate(inner.col, lit(0).cast(sumDt),
+              (acc, v) => acc + v.cast(sumDt))
+            fn.toLowerCase match {
+              case "sum" => T(arrSum, sumDt)
+              case "avg" => T(arrSum.cast("double") /
+                greatest(size(inner.col), lit(1)).cast("double"), DoubleType)
+              case "min" => T(array_min(inner.col), e)
+              case "max" => T(array_max(inner.col), e)
+              case "count" => T(size(inner.col).cast("long"), LongType)
+            }
+          case _ =>
+            fn.toLowerCase match {
+              case "sum" => T(sum(inner.col), inner.dt match {
+                case DoubleType | FloatType => DoubleType
+                case d: DecimalType => d
+                case _ => LongType
+              })
+              case "avg" => T(avg(inner.col), DoubleType)
+              case "min" => T(min(inner.col), inner.dt)
+              case "max" => T(max(inner.col), inner.dt)
+              case "count" => T(count(inner.col), LongType)
+            }
         }
       case "til" | "range" => // verbs.cc:86–91; prefix (`til 10`) or call
         val n = if (p.peekIs("(")) { p.pop(); val e = parseExpr(p, env); p.expect(")"); e }

@@ -99,6 +99,16 @@ class KerfSqlSpec extends SparkSpec {
     assert(evalOne("til 0") == Seq())                         // range(0) empty
   }
 
+  test("aggregates pervade into vectors (rank polymorphism): sum(1 2 3) = 6") {
+    assert(evalOne("sum(1 2 3)") == 6L)
+    assert(evalOne("sum(til 101)") == 5050L)
+    assert(evalOne("max([4, 9, 2])") == 9L)
+    assert(evalOne("min([4, 9, 2])") == 2L)
+    assert(evalOne("count(til 10)") == 10L)
+    assert(evalOne("avg(2 4 6)") == 4.0)
+    assert(evalOne("sum([1.5, 2.5])") == 4.0)
+  }
+
   test("vector literals: juxtaposed and JSON-style agree") {
     assert(evalOne("1 2 3") == Seq(1L, 2L, 3L))
     assert(evalOne("[1, 2, 3]") == Seq(1L, 2L, 3L))
