@@ -395,10 +395,10 @@ object KerfSql {
   }
 
   private def parseMul(p: P, env: Env): T = {
-    var left = parsePrimary(p, env)
+    var left = parsePostfix(p, env)
     while (p.peek.exists(t => t == "*" || t == "/" || t == "%")) {
       val op = p.pop()
-      val right = parsePrimary(p, env)
+      val right = parsePostfix(p, env)
       left = op match {
         case "*" => dyad(left, right)(_ * _)
         case "/" => dyad(left, right)(_ / _, (_, _) => DoubleType)
@@ -406,6 +406,25 @@ object KerfSql {
       }
     }
     left
+  }
+
+  /** Kerf `operator[]` (0-based): `v[2]` indexes one, `v[[0,2]]` indexes
+    * many (index one/many, /root/reference/presented.h operator[]). */
+  private def parsePostfix(p: P, env: Env): T = {
+    var t = parsePrimary(p, env)
+    while (p.peek.contains("[")) {
+      p.pop()
+      val idx = parseExpr(p, env)
+      p.expect("]")
+      val e = elemOf(t)
+      t = idx.dt match {
+        case ArrayType(_, _) =>
+          val tc = t.col
+          T(transform(idx.col, i => element_at(tc, (i + 1).cast("int"))), ArrayType(e))
+        case _ => T(element_at(t.col, (idx.col + 1).cast("int")), e)
+      }
+    }
+    t
   }
 
   private val dateReStr = """\d{4}\.\d{2}\.\d{2}(T.*)?"""

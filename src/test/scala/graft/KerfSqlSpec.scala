@@ -109,6 +109,14 @@ class KerfSqlSpec extends SparkSpec {
     assert(evalOne("sum([1.5, 2.5])") == 4.0)
   }
 
+  test("operator[]: index one and index many, 0-based") {
+    assert(evalOne("(til 10)[3]") == 3L)
+    assert(evalOne("[10, 20, 30][1]") == 20L)
+    assert(evalOne("[10, 20, 30][[0, 2]]") == Seq(10L, 30L))
+    assert(evalOne("x: til 5; x[4]") == 4L)
+    assert(evalOne("({[x] x*x} mapdown til 10)[[1, 2, 3]]") == Seq(1L, 4L, 9L))
+  }
+
   test("vector literals: juxtaposed and JSON-style agree") {
     assert(evalOne("1 2 3") == Seq(1L, 2L, 3L))
     assert(evalOne("[1, 2, 3]") == Seq(1L, 2L, 3L))
