@@ -513,6 +513,16 @@ object KerfSql {
         val n = if (p.peekIs("(")) { p.pop(); val e = parseExpr(p, env); p.expect(")"); e }
                 else parsePrimary(p, env)
         T(Verbs.rangeArr(n.col), ArrayType(LongType))
+      case fn if Set("length", "upper", "lower", "reverse").contains(fn.toLowerCase) &&
+                 p.peekIs("(") => // string/list verbs, call form only (so a
+        p.pop()                  // column named `length` still resolves bare)
+        val arg = parseExpr(p, env); p.expect(")")
+        fn.toLowerCase match {
+          case "length" => T(length(arg.col).cast("long"), LongType)
+          case "upper"  => T(upper(arg.col), StringType)
+          case "lower"  => T(lower(arg.col), StringType)
+          case "reverse" => T(reverse(arg.col), arg.dt) // strings AND lists
+        }
       case f if env.funcs.contains(f) => // named function: call or adverb operand
         applyFunSite(env.funcs(f), p, env)
       case ident => resolveIdent(ident, env)

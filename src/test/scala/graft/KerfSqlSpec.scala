@@ -109,6 +109,15 @@ class KerfSqlSpec extends SparkSpec {
     assert(evalOne("sum([1.5, 2.5])") == 4.0)
   }
 
+  test("string/list verbs through text: length/upper/lower/reverse") {
+    assert(evalOne("length('hello')") == 5L)
+    assert(evalOne("upper('abc')") == "ABC")
+    assert(evalOne("lower('AbC')") == "abc")
+    assert(evalOne("reverse('abc')") == "cba")
+    assert(evalOne("reverse(1 2 3)") == Seq(3L, 2L, 1L))
+    assert(evalOne("reverse(til 4)[0]") == 3L)
+  }
+
   test("operator[]: index one and index many, 0-based") {
     assert(evalOne("(til 10)[3]") == 3L)
     assert(evalOne("[10, 20, 30][1]") == 20L)
