@@ -179,12 +179,15 @@ object Folio {
     }
 
   /** Restore: every table back, registered as temp views (the catalog
-    * replaces Kerf's global tree). */
+    * replaces Kerf's global tree). Tables that were published through
+    * [[appendWithPromotion]] carry version dirs + a `_CURRENT` pointer:
+    * [[promotedRead]] resolves exactly the live version (a direct parquet
+    * read would union every version — duplicated rows). */
   def workspaceLoad(spark: SparkSession, path: String): Map[String, DataFrame] = {
     val fs = new java.io.File(path).listFiles()
     if (fs == null) Map.empty
     else fs.filter(_.isDirectory).map { d =>
-      val df = spark.read.parquet(d.getAbsolutePath)
+      val df = promotedRead(spark, d.getAbsolutePath)
       df.createOrReplaceTempView(d.getName)
       d.getName -> df
     }.toMap

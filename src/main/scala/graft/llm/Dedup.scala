@@ -72,6 +72,21 @@ object Dedup {
                    numHashes: Int = 32, bands: Int = 8,
                    shingleN: Int = 3, jaccardThreshold: Double = 0.7,
                    maxBucket: Int = 64): DataFrame = {
+    val (result, caches) = minhashPairsPlan(docs, idCol, textCol,
+      numHashes, bands, shingleN, jaccardThreshold, maxBucket)
+    // the pair list (≪ n²) is materialized eagerly so the shingle/band
+    // caches can be RELEASED here instead of pinning executor storage for
+    // the session's lifetime (cache-scope contract, graft.ops.Caches)
+    graft.ops.Caches.seal(result, caches: _*)
+  }
+
+  /** The lazy plan behind [[minhashPairs]] plus the intermediate caches it
+    * persists — exposed for plan-shape tests; production callers use the
+    * sealed wrapper above. */
+  private[graft] def minhashPairsPlan(docs: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 32, bands: Int = 8,
+                   shingleN: Int = 3, jaccardThreshold: Double = 0.7,
+                   maxBucket: Int = 64): (DataFrame, Seq[DataFrame]) = {
     val rows = bands; val r = numHashes / bands
     require(numHashes % bands == 0, "bands must divide numHashes")
 
@@ -117,7 +132,7 @@ object Dedup {
 
     // exact-Jaccard verification: shingle hashes re-enter only here, for
     // the candidate set (AQE broadcasts the small side at runtime)
-    candidates
+    val verified = candidates
       .join(hashed.select(col("doc_id").as("id_a"), col("shh").as("sh_a")), Seq("id_a"))
       .join(hashed.select(col("doc_id").as("id_b"), col("shh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
@@ -125,56 +140,101 @@ object Dedup {
         size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    (verified, Seq(hashed, banded))
   }
 
   /** Connected components over a near-dup PAIR list → (id, cluster) with
-    * cluster = the minimum id reachable from each node. Iterative min-
-    * label propagation: each round is one join + one partial-agg groupBy,
-    * converging in O(component diameter) rounds — near-dup components are
-    * shallow (dozens of docs sharing boilerplate), so a handful of rounds
-    * closes 100 TB-scale graphs; `maxIters` bounds the pathological case.
-    * Each iteration materializes (count) so lineage stays flat; previous
-    * iterations are unpersisted eagerly.
+    * cluster = the minimum id reachable from each node. Alternating
+    * LARGE-STAR / SMALL-STAR contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round hangs
+    * nodes directly off their neighborhood minimum, so path lengths
+    * roughly HALVE per round — O(log n) rounds on any topology, with a
+    * shrinking edge set, vs. O(component diameter) for naive min-label
+    * propagation (a 100-deep boilerplate chain closes in ~7 rounds, not
+    * 100). Every round is local-checkpointed (flat lineage, previous
+    * round's storage released) and costs a bounded handful of shuffles
+    * over the CURRENT edge set only.
+    *
+    * Convergence is a CONTRACT, not a hope: if `maxIters` rounds don't
+    * reach the star fixpoint the call THROWS instead of silently
+    * returning split clusters (which would make dropNearDuplicates keep
+    * duplicates). The default bound covers graphs astronomically larger
+    * than any corpus (2^50 nodes).
     *
     * This is the step a REAL dedup pipeline needs beyond pair lists: the
     * reference's set-dedup keeps one witness per equivalence class
     * (presented.cc:475–503); here the witness is min(id) per component. */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-               maxIters: Int = 10): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // pairs may be an expensive plan (minhash/LSH): cache it so the
-    // two-direction edge union computes it once, not twice
-    val p0 = pairs.select(col(idA).as("a"), col(idB).as("b")).persist(lvl)
-    val edges = p0.select(col("a").as("src"), col("b").as("dst"))
-      .union(p0.select(col("b").as("src"), col("a").as("dst")))
-      .persist(lvl)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .persist(lvl)
+               maxIters: Int = 50): DataFrame = {
+    import graft.ops.Caches
+
+    // large-star: for every node u, hang all its LARGER neighbors off the
+    // minimum m of its closed neighborhood. Processes the symmetric view,
+    // so every undirected edge is considered from both endpoints.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // small-star: orient big→small, then hang u and all its smaller
+    // neighbors off the neighborhood minimum m (u's own edge re-emitted
+    // via the v==m row; no self-loops survive).
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("u"), col("v")).as("u"),
+                        least(col("u"), col("v")).as("v"))
+      val mins = or.groupBy(col("u")).agg(min(col("v")).as("m"))
+      or.join(mins, Seq("u"))
+        .select(when(col("v") === col("m"), col("u")).otherwise(col("v")).as("u"),
+                col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // order-insensitive edge-set signature: fixpoint reached when a full
+    // round leaves the (distinct) edge set bit-identical. XOR fold: no
+    // overflow, commutative, and exact on DISTINCT edge sets.
+    def signature(d: DataFrame): (Long, Long) = {
+      val r = d.select(xxhash64(col("u"), col("v")).as("__h"))
+        .agg(count(lit(1)), coalesce(expr("bit_xor(__h)"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    val init = pairs.select(col(idA).as("u"), col(idB).as("v"))
+      .filter(col("u") =!= col("v"))
+    var e = smallStar(init).localCheckpoint(true)
+    var prev: DataFrame = null
+    var sig = signature(e)
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
-      // one shuffle per round: current labels (flagged old=1) and
-      // neighbor-propagated labels union into a single groupBy that yields
-      // BOTH the new min-label and the old label (struct-max trick), so
-      // the convergence check is a count on the cached aggregate, not a
-      // second join
-      val prop = edges.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .select(col("src").as("id"), col("label"), lit(0).as("isOld"))
-      val agg = labels.select(col("id"), col("label"), lit(1).as("isOld"))
-        .union(prop)
-        .groupBy(col("id"))
-        .agg(min(col("label")).as("label"),
-             max(struct(col("isOld"), col("label"))).getField("label").as("__old"))
-        .persist(lvl)
-      val changed = agg.filter(col("label") < col("__old")).count()
-      labels.unpersist()
-      labels = agg.drop("__old")
-      converged = changed == 0
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nsig = signature(next)
+      if (prev != null) Caches.release(prev)
+      prev = e; e = next
+      converged = nsig == sig
+      sig = nsig
       iters += 1
     }
-    edges.unpersist(); p0.unpersist()
-    labels.select(col("id"), col("label").as("cluster"))
+    if (prev != null) Caches.release(prev)
+    if (!converged) {
+      Caches.release(e)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIters rounds — " +
+        "refusing to emit split clusters (raise maxIters)")
+    }
+    // at the star fixpoint every edge is (member → component-min); the
+    // centers label themselves
+    val labels = e.select(col("u").as("id"), col("v").as("cluster"))
+      .union(e.select(col("v").as("id"), col("v").as("cluster")))
+      .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+    val out = Caches.seal(labels)
+    Caches.release(e)
+    out
   }
 
   /** Keep one witness per near-dup cluster: drops every doc whose id is

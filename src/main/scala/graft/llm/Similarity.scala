@@ -125,32 +125,45 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cands
+    val verified = cands
       .join(df.select(col(idCol).as("id_a"), col(vecCol).as("__va")), Seq("id_a"))
       .join(df.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), Seq("id_b"))
       .withColumn("cos", round(cosine(col("__va"), col("__vb")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
+    // pair list materialized eagerly so the sketch cache is released
+    // rather than pinned for the session (see graft.ops.Caches)
+    graft.ops.Caches.seal(verified, sk)
   }
 
   // ----- IVF (inverted-file) ANN — the second scale path -----
 
-  /** Deterministic coarse quantizer: seed centroids = first nLists
-    * vectors by id, refined by one Lloyd iteration (elementwise means via
-    * posexplode+groupBy — fully distributed; only the nLists×dim centroid
-    * matrix ever reaches the driver, which is the legitimate "model
-    * state" broadcast, ~16KB here, ≤MBs at production nLists). */
+  /** Deterministic coarse quantizer: seed centroids = the nLists vectors
+    * with the smallest xxhash64(id) — a seed-stable pseudo-random sample
+    * that assumes NOTHING about the id distribution (dense, sparse,
+    * hashed all work) and lowers to TakeOrderedAndProject (per-partition
+    * top-n + driver merge, never a global sort). Refined by one Lloyd
+    * iteration (elementwise means via posexplode+groupBy — fully
+    * distributed; only the nLists×dim centroid matrix ever reaches the
+    * driver, which is the legitimate "model state" broadcast, ~16KB here,
+    * ≤MBs at production nLists). `candidates` is scanned by the seed
+    * take, the assignment pass, and the caller's probe join — cached for
+    * the call's duration unless the caller already persisted it. */
   def trainCentroids(candidates: DataFrame, nLists: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
-    // seeds = the nLists lowest-id vectors. ids are dense from 0 in every
-    // fixture, so this is a pushed-down range filter + tiny driver sort —
-    // NOT a global orderBy().limit() of all candidates (round-1 cost).
-    val seedRows = candidates.filter(col(idCol) < nLists)
-      .select(col(idCol).cast("long"), col(vecCol)).collect()
-    require(seedRows.nonEmpty, s"no candidate ids below $nLists — seed ids must be dense from 0")
+    import graft.ops.Caches
+    val (cand, own) = Caches.acquire(candidates)
+    val seedRows = cand
+      .select(col(idCol).cast("long").as("__sid"), col(vecCol).as("__v"))
+      .orderBy(xxhash64(col("__sid")), col("__sid"))
+      .limit(nLists)
+      .collect()
+    require(seedRows.nonEmpty, "no candidate vectors to seed centroids from")
+    // list numbering = ascending seed id: deterministic regardless of
+    // partitioning or hash order
     val seeds = seedRows.sortBy(_.getLong(0))
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    val assigned = assignLists(candidates, seeds, idCol, vecCol)
+    val assigned = assignLists(cand, seeds, idCol, vecCol)
     val means = assigned
       .select(col("list_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy(col("list_id"), col("pos"))
@@ -160,6 +173,7 @@ object Similarity {
     means.foreach { r =>
       refined(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
     }
+    if (own) cand.unpersist(false)
     refined
   }
 
@@ -190,8 +204,14 @@ object Similarity {
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               nLists: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = trainCentroids(candidates, nLists, idCol, vecCol)
-    val lists = assignLists(candidates, centroids, idCol, vecCol)
+    import graft.ops.Caches
+    // one cache spans all three candidate passes (seed take, Lloyd means,
+    // probe join); released once the — tiny — top-k result materializes
+    val (cand, own) = Caches.acquire(candidates)
+    val centroids = trainCentroids(cand, nLists, idCol, vecCol)
+    val nl = centroids.length // may be < nLists on tiny inputs
+    val np = math.min(nProbe, nl)
+    val lists = assignLists(cand, centroids, idCol, vecCol)
       .select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"), col("list_id"))
 
     // per query: nProbe nearest centroids → explode to (q, probe list);
@@ -201,9 +221,9 @@ object Similarity {
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("__qsims", transform(unitLit(centroids), cc => dot(col("q_vec"), cc)))
       .withColumn("probes", slice(transform(
-        array_sort(zip_with(col("__qsims"), sequence(lit(0), lit(nLists - 1)),
+        array_sort(zip_with(col("__qsims"), sequence(lit(0), lit(nl - 1)),
           (s, i) => struct((-s).as("negsim"), i.as("cid")))),
-        p => p.getField("cid")), 1, nProbe))
+        p => p.getField("cid")), 1, np))
       .withColumn("list_id", explode(col("probes")))
       .drop("probes", "__qsims")
 
@@ -211,9 +231,10 @@ object Similarity {
       .filter(col("q_id") =!= col("cand_id"))
       .withColumn("sim", round(cosine(col("q_vec"), col("cand_vec")), 6))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("cand_id"))
-    cands.withColumn("rk", row_number().over(w).cast("long"))
+    val res = cands.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("cand_id"), col("sim"))
+    Caches.seal(res, (if (own) Seq(cand) else Nil): _*)
   }
 
   /** ANN via multi-probe hyperplane LSH: `tables` independent sketches of

@@ -124,6 +124,19 @@ class FolioSpec extends SparkSpec {
     }
   }
 
+  test("workspaceLoad resolves promoted folios to the live version only") {
+    import spark.implicits._
+    val dir = tmp()
+    Folio.workspaceSave(Map("t" -> Seq(1L, 2L).toDF("x")), dir)
+    // promote twice: the table dir now holds loose files + version dirs;
+    // a naive recursive read would count every version's rows
+    Folio.appendWithPromotion(Seq(3L).toDF("x"), s"$dir/t")
+    Folio.appendWithPromotion(Seq(4L).toDF("x"), s"$dir/t")
+    val loaded = Folio.workspaceLoad(spark, dir)
+    assert(loaded("t").count() == 4, "workspaceLoad must read only the live version")
+    assert(loaded("t").agg(sum("x")).collect()(0).getLong(0) == 10L)
+  }
+
   test("workspace save/load restores all tables (file.cc:994, test.cc:825)") {
     val dir = tmp()
     val t1 = Tables.nation(spark, sf)

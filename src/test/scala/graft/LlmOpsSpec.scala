@@ -38,12 +38,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
-  test("clusters: min-label propagation closes transitive near-dup chains") {
+  test("clusters: star contraction closes transitive near-dup chains") {
     val pairs = Seq((0L, 1L, 0.9), (1L, 2L, 0.9), (5L, 6L, 0.8))
       .toDF("id_a", "id_b", "jaccard")
     val got = Dedup.clusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("clusters: a 64-deep chain closes in O(log n) star rounds") {
+    // naive min-label propagation needs 63 rounds here; large/small-star
+    // must converge inside a 10-round budget
+    val chain = (0L until 63L).map(i => (i, i + 1, 1.0))
+      .toDF("id_a", "id_b", "jaccard")
+    val got = Dedup.clusters(chain, maxIters = 10).collect()
+    assert(got.length == 64 && got.forall(_.getLong(1) == 0L))
+  }
+
+  test("clusters: hitting maxIters THROWS instead of returning split clusters") {
+    val chain = (0L until 63L).map(i => (i, i + 1, 1.0))
+      .toDF("id_a", "id_b", "jaccard")
+    val ex = intercept[IllegalStateException] {
+      Dedup.clusters(chain, maxIters = 1)
+    }
+    assert(ex.getMessage.contains("did not converge"))
   }
 
   test("dropNearDuplicates keeps one witness per cluster, singletons untouched") {
@@ -129,6 +147,24 @@ class LlmOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.8, s"IVF recall $recall too low on clustered data")
+  }
+
+  test("IVF ANN works on sparse non-zero-based ids (no density assumption)") {
+    // ids are hashed-style: start high, stride 7 — the round-2 seeder
+    // (filter(id < nLists)) would find zero seeds here and abort
+    val rnd = new scala.util.Random(13)
+    def jitter(center: Array[Float]): Seq[Float] =
+      center.map(c => c + (rnd.nextFloat() - 0.5f) * 0.1f).toSeq
+    val ca = Array.fill(16)(0f); ca(0) = 1f
+    val cb = Array.fill(16)(0f); cb(8) = 1f
+    val vecs = ((0 until 50).map(i => (1000000L + i * 7L, jitter(ca))) ++
+                (50 until 100).map(i => (1000000L + i * 7L, jitter(cb))))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 1000000L)
+    val got = Similarity.ivfTopK(q, vecs, 5, nLists = 4, nProbe = 2).collect()
+    assert(got.length == 5)
+    // all nearest neighbors of a cluster-A query are cluster-A ids
+    assert(got.forall(_.getLong(2) < 1000000L + 50 * 7L))
   }
 
   test("multimodal partitioned decode: bounded-memory iterator path") {

@@ -64,7 +64,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q29: minhash plan has no cartesian product (LSH bucketing holds)") {
-    val p = planOf("q29_minhash_dedup")
+    // inspect the LAZY plan (the public minhashPairs seals the result and
+    // releases these caches — which is separately asserted in
+    // CacheHygieneSpec; the plan shape lives one layer in)
+    val (df, caches) = llm.Dedup.minhashPairsPlan(
+      Tables.fanOut(Tables.documents(spark, sf)), "doc_id", "text",
+      jaccardThreshold = 0.2)
+    val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), "pair generation exploded to n²")
     // the skew guard must be a partial aggregate, never a window sort of
     // every banded row (the round-1 90s regression shape)
@@ -73,6 +79,7 @@ class PlanSpec extends SparkSpec {
     // only through the two verification joins on doc id
     assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
       s"banded/hashed intermediates not cached (3x recompute):\n$p")
+    caches.foreach(_.unpersist(true))
   }
 
   test("q57: corpus-clean composition is ONE scan (features are projections)") {
