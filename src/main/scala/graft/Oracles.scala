@@ -485,5 +485,33 @@ object Oracles {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
                 min(value) AS low, max(value) AS high
          FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""",
+
+    // text-path forward as-of with tolerance — same truth as q51 (DuckDB
+    // ASOF with the inequality reversed IS forward; tolerance via CASE)
+    "q60_kerf_asof" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value, event_type FROM events),
+              clicks AS (SELECT user_id, event_id, ts_us FROM ev WHERE event_type = 'click'),
+              purchases AS (SELECT user_id, ts_us AS pts, value AS purchase_value FROM ev WHERE event_type = 'purchase')
+         SELECT c.user_id, c.event_id, c.ts_us,
+                CASE WHEN p.pts - c.ts_us <= 3600000000 THEN p.purchase_value END AS purchase_value,
+                CASE WHEN p.pts - c.ts_us <= 3600000000 THEN p.pts END AS purchase_ts_us
+         FROM clicks c ASOF LEFT JOIN purchases p
+           ON c.user_id = p.user_id AND p.pts >= c.ts_us
+         ORDER BY c.user_id, c.ts_us, c.event_id""",
+
+    // list-verb program: first(w)=0, last=1000, count=101, find hit=100,
+    // find miss=count=101, dict 3*4=12, sum(w)=sum(til 100)+1000
+    "q61_kerf_verbs" ->
+      """SELECT CAST(0 + 1000 + 101 + 100 + 101 + 12 + 1000 +
+                (SELECT sum(x) FROM range(100) t(x)) AS BIGINT) AS value""",
+
+    // CSV round-trip fidelity: the Spark side re-reads its CSV export of
+    // documents; the oracle reads the parquet original — equality proves
+    // the CSV source is lossless (md5 over the free-text column)
+    "q62_csv_roundtrip" ->
+      """SELECT source, lang, count(*) AS n_docs,
+                sum(n_chars) AS sum_chars,
+                min(md5(text)) AS min_text_md5
+         FROM documents GROUP BY source, lang ORDER BY source, lang""",
   )
 }

@@ -774,6 +774,50 @@ object Queries {
         md5(col("__clean")).as("clean_md5"))
       .orderBy(col("doc_id"))
 
+  /** As-of join from the KERF TEXT surface (the reference's parted-table
+    * promise, presented.h:409–430, now reachable from the language):
+    * forward as-of with tolerance — `asof join … at … within … forward` —
+    * lowered by KerfSql to the native AsOfJoinPlan exec. Same semantics
+    * and oracle as q51's API path. */
+  val q60_kerf_asof: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+    ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+      .createOrReplaceTempView("clicks_v")
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("pts"), col("value").as("purchase_value"))
+      .createOrReplaceTempView("purchases_v")
+    sql.KerfSql.run(s,
+      "select user_id, event_id, ts_us, purchase_value, pts as purchase_ts_us " +
+      "from clicks_v asof join purchases_v on user_id at ts_us, pts " +
+      "within 3600000000 forward order user_id, ts_us, event_id")
+  }
+
+  /** The Kerf list-verb family through the text path (slop.h:1140–1189:
+    * join/enlist/last/count/find) plus dict literals (Kerf is a JSON
+    * superset) — one program whose value folds every verb's golden. */
+  val q61_kerf_verbs: Q = (s, _) =>
+    sql.KerfSql.run(s,
+      "v: til 100; w: join(v, enlist(1000)); d: {a: 3, b: 4}; " +
+      "first(w) + last(w) + count(w) + find(w, 1000) + find(w, 555) + " +
+      "d['a'] * d['b'] + sum(w)")
+
+  /** CSV ingestion (the reference bus accepts CSV frames, bus.h:166–167):
+    * a fixture is exported to CSV and read back through the CSV source —
+    * the oracle checks the round-trip against the parquet original, md5
+    * over the free-text column proving byte fidelity through quoting. */
+  val q62_csv_roundtrip: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val csvDir = s"/tmp/graft_csv/${new java.io.File(dir).getName}/documents"
+    docs.write.mode("overwrite").option("header", "true").csv(csvDir)
+    s.read.option("header", "true").schema(docs.schema).csv(csvDir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("sum_chars"),
+           min(md5(col("text"))).as("min_text_md5"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -836,5 +880,8 @@ object Queries {
     "q57_corpus_clean"   -> q57_corpus_clean,
     "q58_group_sketch"   -> q58_group_sketch,
     "q59_text_clean"     -> q59_text_clean,
+    "q60_kerf_asof"      -> q60_kerf_asof,
+    "q61_kerf_verbs"     -> q61_kerf_verbs,
+    "q62_csv_roundtrip"  -> q62_csv_roundtrip,
   )
 }

@@ -94,6 +94,8 @@ object KerfSql {
   private val clauseWords = Set("from", "where", "group", "order", "limit",
     "select", "set", "values", "into")
   private val aggFns = Set("sum", "avg", "min", "max", "count")
+  private val listVerbs = Set("length", "upper", "lower", "reverse",
+    "first", "last", "enlist", "join", "find", "keys", "values")
   private val verbSyms = Set("+", "-", "*", "/", "%")
   private val adverbNames = Set("fold", "over", "unfold", "scan",
     "mapdown", "each", "mapback", "eachprior", "mapright", "mapleft")
@@ -409,19 +411,20 @@ object KerfSql {
   }
 
   /** Kerf `operator[]` (0-based): `v[2]` indexes one, `v[[0,2]]` indexes
-    * many (index one/many, /root/reference/presented.h operator[]). */
+    * many (index one/many, /root/reference/presented.h operator[]);
+    * dicts index by key (`d['a']`). */
   private def parsePostfix(p: P, env: Env): T = {
     var t = parsePrimary(p, env)
     while (p.peek.contains("[")) {
       p.pop()
       val idx = parseExpr(p, env)
       p.expect("]")
-      val e = elemOf(t)
-      t = idx.dt match {
-        case ArrayType(_, _) =>
-          val tc = t.col
+      t = (t.dt, idx.dt) match {
+        case (MapType(_, vdt, _), _) => T(element_at(t.col, idx.col), vdt)
+        case (_, ArrayType(_, _)) =>
+          val tc = t.col; val e = elemOf(t)
           T(transform(idx.col, i => element_at(tc, (i + 1).cast("int"))), ArrayType(e))
-        case _ => T(element_at(t.col, (idx.col + 1).cast("int")), e)
+        case _ => T(element_at(t.col, (idx.col + 1).cast("int")), elemOf(t))
       }
     }
     t
@@ -437,7 +440,46 @@ object KerfSql {
     T(array(items.map(_.col.cast(dt)): _*), ArrayType(dt))
   }
 
+  /** Brace disambiguation (Kerf is a JSON superset, so `{a:1}` must be a
+    * dict while `{[x] x}` and `{a: 1; a*2}` are lambdas — the reference
+    * re-marks lambda args the same way, parser.h:471–487): a brace block
+    * is a DICT iff it opens with `key :` (no `[` arg list) and contains
+    * no top-level `;` (let-bindings are statements; dict entries are
+    * comma-separated). */
+  private def looksLikeDict(toks: List[String]): Boolean = {
+    if (toks.length < 4 || toks.head != "{" || toks(1) == "[" || toks(2) != ":")
+      return false
+    var depth = 0
+    toks.foreach {
+      case "{" | "[" | "(" => depth += 1
+      case "}" | "]" | ")" => depth -= 1; if (depth == 0) return true
+      case ";" if depth == 1 => return false
+      case _ =>
+    }
+    true
+  }
+
+  private def parseDict(p: P, env: Env): T = {
+    p.expect("{")
+    val ks = scala.collection.mutable.ArrayBuffer[String]()
+    val vs = scala.collection.mutable.ArrayBuffer[T]()
+    var more = true
+    while (more && !p.peekIs("}")) {
+      val k = p.pop()
+      ks += (if (k.startsWith("'")) k.substring(1, k.length - 1)
+             else if (k.startsWith("`")) k.tail else k)
+      p.expect(":")
+      vs += parseExpr(p, env)
+      if (p.peekIs(",")) p.pop() else more = false
+    }
+    p.expect("}")
+    val vdt = vs.map(_.dt).reduce(widenArith)
+    T(map(ks.zip(vs).flatMap { case (k, v) => Seq(lit(k), v.col.cast(vdt)) }.toSeq: _*),
+      MapType(StringType, vdt))
+  }
+
   private def parsePrimary(p: P, env: Env): T = {
+    if (p.peekIs("{") && looksLikeDict(p.toks)) return parseDict(p, env)
     // function-first positions: lambda, or a parenthesized verb `(+)`
     if (p.peekIs("{") ||
         (p.peek.contains("(") && p.peek2.exists(verbSyms) && p.peek3.contains(")")))
@@ -513,20 +555,67 @@ object KerfSql {
         val n = if (p.peekIs("(")) { p.pop(); val e = parseExpr(p, env); p.expect(")"); e }
                 else parsePrimary(p, env)
         T(Verbs.rangeArr(n.col), ArrayType(LongType))
-      case fn if Set("length", "upper", "lower", "reverse").contains(fn.toLowerCase) &&
-                 p.peekIs("(") => // string/list verbs, call form only (so a
-        p.pop()                  // column named `length` still resolves bare)
-        val arg = parseExpr(p, env); p.expect(")")
-        fn.toLowerCase match {
-          case "length" => T(length(arg.col).cast("long"), LongType)
-          case "upper"  => T(upper(arg.col), StringType)
-          case "lower"  => T(lower(arg.col), StringType)
-          case "reverse" => T(reverse(arg.col), arg.dt) // strings AND lists
-        }
+      case fn if listVerbs.contains(fn.toLowerCase) && p.peekIs("(") =>
+        // string/list verbs, call form only (so a column named `length`
+        // still resolves bare)
+        p.pop()
+        val args = scala.collection.mutable.ArrayBuffer[T](parseExpr(p, env))
+        while (p.peekIs(",")) { p.pop(); args += parseExpr(p, env) }
+        p.expect(")")
+        applyListVerb(fn.toLowerCase, args.toSeq)
       case f if env.funcs.contains(f) => // named function: call or adverb operand
         applyFunSite(env.funcs(f), p, env)
       case ident => resolveIdent(ident, env)
     }
+  }
+
+  /** The reference's list-verb family (slop.h:1140–1189: join/enlist/
+    * last/count/find [+ length/size aliases]; reverse via iteration),
+    * call form. `find` is Kerf findI: 0-based index of the needle, or the
+    * list count when absent (slop.cc:827–847 returns the exhausted
+    * cursor). `join` is concatenation (cow_join), pervading a scalar
+    * operand to a one-element list first. */
+  private def applyListVerb(fn: String, args: Seq[T]): T = (fn, args) match {
+    case ("length", Seq(a)) => T(length(a.col).cast("long"), LongType)
+    case ("upper", Seq(a))  => T(upper(a.col), StringType)
+    case ("lower", Seq(a))  => T(lower(a.col), StringType)
+    case ("reverse", Seq(a)) => T(reverse(a.col), a.dt) // strings AND lists
+    case ("first", Seq(a)) => a.dt match {
+      case ArrayType(e, _) => T(element_at(a.col, 1), e)
+      case StringType      => T(substring(a.col, 1, 1), StringType)
+      case other => throw new IllegalArgumentException(s"first: need a list, got $other")
+    }
+    case ("last", Seq(a)) => a.dt match { // slop.h:1181
+      case ArrayType(e, _) => T(element_at(a.col, -1), e)
+      case StringType      => T(substring(a.col, -1, 1), StringType)
+      case other => throw new IllegalArgumentException(s"last: need a list, got $other")
+    }
+    case ("enlist", Seq(a)) => T(array(a.col), ArrayType(a.dt)) // slop.h:1173
+    case ("join", Seq(a, b)) => (a.dt, b.dt) match { // slop.h:1146
+      case (ArrayType(ea, _), ArrayType(eb, _)) =>
+        val e = widenArith(ea, eb)
+        T(concat(a.col.cast(ArrayType(e)), b.col.cast(ArrayType(e))), ArrayType(e))
+      case (StringType, StringType) => T(concat(a.col, b.col), StringType)
+      case (ArrayType(_, _), _) => applyListVerb("join", Seq(a, applyListVerb("enlist", Seq(b))))
+      case (_, ArrayType(_, _)) => applyListVerb("join", Seq(applyListVerb("enlist", Seq(a)), b))
+      case (x, y) => throw new IllegalArgumentException(s"join: need lists/strings, got $x/$y")
+    }
+    case ("find", Seq(h, n)) => h.dt match {
+      case ArrayType(_, _) =>
+        val pos = array_position(h.col, n.col)
+        T(when(pos === 0, size(h.col).cast("long")).otherwise(pos - 1), LongType)
+      case other => throw new IllegalArgumentException(s"find: need a list, got $other")
+    }
+    case ("keys", Seq(a)) => a.dt match { // dict verbs (presented.h map surface)
+      case MapType(k, _, _) => T(map_keys(a.col), ArrayType(k))
+      case other => throw new IllegalArgumentException(s"keys: need a dict, got $other")
+    }
+    case ("values", Seq(a)) => a.dt match {
+      case MapType(_, v, _) => T(map_values(a.col), ArrayType(v))
+      case other => throw new IllegalArgumentException(s"values: need a dict, got $other")
+    }
+    case _ => throw new IllegalArgumentException(
+      s"verb '$fn' does not take ${args.length} arguments")
   }
 
   /** A select/group-list entry: the Column, its source tokens and alias
@@ -735,41 +824,121 @@ object KerfSql {
         T(typedLit(vals.map(_.asInstanceOf[String])), ArrayType(StringType))
       else throw new IllegalArgumentException(
         s"cannot rebind array of ${vals.headOption.map(_.getClass).getOrElse("?")}")
+    case m: scala.collection.Map[_, _] => // dict-valued variable
+      val entries = m.toSeq.map { case (k, v) => (String.valueOf(k), v) }
+      if (entries.forall(_._2.isInstanceOf[Long]))
+        T(typedLit(entries.map { case (k, v) => k -> v.asInstanceOf[Long] }.toMap),
+          MapType(StringType, LongType))
+      else if (entries.forall(e => e._2.isInstanceOf[Double] || e._2.isInstanceOf[Long]))
+        T(typedLit(entries.map { case (k, v) => k -> (v match {
+            case d: Double => d; case l: Long => l.toDouble
+            case other => throw new IllegalArgumentException(s"bad value $other")
+          })}.toMap), MapType(StringType, DoubleType))
+      else if (entries.forall(_._2.isInstanceOf[String]))
+        T(typedLit(entries.map { case (k, v) => k -> v.asInstanceOf[String] }.toMap),
+          MapType(StringType, StringType))
+      else throw new IllegalArgumentException("cannot rebind heterogeneous dict")
     case other => throw new IllegalArgumentException(
       s"cannot rebind ${other.getClass.getSimpleName} in assignment")
   }
 
-  private def stopAtClause(p: P): Boolean =
-    p.peek.exists(t => clauseWords.contains(t.toLowerCase))
-
-  /** Find the top-level `from` (outside any nesting) so the table schema
-    * is known BEFORE the select items are typed. */
-  private def fromTable(toks: List[String]): Option[String] = {
+  /** Split a select statement's tokens into clause segments at top level
+    * (the reference scoops clauses the same way, parser.h:541–567) — the
+    * FROM clause must lower to a DataFrame before the select items can be
+    * typed, and with as-of joins the from clause is no longer one token. */
+  private def selectClauses(toks: List[String]): Map[String, List[String]] = {
+    val heads = Set("from", "where", "group", "order", "limit")
+    val out = scala.collection.mutable.Map[String, List[String]]()
+    val buf = scala.collection.mutable.ListBuffer[String]()
+    var cur = "select"
     var depth = 0
-    toks.zipWithIndex.foreach { case (t, i) =>
-      t match {
-        case "(" | "[" | "{" => depth += 1
-        case ")" | "]" | "}" => depth -= 1
-        case w if depth == 0 && w.equalsIgnoreCase("from") =>
-          return toks.drop(i + 1).headOption
-        case _ =>
-      }
+    toks.foreach {
+      case t @ ("(" | "[" | "{") => depth += 1; buf += t
+      case t @ (")" | "]" | "}") => depth -= 1; buf += t
+      case w if depth == 0 && heads(w.toLowerCase) =>
+        require(!out.contains(cur), s"duplicate '$cur' clause")
+        out(cur) = buf.toList; buf.clear(); cur = w.toLowerCase
+      case t => buf += t
     }
-    None
+    out(cur) = buf.toList
+    out.toMap
+  }
+
+  /** `from t`, or the parted-table as-of surface the reference promises
+    * (/root/reference/presented.h:409–430) lowered to the NATIVE exec
+    * ([[graft.ops.AsOf.joinNative]] → plans.AsOfJoinPlan):
+    *
+    *   `from l asof join r on k1[, k2…] at lts[, rts] [within tol] [forward]`
+    *
+    * `within` takes a span literal (interpreted in ns — Kerf STAMP
+    * granularity, enums.h:166) or a bare integer in the ts column's own
+    * unit; `forward` matches the next row at-or-after instead of the
+    * latest at-or-before. Right-side non-key columns must not collide
+    * with left names (joinNative contract — rename in the view). */
+  private def parseFromClause(spark: SparkSession, toks: List[String],
+                              programVars: Map[String, T]): (DataFrame, Env) = {
+    val p = new P(toks)
+    val left = spark.table(p.pop())
+    if (!p.peekIs("asof")) {
+      require(p.done, s"trailing tokens in from clause: ${p.toks.mkString(" ")}")
+      (left, new Env(Some(left.schema), programVars))
+    } else {
+      p.pop(); p.expect("join")
+      val right = spark.table(p.pop())
+      p.expect("on")
+      val keys = scala.collection.mutable.ArrayBuffer[String](p.pop())
+      while (p.peekIs(",")) { p.pop(); keys += p.pop() }
+      p.expect("at")
+      val lts = p.pop()
+      val rts = if (p.peekIs(",")) { p.pop(); p.pop() } else lts
+      var tol: Option[Long] = None
+      var fwd = false
+      while (!p.done) {
+        if (p.peekIs("within")) {
+          p.pop(); val t = p.pop()
+          tol = Some(
+            if (t.matches("""\d+""")) t.toLong
+            else {
+              val sp = Temporal.Span.parse(t)
+              require(sp.months == 0, "as-of tolerance must be a fixed-length span")
+              sp.nanos
+            })
+        } else if (p.peekIs("forward")) { p.pop(); fwd = true }
+        else throw new IllegalArgumentException(
+          s"unexpected from-clause token '${p.pop()}'")
+      }
+      val joined = graft.ops.AsOf.joinNative(left, right, keys.toSeq, lts, rts,
+        strict = false, tolerance = tol, forward = fwd)
+      (joined, new Env(Some(joined.schema), programVars))
+    }
   }
 
   private def runSelect(spark: SparkSession, p: P,
                         programVars: Map[String, T] = Map.empty): DataFrame = {
-    val env = fromTable(p.toks)
-      .map(t => new Env(Some(spark.table(t).schema), programVars))
-      .getOrElse(new Env(None, programVars))
-    val star = p.peekIs("*")
-    val items = if (star) { p.pop(); Nil } else parseExprList(p, env)(stopAtClause(p))
-    p.expect("from")
-    var df = spark.table(p.pop())
-    if (p.peekIs("where")) { p.pop(); df = df.filter(parseExpr(p, env).col) }
-    val groupItems =
-      if (p.peekIs("group")) { p.pop(); parseGroupItems(p, env) } else Nil
+    val segs = selectClauses(p.toks)
+    p.toks = Nil
+    val fromToks = segs.getOrElse("from",
+      throw new IllegalArgumentException("select needs a from clause"))
+    val (base, env) = parseFromClause(spark, fromToks, programVars)
+    var df = base
+    def segParser(name: String): Option[P] = segs.get(name).map(new P(_))
+    def finish(sp: P, what: String): Unit =
+      require(sp.done, s"trailing tokens in $what: ${sp.toks.mkString(" ")}")
+    val selToks = segs.getOrElse("select", Nil)
+    val items = if (selToks.map(_.toLowerCase) == List("*") || selToks.isEmpty) Nil
+      else {
+        val sp = new P(selToks)
+        val its = parseExprList(sp, env)(false)
+        finish(sp, "select items"); its
+      }
+    segParser("where").foreach { wp =>
+      df = df.filter(parseExpr(wp, env).col); finish(wp, "where")
+    }
+    // `group a, b % 3 as bucket` — full expressions with optional aliases
+    // (Kerf groups by computed keys: time buckets, mod classes, …)
+    val groupItems = segParser("group").map { gp =>
+      val its = parseExprList(gp, env)(false); finish(gp, "group"); its
+    }.getOrElse(Nil)
     df =
       if (groupItems.nonEmpty) {
         // group items matching a select item (same source tokens, or the
@@ -785,28 +954,22 @@ object KerfSql {
       }
       else if (items.nonEmpty) df.select(items.map(_.col): _*)
       else df
-    if (p.peekIs("order")) {
-      p.pop()
-      df = df.orderBy(parseOrderCols(p): _*)
+    segParser("order").foreach { op =>
+      df = df.orderBy(parseOrderCols(op): _*); finish(op, "order")
     }
-    if (p.peekIs("limit")) {
-      p.pop()
-      val t = p.pop()
+    segParser("limit").foreach { lp =>
+      val t = lp.pop()
       val n =
         if (t.matches("""\d+""")) t.toInt
         else evalScalar(spark, resolveIdent(t, env)) match {
           case num: Number => num.intValue()
           case other => throw new IllegalArgumentException(s"limit needs a number, got $other")
         }
+      finish(lp, "limit")
       df = df.limit(n)
     }
     df
   }
-
-  /** `group a, b % 3 as bucket` — full expressions with optional aliases
-    * (Kerf groups by computed keys: time buckets, mod classes, …). */
-  private def parseGroupItems(p: P, env: Env): Seq[Item] =
-    parseExprList(p, env)(stopAtClause(p))
 
   /** `order a, -b` — q-style leading minus for descending. */
   private def parseOrderCols(p: P): Seq[Column] = {

@@ -223,6 +223,65 @@ class KerfSqlSpec extends SparkSpec {
     assert(got == want)
   }
 
+  // --- list verbs (slop.h:1140–1189) and dict literals (JSON superset)
+
+  test("list verbs: first/last/enlist/join/find") {
+    assert(evalOne("first(10 20 30)") == 10L)
+    assert(evalOne("last(10 20 30)") == 30L)           // slop.h:1181
+    assert(evalOne("enlist(7)") == Seq(7L))            // slop.h:1173
+    assert(evalOne("join(1 2 3, 4 5)") == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(evalOne("join(1 2 3, 9)") == Seq(1L, 2L, 3L, 9L)) // scalar enlists
+    assert(evalOne("join('ab', 'cd')") == "abcd")      // string concatenation
+    assert(evalOne("find(10 20 30, 20)") == 1L)        // 0-based index
+    assert(evalOne("find(10 20 30, 99)") == 3L)        // miss → count (slop.cc:827)
+    assert(evalOne("count(join(til 4, enlist(9)))") == 5L)
+  }
+
+  test("dict literals: index, keys/values, assignment; lambdas still lambdas") {
+    assert(evalOne("{a: 1, b: 2}['b']") == 2L)
+    assert(evalOne("{'a': 1.5, b: 2}['a']") == 1.5)
+    assert(evalOne("keys({a: 1, b: 2})") == Seq("a", "b"))
+    assert(evalOne("values({a: 1, b: 2})") == Seq(1L, 2L))
+    assert(evalOne("d: {x: 3, y: 4}; d['x'] * d['y']") == 12L)
+    // `{a: 1; a*2}` has a top-level `;` → zero-arg-lambda body, not a dict
+    assert(evalOne("sum(values({a: 1, b: 2}) )") == 3L)
+    assert(evalOne("{[x] y: x+1; y*2}(3)") == 8L)      // let-binding lambda intact
+  }
+
+  // --- as-of join surface (presented.h:409–430 through the language)
+
+  test("asof join lowers to the native exec and matches the API path") {
+    import spark.implicits._
+    val trades = Seq((1L, 100L, 9.0), (1L, 200L, 11.0), (2L, 150L, 20.0))
+      .toDF("sym", "t_ts", "px")
+    val quotes = Seq((1L, 90L, 1.0), (1L, 180L, 2.0), (2L, 100L, 3.0))
+      .toDF("sym", "q_ts", "bid")
+    trades.createOrReplaceTempView("trades_k")
+    quotes.createOrReplaceTempView("quotes_k")
+    val got = KerfSql.run(spark,
+      "select sym, t_ts, px, bid, q_ts from trades_k " +
+      "asof join quotes_k on sym at t_ts, q_ts order sym, t_ts")
+    val want = graft.ops.AsOf.joinNative(trades, quotes, Seq("sym"), "t_ts", "q_ts")
+      .select(col("sym"), col("t_ts"), col("px"), col("bid"), col("q_ts"))
+      .orderBy("sym", "t_ts")
+    assert(got.collect().toSeq == want.collect().toSeq)
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq ==
+      Seq((1L, 100L, 1.0), (1L, 200L, 2.0), (2L, 150L, 3.0)))
+  }
+
+  test("asof join: forward + within tolerance from text") {
+    import spark.implicits._
+    val orders9 = Seq((1L, 100L), (1L, 500L)).toDF("sym", "o_ts")
+    val fills9 = Seq((1L, 120L, 7.0), (1L, 900L, 8.0)).toDF("sym", "f_ts", "fpx")
+    orders9.createOrReplaceTempView("orders_k")
+    fills9.createOrReplaceTempView("fills_k")
+    val got = KerfSql.run(spark,
+      "select sym, o_ts, fpx from orders_k asof join fills_k " +
+      "on sym at o_ts, f_ts within 100 forward order o_ts").collect()
+    assert(got(0).getDouble(2) == 7.0)   // 120 within 100 of 100
+    assert(got(1).isNullAt(2))           // next fill at 900 is outside 100
+  }
+
   test("lexer rejects garbage instead of dropping it") {
     intercept[IllegalArgumentException] {
       KerfSql.run(spark, "select # from orders_v")
