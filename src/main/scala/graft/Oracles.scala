@@ -513,5 +513,66 @@ object Oracles {
                 sum(n_chars) AS sum_chars,
                 min(md5(text)) AS min_text_md5
          FROM documents GROUP BY source, lang ORDER BY source, lang""",
+
+    // identical 3-pass redaction chain (email → IP → phone), identical
+    // synthetic-PII construction
+    "q63_pii_scrub" ->
+      """WITH red AS (
+           SELECT doc_id,
+                  regexp_replace(regexp_replace(regexp_replace(
+                    text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com at 192.168.0.1 or +1-555-0199',
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                    '\+\d[\d\- ]{6,}\d', '<PHONE>', 'g') AS r
+           FROM documents)
+         SELECT doc_id, CAST(length(r) AS BIGINT) AS redacted_len,
+                md5(r) AS redacted_md5
+         FROM red ORDER BY doc_id""",
+
+    // md5 hex prefix is engine-portable: same sampled row set
+    "q64_hash_sample" ->
+      """SELECT source, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents
+         WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 2) < '29'
+         GROUP BY source ORDER BY source""",
+
+    // concat-and-chunk: same whitespace token count (q26 formula), same
+    // exclusive-prefix window, same integer chunk division
+    "q65_pack_chunks" ->
+      """WITH t AS (
+           SELECT source, doc_id,
+                  CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END AS toks
+           FROM documents),
+         offs AS (
+           SELECT source, toks,
+                  coalesce(sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+           FROM t)
+         SELECT source, CAST(start // 2048 AS BIGINT) AS chunk_id,
+                count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS chunk_tokens
+         FROM offs GROUP BY source, chunk_id ORDER BY source, chunk_id""",
+
+    // same normalize/split/3-gram-shingle pipeline as the Spark op (q34's
+    // list-comprehension idiom extended to trigrams), same semi-join
+    "q66_contamination" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                           for i in range(1, len(t)-1)])
+                  END AS s
+           FROM toks),
+         bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+         corp AS (SELECT doc_id, len(s) AS n_shingles, unnest(s) AS g FROM sh)
+         SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+                count(*) AS n_shared,
+                round(CAST(count(*) AS DOUBLE) / n_shingles, 6) AS contamination
+         FROM corp WHERE g IN (SELECT g FROM bench)
+         GROUP BY doc_id, n_shingles ORDER BY doc_id""",
   )
 }

@@ -818,6 +818,49 @@ object Queries {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** PII redaction (north-star scrub pass): deterministic synthetic PII is
+    * appended per doc (the fixtures are PII-free word salad), then the
+    * 3-pass redaction chain runs; the oracle runs the IDENTICAL chain in
+    * DuckDB. Map-only at scale. */
+  val q63_pii_scrub: Q = (s, dir) => {
+    val withPii = concat(col("text"),
+      lit(" contact: user"), col("doc_id").cast("string"),
+      lit("@example.com at 192.168.0.1 or +1-555-0199"))
+    Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), llm.Pipeline.redactPii(withPii).as("__red"))
+      .select(col("doc_id"),
+        length(col("__red")).cast("long").as("redacted_len"),
+        md5(col("__red")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic hash sampling (north-star reproducible subsample):
+    * md5-prefix Bernoulli at ~16%, identical row set in any engine. */
+  val q64_hash_sample: Q = (s, dir) =>
+    llm.Pipeline.hashSample(Tables.documents(s, dir),
+        concat(col("doc_id").cast("string"), lit(":"), col("source")), "29")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+
+  /** Sequence packing (north-star training-batch prep): concat-and-chunk
+    * into 2048-token windows per source stream; per-chunk occupancy. */
+  val q65_pack_chunks: Q = (s, dir) =>
+    llm.Pipeline.packChunks(Tables.documents(s, dir), "source", "doc_id", "text", 2048)
+      .groupBy(col("source"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("chunk_tokens"))
+      .orderBy(col("source"), col("chunk_id"))
+
+  /** Benchmark decontamination (north-star eval hygiene): overlap of each
+    * corpus doc's 3-gram shingles with a deterministic "benchmark" subset
+    * (doc_id % 97 == 0) — planted contamination by construction. */
+  val q66_contamination: Q = (s, dir) => {
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    llm.Pipeline.contamination(docs, docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3)
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -883,5 +926,9 @@ object Queries {
     "q60_kerf_asof"      -> q60_kerf_asof,
     "q61_kerf_verbs"     -> q61_kerf_verbs,
     "q62_csv_roundtrip"  -> q62_csv_roundtrip,
+    "q63_pii_scrub"      -> q63_pii_scrub,
+    "q64_hash_sample"    -> q64_hash_sample,
+    "q65_pack_chunks"    -> q65_pack_chunks,
+    "q66_contamination"  -> q66_contamination,
   )
 }

@@ -61,6 +61,17 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Streaming EXACT DEDUP at the ingest boundary — the reference's SET
+    * dedup-on-append (presented.cc:475–503) as a stream op: duplicate
+    * keys arriving within the watermark horizon are dropped once; state
+    * holds one entry per distinct key INSIDE the horizon and is evicted
+    * as the watermark advances. The bounded-state form a live feed needs
+    * (plain dropDuplicates would accumulate every key ever seen). */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                           horizon: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   // ----- stateful: last-tick (Kerf's realtime "current value" table) -----
 
   case class Tick(user_id: Long, ts_ns: Long, value: Double)

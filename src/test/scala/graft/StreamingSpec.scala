@@ -83,9 +83,7 @@ class StreamingSpec extends SparkSpec {
   test("streaming dedup with watermark drops replayed event ids") {
     import org.apache.spark.sql.functions._
     val ev = EventStream.readEvents(spark, sf)
-    val deduped = ev
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("event_id")
+    val deduped = EventStream.dedupWithinWatermark(ev, Seq("event_id"), "1 hour")
       .groupBy()
       .agg(count(lit(1)).as("n"))
     val q = deduped.writeStream.outputMode("complete")
@@ -93,6 +91,28 @@ class StreamingSpec extends SparkSpec {
     try q.processAllAvailable() finally q.stop()
     val n = spark.table("t_dedup").collect()(0).getLong(0)
     assert(n == Tables.events(spark, sf).count()) // fixture ids are unique
+  }
+
+  test("streaming dedup: planted duplicates inside the horizon collapse to one") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (event_id, ts_s)
+    val stream = input.toDF().toDF("event_id", "ts_s")
+      .withColumn("ts", timestamp_seconds(col("ts_s")))
+    val deduped = EventStream.dedupWithinWatermark(stream, Seq("event_id"), "10 minutes")
+      .select("event_id")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("t_dedup2").start()
+    try {
+      input.addData((1L, 1000L), (1L, 1010L), (2L, 1005L)) // dup of 1 in-batch
+      q.processAllAvailable()
+      input.addData((1L, 1100L), (3L, 1200L))              // dup of 1 cross-batch
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_dedup2").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L))
   }
 
   private def withRocksDb[A](f: => A): A = {
