@@ -108,6 +108,24 @@ class PlanSpec extends SparkSpec {
     assert(scans <= 2, s"expected <=2 lineitem scans, got $scans") // self-agg + probe
   }
 
+  test("q63/q64: scrub + hash-sample stay map-only (no join, no window)") {
+    val p63 = planOf("q63_pii_scrub")
+    assert(!p63.contains("Join") && !p63.contains("Window"),
+      s"redaction must be a pure projection pipeline:\n$p63")
+    val p64 = planOf("q64_hash_sample")
+    assert(!p64.contains("Join") && !p64.contains("Window"),
+      s"hash sampling must be a pushed filter + one aggregate:\n$p64")
+    assert(p64.contains("partial"), "sample aggregate lost map-side combine")
+  }
+
+  test("q66: benchmark shingles broadcast; corpus is never sort-merge joined") {
+    val p = planOf("q66_contamination")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"contamination check must broadcast the benchmark set:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus side must not shuffle for the semi-join:\n$p")
+  }
+
   test("entry: flagship plan reads only needed columns") {
     val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     assert(p.contains("ReadSchema"), "no schema info in scan")

@@ -95,6 +95,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("star-contraction clusters equal union-find truth on random graphs") {
+    val rnd = new scala.util.Random(2026)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = (0 until 50).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find ground truth (path-compressed)
+      val parent = Array.tabulate(n)(identity)
+      def findRoot(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        var c = x; while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (findRoot(a.toInt), findRoot(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = nodes.map(v => v ->
+        nodes.filter(u => findRoot(u.toInt) == findRoot(v.toInt)).min).toMap
+
+      val got = graft.llm.Dedup.clusters(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"cluster labels diverged from union-find on trial $trial")
+    }
+  }
+
   test("upsert idempotence: upserting the same batch twice == once") {
     val base = Seq((1, 10.0), (2, 20.0)).toDF("k", "v")
     val batch = Seq((2, 22.0), (3, 30.0)).toDF("k", "v")
