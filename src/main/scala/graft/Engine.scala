@@ -37,6 +37,9 @@ object Engine {
       // Kerf's parted+sorted table locality (presented.h:409–430)
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Kerf map amend_one is insert-or-UPDATE (test.cc:413): duplicate
+      // keys in map-building functions resolve to the last write
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")

@@ -95,7 +95,7 @@ object KerfSql {
     "select", "set", "values", "into")
   private val aggFns = Set("sum", "avg", "min", "max", "count")
   private val listVerbs = Set("length", "upper", "lower", "reverse",
-    "first", "last", "enlist", "join", "find", "keys", "values")
+    "first", "last", "enlist", "join", "find", "keys", "values", "amend")
   private val verbSyms = Set("+", "-", "*", "/", "%")
   private val adverbNames = Set("fold", "over", "unfold", "scan",
     "mapdown", "each", "mapback", "eachprior", "mapright", "mapleft")
@@ -420,6 +420,9 @@ object KerfSql {
       val idx = parseExpr(p, env)
       p.expect("]")
       t = (t.dt, idx.dt) match {
+        case (MapType(_, vdt, _), ArrayType(_, _)) => // d[keys] → values (test.cc:410)
+          val tc = t.col
+          T(transform(idx.col, k => element_at(tc, k)), ArrayType(vdt))
         case (MapType(_, vdt, _), _) => T(element_at(t.col, idx.col), vdt)
         case (_, ArrayType(_, _)) =>
           val tc = t.col; val e = elemOf(t)
@@ -520,6 +523,8 @@ object KerfSql {
                     else parseExpr(p, env)
         p.expect(")")
         inner.dt match {
+          case MapType(_, _, _) if fn.toLowerCase == "count" =>
+            T(size(inner.col).cast("long"), LongType) // map.count() (test.cc:418)
           case ArrayType(e, _) =>
             // rank polymorphism, Kerf-style: an aggregate applied to a
             // VECTOR reduces the vector in-row (sum 1 2 3 = 6) — the SQL
@@ -598,13 +603,24 @@ object KerfSql {
       case (StringType, StringType) => T(concat(a.col, b.col), StringType)
       case (ArrayType(_, _), _) => applyListVerb("join", Seq(a, applyListVerb("enlist", Seq(b))))
       case (_, ArrayType(_, _)) => applyListVerb("join", Seq(applyListVerb("enlist", Seq(a)), b))
-      case (x, y) => throw new IllegalArgumentException(s"join: need lists/strings, got $x/$y")
+      case _ => // scalar join scalar makes a 2-list: 1 join 2 = [1,2] (test.cc:308)
+        applyListVerb("join", Seq(applyListVerb("enlist", Seq(a)), b))
     }
     case ("find", Seq(h, n)) => h.dt match {
       case ArrayType(_, _) =>
         val pos = array_position(h.col, n.col)
         T(when(pos === 0, size(h.col).cast("long")).otherwise(pos - 1), LongType)
       case other => throw new IllegalArgumentException(s"find: need a list, got $other")
+    }
+    case ("amend", Seq(d, k, v)) => d.dt match { // amend_one (test.cc:413):
+      // dict: insert-or-update, last write wins (mapKeyDedupPolicy=LAST_WIN
+      // in Engine); list: functional update at a 0-based index
+      case MapType(kt, vt, _) =>
+        T(map_concat(d.col, map(k.col.cast(kt), v.col.cast(vt))), d.dt)
+      case ArrayType(e, _) =>
+        T(transform(d.col, (x, i) => when(i === k.col.cast("int"), v.col.cast(e)).otherwise(x)),
+          d.dt)
+      case other => throw new IllegalArgumentException(s"amend: need a dict or list, got $other")
     }
     case ("keys", Seq(a)) => a.dt match { // dict verbs (presented.h map surface)
       case MapType(k, _, _) => T(map_keys(a.col), ArrayType(k))

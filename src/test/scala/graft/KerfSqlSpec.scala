@@ -235,6 +235,23 @@ class KerfSqlSpec extends SparkSpec {
     assert(evalOne("find(10 20 30, 20)") == 1L)        // 0-based index
     assert(evalOne("find(10 20 30, 99)") == 3L)        // miss → count (slop.cc:827)
     assert(evalOne("count(join(til 4, enlist(9)))") == 5L)
+    // the test.cc:308 join chain: 1.join(2).join(r).join(r) on r=[10,20]
+    assert(evalOne("join(join(join(1, 2), 10 20), 10 20)") ==
+      Seq(1L, 2L, 10L, 20L, 10L, 20L))
+  }
+
+  test("map semantics mirror test.cc:383–420: amend_one, count, d[keys]") {
+    // map.amend_one(0,2); map.amend_one(3,4) → keys/values grow, update wins
+    assert(evalOne("amend({a: 1, b: 101}, 'a', 2)['a']") == 2L)    // update
+    assert(evalOne("amend({a: 1, b: 101}, 'c', 4)['c']") == 4L)    // insert
+    assert(evalOne("count(amend({a: 1, b: 101}, 'c', 4))") == 3L)  // map.count()
+    assert(evalOne("keys(amend({a: 1, b: 101}, 'c', 4))") == Seq("a", "b", "c"))
+    assert(evalOne("values(amend(amend({a: 1, b: 101}, 'a', 2), 'c', 4))") ==
+      Seq(2L, 101L, 4L))
+    // map[map.keys()] == map.values()
+    assert(evalOne("d: {x: 1, y: 101}; d[keys(d)]") == Seq(1L, 101L))
+    // amend on a LIST: functional update at a 0-based index
+    assert(evalOne("amend(10 20 30, 1, 99)") == Seq(10L, 99L, 30L))
   }
 
   test("dict literals: index, keys/values, assignment; lambdas still lambdas") {
@@ -280,6 +297,38 @@ class KerfSqlSpec extends SparkSpec {
       "on sym at o_ts, f_ts within 100 forward order o_ts").collect()
     assert(got(0).getDouble(2) == 7.0)   // 120 within 100 of 100
     assert(got(1).isNullAt(2))           // next fill at 900 is outside 100
+  }
+
+  test("asof join from TEXT over sorted folios: zero exchange, zero sort") {
+    // the full parted-table promise (presented.h:409–430) end-to-end: a
+    // Kerf-language asof query over bucketed+sorted catalog tables plans
+    // with NO re-shuffle and NO re-sort — the scans report both
+    import spark.implicits._
+    Seq("tr_sorted", "qt_sorted").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val d = new java.io.File(s"spark-warehouse/$t")
+      if (d.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+        }
+        rm(d)
+      }
+    }
+    val trades = Seq((1L, 100L, 9.0), (1L, 200L, 11.0), (2L, 150L, 20.0))
+      .toDF("sym", "t_ts", "px")
+    val quotes = Seq((1L, 90L, 1.0), (1L, 180L, 2.0), (2L, 100L, 3.0))
+      .toDF("sym", "q_ts", "bid")
+    graft.io.Folio.writeSortedTable(trades, "tr_sorted", Seq("sym"), Seq("t_ts"))
+    graft.io.Folio.writeSortedTable(quotes, "qt_sorted", Seq("sym"), Seq("q_ts"))
+    val df = KerfSql.run(spark,
+      "select sym, t_ts, px, bid from tr_sorted asof join qt_sorted on sym at t_ts, q_ts")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"custom exec missing:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"text-lowered bucketed as-of should not shuffle:\n$plan")
+    assert(!plan.contains("Sort "), s"text-lowered sorted-folio as-of should not re-sort:\n$plan")
+    assert(df.orderBy("sym", "t_ts").collect().map(_.getDouble(3)).toSeq ==
+      Seq(1.0, 2.0, 3.0))
   }
 
   test("lexer rejects garbage instead of dropping it") {
