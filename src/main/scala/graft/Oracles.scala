@@ -574,5 +574,11 @@ object Oracles {
                 round(CAST(count(*) AS DOUBLE) / n_shingles, 6) AS contamination
          FROM corp WHERE g IN (SELECT g FROM bench)
          GROUP BY doc_id, n_shingles ORDER BY doc_id""",
+
+    // the doubled stream deduped in-flight must equal the single-feed
+    // batch truth (event ids are unique in the fixture)
+    "q67_stream_dedup" ->
+      """SELECT event_type, count(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
   )
 }

@@ -861,6 +861,21 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** STREAMING ingest dedup, oracled: the events feed is replayed TWICE
+    * (union of two file-stream reads — every event id arrives twice);
+    * dedupWithinWatermark collapses the duplicates in-stream, and the
+    * per-type counts must equal the batch truth over the single feed. */
+  val q67_stream_dedup: Q = (s, dir) => {
+    val doubled = streaming.EventStream.readEvents(s, dir)
+      .unionByName(streaming.EventStream.readEvents(s, dir))
+      .select(col("event_id"), col("event_type"), col("ts"))
+    val deduped = streaming.EventStream.dedupWithinWatermark(doubled, Seq("event_id"), "24 hours")
+    streaming.EventStream.runAppendToCompletion(s, deduped,
+        s"stream_dedup_${System.nanoTime}")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -930,5 +945,6 @@ object Queries {
     "q64_hash_sample"    -> q64_hash_sample,
     "q65_pack_chunks"    -> q65_pack_chunks,
     "q66_contamination"  -> q66_contamination,
+    "q67_stream_dedup"   -> q67_stream_dedup,
   )
 }

@@ -247,22 +247,28 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** 64-bit SimHash signature from a STAGED token-hash array attribute
+    * (stage via `transform(tokens(text), xxhash64)` — lambda bodies
+    * re-evaluate referenced trees per element): sign-sum of token-hash
+    * bits, one in-row aggregate per bit. Pure column algebra, so it runs
+    * identically over batch and STREAMING frames. */
+  def simhashFromTokenHashes(tokenHashes: Column): Column =
+    (0 until 64).map { i =>
+      val bitSum = aggregate(tokenHashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(bitSum > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+
   /** 64-bit SimHash: sign-sum of token-hash bits. MAP-ONLY: token hashes
     * stay an array column and each bit's ±1 sum is an in-row aggregate —
     * zero shuffles (an explode+groupBy formulation moved every token
     * through a 64-agg shuffle; this touches each doc exactly once, which
     * is also the right plan at 100 TB). Empty docs get signature 0. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashed = docs
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), transform(col("__toks"), t => xxhash64(t)).as("__th"))
-    val sig = (0 until 64).map { i =>
-      val bitSum = aggregate(col("__th"), lit(0),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(bitSum > 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
-    hashed.select(col("doc_id"), sig.as("simhash"))
-  }
+      .select(col("doc_id"), simhashFromTokenHashes(col("__th")).as("simhash"))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

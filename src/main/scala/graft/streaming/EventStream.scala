@@ -72,6 +72,38 @@ object EventStream {
     events.withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming NEAR-dup suppression: documents whose 64-bit SimHash
+    * signature collides inside the watermark horizon are collapsed to the
+    * first arrival — the streaming half of the batch near-dup stack
+    * (llm.Dedup). The signature is pure column algebra (map-only), so the
+    * same expression runs on the stream; state is one signature per
+    * distinct doc-shape inside the horizon. */
+  def nearDupSuppress(docs: DataFrame, textCol: String, tsCol: String,
+                      horizon: String = "2 hours"): DataFrame = {
+    import graft.llm.Dedup
+    docs
+      .withColumn("__th", transform(Dedup.tokens(col(textCol)), t => xxhash64(t)))
+      .withColumn("simhash", Dedup.simhashFromTokenHashes(col("__th")))
+      .drop("__th")
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("simhash")
+  }
+
+  /** Append-mode twin of [[runToCompletion]] for non-aggregating stateful
+    * streams (dedup, suppression): rows land in the memory sink as they
+    * are emitted. */
+  def runAppendToCompletion(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try {
+      val q = df.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    } finally spark.conf.set(key, prev)
+    spark.table(name)
+  }
+
   // ----- stateful: last-tick (Kerf's realtime "current value" table) -----
 
   case class Tick(user_id: Long, ts_ns: Long, value: Double)

@@ -115,6 +115,29 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(1L, 2L, 3L))
   }
 
+  test("streaming near-dup suppression collapses simhash-identical docs") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)] // (doc_id, text, ts_s)
+    val stream = input.toDF().toDF("doc_id", "text", "ts_s")
+      .withColumn("ts", timestamp_seconds(col("ts_s")))
+    val out = EventStream.nearDupSuppress(stream, "text", "ts", "10 minutes")
+      .select("doc_id")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("t_neardup").start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog", 1000L),
+        (2L, "THE  quick   brown fox jumps over the lazy dog", 1010L), // normText-dup of 1
+        (3L, "spark catalyst rules and whole stage codegen", 1005L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("t_neardup").as[Long].collect().toSet
+    assert(kept.size == 2 && kept.contains(3L), s"expected 1 survivor per shape, got $kept")
+  }
+
   private def withRocksDb[A](f: => A): A = {
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val partKey = "spark.sql.shuffle.partitions"
