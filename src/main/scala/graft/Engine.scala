@@ -46,6 +46,9 @@ object Engine {
       .config("spark.driver.host", "127.0.0.1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the graft SQL surface (text/pipeline macros + native fns/aggs):
+    // every session speaks `SELECT graft_redact_pii(text) …`
+    graft.functions.GraftFunctions.registerAll(spark)
     spark
   }
 }

@@ -580,5 +580,21 @@ object Oracles {
     "q67_stream_dedup" ->
       """SELECT event_type, count(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // same normalize/split tokenization (q26/q34 idiom), same count +
+    // term tie-break ranking
+    "q68_term_topk" ->
+      """WITH terms AS (
+           SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+           FROM documents WHERE doc_id < 30),
+         counts AS (
+           SELECT doc_id, term, count(*) AS n FROM terms
+           WHERE term <> '' GROUP BY doc_id, term),
+         ranked AS (
+           SELECT doc_id, term, n,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, term) AS rk
+           FROM counts)
+         SELECT doc_id, rk, term, n FROM ranked WHERE rk <= 3
+         ORDER BY doc_id, rk""",
   )
 }

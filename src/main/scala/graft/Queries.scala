@@ -876,6 +876,14 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Keyword extraction (north-star text analysis): top-3 most frequent
+    * normalized terms per doc on a bounded sample — exact integer counts,
+    * term tie-break, fully oracled. */
+  val q68_term_topk: Q = (s, dir) =>
+    llm.TextOps.topTerms(
+        Tables.documents(s, dir).filter(col("doc_id") < 30), "doc_id", "text", 3)
+      .orderBy(col("doc_id"), col("rk"))
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -946,5 +954,6 @@ object Queries {
     "q65_pack_chunks"    -> q65_pack_chunks,
     "q66_contamination"  -> q66_contamination,
     "q67_stream_dedup"   -> q67_stream_dedup,
+    "q68_term_topk"      -> q68_term_topk,
   )
 }

@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.GraftColumnGlue.{toColumn, toCatalystExpr}
+
+/** The graft library surface for plain `spark.sql` users: every
+  * single-pass text/pipeline helper registered as a SQL "macro" — the
+  * builder splices the SAME composed Catalyst expression tree the Column
+  * API builds (codegen'd, no UDFs), so `SELECT graft_redact_pii(text)`
+  * and `Pipeline.redactPii(col("text"))` are literally one plan.
+  *
+  * Only few-reference helpers are registered (cosine references each arg
+  * 2-3× — free for attribute args, the normal SQL call shape): anything
+  * that must STAGE an intermediate attribute (simhash's 64 aggregates
+  * over one token-hash array, fingerprinting) is exposed through the
+  * DataFrame API instead — a macro would inline the staged tree once per
+  * consumer (the no-CSE-in-lambda rule), silently multiplying per-row
+  * cost. */
+object GraftFunctions {
+
+  private def unary(spark: SparkSession, name: String)(f: Column => Column): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => {
+        require(exprs.length == 1, s"$name takes 1 argument")
+        toCatalystExpr(f(toColumn(exprs.head)))
+      },
+      "built-in")
+
+  private def binary(spark: SparkSession, name: String)(f: (Column, Column) => Column): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => {
+        require(exprs.length == 2, s"$name takes 2 arguments")
+        toCatalystExpr(f(toColumn(exprs(0)), toColumn(exprs(1))))
+      },
+      "built-in")
+
+  /** Register the whole graft function surface on a session. */
+  def registerAll(spark: SparkSession): Unit = {
+    unary(spark, "graft_norm_text")(graft.llm.Dedup.normText)
+    unary(spark, "graft_clean_text")(graft.llm.TextOps.cleanText)
+    unary(spark, "graft_redact_pii")(graft.llm.Pipeline.redactPii)
+    unary(spark, "graft_token_count")(c => graft.llm.TextOps.tokenCount(c).cast("long"))
+    unary(spark, "graft_subword_count")(c => graft.llm.TextOps.subwordCount(c).cast("long"))
+    binary(spark, "graft_hamming")(graft.llm.Dedup.hamming)
+    binary(spark, "graft_dot")(graft.llm.Similarity.dot)
+    binary(spark, "graft_cosine")(graft.llm.Similarity.cosine)
+    EpsilonEquals.register(spark)
+    MinHashAgg.register(spark)
+  }
+}

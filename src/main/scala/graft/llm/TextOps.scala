@@ -114,6 +114,28 @@ object TextOps {
   def cleanText(t: Column): Column =
     collapseWhitespace(stripUrls(stripHtml(t)))
 
+  /** Per-doc term frequencies: explode normalized tokens → partial-agg
+    * groupBy (map-side combine carries (doc, term, n) — never raw text).
+    * One shuffle at any scale. */
+  def termCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(Dedup.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Top-k most frequent terms per document (keyword extraction) —
+    * deterministic tie-break on the term itself. Count shuffle + one
+    * per-doc window; rank state is O(k) per doc after the partial agg. */
+  def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("n").desc, col("term"))
+    termCounts(docs, idCol, textCol)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("n"))
+  }
+
   /** Winnowing-style document fingerprint: k-gram rolling hashes, keep the
     * min hash in each window of w consecutive k-grams → compact sketch of
     * positions that survives small edits (Schleimer et al., SIGMOD'03). */

@@ -10,6 +10,14 @@ object GraftColumnGlue {
   def toExpr(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
 
+  /** EAGER Column→Expression conversion (function calls become
+    * `UnresolvedFunction` catalyst nodes the analyzer resolves at
+    * fixpoint). `toExpr`'s lazy `ColumnNodeExpression` wrapper is only
+    * unwrapped on classic Dataset paths — a FunctionRegistry builder
+    * (the graft SQL-macro surface) needs the real tree. */
+  def toCatalystExpr(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** Build a DataFrame over a custom LogicalPlan (Dataset.ofRows is
     * private[sql]) — needed to expose custom operators like the native
     * as-of join through the public DataFrame API. */

@@ -7,6 +7,9 @@ import graft.llm.Pipeline
 class PipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  private lazy val init: Unit =
+    Tables.documents(spark, sf).createOrReplaceTempView("graft_docs")
+
   test("redactPii scrubs emails, IPs, and phones; clean text untouched") {
     val df = Seq(
       "mail me at jane.doe+x@sub.example.co.uk today",
@@ -40,6 +43,35 @@ class PipelineSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set(("s1", 1L, 0L), ("s1", 2L, 0L), ("s1", 3L, 1L),
                       ("s1", 4L, 1L), ("s2", 1L, 0L)))
+  }
+
+  test("graft SQL surface: registered macros plan the same expression as the Column API") {
+    init
+    // Engine.session registers these for every session
+    val r = spark.sql(
+      "SELECT graft_redact_pii('mail a@b.co or 1.2.3.4') AS red, " +
+      "       graft_token_count('a b  c') AS n, " +
+      "       graft_norm_text('  A  B ') AS t, " +
+      "       graft_hamming(7, 1) AS h, " +
+      "       graft_cosine(array(1.0, 0.0), array(0.0, 1.0)) AS cos").collect()(0)
+    assert(r.getString(0) == "mail <EMAIL> or <IP>")
+    assert(r.getLong(1) == 3L)
+    assert(r.getString(2) == "a b")
+    assert(r.getInt(3) == 2) // bit_count yields int
+    assert(r.getDouble(4) == 0.0)
+    // macro == Column API: identical results on real data
+    val viaSql = spark.sql("SELECT md5(graft_clean_text(text)) AS m FROM graft_docs ORDER BY m")
+    val viaCol = Tables.documents(spark, sf)
+      .select(md5(graft.llm.TextOps.cleanText(col("text"))).as("m")).orderBy("m")
+    assert(viaSql.collect().toSeq == viaCol.collect().toSeq)
+  }
+
+  test("topTerms: exact counts, term tie-break") {
+    val docs = Seq((1L, "b a a b c"), (2L, "z z y")).toDF("doc_id", "text")
+    val got = graft.llm.TextOps.topTerms(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == Set((1L, 1L, "a", 2L), (1L, 2L, "b", 2L), // a before b on ties
+                      (2L, 1L, "z", 2L), (2L, 2L, "y", 1L)))
   }
 
   test("contamination: planted benchmark doc scores 1.0, clean docs absent") {
