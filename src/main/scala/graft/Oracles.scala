@@ -596,5 +596,16 @@ object Oracles {
            FROM counts)
          SELECT doc_id, rk, term, n FROM ranked WHERE rk <= 3
          ORDER BY doc_id, rk""",
+
+    // SQL-macro surface: q26's token formula + q59's cleaning chain,
+    // composed
+    "q69_sql_macros" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS sum_tokens,
+                min(md5(trim(regexp_replace(regexp_replace(regexp_replace(
+                  text, '<[^>]*>', ' ', 'g'), 'https?://[^\s]+', ' ', 'g'),
+                  '\s+', ' ', 'g')))) AS min_clean_md5
+         FROM documents GROUP BY lang ORDER BY lang""",
   )
 }

@@ -884,6 +884,19 @@ object Queries {
         Tables.documents(s, dir).filter(col("doc_id") < 30), "doc_id", "text", 3)
       .orderBy(col("doc_id"), col("rk"))
 
+  /** The graft SQL function surface end-to-end: a plain `spark.sql` query
+    * over the registered macros (GraftFunctions — same Catalyst trees as
+    * the Column API, zero UDFs), oracled against the composed DuckDB
+    * twins of the underlying formulas. */
+  val q69_sql_macros: Q = (s, dir) => {
+    Tables.documents(s, dir).createOrReplaceTempView("documents_v")
+    s.sql(
+      """SELECT lang, count(*) AS n_docs,
+                sum(graft_token_count(text)) AS sum_tokens,
+                min(md5(graft_clean_text(text))) AS min_clean_md5
+         FROM documents_v GROUP BY lang ORDER BY lang""")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -955,5 +968,6 @@ object Queries {
     "q66_contamination"  -> q66_contamination,
     "q67_stream_dedup"   -> q67_stream_dedup,
     "q68_term_topk"      -> q68_term_topk,
+    "q69_sql_macros"     -> q69_sql_macros,
   )
 }

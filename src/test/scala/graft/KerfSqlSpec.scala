@@ -337,6 +337,29 @@ class KerfSqlSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: random token soup parses or throws cleanly — never hangs or crashes") {
+    init
+    val rnd = new scala.util.Random(404)
+    val vocab = Array("select", "from", "where", "group", "order", "limit",
+      "fold", "mapdown", "til", "o_orderkey", "orders_v", "1", "2.5", "1994.01.01",
+      "1d2h", "'s'", "`sym", "+", "-", "*", "/", "(", ")", "[", "]", "{", "}",
+      ",", ";", ":", "=", "<", ">", "and", "or", "as", "asof", "join", "on", "at",
+      "first", "last", "enlist", "find", "keys", "amend", "x", "def", "if", "while")
+    var parsed = 0
+    for (_ <- 1 to 300) {
+      val n = 1 + rnd.nextInt(12)
+      val prog = Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      try { KerfSql.run(spark, prog); parsed += 1 }
+      catch {
+        case _: IllegalArgumentException | _: org.apache.spark.sql.AnalysisException |
+             _: java.util.NoSuchElementException | _: UnsupportedOperationException |
+             _: org.apache.spark.SparkException | _: MatchError =>
+        // rejected inputs must throw, not hang, loop, or corrupt state
+      }
+    }
+    assert(parsed >= 0) // reaching here at all is the property
+  }
+
   test("update … set … where lowers to TableOps.update") {
     init
     val got = KerfSql.run(spark,
