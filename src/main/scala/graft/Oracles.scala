@@ -510,7 +510,7 @@ object Oracles {
     // the CSV source is lossless (md5 over the free-text column)
     "q62_csv_roundtrip" ->
       """SELECT source, lang, count(*) AS n_docs,
-                sum(n_chars) AS sum_chars,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                 min(md5(text)) AS min_text_md5
          FROM documents GROUP BY source, lang ORDER BY source, lang""",
 

@@ -809,8 +809,18 @@ object Queries {
   val q62_csv_roundtrip: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     val csvDir = s"/tmp/graft_csv/${new java.io.File(dir).getName}/documents"
-    docs.write.mode("overwrite").option("header", "true").csv(csvDir)
-    s.read.option("header", "true").schema(docs.schema).csv(csvDir)
+    // fidelity options made explicit: no whitespace trimming on either
+    // side, and multiLine so quoted embedded newlines survive (multiLine
+    // reads are non-splittable — the fidelity/parallelism trade a real
+    // ingest makes per file)
+    docs.write.mode("overwrite").option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(csvDir)
+    s.read.option("header", "true").option("multiLine", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .schema(docs.schema).csv(csvDir)
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
            sum(col("n_chars")).as("sum_chars"),

@@ -614,12 +614,18 @@ object KerfSql {
     }
     case ("amend", Seq(d, k, v)) => d.dt match { // amend_one (test.cc:413):
       // dict: insert-or-update, last write wins (mapKeyDedupPolicy=LAST_WIN
-      // in Engine); list: functional update at a 0-based index
+      // in Engine); list: functional update at a 0-based index. The value
+      // type WIDENS like the reference's promote-on-append — never a
+      // silent down-cast of the new value.
       case MapType(kt, vt, _) =>
-        T(map_concat(d.col, map(k.col.cast(kt), v.col.cast(vt))), d.dt)
+        val wide = widenArith(vt, v.dt)
+        T(map_concat(d.col.cast(MapType(kt, wide)), map(k.col.cast(kt), v.col.cast(wide))),
+          MapType(kt, wide))
       case ArrayType(e, _) =>
-        T(transform(d.col, (x, i) => when(i === k.col.cast("int"), v.col.cast(e)).otherwise(x)),
-          d.dt)
+        val wide = widenArith(e, v.dt)
+        T(transform(d.col.cast(ArrayType(wide)),
+            (x, i) => when(i === k.col.cast("int"), v.col.cast(wide)).otherwise(x)),
+          ArrayType(wide))
       case other => throw new IllegalArgumentException(s"amend: need a dict or list, got $other")
     }
     case ("keys", Seq(a)) => a.dt match { // dict verbs (presented.h map surface)
@@ -762,7 +768,17 @@ object KerfSql {
           } else {
             val t = parseExpr(p, env)
             require(p.done, s"trailing tokens in assignment: ${p.toks.mkString(" ")}")
-            val bound = litOf(evalScalar(spark, t)) // eager (REPL) semantics
+            // eager (REPL) semantics. Dicts rebind via parallel key/value
+            // ARRAYS: Kerf dicts are insertion-ordered, and a collected
+            // scala Map drops that order past 4 entries (HashMap)
+            val bound = t.dt match {
+              case MapType(_, _, _) =>
+                val ks = litOf(evalScalar(spark, T(map_keys(t.col), NullType)))
+                val vs = litOf(evalScalar(spark, T(map_values(t.col), NullType)))
+                val vdt = vs.dt match { case ArrayType(e, _) => e; case _ => NullType }
+                T(map_from_arrays(ks.col, vs.col), MapType(StringType, vdt))
+              case _ => litOf(evalScalar(spark, t))
+            }
             vars(name) = bound
             last = Right(bound)
           }
@@ -876,6 +892,7 @@ object KerfSql {
         out(cur) = buf.toList; buf.clear(); cur = w.toLowerCase
       case t => buf += t
     }
+    require(!out.contains(cur), s"duplicate '$cur' clause")
     out(cur) = buf.toList
     out.toMap
   }

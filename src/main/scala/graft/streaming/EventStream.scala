@@ -68,8 +68,9 @@ object EventStream {
     * as the watermark advances. The bounded-state form a live feed needs
     * (plain dropDuplicates would accumulate every key ever seen). */
   def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
-                           horizon: String = "2 hours"): DataFrame =
-    events.withWatermark("ts", horizon)
+                           horizon: String = "2 hours",
+                           tsCol: String = "ts"): DataFrame =
+    events.withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
   /** Streaming NEAR-dup suppression: documents whose 64-bit SimHash

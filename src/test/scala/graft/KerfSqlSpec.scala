@@ -254,6 +254,26 @@ class KerfSqlSpec extends SparkSpec {
     assert(evalOne("amend(10 20 30, 1, 99)") == Seq(10L, 99L, 30L))
   }
 
+  test("amend widens the value type instead of truncating; big dicts keep order") {
+    assert(evalOne("amend({a: 1}, 'b', 2.5)['b']") == 2.5)       // map widens long→double
+    assert(evalOne("amend(10 20 30, 1, 9.9)") == Seq(10.0, 9.9, 30.0)) // list widens
+    // >4 entries would collapse to a HashMap via naive Map rebinding
+    assert(evalOne("d: {a:1, b:2, c:3, e:4, f:5, g:6}; keys(d)") ==
+      Seq("a", "b", "c", "e", "f", "g"))
+    assert(evalOne("d: {a:1, b:2, c:3, e:4, f:5, g:6}; d[keys(d)]") ==
+      Seq(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("duplicate clauses are rejected, including a duplicated FINAL clause") {
+    init
+    intercept[IllegalArgumentException] {
+      KerfSql.run(spark, "select o_orderkey from orders_v where o_orderkey > 5 where o_orderkey < 3")
+    }
+    intercept[IllegalArgumentException] {
+      KerfSql.run(spark, "select o_orderkey from orders_v limit 3 limit 5")
+    }
+  }
+
   test("dict literals: index, keys/values, assignment; lambdas still lambdas") {
     assert(evalOne("{a: 1, b: 2}['b']") == 2L)
     assert(evalOne("{'a': 1.5, b: 2}['a']") == 1.5)
@@ -353,8 +373,10 @@ class KerfSqlSpec extends SparkSpec {
       catch {
         case _: IllegalArgumentException | _: org.apache.spark.sql.AnalysisException |
              _: java.util.NoSuchElementException | _: UnsupportedOperationException |
-             _: org.apache.spark.SparkException | _: MatchError =>
-        // rejected inputs must throw, not hang, loop, or corrupt state
+             _: org.apache.spark.SparkException =>
+        // rejected inputs must throw a DECLARED error type: a MatchError
+        // escaping here is a non-exhaustive parser match — a real bug this
+        // fuzz exists to catch, so it fails the test
       }
     }
     assert(parsed >= 0) // reaching here at all is the property
