@@ -607,5 +607,14 @@ object Oracles {
                   text, '<[^>]*>', ' ', 'g'), 'https?://[^\s]+', ' ', 'g'),
                   '\s+', ' ', 'g')))) AS min_clean_md5
          FROM documents GROUP BY lang ORDER BY lang""",
+
+    // the decoder's output must equal the closed-form image construction
+    // (PNG is lossless): this oracles the REAL javax.imageio decode path
+    "q70_image_decode" ->
+      """SELECT doc_id, 16.0 AS w, 8.0 AS h,
+                CAST((doc_id * 7) % 256 AS DOUBLE) AS r,
+                CAST((doc_id * 13) % 256 AS DOUBLE) AS g,
+                CAST((doc_id * 31) % 256 AS DOUBLE) AS b
+         FROM documents WHERE doc_id < 64 ORDER BY doc_id""",
   )
 }

@@ -907,6 +907,40 @@ object Queries {
          FROM documents_v GROUP BY lang ORDER BY lang""")
   }
 
+  /** REAL image decode end-to-end (north-star multimodal — not the stub):
+    * a deterministic 16×8 solid-color PNG is encoded per doc in-partition
+    * (pure-JDK `javax.imageio` writer), then decoded back through the
+    * production codec seam (`ImageIoCodec`). PNG is lossless, so the
+    * pooled RGB features must equal the closed-form construction — which
+    * is exactly what the DuckDB oracle checks. */
+  val q70_image_decode: Q = (s, dir) => {
+    import s.implicits._
+    val blobs = Tables.documents(s, dir).filter(col("doc_id") < 64)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val img = new java.awt.image.BufferedImage(16, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (((id * 7) % 256).toInt << 16) |
+                    (((id * 13) % 256).toInt << 8) | ((id * 31) % 256).toInt
+          var y = 0
+          while (y < 8) { var x = 0; while (x < 16) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          (id, baos.toByteArray)
+        }
+      }.toDF("doc_id", "png")
+    llm.Multimodal.decodeBinaryPartitioned(blobs, "doc_id", "png",
+        llm.Multimodal.ImageIoCodec())
+      .select(col("doc_id"),
+        element_at(col("features"), 1).as("w"),
+        element_at(col("features"), 2).as("h"),
+        element_at(col("features"), 3).as("r"),
+        element_at(col("features"), 4).as("g"),
+        element_at(col("features"), 5).as("b"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -979,5 +1013,6 @@ object Queries {
     "q67_stream_dedup"   -> q67_stream_dedup,
     "q68_term_topk"      -> q68_term_topk,
     "q69_sql_macros"     -> q69_sql_macros,
+    "q70_image_decode"   -> q70_image_decode,
   )
 }

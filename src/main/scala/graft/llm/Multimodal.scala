@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * the shape that scales to 100 TB of images (partition size bounds
   * executor memory; no blob ever visits the driver).
   *
-  * The actual codec is STUBBED (this container ships no image/audio libs):
-  * `fakeFeatures` derives a deterministic pseudo-embedding from the bytes
-  * via xxhash64 — the Spark-side schema, partitioning and batch shape are
-  * real and tested; swap `fakeFeatures` for a real decoder expression (or
-  * a mapPartitions over a JNI codec) in production.
+  * The codec seam has REAL implementations on the pure-JDK decoders —
+  * [[Multimodal.ImageIoCodec]] (PNG/JPEG/BMP/GIF via `javax.imageio`) and
+  * [[Multimodal.WavCodec]] (PCM WAV via `javax.sound.sampled`) — plus the
+  * deterministic [[Multimodal.StubCodec]] used over the text-only driver
+  * fixtures (which carry no media blobs); a JNI/ONNX embedder implements
+  * the same one-method trait.
   */
 object Multimodal {
 
@@ -52,14 +53,85 @@ object Multimodal {
     def decode(bytes: Array[Byte]): Array[Double]
   }
 
-  /** Deterministic stand-in codec — this container ships no media libs
-    * (acknowledged limitation). Same decode contract as production. */
+  /** Deterministic stand-in codec (kept for the text-fixture pipeline —
+    * the driver fixtures carry no media blobs). Same decode contract as
+    * the real codecs below. */
   final case class StubCodec(dims: Int = 8) extends MediaCodec {
     def decode(bytes: Array[Byte]): Array[Double] = {
       // stand-in for decode→resize→embed: deterministic bytes→features
       val h0 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 42)
       Array.tabulate(dims)(i =>
         scala.util.hashing.MurmurHash3.productHash((h0, i)).toDouble / Int.MaxValue)
+    }
+  }
+
+  /** REAL image codec on the pure-JDK decoder (`javax.imageio` —
+    * PNG/JPEG/BMP/GIF ship with every JVM, zero external deps): decode →
+    * average-pool to a `grid`×`grid` mosaic → emit
+    * `[width, height, cell RGB means…]`. The decode→resize→featurize
+    * shape of a production embedder, with the JDK as the backend; the
+    * iterator batching in [[decodePartitioned]] is unchanged. Stateless →
+    * trivially Serializable. */
+  final case class ImageIoCodec(grid: Int = 2) extends MediaCodec {
+    val dims: Int = 2 + grid * grid * 3
+    def decode(bytes: Array[Byte]): Array[Double] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "undecodable image blob")
+      val w = img.getWidth; val h = img.getHeight
+      val out = Array.ofDim[Double](dims)
+      out(0) = w.toDouble; out(1) = h.toDouble
+      var gy = 0
+      while (gy < grid) {
+        var gx = 0
+        while (gx < grid) {
+          val x0 = gx * w / grid; val x1 = math.max((gx + 1) * w / grid, x0 + 1)
+          val y0 = gy * h / grid; val y1 = math.max((gy + 1) * h / grid, y0 + 1)
+          var r = 0L; var g = 0L; var b = 0L; var n = 0L
+          var y = y0
+          while (y < math.min(y1, h)) {
+            var x = x0
+            while (x < math.min(x1, w)) {
+              val px = img.getRGB(x, y)
+              r += (px >> 16) & 0xFF; g += (px >> 8) & 0xFF; b += px & 0xFF
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          val base = 2 + (gy * grid + gx) * 3
+          if (n > 0) {
+            out(base) = r.toDouble / n
+            out(base + 1) = g.toDouble / n
+            out(base + 2) = b.toDouble / n
+          }
+          gx += 1
+        }
+        gy += 1
+      }
+      out
+    }
+  }
+
+  /** REAL audio codec on the pure-JDK WAV parser (`javax.sound.sampled`):
+    * `[sampleRate, channels, nFrames, durationSec, rms]` for PCM WAV
+    * blobs — header parse + one streaming pass for RMS (16-bit LE). */
+  final case class WavCodec() extends MediaCodec {
+    val dims: Int = 5
+    def decode(bytes: Array[Byte]): Array[Double] = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val nFrames = in.getFrameLength
+        val data = in.readAllBytes()
+        var sum = 0.0; var n = 0L; var i = 0
+        while (i + 1 < data.length) {
+          val s = (((data(i + 1) & 0xFF) << 8) | (data(i) & 0xFF)).toShort.toDouble / 32768.0
+          sum += s * s; n += 1; i += 2
+        }
+        Array(fmt.getSampleRate.toDouble, fmt.getChannels.toDouble, nFrames.toDouble,
+          nFrames / fmt.getFrameRate.toDouble,
+          if (n == 0) 0.0 else math.sqrt(sum / n))
+      } finally in.close()
     }
   }
 
@@ -73,10 +145,18 @@ object Multimodal {
   case class DecodedRow(doc_id: Long, n_bytes: Int, features: Array[Double])
 
   def decodePartitioned(docs: DataFrame, idCol: String, textCol: String,
-                        codec: MediaCodec = StubCodec()): DataFrame = {
+                        codec: MediaCodec = StubCodec()): DataFrame =
+    decodeBinaryPartitioned(
+      docs.withColumn("__blob", to_binary(col(textCol), lit("utf-8"))),
+      idCol, "__blob", codec)
+
+  /** Same iterator-batched decode over a true BINARY column (the real
+    * media path — [[decodePartitioned]] is its text-fixture adapter). */
+  def decodeBinaryPartitioned(docs: DataFrame, idCol: String, binCol: String,
+                              codec: MediaCodec): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), to_binary(col(textCol), lit("utf-8")))
+    docs.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>

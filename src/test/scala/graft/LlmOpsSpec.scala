@@ -180,6 +180,39 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.count() == Tables.documents(spark, sf).count())
   }
 
+  test("ImageIoCodec: real PNG decode recovers constructed colors per grid cell") {
+    import graft.llm.Multimodal
+    // left half red, right half blue — grid=2 pools each half exactly
+    val img = new java.awt.image.BufferedImage(8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0xFF0000 else 0x0000FF)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val f = Multimodal.ImageIoCodec(grid = 2).decode(baos.toByteArray)
+    assert(f(0) == 8.0 && f(1) == 4.0)
+    assert(f(2) == 255.0 && f(3) == 0.0 && f(4) == 0.0)   // top-left cell: red
+    assert(f(5) == 0.0 && f(6) == 0.0 && f(7) == 255.0)   // top-right cell: blue
+    assert(f(8) == 255.0 && f(11) == 0.0)                 // bottom row mirrors
+  }
+
+  test("WavCodec: real WAV parse recovers rate/frames/duration; sine RMS = A/sqrt2") {
+    import graft.llm.Multimodal
+    import javax.sound.sampled._
+    val rate = 8000f; val n = 8000; val amp = 0.5
+    val pcm = Array.ofDim[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (amp * math.sin(2 * math.Pi * 440 * i / rate) * 32767).toInt
+      pcm(2 * i) = (s & 0xFF).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    val f = Multimodal.WavCodec().decode(baos.toByteArray)
+    assert(f(0) == 8000.0 && f(1) == 1.0 && f(2) == 8000.0 && f(3) == 1.0)
+    assert(math.abs(f(4) - amp / math.sqrt(2)) < 0.01, s"rms ${f(4)}")
+  }
+
   test("multimodal codec seam: a custom decoder drops in unchanged") {
     import graft.llm.Multimodal
     val out = Multimodal.decodePartitioned(docs, "doc_id", "text", LlmOpsSpec.LenCodec())
