@@ -107,13 +107,12 @@ object Folio {
     val live = Set(vname, f"v${n - 1}%08d")
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.matches("v\\d{8}") && !live(d.getName))
-      .foreach { d =>
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete()
-        }
-        rm(d)
-      }
+      .foreach(rmTree)
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete()
   }
 
   /** Append with promote-on-append semantics: widens the on-disk data
@@ -146,7 +145,19 @@ object Folio {
         def castTo(d: DataFrame) =
           d.select(target.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
         val next = cur.map(_.stripPrefix("v").toLong + 1L).getOrElse(1L)
+        // legacy (pre-versioned) layouts must be read BEFORE publishing:
+        // the union materializes during the version write
         publishVersion(castTo(old).unionByName(castTo(df)), path, next)
+        if (cur.isEmpty) {
+          // migrate-in-place: the legacy root-level files/partition dirs
+          // were folded into v1 — remove them so a PLAIN read of the path
+          // doesn't see both copies. Runs only after the pointer swap: a
+          // crash before this point leaves extra files but promotedRead
+          // (and workspaceLoad) still resolve exactly one version.
+          Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+            .filter(f => f.getName != "_CURRENT" && !f.getName.matches("v\\d{8}"))
+            .foreach(rmTree)
+        }
     }
   }
 

@@ -160,9 +160,11 @@ object Similarity {
       .collect()
     require(seedRows.nonEmpty, "no candidate vectors to seed centroids from")
     // list numbering = ascending seed id: deterministic regardless of
-    // partitioning or hash order
+    // partitioning or hash order. Elements unbox via Number: float AND
+    // double embedding columns both work (every other entry point casts
+    // per-element already)
     val seeds = seedRows.sortBy(_.getLong(0))
-      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
     val assigned = assignLists(cand, seeds, idCol, vecCol)
     val means = assigned
       .select(col("list_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))

@@ -63,16 +63,6 @@ object TextOps {
     "es" -> Seq(" el ", " los ", " de ", " que ", "ción"),
     "zh" -> Seq("的", "是", "了", "在", "不"))
 
-  /** Marker-occurrence count in ONE scan per language: a non-capturing
-    * alternation of all the language's markers (a per-marker replace or
-    * split allocated a fresh copy of the text per marker — 25 scans and
-    * 25 allocations per row). `padded` is the pre-staged " text " col. */
-  def langScore(padded: Column, markers: Seq[String]): Column = {
-    val alternation = markers.map(java.util.regex.Pattern.quote)
-      .mkString("(?:", "|", ")")
-    regexp_count(padded, lit(alternation)).cast("int")
-  }
-
   /** ONE regex scan of each document for ALL languages: a longest-first
     * alternation of every marker extracts the hit sequence once; each
     * language's score is then an in-row count over that (small) hit

@@ -53,11 +53,15 @@ object MapSetEnum {
         row_number().over(Window.orderBy(col("value"))).cast("int") - 1)
 
   /** Replace the value column with its intern code via broadcast join —
-    * the ENUM_INTERN index vector, distributed. */
-  def applyIntern(df: DataFrame, dict: DataFrame, valueCol: String): DataFrame =
-    df.join(broadcast(dict), df(valueCol) === dict("value"))
-      .drop("value")
-      .withColumnRenamed("code", s"${valueCol}_code")
+    * the ENUM_INTERN index vector, distributed. Dict columns are aliased
+    * internally so an input column named `value`/`code` survives (drop by
+    * name would remove BOTH same-named columns). */
+  def applyIntern(df: DataFrame, dict: DataFrame, valueCol: String): DataFrame = {
+    val d = dict.select(col("value").as("__intern_value"), col("code").as("__intern_code"))
+    df.join(broadcast(d), df(valueCol) === d("__intern_value"))
+      .drop("__intern_value")
+      .withColumnRenamed("__intern_code", s"${valueCol}_code")
+  }
 
   // ----- AFFINE -----
 

@@ -48,6 +48,13 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  saltFrom: Column, buckets: Int,
                  joinType: String = "inner"): DataFrame = {
+    // outer types that preserve the REPLICATED side would emit each
+    // unmatched small row `buckets` times — reject rather than be wrong
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+        "leftsemi", "left_anti", "leftanti").contains(
+        joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin: '$joinType' would duplicate unmatched replicated rows; " +
+      "only inner/left/left_semi/left_anti are sound")
     val b = big.withColumn("__salt", salt(buckets, saltFrom))
     val s = small
       .withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))

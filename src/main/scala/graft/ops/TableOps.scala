@@ -13,11 +13,23 @@ import org.apache.spark.sql.functions._
   */
 object TableOps {
 
-  /** UPDATE t SET col = expr WHERE pred. */
-  def update(df: DataFrame, pred: Column, sets: (String, Column)*): DataFrame =
-    sets.foldLeft(df) { case (d, (name, value)) =>
-      d.withColumn(name, when(pred, value).otherwise(col(name)))
+  /** UPDATE t SET col = expr WHERE pred. The predicate and EVERY set
+    * expression evaluate against the PRE-update row (standard SQL UPDATE
+    * semantics) — one select, never a chain of withColumns, which would
+    * feed already-updated columns into later SETs and the re-checked
+    * predicate (`set a = 0, b = 1 where a > 5` must update b). Set names
+    * not in the schema append as new columns (null where pred is false). */
+  def update(df: DataFrame, pred: Column, sets: (String, Column)*): DataFrame = {
+    val updated = df.columns.map { c =>
+      sets.find(_._1.equalsIgnoreCase(c)) match {
+        case Some((_, v)) => when(pred, v).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
     }
+    val added = sets.filterNot(s => df.columns.exists(_.equalsIgnoreCase(s._1)))
+      .map { case (n, v) => when(pred, v).as(n) }
+    df.select(updated ++ added: _*)
+  }
 
   /** DELETE FROM t WHERE pred. */
   def delete(df: DataFrame, pred: Column): DataFrame = df.filter(!pred)

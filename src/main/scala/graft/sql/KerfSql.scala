@@ -164,8 +164,18 @@ object KerfSql {
     case _ => dyad(a, b)(if (plus) _ + _ else _ - _)
   }
 
+  /** Fixed-length spans are ns longs; CALENDAR spans (months ≠ 0) carry a
+    * CalendarInterval literal so a month-span used as a plain VALUE
+    * (`1y`, `select 1y as x`) renders instead of NPE-ing — stamp±span
+    * arithmetic still goes through the exact Span (the interval literal's
+    * sub-µs truncation never reaches it). */
   private def spanT(sp: Temporal.Span): T =
-    T(if (sp.months == 0) lit(sp.nanos) else null, LongType, Some(sp))
+    if (sp.months == 0) T(lit(sp.nanos), LongType, Some(sp))
+    else T(org.apache.spark.sql.GraftColumnGlue.toColumn(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          new org.apache.spark.unsafe.types.CalendarInterval(sp.months.toInt, 0, sp.nanos / 1000L),
+          CalendarIntervalType)),
+      CalendarIntervalType, Some(sp))
 
   private def negT(t: T): T = t.span match {
     case Some(sp) => spanT(-sp)
@@ -181,6 +191,7 @@ object KerfSql {
         s"lambda expects ${params.length} args (${params.mkString(",")}), got ${args.length}")
       var env = defEnv.bind(params.zip(args))
       val stmts = splitTop(body)
+      require(stmts.nonEmpty, "lambda body is empty")
       // leading `name: expr` statements are LAZY let-bindings (pure plan
       // composition — they may reference lambda vars, so no driver
       // evaluation here, unlike top-level colon assignment)
@@ -1059,10 +1070,13 @@ object KerfSql {
       val vals = scala.collection.mutable.ArrayBuffer[Any]()
       var more = true
       while (more) {
-        val t = p.pop()
+        val t0 = p.pop()
+        // '-' lexes as its own token: rejoin it with the number it negates
+        val t = if (t0 == "-") "-" + p.pop() else t0
         vals += (t match {
-          case v if v.matches("""\d+\.\d+""") => v.toDouble
-          case v if v.matches("""\d+""") => v.toLong
+          case v if v.equalsIgnoreCase("null") => null
+          case v if v.matches("""-?\d+\.\d+""") => v.toDouble
+          case v if v.matches("""-?\d+""") => v.toLong
           case v if v.startsWith("'") => v.substring(1, v.length - 1)
           case v => v
         })

@@ -124,6 +124,19 @@ class FolioSpec extends SparkSpec {
     }
   }
 
+  test("promoting a plain folio migrates it in place (no double-count residue)") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq(1L, 2L).toDF("x").write.parquet(s"$dir/t")
+    Folio.appendWithPromotion(Seq(3L).toDF("x"), s"$dir/t")
+    // legacy root-level files folded into v1 and removed: only the
+    // versioned layout remains
+    val names = new java.io.File(s"$dir/t").listFiles().map(_.getName).toSet
+    assert(names.forall(n => n == "_CURRENT" || n.matches("v\\d{8}")),
+      s"legacy files survived migration: $names")
+    assert(Folio.promotedRead(spark, s"$dir/t").count() == 3)
+  }
+
   test("workspaceLoad resolves promoted folios to the live version only") {
     import spark.implicits._
     val dir = tmp()

@@ -397,6 +397,25 @@ class KerfSqlSpec extends SparkSpec {
     assert(got.count() == Tables.orders(spark, sf).filter(col("o_totalprice") <= 0).count())
   }
 
+  test("calendar spans are first-class values, not NPEs") {
+    assert(evalOne("1y").toString.nonEmpty)            // renders as an interval
+    assert(evalOne("1y2m + 1m").toString.nonEmpty)     // span+span combines
+    val d = KerfSql.run(spark, "select 2024.01.31T00:00:00 + 1m as t from orders_v limit 1")
+    assert(d.collect()(0).getTimestamp(0).toString.startsWith("2024-02-29"))
+  }
+
+  test("insert values handles negative numbers and NULL") {
+    import spark.implicits._
+    Seq((1L, "a", 10.0)).toDF("k", "s", "v").createOrReplaceTempView("ins_t")
+    val got = KerfSql.run(spark, "insert into ins_t values (-2, null, -3.5)")
+      .orderBy("k").collect()
+    assert(got(0).getLong(0) == -2L && got(0).isNullAt(1) && got(0).getDouble(2) == -3.5)
+  }
+
+  test("empty lambda body is a parse error, not an internal crash") {
+    intercept[IllegalArgumentException] { KerfSql.run(spark, "{[x] } mapdown til 3") }
+  }
+
   test("upsert into … key … values replaces and inserts") {
     init
     val before = Tables.orders(spark, sf).count()

@@ -16,6 +16,32 @@ class TableOpsSpec extends SparkSpec {
     assert(got == Seq(10.0, 99.0, 30.0))
   }
 
+  test("update evaluates predicate and ALL set expressions on PRE-update values") {
+    // SQL semantics: `set v = 0, name = 'X' where v > 15` must update
+    // name on the same rows even though v was zeroed in the same statement
+    val got = TableOps.update(base, col("v") > 15, "v" -> lit(0.0), "name" -> lit("X"))
+      .orderBy("k").collect().map(r => (r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("a", 10.0), ("X", 0.0), ("X", 0.0)))
+    // set expressions read the ORIGINAL row, not earlier-set columns
+    val swap = TableOps.update(base, lit(true), "v" -> (col("v") + 1), "k" -> (col("v").cast("int")))
+      .orderBy("name").collect().map(r => (r.getInt(0), r.getDouble(2))).toSeq
+    assert(swap == Seq((10, 11.0), (20, 21.0), (30, 31.0)))
+  }
+
+  test("applyIntern keeps an unrelated column named 'value'") {
+    val df = Seq(("x", 1.5), ("y", 2.5), ("x", 3.5)).toDF("sym", "value")
+    val dict = graft.ops.MapSetEnum.internTable(df, "sym")
+    val coded = graft.ops.MapSetEnum.applyIntern(df, dict, "sym")
+    assert(coded.columns.contains("value"), "user 'value' column was dropped")
+    assert(coded.agg(sum("value")).collect()(0).getDouble(0) == 7.5)
+  }
+
+  test("saltedJoin rejects join types that would duplicate replicated rows") {
+    intercept[IllegalArgumentException] {
+      graft.ops.Skew.saltedJoin(base, base, Seq("k"), col("k"), 4, joinType = "right")
+    }
+  }
+
   test("delete removes matching rows") {
     assert(TableOps.delete(base, col("v") > 15).count() == 1)
   }
