@@ -46,6 +46,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("clusters: empty pair list converges immediately to an empty labeling") {
+    import org.apache.spark.sql.types._
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
+    assert(Dedup.clusters(empty).count() == 0)
+  }
+
+  test("minhash tolerates empty and single-token documents") {
+    val edge = Seq((0L, ""), (1L, "word"), (2L, "word"), (3L, "   ")).toDF("doc_id", "text")
+    // must not throw (empty shingle arrays, sequence() down-count guard);
+    // the two identical one-token docs are the only candidate pair
+    val pairs = Dedup.minhashPairs(edge, "doc_id", "text", jaccardThreshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.forall { case (a, b) => Set(a, b).subsetOf(Set(0L, 1L, 2L, 3L)) })
+    assert(pairs.contains((1L, 2L)))
+  }
+
   test("clusters: a 64-deep chain closes in O(log n) star rounds") {
     // naive min-label propagation needs 63 rounds here; large/small-star
     // must converge inside a 10-round budget
