@@ -41,6 +41,18 @@ object Engine {
       // keys in map-building functions resolve to the last write
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // InferFiltersFromGenerate turns every explode(arr) into an inferred
+      // `size(arr)>0 AND isnotnull(arr)` filter; predicate pushdown then
+      // substitutes arr's WHOLE defining expression into that filter and
+      // sinks it below the exchange — for our dedup/LSH pipelines (explode
+      // over a computed shingle/sketch array) that re-evaluates the
+      // tokenize→shingle→hash chain 3× per row, interpreted (higher-order
+      // functions are CodegenFallback). Measured 9.4s → 0.9s on the q66
+      // corpus explode at sf0.1. The rule only ever pays off when the
+      // generator input is a scannable column (never true here), so it is
+      // excluded session-wide rather than persist-barriered per call site.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")

@@ -105,12 +105,20 @@ object Dedup {
 
     // banded rows carry NOTHING but (doc_id, band_id, band_hash); also
     // persisted — read by the skew-guard aggregate and both self-join
-    // sides (3×), and at 24 bytes/row it is far smaller than the docs
+    // sides (3×), and at 24 bytes/row it is far smaller than the docs.
+    // Each band hash is its OWN top-level column referencing the staged
+    // `sig` attribute: >1 top-level reference blocks CollapseProject from
+    // inlining the 32-min signature into the explode lambda, where it
+    // would be re-evaluated once PER BAND (the no-CSE-in-lambda trap —
+    // a transform(sequence(0,bands),…slice(sig)…) formulation recomputed
+    // the whole signature `bands`× per doc).
     val banded = hashed
       .select(col("doc_id"), minhashSignature(col("shh"), numHashes).as("sig"))
+      .select(col("doc_id") +: (0 until rows).map(b =>
+        xxhash64(lit(b), concat_ws(",", slice(col("sig"), b * r + 1, r)))
+          .as(s"__band$b")): _*)
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(rows - 1)),
-          b => xxhash64(b, concat_ws(",", slice(col("sig"), b * r + 1, lit(r))))))
+        posexplode(array((0 until rows).map(b => col(s"__band$b")): _*))
           .as(Seq("band_id", "band_hash")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 

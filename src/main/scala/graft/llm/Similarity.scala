@@ -68,17 +68,30 @@ object Similarity {
       lit(0.0), (acc, v) => acc + v))
   }
 
-  /** Pack sign bits of a STAGED projection-array column into `tables`
-    * longs (table t packs projections [t·nBits, (t+1)·nBits)). `projs`
-    * must be a materialized attribute — lambda bodies re-evaluate
-    * referenced expression trees per element. */
-  private def packSketches(projs: Column, nBits: Int, tables: Int): Column = {
+  /** Pack sign bits of projections [t·nBits, (t+1)·nBits) of a STAGED
+    * projection-array column into one long — table t's sketch. Call once
+    * per table as separate TOP-LEVEL columns (see [[perTableSketches]]):
+    * a single transform-over-tables formulation references `projs` once,
+    * so CollapseProject inlines the whole projection pass into the lambda
+    * and re-evaluates it per table (the no-CSE-in-lambda trap). */
+  private def packSketchOne(projs: Column, nBits: Int, table: Int): Column = {
     val powers = typedLit((0 until nBits).map(1L << _))
-    transform(sequence(lit(0), lit(tables - 1)), t =>
-      aggregate(zip_with(slice(projs, t * nBits + 1, lit(nBits)), powers,
-        (p, pw) => when(p > 0, pw).otherwise(0L)),
-        lit(0L), (acc, b) => acc.bitwiseOR(b)))
+    aggregate(zip_with(slice(projs, table * nBits + 1, nBits), powers,
+      (p, pw) => when(p > 0, pw).otherwise(0L)),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
+
+  /** (table_id, sketch) rows from a staged `__projs` column: per-table
+    * sketches as sibling top-level columns (>1 reference blocks
+    * CollapseProject from inlining the projection pass), then one
+    * posexplode over the tiny precomputed array. */
+  private def perTableSketches(df: DataFrame, keep: Seq[Column],
+                               nBits: Int, tables: Int): DataFrame =
+    df.select(keep ++ (0 until tables).map(t =>
+        packSketchOne(col("__projs"), nBits, t).as(s"__sk$t")): _*)
+      .select(keep :+
+        posexplode(array((0 until tables).map(t => col(s"__sk$t")): _*))
+          .as(Seq("table_id", "sketch")): _*)
 
   /** Sign-bit sketch against literal hyperplanes: bit i =
     * sign(Σ_j w(i,j)·v[j]); nBits ≤ 64, packed into one long. Same bit
@@ -108,12 +121,10 @@ object Similarity {
                          idCol: String = "vec_id", vecCol: String = "embedding",
                          maxBucket: Int = 256): DataFrame = {
     val dim = df.select(size(col(vecCol))).first().getInt(0)
-    val sk = df
-      .select(col(idCol).as("vid"),
-        projections(col(vecCol), tables * nBits, dim).as("__projs"))
-      .select(col("vid"),
-        posexplode(packSketches(col("__projs"), nBits, tables))
-          .as(Seq("table_id", "sketch")))
+    val sk = perTableSketches(
+      df.select(col(idCol).as("vid"),
+        projections(col(vecCol), tables * nBits, dim).as("__projs")),
+      Seq(col("vid")), nBits, tables)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val oversize = sk.groupBy(col("table_id"), col("sketch"))
       .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
@@ -251,11 +262,10 @@ object Similarity {
     // all tables·nBits projections in one staged pass; identical bit
     // layout to per-table sketches with seedBase = t·nBits
     def sk(df: DataFrame, id: String, vec: String) =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
-          projections(col(vecCol), tables * nBits, dim).as("__projs"))
-        .select(col(id), col(vec),
-          posexplode(packSketches(col("__projs"), nBits, tables))
-            .as(Seq("table_id", "sketch")))
+      perTableSketches(
+        df.select(col(idCol).as(id), col(vecCol).as(vec),
+          projections(col(vecCol), tables * nBits, dim).as("__projs")),
+        Seq(col(id), col(vec)), nBits, tables)
 
     val q = sk(queries, "q_id", "q_vec")
     val c = sk(candidates, "cand_id", "cand_vec")
