@@ -616,5 +616,91 @@ object Oracles {
                 CAST((doc_id * 13) % 256 AS DOUBLE) AS g,
                 CAST((doc_id * 31) % 256 AS DOUBLE) AS b
          FROM documents WHERE doc_id < 64 ORDER BY doc_id""",
+
+    // identical in-row list algebra: bigram/trigram lists via the q34
+    // range-comprehension idiom, per-distinct-gram counting via
+    // list_filter, entropy folded in SORTED-distinct-word order (the same
+    // order Spark's array_sort fixes, so the float sum is bit-identical)
+    "q71_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+           FROM documents WHERE doc_id < 200),
+         grams AS (
+           SELECT doc_id, w,
+                  CASE WHEN len(w) < 2 THEN [] ELSE
+                    [w[i] || ' ' || w[i+1] for i in range(1, len(w))] END AS bg,
+                  CASE WHEN len(w) < 3 THEN [] ELSE
+                    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)] END AS tg
+           FROM toks)
+         SELECT doc_id,
+                CASE WHEN len(bg) = 0 THEN 0.0 ELSE round(
+                  CAST(list_max(list_transform(list_distinct(bg),
+                    g -> len(list_filter(bg, x -> x = g)))) AS DOUBLE)
+                  / CAST(len(bg) AS DOUBLE), 6) END AS top_bigram_frac,
+                CASE WHEN len(tg) = 0 THEN 0.0 ELSE round(
+                  1.0 - CAST(len(list_distinct(tg)) AS DOUBLE)
+                      / CAST(len(tg) AS DOUBLE), 6) END AS dup_trigram_frac,
+                CASE WHEN len(w) = 0 THEN 0.0 ELSE round(
+                  -list_sum(list_transform(list_sort(list_distinct(w)),
+                    t -> (CAST(len(list_filter(w, x -> x = t)) AS DOUBLE) / CAST(len(w) AS DOUBLE))
+                         * ln(CAST(len(list_filter(w, x -> x = t)) AS DOUBLE) / CAST(len(w) AS DOUBLE)))), 6)
+                END AS word_entropy
+         FROM grams ORDER BY doc_id""",
+
+    // tf over the q68 tokenization, document frequency over the FULL
+    // corpus, idf = ln(N/df), score rounded to 6 dp BEFORE ranking
+    "q72_tfidf" ->
+      """WITH terms AS (
+           SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+           FROM documents),
+         tf AS (
+           SELECT doc_id, term, count(*) AS n FROM terms
+           WHERE term <> '' GROUP BY doc_id, term),
+         dfreq AS (
+           SELECT term, count(*) AS df FROM tf GROUP BY term),
+         n_docs AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term,
+                  round(CAST(tf.n AS DOUBLE) * ln((SELECT n FROM n_docs) / CAST(dfreq.df AS DOUBLE)), 6) AS tfidf
+           FROM tf JOIN dfreq USING (term)),
+         ranked AS (
+           SELECT doc_id, term, tfidf,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+           FROM scored)
+         SELECT doc_id, rk, term, tfidf FROM ranked
+         WHERE rk <= 3 AND doc_id < 50 ORDER BY doc_id, rk""",
+
+    // same floor(x/scale + 0.5) rounding rule (bit-identical across
+    // engines — no HALF_EVEN/HALF_UP divergence), same clamped ±127
+    // range, same L2R cosine fold as q28
+    "q73_quantize8" ->
+      """WITH base AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 200),
+         scaled AS (
+           SELECT vec_id, v,
+                  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+           FROM base),
+         quant AS (
+           SELECT vec_id, v, scale,
+                  CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                       ELSE list_transform(v, x ->
+                         greatest(-127.0, least(127.0, floor(x / scale + 0.5)))) END AS q
+           FROM scaled),
+         dq AS (
+           SELECT vec_id, v, scale,
+                  list_transform(q, x -> x * scale) AS d
+           FROM quant)
+         SELECT vec_id,
+                round(scale, 6) AS scale_r,
+                round(list_max(list_transform(range(1, len(v)+1),
+                  i -> abs(v[i] - d[i]))), 6) AS max_abs_err,
+                round(
+                  list_sum(list_transform(range(1, len(v)+1), i -> v[i] * d[i]))
+                  / sqrt(list_sum(list_transform(v, x -> x*x)))
+                  / sqrt(list_sum(list_transform(d, x -> x*x))), 6) AS cos_keep
+         FROM dq ORDER BY vec_id""",
   )
 }

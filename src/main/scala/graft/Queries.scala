@@ -941,6 +941,41 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style repetition quality gates (north-star corpus filtering):
+    * top-bigram fraction, duplicate-trigram fraction, word entropy — all
+    * in-row, map-only; DuckDB replicates the identical list algebra. */
+  val q71_repetition: Q = (s, dir) =>
+    llm.TextOps.repetitionSignals(Tables.documents(s, dir), "doc_id", "text")
+      .filter(col("doc_id") < 200)
+      .orderBy(col("doc_id"))
+
+  /** TF-IDF salient terms (north-star keyword extraction beyond raw
+    * frequency): corpus document frequencies damp boilerplate terms. */
+  val q72_tfidf: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    llm.TextOps.tfIdfTerms(docs, "doc_id", "text", 3)
+      .filter(col("doc_id") < 50)
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** int8 embedding quantization (north-star embedding storage): per-
+    * vector scale, reconstruction error, and cosine drift vs. the fp
+    * original — the compression/recall ledger a 4×-smaller store buys. */
+  val q73_quantize8: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 200)
+    val q = llm.Similarity.quantizeInt8(emb)
+    emb.join(q, Seq("vec_id"))
+      .withColumn("__dq", llm.Similarity.dequantize(col("q"), col("scale")))
+      .select(col("vec_id"),
+        round(col("scale"), 6).as("scale_r"),
+        round(aggregate(
+          zip_with(col("embedding"), col("__dq"),
+            (a, b) => abs(a.cast("double") - b)),
+          lit(0.0), (acc, v) => greatest(acc, v)), 6).as("max_abs_err"),
+        round(llm.Similarity.cosine(col("embedding"), col("__dq")), 6).as("cos_keep"))
+      .orderBy(col("vec_id"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -1014,5 +1049,8 @@ object Queries {
     "q68_term_topk"      -> q68_term_topk,
     "q69_sql_macros"     -> q69_sql_macros,
     "q70_image_decode"   -> q70_image_decode,
+    "q71_repetition"     -> q71_repetition,
+    "q72_tfidf"          -> q72_tfidf,
+    "q73_quantize8"      -> q73_quantize8,
   )
 }

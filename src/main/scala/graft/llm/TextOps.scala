@@ -126,6 +126,77 @@ object TextOps {
       .select(col("doc_id"), col("rk"), col("term"), col("n"))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, re-expressed
+    * word-level for newline-free corpora): the quality gates that catch
+    * boilerplate/spam before training. All IN-ROW column algebra — a
+    * map-only pass at any scale:
+    *
+    *  - `top_bigram_frac`:  occurrences of the most frequent word bigram
+    *    over all bigrams (high ⇒ looping text);
+    *  - `dup_trigram_frac`: 1 − distinct/total word trigrams;
+    *  - `word_entropy`:     Shannon entropy of the word distribution in
+    *    nats, summed in SORTED-distinct-word order so the float fold is
+    *    bit-reproducible across engines (and rounded to 6 dp).
+    *
+    * The n-gram arrays are staged as real columns (the no-CSE-in-lambda
+    * discipline); the per-distinct-element counting is O(distinct·n) in
+    * the row — bounded by document length, never a shuffle. */
+  def withRepetitionSignals(df: DataFrame, textCol: String): DataFrame = {
+    def grams(w: Column, n: Int): Column =
+      when(size(w) < n, array().cast("array<string>")).otherwise(
+        transform(sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+    val cnt = (arr: Column, distinctSorted: Column) =>
+      transform(distinctSorted, g => size(filter(arr, x => x === g)))
+    df.withColumn("__w", Dedup.tokens(col(textCol)))
+      .withColumn("__bg", grams(col("__w"), 2))
+      .withColumn("__tg", grams(col("__w"), 3))
+      .withColumn("__wd", array_sort(array_distinct(col("__w"))))
+      .withColumn("__wc", cnt(col("__w"), col("__wd")))
+      .withColumn("top_bigram_frac",
+        when(size(col("__bg")) === 0, 0.0).otherwise(round(
+          array_max(cnt(col("__bg"), array_distinct(col("__bg")))).cast("double") /
+          size(col("__bg")).cast("double"), 6)))
+      .withColumn("dup_trigram_frac",
+        when(size(col("__tg")) === 0, 0.0).otherwise(round(
+          lit(1.0) - size(array_distinct(col("__tg"))).cast("double") /
+          size(col("__tg")).cast("double"), 6)))
+      .withColumn("word_entropy",
+        when(size(col("__w")) === 0, 0.0).otherwise(round(
+          -aggregate(col("__wc"), lit(0.0), (acc, c) => {
+            val p = c.cast("double") / size(col("__w")).cast("double")
+            acc + p * log(p)
+          }), 6)))
+      .drop("__w", "__bg", "__tg", "__wd", "__wc")
+  }
+
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    withRepetitionSignals(docs, textCol)
+      .select(col(idCol), col("top_bigram_frac"), col("dup_trigram_frac"),
+              col("word_entropy"))
+
+  /** TF-IDF salient terms: the corpus-level companion to [[topTerms]]
+    * (raw frequency ranks boilerplate terms first; IDF damps them).
+    * Shuffle shape at 100 TB: one explode→partial-agg for tf, one
+    * partial-agg for df, one JOIN ON TERM — both sides hash-partitioned
+    * by term, so the join co-locates with df's aggregation shuffle; the
+    * per-doc top-k window runs on the (doc, term, score) triples, never
+    * raw text. `nDocs` is one count() scalar folded into the plan as a
+    * literal — the same "model state" tier as the IVF centroids. */
+  def tfIdfTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val nDocs = docs.count().toDouble
+    val tf = termCounts(docs, idCol, textCol)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .withColumn("tfidf",
+        round(col("n").cast("double") * log(lit(nDocs) / col("df").cast("double")), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("tfidf"))
+  }
+
   /** Winnowing-style document fingerprint: k-gram rolling hashes, keep the
     * min hash in each window of w consecutive k-grams → compact sketch of
     * positions that survives small edits (Schleimer et al., SIGMOD'03). */

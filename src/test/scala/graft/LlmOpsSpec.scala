@@ -251,6 +251,69 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == "de")
   }
 
+  test("repetition signals separate looping text from varied text") {
+    val df = Seq(
+      (0L, "buy now buy now buy now buy now buy now"),        // pure loop
+      (1L, "the quick brown fox jumps over one lazy dog"),    // all distinct
+      (2L, ""), (3L, "word")                                   // degenerate
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionSignals(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val loop = got(0); val varied = got(1)
+    // "buy now"×5: bigrams = [buy now, now buy, …] — "buy now" occurs 5/9
+    assert(loop.getDouble(1) > 0.5 && varied.getDouble(1) < 0.2)
+    // trigram dup: loop has 8 trigrams, 2 distinct → 0.75; varied all distinct → 0
+    assert(loop.getDouble(2) > 0.7 && varied.getDouble(2) == 0.0)
+    // entropy: two words uniform = ln 2 ≈ 0.693 < ln 9 of 9 distinct
+    assert(loop.getDouble(3) < varied.getDouble(3))
+    assert(math.abs(loop.getDouble(3) - math.log(2)) < 1e-6)
+    // degenerate docs produce zeros, not NaN/error
+    assert(got(2).getDouble(1) == 0.0 && got(2).getDouble(3) == 0.0)
+    assert(got(3).getDouble(2) == 0.0)
+  }
+
+  test("tf-idf damps corpus-wide boilerplate, surfaces unique terms") {
+    val df = Seq(
+      (0L, "common common common unique0"),
+      (1L, "common common unique1 unique1"),
+      (2L, "common unique2 xx yy")
+    ).toDF("doc_id", "text")
+    val top = TextOps.tfIdfTerms(df, "doc_id", "text", 1)
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // "common" appears in every doc → idf = ln(1) = 0 → never the top term
+    assert(top == Map(0L -> "unique0", 1L -> "unique1", 2L -> "unique2"))
+  }
+
+  test("int8 quantization: bounded error, clamp, zero vector, roundtrip") {
+    val df = Seq(
+      (0L, Seq(1.0f, -2.0f, 0.5f, 127.0f)),
+      (1L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(-0.003f, 0.001f, 0.002f, -0.001f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df)
+      .withColumn("dq", Similarity.dequantize(col("q"), col("scale")))
+    val rows = q.join(df, Seq("vec_id")).orderBy("vec_id")
+      .select(col("vec_id"), col("scale"), col("q"), col("dq"), col("embedding"))
+      .collect()
+    rows.foreach { r =>
+      val scale = r.getDouble(1)
+      val qs = r.getSeq[Int](2)
+      val dq = r.getSeq[Double](3)
+      val orig = r.getSeq[Float](4).map(_.toDouble)
+      assert(qs.forall(v => v >= -127 && v <= 127))
+      // reconstruction error ≤ scale/2 per element (the rounding bound)
+      orig.zip(dq).foreach { case (o, d) =>
+        assert(math.abs(o - d) <= scale / 2 + 1e-12, s"err ${math.abs(o - d)} scale $scale")
+      }
+    }
+    // zero vector → scale 0, all-zero codes, exact roundtrip
+    val z = rows(1)
+    assert(z.getDouble(1) == 0.0 && z.getSeq[Int](2).forall(_ == 0) &&
+           z.getSeq[Double](3).forall(_ == 0.0))
+    // max-magnitude element maps to ±127 exactly
+    assert(rows(0).getSeq[Int](2).last == 127)
+  }
+
   test("fingerprint survives small edits (winnowing overlap)") {
     val fp = TextOps.fingerprint(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
