@@ -26,7 +26,12 @@ object Engine {
     val spark = SparkSession.builder()
       .master(master)
       .appName("graft")
-      .withExtensions(e => e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy))
+      .withExtensions { e =>
+        e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
+        // auto-rewrite of the plain-SQL as-of idiom (join + row_number()=1)
+        // into the native O(1)-state merge — see AsOfRewriteRule
+        e.injectOptimizerRule(_ => graft.plans.AsOfRewriteRule)
+      }
       .config("spark.sql.shuffle.partitions", sp.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -702,5 +702,17 @@ object Oracles {
                   / sqrt(list_sum(list_transform(v, x -> x*x)))
                   / sqrt(list_sum(list_transform(d, x -> x*x))), 6) AS cos_keep
          FROM dq ORDER BY vec_id""",
+
+    // the rewritten idiom must agree with DuckDB's FIRST-CLASS ASOF JOIN
+    // (inner flavor — unmatched clicks absent, like the rn=1-over-inner-
+    // join idiom): same answer, entirely different algorithm
+    "q74_asof_rewrite" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value, event_type FROM events),
+              clicks AS (SELECT user_id, event_id, ts_us, value FROM ev WHERE event_type = 'click'),
+              purchases AS (SELECT user_id, ts_us AS pts, value AS purchase_value FROM ev WHERE event_type = 'purchase')
+         SELECT c.user_id, c.event_id, c.ts_us, p.purchase_value, p.pts
+         FROM clicks c ASOF JOIN purchases p
+           ON c.user_id = p.user_id AND p.pts <= c.ts_us
+         ORDER BY c.user_id, c.ts_us, c.event_id""",
   )
 }

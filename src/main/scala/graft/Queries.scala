@@ -976,6 +976,30 @@ object Queries {
       .orderBy(col("vec_id"))
   }
 
+  /** The AUTOMATIC as-of rewrite end-to-end (plans.AsOfRewriteRule): a
+    * user writes the plain-SQL row_number-over-join idiom — the optimizer
+    * silently swaps in the native O(1)-state merge exec (no pair blowup,
+    * no window sort). Oracled against DuckDB's first-class ASOF JOIN:
+    * same answer from a completely different algorithm. */
+  val q74_asof_rewrite: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+    ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+      .createOrReplaceTempView("clicks_v")
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("pts"), col("value").as("purchase_value"))
+      .createOrReplaceTempView("purch_v")
+    s.sql(
+      """SELECT user_id, event_id, ts_us, purchase_value, pts FROM (
+           SELECT c.user_id, c.event_id, c.ts_us, c.value, p.purchase_value, p.pts,
+                  row_number() OVER (PARTITION BY c.user_id, c.event_id, c.ts_us, c.value
+                                     ORDER BY p.pts DESC) AS rn
+           FROM clicks_v c JOIN purch_v p
+             ON c.user_id = p.user_id AND p.pts <= c.ts_us)
+         WHERE rn = 1
+         ORDER BY user_id, ts_us, event_id""")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -1052,5 +1076,6 @@ object Queries {
     "q71_repetition"     -> q71_repetition,
     "q72_tfidf"          -> q72_tfidf,
     "q73_quantize8"      -> q73_quantize8,
+    "q74_asof_rewrite"   -> q74_asof_rewrite,
   )
 }

@@ -1,0 +1,213 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
+
+/** Rewrites the plain-SQL as-of idiom into the native [[AsOfJoinPlan]]
+  * (SURVEY §4 row 4 — the (c)-tier `Rule[LogicalPlan]` extension).
+  *
+  * The idiom every SQL user writes for "latest quote at or before each
+  * trade" when the engine has no as-of join:
+  *
+  * {{{
+  * SELECT * FROM (
+  *   SELECT t.*, q.*, row_number() OVER (
+  *     PARTITION BY <all of t's columns>
+  *     ORDER BY q.ts DESC) AS rn
+  *   FROM trades t JOIN quotes q
+  *     ON t.sym = q.sym AND q.ts <= t.ts)
+  * WHERE rn = 1
+  * }}}
+  *
+  * That plan materializes EVERY (trade, earlier-quote) pair — O(|T|·|Q|)
+  * rows per key through the join and the window sort — before discarding
+  * all but one per trade. At 100 TB the pair blowup is the difference
+  * between a runnable query and an un-runnable one. The rewrite produces
+  * `AsOfJoinPlan` + inner-flavor filter: one shuffle per side, one
+  * ordered merge, O(1) state per partition (plan-pinned in
+  * AsOfRewriteSpec).
+  *
+  * Soundness conditions (all REQUIRED; anything else leaves the plan
+  * untouched):
+  *  - the window function is exactly `row_number()` filtered to `= 1`
+  *    (also matched: `<= 1` and `< 2`);
+  *  - the window partition keys cover ALL left-side output columns, so a
+  *    partition identifies one distinct left row. The window form emits
+  *    one row per DISTINCT left row (duplicates collapse); the rewrite
+  *    preserves that with a `Deduplicate` on the left child;
+  *  - the join is INNER with a conjunction of left↔right equalities plus
+  *    exactly ONE timestamp inequality `rTs <= lTs` / `<` (backward) or
+  *    `rTs >= lTs` / `>` (forward), both sides `LongType` (the native
+  *    exec's merge axis), and the window ORDER BY is that right-side
+  *    timestamp, descending for backward / ascending for forward, with
+  *    any deterministic tie-breakers after it (row_number over equal-ts
+  *    rows is nondeterministic in BOTH forms unless tie-broken; the
+  *    native exec keeps the last in (key, ts) order);
+  *  - the `rn = 1` filter's child is the Window node itself.
+  *
+  * The inner-join flavor (unmatched left rows absent) is restored by
+  * filtering the as-of result on a non-null right timestamp; left rows
+  * with a null timestamp never match in the original (ternary-logic
+  * false), so the left child is filtered to non-null timestamps — which
+  * also satisfies the native exec's fail-fast null contract. The `rn`
+  * column is re-emitted as a literal 1 under its original exprId, so any
+  * upstream projection keeps resolving.
+  */
+object AsOfRewriteRule extends Rule[LogicalPlan] {
+
+  private def isRnEqOne(cond: Expression, rnId: ExprId): Boolean = cond match {
+    case EqualTo(a: AttributeReference, IntegerLiteral(1)) => a.exprId == rnId
+    case EqualTo(IntegerLiteral(1), a: AttributeReference) => a.exprId == rnId
+    case LessThanOrEqual(a: AttributeReference, IntegerLiteral(1)) => a.exprId == rnId
+    case LessThan(a: AttributeReference, IntegerLiteral(2)) => a.exprId == rnId
+    case _ => false
+  }
+
+  /** Split a conjunction into its atoms. */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  private case class TsPred(lTs: AttributeReference, rTs: AttributeReference,
+                            strict: Boolean, forward: Boolean)
+
+  private sealed trait Atom
+  private case class EqPair(l: AttributeReference, r: AttributeReference) extends Atom
+  private case class TsAtom(t: TsPred) extends Atom
+  private case object Unsupported extends Atom
+
+  /** Classify one conjunct as an equality key pair, the ts inequality, or
+    * unsupported, relative to the join children's output sets. */
+  private def classify(e: Expression, lOut: AttributeSet, rOut: AttributeSet): Atom = e match {
+    case EqualTo(a: AttributeReference, b: AttributeReference)
+        if lOut.contains(a) && rOut.contains(b) => EqPair(a, b)
+    case EqualTo(b: AttributeReference, a: AttributeReference)
+        if lOut.contains(a) && rOut.contains(b) => EqPair(a, b)
+    case LessThanOrEqual(r: AttributeReference, l: AttributeReference)
+        if rOut.contains(r) && lOut.contains(l) => TsAtom(TsPred(l, r, strict = false, forward = false))
+    case GreaterThanOrEqual(l: AttributeReference, r: AttributeReference)
+        if rOut.contains(r) && lOut.contains(l) => TsAtom(TsPred(l, r, strict = false, forward = false))
+    case LessThan(r: AttributeReference, l: AttributeReference)
+        if rOut.contains(r) && lOut.contains(l) => TsAtom(TsPred(l, r, strict = true, forward = false))
+    case GreaterThan(l: AttributeReference, r: AttributeReference)
+        if rOut.contains(r) && lOut.contains(l) => TsAtom(TsPred(l, r, strict = true, forward = false))
+    case GreaterThanOrEqual(r: AttributeReference, l: AttributeReference)
+        if rOut.contains(r) && lOut.contains(l) => TsAtom(TsPred(l, r, strict = false, forward = true))
+    case LessThanOrEqual(l: AttributeReference, r: AttributeReference)
+        if rOut.contains(r) && lOut.contains(l) => TsAtom(TsPred(l, r, strict = false, forward = true))
+    case GreaterThan(r: AttributeReference, l: AttributeReference)
+        if rOut.contains(r) && lOut.contains(l) => TsAtom(TsPred(l, r, strict = true, forward = true))
+    case LessThan(l: AttributeReference, r: AttributeReference)
+        if rOut.contains(r) && lOut.contains(l) => TsAtom(TsPred(l, r, strict = true, forward = true))
+    case _ => Unsupported
+  }
+
+  /** Strip the NaN/-0.0 normalization the optimizer wraps around
+    * float/double partition keys. */
+  private def stripNormalize(e: Expression): Option[AttributeReference] = e match {
+    case KnownFloatingPointNormalized(c) => stripNormalize(c)
+    case a: AttributeReference => Some(a)
+    case u: UnaryExpression if u.nodeName == "NormalizeNaNAndZero" =>
+      stripNormalize(u.child)
+    case _ => None
+  }
+
+  /** Peel the Window's child down to the Join, tolerating the
+    * `WindowGroupLimit` node `InferWindowGroupLimit` inserts (pure
+    * pruning of rows the rn filter discards anyway - droppable) and one
+    * attribute-only pruning Project (remembered, to keep output stable). */
+  private def peel(p: LogicalPlan): Option[(Seq[Attribute], Join)] = p match {
+    case j @ Join(_, _, Inner, Some(_), _) => Some((j.output, j))
+    case WindowGroupLimit(_, _, RowNumber(), 1, child) => peel(child)
+    case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      peel(child).map { case (_, j) => (projList.map(_.asInstanceOf[AttributeReference]), j) }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond,
+        Window(Seq(rnAlias @ Alias(WindowExpression(RowNumber(),
+          // exactly ONE order key: with extra tie-breakers the window
+          // form is deterministic on equal timestamps in a way the merge
+          // exec does not replicate - leave those plans alone
+          WindowSpecDefinition(partitionSpec, Seq(order), _)), _)),
+        _, _, windowChild, _))
+        if isRnEqOne(cond, rnAlias.exprId) && peel(windowChild).isDefined =>
+
+      val rnAttr = rnAlias.toAttribute
+      val (kept, join) = peel(windowChild).get
+      val (left, right, joinCond) = (join.left, join.right, join.condition.get)
+      val atoms = conjuncts(joinCond).map(classify(_, left.outputSet, right.outputSet))
+      val eqs = atoms.collect { case EqPair(a, b) => (a, b) }
+      val ts = atoms.collect { case TsAtom(t) => t }
+      val unsupported = atoms.contains(Unsupported)
+
+      // left columns surviving the (possible) pruning Project - the tuple
+      // the window form deduplicates on
+      val keptLeft = kept.filter(left.outputSet.contains)
+      val partAttrs = partitionSpec.flatMap(stripNormalize(_))
+
+      val ok = !unsupported && ts.length == 1 && eqs.nonEmpty &&
+        partAttrs.length == partitionSpec.length && {
+        val t = ts.head
+        val orderMatches = order.child match {
+          case a: AttributeReference =>
+            a.exprId == t.rTs.exprId &&
+            ((!t.forward && order.direction == Descending) ||
+             (t.forward && order.direction == Ascending))
+          case _ => false
+        }
+        // the partition keys must be EXACTLY the kept left columns: a
+        // subset would collapse distinct left rows; an extra right-side
+        // key would emit one row per (left row, right value) - both are
+        // different queries
+        val partExact = AttributeSet(partAttrs) == AttributeSet(keptLeft)
+        // the as-of axes must survive the pruning
+        val axesKept = (t.lTs +: eqs.map(_._1)).forall(a => keptLeft.exists(_.exprId == a.exprId))
+        // Deduplicate groups on every kept left column: all types must be
+        // usable as grouping keys (maps are not)
+        import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+        def hasMap(dt: DataType): Boolean = dt match {
+          case _: MapType => true
+          case st: StructType => st.fields.exists(fl => hasMap(fl.dataType))
+          case ArrayType(et, _) => hasMap(et)
+          case _ => false
+        }
+        val groupable = keptLeft.forall(a => !hasMap(a.dataType))
+        orderMatches && partExact && axesKept && groupable &&
+          t.lTs.dataType == LongType && t.rTs.dataType == LongType
+      }
+
+      if (!ok) f else {
+        val t = ts.head
+        // left rows with a null ts can never satisfy the original join
+        // predicate; filtering them keeps results identical AND satisfies
+        // the native exec's non-null merge-axis contract. Same for the
+        // right side. The left is pruned to the kept columns BEFORE the
+        // dedup so dropped columns cannot split groups the window form
+        // would merge.
+        // dedup expressed directly as the grouping Aggregate the
+        // ReplaceDeduplicateWithAggregate rule would produce (that batch
+        // has already run by the time injected rules fire)
+        val dedupLeft = Aggregate(keptLeft, keptLeft,
+          Project(keptLeft, Filter(IsNotNull(t.lTs), left)))
+        val cleanRight = Filter(IsNotNull(t.rTs), right)
+        val asOf = AsOfJoinPlan(dedupLeft, cleanRight,
+          leftKeys = eqs.map(_._1), rightKeys = eqs.map(_._2),
+          leftTs = t.lTs, rightTs = t.rTs,
+          strict = t.strict, tolerance = None, forward = t.forward)
+        // inner flavor: drop unmatched left rows (null right ts after the
+        // left-outer as-of), and re-emit rn as the literal 1 it was
+        // filtered to, under its original exprId
+        val rightTsOut = asOf.output.find(_.exprId == t.rTs.exprId).get
+        Project(
+          kept.map(a => asOf.output.find(_.exprId == a.exprId).get) :+
+            Alias(Literal(1), rnAttr.name)(rnAttr.exprId),
+          Filter(IsNotNull(rightTsOut), asOf))
+      }
+  }
+}

@@ -1,17 +1,21 @@
 package graft.tools
 import org.apache.spark.sql.functions._
-import graft.{Engine, Tables}
+import graft.Engine
 object PlanCheck {
   def main(args: Array[String]): Unit = {
     val spark = Engine.session()
-    val dir = "/root/testdata/sf0.01"
-    val docs = Tables.fanOut(Tables.documents(spark, dir))
-    val (_, caches) = graft.llm.Dedup.minhashPairsPlan(docs, "doc_id", "text")
-    val banded = caches(1)
-    val plan = banded.queryExecution.optimizedPlan.toString
-    val nSig = "array_min".r.findAllIn(plan).length
-    println(s"PLANCHECK array_min occurrences in banded plan: $nSig (32 = staged once, 256 = inlined per band)")
-    caches.foreach(_.unpersist())
+    import spark.implicits._
+    Seq(("a", 10L, 1.0), ("a", 20L, 2.0)).toDF("sym", "t_ts", "px").createOrReplaceTempView("trades_v")
+    Seq(("a", 5L, 100.0), ("a", 18L, 101.0)).toDF("sym", "q_ts", "bid").createOrReplaceTempView("quotes_v")
+    val df = spark.sql(
+      """SELECT sym, t_ts, px, q_ts, bid FROM (
+           SELECT t.sym, t.t_ts, t.px, q.q_ts, q.bid,
+                  row_number() OVER (PARTITION BY t.sym, t.t_ts, t.px ORDER BY q.q_ts DESC) AS rn
+           FROM trades_v t JOIN quotes_v q
+             ON t.sym = q.sym AND q.q_ts <= t.t_ts)
+         WHERE rn = 1 ORDER BY sym, t_ts""")
+    println("==== OPTIMIZED ====")
+    println(df.queryExecution.optimizedPlan.toString)
     spark.stop()
   }
 }

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.plans.AsOfJoinExec
+
+/** The automatic as-of rewrite (plans.AsOfRewriteRule): a plain-SQL
+  * row_number-over-join idiom must silently become the native merge exec,
+  * produce identical results, and refuse to fire when any soundness
+  * condition fails. */
+class AsOfRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def trades = Seq(
+    ("a", 10L, 1.0), ("a", 20L, 2.0), ("a", 30L, 3.0),
+    ("b", 15L, 4.0), ("b", 25L, 5.0),
+    ("c", 5L, 6.0) // before any quote: dropped by the inner-join idiom
+  ).toDF("sym", "t_ts", "px")
+
+  private def quotes = Seq(
+    ("a", 5L, 100.0), ("a", 18L, 101.0), ("a", 30L, 102.0),
+    ("b", 10L, 200.0), ("b", 25L, 201.0),
+    ("c", 50L, 300.0)
+  ).toDF("sym", "q_ts", "bid")
+
+  private def idiom(orderDir: String, cmp: String): String =
+    s"""SELECT sym, t_ts, px, q_ts, bid FROM (
+          SELECT t.sym, t.t_ts, t.px, q.q_ts, q.bid,
+                 row_number() OVER (PARTITION BY t.sym, t.t_ts, t.px
+                                    ORDER BY q.q_ts $orderDir) AS rn
+          FROM trades_v t JOIN quotes_v q
+            ON t.sym = q.sym AND q.q_ts $cmp t.t_ts)
+        WHERE rn = 1 ORDER BY sym, t_ts"""
+
+  private def hasAsOfExec(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.exists(_.isInstanceOf[graft.plans.AsOfJoinPlan])
+
+  private def register(): Unit = {
+    trades.createOrReplaceTempView("trades_v")
+    quotes.createOrReplaceTempView("quotes_v")
+  }
+
+  test("backward idiom rewrites to AsOfJoinExec with identical results") {
+    register()
+    val df = spark.sql(idiom("DESC", "<="))
+    assert(hasAsOfExec(df), "expected AsOfJoinExec in the rewritten plan")
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("a", 10L, 5L, 100.0), ("a", 20L, 18L, 101.0), ("a", 30L, 30L, 102.0),
+      ("b", 15L, 10L, 200.0), ("b", 25L, 25L, 201.0)))
+    // trade ("c",5) has no quote at-or-before → absent, like the idiom
+  }
+
+  test("forward idiom (ASC, >=) rewrites and matches the window answer") {
+    register()
+    val df = spark.sql(idiom("ASC", ">="))
+    assert(hasAsOfExec(df))
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("a", 10L, 18L), ("a", 20L, 30L), ("a", 30L, 30L),
+      ("b", 15L, 25L), ("b", 25L, 25L), ("c", 5L, 50L)))
+  }
+
+  test("strict backward (<) excludes the equal-timestamp quote") {
+    register()
+    val df = spark.sql(idiom("DESC", "<"))
+    assert(hasAsOfExec(df))
+    val a30 = df.collect().find(r => r.getString(0) == "a" && r.getLong(1) == 30L).get
+    assert(a30.getLong(3) == 18L) // not the ts-equal 30L quote
+  }
+
+  test("duplicate left rows collapse to one — window semantics preserved") {
+    register()
+    val dupTrades = trades.union(trades.filter(col("sym") === "a" && col("t_ts") === 10L))
+    dupTrades.createOrReplaceTempView("trades_v")
+    val df = spark.sql(idiom("DESC", "<="))
+    assert(hasAsOfExec(df))
+    val n = df.collect().count(r => r.getString(0) == "a" && r.getLong(1) == 10L)
+    assert(n == 1, "duplicated left row must produce one output row, as the window form does")
+  }
+
+  test("rewrite equals the un-rewritten window answer on the events fixture") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ev = Tables.events(spark, sf).select(col("user_id"), col("ts_ns"))
+      .filter(col("user_id") < 20)
+    val lhs = ev.filter(col("ts_ns") % 3 === 0).limit(500)
+    val rhs = ev.filter(col("ts_ns") % 3 =!= 0).limit(2000)
+      .withColumnRenamed("ts_ns", "r_ts").withColumnRenamed("user_id", "r_uid")
+    lhs.createOrReplaceTempView("trades_v2")
+    rhs.createOrReplaceTempView("quotes_v2")
+    val q =
+      """SELECT user_id, ts_ns, r_ts FROM (
+           SELECT t.user_id, t.ts_ns, q.r_ts,
+                  row_number() OVER (PARTITION BY t.user_id, t.ts_ns
+                                     ORDER BY q.r_ts DESC) AS rn
+           FROM trades_v2 t JOIN quotes_v2 q
+             ON t.user_id = q.r_uid AND q.r_ts <= t.ts_ns)
+         WHERE rn = 1"""
+    val rewritten = spark.sql(q)
+    assert(hasAsOfExec(rewritten))
+    // ground truth independent of ALL as-of machinery: join + max per key
+    // (only the matched timestamp is projected, so max() IS the as-of)
+    val truth = lhs.join(rhs, lhs("user_id") === rhs("r_uid") && rhs("r_ts") <= lhs("ts_ns"))
+      .groupBy(lhs("user_id"), col("ts_ns")).agg(max(col("r_ts")).as("r_ts"))
+    assert(rewritten.collect().toSet == truth.collect().toSet)
+  }
+
+  test("q74 (the oracled bench query) actually takes the rewrite path") {
+    assert(hasAsOfExec(Queries.q74_asof_rewrite(spark, sf)))
+  }
+
+  // ---- negative cases: the rule must NOT fire ----
+
+  test("no rewrite when partition keys do not cover the left side") {
+    register()
+    val df = spark.sql(
+      """SELECT sym, t_ts, q_ts FROM (
+           SELECT t.sym, t.t_ts, q.q_ts,
+                  row_number() OVER (PARTITION BY t.sym ORDER BY q.q_ts DESC) AS rn
+           FROM trades_v t JOIN quotes_v q
+             ON t.sym = q.sym AND q.q_ts <= t.t_ts)
+         WHERE rn = 1""")
+    assert(!hasAsOfExec(df))
+  }
+
+  test("no rewrite for rn = 2, wrong order direction, or extra predicates") {
+    register()
+    val rn2 = spark.sql(idiom("DESC", "<=").replace("rn = 1", "rn = 2"))
+    assert(!hasAsOfExec(rn2))
+    // backward comparison but ASC ordering picks the EARLIEST quote — a
+    // different query; must stay a window
+    val wrongDir = spark.sql(idiom("ASC", "<="))
+    assert(!hasAsOfExec(wrongDir))
+    // a residual TWO-SIDED predicate cannot commute with top-1 → no fire
+    val twoSided = spark.sql(idiom("DESC", "<=")
+      .replace("q.q_ts <= t.t_ts", "q.q_ts <= t.t_ts AND q.bid > t.px"))
+    assert(!hasAsOfExec(twoSided))
+  }
+
+  test("single-side extra predicate pushes down and still rewrites soundly") {
+    register()
+    // the optimizer pushes q.bid > 100.5 into the right child before the
+    // rule fires; filtering the right side commutes with per-left top-1,
+    // so the rewrite IS sound — and must pick the best QUALIFYING quote
+    val df = spark.sql(idiom("DESC", "<=")
+      .replace("q.q_ts <= t.t_ts", "q.q_ts <= t.t_ts AND q.bid > 100.5"))
+    assert(hasAsOfExec(df))
+    val a20 = df.collect().find(r => r.getString(0) == "a" && r.getLong(1) == 20L).get
+    assert(a20.getDouble(4) == 101.0) // 100.0 quote excluded by the predicate
+    val a10 = df.collect().find(r => r.getString(0) == "a" && r.getLong(1) == 10L)
+    assert(a10.isEmpty) // only the 100.0 quote was at-or-before 10
+  }
+
+  test("no rewrite when the order key has a tie-breaker") {
+    register()
+    val df = spark.sql(idiom("DESC, q.bid ASC", "<="))
+    assert(!hasAsOfExec(df))
+  }
+}
