@@ -110,6 +110,37 @@ class AsOfRewriteSpec extends SparkSpec {
     assert(hasAsOfExec(Queries.q74_asof_rewrite(spark, sf)))
   }
 
+  test("property: rewritten SQL equals brute force on random instances") {
+    val rnd = new scala.util.Random(2026)
+    for (trial <- 1 to 4) {
+      val keys = Seq("a", "b", "c")
+      val lefts = (0 until 30).map(i =>
+        (keys(rnd.nextInt(3)), rnd.nextInt(40).toLong, i.toLong))
+      // unique (k, rt) so equal-ts nondeterminism cannot differ
+      val rights = rnd.shuffle(
+        (for (k <- keys :+ "d"; t <- 0 until 40) yield (k, t.toLong)).toList)
+        .take(20).map { case (k, t) => (k, t, t * 10.0 + keys.indexOf(k)) }
+      lefts.toDF("k", "t", "lid").createOrReplaceTempView("pl_v")
+      rights.toDF("k", "rt", "px").createOrReplaceTempView("pr_v")
+
+      val df = spark.sql(
+        """SELECT lid, px FROM (
+             SELECT l.k, l.t, l.lid, r.px,
+                    row_number() OVER (PARTITION BY l.k, l.t, l.lid ORDER BY r.rt DESC) AS rn
+             FROM pl_v l JOIN pr_v r ON l.k = r.k AND r.rt <= l.t)
+           WHERE rn = 1""")
+      assert(hasAsOfExec(df), s"rule did not fire on trial $trial")
+      val got = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+      // inner flavor: unmatched lefts absent
+      val want = lefts.flatMap { case (k, t, lid) =>
+        val cands = rights.filter(row => row._1 == k && row._2 <= t)
+        if (cands.isEmpty) None else Some(lid -> cands.maxBy(_._2)._3)
+      }.toMap
+      assert(got == want, s"diverged on trial $trial")
+    }
+  }
+
   // ---- negative cases: the rule must NOT fire ----
 
   test("no rewrite when partition keys do not cover the left side") {

@@ -115,6 +115,30 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(1L, 2L, 3L))
   }
 
+  test("repetition/quality signals run unchanged on a streaming frame (== batch)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (1L, "buy now buy now buy now buy now"),
+      (2L, "the quick brown fox jumps over a lazy dog"),
+      (3L, ""))
+    val input = MemoryStream[(Long, String)]
+    val stream = graft.llm.TextOps.withRepetitionSignals(
+      input.toDF().toDF("doc_id", "text"), "text")
+      .select("doc_id", "top_bigram_frac", "dup_trigram_frac", "word_entropy")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("t_rep").start()
+    try { input.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("t_rep").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val batch = graft.llm.TextOps.withRepetitionSignals(rows.toDF("doc_id", "text"), "text")
+      .select("doc_id", "top_bigram_frac", "dup_trigram_frac", "word_entropy").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(streamed == batch && streamed(1L)._1 > 0.5)
+  }
+
   test("streaming near-dup suppression collapses simhash-identical docs") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
