@@ -23,10 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ a[i]*b[i] as a deterministic L2R double fold. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Σ a[i]*b[i], bit-identical to a deterministic L2R double fold —
+    * computed by the native codegen expression [[graft.functions
+    * .DotProduct]] (one fused primitive loop; the aggregate(zip_with(…))
+    * formulation it replaced materialized a boxed product array per row
+    * and evaluated interpreted, since higher-order functions are
+    * CodegenFallback). */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -64,8 +67,7 @@ object Similarity {
     * form: 64 separate aggregates = 26s for 2,000 vectors). */
   private def projections(vec: Column, nPlanes: Int, dim: Int, seedBase: Int = 0): Column = {
     val w = typedLit((seedBase until seedBase + nPlanes).map(i => planeWeights(i, dim).toSeq))
-    transform(w, p => aggregate(zip_with(vec, p, (x, wj) => x.cast("double") * wj),
-      lit(0.0), (acc, v) => acc + v))
+    transform(w, p => dot(vec, p))
   }
 
   /** Pack sign bits of projections [t·nBits, (t+1)·nBits) of a STAGED

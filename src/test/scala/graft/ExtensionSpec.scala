@@ -36,6 +36,41 @@ class ExtensionSpec extends SparkSpec {
     assert(got)
   }
 
+  test("DotProduct: bit-identical to the aggregate(zip_with) fold, all null regimes") {
+    import graft.functions.DotProduct.dot
+    val fold = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val rnd = new scala.util.Random(5)
+    val vecs = (1 to 50).map(_ => (
+      Seq.fill(16)(rnd.nextFloat()), Seq.fill(16)(rnd.nextDouble() * 2 - 1)))
+    val df = vecs.toDF("a", "b")
+    // bitwise equality: compare raw double bits, not epsilon
+    val bad = df.select(dot(col("a"), col("b")).as("n"), fold(col("a"), col("b")).as("o"))
+      .filter(expr("cast(n as string) <> cast(o as string)")).count()
+    assert(bad == 0)
+    // empty → 0.0; length mismatch → null; null element → null (zip_with pad semantics)
+    val edges = Seq(
+      (Seq.empty[Double], Seq.empty[Double]),
+      (Seq(1.0, 2.0), Seq(3.0)),
+      (Seq(1.0), Seq(1.0))
+    ).toDF("a", "b")
+    val got = edges.select(dot(col("a"), col("b"))).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(got == Seq(Some(0.0), None, Some(1.0)))
+    val withNull = spark.sql("SELECT graft_dot(array(1.0d, NULL), array(1.0d, 2.0d)) AS d")
+      .collect()(0)
+    assert(withNull.isNullAt(0))
+  }
+
+  test("DotProduct runs inside whole-stage codegen at the top level") {
+    val emb = Tables.embeddings(spark, sf).limit(50)
+    val out = emb.select(graft.functions.DotProduct.dot(col("embedding"), col("embedding")).as("d"))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("*(")) // whole-stage codegen span covers the projection
+  }
+
   test("MinHashAgg sketch == column-algebra minhash signature (same hash family)") {
     import graft.functions.MinHashAgg
     import spark.implicits._
