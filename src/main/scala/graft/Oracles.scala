@@ -714,5 +714,18 @@ object Oracles {
          FROM clicks c ASOF JOIN purchases p
            ON c.user_id = p.user_id AND p.pts <= c.ts_us
          ORDER BY c.user_id, c.ts_us, c.event_id""",
+
+    // elementwise group means over 1-based subscripts (range is
+    // end-exclusive); pos re-based to Spark's 0-based posexplode. The
+    // fixture dim (64) is a fixture constant, as elsewhere.
+    "q75_mean_pool" ->
+      """SELECT vec_id % 50 AS group_key,
+                CAST(count(*) AS BIGINT) AS n_vectors,
+                CAST(i.pos - 1 AS BIGINT) AS pos,
+                round(avg(CAST(embedding[i.pos] AS DOUBLE)), 6) AS m
+         FROM embeddings, (SELECT unnest(range(1, 65)) AS pos) i
+         WHERE i.pos <= 8
+         GROUP BY 1, 3
+         ORDER BY group_key, pos""",
   )
 }

@@ -1000,6 +1000,22 @@ object Queries {
          ORDER BY user_id, ts_us, event_id""")
   }
 
+  /** Grouped embedding mean-pooling (north-star chunk→doc vectors):
+    * partial-agg on (group, position) — running sums travel, vectors
+    * never sit in one buffer. Means rounded to 6 dp (parallel float
+    * summation order is the one nondeterminism the oracle can't pin). */
+  val q75_mean_pool: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("g", col("vec_id") % 50)
+    llm.Similarity.meanPool(emb, "g", "embedding")
+      .select(col("group_key"), col("n_vectors"),
+        posexplode(col("pooled")).as(Seq("pos", "m")))
+      .select(col("group_key"), col("n_vectors"), col("pos").cast("long").as("pos"),
+        round(col("m"), 6).as("m"))
+      .filter(col("pos") < 8)
+      .orderBy(col("group_key"), col("pos"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -1077,5 +1093,6 @@ object Queries {
     "q72_tfidf"          -> q72_tfidf,
     "q73_quantize8"      -> q73_quantize8,
     "q74_asof_rewrite"   -> q74_asof_rewrite,
+    "q75_mean_pool"      -> q75_mean_pool,
   )
 }

@@ -176,6 +176,25 @@ object Similarity {
   def dequantize(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale)
 
+  /** Per-group elementwise MEAN of vectors — chunk→document pooling (a
+    * long doc is embedded in chunks; its retrieval vector is the mean).
+    * Shuffle shape at 100 TB: posexplode → partial-agg groupBy on
+    * (group, pos) — map-side combine compresses each partition to
+    * |groups|·dim running sums before anything travels — then one tiny
+    * (|groups|·dim)-row reassembly groupBy. Never collects vectors into
+    * per-group state (a collect_list formulation holds every chunk of a
+    * group in one aggregation buffer — the OOM shape). */
+  def meanPool(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol).as("group_key"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .groupBy(col("group_key"), col("__pos"))
+      .agg(avg(col("__x").cast("double")).as("__m"),
+           count(lit(1)).as("__n"))
+      .groupBy(col("group_key"))
+      .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
+             s => s.getField("__m")).as("pooled"),
+           max(col("__n")).as("n_vectors"))
+
   // ----- IVF (inverted-file) ANN — the second scale path -----
 
   /** Deterministic coarse quantizer: seed centroids = the nLists vectors

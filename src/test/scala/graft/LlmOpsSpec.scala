@@ -314,6 +314,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows(0).getSeq[Int](2).last == 127)
   }
 
+  test("meanPool: exact elementwise group means, partition-invariant") {
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 4.0)),
+      (1L, Seq(3.0, 6.0, 8.0)),
+      (2L, Seq(10.0, 0.0, -2.0))
+    ).toDF("g", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.meanPool(d, "g", "v").orderBy("group_key").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2))).toSeq
+    val got = run(df)
+    assert(got == Seq(
+      (1L, Seq(2.0, 4.0, 6.0), 2L),
+      (2L, Seq(10.0, 0.0, -2.0), 1L)))
+    assert(run(df.repartition(7)) == got)
+  }
+
   test("fingerprint survives small edits (winnowing overlap)") {
     val fp = TextOps.fingerprint(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
