@@ -28,7 +28,7 @@ case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   private def elemType(e: Expression): Option[DataType] = e.dataType match {
-    case ArrayType(t @ (FloatType | DoubleType | IntegerType | LongType), _) => Some(t)
+    case ArrayType(t: NumericType, _) => Some(t)
     case _ => None
   }
 
@@ -36,7 +36,7 @@ case class DotProduct(left: Expression, right: Expression)
     if (elemType(left).isDefined && elemType(right).isDefined)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_dot expects two arrays of numeric (float/double/int/long), " +
+      s"graft_dot expects two arrays of numeric elements, " +
       s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
 
   override def dataType: DataType = DoubleType
@@ -44,6 +44,16 @@ case class DotProduct(left: Expression, right: Expression)
 
   private lazy val lt = elemType(left).get
   private lazy val rt = elemType(right).get
+
+  private def toDouble(arr: ArrayData, i: Int, dt: DataType): Double = dt match {
+    case FloatType => arr.getFloat(i).toDouble
+    case DoubleType => arr.getDouble(i)
+    case IntegerType => arr.getInt(i).toDouble
+    case LongType => arr.getLong(i).toDouble
+    case ShortType => arr.getShort(i).toDouble
+    case ByteType => arr.getByte(i).toDouble
+    case d: DecimalType => arr.getDecimal(i, d.precision, d.scale).toDouble
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -54,18 +64,8 @@ case class DotProduct(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xv = lt match {
-        case FloatType => x.getFloat(i).toDouble
-        case DoubleType => x.getDouble(i)
-        case IntegerType => x.getInt(i).toDouble
-        case LongType => x.getLong(i).toDouble
-      }
-      val yv = rt match {
-        case FloatType => y.getFloat(i).toDouble
-        case DoubleType => y.getDouble(i)
-        case IntegerType => y.getInt(i).toDouble
-        case LongType => y.getLong(i).toDouble
-      }
+      val xv = toDouble(x, i, lt)
+      val yv = toDouble(y, i, rt)
       acc += xv * yv
       i += 1
     }
@@ -77,8 +77,12 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
-      val lGet = CodeGenerator.getValue(a, lt, i)
-      val rGet = CodeGenerator.getValue(b, rt, i)
+      def conv(v: String, dt: DataType): String = dt match {
+        case _: DecimalType => s"$v.toDouble()"
+        case _ => s"(double)($v)"
+      }
+      val lGet = conv(CodeGenerator.getValue(a, lt, i), lt)
+      val rGet = conv(CodeGenerator.getValue(b, rt, i), rt)
       s"""
         final int $n = $a.numElements();
         if ($b.numElements() != $n) {
@@ -87,7 +91,7 @@ case class DotProduct(left: Expression, right: Expression)
           double $acc = 0.0;
           for (int $i = 0; $i < $n; $i++) {
             if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-            $acc += (double)($lGet) * (double)($rGet);
+            $acc += $lGet * $rGet;
           }
           if (!${ev.isNull}) ${ev.value} = $acc;
         }

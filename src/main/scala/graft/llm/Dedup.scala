@@ -90,17 +90,18 @@ object Dedup {
     val rows = bands; val r = numHashes / bands
     require(numHashes % bands == 0, "bands must divide numHashes")
 
-    // shingle strings never leave the map stage: only their 8-byte hashes
-    // are kept (Jaccard over hashed shingles — collision probability
-    // ~n²/2⁶⁴, irrelevant). Persisted: referenced once for signatures and
-    // twice for pair verification, on different join keys each time, so
-    // exchange reuse can never kick in and an unpersisted plan recomputes
-    // the shingling 3× (MLlib's MinHashLSH caches at the same point;
-    // MEMORY_AND_DISK spills rather than OOMs at scale).
+    // shingle strings never exist at all: the native ShingleHashes
+    // expression hashes token windows in place over the normalized
+    // text's bytes (bit-identical to xxhash64 of the shingle string,
+    // distinct by first occurrence — see functions/ShingleHashes).
+    // Persisted: referenced once for signatures and twice for pair
+    // verification, on different join keys each time, so exchange reuse
+    // can never kick in and an unpersisted plan recomputes the shingling
+    // 3× (MLlib's MinHashLSH caches at the same point; MEMORY_AND_DISK
+    // spills rather than OOMs at scale).
     val hashed = docs
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
-      .select(col("doc_id"), shinglesFromTokens(col("__toks"), shingleN).as("sh"))
-      .select(col("doc_id"), array_distinct(shingleHashes(col("sh"))).as("shh"))
+      .select(col(idCol).as("doc_id"),
+        graft.functions.ShingleHashes.shingleHashes(normText(col(textCol)), shingleN).as("shh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // banded rows carry NOTHING but (doc_id, band_id, band_hash); also

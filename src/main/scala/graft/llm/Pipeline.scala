@@ -63,13 +63,15 @@ object Pipeline {
   def contamination(corpus: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String, n: Int = 3): DataFrame = {
     // shingles leave the map stage as 8-byte xxhash64 longs, never as
-    // n-gram strings: the exploded corpus column and the broadcast set
-    // stay compact (collision odds ~|shingles|²/2⁶⁴ — immaterial for an
+    // n-gram strings: the native ShingleHashes expression hashes token
+    // windows in place (distinct, bit-identical to hashing the shingle
+    // string), so the exploded corpus column and the broadcast set stay
+    // compact (collision odds ~|shingles|²/2⁶⁴ — immaterial for an
     // overlap metric; the DuckDB twin joins the raw strings and agrees)
     def sh(df: DataFrame) = df
-      .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("__toks"))
-      .select(col("doc_id"), Dedup.shinglesFromTokens(col("__toks"), n).as("__sh"))
-      .select(col("doc_id"), Dedup.shingleHashes(col("__sh")).as("__shh"))
+      .select(col(idCol).as("doc_id"),
+        graft.functions.ShingleHashes.shingleHashes(
+          Dedup.normText(col(textCol)), n).as("__shh"))
     val bench = sh(benchmark).select(explode(col("__shh")).as("s")).distinct()
     val corp = sh(corpus).select(col("doc_id"),
       size(col("__shh")).cast("long").as("n_shingles"), explode(col("__shh")).as("s"))

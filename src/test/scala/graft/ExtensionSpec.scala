@@ -71,6 +71,28 @@ class ExtensionSpec extends SparkSpec {
     assert(plan.contains("*(")) // whole-stage codegen span covers the projection
   }
 
+  test("ShingleHashes: bit-identical to the string-shingle chain, incl. edges") {
+    import graft.llm.Dedup
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a a a a a a",                       // heavy duplicate shingles
+      "ONE  two\tthree FOUR five",          // normText collapses/cases
+      "two tok", "one", "", "   ",          // < n tokens, empty, blank
+      "naïve café déjà vu über straße"      // multi-byte UTF-8
+    )
+    val df = texts.map(Tuple1(_)).toDF("t")
+    val rows = df.select(
+        graft.functions.ShingleHashes.shingleHashes(Dedup.normText(col("t")), 3).as("native"),
+        col("t")).withColumn("__toks", Dedup.tokens(col("t")))
+      .withColumn("__sh", Dedup.shinglesFromTokens(col("__toks"), 3))
+      .withColumn("chain", array_distinct(Dedup.shingleHashes(col("__sh"))))
+      .select("native", "chain").collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"native ${r.getSeq[Long](0)} != chain ${r.getSeq[Long](1)}")
+    }
+  }
+
   test("MinHashAgg sketch == column-algebra minhash signature (same hash family)") {
     import graft.functions.MinHashAgg
     import spark.implicits._
