@@ -43,18 +43,22 @@ import org.apache.spark.sql.types.LongType
   *    `rTs >= lTs` / `>` (forward), both sides `LongType` (the native
   *    exec's merge axis), and the window ORDER BY is that right-side
   *    timestamp, descending for backward / ascending for forward, with
-  *    any deterministic tie-breakers after it (row_number over equal-ts
-  *    rows is nondeterministic in BOTH forms unless tie-broken; the
-  *    native exec keeps the last in (key, ts) order);
+  *    NO tie-breakers — any extra ORDER BY key disables the rewrite
+  *    (a tie-broken window is deterministic on equal timestamps in a
+  *    way the merge exec does not replicate; see the negative spec);
   *  - the `rn = 1` filter's child is the Window node itself.
   *
   * The inner-join flavor (unmatched left rows absent) is restored by
   * filtering the as-of result on a non-null right timestamp; left rows
   * with a null timestamp never match in the original (ternary-logic
   * false), so the left child is filtered to non-null timestamps — which
-  * also satisfies the native exec's fail-fast null contract. The `rn`
-  * column is re-emitted as a literal 1 under its original exprId, so any
-  * upstream projection keeps resolving.
+  * also satisfies the native exec's fail-fast null contract. The same
+  * holds for every EQUALITY key on BOTH sides: `t.k = q.k` is never
+  * true when either side is null, but the native exec's RowOrdering
+  * treats null == null as a match — so both children are filtered to
+  * non-null keys, which preserves the original semantics exactly. The
+  * `rn` column is re-emitted as a literal 1 under its original exprId,
+  * so any upstream projection keeps resolving.
   */
 object AsOfRewriteRule extends Rule[LogicalPlan] {
 
@@ -184,18 +188,22 @@ object AsOfRewriteRule extends Rule[LogicalPlan] {
 
       if (!ok) f else {
         val t = ts.head
-        // left rows with a null ts can never satisfy the original join
-        // predicate; filtering them keeps results identical AND satisfies
-        // the native exec's non-null merge-axis contract. Same for the
-        // right side. The left is pruned to the kept columns BEFORE the
-        // dedup so dropped columns cannot split groups the window form
-        // would merge.
+        // left rows with a null ts — or a null EQUALITY key — can never
+        // satisfy the original join predicate (ternary-logic false);
+        // filtering them keeps results identical AND satisfies the native
+        // exec's non-null merge-axis contract. The exec's RowOrdering
+        // would otherwise match null keys to null keys, emitting rows the
+        // original inner join never produces. Same on the right side.
+        // The left is pruned to the kept columns BEFORE the dedup so
+        // dropped columns cannot split groups the window form would merge.
         // dedup expressed directly as the grouping Aggregate the
         // ReplaceDeduplicateWithAggregate rule would produce (that batch
         // has already run by the time injected rules fire)
+        val leftNotNull = (t.lTs +: eqs.map(_._1)).map(IsNotNull(_): Expression).reduce(And)
+        val rightNotNull = (t.rTs +: eqs.map(_._2)).map(IsNotNull(_): Expression).reduce(And)
         val dedupLeft = Aggregate(keptLeft, keptLeft,
-          Project(keptLeft, Filter(IsNotNull(t.lTs), left)))
-        val cleanRight = Filter(IsNotNull(t.rTs), right)
+          Project(keptLeft, Filter(leftNotNull, left)))
+        val cleanRight = Filter(rightNotNull, right)
         val asOf = AsOfJoinPlan(dedupLeft, cleanRight,
           leftKeys = eqs.map(_._1), rightKeys = eqs.map(_._2),
           leftTs = t.lTs, rightTs = t.rTs,

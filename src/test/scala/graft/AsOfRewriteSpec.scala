@@ -183,6 +183,24 @@ class AsOfRewriteSpec extends SparkSpec {
     assert(a10.isEmpty) // only the 100.0 quote was at-or-before 10
   }
 
+  test("null equality keys never match — inner-join semantics preserved") {
+    // In the original inner join `t.sym = q.sym` a null sym never matches
+    // (ternary-logic false). The native exec's RowOrdering would treat
+    // null == null as equal, so the rewrite must filter null keys on both
+    // sides; otherwise a null-keyed trade would pick up a null-keyed
+    // quote and survive the IsNotNull(rightTs) inner-flavor filter.
+    val nTrades = trades.union(Seq((null.asInstanceOf[String], 40L, 9.0)).toDF("sym", "t_ts", "px"))
+    val nQuotes = quotes.union(Seq((null.asInstanceOf[String], 35L, 400.0)).toDF("sym", "q_ts", "bid"))
+    nTrades.createOrReplaceTempView("trades_v")
+    nQuotes.createOrReplaceTempView("quotes_v")
+    val df = spark.sql(idiom("DESC", "<="))
+    assert(hasAsOfExec(df), "rule must still fire on nullable-key inputs")
+    val got = df.collect()
+    assert(!got.exists(_.isNullAt(0)), "null-keyed left rows must not appear in the output")
+    // and the non-null rows are untouched
+    assert(got.count(_.getString(0) == "a") == 3 && got.count(_.getString(0) == "b") == 2)
+  }
+
   test("no rewrite when the order key has a tie-breaker") {
     register()
     val df = spark.sql(idiom("DESC, q.bid ASC", "<="))
