@@ -56,8 +56,13 @@ object Engine {
       // corpus explode at sf0.1. The rule only ever pays off when the
       // generator input is a scannable column (never true here), so it is
       // excluded session-wide rather than persist-barriered per call site.
-      .config("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // Session-wide trade-off: a user query exploding a SCANNED array
+      // column loses the inferred isnotnull/size pruning filter. Appended
+      // to (not clobbering) any exclusions already configured upstream.
+      .config("spark.sql.optimizer.excludedRules", (
+        sys.props.get("spark.sql.optimizer.excludedRules").toSeq :+
+          "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+        .mkString(","))
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")

@@ -715,6 +715,22 @@ object Oracles {
            ON c.user_id = p.user_id AND p.pts <= c.ts_us
          ORDER BY c.user_id, c.ts_us, c.event_id""",
 
+    // timestamp-axis as-of with interval tolerance: DuckDB's first-class
+    // ASOF picks the latest pts <= ts; the band's lower bound commutes
+    // with that top-1 (any other in-band candidate is older), so a
+    // post-join staleness filter gives exactly the banded-window answer
+    "q76_asof_ts_tol" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value, event_type FROM events),
+              clicks AS (SELECT user_id, event_id, ts_us, value FROM ev WHERE event_type = 'click'),
+              purchases AS (SELECT user_id, ts_us AS pts_us, value AS purchase_value FROM ev WHERE event_type = 'purchase'),
+              j AS MATERIALIZED (
+                SELECT c.user_id, c.event_id, c.ts_us, p.purchase_value, p.pts_us
+                FROM clicks c ASOF JOIN purchases p
+                  ON c.user_id = p.user_id AND p.pts_us <= c.ts_us)
+         SELECT user_id, event_id, ts_us, purchase_value, pts_us
+         FROM j WHERE pts_us >= ts_us - 3600000000
+         ORDER BY user_id, ts_us, event_id""",
+
     // elementwise group means over 1-based subscripts (range is
     // end-exclusive); pos re-based to Spark's 0-based posexplode. The
     // fixture dim (64) is a fixture constant, as elsewhere.

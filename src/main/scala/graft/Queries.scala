@@ -1000,6 +1000,36 @@ object Queries {
          ORDER BY user_id, ts_us, event_id""")
   }
 
+  /** The automatic as-of rewrite on the shapes real SQL users actually
+    * write (VERDICT r4 §missing 1): TIMESTAMP columns — not pre-converted
+    * long epochs — and a staleness tolerance spelled as an interval
+    * (`p.pts >= c.ts - INTERVAL '1' HOUR`). TimestampType is long µs
+    * internally, so the native merge exec runs on it unchanged; the
+    * interval conjunct becomes the exec's O(1) tolerance check instead of
+    * a materialize-every-in-band-pair window. AsOfRewriteSpec pins that
+    * this query takes the rewrite path. Output timestamps leave as epoch
+    * µs longs (engine-neutral hashing). */
+  val q76_asof_ts_tol: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .createOrReplaceTempView("clicks_ts_v")
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("value").as("purchase_value"))
+      .createOrReplaceTempView("purch_ts_v")
+    s.sql(
+      """SELECT user_id, event_id, unix_micros(ts) AS ts_us,
+                purchase_value, unix_micros(pts) AS pts_us FROM (
+           SELECT c.user_id, c.event_id, c.ts, c.value, p.purchase_value, p.pts,
+                  row_number() OVER (PARTITION BY c.user_id, c.event_id, c.ts, c.value
+                                     ORDER BY p.pts DESC) AS rn
+           FROM clicks_ts_v c JOIN purch_ts_v p
+             ON c.user_id = p.user_id AND p.pts <= c.ts
+                AND p.pts >= c.ts - INTERVAL '1' HOUR)
+         WHERE rn = 1
+         ORDER BY user_id, ts_us, event_id""")
+  }
+
   /** Grouped embedding mean-pooling (north-star chunk→doc vectors):
     * partial-agg on (group, position) — running sums travel, vectors
     * never sit in one buffer. Means rounded to 6 dp (parallel float
@@ -1094,5 +1124,6 @@ object Queries {
     "q73_quantize8"      -> q73_quantize8,
     "q74_asof_rewrite"   -> q74_asof_rewrite,
     "q75_mean_pool"      -> q75_mean_pool,
+    "q76_asof_ts_tol"    -> q76_asof_ts_tol,
   )
 }

@@ -284,14 +284,29 @@ object Dedup {
 
   /** Near-dup pairs by SimHash: block on rotated 16-bit chunks (any pair
     * within hamming distance d<=3 shares at least one identical chunk of
-    * four), verify with full hamming. Same shuffle discipline as LSH. */
+    * four), verify with full hamming. Same shuffle discipline as LSH,
+    * same cache-scope contract: intermediates released once the (tiny)
+    * pair list is sealed. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
+    val (result, caches) = simhashPairsPlan(docs, idCol, textCol, maxHamming, maxBucket)
+    graft.ops.Caches.seal(result, caches: _*)
+  }
+
+  /** The lazy plan behind [[simhashPairs]] plus the intermediate caches it
+    * persists — exposed for plan-shape tests; production callers use the
+    * sealed wrapper above. `chunked` is read by the skew-guard aggregate
+    * and (through the anti-join) both self-join sides — on different join
+    * keys each time, so exchange reuse never applies and an unpersisted
+    * plan recomputes the 64-bit sign-sum signature up to 4×. */
+  private[graft] def simhashPairsPlan(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, maxBucket: Int = 256): (DataFrame, Seq[DataFrame]) = {
     val sigs = simhash(docs, idCol, textCol)
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("chunk_id", "chunk")))
+      .persist(graft.ops.Caches.lvl)
     // same partial-agg skew guard as minhashPairs: no window sort
     val oversize = chunked.groupBy(col("chunk_id"), col("chunk"))
       .agg(count(lit(1)).as("bucket_n"))
@@ -302,10 +317,11 @@ object Dedup {
       col("doc_id").as("id_a"), col("simhash").as("sig_a"))
     val b = guarded.select(col("chunk_id"), col("chunk"),
       col("doc_id").as("id_b"), col("simhash").as("sig_b"))
-    a.join(b, Seq("chunk_id", "chunk")).filter(col("id_a") < col("id_b"))
+    val result = a.join(b, Seq("chunk_id", "chunk")).filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", hamming(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+    (result, Seq(chunked))
   }
 }

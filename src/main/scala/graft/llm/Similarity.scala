@@ -183,7 +183,15 @@ object Similarity {
     * |groups|·dim running sums before anything travels — then one tiny
     * (|groups|·dim)-row reassembly groupBy. Never collects vectors into
     * per-group state (a collect_list formulation holds every chunk of a
-    * group in one aggregation buffer — the OOM shape). */
+    * group in one aggregation buffer — the OOM shape).
+    *
+    * Dimension contract: every vector in a group must have the SAME
+    * length. A ragged group would silently average trailing positions
+    * over fewer contributors — dimension drift in a 100 TB embedding
+    * store is a real failure mode — so the reassembly FAILS FAST
+    * (positions present in some vectors but not all ⇒ per-position
+    * counts diverge ⇒ raise_error) instead of emitting a plausible
+    * wrong mean. */
   def meanPool(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
     df.select(col(groupCol).as("group_key"),
         posexplode(col(vecCol)).as(Seq("__pos", "__x")))
@@ -193,7 +201,16 @@ object Similarity {
       .groupBy(col("group_key"))
       .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
              s => s.getField("__m")).as("pooled"),
-           max(col("__n")).as("n_vectors"))
+           min(col("__n")).as("__n_min"),
+           max(col("__n")).as("__n_max"))
+      .select(col("group_key"), col("pooled"),
+        when(col("__n_min") === col("__n_max"), col("__n_max"))
+          .otherwise(raise_error(concat(
+            lit("meanPool: ragged group "), col("group_key").cast("string"),
+            lit(" — vectors have unequal lengths (per-position counts "),
+            col("__n_min").cast("string"), lit(".."), col("__n_max").cast("string"),
+            lit("); fix upstream embedding dimension drift"))))
+          .as("n_vectors"))
 
   // ----- IVF (inverted-file) ANN — the second scale path -----
 

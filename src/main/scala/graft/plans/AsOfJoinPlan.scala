@@ -27,9 +27,12 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * O(1) state (a single held right row) — strictly less memory than the
   * window rewrite, which buffers the whole union per key frame.
   *
-  * Timestamps must be non-null LongType epochs: a null ts has no position
-  * on the merge axis, so the exec fails fast instead of silently treating
-  * it as epoch 0 (filter nulls upstream if they are expected).
+  * Timestamps must be non-null and physically long: LongType epochs, or
+  * TimestampType/TimestampNTZType (both are long µs internally — the exec
+  * reads the axis with getLong, so timestamp axes need no cast and
+  * `tolerance` is in µs). A null ts has no position on the merge axis, so
+  * the exec fails fast instead of silently treating it as epoch 0 (filter
+  * nulls upstream if they are expected).
   */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,

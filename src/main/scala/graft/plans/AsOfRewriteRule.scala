@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DayTimeIntervalType, DataType, IntegerType, LongType, TimestampNTZType, TimestampType}
 
 /** Rewrites the plain-SQL as-of idiom into the native [[AsOfJoinPlan]]
   * (SURVEY §4 row 4 — the (c)-tier `Rule[LogicalPlan]` extension).
@@ -40,12 +40,25 @@ import org.apache.spark.sql.types.LongType
   *    preserves that with a `Deduplicate` on the left child;
   *  - the join is INNER with a conjunction of left↔right equalities plus
   *    exactly ONE timestamp inequality `rTs <= lTs` / `<` (backward) or
-  *    `rTs >= lTs` / `>` (forward), both sides `LongType` (the native
-  *    exec's merge axis), and the window ORDER BY is that right-side
-  *    timestamp, descending for backward / ascending for forward, with
-  *    NO tie-breakers — any extra ORDER BY key disables the rewrite
-  *    (a tie-broken window is deterministic on equal timestamps in a
-  *    way the merge exec does not replicate; see the negative spec);
+  *    `rTs >= lTs` / `>` (forward). Both axes must be the same type out
+  *    of `LongType`, `TimestampType`, `TimestampNTZType` — all three are
+  *    physically a long (µs since epoch for the timestamps), which IS
+  *    the native exec's merge axis, so no cast is needed or inserted.
+  *    The window ORDER BY is that right-side timestamp, descending for
+  *    backward / ascending for forward, with NO tie-breakers — any extra
+  *    ORDER BY key disables the rewrite (a tie-broken window is
+  *    deterministic on equal timestamps in a way the merge exec does not
+  *    replicate; see the negative spec);
+  *  - optionally ONE tolerance conjunct bounding how stale a match may
+  *    be — the other half of the band every real trades/quotes query
+  *    carries: `rTs >= lTs - K` (backward) / `rTs <= lTs + K` (forward),
+  *    spelled as long arithmetic or as `ts - INTERVAL '…'` (day-time
+  *    intervals are physically long µs — the same unit as the timestamp
+  *    axes, so the exec's long-domain tolerance compare is exact; a
+  *    year-month interval is calendar arithmetic, not a fixed band, and
+  *    disables the rewrite). Strict bounds fold to `K-1` in the integral
+  *    domain. Maps to the native exec's O(1) `tolerance` — the window
+  *    form still materializes every in-band pair first;
   *  - the `rn = 1` filter's child is the Window node itself.
   *
   * The inner-join flavor (unmatched left rows absent) is restored by
@@ -82,7 +95,46 @@ object AsOfRewriteRule extends Rule[LogicalPlan] {
   private sealed trait Atom
   private case class EqPair(l: AttributeReference, r: AttributeReference) extends Atom
   private case class TsAtom(t: TsPred) extends Atom
+  /** A tolerance band: `rTs >= lTs - bound` (backward) or
+    * `rTs <= lTs + bound` (forward), strictness already folded into
+    * `bound` (integral axes only, so strict `>` ⇔ `>=` with K-1). */
+  private case class TolAtom(lTs: AttributeReference, rTs: AttributeReference,
+                             bound: Long, forward: Boolean) extends Atom
   private case object Unsupported extends Atom
+
+  /** Matches the `lAttr + offset` arithmetic shapes a tolerance conjunct
+    * puts beside the left timestamp: `Subtract`/`Add` with a long literal
+    * (long axes) and `TimestampAddInterval` with a day-time interval
+    * literal (timestamp axes — `ts - INTERVAL '1' HOUR` optimizes to
+    * `TimestampAddInterval(ts, INTERVAL '-01' HOUR)`, and day-time
+    * interval literals are physically long µs, the merge-axis unit).
+    * Returns the attribute and the signed offset. */
+  private def attrPlusOffset(e: Expression, side: AttributeSet): Option[(AttributeReference, Long)] = e match {
+    case Subtract(a: AttributeReference, Literal(k: Long, LongType), _) if side.contains(a) => Some((a, -k))
+    case Add(a: AttributeReference, Literal(k: Long, LongType), _) if side.contains(a) => Some((a, k))
+    case Add(Literal(k: Long, LongType), a: AttributeReference, _) if side.contains(a) => Some((a, k))
+    case Subtract(a: AttributeReference, Literal(k: Int, IntegerType), _) if side.contains(a) => Some((a, -k.toLong))
+    case Add(a: AttributeReference, Literal(k: Int, IntegerType), _) if side.contains(a) => Some((a, k.toLong))
+    case TimestampAddInterval(a: AttributeReference, Literal(k: Long, _: DayTimeIntervalType), _)
+        if side.contains(a) => Some((a, k))
+    case _ => None
+  }
+
+  /** Classify a conjunct comparing rTs against lTs±K as a tolerance band
+    * (backward needs a LOWER bound `rTs >= lTs - K`; forward an UPPER
+    * bound `rTs <= lTs + K`). `tighten` is 1 for strict comparisons —
+    * `rTs > lTs - K` ⇔ `lTs - rTs <= K-1` on integral axes. Anything
+    * else — including a bound on the wrong side, which would NOT be a
+    * tolerance — is Unsupported, so the rewrite never drops a predicate. */
+  private def tolAtom(r: AttributeReference, arith: Expression, lower: Boolean,
+                      tighten: Long, lOut: AttributeSet): Atom =
+    attrPlusOffset(arith, lOut) match {
+      case Some((l, off)) if lower && off < 0 && -off - tighten >= 0 =>
+        TolAtom(l, r, -off - tighten, forward = false)
+      case Some((l, off)) if !lower && off > 0 && off - tighten >= 0 =>
+        TolAtom(l, r, off - tighten, forward = true)
+      case _ => Unsupported
+    }
 
   /** Classify one conjunct as an equality key pair, the ts inequality, or
     * unsupported, relative to the join children's output sets. */
@@ -107,6 +159,24 @@ object AsOfRewriteRule extends Rule[LogicalPlan] {
         if rOut.contains(r) && lOut.contains(l) => TsAtom(TsPred(l, r, strict = true, forward = true))
     case LessThan(l: AttributeReference, r: AttributeReference)
         if rOut.contains(r) && lOut.contains(l) => TsAtom(TsPred(l, r, strict = true, forward = true))
+    // tolerance bands (after the attr-attr primaries, which match first):
+    // the right timestamp on one side, lTs±K arithmetic on the other
+    case GreaterThanOrEqual(r: AttributeReference, arith) if rOut.contains(r) =>
+      tolAtom(r, arith, lower = true, tighten = 0, lOut)
+    case LessThanOrEqual(arith, r: AttributeReference) if rOut.contains(r) =>
+      tolAtom(r, arith, lower = true, tighten = 0, lOut)
+    case GreaterThan(r: AttributeReference, arith) if rOut.contains(r) =>
+      tolAtom(r, arith, lower = true, tighten = 1, lOut)
+    case LessThan(arith, r: AttributeReference) if rOut.contains(r) =>
+      tolAtom(r, arith, lower = true, tighten = 1, lOut)
+    case LessThanOrEqual(r: AttributeReference, arith) if rOut.contains(r) =>
+      tolAtom(r, arith, lower = false, tighten = 0, lOut)
+    case GreaterThanOrEqual(arith, r: AttributeReference) if rOut.contains(r) =>
+      tolAtom(r, arith, lower = false, tighten = 0, lOut)
+    case LessThan(r: AttributeReference, arith) if rOut.contains(r) =>
+      tolAtom(r, arith, lower = false, tighten = 1, lOut)
+    case GreaterThan(arith, r: AttributeReference) if rOut.contains(r) =>
+      tolAtom(r, arith, lower = false, tighten = 1, lOut)
     case _ => Unsupported
   }
 
@@ -148,6 +218,7 @@ object AsOfRewriteRule extends Rule[LogicalPlan] {
       val atoms = conjuncts(joinCond).map(classify(_, left.outputSet, right.outputSet))
       val eqs = atoms.collect { case EqPair(a, b) => (a, b) }
       val ts = atoms.collect { case TsAtom(t) => t }
+      val tols = atoms.collect { case t: TolAtom => t }
       val unsupported = atoms.contains(Unsupported)
 
       // left columns surviving the (possible) pruning Project - the tuple
@@ -182,8 +253,17 @@ object AsOfRewriteRule extends Rule[LogicalPlan] {
           case _ => false
         }
         val groupable = keptLeft.forall(a => !hasMap(a.dataType))
-        orderMatches && partExact && axesKept && groupable &&
-          t.lTs.dataType == LongType && t.rTs.dataType == LongType
+        // all three axis types are physically a long (µs for timestamps),
+        // so the exec's getLong merge and long-domain tolerance are exact
+        val axisTypes: Set[DataType] = Set(LongType, TimestampType, TimestampNTZType)
+        val axisOk = axisTypes.contains(t.lTs.dataType) && t.lTs.dataType == t.rTs.dataType
+        // at most one tolerance band, on the SAME axes and the SAME
+        // direction as the primary inequality (a backward as-of takes a
+        // lower bound on rTs; anything else is a different query)
+        val tolOk = tols.length <= 1 && tols.forall(tl =>
+          tl.lTs.exprId == t.lTs.exprId && tl.rTs.exprId == t.rTs.exprId &&
+            tl.forward == t.forward && tl.bound >= 0L)
+        orderMatches && partExact && axesKept && groupable && axisOk && tolOk
       }
 
       if (!ok) f else {
@@ -207,7 +287,8 @@ object AsOfRewriteRule extends Rule[LogicalPlan] {
         val asOf = AsOfJoinPlan(dedupLeft, cleanRight,
           leftKeys = eqs.map(_._1), rightKeys = eqs.map(_._2),
           leftTs = t.lTs, rightTs = t.rTs,
-          strict = t.strict, tolerance = None, forward = t.forward)
+          strict = t.strict, tolerance = tols.headOption.map(_.bound),
+          forward = t.forward)
         // inner flavor: drop unmatched left rows (null right ts after the
         // left-outer as-of), and re-emit rn as the literal 1 it was
         // filtered to, under its original exprId

@@ -206,4 +206,149 @@ class AsOfRewriteSpec extends SparkSpec {
     val df = spark.sql(idiom("DESC, q.bid ASC", "<="))
     assert(!hasAsOfExec(df))
   }
+
+  // ---- widened shapes: timestamp axes + tolerance bands ----
+
+  private def tsOf(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def registerTs(): Unit = {
+    Seq(
+      ("a", tsOf("2024-01-01 10:00:00"), 1.0),
+      ("a", tsOf("2024-01-01 12:00:00"), 2.0),
+      ("b", tsOf("2024-01-01 11:00:00"), 3.0)
+    ).toDF("sym", "t_ts", "px").createOrReplaceTempView("tst_v")
+    Seq(
+      ("a", tsOf("2024-01-01 09:45:00"), 100.0), // 15 min before the 10:00 trade
+      ("a", tsOf("2024-01-01 10:30:00"), 101.0), // 90 min before the 12:00 trade
+      ("b", tsOf("2024-01-01 08:00:00"), 200.0)  // 3 h before the 11:00 trade
+    ).toDF("sym", "q_ts", "bid").createOrReplaceTempView("qst_v")
+  }
+
+  test("TIMESTAMP axes rewrite and match the window answer") {
+    registerTs()
+    val df = spark.sql(
+      """SELECT sym, t_ts, q_ts, bid FROM (
+           SELECT t.sym, t.t_ts, t.px, q.q_ts, q.bid,
+                  row_number() OVER (PARTITION BY t.sym, t.t_ts, t.px
+                                     ORDER BY q.q_ts DESC) AS rn
+           FROM tst_v t JOIN qst_v q
+             ON t.sym = q.sym AND q.q_ts <= t.t_ts)
+         WHERE rn = 1 ORDER BY sym, t_ts""")
+    assert(hasAsOfExec(df), "rule must fire on TimestampType axes")
+    val got = df.collect().map(r => (r.getString(0), r.getTimestamp(2).toString))
+    assert(got.toSeq == Seq(
+      ("a", "2024-01-01 09:45:00.0"),
+      ("a", "2024-01-01 10:30:00.0"),
+      ("b", "2024-01-01 08:00:00.0")))
+  }
+
+  test("interval tolerance on timestamp axes maps to the exec's tolerance") {
+    registerTs()
+    val df = spark.sql(
+      """SELECT sym, t_ts, q_ts, bid FROM (
+           SELECT t.sym, t.t_ts, t.px, q.q_ts, q.bid,
+                  row_number() OVER (PARTITION BY t.sym, t.t_ts, t.px
+                                     ORDER BY q.q_ts DESC) AS rn
+           FROM tst_v t JOIN qst_v q
+             ON t.sym = q.sym AND q.q_ts <= t.t_ts
+                AND q.q_ts >= t.t_ts - INTERVAL '1' HOUR)
+         WHERE rn = 1 ORDER BY sym, t_ts""")
+    assert(hasAsOfExec(df), "rule must fire with an interval tolerance")
+    val asOf = df.queryExecution.optimizedPlan.collectFirst {
+      case p: graft.plans.AsOfJoinPlan => p }.get
+    assert(asOf.tolerance.contains(3600L * 1000 * 1000), "tolerance must be the interval in µs")
+    // 15-min-stale quote kept; 90-min and 3-h stale quotes out of band
+    val got = df.collect().map(r => (r.getString(0), r.getTimestamp(1).toString))
+    assert(got.toSeq == Seq(("a", "2024-01-01 10:00:00.0")))
+  }
+
+  test("long tolerance (rt >= t - K) rewrites; strict bound tightens to K-1") {
+    register()
+    val tol = spark.sql(idiom("DESC", "<=")
+      .replace("q.q_ts <= t.t_ts", "q.q_ts <= t.t_ts AND q.q_ts >= t.t_ts - 5"))
+    assert(hasAsOfExec(tol), "rule must fire with a long tolerance")
+    // trade (a,10): best quote 5 is 5 old → kept at K=5
+    val got = tol.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got.contains(("a", 10L, 5L)))
+    // trade (b,15): best quote 10 is 5 old → in at K=5 …
+    assert(got.contains(("b", 15L, 10L)))
+
+    // … but OUT under the strict spelling q_ts > t_ts - 5 (≡ age <= 4)
+    val strict = spark.sql(idiom("DESC", "<=")
+      .replace("q.q_ts <= t.t_ts", "q.q_ts <= t.t_ts AND q.q_ts > t.t_ts - 5"))
+    assert(hasAsOfExec(strict))
+    val asOf = strict.queryExecution.optimizedPlan.collectFirst {
+      case p: graft.plans.AsOfJoinPlan => p }.get
+    assert(asOf.tolerance.contains(4L), "strict bound must fold to K-1")
+    val gotStrict = strict.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(!gotStrict.contains(("b", 15L)))
+    assert(gotStrict.contains(("a", 30L))) // age-0 match unaffected
+  }
+
+  test("tolerance + rewrite equals the un-rewritten window on random instances") {
+    val rnd = new scala.util.Random(76)
+    for (trial <- 1 to 3) {
+      val keys = Seq("a", "b")
+      val lefts = (0 until 25).map(i => (keys(rnd.nextInt(2)), rnd.nextInt(40).toLong, i.toLong))
+      val rights = rnd.shuffle(
+        (for (k <- keys; t <- 0 until 40) yield (k, t.toLong)).toList)
+        .take(25).map { case (k, t) => (k, t, t * 10.0) }
+      lefts.toDF("k", "t", "lid").createOrReplaceTempView("tol_l_v")
+      rights.toDF("k", "rt", "px").createOrReplaceTempView("tol_r_v")
+      val df = spark.sql(
+        """SELECT lid, px FROM (
+             SELECT l.k, l.t, l.lid, r.px,
+                    row_number() OVER (PARTITION BY l.k, l.t, l.lid ORDER BY r.rt DESC) AS rn
+             FROM tol_l_v l JOIN tol_r_v r
+               ON l.k = r.k AND r.rt <= l.t AND r.rt >= l.t - 7)
+           WHERE rn = 1""")
+      assert(hasAsOfExec(df), s"rule did not fire on trial $trial")
+      val got = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val want = lefts.flatMap { case (k, t, lid) =>
+        val cands = rights.filter(row => row._1 == k && row._2 <= t && row._2 >= t - 7)
+        if (cands.isEmpty) None else Some(lid -> cands.maxBy(_._2)._3)
+      }.toMap
+      assert(got == want, s"diverged on trial $trial")
+    }
+  }
+
+  test("q76 (the oracled timestamp+tolerance bench query) takes the rewrite path") {
+    assert(hasAsOfExec(Queries.q76_asof_ts_tol(spark, sf)))
+  }
+
+  // ---- widened shapes: negatives ----
+
+  test("no rewrite when the band is on the wrong side (not a tolerance)") {
+    register()
+    // q_ts >= t_ts + 5 alongside backward q_ts <= t_ts is an empty band,
+    // not a staleness tolerance — must stay a window, not drop a predicate
+    val df = spark.sql(idiom("DESC", "<=")
+      .replace("q.q_ts <= t.t_ts", "q.q_ts <= t.t_ts AND q.q_ts >= t.t_ts + 5"))
+    assert(!hasAsOfExec(df))
+  }
+
+  test("no rewrite for a year-month interval tolerance (calendar arithmetic)") {
+    registerTs()
+    val df = spark.sql(
+      """SELECT sym, t_ts, q_ts FROM (
+           SELECT t.sym, t.t_ts, t.px, q.q_ts,
+                  row_number() OVER (PARTITION BY t.sym, t.t_ts, t.px
+                                     ORDER BY q.q_ts DESC) AS rn
+           FROM tst_v t JOIN qst_v q
+             ON t.sym = q.sym AND q.q_ts <= t.t_ts
+                AND q.q_ts >= t.t_ts - INTERVAL '1' MONTH)
+         WHERE rn = 1""")
+    assert(!hasAsOfExec(df))
+  }
+
+  test("no rewrite when axis types are mixed or unsupported") {
+    register()
+    // double axes: not a long-domain merge
+    val dTrades = trades.withColumn("t_ts", col("t_ts").cast("double"))
+    val dQuotes = quotes.withColumn("q_ts", col("q_ts").cast("double"))
+    dTrades.createOrReplaceTempView("trades_v")
+    dQuotes.createOrReplaceTempView("quotes_v")
+    val df = spark.sql(idiom("DESC", "<="))
+    assert(!hasAsOfExec(df))
+  }
 }

@@ -35,8 +35,9 @@ class CacheHygieneSpec extends SparkSpec {
     val ivf    = Similarity.ivfTopK(vecs.filter(col("vec_id") < 2), vecs, 3,
                                     nLists = 4, nProbe = 2)
     val nd     = Similarity.cosineNearDupPairs(vecs, threshold = 0.5)
+    val sh     = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
 
-    val results = Seq(pairs, labels, ivf, nd)
+    val results = Seq(pairs, labels, ivf, nd, sh)
     results.foreach(_.collect()) // consume
 
     // only the four sealed results may still hold storage

@@ -330,6 +330,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(run(df.repartition(7)) == got)
   }
 
+  test("meanPool: ragged groups FAIL FAST instead of averaging a lie") {
+    // dimension drift (a 3-vec and a 2-vec in one group) must throw, not
+    // silently average position 2 over one contributor
+    val ragged = Seq(
+      (1L, Seq(1.0, 2.0, 4.0)),
+      (1L, Seq(3.0, 6.0))
+    ).toDF("g", "v")
+    val e = intercept[Exception] {
+      Similarity.meanPool(ragged, "g", "v").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("ragged group")), s"wrong error: $e")
+    // equal-length groups are untouched by the guard
+    val ok = Seq((1L, Seq(1.0, 2.0)), (1L, Seq(3.0, 4.0)), (2L, Seq(9.0, 9.0)))
+      .toDF("g", "v")
+    assert(Similarity.meanPool(ok, "g", "v").collect().length == 2)
+  }
+
   test("fingerprint survives small edits (winnowing overlap)") {
     val fp = TextOps.fingerprint(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap

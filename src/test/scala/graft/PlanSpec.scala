@@ -82,6 +82,20 @@ class PlanSpec extends SparkSpec {
     caches.foreach(_.unpersist(true))
   }
 
+  test("q30: simhash blocking plan — cached signatures, no window, no cartesian") {
+    // same discipline as minhashPairs: the chunked signature frame feeds
+    // the skew guard and (via the anti-join) both self-join sides, so an
+    // unpersisted plan recomputes the 64-bit sign-sum up to 4×
+    val (df, caches) = llm.Dedup.simhashPairsPlan(
+      Tables.fanOut(Tables.documents(spark, sf)), "doc_id", "text")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "simhash pair generation exploded to n²")
+    assert(!p.contains("Window"), s"simhash skew guard regressed to a window:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"chunked signatures not cached (4x recompute):\n$p")
+    caches.foreach(_.unpersist(true))
+  }
+
   test("q57: corpus-clean composition is ONE scan (features are projections)") {
     val p = planOf("q57_corpus_clean")
     val scans = "Scan parquet|FileScan parquet".r.findAllIn(p).length
