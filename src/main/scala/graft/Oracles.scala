@@ -208,6 +208,80 @@ object Oracles {
            ON c.user_id = p.user_id AND p.pts <= c.ts_us
          ORDER BY c.user_id, c.ts_us, c.event_id""",
 
+    // mirrors Dedup.minhashPairs end-to-end from first principles: exact
+    // all-pairs Jaccard over the SAME normalization (lowercase, collapse
+    // whitespace, trim), token split, distinct 3-token shingles, and the
+    // <3-token whole-text fallback. Sound because LSH + exact-verify is
+    // exhaustive on this fixture: the corpus pair-Jaccard distribution is
+    // bimodal (J < 0.1 organic noise vs J ≥ 0.9 planted near-dups, gap
+    // empty — measured), the 0.2 verify threshold sits in the gap, and a
+    // 32-hash/8-band LSH misses a J ≥ 0.9 pair with p = (1-J⁴)⁸ < 2e-9.
+    // Spark verifies on shingle-HASH sets; 64-bit collisions aside (none
+    // at this scale), set sizes equal shingle-string set sizes, and both
+    // engines compute the same int/int division → bit-identical doubles.
+    "q29_minhash_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         shing AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                  END AS s
+           FROM toks),
+         ex AS (SELECT doc_id, unnest(s) AS sh FROM shing),
+         sizes AS (SELECT doc_id, count(*) AS c FROM ex GROUP BY 1),
+         inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+                   FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT ia AS id_a, ib AS id_b,
+                i::DOUBLE / (sa.c + sb.c - i)::DOUBLE AS jaccard
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = ia
+         JOIN sizes sb ON sb.doc_id = ib
+         WHERE i::DOUBLE / (sa.c + sb.c - i)::DOUBLE >= 0.2
+         ORDER BY id_a, id_b""",
+
+    // q54 = connected components over the q29 pair graph (which the q29
+    // oracle proves exhaustive on this fixture) → per-cluster sizes.
+    // DuckDB side: full transitive closure by recursive CTE — fine on a
+    // 25-edge graph; the Spark side is the O(log n) large/small-star
+    // contraction, so this is a genuinely independent algorithm.
+    "q54_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         shing AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                  END AS s
+           FROM toks),
+         ex AS (SELECT doc_id, unnest(s) AS sh FROM shing),
+         sizes AS (SELECT doc_id, count(*) AS c FROM ex GROUP BY 1),
+         inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+                   FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (
+           SELECT ia, ib FROM inter
+           JOIN sizes sa ON sa.doc_id = ia
+           JOIN sizes sb ON sb.doc_id = ib
+           WHERE i::DOUBLE / (sa.c + sb.c - i)::DOUBLE >= 0.2),
+         edges AS (SELECT ia AS u, ib AS v FROM pairs
+                   UNION SELECT ib, ia FROM pairs),
+         reach AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         labels AS (
+           SELECT u AS id, least(u, min(v)) AS cluster FROM reach GROUP BY u)
+         SELECT cluster, count(*) AS n_members
+         FROM labels GROUP BY cluster ORDER BY cluster""",
+
     "q52_kerf_text" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
          FROM lineitem
