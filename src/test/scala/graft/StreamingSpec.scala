@@ -139,6 +139,53 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed(1L)._1 > 0.5)
   }
 
+  test("quantizeInt8 runs unchanged on a streaming frame (== batch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f)),   // zero vector → scale 0, zero codes
+      (3L, Seq(127.0f, -63.5f, 1.0f)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val stream = graft.llm.Similarity.quantizeInt8(
+      input.toDF().toDF("vec_id", "embedding"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("t_quant").start()
+    try { input.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (r.getDouble(1), r.getSeq[Int](2))
+    val streamed = spark.table("t_quant").collect().map(key).toMap
+    val batch = graft.llm.Similarity.quantizeInt8(rows.toDF("vec_id", "embedding"))
+      .collect().map(key).toMap
+    assert(streamed == batch && streamed(2L)._2.forall(_ == 0))
+  }
+
+  test("meanPool over micro-batches via foreachBatch (== batch per frame)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (1L, Seq(1.0, 2.0, 4.0)),
+      (1L, Seq(3.0, 6.0, 8.0)),
+      (2L, Seq(10.0, 0.0, -2.0)))
+    val input = MemoryStream[(Long, Seq[Double])]
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Seq[Double], Long)]()
+    val q = input.toDF().toDF("g", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf.synchronized {
+          buf ++= graft.llm.Similarity.meanPool(batch, "g", "v").collect()
+            .map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2)))
+        }
+        ()
+      }.start()
+    // one addData ⇒ one micro-batch ⇒ frame-level pooling == batch pooling
+    try { input.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+    val batchTruth = graft.llm.Similarity.meanPool(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2))).toSet
+    assert(buf.toSet == batchTruth && batchTruth.size == 2)
+  }
+
   test("streaming near-dup suppression collapses simhash-identical docs") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
