@@ -805,6 +805,24 @@ object Oracles {
          FROM j WHERE pts_us >= ts_us - 3600000000
          ORDER BY user_id, ts_us, event_id""",
 
+    // the dialect's window table verbs against DuckDB's own window
+    // machinery: same frame (UNBOUNDED PRECEDING..CURRENT ROW), integer
+    // cents so running sums are exact; lag gets its own frame-less spec
+    "q77_kerf_window" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                            CAST(round(value * 100) AS BIGINT) AS vc
+                     FROM events)
+         SELECT user_id, event_id, ts_us,
+                CAST(sum(vc) OVER w AS BIGINT) AS cum_vc,
+                count(vc) OVER w AS n_seen,
+                max(vc) OVER w AS max_vc,
+                ts_us - lag(ts_us) OVER w2 AS gap_us
+         FROM ev
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         ORDER BY user_id, ts_us, event_id""",
+
     // elementwise group means over 1-based subscripts (range is
     // end-exclusive); pos re-based to Spark's 0-based posexplode. The
     // fixture dim (64) is a fixture constant, as elsewhere.

@@ -1030,6 +1030,25 @@ object Queries {
          ORDER BY user_id, ts_us, event_id""")
   }
 
+  /** Window TABLE verbs in the Kerf text dialect (the down-the-rows forms
+    * of unfold/scan and mapback, adverbs.h:76–120/157–206, as select
+    * items): `sums/counts/maxs/deltas … group … order …` lowers to one
+    * frame-bounded window — running per-user value totals, event counts,
+    * running max, and inter-event gaps. Values as integer cents (running
+    * double sums are summation-order hazards across engines; longs are
+    * exact). */
+  val q77_kerf_window: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .createOrReplaceTempView("events_w")
+    sql.KerfSql.run(s,
+      "select user_id, event_id, ts_us, sums(vc) as cum_vc, counts(vc) as n_seen, " +
+      "maxs(vc) as max_vc, deltas(ts_us) as gap_us " +
+      "from events_w group user_id order ts_us, event_id")
+  }
+
   /** Grouped embedding mean-pooling (north-star chunk→doc vectors):
     * partial-agg on (group, position) — running sums travel, vectors
     * never sit in one buffer. Means rounded to 6 dp (parallel float
@@ -1125,5 +1144,6 @@ object Queries {
     "q74_asof_rewrite"   -> q74_asof_rewrite,
     "q75_mean_pool"      -> q75_mean_pool,
     "q76_asof_ts_tol"    -> q76_asof_ts_tol,
+    "q77_kerf_window"    -> q77_kerf_window,
   )
 }

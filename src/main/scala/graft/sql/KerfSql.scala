@@ -94,6 +94,15 @@ object KerfSql {
   private val clauseWords = Set("from", "where", "group", "order", "limit",
     "select", "set", "values", "into")
   private val aggFns = Set("sum", "avg", "min", "max", "count")
+  /** Windowed TABLE verbs — the down-the-rows forms of the adverb family
+    * (unfold/scan ⇒ running aggregates, mapback/eachprior ⇒ prev/deltas;
+    * reference semantics adverbs.h:76–120, 157–206) as select items:
+    * `select user_id, ts, sums(value) from t group user_id order ts`
+    * lowers to a frame-bounded window over PARTITION BY the group items
+    * ORDER BY the order items — ops.Adverbs.scanRows/eachPriorRows made
+    * first-class in the dialect. */
+  private val windowVerbs = Set("sums", "avgs", "mins", "maxs", "counts",
+    "deltas", "prev")
   private val listVerbs = Set("length", "upper", "lower", "reverse",
     "first", "last", "enlist", "join", "find", "keys", "values", "amend")
   private val verbSyms = Set("+", "-", "*", "/", "%")
@@ -107,10 +116,14 @@ object KerfSql {
   private case class T(col: Column, dt: DataType, span: Option[Temporal.Span] = None)
 
   /** Typing environment: the FROM table's schema + lambda parameters /
-    * program variables + named functions (`def`). */
+    * program variables + named functions (`def`) + — inside a windowed
+    * select — the window spec the table verbs (sums/deltas/…) close over. */
   private class Env(val schema: Option[StructType], val vars: Map[String, T],
-                    val funcs: Map[String, FVal] = Map.empty) {
-    def bind(ps: Seq[(String, T)]): Env = new Env(schema, vars ++ ps, funcs)
+                    val funcs: Map[String, FVal] = Map.empty,
+                    val wspec: Option[org.apache.spark.sql.expressions.WindowSpec] = None) {
+    def bind(ps: Seq[(String, T)]): Env = new Env(schema, vars ++ ps, funcs, wspec)
+    def withWspec(w: org.apache.spark.sql.expressions.WindowSpec): Env =
+      new Env(schema, vars, funcs, Some(w))
   }
   private def emptyEnv = new Env(None, Map.empty)
 
@@ -528,6 +541,33 @@ object KerfSql {
         while (p.peekIs(",")) { p.pop(); rest += parseExpr(p, env) }
         p.expect(")")
         applyAdverb(fn.toLowerCase, f, rest.toSeq)
+      case fn if windowVerbs.contains(fn.toLowerCase) && p.peekIs("(") =>
+        // table verbs run down the rows: running aggregates over an
+        // UNBOUNDED PRECEDING..CURRENT ROW frame (scanRows), prev/deltas
+        // via lag (eachPriorRows; null prior for the first row, matching
+        // the oracled q13 delta semantics)
+        val w = env.wspec.getOrElse(throw new IllegalArgumentException(
+          s"window verb '$fn' needs an ordered select " +
+          "(select … from t [group keys] order cols)"))
+        import org.apache.spark.sql.expressions.Window
+        val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        p.expect("(")
+        val inner = parseExpr(p, env)
+        p.expect(")")
+        val sumDt = inner.dt match {
+          case DoubleType | FloatType => DoubleType
+          case d: DecimalType => d
+          case _ => LongType
+        }
+        fn.toLowerCase match {
+          case "sums"   => T(sum(inner.col).over(frame), sumDt)
+          case "avgs"   => T(avg(inner.col).over(frame), DoubleType)
+          case "mins"   => T(min(inner.col).over(frame), inner.dt)
+          case "maxs"   => T(max(inner.col).over(frame), inner.dt)
+          case "counts" => T(count(inner.col).over(frame), LongType)
+          case "prev"   => T(lag(inner.col, 1).over(w), inner.dt)
+          case "deltas" => T(inner.col - lag(inner.col, 1).over(w), inner.dt)
+        }
       case fn if aggFns.contains(fn.toLowerCase) && p.peekIs("(") =>
         p.expect("(")
         val inner = if (p.peekIs("*")) { p.pop(); T(lit(1), IntegerType) }
@@ -969,10 +1009,11 @@ object KerfSql {
     def finish(sp: P, what: String): Unit =
       require(sp.done, s"trailing tokens in $what: ${sp.toks.mkString(" ")}")
     val selToks = segs.getOrElse("select", Nil)
-    val items = if (selToks.map(_.toLowerCase) == List("*") || selToks.isEmpty) Nil
+    def parseItems(e: Env) =
+      if (selToks.map(_.toLowerCase) == List("*") || selToks.isEmpty) Nil
       else {
         val sp = new P(selToks)
-        val its = parseExprList(sp, env)(false)
+        val its = parseExprList(sp, e)(false)
         finish(sp, "select items"); its
       }
     segParser("where").foreach { wp =>
@@ -983,23 +1024,43 @@ object KerfSql {
     val groupItems = segParser("group").map { gp =>
       val its = parseExprList(gp, env)(false); finish(gp, "group"); its
     }.getOrElse(Nil)
-    df =
-      if (groupItems.nonEmpty) {
-        // group items matching a select item (same source tokens, or the
-        // select item is just the group alias) are auto-included by
-        // groupBy().agg()
-        val groupSrc = groupItems.map(_.srcToks).toSet
-        val groupAliases = groupItems.map(_.alias).toSet
-        val aggs = items.filterNot(i =>
-          groupSrc.contains(i.srcToks) ||
-          (i.srcToks.lengthCompare(1) == 0 && groupAliases.contains(i.srcToks.head)))
-        require(aggs.nonEmpty, "grouped select needs at least one aggregate")
-        df.groupBy(groupItems.map(_.col): _*).agg(aggs.head.col, aggs.tail.map(_.col): _*)
+    // a select item invoking a window TABLE verb (sums/deltas/…) switches
+    // the statement to windowed form: `group` becomes PARTITION BY,
+    // `order` the in-partition frame order (and the total output order —
+    // partition keys first, so the result is deterministically sorted)
+    val windowed = selToks.sliding(2).exists(w =>
+      w.lengthCompare(2) == 0 && windowVerbs.contains(w.head.toLowerCase) && w(1) == "(")
+    if (windowed) {
+      import org.apache.spark.sql.expressions.Window
+      val orderCols = segParser("order").map { op =>
+        val c = parseOrderCols(op); finish(op, "order"); c
+      }.getOrElse(throw new IllegalArgumentException(
+        "window verbs (sums/deltas/…) need an order clause"))
+      val wspec = Window.partitionBy(groupItems.map(_.col): _*).orderBy(orderCols: _*)
+      val items = parseItems(env.withWspec(wspec))
+      require(items.nonEmpty, "windowed select needs explicit select items")
+      df = df.select(items.map(_.col): _*)
+        .orderBy(groupItems.map(_.col) ++ orderCols: _*)
+    } else {
+      val items = parseItems(env)
+      df =
+        if (groupItems.nonEmpty) {
+          // group items matching a select item (same source tokens, or the
+          // select item is just the group alias) are auto-included by
+          // groupBy().agg()
+          val groupSrc = groupItems.map(_.srcToks).toSet
+          val groupAliases = groupItems.map(_.alias).toSet
+          val aggs = items.filterNot(i =>
+            groupSrc.contains(i.srcToks) ||
+            (i.srcToks.lengthCompare(1) == 0 && groupAliases.contains(i.srcToks.head)))
+          require(aggs.nonEmpty, "grouped select needs at least one aggregate")
+          df.groupBy(groupItems.map(_.col): _*).agg(aggs.head.col, aggs.tail.map(_.col): _*)
+        }
+        else if (items.nonEmpty) df.select(items.map(_.col): _*)
+        else df
+      segParser("order").foreach { op =>
+        df = df.orderBy(parseOrderCols(op): _*); finish(op, "order")
       }
-      else if (items.nonEmpty) df.select(items.map(_.col): _*)
-      else df
-    segParser("order").foreach { op =>
-      df = df.orderBy(parseOrderCols(op): _*); finish(op, "order")
     }
     segParser("limit").foreach { lp =>
       val t = lp.pop()

@@ -416,6 +416,49 @@ class KerfSqlSpec extends SparkSpec {
     intercept[IllegalArgumentException] { KerfSql.run(spark, "{[x] } mapdown til 3") }
   }
 
+  test("window table verbs: sums/counts/maxs/deltas/prev down the rows") {
+    import spark.implicits._
+    Seq(
+      ("a", 1L, 10L), ("a", 2L, 5L), ("a", 3L, 20L),
+      ("b", 1L, 7L)
+    ).toDF("k", "seq", "v").createOrReplaceTempView("wv_v")
+    val got = KerfSql.run(spark,
+      "select k, seq, sums(v) as cum, counts(v) as n, maxs(v) as mx, " +
+      "deltas(v) as d, prev(v) as pv from wv_v group k order seq")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) null else r.getLong(5),
+        if (r.isNullAt(6)) null else r.getLong(6))).toSeq
+    assert(got == Seq(
+      ("a", 1L, 10L, 1L, 10L, null, null),
+      ("a", 2L, 15L, 2L, 10L, -5L, 10L),
+      ("a", 3L, 35L, 3L, 20L, 15L, 5L),
+      ("b", 1L, 7L, 1L, 7L, null, null)))
+  }
+
+  test("window verbs equal ops.Adverbs.scanRows / eachPriorRows") {
+    init
+    Tables.lineitem(spark, sf).limit(500)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .createOrReplaceTempView("li_w_v")
+    val got = KerfSql.run(spark,
+      "select l_orderkey, l_linenumber, sums(l_quantity) as cum " +
+      "from li_w_v group l_orderkey order l_linenumber")
+    val want = graft.ops.Adverbs.scanRows(spark.table("li_w_v"),
+        Seq(col("l_orderkey")), Seq(col("l_linenumber")), "cum")(sum(col("l_quantity")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("cum"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+    assert(got.collect().toSeq == want.collect().toSeq)
+  }
+
+  test("window verbs without an order clause are an error, not a guess") {
+    import spark.implicits._
+    Seq(("a", 1L)).toDF("k", "v").createOrReplaceTempView("wv2_v")
+    val e = intercept[IllegalArgumentException] {
+      KerfSql.run(spark, "select k, sums(v) as s from wv2_v group k")
+    }
+    assert(e.getMessage.contains("order"))
+  }
+
   test("upsert into … key … values replaces and inserts") {
     init
     val before = Tables.orders(spark, sf).count()
