@@ -823,6 +823,18 @@ object Oracles {
                 w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
          ORDER BY user_id, ts_us, event_id""",
 
+    // federation must be invisible: the two-site folio aggregate equals
+    // the same aggregate over the undivided table
+    "q78_federated" ->
+      """SELECT l_returnflag,
+                count(*) AS n,
+                CAST(sum(l_linenumber) AS BIGINT) AS sum_line,
+                max(l_quantity) AS max_qty
+         FROM lineitem
+         WHERE l_discount >= 0.05
+         GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
+
     // elementwise group means over 1-based subscripts (range is
     // end-exclusive); pos re-based to Spark's 0-based posexplode. The
     // fixture dim (64) is a fixture constant, as elsewhere.

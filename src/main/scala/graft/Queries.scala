@@ -1049,6 +1049,31 @@ object Queries {
       "from events_w group user_id order ts_us, event_id")
   }
 
+  /** Folio-of-remote-tables federation end-to-end (presented.h:427–430,
+    * the last SURVEY §1.7 row): two "sites" are written as independent
+    * parquet locations — with DIFFERENT column widths (site A pre-
+    * promotion int32 line numbers, site B int64) — then read back as ONE
+    * folio via [[graft.io.Folio.federatedRead]] and aggregated. The
+    * oracle computes the same answer from the undivided table: federation
+    * must be semantically invisible. Pushdown-through-union is pinned
+    * separately in SourcesSpec. */
+  val q78_federated: Q = (s, dir) => {
+    val base = s"/tmp/graft_fed/${new java.io.File(dir).getName}"
+    val li = Tables.lineitem(s, dir)
+    li.filter(col("l_orderkey") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$base/site_a")
+    li.filter(col("l_orderkey") % 2 =!= 0)
+      .withColumn("l_linenumber", col("l_linenumber").cast("long"))
+      .write.mode("overwrite").parquet(s"$base/site_b")
+    io.Folio.federatedRead(s, Seq(s"$base/site_a", s"$base/site_b"))
+      .filter(col("l_discount") >= 0.05)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("l_linenumber")).as("sum_line"),
+           max(col("l_quantity")).as("max_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Grouped embedding mean-pooling (north-star chunk→doc vectors):
     * partial-agg on (group, position) — running sums travel, vectors
     * never sit in one buffer. Means rounded to 6 dp (parallel float
@@ -1145,5 +1170,6 @@ object Queries {
     "q75_mean_pool"      -> q75_mean_pool,
     "q76_asof_ts_tol"    -> q76_asof_ts_tol,
     "q77_kerf_window"    -> q77_kerf_window,
+    "q78_federated"      -> q78_federated,
   )
 }

@@ -180,6 +180,54 @@ object Folio {
       .mode(SaveMode.Overwrite).saveAsTable(table)
   }
 
+  // ----- folio of remote tables (presented.h:427–430; SURVEY §1.7) -----
+
+  /** Folio of REMOTE tables — the reference's federation vehicle ("a list
+    * of socket-mapped objects inside a FOLIO … executes queries remotely",
+    * one thread per socket-obj): N independently-written table locations
+    * (other sites' exports, other clusters' object-store prefixes) behave
+    * as ONE table.
+    *
+    * Spark-first shape: one NATIVE parquet scan per site, unioned by
+    * name — NOT a custom row-producing DataSource. The native scan keeps
+    * the vectorized reader, column pruning, predicate/row-group pushdown
+    * and partition pruning PER SITE (Catalyst pushes filters and
+    * projections through Union; pinned in SourcesSpec — the same
+    * PushedFilters appear under every site's scan), and Spark schedules
+    * all sites' files as one task pool, which is the reference's
+    * one-thread-per-socket asynchrony without bespoke threading. At 100 TB
+    * this is the difference between federation as a THIN metadata
+    * operation and a bespoke reader that forfeits codegen.
+    *
+    * Cross-site width drift — one site wrote int32 before a promotion,
+    * another int64 after (the [[appendWithPromotion]] world) — resolves
+    * through the same numeric lattice: every site casts up to the least
+    * upper schema (comparisons still push down; Spark unwraps casts in
+    * binary comparisons). Sites may themselves be promoted folios: the
+    * `_CURRENT` pointer is resolved per site. Column-name sets must
+    * match — a missing column is an error, not a silent null fill.
+    *
+    * `siteColumn` adds provenance (which site a row came from) — the
+    * folio-child identity the reference keeps implicitly by position. */
+  def federatedRead(spark: SparkSession, locations: Seq[String],
+                    siteColumn: Option[String] = None): DataFrame = {
+    require(locations.nonEmpty, "federated folio needs at least one location")
+    val sites = locations.map(l => promotedRead(spark, l))
+    val names = sites.head.schema.map(_.name)
+    sites.zip(locations).foreach { case (s, loc) =>
+      val got = s.schema.map(_.name).toSet
+      require(got == names.toSet,
+        s"federated site '$loc' schema mismatch: has ${got.mkString(",")}, " +
+        s"folio has ${names.mkString(",")}")
+    }
+    val target = names.map(n =>
+      n -> sites.map(_.schema(n).dataType).reduce(widen)).toMap
+    sites.zip(locations).map { case (s, loc) =>
+      val unified = s.select(names.map(n => col(n).cast(target(n)).as(n)): _*)
+      siteColumn.fold(unified)(sc => unified.withColumn(sc, lit(loc)))
+    }.reduce(_.unionByName(_))
+  }
+
   // ----- workspace (file.cc:994–1023 workspace_save/load) -----
 
   /** Persist a set of named tables — the Kerf Tree snapshot

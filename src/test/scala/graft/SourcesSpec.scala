@@ -36,4 +36,64 @@ class SourcesSpec extends SparkSpec {
     assert(csv.select("n_name").distinct().count() ==
            src.select("n_name").distinct().count())
   }
+
+  // ----- folio of remote tables (presented.h:427–430; SURVEY §1.7) -----
+
+  test("federatedRead: two sites behave as one table, widths promote") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fed").toString
+    Seq((1L, 10, "a"), (2L, 20, "a")).toDF("k", "v", "tag")
+      .write.parquet(s"$dir/s1")                       // v: int
+    Seq((3L, 1000000000000L, "b")).toDF("k", "v", "tag")
+      .write.parquet(s"$dir/s2")                       // v: long (wider)
+    val fed = io.Folio.federatedRead(spark, Seq(s"$dir/s1", s"$dir/s2"))
+    assert(fed.schema("v").dataType ==
+      org.apache.spark.sql.types.LongType, "widths must promote to the lub")
+    assert(fed.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 20L), (3L, 1000000000000L)))
+    // provenance column names the site
+    val tagged = io.Folio.federatedRead(spark, Seq(s"$dir/s1", s"$dir/s2"),
+      siteColumn = Some("_folio_site"))
+    assert(tagged.select("_folio_site").distinct().count() == 2)
+    // schema drift (missing column) is an error, not a null fill
+    Seq((9L, 1)).toDF("k", "v").write.parquet(s"$dir/s3")
+    intercept[IllegalArgumentException] {
+      io.Folio.federatedRead(spark, Seq(s"$dir/s1", s"$dir/s3"))
+    }
+  }
+
+  test("federatedRead: filters and pruning push into EVERY site's scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fedp").toString
+    val li = Tables.lineitem(spark, sf)
+    li.filter(col("l_orderkey") % 2 === 0).write.parquet(s"$dir/a")
+    li.filter(col("l_orderkey") % 2 =!= 0).write.parquet(s"$dir/b")
+    val fed = io.Folio.federatedRead(spark, Seq(s"$dir/a", s"$dir/b"))
+      .filter(col("l_quantity") > 45.0)
+      .select("l_orderkey", "l_quantity")
+    val p = fed.queryExecution.executedPlan.toString
+    val pushed = "PushedFilters: \\[[^\\]]*GreaterThan\\(l_quantity".r
+      .findAllIn(p).length
+    assert(pushed == 2, s"filter must reach BOTH site scans (got $pushed):\n$p")
+    val pruned = "ReadSchema: [^\\n]*".r.findAllIn(p).toList
+    assert(pruned.nonEmpty && pruned.forall(rs =>
+      rs.contains("l_orderkey") && rs.contains("l_quantity") && !rs.contains("l_comment") &&
+        !rs.contains("l_returnflag")),
+      s"column pruning must reach both site scans:\n${pruned.mkString("\n")}")
+    // and the federated answer is the undivided answer
+    val whole = li.filter(col("l_quantity") > 45.0).count()
+    assert(fed.count() == whole)
+  }
+
+  test("federatedRead resolves a promoted folio's _CURRENT per site") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fedv").toString
+    // site 1: versioned (promote-on-append) — only the live version counts
+    io.Folio.appendWithPromotion(Seq((1L, 1)).toDF("k", "v"), s"$dir/s1")
+    io.Folio.appendWithPromotion(Seq((2L, 2L)).toDF("k", "v"), s"$dir/s1") // promotes v to long
+    // site 2: plain parquet
+    Seq((3L, 3)).toDF("k", "v").write.parquet(s"$dir/s2")
+    val fed = io.Folio.federatedRead(spark, Seq(s"$dir/s1", s"$dir/s2"))
+    assert(fed.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
 }
