@@ -45,9 +45,19 @@ object Dedup {
     * xxhash64(s, h). Expects a PRE-HASHED long-array column (see
     * [[shingleHashes]]): hashing each shingle string once and re-hashing
     * the 8-byte longs per seed is ~H× cheaper than re-hashing strings.
-    * xxhash64's variadic fold makes the leading literal act as the seed —
-    * H independent hash families without any UDF. */
+    * Computed by the native [[graft.functions.MinHashSignature]]
+    * expression — one fused (shingle × seed) primitive loop,
+    * bit-identical to the column-algebra form below. */
   def minhashSignature(shingleHashesCol: Column, numHashes: Int): Column =
+    graft.functions.MinHashSignature.minhashSignature(shingleHashesCol, numHashes)
+
+  /** The column-algebra signature the native expression replaces —
+    * xxhash64's variadic fold makes the leading literal act as the seed,
+    * H independent hash families without any UDF. Kept as the
+    * independent implementation the equivalence spec checks the native
+    * expression against (and as documentation of the hash family). */
+  private[graft] def minhashSignatureColumnAlgebra(shingleHashesCol: Column,
+                                                   numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       s => array_min(transform(shingleHashesCol, h => xxhash64(s, h))))
 

@@ -93,6 +93,33 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("native MinHashSignature == column-algebra form, bit for bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val docs = (0 until 50).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(40))(rnd.nextLong()))
+    } :+ (999L, Seq(0L)) // single-element set
+    val df = docs.toDF("id", "shh")
+    val rows = df.select(
+        graft.llm.Dedup.minhashSignature(col("shh"), 32).as("native"),
+        graft.llm.Dedup.minhashSignatureColumnAlgebra(col("shh"), 32).as("chain"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"native ${r.getSeq[Long](0).take(4)}… != chain ${r.getSeq[Long](1).take(4)}…")
+    }
+    // and through the REAL map stage: text → ShingleHashes → signature
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "one two", "", "a b c d e f g").map(Tuple1(_)).toDF("t")
+    val staged = texts.select(graft.functions.ShingleHashes.shingleHashes(
+      graft.llm.Dedup.normText(col("t")), 3).as("shh"))
+    val both = staged.select(
+        graft.llm.Dedup.minhashSignature(col("shh"), 16).as("native"),
+        graft.llm.Dedup.minhashSignatureColumnAlgebra(col("shh"), 16).as("chain"))
+      .collect()
+    both.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("MinHashAgg sketch == column-algebra minhash signature (same hash family)") {
     import graft.functions.MinHashAgg
     import spark.implicits._
