@@ -139,6 +139,54 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed(1L)._1 > 0.5)
   }
 
+  test("network feed: live TCP socket source flows through the same ops (bus.h:119)") {
+    // the bus's feed-handler fanout over a real network transport: a
+    // local TCP server plays the feed, spark's socket source ingests it,
+    // and the SAME dedup-within-watermark op the file-replay tests use
+    // runs unchanged — the readStream seam is transport-agnostic
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val lines = Seq("1,1000,a", "1,1010,a", "2,1005,b", "3,1200,c") // dup id 1
+    @volatile var client: java.net.Socket = null
+    val feeder = new Thread(() => {
+      try {
+        client = server.accept()
+        val w = new java.io.PrintWriter(client.getOutputStream, true)
+        lines.foreach(w.println)
+        w.flush()
+      } catch { case _: Throwable => () }
+    })
+    feeder.setDaemon(true); feeder.start()
+    val raw = spark.readStream.format("socket")
+      .option("host", "127.0.0.1").option("port", server.getLocalPort).load()
+    val parsed = raw.select(split(col("value"), ",").as("f"))
+      .select(col("f").getItem(0).cast("long").as("event_id"),
+              col("f").getItem(1).cast("long").as("ts_s"))
+      .withColumn("ts", timestamp_seconds(col("ts_s")))
+    val deduped = EventStream.dedupWithinWatermark(parsed, Seq("event_id"), "10 minutes")
+      .select("event_id")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("t_socket").start()
+    try {
+      // the source receives asynchronously: poll until the three distinct
+      // ids landed (bounded — a hung feed fails the assert, not the build)
+      val deadline = System.currentTimeMillis() + 30000
+      var n = 0L
+      while (n < 3 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        n = spark.table("t_socket").count()
+        if (n < 3) Thread.sleep(200)
+      }
+      assert(spark.table("t_socket").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    } finally {
+      q.stop()
+      if (client != null) client.close()
+      server.close()
+    }
+  }
+
   test("quantizeInt8 runs unchanged on a streaming frame (== batch)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
