@@ -835,6 +835,17 @@ object Oracles {
          GROUP BY l_returnflag
          ORDER BY l_returnflag""",
 
+    // the LEFT OUTER rewritten idiom must agree with DuckDB's first-class
+    // ASOF LEFT JOIN (unmatched views kept null-padded)
+    "q79_asof_outer" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value, event_type FROM events),
+              views AS (SELECT user_id, event_id, ts_us FROM ev WHERE event_type = 'view'),
+              purchases AS (SELECT user_id, ts_us AS pts, value AS purchase_value FROM ev WHERE event_type = 'purchase')
+         SELECT v.user_id, v.event_id, v.ts_us, p.purchase_value, p.pts
+         FROM views v ASOF LEFT JOIN purchases p
+           ON v.user_id = p.user_id AND p.pts <= v.ts_us
+         ORDER BY v.user_id, v.ts_us, v.event_id""",
+
     // elementwise group means over 1-based subscripts (range is
     // end-exclusive); pos re-based to Spark's 0-based posexplode. The
     // fixture dim (64) is a fixture constant, as elsewhere.

@@ -1074,6 +1074,30 @@ object Queries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** The LEFT OUTER as-of idiom — "keep every view, attach the latest
+    * prior purchase if any" — auto-rewritten to the native merge exec
+    * (whose output is already left-outer; only null-axis rows detour
+    * through the pad branch). Oracled against DuckDB's first-class
+    * ASOF LEFT JOIN. AsOfRewriteSpec pins the rewrite path. */
+  val q79_asof_outer: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+    ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+      .createOrReplaceTempView("views_o_v")
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("pts"), col("value").as("purchase_value"))
+      .createOrReplaceTempView("purch_o_v")
+    s.sql(
+      """SELECT user_id, event_id, ts_us, purchase_value, pts FROM (
+           SELECT v.user_id, v.event_id, v.ts_us, p.purchase_value, p.pts,
+                  row_number() OVER (PARTITION BY v.user_id, v.event_id, v.ts_us
+                                     ORDER BY p.pts DESC) AS rn
+           FROM views_o_v v LEFT JOIN purch_o_v p
+             ON v.user_id = p.user_id AND p.pts <= v.ts_us)
+         WHERE rn = 1
+         ORDER BY user_id, ts_us, event_id""")
+  }
+
   /** Grouped embedding mean-pooling (north-star chunk→doc vectors):
     * partial-agg on (group, position) — running sums travel, vectors
     * never sit in one buffer. Means rounded to 6 dp (parallel float
@@ -1171,5 +1195,6 @@ object Queries {
     "q76_asof_ts_tol"    -> q76_asof_ts_tol,
     "q77_kerf_window"    -> q77_kerf_window,
     "q78_federated"      -> q78_federated,
+    "q79_asof_outer"     -> q79_asof_outer,
   )
 }

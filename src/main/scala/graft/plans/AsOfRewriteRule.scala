@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DayTimeIntervalType, DataType, IntegerType, LongType, TimestampNTZType, TimestampType}
@@ -38,9 +38,10 @@ import org.apache.spark.sql.types.{DayTimeIntervalType, DataType, IntegerType, L
   *    partition identifies one distinct left row. The window form emits
   *    one row per DISTINCT left row (duplicates collapse); the rewrite
   *    preserves that with a `Deduplicate` on the left child;
-  *  - the join is INNER with a conjunction of left↔right equalities plus
-  *    exactly ONE timestamp inequality `rTs <= lTs` / `<` (backward) or
-  *    `rTs >= lTs` / `>` (forward). Both axes must be the same type out
+  *  - the join is INNER or LEFT OUTER (the "keep every trade, attach the
+  *    quote if any" spelling) with a conjunction of left↔right equalities
+  *    plus exactly ONE timestamp inequality `rTs <= lTs` / `<` (backward)
+  *    or `rTs >= lTs` / `>` (forward). Both axes must be the same type out
   *    of `LongType`, `TimestampType`, `TimestampNTZType` — all three are
   *    physically a long (µs since epoch for the timestamps), which IS
   *    the native exec's merge axis, so no cast is needed or inserted.
@@ -69,9 +70,15 @@ import org.apache.spark.sql.types.{DayTimeIntervalType, DataType, IntegerType, L
   * holds for every EQUALITY key on BOTH sides: `t.k = q.k` is never
   * true when either side is null, but the native exec's RowOrdering
   * treats null == null as a match — so both children are filtered to
-  * non-null keys, which preserves the original semantics exactly. The
-  * `rn` column is re-emitted as a literal 1 under its original exprId,
-  * so any upstream projection keeps resolving.
+  * non-null keys, which preserves the original semantics exactly.
+  *
+  * The LEFT OUTER flavor keeps unmatched left rows null-padded — which
+  * is the exec's own output shape, so no post-filter is needed; only
+  * left rows with a NULL axis value (null ts or null key — padded in the
+  * original, fail-fast in the exec) detour around the exec through a
+  * union'd pad branch. The `rn` column is re-emitted as a literal 1
+  * under its original exprId, so any upstream projection keeps
+  * resolving.
   */
 object AsOfRewriteRule extends Rule[LogicalPlan] {
 
@@ -195,7 +202,8 @@ object AsOfRewriteRule extends Rule[LogicalPlan] {
     * pruning of rows the rn filter discards anyway - droppable) and one
     * attribute-only pruning Project (remembered, to keep output stable). */
   private def peel(p: LogicalPlan): Option[(Seq[Attribute], Join)] = p match {
-    case j @ Join(_, _, Inner, Some(_), _) => Some((j.output, j))
+    case j @ Join(_, _, jt, Some(_), _) if jt == Inner || jt == LeftOuter =>
+      Some((j.output, j))
     case WindowGroupLimit(_, _, RowNumber(), 1, child) => peel(child)
     case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
       peel(child).map { case (_, j) => (projList.map(_.asInstanceOf[AttributeReference]), j) }
@@ -269,34 +277,63 @@ object AsOfRewriteRule extends Rule[LogicalPlan] {
       if (!ok) f else {
         val t = ts.head
         // left rows with a null ts — or a null EQUALITY key — can never
-        // satisfy the original join predicate (ternary-logic false);
-        // filtering them keeps results identical AND satisfies the native
-        // exec's non-null merge-axis contract. The exec's RowOrdering
-        // would otherwise match null keys to null keys, emitting rows the
-        // original inner join never produces. Same on the right side.
-        // The left is pruned to the kept columns BEFORE the dedup so
-        // dropped columns cannot split groups the window form would merge.
-        // dedup expressed directly as the grouping Aggregate the
+        // satisfy the original join predicate (ternary-logic false), and
+        // the exec's RowOrdering would wrongly match null keys to null
+        // keys; they also violate its non-null merge-axis contract. For
+        // the INNER flavor they are dropped (identical results); for the
+        // LEFT OUTER flavor they survive as null-padded rows, so they
+        // route around the exec through a pad branch instead. The left is
+        // pruned to the kept columns BEFORE the dedup so dropped columns
+        // cannot split groups the window form would merge; dedup is
+        // expressed directly as the grouping Aggregate the
         // ReplaceDeduplicateWithAggregate rule would produce (that batch
         // has already run by the time injected rules fire)
         val leftNotNull = (t.lTs +: eqs.map(_._1)).map(IsNotNull(_): Expression).reduce(And)
         val rightNotNull = (t.rTs +: eqs.map(_._2)).map(IsNotNull(_): Expression).reduce(And)
-        val dedupLeft = Aggregate(keptLeft, keptLeft,
-          Project(keptLeft, Filter(leftNotNull, left)))
         val cleanRight = Filter(rightNotNull, right)
-        val asOf = AsOfJoinPlan(dedupLeft, cleanRight,
+        def asOfOver(l: LogicalPlan) = AsOfJoinPlan(l, cleanRight,
           leftKeys = eqs.map(_._1), rightKeys = eqs.map(_._2),
           leftTs = t.lTs, rightTs = t.rTs,
           strict = t.strict, tolerance = tols.headOption.map(_.bound),
           forward = t.forward)
-        // inner flavor: drop unmatched left rows (null right ts after the
-        // left-outer as-of), and re-emit rn as the literal 1 it was
-        // filtered to, under its original exprId
-        val rightTsOut = asOf.output.find(_.exprId == t.rTs.exprId).get
-        Project(
-          kept.map(a => asOf.output.find(_.exprId == a.exprId).get) :+
-            Alias(Literal(1), rnAttr.name)(rnAttr.exprId),
-          Filter(IsNotNull(rightTsOut), asOf))
+        def rnOne = Alias(Literal(1), rnAttr.name)(rnAttr.exprId)
+
+        if (join.joinType == Inner) {
+          val dedupLeft = Aggregate(keptLeft, keptLeft,
+            Project(keptLeft, Filter(leftNotNull, left)))
+          val asOf = asOfOver(dedupLeft)
+          // inner flavor: drop unmatched left rows (null right ts after
+          // the left-outer as-of), and re-emit rn as the literal 1 it was
+          // filtered to, under its original exprId
+          val rightTsOut = asOf.output.find(_.exprId == t.rTs.exprId).get
+          Project(
+            kept.map(a => asOf.output.find(_.exprId == a.exprId).get) :+ rnOne,
+            Filter(IsNotNull(rightTsOut), asOf))
+        } else {
+          // LEFT OUTER flavor: the exec is ALREADY left-outer (an
+          // unmatched or out-of-tolerance left row comes back null-padded,
+          // exactly the row the outer window idiom keeps with rn = 1 —
+          // matched partitions never contain the padding row, so the
+          // order direction's null placement is irrelevant). Only rows
+          // with a null axis need a detour: the original keeps them
+          // padded, the exec would fail fast — a two-way split over the
+          // deduped left (one extra pass over the already-pruned left,
+          // noise next to the pair blowup being removed).
+          val dedupLeft = Aggregate(keptLeft, keptLeft, Project(keptLeft, left))
+          val asOf = asOfOver(Filter(leftNotNull, dedupLeft))
+          val mainOut = Project(
+            kept.map(a => asOf.output.find(_.exprId == a.exprId).get) :+ rnOne,
+            asOf)
+          // pad branch: null-axis left rows with null right columns (fresh
+          // exprIds — Union resolves parents against the FIRST child)
+          val padOut = Project(
+            kept.map(a =>
+              if (left.outputSet.contains(a)) a: NamedExpression
+              else Alias(Literal(null, a.dataType), a.name)()) :+
+              Alias(Literal(1), rnAttr.name)(),
+            Filter(Not(leftNotNull), dedupLeft))
+          Union(mainOut :: padOut :: Nil)
+        }
       }
   }
 }

@@ -316,6 +316,104 @@ class AsOfRewriteSpec extends SparkSpec {
     assert(hasAsOfExec(Queries.q76_asof_ts_tol(spark, sf)))
   }
 
+  // ---- LEFT OUTER flavor ----
+
+  private def outerIdiom(extra: String = ""): String =
+    s"""SELECT sym, t_ts, px, q_ts, bid FROM (
+          SELECT t.sym, t.t_ts, t.px, q.q_ts, q.bid,
+                 row_number() OVER (PARTITION BY t.sym, t.t_ts, t.px
+                                    ORDER BY q.q_ts DESC) AS rn
+          FROM trades_v t LEFT JOIN quotes_v q
+            ON t.sym = q.sym AND q.q_ts <= t.t_ts$extra)
+        WHERE rn = 1 ORDER BY sym, t_ts"""
+
+  test("LEFT OUTER idiom rewrites; unmatched trades survive null-padded") {
+    register()
+    val df = spark.sql(outerIdiom())
+    assert(hasAsOfExec(df), "rule must fire on the left-outer idiom")
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1),
+      if (r.isNullAt(3)) null else r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("a", 10L, 5L), ("a", 20L, 18L), ("a", 30L, 30L),
+      ("b", 15L, 10L), ("b", 25L, 25L),
+      ("c", 5L, null))) // before any quote: KEPT with null quote
+  }
+
+  test("LEFT OUTER with null-axis trades: padded, never spuriously matched") {
+    val nTrades = trades
+      .union(Seq((null.asInstanceOf[String], 40L, 9.0)).toDF("sym", "t_ts", "px"))
+      .union(Seq(("a", null.asInstanceOf[java.lang.Long], 8.0))
+        .toDF("sym", "t_ts", "px"))
+    val nQuotes = quotes
+      .union(Seq((null.asInstanceOf[String], 35L, 400.0)).toDF("sym", "q_ts", "bid"))
+    nTrades.createOrReplaceTempView("trades_v")
+    nQuotes.createOrReplaceTempView("quotes_v")
+    val df = spark.sql(outerIdiom())
+    assert(hasAsOfExec(df))
+    val got = df.collect()
+    // the null-sym and null-ts trades are present exactly once, null-padded
+    val nullSym = got.filter(_.isNullAt(0))
+    assert(nullSym.length == 1 && nullSym.head.isNullAt(3) && nullSym.head.isNullAt(4),
+      "null-keyed trade must survive padded, not match the null-keyed quote")
+    val nullTs = got.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    assert(nullTs.length == 1 && nullTs.head.isNullAt(3))
+    // and the real rows are untouched
+    assert(got.count(r => !r.isNullAt(0) && r.getString(0) == "a" && !r.isNullAt(1)) == 3)
+  }
+
+  test("LEFT OUTER with tolerance: stale best match comes back as a pad") {
+    register()
+    val df = spark.sql(outerIdiom(" AND q.q_ts >= t.t_ts - 5"))
+    assert(hasAsOfExec(df))
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1),
+      if (r.isNullAt(3)) null else r.getLong(3))).toSet
+    assert(got(("a", 10L, 5L)))   // age 5 within K=5
+    assert(got(("a", 20L, 18L)))  // age 2
+    assert(got(("c", 5L, null)))  // no quote at all → pad
+    // ("b", 25) has quote 25 (age 0) — in; all trades present
+    assert(got.size == 6)
+  }
+
+  test("property: LEFT OUTER rewrite equals brute force on random instances") {
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 3) {
+      val keys = Seq("a", "b", "c")
+      val lefts = (0 until 30).map(i =>
+        (keys(rnd.nextInt(3)), rnd.nextInt(40).toLong, i.toLong))
+      val rights = rnd.shuffle(
+        (for (k <- keys; t <- 0 until 40) yield (k, t.toLong)).toList)
+        .take(18).map { case (k, t) => (k, t, t * 10.0 + keys.indexOf(k)) }
+      lefts.toDF("k", "t", "lid").createOrReplaceTempView("po_l_v")
+      rights.toDF("k", "rt", "px").createOrReplaceTempView("po_r_v")
+      val df = spark.sql(
+        """SELECT lid, px FROM (
+             SELECT l.k, l.t, l.lid, r.px,
+                    row_number() OVER (PARTITION BY l.k, l.t, l.lid ORDER BY r.rt DESC) AS rn
+             FROM po_l_v l LEFT JOIN po_r_v r ON l.k = r.k AND r.rt <= l.t)
+           WHERE rn = 1""")
+      assert(hasAsOfExec(df), s"rule did not fire on trial $trial")
+      val got = df.collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+      val want = lefts.map { case (k, t, lid) =>
+        val cands = rights.filter(row => row._1 == k && row._2 <= t)
+        lid -> (if (cands.isEmpty) null else cands.maxBy(_._2)._3)
+      }.toMap
+      assert(got == want, s"diverged on trial $trial")
+    }
+  }
+
+  test("q79 (the oracled outer bench query) takes the rewrite path") {
+    assert(hasAsOfExec(Queries.q79_asof_outer(spark, sf)))
+  }
+
+  test("no rewrite for RIGHT or FULL outer joins") {
+    register()
+    val ro = spark.sql(outerIdiom().replace("LEFT JOIN", "RIGHT JOIN"))
+    assert(!hasAsOfExec(ro))
+    val fo = spark.sql(outerIdiom().replace("LEFT JOIN", "FULL JOIN"))
+    assert(!hasAsOfExec(fo))
+  }
+
   // ---- widened shapes: negatives ----
 
   test("no rewrite when the band is on the wrong side (not a tolerance)") {
