@@ -58,11 +58,16 @@ object Engine {
       // excluded session-wide rather than persist-barriered per call site.
       // Session-wide trade-off: a user query exploding a SCANNED array
       // column loses the inferred isnotnull/size pruning filter. Appended
-      // to (not clobbering) any exclusions already configured upstream.
+      // to exclusions configured via JVM system properties (deduped); an
+      // upstream session built programmatically with its own SparkConf
+      // exclusions and reused through getOrCreate would still be
+      // overridden — callers composing rule exclusions should set the
+      // system property.
       .config("spark.sql.optimizer.excludedRules", (
-        sys.props.get("spark.sql.optimizer.excludedRules").toSeq :+
+        sys.props.get("spark.sql.optimizer.excludedRules")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty) :+
           "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-        .mkString(","))
+        .distinct.mkString(","))
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")

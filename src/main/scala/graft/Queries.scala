@@ -1058,6 +1058,10 @@ object Queries {
     * must be semantically invisible. Pushdown-through-union is pinned
     * separately in SourcesSpec. */
   val q78_federated: Q = (s, dir) => {
+    // fixed scratch path (same convention as q62's CSV round-trip): the
+    // driver runs queries serially per fixture dir; the write IS part of
+    // the measured query by design — federation over freshly-exported
+    // sites, not a read-only scan
     val base = s"/tmp/graft_fed/${new java.io.File(dir).getName}"
     val li = Tables.lineitem(s, dir)
     li.filter(col("l_orderkey") % 2 === 0)

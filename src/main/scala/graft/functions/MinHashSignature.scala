@@ -73,7 +73,10 @@ object MinHashSignature {
     })
 
   /** All H minima in one (shingle × seed) loop; empty input → the fold
-    * identity (see class doc). */
+    * identity (see class doc). A NULL element matches Spark's xxhash64
+    * fold exactly: null children are SKIPPED, so the element's per-seed
+    * candidate is the bare seed prefix (never reachable from
+    * [[ShingleHashes]] output, but callers can feed any array<bigint>). */
   def compute(arr: ArrayData, numHashes: Int): ArrayData = {
     val n = arr.numElements()
     val pre = seeds(numHashes)
@@ -81,12 +84,20 @@ object MinHashSignature {
     java.util.Arrays.fill(mins, Long.MaxValue)
     var i = 0
     while (i < n) {
-      val h = arr.getLong(i)
-      var s = 0
-      while (s < numHashes) {
-        val v = XXH64.hashLong(h, pre(s))
-        if (v < mins(s)) mins(s) = v
-        s += 1
+      if (arr.isNullAt(i)) {
+        var s = 0
+        while (s < numHashes) {
+          if (pre(s) < mins(s)) mins(s) = pre(s)
+          s += 1
+        }
+      } else {
+        val h = arr.getLong(i)
+        var s = 0
+        while (s < numHashes) {
+          val v = XXH64.hashLong(h, pre(s))
+          if (v < mins(s)) mins(s) = v
+          s += 1
+        }
       }
       i += 1
     }

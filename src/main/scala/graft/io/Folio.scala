@@ -220,6 +220,8 @@ object Folio {
         s"federated site '$loc' schema mismatch: has ${got.mkString(",")}, " +
         s"folio has ${names.mkString(",")}")
     }
+    siteColumn.foreach(sc => require(!names.exists(_.equalsIgnoreCase(sc)),
+      s"provenance column '$sc' collides with a data column — pick another name"))
     val target = names.map(n =>
       n -> sites.map(_.schema(n).dataType).reduce(widen)).toMap
     sites.zip(locations).map { case (s, loc) =>

@@ -186,25 +186,32 @@ object Similarity {
     * group in one aggregation buffer — the OOM shape).
     *
     * Dimension contract: every vector in a group must have the SAME
-    * length. A ragged group would silently average trailing positions
-    * over fewer contributors — dimension drift in a 100 TB embedding
-    * store is a real failure mode — so the reassembly FAILS FAST
-    * (positions present in some vectors but not all ⇒ per-position
-    * counts diverge ⇒ raise_error) instead of emitting a plausible
-    * wrong mean. */
+    * non-zero length. A ragged group would silently average trailing
+    * positions over fewer contributors — dimension drift in a 100 TB
+    * embedding store is a real failure mode — so the reassembly FAILS
+    * FAST instead of emitting a plausible wrong mean. Two drift shapes
+    * are caught: unequal non-empty lengths (per-position counts
+    * diverge) and EMPTY or NULL vectors (a plain posexplode would drop
+    * them without a trace — `posexplode_outer` turns each into a
+    * null-position row the guard sees). */
   def meanPool(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
     df.select(col(groupCol).as("group_key"),
-        posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+        posexplode_outer(col(vecCol)).as(Seq("__pos", "__x")))
       .groupBy(col("group_key"), col("__pos"))
       .agg(avg(col("__x").cast("double")).as("__m"),
            count(lit(1)).as("__n"))
       .groupBy(col("group_key"))
-      .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
+      .agg(transform(array_sort(collect_list(
+               when(col("__pos").isNotNull, struct(col("__pos"), col("__m"))))),
              s => s.getField("__m")).as("pooled"),
-           min(col("__n")).as("__n_min"),
-           max(col("__n")).as("__n_max"))
+           min(when(col("__pos").isNotNull, col("__n"))).as("__n_min"),
+           max(when(col("__pos").isNotNull, col("__n"))).as("__n_max"),
+           max(when(col("__pos").isNull, 1).otherwise(0)).as("__has_empty"))
       .select(col("group_key"), col("pooled"),
-        when(col("__n_min") === col("__n_max"), col("__n_max"))
+        when(col("__has_empty") === 1, raise_error(concat(
+            lit("meanPool: group "), col("group_key").cast("string"),
+            lit(" contains an empty or null vector — fix upstream embedding failures"))))
+          .when(col("__n_min") === col("__n_max"), col("__n_max"))
           .otherwise(raise_error(concat(
             lit("meanPool: ragged group "), col("group_key").cast("string"),
             lit(" — vectors have unequal lengths (per-position counts "),

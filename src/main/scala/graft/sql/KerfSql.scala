@@ -541,11 +541,13 @@ object KerfSql {
         while (p.peekIs(",")) { p.pop(); rest += parseExpr(p, env) }
         p.expect(")")
         applyAdverb(fn.toLowerCase, f, rest.toSeq)
-      case fn if windowVerbs.contains(fn.toLowerCase) && p.peekIs("(") =>
+      case fn if windowVerbs.contains(fn.toLowerCase) && p.peekIs("(") &&
+          !env.funcs.contains(fn) =>
         // table verbs run down the rows: running aggregates over an
         // UNBOUNDED PRECEDING..CURRENT ROW frame (scanRows), prev/deltas
         // via lag (eachPriorRows; null prior for the first row, matching
-        // the oracled q13 delta semantics)
+        // the oracled q13 delta semantics). A user `def` of the same name
+        // wins (same shadowing rule as the bare-column/list-verb case)
         val w = env.wspec.getOrElse(throw new IllegalArgumentException(
           s"window verb '$fn' needs an ordered select " +
           "(select … from t [group keys] order cols)"))
@@ -754,7 +756,7 @@ object KerfSql {
       if (toks.isEmpty) return
       val p = new P(toks)
       toks.head.toLowerCase match {
-        case "select" => p.pop(); last = Left(runSelect(spark, p, vars.toMap))
+        case "select" => p.pop(); last = Left(runSelect(spark, p, vars.toMap, funcs.toMap))
         case "update" => p.pop(); last = Left(runUpdate(spark, p, vars.toMap))
         case "delete" => p.pop(); last = Left(runDelete(spark, p, vars.toMap))
         case h @ ("insert" | "upsert") => p.pop(); last = Left(runMerge(spark, p, h == "upsert"))
@@ -960,12 +962,13 @@ object KerfSql {
     * latest at-or-before. Right-side non-key columns must not collide
     * with left names (joinNative contract — rename in the view). */
   private def parseFromClause(spark: SparkSession, toks: List[String],
-                              programVars: Map[String, T]): (DataFrame, Env) = {
+                              programVars: Map[String, T],
+                              programFuncs: Map[String, FVal]): (DataFrame, Env) = {
     val p = new P(toks)
     val left = spark.table(p.pop())
     if (!p.peekIs("asof")) {
       require(p.done, s"trailing tokens in from clause: ${p.toks.mkString(" ")}")
-      (left, new Env(Some(left.schema), programVars))
+      (left, new Env(Some(left.schema), programVars, programFuncs))
     } else {
       p.pop(); p.expect("join")
       val right = spark.table(p.pop())
@@ -993,17 +996,18 @@ object KerfSql {
       }
       val joined = graft.ops.AsOf.joinNative(left, right, keys.toSeq, lts, rts,
         strict = false, tolerance = tol, forward = fwd)
-      (joined, new Env(Some(joined.schema), programVars))
+      (joined, new Env(Some(joined.schema), programVars, programFuncs))
     }
   }
 
   private def runSelect(spark: SparkSession, p: P,
-                        programVars: Map[String, T] = Map.empty): DataFrame = {
+                        programVars: Map[String, T] = Map.empty,
+                        programFuncs: Map[String, FVal] = Map.empty): DataFrame = {
     val segs = selectClauses(p.toks)
     p.toks = Nil
     val fromToks = segs.getOrElse("from",
       throw new IllegalArgumentException("select needs a from clause"))
-    val (base, env) = parseFromClause(spark, fromToks, programVars)
+    val (base, env) = parseFromClause(spark, fromToks, programVars, programFuncs)
     var df = base
     def segParser(name: String): Option[P] = segs.get(name).map(new P(_))
     def finish(sp: P, what: String): Unit =
@@ -1028,9 +1032,19 @@ object KerfSql {
     // the statement to windowed form: `group` becomes PARTITION BY,
     // `order` the in-partition frame order (and the total output order —
     // partition keys first, so the result is deterministically sorted)
-    val windowed = selToks.sliding(2).exists(w =>
-      w.lengthCompare(2) == 0 && windowVerbs.contains(w.head.toLowerCase) && w(1) == "(")
+    def callsAny(names: Set[String]) = selToks.sliding(2).exists(w =>
+      w.lengthCompare(2) == 0 && names.contains(w.head.toLowerCase) &&
+        w(1) == "(" && !programFuncs.contains(w.head))
+    val windowed = callsAny(windowVerbs)
     if (windowed) {
+      // window verbs repurpose `group` as PARTITION BY, so a plain
+      // aggregate in the same select has no grouping to aggregate over —
+      // reject at the dialect level instead of leaking a Spark analysis
+      // error about missing GROUP BY
+      require(!callsAny(aggFns),
+        "window verbs (sums/deltas/…) cannot mix with plain aggregates " +
+        "(sum/avg/…) in one select: `group` is the window PARTITION BY " +
+        "here, not an aggregation — split into two selects")
       import org.apache.spark.sql.expressions.Window
       val orderCols = segParser("order").map { op =>
         val c = parseOrderCols(op); finish(op, "order"); c

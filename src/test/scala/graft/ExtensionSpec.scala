@@ -118,6 +118,17 @@ class ExtensionSpec extends SparkSpec {
         graft.llm.Dedup.minhashSignatureColumnAlgebra(col("shh"), 16).as("chain"))
       .collect()
     both.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // NULL elements: Spark's xxhash64 fold SKIPS null children, so a null
+    // slot's per-seed candidate is the bare seed prefix — the native loop
+    // must agree bit-for-bit (never produced by ShingleHashes, but any
+    // array<bigint> is a legal input)
+    val withNulls = Seq(Tuple1(Seq[java.lang.Long](5L, null, 7L))).toDF("shh")
+    val nrows = withNulls.select(
+        graft.llm.Dedup.minhashSignature(col("shh"), 8).as("native"),
+        graft.llm.Dedup.minhashSignatureColumnAlgebra(col("shh"), 8).as("chain"))
+      .collect()
+    nrows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+      s"null-slot divergence: ${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}"))
   }
 
   test("MinHashAgg sketch == column-algebra minhash signature (same hash family)") {

@@ -459,6 +459,27 @@ class KerfSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("order"))
   }
 
+  test("window verbs + plain aggregates in one select: dialect-level error") {
+    import spark.implicits._
+    Seq(("a", 1L, 1L)).toDF("k", "ts", "v").createOrReplaceTempView("wv3_v")
+    val e = intercept[IllegalArgumentException] {
+      KerfSql.run(spark,
+        "select k, sum(v) as total, sums(v) as run from wv3_v group k order ts")
+    }
+    assert(e.getMessage.contains("cannot mix"), s"wrong error: ${e.getMessage}")
+  }
+
+  test("a user def named like a window verb wins over the verb") {
+    import spark.implicits._
+    Seq(Tuple1(1L)).toDF("v").createOrReplaceTempView("wv4_v")
+    // `prev` here is the user's function, NOT the lag verb — must neither
+    // demand an order clause nor compute a window
+    val got = KerfSql.run(spark,
+      "def prev(x) { x * 10 }; select prev(v) as p from wv4_v")
+      .collect()(0).getLong(0)
+    assert(got == 10L)
+  }
+
   test("upsert into … key … values replaces and inserts") {
     init
     val before = Tables.orders(spark, sf).count()

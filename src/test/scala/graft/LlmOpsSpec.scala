@@ -343,6 +343,22 @@ class LlmOpsSpec extends SparkSpec {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("ragged group")), s"wrong error: $e")
+    // an EMPTY vector (failed upstream embedding) also fails fast — a
+    // plain posexplode would drop it silently and average 2-of-3 chunks
+    val withEmpty = Seq(
+      (1L, Seq(1.0, 2.0)), (1L, Seq(3.0, 4.0)), (1L, Seq.empty[Double])
+    ).toDF("g", "v")
+    val e2 = intercept[Exception] {
+      Similarity.meanPool(withEmpty, "g", "v").collect()
+    }
+    assert(msgs(e2).exists(_.contains("empty or null vector")), s"wrong error: $e2")
+    // a NULL vector column likewise
+    val withNull = Seq((1L, Some(Seq(1.0, 2.0))), (1L, None))
+      .toDF("g", "v")
+    val e3 = intercept[Exception] {
+      Similarity.meanPool(withNull, "g", "v").collect()
+    }
+    assert(msgs(e3).exists(_.contains("empty or null vector")), s"wrong error: $e3")
     // equal-length groups are untouched by the guard
     val ok = Seq((1L, Seq(1.0, 2.0)), (1L, Seq(3.0, 4.0)), (2L, Seq(9.0, 9.0)))
       .toDF("g", "v")

@@ -60,6 +60,12 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       io.Folio.federatedRead(spark, Seq(s"$dir/s1", s"$dir/s3"))
     }
+    // provenance column colliding with a data column is an error, not a
+    // silent overwrite (withColumn replaces on name collision)
+    intercept[IllegalArgumentException] {
+      io.Folio.federatedRead(spark, Seq(s"$dir/s1", s"$dir/s2"),
+        siteColumn = Some("tag"))
+    }
   }
 
   test("federatedRead: filters and pruning push into EVERY site's scan") {
