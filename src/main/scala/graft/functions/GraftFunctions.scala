@@ -36,6 +36,26 @@ object GraftFunctions {
       },
       "built-in")
 
+  /** (column, literal-int) shape — the native dedup expressions carry
+    * their width as a constructor parameter, so the SQL form demands a
+    * literal (a per-row width has no meaning for a fixed-width sketch). */
+  private def withIntLit(spark: SparkSession, name: String)(f: (Column, Int) => Column): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types.{IntegerType, LongType}
+        require(exprs.length == 2, s"$name takes 2 arguments")
+        val n = exprs(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case Literal(v: Long, LongType) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"$name: second argument must be a literal integer, got $other")
+        }
+        toCatalystExpr(f(toColumn(exprs.head), n))
+      },
+      "built-in")
+
   /** Register the whole graft function surface on a session. */
   def registerAll(spark: SparkSession): Unit = {
     unary(spark, "graft_norm_text")(graft.llm.Dedup.normText)
@@ -46,6 +66,12 @@ object GraftFunctions {
     binary(spark, "graft_hamming")(graft.llm.Dedup.hamming)
     binary(spark, "graft_dot")(graft.llm.Similarity.dot)
     binary(spark, "graft_cosine")(graft.llm.Similarity.cosine)
+    // the native dedup map stage, SQL-reachable: shingle a NORMALIZED
+    // text (compose with graft_norm_text) and sign a shingle-hash array
+    withIntLit(spark, "graft_shingle_hashes")(
+      (c, n) => ShingleHashes.shingleHashes(c, n))
+    withIntLit(spark, "graft_minhash_signature")(
+      (c, h) => MinHashSignature.minhashSignature(c, h))
     EpsilonEquals.register(spark)
     MinHashAgg.register(spark)
   }

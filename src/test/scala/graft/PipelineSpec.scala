@@ -64,6 +64,21 @@ class PipelineSpec extends SparkSpec {
     val viaCol = Tables.documents(spark, sf)
       .select(md5(graft.llm.TextOps.cleanText(col("text"))).as("m")).orderBy("m")
     assert(viaSql.collect().toSeq == viaCol.collect().toSeq)
+    // the native dedup map stage from plain SQL: shingle → sign, same
+    // trees as the Column API (width must be a literal)
+    val sqlSig = spark.sql(
+      "SELECT graft_minhash_signature(graft_shingle_hashes(" +
+      "graft_norm_text(text), 3), 16) AS sig FROM graft_docs ORDER BY md5(CAST(sig AS STRING))")
+    val colSig = Tables.documents(spark, sf).select(
+        graft.llm.Dedup.minhashSignature(graft.functions.ShingleHashes.shingleHashes(
+          graft.llm.Dedup.normText(col("text")), 3), 16).as("sig"))
+      .orderBy(md5(col("sig").cast("string")))
+    assert(sqlSig.collect().map(_.getSeq[Long](0)).toSeq ==
+           colSig.collect().map(_.getSeq[Long](0)).toSeq)
+    val bad = intercept[Exception] {
+      spark.sql("SELECT graft_minhash_signature(array(1L), length('xx')) AS s").collect()
+    }
+    assert(bad.getMessage.contains("literal integer"))
   }
 
   test("topTerms: exact counts, term tie-break") {
