@@ -316,6 +316,49 @@ class AsOfRewriteSpec extends SparkSpec {
     assert(hasAsOfExec(Queries.q76_asof_ts_tol(spark, sf)))
   }
 
+  test("idiom SQL over sorted bucketed folios: rewritten AND shuffle-free") {
+    // the full 100 TB story in one plan: a plain-SQL user writes the
+    // row_number idiom over parted+sorted folio tables — the rule swaps
+    // in the native exec, and the bucketed scans' reported partitioning
+    // satisfies BOTH the left dedup aggregate (subset rule) and the
+    // exec's clustering, so NOTHING shuffles
+    Seq("rw_clicks_b", "rw_purch_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val d = new java.io.File(s"spark-warehouse/$t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      if (d.exists()) rm(d)
+    }
+    val ev = Tables.events(spark, sf).withColumn("ts_us", expr("ts_ns div 1000"))
+    graft.io.Folio.writeSortedTable(
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts_us")),
+      "rw_clicks_b", Seq("user_id"), Seq("ts_us"))
+    graft.io.Folio.writeSortedTable(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("p_ts"), col("value").as("p_value")),
+      "rw_purch_b", Seq("user_id"), Seq("p_ts"))
+    val df = spark.sql(
+      """SELECT user_id, event_id, ts_us, p_ts, p_value FROM (
+           SELECT c.user_id, c.event_id, c.ts_us, p.p_ts, p.p_value,
+                  row_number() OVER (PARTITION BY c.user_id, c.event_id, c.ts_us
+                                     ORDER BY p.p_ts DESC) AS rn
+           FROM rw_clicks_b c JOIN rw_purch_b p
+             ON c.user_id = p.user_id AND p.p_ts <= c.ts_us)
+         WHERE rn = 1""")
+    assert(hasAsOfExec(df))
+    df.collect()
+    // AQE prints the final AND the initial plan — assert on the final only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"idiom over bucketed folios must not shuffle:\n$plan")
+    // the right side must come off the scan merge-ready; the left dedup
+    // aggregate legitimately re-sorts its (wider) grouping output
+    val sorts = "Sort \\[".r.findAllIn(plan).length
+    assert(sorts <= 1, s"expected at most the left dedup re-sort, got $sorts:\n$plan")
+  }
+
   // ---- LEFT OUTER flavor ----
 
   private def outerIdiom(extra: String = ""): String =
