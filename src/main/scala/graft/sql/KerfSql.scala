@@ -759,7 +759,8 @@ object KerfSql {
         case "select" => p.pop(); last = Left(runSelect(spark, p, vars.toMap, funcs.toMap))
         case "update" => p.pop(); last = Left(runUpdate(spark, p, vars.toMap))
         case "delete" => p.pop(); last = Left(runDelete(spark, p, vars.toMap))
-        case h @ ("insert" | "upsert") => p.pop(); last = Left(runMerge(spark, p, h == "upsert"))
+        case h @ ("insert" | "upsert") =>
+          p.pop(); last = Left(runMerge(spark, p, h == "upsert", vars.toMap, funcs.toMap))
         case "def" =>
           p.pop()
           val name = p.pop()
@@ -1128,7 +1129,9 @@ object KerfSql {
 
   /** `insert into t values (…), (…)` / `upsert into t key k values …` —
     * values rows positional against the table schema. */
-  private def runMerge(spark: SparkSession, p: P, isUpsert: Boolean): DataFrame = {
+  private def runMerge(spark: SparkSession, p: P, isUpsert: Boolean,
+                       programVars: Map[String, T] = Map.empty,
+                       programFuncs: Map[String, FVal] = Map.empty): DataFrame = {
     p.expect("into")
     val name = p.pop()
     val df = spark.table(name)
@@ -1138,6 +1141,22 @@ object KerfSql {
       while (more) { k += p.pop(); if (p.peekIs(",")) p.pop() else more = false }
       k.toSeq
     } else Seq(df.columns.head)
+    // `insert/upsert into t select …` — the incoming batch is a query
+    // (the reference's insert-from-table shape); columns align by NAME
+    // and cast to the target schema, missing/extra columns error
+    if (p.peekIs("select")) {
+      p.pop()
+      val q = runSelect(spark, p, programVars, programFuncs)
+      val qCols = q.columns.map(_.toLowerCase).toSet
+      val want = df.columns.map(_.toLowerCase).toSet
+      require(qCols == want,
+        s"insert-select columns ${q.columns.sorted.mkString(",")} do not match " +
+        s"target ${df.columns.sorted.mkString(",")}")
+      val incoming = q.select(df.schema.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*)
+      return if (isUpsert) graft.ops.TableOps.upsert(df, incoming, keys)
+             else graft.ops.TableOps.insert(df, incoming)
+    }
     p.expect("values")
     val rows = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
     while (!p.done && p.peekIs("(")) {

@@ -480,6 +480,25 @@ class KerfSqlSpec extends SparkSpec {
     assert(got == 10L)
   }
 
+  test("insert/upsert into … select: query-sourced merges, name-aligned") {
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").createOrReplaceTempView("m_t")
+    Seq(("B", 2L), ("c", 3L)).toDF("s", "k").createOrReplaceTempView("m_src")
+    // insert-from-select: columns align by NAME even in a different order
+    val ins = KerfSql.run(spark, "insert into m_t select s, k from m_src")
+    assert(ins.count() == 4)
+    // upsert-from-select: key 2 replaced, key 3 appended
+    val ups = KerfSql.run(spark, "upsert into m_t key k select s, k from m_src")
+    assert(ups.count() == 3)
+    assert(ups.filter(col("k") === 2L).collect()(0).getString(
+      ups.columns.indexOf("s")) == "B")
+    // mismatched columns are an error, not a silent null fill
+    val e = intercept[IllegalArgumentException] {
+      KerfSql.run(spark, "insert into m_t select k from m_src")
+    }
+    assert(e.getMessage.contains("do not match"))
+  }
+
   test("upsert into … key … values replaces and inserts") {
     init
     val before = Tables.orders(spark, sf).count()
