@@ -846,6 +846,12 @@ object Oracles {
            ON v.user_id = p.user_id AND p.pts <= v.ts_us
          ORDER BY v.user_id, v.ts_us, v.event_id""",
 
+    // the dialect's plain equi-join (named-sides on a = b) + group + order
+    "q80_kerf_join" ->
+      """SELECT c_mktsegment, count(*) AS n, max(o_totalprice) AS max_price
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
     // elementwise group means over 1-based subscripts (range is
     // end-exclusive); pos re-based to Spark's 0-based posexplode. The
     // fixture dim (64) is a fixture constant, as elsewhere.

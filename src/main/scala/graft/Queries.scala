@@ -1102,6 +1102,20 @@ object Queries {
          ORDER BY user_id, ts_us, event_id""")
   }
 
+  /** Plain relational joins from the TEXT dialect (the PRESENTED `join`
+    * overload the reference declares, presented.h:406): named-sides
+    * `on a = b` equi-join + group + order, lowered to the same
+    * broadcast-eligible DataFrame join as the API queries. Aggregates
+    * chosen order-independent (count/max) so the oracle is exact. */
+  val q80_kerf_join: Q = (s, dir) => {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v80")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v80")
+    sql.KerfSql.run(s,
+      "select c_mktsegment, count(*) as n, max(o_totalprice) as max_price " +
+      "from customer_v80 join orders_v80 on c_custkey = o_custkey " +
+      "group c_mktsegment order c_mktsegment")
+  }
+
   /** Grouped embedding mean-pooling (north-star chunk→doc vectors):
     * partial-agg on (group, position) — running sums travel, vectors
     * never sit in one buffer. Means rounded to 6 dp (parallel float
@@ -1200,5 +1214,6 @@ object Queries {
     "q77_kerf_window"    -> q77_kerf_window,
     "q78_federated"      -> q78_federated,
     "q79_asof_outer"     -> q79_asof_outer,
+    "q80_kerf_join"      -> q80_kerf_join,
   )
 }

@@ -967,7 +967,43 @@ object KerfSql {
                               programFuncs: Map[String, FVal]): (DataFrame, Env) = {
     val p = new P(toks)
     val left = spark.table(p.pop())
-    if (!p.peekIs("asof")) {
+    if (p.peekIs("join") || p.peekIs("left") || p.peekIs("semi") || p.peekIs("anti")) {
+      // plain relational joins in the from clause — the PRESENTED `join`
+      // overload the reference declares (presented.h:406 TODO):
+      //   from l join r on k1[, k2]          (inner, USING-style)
+      //   from l left join r on a = b        (left outer, named sides)
+      //   from l semi join r on k / anti join (existence filters)
+      val how = p.pop().toLowerCase match {
+        case "join" => "inner"
+        case w @ ("left" | "semi" | "anti") => p.expect("join"); w match {
+          case "left" => "left"
+          case "semi" => "left_semi"
+          case "anti" => "left_anti"
+        }
+      }
+      val right = spark.table(p.pop())
+      p.expect("on")
+      // key list: `a` (same name both sides) or `a = b`, comma-separated
+      val using = scala.collection.mutable.ArrayBuffer[String]()
+      val pairs = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      var more = true
+      while (more) {
+        val l = p.pop()
+        if (p.peekIs("=")) { p.pop(); pairs += ((l, p.pop())) } else using += l
+        if (p.peekIs(",")) p.pop() else more = false
+      }
+      require(p.done, s"trailing tokens in from clause: ${p.toks.mkString(" ")}")
+      require(using.isEmpty != pairs.isEmpty,
+        "join keys must be all `k` (using) or all `a = b` — not mixed")
+      val joined =
+        if (using.nonEmpty) left.join(right, using.toSeq, how)
+        else {
+          val cond = pairs.map { case (a, b) => left(a) === right(b) }
+            .reduce(_ && _)
+          left.join(right, cond, how)
+        }
+      (joined, new Env(Some(joined.schema), programVars, programFuncs))
+    } else if (!p.peekIs("asof")) {
       require(p.done, s"trailing tokens in from clause: ${p.toks.mkString(" ")}")
       (left, new Env(Some(left.schema), programVars, programFuncs))
     } else {

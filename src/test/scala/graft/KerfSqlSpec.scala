@@ -480,6 +480,35 @@ class KerfSqlSpec extends SparkSpec {
     assert(got == 10L)
   }
 
+  test("plain joins in the from clause: inner/left/semi/anti, using and a=b") {
+    import spark.implicits._
+    Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "s").createOrReplaceTempView("j_l")
+    Seq((1L, 10.0), (1L, 20.0), (3L, 30.0)).toDF("k", "v").createOrReplaceTempView("j_r")
+    // inner USING: key column deduped, 3 matched rows
+    val inner = KerfSql.run(spark, "select k, s, v from j_l join j_r on k order k, v")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(inner == Seq((1L, 10.0), (1L, 20.0), (3L, 30.0)))
+    // left outer keeps the unmatched row null-padded
+    val left = KerfSql.run(spark, "select k, s, v from j_l left join j_r on k order k, v")
+      .collect()
+    assert(left.length == 4 && left.exists(r => r.getLong(0) == 2L && r.isNullAt(2)))
+    // semi/anti are existence filters
+    assert(KerfSql.run(spark, "select k from j_l semi join j_r on k").count() == 2)
+    assert(KerfSql.run(spark, "select k from j_l anti join j_r on k")
+      .collect()(0).getLong(0) == 2L)
+    // named sides: a = b with differing column names
+    Seq((1L, "m")).toDF("lk", "tag").createOrReplaceTempView("j_l2")
+    val named = KerfSql.run(spark,
+      "select tag, v from j_l2 join j_r on lk = k order v")
+      .collect().map(_.getDouble(1)).toSeq
+    assert(named == Seq(10.0, 20.0))
+    // mixing `k` and `a = b` key styles is rejected
+    val e = intercept[IllegalArgumentException] {
+      KerfSql.run(spark, "select * from j_l join j_r on k, lk = k")
+    }
+    assert(e.getMessage.contains("not mixed"))
+  }
+
   test("insert/upsert into … select: query-sourced merges, name-aligned") {
     import spark.implicits._
     Seq((1L, "a"), (2L, "b")).toDF("k", "s").createOrReplaceTempView("m_t")
