@@ -509,6 +509,18 @@ class KerfSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("not mixed"))
   }
 
+  test("window verbs compose over a joined from clause") {
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("uid", "tag").createOrReplaceTempView("jw_dim")
+    Seq((1L, 10L, 5L), (1L, 20L, 7L), (2L, 15L, 3L))
+      .toDF("uid", "ts", "v").createOrReplaceTempView("jw_facts")
+    val got = KerfSql.run(spark,
+      "select uid, tag, ts, sums(v) as cum " +
+      "from jw_facts join jw_dim on uid group uid order ts")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq
+    assert(got == Seq((1L, "a", 5L), (1L, "a", 12L), (2L, "b", 3L)))
+  }
+
   test("insert/upsert into … select: query-sourced merges, name-aligned") {
     import spark.implicits._
     Seq((1L, "a"), (2L, "b")).toDF("k", "s").createOrReplaceTempView("m_t")
