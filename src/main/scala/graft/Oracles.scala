@@ -816,7 +816,9 @@ object Oracles {
                 CAST(sum(vc) OVER w AS BIGINT) AS cum_vc,
                 count(vc) OVER w AS n_seen,
                 max(vc) OVER w AS max_vc,
-                ts_us - lag(ts_us) OVER w2 AS gap_us
+                min(vc) OVER w AS min_vc,
+                ts_us - lag(ts_us) OVER w2 AS gap_us,
+                lag(vc) OVER w2 AS prev_vc
          FROM ev
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),

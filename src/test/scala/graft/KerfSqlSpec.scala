@@ -364,7 +364,10 @@ class KerfSqlSpec extends SparkSpec {
       "fold", "mapdown", "til", "o_orderkey", "orders_v", "1", "2.5", "1994.01.01",
       "1d2h", "'s'", "`sym", "+", "-", "*", "/", "(", ")", "[", "]", "{", "}",
       ",", ";", ":", "=", "<", ">", "and", "or", "as", "asof", "join", "on", "at",
-      "first", "last", "enlist", "find", "keys", "amend", "x", "def", "if", "while")
+      "first", "last", "enlist", "find", "keys", "amend", "x", "def", "if", "while",
+      // round-5 surfaces: window verbs, plain-join variants, merge heads
+      "sums", "deltas", "prev", "counts", "left", "semi", "anti",
+      "insert", "upsert", "into", "values", "key")
     var parsed = 0
     for (_ <- 1 to 300) {
       val n = 1 + rnd.nextInt(12)
