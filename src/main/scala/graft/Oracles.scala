@@ -848,6 +848,22 @@ object Oracles {
            ON v.user_id = p.user_id AND p.pts <= v.ts_us
          ORDER BY v.user_id, v.ts_us, v.event_id""",
 
+    // corpus mixing: DuckDB replays the identical md5-prefix predicates
+    // per pseudo-source — the mixture is reproducible across engines
+    "q81_mix_corpora" ->
+      """WITH tagged AS (
+           SELECT *, 'web' AS mix_source, '80' AS ceil_hex FROM documents WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT *, 'books', '40' FROM documents WHERE doc_id % 3 = 1
+           UNION ALL
+           SELECT *, 'code', '20' FROM documents WHERE doc_id % 3 = 2)
+         SELECT mix_source, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                min(doc_id) AS min_id
+         FROM tagged
+         WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 2) < ceil_hex
+         GROUP BY mix_source ORDER BY mix_source""",
+
     // the dialect's plain equi-join (named-sides on a = b) + group + order
     "q80_kerf_join" ->
       """SELECT c_mktsegment, count(*) AS n, max(o_totalprice) AS max_price

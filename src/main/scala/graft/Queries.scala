@@ -1117,6 +1117,24 @@ object Queries {
       "group c_mktsegment order c_mktsegment")
   }
 
+  /** Deterministic corpus mixing (north-star dataset assembly): three
+    * pseudo-sources of the documents table sampled at prescribed mixture
+    * rates (~50% / ~25% / ~12.5% via md5-prefix ceilings), tagged and
+    * unioned — the reproducible data-recipe step between cleaning and
+    * packing. Oracled: DuckDB replays the identical md5 predicates. */
+  val q81_mix_corpora: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    def part(i: Int) = docs.filter(col("doc_id") % 3 === i)
+    llm.Pipeline.mixCorpora(
+      Seq(("web", part(0), "80"), ("books", part(1), "40"), ("code", part(2), "20")),
+      concat(col("doc_id").cast("string"), lit(":"), col("source")))
+      .groupBy(col("mix_source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("sum_chars"),
+           min(col("doc_id")).as("min_id"))
+      .orderBy(col("mix_source"))
+  }
+
   /** Grouped embedding mean-pooling (north-star chunk→doc vectors):
     * partial-agg on (group, position) — running sums travel, vectors
     * never sit in one buffer. Means rounded to 6 dp (parallel float
@@ -1216,5 +1234,6 @@ object Queries {
     "q78_federated"      -> q78_federated,
     "q79_asof_outer"     -> q79_asof_outer,
     "q80_kerf_join"      -> q80_kerf_join,
+    "q81_mix_corpora"    -> q81_mix_corpora,
   )
 }

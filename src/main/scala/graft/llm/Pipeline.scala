@@ -33,6 +33,31 @@ object Pipeline {
   def hashSample(df: DataFrame, key: Column, hexCeil: String): DataFrame =
     df.filter(substring(md5(key), 1, hexCeil.length) < hexCeil)
 
+  /** Deterministic CORPUS MIXING — the dataset-assembly step between
+    * cleaning and packing: each source contributes a [[hashSample]] at
+    * its own rate (the mixture weights a training run prescribes) and
+    * carries a provenance tag. Seed-free and engine-portable like the
+    * sample it composes: re-running, re-partitioning, or re-ordering the
+    * sources reproduces the EXACT same mixture (a rand()-based mixer
+    * resamples differently every run — unusable for a reproducible data
+    * recipe). Map-only per source; the union is a metadata operation.
+    * Schemas must agree (same contract as a folio). `sourceCol` must not
+    * collide with a data column. */
+  def mixCorpora(sources: Seq[(String, DataFrame, String)], key: Column,
+                 sourceCol: String = "mix_source"): DataFrame = {
+    require(sources.nonEmpty, "mixCorpora needs at least one source")
+    val cols = sources.head._2.columns.toSeq
+    sources.foreach { case (tag, df, _) =>
+      require(df.columns.toSeq == cols,
+        s"mix source '$tag' schema mismatch: ${df.columns.mkString(",")} vs ${cols.mkString(",")}")
+      require(!df.columns.exists(_.equalsIgnoreCase(sourceCol)),
+        s"mix source '$tag' already has a '$sourceCol' column")
+    }
+    sources.map { case (tag, df, hexCeil) =>
+      hashSample(df, key, hexCeil).withColumn(sourceCol, lit(tag))
+    }.reduce(_.unionByName(_))
+  }
+
   /** GPT-style sequence packing (concat-and-chunk): documents are laid
     * end-to-end in a deterministic order within each stream and cut into
     * fixed `ctxTokens` windows; a document lands in the chunk containing

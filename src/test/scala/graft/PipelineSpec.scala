@@ -81,6 +81,33 @@ class PipelineSpec extends SparkSpec {
     assert(bad.getMessage.contains("literal integer"))
   }
 
+  test("mixCorpora: reproducible weighted mixture, schema/collision guards") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    def mix(d: org.apache.spark.sql.DataFrame) = graft.llm.Pipeline.mixCorpora(
+      Seq(("a", d.filter(col("doc_id") % 2 === 0), "80"),
+          ("b", d.filter(col("doc_id") % 2 === 1), "40")),
+      col("doc_id").cast("string"))
+    val got = mix(docs).groupBy("mix_source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ~50% / ~25% of each half; exact counts are engine-deterministic
+    assert(got("a") > 0 && got("b") > 0 && got("a") > got("b"))
+    // the mixture is partitioning-invariant (md5, not rand)
+    val rep = mix(docs.repartition(13)).groupBy("mix_source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep == got)
+    // schema drift across sources is an error
+    intercept[IllegalArgumentException] {
+      graft.llm.Pipeline.mixCorpora(
+        Seq(("a", docs, "80"), ("b", docs.drop("text"), "40")),
+        col("doc_id").cast("string"))
+    }
+    // provenance-column collision is an error
+    intercept[IllegalArgumentException] {
+      graft.llm.Pipeline.mixCorpora(Seq(("a", docs, "80")),
+        col("doc_id").cast("string"), sourceCol = "text")
+    }
+  }
+
   test("topTerms: exact counts, term tie-break") {
     val docs = Seq((1L, "b a a b c"), (2L, "z z y")).toDF("doc_id", "text")
     val got = graft.llm.TextOps.topTerms(docs, "doc_id", "text", 2)
