@@ -818,7 +818,8 @@ object Oracles {
                 max(vc) OVER w AS max_vc,
                 min(vc) OVER w AS min_vc,
                 ts_us - lag(ts_us) OVER w2 AS gap_us,
-                lag(vc) OVER w2 AS prev_vc
+                lag(vc) OVER w2 AS prev_vc,
+                avg(vc) OVER w AS avg_vc
          FROM ev
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),

@@ -1046,7 +1046,7 @@ object Queries {
     sql.KerfSql.run(s,
       "select user_id, event_id, ts_us, sums(vc) as cum_vc, counts(vc) as n_seen, " +
       "maxs(vc) as max_vc, mins(vc) as min_vc, deltas(ts_us) as gap_us, " +
-      "prev(vc) as prev_vc " +
+      "prev(vc) as prev_vc, avgs(vc) as avg_vc " +
       "from events_w group user_id order ts_us, event_id")
   }
 
