@@ -23,6 +23,18 @@ object Engine {
               shufflePartitions: Int = 32): SparkSession = {
     val cores = "local\\[(\\d+)\\]".r.findFirstMatchIn(master).map(_.group(1).toInt)
     val sp = math.min(shufflePartitions, cores.map(_ * 2).getOrElse(shufflePartitions))
+    // rule exclusions a caller may have configured through any channel —
+    // JVM system properties, SparkConf defaults (spark-submit --conf /
+    // spark-defaults.conf), or an active session that getOrCreate reuses
+    val priorExcludedRules: Seq[String] = {
+      val key = "spark.sql.optimizer.excludedRules"
+      val fromProps = sys.props.get(key)
+      val fromConf = new org.apache.spark.SparkConf(true).getOption(key)
+      val fromSession = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+        .flatMap(s => scala.util.Try(s.conf.get(key)).toOption)
+      (fromProps.toSeq ++ fromConf.toSeq ++ fromSession.toSeq)
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).distinct
+    }
     val spark = SparkSession.builder()
       .master(master)
       .appName("graft")
@@ -57,17 +69,15 @@ object Engine {
       // generator input is a scannable column (never true here), so it is
       // excluded session-wide rather than persist-barriered per call site.
       // Session-wide trade-off: a user query exploding a SCANNED array
-      // column loses the inferred isnotnull/size pruning filter. Appended
-      // to exclusions configured via JVM system properties (deduped); an
-      // upstream session built programmatically with its own SparkConf
-      // exclusions and reused through getOrCreate would still be
-      // overridden — callers composing rule exclusions should set the
-      // system property.
-      .config("spark.sql.optimizer.excludedRules", (
-        sys.props.get("spark.sql.optimizer.excludedRules")
-          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty) :+
-          "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-        .distinct.mkString(","))
+      // column loses the inferred isnotnull/size pruning filter. Our
+      // exclusion is APPENDED to (never replaces) exclusions arriving via
+      // any of the three channels a caller can use: JVM system properties,
+      // a default SparkConf (spark-submit --conf / spark-defaults), or an
+      // already-running session that getOrCreate will reuse.
+      .config("spark.sql.optimizer.excludedRules",
+              (priorExcludedRules :+
+                "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+                .distinct.mkString(","))
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")

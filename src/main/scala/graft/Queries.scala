@@ -378,7 +378,12 @@ object Queries {
       .orderBy(col("q_id"), col("rk"))
   }
 
-  // ----------------------------------------- rows-only (no SQL-expressible oracle)
+  // --------------------------- sketch tier (mostly rows-only; see oracle notes)
+  // q29 and q54 in this family ARE hash-oracled (exact all-pairs Jaccard /
+  // recursive-CTE closure in DuckDB — the fixture's bimodal pair-Jaccard
+  // distribution makes LSH+verify provably exhaustive; see Oracles.scala).
+  // The xxhash64-valued outputs (q30/q32/q33/q35/q46/q55/q58) remain
+  // rows-only by declared contract: no DuckDB twin exists for those hashes.
 
   /** MinHash+LSH near-dup candidate pairs (north-star). Word-salad docs
     * rarely collide at 0.7; threshold 0.2 exercises the full band→bucket→
@@ -1059,11 +1064,10 @@ object Queries {
     * must be semantically invisible. Pushdown-through-union is pinned
     * separately in SourcesSpec. */
   val q78_federated: Q = (s, dir) => {
-    // fixed scratch path (same convention as q62's CSV round-trip): the
-    // driver runs queries serially per fixture dir; the write IS part of
-    // the measured query by design — federation over freshly-exported
-    // sites, not a read-only scan
-    val base = s"/tmp/graft_fed/${new java.io.File(dir).getName}"
+    // per-session scratch path (app id makes concurrent drivers collision-
+    // free); the write IS part of the measured query by design — federation
+    // over freshly-exported sites, not a read-only scan
+    val base = s"/tmp/graft_fed/${s.sparkContext.applicationId}/${new java.io.File(dir).getName}"
     val li = Tables.lineitem(s, dir)
     li.filter(col("l_orderkey") % 2 === 0)
       .write.mode("overwrite").parquet(s"$base/site_a")

@@ -568,7 +568,16 @@ object KerfSql {
           case "maxs"   => T(max(inner.col).over(frame), inner.dt)
           case "counts" => T(count(inner.col).over(frame), LongType)
           case "prev"   => T(lag(inner.col, 1).over(w), inner.dt)
-          case "deltas" => T(inner.col - lag(inner.col, 1).over(w), inner.dt)
+          case "deltas" =>
+            // the subtraction's result type differs from the input on
+            // temporal axes: ts - ts and date - date yield ANSI intervals
+            // in Spark, so declare what the engine actually produces
+            val deltaDt = inner.dt match {
+              case TimestampType | TimestampNTZType => DayTimeIntervalType()
+              case DateType => DayTimeIntervalType(DayTimeIntervalType.DAY)
+              case other => other
+            }
+            T(inner.col - lag(inner.col, 1).over(w), deltaDt)
         }
       case fn if aggFns.contains(fn.toLowerCase) && p.peekIs("(") =>
         p.expect("(")

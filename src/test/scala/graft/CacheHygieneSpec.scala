@@ -40,7 +40,7 @@ class CacheHygieneSpec extends SparkSpec {
     val results = Seq(pairs, labels, ivf, nd, sh)
     results.foreach(_.collect()) // consume
 
-    // only the four sealed results may still hold storage
+    // only the sealed results themselves may still hold storage
     val leaked = cachedRddIds -- before
     assert(leaked.size <= results.size,
       s"intermediate caches leaked: ${leaked.size} live RDDs for ${results.size} results")
