@@ -865,6 +865,57 @@ object Oracles {
          WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 2) < ceil_hex
          GROUP BY mix_source ORDER BY mix_source""",
 
+    // epsilon comparator in a WHERE: same |a-b| <= 1e-14*max(|a|,|b|)
+    // formula (missing-equals-missing never triggers here: inputs are
+    // non-null doubles). n_bitwise counts the strict bit-equal subset —
+    // IEEE multiply + HALF_UP round are engine-independent, so both
+    // counts replay exactly
+    "q82_eps_predicate" ->
+      """WITH t AS (SELECT l_returnflag,
+                          l_discount * 100 AS x,
+                          round(l_discount * 100) AS y
+                   FROM lineitem)
+         SELECT l_returnflag, count(*) AS n,
+                CAST(count(CASE WHEN x = y THEN 1 END) AS BIGINT) AS n_bitwise
+         FROM t
+         WHERE x = y OR abs(x - y) <= 1e-14 * greatest(abs(x), abs(y))
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // mapright fixes the left operand over til 5; mapleft the right;
+    // both folds recomputed from range()
+    "q83_kerf_maplr" ->
+      """SELECT CAST((SELECT sum(10*3 + x) FROM range(5) t(x)) * 1000 +
+                     (SELECT sum(x - 2) FROM range(5) t(x)) AS BIGINT) AS value""",
+
+    // the derived counters are deterministic: all three equal count(*)
+    // iff two independent rand(42) instances reproduce the same stream
+    // and every draw lands in [0,1)
+    "q84_seeded_rng" ->
+      """SELECT count(*) AS n, count(*) AS n_agree, count(*) AS n_unit
+         FROM orders""",
+
+    // map round-trip must be invisible: ordered list aggregation replays
+    // keys/values; the keyed lookup is a conditional max
+    "q85_map_funcs" ->
+      """WITH sc AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n
+                     FROM orders GROUP BY 1, 2)
+         SELECT o_orderpriority,
+                list(o_orderstatus ORDER BY o_orderstatus) AS statuses,
+                list(n ORDER BY o_orderstatus) AS counts,
+                max(CASE WHEN o_orderstatus = 'F' THEN n END) AS n_f
+         FROM sc GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // the typed Aggregator's one-pass OHLC vs DuckDB arg_min/arg_max on
+    // the µs stamp; open/high/low/close are picked raw doubles (no
+    // summation), so full-precision equality holds
+    "q86_ohlc_aggregator" ->
+      """SELECT user_id,
+                arg_min(value, epoch_us(ts)) AS open,
+                max(value) AS high, min(value) AS low,
+                arg_max(value, epoch_us(ts)) AS close,
+                count(*) AS n_ticks
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
     // the dialect's plain equi-join (named-sides on a = b) + group + order
     "q80_kerf_join" ->
       """SELECT c_mktsegment, count(*) AS n, max(o_totalprice) AS max_price

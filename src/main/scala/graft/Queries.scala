@@ -1155,6 +1155,95 @@ object Queries {
       .orderBy(col("group_key"), col("pos"))
   }
 
+  /** Kerf's epsilon float comparator in PREDICATE position (grade.cc:9,41
+    * via the native codegen [[functions.EpsilonEquals]]): `l_discount*100`
+    * carries fp noise (0.07*100 = 7.000000000000001), so a bitwise `=`
+    * against its rounding drops rows the epsilon regime keeps. The WHERE
+    * keeps eps-equal rows; `n_bitwise` counts the strict subset that is
+    * bit-equal — the gap is the comparator doing real work, and both
+    * counts are exactly replayable in DuckDB (IEEE multiplication and
+    * HALF_UP rounding are engine-independent). */
+  val q82_eps_predicate: Q = (s, dir) => {
+    import functions.EpsilonEquals.eps_eq
+    val x = col("l_discount") * 100
+    val y = round(col("l_discount") * 100, 0)
+    Tables.lineitem(s, dir)
+      .filter(eps_eq(x, y))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           count(when(x === y, 1)).as("n_bitwise"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** mapright/mapleft adverbs through the text dialect (adverbs.h:180–206
+    * call form): mapright fixes the LEFT operand and maps the right list;
+    * mapleft the mirror. Folded to one scalar so the DuckDB oracle can
+    * recompute both from `range()`. */
+  val q83_kerf_maplr: Q = (s, _) =>
+    sql.KerfSql.run(s,
+      "a: mapright({[x,y] 10*x + y}, 3, til 5); " + // [30,31,32,33,34]
+      "b: mapleft({[x,y] x - y}, til 5, 2); " +     // [-2,-1,0,1,2]
+      "fold(+, a) * 1000 + fold(+, b)")
+
+  /** Seeded-rng reproducibility (SURVEY §2.8 rng row; rng.h's pcg64
+    * seeded-determinism contract): two INDEPENDENT rand(42) expression
+    * instances must produce identical per-row streams, and every draw
+    * must land in [0,1). The derived counters are deterministic — all
+    * three equal count(*) iff the rng is reproducible — which is the
+    * oracle-able face of an engine-specific generator (DuckDB's setseed
+    * stream differs, so raw draws have no SQL twin). */
+  val q84_seeded_rng: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), rand(42).as("r1"), rand(42).as("r2"))
+      .agg(count(lit(1)).as("n"),
+           count(when(col("r1") === col("r2"), 1)).as("n_agree"),
+           count(when(col("r1") >= 0 && col("r1") < 1, 1)).as("n_unit"))
+
+  /** Map construction + keys/values + keyed lookup as a TABLE query
+    * (SURVEY §2.2/§2.8 map rows; map literal semantics of test.cc:413):
+    * per order-priority, a status→count map is built, then split back
+    * into parallel key/value arrays (Kerf's `keys m` / `values m`) and
+    * probed with a keyed lookup (`m['F']`). DuckDB replays via ordered
+    * list aggregation — the map round-trip must be invisible. */
+  val q85_map_funcs: Q = (s, dir) => {
+    val sc = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    sc.groupBy(col("o_orderpriority"))
+      .agg(map_from_entries(array_sort(collect_list(
+        struct(col("o_orderstatus"), col("n"))))).as("m"))
+      .select(col("o_orderpriority"),
+        map_keys(col("m")).as("statuses"),
+        map_values(col("m")).as("counts"),
+        element_at(col("m"), "F").as("n_f"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** The custom typed Aggregator ([[functions.OhlcAggregator]], SURVEY
+    * §2.10 custom-aggregate row) driving an oracled query: per-user OHLC
+    * over the full event stream via the one-pass constant-buffer
+    * Aggregator — same partial/final split as a built-in `sum`. The
+    * oracle recomputes with DuckDB's arg_min/arg_max. (q38 covers the
+    * built-in min_by/max_by formulation; this row pins the Aggregator
+    * path itself.) */
+  val q86_ohlc_aggregator: Q = (s, dir) => {
+    import s.implicits._
+    import functions.OhlcAggregator
+    val ev = Tables.events(s, dir)
+      .select(col("user_id").cast("long").as("uid"),
+              expr("ts_ns div 1000").as("ts"),
+              col("value").cast("double").as("value"))
+    ev.groupByKey(_.getLong(0))
+      .mapValues(r => OhlcAggregator.Tick(r.getLong(1), r.getDouble(2)))
+      .agg(OhlcAggregator.ohlc.toColumn.name("ohlc"))
+      .toDF("user_id", "ohlc")
+      .select(col("user_id"),
+              col("ohlc.open").as("open"), col("ohlc.high").as("high"),
+              col("ohlc.low").as("low"), col("ohlc.close").as("close"),
+              col("ohlc.n").as("n_ticks"))
+      .orderBy(col("user_id"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -1239,5 +1328,10 @@ object Queries {
     "q79_asof_outer"     -> q79_asof_outer,
     "q80_kerf_join"      -> q80_kerf_join,
     "q81_mix_corpora"    -> q81_mix_corpora,
+    "q82_eps_predicate"  -> q82_eps_predicate,
+    "q83_kerf_maplr"     -> q83_kerf_maplr,
+    "q84_seeded_rng"     -> q84_seeded_rng,
+    "q85_map_funcs"      -> q85_map_funcs,
+    "q86_ohlc_aggregator" -> q86_ohlc_aggregator,
   )
 }

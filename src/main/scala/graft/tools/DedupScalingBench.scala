@@ -1,0 +1,161 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measures the dedup family's time-vs-rows SCALING CURVE — the claim
+  * "bucketed LSH dedup is ~linear in corpus size" rests on plan shape
+  * (no all-pairs anywhere) but should rest on data, the way
+  * [[AsOfRewriteBench]] measured the as-of rewrite's asymptote.
+  *
+  * Scale points: sf0.01 documents (1×, 500 docs), sf0.1 (10×, 5000),
+  * and a replica-mangled 10×-of-sf0.1 (100×, 50 000). The blow-up
+  * preserves the WORKLOAD SHAPE exactly: every replica rewrites each
+  * word with a replica prefix (`r3_quick r3_brown …`), so all shingles
+  * differ across replicas — within-replica near-dup structure is
+  * identical to the original corpus, cross-replica Jaccard is 0, and
+  * the true pair/cluster count is exactly replicas × the sf0.1 count.
+  * (Naive replication without mangling would plant C(10,2)=45 EXACT
+  * duplicates per doc — a quadratically denser, different problem.)
+  * Embeddings scale the same way with a per-replica dimension ROTATION:
+  * within-replica cosines are bit-preserved, cross-replica pairs
+  * decorrelate below any near-dup threshold.
+  *
+  * Inputs are staged to parquet first so each measured run starts from
+  * a scan, like the bench queries. Run:
+  * `sbt "runMain graft.tools.DedupScalingBench [replicas]"`
+  * Prints one JSON line per (op, scale) with rows in / pairs out / sec.
+  */
+object DedupScalingBench {
+  def main(args: Array[String]): Unit = {
+    val replicas = args.headOption.map(_.toInt).getOrElse(10)
+    // optional arg 2: comma-set of op names — rerun one point without
+    // paying for the whole grid
+    val onlyOps = args.drop(1).headOption.map(_.split(",").map(_.trim).toSet)
+    val spark = graft.Engine.session()
+    val out = s"/tmp/graft_dedup_scaling/${spark.sparkContext.applicationId}"
+
+    def stageDocs(src: DataFrame, reps: Int, path: String): String = {
+      val scaled =
+        if (reps == 1) src.select(col("doc_id"), col("text"))
+        else (0 until reps).map { r =>
+          src.select(
+            (col("doc_id") * reps + r).as("doc_id"),
+            // replica-tag every word: shingle sets are disjoint across
+            // replicas, identical (modulo the tag) within one
+            regexp_replace(col("text"), "(\\w+)", s"r${r}_$$1").as("text"))
+        }.reduce(_ unionByName _)
+      scaled.write.mode("overwrite").parquet(path)
+      path
+    }
+
+    def stageVecs(src: DataFrame, reps: Int, path: String): String = {
+      val scaled =
+        if (reps == 1) src.select(col("vec_id"), col("embedding"))
+        else {
+          val dim = src.select(size(col("embedding"))).first().getInt(0)
+          (0 until reps).map { r =>
+            // rotation alone collides once reps > dim (r and r+dim are
+            // the SAME transform — bit-identical replicas planted ~36×
+            // n exact-dup pairs in the first x100 run); composing an
+            // odd-element sign flip for the second dim-block keeps every
+            // transform distinct (and still orthogonal, so within-
+            // replica cosines are bit-preserved)
+            val rot = r % dim
+            val rotated =
+              if (rot == 0) col("embedding")
+              else concat(slice(col("embedding"), rot + 1, dim - rot),
+                          slice(col("embedding"), 1, rot))
+            val transformed =
+              if ((r / dim) % 2 == 0) rotated
+              else zip_with(rotated, sequence(lit(0), lit(dim - 1)),
+                     (x, j) => when(j % 2 === 0, x).otherwise(-x))
+            src.select((col("vec_id") * reps + r).as("vec_id"),
+                       transformed.as("embedding"))
+          }.reduce(_ unionByName _)
+        }
+      scaled.write.mode("overwrite").parquet(path)
+      path
+    }
+
+    def time[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime(); val v = f
+      ((System.nanoTime() - t0) / 1e9, v)
+    }
+
+    def report(op: String, scale: String, rowsIn: Long, run: => Long): Unit =
+      if (onlyOps.forall(_.contains(op))) {
+        val (sec, rowsOut) = time(run)
+        println(f"""{"op":"$op","scale":"$scale","rows_in":$rowsIn,""" +
+          f""""rows_out":$rowsOut,"sec":$sec%.2f}""")
+      }
+
+    val scales: Seq[(String, String, String)] = Seq(
+      ("sf0.01", stageDocs(graft.Tables.documents(spark, "/root/testdata/sf0.01"), 1, s"$out/docs_1"),
+                 stageVecs(graft.Tables.embeddings(spark, "/root/testdata/sf0.01"), 1, s"$out/vecs_1")),
+      ("sf0.1",  stageDocs(graft.Tables.documents(spark, "/root/testdata/sf0.1"), 1, s"$out/docs_10"),
+                 stageVecs(graft.Tables.embeddings(spark, "/root/testdata/sf0.1"), 1, s"$out/vecs_10")),
+      (s"sf0.1x$replicas",
+                 stageDocs(graft.Tables.documents(spark, "/root/testdata/sf0.1"), replicas, s"$out/docs_100"),
+                 stageVecs(graft.Tables.embeddings(spark, "/root/testdata/sf0.1"), replicas, s"$out/vecs_100")))
+
+    scales.foreach { case (label, docsPath, vecsPath) =>
+      val docs = spark.read.parquet(docsPath)
+      val vecs = spark.read.parquet(vecsPath)
+      val nDocs = docs.count()
+      val nVecs = vecs.count()
+
+      report("q29_minhash_pairs", label, nDocs, {
+        val pairs = graft.llm.Dedup.minhashPairs(docs, "doc_id", "text",
+          jaccardThreshold = 0.2)
+        val n = pairs.count()
+        graft.ops.Caches.release(pairs)
+        n
+      })
+      report("q54_clusters", label, nDocs, {
+        val pairs = graft.llm.Dedup.minhashPairs(docs, "doc_id", "text",
+          jaccardThreshold = 0.2)
+        val labels = graft.llm.Dedup.clusters(pairs)
+        val n = labels.count()
+        graft.ops.Caches.release(labels)
+        graft.ops.Caches.release(pairs)
+        n
+      })
+      // two regimes, reported separately: the bench query's threshold
+      // (0.25) sits INSIDE this fixture's organic cosine distribution, so
+      // the true pair count — the OUTPUT — is Θ(n²) by problem definition
+      // (2000→20000 vecs gave 97× pairs); measure it only at the smaller
+      // scales, where it shows the output-bound regime. A production
+      // near-dup threshold (0.9) sits above the organic bulk: output stays
+      // ~0 and the measured cost is the signature/bucket/verify MACHINERY,
+      // which is the thing that must scale linearly.
+      if (nVecs <= 50000)
+        report("q55_cosine_neardup_t25", label, nVecs, {
+          val nd = graft.llm.Similarity.cosineNearDupPairs(vecs, threshold = 0.25)
+          val n = nd.count()
+          graft.ops.Caches.release(nd)
+          n
+        })
+      else
+        println(s"""{"op":"q55_cosine_neardup_t25","scale":"$label","skipped":"output-bound regime is quadratic by definition; see t90"}""")
+      report("q55_cosine_neardup_t90", label, nVecs, {
+        val nd = graft.llm.Similarity.cosineNearDupPairs(vecs, threshold = 0.9)
+        val n = nd.count()
+        graft.ops.Caches.release(nd)
+        n
+      })
+      // the LSH width DIAL, exercised: default nBits=10 (1024 buckets/
+      // table) is sized for ~2k-20k vectors; at 200k the mean occupancy
+      // is ~195 → candidate pairs grow ~n·occupancy. Production sizing
+      // is nBits ≈ log2(n) + 4: 14 bits at 200k restores ~12/bucket
+      report("q55_cosine_neardup_t90_b14", label, nVecs, {
+        val nd = graft.llm.Similarity.cosineNearDupPairs(vecs, threshold = 0.9,
+          nBits = 14, tables = 8)
+        val n = nd.count()
+        graft.ops.Caches.release(nd)
+        n
+      })
+    }
+    spark.stop()
+  }
+}

@@ -365,6 +365,96 @@ class LlmOpsSpec extends SparkSpec {
     assert(Similarity.meanPool(ok, "g", "v").collect().length == 2)
   }
 
+  // ---- exact-equality tier for the permanent rows-only ANN queries ----
+  // q33/q46 can't be DuckDB-oracled (xxhash64-seeded sketches, LSH recall
+  // has no SQL twin) — but a MARGIN fixture makes exact top-k equality
+  // provable in-JVM: 4 orthogonal clusters, jitter ±0.01, so every
+  // within-cluster cosine is ≥0.95 and every cross-cluster cosine ≤0.5.
+  // With k=5 < cluster size, the true top-k is margin-separated from
+  // everything a candidate generator could confuse it with; any ANN whose
+  // probe set reaches the query's own cluster returns EXACTLY the brute
+  // answer. The twin replicates Similarity's arithmetic bit-for-bit:
+  // per-element double cast, left-to-right dot fold, d/na/nb division
+  // order, HALF_UP rounding at 6 dp, (sim desc, cand_id asc) ranking.
+
+  private def marginFixture(seed: Int): Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    val dim = 16
+    def jitter(axis: Int): Seq[Float] = {
+      val v = Array.fill(dim)(0f); v(axis) = 1f
+      v.map(c => c + (rnd.nextFloat() - 0.5f) * 0.02f).toSeq
+    }
+    (0 until 40).map(i => (i.toLong, jitter((i % 4) * 4)))
+  }
+
+  private def twinTopK(vecs: Seq[(Long, Seq[Float])], qIds: Seq[Long],
+                       k: Int): Seq[(Long, Long, Long, Double)] = {
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def sim(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = dot(a, b) / math.sqrt(dot(a, a)) / math.sqrt(dot(b, b))
+      java.math.BigDecimal.valueOf(d)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val byId = vecs.toMap
+    qIds.flatMap { q =>
+      vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, sim(byId(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(k).zipWithIndex
+        .map { case ((id, s), i) => (q, (i + 1).toLong, id, s) }
+    }
+  }
+
+  private def proveMargin(vecs: Seq[(Long, Seq[Float])]): Unit = {
+    // the exhaustiveness argument, asserted rather than assumed: same-
+    // cluster cosine ≥0.95, cross-cluster ≤0.5 — an empty gap means the
+    // true top-k (k < cluster size) can't be displaced by any candidate
+    // the ANN might miss or add
+    def rawSim(a: Seq[Float], b: Seq[Float]): Double = {
+      def d(x: Seq[Float], y: Seq[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      d(a, b) / math.sqrt(d(a, a)) / math.sqrt(d(b, b))
+    }
+    for ((ia, va) <- vecs; (ib, vb) <- vecs if ia < ib) {
+      val s = rawSim(va, vb)
+      if (ia % 4 == ib % 4) assert(s >= 0.95, s"within-cluster $ia/$ib sim=$s")
+      else assert(s <= 0.5, s"cross-cluster $ia/$ib sim=$s")
+    }
+  }
+
+  test("LSH ANN: exact top-k equality on the margin fixture") {
+    val vecs = marginFixture(23)
+    proveMargin(vecs)
+    val df = vecs.toDF("vec_id", "embedding")
+    val expect = twinTopK(vecs, Seq(0L, 1L, 2L, 3L), k = 5)
+    val got = Similarity.lshTopK(df.filter(col("vec_id") < 4), df, 5,
+        nBits = 8, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(got == expect.sortBy(t => (t._1, t._2)),
+      s"LSH diverged from brute twin:\n got=$got\n exp=$expect")
+  }
+
+  test("IVF ANN: exact top-k equality on the margin fixture") {
+    val vecs = marginFixture(29)
+    proveMargin(vecs)
+    val df = vecs.toDF("vec_id", "embedding")
+    val expect = twinTopK(vecs, Seq(0L, 1L, 2L, 3L), k = 5)
+    // nProbe=2 ⊇ the query's own list: near-identical vectors assign to
+    // the same list whatever the trained centroids are, so the probe set
+    // always contains every true top-k candidate
+    val got = Similarity.ivfTopK(df.filter(col("vec_id") < 4), df, 5,
+        nLists = 4, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(got == expect.sortBy(t => (t._1, t._2)),
+      s"IVF diverged from brute twin:\n got=$got\n exp=$expect")
+  }
+
   test("fingerprint survives small edits (winnowing overlap)") {
     val fp = TextOps.fingerprint(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
