@@ -1,0 +1,181 @@
+package graft.sources
+
+import java.util
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A PARTITIONED, REPLAYABLE feed source — the broker shape of the
+  * reference bus's feed-handler fanout (/root/reference/bus.h:119,
+  * 166–167: numbered frames a consumer can re-request), which the live
+  * TCP socket test cannot exercise (a socket has no offsets: nothing to
+  * track, nothing to resume). Layout, one directory per feed partition:
+  *
+  *   feedDir/p0/chunk-00000001   (one frame per file, lines within)
+  *   feedDir/p1/chunk-00000001
+  *
+  * The stream offset is a per-partition CHUNK COUNT (`{"p0":3,"p1":5}`),
+  * checkpointed by Spark like a broker consumer group: a restarted query
+  * resumes from the committed chunk index — never replaying, never
+  * skipping — and a partition directory that appears mid-stream starts
+  * from 0 (partition expansion). Each micro-batch plans ONE
+  * InputPartition per feed partition covering chunks [from, until):
+  * consumption is parallel across feed partitions and ordered within
+  * one, the broker contract. File listing and reads go through the
+  * Hadoop FileSystem API, so the same source runs on HDFS/S3 paths.
+  *
+  * Rows are raw frames `(part, chunk, line)` — parsing stays downstream,
+  * as with the socket source (the bus carries opaque frames).
+  *
+  * Usage:
+  *   spark.readStream.format("graft.sources.ChunkFeedSource")
+  *     .option("path", feedDir).load()
+  */
+class ChunkFeedSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "chunkfeed"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ChunkFeedSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty, "chunkfeed requires option 'path'")
+    new ChunkFeedTable(path)
+  }
+}
+
+object ChunkFeedSource {
+  val schema: StructType = StructType(Seq(
+    StructField("part", StringType, nullable = false),
+    StructField("chunk", LongType, nullable = false),
+    StructField("line", StringType, nullable = false)))
+
+  /** {"p0":3,"p1":5} with keys sorted — stable across JVMs so offset
+    * equality (which Spark uses to detect "no new data") is textual. */
+  case class ChunkOffsets(counts: Map[String, Long]) extends Offset {
+    override def json(): String =
+      counts.toSeq.sortBy(_._1)
+        .map { case (p, n) => s""""$p":$n""" }.mkString("{", ",", "}")
+  }
+
+  private val entryRe = """"([^"]+)":(\d+)""".r
+  def parseOffsets(json: String): ChunkOffsets =
+    ChunkOffsets(entryRe.findAllMatchIn(json)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap)
+
+  /** Chunks of one feed partition, sorted by file name — the frame
+    * NUMBERING is the file-name ordering, as with broker segments. */
+  def chunkFiles(fs: FileSystem, partDir: Path): Seq[Path] =
+    fs.listStatus(partDir).filter(_.isFile).map(_.getPath)
+      .sortBy(_.getName).toSeq
+}
+
+private class ChunkFeedTable(root: String) extends Table with SupportsRead {
+  override def name(): String = s"chunkfeed($root)"
+  override def schema(): StructType = ChunkFeedSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan {
+      override def build(): Scan = this
+      override def readSchema(): StructType = ChunkFeedSource.schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new ChunkFeedStream(root)
+    }
+}
+
+private class ChunkFeedStream(root: String) extends MicroBatchStream {
+  import ChunkFeedSource._
+
+  private def fs: FileSystem = {
+    val conf = org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration
+    new Path(root).getFileSystem(conf)
+  }
+
+  /** The consumer starts at the current epoch's BEGINNING: a fresh query
+    * (no checkpoint) reads every existing chunk once. */
+  override def initialOffset(): Offset = ChunkOffsets(Map.empty)
+
+  override def latestOffset(): Offset = {
+    val f = fs
+    val rootPath = new Path(root)
+    val parts =
+      if (!f.exists(rootPath)) Seq.empty
+      else f.listStatus(rootPath).filter(_.isDirectory).map(_.getPath).toSeq
+    ChunkOffsets(parts.map(p => p.getName -> chunkFiles(f, p).length.toLong).toMap)
+  }
+
+  override def deserializeOffset(json: String): Offset = parseOffsets(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[ChunkOffsets].counts
+    val until = end.asInstanceOf[ChunkOffsets].counts
+    val f = fs
+    until.toSeq.sortBy(_._1).flatMap { case (part, hi) =>
+      val lo = from.getOrElse(part, 0L) // unseen partition ⇒ expansion from 0
+      if (hi <= lo) None
+      else {
+        val files = chunkFiles(f, new Path(root, part))
+          .slice(lo.toInt, hi.toInt).map(_.toString)
+        Some(ChunkRange(part, lo, files): InputPartition)
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = ChunkReaderFactory
+  override def commit(end: Offset): Unit = () // offsets live in the checkpoint
+  override def stop(): Unit = ()
+}
+
+/** Chunks [firstChunk, firstChunk+files.length) of one feed partition. */
+case class ChunkRange(part: String, firstChunk: Long, files: Seq[String])
+    extends InputPartition
+
+private object ChunkReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val r = partition.asInstanceOf[ChunkRange]
+    new PartitionReader[InternalRow] {
+      private val conf = new org.apache.hadoop.conf.Configuration()
+      private var fileIdx = -1
+      private var reader: java.io.BufferedReader = null
+      private var current: String = null
+
+      private def nextFile(): Boolean = {
+        if (reader != null) { reader.close(); reader = null }
+        fileIdx += 1
+        if (fileIdx >= r.files.length) false
+        else {
+          val p = new Path(r.files(fileIdx))
+          reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+            p.getFileSystem(conf).open(p), java.nio.charset.StandardCharsets.UTF_8))
+          true
+        }
+      }
+
+      override def next(): Boolean = {
+        while (true) {
+          if (reader == null && !nextFile()) return false
+          current = reader.readLine()
+          if (current != null) return true
+          reader.close(); reader = null
+        }
+        false
+      }
+
+      override def get(): InternalRow = {
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(3)
+        row.update(0, UTF8String.fromString(r.part))
+        row.setLong(1, r.firstChunk + fileIdx)
+        row.update(2, UTF8String.fromString(current))
+        row
+      }
+      override def close(): Unit = if (reader != null) reader.close()
+    }
+  }
+}

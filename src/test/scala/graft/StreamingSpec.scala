@@ -187,6 +187,56 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("chunk feed: per-partition offsets resume across restart (broker shape, bus.h:119)") {
+    // the part of the bus the socket test can't reach: numbered frames a
+    // consumer resumes from. Three runs against ONE checkpoint: run 1
+    // consumes the initial chunks; chunks arrive while the query is DOWN;
+    // run 2 must consume ONLY the new ones (the memory sink is fresh per
+    // run, so any replay would show up as extra rows); run 3 with no new
+    // data consumes nothing. Partition p2 appears mid-stream — expansion
+    // starts it from chunk 0.
+    import spark.implicits._
+    val feed = java.nio.file.Files.createTempDirectory("graft_chunk_feed").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_chunk_ckpt").toString
+    def put(part: String, chunk: Int, lines: String*): Unit = {
+      val dir = java.nio.file.Paths.get(feed, part)
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve(f"chunk-$chunk%08d"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    def runOnce(): Seq[(String, Long, String)] = {
+      // foreachBatch (recoverable), not the memory sink (which refuses
+      // checkpoint restarts); a fresh buffer per run, so replayed frames
+      // would show up as extra rows
+      val buf = scala.collection.mutable.ArrayBuffer[(String, Long, String)]()
+      val q = spark.readStream.format("graft.sources.ChunkFeedSource")
+        .option("path", feed).load()
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = batch.as[(String, Long, String)].collect()
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      buf.synchronized(buf.toSeq.sorted)
+    }
+
+    put("p0", 0, "a0", "a1"); put("p1", 0, "b0")
+    val run1 = runOnce()
+    assert(run1 == Seq(("p0", 0L, "a0"), ("p0", 0L, "a1"), ("p1", 0L, "b0")))
+
+    // frames arrive while the consumer is down — including a NEW partition
+    put("p0", 1, "a2"); put("p1", 1, "b1", "b2"); put("p2", 0, "c0")
+    val run2 = runOnce()
+    assert(run2 == Seq(("p0", 1L, "a2"), ("p1", 1L, "b1"), ("p1", 1L, "b2"),
+                       ("p2", 0L, "c0")),
+      s"restart must resume from the committed offsets, got $run2")
+
+    val run3 = runOnce()
+    assert(run3.isEmpty, s"no new chunks ⇒ no rows, got $run3")
+  }
+
   test("quantizeInt8 runs unchanged on a streaming frame (== batch)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
