@@ -905,6 +905,17 @@ object Oracles {
                 max(CASE WHEN o_orderstatus = 'F' THEN n END) AS n_f
          FROM sc GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
+    // the dialect's cube + exact percentile vs DuckDB's own: Spark
+    // `percentile` == DuckDB `quantile_cont` (both exact interpolated,
+    // the q42-proven pairing); null grouping keys sort FIRST to match
+    // Spark's asc default
+    "q87_kerf_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                sum(l_quantity) AS sum_qty,
+                quantile_cont(l_quantity, 0.5) AS med_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
     // the typed Aggregator's one-pass OHLC vs DuckDB arg_min/arg_max on
     // the µs stamp; open/high/low/close are picked raw doubles (no
     // summation), so full-precision equality holds

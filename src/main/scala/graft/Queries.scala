@@ -1244,6 +1244,19 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  /** Dialect rollup/cube + percentile verbs (SURVEY §2.4 rollup/cube +
+    * percentiles rows reached from the TEXT surface): `group cube (a,b)`
+    * lowers to `Dataset.cube`, `pctl(x, p)` to the exact interpolated
+    * percentile — the q40/q42 engine paths, driven from Kerf text. */
+  val q87_kerf_cube: Q = (s, dir) => {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v87")
+    sql.KerfSql.run(s,
+      "select l_returnflag, l_linestatus, count(*) as n, " +
+      "sum(l_quantity) as sum_qty, pctl(l_quantity, 0.5) as med_qty " +
+      "from lineitem_v87 group cube (l_returnflag, l_linestatus) " +
+      "order l_returnflag, l_linestatus")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -1333,5 +1346,6 @@ object Queries {
     "q84_seeded_rng"     -> q84_seeded_rng,
     "q85_map_funcs"      -> q85_map_funcs,
     "q86_ohlc_aggregator" -> q86_ohlc_aggregator,
+    "q87_kerf_cube"      -> q87_kerf_cube,
   )
 }

@@ -93,7 +93,7 @@ object KerfSql {
 
   private val clauseWords = Set("from", "where", "group", "order", "limit",
     "select", "set", "values", "into")
-  private val aggFns = Set("sum", "avg", "min", "max", "count")
+  private val aggFns = Set("sum", "avg", "min", "max", "count", "pctl")
   /** Windowed TABLE verbs — the down-the-rows forms of the adverb family
     * (unfold/scan ⇒ running aggregates, mapback/eachprior ⇒ prev/deltas;
     * reference semantics adverbs.h:76–120, 157–206) as select items:
@@ -579,6 +579,16 @@ object KerfSql {
             }
             T(inner.col - lag(inner.col, 1).over(w), deltaDt)
         }
+      case fn if fn.toLowerCase == "pctl" && p.peekIs("(") =>
+        // exact interpolated percentile — `pctl(l_quantity, 0.5)`; the
+        // engine-portable exact aggregate (DuckDB: quantile_cont), like
+        // the oracled q42 surface
+        p.expect("(")
+        val inner = parseExpr(p, env)
+        p.expect(",")
+        val q = parseExpr(p, env)
+        p.expect(")")
+        T(call_function("percentile", inner.col, q.col), DoubleType)
       case fn if aggFns.contains(fn.toLowerCase) && p.peekIs("(") =>
         p.expect("(")
         val inner = if (p.peekIs("*")) { p.pop(); T(lit(1), IntegerType) }
@@ -1070,9 +1080,22 @@ object KerfSql {
       df = df.filter(parseExpr(wp, env).col); finish(wp, "where")
     }
     // `group a, b % 3 as bucket` — full expressions with optional aliases
-    // (Kerf groups by computed keys: time buckets, mod classes, …)
+    // (Kerf groups by computed keys: time buckets, mod classes, …);
+    // `group rollup (a, b)` / `group cube (a, b)` switch the grouping to
+    // the hierarchical/multidimensional forms (lowered to Dataset
+    // .rollup/.cube — same oracled engines paths as q17/q40)
+    var groupMode = "group"
     val groupItems = segParser("group").map { gp =>
-      val its = parseExprList(gp, env)(false); finish(gp, "group"); its
+      if (gp.peek.exists(t => t.equalsIgnoreCase("rollup") || t.equalsIgnoreCase("cube"))
+          && gp.peek2.contains("(")) {
+        groupMode = gp.pop().toLowerCase
+        gp.expect("(")
+        val its = parseExprList(gp, env)(false)
+        gp.expect(")")
+        finish(gp, "group"); its
+      } else {
+        val its = parseExprList(gp, env)(false); finish(gp, "group"); its
+      }
     }.getOrElse(Nil)
     // a select item invoking a window TABLE verb (sums/deltas/…) switches
     // the statement to windowed form: `group` becomes PARTITION BY,
@@ -1114,7 +1137,12 @@ object KerfSql {
             groupSrc.contains(i.srcToks) ||
             (i.srcToks.lengthCompare(1) == 0 && groupAliases.contains(i.srcToks.head)))
           require(aggs.nonEmpty, "grouped select needs at least one aggregate")
-          df.groupBy(groupItems.map(_.col): _*).agg(aggs.head.col, aggs.tail.map(_.col): _*)
+          val grouped = groupMode match {
+            case "rollup" => df.rollup(groupItems.map(_.col): _*)
+            case "cube"   => df.cube(groupItems.map(_.col): _*)
+            case _        => df.groupBy(groupItems.map(_.col): _*)
+          }
+          grouped.agg(aggs.head.col, aggs.tail.map(_.col): _*)
         }
         else if (items.nonEmpty) df.select(items.map(_.col): _*)
         else df

@@ -25,6 +25,37 @@ class KerfSqlSpec extends SparkSpec {
     assert(got.collect().toSeq == want.collect().toSeq)
   }
 
+  test("group rollup/cube lower to Dataset.rollup/cube") {
+    init
+    val gotR = KerfSql.run(spark,
+      "select l_returnflag, l_linestatus, sum(l_quantity) as sq " +
+      "from lineitem_v group rollup (l_returnflag, l_linestatus) " +
+      "order l_returnflag, l_linestatus")
+    val wantR = Tables.lineitem(spark, sf)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum("l_quantity").as("sq"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    assert(gotR.collect().toSeq == wantR.collect().toSeq)
+    val gotC = KerfSql.run(spark,
+      "select l_returnflag, l_linestatus, count(*) as n " +
+      "from lineitem_v group cube (l_returnflag, l_linestatus) " +
+      "order l_returnflag, l_linestatus")
+    // cube adds the (null, status) slices rollup lacks
+    assert(gotC.count() > gotR.count())
+  }
+
+  test("pctl(x, p) is the exact interpolated percentile") {
+    init
+    val got = KerfSql.run(spark,
+      "select l_returnflag, pctl(l_quantity, 0.5) as med, count(*) as n " +
+      "from lineitem_v group l_returnflag order l_returnflag")
+    val want = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("med"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+    assert(got.collect().toSeq == want.collect().toSeq)
+  }
+
   test("kerf temporal literal in predicate (2024.01.05 form)") {
     init
     val got = KerfSql.run(spark,
