@@ -916,6 +916,33 @@ object Oracles {
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
 
+    // pervasive ops recomputed with plain arithmetic: the matrix+scalar
+    // broadcast sums the flattened elements + 10 each; the vector chain
+    // is 2x+100 over 1..3
+    "q88_kerf_pervasive" ->
+      """SELECT CAST((SELECT sum(x + 10) FROM (VALUES (1),(2),(3),(4)) t(x)) +
+                     (SELECT sum(2*x + 100) FROM range(1, 4) t(x)) AS BIGINT) AS value""",
+
+    // the sorted bucketed folio layout must be invisible: same grouped
+    // stats from the undivided table
+    "q89_sorted_folio" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events)
+         SELECT user_id, count(*) AS n,
+                min(ts_us) AS first_ts, max(ts_us) AS last_ts,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM e GROUP BY user_id ORDER BY user_id""",
+
+    // the append-mode stream-stream join replayed to completion equals
+    // the plain interval join
+    "q90_stream_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+              c AS (SELECT user_id, event_id AS click_id, ts_us AS c_us FROM e WHERE event_type = 'click'),
+              p AS (SELECT user_id AS p_user, event_id AS p_id, ts_us AS p_us FROM e WHERE event_type = 'purchase')
+         SELECT user_id, click_id, p_id, c_us, p_us
+         FROM c JOIN p ON user_id = p_user
+           AND p_us >= c_us - 600000000 AND p_us <= c_us
+         ORDER BY user_id, c_us, click_id, p_id""",
+
     // the typed Aggregator's one-pass OHLC vs DuckDB arg_min/arg_max on
     // the µs stamp; open/high/low/close are picked raw doubles (no
     // summation), so full-precision equality holds

@@ -1257,6 +1257,63 @@ object Queries {
       "order l_returnflag, l_linestatus")
   }
 
+  /** Pervasive (rank-polymorphic) binary ops through the text dialect
+    * (SURVEY §2.5 pervasive row; test.cc:300ish nested-shape goldens):
+    * scalar+matrix broadcasts into the nested list, vector*scalar and
+    * vector+scalar pervade elementwise — folded to one scalar the oracle
+    * recomputes with plain SQL arithmetic. */
+  val q88_kerf_pervasive: Q = (s, _) =>
+    sql.KerfSql.run(s,
+      "m: [[1,2],[3,4]] + 10; " +                       // [[11,12],[13,14]]
+      "v: 1 2 3 * 2 + 100; " +                          // [102,104,106]
+      "fold(+, {[r] fold(+, r)} mapdown m) + fold(+, v)") // 50 + 312
+
+  /** Sortedness attributes as STORAGE semantics (SURVEY §2.6): events
+    * are written as a sorted bucketed folio (bucket by user, sorted by
+    * stamp within — Kerf's parted+sorted table, presented.h:409–430) and
+    * read back through the catalog; the layout must be semantically
+    * invisible (the oracle replays from the undivided table). The
+    * ZERO-EXCHANGE plan payoff of the same layout is pinned separately
+    * in BucketingSpec/PlanSpec; the write is part of the query, as in
+    * q78's federation exercise. */
+  val q89_sorted_folio: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("value"))
+    io.Folio.writeSortedTable(ev, "events_sorted_q89", Seq("user_id"), Seq("ts_us"))
+    s.table("events_sorted_q89")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+           min(col("ts_us")).as("first_ts"),
+           max(col("ts_us")).as("last_ts"),
+           sum(dec(col("value"))).cast("double").as("total"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Stream-stream interval join run to completion (SURVEY §2.3 stream-
+    * stream row): clicks enriched with purchases from the trailing 10
+    * minutes, both sides watermarked — the append-mode join must emit
+    * exactly the batch answer on replay, which the oracle states as the
+    * plain interval join over the undivided events table. */
+  val q90_stream_join: Q = (s, dir) => {
+    val ev = streaming.EventStream.readEvents(s, dir)
+    def side(t: String, idAs: String, tsAs: String) =
+      ev.filter(col("event_type") === t)
+        .select(col("user_id"), col("event_id").as(idAs), col("ts").as(tsAs))
+    val clicks = side("click", "click_id", "c_ts").withWatermark("c_ts", "1 hour")
+    val purchases = side("purchase", "p_id", "p_ts")
+      .withColumnRenamed("user_id", "p_user").withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("p_ts") <= col("c_ts"))
+      .select(col("user_id"), col("click_id"), col("p_id"),
+              unix_micros(col("c_ts")).as("c_us"), unix_micros(col("p_ts")).as("p_us"))
+    streaming.EventStream.runToCompletion(s, joined, s"stream_join_${System.nanoTime}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy(col("user_id"), col("c_us"), col("click_id"), col("p_id"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -1347,5 +1404,8 @@ object Queries {
     "q85_map_funcs"      -> q85_map_funcs,
     "q86_ohlc_aggregator" -> q86_ohlc_aggregator,
     "q87_kerf_cube"      -> q87_kerf_cube,
+    "q88_kerf_pervasive" -> q88_kerf_pervasive,
+    "q89_sorted_folio"   -> q89_sorted_folio,
+    "q90_stream_join"    -> q90_stream_join,
   )
 }

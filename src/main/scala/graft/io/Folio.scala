@@ -173,6 +173,16 @@ object Folio {
     * carried by the catalog instead of a filesystem convention. */
   def writeSortedTable(df: DataFrame, table: String, keys: Seq[String],
                        sortCols: Seq[String], buckets: Int = 8): Unit = {
+    // pre-clean BOTH the catalog entry and the managed location: a fresh
+    // (in-memory) catalog knows nothing about a table whose warehouse
+    // directory survived a previous session, and CTAS refuses to reuse
+    // the orphaned location — the overwrite must cover both worlds
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val sorted = keys ++ sortCols
     df.repartition(buckets, keys.map(col): _*)
       .write.bucketBy(buckets, keys.head, keys.tail: _*)

@@ -106,6 +106,22 @@ object Similarity {
       lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
+  /** The LSH width DIAL as a function of corpus size: nBits =
+    * ⌈log2(n / targetOccupancy)⌉, floored at the 10-bit default. Bucket
+    * occupancy is what candidate cost scales with (pairs ≈ n·occupancy
+    * per table), so holding it constant holds the op linear — measured
+    * both ways in SCALING.md's round-6 curve: 200k vectors at the
+    * fixture-sized default (occupancy ~195) cost 620s; at
+    * autoNBits(200000)=14 (occupancy ~12) the same run cost 38.7s.
+    * Callers with a known corpus size pass `nBits = autoNBits(n)`;
+    * the default stays fixed so results are reproducible run-to-run
+    * without a count pass. */
+  def autoNBits(n: Long, targetOccupancy: Int = 16): Int = {
+    require(targetOccupancy > 0, "targetOccupancy must be positive")
+    val buckets = math.max(1.0, n.toDouble / targetOccupancy)
+    math.max(10, math.ceil(math.log(buckets) / math.log(2)).toInt)
+  }
+
   /** Embedding-cosine NEAR-DUP PAIRS — the dedup flavor of similarity
     * (drop-near-duplicate-documents by embedding): LSH-bucketed candidate
     * generation (never all-pairs), exact-cosine verification, with the

@@ -927,6 +927,22 @@ object KerfSql {
         }), ArrayType(DoubleType))
       else if (vals.forall(_.isInstanceOf[String]))
         T(typedLit(vals.map(_.asInstanceOf[String])), ArrayType(StringType))
+      else if (vals.nonEmpty && vals.forall(_.isInstanceOf[scala.collection.Seq[_]])) {
+        // nested list value (matrix variable): rebind as array<array<…>>,
+        // widening long→double when any inner element is fractional
+        val inner = vals.map(_.asInstanceOf[scala.collection.Seq[Any]].toSeq)
+        if (inner.forall(_.forall(_.isInstanceOf[Long])))
+          T(typedLit(inner.map(_.map(_.asInstanceOf[Long]))),
+            ArrayType(ArrayType(LongType)))
+        else if (inner.forall(_.forall(v2 => v2.isInstanceOf[Double] || v2.isInstanceOf[Long])))
+          T(typedLit(inner.map(_.map {
+              case d: Double => d
+              case l: Long => l.toDouble
+              case other => throw new IllegalArgumentException(s"bad element $other")
+            })), ArrayType(ArrayType(DoubleType)))
+        else throw new IllegalArgumentException(
+          s"cannot rebind nested array of ${inner.flatten.headOption.map(_.getClass).getOrElse("?")}")
+      }
       else throw new IllegalArgumentException(
         s"cannot rebind array of ${vals.headOption.map(_.getClass).getOrElse("?")}")
     case m: scala.collection.Map[_, _] => // dict-valued variable

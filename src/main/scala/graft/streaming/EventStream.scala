@@ -49,12 +49,13 @@ object EventStream {
     * QUERY START (not per batch), and 32 near-empty state stores cost
     * more per micro-batch than 4 full ones at replay volume. A live
     * deployment sizes it to keys×state instead. */
-  def runToCompletion(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
+  def runToCompletion(spark: SparkSession, agg: DataFrame, name: String,
+                      mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, "4")
     try {
-      val q = agg.writeStream.outputMode(OutputMode.Complete())
+      val q = agg.writeStream.outputMode(mode)
         .format("memory").queryName(name).start()
       try { q.processAllAvailable() } finally { q.stop() }
     } finally spark.conf.set(key, prev)

@@ -56,6 +56,17 @@ class KerfSqlSpec extends SparkSpec {
     assert(got.collect().toSeq == want.collect().toSeq)
   }
 
+  test("matrix-valued variables rebind as nested arrays") {
+    // eager assignment collects a nested list; the rebind must
+    // re-literalize it as array<array<long>> (and widen to double)
+    assert(KerfSql.run(spark,
+      "m: [[1,2],[3,4]] + 10; fold(+, {[r] fold(+, r)} mapdown m)")
+      .collect()(0).getLong(0) == 50L)
+    assert(KerfSql.run(spark,
+      "m: [[1.5,2.5],[3,4]]; fold(+, {[r] fold(+, r)} mapdown m)")
+      .collect()(0).getDouble(0) == 11.0)
+  }
+
   test("kerf temporal literal in predicate (2024.01.05 form)") {
     init
     val got = KerfSql.run(spark,

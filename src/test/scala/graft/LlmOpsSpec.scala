@@ -365,6 +365,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(Similarity.meanPool(ok, "g", "v").collect().length == 2)
   }
 
+  test("autoNBits holds bucket occupancy constant as the corpus grows") {
+    import Similarity.autoNBits
+    assert(autoNBits(2000) == 10)     // small corpora keep the default
+    assert(autoNBits(200000) == 14)   // the measured SCALING.md point
+    assert(autoNBits(20000000) == 21)
+    // occupancy n/2^bits stays within [target/2, target] once past the floor
+    for (n <- Seq(100000L, 1000000L, 100000000L)) {
+      val occ = n.toDouble / (1L << autoNBits(n))
+      assert(occ <= 16.0 && occ > 7.9, s"occupancy $occ at n=$n")
+    }
+  }
+
   // ---- exact-equality tier for the permanent rows-only ANN queries ----
   // q33/q46 can't be DuckDB-oracled (xxhash64-seeded sketches, LSH recall
   // has no SQL twin) — but a MARGIN fixture makes exact top-k equality
