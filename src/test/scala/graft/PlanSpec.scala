@@ -40,6 +40,16 @@ class PlanSpec extends SparkSpec {
       "no partial aggregation before the shuffle")
   }
 
+  test("q86: the typed Aggregator runs partial+final like a built-in") {
+    // the OhlcAggregator scaladoc's scale claim, pinned: constant-size
+    // buffers merge map-side, so only per-key buffers cross the shuffle
+    val p = planOf("q86_ohlc_aggregator")
+    assert(p.contains("partial_ohlc") ||
+           ("(?i)partial.*ohlc".r.findFirstIn(p).isDefined),
+      s"typed aggregation is not partial+final:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q06/q07: semi/anti joins stay joins (no subquery materialization)") {
     assert(planOf("q06_semi_join").contains("LeftSemi"))
     assert(planOf("q07_anti_join").contains("LeftAnti"))
