@@ -112,6 +112,23 @@ object DedupScalingBench {
         graft.ops.Caches.release(pairs)
         n
       })
+      // the flagship COMPOSITION (q57's shape): quality features +
+      // language ID + exact dedup + per-language stats — one scan, one
+      // dedup window shuffle, one aggregate. The end-to-end pipeline a
+      // 100 TB corpus actually runs, measured on the same curve.
+      report("q57_corpus_clean", label, nDocs, {
+        val feats = graft.llm.TextOps.withLanguageId(
+            graft.llm.TextOps.withQualityFeatures(
+              docs.select(col("doc_id"), col("text")), "text"), "text")
+          .withColumn("__norm", graft.llm.Dedup.normText(col("text")))
+          .withColumn("__rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(md5(col("__norm"))).orderBy(col("doc_id"))))
+        feats.filter(col("__rk") === 1 && col("n_tokens") >= 20)
+          .groupBy(col("pred_lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .count()
+      })
       report("q54_clusters", label, nDocs, {
         val pairs = graft.llm.Dedup.minhashPairs(docs, "doc_id", "text",
           jaccardThreshold = 0.2)

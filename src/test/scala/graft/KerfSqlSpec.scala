@@ -409,7 +409,9 @@ class KerfSqlSpec extends SparkSpec {
       "first", "last", "enlist", "find", "keys", "amend", "x", "def", "if", "while",
       // round-5 surfaces: window verbs, plain-join variants, merge heads
       "sums", "deltas", "prev", "counts", "left", "semi", "anti",
-      "insert", "upsert", "into", "values", "key")
+      "insert", "upsert", "into", "values", "key",
+      // round-6 surfaces: rollup/cube grouping, percentile, adverb calls
+      "rollup", "cube", "pctl", "mapright", "mapleft", "0.5")
     var parsed = 0
     for (_ <- 1 to 300) {
       val n = 1 + rnd.nextInt(12)
