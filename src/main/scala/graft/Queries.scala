@@ -813,7 +813,7 @@ object Queries {
     * over the free-text column proving byte fidelity through quoting. */
   val q62_csv_roundtrip: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val csvDir = s"/tmp/graft_csv/${new java.io.File(dir).getName}/documents"
+    val csvDir = s"/tmp/graft_csv/${s.sparkContext.applicationId}/${new java.io.File(dir).getName}/documents"
     // fidelity options made explicit: no whitespace trimming on either
     // side, and multiLine so quoted embedded newlines survive (multiLine
     // reads are non-splittable — the fidelity/parallelism trade a real
@@ -1280,8 +1280,11 @@ object Queries {
     val ev = Tables.events(s, dir)
       .withColumn("ts_us", expr("ts_ns div 1000"))
       .select(col("user_id"), col("event_type"), col("ts_us"), col("value"))
-    io.Folio.writeSortedTable(ev, "events_sorted_q89", Seq("user_id"), Seq("ts_us"))
-    s.table("events_sorted_q89")
+    // session-unique table name: concurrent drivers share one warehouse
+    // dir (the q78 scratch-path rule, applied to the catalog)
+    val tbl = s"events_sorted_q89_${s.sparkContext.applicationId.replaceAll("\\W", "_")}"
+    io.Folio.writeSortedTable(ev, tbl, Seq("user_id"), Seq("ts_us"))
+    s.table(tbl)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"),
            min(col("ts_us")).as("first_ts"),

@@ -482,6 +482,21 @@ class KerfSqlSpec extends SparkSpec {
       ("b", 1L, 7L, 1L, 7L, null, null)))
   }
 
+  test("deltas over a timestamp axis yields day-time intervals") {
+    // ts - lag(ts) is an ANSI interval in Spark; the dialect's typed env
+    // must declare what the engine produces (round-5 ADVICE item)
+    import spark.implicits._
+    Seq(("a", 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+        ("a", 2L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00")))
+      .toDF("k", "seq", "ts").createOrReplaceTempView("dts_v")
+    val got = KerfSql.run(spark,
+      "select k, seq, deltas(ts) as d from dts_v group k order seq")
+    assert(got.schema("d").dataType
+      .isInstanceOf[org.apache.spark.sql.types.DayTimeIntervalType])
+    val d = got.orderBy("seq").collect()(1).get(2)
+    assert(d == java.time.Duration.ofMinutes(10))
+  }
+
   test("window verbs equal ops.Adverbs.scanRows / eachPriorRows") {
     init
     Tables.lineitem(spark, sf).limit(500)
