@@ -943,6 +943,13 @@ object Oracles {
            AND p_us >= c_us - 600000000 AND p_us <= c_us
          ORDER BY user_id, c_us, click_id, p_id""",
 
+    // frame export → chunk-feed ingestion → parse must be lossless: the
+    // streamed aggregate equals the undivided table's
+    "q91_feed_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
     // the typed Aggregator's one-pass OHLC vs DuckDB arg_min/arg_max on
     // the µs stamp; open/high/low/close are picked raw doubles (no
     // summation), so full-precision equality holds

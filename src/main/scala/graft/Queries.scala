@@ -1317,6 +1317,38 @@ object Queries {
       .orderBy(col("user_id"), col("c_us"), col("click_id"), col("p_id"))
   }
 
+  /** The broker-shaped feed source in the correctness gate (SURVEY §2.9
+    * feed-ingestion row, the replayable-frame flavor): events are
+    * exported as opaque text frames into two feed-partition directories,
+    * streamed back through [[sources.ChunkFeedSource]], parsed, and
+    * aggregated — the oracle recomputes from the undivided table, so
+    * framing + ingestion + parse must be lossless end-to-end. (Offset
+    * tracking/restart is pinned by the StreamingSpec three-run test.) */
+  val q91_feed_roundtrip: Q = (s, dir) => {
+    val feedDir = s"/tmp/graft_chunkfeed/${s.sparkContext.applicationId}/${new java.io.File(dir).getName}"
+    val ev = Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+    val frames = ev.select(concat_ws(",",
+      col("event_id"), col("user_id"), col("event_type"),
+      col("ts_us"), col("value").cast("string")).as("value"))
+    // two feed partitions, populated by a Spark text write (marker/crc
+    // files are ignored by the source's chunk listing)
+    frames.filter(xxhash64(col("value")) % 2 === 0)
+      .write.mode("overwrite").text(s"$feedDir/p0")
+    frames.filter(xxhash64(col("value")) % 2 =!= 0)
+      .write.mode("overwrite").text(s"$feedDir/p1")
+    val raw = s.readStream.format("graft.sources.ChunkFeedSource")
+      .option("path", feedDir).load()
+    val parsed = raw.select(split(col("line"), ",").as("f"))
+      .select(col("f").getItem(2).as("event_type"),
+              col("f").getItem(4).cast("double").as("value"))
+    val agg = parsed.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(dec(col("value"))).cast("double").as("total"))
+    streaming.EventStream.runToCompletion(s, agg, s"feed_rt_${System.nanoTime}")
+      .orderBy(col("event_type"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -1410,5 +1442,6 @@ object Queries {
     "q88_kerf_pervasive" -> q88_kerf_pervasive,
     "q89_sorted_folio"   -> q89_sorted_folio,
     "q90_stream_join"    -> q90_stream_join,
+    "q91_feed_roundtrip" -> q91_feed_roundtrip,
   )
 }

@@ -70,9 +70,13 @@ object ChunkFeedSource {
       .map(m => m.group(1) -> m.group(2).toLong).toMap)
 
   /** Chunks of one feed partition, sorted by file name — the frame
-    * NUMBERING is the file-name ordering, as with broker segments. */
+    * NUMBERING is the file-name ordering, as with broker segments.
+    * Hidden and marker files (`.crc` checksums, `_SUCCESS`) are not
+    * frames — same convention as Spark's own file sources, so a chunk
+    * directory can be populated by a Spark write. */
   def chunkFiles(fs: FileSystem, partDir: Path): Seq[Path] =
     fs.listStatus(partDir).filter(_.isFile).map(_.getPath)
+      .filterNot(p => p.getName.startsWith(".") || p.getName.startsWith("_"))
       .sortBy(_.getName).toSeq
 }
 
