@@ -438,6 +438,34 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("cosine near-dup pairs: exact pair-SET equality on the margin fixture") {
+    // completeness, not just soundness: at a mid-gap threshold (0.7,
+    // between cross ≤0.5 and within ≥0.95) the true answer is exactly
+    // every within-cluster pair — 4 · C(10,2) = 180 — and the LSH-
+    // bucketed op must return that set with bit-exact cosines
+    val vecs = marginFixture(31)
+    proveMargin(vecs)
+    def sim(a: Seq[Float], b: Seq[Float]): Double = {
+      def dot(x: Seq[Float], y: Seq[Float]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < x.length) { acc += x(i).toDouble * y(i).toDouble; i += 1 }
+        acc
+      }
+      val d = dot(a, b) / math.sqrt(dot(a, a)) / math.sqrt(dot(b, b))
+      java.math.BigDecimal.valueOf(d)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val expect = (for ((ia, va) <- vecs; (ib, vb) <- vecs
+                       if ia < ib && sim(va, vb) >= 0.7)
+                  yield (ia, ib, sim(va, vb))).toSet
+    assert(expect.size == 4 * 45, s"fixture structure broke: ${expect.size}")
+    val got = Similarity.cosineNearDupPairs(vecs.toDF("vec_id", "embedding"),
+        threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+  }
+
   test("LSH ANN: exact top-k equality on the margin fixture") {
     val vecs = marginFixture(23)
     proveMargin(vecs)
