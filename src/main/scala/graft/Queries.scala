@@ -19,6 +19,31 @@ object Queries {
   /** Exact money arithmetic: raw 2-decimal double → decimal(18,2). */
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Session-scoped scratch locations for the queries whose WRITE is part
+    * of the exercise (q62 CSV, q78 federation, q91 feed frames, q89's
+    * catalog table): the app id makes concurrent drivers collision-free,
+    * and a shutdown hook deletes what this session created — per-session
+    * paths must not turn into an unbounded /tmp leak across the
+    * bench-variance protocol's many runs. */
+  private object Scratch {
+    private val hooked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    def dir(s: SparkSession, family: String, tail: String): String = {
+      val base = s"/tmp/graft_$family/${s.sparkContext.applicationId}"
+      cleanupOnExit(base)
+      s"$base/$tail"
+    }
+    /** Best-effort recursive delete at JVM exit (idempotent per path). */
+    def cleanupOnExit(path: String): Unit =
+      if (hooked.add(path))
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def rm(f: java.io.File): Unit = {
+            val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+            f.delete(); ()
+          }
+          rm(new java.io.File(path))
+        }))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   // ---------------------------------------------------------------- core agg
@@ -813,7 +838,7 @@ object Queries {
     * over the free-text column proving byte fidelity through quoting. */
   val q62_csv_roundtrip: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val csvDir = s"/tmp/graft_csv/${s.sparkContext.applicationId}/${new java.io.File(dir).getName}/documents"
+    val csvDir = Scratch.dir(s, "csv", s"${new java.io.File(dir).getName}/documents")
     // fidelity options made explicit: no whitespace trimming on either
     // side, and multiLine so quoted embedded newlines survive (multiLine
     // reads are non-splittable — the fidelity/parallelism trade a real
@@ -885,8 +910,9 @@ object Queries {
       .unionByName(streaming.EventStream.readEvents(s, dir))
       .select(col("event_id"), col("event_type"), col("ts"))
     val deduped = streaming.EventStream.dedupWithinWatermark(doubled, Seq("event_id"), "24 hours")
-    streaming.EventStream.runAppendToCompletion(s, deduped,
-        s"stream_dedup_${System.nanoTime}")
+    streaming.EventStream.runToCompletion(s, deduped,
+        s"stream_dedup_${System.nanoTime}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
       .orderBy(col("event_type"))
   }
@@ -1067,7 +1093,7 @@ object Queries {
     // per-session scratch path (app id makes concurrent drivers collision-
     // free); the write IS part of the measured query by design — federation
     // over freshly-exported sites, not a read-only scan
-    val base = s"/tmp/graft_fed/${s.sparkContext.applicationId}/${new java.io.File(dir).getName}"
+    val base = Scratch.dir(s, "fed", new java.io.File(dir).getName)
     val li = Tables.lineitem(s, dir)
     li.filter(col("l_orderkey") % 2 === 0)
       .write.mode("overwrite").parquet(s"$base/site_a")
@@ -1281,8 +1307,12 @@ object Queries {
       .withColumn("ts_us", expr("ts_ns div 1000"))
       .select(col("user_id"), col("event_type"), col("ts_us"), col("value"))
     // session-unique table name: concurrent drivers share one warehouse
-    // dir (the q78 scratch-path rule, applied to the catalog)
+    // dir (the q78 scratch-path rule, applied to the catalog); the
+    // in-memory catalog dies with the JVM, so cleaning the warehouse
+    // directory on exit fully retires the table
     val tbl = s"events_sorted_q89_${s.sparkContext.applicationId.replaceAll("\\W", "_")}"
+    Scratch.cleanupOnExit(
+      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") + "/" + tbl.toLowerCase)
     io.Folio.writeSortedTable(ev, tbl, Seq("user_id"), Seq("ts_us"))
     s.table(tbl)
       .groupBy(col("user_id"))
@@ -1325,7 +1355,7 @@ object Queries {
     * framing + ingestion + parse must be lossless end-to-end. (Offset
     * tracking/restart is pinned by the StreamingSpec three-run test.) */
   val q91_feed_roundtrip: Q = (s, dir) => {
-    val feedDir = s"/tmp/graft_chunkfeed/${s.sparkContext.applicationId}/${new java.io.File(dir).getName}"
+    val feedDir = Scratch.dir(s, "chunkfeed", new java.io.File(dir).getName)
     val ev = Tables.events(s, dir)
       .withColumn("ts_us", expr("ts_ns div 1000"))
     val frames = ev.select(concat_ws(",",

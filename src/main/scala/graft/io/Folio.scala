@@ -176,11 +176,19 @@ object Folio {
     // pre-clean BOTH the catalog entry and the managed location: a fresh
     // (in-memory) catalog knows nothing about a table whose warehouse
     // directory survived a previous session, and CTAS refuses to reuse
-    // the orphaned location — the overwrite must cover both worlds
+    // the orphaned location — the overwrite must cover both worlds.
+    // The managed layout is warehouse/<table> for the default database
+    // and warehouse/<db>.db/<table> otherwise.
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val db = spark.catalog.currentDatabase
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val loc =
+      if (db == "default") new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+      else new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(warehouse, s"${db.toLowerCase}.db"),
+        table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     val sorted = keys ++ sortCols

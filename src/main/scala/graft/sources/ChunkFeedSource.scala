@@ -127,12 +127,22 @@ private class ChunkFeedStream(root: String) extends MicroBatchStream {
       else {
         val files = chunkFiles(f, new Path(root, part))
           .slice(lo.toInt, hi.toInt).map(_.toString)
+        // the broker contract is never-skip: if retention/compaction
+        // removed frames between offset planning and batch execution,
+        // committing `hi` would silently pass over data (and shifted
+        // indices would mislabel the rest) — fail the batch instead
+        require(files.length == (hi - lo).toInt,
+          s"chunk feed '$part': planned chunks [$lo, $hi) but only " +
+          s"${files.length} files remain — frames were deleted under a " +
+          "committed offset range (retention passed the consumer)")
         Some(ChunkRange(part, lo, files): InputPartition)
       }
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = ChunkReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChunkReaderFactory(new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration))
   override def commit(end: Offset): Unit = () // offsets live in the checkpoint
   override def stop(): Unit = ()
 }
@@ -141,11 +151,15 @@ private class ChunkFeedStream(root: String) extends MicroBatchStream {
 case class ChunkRange(part: String, firstChunk: Long, files: Seq[String])
     extends InputPartition
 
-private object ChunkReaderFactory extends PartitionReaderFactory {
+/** Ships the session's Hadoop configuration to the executors: chunk
+  * reads must see the same fs.* settings (credentials, endpoints,
+  * custom schemes) as the driver-side listing, or an s3a://-style feed
+  * authenticates on the driver and fails in every task. */
+private class ChunkReaderFactory(conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val r = partition.asInstanceOf[ChunkRange]
     new PartitionReader[InternalRow] {
-      private val conf = new org.apache.hadoop.conf.Configuration()
       private var fileIdx = -1
       private var reader: java.io.BufferedReader = null
       private var current: String = null
@@ -157,7 +171,8 @@ private object ChunkReaderFactory extends PartitionReaderFactory {
         else {
           val p = new Path(r.files(fileIdx))
           reader = new java.io.BufferedReader(new java.io.InputStreamReader(
-            p.getFileSystem(conf).open(p), java.nio.charset.StandardCharsets.UTF_8))
+            p.getFileSystem(conf.value).open(p),
+            java.nio.charset.StandardCharsets.UTF_8))
           true
         }
       }

@@ -1130,6 +1130,13 @@ object KerfSql {
         "window verbs (sums/deltas/…) cannot mix with plain aggregates " +
         "(sum/avg/…) in one select: `group` is the window PARTITION BY " +
         "here, not an aggregation — split into two selects")
+      // same trap for the grouping-set forms: silently downgrading
+      // `group cube (a, b)` to a plain PARTITION BY would return wrong
+      // results, so reject it the way the aggregate mix is rejected
+      require(groupMode == "group",
+        s"window verbs (sums/deltas/…) cannot combine with `group $groupMode`: " +
+        "rollup/cube are aggregations, the windowed select's `group` is a " +
+        "PARTITION BY — split into two selects")
       import org.apache.spark.sql.expressions.Window
       val orderCols = segParser("order").map { op =>
         val c = parseOrderCols(op); finish(op, "order"); c

@@ -94,18 +94,6 @@ object EventStream {
   /** Append-mode twin of [[runToCompletion]] for non-aggregating stateful
     * streams (dedup, suppression): rows land in the memory sink as they
     * are emitted. */
-  def runAppendToCompletion(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "4")
-    try {
-      val q = df.writeStream.outputMode(OutputMode.Append())
-        .format("memory").queryName(name).start()
-      try { q.processAllAvailable() } finally { q.stop() }
-    } finally spark.conf.set(key, prev)
-    spark.table(name)
-  }
-
   // ----- stateful: last-tick (Kerf's realtime "current value" table) -----
 
   case class Tick(user_id: Long, ts_ns: Long, value: Double)

@@ -54,13 +54,17 @@ object DedupScalingBench {
         if (reps == 1) src.select(col("vec_id"), col("embedding"))
         else {
           val dim = src.select(size(col("embedding"))).first().getInt(0)
+          require(reps <= 2 * dim,
+            s"replica transforms repeat beyond 2*dim = ${2 * dim}: $reps " +
+            "replicas would re-plant bit-identical twins (see SCALING.md finding 3)")
           (0 until reps).map { r =>
             // rotation alone collides once reps > dim (r and r+dim are
             // the SAME transform — bit-identical replicas planted ~36×
             // n exact-dup pairs in the first x100 run); composing an
-            // odd-element sign flip for the second dim-block keeps every
-            // transform distinct (and still orthogonal, so within-
-            // replica cosines are bit-preserved)
+            // odd-element sign flip for the second dim-block keeps
+            // transforms distinct UP TO 2·dim replicas (and still
+            // orthogonal, so within-replica cosines are bit-preserved);
+            // beyond that r and r+2·dim would collide again — guarded
             val rot = r % dim
             val rotated =
               if (rot == 0) col("embedding")
@@ -83,27 +87,31 @@ object DedupScalingBench {
       ((System.nanoTime() - t0) / 1e9, v)
     }
 
-    def report(op: String, scale: String, rowsIn: Long, run: => Long): Unit =
+    // rowsIn is by-name: a filtered-out op must not force the lazy
+    // staging of inputs it never reads
+    def report(op: String, scale: String, rowsIn: => Long, run: => Long): Unit =
       if (onlyOps.forall(_.contains(op))) {
+        val n = rowsIn
         val (sec, rowsOut) = time(run)
-        println(f"""{"op":"$op","scale":"$scale","rows_in":$rowsIn,""" +
+        println(f"""{"op":"$op","scale":"$scale","rows_in":$n,""" +
           f""""rows_out":$rowsOut,"sec":$sec%.2f}""")
       }
 
-    val scales: Seq[(String, String, String)] = Seq(
-      ("sf0.01", stageDocs(graft.Tables.documents(spark, "/root/testdata/sf0.01"), 1, s"$out/docs_1"),
-                 stageVecs(graft.Tables.embeddings(spark, "/root/testdata/sf0.01"), 1, s"$out/vecs_1")),
-      ("sf0.1",  stageDocs(graft.Tables.documents(spark, "/root/testdata/sf0.1"), 1, s"$out/docs_10"),
-                 stageVecs(graft.Tables.embeddings(spark, "/root/testdata/sf0.1"), 1, s"$out/vecs_10")),
-      (s"sf0.1x$replicas",
-                 stageDocs(graft.Tables.documents(spark, "/root/testdata/sf0.1"), replicas, s"$out/docs_100"),
-                 stageVecs(graft.Tables.embeddings(spark, "/root/testdata/sf0.1"), replicas, s"$out/vecs_100")))
+    // staging is LAZY per scale: a targeted `q55…` rerun (the bench-
+    // variance protocol runs many) never pays the 500k-doc
+    // regexp_replace rewrite, and a doc-only rerun never stages vectors
+    val scales: Seq[(String, Int, String, String)] = Seq(
+      ("sf0.01", 1, "/root/testdata/sf0.01", "1"),
+      ("sf0.1", 1, "/root/testdata/sf0.1", "10"),
+      (s"sf0.1x$replicas", replicas, "/root/testdata/sf0.1", "100"))
 
-    scales.foreach { case (label, docsPath, vecsPath) =>
-      val docs = spark.read.parquet(docsPath)
-      val vecs = spark.read.parquet(vecsPath)
-      val nDocs = docs.count()
-      val nVecs = vecs.count()
+    scales.foreach { case (label, reps, srcDir, suffix) =>
+      lazy val docs = spark.read.parquet(stageDocs(
+        graft.Tables.documents(spark, srcDir), reps, s"$out/docs_$suffix"))
+      lazy val vecs = spark.read.parquet(stageVecs(
+        graft.Tables.embeddings(spark, srcDir), reps, s"$out/vecs_$suffix"))
+      lazy val nDocs = docs.count()
+      lazy val nVecs = vecs.count()
 
       report("q29_minhash_pairs", label, nDocs, {
         val pairs = graft.llm.Dedup.minhashPairs(docs, "doc_id", "text",
@@ -164,7 +172,8 @@ object DedupScalingBench {
       // the LSH width DIAL, exercised: default nBits=10 (1024 buckets/
       // table) is sized for ~2k-20k vectors; at 200k the mean occupancy
       // is ~195 → candidate pairs grow ~n·occupancy. Production sizing
-      // is nBits ≈ log2(n) + 4: 14 bits at 200k restores ~12/bucket
+      // is nBits = ⌈log2(n / targetOccupancy)⌉ ≈ log2(n) − 4 at target
+      // 16 (Similarity.autoNBits): 14 bits at 200k restores ~12/bucket
       report("q55_cosine_neardup_t90_b14", label, nVecs, {
         val nd = graft.llm.Similarity.cosineNearDupPairs(vecs, threshold = 0.9,
           nBits = 14, tables = 8)

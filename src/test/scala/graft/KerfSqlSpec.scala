@@ -44,6 +44,16 @@ class KerfSqlSpec extends SparkSpec {
     assert(gotC.count() > gotR.count())
   }
 
+  test("group rollup/cube rejects window verbs (no silent PARTITION BY downgrade)") {
+    init
+    val e = intercept[IllegalArgumentException] {
+      KerfSql.run(spark,
+        "select sums(l_quantity) as s from lineitem_v " +
+        "group cube (l_returnflag, l_linestatus) order l_orderkey")
+    }
+    assert(e.getMessage.contains("group cube"), e.getMessage)
+  }
+
   test("pctl(x, p) is the exact interpolated percentile") {
     init
     val got = KerfSql.run(spark,
