@@ -21,11 +21,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *   feedDir/p0/chunk-00000001   (one frame per file, lines within)
   *   feedDir/p1/chunk-00000001
   *
-  * The stream offset is a per-partition CHUNK COUNT (`{"p0":3,"p1":5}`),
+  * The stream offset is a per-partition chunk count plus the last
+  * consumed chunk's name (`{"p0":{"n":3,"last":"chunk-00000002"}}`),
   * checkpointed by Spark like a broker consumer group: a restarted query
   * resumes from the committed chunk index — never replaying, never
-  * skipping — and a partition directory that appears mid-stream starts
-  * from 0 (partition expansion). Each micro-batch plans ONE
+  * skipping, and never MISLABELING (the recorded name detects a listing
+  * shifted by deletion) — and a partition directory that appears
+  * mid-stream starts from 0 (partition expansion). Each micro-batch plans ONE
   * InputPartition per feed partition covering chunks [from, until):
   * consumption is parallel across feed partitions and ordered within
   * one, the broker contract. File listing and reads go through the
@@ -33,6 +35,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Rows are raw frames `(part, chunk, line)` — parsing stays downstream,
   * as with the socket source (the bus carries opaque frames).
+  *
+  * The feed is APPEND-ONLY: offsets are chunk COUNTS, so deleting any
+  * file — even an already-consumed one — shifts the numbering and fails
+  * the next batch loudly (see the `require` in planInputPartitions)
+  * rather than mislabeling or skipping frames. A broker with retention
+  * needs sequence-number offsets; the numbered-file convention can
+  * carry those, but the Spark-write population path (uuid part files)
+  * cannot, and append-only covers the replay contract this source
+  * exists to test.
   *
   * Usage:
   *   spark.readStream.format("graft.sources.ChunkFeedSource")
@@ -56,18 +67,23 @@ object ChunkFeedSource {
     StructField("chunk", LongType, nullable = false),
     StructField("line", StringType, nullable = false)))
 
-  /** {"p0":3,"p1":5} with keys sorted — stable across JVMs so offset
-    * equality (which Spark uses to detect "no new data") is textual. */
-  case class ChunkOffsets(counts: Map[String, Long]) extends Offset {
+  /** Per partition: (consumed chunk count, name of the last consumed
+    * chunk). The count drives planning; the NAME pins the numbering —
+    * deleting any file below a committed offset shifts the sorted
+    * listing, and the name check turns that silent mislabeling into a
+    * loud failure. Keys sorted — offset equality (which Spark uses to
+    * detect "no new data") is textual. */
+  case class ChunkOffsets(entries: Map[String, (Long, String)]) extends Offset {
     override def json(): String =
-      counts.toSeq.sortBy(_._1)
-        .map { case (p, n) => s""""$p":$n""" }.mkString("{", ",", "}")
+      entries.toSeq.sortBy(_._1)
+        .map { case (p, (n, last)) => s""""$p":{"n":$n,"last":"$last"}""" }
+        .mkString("{", ",", "}")
   }
 
-  private val entryRe = """"([^"]+)":(\d+)""".r
+  private val entryRe = """"([^"]+)":\{"n":(\d+),"last":"([^"]*)"\}""".r
   def parseOffsets(json: String): ChunkOffsets =
     ChunkOffsets(entryRe.findAllMatchIn(json)
-      .map(m => m.group(1) -> m.group(2).toLong).toMap)
+      .map(m => m.group(1) -> (m.group(2).toLong, m.group(3))).toMap)
 
   /** Chunks of one feed partition, sorted by file name — the frame
     * NUMBERING is the file-name ordering, as with broker segments.
@@ -112,29 +128,41 @@ private class ChunkFeedStream(root: String) extends MicroBatchStream {
     val parts =
       if (!f.exists(rootPath)) Seq.empty
       else f.listStatus(rootPath).filter(_.isDirectory).map(_.getPath).toSeq
-    ChunkOffsets(parts.map(p => p.getName -> chunkFiles(f, p).length.toLong).toMap)
+    ChunkOffsets(parts.map { p =>
+      val files = chunkFiles(f, p)
+      p.getName -> (files.length.toLong, files.lastOption.map(_.getName).getOrElse(""))
+    }.toMap)
   }
 
   override def deserializeOffset(json: String): Offset = parseOffsets(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[ChunkOffsets].counts
-    val until = end.asInstanceOf[ChunkOffsets].counts
+    val from = start.asInstanceOf[ChunkOffsets].entries
+    val until = end.asInstanceOf[ChunkOffsets].entries
     val f = fs
-    until.toSeq.sortBy(_._1).flatMap { case (part, hi) =>
-      val lo = from.getOrElse(part, 0L) // unseen partition ⇒ expansion from 0
+    until.toSeq.sortBy(_._1).flatMap { case (part, (hi, _)) =>
+      // unseen partition ⇒ expansion from 0
+      val (lo, lastSeen) = from.getOrElse(part, (0L, ""))
       if (hi <= lo) None
       else {
-        val files = chunkFiles(f, new Path(root, part))
-          .slice(lo.toInt, hi.toInt).map(_.toString)
-        // the broker contract is never-skip: if retention/compaction
-        // removed frames between offset planning and batch execution,
-        // committing `hi` would silently pass over data (and shifted
-        // indices would mislabel the rest) — fail the batch instead
-        require(files.length == (hi - lo).toInt,
+        val all = chunkFiles(f, new Path(root, part))
+        // the broker contract is never-skip: if files were removed
+        // between offset planning and batch execution, committing `hi`
+        // would silently pass over data — fail the batch instead
+        require(all.length >= hi,
           s"chunk feed '$part': planned chunks [$lo, $hi) but only " +
-          s"${files.length} files remain — frames were deleted under a " +
+          s"${all.length} files remain — frames were deleted under a " +
           "committed offset range (retention passed the consumer)")
+        // and never-mislabel: deleting a CONSUMED file shifts the sorted
+        // listing so index lo would re-read or skip the wrong frame; the
+        // committed last-consumed NAME pins the numbering
+        if (lo > 0)
+          require(all((lo - 1).toInt).getName == lastSeen,
+            s"chunk feed '$part': file #${lo - 1} is now " +
+            s"'${all((lo - 1).toInt).getName}' but '$lastSeen' was " +
+            "committed — frames were deleted or renamed under a " +
+            "committed offset (the feed is append-only)")
+        val files = all.slice(lo.toInt, hi.toInt).map(_.toString)
         Some(ChunkRange(part, lo, files): InputPartition)
       }
     }.toArray

@@ -237,6 +237,38 @@ class StreamingSpec extends SparkSpec {
     assert(run3.isEmpty, s"no new chunks ⇒ no rows, got $run3")
   }
 
+  test("chunk feed: frames deleted under a committed offset fail loudly, never skip") {
+    // the never-skip half of the broker contract: the feed is append-only
+    // (offsets are counts), so retention deleting ANY file — here a
+    // consumed one, which shifts the numbering under the committed
+    // offset — must fail the batch instead of mislabeling what remains
+    val feed = java.nio.file.Files.createTempDirectory("graft_chunk_ret").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_chunk_ret_ck").toString
+    def put(part: String, chunk: Int, lines: String*): Unit = {
+      val d = java.nio.file.Paths.get(feed, part)
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.write(d.resolve(f"chunk-$chunk%08d"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft.sources.ChunkFeedSource")
+        .option("path", feed).load()
+        .writeStream.outputMode("append")
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    put("p0", 0, "a0")
+    runOnce() // commits offset 1
+    put("p0", 1, "a1"); put("p0", 2, "a2")
+    java.nio.file.Files.delete(java.nio.file.Paths.get(feed, "p0", "chunk-00000000"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { runOnce() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("frames were deleted")),
+      s"expected the never-skip guard, got: ${messages(e)}")
+  }
+
   test("quantizeInt8 runs unchanged on a streaming frame (== batch)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
