@@ -24,11 +24,16 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Keep the WHOLE line under the driver's 2000-char tail window
+    // (BENCH_r06.json was truncated → parsed:null, q01–q27 invisible):
+    // short keys (the qNN prefix is unique) + integer milliseconds.
+    val qs = results.map { case (k, v) =>
+      val short = k.takeWhile(_ != '_')
+      s"\"" + short + "\":" + math.round(v * 1000)
+    }.mkString("{", ",", "}")
     val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","qunit":"ms","queries":$qs,"failures":$fails,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

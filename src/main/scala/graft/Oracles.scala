@@ -894,14 +894,15 @@ object Oracles {
       """SELECT count(*) AS n, count(*) AS n_agree, count(*) AS n_unit
          FROM orders""",
 
-    // map round-trip must be invisible: ordered list aggregation replays
-    // keys/values; the keyed lookup is a conditional max
+    // map round-trip must be invisible: ordered string aggregation
+    // replays keys/values (stringified — the q41 pandas-compare rule);
+    // the keyed lookup is a conditional max
     "q85_map_funcs" ->
       """WITH sc AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n
                      FROM orders GROUP BY 1, 2)
          SELECT o_orderpriority,
-                list(o_orderstatus ORDER BY o_orderstatus) AS statuses,
-                list(n ORDER BY o_orderstatus) AS counts,
+                string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+                string_agg(CAST(n AS VARCHAR), ',' ORDER BY o_orderstatus) AS counts,
                 max(CASE WHEN o_orderstatus = 'F' THEN n END) AS n_f
          FROM sc GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 

@@ -1239,8 +1239,11 @@ object Queries {
       .agg(map_from_entries(array_sort(collect_list(
         struct(col("o_orderstatus"), col("n"))))).as("m"))
       .select(col("o_orderpriority"),
-        map_keys(col("m")).as("statuses"),
-        map_values(col("m")).as("counts"),
+        // stringified (not raw arrays) so the driver's pandas-based
+        // oracle compare can sort/hash the columns (the q41 rule)
+        array_join(map_keys(col("m")), ",").as("statuses"),
+        array_join(transform(map_values(col("m")), v => v.cast("string")), ",")
+          .as("counts"),
         element_at(col("m"), "F").as("n_f"))
       .orderBy(col("o_orderpriority"))
   }
