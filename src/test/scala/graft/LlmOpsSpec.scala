@@ -126,7 +126,7 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == Seq(1L, 2L, 3L))
   }
 
-  test("LSH ANN recall on clustered vectors (planted structure)") {
+  test("LSH ANN exactly equals brute-force top-k on planted-margin clusters") {
     // two tight clusters around orthogonal centers; LSH must recover
     // same-cluster neighbors. (The fixture embeddings are isotropic
     // random — sim≈0.37 tops — where any LSH has weak recall by math,
@@ -140,16 +140,21 @@ class LlmOpsSpec extends SparkSpec {
                 (50 until 100).map(i => (i.toLong, jitter(cb))))
       .toDF("vec_id", "embedding")
     val q = vecs.filter(col("vec_id") === 0)
-    val exact = Similarity.bruteForceTopK(q, vecs, 5).collect()
-      .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val approx = Similarity.lshTopK(q, vecs, 5, nBits = 8, tables = 8).collect()
-      .map(r => (r.getLong(0), r.getLong(2))).toSet
-    assert(exact.forall(_._2 < 50)) // brute force finds same-cluster only
-    val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.8, s"recall $recall too low on clustered data")
+    // planted margin: same-cluster cosine >= 0.95, cross-cluster <= 0.5,
+    // so the true top-5 is unambiguous and the approx answer must EQUAL
+    // the brute-force golden — full rows (q_id, rk, cand_id, sim), not a
+    // recall bound (exact-golden style of reference test.cc:330-346)
+    val exact = Similarity.bruteForceTopK(q, vecs, 5).orderBy("rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val approx = Similarity.lshTopK(q, vecs, 5, nBits = 8, tables = 8)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(exact.forall(_._3 < 50)) // brute force finds same-cluster only
+    assert(approx == exact,
+      s"LSH top-k != brute-force golden:\n  lsh=$approx\n  bf=$exact")
   }
 
-  test("IVF ANN: full recall on clustered vectors") {
+  test("IVF ANN exactly equals brute-force top-k on planted-margin clusters") {
     val rnd = new scala.util.Random(11)
     def jitter(center: Array[Float]): Seq[Float] =
       center.map(c => c + (rnd.nextFloat() - 0.5f) * 0.1f).toSeq
@@ -159,12 +164,20 @@ class LlmOpsSpec extends SparkSpec {
                 (50 until 100).map(i => (i.toLong, jitter(cb))))
       .toDF("vec_id", "embedding")
     val q = vecs.filter(col("vec_id") === 0)
-    val exact = Similarity.bruteForceTopK(q, vecs, 5).collect()
-      .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val ivf = Similarity.ivfTopK(q, vecs, 5, nLists = 4, nProbe = 2).collect()
-      .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val recall = (exact & ivf).size.toDouble / exact.size
-    assert(recall >= 0.8, s"IVF recall $recall too low on clustered data")
+    // same planted-margin argument as the LSH test: the probed lists
+    // must contain the whole home cluster, so the answer must EQUAL the
+    // brute-force golden row-for-row
+    val exact = Similarity.bruteForceTopK(q, vecs, 5).orderBy("rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // nProbe=3 is provably sufficient: with 2 planted clusters and 4
+    // centroids, the home cluster occupies at most 3 lists (the foreign
+    // points claim >= 1 centroid), and home sub-centroids rank above the
+    // foreign one by the cosine margin — so 3 probes cover home entirely
+    val ivf = Similarity.ivfTopK(q, vecs, 5, nLists = 4, nProbe = 3)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(ivf == exact,
+      s"IVF top-k != brute-force golden:\n  ivf=$ivf\n  bf=$exact")
   }
 
   test("IVF ANN works on sparse non-zero-based ids (no density assumption)") {
