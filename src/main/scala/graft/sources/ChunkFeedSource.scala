@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.util
+import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -21,33 +22,50 @@ import org.apache.spark.unsafe.types.UTF8String
   *   feedDir/p0/chunk-00000001   (one frame per file, lines within)
   *   feedDir/p1/chunk-00000001
   *
-  * The stream offset is a per-partition chunk count plus the last
-  * consumed chunk's name (`{"p0":{"n":3,"last":"chunk-00000002"}}`),
-  * checkpointed by Spark like a broker consumer group: a restarted query
-  * resumes from the committed chunk index — never replaying, never
-  * skipping, and never MISLABELING (the recorded name detects a listing
-  * shifted by deletion) — and a partition directory that appears
-  * mid-stream starts from 0 (partition expansion). Each micro-batch plans ONE
-  * InputPartition per feed partition covering chunks [from, until):
-  * consumption is parallel across feed partitions and ordered within
-  * one, the broker contract. File listing and reads go through the
-  * Hadoop FileSystem API, so the same source runs on HDFS/S3 paths.
+  * Two offset modes, chosen by option `offsets`:
+  *
+  * `offsets=count` (default) — APPEND-ONLY feeds. The offset is a
+  * per-partition chunk count plus the last consumed chunk's name
+  * (`{"p0":{"n":3,"last":"chunk-00000002"}}`), checkpointed by Spark
+  * like a broker consumer group: a restarted query resumes from the
+  * committed chunk index — never replaying, never skipping, and never
+  * MISLABELING. Deleting ANY file — even a consumed one — shifts the
+  * sorted listing and fails the next batch loudly (both slice ends are
+  * pinned by name; see planInputPartitions). File names need not be
+  * numbered (a Spark uuid part-file write can populate a partition),
+  * but then population must finish before the stream starts: the name
+  * pinning turns a file sorting INSIDE a planned range into a loud
+  * failure, not wrong data.
+  *
+  * `offsets=seq` — RETENTION-CAPABLE feeds. Every chunk file name must
+  * end in a decimal sequence number (`chunk-00000042`); the number IS
+  * the frame identity, so the offset is just the highest consumed
+  * sequence (`{"p0":{"seq":42}}`). Retention may delete any prefix of
+  * consumed frames — the numbering is name-derived, not listing-derived,
+  * so a restarted consumer still resumes exactly after its committed
+  * sequence (the re-requestable numbered frames of bus.h:166-167). A
+  * gap INSIDE a planned range (frames deleted before consumption, or a
+  * producer writing out of sequence order) still fails loudly: the
+  * range (lo, hi] must contain exactly hi-lo consecutively numbered
+  * files. The driver clamps latestOffset monotonically, so deleting the
+  * feed's tail parks the stream instead of regressing the offset.
+  *
+  * In both modes each micro-batch plans ONE InputPartition per feed
+  * partition: consumption is parallel across feed partitions and
+  * ordered within one, the broker contract; a partition directory that
+  * appears mid-stream starts from its beginning (partition expansion).
+  * Offsets are serialized with a real JSON writer (Jackson, already on
+  * Spark's classpath) so partition/file names containing quotes or
+  * backslashes round-trip instead of corrupting the checkpoint. File
+  * listing and reads go through the Hadoop FileSystem API, so the same
+  * source runs on HDFS/S3 paths.
   *
   * Rows are raw frames `(part, chunk, line)` — parsing stays downstream,
   * as with the socket source (the bus carries opaque frames).
   *
-  * The feed is APPEND-ONLY: offsets are chunk COUNTS, so deleting any
-  * file — even an already-consumed one — shifts the numbering and fails
-  * the next batch loudly (see the `require` in planInputPartitions)
-  * rather than mislabeling or skipping frames. A broker with retention
-  * needs sequence-number offsets; the numbered-file convention can
-  * carry those, but the Spark-write population path (uuid part files)
-  * cannot, and append-only covers the replay contract this source
-  * exists to test.
-  *
   * Usage:
   *   spark.readStream.format("graft.sources.ChunkFeedSource")
-  *     .option("path", feedDir).load()
+  *     .option("path", feedDir).option("offsets", "seq").load()
   */
 class ChunkFeedSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "chunkfeed"
@@ -57,7 +75,10 @@ class ChunkFeedSource extends TableProvider with DataSourceRegister {
                         properties: util.Map[String, String]): Table = {
     val path = properties.get("path")
     require(path != null && path.nonEmpty, "chunkfeed requires option 'path'")
-    new ChunkFeedTable(path)
+    val mode = Option(properties.get("offsets")).getOrElse("count")
+    require(mode == "count" || mode == "seq",
+      s"chunkfeed option 'offsets' must be 'count' or 'seq', got '$mode'")
+    new ChunkFeedTable(path, sequenced = mode == "seq")
   }
 }
 
@@ -74,16 +95,51 @@ object ChunkFeedSource {
     * loud failure. Keys sorted — offset equality (which Spark uses to
     * detect "no new data") is textual. */
   case class ChunkOffsets(entries: Map[String, (Long, String)]) extends Offset {
-    override def json(): String =
-      entries.toSeq.sortBy(_._1)
-        .map { case (p, (n, last)) => s""""$p":{"n":$n,"last":"$last"}""" }
-        .mkString("{", ",", "}")
+    override def json(): String = {
+      val m = new ObjectMapper()
+      val root = m.createObjectNode()
+      entries.toSeq.sortBy(_._1).foreach { case (p, (n, last)) =>
+        val e = root.putObject(p)
+        e.put("n", n); e.put("last", last)
+      }
+      m.writeValueAsString(root)
+    }
   }
 
-  private val entryRe = """"([^"]+)":\{"n":(\d+),"last":"([^"]*)"\}""".r
-  def parseOffsets(json: String): ChunkOffsets =
-    ChunkOffsets(entryRe.findAllMatchIn(json)
-      .map(m => m.group(1) -> (m.group(2).toLong, m.group(3))).toMap)
+  /** Sequence-mode offset: per partition, the highest consumed sequence
+    * number (-1 = nothing consumed yet). */
+  case class SeqOffsets(entries: Map[String, Long]) extends Offset {
+    override def json(): String = {
+      val m = new ObjectMapper()
+      val root = m.createObjectNode()
+      entries.toSeq.sortBy(_._1).foreach { case (p, h) =>
+        root.putObject(p).put("seq", h)
+      }
+      m.writeValueAsString(root)
+    }
+  }
+
+  def parseOffsets(json: String): ChunkOffsets = {
+    val root = new ObjectMapper().readTree(json)
+    val it = root.fields()
+    val b = Map.newBuilder[String, (Long, String)]
+    while (it.hasNext) {
+      val e = it.next()
+      b += e.getKey -> (e.getValue.get("n").asLong(), e.getValue.get("last").asText())
+    }
+    ChunkOffsets(b.result())
+  }
+
+  def parseSeqOffsets(json: String): SeqOffsets = {
+    val root = new ObjectMapper().readTree(json)
+    val it = root.fields()
+    val b = Map.newBuilder[String, Long]
+    while (it.hasNext) {
+      val e = it.next()
+      b += e.getKey -> e.getValue.get("seq").asLong()
+    }
+    SeqOffsets(b.result())
+  }
 
   /** Chunks of one feed partition, sorted by file name — the frame
     * NUMBERING is the file-name ordering, as with broker segments.
@@ -94,9 +150,33 @@ object ChunkFeedSource {
     fs.listStatus(partDir).filter(_.isFile).map(_.getPath)
       .filterNot(p => p.getName.startsWith(".") || p.getName.startsWith("_"))
       .sortBy(_.getName).toSeq
+
+  private val seqRe = """^.*?(\d+)$""".r
+
+  /** Sequence number of a chunk file name — the trailing decimal run.
+    * Sequence mode REQUIRES every chunk to carry one; a stray unnumbered
+    * file in the feed directory is a population error, not a frame. */
+  def seqOf(p: Path): Long = p.getName match {
+    case seqRe(d) => d.toLong
+    case _ => throw new IllegalArgumentException(
+      s"chunk feed (offsets=seq): file '${p.getName}' has no trailing " +
+      "sequence number — sequence mode requires producer-numbered chunks")
+  }
+
+  /** (seq → file) for one partition, failing loudly on duplicate
+    * sequence numbers (two producers colliding on a frame id). */
+  def seqFiles(fs: FileSystem, partDir: Path): Seq[(Long, Path)] = {
+    val files = chunkFiles(fs, partDir).map(p => seqOf(p) -> p)
+    val dups = files.groupBy(_._1).filter(_._2.length > 1).keys
+    require(dups.isEmpty,
+      s"chunk feed '${partDir.getName}': duplicate sequence number(s) " +
+      s"${dups.mkString(",")} — frame identity must be unique")
+    files.sortBy(_._1)
+  }
 }
 
-private class ChunkFeedTable(root: String) extends Table with SupportsRead {
+private class ChunkFeedTable(root: String, sequenced: Boolean)
+    extends Table with SupportsRead {
   override def name(): String = s"chunkfeed($root)"
   override def schema(): StructType = ChunkFeedSource.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -106,29 +186,36 @@ private class ChunkFeedTable(root: String) extends Table with SupportsRead {
       override def build(): Scan = this
       override def readSchema(): StructType = ChunkFeedSource.schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new ChunkFeedStream(root)
+        if (sequenced) new SeqFeedStream(root) else new ChunkFeedStream(root)
     }
 }
 
-private class ChunkFeedStream(root: String) extends MicroBatchStream {
-  import ChunkFeedSource._
-
-  private def fs: FileSystem = {
+private object FeedFs {
+  def fs(root: String): FileSystem = {
     val conf = org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration
     new Path(root).getFileSystem(conf)
   }
+  def partDirs(f: FileSystem, root: String): Seq[Path] = {
+    val rootPath = new Path(root)
+    if (!f.exists(rootPath)) Seq.empty
+    else f.listStatus(rootPath).filter(_.isDirectory).map(_.getPath).toSeq
+  }
+  def readerFactory(): PartitionReaderFactory =
+    new ChunkReaderFactory(new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration))
+}
+
+/** Count-mode stream: append-only contract (see class scaladoc). */
+private class ChunkFeedStream(root: String) extends MicroBatchStream {
+  import ChunkFeedSource._
 
   /** The consumer starts at the current epoch's BEGINNING: a fresh query
     * (no checkpoint) reads every existing chunk once. */
   override def initialOffset(): Offset = ChunkOffsets(Map.empty)
 
   override def latestOffset(): Offset = {
-    val f = fs
-    val rootPath = new Path(root)
-    val parts =
-      if (!f.exists(rootPath)) Seq.empty
-      else f.listStatus(rootPath).filter(_.isDirectory).map(_.getPath).toSeq
-    ChunkOffsets(parts.map { p =>
+    val f = FeedFs.fs(root)
+    ChunkOffsets(FeedFs.partDirs(f, root).map { p =>
       val files = chunkFiles(f, p)
       p.getName -> (files.length.toLong, files.lastOption.map(_.getName).getOrElse(""))
     }.toMap)
@@ -139,11 +226,19 @@ private class ChunkFeedStream(root: String) extends MicroBatchStream {
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[ChunkOffsets].entries
     val until = end.asInstanceOf[ChunkOffsets].entries
-    val f = fs
-    until.toSeq.sortBy(_._1).flatMap { case (part, (hi, _)) =>
+    val f = FeedFs.fs(root)
+    until.toSeq.sortBy(_._1).flatMap { case (part, (hi, endLast)) =>
       // unseen partition ⇒ expansion from 0
       val (lo, lastSeen) = from.getOrElse(part, (0L, ""))
-      if (hi <= lo) None
+      // a partition that SHRANK below its committed offset (retention
+      // deleted more files than new ones arrived) must not silently
+      // plan nothing while Spark commits the regressed offset — that
+      // would rebase the numbering and mislabel every later frame
+      require(hi >= lo,
+        s"chunk feed '$part': listing shows $hi chunks but $lo were " +
+        "committed — frames were deleted under a committed offset " +
+        "(the feed is append-only; use offsets=seq for retention)")
+      if (hi == lo) None
       else {
         val all = chunkFiles(f, new Path(root, part))
         // the broker contract is never-skip: if files were removed
@@ -162,21 +257,104 @@ private class ChunkFeedStream(root: String) extends MicroBatchStream {
             s"'${all((lo - 1).toInt).getName}' but '$lastSeen' was " +
             "committed — frames were deleted or renamed under a " +
             "committed offset (the feed is append-only)")
+        // pin the END of the slice too: latestOffset and this listing
+        // are separate calls, so a non-monotonic name landing between
+        // them could sort INSIDE [lo, hi) and shift the slice — the
+        // recorded name of chunk hi-1 turns that into a loud failure
+        require(all((hi - 1).toInt).getName == endLast,
+          s"chunk feed '$part': file #${hi - 1} is now " +
+          s"'${all((hi - 1).toInt).getName}' but the offset recorded " +
+          s"'$endLast' — a file was added or removed inside a planned " +
+          "range (populate before starting the stream, or name chunks " +
+          "in sorted arrival order)")
         val files = all.slice(lo.toInt, hi.toInt).map(_.toString)
         Some(ChunkRange(part, lo, files): InputPartition)
       }
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new ChunkReaderFactory(new org.apache.spark.util.SerializableConfiguration(
-      org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration))
+  override def createReaderFactory(): PartitionReaderFactory = FeedFs.readerFactory()
   override def commit(end: Offset): Unit = () // offsets live in the checkpoint
+  override def stop(): Unit = ()
+}
+
+/** Sequence-mode stream: frame identity is the file name's trailing
+  * number, so offsets survive retention deletion of consumed frames. */
+private class SeqFeedStream(root: String) extends MicroBatchStream {
+  import ChunkFeedSource._
+
+  /** Monotonic clamp for latestOffset: deleting the feed's TAIL would
+    * otherwise regress the listing-derived maximum below a committed
+    * sequence, and Spark would commit the regressed offset. Seeded from
+    * every checkpoint offset that passes through deserializeOffset and
+    * from our own previous answers. Driver-side only, tiny (one long
+    * per feed partition). */
+  @volatile private var floor: Map[String, Long] = Map.empty
+  private def raise(m: Map[String, Long]): Unit = synchronized {
+    floor = (floor.keySet ++ m.keySet).map { k =>
+      k -> math.max(floor.getOrElse(k, -1L), m.getOrElse(k, -1L))
+    }.toMap
+  }
+
+  override def initialOffset(): Offset = SeqOffsets(Map.empty)
+
+  override def latestOffset(): Offset = {
+    val f = FeedFs.fs(root)
+    val listed = FeedFs.partDirs(f, root).map { p =>
+      val files = seqFiles(f, p)
+      p.getName -> files.lastOption.map(_._1).getOrElse(-1L)
+    }.toMap
+    raise(listed)
+    SeqOffsets(floor.filter(_._2 >= 0))
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val o = parseSeqOffsets(json)
+    raise(o.entries)
+    o
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[SeqOffsets].entries
+    val until = end.asInstanceOf[SeqOffsets].entries
+    val f = FeedFs.fs(root)
+    until.toSeq.sortBy(_._1).flatMap { case (part, hi) =>
+      val committed = from.get(part)
+      val files = seqFiles(f, new Path(root, part))
+      // an unseen partition starts at its FIRST EXISTING frame — frames
+      // retained out before subscription were never this consumer's to
+      // read (broker semantics); only a committed offset creates the
+      // never-skip obligation below
+      val lo = committed.getOrElse(files.headOption.map(_._1 - 1).getOrElse(hi))
+      if (hi <= lo) None
+      else {
+        val inRange = files.filter { case (s, _) => s > lo && s <= hi }
+        // never-skip, seq flavor: the planned range (lo, hi] must hold
+        // exactly its consecutive run of frames — an interior gap means
+        // frames were deleted BEFORE consumption (retention overtook the
+        // consumer) or the producer wrote out of sequence order
+        require(inRange.length == hi - lo &&
+                inRange.map(_._1) == (lo + 1 to hi),
+          s"chunk feed '$part': planned sequences (${lo}, ${hi}] but " +
+          s"found [${inRange.map(_._1).mkString(",")}] — frames were " +
+          "deleted before consumption or produced out of order")
+        Some(SeqChunkRange(part, inRange.map { case (s, p) => (s, p.toString) })
+          : InputPartition)
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = FeedFs.readerFactory()
+  override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
 /** Chunks [firstChunk, firstChunk+files.length) of one feed partition. */
 case class ChunkRange(part: String, firstChunk: Long, files: Seq[String])
+    extends InputPartition
+
+/** Explicitly-numbered chunks of one feed partition (sequence mode). */
+case class SeqChunkRange(part: String, chunks: Seq[(Long, String)])
     extends InputPartition
 
 /** Ships the session's Hadoop configuration to the executors: chunk
@@ -186,7 +364,17 @@ case class ChunkRange(part: String, firstChunk: Long, files: Seq[String])
 private class ChunkReaderFactory(conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val r = partition.asInstanceOf[ChunkRange]
+    // both range shapes read identically: an ordered list of
+    // (chunk number, file) pairs
+    val chunks: IndexedSeq[(Long, String)] = partition match {
+      case r: ChunkRange =>
+        r.files.toIndexedSeq.zipWithIndex.map { case (f, i) => (r.firstChunk + i, f) }
+      case r: SeqChunkRange => r.chunks.toIndexedSeq
+    }
+    val part = partition match {
+      case r: ChunkRange => r.part
+      case r: SeqChunkRange => r.part
+    }
     new PartitionReader[InternalRow] {
       private var fileIdx = -1
       private var reader: java.io.BufferedReader = null
@@ -195,9 +383,9 @@ private class ChunkReaderFactory(conf: org.apache.spark.util.SerializableConfigu
       private def nextFile(): Boolean = {
         if (reader != null) { reader.close(); reader = null }
         fileIdx += 1
-        if (fileIdx >= r.files.length) false
+        if (fileIdx >= chunks.length) false
         else {
-          val p = new Path(r.files(fileIdx))
+          val p = new Path(chunks(fileIdx)._2)
           reader = new java.io.BufferedReader(new java.io.InputStreamReader(
             p.getFileSystem(conf.value).open(p),
             java.nio.charset.StandardCharsets.UTF_8))
@@ -217,8 +405,8 @@ private class ChunkReaderFactory(conf: org.apache.spark.util.SerializableConfigu
 
       override def get(): InternalRow = {
         val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(3)
-        row.update(0, UTF8String.fromString(r.part))
-        row.setLong(1, r.firstChunk + fileIdx)
+        row.update(0, UTF8String.fromString(part))
+        row.setLong(1, chunks(fileIdx)._1)
         row.update(2, UTF8String.fromString(current))
         row
       }

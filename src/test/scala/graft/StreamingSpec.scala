@@ -269,6 +269,125 @@ class StreamingSpec extends SparkSpec {
       s"expected the never-skip guard, got: ${messages(e)}")
   }
 
+  test("chunk feed: partition shrunk BELOW a committed offset fails loudly (no silent rebase)") {
+    // retention deleting more files than new ones arrive leaves hi < lo;
+    // planning nothing while Spark commits the regressed offset would
+    // rebase the numbering and mislabel every later frame — it must fail
+    val feed = java.nio.file.Files.createTempDirectory("graft_chunk_shrink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_chunk_shrink_ck").toString
+    def put(part: String, chunk: Int, lines: String*): Unit = {
+      val d = java.nio.file.Paths.get(feed, part)
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.write(d.resolve(f"chunk-$chunk%08d"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft.sources.ChunkFeedSource")
+        .option("path", feed).load()
+        .writeStream.outputMode("append")
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    put("p0", 0, "a0"); put("p0", 1, "a1")
+    runOnce() // commits offset 2
+    java.nio.file.Files.delete(java.nio.file.Paths.get(feed, "p0", "chunk-00000000"))
+    // one file remains: hi=1 < lo=2 — the old code planned no work here
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { runOnce() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("deleted under a committed offset")),
+      s"expected the shrink guard, got: ${messages(e)}")
+  }
+
+  test("chunk feed offsets=seq: retention deletion of consumed frames survives restart (bus.h:166)") {
+    // the retention contract count mode cannot offer: frame identity is
+    // the file name's sequence number, so deleting consumed chunks does
+    // NOT shift anything — a restarted consumer resumes exactly after
+    // its committed sequence
+    import spark.implicits._
+    val feed = java.nio.file.Files.createTempDirectory("graft_seq_feed").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_seq_ckpt").toString
+    def put(part: String, seq: Int, lines: String*): Unit = {
+      val d = java.nio.file.Paths.get(feed, part)
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.write(d.resolve(f"chunk-$seq%08d"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    def runOnce(): Seq[(String, Long, String)] = {
+      val buf = scala.collection.mutable.ArrayBuffer[(String, Long, String)]()
+      val q = spark.readStream.format("graft.sources.ChunkFeedSource")
+        .option("path", feed).option("offsets", "seq").load()
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = batch.as[(String, Long, String)].collect()
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      buf.synchronized(buf.toSeq.sorted)
+    }
+
+    put("p0", 0, "a0"); put("p0", 1, "a1"); put("p1", 5, "b5")
+    val run1 = runOnce()
+    assert(run1 == Seq(("p0", 0L, "a0"), ("p0", 1L, "a1"), ("p1", 5L, "b5")),
+      s"run1: $run1") // p1 starts at its first existing frame, number kept
+
+    // RETENTION while the consumer is down: every consumed p0 frame goes
+    // away; new frames 2 and 3 arrive. Count mode fails here by design —
+    // seq mode must resume at exactly frame 2.
+    java.nio.file.Files.delete(java.nio.file.Paths.get(feed, "p0", "chunk-00000000"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(feed, "p0", "chunk-00000001"))
+    put("p0", 2, "a2"); put("p0", 3, "a3")
+    val run2 = runOnce()
+    assert(run2 == Seq(("p0", 2L, "a2"), ("p0", 3L, "a3")),
+      s"seq restart must resume after the committed sequence, got $run2")
+
+    val run3 = runOnce()
+    assert(run3.isEmpty, s"no new frames ⇒ no rows, got $run3")
+  }
+
+  test("chunk feed offsets=seq: a gap INSIDE a planned range fails loudly") {
+    // frames deleted BEFORE consumption (retention overtook the consumer)
+    // must not be silently skipped
+    val feed = java.nio.file.Files.createTempDirectory("graft_seq_gap").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_seq_gap_ck").toString
+    def put(part: String, seq: Int, lines: String*): Unit = {
+      val d = java.nio.file.Paths.get(feed, part)
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.write(d.resolve(f"chunk-$seq%08d"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft.sources.ChunkFeedSource")
+        .option("path", feed).option("offsets", "seq").load()
+        .writeStream.outputMode("append")
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    put("p0", 0, "a0")
+    runOnce() // commits seq 0
+    put("p0", 1, "a1"); put("p0", 2, "a2"); put("p0", 3, "a3")
+    java.nio.file.Files.delete(java.nio.file.Paths.get(feed, "p0", "chunk-00000002"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { runOnce() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("deleted before consumption")),
+      s"expected the seq never-skip guard, got: ${messages(e)}")
+  }
+
+  test("chunk feed offsets: names with quotes/backslashes round-trip the checkpoint JSON") {
+    import graft.sources.ChunkFeedSource._
+    val nasty = Map("""p"0""" -> (3L, """chu"nk\01"""), "p\\1" -> (1L, "c\t2"))
+    val o = ChunkOffsets(nasty)
+    assert(parseOffsets(o.json()).entries == nasty,
+      s"count offsets corrupted: ${o.json()}")
+    val sn = Map("""p"0""" -> 7L, "p\\1" -> 2L)
+    assert(parseSeqOffsets(SeqOffsets(sn).json()).entries == sn)
+  }
+
   test("quantizeInt8 runs unchanged on a streaming frame (== batch)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
