@@ -244,6 +244,18 @@ object Oracles {
          WHERE i::DOUBLE / (sa.c + sb.c - i)::DOUBLE >= 0.2
          ORDER BY id_a, id_b""",
 
+    // q55's planted-margin construction makes the rows-only sketch
+    // query fully oracle-able: every 20th embedding re-enters under a
+    // shifted id (cosine exactly 1.0 after round-6), while the organic
+    // isotropic bulk stays below ~0.5 cosine — far under τ=0.9 — so the
+    // TRUE answer is precisely the planted pair list, and LSH recall on
+    // identical vectors is 1.0 by construction (identical sketches in
+    // every table). Verified exact at sf0.01 before promotion.
+    "q55_cosine_neardup" ->
+      """SELECT vec_id AS id_a, vec_id + 10000000 AS id_b, CAST(1.0 AS DOUBLE) AS cos
+         FROM embeddings WHERE vec_id % 20 = 0
+         ORDER BY id_a, id_b""",
+
     // q54 = connected components over the q29 pair graph (which the q29
     // oracle proves exhaustive on this fixture) → per-cluster sizes.
     // DuckDB side: full transitive closure by recursive CTE — fine on a

@@ -407,8 +407,10 @@ object Queries {
   // q29 and q54 in this family ARE hash-oracled (exact all-pairs Jaccard /
   // recursive-CTE closure in DuckDB — the fixture's bimodal pair-Jaccard
   // distribution makes LSH+verify provably exhaustive; see Oracles.scala).
-  // The xxhash64-valued outputs (q30/q32/q33/q35/q46/q55/q58) remain
-  // rows-only by declared contract: no DuckDB twin exists for those hashes.
+  // The xxhash64-valued outputs (q30/q32/q33/q35/q46/q58) remain
+  // rows-only by declared contract: no DuckDB twin exists for those
+  // hashes. q55 graduated to a full oracle: its planted-margin τ=0.9
+  // construction makes the true answer the planted pair list exactly.
 
   /** MinHash+LSH near-dup candidate pairs (north-star). Word-salad docs
     * rarely collide at 0.7; threshold 0.2 exercises the full band→bucket→
