@@ -956,6 +956,14 @@ object Oracles {
            AND p_us >= c_us - 600000000 AND p_us <= c_us
          ORDER BY user_id, c_us, click_id, p_id""",
 
+    // the dialect dedup verb == exact content dedup recomputed from
+    // scratch: md5 of whitespace-normalized lowercased text, min-id
+    // witness, group size (both engines emit lowercase md5 hex)
+    "q92_kerf_dedup" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_key,
+                min(doc_id) AS keep_id, count(*) AS group_size
+         FROM documents GROUP BY 1 ORDER BY text_key""",
+
     // frame export → chunk-feed ingestion → parse must be lossless: the
     // streamed aggregate equals the undivided table's
     "q91_feed_roundtrip" ->

@@ -1368,6 +1368,17 @@ object Queries {
     * aggregated — the oracle recomputes from the undivided table, so
     * framing + ingestion + parse must be lossless end-to-end. (Offset
     * tracking/restart is pinned by the StreamingSpec three-run test.) */
+  /** The dialect dedup verb end-to-end (SURVEY §2.8 textual surface ×
+    * the LLM dedup tier): `dedup … by … on …` lowered to
+    * [[llm.Dedup.exact]] — same Catalyst tree as q25's column form; the
+    * oracle recomputes key/witness/size per normalized text in DuckDB
+    * (md5 hex strings agree between engines, the q25-proven pairing). */
+  val q92_kerf_dedup: Q = (s, dir) => {
+    Tables.documents(s, dir).createOrReplaceTempView("docs_v92")
+    sql.KerfSql.run(s,
+      "dedup docs_v92 by doc_id on text order text_key")
+  }
+
   val q91_feed_roundtrip: Q = (s, dir) => {
     val feedDir = Scratch.dir(s, "chunkfeed", new java.io.File(dir).getName)
     val ev = Tables.events(s, dir)
@@ -1487,5 +1498,6 @@ object Queries {
     "q89_sorted_folio"   -> q89_sorted_folio,
     "q90_stream_join"    -> q90_stream_join,
     "q91_feed_roundtrip" -> q91_feed_roundtrip,
+    "q92_kerf_dedup"     -> q92_kerf_dedup,
   )
 }

@@ -743,7 +743,8 @@ object KerfSql {
     * registered as temp views, e.g. via Folio.workspaceLoad): statements
     * separated by `;`, each one of
     *
-    *  - a SQL head (`select/update/delete/insert/upsert …`) → DataFrame;
+    *  - a SQL head (`select/update/delete/insert/upsert …`) or a dedup
+    *    verb (`dedup/neardup … by id on text`) → DataFrame;
     *  - `name : expr` — Kerf colon-assignment; the RHS is evaluated
     *    EAGERLY (REPL semantics, keeps loop-carried expressions bounded)
     *    and rebound as a literal;
@@ -780,6 +781,8 @@ object KerfSql {
         case "delete" => p.pop(); last = Left(runDelete(spark, p, vars.toMap))
         case h @ ("insert" | "upsert") =>
           p.pop(); last = Left(runMerge(spark, p, h == "upsert", vars.toMap, funcs.toMap))
+        case "dedup"   => p.pop(); last = Left(runDedup(spark, p, near = false))
+        case "neardup" => p.pop(); last = Left(runDedup(spark, p, near = true))
         case "def" =>
           p.pop()
           val name = p.pop()
@@ -1221,6 +1224,41 @@ object KerfSql {
     val env = new Env(Some(df.schema), programVars)
     val pred = if (p.peekIs("where")) { p.pop(); parseExpr(p, env).col } else lit(true)
     graft.ops.TableOps.delete(df, pred)
+  }
+
+  /** The text dialect's last mile to the LLM dedup tier (SURVEY
+    * north-star ops; the underlying map stages are already
+    * SQL-registered as `graft_shingle_hashes`/`graft_minhash_signature`
+    * — this gives the whole OPERATOR a verb):
+    *
+    *   `dedup t by id on text [order c1, c2 …]`
+    *     → [[graft.llm.Dedup.exact]]: (text_key, keep_id, group_size)
+    *       per distinct normalized text, min-id witness;
+    *   `neardup t by id on text [within τ] [order …]`
+    *     → [[graft.llm.Dedup.minhashPairs]]: MinHash+LSH candidate
+    *       pairs verified at Jaccard ≥ τ (default 0.7, the reference
+    *       near-dup posture; `within` mirrors the as-of tolerance verb).
+    *
+    * Same Catalyst trees as the Column API — the dialect adds parsing,
+    * not a second engine. */
+  private def runDedup(spark: SparkSession, p: P, near: Boolean): DataFrame = {
+    val df = spark.table(p.pop())
+    p.expect("by"); val idCol = p.pop()
+    p.expect("on"); val textCol = p.pop()
+    var tau = 0.7
+    if (near && p.peekIs("within")) { p.pop(); tau = p.pop().toDouble }
+    val base =
+      if (near) graft.llm.Dedup.minhashPairs(df, idCol, textCol, jaccardThreshold = tau)
+      else graft.llm.Dedup.exact(df, idCol, textCol)
+    val out = if (p.peekIs("order")) {
+      p.pop()
+      val cols = scala.collection.mutable.ArrayBuffer[String](p.pop())
+      while (p.peekIs(",")) { p.pop(); cols += p.pop() }
+      base.orderBy(cols.toSeq.map(col): _*)
+    } else base
+    require(p.done,
+      s"trailing tokens in ${if (near) "neardup" else "dedup"}: ${p.toks.mkString(" ")}")
+    out
   }
 
   /** `insert into t values (…), (…)` / `upsert into t key k values …` —

@@ -612,6 +612,37 @@ class KerfSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("do not match"))
   }
 
+  test("dedup verb == Dedup.exact column form (same tree, text front-end)") {
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_kv")
+    val got = KerfSql.run(spark,
+      "dedup docs_kv by doc_id on text order text_key")
+    val want = graft.llm.Dedup.exact(Tables.documents(spark, sf), "doc_id", "text")
+      .orderBy("text_key")
+    assert(got.columns.toSeq == Seq("text_key", "keep_id", "group_size"))
+    assert(got.collect().toSeq == want.collect().toSeq)
+  }
+
+  test("neardup verb == Dedup.minhashPairs, `within` sets the Jaccard threshold") {
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_kv")
+    val got = KerfSql.run(spark,
+      "neardup docs_kv by doc_id on text within 0.2 order id_a, id_b")
+    val want = graft.llm.Dedup.minhashPairs(
+        Tables.documents(spark, sf), "doc_id", "text", jaccardThreshold = 0.2)
+      .orderBy("id_a", "id_b")
+    assert(got.collect().toSeq == want.collect().toSeq)
+    // default threshold (0.7) is stricter: the pair set can only shrink
+    val strict = KerfSql.run(spark, "neardup docs_kv by doc_id on text")
+    assert(strict.count() <= got.count())
+  }
+
+  test("dedup/neardup parse errors are loud, not silent column guesses") {
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_kv")
+    intercept[Exception] { KerfSql.run(spark, "dedup docs_kv on text") }
+    intercept[Exception] {
+      KerfSql.run(spark, "dedup docs_kv by doc_id on text extra tokens")
+    }
+  }
+
   test("upsert into … key … values replaces and inserts") {
     init
     val before = Tables.orders(spark, sf).count()
