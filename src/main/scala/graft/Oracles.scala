@@ -465,6 +465,24 @@ object Oracles {
                                   ELSE len(string_split_regex(trim(text), '\s+')) END, 1) AS stopword_ratio
          FROM documents ORDER BY doc_id""",
 
+    // q33/q46: the ANN tier's planted-replica closed-form answers (see
+    // the query docstrings — replicas at cosine exactly 1.0, ties by
+    // cand_id, organic bulk provably below; identical-vector cosine
+    // rounds to 1.0 exactly, the q55-proven pairing)
+    "q33_ann_lsh" ->
+      """SELECT q.vec_id AS q_id, CAST(t.j AS BIGINT) AS rk,
+                q.vec_id + t.j * 20000000 AS cand_id,
+                CAST(1.0 AS DOUBLE) AS sim
+         FROM embeddings q CROSS JOIN (VALUES (1), (2), (3)) t(j)
+         WHERE q.vec_id < 5 ORDER BY q_id, rk""",
+
+    "q46_ann_ivf" ->
+      """SELECT q.vec_id AS q_id, CAST(t.j AS BIGINT) AS rk,
+                q.vec_id + t.j * 20000000 AS cand_id,
+                CAST(1.0 AS DOUBLE) AS sim
+         FROM embeddings q CROSS JOIN (VALUES (1), (2), (3)) t(j)
+         WHERE q.vec_id < 5 ORDER BY q_id, rk""",
+
     "q28_sim_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
               c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM embeddings),

@@ -407,10 +407,10 @@ object Queries {
   // q29 and q54 in this family ARE hash-oracled (exact all-pairs Jaccard /
   // recursive-CTE closure in DuckDB — the fixture's bimodal pair-Jaccard
   // distribution makes LSH+verify provably exhaustive; see Oracles.scala).
-  // The xxhash64-valued outputs (q30/q32/q33/q35/q46/q58) remain
-  // rows-only by declared contract: no DuckDB twin exists for those
-  // hashes. q55 graduated to a full oracle: its planted-margin τ=0.9
-  // construction makes the true answer the planted pair list exactly.
+  // The xxhash64-valued outputs (q30/q32/q35/q58) remain rows-only by
+  // declared contract: no DuckDB twin exists for those hashes. q55,
+  // q33 and q46 graduated to full oracles: planted-margin/-replica
+  // constructions make their true answers closed-form (see each query).
 
   /** MinHash+LSH near-dup candidate pairs (north-star). Word-salad docs
     * rarely collide at 0.7; threshold 0.2 exercises the full band→bucket→
@@ -442,7 +442,18 @@ object Queries {
     * exact re-rank. */
   val q33_ann_lsh: Q = (s, dir) => {
     val emb = Tables.fanOut(Tables.embeddings(s, dir))
-    llm.Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb, 5,
+    val qs = emb.filter(col("vec_id") < 5)
+    // plant 3 exact replicas of each query at known ids (the q55
+    // construction): the true top-3 is closed-form — replicas at cosine
+    // 1.0 in cand_id order, the organic isotropic bulk (≲0.6) provably
+    // below — so the ANN answer is fully DuckDB-oracled: a miss
+    // (recall) or an organic displacement (soundness) both hash-fail.
+    // Organic-data exactness is pinned separately in LlmOpsSpec's
+    // brute-force-equality spec on the margin fixture.
+    val planted = (1 to 3).map(j =>
+        qs.withColumn("vec_id", col("vec_id") + lit(j * 20000000L)))
+      .reduce(_ unionByName _)
+    llm.Similarity.lshTopK(qs, emb.unionByName(planted), 3,
         nBits = 8, tables = 8)
       .orderBy(col("q_id"), col("rk"))
   }
@@ -632,7 +643,15 @@ object Queries {
     * inverted lists, nProbe-list probe, exact re-rank. */
   val q46_ann_ivf: Q = (s, dir) => {
     val emb = Tables.fanOut(Tables.embeddings(s, dir))
-    llm.Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb, 5,
+    val qs = emb.filter(col("vec_id") < 5)
+    // same planted-replica closed-form oracle as q33: identical vectors
+    // assign to the query's own nearest list, which any nProbe ≥ 1
+    // probe set contains — recall 1.0 is structural, and the oracle
+    // verifies it plus soundness against the organic bulk
+    val planted = (1 to 3).map(j =>
+        qs.withColumn("vec_id", col("vec_id") + lit(j * 20000000L)))
+      .reduce(_ unionByName _)
+    llm.Similarity.ivfTopK(qs, emb.unionByName(planted), 3,
         nLists = 16, nProbe = 6)
       .orderBy(col("q_id"), col("rk"))
   }
