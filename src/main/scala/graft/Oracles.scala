@@ -256,6 +256,90 @@ object Oracles {
          FROM embeddings WHERE vec_id % 20 = 0
          ORDER BY id_a, id_b""",
 
+    // q93/q94: the lossy-sketch closed form (FIXTURES.md §3). The corpus
+    // (doc_id < 200) is cleaned of near-dup members by EXACT 3-gram
+    // Jaccard >= 0.3 — recomputed here from shingle strings, the
+    // q29-proven pairing with Spark's shingle-hash sets — after which no
+    // organic pair collides (simhash floor 2 > tau 1; no identical
+    // fingerprint sets), so the true answer is each surviving doc
+    // against its planted exact replica.
+    "q93_simhash_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents WHERE doc_id < 200),
+         shing AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                  END AS s
+           FROM toks),
+         ex AS (SELECT doc_id, unnest(s) AS sh FROM shing),
+         sizes AS (SELECT doc_id, count(*) AS c FROM ex GROUP BY 1),
+         inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+                   FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         ndp AS (SELECT ia, ib FROM inter
+                 JOIN sizes sa ON sa.doc_id = ia
+                 JOIN sizes sb ON sb.doc_id = ib
+                 WHERE i::DOUBLE / (sa.c + sb.c - i)::DOUBLE >= 0.3),
+         nd AS (SELECT ia AS doc_id FROM ndp UNION SELECT ib FROM ndp)
+         SELECT doc_id AS id_a, doc_id + 10000000 AS id_b,
+                CAST(0 AS BIGINT) AS hamming
+         FROM documents
+         WHERE doc_id < 200 AND doc_id NOT IN (SELECT doc_id FROM nd)
+         ORDER BY id_a""",
+
+    "q94_fingerprint_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents WHERE doc_id < 200),
+         shing AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                  END AS s
+           FROM toks),
+         ex AS (SELECT doc_id, unnest(s) AS sh FROM shing),
+         sizes AS (SELECT doc_id, count(*) AS c FROM ex GROUP BY 1),
+         inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+                   FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         ndp AS (SELECT ia, ib FROM inter
+                 JOIN sizes sa ON sa.doc_id = ia
+                 JOIN sizes sb ON sb.doc_id = ib
+                 WHERE i::DOUBLE / (sa.c + sb.c - i)::DOUBLE >= 0.3),
+         nd AS (SELECT ia AS doc_id FROM ndp UNION SELECT ib FROM ndp)
+         SELECT doc_id AS id_a, doc_id + 10000000 AS id_b
+         FROM documents
+         WHERE doc_id < 200 AND doc_id NOT IN (SELECT doc_id FROM nd)
+         ORDER BY id_a""",
+
+    // q35: blob metadata recomputed from UTF-8 byte lengths; the
+    // xxhash64-valued feature column is pinned by the query itself
+    // (second-pass determinism check) and surfaces here as f0_eq = 1.
+    "q35_multimodal" ->
+      """SELECT doc_id, 'application/octet-stream' AS mime,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                CAST(GREATEST(octet_length(encode(text)) // 64, 1) AS BIGINT) AS n_frames,
+                CAST(1 AS BIGINT) AS f0_eq
+         FROM documents ORDER BY doc_id""",
+
+    // q58: organic sources share zero sketch slots (measured max organic
+    // estimate 0.0), and a whole-source replica agrees on all 64 — the
+    // entire similarity matrix is two constants.
+    "q58_group_sketch" ->
+      """WITH s AS (SELECT DISTINCT source FROM documents),
+              u AS (SELECT source FROM s UNION ALL SELECT 'dup:' || source FROM s)
+         SELECT a.source AS src_a, b.source AS src_b,
+                CASE WHEN b.source = 'dup:' || a.source OR a.source = 'dup:' || b.source
+                     THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS est_jaccard
+         FROM u a JOIN u b ON a.source < b.source
+         ORDER BY src_a, src_b""",
+
     // q54 = connected components over the q29 pair graph (which the q29
     // oracle proves exhaustive on this fixture) → per-cluster sizes.
     // DuckDB side: full transitive closure by recursive CTE — fine on a

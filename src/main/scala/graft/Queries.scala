@@ -407,10 +407,15 @@ object Queries {
   // q29 and q54 in this family ARE hash-oracled (exact all-pairs Jaccard /
   // recursive-CTE closure in DuckDB — the fixture's bimodal pair-Jaccard
   // distribution makes LSH+verify provably exhaustive; see Oracles.scala).
-  // The xxhash64-valued outputs (q30/q32/q35/q58) remain rows-only by
-  // declared contract: no DuckDB twin exists for those hashes. q55,
-  // q33 and q46 graduated to full oracles: planted-margin/-replica
-  // constructions make their true answers closed-form (see each query).
+  // Raw signature surfaces (q30 simhash values, q32 fingerprint hashes)
+  // remain rows-only by declared contract: no DuckDB twin exists for
+  // xxhash64 outputs. Their BEHAVIOR is oracled by the dedup queries
+  // built on them (q93/q94), and the rest of the sketch tier graduated
+  // to full oracles via planted-margin/-replica constructions whose
+  // true answers are closed-form: q33/q46/q55 (embedding replicas at
+  // cosine exactly 1.0), q58 (whole-source replica — the organic matrix
+  // is exactly 0.0), q35 (metadata from byte lengths + a determinism
+  // pin on the hash-valued features). Measurements in FIXTURES.md §3.
 
   /** MinHash+LSH near-dup candidate pairs (north-star). Word-salad docs
     * rarely collide at 0.7; threshold 0.2 exercises the full band→bucket→
@@ -476,12 +481,29 @@ object Queries {
   }
 
   /** Multimodal stub pipeline (north-star): binary media column →
-    * deterministic fake features; real schema/partitioning/batch shape. */
-  val q35_multimodal: Q = (s, dir) =>
-    llm.Multimodal.pipeline(Tables.fanOut(Tables.documents(s, dir)), "doc_id", "text")
+    * deterministic fake features; real schema/partitioning/batch shape.
+    * GRADUATED to a full oracle (round 7): `mime`/`n_bytes`/`n_frames`
+    * are engine-independent facts of the blob (UTF-8 byte length and the
+    * 64-byte frame stride — DuckDB recomputes both from the text), and
+    * the xxhash64-valued feature column is pinned by DETERMINISM: a
+    * second, independently-planned pipeline pass over the same table
+    * must reproduce f0 bit-for-bit (`f0_eq` = 1 for every row). A
+    * non-deterministic or constant-feature regression flips f0_eq or
+    * collapses n_frames — both hash-fail. */
+  val q35_multimodal: Q = (s, dir) => {
+    val once = llm.Multimodal.pipeline(
+        Tables.fanOut(Tables.documents(s, dir)), "doc_id", "text")
       .select(col("doc_id"), col("mime"), col("n_bytes"), col("n_frames"),
               round(element_at(col("features"), 1), 6).as("f0"))
+    val again = llm.Multimodal.pipeline(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), round(element_at(col("features"), 1), 6).as("f0_b"))
+    once.join(again, Seq("doc_id"))
+      .select(col("doc_id"), col("mime"),
+        col("n_bytes").cast("long").as("n_bytes"),
+        col("n_frames").cast("long").as("n_frames"),
+        (col("f0") === col("f0_b")).cast("long").as("f0_eq"))
       .orderBy(col("doc_id"))
+  }
 
   /** Structured-streaming replay of the hourly aggregation — same answer
     * as the batch q14 path (and checked against the same oracle). */
@@ -809,8 +831,18 @@ object Queries {
     * then signature-slot agreement over the tiny sketch table (sources ≈
     * dozens — the cross join is over sketches, never over documents). */
   val q58_group_sketch: Q = (s, dir) => {
+    // GRADUATED to a full oracle (round 7, measured in FIXTURES.md §3):
+    // every organic source pair estimates EXACTLY 0.0 (zero slot
+    // agreement across all 64 slots — fixture sources share no
+    // normalized text), so planting a whole-source replica (`dup:<s>`,
+    // an identical doc multiset → identical signature → 64/64 slots →
+    // exactly 1.0) makes the ENTIRE similarity matrix closed-form:
+    // 1.0 on (s, dup:s) pairs, 0.0 everywhere else. A sketch-merge or
+    // slot-agreement bug perturbs either constant and hash-fails.
     val docs = Tables.fanOut(Tables.documents(s, dir))
-    val sigs = docs
+    val all = docs.unionByName(
+      docs.withColumn("source", concat(lit("dup:"), col("source"))))
+    val sigs = all
       .select(col("source"), llm.Dedup.normText(col("text")).as("__t"))
       .groupBy(col("source"))
       .agg(functions.MinHashAgg.minhash(col("__t"), 64).as("sig"))
@@ -1423,6 +1455,66 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** SimHash hamming-blocking DEDUP with a closed-form oracle (the
+    * planted-replica construction of q33/q46/q55, adapted for a lossy
+    * sketch). The fixture's planted near-dups collide organically at
+    * hamming ≤ 3 (FIXTURES.md §3: 17 such pairs, none text-equal — not
+    * DuckDB-identifiable), so the corpus is first cleaned of near-dup
+    * members by EXACT 3-gram Jaccard ≥ 0.3 — a rule both engines compute
+    * identically (the q29-proven pairing: shingle-hash sets here, shingle
+    * strings in DuckDB). On the cleaned subset the organic hamming floor
+    * is 2 (measured), so with τ=1 the only surviving pairs are each doc
+    * against its planted exact replica at hamming 0 — a list DuckDB
+    * derives from its own Jaccard computation alone. Misses (blocking
+    * bug), organic leaks (verify bug), and signature nondeterminism all
+    * hash-fail. */
+  val q93_simhash_dedup: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).filter(col("doc_id") < 200)
+    val sh = d.select(col("doc_id"),
+      llm.Dedup.shinglesFromTokens(llm.Dedup.tokens(col("text")), 3).as("shg"))
+    val a = sh.select(col("doc_id").as("ia"), col("shg").as("ga"))
+    val b = sh.select(col("doc_id").as("ib"), col("shg").as("gb"))
+    val ndIds = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .filter(size(array_intersect(col("ga"), col("gb"))).cast("double") /
+              size(array_union(col("ga"), col("gb"))).cast("double") >= 0.3)
+      .select(explode(array(col("ia"), col("ib"))).as("doc_id")).distinct()
+    val clean = d.join(ndIds, Seq("doc_id"), "left_anti")
+    val planted = clean.withColumn("doc_id", col("doc_id") + lit(10000000L))
+    llm.Dedup.simhashPairs(clean.unionByName(planted), "doc_id", "text",
+        maxHamming = 1)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy(col("id_a"))
+  }
+
+  /** Winnowing-fingerprint dedup with the same closed-form treatment as
+    * q93: identical normalized text ⇒ identical fingerprint SET, and on
+    * the near-dup-cleaned subset no organic pair shares a full set
+    * (FIXTURES.md §3 — the 3 organic identical-set pairs are all
+    * near-dups, excluded by the Jaccard rule), so pairs with equal
+    * fingerprint arrays are exactly each doc against its planted
+    * replica. Pins the full k-gram→window-min→set pipeline end-to-end:
+    * any change to the rolling hash, window choice, or set ordering
+    * breaks replica equality or leaks an organic pair. */
+  val q94_fingerprint_dedup: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).filter(col("doc_id") < 200)
+    val sh = d.select(col("doc_id"),
+      llm.Dedup.shinglesFromTokens(llm.Dedup.tokens(col("text")), 3).as("shg"))
+    val a = sh.select(col("doc_id").as("ia"), col("shg").as("ga"))
+    val b = sh.select(col("doc_id").as("ib"), col("shg").as("gb"))
+    val ndIds = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .filter(size(array_intersect(col("ga"), col("gb"))).cast("double") /
+              size(array_union(col("ga"), col("gb"))).cast("double") >= 0.3)
+      .select(explode(array(col("ia"), col("ib"))).as("doc_id")).distinct()
+    val clean = d.join(ndIds, Seq("doc_id"), "left_anti")
+    val planted = clean.withColumn("doc_id", col("doc_id") + lit(10000000L))
+    val fps = llm.TextOps.fingerprint(clean.unionByName(planted), "doc_id", "text")
+    val fa = fps.select(col("doc_id").as("id_a"), col("fingerprint").as("fa"))
+    val fb = fps.select(col("doc_id").as("id_b"), col("fingerprint").as("fb"))
+    fa.join(fb, col("fa") === col("fb") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -1518,5 +1610,7 @@ object Queries {
     "q90_stream_join"    -> q90_stream_join,
     "q91_feed_roundtrip" -> q91_feed_roundtrip,
     "q92_kerf_dedup"     -> q92_kerf_dedup,
+    "q93_simhash_dedup"  -> q93_simhash_dedup,
+    "q94_fingerprint_dedup" -> q94_fingerprint_dedup,
   )
 }
