@@ -328,6 +328,43 @@ object Oracles {
                 CAST(1 AS BIGINT) AS f0_eq
          FROM documents ORDER BY doc_id""",
 
+    // q95: the width-promoted folio must aggregate as if both batches
+    // had been double all along; floor-then-cast mirrors Spark's
+    // truncating double→int cast for the narrow batch.
+    "q95_width_promotion" ->
+      """SELECT CAST(l_orderkey % 7 AS BIGINT) AS bucket,
+                CAST(sum(CASE WHEN l_orderkey % 2 = 0
+                              THEN CAST(CAST(floor(l_quantity) AS INTEGER) AS DECIMAL(18,2))
+                              ELSE CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_qty,
+                count(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY bucket""",
+
+    // q96: the workspace round-trip must be invisible — same join+agg
+    // straight off the base tables.
+    "q96_workspace" ->
+      """SELECT c_mktsegment, count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    // q97: salting must be semantically invisible — plain join + group-by.
+    "q97_salted" ->
+      """SELECT o_orderpriority,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                count(*) AS n
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // q98: final transformWithState state row per key == arg_max over
+    // the replayed events (ns epochs; no (user_id, ts) ties in the
+    // fixture, so the latest tick is unique).
+    "q98_lasttick_tws" ->
+      """SELECT user_id,
+                max(epoch_us(ts)) AS ts_us,
+                arg_max(value, epoch_us(ts)) AS value,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
     // q58: organic sources share zero sketch slots (measured max organic
     // estimate 0.0), and a whole-source replica agrees on all 64 — the
     // entire similarity matrix is two constants.

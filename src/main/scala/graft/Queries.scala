@@ -1515,6 +1515,106 @@ object Queries {
       .orderBy(col("id_a"))
   }
 
+  /** Width promotion on append as an ORACLED TABLE QUERY (SURVEY §1.4 /
+    * §2.1 promotion row; the reference's promote_or_expand_via_widths,
+    * layout.cc:726–836, previously pinned only by FolioSpec): an INT
+    * batch lands first, a DOUBLE batch appends after — the folio must
+    * widen in place (versioned publish) and the merged read must
+    * aggregate as if both batches had been double all along. DuckDB
+    * recomputes from the base table with the same per-batch casts
+    * (floor-then-cast: Spark's double→int cast truncates, DuckDB's
+    * rounds — floor first makes them agree). */
+  val q95_width_promotion: Q = (s, dir) => {
+    val path = Scratch.dir(s, "promo",
+      s"${new java.io.File(dir).getName}_${System.nanoTime}")
+    val li = Tables.lineitem(s, dir)
+    val b1 = li.filter(pmod(col("l_orderkey"), lit(2)) === 0)
+      .select(col("l_orderkey"), floor(col("l_quantity")).cast("int").as("qty"))
+    val b2 = li.filter(pmod(col("l_orderkey"), lit(2)) === 1)
+      .select(col("l_orderkey"), col("l_quantity").as("qty"))
+    io.Folio.appendWithPromotion(b1, path)
+    io.Folio.appendWithPromotion(b2, path)
+    io.Folio.promotedRead(s, path)
+      .groupBy(pmod(col("l_orderkey"), lit(7)).as("bucket"))
+      .agg(sum(dec(col("qty"))).cast("double").as("sum_qty"),
+           count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Workspace save/load as an ORACLED TABLE QUERY (file.cc:994–1023
+    * workspace_save/load; previously FolioSpec-only): two tables round-
+    * trip through a workspace directory, come back as catalog temp
+    * views, and a join+agg over the RESTORED views must equal the same
+    * query over the original parquet. */
+  val q96_workspace: Q = (s, dir) => {
+    val path = Scratch.dir(s, "ws",
+      s"${new java.io.File(dir).getName}_${System.nanoTime}")
+    io.Folio.workspaceSave(Map(
+      "ws_orders" -> Tables.orders(s, dir),
+      "ws_customer" -> Tables.customer(s, dir)), path)
+    val loaded = io.Folio.workspaceLoad(s, path)
+    loaded("ws_orders").join(loaded("ws_customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+           sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Skew-salted aggregation AND join as an ORACLED TABLE QUERY (SURVEY
+    * §2.4 skew row; previously ScaleOpsSpec-only): the two-phase salted
+    * aggregate and the salt-replicated join must be semantically
+    * INVISIBLE — DuckDB recomputes with a plain join + group-by. The
+    * salt spreads each hot key over 8 reducers; partial aggs compress
+    * per (key, salt) before the final per-key pass. */
+  val q97_salted: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val joined = ops.Skew.saltedJoin(li, ord, Seq("l_orderkey"),
+      saltFrom = col("l_orderkey"), buckets = 8)
+    ops.Skew.saltedAgg(joined, Seq(col("o_orderpriority")),
+        saltFrom = Seq(col("l_orderkey")), buckets = 8)(Seq(
+      ("sum_qty", sum(dec(col("l_quantity"))), (c: String) => sum(col(c))),
+      ("n", count(lit(1)), (c: String) => sum(col(c)))))
+      .select(col("o_orderpriority"),
+        col("sum_qty").cast("double").as("sum_qty"), col("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Stateful last-tick via transformWithState + RocksDB as an ORACLED
+    * STREAMING QUERY (SURVEY §2.9 stateful row; previously
+    * StreamingSpec-only): the events fixture replays through the typed
+    * ValueState processor, the final state row per key must equal
+    * DuckDB's arg_max over the same data (no (user_id, ts) ties in the
+    * fixture — verified — so the latest tick is unique). */
+  val q98_lasttick_tws: Q = (s, dir) => {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ticks = streaming.EventStream.lastTicksTws(
+        streaming.EventStream.readEvents(s, dir).drop("ts"))
+      val upd = streaming.EventStream.runToCompletion(s, ticks,
+        s"lasttick_tws_${System.nanoTime}",
+        mode = org.apache.spark.sql.streaming.OutputMode.Update())
+      // update mode emits one row per key per batch it changed in; the
+      // final state row is the one with the key's highest n_events
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+      upd.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        // µs for the oracle: DuckDB truncates parquet ns→µs on read
+        .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+                col("value"), col("n_events"))
+        .orderBy(col("user_id"))
+    } finally prev match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -1612,5 +1712,9 @@ object Queries {
     "q92_kerf_dedup"     -> q92_kerf_dedup,
     "q93_simhash_dedup"  -> q93_simhash_dedup,
     "q94_fingerprint_dedup" -> q94_fingerprint_dedup,
+    "q95_width_promotion" -> q95_width_promotion,
+    "q96_workspace"      -> q96_workspace,
+    "q97_salted"         -> q97_salted,
+    "q98_lasttick_tws"   -> q98_lasttick_tws,
   )
 }
