@@ -104,7 +104,8 @@ object KerfSql {
   private val windowVerbs = Set("sums", "avgs", "mins", "maxs", "counts",
     "deltas", "prev")
   private val listVerbs = Set("length", "upper", "lower", "reverse",
-    "first", "last", "enlist", "join", "find", "keys", "values", "amend")
+    "first", "last", "enlist", "join", "find", "keys", "values", "amend",
+    "take", "drop", "distinct", "ascend", "descend", "flip")
   private val verbSyms = Set("+", "-", "*", "/", "%")
   private val adverbNames = Set("fold", "over", "unfold", "scan",
     "mapdown", "each", "mapback", "eachprior", "mapright", "mapleft")
@@ -699,6 +700,59 @@ object KerfSql {
             (x, i) => when(i === k.col.cast("int"), v.col.cast(wide)).otherwise(x)),
           ArrayType(wide))
       case other => throw new IllegalArgumentException(s"amend: need a dict or list, got $other")
+    }
+    // take/drop/distinct/ascend/descend/flip: the original Kerf's list
+    // tier beyond the snapshot's slop.h verbs — q/k lineage semantics:
+    // take CYCLES on over-take and a negative count takes from the end;
+    // ascend/descend are the 0-based GRADE permutations (stable: ties
+    // keep original order); flip transposes a rectangular list-of-lists.
+    case ("take", Seq(a, n)) => a.dt match {
+      case ArrayType(e, _) =>
+        val sz = size(a.col)
+        val cnt = abs(n.col).cast("int")
+        def cyc(arr: Column) =
+          when(sz === 0 || cnt === 0, slice(a.col, 1, 0))
+            .otherwise(transform(sequence(lit(1), greatest(cnt, lit(1))),
+              i => element_at(arr, pmod(i - 1, sz).cast("int") + 1)))
+        T(when(n.col >= 0, cyc(a.col))
+            .otherwise(reverse(cyc(reverse(a.col)))), ArrayType(e))
+      case other => throw new IllegalArgumentException(s"take: need a list, got $other")
+    }
+    case ("drop", Seq(a, n)) => a.dt match {
+      case ArrayType(e, _) =>
+        val sz = size(a.col)
+        val cnt = n.col.cast("int")
+        T(when(cnt >= 0, slice(a.col, cnt + 1, greatest(sz - cnt, lit(0))))
+            .otherwise(slice(a.col, lit(1), greatest(sz + cnt, lit(0)))), ArrayType(e))
+      case other => throw new IllegalArgumentException(s"drop: need a list, got $other")
+    }
+    case ("distinct", Seq(a)) => a.dt match { // first-occurrence order
+      case ArrayType(e, _) => T(array_distinct(a.col), ArrayType(e))
+      case other => throw new IllegalArgumentException(s"distinct: need a list, got $other")
+    }
+    case ("ascend", Seq(a)) => a.dt match {
+      case ArrayType(_, _) =>
+        T(transform(array_sort(transform(a.col,
+              (x, i) => struct(x.as("v"), i.as("i")))),
+            s => s.getField("i").cast("long")), ArrayType(LongType))
+      case other => throw new IllegalArgumentException(s"ascend: need a list, got $other")
+    }
+    case ("descend", Seq(a)) => a.dt match {
+      case ArrayType(_, _) =>
+        val graded = array_sort(
+          transform(a.col, (x, i) => struct(x.as("v"), i.as("i"))),
+          (l, r) => when(l.getField("v") > r.getField("v"), -1)
+            .when(l.getField("v") < r.getField("v"), 1)
+            .otherwise(when(l.getField("i") < r.getField("i"), -1).otherwise(1))
+            .cast("int"))
+        T(transform(graded, s => s.getField("i").cast("long")), ArrayType(LongType))
+      case other => throw new IllegalArgumentException(s"descend: need a list, got $other")
+    }
+    case ("flip", Seq(a)) => a.dt match {
+      case ArrayType(inner @ ArrayType(_, _), _) =>
+        T(transform(sequence(lit(1), size(element_at(a.col, 1))),
+            j => transform(a.col, row => element_at(row, j))), ArrayType(inner))
+      case other => throw new IllegalArgumentException(s"flip: need a list of lists, got $other")
     }
     case ("keys", Seq(a)) => a.dt match { // dict verbs (presented.h map surface)
       case MapType(k, _, _) => T(map_keys(a.col), ArrayType(k))

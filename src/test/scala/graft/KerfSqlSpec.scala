@@ -292,6 +292,27 @@ class KerfSqlSpec extends SparkSpec {
       Seq(1L, 2L, 10L, 20L, 10L, 20L))
   }
 
+  test("list verbs: take/drop/distinct/ascend/descend/flip (q/k lineage)") {
+    assert(evalOne("take(1 2 3, 2)") == Seq(1L, 2L))
+    assert(evalOne("take(1 2 3, 5)") == Seq(1L, 2L, 3L, 1L, 2L))   // over-take cycles
+    assert(evalOne("take(1 2 3, -2)") == Seq(2L, 3L))
+    assert(evalOne("take(1 2 3, -5)") == Seq(2L, 3L, 1L, 2L, 3L))  // cycles from end
+    assert(evalOne("take(1 2 3, 0)") == Seq())
+    assert(evalOne("drop(1 2 3 4, 2)") == Seq(3L, 4L))
+    assert(evalOne("drop(1 2 3 4, -1)") == Seq(1L, 2L, 3L))
+    assert(evalOne("drop(1 2, 5)") == Seq())
+    assert(evalOne("distinct(1 2 1 3 2)") == Seq(1L, 2L, 3L))      // first-occurrence order
+    assert(evalOne("ascend(30 10 20)") == Seq(1L, 2L, 0L))         // grade-up, 0-based
+    assert(evalOne("descend(30 10 20)") == Seq(0L, 2L, 1L))        // grade-down
+    assert(evalOne("ascend(2 1 2 1)") == Seq(1L, 3L, 0L, 2L))      // stable on ties
+    assert(evalOne("descend(2 1 2 1)") == Seq(0L, 2L, 1L, 3L))     // ties keep order
+    // the grade law: x[ascend(x)] is sorted
+    assert(evalOne("v: 30 10 20; v[ascend(v)]") == Seq(10L, 20L, 30L))
+    assert(evalOne("flip([[1, 2], [3, 4], [5, 6]])") ==
+      Seq(Seq(1L, 3L, 5L), Seq(2L, 4L, 6L)))
+    assert(evalOne("count(take(til 10, 7))") == 7L)
+  }
+
   test("map semantics mirror test.cc:383–420: amend_one, count, d[keys]") {
     // map.amend_one(0,2); map.amend_one(3,4) → keys/values grow, update wins
     assert(evalOne("amend({a: 1, b: 101}, 'a', 2)['a']") == 2L)    // update
