@@ -365,6 +365,24 @@ object Oracles {
                 CAST(count(*) AS BIGINT) AS n_events
          FROM events GROUP BY user_id ORDER BY user_id""",
 
+    // q99: streaming as-of enrichment == batch ASOF LEFT JOIN. The
+    // MATERIALIZED CTEs are the q76 optimization barrier (DuckDB pushes
+    // outer predicates into an ASOF join and errors on the extra
+    // inequality). µs resolution both sides; no (user_id, µs) ties in
+    // the fixture, so truncation cannot flip an as-of decision.
+    "q99_stream_asof" ->
+      """WITH t AS MATERIALIZED (
+           SELECT user_id, epoch_us(ts) AS ts_us, value AS trade_value
+           FROM events WHERE event_type = 'click'),
+         q AS MATERIALIZED (
+           SELECT user_id, epoch_us(ts) AS q_ts, value AS quote_value
+           FROM events WHERE event_type = 'purchase')
+         SELECT t.user_id, t.ts_us, t.trade_value,
+                q.q_ts AS quote_ts_us, q.quote_value
+         FROM t ASOF LEFT JOIN q
+           ON t.user_id = q.user_id AND t.ts_us >= q.q_ts
+         ORDER BY t.user_id, t.ts_us""",
+
     // q58: organic sources share zero sketch slots (measured max organic
     // estimate 0.0), and a whole-source replica agrees on all 64 — the
     // entire similarity matrix is two constants.

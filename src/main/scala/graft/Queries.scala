@@ -1615,6 +1615,39 @@ object Queries {
     }
   }
 
+  /** STREAMING as-of enrichment as an ORACLED QUERY (SURVEY §2.9 —
+    * the tick-DB "enrich each trade with the latest quote" essential,
+    * previously StreamingSpec-only): the events fixture replays through
+    * the transformWithState processor (clicks = trades, purchases =
+    * quotes), and the appended enrichment stream must equal DuckDB's
+    * batch ASOF LEFT JOIN. µs outputs (DuckDB reads parquet ns as µs);
+    * sound because the fixture has no (user_id, µs) ties — verified —
+    * so ns- and µs-resolution as-of decisions coincide. */
+  val q99_stream_asof: Q = (s, dir) => {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = streaming.EventStream.readEvents(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts_ns"),
+          when(col("event_type") === "purchase", "q").otherwise("t").as("kind"),
+          col("value"))
+      val enriched = streaming.EventStream.asOfEnrich(ev)
+      streaming.EventStream.runToCompletion(s, enriched,
+          s"stream_asof_${System.nanoTime}",
+          mode = org.apache.spark.sql.streaming.OutputMode.Append())
+        .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+          col("trade_value"), expr("quote_ts_ns div 1000").as("quote_ts_us"),
+          col("quote_value"))
+        .orderBy(col("user_id"), col("ts_us"))
+    } finally prev match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -1716,5 +1749,6 @@ object Queries {
     "q96_workspace"      -> q96_workspace,
     "q97_salted"         -> q97_salted,
     "q98_lasttick_tws"   -> q98_lasttick_tws,
+    "q99_stream_asof"    -> q99_stream_asof,
   )
 }
