@@ -383,6 +383,15 @@ object Oracles {
            ON t.user_id = q.user_id AND t.ts_us >= q.q_ts
          ORDER BY t.user_id, t.ts_us""",
 
+    // q100: Kerf `bars(15i, ts)` == epoch-µs grid arithmetic; integer
+    // cents for the order-insensitive sum.
+    "q100_kerf_bars" ->
+      """SELECT epoch_us(ts) - epoch_us(ts) % 900000000 AS bucket_us,
+                count(value) AS n,
+                CAST(round(sum(value) * 100) AS BIGINT) AS total_cents
+         FROM events WHERE event_type = 'click'
+         GROUP BY 1 ORDER BY bucket_us""",
+
     // q58: organic sources share zero sketch slots (measured max organic
     // estimate 0.0), and a whole-source replica agrees on all 64 — the
     // entire similarity matrix is two constants.

@@ -1648,6 +1648,25 @@ object Queries {
     }
   }
 
+  /** Kerf `bars` bucketing from the TEXT surface, oracled (the original
+    * Kerf's bar/bin verb — `bars(15i, ts)` floors a stamp to the 15-min
+    * grid; the time_bucket/date_trunc equivalent with span literals).
+    * The dialect's computed group key drives a windowless streaming-
+    * style rollup; DuckDB recomputes with epoch arithmetic. µs longs in
+    * the output (the ns→µs oracle rule). */
+  val q100_kerf_bars: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("value"), col("event_type"))
+      .createOrReplaceTempView("events_v100")
+    sql.KerfSql.run(s,
+      "select count(value) as n, sum(value) as total " +
+      "from events_v100 where event_type = 'click' " +
+      "group bars(15i, ts) as bucket order bucket")
+      // µs epoch + integer cents: the order-insensitive oracle forms
+      .select(unix_micros(col("bucket")).as("bucket_us"), col("n"),
+        round(col("total") * 100).cast("long").as("total_cents"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -1750,5 +1769,6 @@ object Queries {
     "q97_salted"         -> q97_salted,
     "q98_lasttick_tws"   -> q98_lasttick_tws,
     "q99_stream_asof"    -> q99_stream_asof,
+    "q100_kerf_bars"     -> q100_kerf_bars,
   )
 }

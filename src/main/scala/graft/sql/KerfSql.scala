@@ -105,7 +105,7 @@ object KerfSql {
     "deltas", "prev")
   private val listVerbs = Set("length", "upper", "lower", "reverse",
     "first", "last", "enlist", "join", "find", "keys", "values", "amend",
-    "take", "drop", "distinct", "ascend", "descend", "flip")
+    "take", "drop", "distinct", "ascend", "descend", "flip", "bars")
   private val verbSyms = Set("+", "-", "*", "/", "%")
   private val adverbNames = Set("fold", "over", "unfold", "scan",
     "mapdown", "each", "mapback", "eachprior", "mapright", "mapleft")
@@ -753,6 +753,44 @@ object KerfSql {
         T(transform(sequence(lit(1), size(element_at(a.col, 1))),
             j => transform(a.col, row => element_at(row, j))), ArrayType(inner))
       case other => throw new IllegalArgumentException(s"flip: need a list of lists, got $other")
+    }
+    // bars(width, x): Kerf's bucketing verb — floor x to a multiple of
+    // width. Numeric width buckets numbers; a fixed span buckets stamps
+    // (and ns-longs) on the time line; a CALENDAR span (months) floors
+    // to the month grid. The SQL surface of date_trunc/time_bucket with
+    // Kerf span literals: `bars(15i, ts)`.
+    case ("bars", Seq(w, x)) => w.span match {
+      case Some(sp) if sp.months == 0 =>
+        require(sp.nanos > 0, "bars: span width must be positive")
+        x.dt match {
+          case LongType | IntegerType => // ns-long axis
+            T(x.col - pmod(x.col, lit(sp.nanos)), LongType)
+          case TimestampType =>
+            require(sp.nanos % 1000 == 0,
+              "bars: sub-microsecond width needs an ns-long axis (TimestampType is µs)")
+            val us = unix_micros(x.col)
+            T(timestamp_micros(us - pmod(us, lit(sp.nanos / 1000))), TimestampType)
+          case other => throw new IllegalArgumentException(
+            s"bars: need a stamp or ns-long to bucket, got $other")
+        }
+      case Some(sp) => // calendar width: floor to the month grid
+        require(sp.nanos == 0, "bars: mixed calendar+fixed span widths are ambiguous")
+        require(sp.months > 0, "bars: span width must be positive")
+        x.dt match {
+          case TimestampType | DateType =>
+            val total = (year(x.col) - 1970) * 12 + month(x.col) - 1
+            val fl = total - pmod(total, lit(sp.months.toInt))
+            T(make_date(lit(1970) + floor(fl / 12).cast("int"),
+                pmod(fl, lit(12)).cast("int") + 1, lit(1)).cast(TimestampType),
+              TimestampType)
+          case other => throw new IllegalArgumentException(
+            s"bars: calendar width needs a stamp, got $other")
+        }
+      case None => (w.dt, x.dt) match { // numeric bucketing
+        case (DoubleType, _) | (_, DoubleType) =>
+          T(w.col * floor(x.col.cast("double") / w.col), DoubleType)
+        case _ => T(x.col - pmod(x.col, w.col), widenArith(w.dt, x.dt))
+      }
     }
     case ("keys", Seq(a)) => a.dt match { // dict verbs (presented.h map surface)
       case MapType(k, _, _) => T(map_keys(a.col), ArrayType(k))

@@ -313,6 +313,20 @@ class KerfSqlSpec extends SparkSpec {
     assert(evalOne("count(take(til 10, 7))") == 7L)
   }
 
+  test("bars: numeric, fixed-span, and calendar bucketing") {
+    assert(evalOne("bars(10, 37)") == 30L)
+    assert(evalOne("bars(10, 40)") == 40L)
+    assert(evalOne("bars(2.5, 6.3)") == 5.0)
+    // fixed span over an ns-long axis: 90 s into the epoch, 1-minute bars
+    assert(evalOne("bars(1i, 90000000000)") == 60000000000L)
+    // fixed span over a stamp: 15-minute bars
+    assert(evalOne("bars(15i, 2024.01.05T12:21:07)").toString
+      == "2024-01-05 12:15:00.0")
+    // calendar span: quarter bars floor to the month grid
+    assert(evalOne("bars(3m, 2024.05.20)").toString == "2024-04-01 00:00:00.0")
+    assert(evalOne("bars(1y, 2024.05.20)").toString == "2024-01-01 00:00:00.0")
+  }
+
   test("map semantics mirror test.cc:383–420: amend_one, count, d[keys]") {
     // map.amend_one(0,2); map.amend_one(3,4) → keys/values grow, update wins
     assert(evalOne("amend({a: 1, b: 101}, 'a', 2)['a']") == 2L)    // update
