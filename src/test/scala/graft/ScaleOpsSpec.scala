@@ -32,6 +32,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("saltedAgg plan: two shuffles, the first on (keys, salt)") {
+    // the whole point of salting is shuffle SHAPE: phase 1 must exchange
+    // on (k, __salt) — spreading the hot key over `buckets` reducers —
+    // and phase 2 re-aggregates the tiny per-(key, salt) partials on k
+    val df = Skew.saltedAgg(skewed, Seq(col("k")), Seq(col("v")), 8)(Seq(
+      ("s", sum(col("v").cast("decimal(18,2)")), (c: String) => sum(col(c))),
+      ("n", count(lit(1)), (c: String) => sum(col(c)))))
+    df.collect()
+    // the AQE plan string repeats the tree under "== Initial Plan ==" —
+    // count exchanges in the final section only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, s"two-phase salted agg should shuffle twice, saw $exchanges:\n$p")
+    assert("hashpartitioning\\(k[#\\d]*, __salt".r.findFirstIn(p).isDefined,
+      s"phase-1 exchange is not on (k, __salt):\n$p")
+  }
+
   test("salt is deterministic (retry-safe), never rand()") {
     val a = skewed.select(Skew.salt(16, col("v")).as("s")).collect().map(_.getInt(0))
     val b = skewed.select(Skew.salt(16, col("v")).as("s")).collect().map(_.getInt(0))
