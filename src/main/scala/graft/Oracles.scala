@@ -392,6 +392,15 @@ object Oracles {
          FROM events WHERE event_type = 'click'
          GROUP BY 1 ORDER BY bucket_us""",
 
+    // q101: ordered first/last aggregates == arg_min/arg_max (no
+    // (user_id, µs) ties in the fixture, so both are deterministic).
+    "q101_kerf_lastby" ->
+      """SELECT user_id, count(value) AS n,
+                arg_min(value, epoch_us(ts)) AS open,
+                arg_max(value, epoch_us(ts)) AS close,
+                min(value) AS low, max(value) AS high
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
     // q58: organic sources share zero sketch slots (measured max organic
     // estimate 0.0), and a whole-source replica agrees on all 64 — the
     // entire similarity matrix is two constants.

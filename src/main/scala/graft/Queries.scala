@@ -1667,6 +1667,22 @@ object Queries {
         round(col("total") * 100).cast("long").as("total_cents"))
   }
 
+  /** OHLC from the TEXT surface via the ordered first/last aggregates
+    * (`first(c, axis)`/`last(c, axis)` — Kerf's table-order first/last
+    * per group, made honest for a distributed table by declaring the
+    * axis; q38/q86 cover the API paths). DuckDB recomputes with
+    * arg_min/arg_max; single-value aggregates are bit-exact, no sums. */
+  val q101_kerf_lastby: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .select(col("user_id"), col("ts_us"), col("value"))
+      .createOrReplaceTempView("events_v101")
+    sql.KerfSql.run(s,
+      "select count(value) as n, first(value, ts_us) as open, " +
+      "last(value, ts_us) as close, min(value) as low, max(value) as high " +
+      "from events_v101 group user_id order user_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -1770,5 +1786,6 @@ object Queries {
     "q98_lasttick_tws"   -> q98_lasttick_tws,
     "q99_stream_asof"    -> q99_stream_asof,
     "q100_kerf_bars"     -> q100_kerf_bars,
+    "q101_kerf_lastby"   -> q101_kerf_lastby,
   )
 }

@@ -661,13 +661,26 @@ object KerfSql {
     case ("first", Seq(a)) => a.dt match {
       case ArrayType(e, _) => T(element_at(a.col, 1), e)
       case StringType      => T(substring(a.col, 1, 1), StringType)
-      case other => throw new IllegalArgumentException(s"first: need a list, got $other")
+      case other => throw new IllegalArgumentException(
+        s"first: need a list, got $other (for the per-group ordered " +
+        "aggregate, declare the axis: first(c, ts) — a distributed table " +
+        "has no silent row order)")
     }
     case ("last", Seq(a)) => a.dt match { // slop.h:1181
       case ArrayType(e, _) => T(element_at(a.col, -1), e)
       case StringType      => T(substring(a.col, -1, 1), StringType)
-      case other => throw new IllegalArgumentException(s"last: need a list, got $other")
+      case other => throw new IllegalArgumentException(
+        s"last: need a list, got $other (for the per-group ordered " +
+        "aggregate, declare the axis: last(c, ts) — a distributed table " +
+        "has no silent row order)")
     }
+    // first/last WITH A DECLARED AXIS: the per-group ordered aggregates
+    // of a tick DB (`select last(price, ts) from t group sym` = the
+    // closing tick). Kerf's table-order first/last made honest for a
+    // distributed table by naming the order column; lowers to
+    // min_by/max_by (one-pass, partial+final like any aggregate).
+    case ("first", Seq(c, axis)) => T(min_by(c.col, axis.col), c.dt)
+    case ("last", Seq(c, axis))  => T(max_by(c.col, axis.col), c.dt)
     case ("enlist", Seq(a)) => T(array(a.col), ArrayType(a.dt)) // slop.h:1173
     case ("join", Seq(a, b)) => (a.dt, b.dt) match { // slop.h:1146
       case (ArrayType(ea, _), ArrayType(eb, _)) =>

@@ -327,6 +327,23 @@ class KerfSqlSpec extends SparkSpec {
     assert(evalOne("bars(1y, 2024.05.20)").toString == "2024-01-01 00:00:00.0")
   }
 
+  test("first/last with a declared axis are the per-group ordered aggregates") {
+    import spark.implicits._
+    val ticks = Seq((1L, 10L, 5.0), (1L, 20L, 7.0), (1L, 15L, 6.0),
+      (2L, 10L, 9.0), (2L, 30L, 3.0)).toDF("sym", "ts", "price")
+    ticks.createOrReplaceTempView("ticks_v")
+    val r = KerfSql.run(spark,
+      "select first(price, ts) as open, last(price, ts) as close " +
+      "from ticks_v group sym order sym").collect()
+    assert(r.map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2))).toSeq ==
+      Seq((1L, 5.0, 7.0), (2L, 9.0, 3.0)))
+    // the 1-arg scalar form names the fix instead of guessing an order
+    val e = intercept[IllegalArgumentException] {
+      KerfSql.run(spark, "select last(price) as c from ticks_v group sym")
+    }
+    assert(e.getMessage.contains("declare the axis"))
+  }
+
   test("map semantics mirror test.cc:383–420: amend_one, count, d[keys]") {
     // map.amend_one(0,2); map.amend_one(3,4) → keys/values grow, update wins
     assert(evalOne("amend({a: 1, b: 101}, 'a', 2)['a']") == 2L)    // update
