@@ -1470,8 +1470,11 @@ object Queries {
     * hash-fail. */
   val q93_simhash_dedup: Q = (s, dir) => {
     val d = Tables.documents(s, dir).filter(col("doc_id") < 200)
+    // J on shingle-HASH sets (longs), not strings: same values by the
+    // q29-proven no-collision pairing, ~2x cheaper set intersections
     val sh = d.select(col("doc_id"),
-      llm.Dedup.shinglesFromTokens(llm.Dedup.tokens(col("text")), 3).as("shg"))
+      llm.Dedup.shingleHashes(
+        llm.Dedup.shinglesFromTokens(llm.Dedup.tokens(col("text")), 3)).as("shg"))
     val a = sh.select(col("doc_id").as("ia"), col("shg").as("ga"))
     val b = sh.select(col("doc_id").as("ib"), col("shg").as("gb"))
     val ndIds = a.crossJoin(b).filter(col("ia") < col("ib"))
@@ -1498,7 +1501,8 @@ object Queries {
   val q94_fingerprint_dedup: Q = (s, dir) => {
     val d = Tables.documents(s, dir).filter(col("doc_id") < 200)
     val sh = d.select(col("doc_id"),
-      llm.Dedup.shinglesFromTokens(llm.Dedup.tokens(col("text")), 3).as("shg"))
+      llm.Dedup.shingleHashes(
+        llm.Dedup.shinglesFromTokens(llm.Dedup.tokens(col("text")), 3)).as("shg"))
     val a = sh.select(col("doc_id").as("ia"), col("shg").as("ga"))
     val b = sh.select(col("doc_id").as("ib"), col("shg").as("gb"))
     val ndIds = a.crossJoin(b).filter(col("ia") < col("ib"))
