@@ -105,7 +105,8 @@ object KerfSql {
     "deltas", "prev")
   private val listVerbs = Set("length", "upper", "lower", "reverse",
     "first", "last", "enlist", "join", "find", "keys", "values", "amend",
-    "take", "drop", "distinct", "ascend", "descend", "flip", "bars")
+    "take", "drop", "distinct", "ascend", "descend", "flip", "bars",
+    "abs", "sqrt", "exp", "ln", "floor", "ceil")
   private val verbSyms = Set("+", "-", "*", "/", "%")
   private val adverbNames = Set("fold", "over", "unfold", "scan",
     "mapdown", "each", "mapback", "eachprior", "mapright", "mapleft")
@@ -767,6 +768,25 @@ object KerfSql {
             j => transform(a.col, row => element_at(row, j))), ArrayType(inner))
       case other => throw new IllegalArgumentException(s"flip: need a list of lists, got $other")
     }
+    // Math verbs (SURVEY §2.8 math row, text surface; q39 pins the
+    // IEEE-exact engine pairing for the same functions): PERVASIVE like
+    // arithmetic — sqrt(1 4 9) = [1.0, 2.0, 3.0], recursing through
+    // nested lists (verbs.cc:207–255 unary dispatch).
+    case ("abs", Seq(a)) =>
+      T(Verbs.pervadeUnary(a.dt)(a.col)(abs), a.dt)
+    case ("sqrt", Seq(a)) =>
+      T(Verbs.pervadeUnary(a.dt)(a.col)(c => sqrt(c.cast("double"))),
+        mapLeafType(a.dt, DoubleType))
+    case ("exp", Seq(a)) =>
+      T(Verbs.pervadeUnary(a.dt)(a.col)(c => exp(c.cast("double"))),
+        mapLeafType(a.dt, DoubleType))
+    case ("ln", Seq(a)) =>
+      T(Verbs.pervadeUnary(a.dt)(a.col)(c => log(c.cast("double"))),
+        mapLeafType(a.dt, DoubleType))
+    case ("floor", Seq(a)) =>
+      T(Verbs.pervadeUnary(a.dt)(a.col)(c => floor(c)), mapLeafType(a.dt, LongType))
+    case ("ceil", Seq(a)) =>
+      T(Verbs.pervadeUnary(a.dt)(a.col)(c => ceil(c)), mapLeafType(a.dt, LongType))
     // bars(width, x): Kerf's bucketing verb — floor x to a multiple of
     // width. Numeric width buckets numbers; a fixed span buckets stamps
     // (and ns-longs) on the time line; a CALENDAR span (months) floors
@@ -815,6 +835,13 @@ object KerfSql {
     }
     case _ => throw new IllegalArgumentException(
       s"verb '$fn' does not take ${args.length} arguments")
+  }
+
+  /** Replace the LEAF type under any array nesting — the result type of
+    * a pervasive unary verb that changes the element type. */
+  private def mapLeafType(dt: DataType, to: DataType): DataType = dt match {
+    case ArrayType(e, n) => ArrayType(mapLeafType(e, to), n)
+    case _ => to
   }
 
   /** A select/group-list entry: the Column, its source tokens and alias

@@ -327,6 +327,17 @@ class KerfSqlSpec extends SparkSpec {
     assert(evalOne("bars(1y, 2024.05.20)").toString == "2024-01-01 00:00:00.0")
   }
 
+  test("math verbs pervade rank-polymorphically") {
+    assert(evalOne("abs(-3)") == 3L)
+    assert(evalOne("sqrt(1 4 9)") == Seq(1.0, 2.0, 3.0))
+    assert(evalOne("sqrt([[4, 9], [16, 25]])") == Seq(Seq(2.0, 3.0), Seq(4.0, 5.0)))
+    assert(evalOne("floor(2.7)") == 2L)
+    assert(evalOne("ceil(2.1)") == 3L)
+    assert(evalOne("ln(exp(1))") == 1.0)
+    assert(evalOne("abs([-1, 2, -3])") == Seq(1L, 2L, 3L))
+    assert(evalOne("sum(sqrt(0 1 4))") == 3.0) // composes with in-row aggregates
+  }
+
   test("first/last with a declared axis are the per-group ordered aggregates") {
     import spark.implicits._
     val ticks = Seq((1L, 10L, 5.0), (1L, 20L, 7.0), (1L, 15L, 6.0),
