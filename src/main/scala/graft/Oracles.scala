@@ -401,6 +401,18 @@ object Oracles {
                 min(value) AS low, max(value) AS high
          FROM events GROUP BY user_id ORDER BY user_id""",
 
+    // q102: the dialect math verbs — q39's IEEE-exact subset through
+    // the text path. ceil/floor return BIGINT in both engines' casts;
+    // l_tax*100 is exactly representable (2-decimal doubles).
+    "q102_kerf_math" ->
+      """SELECT l_orderkey, l_linenumber,
+                sqrt(l_quantity) AS sq,
+                abs(l_discount - 0.05) AS ad,
+                CAST(floor(l_extendedprice) AS BIGINT) AS fe,
+                CAST(ceil(l_tax * 100) AS BIGINT) AS ct
+         FROM lineitem WHERE l_orderkey < 100
+         ORDER BY l_orderkey, l_linenumber""",
+
     // q58: organic sources share zero sketch slots (measured max organic
     // estimate 0.0), and a whole-source replica agrees on all 64 — the
     // entire similarity matrix is two constants.

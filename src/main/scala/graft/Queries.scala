@@ -1687,6 +1687,21 @@ object Queries {
       "from events_v101 group user_id order user_id")
   }
 
+  /** Math verbs from the TEXT surface, oracled (q39 pins the same
+    * functions through the API; this drives the dialect lowering
+    * end-to-end). Same IEEE-exact subset as q39 — sqrt/abs/floor/ceil
+    * are bit-identical across engines; ln/exp are libm-dependent and
+    * stay out of oracle scope (KerfSqlSpec goldens cover them). */
+  val q102_kerf_math: Q = (s, dir) => {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v102")
+    sql.KerfSql.run(s,
+      "select l_orderkey, l_linenumber, sqrt(l_quantity) as sq, " +
+      "abs(l_discount - 0.05) as ad, floor(l_extendedprice) as fe, " +
+      "ceil(l_tax * 100) as ct " +
+      "from lineitem_v102 where l_orderkey < 100 " +
+      "order l_orderkey, l_linenumber")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -1791,5 +1806,6 @@ object Queries {
     "q99_stream_asof"    -> q99_stream_asof,
     "q100_kerf_bars"     -> q100_kerf_bars,
     "q101_kerf_lastby"   -> q101_kerf_lastby,
+    "q102_kerf_math"     -> q102_kerf_math,
   )
 }
