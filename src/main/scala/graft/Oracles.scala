@@ -413,6 +413,13 @@ object Oracles {
          FROM lineitem WHERE l_orderkey < 100
          ORDER BY l_orderkey, l_linenumber""",
 
+    // q103: the >>/<< round-trip is invisible — same agg off the base
+    // table; integer cents for the order-insensitive sum.
+    "q103_kerf_fileverbs" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS total_cents
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
     // q58: organic sources share zero sketch slots (measured max organic
     // estimate 0.0), and a whole-source replica agrees on all 64 — the
     // entire similarity matrix is two constants.

@@ -1702,6 +1702,25 @@ object Queries {
       "order l_orderkey, l_linenumber")
   }
 
+  /** The reference's file operators from the TEXT surface, oracled
+    * (slop.h:1021 `>>` write, 1037 `<<` read): a table round-trips
+    * through a parquet path inside a Kerf program, and an aggregate
+    * over the re-read view must equal the same query on the base
+    * table — the serialization is invisible. */
+  val q103_kerf_fileverbs: Q = (s, dir) => {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v103")
+    val path = Scratch.dir(s, "fileverb",
+      s"${new java.io.File(dir).getName}_${System.nanoTime}")
+    sql.KerfSql.run(s,
+      "o2: select o_custkey, o_totalprice, o_orderstatus from orders_v103; " +
+      s"o2 >> '$path'; " +
+      s"rb: << '$path'; " +
+      "select o_orderstatus, count(*) as n, sum(o_totalprice) as total " +
+      "from rb group o_orderstatus order o_orderstatus")
+      .select(col("o_orderstatus"), col("n"),
+        round(col("total") * 100).cast("long").as("total_cents"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -1807,5 +1826,6 @@ object Queries {
     "q100_kerf_bars"     -> q100_kerf_bars,
     "q101_kerf_lastby"   -> q101_kerf_lastby,
     "q102_kerf_math"     -> q102_kerf_math,
+    "q103_kerf_fileverbs" -> q103_kerf_fileverbs,
   )
 }

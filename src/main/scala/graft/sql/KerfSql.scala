@@ -56,7 +56,7 @@ object KerfSql {
      """\d+\.\d+|\.\d+|\d+|""" +                              // numbers
      """'[^']*'|""" +                                         // string lit
      """`[A-Za-z_][A-Za-z0-9_]*|""" +                         // backtick symbol
-     """<=|>=|!=|<>|==|[(),*+\-/%<>=\[\]{};:]|""" +           // operators
+     """>>=|>>|<<|<=|>=|!=|<>|==|[(),*+\-/%<>=\[\]{};:]|""" + // operators (file verbs first)
      """[A-Za-z_][A-Za-z0-9_.]*""" +                          // idents
      """)""").r
 
@@ -962,10 +962,44 @@ object KerfSql {
             guard += 1
             require(guard < 100000, "while: exceeded 100000 iterations")
           }
+        case name if toks.lengthCompare(2) >= 0 &&
+                     (toks(1) == ">>" || toks(1) == ">>=") &&
+                     name.matches("[A-Za-z_][A-Za-z0-9_.]*") =>
+          // the reference's file verbs (slop.h:1021 `>>`, 1030 `>>=`):
+          // `t >> 'path'` serializes the table to the path. The
+          // directory-expanded form needs a partition spec a bare
+          // operator doesn't carry — name the API instead of guessing.
+          require(toks(1) == ">>",
+            ">>= (directory-expanded write) needs partition keys: use " +
+            "Folio.write(df, path, partCols…) — `t >> 'path'` writes flat")
+          p.pop(); p.pop()
+          val path = {
+            val t = p.pop()
+            require(t.startsWith("'") && t.endsWith("'"),
+              s"$name >> needs a quoted path, got $t")
+            t.substring(1, t.length - 1)
+          }
+          require(p.done, s"trailing tokens after >>: ${p.toks.mkString(" ")}")
+          val df = spark.table(name)
+          df.write.mode("overwrite").parquet(path)
+          last = Left(df)
         case name if toks.lengthCompare(1) > 0 && toks(1) == ":" &&
                      name.matches("[A-Za-z_][A-Za-z0-9_.]*") =>
           p.pop(); p.pop() // name :
-          if (p.peekIs("select")) {
+          if (p.peekIs("<<")) {
+            // `x: << 'path'` — read back (slop.h:1037); promotion-aware,
+            // so a folio published by appendWithPromotion resolves to
+            // exactly its live version. Registers as a temp view like a
+            // table-valued select.
+            p.pop()
+            val t = p.pop()
+            require(t.startsWith("'") && t.endsWith("'"),
+              s"<< needs a quoted path, got $t")
+            require(p.done, s"trailing tokens after <<: ${p.toks.mkString(" ")}")
+            val df = graft.io.Folio.promotedRead(spark, t.substring(1, t.length - 1))
+            df.createOrReplaceTempView(name)
+            last = Left(df)
+          } else if (p.peekIs("select")) {
             // table-valued variable: the result registers as a temp view,
             // so later statements can `from` it by name
             p.pop()

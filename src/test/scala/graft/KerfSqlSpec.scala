@@ -327,6 +327,23 @@ class KerfSqlSpec extends SparkSpec {
     assert(evalOne("bars(1y, 2024.05.20)").toString == "2024-01-01 00:00:00.0")
   }
 
+  test("file verbs: t >> 'path' writes, x: << 'path' reads back (slop.h:1021,1037)") {
+    init
+    val dir = java.nio.file.Files.createTempDirectory("kerf_fileverb").toString + "/t1"
+    val r = KerfSql.run(spark,
+      s"small: select l_orderkey, l_quantity from lineitem_v where l_orderkey < 10; " +
+      s"small >> '$dir'; " +
+      s"back: << '$dir'; " +
+      "select count(*) as n from back")
+    val want = Tables.lineitem(spark, sf).filter(col("l_orderkey") < 10).count()
+    assert(r.collect().head.getLong(0) == want && want > 0)
+    // >>= without partition keys names the API instead of guessing
+    val e = intercept[IllegalArgumentException] {
+      KerfSql.run(spark, s"small: select l_orderkey from lineitem_v limit 1; small >>= '$dir'")
+    }
+    assert(e.getMessage.contains("partition keys"))
+  }
+
   test("math verbs pervade rank-polymorphically") {
     assert(evalOne("abs(-3)") == 3L)
     assert(evalOne("sqrt(1 4 9)") == Seq(1.0, 2.0, 3.0))
