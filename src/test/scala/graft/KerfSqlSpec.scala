@@ -501,7 +501,12 @@ class KerfSqlSpec extends SparkSpec {
       "sums", "deltas", "prev", "counts", "left", "semi", "anti",
       "insert", "upsert", "into", "values", "key",
       // round-6 surfaces: rollup/cube grouping, percentile, adverb calls
-      "rollup", "cube", "pctl", "mapright", "mapleft", "0.5")
+      "rollup", "cube", "pctl", "mapright", "mapleft", "0.5",
+      // round-7 surfaces: q/k list tier, bars, math verbs, file read,
+      // dedup verbs (>> is deliberately absent — a lucky soup would
+      // write parquet into the cwd)
+      "take", "drop", "distinct", "ascend", "descend", "flip", "bars",
+      "sqrt", "abs", "floor", "ceil", "<<", "by", "dedup", "neardup", "15i")
     var parsed = 0
     for (_ <- 1 to 300) {
       val n = 1 + rnd.nextInt(12)
