@@ -659,6 +659,15 @@ object Oracles {
          FROM embeddings q CROSS JOIN (VALUES (1), (2), (3)) t(j)
          WHERE q.vec_id < 5 ORDER BY q_id, rk""",
 
+    // q104: the int8 round-trip preserves replica identity exactly
+    // (same codes, same scale), so the closed form is q33/q46's.
+    "q104_ann_quantized" ->
+      """SELECT q.vec_id AS q_id, CAST(t.j AS BIGINT) AS rk,
+                q.vec_id + t.j * 20000000 AS cand_id,
+                CAST(1.0 AS DOUBLE) AS sim
+         FROM embeddings q CROSS JOIN (VALUES (1), (2), (3)) t(j)
+         WHERE q.vec_id < 5 ORDER BY q_id, rk""",
+
     "q28_sim_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
               c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM embeddings),

@@ -1721,6 +1721,30 @@ object Queries {
         round(col("total") * 100).cast("long").as("total_cents"))
   }
 
+  /** The INT8 STORAGE PATH end-to-end (the documented 4×-smaller
+    * embedding store: quantize → store → dequantize → search), oracled
+    * with the q33/q46 planted-replica closed form. Queries and
+    * candidates BOTH pass through the int8 codec, so a query and its
+    * planted replica quantize to identical codes — cosine exactly 1.0 —
+    * while the organic bulk stays far below even with quantization
+    * error (≲0.6 ± ~2%). A codec asymmetry (scale drift, rounding-rule
+    * change) breaks replica identity and hash-fails. */
+  val q104_ann_quantized: Q = (s, dir) => {
+    val emb = Tables.fanOut(Tables.embeddings(s, dir))
+    val qs = emb.filter(col("vec_id") < 5)
+    val planted = (1 to 3).map(j =>
+        qs.withColumn("vec_id", col("vec_id") + lit(j * 20000000L)))
+      .reduce(_ unionByName _)
+    def throughInt8(df: org.apache.spark.sql.DataFrame) = {
+      val qz = llm.Similarity.quantizeInt8(df)
+      qz.select(col("vec_id"),
+        llm.Similarity.dequantize(col("q"), col("scale")).as("embedding"))
+    }
+    llm.Similarity.bruteForceTopK(throughInt8(qs),
+        throughInt8(emb.unionByName(planted)), 3)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -1827,5 +1851,6 @@ object Queries {
     "q101_kerf_lastby"   -> q101_kerf_lastby,
     "q102_kerf_math"     -> q102_kerf_math,
     "q103_kerf_fileverbs" -> q103_kerf_fileverbs,
+    "q104_ann_quantized" -> q104_ann_quantized,
   )
 }
