@@ -106,7 +106,8 @@ object KerfSql {
   private val listVerbs = Set("length", "upper", "lower", "reverse",
     "first", "last", "enlist", "join", "find", "keys", "values", "amend",
     "take", "drop", "distinct", "ascend", "descend", "flip", "bars",
-    "abs", "sqrt", "exp", "ln", "floor", "ceil")
+    "abs", "sqrt", "exp", "ln", "floor", "ceil",
+    "asc", "desc", "union", "intersect", "except")
   private val verbSyms = Set("+", "-", "*", "/", "%")
   private val adverbNames = Set("fold", "over", "unfold", "scan",
     "mapdown", "each", "mapback", "eachprior", "mapright", "mapleft")
@@ -762,6 +763,36 @@ object KerfSql {
         T(transform(graded, s => s.getField("i").cast("long")), ArrayType(LongType))
       case other => throw new IllegalArgumentException(s"descend: need a list, got $other")
     }
+    // asc/desc: sorted COPIES (the grade verbs ascend/descend return
+    // the permutation; these return the reordered list).
+    case ("asc", Seq(a)) => a.dt match {
+      case ArrayType(e, _) => T(array_sort(a.col), ArrayType(e))
+      case other => throw new IllegalArgumentException(s"asc: need a list, got $other")
+    }
+    case ("desc", Seq(a)) => a.dt match {
+      case ArrayType(e, _) => T(reverse(array_sort(a.col)), ArrayType(e))
+      case other => throw new IllegalArgumentException(s"desc: need a list, got $other")
+    }
+    // set ops on lists (SURVEY §2.7 at the text level): distinct
+    // results, first-occurrence order (Spark's array_* semantics).
+    case (op @ ("union" | "intersect" | "except"), Seq(a, b)) =>
+      (a.dt, b.dt) match {
+        case (ArrayType(ea, _), ArrayType(eb, _)) =>
+          val e = widenArith(ea, eb)
+          val (ac, bc) = (a.col.cast(ArrayType(e)), b.col.cast(ArrayType(e)))
+          val r = op match {
+            case "union"     => array_union(ac, bc)
+            case "intersect" => array_intersect(ac, bc)
+            case _           => array_except(ac, bc)
+          }
+          T(r, ArrayType(e))
+        // scalar operands enlist first, the join rule
+        case (ArrayType(_, _), _) =>
+          applyListVerb(op, Seq(a, applyListVerb("enlist", Seq(b))))
+        case (_, ArrayType(_, _)) =>
+          applyListVerb(op, Seq(applyListVerb("enlist", Seq(a)), b))
+        case other => throw new IllegalArgumentException(s"$op: need lists, got $other")
+      }
     case ("flip", Seq(a)) => a.dt match {
       case ArrayType(inner @ ArrayType(_, _), _) =>
         T(transform(sequence(lit(1), size(element_at(a.col, 1))),

@@ -344,6 +344,16 @@ class KerfSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("partition keys"))
   }
 
+  test("asc/desc sorted copies and list set ops") {
+    assert(evalOne("asc(30 10 20)") == Seq(10L, 20L, 30L))
+    assert(evalOne("desc(30 10 20)") == Seq(30L, 20L, 10L))
+    assert(evalOne("union(1 2 3, 3 4)") == Seq(1L, 2L, 3L, 4L))
+    assert(evalOne("intersect(1 2 3, 2 3 4)") == Seq(2L, 3L))
+    assert(evalOne("except(1 2 3 2, 2)") == Seq(1L, 3L))
+    // the law: asc(x) == x[ascend(x)]
+    assert(evalOne("v: 5 1 4; asc(v)") == evalOne("v: 5 1 4; v[ascend(v)]"))
+  }
+
   test("math verbs pervade rank-polymorphically") {
     assert(evalOne("abs(-3)") == 3L)
     assert(evalOne("sqrt(1 4 9)") == Seq(1.0, 2.0, 3.0))
