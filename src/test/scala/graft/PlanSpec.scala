@@ -119,6 +119,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_orderkey"), "unused columns read by text-lowered scan")
   }
 
+  test("q100: dialect where + bars group key push to the scan / stay codegen") {
+    val p = planOf("q100_kerf_bars")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]"),
+      s"dialect where did not reach the parquet scan:\n$p")
+    assert(!p.contains("props"), "unused columns read by the bars rollup scan")
+  }
+
   test("q44: band range-join stays an equi-join (no nested-loop explosion)") {
     val p = planOf("q44_range_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
