@@ -344,6 +344,18 @@ class KerfSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("partition keys"))
   }
 
+  test("comparison goldens mirror test.cc:215-226: cross-type and list lexicographic") {
+    assert(evalOne("1.2 < 1") == false)        // EXPECT_FALSE(SLOP(1.2) < SLOP(1))
+    assert(evalOne("1.2 > 1") == true)
+    assert(evalOne("3 == 3") == true)
+    assert(evalOne("3 == 4") == false)
+    assert(evalOne("3 == 3.0") == true)        // int/float cross-promote
+    assert(evalOne("(1 2) < (1 3)") == true)   // lists compare lexicographically
+    assert(evalOne("(1 2) > (1 3)") == false)
+    assert(evalOne("(1 3) < (1 2)") == false)
+    assert(evalOne("(1 3) > (1 2)") == true)
+  }
+
   test("asc/desc sorted copies and list set ops") {
     assert(evalOne("asc(30 10 20)") == Seq(10L, 20L, 30L))
     assert(evalOne("desc(30 10 20)") == Seq(30L, 20L, 10L))
