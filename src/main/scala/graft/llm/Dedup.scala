@@ -271,7 +271,17 @@ object Dedup {
     * re-evaluate referenced trees per element): sign-sum of token-hash
     * bits, one in-row aggregate per bit. Pure column algebra, so it runs
     * identically over batch and STREAMING frames. */
+  /** 64-bit sign-sum of a token-hash array — the native codegen
+    * expression ([[graft.functions.SimHash64]]: one fused token×bit
+    * loop; the 64-aggregate column form below walked the array 64 times
+    * through interpreted higher-order functions). */
   def simhashFromTokenHashes(tokenHashes: Column): Column =
+    graft.functions.SimHash64.simhash64(tokenHashes)
+
+  /** The column-algebra twin the native expression replaced — kept for
+    * bit-identity adjudication (LlmOpsSpec pins native == this on the
+    * fixture), the same twin discipline as minhashSignature. */
+  private[graft] def simhashFromTokenHashesColumnAlgebra(tokenHashes: Column): Column =
     (0 until 64).map { i =>
       val bitSum = aggregate(tokenHashes, lit(0),
         (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))

@@ -131,6 +131,33 @@ class ExtensionSpec extends SparkSpec {
       s"null-slot divergence: ${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}"))
   }
 
+  test("native SimHash64 == column-algebra form, bit for bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val docs = (0 until 50).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(60))(rnd.nextLong()))
+    } :+ (998L, Seq(0L)) :+ (999L, Seq(-1L)) // all-clear / all-set single tokens
+    val rows = docs.toDF("id", "th").select(
+        graft.llm.Dedup.simhashFromTokenHashes(col("th")).as("native"),
+        graft.llm.Dedup.simhashFromTokenHashesColumnAlgebra(col("th")).as("chain"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"native ${r.getLong(0).toHexString} != chain ${r.getLong(1).toHexString}"))
+    // empty array → signature 0 (every bit-sum is 0, not > 0)
+    val empty = Seq(Tuple1(Seq.empty[Long])).toDF("th").select(
+      graft.llm.Dedup.simhashFromTokenHashes(col("th"))).collect()
+    assert(empty.head.getLong(0) == 0L)
+    // NULL elements count −1 on every bit (the column form's
+    // when(null === 1).otherwise(−1) path)
+    val withNulls = Seq(Tuple1(Seq[java.lang.Long](-1L, null, null))).toDF("th")
+    val nrows = withNulls.select(
+        graft.llm.Dedup.simhashFromTokenHashes(col("th")).as("native"),
+        graft.llm.Dedup.simhashFromTokenHashesColumnAlgebra(col("th")).as("chain"))
+      .collect()
+    nrows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"null-slot divergence: ${r.getLong(0)} vs ${r.getLong(1)}"))
+  }
+
   test("MinHashAgg sketch == column-algebra minhash signature (same hash family)") {
     import graft.functions.MinHashAgg
     import spark.implicits._
