@@ -60,12 +60,27 @@ object Similarity {
     Array.fill(dim)(rnd.nextDouble() * 2 - 1)
   }
 
-  /** All nPlanes hyperplane projections in ONE `transform` pass against a
-    * literal `array<array<double>>` weight matrix. One compact codegen
-    * loop, vs. nPlanes independent aggregate(zip_with(..)) expressions
-    * whose generated code grows linearly with plane count (the round-1
-    * form: 64 separate aggregates = 26s for 2,000 vectors). */
-  private def projections(vec: Column, nPlanes: Int, dim: Int, seedBase: Int = 0): Column = {
+  /** All nPlanes hyperplane projections in ONE native pass against the
+    * weight matrix ([[graft.functions.MatVecDots]] — the matrix rides as
+    * a primitive double[][]; the `transform(typedLit(w), p => dot(vec,
+    * p))` form it replaces drove each native dot through an interpreted
+    * transform lambda, one boxed call per plane per row. Round-1 history:
+    * 64 separate aggregate(zip_with(..)) expressions = 26s for 2,000
+    * vectors; the transform form fixed the expression blow-up; this
+    * removes the remaining CodegenFallback). */
+  private def projections(vec: Column, nPlanes: Int, dim: Int, seedBase: Int = 0): Column =
+    graft.functions.MatVecDots.matVecDots(vec,
+      (seedBase until seedBase + nPlanes).map(i => planeWeights(i, dim)).toArray)
+
+  /** Test probe for the private native path (same args as the twin). */
+  private[graft] def projectionsProbe(vec: Column, nPlanes: Int, dim: Int,
+                                      seedBase: Int = 0): Column =
+    projections(vec, nPlanes, dim, seedBase)
+
+  /** The transform-over-literal twin [[projections]] replaced — kept for
+    * bit-identity adjudication (ExtensionSpec pins native == this). */
+  private[graft] def projectionsColumnAlgebra(vec: Column, nPlanes: Int, dim: Int,
+                                              seedBase: Int = 0): Column = {
     val w = typedLit((seedBase until seedBase + nPlanes).map(i => planeWeights(i, dim).toSeq))
     transform(w, p => dot(vec, p))
   }
@@ -278,22 +293,22 @@ object Similarity {
     refined
   }
 
-  /** Unit-normalized centroid matrix as one plan literal: argmax cosine
-    * over centroids == argmax dot against unit centroids (row norm is a
-    * positive constant per row), so assignment needs ONE staged
-    * `transform` pass, not |centroids| independent cosine expressions. */
-  private def unitLit(centroids: Array[Array[Double]]): Column =
-    typedLit(centroids.map { c =>
+  /** Unit-normalized centroid matrix: argmax cosine over centroids ==
+    * argmax dot against unit centroids (row norm is a positive constant
+    * per row), so assignment needs ONE fused matrix pass, not
+    * |centroids| independent cosine expressions. */
+  private def unitRows(centroids: Array[Array[Double]]): Array[Array[Double]] =
+    centroids.map { c =>
       val n = math.sqrt(c.map(x => x * x).sum)
-      c.map(_ / (if (n == 0.0) 1.0 else n)).toSeq
-    }.toSeq)
+      c.map(_ / (if (n == 0.0) 1.0 else n))
+    }
 
-  /** Assign each vector to its nearest centroid (max cosine): one map
-    * pass against the literal centroid matrix. */
+  /** Assign each vector to its nearest centroid (max cosine): one native
+    * [[graft.functions.MatVecDots]] pass against the centroid matrix. */
   def assignLists(df: DataFrame, centroids: Array[Array[Double]],
                   idCol: String, vecCol: String): DataFrame = {
-    val c = unitLit(centroids)
-    df.withColumn("__sims", transform(c, cc => dot(col(vecCol), cc)))
+    df.withColumn("__sims",
+        graft.functions.MatVecDots.matVecDots(col(vecCol), unitRows(centroids)))
       .withColumn("list_id",
         (array_position(col("__sims"), array_max(col("__sims"))) - 1).cast("int"))
       .drop("__sims")
@@ -320,7 +335,8 @@ object Similarity {
     // against unit centroids == ranking by cosine)
     val q = queries
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-      .withColumn("__qsims", transform(unitLit(centroids), cc => dot(col("q_vec"), cc)))
+      .withColumn("__qsims",
+        graft.functions.MatVecDots.matVecDots(col("q_vec"), unitRows(centroids)))
       .withColumn("probes", slice(transform(
         array_sort(zip_with(col("__qsims"), sequence(lit(0), lit(nl - 1)),
           (s, i) => struct((-s).as("negsim"), i.as("cid")))),

@@ -158,6 +158,35 @@ class ExtensionSpec extends SparkSpec {
       s"null-slot divergence: ${r.getLong(0)} vs ${r.getLong(1)}"))
   }
 
+  test("native MatVecDots == transform-over-literal projections, bit for bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    // float vectors (the embeddings fixture's element type) and doubles
+    val fvecs = (0 until 30).map(i => (i.toLong, Seq.fill(16)(rnd.nextFloat())))
+      .toDF("id", "embedding")
+    val nPlanes = 24
+    val rows = fvecs.select(
+        graft.llm.Similarity.projectionsProbe(col("embedding"), nPlanes, 16).as("native"),
+        graft.llm.Similarity.projectionsColumnAlgebra(col("embedding"), nPlanes, 16).as("chain"))
+      .collect()
+    rows.foreach { r =>
+      val (n, c) = (r.getSeq[Double](0), r.getSeq[Double](1))
+      assert(n == c, s"projection divergence:\n  native ${n.take(3)}…\n  chain ${c.take(3)}…")
+    }
+    // length mismatch / null element → every per-plane dot null (the
+    // column form's per-plane dot() result)
+    val bad = Seq((0L, Seq[java.lang.Float](1f, null, 3f)),
+                  (1L, Seq[java.lang.Float](1f, 2f))).toDF("id", "embedding")
+    val brows = bad.select(
+        graft.llm.Similarity.projectionsProbe(col("embedding"), 4, 3).as("native"),
+        graft.llm.Similarity.projectionsColumnAlgebra(col("embedding"), 4, 3).as("chain"))
+      .collect()
+    brows.foreach { r =>
+      assert(r.getSeq[Any](0) == r.getSeq[Any](1),
+        s"edge divergence: ${r.getSeq[Any](0)} vs ${r.getSeq[Any](1)}")
+    }
+  }
+
   test("MinHashAgg sketch == column-algebra minhash signature (same hash family)") {
     import graft.functions.MinHashAgg
     import spark.implicits._
