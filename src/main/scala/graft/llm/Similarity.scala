@@ -85,30 +85,26 @@ object Similarity {
     transform(w, p => dot(vec, p))
   }
 
-  /** Pack sign bits of projections [t·nBits, (t+1)·nBits) of a STAGED
-    * projection-array column into one long — table t's sketch. Call once
-    * per table as separate TOP-LEVEL columns (see [[perTableSketches]]):
-    * a single transform-over-tables formulation references `projs` once,
-    * so CollapseProject inlines the whole projection pass into the lambda
-    * and re-evaluates it per table (the no-CSE-in-lambda trap). */
-  private def packSketchOne(projs: Column, nBits: Int, table: Int): Column = {
-    val powers = typedLit((0 until nBits).map(1L << _))
-    aggregate(zip_with(slice(projs, table * nBits + 1, nBits), powers,
-      (p, pw) => when(p > 0, pw).otherwise(0L)),
-      lit(0L), (acc, b) => acc.bitwiseOR(b))
-  }
+  /** ALL per-table sketches in one native pass ([[graft.functions
+    * .HyperplaneSketches]]: project → sign → pack fused over the
+    * primitive weight matrix). The staged-projection + sibling-pack-
+    * column dance this replaces existed to dodge the no-CSE-in-lambda
+    * trap; with the whole map stage inside one expression the staging
+    * discipline disappears with the fallback. */
+  private def allSketches(vec: Column, nBits: Int, tables: Int, dim: Int): Column =
+    graft.functions.HyperplaneSketches.sketches(vec,
+      (0 until tables * nBits).map(i => planeWeights(i, dim)).toArray, nBits)
 
-  /** (table_id, sketch) rows from a staged `__projs` column: per-table
-    * sketches as sibling top-level columns (>1 reference blocks
-    * CollapseProject from inlining the projection pass), then one
-    * posexplode over the tiny precomputed array. */
-  private def perTableSketches(df: DataFrame, keep: Seq[Column],
-                               nBits: Int, tables: Int): DataFrame =
-    df.select(keep ++ (0 until tables).map(t =>
-        packSketchOne(col("__projs"), nBits, t).as(s"__sk$t")): _*)
-      .select(keep :+
-        posexplode(array((0 until tables).map(t => col(s"__sk$t")): _*))
-          .as(Seq("table_id", "sketch")): _*)
+  /** Test probe for the private fused-sketch path. */
+  private[graft] def allSketchesProbe(vec: Column, nBits: Int, tables: Int,
+                                      dim: Int): Column =
+    allSketches(vec, nBits, tables, dim)
+
+  /** (table_id, sketch) rows from a staged `__sks` column: one
+    * posexplode over the tiny per-table sketch array. */
+  private def perTableSketches(df: DataFrame, keep: Seq[Column]): DataFrame =
+    df.select(keep :+
+      posexplode(col("__sks")).as(Seq("table_id", "sketch")): _*)
 
   /** Sign-bit sketch against literal hyperplanes: bit i =
     * sign(Σ_j w(i,j)·v[j]); nBits ≤ 64, packed into one long. Same bit
@@ -156,8 +152,8 @@ object Similarity {
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     val sk = perTableSketches(
       df.select(col(idCol).as("vid"),
-        projections(col(vecCol), tables * nBits, dim).as("__projs")),
-      Seq(col("vid")), nBits, tables)
+        allSketches(col(vecCol), nBits, tables, dim).as("__sks")),
+      Seq(col("vid")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val oversize = sk.groupBy(col("table_id"), col("sketch"))
       .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
@@ -363,13 +359,13 @@ object Similarity {
               nBits: Int = 16, tables: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dim = queries.select(size(col(vecCol))).first().getInt(0)
-    // all tables·nBits projections in one staged pass; identical bit
-    // layout to per-table sketches with seedBase = t·nBits
+    // one fused sketch pass; identical bit layout to the chained
+    // hyperplaneSketch with seedBase = t·nBits (pinned in ExtensionSpec)
     def sk(df: DataFrame, id: String, vec: String) =
       perTableSketches(
         df.select(col(idCol).as(id), col(vecCol).as(vec),
-          projections(col(vecCol), tables * nBits, dim).as("__projs")),
-        Seq(col(id), col(vec)), nBits, tables)
+          allSketches(col(vecCol), nBits, tables, dim).as("__sks")),
+        Seq(col(id), col(vec)))
 
     val q = sk(queries, "q_id", "q_vec")
     val c = sk(candidates, "cand_id", "cand_vec")

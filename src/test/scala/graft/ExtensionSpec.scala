@@ -187,6 +187,33 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("fused HyperplaneSketches == chained hyperplaneSketch per table, bit for bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val vecs = (0 until 40).map(i => (i.toLong, Seq.fill(16)(rnd.nextFloat())))
+      .toDF("id", "embedding")
+    val (nBits, tables) = (10, 8)
+    val fused = vecs.select(col("id"),
+        graft.llm.Similarity.allSketchesProbe(col("embedding"), nBits, tables, 16).as("sks"))
+    val chained = vecs.select(col("id") +: (0 until tables).map(t =>
+        graft.llm.Similarity.hyperplaneSketch(col("embedding"), nBits, 16,
+          seedBase = t * nBits).as(s"t$t")): _*)
+    val f = fused.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    chained.collect().foreach { r =>
+      val id = r.getLong(0)
+      (0 until tables).foreach { t =>
+        assert(f(id)(t) == r.getLong(1 + t),
+          s"id $id table $t: fused ${f(id)(t).toHexString} != chained ${r.getLong(1 + t).toHexString}")
+      }
+    }
+    // degenerate vectors → zero sketches for every table (the chain's
+    // when(null > 0).otherwise(0) path)
+    val bad = Seq((0L, Seq[java.lang.Float](1f, null, 3f)),
+                  (1L, Seq[java.lang.Float](1f))).toDF("id", "embedding")
+    bad.select(graft.llm.Similarity.allSketchesProbe(col("embedding"), 4, 2, 3))
+      .collect().foreach(r => assert(r.getSeq[Long](0) == Seq(0L, 0L)))
+  }
+
   test("MinHashAgg sketch == column-algebra minhash signature (same hash family)") {
     import graft.functions.MinHashAgg
     import spark.implicits._
