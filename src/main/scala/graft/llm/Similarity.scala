@@ -101,10 +101,17 @@ object Similarity {
     allSketches(vec, nBits, tables, dim)
 
   /** (table_id, sketch) rows from a staged `__sks` column: one
-    * posexplode over the tiny per-table sketch array. */
+    * posexplode over the tiny per-table sketch array. NULL embeddings are
+    * EXCLUDED here, explicitly: a null vector has no sketch (the native
+    * expression yields null), and rows with no sketch do not belong in an
+    * LSH index or probe set — bucketing them all at sketch 0 (what the
+    * old staged pipeline did) made every null embedding collide with
+    * every other and with real zero-sketch vectors. Documented on
+    * [[cosineNearDupPairs]] and [[lshTopK]]. */
   private def perTableSketches(df: DataFrame, keep: Seq[Column]): DataFrame =
-    df.select(keep :+
-      posexplode(col("__sks")).as(Seq("table_id", "sketch")): _*)
+    df.filter(col("__sks").isNotNull)
+      .select(keep :+
+        posexplode(col("__sks")).as(Seq("table_id", "sketch")): _*)
 
   /** Sign-bit sketch against literal hyperplanes: bit i =
     * sign(Σ_j w(i,j)·v[j]); nBits ≤ 64, packed into one long. Same bit
@@ -144,7 +151,11 @@ object Similarity {
     * Tuned for REAL near-duplicates (cos ≥ ~0.9): at nBits=10/tables=8 a
     * cos-0.95 pair collides in ≥1 table w.p. ≈0.97 while bucket occupancy
     * stays ~n/1024 per table, so candidates ≪ n². Lower nBits only if the
-    * target threshold is far from 1 (recall/cost dial, same as any LSH). */
+    * target threshold is far from 1 (recall/cost dial, same as any LSH).
+    *
+    * NULL embeddings are excluded from the index: a null vector has no
+    * sketch and cosine against it is undefined, so such rows can never
+    * appear in a pair. Filter or impute upstream if they must participate. */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,
                          nBits: Int = 10, tables: Int = 8,
                          idCol: String = "vec_id", vecCol: String = "embedding",
@@ -354,7 +365,9 @@ object Similarity {
     * `nBits` bits; pairs colliding in any table are candidates; exact
     * cosine re-rank keeps top-k. Recall grows with tables, cost with
     * bucket occupancy. All sketches are computed in ONE pass over the
-    * un-exploded row, then unpacked. */
+    * un-exploded row, then unpacked. NULL embeddings are excluded from
+    * both the candidate index and the probe set (no sketch, no bucket —
+    * see [[cosineNearDupPairs]]). */
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               nBits: Int = 16, tables: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

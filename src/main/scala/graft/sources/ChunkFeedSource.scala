@@ -107,13 +107,21 @@ object ChunkFeedSource {
   }
 
   /** Sequence-mode offset: per partition, the highest consumed sequence
-    * number (-1 = nothing consumed yet). */
-  case class SeqOffsets(entries: Map[String, Long]) extends Offset {
+    * number plus the partition's BASE — the sequence just below the first
+    * frame this consumer owes (first-visible-seq − 1, captured ONCE when
+    * the partition first entered an offset). Carrying the base in the
+    * offset makes planInputPartitions a pure function of (start, end):
+    * replaying a batch whose start offset predates the partition derives
+    * lo from the committed end offset, never from a fresh listing that
+    * retention may have mutated since — identical offsets always mean
+    * identical planned sequence ranges (DSv2 replay determinism). */
+  case class SeqOffsets(entries: Map[String, (Long, Long)]) extends Offset {
     override def json(): String = {
       val m = new ObjectMapper()
       val root = m.createObjectNode()
-      entries.toSeq.sortBy(_._1).foreach { case (p, h) =>
-        root.putObject(p).put("seq", h)
+      entries.toSeq.sortBy(_._1).foreach { case (p, (h, b)) =>
+        val e = root.putObject(p)
+        e.put("seq", h); e.put("base", b)
       }
       m.writeValueAsString(root)
     }
@@ -133,10 +141,14 @@ object ChunkFeedSource {
   def parseSeqOffsets(json: String): SeqOffsets = {
     val root = new ObjectMapper().readTree(json)
     val it = root.fields()
-    val b = Map.newBuilder[String, Long]
+    val b = Map.newBuilder[String, (Long, Long)]
     while (it.hasNext) {
       val e = it.next()
-      b += e.getKey -> e.getValue.get("seq").asLong()
+      // a pre-base checkpoint (older offset format) falls back to base
+      // -1: the full from-the-beginning obligation — loud failure if
+      // retention already removed frames, never a silent skip
+      val base = if (e.getValue.has("base")) e.getValue.get("base").asLong() else -1L
+      b += e.getKey -> (e.getValue.get("seq").asLong(), base)
     }
     SeqOffsets(b.result())
   }
@@ -164,8 +176,13 @@ object ChunkFeedSource {
   }
 
   /** (seq → file) for one partition, failing loudly on duplicate
-    * sequence numbers (two producers colliding on a frame id). */
+    * sequence numbers (two producers colliding on a frame id). A MISSING
+    * partition directory is an empty listing, not an error: retention
+    * may legitimately remove a fully-consumed partition wholesale, and
+    * the never-skip guards downstream still catch a directory that
+    * vanished while frames were owed. */
   def seqFiles(fs: FileSystem, partDir: Path): Seq[(Long, Path)] = {
+    if (!fs.exists(partDir)) return Seq.empty
     val files = chunkFiles(fs, partDir).map(p => seqOf(p) -> p)
     val dups = files.groupBy(_._1).filter(_._2.length > 1).keys
     require(dups.isEmpty,
@@ -186,7 +203,8 @@ private class ChunkFeedTable(root: String, sequenced: Boolean)
       override def build(): Scan = this
       override def readSchema(): StructType = ChunkFeedSource.schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        if (sequenced) new SeqFeedStream(root) else new ChunkFeedStream(root)
+        if (sequenced) new SeqFeedStream(root, checkpointLocation)
+        else new ChunkFeedStream(root)
     }
 }
 
@@ -279,8 +297,24 @@ private class ChunkFeedStream(root: String) extends MicroBatchStream {
 }
 
 /** Sequence-mode stream: frame identity is the file name's trailing
-  * number, so offsets survive retention deletion of consumed frames. */
-private class SeqFeedStream(root: String) extends MicroBatchStream {
+  * number, so offsets survive retention deletion of consumed frames.
+  *
+  * Every emitted offset is ALSO persisted in this stream's own
+  * checkpoint directory (the Kafka-source pattern of source-private
+  * metadata): Spark does not guarantee deserializeOffset runs before
+  * the first latestOffset on restart, and without the seed a partition
+  * whose directory retention removed wholesale would drop out of the
+  * first post-restart offset, then be resurrected by the monotonic
+  * floor with no start entry — planning a range for frames that were
+  * legitimately consumed and deleted. Persisting at EMISSION time (not
+  * source commit(), which Spark only invokes while constructing the
+  * NEXT batch — a cleanly stopped query would never write its last
+  * batch's seed) keeps every previously-offset partition in every
+  * post-restart offset. Seeding from a never-committed emission is
+  * safe: floor is monotonic over listings the frames existed in, and
+  * retention's contract only permits deleting CONSUMED prefixes. */
+private class SeqFeedStream(root: String, checkpointLocation: String)
+    extends MicroBatchStream {
   import ChunkFeedSource._
 
   /** Monotonic clamp for latestOffset: deleting the feed's TAIL would
@@ -290,10 +324,50 @@ private class SeqFeedStream(root: String) extends MicroBatchStream {
     * from our own previous answers. Driver-side only, tiny (one long
     * per feed partition). */
   @volatile private var floor: Map[String, Long] = Map.empty
+  /** First-wins per-partition base (first-visible-seq − 1, fixed at the
+    * moment the partition first entered an offset). Rides in every
+    * emitted offset so planning never consults a live listing for lo. */
+  @volatile private var bases: Map[String, Long] = Map.empty
   private def raise(m: Map[String, Long]): Unit = synchronized {
     floor = (floor.keySet ++ m.keySet).map { k =>
       k -> math.max(floor.getOrElse(k, -1L), m.getOrElse(k, -1L))
     }.toMap
+  }
+  private def recordBases(m: Map[String, Long]): Unit = synchronized {
+    bases = m ++ bases // first sighting wins; existing entries untouched
+  }
+  private def seedFrom(o: SeqOffsets): Unit = {
+    raise(o.entries.map { case (p, (h, _)) => p -> h })
+    recordBases(o.entries.map { case (p, (_, b)) => p -> b })
+  }
+
+  /** Source-private copy of the last emitted offset (see class doc).
+    * Written on emission (write-temp + rename, the Hadoop
+    * atomic-publish idiom), read once at construction. Losing it is
+    * safe — the checkpoint offset log carries the same offsets; this
+    * copy only closes the listing-before-deserialize window. */
+  private val seedFile = new Path(checkpointLocation, "graft-seq-emitted.json")
+  @volatile private var lastPersisted: String = null
+  private def persistSeed(o: SeqOffsets): Unit = if (o.entries.nonEmpty) {
+    val json = o.json()
+    if (json != lastPersisted) {
+      val f = FeedFs.fs(checkpointLocation)
+      val tmp = new Path(checkpointLocation, "graft-seq-emitted.json.tmp")
+      val out = f.create(tmp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      f.delete(seedFile, false)
+      f.rename(tmp, seedFile)
+      lastPersisted = json
+    }
+  }
+  locally {
+    val f = FeedFs.fs(checkpointLocation)
+    if (f.exists(seedFile)) {
+      val in = f.open(seedFile)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      seedFrom(parseSeqOffsets(json))
+    }
   }
 
   override def initialOffset(): Offset = SeqOffsets(Map.empty)
@@ -302,15 +376,21 @@ private class SeqFeedStream(root: String) extends MicroBatchStream {
     val f = FeedFs.fs(root)
     val listed = FeedFs.partDirs(f, root).map { p =>
       val files = seqFiles(f, p)
-      p.getName -> files.lastOption.map(_._1).getOrElse(-1L)
+      p.getName -> (files.lastOption.map(_._1).getOrElse(-1L),
+                    files.headOption.map(_._1 - 1).getOrElse(-1L))
     }.toMap
-    raise(listed)
-    SeqOffsets(floor.filter(_._2 >= 0))
+    raise(listed.map { case (p, (h, _)) => p -> h })
+    recordBases(listed.collect { case (p, (h, b)) if h >= 0 => p -> b })
+    val out = SeqOffsets(floor.filter(_._2 >= 0).map { case (p, h) =>
+      p -> (h, bases.getOrElse(p, -1L))
+    })
+    persistSeed(out)
+    out
   }
 
   override def deserializeOffset(json: String): Offset = {
     val o = parseSeqOffsets(json)
-    raise(o.entries)
+    seedFrom(o)
     o
   }
 
@@ -318,16 +398,20 @@ private class SeqFeedStream(root: String) extends MicroBatchStream {
     val from = start.asInstanceOf[SeqOffsets].entries
     val until = end.asInstanceOf[SeqOffsets].entries
     val f = FeedFs.fs(root)
-    until.toSeq.sortBy(_._1).flatMap { case (part, hi) =>
-      val committed = from.get(part)
-      val files = seqFiles(f, new Path(root, part))
-      // an unseen partition starts at its FIRST EXISTING frame — frames
+    until.toSeq.sortBy(_._1).flatMap { case (part, (hi, base)) =>
+      // an unseen partition starts just past its committed BASE — the
+      // first frame visible when the partition entered the offset; frames
       // retained out before subscription were never this consumer's to
-      // read (broker semantics); only a committed offset creates the
-      // never-skip obligation below
-      val lo = committed.getOrElse(files.headOption.map(_._1 - 1).getOrElse(hi))
+      // read (broker semantics). lo comes from the OFFSET PAIR alone, so
+      // replaying (start, end) after a failure plans the identical range
+      // even if retention has since deleted the partition's head.
+      val lo = from.get(part).map(_._1).getOrElse(base)
+      // short-circuit BEFORE listing: a fully-consumed partition whose
+      // directory retention removed wholesale must not fail the stream
+      // just because another partition has new data
       if (hi <= lo) None
       else {
+        val files = seqFiles(f, new Path(root, part))
         val inRange = files.filter { case (s, _) => s > lo && s <= hi }
         // never-skip, seq flavor: the planned range (lo, hi] must hold
         // exactly its consecutive run of frames — an interior gap means
@@ -345,7 +429,7 @@ private class SeqFeedStream(root: String) extends MicroBatchStream {
   }
 
   override def createReaderFactory(): PartitionReaderFactory = FeedFs.readerFactory()
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit = () // offsets live in the checkpoint + seed file
   override def stop(): Unit = ()
 }
 

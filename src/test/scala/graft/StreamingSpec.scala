@@ -384,8 +384,48 @@ class StreamingSpec extends SparkSpec {
     val o = ChunkOffsets(nasty)
     assert(parseOffsets(o.json()).entries == nasty,
       s"count offsets corrupted: ${o.json()}")
-    val sn = Map("""p"0""" -> 7L, "p\\1" -> 2L)
+    val sn = Map("""p"0""" -> (7L, -1L), "p\\1" -> (2L, 4L))
     assert(parseSeqOffsets(SeqOffsets(sn).json()).entries == sn)
+    // a pre-base checkpoint (older offset format) parses with base -1 —
+    // the full from-the-beginning obligation, never a silent skip
+    assert(parseSeqOffsets("""{"p0":{"seq":9}}""").entries == Map("p0" -> (9L, -1L)))
+  }
+
+  test("chunk feed offsets=seq: fully-retained partition dir does not fail other partitions") {
+    // retention may remove a fully-consumed partition DIRECTORY wholesale;
+    // the next batch (driven by new data elsewhere) must keep running —
+    // the removed partition is hi == lo, short-circuited before listing
+    import spark.implicits._
+    val feed = java.nio.file.Files.createTempDirectory("graft_seq_ret").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_seq_ret_ck").toString
+    def put(part: String, seq: Int, lines: String*): Unit = {
+      val d = java.nio.file.Paths.get(feed, part)
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.write(d.resolve(f"chunk-$seq%08d"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    def runOnce(): Seq[(String, Long, String)] = {
+      val buf = scala.collection.mutable.ArrayBuffer[(String, Long, String)]()
+      val q = spark.readStream.format("graft.sources.ChunkFeedSource")
+        .option("path", feed).option("offsets", "seq").load()
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = batch.as[(String, Long, String)].collect()
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      buf.synchronized(buf.toSeq.sorted)
+    }
+    put("p0", 0, "a0"); put("p1", 0, "b0")
+    assert(runOnce() == Seq(("p0", 0L, "a0"), ("p1", 0L, "b0")))
+    // p0 retained out entirely (directory and all); p1 gets new data
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      java.nio.file.Paths.get(feed, "p0").toFile)
+    put("p1", 1, "b1")
+    assert(runOnce() == Seq(("p1", 1L, "b1")),
+      "a wholly-retained consumed partition must not fail the stream")
   }
 
   test("quantizeInt8 runs unchanged on a streaming frame (== batch)") {
