@@ -1,9 +1,45 @@
 package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
+/** Accumulates task-level execution metrics between per-query snapshots
+  * so a bench outlier is ATTRIBUTABLE (spill? GC? memory pressure?)
+  * instead of adjudicated by re-running. Counters are cumulative;
+  * [[snapshot]] diffs against the caller's previous snapshot. */
+private class BenchListener extends SparkListener {
+  val spill = new AtomicLong      // memory+disk bytes spilled
+  val gcMs = new AtomicLong       // executor JVM GC time
+  val shufRead = new AtomicLong   // shuffle bytes read
+  val shufWrite = new AtomicLong  // shuffle bytes written
+  val tasks = new AtomicLong
+  @volatile var peak = 0L         // max per-task peakExecutionMemory, window-local
+  override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+    val m = t.taskMetrics
+    if (m != null) {
+      spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      gcMs.addAndGet(m.jvmGCTime)
+      shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      tasks.incrementAndGet()
+      if (m.peakExecutionMemory > peak) peak = m.peakExecutionMemory
+    }
+  }
+  case class Snap(spill: Long, gcMs: Long, shufRead: Long, shufWrite: Long, tasks: Long)
+  def snapshot(): Snap = Snap(spill.get, gcMs.get, shufRead.get, shufWrite.get, tasks.get)
+  def resetPeak(): Unit = peak = 0L
+}
+
 object Bench {
+  private def mb(bytes: Long): Long = bytes >> 20
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.session()
+    val listener = new BenchListener
+    spark.sparkContext.addSparkListener(listener)
     // untimed warmup: pays one-off session/codegen/JIT costs so per-query
     // numbers reflect steady state (first-run victim was +6s of warmup)
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => }
@@ -13,16 +49,29 @@ object Bench {
     // a throwing query must NOT report as a fast success: its name lands
     // in "failures" (and on stderr) so a regression can't shrink the total
     val failures = scala.collection.mutable.ListBuffer[String]()
+    val attribution = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .map { case (name, fn) =>
+      org.apache.spark.GraftBenchGlue.drainListeners(spark.sparkContext)
+      val before = listener.snapshot()
+      listener.resetPeak()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
           failures += name
           System.err.println(s"BENCH FAILURE $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.GraftBenchGlue.drainListeners(spark.sparkContext)
+      val after = listener.snapshot()
+      val short = name.takeWhile(_ != '_')
+      attribution(short) =
+        s"""{"ms":${math.round(sec * 1000)},"spillMB":${mb(after.spill - before.spill)},""" +
+        s""""gcMs":${after.gcMs - before.gcMs},"peakMB":${mb(listener.peak)},""" +
+        s""""srMB":${mb(after.shufRead - before.shufRead)},"swMB":${mb(after.shufWrite - before.shufWrite)},""" +
+        s""""tasks":${after.tasks - before.tasks}}"""
+      name -> sec
     }
     // Keep the WHOLE line under the driver's 2000-char tail window
     // (BENCH_r06.json was truncated → parsed:null, q01–q27 invisible):
@@ -33,7 +82,21 @@ object Bench {
     }.mkString("{", ",", "}")
     val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","qunit":"ms","queries":$qs,"failures":$fails,"sf":"$sfDir"}""")
+    val end = listener.snapshot()
+    // run-wide attribution rides IN the tail line (short); per-query
+    // attribution goes to a file + an earlier stdout line (long)
+    val attrSummary =
+      s""""spillMB":${mb(end.spill)},"gcMs":${end.gcMs},"srMB":${mb(end.shufRead)},"swMB":${mb(end.shufWrite)}"""
+    val perQuery = attribution.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","qunit":"ms","queries":$qs,"failures":$fails,$attrSummary,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_ATTRIBUTION.json"),
+      (perQuery + "\n").getBytes("UTF-8"))
+    println(s"""{"metric":"attribution","queries":$perQuery}""")
+    println(line)
     spark.stop()
+    // absolute last stdout line, after Spark's shutdown chatter (which
+    // goes to stderr): the driver's tail-parse sees this one
+    println(line)
   }
 }
