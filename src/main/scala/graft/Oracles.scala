@@ -641,6 +641,27 @@ object Oracles {
                                   ELSE len(string_split_regex(trim(text), '\s+')) END, 1) AS stopword_ratio
          FROM documents ORDER BY doc_id""",
 
+    // q30/q32 (GRADUATED r8): xxhash64 VALUES have no DuckDB twin, so
+    // the queries emit closed-form derived facts instead — replica
+    // hamming/equality (identical text ⇒ identical sketch ⇒ 0 / equal),
+    // a second-pass determinism pin, and the input-size column both
+    // engines compute from the text. Empty/whitespace-only text
+    // normalizes to "" whose split is [""] — one token, hence THEN 1.
+    "q30_simhash" ->
+      """SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN 1
+                     ELSE len(string_split_regex(trim(text), '\s+')) END AS n_toks,
+                CAST(0 AS BIGINT) AS ham_replica,
+                CAST(1 AS BIGINT) AS det_eq
+         FROM documents ORDER BY doc_id""",
+
+    "q32_fingerprint" ->
+      """SELECT doc_id,
+                length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_chars,
+                CAST(1 AS BIGINT) AS fp_eq_replica,
+                CAST(1 AS BIGINT) AS det_eq
+         FROM documents ORDER BY doc_id""",
+
     // q33/q46: the ANN tier's planted-replica closed-form answers (see
     // the query docstrings — replicas at cosine exactly 1.0, ties by
     // cand_id, organic bulk provably below; identical-vector cosine

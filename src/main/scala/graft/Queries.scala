@@ -403,19 +403,22 @@ object Queries {
       .orderBy(col("q_id"), col("rk"))
   }
 
-  // --------------------------- sketch tier (mostly rows-only; see oracle notes)
-  // q29 and q54 in this family ARE hash-oracled (exact all-pairs Jaccard /
+  // --------------------------- sketch tier (fully oracled as of r8)
+  // q29 and q54 are hash-oracled (exact all-pairs Jaccard /
   // recursive-CTE closure in DuckDB — the fixture's bimodal pair-Jaccard
   // distribution makes LSH+verify provably exhaustive; see Oracles.scala).
-  // Raw signature surfaces (q30 simhash values, q32 fingerprint hashes)
-  // remain rows-only by declared contract: no DuckDB twin exists for
-  // xxhash64 outputs. Their BEHAVIOR is oracled by the dedup queries
-  // built on them (q93/q94), and the rest of the sketch tier graduated
-  // to full oracles via planted-margin/-replica constructions whose
-  // true answers are closed-form: q33/q46/q55 (embedding replicas at
-  // cosine exactly 1.0), q58 (whole-source replica — the organic matrix
-  // is exactly 0.0), q35 (metadata from byte lengths + a determinism
-  // pin on the hash-valued features). Measurements in FIXTURES.md §3.
+  // The former raw signature surfaces (q30 simhash, q32 fingerprint)
+  // graduated to closed-form derived facts: replica-hamming / sketch
+  // equality (identical text ⇒ identical sketch), second-pass
+  // determinism pins, and a DuckDB-recomputable input-size column —
+  // xxhash64 VALUES still have no DuckDB twin, so the facts are what's
+  // oracled, and raw-signature behavior is covered by the dedup queries
+  // built on those signatures (q93/q94). The rest of the tier uses
+  // planted-margin/-replica constructions whose true answers are
+  // closed-form: q33/q46/q55 (embedding replicas at cosine exactly
+  // 1.0), q58 (whole-source replica — the organic matrix is exactly
+  // 0.0), q35 (metadata from byte lengths + a determinism pin on the
+  // hash-valued features). Measurements in FIXTURES.md §3.
 
   /** MinHash+LSH near-dup candidate pairs (north-star). Word-salad docs
     * rarely collide at 0.7; threshold 0.2 exercises the full band→bucket→
@@ -425,10 +428,35 @@ object Queries {
         jaccardThreshold = 0.2)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** SimHash signatures (north-star): 64-bit sign-sum sketch per doc. */
-  val q30_simhash: Q = (s, dir) =>
-    llm.Dedup.simhash(Tables.fanOut(Tables.documents(s, dir)), "doc_id", "text")
+  /** SimHash surface (north-star), GRADUATED from a raw signature dump
+    * to closed-form derived facts (the q35 determinism-pin pattern):
+    * per doc, the hamming distance between its signature and an exact
+    * text replica's (identical text ⇒ identical sign-sums ⇒ 0), an
+    * equality pin against a second independently-planned pass, and the
+    * DuckDB-recomputable token count the signature is built over. A
+    * non-deterministic, input-insensitive, or replica-divergent simhash
+    * hash-fails; raw-signature BEHAVIOR stays oracled by q93's dedup. */
+  val q30_simhash: Q = (s, dir) => {
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), col("text"))
+    val once = llm.Dedup.simhash(docs, "doc_id", "text")
+    val again = llm.Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
+      .withColumnRenamed("simhash", "simhash_b")
+    val repl = llm.Dedup.simhash(
+        docs.withColumn("doc_id", col("doc_id") + lit(10000000L)),
+        "doc_id", "text")
+      .withColumn("doc_id", col("doc_id") - lit(10000000L))
+      .withColumnRenamed("simhash", "simhash_r")
+    val toks = docs.select(col("doc_id"),
+      size(llm.Dedup.tokens(col("text"))).cast("long").as("n_toks"))
+    once.join(again, Seq("doc_id")).join(repl, Seq("doc_id"))
+      .join(toks, Seq("doc_id"))
+      .select(col("doc_id"), col("n_toks"),
+        llm.Dedup.hamming(col("simhash"), col("simhash_r")).cast("long")
+          .as("ham_replica"),
+        (col("simhash") === col("simhash_b")).cast("long").as("det_eq"))
       .orderBy(col("doc_id"))
+  }
 
   /** Language-ID heuristic (north-star): predicted language distribution. */
   val q31_lang_id: Q = (s, dir) =>
@@ -436,12 +464,32 @@ object Queries {
       .groupBy(col("pred_lang")).agg(count(lit(1)).as("n"), sum(col("score")).as("total_score"))
       .orderBy(col("pred_lang"))
 
-  /** Winnowing fingerprints (north-star): sketch sizes + first hash. */
-  val q32_fingerprint: Q = (s, dir) =>
-    llm.TextOps.fingerprint(Tables.fanOut(Tables.documents(s, dir)), "doc_id", "text")
-      .select(col("doc_id"), size(col("fingerprint")).as("n_hashes"),
-              element_at(col("fingerprint"), 1).as("first_hash"))
+  /** Winnowing fingerprint surface (north-star), GRADUATED like q30:
+    * whole-sketch set equality against an exact text replica (winnowing
+    * is a pure function of the text ⇒ equal arrays), a second-pass
+    * determinism pin, and the normalized character count the k-gram
+    * hashes are rolled over. Raw-hash BEHAVIOR stays oracled by q94. */
+  val q32_fingerprint: Q = (s, dir) => {
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), col("text"))
+    val once = llm.TextOps.fingerprint(docs, "doc_id", "text")
+    val again = llm.TextOps.fingerprint(Tables.documents(s, dir), "doc_id", "text")
+      .withColumnRenamed("fingerprint", "fingerprint_b")
+    val repl = llm.TextOps.fingerprint(
+        docs.withColumn("doc_id", col("doc_id") + lit(10000000L)),
+        "doc_id", "text")
+      .withColumn("doc_id", col("doc_id") - lit(10000000L))
+      .withColumnRenamed("fingerprint", "fingerprint_r")
+    val chars = docs.select(col("doc_id"),
+      length(llm.Dedup.normText(col("text"))).cast("long").as("n_chars"))
+    once.join(again, Seq("doc_id")).join(repl, Seq("doc_id"))
+      .join(chars, Seq("doc_id"))
+      .select(col("doc_id"), col("n_chars"),
+        (col("fingerprint") === col("fingerprint_r")).cast("long")
+          .as("fp_eq_replica"),
+        (col("fingerprint") === col("fingerprint_b")).cast("long").as("det_eq"))
       .orderBy(col("doc_id"))
+  }
 
   /** Hyperplane-LSH ANN (north-star scale path): bucketed candidates,
     * exact re-rank. */
