@@ -689,6 +689,14 @@ object Oracles {
          FROM embeddings q CROSS JOIN (VALUES (1), (2), (3)) t(j)
          WHERE q.vec_id < 5 ORDER BY q_id, rk""",
 
+    // q105: the program's loops resolve to closed-form scalars
+    // (for: 0+1+2+3+4 = 10; do/while: 1*2*2*2 = 8; threshold 80) and
+    // the def's early return is a CASE — DuckDB replays the whole thing
+    "q105_kerf_control" ->
+      """SELECT o_orderpriority, count(*) AS n
+         FROM orders WHERE o_orderkey % 160 >= 80
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
     "q28_sim_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
               c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM embeddings),

@@ -1793,6 +1793,25 @@ object Queries {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** Full dialect control tier in one program (the last parsed-surface
+    * gap vs RESERVED_CONTROL_NAMES, lexer.h:100): `for` (iterator form)
+    * accumulates a threshold, `do/while` scales it, a `def` with early
+    * `return` classifies rows — the def compiles to a CASE chain that
+    * runs per-row inside the select (never a driver loop), and the two
+    * loop results enter the plan as literals. Oracled: DuckDB replays
+    * the closed-form threshold (lim=0+1+2+3+4=10, mult=1·2·2·2=8 ⇒ 80)
+    * directly. */
+  val q105_kerf_control: Q = (s, dir) => {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v105")
+    sql.KerfSql.run(s,
+      "lim: 0; for (i: til 5) { lim: lim + i }; " +
+      "mult: 1; do { mult: mult * 2 } while (mult < 8); " +
+      "def tier(x) { if (x >= lim * mult) { return 2 }; return 1 }; " +
+      "select o_orderpriority, count(*) as n " +
+      "from orders_v105 where tier(o_orderkey % 160) == 2 " +
+      "group o_orderpriority order o_orderpriority")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -1900,5 +1919,6 @@ object Queries {
     "q102_kerf_math"     -> q102_kerf_math,
     "q103_kerf_fileverbs" -> q103_kerf_fileverbs,
     "q104_ann_quantized" -> q104_ann_quantized,
+    "q105_kerf_control"  -> q105_kerf_control,
   )
 }

@@ -208,23 +208,49 @@ object KerfSql {
       var env = defEnv.bind(params.zip(args))
       val stmts = splitTop(body)
       require(stmts.nonEmpty, "lambda body is empty")
-      // leading `name: expr` statements are LAZY let-bindings (pure plan
+      // Leading statements are `name: expr` LAZY let-bindings (pure plan
       // composition — they may reference lambda vars, so no driver
-      // evaluation here, unlike top-level colon assignment)
+      // evaluation here, unlike top-level colon assignment) or
+      // `if (cond) { return expr }` early returns. A lambda stays pure
+      // column algebra (it may run per-ROW inside a select), so an early
+      // return is not driver control flow — the guards stack into one
+      // CASE WHEN chain over the final expression, evaluated wherever
+      // the row lives (the Spark-native reading of ctrl_return,
+      // lexer.h:100: a conditional return in an expression language IS
+      // a conditional expression).
+      val guards = scala.collection.mutable.ListBuffer[(T, T)]()
       stmts.init.foreach { st =>
         val p2 = new P(st)
-        val name = p2.pop()
-        require(p2.peek.contains(":"),
-          s"lambda body statement must be a let-binding: ${st.mkString(" ")}")
-        p2.pop()
-        val t = parseExpr(p2, env)
-        require(p2.done, s"trailing tokens in let-binding: ${p2.toks.mkString(" ")}")
-        env = env.bind(Seq(name -> t))
+        if (p2.peekIs("if")) {
+          p2.pop(); p2.expect("(")
+          val cond = parseExpr(p2, env)
+          p2.expect(")"); p2.expect("{")
+          val inner = blockBody(p2)
+          require(p2.done, s"trailing tokens after if: ${p2.toks.mkString(" ")}" +
+            " (lambda if-blocks take no else — stack sequential returns instead)")
+          val ip = new P(inner)
+          ip.expect("return")
+          val v = parseExpr(ip, env)
+          require(ip.done, s"lambda if-block must be a single `return expr`: ${inner.mkString(" ")}")
+          guards += cond -> v
+        } else {
+          val name = p2.pop()
+          require(p2.peek.contains(":"),
+            s"lambda body statement must be a let-binding or `if (…) { return … }`: ${st.mkString(" ")}")
+          p2.pop()
+          val t = parseExpr(p2, env)
+          require(p2.done, s"trailing tokens in let-binding: ${p2.toks.mkString(" ")}")
+          env = env.bind(Seq(name -> t))
+        }
       }
       val p2 = new P(stmts.last)
-      val t = parseExpr(p2, env)
+      if (p2.peekIs("return")) p2.pop() // optional explicit final return
+      val fin = parseExpr(p2, env)
       require(p2.done, s"trailing tokens in lambda body: ${p2.toks.mkString(" ")}")
-      t
+      guards.foldRight(fin) { case ((c, v), acc) =>
+        val dt = if (v.dt == acc.dt) acc.dt else widenArith(v.dt, acc.dt)
+        T(when(c.col, v.col.cast(dt)).otherwise(acc.col.cast(dt)), dt)
+      }
     }
   }
 
@@ -912,10 +938,15 @@ object KerfSql {
     *    EAGERLY (REPL semantics, keeps loop-carried expressions bounded)
     *    and rebound as a literal;
     *  - `def name(params) { body }` — a named lambda (expression body);
-    *  - `if (cond) { … } else { … }` / `while (cond) { … }` — control
-    *    flow, evaluated driver-side (the reference's interpreter loop,
-    *    TOKENS_IF/TOKENS_DEF parser.h:466; data-parallel work stays in
-    *    the cluster — only the scalar condition comes back);
+    *  - `if (cond) { … } else { … }` / `while (cond) { … }` /
+    *    `do { … } while (cond)` / `for (init; cond; step) { … }` /
+    *    `for (name: vector) { … }` (iterate the vector's elements) —
+    *    control flow, evaluated driver-side (the reference lexes the
+    *    full control set if/do/while/for/def/return,
+    *    RESERVED_CONTROL_NAMES lexer.h:100, DFA rows lexer.h:572–581;
+    *    data-parallel work stays in the cluster — only the scalar
+    *    condition comes back);
+    *  - `return [expr]` — ends the program with expr as its result;
     *  - a bare Kerf expression.
     *
     * Returns the last statement's result (one-row `value` frame for
@@ -993,6 +1024,77 @@ object KerfSql {
             guard += 1
             require(guard < 100000, "while: exceeded 100000 iterations")
           }
+        case "do" =>
+          // `do { body } while (cond)` — body runs at least once, the
+          // condition re-evaluates after each round (lexer.h:100 ctrl_do)
+          p.pop(); p.expect("{")
+          val body = blockBody(p)
+          p.expect("while"); p.expect("(")
+          val condToks = parenBody(p)
+          require(p.done, s"trailing tokens after do/while: ${p.toks.mkString(" ")}")
+          var guard = 0
+          while ({
+            execBlock(body)
+            guard += 1
+            require(guard < 100000, "do: exceeded 100000 iterations")
+            val cp = new P(condToks)
+            truthy(parseExpr(cp, env))
+          }) ()
+        case "for" =>
+          // two forms (lexer.h:100 ctrl_for):
+          //   for (init; cond; step) { body }   — C-style, the reference's
+          //     control tier; init/step are statements, cond re-evaluates
+          //   for (name: vecExpr) { body }      — iterator sugar: bind
+          //     name over the vector's elements (a scalar n iterates
+          //     0..n-1, the `til` convention)
+          p.pop(); p.expect("(")
+          val header = parenBody(p)
+          p.expect("{")
+          val body = blockBody(p)
+          require(p.done, s"trailing tokens after for: ${p.toks.mkString(" ")}")
+          splitTop(header) match {
+            case one :: Nil =>
+              val hp = new P(one)
+              val name = hp.pop()
+              hp.expect(":")
+              val vec = parseExpr(hp, env)
+              require(hp.done, s"trailing tokens in for header: ${hp.toks.mkString(" ")}")
+              val items: Seq[Any] = evalScalar(spark, vec) match {
+                case s: scala.collection.Seq[_] => s.toSeq
+                case a: Array[_] => a.toSeq
+                case n: Number => 0L until n.longValue()
+                case other => throw new IllegalArgumentException(
+                  s"for ($name: …) needs a vector or count, got $other")
+              }
+              items.foreach { x =>
+                vars(name) = litOf(x)
+                execBlock(body)
+              }
+            case init :: cond :: step :: Nil =>
+              execStmt(init)
+              var guard = 0
+              while ({
+                val cp = new P(cond)
+                truthy(parseExpr(cp, env))
+              }) {
+                execBlock(body)
+                execStmt(step)
+                guard += 1
+                require(guard < 100000, "for: exceeded 100000 iterations")
+              }
+            case segs => throw new IllegalArgumentException(
+              s"for needs (init; cond; step) or (name: vector), got ${segs.length} segment(s)")
+          }
+        case "return" =>
+          // ends the whole program; its value (if any) is the result —
+          // eager like colon-assignment (REPL semantics)
+          p.pop()
+          if (!p.done) {
+            val t = parseExpr(p, env)
+            require(p.done, s"trailing tokens after return: ${p.toks.mkString(" ")}")
+            last = Right(litOf(evalScalar(spark, t)))
+          }
+          throw new ReturnSignal
         case name if toks.lengthCompare(2) >= 0 &&
                      (toks(1) == ">>" || toks(1) == ">>=") &&
                      name.matches("[A-Za-z_][A-Za-z0-9_.]*") =>
@@ -1062,12 +1164,16 @@ object KerfSql {
       }
     }
 
-    splitTop(lex(statement)).foreach(execStmt)
+    try splitTop(lex(statement)).foreach(execStmt)
+    catch { case _: ReturnSignal => } // `return` unwinds to here
     last match {
       case Left(df) => df
       case Right(t) => spark.range(1).select(t.col.as("value"))
     }
   }
+
+  /** Unwinds a program on `return` (stackless — pure control flow). */
+  private final class ReturnSignal extends RuntimeException(null, null, false, false)
 
   /** Tokens of a `{ … }` block whose opening brace is already consumed. */
   private def blockBody(p: P): List[String] = {
@@ -1079,6 +1185,22 @@ object KerfSql {
       t match {
         case "{" => depth += 1; body += t
         case "}" => depth -= 1; if (depth > 0) body += t
+        case _   => body += t
+      }
+    }
+    body.toList
+  }
+
+  /** Tokens of a `( … )` group whose opening paren is already consumed. */
+  private def parenBody(p: P): List[String] = {
+    val body = scala.collection.mutable.ListBuffer[String]()
+    var depth = 1
+    while (depth > 0) {
+      require(!p.done, "unterminated group: missing ')'")
+      val t = p.pop()
+      t match {
+        case "(" => depth += 1; body += t
+        case ")" => depth -= 1; if (depth > 0) body += t
         case _   => body += t
       }
     }

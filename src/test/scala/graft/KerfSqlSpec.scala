@@ -234,6 +234,42 @@ class KerfSqlSpec extends SparkSpec {
   test("while loops with driver-side condition") {
     assert(evalOne("i: 0; s: 0; while (i < 5) { s: s + i; i: i + 1 }; s") == 10L)
   }
+  test("for: iterator form accumulates over the vector (ctrl_for, lexer.h:100)") {
+    assert(evalOne("s: 0; for (i: til 5) { s: s + i }; s") == 10L)
+    // a scalar count iterates 0..n-1 (the til convention)
+    assert(evalOne("s: 0; for (i: 4) { s: s + i }; s") == 6L)
+  }
+  test("for: C-style (init; cond; step) form") {
+    assert(evalOne("s: 0; for (i: 0; i < 5; i: i + 1) { s: s + i }; s") == 10L)
+    // zero-trip: condition false before the first round
+    assert(evalOne("s: 7; for (i: 9; i < 5; i: i + 1) { s: 0 }; s") == 7L)
+  }
+  test("do/while runs the body at least once (ctrl_do)") {
+    assert(evalOne("i: 0; s: 0; do { s: s + i; i: i + 1 } while (i < 5); s") == 10L)
+    // at-least-once even with a false condition
+    assert(evalOne("s: 0; do { s: s + 1 } while (0); s") == 1L)
+  }
+  test("return ends the program with its value (ctrl_return)") {
+    assert(evalOne("x: 2; if (x > 1) { return 42 }; 7") == 42L)
+    assert(evalOne("x: 0; if (x > 1) { return 42 }; 7") == 7L)
+    // return inside a loop unwinds the whole program
+    assert(evalOne("s: 0; for (i: til 100) { s: s + i; if (s > 10) { return s } }; 0") == 15L)
+  }
+  test("def with early return compiles to a CASE chain (row-level, not driver)") {
+    assert(evalOne("def cap(x) { if (x > 10) { return 10 }; x }; cap(99)") == 10L)
+    assert(evalOne("def cap(x) { if (x > 10) { return 10 }; x }; cap(3)") == 3L)
+    // explicit final return also accepted
+    assert(evalOne("def sgn(x) { if (x > 0) { return 1 }; if (x < 0) { return 0 - 1 }; return 0 }; sgn(0 - 5)") == -1L)
+    // guards stack in order: first match wins
+    assert(evalOne("def tier(x) { if (x > 100) { return 3 }; if (x > 10) { return 2 }; return 1 }; tier(50)") == 2L)
+  }
+  test("def with early return runs per-row inside a select") {
+    init
+    val df = KerfSql.run(spark,
+      "def cap(x) { if (x > 3) { return 3 }; x }; " +
+      "select cap(o_orderkey % 6) as c from orders_v order o_orderkey limit 5")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 3L))
+  }
   test("program returns the last statement's result, SQL included") {
     init
     val df = KerfSql.run(spark,
