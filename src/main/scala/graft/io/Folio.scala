@@ -256,6 +256,17 @@ object Folio {
       df.write.mode(SaveMode.Overwrite).parquet(s"$path/$name")
     }
 
+  /** Workspace save INCLUDING program state (the reference's
+    * workspace_save persists the whole Kerf Tree — scalars and lambdas,
+    * not just tables, file.cc:994–1023): tables as Parquet datasets,
+    * the interpreter session's variables and `def`s as `_PROGRAM.json`
+    * in the same directory via [[graft.sql.KerfSql.Interp.saveProgram]]. */
+  def workspaceSave(tables: Map[String, DataFrame], path: String,
+                    program: graft.sql.KerfSql.Interp): Unit = {
+    workspaceSave(tables, path)
+    program.saveProgram(path)
+  }
+
   /** Restore: every table back, registered as temp views (the catalog
     * replaces Kerf's global tree). Tables that were published through
     * [[appendWithPromotion]] carry version dirs + a `_CURRENT` pointer:
@@ -269,5 +280,16 @@ object Folio {
       df.createOrReplaceTempView(d.getName)
       d.getName -> df
     }.toMap
+  }
+
+  /** Restore tables AND program state into a live interpreter session —
+    * the full workspace_save→load→rerun round-trip of
+    * /root/reference/test.cc:825–900. A tables-only workspace restores
+    * tables and leaves the session untouched. */
+  def workspaceLoad(spark: SparkSession, path: String,
+                    program: graft.sql.KerfSql.Interp): Map[String, DataFrame] = {
+    val tables = workspaceLoad(spark, path)
+    program.loadProgram(path)
+    tables
   }
 }

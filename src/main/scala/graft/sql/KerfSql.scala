@@ -951,9 +951,13 @@ object KerfSql {
     *
     * Returns the last statement's result (one-row `value` frame for
     * expressions/assignments). */
-  def run(spark: SparkSession, statement: String): DataFrame = {
-    val vars = scala.collection.mutable.Map[String, T]()
-    val funcs = scala.collection.mutable.Map[String, FVal]()
+  def run(spark: SparkSession, statement: String): DataFrame =
+    runWith(spark, statement,
+      scala.collection.mutable.Map.empty, scala.collection.mutable.Map.empty)
+
+  private def runWith(spark: SparkSession, statement: String,
+                      vars: scala.collection.mutable.Map[String, T],
+                      funcs: scala.collection.mutable.Map[String, FVal]): DataFrame = {
     def env = new Env(None, vars.toMap, funcs.toMap)
     var last: Either[DataFrame, T] = Right(T(lit(null), NullType))
 
@@ -1143,16 +1147,23 @@ object KerfSql {
           } else {
             val t = parseExpr(p, env)
             require(p.done, s"trailing tokens in assignment: ${p.toks.mkString(" ")}")
-            // eager (REPL) semantics. Dicts rebind via parallel key/value
-            // ARRAYS: Kerf dicts are insertion-ordered, and a collected
-            // scala Map drops that order past 4 entries (HashMap)
-            val bound = t.dt match {
-              case MapType(_, _, _) =>
-                val ks = litOf(evalScalar(spark, T(map_keys(t.col), NullType)))
-                val vs = litOf(evalScalar(spark, T(map_values(t.col), NullType)))
-                val vdt = vs.dt match { case ArrayType(e, _) => e; case _ => NullType }
-                T(map_from_arrays(ks.col, vs.col), MapType(StringType, vdt))
-              case _ => litOf(evalScalar(spark, t))
+            // eager (REPL) semantics. Spans are already driver constants —
+            // rebinding through spanT keeps the span TAG, so `sp: 1d2h;
+            // ts + sp` still routes through calendar arithmetic instead of
+            // raw long addition (and the tag survives workspace save).
+            // Dicts rebind via parallel key/value ARRAYS: Kerf dicts are
+            // insertion-ordered, and a collected scala Map drops that
+            // order past 4 entries (HashMap)
+            val bound = t.span match {
+              case Some(sp) => spanT(sp)
+              case None => t.dt match {
+                case MapType(_, _, _) =>
+                  val ks = litOf(evalScalar(spark, T(map_keys(t.col), NullType)))
+                  val vs = litOf(evalScalar(spark, T(map_values(t.col), NullType)))
+                  val vdt = vs.dt match { case ArrayType(e, _) => e; case _ => NullType }
+                  T(map_from_arrays(ks.col, vs.col), MapType(StringType, vdt))
+                case _ => litOf(evalScalar(spark, t))
+              }
             }
             vars(name) = bound
             last = Right(bound)
@@ -1174,6 +1185,151 @@ object KerfSql {
 
   /** Unwinds a program on `return` (stackless — pure control flow). */
   private final class ReturnSignal extends RuntimeException(null, null, false, false)
+
+  // ------------------------------------------------ interpreter sessions
+
+  /** A LIVE interpreter session: colon-assigned variables and `def`s
+    * persist across [[run]] calls, and round-trip through a workspace —
+    * the reference's workspace_save/load persists the whole Kerf Tree,
+    * program state included, not just tables
+    * (/root/reference/file.cc:994–1023, exercised test.cc:825–900).
+    * Tables go through [[graft.io.Folio.workspaceSave]]; the program
+    * tier saves here as `_PROGRAM.json` in the same directory: each
+    * variable as its evaluated driver value with a type tag (variables
+    * are eager literals — REPL semantics — so the value IS the state),
+    * each `def` as its parameter list + body token stream (re-parsed on
+    * load against the restored environment, the same def-time-snapshot
+    * scoping a freshly typed def gets). */
+  final class Interp(spark: SparkSession) {
+    private val vars = scala.collection.mutable.Map[String, T]()
+    private val funcs = scala.collection.mutable.Map[String, FVal]()
+
+    def run(statement: String): DataFrame =
+      KerfSql.runWith(spark, statement, vars, funcs)
+
+    /** Program state → `path/_PROGRAM.json` (pairs with
+      * Folio.workspaceSave into the same workspace directory). */
+    def saveProgram(path: String): Unit = {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = m.createObjectNode()
+      val vn = root.putObject("vars")
+      vars.toSeq.sortBy(_._1).foreach { case (name, t) =>
+        vn.set[com.fasterxml.jackson.databind.JsonNode](name, valueNode(m, t))
+      }
+      val dn = root.putObject("defs")
+      funcs.toSeq.sortBy(_._1).foreach {
+        case (name, Lambda(params, body, _)) =>
+          val e = dn.putObject(name)
+          val pa = e.putArray("params"); params.foreach(pa.add)
+          val ba = e.putArray("body"); body.foreach(ba.add)
+        case (name, other) => throw new IllegalArgumentException(
+          s"def '$name' is not serializable: $other")
+      }
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, "_PROGRAM.json"), m.writeValueAsString(root))
+    }
+
+    /** Restore program state saved by [[saveProgram]]; a workspace with
+      * no `_PROGRAM.json` (tables-only, the pre-r8 format) is a no-op. */
+    def loadProgram(path: String): Unit = {
+      val f = java.nio.file.Paths.get(path, "_PROGRAM.json")
+      if (!java.nio.file.Files.exists(f)) return
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = m.readTree(java.nio.file.Files.readString(f))
+      val vn = root.get("vars")
+      if (vn != null) {
+        val it = vn.fields()
+        while (it.hasNext) { val e = it.next(); vars(e.getKey) = nodeValue(e.getValue) }
+      }
+      val dn = root.get("defs")
+      if (dn != null) {
+        val it = dn.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          val params = scala.jdk.CollectionConverters.IteratorHasAsScala(
+            e.getValue.get("params").elements()).asScala.map(_.asText()).toSeq
+          val body = scala.jdk.CollectionConverters.IteratorHasAsScala(
+            e.getValue.get("body").elements()).asScala.map(_.asText()).toList
+          // defs load in saved (sorted) order; each sees vars + the defs
+          // restored before it — the same snapshot scoping `def` gets
+          funcs(e.getKey) = Lambda(params, body, new Env(None, vars.toMap, funcs.toMap))
+        }
+      }
+    }
+
+    /** T → tagged JSON. Variables are eager literals, so evaluation is a
+      * driver-side one-row job per var (tiny, save-time only). */
+    private def valueNode(m: com.fasterxml.jackson.databind.ObjectMapper,
+                          t: T): com.fasterxml.jackson.databind.JsonNode = {
+      val n = m.createObjectNode()
+      t.span match {
+        case Some(sp) =>
+          n.put("t", "span"); n.put("months", sp.months); n.put("nanos", sp.nanos)
+        case None => t.dt match {
+          case MapType(_, _, _) =>
+            // insertion-ordered parallel arrays, like colon-assignment
+            n.put("t", "dict")
+            n.set[com.fasterxml.jackson.databind.JsonNode]("k",
+              anyNode(m, evalScalar(spark, T(map_keys(t.col), NullType))))
+            n.set[com.fasterxml.jackson.databind.JsonNode]("v",
+              anyNode(m, evalScalar(spark, T(map_values(t.col), NullType))))
+          case _ =>
+            n.put("t", "val")
+            n.set[com.fasterxml.jackson.databind.JsonNode]("v",
+              anyNode(m, evalScalar(spark, t)))
+        }
+      }
+      n
+    }
+
+    private def anyNode(m: com.fasterxml.jackson.databind.ObjectMapper,
+                        v: Any): com.fasterxml.jackson.databind.JsonNode = v match {
+      case null => m.getNodeFactory.nullNode()
+      case b: Boolean => m.getNodeFactory.booleanNode(b)
+      case i: Int => m.getNodeFactory.numberNode(i.toLong)
+      case l: Long => m.getNodeFactory.numberNode(l)
+      case d: Double => m.getNodeFactory.numberNode(d)
+      case f: Float => m.getNodeFactory.numberNode(f.toDouble)
+      case s: String => m.getNodeFactory.textNode(s)
+      case ts: java.sql.Timestamp =>
+        // object-wrapped so a user STRING that looks like a stamp can
+        // never be mis-restored as one
+        val o = m.createObjectNode(); o.put("@ts", ts.toInstant.toString); o
+      case seq: scala.collection.Seq[_] =>
+        val a = m.createArrayNode()
+        seq.foreach(x => a.add(anyNode(m, x)))
+        a
+      case other => throw new IllegalArgumentException(
+        s"workspace cannot serialize value of ${other.getClass}")
+    }
+
+    private def nodeValue(n: com.fasterxml.jackson.databind.JsonNode): T =
+      n.get("t").asText() match {
+        case "span" =>
+          spanT(Temporal.Span(n.get("months").asLong(), n.get("nanos").asLong()))
+        case "dict" =>
+          val ks = litOf(anyValue(n.get("k")))
+          val vs = litOf(anyValue(n.get("v")))
+          val vdt = vs.dt match { case ArrayType(e, _) => e; case _ => NullType }
+          T(map_from_arrays(ks.col, vs.col), MapType(StringType, vdt))
+        case "val" => litOf(anyValue(n.get("v")))
+        case other => throw new IllegalArgumentException(s"bad workspace tag $other")
+      }
+
+    private def anyValue(n: com.fasterxml.jackson.databind.JsonNode): Any =
+      if (n.isNull) null
+      else if (n.isBoolean) n.asBoolean()
+      else if (n.isIntegralNumber) n.asLong()
+      else if (n.isFloatingPointNumber) n.asDouble()
+      else if (n.isTextual) n.asText()
+      else if (n.isObject && n.has("@ts"))
+        java.sql.Timestamp.from(java.time.Instant.parse(n.get("@ts").asText()))
+      else if (n.isArray)
+        scala.jdk.CollectionConverters.IteratorHasAsScala(n.elements())
+          .asScala.map(anyValue).toSeq
+      else throw new IllegalArgumentException(s"bad workspace value $n")
+  }
 
   /** Tokens of a `{ … }` block whose opening brace is already consumed. */
   private def blockBody(p: P): List[String] = {

@@ -161,4 +161,32 @@ class FolioSpec extends SparkSpec {
     // restored as catalog views, queryable by name (the Kerf Tree analog)
     assert(spark.sql("SELECT count(*) FROM nation").collect()(0).getLong(0) == t1.count())
   }
+
+  test("workspace round-trips PROGRAM state: vars + defs rerun after restore (test.cc:825-900)") {
+    val dir = tmp()
+    val sess = new graft.sql.KerfSql.Interp(spark)
+    // scalar, vector, dict, span, and a def with an early return — the
+    // full variable surface the reference's Kerf Tree snapshot carries
+    sess.run("k: 3; v: til 5; d: {a: 10, b: 20}; sp: 1d2h; " +
+      "def cap(x) { if (x > k) { return k }; x }")
+    Folio.workspaceSave(Map("nation" -> Tables.nation(spark, sf)), dir, sess)
+    // a FRESH session in a fresh (conceptually: restarted) interpreter
+    val restored = new graft.sql.KerfSql.Interp(spark)
+    val tables = Folio.workspaceLoad(spark, dir, restored)
+    assert(tables.keySet == Set("nation"))
+    def one(s: String): Any = restored.run(s).collect()(0).get(0)
+    assert(one("k") == 3L)
+    assert(one("{[x,y] x+y} fold v") == 10L)
+    assert(one("d['a'] + d['b']") == 30L)
+    assert(one("2024.01.01 + sp") != null, "span variable must restore as a span")
+    // the def reruns: per-row CASE against a restored table
+    val df = restored.run("select cap(n_nationkey) as c from nation order n_nationkey limit 5")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 3L))
+    // a tables-only workspace (pre-r8 format) loads with the session untouched
+    val dir2 = tmp()
+    Folio.workspaceSave(Map("nation" -> Tables.nation(spark, sf)), dir2)
+    val untouched = new graft.sql.KerfSql.Interp(spark)
+    Folio.workspaceLoad(spark, dir2, untouched)
+    intercept[Exception] { untouched.run("k") }
+  }
 }

@@ -263,6 +263,15 @@ class KerfSqlSpec extends SparkSpec {
     // guards stack in order: first match wins
     assert(evalOne("def tier(x) { if (x > 100) { return 3 }; if (x > 10) { return 2 }; return 1 }; tier(50)") == 2L)
   }
+  test("Interp session: vars and defs persist across run() calls") {
+    val sess = new KerfSql.Interp(spark)
+    sess.run("x: 5")
+    sess.run("def twice(n) { n * 2 }")
+    assert(sess.run("twice(x) + 1").collect()(0).get(0) == 11L)
+    // stateless run() stays stateless: no leakage between programs
+    intercept[Exception] { KerfSql.run(spark, "x") }
+  }
+
   test("def with early return runs per-row inside a select") {
     init
     val df = KerfSql.run(spark,
