@@ -155,15 +155,23 @@ object Similarity {
     *
     * NULL embeddings are excluded from the index: a null vector has no
     * sketch and cosine against it is undefined, so such rows can never
-    * appear in a pair. Filter or impute upstream if they must participate. */
+    * appear in a pair. Filter or impute upstream if they must participate.
+    *
+    * `nBits = 0` (the SCALE-SAFE default): size the dial from the corpus
+    * itself — one count() pass, then [[autoNBits]]. The measured swing at
+    * 200k vectors is 16× (620s fixture-sized vs 38.7s auto-sized,
+    * SCALING.md), so auto-sizing is the default and a FIXED width is the
+    * expert option (reproducible without the count pass, e.g. when two
+    * runs must band identically). */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,
-                         nBits: Int = 10, tables: Int = 8,
+                         nBits: Int = 0, tables: Int = 8,
                          idCol: String = "vec_id", vecCol: String = "embedding",
                          maxBucket: Int = 256): DataFrame = {
+    val bits = if (nBits == 0) autoNBits(df.count()) else nBits
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     val sk = perTableSketches(
       df.select(col(idCol).as("vid"),
-        allSketches(col(vecCol), nBits, tables, dim).as("__sks")),
+        allSketches(col(vecCol), bits, tables, dim).as("__sks")),
       Seq(col("vid")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val oversize = sk.groupBy(col("table_id"), col("sketch"))
@@ -263,16 +271,23 @@ object Similarity {
     * with the smallest xxhash64(id) — a seed-stable pseudo-random sample
     * that assumes NOTHING about the id distribution (dense, sparse,
     * hashed all work) and lowers to TakeOrderedAndProject (per-partition
-    * top-n + driver merge, never a global sort). Refined by one Lloyd
-    * iteration (elementwise means via posexplode+groupBy — fully
+    * top-n + driver merge, never a global sort). Refined by `iters`
+    * Lloyd iterations (elementwise means via posexplode+groupBy — fully
     * distributed; only the nLists×dim centroid matrix ever reaches the
     * driver, which is the legitimate "model state" broadcast, ~16KB here,
-    * ≤MBs at production nLists). `candidates` is scanned by the seed
-    * take, the assignment pass, and the caller's probe join — cached for
-    * the call's duration unless the caller already persisted it. */
+    * ≤MBs at production nLists — PER PASS, never accumulated). Each
+    * extra iteration costs one assignment+means scan of the candidates;
+    * on the planted-margin fixture recall is already exact at iters=1
+    * (LlmOpsSpec pins iters=2 equality), so extra passes are a dial for
+    * genuinely unclustered production corpora, not a default.
+    * `candidates` is scanned by the seed take, the assignment passes,
+    * and the caller's probe join — cached for the call's duration unless
+    * the caller already persisted it. */
   def trainCentroids(candidates: DataFrame, nLists: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     iters: Int = 1): Array[Array[Double]] = {
     import graft.ops.Caches
+    require(iters >= 1, s"iters must be >= 1, got $iters")
     val (cand, own) = Caches.acquire(candidates)
     val seedRows = cand
       .select(col(idCol).cast("long").as("__sid"), col(vecCol).as("__v"))
@@ -286,15 +301,18 @@ object Similarity {
     // per-element already)
     val seeds = seedRows.sortBy(_.getLong(0))
       .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
-    val assigned = assignLists(cand, seeds, idCol, vecCol)
-    val means = assigned
-      .select(col("list_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-      .groupBy(col("list_id"), col("pos"))
-      .agg(avg(col("x").cast("double")).as("m"))
-      .collect()
-    val refined = seeds.zipWithIndex.map { case (s, i) => s.clone() }
-    means.foreach { r =>
-      refined(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+    val refined = (1 to iters).foldLeft(seeds) { (current, _) =>
+      val assigned = assignLists(cand, current, idCol, vecCol)
+      val means = assigned
+        .select(col("list_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+      // a list that lost every member this round keeps its previous
+      // centroid (no mean rows) — standard empty-cluster handling
+      val next = current.map(_.clone())
+      means.foreach { r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) }
+      next
     }
     if (own) cand.unpersist(false)
     refined
@@ -326,12 +344,13 @@ object Similarity {
     * instead of |candidates| — the classic IVF recall/cost dial. */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               nLists: Int = 16, nProbe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              iters: Int = 1): DataFrame = {
     import graft.ops.Caches
     // one cache spans all three candidate passes (seed take, Lloyd means,
     // probe join); released once the — tiny — top-k result materializes
     val (cand, own) = Caches.acquire(candidates)
-    val centroids = trainCentroids(cand, nLists, idCol, vecCol)
+    val centroids = trainCentroids(cand, nLists, idCol, vecCol, iters)
     val nl = centroids.length // may be < nLists on tiny inputs
     val np = math.min(nProbe, nl)
     val lists = assignLists(cand, centroids, idCol, vecCol)
@@ -367,17 +386,23 @@ object Similarity {
     * bucket occupancy. All sketches are computed in ONE pass over the
     * un-exploded row, then unpacked. NULL embeddings are excluded from
     * both the candidate index and the probe set (no sketch, no bucket —
-    * see [[cosineNearDupPairs]]). */
+    * see [[cosineNearDupPairs]]).
+    *
+    * `nBits = 0` sizes the dial from the CANDIDATE corpus via
+    * [[autoNBits]] (one count() pass) — the scale-safe default; pass a
+    * fixed width to reproduce a specific banding (see
+    * [[cosineNearDupPairs]]). */
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-              nBits: Int = 16, tables: Int = 4,
+              nBits: Int = 0, tables: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bits = if (nBits == 0) autoNBits(candidates.count()) else nBits
     val dim = queries.select(size(col(vecCol))).first().getInt(0)
     // one fused sketch pass; identical bit layout to the chained
     // hyperplaneSketch with seedBase = t·nBits (pinned in ExtensionSpec)
     def sk(df: DataFrame, id: String, vec: String) =
       perTableSketches(
         df.select(col(idCol).as(id), col(vecCol).as(vec),
-          allSketches(col(vecCol), nBits, tables, dim).as("__sks")),
+          allSketches(col(vecCol), bits, tables, dim).as("__sks")),
         Seq(col(id), col(vec)))
 
     val q = sk(queries, "q_id", "q_vec")

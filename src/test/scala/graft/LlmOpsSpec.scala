@@ -390,6 +390,27 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("nBits=0 default auto-sizes the dial yet stays exact on planted replicas") {
+    // the DEFAULT path (no caller hint) now runs count() → autoNBits; a
+    // 200k corpus would pick 14 bits without anyone asking (pinned above).
+    // Exactness is bit-count-independent for exact replicas — identical
+    // vectors have identical sketches in EVERY table — so the default
+    // path must return the same pair set as an explicit fixed width.
+    import spark.implicits._
+    val base = (0L until 64L).map(i => i -> Array.tabulate(16)(j =>
+      if (j == (i % 16).toInt) 1.0f else 0.01f * ((i + j) % 7))).toDF("vec_id", "embedding")
+    val planted = base.filter(col("vec_id") < 8)
+      .withColumn("vec_id", col("vec_id") + lit(1000L))
+    val corpus = base.unionByName(planted)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val auto = pairSet(Similarity.cosineNearDupPairs(corpus, threshold = 0.999))
+    val fixed = pairSet(Similarity.cosineNearDupPairs(corpus, threshold = 0.999, nBits = 10))
+    assert(auto == fixed, "auto-sized dial changed the exact-replica pair set")
+    assert((0L until 8L).forall(i => auto.contains(i -> (i + 1000L))),
+      s"planted replica pair missing from $auto")
+  }
+
   // ---- exact-equality tier for the permanent rows-only ANN queries ----
   // q33/q46 can't be DuckDB-oracled (xxhash64-seeded sketches, LSH recall
   // has no SQL twin) — but a MARGIN fixture makes exact top-k equality
@@ -506,6 +527,30 @@ class LlmOpsSpec extends SparkSpec {
       .toSeq.sortBy(t => (t._1, t._2))
     assert(got == expect.sortBy(t => (t._1, t._2)),
       s"IVF diverged from brute twin:\n got=$got\n exp=$expect")
+  }
+
+  test("IVF ANN: second Lloyd iteration preserves exact top-k (recall-vs-iters)") {
+    // the iters dial adds one assignment+means scan per pass with the
+    // same centroids-only driver state; on the margin fixture recall is
+    // exact at iters=1, and MUST STAY exact at iters=2 — tighter
+    // centroids can reshuffle list boundaries but near-identical vectors
+    // still co-assign, so nProbe ⊇ own-list keeps the true top-k reachable
+    val vecs = marginFixture(31)
+    val df = vecs.toDF("vec_id", "embedding")
+    val expect = twinTopK(vecs, Seq(0L, 1L, 2L, 3L), k = 5).sortBy(t => (t._1, t._2))
+    for (it <- Seq(1, 2)) {
+      val got = Similarity.ivfTopK(df.filter(col("vec_id") < 4), df, 5,
+          nLists = 4, nProbe = 2, iters = it)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sortBy(t => (t._1, t._2))
+      assert(got == expect, s"IVF diverged from brute twin at iters=$it")
+    }
+    // the dial changes the MODEL deterministically: same fixture, same
+    // iters => same centroid matrix (reproducible training)
+    val c2a = Similarity.trainCentroids(df, nLists = 4, iters = 2)
+    val c2b = Similarity.trainCentroids(df, nLists = 4, iters = 2)
+    assert(c2a.map(_.toSeq).toSeq == c2b.map(_.toSeq).toSeq,
+      "trainCentroids must be deterministic at fixed iters")
   }
 
   test("fingerprint survives small edits (winnowing overlap)") {
