@@ -697,6 +697,87 @@ object Oracles {
          FROM orders WHERE o_orderkey % 160 >= 80
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
+    // q66's shingle CTEs inverted: the CLEAN corpus (no shared shingle
+    // with the planted benchmark) — no bloom here at all, which is the
+    // point: the Spark bloom only prefilters, exactness is join-confirmed
+    "q106_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                           for i in range(1, len(t)-1)])
+                  END AS s
+           FROM toks),
+         bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+         dirty AS (
+           SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(s) AS g FROM sh) c
+           WHERE g IN (SELECT g FROM bench))
+         SELECT d.doc_id, d.lang, d.source, d.n_chars, md5(d.text) AS content_md5
+         FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM dirty)
+         ORDER BY d.doc_id""",
+
+    // same per-stratum md5-prefix Bernoulli keep rule (q64's portability
+    // contract); strata absent from the recipe drop via the NULL CASE
+    "q107_stratified_sample" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents
+         WHERE CASE lang
+                 WHEN 'en' THEN substring(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 2) < '10'
+                 WHEN 'de' THEN substring(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 2) < '40'
+                 WHEN 'fr' THEN substring(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 2) < '40'
+                 WHEN 'es' THEN substring(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 2) < 'c0'
+                 WHEN 'zh' THEN substring(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 2) < 'ff'
+               END
+         GROUP BY lang ORDER BY lang""",
+
+    // identical md5→long shard/order math (top 15 hex chars < 2^60, so
+    // plain % == pmod); order_md5 is position-sensitive via ORDER BY pos
+    "q108_shard_shuffle" ->
+      """WITH a AS (
+           SELECT doc_id,
+                  (('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 15))::BIGINT) % 8 AS shard,
+                  ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':graft:o'), 1, 15))::BIGINT AS ord
+           FROM documents),
+         r AS (
+           SELECT doc_id, shard,
+                  row_number() OVER (PARTITION BY shard ORDER BY ord, CAST(doc_id AS VARCHAR)) AS pos
+           FROM a)
+         SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+                CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos)) AS order_md5
+         FROM r GROUP BY shard ORDER BY shard""",
+
+    // the T=2 recipe re-derived in SQL: keep rate ∝ 1/floor(sqrt(count))
+    // normalized to the rarest stratum (correctly-rounded IEEE sqrt —
+    // identical in any engine), integer division, 3-hex-char uniform draw
+    "q109_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         w AS (SELECT lang, GREATEST(CAST(floor(sqrt(n)) AS BIGINT), 1) AS wt FROM c),
+         t AS (SELECT lang,
+                      (4096 * (SELECT min(wt) FROM w)) // wt AS thresh
+               FROM w)
+         SELECT d.lang, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+         FROM documents d JOIN t ON d.lang = t.lang
+         WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || '#' || d.lang), 1, 3))::BIGINT < t.thresh
+         GROUP BY d.lang ORDER BY d.lang""",
+
+    // the sample verb's md5 cut then the shard verb's md5→long math —
+    // the same portable formulas as q64/q108, driven from the dialect
+    "q110_kerf_sample" ->
+      """WITH sm AS (
+           SELECT doc_id FROM documents
+           WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '29'),
+         sh AS (
+           SELECT doc_id,
+                  (('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 15))::BIGINT) % 4 AS shard
+           FROM sm)
+         SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+                CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM sh GROUP BY shard ORDER BY shard""",
+
     "q28_sim_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
               c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM embeddings),

@@ -1812,6 +1812,82 @@ object Queries {
       "group o_orderpriority order o_orderpriority")
   }
 
+  /** Bloom-prefiltered EXACT decontamination (the big-benchmark scale
+    * path): docs sharing any 3-gram shingle with the planted benchmark
+    * (doc_id % 97 == 0, q66's construction) are dropped; the output is
+    * the surviving clean corpus. The bloom is built distributed and only
+    * prefilters — the exact semi-join confirms, so the result is
+    * fpp-independent and the DuckDB twin needs no bloom at all. */
+  val q106_decontaminate: Q = (s, dir) => {
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    llm.Pipeline.decontaminate(docs, docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3, maxShared = 0, fpp = 0.01)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("content_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stratified deterministic sampling (per-language mixture rates):
+    * English downsampled hard, mid languages at ~25%, the rarest kept
+    * whole — the rebalancing pass every multilingual corpus runs. Same
+    * engine-portable md5 contract as q64. */
+  val q107_stratified_sample: Q = (s, dir) =>
+    llm.Pipeline.stratifiedSample(Tables.documents(s, dir),
+        col("lang"), concat(col("doc_id").cast("string"), lit(":"), col("lang")),
+        Seq("en" -> "10", "de" -> "40", "fr" -> "40", "es" -> "c0", "zh" -> "ff"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+
+  /** Deterministic corpus shuffle → 8 shards: shard and in-shard rank
+    * are pure md5 functions of (doc_id, salt), so the byte-identical
+    * "random" order replays on any cluster shape. Verified per-shard:
+    * count, id-sum, and the md5-of-ordered-ids digest (position-
+    * sensitive — a rank off by one anywhere flips it). */
+  val q108_shard_shuffle: Q = (s, dir) =>
+    llm.Pipeline.shardAssignment(Tables.documents(s, dir),
+        col("doc_id").cast("string"), numShards = 8)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+        // collect_list order is partition-dependent; array_sort on the
+        // (pos, id) structs restores the deterministic shuffle order
+        md5(concat_ws(",", transform(
+          array_sort(collect_list(struct(col("pos"), col("doc_id")))),
+          x => x.getField("doc_id").cast("string")))).as("order_md5"))
+      .orderBy(col("shard"))
+
+  /** Temperature-scaled (T=2) mixture over languages: thresholds derive
+    * from one count pass via integer-safe sqrt weighting, then a
+    * map-only keep filter — rare languages sampled UP relative to their
+    * share (en is ~3× fr by count but only ~1.8× by threshold), the
+    * multilingual-rebalance recipe. The DuckDB twin derives the
+    * identical thresholds from the identical counts in SQL. */
+  val q109_temperature_mix: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    llm.Pipeline.temperatureMix(docs, col("lang"),
+        concat(col("doc_id").cast("string"), lit("#"), col("lang")),
+        llm.Pipeline.temperatureThresholds(counts))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** The pipeline verbs from the TEXT surface, composed: a deterministic
+    * md5 sample (`sample … at '29'`) feeds the deterministic shard
+    * shuffle (`shard … into 4`) through a table-valued assignment, and
+    * a dialect aggregate reads the result — three statements, one plan
+    * tier. DuckDB replays the identical md5 math. */
+  val q110_kerf_sample: Q = (s, dir) => {
+    Tables.documents(s, dir).createOrReplaceTempView("docs_v110")
+    sql.KerfSql.run(s,
+      "sm: sample docs_v110 by doc_id at '29'; " +
+      "sh: shard sm by doc_id into 4; " +
+      "select shard, count(*) as n_docs, sum(doc_id) as id_sum " +
+      "from sh group shard order shard")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -1920,5 +1996,10 @@ object Queries {
     "q103_kerf_fileverbs" -> q103_kerf_fileverbs,
     "q104_ann_quantized" -> q104_ann_quantized,
     "q105_kerf_control"  -> q105_kerf_control,
+    "q106_decontaminate" -> q106_decontaminate,
+    "q107_stratified_sample" -> q107_stratified_sample,
+    "q108_shard_shuffle" -> q108_shard_shuffle,
+    "q109_temperature_mix" -> q109_temperature_mix,
+    "q110_kerf_sample"   -> q110_kerf_sample,
   )
 }

@@ -1,8 +1,11 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnGlue}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
 
 /** Corpus-pipeline operators beyond cleaning/dedup (BASELINE north-star):
   * PII redaction, reproducible sampling, sequence packing, benchmark
@@ -106,5 +109,148 @@ object Pipeline {
       .withColumn("contamination",
         round(col("n_shared").cast("double") / col("n_shingles").cast("double"), 6))
       .select(col("doc_id"), col("n_shingles"), col("n_shared"), col("contamination"))
+  }
+
+  /** EXACT decontamination FILTER at big-benchmark scale: drop every
+    * corpus doc sharing more than `maxShared` distinct n-gram shingles
+    * with the benchmark, return the surviving (clean) corpus rows.
+    *
+    * [[contamination]] broadcasts the benchmark's shingle set — right
+    * when the eval set is small. A HELM-scale union (100M+ shingles) is
+    * gigabytes as a broadcast set but ~120 MB as a 1%-fpp Bloom filter,
+    * so here the filter is what ships: built DISTRIBUTED (Catalyst
+    * `BloomFilterAggregate`, mergeable partials — the same machinery
+    * Spark's InjectRuntimeFilter uses), then bound as a literal into a
+    * map-side `BloomFilterMightContain` prefilter over the corpus
+    * shingles. Only prefilter survivors — true hits plus ~fpp of the
+    * clean majority — reach the exact semi-join that confirms, so Bloom
+    * false positives CANNOT leak into the output: the result is exact
+    * and fpp-independent (the DuckDB twin, q106, computes the same
+    * answer from raw shingle strings with no bloom at all). fpp only
+    * tunes how much of the corpus pays the confirm-join shuffle.
+    * Driver state: the serialized filter (capped via `fpp`), same
+    * documented-collect class as the IVF centroid matrix.
+    * Crossover (measured, DecontamScalingBench): when the benchmark IS
+    * broadcastable the two extra bench passes buy nothing — use
+    * [[contamination]] there; this path wins once the confirm join
+    * would otherwise shuffle every corpus shingle. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int = 3,
+                    maxShared: Long = 0, fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    def sh(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"),
+        graft.functions.ShingleHashes.shingleHashes(
+          Dedup.normText(col(textCol)), n).as("__shh"))
+    val bench = sh(benchmark).select(explode(col("__shh")).as("s")).distinct()
+    // two driver actions, both documented: the sizing count and the
+    // ~MB filter bytes (the whole point is that THIS is what fits on
+    // the driver when the raw set wouldn't)
+    val nBench = math.max(bench.count(), 1L)
+    val nBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nBench, fpp)
+    val bloomAgg = new BloomFilterAggregate(
+      GraftColumnGlue.toCatalystExpr(col("s")),
+      Literal(nBench), Literal(nBits)).toAggregateExpression()
+    val bloomBytes = bench.select(GraftColumnGlue.toColumn(bloomAgg).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val mightContain = GraftColumnGlue.toColumn(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType), GraftColumnGlue.toCatalystExpr(col("s"))))
+    val contaminated = sh(corpus)
+      .select(col("doc_id"), explode(col("__shh")).as("s"))
+      .filter(mightContain)                      // map-side, no shuffle
+      .join(bench, Seq("s"), "left_semi")        // exact confirm, survivors only
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n_shared"))
+      .filter(col("__n_shared") > maxShared)
+      .select(col("doc_id"))
+    corpus.join(contaminated, corpus(idCol) === contaminated("doc_id"), "left_anti")
+  }
+
+  /** Stratified [[hashSample]]: each stratum keeps rows at its own
+    * md5-prefix rate (e.g. downsample English, keep all of a rare
+    * language). Same determinism contract as hashSample — seed-free,
+    * engine-portable, partition-invariant — and still map-only: the
+    * CASE chain pushes into the scan like any other predicate. Strata
+    * absent from `rates` are dropped (an explicit recipe, not a
+    * passthrough: a training mixture enumerates its strata). */
+  def stratifiedSample(df: DataFrame, strata: Column, key: Column,
+                       rates: Seq[(String, String)]): DataFrame = {
+    require(rates.nonEmpty, "stratifiedSample needs at least one stratum rate")
+    val keep = rates.foldRight(lit(false)) { case ((stratum, hexCeil), acc) =>
+      when(strata === stratum,
+        substring(md5(key), 1, hexCeil.length) < hexCeil).otherwise(acc)
+    }
+    df.filter(keep)
+  }
+
+  /** Deterministic corpus shuffle → shard assignment: the global
+    * random-looking order a training run reads, as a PURE FUNCTION of
+    * (key, salt) — shard = top 60 bits of md5(key:salt) mod numShards,
+    * in-shard position = rank of a second independent md5. Re-running,
+    * re-partitioning, or growing the cluster reproduces byte-identical
+    * shards (a rand()/repartition shuffle never replays — useless for a
+    * resumable data recipe, Kerf's determinism bar via q84). Map-only
+    * plus the one per-shard window sort every sharded writer pays. */
+  def shardAssignment(df: DataFrame, key: Column, numShards: Int,
+                      salt: String = "graft"): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    // conv() yields base-10 digits of the top 15 hex chars (< 2^60 — no
+    // sign or overflow regime); both engines compute the same longs
+    val h = (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val keyed = df
+      .withColumn("shard", pmod(h(concat(key, lit(":" + salt))), lit(numShards.toLong)))
+      .withColumn("__ord", h(concat(key, lit(":" + salt + ":o"))))
+    keyed.withColumn("pos",
+        row_number().over(Window.partitionBy(col("shard")).orderBy(col("__ord"), key)))
+      .drop("__ord")
+  }
+
+  /** The writer half of [[shardAssignment]]: one directory per shard
+    * (`shard=k/`), rows inside each shard's files in shuffle order —
+    * the layout a data-parallel trainer maps workers onto. Each shard
+    * sorts independently (exchange on `shard`, in-partition sort), so
+    * shards scale out; no global sort, no driver data. */
+  def writeShards(df: DataFrame, key: Column, numShards: Int, path: String,
+                  salt: String = "graft"): Unit =
+    shardAssignment(df, key, numShards, salt)
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** Temperature-scaled mixture thresholds (the multilingual-sampling
+    * recipe: flatten size skew so rare sources keep a HIGHER fraction).
+    * Target mixture ∝ n^(1/T), so the per-row keep rate is n^(1/T−1) —
+    * at T = 2, rate_i ∝ 1/√n_i, normalized so the rarest stratum keeps
+    * everything: threshold_i = resolution · w_min / w_i with
+    * w = max(floor(sqrt(count)), 1). ALL integer arithmetic after one
+    * correctly-rounded IEEE sqrt, so any engine derives the identical
+    * recipe from the identical counts (a float-pow recipe drifts by
+    * ULPs across engines — not reproducible, q84's bar again).
+    * Compose with [[temperatureMix]]; counts come from one count pass
+    * (the recipe IS driver state, like any mixture spec). */
+  def temperatureThresholds(counts: Seq[(String, Long)],
+                            resolution: Long = 4096L): Seq[(String, Long)] = {
+    require(counts.nonEmpty, "temperatureThresholds needs at least one source")
+    val w = counts.map { case (tag, n) =>
+      require(n >= 0, s"negative count for '$tag'")
+      (tag, math.max(math.sqrt(n.toDouble).toLong, 1L))
+    }
+    val wMin = w.map(_._2).min
+    w.map { case (tag, wi) => (tag, resolution * wMin / wi) }
+  }
+
+  /** Deterministic temperature-weighted mixture over strata of one
+    * table: keep a row iff the integer value of md5(key)'s top 3 hex
+    * chars (uniform on [0,4096)) falls under its stratum's
+    * [[temperatureThresholds]] threshold. Map-only like
+    * [[stratifiedSample]]; thresholds are literals in the plan. */
+  def temperatureMix(df: DataFrame, strata: Column, key: Column,
+                     thresholds: Seq[(String, Long)]): DataFrame = {
+    require(thresholds.nonEmpty, "temperatureMix needs at least one stratum")
+    val u = conv(substring(md5(key), 1, 3), 16, 10).cast("long")
+    val keep = thresholds.foldRight(lit(false)) { case ((stratum, t), acc) =>
+      when(strata === stratum, u < lit(t)).otherwise(acc)
+    }
+    df.filter(keep)
   }
 }

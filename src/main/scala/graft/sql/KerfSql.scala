@@ -981,6 +981,8 @@ object KerfSql {
           p.pop(); last = Left(runMerge(spark, p, h == "upsert", vars.toMap, funcs.toMap))
         case "dedup"   => p.pop(); last = Left(runDedup(spark, p, near = false))
         case "neardup" => p.pop(); last = Left(runDedup(spark, p, near = true))
+        case "sample"  => p.pop(); last = Left(runSample(spark, p))
+        case "shard"   => p.pop(); last = Left(runShard(spark, p))
         case "def" =>
           p.pop()
           val name = p.pop()
@@ -1142,6 +1144,19 @@ object KerfSql {
             p.pop()
             val df = runSelect(spark, p, vars.toMap)
             require(p.done, s"trailing tokens in assignment: ${p.toks.mkString(" ")}")
+            df.createOrReplaceTempView(name)
+            last = Left(df)
+          } else if (p.peekIs("dedup") || p.peekIs("neardup") ||
+                     p.peekIs("sample") || p.peekIs("shard")) {
+            // table-valued pipeline verbs assign like a select: the
+            // result registers as a temp view for later `from` clauses
+            val verb = p.pop().toLowerCase
+            val df = verb match {
+              case "dedup"   => runDedup(spark, p, near = false)
+              case "neardup" => runDedup(spark, p, near = true)
+              case "sample"  => runSample(spark, p)
+              case "shard"   => runShard(spark, p)
+            }
             df.createOrReplaceTempView(name)
             last = Left(df)
           } else {
@@ -1734,6 +1749,44 @@ object KerfSql {
     require(p.done,
       s"trailing tokens in ${if (near) "neardup" else "dedup"}: ${p.toks.mkString(" ")}")
     out
+  }
+
+  /** `sample t by key at '29'` → [[graft.llm.Pipeline.hashSample]]:
+    * the deterministic md5-prefix Bernoulli cut (key column cast to
+    * string; the quoted hex ceiling IS the rate — '29' ≈ 16%). Same
+    * engine-portable, partition-invariant contract as the q64 API
+    * path; map-only, the filter pushes into the scan. */
+  private def runSample(spark: SparkSession, p: P): DataFrame = {
+    val df = spark.table(p.pop())
+    p.expect("by"); val keyCol = p.pop()
+    p.expect("at")
+    val ceil = {
+      val t = p.pop()
+      require(t.startsWith("'") && t.endsWith("'") && t.length > 2,
+        s"sample … at needs a quoted hex ceiling like '29', got $t")
+      t.substring(1, t.length - 1)
+    }
+    require(ceil.forall(c => c.isDigit || ('a' <= c && c <= 'f')),
+      s"sample ceiling must be lowercase hex, got '$ceil'")
+    require(p.done, s"trailing tokens in sample: ${p.toks.mkString(" ")}")
+    graft.llm.Pipeline.hashSample(df, col(keyCol).cast("string"), ceil)
+  }
+
+  /** `shard t by key into 8` → [[graft.llm.Pipeline.shardAssignment]]:
+    * the deterministic corpus shuffle — shard + in-shard rank as pure
+    * md5 functions of the key, replayable on any cluster shape. */
+  private def runShard(spark: SparkSession, p: P): DataFrame = {
+    val df = spark.table(p.pop())
+    p.expect("by"); val keyCol = p.pop()
+    p.expect("into")
+    val n = {
+      val t = p.pop()
+      require(t.forall(_.isDigit) && t.toInt > 0,
+        s"shard … into needs a positive shard count, got $t")
+      t.toInt
+    }
+    require(p.done, s"trailing tokens in shard: ${p.toks.mkString(" ")}")
+    graft.llm.Pipeline.shardAssignment(df, col(keyCol).cast("string"), n)
   }
 
   /** `insert into t values (…), (…)` / `upsert into t key k values …` —

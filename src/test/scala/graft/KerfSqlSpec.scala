@@ -573,7 +573,8 @@ class KerfSqlSpec extends SparkSpec {
       // dedup verbs (>> is deliberately absent — a lucky soup would
       // write parquet into the cwd)
       "take", "drop", "distinct", "ascend", "descend", "flip", "bars",
-      "sqrt", "abs", "floor", "ceil", "<<", "by", "dedup", "neardup", "15i")
+      "sqrt", "abs", "floor", "ceil", "<<", "by", "dedup", "neardup", "15i",
+      "sample", "shard", "at", "into", "'29'")
     var parsed = 0
     for (_ <- 1 to 300) {
       val n = 1 + rnd.nextInt(12)
@@ -793,6 +794,30 @@ class KerfSqlSpec extends SparkSpec {
     intercept[Exception] {
       KerfSql.run(spark, "dedup docs_kv by doc_id on text extra tokens")
     }
+  }
+
+  test("sample/shard verbs == Pipeline column forms; assignment registers a view") {
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_kv")
+    val docs = Tables.documents(spark, sf)
+    val gotS = KerfSql.run(spark, "sample docs_kv by doc_id at '29'")
+    val wantS = graft.llm.Pipeline.hashSample(docs, col("doc_id").cast("string"), "29")
+    assert(gotS.select("doc_id").collect().map(_.getLong(0)).toSet ==
+           wantS.select("doc_id").collect().map(_.getLong(0)).toSet)
+    val gotH = KerfSql.run(spark, "shard docs_kv by doc_id into 4")
+    val wantH = graft.llm.Pipeline.shardAssignment(docs, col("doc_id").cast("string"), 4)
+    assert(gotH.select("doc_id", "shard", "pos").collect().map(r =>
+             (r.getLong(0), r.getLong(1), r.getInt(2))).toSet ==
+           wantH.select("doc_id", "shard", "pos").collect().map(r =>
+             (r.getLong(0), r.getLong(1), r.getInt(2))).toSet)
+    // verbs assign like selects: the view is live for later statements
+    val piped = KerfSql.run(spark,
+      "sm: sample docs_kv by doc_id at '29'; " +
+      "select count(*) as n from sm")
+    assert(piped.collect()(0).getLong(0) == wantS.count())
+    // loud parse errors: unquoted/ill-formed rate, non-numeric shard count
+    intercept[Exception] { KerfSql.run(spark, "sample docs_kv by doc_id at 29") }
+    intercept[Exception] { KerfSql.run(spark, "sample docs_kv by doc_id at 'ZZ'") }
+    intercept[Exception] { KerfSql.run(spark, "shard docs_kv by doc_id into zero") }
   }
 
   test("upsert into … key … values replaces and inserts") {

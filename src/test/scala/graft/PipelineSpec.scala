@@ -116,6 +116,121 @@ class PipelineSpec extends SparkSpec {
                       (2L, 1L, "z", 2L), (2L, 2L, "y", 1L)))
   }
 
+  test("decontaminate is EXACT and fpp-independent: bloom only prefilters") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta something else entirely here"), // shares a trigram
+      (2L, "totally unrelated words with zero shared trigrams at all"),
+      (3L, "another clean document nothing in common whatsoever today")
+    ).toDF("doc_id", "text")
+    val bench = corpus.filter(col("doc_id") === 0)
+    def clean(fpp: Double) = Pipeline.decontaminate(corpus, bench, "doc_id", "text",
+        n = 3, maxShared = 0, fpp = fpp)
+      .select("doc_id").as[Long].collect().toSet
+    val tight = clean(0.01)
+    // bench doc shares all its own shingles, doc 1 shares one trigram
+    assert(tight == Set(2L, 3L))
+    // a sloppy bloom (fpp=0.5 floods the confirm join) changes NOTHING:
+    // exactness is join-confirmed, fpp only tunes prefilter selectivity
+    assert(clean(0.5) == tight)
+    // threshold: doc 1 shares few shingles — a loose maxShared readmits
+    // it but never the benchmark doc itself
+    val loose = Pipeline.decontaminate(corpus, bench, "doc_id", "text",
+        n = 3, maxShared = 2, fpp = 0.01).select("doc_id").as[Long].collect().toSet
+    assert(loose.contains(1L) && !loose.contains(0L))
+  }
+
+  test("stratifiedSample: per-stratum rates, recipe-absent strata drop, invariant") {
+    val docs = Tables.documents(spark, sf)
+    val key = concat(col("doc_id").cast("string"), lit(":"), col("lang"))
+    val rates = Seq("en" -> "10", "zh" -> "ff")
+    val got = Pipeline.stratifiedSample(docs, col("lang"), key, rates)
+    val langs = got.select("lang").distinct().as[String].collect().toSet
+    assert(langs.subsetOf(Set("en", "zh")), s"non-recipe strata must drop: $langs")
+    // each stratum is exactly its own hashSample cut
+    val en = Pipeline.hashSample(docs.filter(col("lang") === "en"), key, "10")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.filter(col("lang") === "en").select("doc_id").as[Long].collect().toSet == en)
+    // zh at ceiling "ff" keeps ~all (md5 prefix < "ff" misses only "ff*")
+    val zhAll = docs.filter(col("lang") === "zh").count()
+    val zhKept = got.filter(col("lang") === "zh").count()
+    assert(zhKept >= zhAll * 9 / 10)
+    // partition-invariance (the q64 contract, stratified)
+    val rep = Pipeline.stratifiedSample(docs.repartition(11), col("lang"), key, rates)
+      .select("doc_id").as[Long].collect().toSet
+    assert(rep == got.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("shardAssignment: deterministic, dense ranks, partition-invariant") {
+    val docs = Tables.documents(spark, sf)
+    val a = Pipeline.shardAssignment(docs, col("doc_id").cast("string"), 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // pure function of (key, salt): any input partitioning, same shards
+    val b = Pipeline.shardAssignment(docs.repartition(13), col("doc_id").cast("string"), 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a == b)
+    // every shard's positions are exactly 1..n (dense, no gaps or dups)
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).toSeq.sorted == (1 to rows.size).toSeq,
+        s"shard $shard ranks not dense")
+    }
+    // a different salt reshuffles (not a degenerate constant mapping)
+    val salted = Pipeline.shardAssignment(docs, col("doc_id").cast("string"), 8, salt = "other")
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(salted != a)
+  }
+
+  test("writeShards: shard=k layout, files ordered by pos") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    Pipeline.writeShards(docs, col("doc_id").cast("string"), 4, path)
+    val back = spark.read.parquet(path)
+    val expect = Pipeline.shardAssignment(docs, col("doc_id").cast("string"), 4)
+    assert(back.count() == docs.count())
+    // per-shard content equals the assignment (partitionBy dirs are real)
+    val b3 = back.filter(col("shard") === 3).select("doc_id").as[Long].collect().toSet
+    val e3 = expect.filter(col("shard") === 3).select("doc_id").as[Long].collect().toSet
+    assert(b3 == e3 && b3.nonEmpty)
+    // within a shard's files, rows ride in shuffle order (pos ascending
+    // per file — the order a trainer streams)
+    import org.apache.spark.sql.expressions.Window
+    val disorder = back
+      .withColumn("__f", input_file_name())
+      .withColumn("__prev", lag(col("pos"), 1).over(
+        Window.partitionBy(col("__f")).orderBy(monotonically_increasing_id())))
+      .filter(col("__prev").isNotNull && col("__prev") >= col("pos"))
+    assert(disorder.count() == 0, "file row order must follow pos")
+  }
+
+  test("temperatureThresholds: integer-safe T=2 recipe flattens size skew") {
+    val t = Pipeline.temperatureThresholds(
+      Seq("big" -> 10000L, "small" -> 100L), resolution = 4096L).toMap
+    // keep rate ∝ 1/sqrt(n), rarest keeps all: big at 10%, small at 100%
+    // → kept counts ~1000 vs 100 (10:1 mixture, not the raw 100:1)
+    assert(t("small") == 4096L && t("big") == 4096L / 10)
+    // degenerate guard: empty strata clamp, no divide-by-zero
+    assert(Pipeline.temperatureThresholds(Seq("a" -> 0L)).toMap.apply("a") == 4096L)
+    val docs = Tables.documents(spark, sf)
+    val counts = docs.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    val mixed = Pipeline.temperatureMix(docs, col("lang"),
+      concat(col("doc_id").cast("string"), lit("#"), col("lang")),
+      Pipeline.temperatureThresholds(counts))
+    // rare langs keep a HIGHER fraction than common ones (the point of T)
+    val kept = mixed.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val frac = counts.toMap.map { case (l, n) =>
+      l -> kept.getOrElse(l, 0L).toDouble / n }
+    val cm = counts.toMap
+    val (rare, common) = (counts.minBy(_._2)._1, counts.maxBy(_._2)._1)
+    assert(cm(common) > 2 * cm(rare), "fixture should be skewed")
+    assert(frac(rare) > frac(common),
+      s"temperature must favor rare strata: $frac")
+  }
+
   test("contamination: planted benchmark doc scores 1.0, clean docs absent") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta epsilon zeta"),
