@@ -190,7 +190,11 @@ object Pipeline {
     * re-partitioning, or growing the cluster reproduces byte-identical
     * shards (a rand()/repartition shuffle never replays — useless for a
     * resumable data recipe, Kerf's determinism bar via q84). Map-only
-    * plus the one per-shard window sort every sharded writer pays. */
+    * plus the one per-shard window sort every sharded writer pays.
+    * Scale note: the rank's parallelism IS numShards (one sort task per
+    * shard), so pick numShards ≫ cores at scale — a 100 TB corpus wants
+    * thousands of shards (which a data-parallel trainer wants anyway),
+    * never 8; 8 shards on a huge corpus = 8 giant sort tasks. */
   def shardAssignment(df: DataFrame, key: Column, numShards: Int,
                       salt: String = "graft"): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")

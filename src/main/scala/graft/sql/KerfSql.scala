@@ -563,6 +563,17 @@ object KerfSql {
           buildArray(items.toSeq)
         } else numT(v)
       case v if v.startsWith("'") => T(lit(v.substring(1, v.length - 1)), StringType)
+      // reserved literal names (lexer.h:101-102 RESERVED_NUMBER_NAMES /
+      // RESERVED_NAME_NAMES): reserved GLOBALLY in the reference, so the
+      // literal wins over any same-named column — case-insensitive like
+      // reserved_lookup
+      case v if v.equalsIgnoreCase("true")  => T(lit(true), BooleanType)
+      case v if v.equalsIgnoreCase("false") => T(lit(false), BooleanType)
+      case v if v.equalsIgnoreCase("inf") || v.equalsIgnoreCase("infinity") =>
+        T(lit(Double.PositiveInfinity), DoubleType)
+      case v if v.equalsIgnoreCase("nan") => T(lit(Double.NaN), DoubleType)
+      case v if v.equalsIgnoreCase("null") || v.equalsIgnoreCase("nil") =>
+        T(lit(null), NullType)
       case fn if adverbNames(fn.toLowerCase) && p.peekIs("(") => // call-form adverb
         p.pop()
         val f = parseFun(p, env)

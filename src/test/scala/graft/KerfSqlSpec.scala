@@ -796,6 +796,24 @@ class KerfSqlSpec extends SparkSpec {
     }
   }
 
+  test("reserved literals (lexer.h:101-102): true/false/inf/infinity/nan/null/nil") {
+    def one(prog: String) = KerfSql.run(spark, prog).collect()(0)
+    assert(one("true").getBoolean(0))
+    assert(!one("false").getBoolean(0))
+    assert(one("false or true").getBoolean(0))
+    assert(one("inf").getDouble(0).isPosInfinity)
+    assert(one("- inf").getDouble(0).isNegInfinity)
+    assert(one("infinity > 999999999").getBoolean(0))
+    assert(one("nan").getDouble(0).isNaN)
+    // Spark's NaN regime (the declared ANSI deviation): NaN equals itself
+    assert(one("nan == nan").getBoolean(0))
+    assert(one("null").isNullAt(0))
+    assert(one("nil").isNullAt(0))
+    // reserved case-insensitively, like the reference's reserved_lookup
+    assert(one("TRUE").getBoolean(0))
+    assert(one("Inf").getDouble(0).isPosInfinity)
+  }
+
   test("sample/shard verbs == Pipeline column forms; assignment registers a view") {
     Tables.documents(spark, sf).createOrReplaceTempView("docs_kv")
     val docs = Tables.documents(spark, sf)
