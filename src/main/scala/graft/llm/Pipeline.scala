@@ -142,7 +142,10 @@ object Pipeline {
       .select(col(idCol).as("doc_id"),
         graft.functions.ShingleHashes.shingleHashes(
           Dedup.normText(col(textCol)), n).as("__shh"))
-    val bench = sh(benchmark).select(explode(col("__shh")).as("s")).distinct()
+    // three consumers of the benchmark's shingle set (sizing count,
+    // bloom build, confirm join) → one sealed cache, the q29 pattern
+    val (bench, ownBench) = graft.ops.Caches.acquire(
+      sh(benchmark).select(explode(col("__shh")).as("s")).distinct())
     // two driver actions, both documented: the sizing count and the
     // ~MB filter bytes (the whole point is that THIS is what fits on
     // the driver when the raw set wouldn't)
@@ -163,7 +166,12 @@ object Pipeline {
       .agg(count(lit(1)).as("__n_shared"))
       .filter(col("__n_shared") > maxShared)
       .select(col("doc_id"))
-    corpus.join(contaminated, corpus(idCol) === contaminated("doc_id"), "left_anti")
+    // seal the TINY dirty-id list (not the corpus-sized clean result):
+    // materializing it here releases the bench cache at the operator
+    // boundary while the clean corpus stays a lazy anti-join
+    val dirty = graft.ops.Caches.seal(contaminated,
+      (if (ownBench) Seq(bench) else Nil): _*)
+    corpus.join(dirty, corpus(idCol) === dirty("doc_id"), "left_anti")
   }
 
   /** Stratified [[hashSample]]: each stratum keeps rows at its own

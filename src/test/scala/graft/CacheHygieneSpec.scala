@@ -36,8 +36,13 @@ class CacheHygieneSpec extends SparkSpec {
                                     nLists = 4, nProbe = 2)
     val nd     = Similarity.cosineNearDupPairs(vecs, threshold = 0.5)
     val sh     = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
+    // decontaminate seals only its tiny dirty-id list; the corpus-sized
+    // clean result stays an uncached lazy anti-join (collect() here
+    // consumes it without pinning corpus-scale storage)
+    val dc     = graft.llm.Pipeline.decontaminate(
+                   docs, docs.filter(col("doc_id") === 0), "doc_id", "text")
 
-    val results = Seq(pairs, labels, ivf, nd, sh)
+    val results = Seq(pairs, labels, ivf, nd, sh, dc)
     results.foreach(_.collect()) // consume
 
     // only the sealed results themselves may still hold storage

@@ -157,6 +157,26 @@ class PlanSpec extends SparkSpec {
       s"corpus side must not shuffle for the semi-join:\n$p")
   }
 
+  test("q106: bloom prefilter rides the exploded shingle stream map-side") {
+    val p = planOf("q106_decontaminate")
+    assert(p.contains("might_contain"),
+      s"bloom prefilter missing from the decontamination plan:\n$p")
+    // the prefilter must sit between the explode and the confirm join —
+    // i.e. inside a codegen stage, not after an exchange of all shingles
+    assert(!p.contains("CartesianProduct"))
+    // the confirm is a semi-join, clean-doc removal an anti-join
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+  }
+
+  test("q107/q110: stratified sample and dialect sample stay map-only") {
+    val p107 = planOf("q107_stratified_sample")
+    assert(!p107.contains("Join") && !p107.contains("Window"),
+      s"stratified sampling must be a pushed CASE filter:\n$p107")
+    val p110 = planOf("q110_kerf_sample")
+    // sample is a filter; shard adds exactly the one per-shard rank window
+    assert(!p110.contains("Join"), s"sample/shard composed plan grew a join:\n$p110")
+  }
+
   test("entry: flagship plan reads only needed columns") {
     val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     assert(p.contains("ReadSchema"), "no schema info in scan")
