@@ -136,8 +136,10 @@ object Pipeline {
     * would otherwise shuffle every corpus shingle. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String, n: Int = 3,
-                    maxShared: Long = 0, fpp: Double = 0.01): DataFrame = {
+                    maxShared: Long = 0, fpp: Double = 0.01,
+                    expectedBenchItems: Long = 0L): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    require(expectedBenchItems >= 0, "expectedBenchItems: 0 = count, else a size hint")
     def sh(df: DataFrame) = df
       .select(col(idCol).as("doc_id"),
         graft.functions.ShingleHashes.shingleHashes(
@@ -146,18 +148,7 @@ object Pipeline {
     // bloom build, confirm join) → one sealed cache, the q29 pattern
     val (bench, ownBench) = graft.ops.Caches.acquire(
       sh(benchmark).select(explode(col("__shh")).as("s")).distinct())
-    // two driver actions, both documented: the sizing count and the
-    // ~MB filter bytes (the whole point is that THIS is what fits on
-    // the driver when the raw set wouldn't)
-    val nBench = math.max(bench.count(), 1L)
-    val nBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nBench, fpp)
-    val bloomAgg = new BloomFilterAggregate(
-      GraftColumnGlue.toCatalystExpr(col("s")),
-      Literal(nBench), Literal(nBits)).toAggregateExpression()
-    val bloomBytes = bench.select(GraftColumnGlue.toColumn(bloomAgg).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
-    val mightContain = GraftColumnGlue.toColumn(BloomFilterMightContain(
-      Literal(bloomBytes, BinaryType), GraftColumnGlue.toCatalystExpr(col("s"))))
+    val mightContain = bloomPredicate(bench, "s", fpp, expectedBenchItems)(col("s"))
     val contaminated = sh(corpus)
       .select(col("doc_id"), explode(col("__shh")).as("s"))
       .filter(mightContain)                      // map-side, no shuffle
@@ -172,6 +163,51 @@ object Pipeline {
     val dirty = graft.ops.Caches.seal(contaminated,
       (if (ownBench) Seq(bench) else Nil): _*)
     corpus.join(dirty, corpus(idCol) === dirty("doc_id"), "left_anti")
+  }
+
+  /** Build a Bloom filter over `items(itemCol)` (long hashes) and
+    * return the literal-bound might-contain PREDICATE FACTORY — the
+    * reusable core of [[decontaminate]]'s prefilter. Two driver
+    * actions at build time (sizing count — skipped when
+    * `expectedItems` > 0, the autoNBits `0 ⇒ measure` convention —
+    * and the ~MB filter bytes); the predicate itself is stateless
+    * column algebra, so it runs map-side anywhere a filter runs,
+    * INCLUDING a streaming micro-batch plan. A wrong size hint cannot
+    * corrupt [[decontaminate]]'s answer, only the prefilter's realized
+    * fpp: an undersized bloom saturates, more shingles pay the confirm
+    * join, the join still decides (pinned in PipelineSpec). */
+  def bloomPredicate(items: DataFrame, itemCol: String, fpp: Double = 0.01,
+                     expectedItems: Long = 0L): Column => Column = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    require(expectedItems >= 0, "expectedItems: 0 = count, else a size hint")
+    val n = if (expectedItems > 0) expectedItems
+            else math.max(items.count(), 1L)
+    val nBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp)
+    val agg = new BloomFilterAggregate(
+      GraftColumnGlue.toCatalystExpr(col(itemCol)),
+      Literal(n), Literal(nBits)).toAggregateExpression()
+    val bytes = items.select(GraftColumnGlue.toColumn(agg).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    (value: Column) => GraftColumnGlue.toColumn(BloomFilterMightContain(
+      Literal(bytes, BinaryType), GraftColumnGlue.toCatalystExpr(value)))
+  }
+
+  /** The STREAMING half of decontamination: a doc-level
+    * "probably contaminated" predicate factory for an ingest filter.
+    * Built ONCE from the (batch) benchmark, then applied per micro-batch
+    * as pure column algebra — no state store, no stream-stream join; a
+    * live feed drops (or quarantines) contaminated docs at ingest. By
+    * construction ~fpp of clean docs false-positive — acceptable for an
+    * ingest guard (they divert to quarantine, not to /dev/null); the
+    * batch [[decontaminate]] pass stays the exact authority. */
+  def contaminationProbe(benchmark: DataFrame, textCol: String, n: Int = 3,
+                         fpp: Double = 0.01, expectedItems: Long = 0L): Column => Column = {
+    val bench = benchmark.select(explode(
+      graft.functions.ShingleHashes.shingleHashes(
+        Dedup.normText(col(textCol)), n)).as("s")).distinct()
+    val pred = bloomPredicate(bench, "s", fpp, expectedItems)
+    (text: Column) => exists(
+      graft.functions.ShingleHashes.shingleHashes(Dedup.normText(text), n), pred)
   }
 
   /** Stratified [[hashSample]]: each stratum keeps rows at its own

@@ -138,6 +138,12 @@ class PipelineSpec extends SparkSpec {
     val loose = Pipeline.decontaminate(corpus, bench, "doc_id", "text",
         n = 3, maxShared = 2, fpp = 0.01).select("doc_id").as[Long].collect().toSet
     assert(loose.contains(1L) && !loose.contains(0L))
+    // a WILDLY wrong size hint (bloom sized for 1 item → saturated)
+    // still yields the exact answer: the confirm join decides
+    val hinted = Pipeline.decontaminate(corpus, bench, "doc_id", "text",
+        n = 3, maxShared = 0, fpp = 0.01, expectedBenchItems = 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hinted == tight)
   }
 
   test("stratifiedSample: per-stratum rates, recipe-absent strata drop, invariant") {

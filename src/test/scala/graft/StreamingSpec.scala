@@ -139,6 +139,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed(1L)._1 > 0.5)
   }
 
+  test("contamination probe: bloom ingest filter runs unchanged on a stream (== batch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),          // the benchmark doc
+      (1L, "alpha beta gamma delta overlapping prefix here"), // shares a trigram
+      (2L, "totally unrelated words with zero shared trigrams at all"),
+      (3L, "another clean document nothing in common whatsoever today"))
+    val bench = rows.take(1).toDF("doc_id", "text")
+    // built once (batch), literal-bound: stateless column algebra
+    val probe = graft.llm.Pipeline.contaminationProbe(bench, "text")
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .filter(!probe(col("text")))
+      .select("doc_id")
+      .writeStream.outputMode("append").format("memory").queryName("t_probe").start()
+    try { input.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("t_probe").as[Long].collect().toSet
+    val batch = rows.toDF("doc_id", "text")
+      .filter(!probe(col("text"))).select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch, "micro-batch and batch plans must agree")
+    // at fpp=0.01 on a 4-doc fixture no false positive is plausible:
+    // the probe keeps exactly the trigram-disjoint docs
+    assert(streamed == Set(2L, 3L))
+  }
+
   test("network feed: live TCP socket source flows through the same ops (bus.h:119)") {
     // the bus's feed-handler fanout over a real network transport: a
     // local TCP server plays the feed, spark's socket source ingests it,
