@@ -778,6 +778,41 @@ object Oracles {
                 CAST(sum(doc_id) AS BIGINT) AS id_sum
          FROM sh GROUP BY shard ORDER BY shard""",
 
+    // identical segmentation (8-token cuts of the whitespace-normalized
+    // token stream), census, and ordered reassembly from raw string
+    // algebra — no dedup machinery shared with the Spark side
+    "q111_repeated_spans" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         segi AS (
+           SELECT doc_id, t, unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS i
+           FROM toks WHERE len(t) > 0 AND NOT (len(t) = 1 AND t[1] = '')),
+         segs AS (
+           SELECT doc_id, CAST(i AS INT) AS seg_idx,
+                  array_to_string(t[(8*i+1):(8*i+8)], ' ') AS seg
+           FROM segi),
+         freq AS (
+           SELECT seg FROM (SELECT DISTINCT doc_id, seg FROM segs) d
+           GROUP BY seg HAVING count(*) >= 2),
+         clean AS (
+           SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text
+           FROM segs WHERE seg NOT IN (SELECT seg FROM freq)
+           GROUP BY doc_id)
+         SELECT doc_id, md5(text) AS content_md5,
+                CAST(length(text) AS BIGINT) AS n_chars_clean
+         FROM clean ORDER BY doc_id""",
+
+    // the same md5 rank cut: ties broken by the key string itself
+    "q112_stratum_cap" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || source),
+                             CAST(doc_id AS VARCHAR) || '|' || source) AS rk
+           FROM documents) t
+         WHERE rk <= 40 ORDER BY doc_id""",
+
     "q28_sim_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
               c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM embeddings),

@@ -1888,6 +1888,33 @@ object Queries {
       "from sh group shard order shard")
   }
 
+  /** Repeated-span removal (the intra-corpus cousin of exact dedup):
+    * 8-token segments occurring in ≥2 distinct docs are boilerplate and
+    * are cut; docs are reassembled from the survivors in order, and docs
+    * that were ALL boilerplate (the planted exact replicas — every
+    * segment shared with the original) disappear. DuckDB rebuilds the
+    * identical segmentation and census from raw string algebra. */
+  val q111_repeated_spans: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    llm.Pipeline.dropRepeatedSegments(docs, "doc_id", "text",
+        tokensPerSeg = 8, minDocs = 2)
+      .select(col("doc_id"), md5(col("text")).as("content_md5"),
+        length(col("text")).cast("long").as("n_chars_clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-stratum quota cap — "at most 40 docs per source": the crawl
+    * pipeline's absolute per-domain ceiling, deterministic via the md5
+    * rank (same engine-portable contract as q64's sampling). Output is
+    * the kept membership itself, so the oracle checks exactly WHICH
+    * rows survive the cut, not just how many. */
+  val q112_stratum_cap: Q = (s, dir) =>
+    llm.Pipeline.capPerStratum(Tables.documents(s, dir),
+        col("source"), concat(col("doc_id").cast("string"), lit("|"), col("source")),
+        maxRows = 40)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2001,5 +2028,7 @@ object Queries {
     "q108_shard_shuffle" -> q108_shard_shuffle,
     "q109_temperature_mix" -> q109_temperature_mix,
     "q110_kerf_sample"   -> q110_kerf_sample,
+    "q111_repeated_spans" -> q111_repeated_spans,
+    "q112_stratum_cap"   -> q112_stratum_cap,
   )
 }

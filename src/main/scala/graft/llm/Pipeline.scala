@@ -301,4 +301,88 @@ object Pipeline {
     }
     df.filter(keep)
   }
+
+  /** Tokenize (whitespace-normalized) and cut into consecutive
+    * `tokensPerSeg`-token segments, numbered by in-doc position. The
+    * shared staging pass under [[repeatedSegments]] /
+    * [[dropRepeatedSegments]]. */
+  private def segmented(docs: DataFrame, idCol: String, textCol: String,
+                        tokensPerSeg: Int): DataFrame = {
+    require(tokensPerSeg > 0, s"tokensPerSeg must be positive, got $tokensPerSeg")
+    val k = tokensPerSeg
+    val toks = split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ")
+    // sequence(0, n) is INCLUSIVE and runs DESCENDING when n < 0, so the
+    // empty-doc case must short-circuit before the bound goes negative
+    val segs = when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), (size(toks) + lit(k - 1)).divide(lit(k)).cast("int") - 1),
+        i => array_join(slice(toks, i * k + 1, lit(k)), " ")))
+    docs.select(col(idCol).as("doc_id"), posexplode(segs).as(Seq("seg_idx", "seg")))
+  }
+
+  /** Corpus-frequent text segments: every `tokensPerSeg`-token segment
+    * that occurs in at least `minDocs` DISTINCT documents, with its doc
+    * frequency. This is the boilerplate census — headers, license
+    * blurbs, navigation chrome — and at corpus scale its result is
+    * SMALL (boilerplate is by definition few distinct strings repeated
+    * often) while its input is everything. One distinct-shuffle on
+    * (segment, doc) + one partial-agg count on segment. */
+  def repeatedSegments(docs: DataFrame, idCol: String, textCol: String,
+                       tokensPerSeg: Int = 10, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    segmented(docs, idCol, textCol, tokensPerSeg)
+      .select(col("seg"), col("doc_id")).distinct()
+      .groupBy(col("seg")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /** Repeated-span removal — the intra-corpus cousin of exact dedup:
+    * delete every segment that [[repeatedSegments]] flags as occurring
+    * in ≥ `minDocs` documents, then reassemble each document from its
+    * surviving segments in original order (single-space joined over the
+    * normalized tokenization). Documents whose every segment was
+    * boilerplate disappear entirely — an empty document has no place in
+    * a training corpus.
+    *
+    * Scale shape: the census (above) + an anti-join of ALL segments
+    * against the SMALL frequent set — left to AQE, which converts it to
+    * a broadcast join exactly when the census result is genuinely small
+    * and degrades to a safe shuffle join when a pathological corpus
+    * makes boilerplate huge — + one reassembly shuffle on doc id. No
+    * driver-side state at any size. Exact, not sketched: unlike
+    * MinHash/SimHash doc-level near-dup, span removal edits GOOD
+    * documents, so false positives destroy data — this pass must only
+    * fire on provably repeated spans. */
+  def dropRepeatedSegments(docs: DataFrame, idCol: String, textCol: String,
+                           tokensPerSeg: Int = 10, minDocs: Int = 2): DataFrame = {
+    val frequent = repeatedSegments(docs, idCol, textCol, tokensPerSeg, minDocs)
+      .select(col("seg"))
+    segmented(docs, idCol, textCol, tokensPerSeg)
+      .join(frequent, Seq("seg"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+        x => x.getField("seg"))).as("text"))
+  }
+
+  /** Per-stratum quota cap — the "at most N pages per domain" rule every
+    * crawl pipeline applies: keep the `maxRows` rows of each stratum
+    * that sort first by md5(key) (a deterministic, engine-portable
+    * "random" N — same contract as [[hashSample]], and ties broken by
+    * the key itself so the cut is total). Unlike a RATE sample, the cap
+    * is an absolute ceiling: a 10M-page domain and a 200-page domain
+    * both emit ≤ N.
+    *
+    * Scale shape: one shuffle on the stratum, and the rank predicate is
+    * the form Spark's WindowGroupLimit rewrites into a per-map-task
+    * partial top-N BEFORE the exchange — a hot domain ships ~N·tasks
+    * rows, not its full page count (pinned in PlanSpec). */
+  def capPerStratum(df: DataFrame, strata: Column, key: Column,
+                    maxRows: Int): DataFrame = {
+    require(maxRows > 0, s"maxRows must be positive, got $maxRows")
+    df.withColumn("__rk", row_number().over(
+        Window.partitionBy(strata).orderBy(md5(key), key)))
+      .filter(col("__rk") <= maxRows)
+      .drop("__rk")
+  }
 }

@@ -990,10 +990,16 @@ object KerfSql {
         case "delete" => p.pop(); last = Left(runDelete(spark, p, vars.toMap))
         case h @ ("insert" | "upsert") =>
           p.pop(); last = Left(runMerge(spark, p, h == "upsert", vars.toMap, funcs.toMap))
-        case "dedup"   => p.pop(); last = Left(runDedup(spark, p, near = false))
-        case "neardup" => p.pop(); last = Left(runDedup(spark, p, near = true))
-        case "sample"  => p.pop(); last = Left(runSample(spark, p))
-        case "shard"   => p.pop(); last = Left(runShard(spark, p))
+        // pipeline verbs are NOT reserved words (the reference reserves
+        // only control/SQL heads, lexer.h:100-105): `cap(99)` must stay a
+        // call to a user def named cap. The verb form is always
+        // `<verb> <table> by …`, so dispatch only when the next token is
+        // not a call/operator shape.
+        case "dedup"   if pipelineVerbForm(toks) => p.pop(); last = Left(runDedup(spark, p, near = false))
+        case "neardup" if pipelineVerbForm(toks) => p.pop(); last = Left(runDedup(spark, p, near = true))
+        case "sample"  if pipelineVerbForm(toks) => p.pop(); last = Left(runSample(spark, p))
+        case "shard"   if pipelineVerbForm(toks) => p.pop(); last = Left(runShard(spark, p))
+        case "cap"     if pipelineVerbForm(toks) => p.pop(); last = Left(runCap(spark, p))
         case "def" =>
           p.pop()
           val name = p.pop()
@@ -1157,8 +1163,9 @@ object KerfSql {
             require(p.done, s"trailing tokens in assignment: ${p.toks.mkString(" ")}")
             df.createOrReplaceTempView(name)
             last = Left(df)
-          } else if (p.peekIs("dedup") || p.peekIs("neardup") ||
-                     p.peekIs("sample") || p.peekIs("shard")) {
+          } else if ((p.peekIs("dedup") || p.peekIs("neardup") ||
+                      p.peekIs("sample") || p.peekIs("shard") || p.peekIs("cap")) &&
+                     pipelineVerbForm(p.toks)) {
             // table-valued pipeline verbs assign like a select: the
             // result registers as a temp view for later `from` clauses
             val verb = p.pop().toLowerCase
@@ -1167,6 +1174,7 @@ object KerfSql {
               case "neardup" => runDedup(spark, p, near = true)
               case "sample"  => runSample(spark, p)
               case "shard"   => runShard(spark, p)
+              case "cap"     => runCap(spark, p)
             }
             df.createOrReplaceTempView(name)
             last = Left(df)
@@ -1798,6 +1806,35 @@ object KerfSql {
     }
     require(p.done, s"trailing tokens in shard: ${p.toks.mkString(" ")}")
     graft.llm.Pipeline.shardAssignment(df, col(keyCol).cast("string"), n)
+  }
+
+  /** `<verb> <table> by …` — the only statement shape the pipeline
+    * verbs own. The verb names are NOT reserved words (the reference
+    * reserves only control/number/SQL heads, lexer.h:100-105), so
+    * `cap(99)` or `sample + 1` must stay expressions over user names —
+    * dispatch to a pipeline verb only when the table-form shape holds. */
+  private def pipelineVerbForm(toks: List[String]): Boolean =
+    toks.lengthCompare(3) >= 0 &&
+      toks(1).headOption.exists(c => c.isLetter || c == '_') &&
+      toks(1).forall(c => c.isLetterOrDigit || c == '_') &&
+      toks(2).equalsIgnoreCase("by")
+
+  /** `cap t by strata at 40 on key` → [[graft.llm.Pipeline.capPerStratum]]:
+    * the absolute per-stratum ceiling (≤ N rows per stratum, the rows
+    * that sort first by md5(key) — deterministic, engine-portable). */
+  private def runCap(spark: SparkSession, p: P): DataFrame = {
+    val df = spark.table(p.pop())
+    p.expect("by"); val strataCol = p.pop()
+    p.expect("at")
+    val n = {
+      val t = p.pop()
+      require(t.forall(_.isDigit) && t.toInt > 0,
+        s"cap … at needs a positive row ceiling, got $t")
+      t.toInt
+    }
+    p.expect("on"); val keyCol = p.pop()
+    require(p.done, s"trailing tokens in cap: ${p.toks.mkString(" ")}")
+    graft.llm.Pipeline.capPerStratum(df, col(strataCol), col(keyCol).cast("string"), n)
   }
 
   /** `insert into t values (…), (…)` / `upsert into t key k values …` —

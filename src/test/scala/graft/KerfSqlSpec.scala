@@ -574,7 +574,9 @@ class KerfSqlSpec extends SparkSpec {
       // write parquet into the cwd)
       "take", "drop", "distinct", "ascend", "descend", "flip", "bars",
       "sqrt", "abs", "floor", "ceil", "<<", "by", "dedup", "neardup", "15i",
-      "sample", "shard", "at", "into", "'29'")
+      "sample", "shard", "at", "into", "'29'",
+      // round-8 surfaces: the cap pipeline verb
+      "cap")
     var parsed = 0
     for (_ <- 1 to 300) {
       val n = 1 + rnd.nextInt(12)
@@ -836,6 +838,29 @@ class KerfSqlSpec extends SparkSpec {
     intercept[Exception] { KerfSql.run(spark, "sample docs_kv by doc_id at 29") }
     intercept[Exception] { KerfSql.run(spark, "sample docs_kv by doc_id at 'ZZ'") }
     intercept[Exception] { KerfSql.run(spark, "shard docs_kv by doc_id into zero") }
+  }
+
+  test("cap verb == capPerStratum; composes as a table-valued assignment") {
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_cap")
+    val docs = Tables.documents(spark, sf)
+    val got = KerfSql.run(spark, "cap docs_cap by source at 5 on doc_id")
+    val want = graft.llm.Pipeline.capPerStratum(
+      docs, col("source"), col("doc_id").cast("string"), 5)
+    assert(got.select("doc_id").collect().map(_.getLong(0)).toSet ==
+           want.select("doc_id").collect().map(_.getLong(0)).toSet)
+    val piped = KerfSql.run(spark,
+      "cp: cap docs_cap by source at 5 on doc_id; " +
+      "select source, count(*) as n from cp group source order source")
+    piped.collect().foreach(r => assert(r.getLong(1) <= 5,
+      s"stratum ${r.getString(0)} over its cap"))
+    // loud parse errors: non-numeric / missing key clause
+    intercept[Exception] { KerfSql.run(spark, "cap docs_cap by source at many on doc_id") }
+    intercept[Exception] { KerfSql.run(spark, "cap docs_cap by source at 5") }
+    // the verb names are NOT reserved (lexer.h:100-105 reserves only
+    // control/number/SQL heads): user defs and vars with these names win
+    assert(evalOne("def cap(x) { if (x > 10) { return 10 }; x }; cap(99)") == 10L)
+    assert(evalOne("def sample(x) { x * 2 }; sample(21)") == 42L)
+    assert(evalOne("shard: 7; shard + 1") == 8L)
   }
 
   test("upsert into … key … values replaces and inserts") {

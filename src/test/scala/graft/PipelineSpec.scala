@@ -237,6 +237,68 @@ class PipelineSpec extends SparkSpec {
       s"temperature must favor rare strata: $frac")
   }
 
+  test("dropRepeatedSegments: shared spans cut, order kept, all-boilerplate docs drop") {
+    // k=2 segments: doc 0/1 share 'aa bb' and 'cc dd'; doc 2 is doc 0
+    // verbatim (every segment shared → drops); doc 3 is untouched
+    val docs = Seq(
+      (0L, "aa bb cc dd own1 tail1"),
+      (1L, "aa bb cc dd own2 tail2"),
+      (2L, "aa bb cc dd own1 tail1"),
+      (3L, "uu vv ww xx yy zz")
+    ).toDF("doc_id", "text")
+    val got = Pipeline.dropRepeatedSegments(docs, "doc_id", "text",
+        tokensPerSeg = 2, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // docs 0 and 2 are identical → their OWN tails repeat too (2 docs)
+    assert(!got.contains(0L) && !got.contains(2L),
+      "verbatim replicas are fully boilerplate and must vanish")
+    assert(got(1L) == "own2 tail2", "survivors reassemble in original order")
+    assert(got(3L) == "uu vv ww xx yy zz", "unique docs pass through verbatim")
+    // repartitioning must not change the result (determinism contract)
+    val re = Pipeline.dropRepeatedSegments(docs.repartition(5), "doc_id", "text",
+        tokensPerSeg = 2, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(re == got)
+    // ragged tail: last segment shorter than k still round-trips
+    val ragged = Seq((0L, "p q r"), (1L, "s t u")).toDF("doc_id", "text")
+    val rg = Pipeline.dropRepeatedSegments(ragged, "doc_id", "text",
+        tokensPerSeg = 2, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rg == Map(0L -> "p q r", 1L -> "s t u"))
+  }
+
+  test("repeatedSegments: census counts DISTINCT docs, not occurrences") {
+    // 'aa bb' twice inside doc 0 but only there → below minDocs=2
+    val docs = Seq(
+      (0L, "aa bb aa bb"),
+      (1L, "cc dd mm nn"),
+      (2L, "cc dd oo pp")
+    ).toDF("doc_id", "text")
+    val census = Pipeline.repeatedSegments(docs, "doc_id", "text",
+        tokensPerSeg = 2, minDocs = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(census == Map("cc dd" -> 2L),
+      s"within-doc repeats must not count as corpus repeats: $census")
+  }
+
+  test("capPerStratum: absolute per-stratum ceiling, deterministic, invariant") {
+    val docs = Tables.documents(spark, sf)
+    val key = concat(col("doc_id").cast("string"), lit("|"), col("source"))
+    val capped = Pipeline.capPerStratum(docs, col("source"), key, maxRows = 10)
+    val bySrc = capped.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySrc.foreach { case (s, n) =>
+      assert(n == math.min(10L, full(s)), s"source $s: kept $n of ${full(s)}")
+    }
+    assert(bySrc.keySet == full.keySet, "small strata must survive whole")
+    val a = capped.select("doc_id").as[Long].collect().toSet
+    val b = Pipeline.capPerStratum(docs.repartition(7), col("source"), key, 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "the cap membership must not depend on partitioning")
+  }
+
   test("contamination: planted benchmark doc scores 1.0, clean docs absent") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta epsilon zeta"),

@@ -158,14 +158,36 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q106: bloom prefilter rides the exploded shingle stream map-side") {
-    val p = planOf("q106_decontaminate")
+    // q106's FINAL plan hides the dirty-id computation behind the sealed
+    // checkpoint (by design — only the tiny id list is pinned), so the
+    // bloom placement is pinned on the stage it lives in: the same
+    // explode → filter → confirm-semi-join pipeline decontaminate builds,
+    // composed from the public pieces
+    val docs = Tables.documents(spark, sf)
+    def sh(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), explode(graft.functions.ShingleHashes.shingleHashes(
+        llm.Dedup.normText(col("text")), 3)).as("s"))
+    val bench = sh(docs.filter(col("doc_id") % 97 === 0)).select(col("s")).distinct()
+    val pred = llm.Pipeline.bloomPredicate(bench, "s")
+    val stage = sh(docs).filter(pred(col("s"))).join(bench, Seq("s"), "left_semi")
+    val p = stage.queryExecution.executedPlan.toString
     assert(p.contains("might_contain"),
-      s"bloom prefilter missing from the decontamination plan:\n$p")
-    // the prefilter must sit between the explode and the confirm join —
-    // i.e. inside a codegen stage, not after an exchange of all shingles
-    assert(!p.contains("CartesianProduct"))
-    // the confirm is a semi-join, clean-doc removal an anti-join
-    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+      s"bloom prefilter missing from the decontamination stage:\n$p")
+    // the prefilter must sit in the corpus scan's own stage: the tree
+    // prints parent-above-child, so between the might_contain filter and
+    // the corpus FileScan directly below it there must be no Exchange
+    // (an exchange there = every shingle shuffled before the filter)
+    val probe = p.substring(p.indexOf("might_contain"))
+    val scanAt = "FileScan parquet|Scan parquet".r.findFirstMatchIn(probe)
+      .map(_.start).getOrElse(fail(s"no corpus scan under the filter:\n$p"))
+    assert(!probe.substring(0, scanAt).contains("Exchange"),
+      s"shingles were shuffled BEFORE the bloom prefilter:\n$p")
+    assert(p.contains("LeftSemi"), s"exact confirm semi-join missing:\n$p")
+    // and the final q106 plan: clean-doc removal is the lazy anti-join
+    // against the sealed (ExistingRDD) dirty list — never a cartesian
+    val pq = planOf("q106_decontaminate")
+    assert(!pq.contains("CartesianProduct"))
+    assert(pq.contains("LeftAnti") && pq.contains("ExistingRDD"), pq)
   }
 
   test("q107/q110: stratified sample and dialect sample stay map-only") {
@@ -175,6 +197,25 @@ class PlanSpec extends SparkSpec {
     val p110 = planOf("q110_kerf_sample")
     // sample is a filter; shard adds exactly the one per-shard rank window
     assert(!p110.contains("Join"), s"sample/shard composed plan grew a join:\n$p110")
+  }
+
+  test("q112: stratum cap runs a partial top-N BEFORE the shuffle (WindowGroupLimit)") {
+    // the rank<=N predicate must rewrite to per-map-task group limits so
+    // a hot stratum ships ~N·tasks rows, not its whole page count
+    val p = planOf("q112_stratum_cap")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter not rewritten to a pre-shuffle group limit:\n$p")
+    assert("WindowGroupLimit.*Partial|Partial.*WindowGroupLimit".r
+      .findFirstIn(p.replaceAll("\n", " ")).isDefined,
+      s"no PARTIAL (map-side) group limit in plan:\n$p")
+  }
+
+  test("q111: repeated-span removal — census is partial-agg, no cartesian") {
+    val p = planOf("q111_repeated_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"segment census exploded:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"census count not map-side combined:\n$p")
   }
 
   test("entry: flagship plan reads only needed columns") {
