@@ -813,6 +813,51 @@ object Oracles {
            FROM documents) t
          WHERE rk <= 40 ORDER BY doc_id""",
 
+    // q113: q54's independent recursive-CTE closure, then quality-aware
+    // winner election per cluster (max n_chars, tie min doc_id) — the
+    // Spark side is one associative min(struct(-score,id)) partial agg.
+    "q113_dedup_keepbest" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         shing AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                  END AS s
+           FROM toks),
+         ex AS (SELECT doc_id, unnest(s) AS sh FROM shing),
+         sizes AS (SELECT doc_id, count(*) AS c FROM ex GROUP BY 1),
+         inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+                   FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (
+           SELECT ia, ib FROM inter
+           JOIN sizes sa ON sa.doc_id = ia
+           JOIN sizes sb ON sb.doc_id = ib
+           WHERE i::DOUBLE / (sa.c + sb.c - i)::DOUBLE >= 0.2),
+         edges AS (SELECT ia AS u, ib AS v FROM pairs
+                   UNION SELECT ib, ia FROM pairs),
+         reach AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         labels AS (
+           SELECT u AS id, least(u, min(v)) AS cluster FROM reach GROUP BY u),
+         lab AS (
+           SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster, d.n_chars
+           FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+         win AS (
+           SELECT doc_id, cluster, n_chars,
+                  count(*) OVER (PARTITION BY cluster) AS n_members,
+                  row_number() OVER (PARTITION BY cluster
+                                     ORDER BY n_chars DESC, doc_id) AS rk
+           FROM lab)
+         SELECT doc_id, cluster, n_members, n_chars
+         FROM win WHERE rk = 1 ORDER BY doc_id""",
+
     "q28_sim_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
               c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM embeddings),

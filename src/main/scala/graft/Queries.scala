@@ -1915,6 +1915,21 @@ object Queries {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** QUALITY-AWARE dedup witness (production near-dup semantics): over
+    * the q54 pair graph, keep the LONGEST member of each near-dup
+    * cluster (n_chars, ties → min id) rather than the min-id one — a
+    * boilerplate cluster keeps its fullest article, truncated scrapes
+    * drop. Oracle recomputes the closure with q54's independent
+    * recursive-CTE algorithm and elects winners with a window. */
+  val q113_dedup_keepbest: Q = (s, dir) => {
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    val pairs = llm.Dedup.minhashPairs(docs, "doc_id", "text",
+      jaccardThreshold = 0.2)
+    llm.Dedup.keepBestPerCluster(docs, "doc_id", "n_chars", pairs)
+      .select(col("doc_id"), col("cluster"), col("n_members"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2030,5 +2045,6 @@ object Queries {
     "q110_kerf_sample"   -> q110_kerf_sample,
     "q111_repeated_spans" -> q111_repeated_spans,
     "q112_stratum_cap"   -> q112_stratum_cap,
+    "q113_dedup_keepbest" -> q113_dedup_keepbest,
   )
 }

@@ -266,6 +266,44 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** QUALITY-AWARE witness selection: keep the BEST doc per near-dup
+    * cluster — max `scoreCol`, ties broken by min id — instead of the
+    * arbitrary min-id member. This is the production semantic: when a
+    * boilerplate cluster holds one full article and nine truncated
+    * scrapes, the pipeline should keep the article regardless of which
+    * id happens to be smallest (the reference keeps the FIRST-inserted
+    * witness, presented.cc:475–503 — a fine tie rule for exact dups,
+    * wrong for near-dups of unequal quality).
+    *
+    * Returns the winning doc rows (all original columns) plus the
+    * `cluster` label and `n_members` size. Docs in no pair are their own
+    * singleton cluster and survive unchanged.
+    *
+    * Shuffle shape at 100 TB: clusters() is O(log n) rounds over the
+    * (tiny) pair graph; winner election is ONE partial-agg groupBy on
+    * the cluster key — `min(struct(-score, id))` is associative, so each
+    * map task compresses to one candidate per local cluster before
+    * anything shuffles (never a window sort over the corpus). The final
+    * id-equi-join re-attaches full doc rows to the (one-per-cluster)
+    * winner list. `scoreCol` must be non-null (null structs would win
+    * min() under NULLS FIRST); coalesce upstream if scores can be null. */
+  def keepBestPerCluster(docs: DataFrame, idCol: String, scoreCol: String,
+                         pairs: DataFrame,
+                         idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val labels = clusters(pairs, idA, idB)
+      .select(col("id").as("__lid"), col("cluster"))
+    val labeled = docs
+      .join(labels, col(idCol).cast("long") === col("__lid"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol).cast("long")))
+    val winners = labeled.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+           min(struct((-col(scoreCol).cast("double")).as("ns"),
+                      col(idCol).cast("long").as("wid"))).as("__w"))
+      .select(col("cluster"), col("n_members"), col("__w").getField("wid").as("__keep"))
+    docs.join(winners, col(idCol).cast("long") === col("__keep"))
+      .drop("__keep")
+  }
+
   /** 64-bit SimHash signature from a STAGED token-hash array attribute
     * (stage via `transform(tokens(text), xxhash64)` — lambda bodies
     * re-evaluate referenced trees per element): sign-sum of token-hash

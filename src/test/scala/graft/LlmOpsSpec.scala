@@ -91,6 +91,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(kept == Set(0L, 3L, 4L, 5L))
   }
 
+  test("keepBestPerCluster elects max-score (tie min-id) winners; singletons survive") {
+    // cluster {0,1,2}: doc 1 has the best score → wins over min-id 0;
+    // cluster {5,6}: scores tie → min id 5 wins; 3,4 are singletons
+    val all = Seq((0L, "a", 10.0), (1L, "b", 50.0), (2L, "c", 30.0),
+                  (3L, "d", 1.0), (4L, "e", 2.0),
+                  (5L, "f", 7.0), (6L, "g", 7.0))
+      .toDF("doc_id", "text", "score")
+    val pairs = Seq((0L, 1L, 0.9), (1L, 2L, 0.9), (5L, 6L, 0.8))
+      .toDF("id_a", "id_b", "jaccard")
+    val won = Dedup.keepBestPerCluster(all, "doc_id", "score", pairs)
+      .select("doc_id", "cluster", "n_members")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(won == Set((1L, 0L, 3L), (3L, 3L, 1L), (4L, 4L, 1L), (5L, 5L, 2L)))
+  }
+
   test("cosine near-dup pairs: same-cluster vectors pair, cross-cluster never") {
     val rnd = new scala.util.Random(3)
     def jitter(center: Array[Float]): Seq[Float] =
