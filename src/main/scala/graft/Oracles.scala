@@ -858,6 +858,14 @@ object Oracles {
          SELECT doc_id, cluster, n_members, n_chars
          FROM win WHERE rk = 1 ORDER BY doc_id""",
 
+    // q114: PQ-ADC with exact re-rank — replica codes minimize the ADC
+    // lookup table, so each query's planted replica is rank 1 at
+    // cosine exactly 1.0 (q104's closed form, k=1).
+    "q114_ann_pq" ->
+      """SELECT vec_id AS q_id, CAST(1 AS BIGINT) AS rk,
+                vec_id + 20000000 AS cand_id, CAST(1.0 AS DOUBLE) AS sim
+         FROM embeddings WHERE vec_id < 5 ORDER BY q_id""",
+
     "q28_sim_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
               c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM embeddings),

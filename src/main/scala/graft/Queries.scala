@@ -1930,6 +1930,22 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** PQ-ADC ANN end-to-end (the 32×-compression tier: train codebooks →
+    * encode corpus to m-byte codes → ADC scan over CODES ONLY → exact
+    * re-rank of survivors), oracled with the q104 planted-replica closed
+    * form at k=1: a query's replica shares its codes, so its ADC is the
+    * global minimum — it always survives the prefilter and re-ranks to
+    * rank 1 at cosine exactly 1.0, while the isotropic organic bulk
+    * stays ≲0.6. Any asymmetry between encode and lookup-table
+    * construction breaks replica minimality and hash-fails. */
+  val q114_ann_pq: Q = (s, dir) => {
+    val emb = Tables.fanOut(Tables.embeddings(s, dir))
+    val qs = emb.filter(col("vec_id") < 5)
+    val planted = qs.withColumn("vec_id", col("vec_id") + lit(20000000L))
+    llm.Similarity.pqTopK(qs, emb.unionByName(planted), 1)
+      .orderBy(col("q_id"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2046,5 +2062,6 @@ object Queries {
     "q111_repeated_spans" -> q111_repeated_spans,
     "q112_stratum_cap"   -> q112_stratum_cap,
     "q113_dedup_keepbest" -> q113_dedup_keepbest,
+    "q114_ann_pq"        -> q114_ann_pq,
   )
 }

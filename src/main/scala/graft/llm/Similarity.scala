@@ -380,6 +380,145 @@ object Similarity {
     Caches.seal(res, (if (own) Seq(cand) else Nil): _*)
   }
 
+  // ----- Product quantization (PQ) — the extreme-compression ANN tier -----
+
+  /** Train per-subspace PQ codebooks: the vector is split into `m`
+    * contiguous subspaces of dim/m dims; each subspace gets `ksub`
+    * codewords (k-means in the subspace). A coded vector is m small ints
+    * (codes fit a byte at ksub ≤ 256) instead of dim floats — 32× smaller
+    * than float32 at m=8/dim=64, which is the 100 TB story: the ANN
+    * candidate scan reads m bytes per vector, not 4·dim.
+    *
+    * Same determinism discipline as [[trainCentroids]]: seeds are the
+    * `ksub` vectors with the smallest xxhash64(id) (seed-stable under any
+    * id distribution, TakeOrderedAndProject — never a global sort), each
+    * split into its m subvectors; `iters` Lloyd passes refine per-subspace
+    * by distributed (sub, code, pos) means. Driver state is ONLY the
+    * m×ksub×(dim/m) codebook matrix (= dim·ksub doubles, ~8 KB here, ≤MBs
+    * at production ksub=256/dim=1024) per pass, never accumulated. A
+    * codeword that loses every member keeps its previous position
+    * (standard empty-cluster handling). */
+  def trainPQ(candidates: DataFrame, m: Int = 8, ksub: Int = 16,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              iters: Int = 1): Array[Array[Array[Double]]] = {
+    import graft.ops.Caches
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(m >= 1 && ksub >= 2, s"need m >= 1 and ksub >= 2, got m=$m ksub=$ksub")
+    val (cand, own) = Caches.acquire(candidates)
+    val dim = cand.select(size(col(vecCol))).first().getInt(0)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val seedRows = cand
+      .select(col(idCol).cast("long").as("__sid"), col(vecCol).as("__v"))
+      .orderBy(xxhash64(col("__sid")), col("__sid"))
+      .limit(ksub)
+      .collect()
+    require(seedRows.nonEmpty, "no candidate vectors to seed PQ codebooks from")
+    val seedVecs = seedRows.sortBy(_.getLong(0))
+      .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => seedVecs.map(v => v.slice(s * dsub, (s + 1) * dsub)))
+    for (_ <- 1 to iters) {
+      // one scan: assign all m codes natively, then (sub, code, pos) means
+      val means = cand
+        .select(col(vecCol).as("__v"), pqCodes(col(vecCol), books).as("__codes"))
+        .select(col("__v"), posexplode(col("__codes")).as(Seq("sub_id", "code")))
+        .select(col("sub_id"), col("code"),
+          posexplode(slice(col("__v"), col("sub_id") * dsub + 1, lit(dsub)))
+            .as(Seq("pos", "x")))
+        .groupBy(col("sub_id"), col("code"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("mn"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      books = next
+    }
+    if (own) cand.unpersist(false)
+    books
+  }
+
+  /** PQ-encode a vector against trained codebooks: array of m code ints,
+    * code s = argmin_k ‖v_s − c_{s,k}‖² — computed as argmax of
+    * (v_s·c − ‖c‖²/2) so each subspace is ONE native [[graft.functions
+    * .MatVecDots]] pass (m fused passes total, exactly m·ksub·dsub mults
+    * per row — the optimal count). Ties break to the lowest code
+    * (array_position finds the first max). Map-only, codegen end-to-end. */
+  def pqCodes(vec: Column, books: Array[Array[Array[Double]]]): Column = {
+    val dsub = books(0)(0).length
+    array(books.indices.map { s =>
+      val cb = books(s)
+      val half = cb.map(c => c.map(x => x * x).sum / 2.0)
+      val adj = zip_with(
+        graft.functions.MatVecDots.matVecDots(slice(vec, s * dsub + 1, dsub), cb),
+        typedLit(half.toSeq), (d, h) => d - h)
+      (array_position(adj, array_max(adj)) - 1).cast("int")
+    }: _*)
+  }
+
+  /** Reconstruct the (lossy) vector a code array stands for: concatenate
+    * each subspace's codeword. The dequantize analog for PQ storage. */
+  def pqDecode(codes: Column, books: Array[Array[Array[Double]]]): Column =
+    flatten(zip_with(codes,
+      typedLit(books.map(_.map(_.toSeq).toSeq).toSeq),
+      (c, cb) => element_at(cb, c + 1)))
+
+  /** PQ top-k via ADC (asymmetric distance computation): candidates are
+    * scanned as CODES ONLY (m ints — the 32× I/O shrink); each query
+    * precomputes a lookup table lut[s][k] = ‖c_{s,k}‖²/2 − q_s·c_{s,k}
+    * (ranking by Σ_s lut[s][code_s] ≡ ranking by true L2 distance to the
+    * reconstruction, the per-query ‖q_s‖² constant dropped), broadcast
+    * with the queries; ADC per candidate is then m array lookups — no
+    * float vector math in the scan. The top `rerank` ADC survivors per
+    * query re-enter with their ORIGINAL vectors for exact-cosine
+    * re-ranking (survivors ≪ n join back by id — the original embedding
+    * column never rides the scan).
+    *
+    * A query's exact replica always survives the prefilter: its codes
+    * minimize every lut row, so its ADC is the global minimum. NULL
+    * handling, determinism, and tie rules follow [[bruteForceTopK]]
+    * (round-6dp cosine, id tie-break). */
+  def pqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+             m: Int = 8, ksub: Int = 16, rerank: Int = 32,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             iters: Int = 1): DataFrame = {
+    import graft.ops.Caches
+    val (cand, own) = Caches.acquire(candidates)
+    val books = trainPQ(cand, m, ksub, idCol, vecCol, iters)
+    val dsub = books(0)(0).length
+    val coded = cand.select(col(idCol).as("cand_id"),
+      pqCodes(col(vecCol), books).as("__codes"))
+    val q = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("__lut", array(books.indices.map { s =>
+        val cb = books(s)
+        val half = cb.map(c => c.map(x => x * x).sum / 2.0)
+        zip_with(
+          graft.functions.MatVecDots.matVecDots(
+            slice(col("q_vec"), s * dsub + 1, dsub), cb),
+          typedLit(half.toSeq), (d, h) => h - d)
+      }: _*))
+    val adc = coded.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("cand_id"))
+      .withColumn("__adc", aggregate(
+        zip_with(col("__codes"), col("__lut"), (c, row) => element_at(row, c + 1)),
+        lit(0.0), (acc, x) => acc + x))
+    val wPre = Window.partitionBy(col("q_id")).orderBy(col("__adc"), col("cand_id"))
+    val survivors = adc.withColumn("__prk", row_number().over(wPre))
+      .filter(col("__prk") <= math.max(rerank, k))
+      .select(col("q_id"), col("q_vec"), col("cand_id"))
+    val res = survivors
+      .join(cand.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")),
+        Seq("cand_id"))
+      .withColumn("sim", round(cosine(col("q_vec"), col("cand_vec")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("cand_id"))
+    val out = res.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("cand_id"), col("sim"))
+    Caches.seal(out, (if (own) Seq(cand) else Nil): _*)
+  }
+
   /** ANN via multi-probe hyperplane LSH: `tables` independent sketches of
     * `nBits` bits; pairs colliding in any table are candidates; exact
     * cosine re-rank keeps top-k. Recall grows with tables, cost with

@@ -195,6 +195,65 @@ class LlmOpsSpec extends SparkSpec {
       s"IVF top-k != brute-force golden:\n  ivf=$ivf\n  bf=$exact")
   }
 
+  test("PQ codes: length m, range [0, ksub), identical vectors code identically") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0 until 40).map(i =>
+        (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val books = Similarity.trainPQ(vecs, m = 4, ksub = 8)
+    assert(books.length == 4 && books.forall(_.length == 8) &&
+           books.forall(_.forall(_.length == 4)))
+    val twin = vecs.filter(col("vec_id") === 0)
+      .withColumn("vec_id", col("vec_id") + 1000L)
+    val codes = vecs.unionByName(twin)
+      .select(col("vec_id"), Similarity.pqCodes(col("embedding"), books).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 8)))
+    assert(codes(0L) == codes(1000L)) // same vector, same codes — ADC minimality
+  }
+
+  test("pqDecode reconstructs planted-cluster vectors to high cosine") {
+    val rnd = new scala.util.Random(17)
+    def jitter(center: Array[Float]): Seq[Float] =
+      center.map(c => c + (rnd.nextFloat() - 0.5f) * 0.1f).toSeq
+    val ca = Array.fill(16)(0f); ca(0) = 1f
+    val cb = Array.fill(16)(0f); cb(8) = 1f
+    val vecs = ((0 until 50).map(i => (i.toLong, jitter(ca))) ++
+                (50 until 100).map(i => (i.toLong, jitter(cb))))
+      .toDF("vec_id", "embedding")
+    val books = Similarity.trainPQ(vecs, m = 8, ksub = 16)
+    val minCos = vecs
+      .select(Similarity.pqDecode(
+        Similarity.pqCodes(col("embedding"), books), books).as("rec"),
+        col("embedding"))
+      .select(Similarity.cosine(col("rec"), col("embedding")).as("c"))
+      .agg(min(col("c"))).head().getDouble(0)
+    assert(minCos > 0.9, s"worst reconstruction cosine $minCos")
+  }
+
+  test("PQ-ADC ANN exactly equals brute-force top-k on planted-margin clusters") {
+    val rnd = new scala.util.Random(19)
+    def jitter(center: Array[Float]): Seq[Float] =
+      center.map(c => c + (rnd.nextFloat() - 0.5f) * 0.1f).toSeq
+    val ca = Array.fill(16)(0f); ca(0) = 1f
+    val cb = Array.fill(16)(0f); cb(8) = 1f
+    val vecs = ((0 until 50).map(i => (i.toLong, jitter(ca))) ++
+                (50 until 100).map(i => (i.toLong, jitter(cb))))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0)
+    // rerank=50 makes the ADC prefilter provably sufficient: every
+    // same-cluster candidate's ADC beats every cross-cluster one by the
+    // planted margin (reconstruction error ≪ inter-cluster distance), so
+    // the 49 home docs all survive and re-rank equals the brute golden
+    val exact = Similarity.bruteForceTopK(q, vecs, 5).orderBy("rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val pq = Similarity.pqTopK(q, vecs, 5, m = 8, ksub = 16, rerank = 50)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(pq == exact,
+      s"PQ top-k != brute-force golden:\n  pq=$pq\n  bf=$exact")
+  }
+
   test("IVF ANN works on sparse non-zero-based ids (no density assumption)") {
     // ids are hashed-style: start high, stride 7 — the round-2 seeder
     // (filter(id < nLists)) would find zero seeds here and abort
