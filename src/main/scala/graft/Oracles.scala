@@ -866,6 +866,13 @@ object Oracles {
                 vec_id + 20000000 AS cand_id, CAST(1.0 AS DOUBLE) AS sim
          FROM embeddings WHERE vec_id < 5 ORDER BY q_id""",
 
+    // q115: IVF-PQ — identical closed form (replica in the first probe
+    // list, globally minimal ADC, exact re-rank → rank 1 at cos 1.0).
+    "q115_ann_ivfpq" ->
+      """SELECT vec_id AS q_id, CAST(1 AS BIGINT) AS rk,
+                vec_id + 20000000 AS cand_id, CAST(1.0 AS DOUBLE) AS sim
+         FROM embeddings WHERE vec_id < 5 ORDER BY q_id""",
+
     "q28_sim_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
               c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM embeddings),

@@ -1946,6 +1946,21 @@ object Queries {
       .orderBy(col("q_id"))
   }
 
+  /** IVF-PQ composed ANN (probe dial × compression dial — the standard
+    * very-large-scale architecture): coarse-quantize to inverted lists,
+    * store PQ codes, ADC-scan only the probed lists, re-rank survivors
+    * exact. Same planted-replica closed form as q114: an identical
+    * vector lands in the query's first probe list with globally minimal
+    * ADC, so each query's replica is rank 1 at cosine exactly 1.0. */
+  val q115_ann_ivfpq: Q = (s, dir) => {
+    val emb = Tables.fanOut(Tables.embeddings(s, dir))
+    val qs = emb.filter(col("vec_id") < 5)
+    val planted = qs.withColumn("vec_id", col("vec_id") + lit(20000000L))
+    llm.Similarity.ivfPqTopK(qs, emb.unionByName(planted), 1,
+      nLists = 16, nProbe = 4)
+      .orderBy(col("q_id"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2063,5 +2078,6 @@ object Queries {
     "q112_stratum_cap"   -> q112_stratum_cap,
     "q113_dedup_keepbest" -> q113_dedup_keepbest,
     "q114_ann_pq"        -> q114_ann_pq,
+    "q115_ann_ivfpq"     -> q115_ann_ivfpq,
   )
 }

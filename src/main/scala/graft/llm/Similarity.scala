@@ -519,6 +519,79 @@ object Similarity {
     Caches.seal(out, (if (own) Seq(cand) else Nil): _*)
   }
 
+  /** IVF-PQ: the COMPOSED scale path — IVF's probe dial × PQ's
+    * compression dial, the standard very-large-scale ANN architecture.
+    * Candidates are bucketed into inverted lists by the coarse quantizer
+    * ([[trainCentroids]]/[[assignLists]]) and stored as PQ codes; a query
+    * probes its nProbe nearest lists and ADC-scans ONLY those lists'
+    * codes (scan cost = |candidates|·nProbe/nLists rows × m ints — the
+    * two dials multiply); the top `rerank` survivors re-rank exact by
+    * joining the original vectors back by id.
+    *
+    * Codes quantize the RAW vector, not the FAISS-style residual
+    * (v − centroid): residual codebooks are centroid-conditional (nLists×
+    * the training state) and the exact re-rank step already absorbs the
+    * coarser approximation — the dial that matters here is scan bytes,
+    * which is identical either way.
+    *
+    * A query's exact replica is structurally safe end-to-end: identical
+    * vectors assign to the identical list (argmax with first-max ties),
+    * which is also the query's first probe, and identical codes make its
+    * ADC the global minimum within the scanned set. */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                nLists: Int = 16, nProbe: Int = 4,
+                m: Int = 8, ksub: Int = 16, rerank: Int = 32,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                iters: Int = 1): DataFrame = {
+    import graft.ops.Caches
+    val (cand, own) = Caches.acquire(candidates)
+    val centroids = trainCentroids(cand, nLists, idCol, vecCol, iters)
+    val books = trainPQ(cand, m, ksub, idCol, vecCol, iters)
+    val dsub = books(0)(0).length
+    val nl = centroids.length
+    val np = math.min(nProbe, nl)
+    // the stored index: (cand_id, list_id, m codes) — no float vectors
+    val coded = assignLists(cand, centroids, idCol, vecCol)
+      .select(col(idCol).as("cand_id"), col("list_id"),
+        pqCodes(col(vecCol), books).as("__codes"))
+    val q = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("__qsims",
+        graft.functions.MatVecDots.matVecDots(col("q_vec"), unitRows(centroids)))
+      .withColumn("probes", slice(transform(
+        array_sort(zip_with(col("__qsims"), sequence(lit(0), lit(nl - 1)),
+          (s, i) => struct((-s).as("negsim"), i.as("cid")))),
+        p => p.getField("cid")), 1, np))
+      .withColumn("__lut", array(books.indices.map { s =>
+        val cb = books(s)
+        val half = cb.map(c => c.map(x => x * x).sum / 2.0)
+        zip_with(
+          graft.functions.MatVecDots.matVecDots(
+            slice(col("q_vec"), s * dsub + 1, dsub), cb),
+          typedLit(half.toSeq), (d, h) => h - d)
+      }: _*))
+      .withColumn("list_id", explode(col("probes")))
+      .drop("probes", "__qsims")
+    val adc = coded.join(broadcast(q), Seq("list_id"))
+      .filter(col("q_id") =!= col("cand_id"))
+      .withColumn("__adc", aggregate(
+        zip_with(col("__codes"), col("__lut"), (c, row) => element_at(row, c + 1)),
+        lit(0.0), (acc, x) => acc + x))
+    val wPre = Window.partitionBy(col("q_id")).orderBy(col("__adc"), col("cand_id"))
+    val survivors = adc.withColumn("__prk", row_number().over(wPre))
+      .filter(col("__prk") <= math.max(rerank, k))
+      .select(col("q_id"), col("q_vec"), col("cand_id"))
+    val res = survivors
+      .join(cand.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")),
+        Seq("cand_id"))
+      .withColumn("sim", round(cosine(col("q_vec"), col("cand_vec")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("cand_id"))
+    val out = res.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("cand_id"), col("sim"))
+    Caches.seal(out, (if (own) Seq(cand) else Nil): _*)
+  }
+
   /** ANN via multi-probe hyperplane LSH: `tables` independent sketches of
     * `nBits` bits; pairs colliding in any table are candidates; exact
     * cosine re-rank keeps top-k. Recall grows with tables, cost with

@@ -254,6 +254,30 @@ class LlmOpsSpec extends SparkSpec {
       s"PQ top-k != brute-force golden:\n  pq=$pq\n  bf=$exact")
   }
 
+  test("IVF-PQ ANN exactly equals brute-force top-k on planted-margin clusters") {
+    val rnd = new scala.util.Random(23)
+    def jitter(center: Array[Float]): Seq[Float] =
+      center.map(c => c + (rnd.nextFloat() - 0.5f) * 0.1f).toSeq
+    val ca = Array.fill(16)(0f); ca(0) = 1f
+    val cb = Array.fill(16)(0f); cb(8) = 1f
+    val vecs = ((0 until 50).map(i => (i.toLong, jitter(ca))) ++
+                (50 until 100).map(i => (i.toLong, jitter(cb))))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0)
+    // probe coverage follows the IVF test's argument (nProbe=3 of
+    // nLists=4 covers the home cluster); rerank=50 then makes the ADC
+    // prefilter sufficient as in the PQ test — so the composed path must
+    // also EQUAL the brute-force golden row-for-row
+    val exact = Similarity.bruteForceTopK(q, vecs, 5).orderBy("rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val ivfpq = Similarity.ivfPqTopK(q, vecs, 5, nLists = 4, nProbe = 3,
+        m = 8, ksub = 16, rerank = 50)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(ivfpq == exact,
+      s"IVF-PQ top-k != brute-force golden:\n  ivfpq=$ivfpq\n  bf=$exact")
+  }
+
   test("IVF ANN works on sparse non-zero-based ids (no density assumption)") {
     // ids are hashed-style: start high, stride 7 — the round-2 seeder
     // (filter(id < nLists)) would find zero seeds here and abort
