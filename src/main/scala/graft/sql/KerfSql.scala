@@ -1743,10 +1743,14 @@ object KerfSql {
     *   `dedup t by id on text [order c1, c2 …]`
     *     → [[graft.llm.Dedup.exact]]: (text_key, keep_id, group_size)
     *       per distinct normalized text, min-id witness;
-    *   `neardup t by id on text [within τ] [order …]`
+    *   `neardup t by id on text [within τ] [keep best score] [order …]`
     *     → [[graft.llm.Dedup.minhashPairs]]: MinHash+LSH candidate
     *       pairs verified at Jaccard ≥ τ (default 0.7, the reference
     *       near-dup posture; `within` mirrors the as-of tolerance verb).
+    *       With `keep best <col>` the pair graph feeds
+    *       [[graft.llm.Dedup.keepBestPerCluster]] instead: the verb
+    *       returns the surviving docs (max-score witness per cluster,
+    *       ties → min id) rather than the raw pair list.
     *
     * Same Catalyst trees as the Column API — the dialect adds parsing,
     * not a second engine. */
@@ -1756,8 +1760,16 @@ object KerfSql {
     p.expect("on"); val textCol = p.pop()
     var tau = 0.7
     if (near && p.peekIs("within")) { p.pop(); tau = p.pop().toDouble }
+    var keepBest: Option[String] = None
+    if (near && p.peekIs("keep")) { p.pop(); p.expect("best"); keepBest = Some(p.pop()) }
     val base =
-      if (near) graft.llm.Dedup.minhashPairs(df, idCol, textCol, jaccardThreshold = tau)
+      if (near) {
+        val pairs = graft.llm.Dedup.minhashPairs(df, idCol, textCol, jaccardThreshold = tau)
+        keepBest match {
+          case Some(sc) => graft.llm.Dedup.keepBestPerCluster(df, idCol, sc, pairs)
+          case None     => pairs
+        }
+      }
       else graft.llm.Dedup.exact(df, idCol, textCol)
     val out = if (p.peekIs("order")) {
       p.pop()

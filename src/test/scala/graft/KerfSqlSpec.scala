@@ -575,8 +575,8 @@ class KerfSqlSpec extends SparkSpec {
       "take", "drop", "distinct", "ascend", "descend", "flip", "bars",
       "sqrt", "abs", "floor", "ceil", "<<", "by", "dedup", "neardup", "15i",
       "sample", "shard", "at", "into", "'29'",
-      // round-8 surfaces: the cap pipeline verb
-      "cap")
+      // round-8 surfaces: the cap pipeline verb + keep-best clause
+      "cap", "keep", "best")
     var parsed = 0
     for (_ <- 1 to 300) {
       val n = 1 + rnd.nextInt(12)
@@ -788,6 +788,19 @@ class KerfSqlSpec extends SparkSpec {
     // default threshold (0.7) is stricter: the pair set can only shrink
     val strict = KerfSql.run(spark, "neardup docs_kv by doc_id on text")
     assert(strict.count() <= got.count())
+  }
+
+  test("neardup … keep best == Dedup.keepBestPerCluster (quality-aware witness)") {
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_kv")
+    val got = KerfSql.run(spark,
+      "neardup docs_kv by doc_id on text within 0.2 keep best n_chars order doc_id")
+    val want = graft.llm.Dedup.keepBestPerCluster(
+        Tables.documents(spark, sf), "doc_id", "n_chars",
+        graft.llm.Dedup.minhashPairs(
+          Tables.documents(spark, sf), "doc_id", "text", jaccardThreshold = 0.2))
+      .orderBy("doc_id")
+    assert(got.columns.contains("cluster") && got.columns.contains("n_members"))
+    assert(got.collect().toSeq == want.collect().toSeq)
   }
 
   test("dedup/neardup parse errors are loud, not silent column guesses") {
