@@ -483,6 +483,18 @@ object Similarity {
              m: Int = 8, ksub: Int = 16, rerank: Int = 32,
              idCol: String = "vec_id", vecCol: String = "embedding",
              iters: Int = 1): DataFrame = {
+    val (out, caches) = pqTopKPlan(queries, candidates, k, m, ksub, rerank,
+      idCol, vecCol, iters)
+    graft.ops.Caches.seal(out, caches: _*)
+  }
+
+  /** The lazy plan behind [[pqTopK]] plus the caches it holds — exposed
+    * for plan-shape tests (the sealed wrapper checkpoints the tiny
+    * result, which hides the interior plan). */
+  private[graft] def pqTopKPlan(queries: DataFrame, candidates: DataFrame, k: Int,
+             m: Int = 8, ksub: Int = 16, rerank: Int = 32,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             iters: Int = 1): (DataFrame, Seq[DataFrame]) = {
     import graft.ops.Caches
     val (cand, own) = Caches.acquire(candidates)
     val books = trainPQ(cand, m, ksub, idCol, vecCol, iters)
@@ -516,7 +528,7 @@ object Similarity {
     val out = res.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("cand_id"), col("sim"))
-    Caches.seal(out, (if (own) Seq(cand) else Nil): _*)
+    (out, if (own) Seq(cand) else Nil)
   }
 
   /** IVF-PQ: the COMPOSED scale path — IVF's probe dial × PQ's
@@ -543,6 +555,17 @@ object Similarity {
                 m: Int = 8, ksub: Int = 16, rerank: Int = 32,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 iters: Int = 1): DataFrame = {
+    val (out, caches) = ivfPqTopKPlan(queries, candidates, k, nLists, nProbe,
+      m, ksub, rerank, idCol, vecCol, iters)
+    graft.ops.Caches.seal(out, caches: _*)
+  }
+
+  /** The lazy plan behind [[ivfPqTopK]] — see [[pqTopKPlan]]. */
+  private[graft] def ivfPqTopKPlan(queries: DataFrame, candidates: DataFrame, k: Int,
+                nLists: Int = 16, nProbe: Int = 4,
+                m: Int = 8, ksub: Int = 16, rerank: Int = 32,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                iters: Int = 1): (DataFrame, Seq[DataFrame]) = {
     import graft.ops.Caches
     val (cand, own) = Caches.acquire(candidates)
     val centroids = trainCentroids(cand, nLists, idCol, vecCol, iters)
@@ -589,7 +612,7 @@ object Similarity {
     val out = res.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("cand_id"), col("sim"))
-    Caches.seal(out, (if (own) Seq(cand) else Nil): _*)
+    (out, if (own) Seq(cand) else Nil)
   }
 
   /** ANN via multi-probe hyperplane LSH: `tables` independent sketches of

@@ -106,6 +106,31 @@ class PlanSpec extends SparkSpec {
     caches.foreach(_.unpersist(true))
   }
 
+  test("q114/q115: ADC scans broadcast the query+LUT side; IVF-PQ joins on list_id") {
+    // inspect the LAZY plans (the public wrappers seal the tiny result,
+    // which hides the interior plan behind a checkpoint scan — same
+    // discipline as the q29/q30 pins above)
+    val emb = Tables.fanOut(Tables.embeddings(spark, sf))
+    val qs = emb.filter(col("vec_id") < 3)
+    // PQ flat scan: candidates stream as codes against the broadcast
+    // query/lookup-table side — a SortMergeJoin here would shuffle the
+    // whole coded corpus per query batch
+    val (df114, c114) = llm.Similarity.pqTopKPlan(qs, emb, 3)
+    val p114 = df114.queryExecution.executedPlan.toString
+    assert(p114.contains("BroadcastNestedLoopJoin") || p114.contains("BroadcastExchange"),
+      s"q114 ADC scan does not broadcast the query side:\n$p114")
+    c114.foreach(_.unpersist(true))
+    // IVF-PQ: the probed-list join is an equi-join on list_id with the
+    // query side broadcast — never a cross product of codes × queries
+    val (df115, c115) = llm.Similarity.ivfPqTopKPlan(qs, emb, 3)
+    val p115 = df115.queryExecution.executedPlan.toString
+    assert(p115.contains("BroadcastExchange"),
+      s"q115 probed-list join does not broadcast the query side:\n$p115")
+    assert(!p115.contains("CartesianProduct"),
+      s"q115 IVF-PQ regressed to a cross product:\n$p115")
+    c115.foreach(_.unpersist(true))
+  }
+
   test("q57: corpus-clean composition is ONE scan (features are projections)") {
     val p = planOf("q57_corpus_clean")
     val scans = "Scan parquet|FileScan parquet".r.findAllIn(p).length
