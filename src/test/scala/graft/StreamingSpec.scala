@@ -477,6 +477,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed(2L)._2.forall(_ == 0))
   }
 
+  test("pqCodes encodes unchanged on a streaming frame (== batch): encode-at-ingest") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // codebooks train on a batch corpus; the resulting encode expression
+    // is row-local column algebra (slice + MatVecDots + argmax), so the
+    // SAME expression runs at ingest — embeddings land as m-int codes
+    val rnd = new scala.util.Random(29)
+    val corpus = (0 until 40).map(i =>
+        (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val books = graft.llm.Similarity.trainPQ(
+      corpus.toDF("vec_id", "embedding"), m = 4, ksub = 8)
+    val fresh = (100 until 110).map(i =>
+        (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val stream = input.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        graft.llm.Similarity.pqCodes(col("embedding"), books).as("codes"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("t_pq").start()
+    try { input.addData(fresh: _*); q.processAllAvailable() } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) -> r.getSeq[Int](1)
+    val streamed = spark.table("t_pq").collect().map(key).toMap
+    val batch = fresh.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        graft.llm.Similarity.pqCodes(col("embedding"), books).as("codes"))
+      .collect().map(key).toMap
+    assert(streamed == batch && streamed.size == 10)
+  }
+
   test("meanPool over micro-batches via foreachBatch (== batch per frame)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
