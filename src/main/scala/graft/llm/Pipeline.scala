@@ -33,8 +33,19 @@ object Pipeline {
     * reruns, engines, and partitionings, unlike rand()), and map-only: the
     * filter pushes into the scan pipeline with no shuffle and no RNG
     * state. This is how a 100 TB corpus cuts a stable dev subsample. */
-  def hashSample(df: DataFrame, key: Column, hexCeil: String): DataFrame =
+  def hashSample(df: DataFrame, key: Column, hexCeil: String): DataFrame = {
+    requireHexCeil(hexCeil)
     df.filter(substring(md5(key), 1, hexCeil.length) < hexCeil)
+  }
+
+  /** md5() emits LOWERCASE hex; an uppercase or non-hex ceiling compares
+    * lexicographically wrong and silently skews the rate toward 0 — fail
+    * loudly instead, with the same strictness as the dialect's `sample`
+    * verb (the API and text surfaces share one contract). */
+  private def requireHexCeil(hexCeil: String): Unit =
+    require(hexCeil.nonEmpty &&
+        hexCeil.forall(c => c.isDigit || ('a' <= c && c <= 'f')),
+      s"hex ceiling must be non-empty lowercase hex [0-9a-f], got '$hexCeil'")
 
   /** Deterministic CORPUS MIXING — the dataset-assembly step between
     * cleaning and packing: each source contributes a [[hashSample]] at
@@ -220,6 +231,7 @@ object Pipeline {
   def stratifiedSample(df: DataFrame, strata: Column, key: Column,
                        rates: Seq[(String, String)]): DataFrame = {
     require(rates.nonEmpty, "stratifiedSample needs at least one stratum rate")
+    rates.foreach { case (_, hexCeil) => requireHexCeil(hexCeil) }
     val keep = rates.foldRight(lit(false)) { case ((stratum, hexCeil), acc) =>
       when(strata === stratum,
         substring(md5(key), 1, hexCeil.length) < hexCeil).otherwise(acc)

@@ -288,7 +288,10 @@ object Similarity {
                      iters: Int = 1): Array[Array[Double]] = {
     import graft.ops.Caches
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val (cand, own) = Caches.acquire(candidates)
+    val (acq, own) = Caches.acquire(candidates)
+    // NULL embeddings carry no geometry — excluded from seeding and the
+    // Lloyd means, same contract as trainPQ/perTableSketches
+    val cand = acq.filter(col(vecCol).isNotNull)
     val seedRows = cand
       .select(col(idCol).cast("long").as("__sid"), col(vecCol).as("__v"))
       .orderBy(xxhash64(col("__sid")), col("__sid"))
@@ -314,7 +317,7 @@ object Similarity {
       means.foreach { r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) }
       next
     }
-    if (own) cand.unpersist(false)
+    if (own) acq.unpersist(false)
     refined
   }
 
@@ -404,7 +407,11 @@ object Similarity {
     import graft.ops.Caches
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(m >= 1 && ksub >= 2, s"need m >= 1 and ksub >= 2, got m=$m ksub=$ksub")
-    val (cand, own) = Caches.acquire(candidates)
+    val (acq, own) = Caches.acquire(candidates)
+    // NULL embeddings carry no geometry: they can neither seed a codebook
+    // (getSeq on null NPEs) nor contribute to a subspace mean — excluded
+    // here exactly as perTableSketches excludes them from LSH indexes.
+    val cand = acq.filter(col(vecCol).isNotNull)
     val dim = cand.select(size(col(vecCol))).first().getInt(0)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
@@ -435,7 +442,7 @@ object Similarity {
       }
       books = next
     }
-    if (own) cand.unpersist(false)
+    if (own) acq.unpersist(false)
     books
   }
 
@@ -476,9 +483,12 @@ object Similarity {
     * column never rides the scan).
     *
     * A query's exact replica always survives the prefilter: its codes
-    * minimize every lut row, so its ADC is the global minimum. NULL
-    * handling, determinism, and tie rules follow [[bruteForceTopK]]
-    * (round-6dp cosine, id tie-break). */
+    * minimize every lut row, so its ADC is the global minimum.
+    * Determinism and tie rules follow [[bruteForceTopK]] (round-6dp
+    * cosine, id tie-break); NULL-embedding candidates are EXCLUDED from
+    * the coded index (as LSH excludes them from sketches) — brute force
+    * sorts their null sims last, so the two agree whenever k ≤ the
+    * non-null candidate count. */
   def pqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
              m: Int = 8, ksub: Int = 16, rerank: Int = 32,
              idCol: String = "vec_id", vecCol: String = "embedding",
@@ -499,8 +509,12 @@ object Similarity {
     val (cand, own) = Caches.acquire(candidates)
     val books = trainPQ(cand, m, ksub, idCol, vecCol, iters)
     val dsub = books(0)(0).length
-    val coded = cand.select(col(idCol).as("cand_id"),
-      pqCodes(col(vecCol), books).as("__codes"))
+    // NULL embeddings are excluded from the index (as in perTableSketches):
+    // a null vector encodes to non-null codes of nulls, whose NULL __adc
+    // would sort NULLS FIRST into the prefilter's top slots.
+    val coded = cand.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("cand_id"),
+        pqCodes(col(vecCol), books).as("__codes"))
     val q = queries
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("__lut", array(books.indices.map { s =>
@@ -573,8 +587,9 @@ object Similarity {
     val dsub = books(0)(0).length
     val nl = centroids.length
     val np = math.min(nProbe, nl)
-    // the stored index: (cand_id, list_id, m codes) — no float vectors
-    val coded = assignLists(cand, centroids, idCol, vecCol)
+    // the stored index: (cand_id, list_id, m codes) — no float vectors.
+    // NULL embeddings excluded as in pqTopKPlan (null __adc sorts first).
+    val coded = assignLists(cand.filter(col(vecCol).isNotNull), centroids, idCol, vecCol)
       .select(col(idCol).as("cand_id"), col("list_id"),
         pqCodes(col(vecCol), books).as("__codes"))
     val q = queries

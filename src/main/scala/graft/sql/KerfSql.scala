@@ -574,6 +574,16 @@ object KerfSql {
       case v if v.equalsIgnoreCase("nan") => T(lit(Double.NaN), DoubleType)
       case v if v.equalsIgnoreCase("null") || v.equalsIgnoreCase("nil") =>
         T(lit(null), NullType)
+      // `root` completes RESERVED_NAME_NAMES {nil,null,root,true,false}
+      // (lexer.h:102): the reference's Kerf-Tree root object. Reserved
+      // here too (a column named root does NOT resolve — same global
+      // shadowing as the other reserved names), but the workspace is
+      // directory-backed (Folio.workspaceSave/load), so there is no
+      // in-language tree object to return — explicit error, not a column.
+      case v if v.equalsIgnoreCase("root") =>
+        throw new IllegalArgumentException(
+          "'root' is reserved (the reference's Kerf-Tree root, lexer.h:102); " +
+          "workspaces are directory-backed here — use workspace save/load")
       case fn if adverbNames(fn.toLowerCase) && p.peekIs("(") => // call-form adverb
         p.pop()
         val f = parseFun(p, env)
@@ -1231,9 +1241,11 @@ object KerfSql {
     * tier saves here as `_PROGRAM.json` in the same directory: each
     * variable as its evaluated driver value with a type tag (variables
     * are eager literals — REPL semantics — so the value IS the state),
-    * each `def` as its parameter list + body token stream (re-parsed on
-    * load against the restored environment, the same def-time-snapshot
-    * scoping a freshly typed def gets). */
+    * each `def` as its parameter list + body token stream. On load every
+    * def is rebound against the COMPLETE restored def set (fixpoint
+    * rebind in [[loadProgram]]) — a superset of live def-time-snapshot
+    * scoping, so anything that resolved before the save still resolves
+    * after, regardless of name-sort order in the file. */
   final class Interp(spark: SparkSession) {
     private val vars = scala.collection.mutable.Map[String, T]()
     private val funcs = scala.collection.mutable.Map[String, FVal]()
@@ -1279,16 +1291,29 @@ object KerfSql {
       val dn = root.get("defs")
       if (dn != null) {
         val it = dn.fields()
+        val parsed = scala.collection.mutable.ListBuffer[(String, Seq[String], List[String])]()
         while (it.hasNext) {
           val e = it.next()
           val params = scala.jdk.CollectionConverters.IteratorHasAsScala(
             e.getValue.get("params").elements()).asScala.map(_.asText()).toSeq
           val body = scala.jdk.CollectionConverters.IteratorHasAsScala(
             e.getValue.get("body").elements()).asScala.map(_.asText()).toList
-          // defs load in saved (sorted) order; each sees vars + the defs
-          // restored before it — the same snapshot scoping `def` gets
-          funcs(e.getKey) = Lambda(params, body, new Env(None, vars.toMap, funcs.toMap))
+          parsed += ((e.getKey, params, body))
         }
+        // saveProgram writes defs name-sorted, not definition-ordered (the
+        // live order isn't tracked), so one-pass restore would break any
+        // def calling a later-sorted name that was defined EARLIER live.
+        // Rebind to a fixpoint instead: each pass binds every Lambda to an
+        // Env holding the previous pass's Lambdas, so pass k resolves call
+        // chains of depth k among loaded defs. parsed.size passes cover
+        // any chain a live session could build (live scoping is a DAG over
+        // definition time — no self/mutual recursion to chase further).
+        var snap: Map[String, FVal] = funcs.toMap
+        for (_ <- 0 to parsed.size) {
+          val env = new Env(None, vars.toMap, snap)
+          snap = funcs.toMap ++ parsed.map { case (n, p, b) => n -> Lambda(p, b, env) }
+        }
+        parsed.foreach { case (n, _, _) => funcs(n) = snap(n) }
       }
     }
 

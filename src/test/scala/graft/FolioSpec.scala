@@ -189,4 +189,21 @@ class FolioSpec extends SparkSpec {
     Folio.workspaceLoad(spark, dir2, untouched)
     intercept[Exception] { untouched.run("k") }
   }
+
+  test("program restore resolves defs regardless of name-sort order (fixpoint rebind)") {
+    val dir = tmp()
+    val sess = new graft.sql.KerfSql.Interp(spark)
+    // callee names sort AFTER their callers (z > b > a) while definition
+    // order is callee-first — legal live, but a one-pass name-sorted
+    // restore bound a to an Env without b/z and failed after round-trip
+    sess.run("def z(x) { x + 1 }")
+    sess.run("def b(x) { z(x) * 2 }")
+    sess.run("def a(x) { b(x) + 10 }")
+    assert(sess.run("a(5)").collect()(0).get(0) == 22L)
+    Folio.workspaceSave(Map("nation" -> Tables.nation(spark, sf)), dir, sess)
+    val restored = new graft.sql.KerfSql.Interp(spark)
+    Folio.workspaceLoad(spark, dir, restored)
+    assert(restored.run("a(5)").collect()(0).get(0) == 22L,
+      "restored def chain a→b→z must resolve after name-sorted save")
+  }
 }

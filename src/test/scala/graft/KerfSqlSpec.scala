@@ -827,6 +827,12 @@ class KerfSqlSpec extends SparkSpec {
     // reserved case-insensitively, like the reference's reserved_lookup
     assert(one("TRUE").getBoolean(0))
     assert(one("Inf").getDouble(0).isPosInfinity)
+    // `root` completes RESERVED_NAME_NAMES: reserved globally (it never
+    // resolves as a column), erroring because workspaces are
+    // directory-backed here rather than an in-language tree object
+    val e = intercept[IllegalArgumentException] { one("root") }
+    assert(e.getMessage.contains("reserved"))
+    intercept[IllegalArgumentException] { one("ROOT") }
   }
 
   test("sample/shard verbs == Pipeline column forms; assignment registers a view") {

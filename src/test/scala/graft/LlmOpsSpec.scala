@@ -278,6 +278,37 @@ class LlmOpsSpec extends SparkSpec {
       s"IVF-PQ top-k != brute-force golden:\n  ivfpq=$ivfpq\n  bf=$exact")
   }
 
+  test("PQ and IVF-PQ exclude NULL-embedding candidates from the coded index") {
+    // 100 real vectors + 100 NULL embeddings, rerank=50: before the null
+    // exclusion, every null candidate encoded to codes-of-nulls whose NULL
+    // __adc sorted NULLS FIRST — all 50 prefilter slots went to null rows
+    // and the output degenerated to null sims. Post-fix both tiers must
+    // equal the brute-force golden over the non-null candidates.
+    val rnd = new scala.util.Random(29)
+    def jitter(center: Array[Float]): Seq[Float] =
+      center.map(c => c + (rnd.nextFloat() - 0.5f) * 0.1f).toSeq
+    val ca = Array.fill(16)(0f); ca(0) = 1f
+    val cb = Array.fill(16)(0f); cb(8) = 1f
+    val vecs = ((0 until 50).map(i => (i.toLong, Option(jitter(ca)))) ++
+                (50 until 100).map(i => (i.toLong, Option(jitter(cb)))) ++
+                (100 until 200).map(i => (i.toLong, Option.empty[Seq[Float]])))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0)
+    val exact = Similarity.bruteForceTopK(
+        q, vecs.filter(col("embedding").isNotNull), 5).orderBy("rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val pq = Similarity.pqTopK(q, vecs, 5, m = 8, ksub = 16, rerank = 50)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(pq == exact, s"PQ with null candidates != golden:\n  pq=$pq\n  bf=$exact")
+    val ivfpq = Similarity.ivfPqTopK(q, vecs, 5, nLists = 4, nProbe = 3,
+        m = 8, ksub = 16, rerank = 50)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(ivfpq == exact,
+      s"IVF-PQ with null candidates != golden:\n  ivfpq=$ivfpq\n  bf=$exact")
+  }
+
   test("IVF ANN works on sparse non-zero-based ids (no density assumption)") {
     // ids are hashed-style: start high, stride 7 — the round-2 seeder
     // (filter(id < nLists)) would find zero seeds here and abort

@@ -32,6 +32,22 @@ class PipelineSpec extends SparkSpec {
     assert(a.size > n * 0.08 && a.size < n * 0.25, s"~16% expected, got ${a.size}/$n")
   }
 
+  test("hashSample/stratifiedSample reject non-lowercase-hex ceilings loudly") {
+    // md5() emits lowercase hex; 'C0' compared lexicographically against it
+    // silently skewed the rate to ~0 — the API must be as strict as the
+    // dialect's sample verb
+    val docs = Tables.documents(spark, sf)
+    val key = col("doc_id").cast("string")
+    intercept[IllegalArgumentException] { Pipeline.hashSample(docs, key, "C0") }
+    intercept[IllegalArgumentException] { Pipeline.hashSample(docs, key, "0x") }
+    intercept[IllegalArgumentException] { Pipeline.hashSample(docs, key, "") }
+    intercept[IllegalArgumentException] {
+      Pipeline.stratifiedSample(docs, col("lang"), key, Seq("en" -> "10", "de" -> "G"))
+    }
+    // lowercase hex still passes through unchanged
+    assert(Pipeline.hashSample(docs, key, "29").count() > 0)
+  }
+
   test("packChunks: chunk = start-offset window; per-stream independent") {
     // tokens: 3, 4, 2, 5 → starts 0, 3, 7, 9 → ctx=5 chunks 0, 0, 1, 1
     val docs = Seq(
