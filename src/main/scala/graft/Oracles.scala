@@ -873,6 +873,14 @@ object Oracles {
                 vec_id + 20000000 AS cand_id, CAST(1.0 AS DOUBLE) AS sim
          FROM embeddings WHERE vec_id < 5 ORDER BY q_id""",
 
+    // q118: the general enumerated grouping form — DuckDB's GROUPING
+    // SETS recomputes the identical three-set union
+    "q118_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
     "q28_sim_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
               c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM embeddings),

@@ -1961,6 +1961,22 @@ object Queries {
       .orderBy(col("q_id"))
   }
 
+  /** GROUPING SETS — the general enumerated grouping form (rollup and
+    * cube are its two shorthands, SURVEY §2.4): per (flag, status), per
+    * flag, and the grand total in ONE pass over the input (the same
+    * Expand-based physical plan as rollup/cube — the table is scanned
+    * once, not once per set). Exercised through the text dialect's
+    * `group sets ((a, b), (a), ())` clause, which lowers to
+    * Dataset.groupingSets; KerfSqlSpec pins dialect == direct API. */
+  val q118_grouping_sets: Q = (s, dir) => {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v118")
+    sql.KerfSql.run(s,
+      "select l_returnflag, l_linestatus, sum(l_quantity) as sum_qty, " +
+      "count(*) as n from lineitem_v118 " +
+      "group sets ((l_returnflag, l_linestatus), (l_returnflag), ()) " +
+      "order l_returnflag, l_linestatus")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2079,5 +2095,6 @@ object Queries {
     "q113_dedup_keepbest" -> q113_dedup_keepbest,
     "q114_ann_pq"        -> q114_ann_pq,
     "q115_ann_ivfpq"     -> q115_ann_ivfpq,
+    "q118_grouping_sets" -> q118_grouping_sets,
   )
 }

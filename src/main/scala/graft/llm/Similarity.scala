@@ -349,6 +349,17 @@ object Similarity {
               nLists: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
               iters: Int = 1): DataFrame = {
+    val (out, caches) = ivfTopKPlan(queries, candidates, k, nLists, nProbe,
+      idCol, vecCol, iters)
+    graft.ops.Caches.seal(out, caches: _*)
+  }
+
+  /** The lazy plan behind [[ivfTopK]] — exposed for plan-shape tests
+    * (see [[pqTopKPlan]]). */
+  private[graft] def ivfTopKPlan(queries: DataFrame, candidates: DataFrame, k: Int,
+              nLists: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              iters: Int = 1): (DataFrame, Seq[DataFrame]) = {
     import graft.ops.Caches
     // one cache spans all three candidate passes (seed take, Lloyd means,
     // probe join); released once the — tiny — top-k result materializes
@@ -380,7 +391,7 @@ object Similarity {
     val res = cands.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("cand_id"), col("sim"))
-    Caches.seal(res, (if (own) Seq(cand) else Nil): _*)
+    (res, if (own) Seq(cand) else Nil)
   }
 
   // ----- Product quantization (PQ) — the extreme-compression ANN tier -----

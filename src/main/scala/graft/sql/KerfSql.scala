@@ -1636,8 +1636,12 @@ object KerfSql {
     // (Kerf groups by computed keys: time buckets, mod classes, …);
     // `group rollup (a, b)` / `group cube (a, b)` switch the grouping to
     // the hierarchical/multidimensional forms (lowered to Dataset
-    // .rollup/.cube — same oracled engines paths as q17/q40)
+    // .rollup/.cube — same oracled engines paths as q17/q40);
+    // `group sets ((a, b), (a), ())` is the general enumerated form —
+    // rollup/cube are its two shorthands — lowered to
+    // Dataset.groupingSets (one pass, same Expand-based physical plan)
     var groupMode = "group"
+    var groupSetCols: Seq[Seq[Column]] = Nil
     val groupItems = segParser("group").map { gp =>
       if (gp.peek.exists(t => t.equalsIgnoreCase("rollup") || t.equalsIgnoreCase("cube"))
           && gp.peek2.contains("(")) {
@@ -1646,6 +1650,30 @@ object KerfSql {
         val its = parseExprList(gp, env)(false)
         gp.expect(")")
         finish(gp, "group"); its
+      } else if (gp.peek.exists(_.equalsIgnoreCase("sets")) &&
+                 gp.peek2.contains("(")) {
+        groupMode = "sets"
+        gp.pop(); gp.expect("(")
+        val sets = scala.collection.mutable.ArrayBuffer[Seq[Item]]()
+        var more = true
+        while (more) {
+          gp.expect("(")
+          val its = if (gp.peekIs(")")) Nil
+                    else parseExprList(gp, env)(gp.peekIs(")"))
+          gp.expect(")")
+          sets += its
+          if (gp.peekIs(",")) gp.pop() else more = false
+        }
+        gp.expect(")")
+        finish(gp, "group")
+        // grouped output columns = first-appearance union across sets;
+        // each set reuses the UNION's Column instance so the analyzer
+        // matches set members to grouping columns exactly
+        val seen = scala.collection.mutable.LinkedHashMap[List[String], Item]()
+        sets.flatten.foreach(i =>
+          if (!seen.contains(i.srcToks)) seen(i.srcToks) = i)
+        groupSetCols = sets.toSeq.map(_.map(i => seen(i.srcToks).col))
+        seen.values.toSeq
       } else {
         val its = parseExprList(gp, env)(false); finish(gp, "group"); its
       }
@@ -1672,8 +1700,8 @@ object KerfSql {
       // results, so reject it the way the aggregate mix is rejected
       require(groupMode == "group",
         s"window verbs (sums/deltas/…) cannot combine with `group $groupMode`: " +
-        "rollup/cube are aggregations, the windowed select's `group` is a " +
-        "PARTITION BY — split into two selects")
+        "rollup/cube/sets are aggregations, the windowed select's `group` is " +
+        "a PARTITION BY — split into two selects")
       import org.apache.spark.sql.expressions.Window
       val orderCols = segParser("order").map { op =>
         val c = parseOrderCols(op); finish(op, "order"); c
@@ -1700,6 +1728,7 @@ object KerfSql {
           val grouped = groupMode match {
             case "rollup" => df.rollup(groupItems.map(_.col): _*)
             case "cube"   => df.cube(groupItems.map(_.col): _*)
+            case "sets"   => df.groupingSets(groupSetCols, groupItems.map(_.col): _*)
             case _        => df.groupBy(groupItems.map(_.col): _*)
           }
           grouped.agg(aggs.head.col, aggs.tail.map(_.col): _*)

@@ -44,6 +44,29 @@ class KerfSqlSpec extends SparkSpec {
     assert(gotC.count() > gotR.count())
   }
 
+  test("group sets lowers to Dataset.groupingSets (dialect == direct API)") {
+    init
+    val got = KerfSql.run(spark,
+      "select l_returnflag, l_linestatus, sum(l_quantity) as sq, count(*) as n " +
+      "from lineitem_v " +
+      "group sets ((l_returnflag, l_linestatus), (l_returnflag), ()) " +
+      "order l_returnflag, l_linestatus")
+    val want = Tables.lineitem(spark, sf)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum("l_quantity").as("sq"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    assert(got.collect().toSeq == want.collect().toSeq)
+    // rollup (a, b) IS sets ((a,b),(a),()) — the shorthand equivalence
+    val wantR = KerfSql.run(spark,
+      "select l_returnflag, l_linestatus, sum(l_quantity) as sq, count(*) as n " +
+      "from lineitem_v group rollup (l_returnflag, l_linestatus) " +
+      "order l_returnflag, l_linestatus")
+    assert(got.collect().toSeq == wantR.collect().toSeq)
+  }
+
   test("group rollup/cube rejects window verbs (no silent PARTITION BY downgrade)") {
     init
     val e = intercept[IllegalArgumentException] {

@@ -243,6 +243,30 @@ class PlanSpec extends SparkSpec {
       s"census count not map-side combined:\n$p")
   }
 
+  test("topK tiers: row_number<=k rewrites to WindowGroupLimit partial limits") {
+    // the 100 TB re-rank property: each per-q_id top-k window must run a
+    // PARTIAL (map-side) group limit before its shuffle, so the exchange
+    // carries ~k·tasks candidate rows per query instead of every scored
+    // candidate — the same Spark 4 rank-limit pushdown pinned for q112
+    val emb = Tables.fanOut(Tables.embeddings(spark, sf))
+    val qs = emb.filter(col("vec_id") < 3)
+    def pin(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("WindowGroupLimit"),
+        s"$name: rank filter not rewritten to WindowGroupLimit:\n$p")
+      assert("WindowGroupLimit.*Partial|Partial.*WindowGroupLimit".r
+        .findFirstIn(p.replaceAll("\n", " ")).isDefined,
+        s"$name: no PARTIAL (map-side) group limit:\n$p")
+    }
+    pin("bruteForceTopK", llm.Similarity.bruteForceTopK(qs, emb, 3))
+    val (dfIvf, cIvf) = llm.Similarity.ivfTopKPlan(qs, emb, 3)
+    pin("ivfTopK", dfIvf); cIvf.foreach(_.unpersist(true))
+    val (dfPq, cPq) = llm.Similarity.pqTopKPlan(qs, emb, 3)
+    pin("pqTopK", dfPq); cPq.foreach(_.unpersist(true))
+    val (dfIvfPq, cIvfPq) = llm.Similarity.ivfPqTopKPlan(qs, emb, 3)
+    pin("ivfPqTopK", dfIvfPq); cIvfPq.foreach(_.unpersist(true))
+  }
+
   test("entry: flagship plan reads only needed columns") {
     val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     assert(p.contains("ReadSchema"), "no schema info in scan")
