@@ -34,16 +34,36 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** events.parquet stores ts as timestamp[ns] (Kerf STAMP_DATETIME,
-    * /root/reference/enums.h:166). With `nanosAsLong` the raw read yields
-    * a LongType `ts`; we expose BOTH:
-    *   - `ts_ns`: exact nanosecond long (full Kerf fidelity),
+  /** Normalize an events frame to the engine's dual-column convention —
+    * every downstream query/stream sees BOTH:
+    *   - `ts_ns`: exact nanosecond long (full Kerf STAMP fidelity,
+    *     /root/reference/enums.h:166),
     *   - `ts`:    µs TimestampType (for date_trunc/window built-ins).
+    * Schema-adaptive because the fixture has shipped both ways: a
+    * ns-annotated int64 (read as LongType under `nanosAsLong`) and a
+    * plain timestamp[µs]. Dispatch is on the STATIC read schema, so the
+    * chosen branch is a plan-time projection — zero per-row cost.
     */
+  def normalizeEvents(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+          // NB: integer `div`, not `/` — ns epochs (~1.7e18) overflow double's
+          // 53-bit mantissa, so float division silently corrupts the low µs.
+      case TimestampType | TimestampNTZType =>
+        // NTZ → session-tz timestamp is the IDENTITY on the stored µs value
+        // under the engine's pinned UTC session (Engine.scala), and keeps
+        // every downstream comparison against timestamp_micros()/
+        // unix_timestamp() (both TimestampType) analyzable.
+        df.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(s"events.ts has unsupported type $other")
+    }
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-      // NB: integer `div`, not `/` — ns epochs (~1.7e18) overflow double's
-      // 53-bit mantissa, so float division silently corrupts the low µs.
+    normalizeEvents(load(spark, dir, "events"))
 }

@@ -922,10 +922,14 @@ object KerfSql {
     case _ => to
   }
 
-  /** A select/group-list entry: the Column, its source tokens and alias
-    * (used to drop group items from the agg list — groupBy().agg()
-    * auto-includes the keys). */
-  private case class Item(col: Column, srcToks: List[String], alias: String)
+  /** A select/group-list entry: the aliased Column, its source tokens and
+    * alias (used to drop group items from the agg list — groupBy().agg()
+    * auto-includes the keys), plus the UNALIASED column (`raw`) for call
+    * sites where an Alias wrapper breaks analyzer matching — Dataset
+    * .groupingSets matches set members to grouping columns structurally,
+    * and an Alias on either side makes every key resolve to NULL. */
+  private case class Item(col: Column, srcToks: List[String], alias: String,
+                          raw: Column)
 
   private def parseSelectItem(p: P, env: Env): Item = {
     val start = p.toks
@@ -934,7 +938,7 @@ object KerfSql {
     val alias =
       if (p.peekIs("as")) { p.pop(); p.pop() }
       else src.mkString("_").replaceAll("[^A-Za-z0-9_]", "_")
-    Item(e.col.as(alias), src, alias)
+    Item(e.col.as(alias), src, alias, e.col)
   }
 
   private def parseExprList(p: P, env: Env)(stop: => Boolean): Seq[Item] = {
@@ -1657,22 +1661,30 @@ object KerfSql {
         val sets = scala.collection.mutable.ArrayBuffer[Seq[Item]]()
         var more = true
         while (more) {
-          gp.expect("(")
-          val its = if (gp.peekIs(")")) Nil
-                    else parseExprList(gp, env)(gp.peekIs(")"))
-          gp.expect(")")
-          sets += its
+          if (gp.peekIs("(")) {
+            gp.expect("(")
+            val its = if (gp.peekIs(")")) Nil
+                      else parseExprList(gp, env)(gp.peekIs(")"))
+            gp.expect(")")
+            sets += its
+          } else {
+            // standard-SQL shorthand: a bare expression is a one-column set
+            sets += Seq(parseSelectItem(gp, env))
+          }
           if (gp.peekIs(",")) gp.pop() else more = false
         }
         gp.expect(")")
         finish(gp, "group")
         // grouped output columns = first-appearance union across sets;
-        // each set reuses the UNION's Column instance so the analyzer
-        // matches set members to grouping columns exactly
+        // each set reuses the UNION Item's UNALIASED Column — Dataset
+        // .groupingSets matches set members to grouping columns
+        // structurally, and an Alias wrapper on either side defeats the
+        // match (every key comes back NULL). Aliases are re-applied in
+        // the output projection after agg.
         val seen = scala.collection.mutable.LinkedHashMap[List[String], Item]()
         sets.flatten.foreach(i =>
           if (!seen.contains(i.srcToks)) seen(i.srcToks) = i)
-        groupSetCols = sets.toSeq.map(_.map(i => seen(i.srcToks).col))
+        groupSetCols = sets.toSeq.map(_.map(i => seen(i.srcToks).raw))
         seen.values.toSeq
       } else {
         val its = parseExprList(gp, env)(false); finish(gp, "group"); its
@@ -1728,10 +1740,17 @@ object KerfSql {
           val grouped = groupMode match {
             case "rollup" => df.rollup(groupItems.map(_.col): _*)
             case "cube"   => df.cube(groupItems.map(_.col): _*)
-            case "sets"   => df.groupingSets(groupSetCols, groupItems.map(_.col): _*)
+            // unaliased cols on BOTH sides (sets + grouping vararg);
+            // aliases go on in the projection below
+            case "sets"   => df.groupingSets(groupSetCols, groupItems.map(_.raw): _*)
             case _        => df.groupBy(groupItems.map(_.col): _*)
           }
-          grouped.agg(aggs.head.col, aggs.tail.map(_.col): _*)
+          val agged = grouped.agg(aggs.head.col, aggs.tail.map(_.col): _*)
+          // groupingSets output = grouping cols (in vararg order) then
+          // aggregates; rename the key columns to their dialect aliases
+          if (groupMode == "sets")
+            agged.toDF(groupItems.map(_.alias) ++ aggs.map(_.alias): _*)
+          else agged
         }
         else if (items.nonEmpty) df.select(items.map(_.col): _*)
         else df

@@ -17,15 +17,15 @@ object EventStream {
   /** The events parquet as an unbounded stream (file source replays the
     * fixture; in production this is Kafka with the same schema). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    // on-disk schema: `ts` is a ns-long under nanosAsLong
+    // on-disk schema: `ts` has shipped both as a ns-long (nanosAsLong)
+    // and as timestamp[µs] — normalizeEvents adapts either to (ts, ts_ns)
     val onDisk = spark.read.parquet(s"$dir/events.parquet").schema
     // file stream source wants a directory: stream the sf dir, glob to
     // the events file (in production: the events/ partition root or Kafka)
-    spark.readStream.schema(onDisk)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    graft.Tables.normalizeEvents(
+      spark.readStream.schema(onDisk)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Tumbling event-time window aggregation with watermark. Complete

@@ -254,8 +254,10 @@ class PlanSpec extends SparkSpec {
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains("WindowGroupLimit"),
         s"$name: rank filter not rewritten to WindowGroupLimit:\n$p")
-      assert("WindowGroupLimit.*Partial|Partial.*WindowGroupLimit".r
-        .findFirstIn(p.replaceAll("\n", " ")).isDefined,
+      // per-line match so the Partial mode must appear on the
+      // WindowGroupLimit node itself, not anywhere else in the plan
+      assert(p.linesIterator.exists(l =>
+        l.contains("WindowGroupLimit") && l.contains("Partial")),
         s"$name: no PARTIAL (map-side) group limit:\n$p")
     }
     pin("bruteForceTopK", llm.Similarity.bruteForceTopK(qs, emb, 3))
