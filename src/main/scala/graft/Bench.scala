@@ -117,8 +117,13 @@ object Bench {
     }.mkString("{", ",", "}")
     val familyDoc =
       s"""{"passes":${passTotals.mkString("[", ",", "]")},"sf":"$sfDir","queries":$family}"""
+    // A failing query contributes only its fail-fast ms, so a correctness
+    // break would otherwise SHRINK the headline and read as a speedup.
+    // Stamp the headline invalid whenever any query failed: round-over-
+    // round totals are only comparable when the substrate is green.
+    val valid = failures.isEmpty
     val line =
-      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","qunit":"ms","passes":${passTotals.mkString("[", ",", "]")},"queries":$qs,"failures":$fails,$attrSummary,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","qunit":"ms","valid":$valid,"n_failures":${failures.size},"passes":${passTotals.mkString("[", ",", "]")},"queries":$qs,"failures":$fails,$attrSummary,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_ATTRIBUTION.json"),
       (perQuery + "\n").getBytes("UTF-8"))
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FAMILY.json"),

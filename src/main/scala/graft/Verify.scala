@@ -8,6 +8,9 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     val only = args.drop(2).toSet // optional query-name filter for iteration
     val spark = Engine.session()
+    // preflight: one loud named failure on fixture schema drift, instead
+    // of 27 scattered per-query analysis errors (round-9 lesson)
+    FixtureCanary.check(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
