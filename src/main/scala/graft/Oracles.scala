@@ -881,6 +881,18 @@ object Oracles {
          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
 
+    // q119: socket-federated folio — the local-site + remote-site split of
+    // customer must be semantically invisible, so the oracle aggregates
+    // the undivided table
+    "q119_remote_folio" ->
+      """SELECT c_mktsegment,
+                count(*) AS n,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+         FROM customer
+         WHERE c_acctbal > 0
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment""",
+
     "q28_sim_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
               c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM embeddings),

@@ -1977,6 +1977,33 @@ object Queries {
       "order l_returnflag, l_linestatus")
   }
 
+  /** Folio of REMOTE tables over a live socket (presented.h:427–430 "a
+    * list of socket-mapped objects inside a FOLIO … executes queries
+    * remotely") — the full federation path, not the local-dirs
+    * approximation of q78: customer splits into a local site and a site
+    * served by a [[graft.sources.RemoteTableServer]]; federatedRead mixes
+    * the native parquet scan with the DSv2 socket client. The remote site
+    * executes projection (only 3 of 5 columns decoded) and the acctbal
+    * filter over the wire; the client re-verifies (conservative 3VL).
+    * Oracle computes the same answer from the undivided table —
+    * socket federation must be semantically invisible. */
+  val q119_remote_folio: Q = (s, dir) => {
+    val base = Scratch.dir(s, "remote", new java.io.File(dir).getName)
+    val cust = Tables.customer(s, dir)
+    cust.filter(col("c_custkey") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$base/site_a")
+    cust.filter(col("c_custkey") % 2 =!= 0)
+      .write.mode("overwrite").parquet(s"$base/site_b")
+    val srv = sources.RemoteTableServer.sharedFor(s, "site_b", s"$base/site_b")
+    io.Folio.federatedRead(s,
+        Seq(s"$base/site_a", s"remote://127.0.0.1:${srv.port}/site_b"))
+      .filter(col("c_acctbal") > 0)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+           sum(dec(col("c_acctbal"))).cast("double").as("bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2096,5 +2123,6 @@ object Queries {
     "q114_ann_pq"        -> q114_ann_pq,
     "q115_ann_ivfpq"     -> q115_ann_ivfpq,
     "q118_grouping_sets" -> q118_grouping_sets,
+    "q119_remote_folio"  -> q119_remote_folio,
   )
 }

@@ -199,6 +199,17 @@ object Folio {
 
   // ----- folio of remote tables (presented.h:427–430; SURVEY §1.7) -----
 
+  private val RemoteLoc = "remote://([^/:]+):(\\d+)/(.+)".r
+
+  /** One folio site: a local/promoted parquet location, or a
+    * `remote://host:port/table` socket endpoint. */
+  private def readSite(spark: SparkSession, loc: String): DataFrame = loc match {
+    case RemoteLoc(host, port, table) =>
+      spark.read.format("graft.sources.RemoteFolioSource")
+        .option("endpoint", s"$host:$port").option("table", table).load()
+    case _ => promotedRead(spark, loc)
+  }
+
   /** Folio of REMOTE tables — the reference's federation vehicle ("a list
     * of socket-mapped objects inside a FOLIO … executes queries remotely",
     * one thread per socket-obj): N independently-written table locations
@@ -225,11 +236,19 @@ object Folio {
     * match — a missing column is an error, not a silent null fill.
     *
     * `siteColumn` adds provenance (which site a row came from) — the
-    * folio-child identity the reference keeps implicitly by position. */
+    * folio-child identity the reference keeps implicitly by position.
+    *
+    * A location of the form `remote://host:port/table` is a TRULY remote
+    * site — a [[graft.sources.RemoteTableServer]] endpoint reached over
+    * its socket protocol (the literal "socket-mapped object" of
+    * presented.h:427). Remote sites keep per-fragment parallelism and
+    * push projection + filters over the wire (see RemoteFolioSource);
+    * local sites keep the native vectorized scan. The two mix freely in
+    * one folio. */
   def federatedRead(spark: SparkSession, locations: Seq[String],
                     siteColumn: Option[String] = None): DataFrame = {
     require(locations.nonEmpty, "federated folio needs at least one location")
-    val sites = locations.map(l => promotedRead(spark, l))
+    val sites = locations.map(l => readSite(spark, l))
     val names = sites.head.schema.map(_.name)
     sites.zip(locations).foreach { case (s, loc) =>
       val got = s.schema.map(_.name).toSet

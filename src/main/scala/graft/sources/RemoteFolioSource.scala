@@ -1,0 +1,370 @@
+package graft.sources
+
+import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
+import java.net.Socket
+import java.nio.charset.StandardCharsets
+import java.util
+
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DSv2 client for [[RemoteTableServer]] — the folio-of-remote-tables
+  * member (/root/reference/presented.h:427–430) as a first-class Spark
+  * table:
+  *
+  *   spark.read.format("graft.sources.RemoteFolioSource")
+  *     .option("endpoint", "127.0.0.1:9099").option("table", "trades")
+  *     .load()
+  *
+  * (or via [[graft.io.Folio.federatedRead]] with a `remote://host:port/
+  * table` location, mixing remote sites into a local folio).
+  *
+  * Scale shape: `plan` returns the site's fragment list and the scan
+  * plans ONE InputPartition per fragment — reader parallelism equals
+  * remote file parallelism, each executor task holding one socket. The
+  * scan pushes the required column set (remote parquet projection) and
+  * every serializable filter over the wire; pushed filters are ALSO kept
+  * as Spark-side residuals, so the remote evaluation only ever REDUCES
+  * wire bytes — three-valued-logic corner cases (nulls, type edges)
+  * cannot change results. `.explain` shows both prunings the usual way
+  * (ReadSchema / PushedFilters).
+  */
+class RemoteFolioSource extends TableProvider with DataSourceRegister {
+  import RemoteFolioSource._
+
+  override def shortName(): String = "remotetable"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (host, port, table) = endpointOf(options)
+    StructType.fromDDL(plan(host, port, table).schemaDdl)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val (host, port, table) = endpointOf(opts)
+    new RemoteFolioTable(host, port, table, schema)
+  }
+}
+
+object RemoteFolioSource {
+  final case class PlanInfo(schemaDdl: String, fragments: Seq[String])
+
+  private[sources] def endpointOf(options: CaseInsensitiveStringMap): (String, Int, String) = {
+    val ep = options.get("endpoint")
+    val table = options.get("table")
+    require(ep != null && ep.contains(":"),
+      "remotetable requires option 'endpoint' as host:port")
+    require(table != null && table.nonEmpty, "remotetable requires option 'table'")
+    val Array(host, port) = ep.split(":", 2)
+    (host, port.toInt, table)
+  }
+
+  /** One plan round-trip: schema DDL + live fragment list. */
+  def plan(host: String, port: Int, table: String): PlanInfo = {
+    val sock = new Socket(host, port)
+    try {
+      val out = new BufferedWriter(
+        new OutputStreamWriter(sock.getOutputStream, StandardCharsets.UTF_8))
+      val in = new BufferedReader(
+        new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+      val m = new ObjectMapper()
+      val req = m.createObjectNode()
+      req.put("op", "plan"); req.put("table", table)
+      out.write(req.toString); out.newLine(); out.flush()
+      val resp = m.readTree(in.readLine())
+      if (resp == null || resp.has("error"))
+        throw new java.io.IOException(
+          s"remote plan failed: ${Option(resp).map(_.path("error").asText()).getOrElse("connection closed")}")
+      val frags = {
+        val it = resp.path("fragments").elements()
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next().asText()
+        b.result()
+      }
+      PlanInfo(resp.path("schema").asText(), frags)
+    } finally sock.close()
+  }
+}
+
+final class RemoteFolioTable(host: String, port: Int, tableName: String,
+                             tableSchema: StructType) extends Table with SupportsRead {
+  override def name(): String = s"remote://$host:$port/$tableName"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RemoteScanBuilder(host, port, tableName, tableSchema)
+}
+
+final class RemoteScanBuilder(host: String, port: Int, table: String,
+                              full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Keep EVERYTHING as residual: the remote evaluation is conservative
+    * (drops only definitely-false rows), Spark re-verifies the rest. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => RemoteFilters.toJson(f).isDefined)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new RemoteScan(host, port, table, required,
+      pushed.flatMap(f => RemoteFilters.toJson(f)).map(_.toString))
+}
+
+final class RemoteScan(host: String, port: Int, table: String,
+                       required: StructType, filterJson: Array[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"RemoteScan remote://$host:$port/$table cols=[${required.fieldNames.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    RemoteFolioSource.plan(host, port, table).fragments
+      .map(f => RemoteFragment(f): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RemoteReaderFactory(host, port, table, required, filterJson)
+}
+
+final case class RemoteFragment(fragment: String) extends InputPartition
+
+final class RemoteReaderFactory(host: String, port: Int, table: String,
+                                schema: StructType, filterJson: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new RemoteRowReader(host, port, table,
+      p.asInstanceOf[RemoteFragment].fragment, schema, filterJson)
+}
+
+/** One socket per fragment; rows stream as JSON lines and convert
+  * straight to InternalRow (no Row intermediary). */
+final class RemoteRowReader(host: String, port: Int, table: String,
+                            fragment: String, schema: StructType,
+                            filterJson: Array[String])
+    extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private val socket = new Socket(host, port)
+  private val in = new BufferedReader(
+    new InputStreamReader(socket.getInputStream, StandardCharsets.UTF_8))
+  locally {
+    val out = new BufferedWriter(
+      new OutputStreamWriter(socket.getOutputStream, StandardCharsets.UTF_8))
+    val req = mapper.createObjectNode()
+    req.put("op", "scan"); req.put("table", table); req.put("fragment", fragment)
+    val cols = req.putArray("columns")
+    schema.fieldNames.foreach(cols.add)
+    val fs = req.putArray("filters")
+    filterJson.foreach(j => fs.add(mapper.readTree(j)))
+    out.write(req.toString); out.newLine(); out.flush()
+  }
+
+  private val types: Array[DataType] = schema.fields.map(_.dataType)
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    val line = in.readLine()
+    if (line == null)
+      throw new java.io.IOException(
+        s"remote server closed the stream mid-scan ($table/$fragment)")
+    val node = mapper.readTree(line)
+    if (node.isObject) {
+      if (node.has("error"))
+        throw new java.io.IOException(
+          s"remote scan failed: ${node.path("error").asText()}")
+      false // {"done":n}
+    } else {
+      val arr = node.asInstanceOf[ArrayNode]
+      val vals = new Array[Any](types.length)
+      var i = 0
+      while (i < types.length) {
+        vals(i) = RemoteCodec.fromJson(arr.get(i), types(i))
+        i += 1
+      }
+      current = new GenericInternalRow(vals)
+      true
+    }
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = socket.close()
+}
+
+/** Symmetric JSON value codec — the server serializes with [[addJson]],
+  * the reader parses with [[fromJson]]; keeping both halves in one object
+  * keeps the wire format honest. Numeric JSON round-trips exactly:
+  * Jackson writes shortest-round-trip decimal forms for double/float and
+  * full precision for longs. */
+object RemoteCodec {
+  def addJson(arr: ArrayNode, v: Any, dt: DataType): Unit =
+    if (v == null) { arr.addNull(); () }
+    else dt match {
+      case LongType                         => arr.add(v.asInstanceOf[Long]); ()
+      case IntegerType | DateType           => arr.add(v.asInstanceOf[Int]); ()
+      case DoubleType                       => arr.add(v.asInstanceOf[Double]); ()
+      case FloatType                        => arr.add(v.asInstanceOf[Float]); ()
+      case BooleanType                      => arr.add(v.asInstanceOf[Boolean]); ()
+      case StringType                       => arr.add(v.asInstanceOf[String]); ()
+      case TimestampType | TimestampNTZType => arr.add(v.asInstanceOf[Long]); ()
+      case ArrayType(et, _) =>
+        val sub = arr.addArray()
+        v.asInstanceOf[Seq[Any]].foreach(e => addJson(sub, e, et))
+      case other => throw new UnsupportedOperationException(s"codec: $other")
+    }
+
+  /** JSON → the Catalyst-internal value for `dt` (UTF8String for strings,
+    * micros Long for timestamps, days Int for dates, GenericArrayData for
+    * arrays). */
+  def fromJson(n: JsonNode, dt: DataType): Any =
+    if (n == null || n.isNull) null
+    else dt match {
+      case LongType                         => n.asLong()
+      case IntegerType | DateType           => n.asInt()
+      case DoubleType                       => n.asDouble()
+      case FloatType                        => n.floatValue()
+      case BooleanType                      => n.asBoolean()
+      case StringType                       => UTF8String.fromString(n.asText())
+      case TimestampType | TimestampNTZType => n.asLong()
+      case ArrayType(et, _) =>
+        val a = n.asInstanceOf[ArrayNode]
+        val out = new Array[Any](a.size())
+        var i = 0
+        while (i < a.size()) { out(i) = fromJson(a.get(i), et); i += 1 }
+        new GenericArrayData(out)
+      case other => throw new UnsupportedOperationException(s"codec: $other")
+    }
+}
+
+/** Wire form + conservative remote evaluation of Spark source filters.
+  *
+  * Only filters whose value is a plain Number/String/Boolean serialize
+  * (dates, timestamps, decimals, nested attributes stay client-side).
+  * Server evaluation follows three-valued logic with UNKNOWN → keep:
+  * a row is dropped only when the predicate is definitely false, which
+  * makes remote filtering a pure optimization under the
+  * keep-all-residuals client. */
+object RemoteFilters {
+
+  private def litJson(m: ObjectMapper, v: Any): Option[JsonNode] = v match {
+    case n: java.lang.Long    => Some(m.getNodeFactory.numberNode(n.longValue()))
+    case n: java.lang.Integer => Some(m.getNodeFactory.numberNode(n.intValue()))
+    case n: java.lang.Short   => Some(m.getNodeFactory.numberNode(n.intValue()))
+    case n: java.lang.Double  => Some(m.getNodeFactory.numberNode(n.doubleValue()))
+    case n: java.lang.Float   => Some(m.getNodeFactory.numberNode(n.doubleValue()))
+    case n: java.math.BigDecimal => Some(m.getNodeFactory.numberNode(n))
+    case s: String            => Some(m.getNodeFactory.textNode(s))
+    case s: UTF8String        => Some(m.getNodeFactory.textNode(s.toString))
+    case b: java.lang.Boolean => Some(m.getNodeFactory.booleanNode(b.booleanValue()))
+    case _                    => None
+  }
+
+  private def simpleCol(name: String): Boolean = !name.contains(".")
+
+  def toJson(f: Filter): Option[ObjectNode] = {
+    val m = new ObjectMapper()
+    def leaf(op: String, col: String, v: Any): Option[ObjectNode] =
+      if (!simpleCol(col)) None
+      else litJson(m, v).map { jn =>
+        val o = m.createObjectNode()
+        o.put("op", op); o.put("col", col); o.set[ObjectNode]("val", jn); o
+      }
+    f match {
+      case EqualTo(c, v)            => leaf("eq", c, v)
+      case GreaterThan(c, v)        => leaf("gt", c, v)
+      case GreaterThanOrEqual(c, v) => leaf("ge", c, v)
+      case LessThan(c, v)           => leaf("lt", c, v)
+      case LessThanOrEqual(c, v)    => leaf("le", c, v)
+      case IsNull(c) if simpleCol(c) =>
+        val o = m.createObjectNode(); o.put("op", "isnull"); o.put("col", c); Some(o)
+      case IsNotNull(c) if simpleCol(c) =>
+        val o = m.createObjectNode(); o.put("op", "isnotnull"); o.put("col", c); Some(o)
+      case In(c, vs) if simpleCol(c) && vs.nonEmpty =>
+        val lits = vs.map(litJson(m, _))
+        if (lits.exists(_.isEmpty)) None
+        else {
+          val o = m.createObjectNode()
+          o.put("op", "in"); o.put("col", c)
+          val a = o.putArray("vals"); lits.flatten.foreach(a.add)
+          Some(o)
+        }
+      case _ => None
+    }
+  }
+
+  /** Server-side predicate. `keeps(v)` answers "may this row satisfy the
+    * filter?" — false only on DEFINITE failure. */
+  sealed trait Pred { def col: String; def keeps(v: Any): Boolean }
+
+  /** None = incomparable/unknown. Numbers compare exactly via BigDecimal
+    * (a double is an exact binary rational — no epsilon games). */
+  private def cmp(row: Any, lit: JsonNode): Option[Int] = row match {
+    case null => None
+    case n: java.lang.Long if lit.isNumber =>
+      Some(java.math.BigDecimal.valueOf(n.longValue()).compareTo(lit.decimalValue()))
+    case n: java.lang.Integer if lit.isNumber =>
+      Some(java.math.BigDecimal.valueOf(n.longValue()).compareTo(lit.decimalValue()))
+    case n: java.lang.Double if lit.isNumber && !n.isNaN =>
+      Some(new java.math.BigDecimal(n.doubleValue()).compareTo(lit.decimalValue()))
+    case n: java.lang.Float if lit.isNumber && !n.isNaN =>
+      Some(new java.math.BigDecimal(n.doubleValue()).compareTo(lit.decimalValue()))
+    case s: String if lit.isTextual => Some(s.compareTo(lit.asText()))
+    case b: java.lang.Boolean if lit.isBoolean =>
+      Some(java.lang.Boolean.compare(b.booleanValue(), lit.asBoolean()))
+    case _ => None
+  }
+
+  private final case class CmpPred(op: String, col: String, lit: JsonNode) extends Pred {
+    def keeps(v: Any): Boolean = cmp(v, lit) match {
+      case None    => true
+      case Some(c) => op match {
+        case "eq" => c == 0
+        case "gt" => c > 0
+        case "ge" => c >= 0
+        case "lt" => c < 0
+        case "le" => c <= 0
+      }
+    }
+  }
+  private final case class NullPred(col: String, wantNull: Boolean) extends Pred {
+    def keeps(v: Any): Boolean = (v == null) == wantNull
+  }
+  private final case class InPred(col: String, lits: Seq[JsonNode]) extends Pred {
+    def keeps(v: Any): Boolean =
+      lits.exists(l => cmp(v, l) match { case None => true; case Some(c) => c == 0 })
+  }
+
+  def fromJson(n: JsonNode): Pred = {
+    val col = n.path("col").asText()
+    n.path("op").asText() match {
+      case op @ ("eq" | "gt" | "ge" | "lt" | "le") => CmpPred(op, col, n.path("val"))
+      case "isnull"    => NullPred(col, wantNull = true)
+      case "isnotnull" => NullPred(col, wantNull = false)
+      case "in" =>
+        val it = n.path("vals").elements()
+        val b = Seq.newBuilder[JsonNode]
+        while (it.hasNext) b += it.next()
+        InPred(col, b.result())
+      case other => throw new IllegalArgumentException(s"unknown filter op '$other'")
+    }
+  }
+}

@@ -1,0 +1,312 @@
+package graft.sources
+
+import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.schema.MessageType
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+/** The remote half of a FEDERATED FOLIO — the reference's "list of
+  * socket-mapped objects inside a FOLIO … executes queries remotely"
+  * (/root/reference/presented.h:427–430), realized as a minimal
+  * arrow-flight-shaped table service over a loopback TCP socket.
+  *
+  * Protocol (newline-delimited JSON, one request per connection):
+  *
+  *   → {"op":"plan","table":T}
+  *   ← {"schema":"<spark DDL>","fragments":["/abs/file1.parquet",…]}
+  *
+  *   → {"op":"scan","table":T,"fragment":F,"columns":[…],"filters":[…]}
+  *   ← one JSON array per row (values in requested-column order)
+  *   ← {"done":<rowCount>}            (or {"error":"…"} at any point)
+  *
+  * The SCALE-RELEVANT contract, mirroring what a real remote site does:
+  *
+  *  - **Fragment = unit of parallelism.** `plan` exposes one fragment per
+  *    parquet file; the client plans one `InputPartition` per fragment, so
+  *    a 1000-executor cluster fans scan connections out across files
+  *    exactly like the folio's per-sublist parallelism (presented.h:393).
+  *  - **Projection executes remotely.** The requested column set is pruned
+  *    into the parquet read schema (`parquet.read.schema`), so unrequested
+  *    columns are never DECODED at the site, let alone shipped.
+  *  - **Filters execute remotely — conservatively.** Pushed predicates are
+  *    evaluated under three-valued logic and a row is dropped only when
+  *    the predicate is DEFINITELY false; anything unknown ships and the
+  *    client re-filters (the client keeps every pushed filter as residual,
+  *    so server filtering is pure wire-byte reduction, never a correctness
+  *    dependency).
+  *  - **Scans never touch Spark.** The site reads its own parquet via
+  *    parquet-java's Group API. This matters in-process: reader tasks
+  *    occupy executor slots while they block on the socket — if serving a
+  *    scan needed a Spark job of its own, a wide remote scan could soak
+  *    every slot with blocked readers and deadlock. Spark is used ONCE,
+  *    at registration, on the driver, to derive the table's Spark schema.
+  *
+  * Fragments are re-listed on every `plan` request (the folio `_CURRENT`
+  * philosophy: the directory, not a frozen listing, is the source of
+  * truth), so a site whose table is overwritten between queries serves
+  * the new files; the schema is pinned at registration and re-validated
+  * lazily only through read errors, matching the reference's
+  * fixed-layout folio members.
+  */
+final class RemoteTableServer private (tables: Map[String, RemoteTableServer.Served]) {
+  import RemoteTableServer._
+
+  private val server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
+  def port: Int = server.getLocalPort
+  def endpoint(table: String): String = {
+    require(tables.contains(table), s"table '$table' not served here")
+    s"remote://127.0.0.1:$port/$table"
+  }
+
+  // observability for specs: bytes don't lie about pushdown
+  val rowsSent = new AtomicLong(0)
+  val scansServed = new AtomicLong(0)
+  val lastScanColumns = new AtomicReference[Seq[String]](Nil)
+
+  @volatile private var running = true
+  locally {
+    val acceptor = new Thread(() => {
+      while (running) {
+        try {
+          val sock = server.accept()
+          val h = new Thread(() => handle(sock), s"remote-table-handler-$port")
+          h.setDaemon(true)
+          h.start()
+        } catch {
+          case _: java.io.IOException => () // closed during stop(), or accept hiccup
+        }
+      }
+    }, s"remote-table-acceptor-$port")
+    acceptor.setDaemon(true)
+    acceptor.start()
+  }
+
+  def stop(): Unit = { running = false; server.close() }
+
+  private def handle(sock: Socket): Unit = {
+    val out = new BufferedWriter(
+      new OutputStreamWriter(sock.getOutputStream, StandardCharsets.UTF_8))
+    val mapper = new ObjectMapper()
+    try {
+      val in = new BufferedReader(
+        new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+      val line = in.readLine()
+      if (line != null) {
+        val req = mapper.readTree(line)
+        req.path("op").asText() match {
+          case "plan" => servePlan(mapper, out, req)
+          case "scan" => serveScan(mapper, out, req)
+          case other  => throw new IllegalArgumentException(s"unknown op '$other'")
+        }
+      }
+      out.flush()
+    } catch {
+      case e: Throwable =>
+        try {
+          val err = mapper.createObjectNode()
+          err.put("error", s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          out.write(err.toString); out.newLine(); out.flush()
+        } catch { case _: Throwable => () }
+    } finally {
+      try sock.close() catch { case _: Throwable => () }
+    }
+  }
+
+  private def servedOf(req: JsonNode): (String, Served) = {
+    val t = req.path("table").asText()
+    (t, tables.getOrElse(t,
+      throw new IllegalArgumentException(
+        s"unknown table '$t' (serving: ${tables.keys.toSeq.sorted.mkString(", ")})")))
+  }
+
+  private def servePlan(m: ObjectMapper, out: BufferedWriter, req: JsonNode): Unit = {
+    val (_, s) = servedOf(req)
+    val resp = m.createObjectNode()
+    resp.put("schema", s.schema.toDDL)
+    val frags = resp.putArray("fragments")
+    s.listFragments().foreach(frags.add)
+    out.write(resp.toString); out.newLine()
+  }
+
+  private def serveScan(m: ObjectMapper, out: BufferedWriter, req: JsonNode): Unit = {
+    val (_, s) = servedOf(req)
+    val fragment = req.path("fragment").asText()
+    require(new java.io.File(fragment).getCanonicalPath
+              .startsWith(new java.io.File(s.dir).getCanonicalPath),
+      s"fragment '$fragment' is not under this table's directory")
+    val cols: Seq[String] = {
+      val it = req.path("columns").elements()
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next().asText()
+      b.result()
+    }
+    cols.foreach(c => require(s.schema.fieldNames.contains(c),
+      s"unknown column '$c'"))
+    val filters: Seq[RemoteFilters.Pred] = {
+      val it = req.path("filters").elements()
+      val b = Seq.newBuilder[RemoteFilters.Pred]
+      while (it.hasNext) b += RemoteFilters.fromJson(it.next())
+      b.result()
+    }
+    scansServed.incrementAndGet()
+    lastScanColumns.set(cols)
+
+    val conf = new Configuration()
+    val fileSchema: MessageType = {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(fragment), conf))
+      try r.getFooter.getFileMetaData.getSchema finally r.close()
+    }
+    // remote-side projection: prune the parquet read schema so unrequested
+    // columns are never decoded. A zero-column request (client count(*))
+    // still needs SOME column to drive row iteration — use the first.
+    val driveCols = if (cols.nonEmpty) cols else fileSchema.getFields.isEmpty match {
+      case true  => Seq.empty
+      case false => Seq(fileSchema.getFields.get(0).getName)
+    }
+    if (driveCols.nonEmpty) {
+      val pruned = new MessageType("graft_remote",
+        driveCols.map(c => fileSchema.getType(fileSchema.getFieldIndex(c))): _*)
+      conf.set(ReadSupport.PARQUET_READ_SCHEMA, pruned.toString)
+    }
+    val colTypes: Array[DataType] = cols.map(c => s.schema(c).dataType).toArray
+    val filterIdx: Map[String, (Int, DataType)] =
+      driveCols.zipWithIndex.map { case (c, i) =>
+        c -> (i, s.schema(c).dataType)
+      }.toMap
+
+    val reader: ParquetReader[Group] =
+      ParquetReader.builder(new GroupReadSupport(), new Path(fragment))
+        .withConf(conf).build()
+    var sent = 0L
+    try {
+      var g = reader.read()
+      while (g != null) {
+        val keep = filters.forall { p =>
+          filterIdx.get(p.col) match {
+            case Some((i, dt)) => p.keeps(groupValue(g, i, dt))
+            case None          => true // filter on an unprojected column: unknown, ship it
+          }
+        }
+        if (keep) {
+          val arr = m.createArrayNode()
+          var i = 0
+          while (i < cols.length) {
+            RemoteCodec.addJson(arr, groupValue(g, i, colTypes(i)), colTypes(i))
+            i += 1
+          }
+          out.write(arr.toString); out.newLine()
+          sent += 1
+        }
+        g = reader.read()
+      }
+    } finally reader.close()
+    rowsSent.addAndGet(sent)
+    val done = m.createObjectNode()
+    done.put("done", sent)
+    out.write(done.toString); out.newLine()
+  }
+
+  /** Extract field `idx` of a Group as a plain JVM value per the Spark
+    * type: Long/Int/Double/Float/Boolean/String, DateType → days Int,
+    * Timestamp(NTZ) → micros Long, ArrayType(prim) → Seq (standard
+    * 3-level parquet LIST layout). Null when the field is absent. */
+  private def groupValue(g: Group, idx: Int, dt: DataType): Any =
+    if (g.getFieldRepetitionCount(idx) == 0) null
+    else dt match {
+      case LongType                        => g.getLong(idx, 0)
+      case IntegerType                     => g.getInteger(idx, 0)
+      case DoubleType                      => g.getDouble(idx, 0)
+      case FloatType                       => g.getFloat(idx, 0)
+      case BooleanType                     => g.getBoolean(idx, 0)
+      case StringType                      => g.getString(idx, 0)
+      case DateType                        => g.getInteger(idx, 0)
+      case TimestampType | TimestampNTZType => g.getLong(idx, 0)
+      case ArrayType(et, _) =>
+        val lg = g.getGroup(idx, 0) // the LIST-annotated wrapper
+        val n = lg.getFieldRepetitionCount(0)
+        (0 until n).map { i =>
+          val el = lg.getGroup(0, i) // repeated "list" entry holding "element"
+          if (el.getFieldRepetitionCount(0) == 0) null
+          else et match {
+            case LongType    => el.getLong(0, 0)
+            case IntegerType => el.getInteger(0, 0)
+            case DoubleType  => el.getDouble(0, 0)
+            case FloatType   => el.getFloat(0, 0)
+            case BooleanType => el.getBoolean(0, 0)
+            case StringType  => el.getString(0, 0)
+            case other => throw new UnsupportedOperationException(
+              s"unsupported remote array element type $other")
+          }
+        }
+      case other => throw new UnsupportedOperationException(
+        s"unsupported remote column type $other")
+    }
+}
+
+object RemoteTableServer {
+
+  private[sources] final case class Served(dir: String, schema: StructType) {
+    /** Live listing — the directory, not a frozen snapshot, is truth. */
+    def listFragments(): Seq[String] = {
+      val f = new java.io.File(dir)
+      if (f.isFile) Seq(f.getAbsolutePath)
+      else {
+        val fs = f.listFiles((_, n) => n.endsWith(".parquet"))
+        require(fs != null && fs.nonEmpty,
+          s"no parquet fragments under $dir")
+        fs.map(_.getAbsolutePath).sorted.toSeq
+      }
+    }
+  }
+
+  private val supportedAtomic: Set[DataType] = Set(
+    LongType, IntegerType, DoubleType, FloatType, BooleanType, StringType,
+    DateType, TimestampType, TimestampNTZType)
+
+  private def validate(table: String, schema: StructType): Unit =
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case t if supportedAtomic(t)                     => ()
+        case ArrayType(et, _) if supportedAtomic(et) &&
+            !et.isInstanceOf[DateType.type] &&
+            !et.isInstanceOf[TimestampType.type]         => ()
+        case other => throw new UnsupportedOperationException(
+          s"remote table '$table': column '${f.name}' has unsupported type $other")
+      }
+    }
+
+  /** Start a server for `tables` (name → parquet file or directory).
+    * Spark is used once per table, HERE, to derive the Spark schema —
+    * scans are Spark-free by design (see class doc). */
+  def start(spark: SparkSession, tables: Map[String, String]): RemoteTableServer = {
+    val served = tables.map { case (name, path) =>
+      require(new java.io.File(path).exists(), s"remote table '$name': no such path $path")
+      val schema = spark.read.parquet(path).schema
+      validate(name, schema)
+      name -> Served(path, schema)
+    }
+    new RemoteTableServer(served)
+  }
+
+  // one shared server per served directory, for queries that re-run in the
+  // same JVM (bench two-pass, Verify): the directory may be overwritten
+  // between runs, the lazily-listed fragments follow it
+  private val shared = scala.collection.mutable.Map.empty[String, RemoteTableServer]
+  def sharedFor(spark: SparkSession, table: String, dir: String): RemoteTableServer =
+    synchronized {
+      shared.getOrElseUpdate(dir, start(spark, Map(table -> dir)))
+    }
+}
