@@ -893,6 +893,20 @@ object Oracles {
          GROUP BY c_mktsegment
          ORDER BY c_mktsegment""",
 
+    // q120: sketch adjudication — the exact side must match bit-for-bit,
+    // the estimate side is asserted as tolerance flags (estimates are not
+    // bit-stable across engines; a degraded sketch flips a flag)
+    "q120_sketch_agg" ->
+      """SELECT l_returnflag,
+                count(DISTINCT l_orderkey) AS n_exact,
+                true AS hll_ok,
+                true AS gk_ok,
+                true AS union_ok,
+                count(*) AS n_rows
+         FROM lineitem
+         GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
+
     "q28_sim_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
               c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM embeddings),

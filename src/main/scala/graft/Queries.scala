@@ -2004,6 +2004,53 @@ object Queries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Sketch aggregates under ORACLE adjudication (SURVEY §2.4 #35 —
+    * previously spec-only): HLL++ distinct (`approx_count_distinct`),
+    * GK-style quantiles (`percentile_approx`), and the MERGEABILITY that
+    * makes sketches the 100 TB answer — per-group DataSketches HLL
+    * states union into a global estimate without re-scanning (partial
+    * agg of sketch state is exactly what a 1000-executor rollup ships).
+    * Estimates aren't bit-stable across engines, so the oracle contract
+    * is exact values + tolerance FLAGS: the exact side must match DuckDB
+    * bit-for-bit and every flag must be true — a degraded sketch flips a
+    * flag and hash-fails. Flags are deterministic: HLL register-max and
+    * sketch-union merges are commutative/associative, and the GK flag's
+    * rank bounds dwarf both its rank error (1e-4) and merge-order
+    * wobble. Reference: sketch-shaped summaries are the scale substitute
+    * for Kerf's exact in-memory distinct/median idioms (verbs.cc med/
+    * countd). */
+  val q120_sketch_agg: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_quantity"))
+    val sk = li.groupBy(col("l_returnflag")).agg(
+      countDistinct(col("l_orderkey")).as("n_exact"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("n_est"),
+      expr("percentile_approx(l_quantity, 0.5D, 10000)").as("med_est"),
+      hll_sketch_agg(col("l_orderkey")).as("sk"),
+      count(lit(1)).as("n_rows"))
+    // exact rank of the GK median estimate, computed distributed
+    // (broadcast the 3-row sketch table back over the fact scan)
+    val rank = li
+      .join(broadcast(sk.select(col("l_returnflag"), col("med_est"))), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg((sum(when(col("l_quantity") <= col("med_est"), 1L).otherwise(0L)).cast("double")
+            / count(lit(1))).as("med_rank"))
+    val globalExact = li.agg(countDistinct(col("l_orderkey")).as("g_exact"))
+    val globalUnion = sk.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("g_est"))
+    sk.join(rank, Seq("l_returnflag"))
+      .crossJoin(broadcast(globalExact)).crossJoin(broadcast(globalUnion))
+      .select(
+        col("l_returnflag"),
+        col("n_exact"),
+        (abs(col("n_est") - col("n_exact")).cast("double") / col("n_exact") <= lit(0.05))
+          .as("hll_ok"),
+        (col("med_rank") >= 0.45 && col("med_rank") <= 0.55).as("gk_ok"),
+        (abs(col("g_est") - col("g_exact")).cast("double") / col("g_exact") <= lit(0.05))
+          .as("union_ok"),
+        col("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2124,5 +2171,6 @@ object Queries {
     "q115_ann_ivfpq"     -> q115_ann_ivfpq,
     "q118_grouping_sets" -> q118_grouping_sets,
     "q119_remote_folio"  -> q119_remote_folio,
+    "q120_sketch_agg"    -> q120_sketch_agg,
   )
 }
