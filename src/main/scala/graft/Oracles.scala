@@ -907,6 +907,21 @@ object Oracles {
          GROUP BY l_returnflag
          ORDER BY l_returnflag""",
 
+    // q121: remote partial-aggregate pushdown — federation must be
+    // invisible, so the oracle aggregates the undivided table; every
+    // aggregate is merge-order-exact
+    "q121_remote_agg" ->
+      """SELECT c_mktsegment,
+                count(*) AS n,
+                count(c_name) AS n_name,
+                CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+                min(c_acctbal) AS min_bal,
+                max(c_acctbal) AS max_bal,
+                min(c_name) AS first_name
+         FROM customer
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment""",
+
     "q28_sim_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
               c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM embeddings),

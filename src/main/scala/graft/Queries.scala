@@ -2004,6 +2004,32 @@ object Queries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Remote-folio query EXECUTION — the strongest reading of
+    * presented.h:427–430's "executes queries remotely": a grouped
+    * aggregate over a socket site ships one partial row per
+    * (fragment × group), not rows (DSv2 SupportsPushDownAggregates,
+    * partial mode; the server computes SQL-semantics partials per
+    * fragment, Spark's final aggregate merges them like its own
+    * map-side output). Every aggregate here is merge-order-exact
+    * (counts, long sums, min/max), so the result is bit-deterministic.
+    * Oracle recomputes from the undivided local table. */
+  val q121_remote_agg: Q = (s, dir) => {
+    val base = Scratch.dir(s, "remoteagg", new java.io.File(dir).getName)
+    Tables.customer(s, dir).repartition(4)
+      .write.mode("overwrite").parquet(s"$base/cust")
+    val srv = sources.RemoteTableServer.sharedFor(s, "cust", s"$base/cust")
+    s.read.format("graft.sources.RemoteFolioSource")
+      .option("endpoint", s"127.0.0.1:${srv.port}").option("table", "cust").load()
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+           count(col("c_name")).as("n_name"),
+           sum(col("c_custkey")).as("sum_key"),
+           min(col("c_acctbal")).as("min_bal"),
+           max(col("c_acctbal")).as("max_bal"),
+           min(col("c_name")).as("first_name"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Sketch aggregates under ORACLE adjudication (SURVEY §2.4 #35 —
     * previously spec-only): HLL++ distinct (`approx_count_distinct`),
     * GK-style quantiles (`percentile_approx`), and the MERGEABILITY that
@@ -2172,5 +2198,6 @@ object Queries {
     "q118_grouping_sets" -> q118_grouping_sets,
     "q119_remote_folio"  -> q119_remote_folio,
     "q120_sketch_agg"    -> q120_sketch_agg,
+    "q121_remote_agg"    -> q121_remote_agg,
   )
 }

@@ -54,7 +54,10 @@ class RemoteFolioSource extends TableProvider with DataSourceRegister {
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val (host, port, table) = endpointOf(opts)
-    new RemoteFolioTable(host, port, table, schema)
+    val codec = Option(opts.get("wirecodec")).getOrElse("gzip")
+    require(codec == "gzip" || codec == "none",
+      s"remotetable option 'wireCodec' must be 'gzip' or 'none', got '$codec'")
+    new RemoteFolioTable(host, port, table, schema, codec)
   }
 }
 
@@ -99,21 +102,25 @@ object RemoteFolioSource {
 }
 
 final class RemoteFolioTable(host: String, port: Int, tableName: String,
-                             tableSchema: StructType) extends Table with SupportsRead {
+                             tableSchema: StructType,
+                             wireCodec: String = "gzip") extends Table with SupportsRead {
   override def name(): String = s"remote://$host:$port/$tableName"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RemoteScanBuilder(host, port, tableName, tableSchema)
+    new RemoteScanBuilder(host, port, tableName, tableSchema, wireCodec)
 }
 
 final class RemoteScanBuilder(host: String, port: Int, table: String,
-                              full: StructType)
+                              full: StructType, wireCodec: String = "gzip")
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var aggJson: Option[String] = None
+  private var aggSchema: Option[StructType] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -126,58 +133,96 @@ final class RemoteScanBuilder(host: String, port: Int, table: String,
   }
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** PARTIAL aggregate pushdown — the federation scale move: a pushed
+    * group-by ships one partial row per (fragment × group) instead of
+    * the fragment's rows; Spark's final aggregate merges the partials
+    * like its own map-side output. Never complete pushdown (partials
+    * from many fragments still need the merge), and never when filters
+    * exist: our filter pushdown is conservative-3VL with Spark-side
+    * residual re-evaluation, which cannot run on pre-aggregated rows —
+    * Spark's own pushdown rule already refuses that shape (a Filter node
+    * sits between Aggregate and relation), this guard keeps the
+    * invariant local too. */
+  override def supportCompletePushDown(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    if (pushed.nonEmpty) false
+    else RemoteAggPush.translate(agg, full) match {
+      case Some((json, schema)) =>
+        aggJson = Some(json); aggSchema = Some(schema); true
+      case None => false
+    }
+
   override def build(): Scan =
-    new RemoteScan(host, port, table, required,
-      pushed.flatMap(f => RemoteFilters.toJson(f)).map(_.toString))
+    new RemoteScan(host, port, table, aggSchema.getOrElse(required),
+      pushed.flatMap(f => RemoteFilters.toJson(f)).map(_.toString), aggJson,
+      wireCodec)
 }
 
 final class RemoteScan(host: String, port: Int, table: String,
-                       required: StructType, filterJson: Array[String])
+                       required: StructType, filterJson: Array[String],
+                       aggJson: Option[String] = None,
+                       wireCodec: String = "gzip")
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"RemoteScan remote://$host:$port/$table cols=[${required.fieldNames.mkString(",")}]"
+    s"RemoteScan remote://$host:$port/$table cols=[${required.fieldNames.mkString(",")}]" +
+      aggJson.map(j => s" pushedAggregate=$j").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] =
     RemoteFolioSource.plan(host, port, table).fragments
       .map(f => RemoteFragment(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RemoteReaderFactory(host, port, table, required, filterJson)
+    new RemoteReaderFactory(host, port, table, required, filterJson, aggJson,
+      wireCodec)
 }
 
 final case class RemoteFragment(fragment: String) extends InputPartition
 
 final class RemoteReaderFactory(host: String, port: Int, table: String,
-                                schema: StructType, filterJson: Array[String])
+                                schema: StructType, filterJson: Array[String],
+                                aggJson: Option[String] = None,
+                                wireCodec: String = "gzip")
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new RemoteRowReader(host, port, table,
-      p.asInstanceOf[RemoteFragment].fragment, schema, filterJson)
+      p.asInstanceOf[RemoteFragment].fragment, schema, filterJson, aggJson,
+      wireCodec)
 }
 
 /** One socket per fragment; rows stream as JSON lines and convert
   * straight to InternalRow (no Row intermediary). */
 final class RemoteRowReader(host: String, port: Int, table: String,
                             fragment: String, schema: StructType,
-                            filterJson: Array[String])
+                            filterJson: Array[String],
+                            aggJson: Option[String] = None,
+                            wireCodec: String = "gzip")
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
   private val socket = new Socket(host, port)
-  private val in = new BufferedReader(
-    new InputStreamReader(socket.getInputStream, StandardCharsets.UTF_8))
+  // request goes first (plain); the response STREAM is optionally
+  // gzip-framed (the bus wire-compression flag, bus.h:110), so the
+  // reader wraps the input only after the request is on the wire
   locally {
     val out = new BufferedWriter(
       new OutputStreamWriter(socket.getOutputStream, StandardCharsets.UTF_8))
     val req = mapper.createObjectNode()
     req.put("op", "scan"); req.put("table", table); req.put("fragment", fragment)
+    req.put("codec", wireCodec)
     val cols = req.putArray("columns")
-    schema.fieldNames.foreach(cols.add)
+    // aggregated scan: the server derives its input columns from the
+    // aggregate spec; `schema` here is the partial-OUTPUT schema (for
+    // parsing), its synthetic names mean nothing remotely
+    if (aggJson.isEmpty) schema.fieldNames.foreach(cols.add)
     val fs = req.putArray("filters")
     filterJson.foreach(j => fs.add(mapper.readTree(j)))
+    aggJson.foreach(j => req.set[ObjectNode]("aggregate", mapper.readTree(j)))
     out.write(req.toString); out.newLine(); out.flush()
   }
+  private val in = new BufferedReader(new InputStreamReader(
+    if (wireCodec == "gzip") new java.util.zip.GZIPInputStream(socket.getInputStream, 8192)
+    else socket.getInputStream, StandardCharsets.UTF_8))
 
   private val types: Array[DataType] = schema.fields.map(_.dataType)
   private var current: InternalRow = _
@@ -253,6 +298,82 @@ object RemoteCodec {
         new GenericArrayData(out)
       case other => throw new UnsupportedOperationException(s"codec: $other")
     }
+}
+
+/** Translates a connector [[Aggregation]] into the wire form +
+  * partial-output schema, or None when anything in it can't run
+  * remotely (distinct flags, non-column arguments, unsupported types —
+  * the scan then falls back to row shipping and Spark aggregates as
+  * usual). Output types mirror Spark's own partial-aggregate buffers so
+  * the rewritten final aggregate consumes them cast-free: count→long,
+  * sum(integral)→long, sum(fractional)→double, min/max→input type. */
+object RemoteAggPush {
+  import org.apache.spark.sql.connector.expressions.{Expression => VExpr, NamedReference}
+  import org.apache.spark.sql.connector.expressions.aggregate._
+
+  private def columnOf(e: VExpr): Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+    case _ => None
+  }
+
+  private val groupable: Set[DataType] = Set(
+    LongType, IntegerType, DoubleType, FloatType, BooleanType, StringType,
+    DateType, TimestampType, TimestampNTZType)
+
+  def translate(agg: Aggregation, schema: StructType): Option[(String, StructType)] = {
+    val m = new ObjectMapper()
+    val root = m.createObjectNode()
+    val gbNode = root.putArray("groupBy")
+    val aggNode = root.putArray("aggs")
+    val fields = Seq.newBuilder[StructField]
+
+    val groupCols = agg.groupByExpressions().map(columnOf)
+    if (groupCols.exists(_.isEmpty)) return None
+    for (c <- groupCols.flatten) {
+      val f = schema.find(_.name == c).getOrElse(return None)
+      if (!groupable(f.dataType)) return None
+      gbNode.add(c)
+      fields += StructField(c, f.dataType, f.nullable)
+    }
+
+    def colType(c: String): Option[DataType] =
+      schema.find(_.name == c).map(_.dataType)
+
+    agg.aggregateExpressions().zipWithIndex.foreach { case (fn, i) =>
+      def put(fname: String, col: String, outType: DataType): Unit = {
+        val o = aggNode.addObject()
+        o.put("fn", fname); if (col.nonEmpty) o.put("col", col)
+        fields += StructField(s"agg_$i", outType, nullable = true)
+      }
+      fn match {
+        case _: CountStar => put("count_star", "", LongType)
+        case c: Count if !c.isDistinct =>
+          val col = columnOf(c.column).getOrElse(return None)
+          put("count", col, LongType)
+        case s: Sum if !s.isDistinct =>
+          val col = columnOf(s.column).getOrElse(return None)
+          colType(col) match {
+            case Some(LongType | IntegerType)  => put("sum", col, LongType)
+            case Some(DoubleType | FloatType)  => put("sum", col, DoubleType)
+            case _ => return None
+          }
+        case mn: Min =>
+          val col = columnOf(mn.column).getOrElse(return None)
+          colType(col).filter(groupable) match {
+            case Some(dt) => put("min", col, dt)
+            case None     => return None
+          }
+        case mx: Max =>
+          val col = columnOf(mx.column).getOrElse(return None)
+          colType(col).filter(groupable) match {
+            case Some(dt) => put("max", col, dt)
+            case None     => return None
+          }
+        case _ => return None
+      }
+    }
+    Some((root.toString, StructType(fields.result())))
+  }
 }
 
 /** Wire form + conservative remote evaluation of Spark source filters.

@@ -73,8 +73,10 @@ final class RemoteTableServer private (tables: Map[String, RemoteTableServer.Ser
 
   // observability for specs: bytes don't lie about pushdown
   val rowsSent = new AtomicLong(0)
+  val bytesSent = new AtomicLong(0)
   val scansServed = new AtomicLong(0)
   val lastScanColumns = new AtomicReference[Seq[String]](Nil)
+  val lastScanAggregate = new AtomicReference[String]("")
 
   @volatile private var running = true
   locally {
@@ -97,8 +99,9 @@ final class RemoteTableServer private (tables: Map[String, RemoteTableServer.Ser
   def stop(): Unit = { running = false; server.close() }
 
   private def handle(sock: Socket): Unit = {
+    val counting = new CountingOutputStream(sock.getOutputStream)
     val out = new BufferedWriter(
-      new OutputStreamWriter(sock.getOutputStream, StandardCharsets.UTF_8))
+      new OutputStreamWriter(counting, StandardCharsets.UTF_8))
     val mapper = new ObjectMapper()
     try {
       val in = new BufferedReader(
@@ -108,11 +111,12 @@ final class RemoteTableServer private (tables: Map[String, RemoteTableServer.Ser
         val req = mapper.readTree(line)
         req.path("op").asText() match {
           case "plan" => servePlan(mapper, out, req)
-          case "scan" => serveScan(mapper, out, req)
+          case "scan" => serveScan(mapper, out, counting, req)
           case other  => throw new IllegalArgumentException(s"unknown op '$other'")
         }
       }
       out.flush()
+      bytesSent.addAndGet(counting.count)
     } catch {
       case e: Throwable =>
         try {
@@ -141,7 +145,40 @@ final class RemoteTableServer private (tables: Map[String, RemoteTableServer.Ser
     out.write(resp.toString); out.newLine()
   }
 
-  private def serveScan(m: ObjectMapper, out: BufferedWriter, req: JsonNode): Unit = {
+  private def serveScan(m: ObjectMapper, plainOut: BufferedWriter,
+                        rawOut: java.io.OutputStream, req: JsonNode): Unit = {
+    // wire codec (the bus's compression-on-the-wire flag, bus.h:110):
+    // the scan RESPONSE body is gzip-framed when requested; the request
+    // and plan responses stay plain. The codec choice happens FIRST so
+    // that even error responses travel inside the frame the client
+    // expects — a plain error after the client wrapped its input in
+    // GZIPInputStream would surface as frame corruption, not a message.
+    val codec = {
+      val c = if (req.has("codec")) req.path("codec").asText() else "none"
+      require(c == "none" || c == "gzip", s"unknown wire codec '$c'")
+      c
+    }
+    var gzStream: java.util.zip.GZIPOutputStream = null
+    val out: BufferedWriter =
+      if (codec == "gzip") {
+        plainOut.flush() // nothing buffered may trail into the gzip frame
+        gzStream = new java.util.zip.GZIPOutputStream(rawOut, 8192)
+        new BufferedWriter(new java.io.OutputStreamWriter(gzStream, StandardCharsets.UTF_8))
+      } else plainOut
+    try {
+      serveScanBody(m, out, req)
+    } catch {
+      case e: Throwable =>
+        val err = m.createObjectNode()
+        err.put("error", s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        out.write(err.toString); out.newLine()
+    } finally {
+      if (gzStream != null) { out.flush(); gzStream.finish() }
+    }
+  }
+
+  private def serveScanBody(m: ObjectMapper, out: BufferedWriter,
+                            req: JsonNode): Unit = {
     val (_, s) = servedOf(req)
     val fragment = req.path("fragment").asText()
     require(new java.io.File(fragment).getCanonicalPath
@@ -161,8 +198,17 @@ final class RemoteTableServer private (tables: Map[String, RemoteTableServer.Ser
       while (it.hasNext) b += RemoteFilters.fromJson(it.next())
       b.result()
     }
+    val aggregate: Option[RemoteAgg] =
+      if (req.has("aggregate")) Some(RemoteAgg.fromJson(req.get("aggregate"), s.schema))
+      else None
     scansServed.incrementAndGet()
     lastScanColumns.set(cols)
+    lastScanAggregate.set(aggregate.map(_.describe).getOrElse(""))
+
+    // input columns: for an aggregated scan the client's column list is
+    // the agg INPUTS (group keys + measure columns); otherwise the
+    // projection to ship
+    val inputCols = aggregate.map(_.inputCols).getOrElse(cols)
 
     val conf = new Configuration()
     val fileSchema: MessageType = {
@@ -172,7 +218,7 @@ final class RemoteTableServer private (tables: Map[String, RemoteTableServer.Ser
     // remote-side projection: prune the parquet read schema so unrequested
     // columns are never decoded. A zero-column request (client count(*))
     // still needs SOME column to drive row iteration — use the first.
-    val driveCols = if (cols.nonEmpty) cols else fileSchema.getFields.isEmpty match {
+    val driveCols = if (inputCols.nonEmpty) inputCols else fileSchema.getFields.isEmpty match {
       case true  => Seq.empty
       case false => Seq(fileSchema.getFields.get(0).getName)
     }
@@ -181,11 +227,11 @@ final class RemoteTableServer private (tables: Map[String, RemoteTableServer.Ser
         driveCols.map(c => fileSchema.getType(fileSchema.getFieldIndex(c))): _*)
       conf.set(ReadSupport.PARQUET_READ_SCHEMA, pruned.toString)
     }
-    val colTypes: Array[DataType] = cols.map(c => s.schema(c).dataType).toArray
-    val filterIdx: Map[String, (Int, DataType)] =
+    val driveIdx: Map[String, (Int, DataType)] =
       driveCols.zipWithIndex.map { case (c, i) =>
         c -> (i, s.schema(c).dataType)
       }.toMap
+    val colTypes: Array[DataType] = inputCols.map(c => s.schema(c).dataType).toArray
 
     val reader: ParquetReader[Group] =
       ParquetReader.builder(new GroupReadSupport(), new Path(fragment))
@@ -195,24 +241,34 @@ final class RemoteTableServer private (tables: Map[String, RemoteTableServer.Ser
       var g = reader.read()
       while (g != null) {
         val keep = filters.forall { p =>
-          filterIdx.get(p.col) match {
+          driveIdx.get(p.col) match {
             case Some((i, dt)) => p.keeps(groupValue(g, i, dt))
             case None          => true // filter on an unprojected column: unknown, ship it
           }
         }
-        if (keep) {
-          val arr = m.createArrayNode()
-          var i = 0
-          while (i < cols.length) {
-            RemoteCodec.addJson(arr, groupValue(g, i, colTypes(i)), colTypes(i))
-            i += 1
-          }
-          out.write(arr.toString); out.newLine()
-          sent += 1
+        if (keep) aggregate match {
+          case Some(agg) =>
+            agg.update(i => groupValue(g, i, colTypes(i)))
+          case None =>
+            val arr = m.createArrayNode()
+            var i = 0
+            while (i < inputCols.length) {
+              RemoteCodec.addJson(arr, groupValue(g, i, colTypes(i)), colTypes(i))
+              i += 1
+            }
+            out.write(arr.toString); out.newLine()
+            sent += 1
         }
         g = reader.read()
       }
     } finally reader.close()
+    // aggregated scan: one partial row per group crosses the wire
+    aggregate.foreach { agg =>
+      agg.partialRows(m).foreach { arr =>
+        out.write(arr.toString); out.newLine()
+        sent += 1
+      }
+    }
     rowsSent.addAndGet(sent)
     val done = m.createObjectNode()
     done.put("done", sent)
@@ -258,6 +314,19 @@ final class RemoteTableServer private (tables: Map[String, RemoteTableServer.Ser
 
 object RemoteTableServer {
 
+  /** Counts bytes that actually hit the socket — the honest measure of
+    * what projection/filter/aggregate/codec pushdown saves. */
+  private[sources] final class CountingOutputStream(under: java.io.OutputStream)
+      extends java.io.OutputStream {
+    @volatile var count: Long = 0L
+    override def write(b: Int): Unit = { under.write(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      under.write(b, off, len); count += len
+    }
+    override def flush(): Unit = under.flush()
+    override def close(): Unit = under.close()
+  }
+
   private[sources] final case class Served(dir: String, schema: StructType) {
     /** Live listing — the directory, not a frozen snapshot, is truth. */
     def listFragments(): Seq[String] = {
@@ -299,6 +368,169 @@ object RemoteTableServer {
       name -> Served(path, schema)
     }
     new RemoteTableServer(served)
+  }
+
+  // ---------------------------------------------------------------------
+  // remote partial aggregation — the "executes queries remotely" of
+  // presented.h:427–430 made literal: a pushed group-by ships one partial
+  // row per (fragment × group) instead of the fragment's rows. The server
+  // computes SQL-semantics partials (count skips nulls, sum/min/max null
+  // on all-null input, integral sums wrap like Spark's non-ANSI partial
+  // Sum); Spark's final aggregate merges partials exactly as it merges
+  // its own map-side output. State is bounded by per-fragment group
+  // cardinality — the same contract as any map-side combine.
+  // ---------------------------------------------------------------------
+
+  /** Wire form: {"groupBy":["a","b"],"aggs":[{"fn":"count_star"},
+    * {"fn":"sum","col":"x"},…]}. Output row: group values (groupBy
+    * order) then agg values (aggs order). */
+  final class RemoteAgg(groupBy: Seq[String], aggs: Seq[(String, String)],
+                        schema: StructType) {
+    /** distinct input columns, group keys first — also the extraction
+      * index order shared with the scan loop */
+    val inputCols: Seq[String] =
+      (groupBy ++ aggs.collect { case (_, c) if c.nonEmpty => c }).distinct
+    private val colIdx: Map[String, Int] = inputCols.zipWithIndex.toMap
+    private val groupIdx: Array[Int] = groupBy.map(colIdx).toArray
+    private val groupTypes: Array[DataType] =
+      groupBy.map(c => schema(c).dataType).toArray
+    private val aggIdx: Array[Int] =
+      aggs.map { case (_, c) => if (c.isEmpty) -1 else colIdx(c) }.toArray
+    private val aggInTypes: Array[DataType] =
+      aggs.map { case (_, c) =>
+        if (c.isEmpty) NullType else schema(c).dataType
+      }.toArray
+
+    def describe: String =
+      s"groupBy=[${groupBy.mkString(",")}] aggs=[${aggs.map { case (f, c) => s"$f($c)" }.mkString(",")}]"
+
+    // one accumulator vector per group; Vector key = group values
+    private val state =
+      scala.collection.mutable.HashMap.empty[Vector[Any], Array[Acc]]
+    private def newAccs(): Array[Acc] =
+      aggs.zipWithIndex.map { case ((fn, _), i) =>
+        Acc.of(fn, aggInTypes(i))
+      }.toArray
+    // a GLOBAL aggregate (no group keys) must produce exactly one row
+    // even over an empty fragment — SQL's one-row global agg contract
+    if (groupBy.isEmpty) state(Vector.empty) = newAccs()
+
+    def update(value: Int => Any): Unit = {
+      val key = Vector.tabulate(groupIdx.length)(i => value(groupIdx(i)))
+      val accs = state.getOrElseUpdate(key, newAccs())
+      var i = 0
+      while (i < accs.length) {
+        accs(i).add(if (aggIdx(i) < 0) null else value(aggIdx(i)))
+        i += 1
+      }
+    }
+
+    def partialRows(m: ObjectMapper): Iterator[ArrayNode] =
+      state.iterator.map { case (key, accs) =>
+        val arr = m.createArrayNode()
+        var i = 0
+        while (i < key.length) {
+          RemoteCodec.addJson(arr, key(i), groupTypes(i)); i += 1
+        }
+        accs.foreach(_.emit(arr))
+        arr
+      }
+  }
+
+  object RemoteAgg {
+    val supportedFns = Set("count_star", "count", "sum", "min", "max")
+    def fromJson(n: JsonNode, schema: StructType): RemoteAgg = {
+      val gb = {
+        val it = n.path("groupBy").elements()
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next().asText()
+        b.result()
+      }
+      val aggs = {
+        val it = n.path("aggs").elements()
+        val b = Seq.newBuilder[(String, String)]
+        while (it.hasNext) {
+          val a = it.next()
+          b += ((a.path("fn").asText(), a.path("col").asText("")))
+        }
+        b.result()
+      }
+      (gb ++ aggs.map(_._2).filter(_.nonEmpty)).foreach(c =>
+        require(schema.fieldNames.contains(c), s"unknown aggregate column '$c'"))
+      aggs.foreach { case (fn, _) =>
+        require(supportedFns(fn), s"unknown aggregate fn '$fn'") }
+      new RemoteAgg(gb, aggs, schema)
+    }
+  }
+
+  /** One accumulator. Emission types must match what Spark's rewritten
+    * final aggregate expects positionally: count→long, sum(integral)→
+    * long (wrapping, like non-ANSI partial Sum), sum(fractional)→double,
+    * min/max→input type. */
+  sealed private[sources] trait Acc {
+    def add(v: Any): Unit
+    def emit(arr: ArrayNode): Unit
+  }
+  private[sources] object Acc {
+    def of(fn: String, dt: DataType): Acc = fn match {
+      case "count_star" => new CountAcc(countNulls = true)
+      case "count"      => new CountAcc(countNulls = false)
+      case "sum" => dt match {
+        case LongType | IntegerType => new LongSumAcc
+        case DoubleType | FloatType => new DoubleSumAcc
+        case other => throw new UnsupportedOperationException(s"sum($other)")
+      }
+      case "min" => new ExtremeAcc(dt, wantMax = false)
+      case "max" => new ExtremeAcc(dt, wantMax = true)
+    }
+  }
+  private final class CountAcc(countNulls: Boolean) extends Acc {
+    private var n = 0L
+    def add(v: Any): Unit = if (countNulls || v != null) n += 1
+    def emit(arr: ArrayNode): Unit = { arr.add(n); () }
+  }
+  private final class LongSumAcc extends Acc {
+    private var seen = false; private var s = 0L
+    def add(v: Any): Unit = v match {
+      case null                 => ()
+      case l: java.lang.Long    => seen = true; s += l.longValue()
+      case i: java.lang.Integer => seen = true; s += i.longValue()
+      case other => throw new UnsupportedOperationException(s"sum over $other")
+    }
+    def emit(arr: ArrayNode): Unit = { if (seen) arr.add(s) else arr.addNull(); () }
+  }
+  private final class DoubleSumAcc extends Acc {
+    private var seen = false; private var s = 0.0
+    def add(v: Any): Unit = v match {
+      case null                => ()
+      case d: java.lang.Double => seen = true; s += d.doubleValue()
+      case f: java.lang.Float  => seen = true; s += f.doubleValue()
+      case other => throw new UnsupportedOperationException(s"sum over $other")
+    }
+    def emit(arr: ArrayNode): Unit = { if (seen) arr.add(s) else arr.addNull(); () }
+  }
+  /** Min/max with Spark's orderings: numeric natural order (NaN greatest,
+    * java.lang.Double.compare), strings by UTF8 binary order. */
+  private final class ExtremeAcc(dt: DataType, wantMax: Boolean) extends Acc {
+    private var best: Any = null
+    private def cmp(a: Any, b: Any): Int = dt match {
+      case LongType    => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+      case IntegerType | DateType =>
+        java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+      case DoubleType  => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+      case FloatType   => java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
+      case BooleanType => java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+      case TimestampType | TimestampNTZType =>
+        java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+      case StringType =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a.asInstanceOf[String])
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b.asInstanceOf[String]))
+      case other => throw new UnsupportedOperationException(s"min/max over $other")
+    }
+    def add(v: Any): Unit =
+      if (v != null && (best == null || (if (wantMax) cmp(v, best) > 0 else cmp(v, best) < 0)))
+        best = v
+    def emit(arr: ArrayNode): Unit = RemoteCodec.addJson(arr, best, dt)
   }
 
   // one shared server per served directory, for queries that re-run in the

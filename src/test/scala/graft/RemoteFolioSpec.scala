@@ -111,6 +111,101 @@ class RemoteFolioSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("aggregate pushdown: partials cross the wire, not rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_remote_agg").toString
+    spark.read.parquet(s"$sf/customer.parquet")
+      .repartition(4).write.mode("overwrite").parquet(s"$dir/cust")
+    val srv = RemoteTableServer.start(spark, Map("cust" -> s"$dir/cust"))
+    try {
+      val local = spark.read.parquet(s"$sf/customer.parquet")
+      val remote = spark.read.format("graft.sources.RemoteFolioSource")
+        .option("endpoint", s"127.0.0.1:${srv.port}").option("table", "cust").load()
+      val agg = (df: org.apache.spark.sql.DataFrame) =>
+        df.groupBy("c_mktsegment").agg(
+          count(lit(1)).as("n"), count(col("c_name")).as("n_name"),
+          sum(col("c_custkey")).as("sum_key"),      // long sum: merge-order exact
+          min(col("c_acctbal")).as("min_bal"), max(col("c_acctbal")).as("max_bal"),
+          min(col("c_name")).as("min_name"))
+          .orderBy("c_mktsegment")
+      val before = srv.rowsSent.get()
+      val got = agg(remote).collect().toSeq
+      val shipped = srv.rowsSent.get() - before
+      assert(got == agg(local).collect().toSeq)
+      // ≤ fragments × segments partial rows, NOT the table's rows
+      val nSeg = local.select("c_mktsegment").distinct().count()
+      assert(shipped <= 4 * nSeg, s"shipped $shipped rows — aggregation not remote")
+      assert(srv.lastScanAggregate.get().contains("groupBy=[c_mktsegment]"))
+      // and the plan records it
+      assert(agg(remote).queryExecution.optimizedPlan.toString.contains("pushedAggregate") ||
+             srv.lastScanAggregate.get().nonEmpty)
+    } finally srv.stop()
+  }
+
+  test("global aggregate (no group keys) pushes down, empty-safe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_remote_gagg").toString
+    val local = spark.read.parquet(s"$sf/customer.parquet")
+    local.repartition(3).write.mode("overwrite").parquet(s"$dir/cust")
+    val srv = RemoteTableServer.start(spark, Map("cust" -> s"$dir/cust"))
+    try {
+      val remote = spark.read.format("graft.sources.RemoteFolioSource")
+        .option("endpoint", s"127.0.0.1:${srv.port}").option("table", "cust").load()
+      val before = srv.rowsSent.get()
+      val got = remote.agg(count(lit(1)), sum("c_custkey"), max("c_name")).collect()(0)
+      val want = local.agg(count(lit(1)), sum("c_custkey"), max("c_name")).collect()(0)
+      assert(got == want)
+      assert(srv.rowsSent.get() - before <= 3) // one partial per fragment
+    } finally srv.stop()
+  }
+
+  test("aggregate + filter falls back to row shipping, stays correct") {
+    val local = spark.read.parquet(s"$sf/customer.parquet")
+    val want = local.filter(col("c_nationkey") === 5)
+      .groupBy("c_mktsegment").agg(sum("c_custkey").as("s"))
+      .orderBy("c_mktsegment").collect().toSeq
+    val got = remoteRead("customer").filter(col("c_nationkey") === 5)
+      .groupBy("c_mktsegment").agg(sum("c_custkey").as("s"))
+      .orderBy("c_mktsegment").collect().toSeq
+    assert(got == want)
+  }
+
+  test("distinct aggregates do NOT push (fall back to rows), stay correct") {
+    val local = spark.read.parquet(s"$sf/customer.parquet")
+    val want = local.agg(countDistinct("c_nationkey")).collect()(0)
+    val got = remoteRead("customer").agg(countDistinct("c_nationkey")).collect()(0)
+    assert(got == want)
+  }
+
+  test("wire codec: gzip ships fewer bytes than plain, same answer") {
+    val local = spark.read.parquet(s"$sf/customer.parquet").orderBy("c_custkey").collect().toSeq
+    def readWith(codec: String) = {
+      val b0 = server.bytesSent.get()
+      val rows = spark.read.format("graft.sources.RemoteFolioSource")
+        .option("endpoint", s"127.0.0.1:${server.port}")
+        .option("table", "customer").option("wireCodec", codec).load()
+        .orderBy("c_custkey").collect().toSeq
+      (rows, server.bytesSent.get() - b0)
+    }
+    val (plainRows, plainBytes) = readWith("none")
+    val (gzRows, gzBytes) = readWith("gzip")
+    assert(plainRows == local && gzRows == local)
+    assert(gzBytes < plainBytes / 2,
+      s"gzip shipped $gzBytes vs plain $plainBytes — compression not effective")
+  }
+
+  test("scan error travels inside the gzip frame (not frame corruption)") {
+    // request a fragment outside the table dir → server-side validation
+    // error AFTER the client wrapped its input in GZIPInputStream; the
+    // error must arrive as a readable message, not a ZipException
+    val reader = new graft.sources.RemoteRowReader("127.0.0.1", server.port,
+      "customer", "/etc/passwd",
+      spark.read.parquet(s"$sf/customer.parquet").schema,
+      Array.empty, None, "gzip")
+    val e = intercept[java.io.IOException] { reader.next() }
+    assert(e.getMessage.contains("remote scan failed"),
+      s"expected a protocol error message, got: $e")
+    reader.close()
+  }
+
   test("plan error surfaces loudly (unknown table)") {
     val e = intercept[Exception] {
       spark.read.format("graft.sources.RemoteFolioSource")
