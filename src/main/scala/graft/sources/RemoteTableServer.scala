@@ -99,7 +99,7 @@ final class RemoteTableServer private (tables: Map[String, RemoteTableServer.Ser
   def stop(): Unit = { running = false; server.close() }
 
   private def handle(sock: Socket): Unit = {
-    val counting = new CountingOutputStream(sock.getOutputStream)
+    val counting = new CountingOutputStream(sock.getOutputStream, bytesSent)
     val out = new BufferedWriter(
       new OutputStreamWriter(counting, StandardCharsets.UTF_8))
     val mapper = new ObjectMapper()
@@ -116,7 +116,6 @@ final class RemoteTableServer private (tables: Map[String, RemoteTableServer.Ser
         }
       }
       out.flush()
-      bytesSent.addAndGet(counting.count)
     } catch {
       case e: Throwable =>
         try {
@@ -315,13 +314,15 @@ final class RemoteTableServer private (tables: Map[String, RemoteTableServer.Ser
 object RemoteTableServer {
 
   /** Counts bytes that actually hit the socket — the honest measure of
-    * what projection/filter/aggregate/codec pushdown saves. */
-  private[sources] final class CountingOutputStream(under: java.io.OutputStream)
+    * what projection/filter/aggregate/codec pushdown saves. Increments
+    * the shared counter live (per write), so an observer never races a
+    * connection's teardown. */
+  private[sources] final class CountingOutputStream(under: java.io.OutputStream,
+                                                    total: AtomicLong)
       extends java.io.OutputStream {
-    @volatile var count: Long = 0L
-    override def write(b: Int): Unit = { under.write(b); count += 1 }
+    override def write(b: Int): Unit = { under.write(b); total.incrementAndGet(); () }
     override def write(b: Array[Byte], off: Int, len: Int): Unit = {
-      under.write(b, off, len); count += len
+      under.write(b, off, len); total.addAndGet(len.toLong); ()
     }
     override def flush(): Unit = under.flush()
     override def close(): Unit = under.close()

@@ -157,6 +157,27 @@ class RemoteFolioSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("avg pushes as sum+count partials (Spark's rewrite), exact on longs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_remote_avg").toString
+    val local = spark.read.parquet(s"$sf/customer.parquet")
+    local.repartition(3).write.mode("overwrite").parquet(s"$dir/cust")
+    val srv = RemoteTableServer.start(spark, Map("cust" -> s"$dir/cust"))
+    try {
+      val remote = spark.read.format("graft.sources.RemoteFolioSource")
+        .option("endpoint", s"127.0.0.1:${srv.port}").option("table", "cust").load()
+      val before = srv.rowsSent.get()
+      val got = remote.groupBy("c_mktsegment").agg(avg("c_custkey").as("a"))
+        .orderBy("c_mktsegment").collect().toSeq
+      val shipped = srv.rowsSent.get() - before
+      val want = local.groupBy("c_mktsegment").agg(avg("c_custkey").as("a"))
+        .orderBy("c_mktsegment").collect().toSeq
+      assert(got == want)
+      val nSeg = local.select("c_mktsegment").distinct().count()
+      // if Spark rewrote avg -> sum+count partials, only group partials ship
+      assert(shipped <= 3 * nSeg, s"avg shipped $shipped rows — not pushed as partials")
+    } finally srv.stop()
+  }
+
   test("aggregate + filter falls back to row shipping, stays correct") {
     val local = spark.read.parquet(s"$sf/customer.parquet")
     val want = local.filter(col("c_nationkey") === 5)
