@@ -202,8 +202,10 @@ object Folio {
   private val RemoteLoc = "remote://([^/:]+):(\\d+)/(.+)".r
 
   /** One folio site: a local/promoted parquet location, or a
-    * `remote://host:port/table` socket endpoint. */
-  private def readSite(spark: SparkSession, loc: String): DataFrame = loc match {
+    * `remote://host:port/table` socket endpoint. This is the ONE
+    * location grammar — `<<` in the dialect, federatedRead sites, and
+    * workspace paths all mean the same thing by going through it. */
+  def readSite(spark: SparkSession, loc: String): DataFrame = loc match {
     case RemoteLoc(host, port, table) =>
       spark.read.format("graft.sources.RemoteFolioSource")
         .option("endpoint", s"$host:$port").option("table", table).load()

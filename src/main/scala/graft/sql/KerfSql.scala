@@ -1161,12 +1161,33 @@ object KerfSql {
             // so a folio published by appendWithPromotion resolves to
             // exactly its live version. Registers as a temp view like a
             // table-valued select.
+            //
+            // `x: << ['siteA', 'remote://host:port/t']` — a LIST of
+            // locations is a FOLIO OF SITES (presented.h:427–430) read
+            // as one table via federatedRead: local dirs keep native
+            // scans, remote:// endpoints go through the socket client.
             p.pop()
-            val t = p.pop()
-            require(t.startsWith("'") && t.endsWith("'"),
-              s"<< needs a quoted path, got $t")
+            def quoted(t: String): String = {
+              require(t.startsWith("'") && t.endsWith("'"),
+                s"<< needs a quoted path, got $t")
+              t.substring(1, t.length - 1)
+            }
+            val df =
+              if (p.peekIs("[")) {
+                p.pop()
+                val locs = Seq.newBuilder[String]
+                var first = true
+                while (!p.peekIs("]")) {
+                  if (!first) { require(p.pop() == ",",
+                    "folio site list separates with commas") }
+                  locs += quoted(p.pop()); first = false
+                }
+                p.pop() // ]
+                val sites = locs.result()
+                require(sites.nonEmpty, "<< [] needs at least one site")
+                graft.io.Folio.federatedRead(spark, sites)
+              } else graft.io.Folio.readSite(spark, quoted(p.pop()))
             require(p.done, s"trailing tokens after <<: ${p.toks.mkString(" ")}")
-            val df = graft.io.Folio.promotedRead(spark, t.substring(1, t.length - 1))
             df.createOrReplaceTempView(name)
             last = Left(df)
           } else if (p.peekIs("select")) {

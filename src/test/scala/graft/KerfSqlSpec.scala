@@ -412,6 +412,42 @@ class KerfSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("partition keys"))
   }
 
+  test("<< [sites] reads a folio of sites, incl. a remote:// socket site") {
+    init
+    val base = java.nio.file.Files.createTempDirectory("kerf_folio_sites").toString
+    KerfSql.run(spark,
+      s"even: select l_orderkey, l_quantity from lineitem_v where l_orderkey % 2 = 0; " +
+      s"odd: select l_orderkey, l_quantity from lineitem_v where l_orderkey % 2 = 1; " +
+      s"even >> '$base/site_a'; odd >> '$base/site_b'")
+    // local+local folio
+    val both = KerfSql.run(spark,
+      s"f: << ['$base/site_a', '$base/site_b']; select count(*) as n from f")
+    val want = Tables.lineitem(spark, sf).count()
+    assert(both.collect().head.getLong(0) == want)
+    // local+remote folio: site_b behind a socket
+    val srv = graft.sources.RemoteTableServer.start(spark, Map("site_b" -> s"$base/site_b"))
+    try {
+      val fed = KerfSql.run(spark,
+        s"g: << ['$base/site_a', 'remote://127.0.0.1:${srv.port}/site_b']; " +
+        "select count(*) as n, sum(l_orderkey) as s from g")
+      val row = fed.collect().head
+      val wantSum = Tables.lineitem(spark, sf)
+        .agg(sum("l_orderkey")).collect().head.getLong(0)
+      assert(row.getLong(0) == want && row.getLong(1) == wantSum)
+      // single remote path works too
+      val solo = KerfSql.run(spark,
+        s"h: << 'remote://127.0.0.1:${srv.port}/site_b'; select count(*) as n from h")
+      val wantOdd = Tables.lineitem(spark, sf)
+        .filter(col("l_orderkey") % 2 === 1).count()
+      assert(solo.collect().head.getLong(0) == wantOdd)
+    } finally srv.stop()
+    // an empty site list names the problem
+    val e = intercept[IllegalArgumentException] {
+      KerfSql.run(spark, "z: << []; select count(*) from z")
+    }
+    assert(e.getMessage.contains("at least one site"))
+  }
+
   test("comparison goldens mirror test.cc:215-226: cross-type and list lexicographic") {
     assert(evalOne("1.2 < 1") == false)        // EXPECT_FALSE(SLOP(1.2) < SLOP(1))
     assert(evalOne("1.2 > 1") == true)
