@@ -248,6 +248,18 @@ final class RemoteTableServer private (tables: Map[String, RemoteTableServer.Ser
         if (keep) aggregate match {
           case Some(agg) =>
             agg.update(i => groupValue(g, i, colTypes(i)))
+            // spill guard: server state is bounded by per-fragment group
+            // cardinality; at the cap, flush the partials accumulated so
+            // far and reset. Emitting MULTIPLE partial rows for one group
+            // is legal by construction — the client-side final aggregate
+            // merges partials, however many arrive (same contract as
+            // Spark's own map-side combine spilling).
+            if (agg.shouldFlush(RemoteTableServer.maxAggGroups)) {
+              agg.drainPartials(m).foreach { arr =>
+                out.write(arr.toString); out.newLine()
+                sent += 1
+              }
+            }
           case None =>
             val arr = m.createArrayNode()
             var i = 0
@@ -312,6 +324,12 @@ final class RemoteTableServer private (tables: Map[String, RemoteTableServer.Ser
 }
 
 object RemoteTableServer {
+
+  /** Spill threshold for remote partial aggregation: at this many
+    * in-flight groups the server flushes partials and resets (multiple
+    * partials per group merge fine client-side). @volatile var so specs
+    * can force tiny caps; 100k groups ≈ a few MB of accumulators. */
+  @volatile var maxAggGroups: Int = 100000
 
   /** Counts bytes that actually hit the socket — the honest measure of
     * what projection/filter/aggregate/codec pushdown saves. Increments
@@ -436,6 +454,19 @@ object RemoteTableServer {
         accs.foreach(_.emit(arr))
         arr
       }
+
+    /** True when grouped state hit the cap (a global agg never flushes —
+      * its single row must survive to the end for the empty-input case). */
+    def shouldFlush(maxGroups: Int): Boolean =
+      groupIdx.nonEmpty && state.size >= maxGroups
+
+    /** Emit current partials and reset — materialize before clearing
+      * (partialRows is a lazy view over the state map). */
+    def drainPartials(m: ObjectMapper): Seq[ArrayNode] = {
+      val rows = partialRows(m).toVector
+      state.clear()
+      rows
+    }
   }
 
   object RemoteAgg {

@@ -196,6 +196,53 @@ class RemoteFolioSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("aggregation spill guard: tiny group cap flushes partials, answer exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_remote_spill").toString
+    val local = spark.read.parquet(s"$sf/customer.parquet")
+    local.repartition(2).write.mode("overwrite").parquet(s"$dir/cust")
+    val srv = RemoteTableServer.start(spark, Map("cust" -> s"$dir/cust"))
+    val oldCap = RemoteTableServer.maxAggGroups
+    try {
+      RemoteTableServer.maxAggGroups = 3 // force many mid-scan flushes
+      val remote = spark.read.format("graft.sources.RemoteFolioSource")
+        .option("endpoint", s"127.0.0.1:${srv.port}").option("table", "cust").load()
+      val before = srv.rowsSent.get()
+      // group by a HIGH-cardinality key so the cap actually bites
+      val got = remote.groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"), sum("c_custkey").as("s"), max("c_acctbal").as("m"))
+        .orderBy("c_nationkey").collect().toSeq
+      val want = local.groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"), sum("c_custkey").as("s"), max("c_acctbal").as("m"))
+        .orderBy("c_nationkey").collect().toSeq
+      assert(got == want)
+      // flushing means MORE partial rows than fragments×groups — proof
+      // the cap fired and the final merge still reassembled exactly
+      val nKeys = local.select("c_nationkey").distinct().count()
+      assert(srv.rowsSent.get() - before > 2 * nKeys,
+        "cap never fired — raise cardinality or lower the cap in this test")
+    } finally {
+      RemoteTableServer.maxAggGroups = oldCap
+      srv.stop()
+    }
+  }
+
+  test("concurrent scans: 8 parallel clients, one server, all exact") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val local = spark.read.parquet(s"$sf/customer.parquet")
+    val wantCount = local.count()
+    val wantSum = local.agg(sum("c_custkey")).collect()(0).getLong(0)
+    val runs = Future.sequence((1 to 8).map { i =>
+      Future {
+        val df = remoteRead("customer")
+        if (i % 2 == 0) df.count() == wantCount
+        else df.agg(sum("c_custkey")).collect()(0).getLong(0) == wantSum
+      }
+    })
+    assert(Await.result(runs, 120.seconds).forall(identity))
+  }
+
   test("wire codec: gzip ships fewer bytes than plain, same answer") {
     val local = spark.read.parquet(s"$sf/customer.parquet").orderBy("c_custkey").collect().toSeq
     def readWith(codec: String) = {
