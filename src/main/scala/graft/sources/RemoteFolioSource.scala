@@ -74,9 +74,21 @@ object RemoteFolioSource {
     (host, port.toInt, table)
   }
 
+  /** Connect with bounded patience — a dead site must fail the task
+    * loudly, never park it forever. Scan readers get a longer read
+    * timeout than plan round-trips: an aggregated scan legitimately
+    * computes a whole fragment before its first byte. */
+  private[sources] def connect(host: String, port: Int,
+                               readTimeoutMs: Int = 120000): Socket = {
+    val sock = new Socket()
+    sock.connect(new java.net.InetSocketAddress(host, port), 10000)
+    sock.setSoTimeout(readTimeoutMs)
+    sock
+  }
+
   /** One plan round-trip: schema DDL + live fragment list. */
   def plan(host: String, port: Int, table: String): PlanInfo = {
-    val sock = new Socket(host, port)
+    val sock = connect(host, port)
     try {
       val out = new BufferedWriter(
         new OutputStreamWriter(sock.getOutputStream, StandardCharsets.UTF_8))
@@ -200,7 +212,7 @@ final class RemoteRowReader(host: String, port: Int, table: String,
                             wireCodec: String = "gzip")
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
-  private val socket = new Socket(host, port)
+  private val socket = RemoteFolioSource.connect(host, port, readTimeoutMs = 600000)
   // request goes first (plain); the response STREAM is optionally
   // gzip-framed (the bus wire-compression flag, bus.h:110), so the
   // reader wraps the input only after the request is on the wire
