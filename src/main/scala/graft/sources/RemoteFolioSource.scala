@@ -448,8 +448,19 @@ object RemoteFilters {
     * filter?" — false only on DEFINITE failure. */
   sealed trait Pred { def col: String; def keeps(v: Any): Boolean }
 
-  /** None = incomparable/unknown. Numbers compare exactly via BigDecimal
-    * (a double is an exact binary rational — no epsilon games). */
+  /** None = incomparable/unknown.
+    *
+    * Floating rows compare in DOUBLE semantics (`Double.compare` against
+    * the literal re-parsed as a double): Catalyst pushed the comparison
+    * on a double column, so double semantics are THE semantics — and a
+    * decimal-exact compare would be subtly wrong the other way: the
+    * binary expansion of a double (`new BigDecimal(0.1d)` = 0.1000…0555…)
+    * is a DIFFERENT decimal than its shortest wire form ("0.1"), so a
+    * row exactly equal to the literal would compare as ">", and `<=`
+    * would definitely-drop the boundary row the client wanted
+    * (under-shipping = wrong results; over-shipping is just bytes).
+    * NaN rows are incomparable → ship, client decides. Integral rows
+    * compare via BigDecimal — exact for any numeric literal. */
   private def cmp(row: Any, lit: JsonNode): Option[Int] = row match {
     case null => None
     case n: java.lang.Long if lit.isNumber =>
@@ -457,9 +468,9 @@ object RemoteFilters {
     case n: java.lang.Integer if lit.isNumber =>
       Some(java.math.BigDecimal.valueOf(n.longValue()).compareTo(lit.decimalValue()))
     case n: java.lang.Double if lit.isNumber && !n.isNaN =>
-      Some(new java.math.BigDecimal(n.doubleValue()).compareTo(lit.decimalValue()))
+      Some(java.lang.Double.compare(n.doubleValue(), lit.asDouble()))
     case n: java.lang.Float if lit.isNumber && !n.isNaN =>
-      Some(new java.math.BigDecimal(n.doubleValue()).compareTo(lit.decimalValue()))
+      Some(java.lang.Double.compare(n.doubleValue(), lit.asDouble()))
     case s: String if lit.isTextual => Some(s.compareTo(lit.asText()))
     case b: java.lang.Boolean if lit.isBoolean =>
       Some(java.lang.Boolean.compare(b.booleanValue(), lit.asBoolean()))

@@ -67,6 +67,26 @@ class RemoteFolioSpec extends SparkSpec {
     assert(remoteRead("customer").count() == expect)
   }
 
+  test("double boundary rows survive remote <=/>=/= (double-semantics compare)") {
+    val local = spark.read.parquet(s"$sf/customer.parquet")
+    // a REAL double from the data: its binary expansion differs from its
+    // shortest decimal form, the exact shape that under-shipped when the
+    // server compared decimals instead of doubles
+    val boundary = local.select("c_acctbal").filter(col("c_acctbal") % 1 =!= 0)
+      .orderBy("c_acctbal").collect()(5).getDouble(0)
+    for (op <- Seq("le", "ge", "eq")) {
+      val f = op match {
+        case "le" => col("c_acctbal") <= boundary
+        case "ge" => col("c_acctbal") >= boundary
+        case "eq" => col("c_acctbal") === boundary
+      }
+      val want = local.filter(f).count()
+      val got = remoteRead("customer").filter(f).count()
+      assert(got == want, s"$op on $boundary: remote $got vs local $want")
+      if (op == "eq") assert(want >= 1, "boundary row must exist for the pin to bite")
+    }
+  }
+
   test("string + IN filters remote-evaluate conservatively") {
     val local = spark.read.parquet(s"$sf/customer.parquet")
     val want = local.filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
@@ -194,6 +214,35 @@ class RemoteFolioSpec extends SparkSpec {
     val want = local.agg(countDistinct("c_nationkey")).collect()(0)
     val got = remoteRead("customer").agg(countDistinct("c_nationkey")).collect()(0)
     assert(got == want)
+  }
+
+  test("remote aggregation null semantics: count skips, sum/min/max null on all-null") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_remote_nulls").toString
+    val rows = Seq[(String, java.lang.Long, java.lang.Double)](
+      ("a", 1L, 1.5), ("a", null, null), ("a", 3L, 0.5),
+      ("b", null, null), ("b", null, null),           // all-null group
+      ("c", 7L, -2.0))
+    val local = rows.toDF("k", "v", "d")
+    local.repartition(2).write.mode("overwrite").parquet(s"$dir/t")
+    val srv = RemoteTableServer.start(spark, Map("t" -> s"$dir/t"))
+    try {
+      val remote = spark.read.format("graft.sources.RemoteFolioSource")
+        .option("endpoint", s"127.0.0.1:${srv.port}").option("table", "t").load()
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("k").agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+            sum(col("v")).as("sv"), sum(col("d")).as("sd"),
+            min(col("v")).as("mn"), max(col("d")).as("mx"))
+          .orderBy("k").collect().toSeq
+      val before = srv.rowsSent.get()
+      val got = agg(remote)
+      assert(got == agg(spark.read.parquet(s"$dir/t")))
+      assert(srv.rowsSent.get() - before <= 2 * 3, "expected pushed partials")
+      // the all-null group: counts 2/0, aggregates null
+      val b = got.find(_.getString(0) == "b").get
+      assert(b.getLong(1) == 2 && b.getLong(2) == 0 && b.isNullAt(3) &&
+             b.isNullAt(4) && b.isNullAt(5) && b.isNullAt(6))
+    } finally srv.stop()
   }
 
   test("aggregation spill guard: tiny group cap flushes partials, answer exact") {
