@@ -57,7 +57,10 @@ class RemoteFolioSource extends TableProvider with DataSourceRegister {
     val codec = Option(opts.get("wirecodec")).getOrElse("gzip")
     require(codec == "gzip" || codec == "none",
       s"remotetable option 'wireCodec' must be 'gzip' or 'none', got '$codec'")
-    new RemoteFolioTable(host, port, table, schema, codec)
+    val format = Option(opts.get("wireformat")).getOrElse("bin")
+    require(format == "bin" || format == "json",
+      s"remotetable option 'wireFormat' must be 'bin' or 'json', got '$format'")
+    new RemoteFolioTable(host, port, table, schema, codec, format)
   }
 }
 
@@ -115,17 +118,19 @@ object RemoteFolioSource {
 
 final class RemoteFolioTable(host: String, port: Int, tableName: String,
                              tableSchema: StructType,
-                             wireCodec: String = "gzip") extends Table with SupportsRead {
+                             wireCodec: String = "gzip",
+                             wireFormat: String = "bin") extends Table with SupportsRead {
   override def name(): String = s"remote://$host:$port/$tableName"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RemoteScanBuilder(host, port, tableName, tableSchema, wireCodec)
+    new RemoteScanBuilder(host, port, tableName, tableSchema, wireCodec, wireFormat)
 }
 
 final class RemoteScanBuilder(host: String, port: Int, table: String,
-                              full: StructType, wireCodec: String = "gzip")
+                              full: StructType, wireCodec: String = "gzip",
+                              wireFormat: String = "bin")
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -167,13 +172,14 @@ final class RemoteScanBuilder(host: String, port: Int, table: String,
   override def build(): Scan =
     new RemoteScan(host, port, table, aggSchema.getOrElse(required),
       pushed.flatMap(f => RemoteFilters.toJson(f)).map(_.toString), aggJson,
-      wireCodec)
+      wireCodec, wireFormat)
 }
 
 final class RemoteScan(host: String, port: Int, table: String,
                        required: StructType, filterJson: Array[String],
                        aggJson: Option[String] = None,
-                       wireCodec: String = "gzip")
+                       wireCodec: String = "gzip",
+                       wireFormat: String = "bin")
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -187,7 +193,7 @@ final class RemoteScan(host: String, port: Int, table: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RemoteReaderFactory(host, port, table, required, filterJson, aggJson,
-      wireCodec)
+      wireCodec, wireFormat)
 }
 
 final case class RemoteFragment(fragment: String) extends InputPartition
@@ -195,12 +201,13 @@ final case class RemoteFragment(fragment: String) extends InputPartition
 final class RemoteReaderFactory(host: String, port: Int, table: String,
                                 schema: StructType, filterJson: Array[String],
                                 aggJson: Option[String] = None,
-                                wireCodec: String = "gzip")
+                                wireCodec: String = "gzip",
+                                wireFormat: String = "bin")
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new RemoteRowReader(host, port, table,
       p.asInstanceOf[RemoteFragment].fragment, schema, filterJson, aggJson,
-      wireCodec)
+      wireCodec, wireFormat)
 }
 
 /** One socket per fragment; rows stream as JSON lines and convert
@@ -209,19 +216,21 @@ final class RemoteRowReader(host: String, port: Int, table: String,
                             fragment: String, schema: StructType,
                             filterJson: Array[String],
                             aggJson: Option[String] = None,
-                            wireCodec: String = "gzip")
+                            wireCodec: String = "gzip",
+                            wireFormat: String = "bin")
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
   private val socket = RemoteFolioSource.connect(host, port, readTimeoutMs = 600000)
-  // request goes first (plain); the response STREAM is optionally
-  // gzip-framed (the bus wire-compression flag, bus.h:110), so the
-  // reader wraps the input only after the request is on the wire
+  // request goes first (plain JSON); the response STREAM is then framed
+  // per the requested codec (gzip, bus.h:110) and format (json|bin,
+  // bus.h:106), so the reader wraps the input only after the request is
+  // on the wire
   locally {
     val out = new BufferedWriter(
       new OutputStreamWriter(socket.getOutputStream, StandardCharsets.UTF_8))
     val req = mapper.createObjectNode()
     req.put("op", "scan"); req.put("table", table); req.put("fragment", fragment)
-    req.put("codec", wireCodec)
+    req.put("codec", wireCodec); req.put("format", wireFormat)
     val cols = req.putArray("columns")
     // aggregated scan: the server derives its input columns from the
     // aggregate spec; `schema` here is the partial-OUTPUT schema (for
@@ -232,15 +241,23 @@ final class RemoteRowReader(host: String, port: Int, table: String,
     aggJson.foreach(j => req.set[ObjectNode]("aggregate", mapper.readTree(j)))
     out.write(req.toString); out.newLine(); out.flush()
   }
-  private val in = new BufferedReader(new InputStreamReader(
+  private val bodyStream: java.io.InputStream =
     if (wireCodec == "gzip") new java.util.zip.GZIPInputStream(socket.getInputStream, 8192)
-    else socket.getInputStream, StandardCharsets.UTF_8))
+    else socket.getInputStream
+  private val jsonIn: BufferedReader =
+    if (wireFormat == "json")
+      new BufferedReader(new InputStreamReader(bodyStream, StandardCharsets.UTF_8))
+    else null
+  private val binIn: java.io.DataInputStream =
+    if (wireFormat == "bin")
+      new java.io.DataInputStream(new java.io.BufferedInputStream(bodyStream, 1 << 16))
+    else null
 
   private val types: Array[DataType] = schema.fields.map(_.dataType)
   private var current: InternalRow = _
 
-  override def next(): Boolean = {
-    val line = in.readLine()
+  private def nextJson(): Boolean = {
+    val line = jsonIn.readLine()
     if (line == null)
       throw new java.io.IOException(
         s"remote server closed the stream mid-scan ($table/$fragment)")
@@ -262,6 +279,37 @@ final class RemoteRowReader(host: String, port: Int, table: String,
       true
     }
   }
+
+  private def nextBin(): Boolean = {
+    val tag =
+      try binIn.readByte()
+      catch {
+        case _: java.io.EOFException =>
+          throw new java.io.IOException(
+            s"remote server closed the stream mid-scan ($table/$fragment)")
+      }
+    tag match {
+      case 0 =>
+        val vals = new Array[Any](types.length)
+        var i = 0
+        while (i < types.length) {
+          vals(i) = RemoteCodec.readBin(binIn, types(i))
+          i += 1
+        }
+        current = new GenericInternalRow(vals)
+        true
+      case 1 => binIn.readLong(); false // done + row count
+      case 2 =>
+        val b = new Array[Byte](binIn.readInt()); binIn.readFully(b)
+        throw new java.io.IOException(
+          s"remote scan failed: ${new String(b, StandardCharsets.UTF_8)}")
+      case other =>
+        throw new java.io.IOException(s"corrupt bin frame: unknown tag $other")
+    }
+  }
+
+  override def next(): Boolean =
+    if (binIn != null) nextBin() else nextJson()
 
   override def get(): InternalRow = current
   override def close(): Unit = socket.close()
@@ -289,6 +337,54 @@ object RemoteCodec {
       case other => throw new UnsupportedOperationException(s"codec: $other")
     }
 
+  /** Binary field form (the `bin` wire format): 1-byte null flag, then
+    * the value big-endian (DataOutput IS network byte order — the bus's
+    * byte-order flag, bus.h:106). Strings/arrays are i32-length-prefixed;
+    * string payloads are raw UTF-8, so the reader materializes
+    * UTF8String.fromBytes with no text round-trip. */
+  def writeBin(o: java.io.DataOutputStream, v: Any, dt: DataType): Unit =
+    if (v == null) o.writeByte(0)
+    else {
+      o.writeByte(1)
+      dt match {
+        case LongType | TimestampType | TimestampNTZType =>
+          o.writeLong(v.asInstanceOf[Long])
+        case IntegerType | DateType => o.writeInt(v.asInstanceOf[Int])
+        case DoubleType             => o.writeDouble(v.asInstanceOf[Double])
+        case FloatType              => o.writeFloat(v.asInstanceOf[Float])
+        case BooleanType            => o.writeBoolean(v.asInstanceOf[Boolean])
+        case StringType =>
+          val b = v.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          o.writeInt(b.length); o.write(b)
+        case ArrayType(et, _) =>
+          val s = v.asInstanceOf[Seq[Any]]
+          o.writeInt(s.length)
+          s.foreach(e => writeBin(o, e, et))
+        case other => throw new UnsupportedOperationException(s"codec: $other")
+      }
+    }
+
+  /** Binary → the Catalyst-internal value (mirror of [[writeBin]]). */
+  def readBin(in: java.io.DataInputStream, dt: DataType): Any =
+    if (in.readByte() == 0) null
+    else dt match {
+      case LongType | TimestampType | TimestampNTZType => in.readLong()
+      case IntegerType | DateType => in.readInt()
+      case DoubleType             => in.readDouble()
+      case FloatType              => in.readFloat()
+      case BooleanType            => in.readBoolean()
+      case StringType =>
+        val b = new Array[Byte](in.readInt()); in.readFully(b)
+        UTF8String.fromBytes(b)
+      case ArrayType(et, _) =>
+        val n = in.readInt()
+        val out = new Array[Any](n)
+        var i = 0
+        while (i < n) { out(i) = readBin(in, et); i += 1 }
+        new GenericArrayData(out)
+      case other => throw new UnsupportedOperationException(s"codec: $other")
+    }
+
   /** JSON → the Catalyst-internal value for `dt` (UTF8String for strings,
     * micros Long for timestamps, days Int for dates, GenericArrayData for
     * arrays). */
@@ -297,8 +393,13 @@ object RemoteCodec {
     else dt match {
       case LongType                         => n.asLong()
       case IntegerType | DateType           => n.asInt()
-      case DoubleType                       => n.asDouble()
-      case FloatType                        => n.floatValue()
+      // Jackson writes non-finite floats as QUOTED tokens ("NaN",
+      // "Infinity") — a bare .asDouble() on a TextNode silently returns
+      // 0.0, corrupting every non-finite value; parse text explicitly
+      case DoubleType =>
+        if (n.isTextual) java.lang.Double.parseDouble(n.asText()) else n.asDouble()
+      case FloatType =>
+        if (n.isTextual) java.lang.Float.parseFloat(n.asText()) else n.floatValue()
       case BooleanType                      => n.asBoolean()
       case StringType                       => UTF8String.fromString(n.asText())
       case TimestampType | TimestampNTZType => n.asLong()

@@ -144,39 +144,94 @@ final class RemoteTableServer private (tables: Map[String, RemoteTableServer.Ser
     out.write(resp.toString); out.newLine()
   }
 
+  /** Scan response emission, independent of transport details. The
+    * server speaks two wire formats (the bus's wire-format flags,
+    * bus.h:106–111): `json` — one JSON array per row, human-greppable;
+    * `bin` — tag-framed big-endian records (DataOutputStream IS network
+    * byte order), no text round-trip. Either composes with the gzip
+    * codec. */
+  private sealed trait Emitter {
+    def row(values: Array[Any], types: Array[DataType]): Unit
+    def done(n: Long): Unit
+    def error(msg: String): Unit
+    def finish(): Unit
+  }
+
+  private final class JsonEmitter(m: ObjectMapper, out: BufferedWriter,
+                                  gz: java.util.zip.GZIPOutputStream) extends Emitter {
+    def row(values: Array[Any], types: Array[DataType]): Unit = {
+      val arr = m.createArrayNode()
+      var i = 0
+      while (i < values.length) { RemoteCodec.addJson(arr, values(i), types(i)); i += 1 }
+      out.write(arr.toString); out.newLine()
+    }
+    def done(n: Long): Unit = {
+      val d = m.createObjectNode(); d.put("done", n)
+      out.write(d.toString); out.newLine()
+    }
+    def error(msg: String): Unit = {
+      val e = m.createObjectNode(); e.put("error", msg)
+      out.write(e.toString); out.newLine()
+    }
+    def finish(): Unit = { out.flush(); if (gz != null) gz.finish() }
+  }
+
+  /** Record framing: tag 0 = row, 1 = done + count(i64), 2 = error +
+    * UTF-8 message (i32 length prefix). Field framing in RemoteCodec. */
+  private final class BinEmitter(out: java.io.DataOutputStream,
+                                 gz: java.util.zip.GZIPOutputStream) extends Emitter {
+    def row(values: Array[Any], types: Array[DataType]): Unit = {
+      out.writeByte(0)
+      var i = 0
+      while (i < values.length) { RemoteCodec.writeBin(out, values(i), types(i)); i += 1 }
+    }
+    def done(n: Long): Unit = { out.writeByte(1); out.writeLong(n) }
+    def error(msg: String): Unit = {
+      out.writeByte(2)
+      val b = msg.getBytes(StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b)
+    }
+    def finish(): Unit = { out.flush(); if (gz != null) gz.finish() }
+  }
+
   private def serveScan(m: ObjectMapper, plainOut: BufferedWriter,
                         rawOut: java.io.OutputStream, req: JsonNode): Unit = {
-    // wire codec (the bus's compression-on-the-wire flag, bus.h:110):
-    // the scan RESPONSE body is gzip-framed when requested; the request
-    // and plan responses stay plain. The codec choice happens FIRST so
-    // that even error responses travel inside the frame the client
-    // expects — a plain error after the client wrapped its input in
-    // GZIPInputStream would surface as frame corruption, not a message.
+    // transport choices happen FIRST so even error responses travel in
+    // the frame/format the client expects — a plain error after the
+    // client wrapped its input in GZIPInputStream would surface as
+    // frame corruption, not a message.
     val codec = {
       val c = if (req.has("codec")) req.path("codec").asText() else "none"
       require(c == "none" || c == "gzip", s"unknown wire codec '$c'")
       c
     }
-    var gzStream: java.util.zip.GZIPOutputStream = null
-    val out: BufferedWriter =
-      if (codec == "gzip") {
-        plainOut.flush() // nothing buffered may trail into the gzip frame
-        gzStream = new java.util.zip.GZIPOutputStream(rawOut, 8192)
-        new BufferedWriter(new java.io.OutputStreamWriter(gzStream, StandardCharsets.UTF_8))
-      } else plainOut
+    val format = {
+      val f = if (req.has("format")) req.path("format").asText() else "json"
+      require(f == "json" || f == "bin", s"unknown wire format '$f'")
+      f
+    }
+    plainOut.flush() // nothing buffered may trail into the framed body
+    val gzStream: java.util.zip.GZIPOutputStream =
+      if (codec == "gzip") new java.util.zip.GZIPOutputStream(rawOut, 8192) else null
+    val body: java.io.OutputStream = if (gzStream != null) gzStream else rawOut
+    val emitter: Emitter =
+      if (format == "bin")
+        new BinEmitter(new java.io.DataOutputStream(
+          new java.io.BufferedOutputStream(body, 1 << 16)), gzStream)
+      else
+        new JsonEmitter(m, new BufferedWriter(
+          new java.io.OutputStreamWriter(body, StandardCharsets.UTF_8)), gzStream)
     try {
-      serveScanBody(m, out, req)
+      serveScanBody(m, emitter, req)
     } catch {
       case e: Throwable =>
-        val err = m.createObjectNode()
-        err.put("error", s"${e.getClass.getSimpleName}: ${e.getMessage}")
-        out.write(err.toString); out.newLine()
+        emitter.error(s"${e.getClass.getSimpleName}: ${e.getMessage}")
     } finally {
-      if (gzStream != null) { out.flush(); gzStream.finish() }
+      emitter.finish()
     }
   }
 
-  private def serveScanBody(m: ObjectMapper, out: BufferedWriter,
+  private def serveScanBody(m: ObjectMapper, out: Emitter,
                             req: JsonNode): Unit = {
     val (_, s) = servedOf(req)
     val fragment = req.path("fragment").asText()
@@ -255,19 +310,19 @@ final class RemoteTableServer private (tables: Map[String, RemoteTableServer.Ser
             // merges partials, however many arrive (same contract as
             // Spark's own map-side combine spilling).
             if (agg.shouldFlush(RemoteTableServer.maxAggGroups)) {
-              agg.drainPartials(m).foreach { arr =>
-                out.write(arr.toString); out.newLine()
+              agg.drainPartials().foreach { vals =>
+                out.row(vals, agg.outTypes)
                 sent += 1
               }
             }
           case None =>
-            val arr = m.createArrayNode()
+            val vals = new Array[Any](inputCols.length)
             var i = 0
             while (i < inputCols.length) {
-              RemoteCodec.addJson(arr, groupValue(g, i, colTypes(i)), colTypes(i))
+              vals(i) = groupValue(g, i, colTypes(i))
               i += 1
             }
-            out.write(arr.toString); out.newLine()
+            out.row(vals, colTypes)
             sent += 1
         }
         g = reader.read()
@@ -275,15 +330,13 @@ final class RemoteTableServer private (tables: Map[String, RemoteTableServer.Ser
     } finally reader.close()
     // aggregated scan: one partial row per group crosses the wire
     aggregate.foreach { agg =>
-      agg.partialRows(m).foreach { arr =>
-        out.write(arr.toString); out.newLine()
+      agg.partialRows.foreach { vals =>
+        out.row(vals, agg.outTypes)
         sent += 1
       }
     }
     rowsSent.addAndGet(sent)
-    val done = m.createObjectNode()
-    done.put("done", sent)
-    out.write(done.toString); out.newLine()
+    out.done(sent)
   }
 
   /** Extract field `idx` of a Group as a plain JVM value per the Spark
@@ -444,15 +497,18 @@ object RemoteTableServer {
       }
     }
 
-    def partialRows(m: ObjectMapper): Iterator[ArrayNode] =
+    /** Output schema of one partial row: group keys then agg values. */
+    val outTypes: Array[DataType] =
+      groupTypes ++ aggs.zipWithIndex.map { case ((fn, _), i) =>
+        Acc.outTypeOf(fn, aggInTypes(i)) }
+
+    def partialRows: Iterator[Array[Any]] =
       state.iterator.map { case (key, accs) =>
-        val arr = m.createArrayNode()
+        val row = new Array[Any](key.length + accs.length)
         var i = 0
-        while (i < key.length) {
-          RemoteCodec.addJson(arr, key(i), groupTypes(i)); i += 1
-        }
-        accs.foreach(_.emit(arr))
-        arr
+        while (i < key.length) { row(i) = key(i); i += 1 }
+        accs.foreach { a => row(i) = a.value; i += 1 }
+        row
       }
 
     /** True when grouped state hit the cap (a global agg never flushes —
@@ -462,8 +518,8 @@ object RemoteTableServer {
 
     /** Emit current partials and reset — materialize before clearing
       * (partialRows is a lazy view over the state map). */
-    def drainPartials(m: ObjectMapper): Seq[ArrayNode] = {
-      val rows = partialRows(m).toVector
+    def drainPartials(): Seq[Array[Any]] = {
+      val rows = partialRows.toVector
       state.clear()
       rows
     }
@@ -495,13 +551,14 @@ object RemoteTableServer {
     }
   }
 
-  /** One accumulator. Emission types must match what Spark's rewritten
+  /** One accumulator. `outType`/`value` must match what Spark's rewritten
     * final aggregate expects positionally: count→long, sum(integral)→
     * long (wrapping, like non-ANSI partial Sum), sum(fractional)→double,
     * min/max→input type. */
   sealed private[sources] trait Acc {
     def add(v: Any): Unit
-    def emit(arr: ArrayNode): Unit
+    def value: Any
+    def outType: DataType
   }
   private[sources] object Acc {
     def of(fn: String, dt: DataType): Acc = fn match {
@@ -515,11 +572,13 @@ object RemoteTableServer {
       case "min" => new ExtremeAcc(dt, wantMax = false)
       case "max" => new ExtremeAcc(dt, wantMax = true)
     }
+    def outTypeOf(fn: String, dt: DataType): DataType = of(fn, dt).outType
   }
   private final class CountAcc(countNulls: Boolean) extends Acc {
     private var n = 0L
     def add(v: Any): Unit = if (countNulls || v != null) n += 1
-    def emit(arr: ArrayNode): Unit = { arr.add(n); () }
+    def value: Any = n
+    def outType: DataType = LongType
   }
   private final class LongSumAcc extends Acc {
     private var seen = false; private var s = 0L
@@ -529,7 +588,8 @@ object RemoteTableServer {
       case i: java.lang.Integer => seen = true; s += i.longValue()
       case other => throw new UnsupportedOperationException(s"sum over $other")
     }
-    def emit(arr: ArrayNode): Unit = { if (seen) arr.add(s) else arr.addNull(); () }
+    def value: Any = if (seen) s else null
+    def outType: DataType = LongType
   }
   private final class DoubleSumAcc extends Acc {
     private var seen = false; private var s = 0.0
@@ -539,7 +599,8 @@ object RemoteTableServer {
       case f: java.lang.Float  => seen = true; s += f.doubleValue()
       case other => throw new UnsupportedOperationException(s"sum over $other")
     }
-    def emit(arr: ArrayNode): Unit = { if (seen) arr.add(s) else arr.addNull(); () }
+    def value: Any = if (seen) s else null
+    def outType: DataType = DoubleType
   }
   /** Min/max with Spark's orderings: numeric natural order (NaN greatest,
     * java.lang.Double.compare), strings by UTF8 binary order. */
@@ -562,7 +623,8 @@ object RemoteTableServer {
     def add(v: Any): Unit =
       if (v != null && (best == null || (if (wantMax) cmp(v, best) > 0 else cmp(v, best) < 0)))
         best = v
-    def emit(arr: ArrayNode): Unit = RemoteCodec.addJson(arr, best, dt)
+    def value: Any = best
+    def outType: DataType = dt
   }
 
   // one shared server per served directory, for queries that re-run in the

@@ -292,6 +292,50 @@ class RemoteFolioSpec extends SparkSpec {
     assert(Await.result(runs, 120.seconds).forall(identity))
   }
 
+  test("wire formats: bin (default) == json, bytes smaller, arrays/nulls exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_remote_fmt").toString
+    // nulls, non-ASCII strings, arrays — the cases a codec gets wrong
+    Seq[(java.lang.Long, String, Array[Float])](
+      (1L, "plain", Array(1.5f, -2.25f)),
+      (2L, null, null),
+      (3L, "uniçødé ☃", Array(Float.NaN, 0f)),
+      (4L, "", Array.empty[Float]))
+      .toDF("id", "s", "v").write.mode("overwrite").parquet(s"$dir/t")
+    val srv = RemoteTableServer.start(spark, Map("t" -> s"$dir/t"))
+    try {
+      def read(fmt: String) = {
+        val b0 = srv.bytesSent.get()
+        val rows = spark.read.format("graft.sources.RemoteFolioSource")
+          .option("endpoint", s"127.0.0.1:${srv.port}").option("table", "t")
+          .option("wireFormat", fmt).option("wireCodec", "none").load()
+          .orderBy("id").collect().toSeq
+        (rows, srv.bytesSent.get() - b0)
+      }
+      val (jsonRows, _) = read("json")
+      val (binRows, _) = read("bin")
+      // NaN != NaN under Seq[Float] equality — compare rendered rows
+      // (NaN prints "NaN"), which is also what the oracle hash does
+      assert(binRows.map(_.toString) == jsonRows.map(_.toString))
+      assert(jsonRows.map(_.toString) ==
+        spark.read.parquet(s"$dir/t").orderBy("id").collect().toSeq.map(_.toString))
+      // NaN survives binary (json needs the textual-NaN parse; pin both)
+      val r3 = binRows.find(_.getLong(0) == 3L).get
+      assert(r3.getSeq[Float](2).head.isNaN)
+    } finally srv.stop()
+    // byte win belongs to REALISTIC shapes (text floats are long): the
+    // embeddings table, uncompressed, must ship smaller in binary
+    def bytesOf(fmt: String): Long = {
+      val b0 = server.bytesSent.get()
+      spark.read.format("graft.sources.RemoteFolioSource")
+        .option("endpoint", s"127.0.0.1:${server.port}").option("table", "embeddings")
+        .option("wireFormat", fmt).option("wireCodec", "none").load().collect()
+      server.bytesSent.get() - b0
+    }
+    val jb = bytesOf("json"); val bb = bytesOf("bin")
+    assert(bb < jb, s"bin shipped $bb vs json $jb on embeddings — framing not engaged")
+  }
+
   test("wire codec: gzip ships fewer bytes than plain, same answer") {
     val local = spark.read.parquet(s"$sf/customer.parquet").orderBy("c_custkey").collect().toSeq
     def readWith(codec: String) = {
