@@ -2043,8 +2043,10 @@ object Queries {
     * sketch-union merges are commutative/associative, and the GK flag's
     * rank bounds dwarf both its rank error (1e-4) and merge-order
     * wobble. Reference: sketch-shaped summaries are the scale substitute
-    * for Kerf's exact in-memory distinct/median idioms (verbs.cc med/
-    * countd). */
+    * for the exact in-memory idioms the reference builds on SET-dedup
+    * and grade (presented.cc:475–503 dedup-on-append; grade.cc order
+    * statistics) — exact is fine in one address space, mergeable state
+    * is what distributes. */
   val q120_sketch_agg: Q = (s, dir) => {
     val li = Tables.lineitem(s, dir)
       .select(col("l_returnflag"), col("l_orderkey"), col("l_quantity"))
