@@ -180,20 +180,35 @@ final class RemoteScan(host: String, port: Int, table: String,
                        aggJson: Option[String] = None,
                        wireCodec: String = "gzip",
                        wireFormat: String = "bin")
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"RemoteScan remote://$host:$port/$table cols=[${required.fieldNames.mkString(",")}]" +
       aggJson.map(j => s" pushedAggregate=$j").getOrElse("")
 
+  // ---- runtime (DPP-style) filtering: a broadcast join against a
+  // filtered dim hands this scan the dim-side key set at RUN time;
+  // shipping it to the site turns a full fact scan into a semi-join
+  // scan. Same conservative contract as static filters: the join above
+  // re-verifies every row, so the remote evaluation only sheds wire
+  // bytes. Never offered on an aggregated scan — its output rows are
+  // partials, not fact rows.
+  private var runtimeFilterJson: Array[String] = Array.empty
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (aggJson.isDefined) Array.empty
+    else required.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeFilterJson = filters.flatMap(f => RemoteFilters.toJson(f)).map(_.toString)
+
   override def planInputPartitions(): Array[InputPartition] =
     RemoteFolioSource.plan(host, port, table).fragments
       .map(f => RemoteFragment(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RemoteReaderFactory(host, port, table, required, filterJson, aggJson,
-      wireCodec, wireFormat)
+    new RemoteReaderFactory(host, port, table, required,
+      filterJson ++ runtimeFilterJson, aggJson, wireCodec, wireFormat)
 }
 
 final case class RemoteFragment(fragment: String) extends InputPartition

@@ -292,6 +292,29 @@ class RemoteFolioSpec extends SparkSpec {
     assert(Await.result(runs, 120.seconds).forall(identity))
   }
 
+  test("runtime (DPP-style) filtering: broadcast-join key set prunes the remote scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_remote_dpp").toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    li.repartition(4).write.mode("overwrite").parquet(s"$dir/li")
+    li.select("l_orderkey").distinct().write.mode("overwrite").parquet(s"$dir/dim")
+    val srv = RemoteTableServer.start(spark, Map("li" -> s"$dir/li"))
+    try {
+      val fact = spark.read.format("graft.sources.RemoteFolioSource")
+        .option("endpoint", s"127.0.0.1:${srv.port}").option("table", "li").load()
+      val dim = spark.read.parquet(s"$dir/dim").filter(col("l_orderkey") < 50)
+      val total = li.count()
+      val before = srv.rowsSent.get()
+      val got = fact.join(broadcast(dim), "l_orderkey")
+        .agg(count(lit(1)), sum("l_quantity")).collect()(0)
+      val shipped = srv.rowsSent.get() - before
+      val want = li.join(broadcast(dim), "l_orderkey")
+        .agg(count(lit(1)), sum("l_quantity")).collect()(0)
+      assert(got == want)
+      assert(shipped < total,
+        s"runtime filter never reached the site: shipped $shipped of $total rows")
+    } finally srv.stop()
+  }
+
   test("wire formats: bin (default) == json, bytes smaller, arrays/nulls exact") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_remote_fmt").toString
