@@ -140,7 +140,11 @@ final class RemoteTableServer private (tables: Map[String, RemoteTableServer.Ser
     val resp = m.createObjectNode()
     resp.put("schema", s.schema.toDDL)
     val frags = resp.putArray("fragments")
-    s.listFragments().foreach(frags.add)
+    val list = s.listFragments()
+    list.foreach(frags.add)
+    // on-disk bytes, so the client's optimizer can SIZE the site (a
+    // small remote table broadcasts instead of shuffling the fact side)
+    resp.put("bytes", list.map(f => new java.io.File(f).length()).sum)
     out.write(resp.toString); out.newLine()
   }
 

@@ -292,6 +292,30 @@ class RemoteFolioSpec extends SparkSpec {
     assert(Await.result(runs, 120.seconds).forall(identity))
   }
 
+  test("reported statistics: a small remote dim BROADCASTS without a hint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_remote_stats").toString
+    spark.read.parquet(s"$sf/nation.parquet").write.mode("overwrite").parquet(s"$dir/nation")
+    val srv = RemoteTableServer.start(spark, Map("nation" -> s"$dir/nation"))
+    try {
+      val dim = spark.read.format("graft.sources.RemoteFolioSource")
+        .option("endpoint", s"127.0.0.1:${srv.port}").option("table", "nation").load()
+      val fact = spark.read.parquet(s"$sf/customer.parquet")
+      // NO broadcast() hint: the optimizer must size the remote side
+      // from the reported statistics (without them a DSv2 relation is
+      // "huge" and this join would sort-merge/shuffle-hash)
+      val joined = fact.join(dim, fact("c_nationkey") === dim("n_nationkey"))
+        .groupBy("n_name").count()
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+        s"remote dim did not broadcast — statistics not reaching the optimizer:\n$plan")
+      val want = fact.join(spark.read.parquet(s"$sf/nation.parquet"),
+          fact("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").count().orderBy("n_name").collect().toSeq
+      assert(joined.orderBy("n_name").collect().toSeq == want)
+    } finally srv.stop()
+  }
+
   test("runtime (DPP-style) filtering: broadcast-join key set prunes the remote scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_remote_dpp").toString
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
