@@ -1457,5 +1457,40 @@ object Oracles {
          WHERE i.pos <= 8
          GROUP BY 1, 3
          ORDER BY group_key, pos""",
+
+    // SemDeDup victims: the q55-proven planted-replica closed form —
+    // organic pairwise cosine ≲ 0.6 (FIXTURES.md §3) so at τ=0.95 the
+    // only victims are the planted exact copies (cos rounds to 1.0),
+    // witnessed by their originals. Cluster assignment cannot split an
+    // identical pair, so the k-means stage is answer-invariant here.
+    "q122_semdedup" ->
+      """SELECT vec_id + 10000000 AS dropped_id, vec_id AS witness_id,
+                CAST(1.0 AS DOUBLE) AS cos
+         FROM embeddings WHERE vec_id % 20 = 0
+         ORDER BY dropped_id""",
+
+    // streaming session_window vs the batch lag-window island rule: the
+    // two boundary conventions differ only when a consecutive gap is
+    // EXACTLY 30min (session_window's end is exclusive; the lag rule's
+    // `>` keeps it) — measured zero such pairs at every sf (seeded
+    // fixture), so closed sessions agree exactly
+    "q123_stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+         flagged AS (
+           SELECT user_id, ts_us,
+                  CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                       WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+                       ELSE 0 END AS new_session
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+         sessions AS (
+           SELECT user_id, ts_us,
+                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM flagged)
+         SELECT user_id, min(ts_us) AS session_start,
+                count(*) AS n_events,
+                max(ts_us) - min(ts_us) AS duration_us
+         FROM sessions GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
   )
 }

@@ -2079,6 +2079,38 @@ object Queries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** SemDeDup — cluster-then-prune SEMANTIC dedup (Abbas et al. 2023):
+    * k-means over the embedding space, exact cosine only within each
+    * cluster, drop anything with a lower-id cluster-mate at cos ≥ 0.95.
+    * Same planted-replica closed form as q55: organic pairwise cosine is
+    * ≲ 0.6 (FIXTURES.md §3), replicas sit at exactly 1.0 and always
+    * share their original's cluster (assignment is a pure function of
+    * the vector), so the victims are precisely the planted copies with
+    * their originals as witnesses. */
+  val q122_semdedup: Q = (s, dir) => {
+    val base = Tables.embeddings(s, dir)
+    val planted = base.filter(col("vec_id") % 20 === 0)
+      .withColumn("vec_id", col("vec_id") + lit(10000000L))
+    llm.Similarity.semDedupVictims(
+        Tables.fanOut(base.unionByName(planted)),
+        threshold = 0.95, nClusters = 8, iters = 2)
+      .orderBy(col("dropped_id"))
+  }
+
+  /** STREAMING sessionization (`session_window` + watermark) — the q43
+    * batch island-detection run as a stateful stream over the same
+    * bounded replay; sessions merge across micro-batches in the state
+    * store. Oracle is the batch lag-window formulation: closed sessions
+    * must agree exactly (session_window.end = last event + gap, so
+    * duration = end - start - gap). */
+  val q123_stream_sessions: Q = (s, dir) => {
+    val sess = streaming.EventStream.sessionsByUser(
+      streaming.EventStream.readEvents(s, dir), gapMinutes = 30)
+    streaming.EventStream.runToCompletion(s, sess,
+        s"stream_sessions_${System.nanoTime}")
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2201,5 +2233,7 @@ object Queries {
     "q119_remote_folio"  -> q119_remote_folio,
     "q120_sketch_agg"    -> q120_sketch_agg,
     "q121_remote_agg"    -> q121_remote_agg,
+    "q122_semdedup"      -> q122_semdedup,
+    "q123_stream_sessions" -> q123_stream_sessions,
   )
 }

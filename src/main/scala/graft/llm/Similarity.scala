@@ -677,4 +677,72 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("cand_id"), col("sim"))
   }
+
+  // ----- SemDeDup: cluster-then-prune semantic deduplication -----
+
+  /** SemDeDup victims (Abbas et al. 2023, arXiv:2303.09540 — the
+    * published cluster-then-prune recipe for semantic dedup of web-scale
+    * training corpora): k-means-cluster the embeddings, then compute
+    * exact cosine ONLY within each cluster and drop every vector that has
+    * a lower-id cluster-mate at cosine ≥ `threshold`. Returns one row per
+    * dropped vector: `(dropped_id, witness_id, cos)` where the witness is
+    * the smallest qualifying id (deterministic min-struct partial agg,
+    * same witness election as [[graft.llm.Dedup.keepBestPerCluster]]).
+    *
+    * Why this shape at 100 TB: the quadratic never touches the corpus —
+    * pair generation is an equi-shuffle on `list_id`, so cost is
+    * Σ|cluster|² with `nClusters` the dial (SemDeDup's own point: 50k
+    * clusters over 5B embeddings keeps clusters ~100k). Clusters larger
+    * than `maxCluster` pass through UN-deduped (conservative, same
+    * recall-guard semantics as [[cosineNearDupPairs]]'s `maxBucket`:
+    * a degenerate mega-cluster — embedding collapse, all-zero vectors —
+    * would otherwise quadratically explode; the guard trades recall on
+    * that cluster for a bounded plan, and the caller can re-run its
+    * members with a larger `nClusters`).
+    *
+    * EXACT duplicates always land in the same cluster (assignment is a
+    * pure function of the vector), so the guard never splits an
+    * identical pair. NULL embeddings carry no geometry: never dropped,
+    * never witnesses (the [[trainCentroids]]/[[pqCodes]] contract). */
+  def semDedupVictims(df: DataFrame, threshold: Double,
+                      nClusters: Int = 16, iters: Int = 1,
+                      maxCluster: Int = 1 << 17,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.ops.Caches
+    val (acq, own) = Caches.acquire(df)
+    val cand = acq.filter(col(vecCol).isNotNull)
+    val centroids = trainCentroids(cand, nClusters, idCol, vecCol, iters)
+    val assigned = assignLists(cand, centroids, idCol, vecCol)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"), col("list_id"))
+      .persist(Caches.lvl)
+    val oversize = assigned.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxCluster)
+    val guarded = assigned.join(broadcast(oversize.select(col("list_id"))),
+      Seq("list_id"), "left_anti")
+    val a = guarded.select(col("list_id"), col("__id").as("id_a"), col("__v").as("__va"))
+    val b = guarded.select(col("list_id"), col("__id").as("id_b"), col("__v").as("__vb"))
+    val victims = a.join(b, Seq("list_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("__va"), col("__vb")), 6))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("id_b"))
+      .agg(min(struct(col("id_a"), col("cos"))).as("__w"))
+      .select(col("id_b").as("dropped_id"),
+              col("__w.id_a").as("witness_id"), col("__w.cos").as("cos"))
+    val out = Caches.seal(victims, assigned)
+    if (own) acq.unpersist(false)
+    out
+  }
+
+  /** SemDeDup survivors: the input minus [[semDedupVictims]] (anti-join
+    * on a victim list orders of magnitude smaller than the corpus).
+    * NULL-embedding rows pass through. */
+  def semDedup(df: DataFrame, threshold: Double,
+               nClusters: Int = 16, iters: Int = 1,
+               maxCluster: Int = 1 << 17,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val victims = semDedupVictims(df, threshold, nClusters, iters,
+      maxCluster, idCol, vecCol)
+    df.join(victims.select(col("dropped_id").as(idCol)), Seq(idCol), "left_anti")
+  }
 }

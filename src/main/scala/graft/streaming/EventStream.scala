@@ -41,6 +41,28 @@ object EventStream {
       .select(unix_timestamp(col("window.start")).as("bucket"),
               col("event_type"), col("n"), col("sum_value"), col("low"), col("high"))
 
+  /** STREAMING sessionization — the q43 batch island-detection as a
+    * `session_window` streaming aggregation (SURVEY §2.9's session-window
+    * row): per-user sessions close `gap` after the last event, merging
+    * across micro-batches in the state store; watermark bounds how long
+    * an open session can wait for stragglers. Emits the same
+    * (user_id, session_start, n_events, duration_us) rows as the batch
+    * window-lag formulation: `session_window.end` is last-event + gap, so
+    * the span is `end - start - gap`. At scale state is one open session
+    * per active user — eviction is the watermark, not table size. */
+  def sessionsByUser(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+              unix_micros(col("session_window.start")).as("session_start"),
+              col("n_events"),
+              (unix_micros(col("session_window.end"))
+                - unix_micros(col("session_window.start")) - gapUs).as("duration_us"))
+  }
+
   /** Run a streaming aggregation to completion against the bounded
     * fixture and hand back the result as a normal DataFrame (memory
     * sink). This is the bridge Verify/tests use.

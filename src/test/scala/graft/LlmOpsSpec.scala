@@ -682,6 +682,71 @@ class LlmOpsSpec extends SparkSpec {
       "trainCentroids must be deterministic at fixed iters")
   }
 
+  test("semDedup: cluster-then-prune drops exactly the planted copies") {
+    // organic corpus: 30 seeded random 16-dim vectors; margin asserted
+    // (max organic cosine < 0.9), so at τ=0.95 the only qualifying pairs
+    // are the planted exact copies — victims/witnesses are closed-form
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val base = (0 until 30).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextFloat() - 0.5f)))
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def sim(a: Seq[Float], b: Seq[Float]): Double =
+      dot(a, b) / math.sqrt(dot(a, a)) / math.sqrt(dot(b, b))
+    val maxOrganic = (for ((ia, va) <- base; (ib, vb) <- base if ia < ib)
+                      yield sim(va, vb)).max
+    assert(maxOrganic < 0.9, s"fixture margin broke: $maxOrganic")
+    // two copies of 8 also near-dup EACH OTHER; min-witness must still
+    // elect the original (8 < 101)
+    val copies = Seq(3, 8, 8, 21).zipWithIndex.map { case (src, i) =>
+      ((100 + i).toLong, base(src)._2) }
+    val all = (base ++ copies).toDF("vec_id", "embedding")
+    val victims = Similarity.semDedupVictims(all, threshold = 0.95,
+        nClusters = 5, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(victims == Set((100L, 3L, 1.0), (101L, 8L, 1.0),
+                          (102L, 8L, 1.0), (103L, 21L, 1.0)),
+      s"victims=$victims")
+    val kept = Similarity.semDedup(all, threshold = 0.95,
+        nClusters = 5, iters = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until 30L).toSet)
+  }
+
+  test("semDedup: maxCluster guard passes oversized clusters through un-deduped") {
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 20).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() - 0.5f)))
+    val all = (base :+ (100L, base(5)._2)).toDF("vec_id", "embedding")
+    // every cluster oversized at maxCluster=1 → conservative no-drop
+    val victims = Similarity.semDedupVictims(all, threshold = 0.95,
+        nClusters = 4, iters = 1, maxCluster = 1)
+    assert(victims.count() == 0)
+    // and the survivor form then keeps everything
+    assert(Similarity.semDedup(all, threshold = 0.95, nClusters = 4,
+      iters = 1, maxCluster = 1).count() == 21)
+  }
+
+  test("semDedup: NULL embeddings pass through — never victims, never witnesses") {
+    val rnd = new scala.util.Random(13)
+    val base = (0 until 12).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() - 0.5f)))
+    val withNull = base.map { case (id, v) => (id, Option(v)) } ++
+      Seq((50L, Option.empty[Seq[Float]]), (51L, Option(base(2)._2)))
+    val df = withNull.toDF("vec_id", "embedding")
+    val victims = Similarity.semDedupVictims(df, threshold = 0.95,
+        nClusters = 3, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(victims == Set((51L, 2L)))
+    val kept = Similarity.semDedup(df, threshold = 0.95, nClusters = 3, iters = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(50L) && !kept.contains(51L) && kept.size == 13)
+  }
+
   test("fingerprint survives small edits (winnowing overlap)") {
     val fp = TextOps.fingerprint(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap

@@ -230,8 +230,10 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q112_stratum_cap")
     assert(p.contains("WindowGroupLimit"),
       s"rank filter not rewritten to a pre-shuffle group limit:\n$p")
-    assert("WindowGroupLimit.*Partial|Partial.*WindowGroupLimit".r
-      .findFirstIn(p.replaceAll("\n", " ")).isDefined,
+    // per-line match so the Partial mode must appear on the
+    // WindowGroupLimit node itself, not anywhere else in the plan
+    assert(p.linesIterator.exists(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial")),
       s"no PARTIAL (map-side) group limit in plan:\n$p")
   }
 

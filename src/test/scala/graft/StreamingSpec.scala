@@ -80,6 +80,18 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("sessionsByUser: full row parity with the batch lag-window sessionization") {
+    // stronger than the count-parity pin above: every closed session's
+    // (start, n_events, duration) must agree with the batch q43 islands
+    val got = Queries.q123_stream_sessions(spark, sf).collect().toSeq
+    val want = Queries.q43_sessionize(spark, sf)
+      .select(col("user_id"), col("session_start"), col("n_events"), col("duration_us"))
+      .orderBy(col("user_id"), col("session_start"))
+      .collect().toSeq
+    assert(got.size == want.size, s"session count: ${got.size} vs ${want.size}")
+    assert(got == want)
+  }
+
   test("streaming dedup with watermark drops replayed event ids") {
     import org.apache.spark.sql.functions._
     val ev = EventStream.readEvents(spark, sf)
