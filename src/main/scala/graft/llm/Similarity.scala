@@ -708,6 +708,17 @@ object Similarity {
                       nClusters: Int = 16, iters: Int = 1,
                       maxCluster: Int = 1 << 17,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (victims, caches) = semDedupVictimsPlan(df, threshold, nClusters,
+      iters, maxCluster, idCol, vecCol)
+    graft.ops.Caches.seal(victims, caches: _*)
+  }
+
+  /** The lazy plan behind [[semDedupVictims]] — exposed for plan-shape
+    * tests (see [[ivfTopKPlan]]). */
+  private[graft] def semDedupVictimsPlan(df: DataFrame, threshold: Double,
+                      nClusters: Int = 16, iters: Int = 1,
+                      maxCluster: Int = 1 << 17,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, Seq[DataFrame]) = {
     import graft.ops.Caches
     val (acq, own) = Caches.acquire(df)
     val cand = acq.filter(col(vecCol).isNotNull)
@@ -729,9 +740,7 @@ object Similarity {
       .agg(min(struct(col("id_a"), col("cos"))).as("__w"))
       .select(col("id_b").as("dropped_id"),
               col("__w.id_a").as("witness_id"), col("__w.cos").as("cos"))
-    val out = Caches.seal(victims, assigned)
-    if (own) acq.unpersist(false)
-    out
+    (victims, if (own) Seq(assigned, acq) else Seq(assigned))
   }
 
   /** SemDeDup survivors: the input minus [[semDedupVictims]] (anti-join

@@ -1011,6 +1011,7 @@ object KerfSql {
         // not a call/operator shape.
         case "dedup"   if pipelineVerbForm(toks) => p.pop(); last = Left(runDedup(spark, p, near = false))
         case "neardup" if pipelineVerbForm(toks) => p.pop(); last = Left(runDedup(spark, p, near = true))
+        case "semdedup" if pipelineVerbForm(toks) => p.pop(); last = Left(runSemDedup(spark, p))
         case "sample"  if pipelineVerbForm(toks) => p.pop(); last = Left(runSample(spark, p))
         case "shard"   if pipelineVerbForm(toks) => p.pop(); last = Left(runShard(spark, p))
         case "cap"     if pipelineVerbForm(toks) => p.pop(); last = Left(runCap(spark, p))
@@ -1199,17 +1200,19 @@ object KerfSql {
             df.createOrReplaceTempView(name)
             last = Left(df)
           } else if ((p.peekIs("dedup") || p.peekIs("neardup") ||
+                      p.peekIs("semdedup") ||
                       p.peekIs("sample") || p.peekIs("shard") || p.peekIs("cap")) &&
                      pipelineVerbForm(p.toks)) {
             // table-valued pipeline verbs assign like a select: the
             // result registers as a temp view for later `from` clauses
             val verb = p.pop().toLowerCase
             val df = verb match {
-              case "dedup"   => runDedup(spark, p, near = false)
-              case "neardup" => runDedup(spark, p, near = true)
-              case "sample"  => runSample(spark, p)
-              case "shard"   => runShard(spark, p)
-              case "cap"     => runCap(spark, p)
+              case "dedup"    => runDedup(spark, p, near = false)
+              case "neardup"  => runDedup(spark, p, near = true)
+              case "semdedup" => runSemDedup(spark, p)
+              case "sample"   => runSample(spark, p)
+              case "shard"    => runShard(spark, p)
+              case "cap"      => runCap(spark, p)
             }
             df.createOrReplaceTempView(name)
             last = Left(df)
@@ -1873,6 +1876,44 @@ object KerfSql {
     } else base
     require(p.done,
       s"trailing tokens in ${if (near) "neardup" else "dedup"}: ${p.toks.mkString(" ")}")
+    out
+  }
+
+  /** `semdedup t by id on vec [within τ] [clusters k] [keep] [order …]`
+    * → [[graft.llm.Similarity.semDedupVictims]] (SemDeDup, Abbas et al.
+    * 2023): k-means the embedding space, exact cosine within clusters
+    * only, drop anything with a lower-id cluster-mate at cos ≥ τ
+    * (default 0.95, the paper's near-1 posture; `clusters` defaults 16).
+    * Returns the victim list (dropped_id, witness_id, cos); with `keep`
+    * it returns the SURVIVING rows instead — the same victims/survivors
+    * duality as `neardup … keep best`. */
+  private def runSemDedup(spark: SparkSession, p: P): DataFrame = {
+    val df = spark.table(p.pop())
+    p.expect("by"); val idCol = p.pop()
+    p.expect("on"); val vecCol = p.pop()
+    var tau = 0.95
+    if (p.peekIs("within")) { p.pop(); tau = p.pop().toDouble }
+    var k = 16
+    if (p.peekIs("clusters")) {
+      p.pop()
+      val t = p.pop()
+      require(t.forall(_.isDigit) && t.toInt > 0,
+        s"semdedup … clusters needs a positive count, got $t")
+      k = t.toInt
+    }
+    val keep = if (p.peekIs("keep")) { p.pop(); true } else false
+    val base =
+      if (keep) graft.llm.Similarity.semDedup(df, tau, nClusters = k,
+        idCol = idCol, vecCol = vecCol)
+      else graft.llm.Similarity.semDedupVictims(df, tau, nClusters = k,
+        idCol = idCol, vecCol = vecCol)
+    val out = if (p.peekIs("order")) {
+      p.pop()
+      val cols = scala.collection.mutable.ArrayBuffer[String](p.pop())
+      while (p.peekIs(",")) { p.pop(); cols += p.pop() }
+      base.orderBy(cols.toSeq.map(col): _*)
+    } else base
+    require(p.done, s"trailing tokens in semdedup: ${p.toks.mkString(" ")}")
     out
   }
 

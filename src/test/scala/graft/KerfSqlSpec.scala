@@ -862,6 +862,28 @@ class KerfSqlSpec extends SparkSpec {
     assert(got.collect().toSeq == want.collect().toSeq)
   }
 
+  test("semdedup verb: planted replicas are the exact victim set; keep returns survivors") {
+    val base = Tables.embeddings(spark, sf)
+    val planted = base.filter(col("vec_id") % 20 === 0)
+      .withColumn("vec_id", col("vec_id") + lit(10000000L))
+    base.unionByName(planted).createOrReplaceTempView("emb_kv")
+    // closed-form golden (not an API-parity pin): organic cosine ≲ 0.48
+    // at this sf (probed), so at τ=0.95 victims are exactly the replicas
+    val got = KerfSql.run(spark,
+        "semdedup emb_kv by vec_id on embedding within 0.95 clusters 8 order dropped_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val wantIds = base.filter(col("vec_id") % 20 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == wantIds.map(id => (id + 10000000L, id, 1.0)))
+    val kept = KerfSql.run(spark, "semdedup emb_kv by vec_id on embedding keep")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == base.select("vec_id").collect().map(_.getLong(0)).toSet)
+    intercept[Exception] { KerfSql.run(spark, "semdedup emb_kv on embedding") }
+    intercept[Exception] {
+      KerfSql.run(spark, "semdedup emb_kv by vec_id on embedding clusters -3")
+    }
+  }
+
   test("dedup/neardup parse errors are loud, not silent column guesses") {
     Tables.documents(spark, sf).createOrReplaceTempView("docs_kv")
     intercept[Exception] { KerfSql.run(spark, "dedup docs_kv on text") }

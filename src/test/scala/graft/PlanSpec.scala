@@ -245,6 +245,24 @@ class PlanSpec extends SparkSpec {
       s"census count not map-side combined:\n$p")
   }
 
+  test("semDedup: pair stage is an equi-join on list_id, no cartesian; witness election partial-aggs") {
+    val emb = Tables.fanOut(Tables.embeddings(spark, sf))
+    val (victims, caches) = llm.Similarity.semDedupVictimsPlan(
+      emb, threshold = 0.95, nClusters = 4)
+    val p = victims.queryExecution.executedPlan.toString
+    // the quadratic must stay cluster-bounded: an equi-shuffle on
+    // list_id, never an all-pairs product over the corpus
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"semDedup pair stage exploded to all-pairs:\n$p")
+    assert(p.contains("list_id"), s"pair join lost its cluster key:\n$p")
+    // min-struct witness election map-side combines before its shuffle
+    // (SortAggregate: struct-typed min isn't hash-aggregable)
+    assert(p.linesIterator.exists(l =>
+      l.contains("Aggregate") && l.contains("partial_min")),
+      s"witness election not partial-agged:\n$p")
+    caches.foreach(_.unpersist(true))
+  }
+
   test("topK tiers: row_number<=k rewrites to WindowGroupLimit partial limits") {
     // the 100 TB re-rank property: each per-q_id top-k window must run a
     // PARTIAL (map-side) group limit before its shuffle, so the exchange
