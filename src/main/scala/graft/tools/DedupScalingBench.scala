@@ -181,6 +181,21 @@ object DedupScalingBench {
         graft.ops.Caches.release(nd)
         n
       })
+      // SemDeDup (q122): the OTHER scale posture for embedding dedup —
+      // no sketches at all; k-means bounds the quadratic to Σ|cluster|²
+      // with nClusters the dial. Held at mean cluster ≈ 2k rows so the
+      // per-cluster pair work stays constant as n grows (the paper's
+      // own recipe: clusters grow with the corpus). At τ=0.9 the output
+      // is ~the planted structure, so the measurement is the
+      // cluster-bounded machinery: train + assign + in-cluster verify.
+      report("q122_semdedup_t90", label, nVecs, {
+        val k = math.max(8, (nVecs / 2000L).toInt)
+        val v = graft.llm.Similarity.semDedupVictims(vecs, threshold = 0.9,
+          nClusters = k)
+        val n = v.count()
+        graft.ops.Caches.release(v)
+        n
+      })
     }
     spark.stop()
   }

@@ -717,6 +717,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(kept == (0L until 30L).toSet)
   }
 
+  test("semDedup: victim set is partition-invariant (1 vs 7 partitions)") {
+    // centroid means are fp-order-sensitive across partitionings, but
+    // victimhood only depends on co-clustering of ≥τ pairs — and
+    // identical vectors co-cluster under ANY centroid set, while the
+    // margin keeps organic pairs far from τ. The ANSWER must not move.
+    val rnd = new scala.util.Random(17)
+    val base = (0 until 24).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() - 0.5f)))
+    val copies = Seq(2, 9, 15).zipWithIndex.map { case (src, i) =>
+      ((100 + i).toLong, base(src)._2) }
+    val df = (base ++ copies).toDF("vec_id", "embedding")
+    def victims(parts: Int) =
+      Similarity.semDedupVictims(df.repartition(parts), threshold = 0.95,
+          nClusters = 4, iters = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val v1 = victims(1)
+    assert(v1 == Set((100L, 2L, 1.0), (101L, 9L, 1.0), (102L, 15L, 1.0)))
+    assert(victims(7) == v1)
+  }
+
   test("semDedup: maxCluster guard passes oversized clusters through un-deduped") {
     val rnd = new scala.util.Random(11)
     val base = (0 until 20).map(i =>
