@@ -1469,6 +1469,16 @@ object Oracles {
          FROM embeddings WHERE vec_id % 20 = 0
          ORDER BY dropped_id""",
 
+    // folio compaction must be semantically invisible: the compacted
+    // read's aggregate equals the undivided table's (file-count collapse
+    // is pinned in FolioSpec; this adjudicates losslessness)
+    "q124_folio_compact" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                min(epoch_ns(ts)) AS first_ns,
+                max(epoch_ns(ts)) AS last_ns
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
     // streaming session_window vs the batch lag-window island rule: the
     // two boundary conventions differ only when a consecutive gap is
     // EXACTLY 30min (session_window's end is exclusive; the lag rule's

@@ -2097,6 +2097,33 @@ object Queries {
       .orderBy(col("dropped_id"))
   }
 
+  /** Folio COMPACTION end-to-end (file.cc:433–544's one-file-per-column
+    * parted ideal, restored after incremental growth): feed a folio in
+    * 4 micro-batch appends (the realtime→historical promotion pattern —
+    * each append lands a file per touched partition dir), compact to
+    * one file per partition value under the atomic `_CURRENT` version
+    * swap, and aggregate the compacted read. Oracle computes the same
+    * aggregate from the undivided events table — compaction must be
+    * semantically invisible; the file-count collapse itself is pinned
+    * in FolioSpec. */
+  val q124_folio_compact: Q = (s, dir) => {
+    val base = Scratch.dir(s, "compactq", new java.io.File(dir).getName)
+    val folio = s"$base/f_${System.nanoTime}" // fresh per run (bench runs twice)
+    val ev = Tables.events(s, dir).drop("ts")
+    (0 until 4).foreach { b =>
+      io.Folio.appendPartition(ev.filter(col("event_id") % 4 === b),
+        folio, Seq("event_type"), Seq("ts_ns"))
+    }
+    io.Folio.compact(s, folio, Seq("event_type"), Seq("ts_ns"))
+    io.Folio.promotedRead(s, folio)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("total"),
+           min(col("ts_ns")).as("first_ns"),
+           max(col("ts_ns")).as("last_ns"))
+      .orderBy(col("event_type"))
+  }
+
   /** STREAMING sessionization (`session_window` + watermark) — the q43
     * batch island-detection run as a stateful stream over the same
     * bounded replay; sessions merge across micro-batches in the state
@@ -2235,5 +2262,6 @@ object Queries {
     "q121_remote_agg"    -> q121_remote_agg,
     "q122_semdedup"      -> q122_semdedup,
     "q123_stream_sessions" -> q123_stream_sessions,
+    "q124_folio_compact" -> q124_folio_compact,
   )
 }

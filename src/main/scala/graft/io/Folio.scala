@@ -94,9 +94,12 @@ object Folio {
     * (the reference's FILE_REGISTRY lock, kept as a protocol rule here):
     * concurrent promoters are last-pointer-wins, with the loser's data in
     * an orphaned version dir. */
-  private def publishVersion(df: DataFrame, path: String, n: Long): Unit = {
+  private def publishVersion(df: DataFrame, path: String, n: Long,
+                             partitionCols: Seq[String] = Nil): Unit = {
     val vname = f"v$n%08d"
-    df.write.mode(SaveMode.Overwrite).parquet(s"$path/$vname")
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(s"$path/$vname")
     val tmp = new java.io.File(path, "_CURRENT.tmp")
     java.nio.file.Files.write(tmp.toPath, vname.getBytes("UTF-8"))
     java.nio.file.Files.move(tmp.toPath, currentFile(path).toPath,
@@ -159,6 +162,67 @@ object Folio {
             .foreach(rmTree)
         }
     }
+  }
+
+  /** COMPACT a folio: every micro-batch append lands one file per
+    * partition dir (the realtime→historical promotion of
+    * [[appendPartition]] / the streaming foreachBatch sink), so a folio
+    * that has been fed for a while is thousands of tiny files — the
+    * 100 TB small-files problem: footer-per-file open cost, listing
+    * pressure, and scan tasks sized by file count instead of bytes.
+    * Compaction rewrites the LIVE data as one fresh immutable version
+    * with `filesPerPartition` files per partition value (1 = the parted
+    * ideal; partition values hash to distinct write tasks so each dir
+    * gets exactly that many files), re-sorted on `sortCols` within each
+    * file so the sorted-run property survives the rewrite, and published
+    * with the same atomic `_CURRENT` swap as [[appendWithPromotion]]:
+    * readers never observe a half-compacted folio, a crash at any point
+    * leaves the previous layout live, and the pre-versioned plain layout
+    * migrates into the protocol on first compaction (root-level dirs are
+    * removed only AFTER the pointer swap). Single writer per folio —
+    * the same FILE_REGISTRY protocol rule (file.h:39–310) as every other
+    * folio mutation here.
+    *
+    * Reference: the directory-expanded folio write (file.cc:433–544)
+    * keeps one file per column per dir — compaction is how the Spark
+    * layout gets back to that after incremental growth. */
+  def compact(spark: SparkSession, path: String,
+              partitionCols: Seq[String] = Nil, sortCols: Seq[String] = Nil,
+              filesPerPartition: Int = 1): Unit = {
+    require(filesPerPartition >= 1, s"filesPerPartition must be >= 1, got $filesPerPartition")
+    val cur = currentVersion(path)
+    val df = promotedRead(spark, path)
+    val keyCols = partitionCols.map(col)
+    val spread =
+      if (partitionCols.isEmpty) df.repartition(filesPerPartition)
+      else if (filesPerPartition == 1) df.repartition(keyCols: _*)
+      else df.repartition(keyCols :+
+        pmod(xxhash64(df.columns.map(col): _*), lit(filesPerPartition)): _*)
+    val sorted =
+      if (sortCols.isEmpty) spread
+      else spread.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+    val next = cur.map(_.stripPrefix("v").toLong + 1L).getOrElse(1L)
+    publishVersion(sorted, path, next, partitionCols)
+    if (cur.isEmpty) {
+      // migrate-in-place (same post-swap cleanup as appendWithPromotion):
+      // the legacy root-level files/partition dirs were folded into v1
+      Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName != "_CURRENT" && !f.getName.matches("v\\d{8}"))
+        .foreach(rmTree)
+    }
+  }
+
+  /** Data files (not metadata) under a folio's LIVE layout — the
+    * before/after observable compaction changes. */
+  def dataFileCount(path: String): Int = {
+    val root = currentVersion(path) match {
+      case Some(v) => new java.io.File(path, v)
+      case None    => new java.io.File(path)
+    }
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    walk(root)
   }
 
   /** Sorted PARTED folio as a bucketed catalog table — the blessed route

@@ -46,6 +46,53 @@ class FolioSpec extends SparkSpec {
     assert(Folio.read(spark, s"$dir/f").count() == ev.count())
   }
 
+  test("compact folds micro-batch small files into one file per partition dir, losslessly") {
+    val dir = tmp()
+    val ev = Tables.events(spark, sf).drop("ts")
+    // simulate a fed folio: 5 micro-batch appends → ≥5 files per dir
+    (0 until 5).foreach { b =>
+      Folio.appendPartition(ev.filter(col("event_id") % 5 === b),
+        s"$dir/f", Seq("event_type"), Seq("ts_ns"))
+    }
+    val before = Folio.dataFileCount(s"$dir/f")
+    assert(before >= 5 * 5, s"staging didn't fragment: $before files")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum(col("value").cast("decimal(18,2)")), min("ts_ns"),
+             max("ts_ns"), count(lit(1))).collect()(0)
+    val want = fp(ev)
+    Folio.compact(spark, s"$dir/f", Seq("event_type"), Seq("ts_ns"))
+    // published as a version: plain layout migrated, pointer live
+    assert(Folio.currentVersion(s"$dir/f").contains("v00000001"))
+    val back = Folio.promotedRead(spark, s"$dir/f")
+    assert(fp(back) == want)
+    // one file per partition value (5 event types)
+    assert(Folio.dataFileCount(s"$dir/f") == 5,
+      s"expected 5 compacted files, got ${Folio.dataFileCount(s"$dir/f")}")
+    // partition pruning survives the versioned layout
+    val pruned = back.filter(col("event_type") === "click")
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    // sorted-run property survives: each file's ts_ns is monotone
+    val vdir = new java.io.File(s"$dir/f/v00000001")
+    val files = Option(vdir.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).flatMap(d => d.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+    files.foreach { f =>
+      val ts = spark.read.parquet(f.getAbsolutePath)
+        .select("ts_ns").collect().map(_.getLong(0))
+      assert(ts.sameElements(ts.sorted), s"unsorted compacted file ${f.getName}")
+    }
+    // re-compaction bumps the version and keeps the previous as fallback
+    Folio.compact(spark, s"$dir/f", Seq("event_type"), Seq("ts_ns"))
+    assert(Folio.currentVersion(s"$dir/f").contains("v00000002"))
+    assert(new java.io.File(s"$dir/f/v00000001").isDirectory) // crash fallback
+    assert(fp(Folio.promotedRead(spark, s"$dir/f")) == want)
+    // filesPerPartition > 1 spreads each dir across at most that many files
+    Folio.compact(spark, s"$dir/f", Seq("event_type"), Seq("ts_ns"),
+      filesPerPartition = 3)
+    assert(Folio.dataFileCount(s"$dir/f") <= 15)
+    assert(fp(Folio.promotedRead(spark, s"$dir/f")) == want)
+  }
+
   test("ZIP_ARRAY = codec choice: zstd folio is smaller than uncompressed") {
     // the reference declares compressed columns as a type (enums.h:256);
     // on Parquet it's a write option — verify it actually engages
