@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The reference's storage model re-expressed on partitioned Parquet.
@@ -188,19 +188,34 @@ object Folio {
     * layout gets back to that after incremental growth. */
   def compact(spark: SparkSession, path: String,
               partitionCols: Seq[String] = Nil, sortCols: Seq[String] = Nil,
-              filesPerPartition: Int = 1): Unit = {
+              filesPerPartition: Int = 1, zorderCols: Seq[String] = Nil): Unit = {
     require(filesPerPartition >= 1, s"filesPerPartition must be >= 1, got $filesPerPartition")
+    require(sortCols.isEmpty || zorderCols.isEmpty,
+      "sortCols and zorderCols are alternative clusterings — pick one")
     val cur = currentVersion(path)
     val df = promotedRead(spark, path)
     val keyCols = partitionCols.map(col)
-    val spread =
-      if (partitionCols.isEmpty) df.repartition(filesPerPartition)
-      else if (filesPerPartition == 1) df.repartition(keyCols: _*)
-      else df.repartition(keyCols :+
+    val zv = if (zorderCols.isEmpty) None else Some(zvalue(df, zorderCols))
+    val spread = (partitionCols, zv) match {
+      // z-order without dir partitioning: RANGE partition on the z-value
+      // so each output file owns a contiguous z-range = a bounded
+      // rectangle in every clustered dimension (file/row-group stats
+      // then prune on ANY of the dimensions, not just the first sort key)
+      case (Nil, Some(z)) => df.repartitionByRange(filesPerPartition, z)
+      // linear sort without dir partitioning: range partition on the
+      // sort keys so the GLOBAL sorted-run convention holds across files
+      case (Nil, None) if sortCols.nonEmpty =>
+        df.repartitionByRange(filesPerPartition, sortCols.map(col): _*)
+      case (Nil, None)    => df.repartition(filesPerPartition)
+      case (_, _) if filesPerPartition == 1 => df.repartition(keyCols: _*)
+      case (_, _) => df.repartition(keyCols :+
         pmod(xxhash64(df.columns.map(col): _*), lit(filesPerPartition)): _*)
-    val sorted =
-      if (sortCols.isEmpty) spread
-      else spread.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+    }
+    val sorted = zv match {
+      case Some(z) => spread.sortWithinPartitions(keyCols :+ z: _*)
+      case None if sortCols.isEmpty => spread
+      case None => spread.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+    }
     val next = cur.map(_.stripPrefix("v").toLong + 1L).getOrElse(1L)
     publishVersion(sorted, path, next, partitionCols)
     if (cur.isEmpty) {
@@ -210,6 +225,50 @@ object Folio {
         .filter(f => f.getName != "_CURRENT" && !f.getName.matches("v\\d{8}"))
         .foreach(rmTree)
     }
+  }
+
+  /** Morton / Z-ORDER clustering value over `cols` — the multi-dimension
+    * layout technique (Morton 1966; the lakehouse "OPTIMIZE ZORDER"):
+    * each column is rank-quantized into 2^bits buckets against its own
+    * approx-quantile boundaries, then bucket bits INTERLEAVE into one
+    * long. Sorting by that long places rows so any contiguous run is a
+    * bounded hyper-rectangle in every clustered dimension — parquet
+    * row-group/file min-max stats then prune predicates on ANY clustered
+    * column, where a linear sort only serves its leading key.
+    *
+    * Scale shape: boundaries are (2^bits−1)·|cols| doubles collected
+    * once per column via `approxQuantile` (Greenwald–Khanna — one
+    * distributed pass each, driver state ≤ KBs); the z-value itself is a
+    * codegen-friendly balanced `when`-tree (bits comparisons per
+    * column, no UDF). Rank quantization (not raw-bit interleave) makes
+    * the curve robust to skew: each bucket holds ~1/2^bits of the data
+    * regardless of the value distribution. NULLs sort into the top
+    * bucket of their dimension. */
+  def zvalue(df: DataFrame, cols: Seq[String], bits: Int = 8): Column = {
+    require(cols.nonEmpty, "zvalue needs at least one column")
+    require(bits >= 1 && bits * cols.size <= 63,
+      s"bits*cols must fit a long: $bits*${cols.size}")
+    val n = 1 << bits
+    val qs = (1 until n).map(_.toDouble / n).toArray
+    def bucketOf(c: Column, bounds: Array[Double], lo: Int, hi: Int): Column =
+      if (lo == hi) lit(lo.toLong)
+      else {
+        val mid = (lo + hi + 1) / 2
+        when(c < lit(bounds(mid - 1)), bucketOf(c, bounds, lo, mid - 1))
+          .otherwise(bucketOf(c, bounds, mid, hi))
+      }
+    val buckets = cols.map { name =>
+      val bounds = df.select(col(name).cast("double").as("__z"))
+        .na.drop().stat.approxQuantile("__z", qs, 0.001)
+      bucketOf(col(name).cast("double"), bounds, 0, n - 1)
+    }
+    val ncols = cols.size
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      buckets.zipWithIndex.foldLeft(acc) { case (a, (b, j)) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(b, i).bitwiseAND(lit(1L)), i * ncols + j))
+      }
+    }.as("__zvalue")
   }
 
   /** Data files (not metadata) under a folio's LIVE layout — the
