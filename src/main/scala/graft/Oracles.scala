@@ -1479,6 +1479,14 @@ object Oracles {
                 max(epoch_ns(ts)) AS last_ns
          FROM events GROUP BY event_type ORDER BY event_type""",
 
+    // storage-layer upsert: replace-by-key merge through the versioned
+    // folio == a CASE recompute over the undivided table
+    "q125_folio_upsert" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(CASE WHEN event_id % 50 = 0 THEN 999.99 ELSE value END
+                              AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
     // streaming session_window vs the batch lag-window island rule: the
     // two boundary conventions differ only when a consecutive gap is
     // EXACTLY 30min (session_window's end is exclusive; the lag rule's

@@ -2124,6 +2124,28 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Folio UPSERT at the STORAGE layer (q37's dialect upsert, pushed
+    * through the copy-on-write version protocol): publish the events
+    * table, merge a price-correction batch by key (matching event_ids
+    * replaced, presented.cc:327–336 amend semantics), aggregate the
+    * merged read. Oracle recomputes the merge with a CASE — the storage
+    * round-trip must be semantically invisible; the retained pre-image
+    * (time travel) is pinned in FolioSpec. */
+  val q125_folio_upsert: Q = (s, dir) => {
+    val base = Scratch.dir(s, "upsertq", new java.io.File(dir).getName)
+    val folio = s"$base/f_${System.nanoTime}" // fresh per run (bench runs twice)
+    val ev = Tables.events(s, dir).drop("ts")
+    io.Folio.appendWithPromotion(ev, folio)
+    val corrections = ev.filter(col("event_id") % 50 === 0)
+      .withColumn("value", lit(999.99))
+    io.Folio.upsertPublish(corrections, folio, Seq("event_id"))
+    io.Folio.promotedRead(s, folio)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy(col("event_type"))
+  }
+
   /** STREAMING sessionization (`session_window` + watermark) — the q43
     * batch island-detection run as a stateful stream over the same
     * bounded replay; sessions merge across micro-batches in the state
@@ -2263,5 +2285,6 @@ object Queries {
     "q122_semdedup"      -> q122_semdedup,
     "q123_stream_sessions" -> q123_stream_sessions,
     "q124_folio_compact" -> q124_folio_compact,
+    "q125_folio_upsert"  -> q125_folio_upsert,
   )
 }

@@ -227,6 +227,59 @@ object Folio {
     }
   }
 
+  /** UPSERT-PUBLISH: replace-by-key merge INTO the folio — the dialect's
+    * `upsert` (q37, presented.cc:327–336 amend semantics) at the STORAGE
+    * layer: read the live version, merge the batch
+    * ([[graft.ops.TableOps.upsert]] — matching keys replaced, new keys
+    * appended), publish as the next immutable version under the atomic
+    * `_CURRENT` swap. Copy-on-write, the object-store merge protocol: a
+    * crash leaves the previous version live, and the pre-merge image
+    * stays readable via [[readVersion]] until the next publish GCs it.
+    * Schema must match the stored table exactly (same loud contract as
+    * [[appendWithPromotion]]). */
+  def upsertPublish(df: DataFrame, path: String, keys: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val cur = currentVersion(path)
+    val existing: Option[DataFrame] = cur match {
+      case Some(v) => Some(spark.read.parquet(s"$path/$v"))
+      case None => try Some(spark.read.parquet(path)) catch { case _: Exception => None }
+    }
+    existing match {
+      case None => publishVersion(df, path, 1L)
+      case Some(old) =>
+        val stored = old.schema.map(_.name).toSet
+        val incoming = df.schema.map(_.name).toSet
+        require(stored == incoming,
+          s"upsert batch schema mismatch: missing ${(stored -- incoming).mkString(", ")} " +
+          s"unknown ${(incoming -- stored).mkString(", ")}")
+        require(keys.forall(stored), s"upsert keys not in table: ${keys.filterNot(stored).mkString(", ")}")
+        val next = cur.map(_.stripPrefix("v").toLong + 1L).getOrElse(1L)
+        publishVersion(graft.ops.TableOps.upsert(old, df, keys), path, next)
+        if (cur.isEmpty) {
+          Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+            .filter(f => f.getName != "_CURRENT" && !f.getName.matches("v\\d{8}"))
+            .foreach(rmTree)
+        }
+    }
+  }
+
+  /** Versions currently on disk for a promoted folio, ascending — the
+    * live one plus the previous kept as crash fallback / time travel. */
+  def versions(path: String): Seq[String] =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.matches("v\\d{8}"))
+      .map(_.getName).sorted.toSeq
+
+  /** TIME TRAVEL: read a specific retained version (the previous version
+    * survives every publish as the crash fallback, so the pre-image of
+    * the latest mutation is always one `readVersion` away). A GC'd or
+    * unknown version fails loudly. */
+  def readVersion(spark: SparkSession, path: String, version: String): DataFrame = {
+    require(new java.io.File(path, version).isDirectory,
+      s"version $version not on disk at $path (have: ${versions(path).mkString(", ")})")
+    spark.read.parquet(s"$path/$version")
+  }
+
   /** Morton / Z-ORDER clustering value over `cols` — the multi-dimension
     * layout technique (Morton 1966; the lakehouse "OPTIMIZE ZORDER"):
     * each column is rank-quantized into 2^bits buckets against its own

@@ -1015,6 +1015,10 @@ object KerfSql {
         case "sample"  if pipelineVerbForm(toks) => p.pop(); last = Left(runSample(spark, p))
         case "shard"   if pipelineVerbForm(toks) => p.pop(); last = Left(runShard(spark, p))
         case "cap"     if pipelineVerbForm(toks) => p.pop(); last = Left(runCap(spark, p))
+        // `compact 'path' …` — a FILE verb like >>/<<: the quoted-path
+        // second token keeps `compact(x)` an expression over user names
+        case "compact" if toks.lengthCompare(2) >= 0 && toks(1).startsWith("'") =>
+          p.pop(); last = Left(runCompact(spark, p))
         case "def" =>
           p.pop()
           val name = p.pop()
@@ -1197,6 +1201,12 @@ object KerfSql {
             p.pop()
             val df = runSelect(spark, p, vars.toMap)
             require(p.done, s"trailing tokens in assignment: ${p.toks.mkString(" ")}")
+            df.createOrReplaceTempView(name)
+            last = Left(df)
+          } else if (p.peekIs("compact") &&
+                     p.toks.lengthCompare(2) >= 0 && p.toks(1).startsWith("'")) {
+            p.pop()
+            val df = runCompact(spark, p)
             df.createOrReplaceTempView(name)
             last = Left(df)
           } else if ((p.peekIs("dedup") || p.peekIs("neardup") ||
@@ -1915,6 +1925,44 @@ object KerfSql {
     } else base
     require(p.done, s"trailing tokens in semdedup: ${p.toks.mkString(" ")}")
     out
+  }
+
+  /** `compact 'path' [by c1, c2…] [sort s1… | zorder z1…] [into N]` →
+    * [[graft.io.Folio.compact]]: fold a fed folio's accumulated
+    * micro-batch files into N files per partition value under the
+    * atomic `_CURRENT` version swap; `sort` keeps the linear sorted-run
+    * convention, `zorder` switches to the Morton clustering (row-group
+    * stats then prune on ANY listed column). Returns the compacted
+    * read, so `t: compact '…' …` assigns like a select. */
+  private def runCompact(spark: SparkSession, p: P): DataFrame = {
+    val path = {
+      val t = p.pop()
+      require(t.startsWith("'") && t.endsWith("'") && t.length > 2,
+        s"compact needs a quoted path, got $t")
+      t.substring(1, t.length - 1)
+    }
+    def nameList(): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String](p.pop())
+      while (p.peekIs(",")) { p.pop(); out += p.pop() }
+      out.toSeq
+    }
+    var parts: Seq[String] = Nil
+    var sorts: Seq[String] = Nil
+    var zs: Seq[String] = Nil
+    if (p.peekIs("by")) { p.pop(); parts = nameList() }
+    if (p.peekIs("sort")) { p.pop(); sorts = nameList() }
+    else if (p.peekIs("zorder")) { p.pop(); zs = nameList() }
+    var files = 1
+    if (p.peekIs("into")) {
+      p.pop()
+      val t = p.pop()
+      require(t.forall(_.isDigit) && t.toInt > 0,
+        s"compact … into needs a positive file count, got $t")
+      files = t.toInt
+    }
+    require(p.done, s"trailing tokens in compact: ${p.toks.mkString(" ")}")
+    graft.io.Folio.compact(spark, path, parts, sorts, files, zs)
+    graft.io.Folio.promotedRead(spark, path)
   }
 
   /** `sample t by key at '29'` → [[graft.llm.Pipeline.hashSample]]:

@@ -93,6 +93,39 @@ class FolioSpec extends SparkSpec {
     assert(fp(Folio.promotedRead(spark, s"$dir/f")) == want)
   }
 
+  test("upsertPublish merges by key copy-on-write; time travel reads the pre-image") {
+    val dir = tmp()
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    Folio.appendWithPromotion(base, s"$dir/t") // v1
+    val batch = Seq((2L, "B", 99.0), (4L, "d", 40.0)).toDF("k", "s", "v")
+    Folio.upsertPublish(batch, s"$dir/t", Seq("k")) // v2
+    assert(Folio.currentVersion(s"$dir/t").contains("v00000002"))
+    val live = Folio.promotedRead(spark, s"$dir/t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(live == Set((1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+    // the pre-merge image is retained: time travel to v1
+    assert(Folio.versions(s"$dir/t") == Seq("v00000001", "v00000002"))
+    val before = Folio.readVersion(spark, s"$dir/t", "v00000001")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(before == Set((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+    // another publish GCs v1: reading it now fails LOUDLY
+    Folio.upsertPublish(Seq((1L, "A", 11.0)).toDF("k", "s", "v"),
+      s"$dir/t", Seq("k")) // v3, GC v1
+    assert(Folio.versions(s"$dir/t") == Seq("v00000002", "v00000003"))
+    intercept[IllegalArgumentException] {
+      Folio.readVersion(spark, s"$dir/t", "v00000001")
+    }
+    // schema drift is an error, not silent data loss
+    intercept[IllegalArgumentException] {
+      Folio.upsertPublish(Seq((9L, "x")).toDF("k", "s"), s"$dir/t", Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      Folio.upsertPublish(batch, s"$dir/t", Seq("nope"))
+    }
+  }
+
   test("zvalue: monotone in every dimension (Morton order property)") {
     import spark.implicits._
     val grid = (for (x <- 0 until 16; y <- 0 until 16) yield (x, y)).toDF("x", "y")

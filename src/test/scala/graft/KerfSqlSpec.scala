@@ -884,6 +884,33 @@ class KerfSqlSpec extends SparkSpec {
     }
   }
 
+  test("compact file verb folds a fed folio and assigns like a select") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kerf_compact").toString
+    val ev = Tables.events(spark, sf).drop("ts")
+    (0 until 3).foreach { b =>
+      graft.io.Folio.appendPartition(ev.filter(col("event_id") % 3 === b),
+        s"$dir/f", Seq("event_type"), Seq("ts_ns"))
+    }
+    assert(graft.io.Folio.dataFileCount(s"$dir/f") >= 15)
+    val got = KerfSql.run(spark,
+      s"t: compact '$dir/f' by event_type sort ts_ns; " +
+      "select event_type, count(*) as n from t group event_type order event_type")
+    val want = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+    assert(got.collect().toSeq == want.collect().toSeq)
+    assert(graft.io.Folio.dataFileCount(s"$dir/f") == 5)
+    assert(graft.io.Folio.currentVersion(s"$dir/f").contains("v00000001"))
+    // zorder form parses, runs, bumps the version
+    KerfSql.run(spark, s"compact '$dir/f' zorder user_id, value into 2")
+    assert(graft.io.Folio.currentVersion(s"$dir/f").contains("v00000002"))
+    assert(graft.io.Folio.dataFileCount(s"$dir/f") <= 2)
+    // sort and zorder are alternative clusterings — both is an error
+    intercept[Exception] {
+      KerfSql.run(spark, s"compact '$dir/f' sort ts_ns zorder value")
+    }
+    intercept[Exception] { KerfSql.run(spark, "compact unquoted_path") }
+  }
+
   test("dedup/neardup parse errors are loud, not silent column guesses") {
     Tables.documents(spark, sf).createOrReplaceTempView("docs_kv")
     intercept[Exception] { KerfSql.run(spark, "dedup docs_kv on text") }
