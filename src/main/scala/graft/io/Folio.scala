@@ -36,10 +36,37 @@ object Folio {
 
   /** Append one new partition-worth of rows (the realtime→historical
     * promotion a tick DB does at day roll: new date dir slots into the
-    * folio without touching existing ones). */
+    * folio without touching existing ones).
+    *
+    * VERSION-AWARE: on a promoted folio (one that [[compact]] /
+    * [[appendWithPromotion]] / [[upsertPublish]] has published), the
+    * append lands INSIDE the live version dir — a plain-root append
+    * would be invisible to [[promotedRead]] (silent data loss). Appends
+    * are eventually-visible (files appear per commit-rename, as in the
+    * plain layout); the atomic pointer swap protects REWRITES, which is
+    * where torn reads would otherwise corrupt. The maintenance cycle is
+    * append → compact → append → compact: each compaction folds the
+    * version's accumulated append files into the next version. */
   def appendPartition(df: DataFrame, path: String, partitionCols: Seq[String],
-                      sortCols: Seq[String]): Unit =
-    write(df, path, partitionCols, sortCols, SaveMode.Append)
+                      sortCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty,
+      "appendPartition is the directory-expanded append — it needs " +
+      "partition keys (flat growth goes through appendWithPromotion)")
+    val target = currentVersion(path) match {
+      case Some(v) =>
+        // layout compatibility: mixing flat files and partition dirs in
+        // one version breaks parquet partition discovery — fail loudly
+        val flat = Option(new java.io.File(path, v).listFiles())
+          .getOrElse(Array.empty)
+          .exists(f => f.isFile && f.getName.endsWith(".parquet"))
+        require(!flat,
+          s"live version $v is a FLAT layout; a partitioned append would " +
+          "conflict — recompact with partition columns first")
+        s"$path/$v"
+      case None => path
+    }
+    write(df, target, partitionCols, sortCols, SaveMode.Append)
+  }
 
   /** Kerf's transparent type promotion at the table boundary
     * (/root/reference/layout.cc:726–836: vectors promote on append;

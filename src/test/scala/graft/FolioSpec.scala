@@ -93,6 +93,32 @@ class FolioSpec extends SparkSpec {
     assert(fp(Folio.promotedRead(spark, s"$dir/f")) == want)
   }
 
+  test("maintenance cycle: appends land INSIDE the live version; compaction folds them") {
+    val dir = tmp()
+    val ev = Tables.events(spark, sf).drop("ts")
+    def batch(b: Int) = ev.filter(col("event_id") % 4 === b)
+    // plain growth → first compaction
+    (0 until 2).foreach(b => Folio.appendPartition(batch(b), s"$dir/f",
+      Seq("event_type"), Seq("ts_ns")))
+    Folio.compact(spark, s"$dir/f", Seq("event_type"), Seq("ts_ns")) // v1
+    // post-compaction appends must stay VISIBLE (a plain-root append
+    // would silently vanish from promotedRead — the guarded footgun)
+    (2 until 4).foreach(b => Folio.appendPartition(batch(b), s"$dir/f",
+      Seq("event_type"), Seq("ts_ns")))
+    assert(Folio.promotedRead(spark, s"$dir/f").count() == ev.count())
+    assert(Folio.dataFileCount(s"$dir/f") > 5) // appends fragmented v1
+    // second compaction folds the fragments into v2
+    Folio.compact(spark, s"$dir/f", Seq("event_type"), Seq("ts_ns")) // v2
+    assert(Folio.currentVersion(s"$dir/f").contains("v00000002"))
+    assert(Folio.dataFileCount(s"$dir/f") == 5)
+    assert(Folio.promotedRead(spark, s"$dir/f").count() == ev.count())
+    // a partitioned append into a FLAT version is a loud error
+    Folio.compact(spark, s"$dir/f", Nil, Nil, filesPerPartition = 2) // v3 flat
+    intercept[IllegalArgumentException] {
+      Folio.appendPartition(batch(0), s"$dir/f", Seq("event_type"), Seq("ts_ns"))
+    }
+  }
+
   test("upsertPublish merges by key copy-on-write; time travel reads the pre-image") {
     val dir = tmp()
     import spark.implicits._
