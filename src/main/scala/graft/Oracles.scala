@@ -1479,6 +1479,17 @@ object Oracles {
                 max(epoch_ns(ts)) AS last_ns
          FROM events GROUP BY event_type ORDER BY event_type""",
 
+    // real GIF demux: per-doc animated GIFs with planted solid-gray
+    // frames (palette is exact for one color) — the sampled-frame rows
+    // are a closed-form enumeration
+    "q126_frame_sample" ->
+      """SELECT d.doc_id, CAST(k AS INT) AS frame_no,
+                8 AS width, 8 AS height,
+                CAST((d.doc_id * 7 + k * 13) % 200 AS DOUBLE) AS mean_luma
+         FROM documents d, range(0, 4) r(k)
+         WHERE d.doc_id < 64 AND k < 1 + d.doc_id % 4 AND k % 2 = 0
+         ORDER BY doc_id, frame_no""",
+
     // storage-layer upsert: replace-by-key merge through the versioned
     // folio == a CASE recompute over the undivided table
     "q125_folio_upsert" ->

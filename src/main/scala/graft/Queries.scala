@@ -2146,6 +2146,42 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** REAL frame sampling over a multi-frame container (the video shape
+    * of the multimodal seam, q35/q70's next tier): animated GIFs are
+    * synthesized per doc with 1 + doc_id%4 solid-gray frames at a known
+    * luma ((doc_id·7 + k·13) % 200 — GIF's palette is exact for a
+    * single-color frame), demuxed by the pure-JDK reader, every 2nd
+    * frame sampled. Oracle enumerates the same closed form. */
+  val q126_frame_sample: Q = (s, dir) => {
+    import s.implicits._
+    val gifs = Tables.documents(s, dir).filter(col("doc_id") < 64)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val nf = 1 + (id % 4).toInt
+          val baos = new java.io.ByteArrayOutputStream()
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("gif").next()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          (0 until nf).foreach { k =>
+            val g = ((id * 7 + k * 13) % 200).toInt
+            val img = new java.awt.image.BufferedImage(8, 8,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val rgb = (g << 16) | (g << 8) | g
+            var y = 0
+            while (y < 8) { var x = 0; while (x < 8) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          }
+          writer.endWriteSequence(); ios.close(); writer.dispose()
+          (id, baos.toByteArray)
+        }
+      }.toDF("doc_id", "gif")
+    llm.Multimodal.sampleFramesPartitioned(gifs, "doc_id", "gif", stride = 2)
+      .orderBy(col("doc_id"), col("frame_no"))
+  }
+
   /** STREAMING sessionization (`session_window` + watermark) — the q43
     * batch island-detection run as a stateful stream over the same
     * bounded replay; sessions merge across micro-batches in the state
@@ -2286,5 +2322,6 @@ object Queries {
     "q123_stream_sessions" -> q123_stream_sessions,
     "q124_folio_compact" -> q124_folio_compact,
     "q125_folio_upsert"  -> q125_folio_upsert,
+    "q126_frame_sample"  -> q126_frame_sample,
   )
 }

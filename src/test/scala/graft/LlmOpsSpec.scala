@@ -767,6 +767,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(kept.contains(50L) && !kept.contains(51L) && kept.size == 13)
   }
 
+  test("GIF frame sampler: real demux, stride sampling, exact planted luma") {
+    def gif(lumas: Seq[Int], w: Int, h: Int): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      writer.setOutput(ios); writer.prepareWriteSequence(null)
+      lumas.foreach { g =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (g << 16) | (g << 8) | g
+        for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence(); ios.close(); writer.dispose()
+      baos.toByteArray
+    }
+    val df = Seq((1L, gif(Seq(10, 20, 30, 40, 50), 6, 4)),
+                 (2L, gif(Seq(99), 3, 5))).toDF("doc_id", "gif")
+    val got = graft.llm.Multimodal.sampleFramesPartitioned(df, "doc_id", "gif", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+                           r.getDouble(4))).toSet
+    assert(got == Set((1L, 0, 6, 4, 10.0), (1L, 2, 6, 4, 30.0),
+                      (1L, 4, 6, 4, 50.0), (2L, 0, 3, 5, 99.0)))
+    intercept[IllegalArgumentException] {
+      graft.llm.Multimodal.sampleFramesPartitioned(df, "doc_id", "gif", 0)
+    }
+  }
+
   test("fingerprint survives small edits (winnowing overlap)") {
     val fp = TextOps.fingerprint(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
