@@ -1479,6 +1479,16 @@ object Oracles {
                 max(epoch_ns(ts)) AS last_ns
          FROM events GROUP BY event_type ORDER BY event_type""",
 
+    // decode→resize→re-encode→decode: solid colors survive bilinear
+    // scaling bit-exactly, so the resized blobs re-decode to the q70
+    // closed form at the new 4×4 dims
+    "q127_image_resize" ->
+      """SELECT doc_id, 4.0 AS w, 4.0 AS h,
+                CAST((doc_id * 7) % 256 AS DOUBLE) AS r,
+                CAST((doc_id * 13) % 256 AS DOUBLE) AS g,
+                CAST((doc_id * 31) % 256 AS DOUBLE) AS b
+         FROM documents WHERE doc_id < 64 ORDER BY doc_id""",
+
     // real GIF demux: per-doc animated GIFs with planted solid-gray
     // frames (palette is exact for one color) — the sampled-frame rows
     // are a closed-form enumeration

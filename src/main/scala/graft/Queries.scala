@@ -2182,6 +2182,41 @@ object Queries {
       .orderBy(col("doc_id"), col("frame_no"))
   }
 
+  /** Binary→binary RESIZE through the multimodal transform tier (q70's
+    * construction, then decode → scale → re-encode → decode again):
+    * solid-color PNGs survive bilinear scaling bit-exactly, so the
+    * resized corpus re-decodes to the q70 closed form at the NEW dims —
+    * proving the transform emits a well-formed blob column that flows
+    * through the same codec seam as originals. */
+  val q127_image_resize: Q = (s, dir) => {
+    import s.implicits._
+    val blobs = Tables.documents(s, dir).filter(col("doc_id") < 64)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val img = new java.awt.image.BufferedImage(16, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (((id * 7) % 256).toInt << 16) |
+                    (((id * 13) % 256).toInt << 8) | ((id * 31) % 256).toInt
+          var y = 0
+          while (y < 8) { var x = 0; while (x < 16) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          (id, baos.toByteArray)
+        }
+      }.toDF("doc_id", "png")
+    val resized = llm.Multimodal.resizePartitioned(blobs, "doc_id", "png", 4, 4)
+    llm.Multimodal.decodeBinaryPartitioned(resized, "doc_id", "png",
+        llm.Multimodal.ImageIoCodec(grid = 1))
+      .select(col("doc_id"),
+        element_at(col("features"), 1).as("w"),
+        element_at(col("features"), 2).as("h"),
+        element_at(col("features"), 3).as("r"),
+        element_at(col("features"), 4).as("g"),
+        element_at(col("features"), 5).as("b"))
+      .orderBy(col("doc_id"))
+  }
+
   /** STREAMING sessionization (`session_window` + watermark) — the q43
     * batch island-detection run as a stateful stream over the same
     * bounded replay; sessions merge across micro-batches in the state
@@ -2323,5 +2358,6 @@ object Queries {
     "q124_folio_compact" -> q124_folio_compact,
     "q125_folio_upsert"  -> q125_folio_upsert,
     "q126_frame_sample"  -> q126_frame_sample,
+    "q127_image_resize"  -> q127_image_resize,
   )
 }

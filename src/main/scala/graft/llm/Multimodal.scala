@@ -218,6 +218,45 @@ object Multimodal {
       .toDF()
   }
 
+  /** One resized image: re-encoded blob + its new dims. */
+  case class ResizedRow(doc_id: Long, png: Array[Byte], width: Int, height: Int)
+
+  /** Binary→binary image RESIZE on the JDK raster pipeline — the
+    * transform tier of the multimodal seam (decode → scale → re-encode),
+    * as distinct from the feature tier: the output is ANOTHER opaque
+    * binary column, so resized corpora flow through the same folio/
+    * dedup/feature plumbing as originals. Bilinear scaling via
+    * Graphics2D; PNG out (lossless, pure-JDK). Iterator-batched like
+    * the codecs: one blob in flight per task. */
+  def resizePartitioned(docs: DataFrame, idCol: String, binCol: String,
+                        w: Int, h: Int): DataFrame = {
+    require(w >= 1 && h >= 1, s"target dims must be positive, got ${w}x$h")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val src = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(src != null, "undecodable image blob")
+          val dst = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g2 = dst.createGraphics()
+          try {
+            g2.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g2.drawImage(src, 0, 0, w, h, null)
+          } finally g2.dispose()
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", baos)
+          ResizedRow(id, baos.toByteArray, w, h)
+        }
+      }
+      .toDF()
+  }
+
   /** End-to-end demo pipeline over the documents fixture: text bytes as
     * the stand-in blob → media struct → features + frame samples. */
   def pipeline(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -795,6 +795,29 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("image resize: binary→binary transform re-decodes at the new dims") {
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val df = Seq((1L, png(16, 8, 0x64C832)), (2L, png(3, 3, 0x000000)))
+      .toDF("doc_id", "png")
+    val out = graft.llm.Multimodal.resizePartitioned(df, "doc_id", "png", 4, 4)
+    // the output blob column flows through the SAME codec seam
+    val dec = graft.llm.Multimodal.decodeBinaryPartitioned(out, "doc_id", "png",
+        graft.llm.Multimodal.ImageIoCodec(grid = 1))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    assert(dec(1L) == Seq(4.0, 4.0, 100.0, 200.0, 50.0)) // solid survives exactly
+    assert(dec(2L).take(2) == Seq(4.0, 4.0))             // upscale too
+    intercept[IllegalArgumentException] {
+      graft.llm.Multimodal.resizePartitioned(df, "doc_id", "png", 0, 4)
+    }
+  }
+
   test("fingerprint survives small edits (winnowing overlap)") {
     val fp = TextOps.fingerprint(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
