@@ -1479,6 +1479,12 @@ object Oracles {
                 max(epoch_ns(ts)) AS last_ns
          FROM events GROUP BY event_type ORDER BY event_type""",
 
+    // content-hash dedup of byte-identical blobs: 64 PNGs from
+    // doc_id % 16 → 16 groups of 4, min-id witnesses closed form
+    "q128_media_dedup" ->
+      """SELECT doc_id AS keep_id, CAST(4 AS BIGINT) AS group_size
+         FROM documents WHERE doc_id < 16 ORDER BY keep_id""",
+
     // decode→resize→re-encode→decode: solid colors survive bilinear
     // scaling bit-exactly, so the resized blobs re-decode to the q70
     // closed form at the new 4×4 dims

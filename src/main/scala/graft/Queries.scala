@@ -2217,6 +2217,33 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** MEDIA dedup: content-hash exact dedup of a BINARY column — the
+    * first pass an image corpus runs (byte-identical downloads collapse
+    * before any decode). 64 PNGs built from doc_id % 16 → 16 planted
+    * groups of 4 byte-identical blobs (PNG encoding is deterministic);
+    * min-id witnesses and group sizes are closed form. */
+  val q128_media_dedup: Q = (s, dir) => {
+    import s.implicits._
+    val blobs = Tables.documents(s, dir).filter(col("doc_id") < 64)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val k = (id % 16).toInt
+          val img = new java.awt.image.BufferedImage(8, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = ((k * 17) << 16) | ((k * 11) << 8) | (k * 5)
+          var y = 0
+          while (y < 8) { var x = 0; while (x < 8) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          (id, baos.toByteArray)
+        }
+      }.toDF("doc_id", "png")
+    llm.Dedup.exactBinary(blobs, "doc_id", "png")
+      .select(col("keep_id"), col("group_size"))
+      .orderBy(col("keep_id"))
+  }
+
   /** STREAMING sessionization (`session_window` + watermark) — the q43
     * batch island-detection run as a stateful stream over the same
     * bounded replay; sessions merge across micro-batches in the state
@@ -2359,5 +2386,6 @@ object Queries {
     "q125_folio_upsert"  -> q125_folio_upsert,
     "q126_frame_sample"  -> q126_frame_sample,
     "q127_image_resize"  -> q127_image_resize,
+    "q128_media_dedup"   -> q128_media_dedup,
   )
 }

@@ -26,6 +26,17 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"),
            count(lit(1)).as("group_size"))
 
+  /** EXACT dedup of a BINARY column — content-hash dedup of media blobs
+    * (the first pass every image/audio corpus runs: byte-identical
+    * downloads collapse before any decode happens). Same min-id-witness
+    * partial-agg shape as [[exact]]; the md5 runs over the raw bytes, so
+    * no codec is involved and a 100 TB blob store dedups at scan speed.
+    * One hash shuffle, group state is (hash, min, count). */
+  def exactBinary(docs: DataFrame, idCol: String, binCol: String): DataFrame =
+    docs.groupBy(md5(col(binCol)).as("content_key"))
+      .agg(min(col(idCol)).as("keep_id"),
+           count(lit(1)).as("group_size"))
+
   /** Word-token array of normalized text — stage this as a real column
     * before calling [[shinglesFromTokens]]: lambdas re-evaluate referenced
     * expression trees per element (no CSE inside higher-order functions),

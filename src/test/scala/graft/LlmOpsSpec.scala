@@ -30,6 +30,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(g.length == 3) // {0,3,4}, {1}, {2}
   }
 
+  test("exactBinary dedups byte-identical blobs, keeps min id") {
+    val a = Array[Byte](1, 2, 3)
+    val b = Array[Byte](1, 2, 3)      // same content, different array
+    val c = Array[Byte](1, 2, 4)
+    val g = Dedup.exactBinary(
+        Seq((5L, a), (9L, b), (7L, c)).toDF("doc_id", "blob"),
+        "doc_id", "blob")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(g == Set((5L, 2L), (7L, 1L))) // {5,9} keep 5; {7} alone
+  }
+
   test("minhash LSH finds the planted near-dup pair and skips unrelated") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
         jaccardThreshold = 0.5)
