@@ -1479,6 +1479,15 @@ object Oracles {
                 max(epoch_ns(ts)) AS last_ns
          FROM events GROUP BY event_type ORDER BY event_type""",
 
+    // perceptual (average-hash) near-dup: aHash equals the planted mask
+    // bit-for-bit, organic masks differ in >>3 bits (margin asserted in
+    // LlmOpsSpec), so the true pair list is the planted enumeration at
+    // hamming exactly 2
+    "q129_perceptual_dedup" ->
+      """SELECT doc_id AS id_a, doc_id + 1000 AS id_b, CAST(2 AS INT) AS hamming
+         FROM documents WHERE doc_id < 40 AND doc_id % 5 = 0
+         ORDER BY id_a, id_b""",
+
     // content-hash dedup of byte-identical blobs: 64 PNGs from
     // doc_id % 16 → 16 groups of 4, min-id witnesses closed form
     "q128_media_dedup" ->

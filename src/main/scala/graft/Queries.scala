@@ -2244,6 +2244,52 @@ object Queries {
       .orderBy(col("keep_id"))
   }
 
+  /** PERCEPTUAL image near-dup (average-hash): 8×8 images whose pixels
+    * encode a planted 64-bit mask (high luma 200 = bit set, low 50 =
+    * clear; the image mean sits strictly between, so the aHash equals
+    * the mask bit-for-bit). Organic masks are splitmix64 mixes — any
+    * organic pair differs in ≫3 bits (asserted in LlmOpsSpec) — while
+    * each doc_id % 5 == 0 gets a +1000 copy with exactly 2 adjacent
+    * bits flipped: the TRUE pair list is the planted enumeration at
+    * hamming exactly 2. Blocking reuses the text SimHash chunk engine
+    * on media signatures. */
+  val q129_perceptual_dedup: Q = (s, dir) => {
+    import s.implicits._
+    val base = Tables.documents(s, dir).filter(col("doc_id") < 40)
+      .select(col("doc_id").cast("long"))
+    val planted = base.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000L))
+    val blobs = base.unionByName(planted).as[Long]
+      .mapPartitions { it =>
+        def mix(x0: Long): Long = {
+          var x = x0 + 0x9E3779B97F4A7C15L
+          x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+          x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+          x ^ (x >>> 31)
+        }
+        def maskOf(id: Long): Long =
+          if (id >= 1000L) mix((id - 1000L) * 1337L + 7L) ^ (3L << ((id - 1000L) % 62).toInt)
+          else mix(id * 1337L + 7L)
+        it.map { id =>
+          val m = maskOf(id)
+          val img = new java.awt.image.BufferedImage(8, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var c = 0
+          while (c < 64) {
+            val luma = if (((m >>> (63 - c)) & 1L) == 1L) 200 else 50
+            val rgb = (luma << 16) | (luma << 8) | luma
+            img.setRGB(c % 8, c / 8, rgb)
+            c += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          (id, baos.toByteArray)
+        }
+      }.toDF("doc_id", "png")
+    llm.Multimodal.perceptualPairs(blobs, "doc_id", "png", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** STREAMING sessionization (`session_window` + watermark) — the q43
     * batch island-detection run as a stateful stream over the same
     * bounded replay; sessions merge across micro-batches in the state
@@ -2387,5 +2433,6 @@ object Queries {
     "q126_frame_sample"  -> q126_frame_sample,
     "q127_image_resize"  -> q127_image_resize,
     "q128_media_dedup"   -> q128_media_dedup,
+    "q129_perceptual_dedup" -> q129_perceptual_dedup,
   )
 }

@@ -369,8 +369,17 @@ object Dedup {
     * keys each time, so exchange reuse never applies and an unpersisted
     * plan recomputes the 64-bit sign-sum signature up to 4×. */
   private[graft] def simhashPairsPlan(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, maxBucket: Int = 256): (DataFrame, Seq[DataFrame]) =
+    hammingPairsFromSigsPlan(simhash(docs, idCol, textCol), maxHamming, maxBucket)
+
+  /** Chunk-blocked hamming pairs over ANY 64-bit signature frame
+    * `(doc_id, simhash)` — the blocking engine behind [[simhashPairs]],
+    * reused by perceptual media dedup ([[graft.llm.Multimodal]] aHash):
+    * any pair within hamming d≤3 shares one identical 16-bit chunk of
+    * four (pigeonhole), so candidates come from an equi-shuffle, never
+    * an all-pairs product. */
+  private[graft] def hammingPairsFromSigsPlan(sigs: DataFrame,
                    maxHamming: Int = 3, maxBucket: Int = 256): (DataFrame, Seq[DataFrame]) = {
-    val sigs = simhash(docs, idCol, textCol)
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*))

@@ -257,6 +257,49 @@ object Multimodal {
       .toDF()
   }
 
+  /** PERCEPTUAL 64-bit image signature (average hash — the classic
+    * aHash: cell brighter than the image mean ⇒ bit set, MSB-first in
+    * cell order) from an [[ImageIoCodec]] feature row at `grid`=8.
+    * Returns `(doc_id, simhash)` — the same shape the text SimHash
+    * machinery blocks on, so media near-dup reuses the chunk-blocked
+    * hamming engine unchanged. The per-cell luma array is STAGED as a
+    * real column before the folds (HOF lambdas re-evaluate referenced
+    * trees per element — the [[graft.llm.Dedup.tokens]] discipline). */
+  def aHashSignatures(decoded: DataFrame, idCol: String = "doc_id",
+                      featuresCol: String = "features", grid: Int = 8): DataFrame = {
+    require(grid * grid <= 64, s"aHash64 holds at most 64 cells, grid=$grid")
+    val cells = grid * grid
+    // ImageIoCodec layout: [w, h, (r,g,b) × cells], element_at is 1-based
+    val lumas = transform(sequence(lit(0), lit(cells - 1)), i =>
+      (element_at(col(featuresCol), i * 3 + 3) +
+       element_at(col(featuresCol), i * 3 + 4) +
+       element_at(col(featuresCol), i * 3 + 5)) / 3.0)
+    decoded.select(col(idCol).as("doc_id"), lumas.as("__lumas"))
+      .withColumn("__mean",
+        aggregate(col("__lumas"), lit(0.0), (a, x) => a + x) / cells)
+      .select(col("doc_id"),
+        // shiftleft, not *2: ANSI mode would flag the sign-bit carry of
+        // a full 64-bit signature as overflow; the shift is the intent
+        aggregate(col("__lumas"), lit(0L),
+          (acc, l) => shiftleft(acc, 1)
+            .bitwiseOR(when(l > col("__mean"), 1L).otherwise(0L)))
+          .as("simhash"))
+  }
+
+  /** Perceptual NEAR-DUP pairs over an image blob column: decode →
+    * aHash → chunk-blocked hamming verify (the [[graft.llm.Dedup
+    * .simhashPairs]] engine on media signatures). The dedup story a
+    * multimodal corpus needs beyond byte-identity ([[graft.llm.Dedup
+    * .exactBinary]]): re-encoded/slightly-edited images collapse here. */
+  def perceptualPairs(blobs: DataFrame, idCol: String, binCol: String,
+                      maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
+    val sigs = aHashSignatures(
+      decodeBinaryPartitioned(blobs, idCol, binCol, ImageIoCodec(grid = 8)))
+    val (result, caches) =
+      graft.llm.Dedup.hammingPairsFromSigsPlan(sigs, maxHamming, maxBucket)
+    graft.ops.Caches.seal(result, caches: _*)
+  }
+
   /** End-to-end demo pipeline over the documents fixture: text bytes as
     * the stand-in blob → media struct → features + frame samples. */
   def pipeline(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

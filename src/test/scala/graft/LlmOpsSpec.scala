@@ -829,6 +829,51 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("perceptual aHash: signature equals the planted mask; pairs = planted set") {
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    // the q129 margin, ASSERTED not assumed: every organic mask pair
+    // (and planted-vs-unrelated) differs in > 3 bits, and no mask is
+    // degenerate (all-set/all-clear would pin the mean to one side)
+    val masks = (0L until 40L).map(id => id -> mix(id * 1337L + 7L)).toMap
+    masks.values.foreach(m => assert(
+      java.lang.Long.bitCount(m) > 0 && java.lang.Long.bitCount(m) < 64))
+    val allSigs = masks ++ (0L until 40L by 5).map(id =>
+      (id + 1000L) -> (masks(id) ^ (3L << (id % 62).toInt)))
+    for ((ia, ma) <- allSigs; (ib, mb) <- allSigs
+         if ia < ib && !(ib == ia + 1000L && ia % 5 == 0)) {
+      val d = java.lang.Long.bitCount(ma ^ mb)
+      assert(d > 3, s"margin broke: masks $ia,$ib at hamming $d")
+    }
+    def png(mask: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (c <- 0 until 64) {
+        val l = if (((mask >>> (63 - c)) & 1L) == 1L) 200 else 50
+        img.setRGB(c % 8, c / 8, (l << 16) | (l << 8) | l)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    // the decoded aHash must reproduce each mask BIT-FOR-BIT
+    val blobs = allSigs.toSeq.map { case (id, m) => (id, png(m)) }
+      .toDF("doc_id", "png")
+    val sigs = graft.llm.Multimodal.aHashSignatures(
+        graft.llm.Multimodal.decodeBinaryPartitioned(blobs, "doc_id", "png",
+          graft.llm.Multimodal.ImageIoCodec(grid = 8)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs == allSigs, "aHash diverged from the planted masks")
+    // and the blocked pair search returns exactly the planted pairs
+    val pairs = graft.llm.Multimodal.perceptualPairs(blobs, "doc_id", "png")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == (0L until 40L by 5).map(id => (id, id + 1000L, 2)).toSet)
+  }
+
   test("fingerprint survives small edits (winnowing overlap)") {
     val fp = TextOps.fingerprint(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
