@@ -1479,6 +1479,16 @@ object Oracles {
                 max(epoch_ns(ts)) AS last_ns
          FROM events GROUP BY event_type ORDER BY event_type""",
 
+    // constant-amplitude PCM: every decoded feature is exact in double
+    // arithmetic (dyadic sample values, exact mean, exact sqrt), so the
+    // oracle is closed-form with NO tolerance
+    "q130_audio_decode" ->
+      """SELECT doc_id, 8000.0 AS sample_rate, 1.0 AS channels,
+                CAST(100 + doc_id % 50 AS DOUBLE) AS n_frames,
+                CAST(100 + doc_id % 50 AS DOUBLE) / 8000.0 AS duration_sec,
+                CAST(1000 + (doc_id * 37) % 20000 AS DOUBLE) / 32768.0 AS rms
+         FROM documents WHERE doc_id < 64 ORDER BY doc_id""",
+
     // perceptual (average-hash) near-dup: aHash equals the planted mask
     // bit-for-bit, organic masks differ in >>3 bits (margin asserted in
     // LlmOpsSpec), so the true pair list is the planted enumeration at

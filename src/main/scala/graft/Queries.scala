@@ -2290,6 +2290,47 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** REAL audio decode under ORACLE adjudication (WavCodec was spec-only
+    * until now): constant-amplitude 16-bit PCM WAVs are synthesized per
+    * doc — every decoded feature is then EXACT in double arithmetic
+    * (s = amp/2^15 is dyadic, n·s² < 2^53, and sqrt of the exact mean
+    * returns the exact |s|), so rms == amp/32768 bit-for-bit with no
+    * tolerance games. */
+  val q130_audio_decode: Q = (s, dir) => {
+    import s.implicits._
+    val blobs = Tables.documents(s, dir).filter(col("doc_id") < 64)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = 100 + (id % 50).toInt
+          val amp = (1000 + (id * 37) % 20000).toInt
+          val data = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            data(2 * i) = (amp & 0xFF).toByte
+            data(2 * i + 1) = ((amp >> 8) & 0xFF).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+          (id, baos.toByteArray)
+        }
+      }.toDF("doc_id", "wav")
+    llm.Multimodal.decodeBinaryPartitioned(blobs, "doc_id", "wav",
+        llm.Multimodal.WavCodec())
+      .select(col("doc_id"),
+        element_at(col("features"), 1).as("sample_rate"),
+        element_at(col("features"), 2).as("channels"),
+        element_at(col("features"), 3).as("n_frames"),
+        element_at(col("features"), 4).as("duration_sec"),
+        element_at(col("features"), 5).as("rms"))
+      .orderBy(col("doc_id"))
+  }
+
   /** STREAMING sessionization (`session_window` + watermark) — the q43
     * batch island-detection run as a stateful stream over the same
     * bounded replay; sessions merge across micro-batches in the state
@@ -2434,5 +2475,6 @@ object Queries {
     "q127_image_resize"  -> q127_image_resize,
     "q128_media_dedup"   -> q128_media_dedup,
     "q129_perceptual_dedup" -> q129_perceptual_dedup,
+    "q130_audio_decode"  -> q130_audio_decode,
   )
 }
