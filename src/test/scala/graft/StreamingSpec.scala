@@ -467,6 +467,40 @@ class StreamingSpec extends SparkSpec {
       "a wholly-retained consumed partition must not fail the stream")
   }
 
+  test("media decode + aHash run unchanged on a streaming frame (== batch)") {
+    // decode-at-ingest: the multimodal codec seam (mapPartitions) and the
+    // perceptual signature are row-local, so a feed decodes as it lands
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def png(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8)
+        img.setRGB(x, y, if ((x + y) % 2 == 0) rgb else 0)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val rows = Seq((1L, png(0xAABBCC)), (2L, png(0x112233)))
+    val input = MemoryStream[(Long, Array[Byte])]
+    val stream = graft.llm.Multimodal.aHashSignatures(
+      graft.llm.Multimodal.decodeBinaryPartitioned(
+        input.toDF().toDF("doc_id", "png"), "doc_id", "png",
+        graft.llm.Multimodal.ImageIoCodec(grid = 8)))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("t_media").start()
+    try { input.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("t_media").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.llm.Multimodal.aHashSignatures(
+        graft.llm.Multimodal.decodeBinaryPartitioned(
+          rows.toDF("doc_id", "png"), "doc_id", "png",
+          graft.llm.Multimodal.ImageIoCodec(grid = 8)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch && streamed.size == 2)
+  }
+
   test("quantizeInt8 runs unchanged on a streaming frame (== batch)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
