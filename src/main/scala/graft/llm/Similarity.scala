@@ -719,6 +719,26 @@ object Similarity {
                       nClusters: Int = 16, iters: Int = 1,
                       maxCluster: Int = 1 << 17,
                       idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, Seq[DataFrame]) = {
+    val (pairs, caches) = semDedupPairsPlan(df, threshold, nClusters, iters,
+      maxCluster, idCol, vecCol)
+    val victims = pairs
+      .groupBy(col("id_b"))
+      .agg(min(struct(col("id_a"), col("cos"))).as("__w"))
+      .select(col("id_b").as("dropped_id"),
+              col("__w.id_a").as("witness_id"), col("__w.cos").as("cos"))
+    (victims, caches)
+  }
+
+  /** The FULL in-cluster ≥τ pair list `(id_a, id_b, cos)` — the victim
+    * form above collapses this to min-witness edges, which is enough for
+    * min-id pruning but NOT for cluster membership: a node whose only
+    * qualifying neighbors have larger ids generates no victim edge, yet
+    * belongs to the component ([[semDedupKeepBest]] needs the real
+    * graph). */
+  private[graft] def semDedupPairsPlan(df: DataFrame, threshold: Double,
+                      nClusters: Int = 16, iters: Int = 1,
+                      maxCluster: Int = 1 << 17,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, Seq[DataFrame]) = {
     import graft.ops.Caches
     val (acq, own) = Caches.acquire(df)
     val cand = acq.filter(col(vecCol).isNotNull)
@@ -732,15 +752,29 @@ object Similarity {
       Seq("list_id"), "left_anti")
     val a = guarded.select(col("list_id"), col("__id").as("id_a"), col("__v").as("__va"))
     val b = guarded.select(col("list_id"), col("__id").as("id_b"), col("__v").as("__vb"))
-    val victims = a.join(b, Seq("list_id"))
+    val pairs = a.join(b, Seq("list_id"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", round(cosine(col("__va"), col("__vb")), 6))
       .filter(col("cos") >= threshold)
-      .groupBy(col("id_b"))
-      .agg(min(struct(col("id_a"), col("cos"))).as("__w"))
-      .select(col("id_b").as("dropped_id"),
-              col("__w.id_a").as("witness_id"), col("__w.cos").as("cos"))
-    (victims, if (own) Seq(assigned, acq) else Seq(assigned))
+      .select(col("id_a"), col("id_b"), col("cos"))
+    (pairs, if (own) Seq(assigned, acq) else Seq(assigned))
+  }
+
+  /** QUALITY-AWARE SemDeDup: instead of min-id pruning, keep the
+    * best-`scoreCol` member of every semantic near-dup CLUSTER
+    * (connected component of the full in-cluster ≥τ pair graph — the
+    * same witness election as `neardup … keep best`:
+    * [[graft.llm.Dedup.keepBestPerCluster]], ties → min id). Returns the
+    * surviving rows of `df`. */
+  def semDedupKeepBest(df: DataFrame, scoreCol: String, threshold: Double,
+                       nClusters: Int = 16, iters: Int = 1,
+                       maxCluster: Int = 1 << 17,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (pairs, caches) = semDedupPairsPlan(df, threshold, nClusters, iters,
+      maxCluster, idCol, vecCol)
+    val sealedPairs = graft.ops.Caches.seal(
+      pairs.select(col("id_a"), col("id_b")), caches: _*)
+    graft.llm.Dedup.keepBestPerCluster(df, idCol, scoreCol, sealedPairs)
   }
 
   /** SemDeDup survivors: the input minus [[semDedupVictims]] (anti-join

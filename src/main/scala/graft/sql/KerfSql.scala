@@ -1895,8 +1895,10 @@ object KerfSql {
     * only, drop anything with a lower-id cluster-mate at cos ≥ τ
     * (default 0.95, the paper's near-1 posture; `clusters` defaults 16).
     * Returns the victim list (dropped_id, witness_id, cos); with `keep`
-    * it returns the SURVIVING rows instead — the same victims/survivors
-    * duality as `neardup … keep best`. */
+    * the SURVIVING rows under min-id pruning; with `keep best <score>`
+    * the quality-aware survivors ([[graft.llm.Similarity
+    * .semDedupKeepBest]]: best-score member per semantic component,
+    * same election as `neardup … keep best`). */
   private def runSemDedup(spark: SparkSession, p: P): DataFrame = {
     val df = spark.table(p.pop())
     p.expect("by"); val idCol = p.pop()
@@ -1912,11 +1914,16 @@ object KerfSql {
       k = t.toInt
     }
     val keep = if (p.peekIs("keep")) { p.pop(); true } else false
-    val base =
-      if (keep) graft.llm.Similarity.semDedup(df, tau, nClusters = k,
-        idCol = idCol, vecCol = vecCol)
-      else graft.llm.Similarity.semDedupVictims(df, tau, nClusters = k,
-        idCol = idCol, vecCol = vecCol)
+    val best: Option[String] =
+      if (keep && p.peekIs("best")) { p.pop(); Some(p.pop()) } else None
+    val base = best match {
+      case Some(sc) => graft.llm.Similarity.semDedupKeepBest(df, sc, tau,
+        nClusters = k, idCol = idCol, vecCol = vecCol)
+      case None if keep => graft.llm.Similarity.semDedup(df, tau,
+        nClusters = k, idCol = idCol, vecCol = vecCol)
+      case None => graft.llm.Similarity.semDedupVictims(df, tau,
+        nClusters = k, idCol = idCol, vecCol = vecCol)
+    }
     val out = if (p.peekIs("order")) {
       p.pop()
       val cols = scala.collection.mutable.ArrayBuffer[String](p.pop())

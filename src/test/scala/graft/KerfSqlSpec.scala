@@ -878,6 +878,16 @@ class KerfSqlSpec extends SparkSpec {
     val kept = KerfSql.run(spark, "semdedup emb_kv by vec_id on embedding keep")
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(kept == base.select("vec_id").collect().map(_.getLong(0)).toSet)
+    // keep best <score>: replicas score HIGHER than originals (vec_id is
+    // the score), so the quality-aware election keeps the replica and
+    // drops its original — the opposite of min-id pruning
+    val bestKept = KerfSql.run(spark,
+        "semdedup emb_kv by vec_id on embedding keep best vec_id")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val baseIds = base.select("vec_id").collect().map(_.getLong(0)).toSet
+    val expected = baseIds.filterNot(_ % 20 == 0) ++
+      baseIds.filter(_ % 20 == 0).map(_ + 10000000L)
+    assert(bestKept == expected)
     intercept[Exception] { KerfSql.run(spark, "semdedup emb_kv on embedding") }
     intercept[Exception] {
       KerfSql.run(spark, "semdedup emb_kv by vec_id on embedding clusters -3")

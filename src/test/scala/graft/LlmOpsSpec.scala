@@ -748,6 +748,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(victims(7) == v1)
   }
 
+  test("semDedupKeepBest: full pair graph elects one max-score winner per component") {
+    // chain component {2,3,4}: cos(2,4) and cos(3,4) above τ=0.8,
+    // cos(2,3) below — node 3's only qualifying neighbor has a LARGER
+    // id, so the min-witness victim edges MISS it (it is no victim), but
+    // the component election must still see it as a member
+    val dim = 16
+    def vec(theta: Double): Seq[Float] = {
+      val v = Array.fill(dim)(0f)
+      v(0) = math.cos(theta).toFloat; v(1) = math.sin(theta).toFloat
+      v.toSeq
+    }
+    val rows = Seq(
+      (2L, vec(0.0), 10.0),
+      (3L, vec(math.toRadians(50)), 99.0), // best quality in the chain
+      (4L, vec(math.toRadians(25)), 20.0),
+      (7L, vec(math.toRadians(160)), 5.0)) // unrelated singleton
+    val df = rows.toDF("vec_id", "embedding", "score")
+    // min-id semantics: 3 generates no victim edge → {2,3} survive
+    val minId = Similarity.semDedup(df, threshold = 0.8, nClusters = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(minId == Set(2L, 3L, 7L))
+    // keep-best semantics: the WHOLE component {2,3,4} elects 3
+    val best = Similarity.semDedupKeepBest(df, "score", threshold = 0.8,
+        nClusters = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(best == Set(3L, 7L))
+  }
+
   test("semDedup: maxCluster guard passes oversized clusters through un-deduped") {
     val rnd = new scala.util.Random(11)
     val base = (0 until 20).map(i =>
