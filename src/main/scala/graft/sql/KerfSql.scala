@@ -1191,7 +1191,16 @@ object KerfSql {
                 val sites = locs.result()
                 require(sites.nonEmpty, "<< [] needs at least one site")
                 graft.io.Folio.federatedRead(spark, sites)
-              } else graft.io.Folio.readSite(spark, quoted(p.pop()))
+              } else {
+                val loc = quoted(p.pop())
+                // `<< 'path' version 'v00000001'` — TIME TRAVEL: read a
+                // retained version instead of the live pointer (the
+                // previous version survives every publish as the crash
+                // fallback; a GC'd version fails loudly)
+                if (p.peekIs("version")) {
+                  p.pop(); graft.io.Folio.readVersion(spark, loc, quoted(p.pop()))
+                } else graft.io.Folio.readSite(spark, loc)
+              }
             require(p.done, s"trailing tokens after <<: ${p.toks.mkString(" ")}")
             df.createOrReplaceTempView(name)
             last = Left(df)

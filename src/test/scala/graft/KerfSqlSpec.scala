@@ -919,6 +919,15 @@ class KerfSqlSpec extends SparkSpec {
       KerfSql.run(spark, s"compact '$dir/f' sort ts_ns zorder value")
     }
     intercept[Exception] { KerfSql.run(spark, "compact unquoted_path") }
+    // TIME TRAVEL from the text surface: v1 (the first compaction's
+    // layout) is retained as the crash fallback and stays queryable
+    val pre = KerfSql.run(spark,
+      s"old: << '$dir/f' version 'v00000001'; " +
+      "select count(*) as n from old")
+    assert(pre.collect()(0).getLong(0) == ev.count())
+    intercept[IllegalArgumentException] {
+      KerfSql.run(spark, s"x: << '$dir/f' version 'v09999999'")
+    }
   }
 
   test("dedup/neardup parse errors are loud, not silent column guesses") {
