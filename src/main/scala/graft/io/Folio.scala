@@ -222,24 +222,29 @@ object Folio {
     val cur = currentVersion(path)
     val df = promotedRead(spark, path)
     val keyCols = partitionCols.map(col)
-    val zv = if (zorderCols.isEmpty) None else Some(zvalue(df, zorderCols))
+    // z-value is STAGED as a column (withZValue) — the single-Column
+    // form replicates the bucket when-tree per interleaved bit and pays
+    // ~13 s of Janino compile time at bits=8 (StorageScalingBench)
+    val (working, zv) =
+      if (zorderCols.isEmpty) (df, None)
+      else { val (staged, name) = withZValue(df, zorderCols); (staged, Some(col(name))) }
     val spread = (partitionCols, zv) match {
       // z-order without dir partitioning: RANGE partition on the z-value
       // so each output file owns a contiguous z-range = a bounded
       // rectangle in every clustered dimension (file/row-group stats
       // then prune on ANY of the dimensions, not just the first sort key)
-      case (Nil, Some(z)) => df.repartitionByRange(filesPerPartition, z)
+      case (Nil, Some(z)) => working.repartitionByRange(filesPerPartition, z)
       // linear sort without dir partitioning: range partition on the
       // sort keys so the GLOBAL sorted-run convention holds across files
       case (Nil, None) if sortCols.nonEmpty =>
-        df.repartitionByRange(filesPerPartition, sortCols.map(col): _*)
-      case (Nil, None)    => df.repartition(filesPerPartition)
-      case (_, _) if filesPerPartition == 1 => df.repartition(keyCols: _*)
-      case (_, _) => df.repartition(keyCols :+
+        working.repartitionByRange(filesPerPartition, sortCols.map(col): _*)
+      case (Nil, None)    => working.repartition(filesPerPartition)
+      case (_, _) if filesPerPartition == 1 => working.repartition(keyCols: _*)
+      case (_, _) => working.repartition(keyCols :+
         pmod(xxhash64(df.columns.map(col): _*), lit(filesPerPartition)): _*)
     }
     val sorted = zv match {
-      case Some(z) => spread.sortWithinPartitions(keyCols :+ z: _*)
+      case Some(z) => spread.sortWithinPartitions(keyCols :+ z: _*).drop("__zvalue")
       case None if sortCols.isEmpty => spread
       case None => spread.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
     }
@@ -325,6 +330,31 @@ object Folio {
     * regardless of the value distribution. NULLs sort into the top
     * bucket of their dimension. */
   def zvalue(df: DataFrame, cols: Seq[String], bits: Int = 8): Column = {
+    val (buckets, ncols) = zBuckets(df, cols, bits)
+    interleave(buckets, bits, ncols).as("__zvalue")
+  }
+
+  /** [[zvalue]] with the bucket lookups STAGED as real columns before the
+    * bit interleave — the form every data-sized caller should use. The
+    * single-Column [[zvalue]] references each column's `when`-tree once
+    * per bit (the interleave needs bit i of the bucket), so at bits=8 the
+    * generated expression holds 8 copies of a 255-node tree per column
+    * and Janino pays ~13 s of COMPILE time before the first row
+    * (measured, StorageScalingBench — flat at every data size). Staging
+    * makes each tree appear once (>1 downstream reference blocks
+    * CollapseProject, the SCALING.md discipline); the interleave then
+    * reads cheap column refs. Returns the frame plus the z column name. */
+  def withZValue(df: DataFrame, cols: Seq[String], bits: Int = 8): (DataFrame, String) = {
+    val (buckets, ncols) = zBuckets(df, cols, bits)
+    val staged = buckets.zipWithIndex.foldLeft(df) { case (d, (b, j)) =>
+      d.withColumn(s"__zb$j", b)
+    }
+    val z = interleave(cols.indices.map(j => col(s"__zb$j")), bits, ncols)
+    (staged.withColumn("__zvalue", z).drop(cols.indices.map(j => s"__zb$j"): _*),
+     "__zvalue")
+  }
+
+  private def zBuckets(df: DataFrame, cols: Seq[String], bits: Int): (Seq[Column], Int) = {
     require(cols.nonEmpty, "zvalue needs at least one column")
     require(bits >= 1 && bits * cols.size <= 63,
       s"bits*cols must fit a long: $bits*${cols.size}")
@@ -337,19 +367,20 @@ object Folio {
         when(c < lit(bounds(mid - 1)), bucketOf(c, bounds, lo, mid - 1))
           .otherwise(bucketOf(c, bounds, mid, hi))
       }
-    val buckets = cols.map { name =>
+    (cols.map { name =>
       val bounds = df.select(col(name).cast("double").as("__z"))
         .na.drop().stat.approxQuantile("__z", qs, 0.001)
       bucketOf(col(name).cast("double"), bounds, 0, n - 1)
-    }
-    val ncols = cols.size
+    }, cols.size)
+  }
+
+  private def interleave(buckets: Seq[Column], bits: Int, ncols: Int): Column =
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       buckets.zipWithIndex.foldLeft(acc) { case (a, (b, j)) =>
         a.bitwiseOR(shiftleft(
           shiftright(b, i).bitwiseAND(lit(1L)), i * ncols + j))
       }
-    }.as("__zvalue")
-  }
+    }
 
   /** Data files (not metadata) under a folio's LIVE layout — the
     * before/after observable compaction changes. */
