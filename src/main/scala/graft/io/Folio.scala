@@ -368,9 +368,16 @@ object Folio {
           .otherwise(bucketOf(c, bounds, mid, hi))
       }
     (cols.map { name =>
-      val bounds = df.select(col(name).cast("double").as("__z"))
+      // try_cast, not cast: ANSI mode would throw CAST_INVALID_INPUT on
+      // the first malformed row mid-job — the rim guard below owns the
+      // failure with the actual cause (non-numeric column, all-null,
+      // empty folio: all yield no boundaries)
+      val bounds = df.select(col(name).try_cast("double").as("__z"))
         .na.drop().stat.approxQuantile("__z", qs, 0.001)
-      bucketOf(col(name).cast("double"), bounds, 0, n - 1)
+      require(bounds.length == qs.length,
+        s"zorder column '$name' yielded no quantile boundaries — " +
+        "it must be numeric (castable to double) with at least one non-null row")
+      bucketOf(col(name).try_cast("double"), bounds, 0, n - 1)
     }, cols.size)
   }
 

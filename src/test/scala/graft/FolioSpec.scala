@@ -166,6 +166,21 @@ class FolioSpec extends SparkSpec {
       assert(z1 <= z2, s"z not monotone: ($x1,$y1)->$z1 vs ($x2,$y2)->$z2")
   }
 
+  test("zvalue fails at the rim on non-numeric / all-null zorder columns") {
+    import spark.implicits._
+    val df = Seq((1L, "abc", null.asInstanceOf[java.lang.Double]),
+                 (2L, "def", null.asInstanceOf[java.lang.Double]))
+      .toDF("id", "s", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Folio.zvalue(df, Seq("s"), bits = 4)
+    }
+    assert(e1.getMessage.contains("'s'"))
+    val e2 = intercept[IllegalArgumentException] {
+      Folio.withZValue(df, Seq("id", "v"), bits = 4)
+    }
+    assert(e2.getMessage.contains("'v'"))
+  }
+
   test("z-order compaction prunes on the SECOND dimension; linear sort cannot") {
     val dir = tmp()
     import spark.implicits._
