@@ -1479,6 +1479,16 @@ object Oracles {
                 max(epoch_ns(ts)) AS last_ns
          FROM events GROUP BY event_type ORDER BY event_type""",
 
+    // the media composition: dedup keeps min-id per byte-identical
+    // group (doc_id 0..15), solid colors are exact under resize, sums
+    // of integer-valued doubles are exact in any order
+    "q131_media_pipeline" ->
+      """SELECT doc_id % 4 AS bucket, count(*) AS n,
+                CAST(sum(doc_id * 17) AS DOUBLE) AS sum_r,
+                CAST(sum(doc_id * 11) AS DOUBLE) AS sum_g,
+                CAST(sum(doc_id * 5) AS DOUBLE) AS sum_b
+         FROM documents WHERE doc_id < 16 GROUP BY 1 ORDER BY bucket""",
+
     // constant-amplitude PCM: every decoded feature is exact in double
     // arithmetic (dyadic sample values, exact mean, exact sqrt), so the
     // oracle is closed-form with NO tolerance

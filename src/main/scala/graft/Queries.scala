@@ -2331,6 +2331,47 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** END-TO-END media pipeline (the q57 composition for BLOBS): exact
+    * content-hash dedup drops byte-identical copies (q128's planted
+    * groups) → survivors resize to thumbnails → thumbnails decode to
+    * features → per-bucket aggregate. Every stage is the standalone
+    * oracled op; the closed form survives the whole chain because
+    * solid colors are exact under bilinear resize. */
+  val q131_media_pipeline: Q = (s, dir) => {
+    import s.implicits._
+    val blobs = Tables.documents(s, dir).filter(col("doc_id") < 64)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val k = (id % 16).toInt
+          val img = new java.awt.image.BufferedImage(16, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = ((k * 17) << 16) | ((k * 11) << 8) | (k * 5)
+          var y = 0
+          while (y < 8) { var x = 0; while (x < 16) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          (id, baos.toByteArray)
+        }
+      }.toDF("doc_id", "png")
+    val keep = llm.Dedup.exactBinary(blobs, "doc_id", "png")
+      .select(col("keep_id").as("doc_id"))
+    val survivors = blobs.join(keep, Seq("doc_id"))
+    val thumbs = llm.Multimodal.resizePartitioned(survivors, "doc_id", "png", 4, 4)
+    llm.Multimodal.decodeBinaryPartitioned(thumbs, "doc_id", "png",
+        llm.Multimodal.ImageIoCodec(grid = 1))
+      .select(col("doc_id"), (col("doc_id") % 4).as("bucket"),
+        element_at(col("features"), 3).as("r"),
+        element_at(col("features"), 4).as("g"),
+        element_at(col("features"), 5).as("b"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("r")).as("sum_r"),
+           sum(col("g")).as("sum_g"),
+           sum(col("b")).as("sum_b"))
+      .orderBy(col("bucket"))
+  }
+
   /** STREAMING sessionization (`session_window` + watermark) — the q43
     * batch island-detection run as a stateful stream over the same
     * bounded replay; sessions merge across micro-batches in the state
@@ -2476,5 +2517,6 @@ object Queries {
     "q128_media_dedup"   -> q128_media_dedup,
     "q129_perceptual_dedup" -> q129_perceptual_dedup,
     "q130_audio_decode"  -> q130_audio_decode,
+    "q131_media_pipeline" -> q131_media_pipeline,
   )
 }

@@ -295,6 +295,21 @@ object Folio {
     }
   }
 
+  /** Compaction POLICY: rewrite only when fragmentation crossed the
+    * threshold (the maintenance-job guard — an idle folio must not pay a
+    * full rewrite per cycle). Returns whether a compaction ran. */
+  def compactIfFragmented(spark: SparkSession, path: String, maxFiles: Int,
+                          partitionCols: Seq[String] = Nil,
+                          sortCols: Seq[String] = Nil,
+                          filesPerPartition: Int = 1,
+                          zorderCols: Seq[String] = Nil): Boolean = {
+    require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
+    val fragmented = dataFileCount(path) > maxFiles
+    if (fragmented)
+      compact(spark, path, partitionCols, sortCols, filesPerPartition, zorderCols)
+    fragmented
+  }
+
   /** Versions currently on disk for a promoted folio, ascending — the
     * live one plus the previous kept as crash fallback / time travel. */
   def versions(path: String): Seq[String] =

@@ -166,6 +166,20 @@ class FolioSpec extends SparkSpec {
       assert(z1 <= z2, s"z not monotone: ($x1,$y1)->$z1 vs ($x2,$y2)->$z2")
   }
 
+  test("compactIfFragmented: idle folios skip the rewrite, fragmented ones fold") {
+    val dir = tmp()
+    val ev = Tables.events(spark, sf).drop("ts")
+    (0 until 3).foreach(b => Folio.appendPartition(ev.filter(col("event_id") % 3 === b),
+      s"$dir/f", Seq("event_type"), Seq("ts_ns")))
+    assert(Folio.compactIfFragmented(spark, s"$dir/f", maxFiles = 10,
+      Seq("event_type"), Seq("ts_ns"))) // 15 files > 10 → ran
+    assert(Folio.currentVersion(s"$dir/f").contains("v00000001"))
+    // now at 5 files: the policy must NOT pay another rewrite
+    assert(!Folio.compactIfFragmented(spark, s"$dir/f", maxFiles = 10,
+      Seq("event_type"), Seq("ts_ns")))
+    assert(Folio.currentVersion(s"$dir/f").contains("v00000001")) // no version churn
+  }
+
   test("zvalue fails at the rim on non-numeric / all-null zorder columns") {
     import spark.implicits._
     val df = Seq((1L, "abc", null.asInstanceOf[java.lang.Double]),
