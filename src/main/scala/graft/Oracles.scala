@@ -1479,6 +1479,24 @@ object Oracles {
                 max(epoch_ns(ts)) AS last_ns
          FROM events GROUP BY event_type ORDER BY event_type""",
 
+    // identical slicing over DuckDB list algebra: same normalization
+    // and whitespace tokenization as the q29/q93-proven pairing; list
+    // slices are 1-based inclusive and clamp, matching Spark's slice
+    "q132_chunking" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents WHERE doc_id < 200),
+         sized AS (
+           SELECT doc_id, toks,
+                  greatest(1, (len(toks) - 16 + 47) // 48) AS nchunks
+           FROM t),
+         e AS (SELECT doc_id, toks, unnest(range(0, nchunks)) AS cid FROM sized)
+         SELECT doc_id, cid AS chunk_id,
+                CAST(len(toks[cid*48 + 1 : cid*48 + 64]) AS BIGINT) AS n_tokens,
+                array_to_string(toks[cid*48 + 1 : cid*48 + 64], ' ') AS chunk_text
+         FROM e ORDER BY doc_id, chunk_id""",
+
     // the media composition: dedup keeps min-id per byte-identical
     // group (doc_id 0..15), solid colors are exact under resize, sums
     // of integer-valued doubles are exact in any order

@@ -2372,6 +2372,17 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
+  /** Token CHUNKING with overlap (embedding prep — the inverse of q75's
+    * chunk→doc pooling): 64-token windows advancing by 48, trailing
+    * chunk short, short docs one chunk. Oracle recomputes the identical
+    * slicing over DuckDB's list algebra. */
+  val q132_chunking: Q = (s, dir) => {
+    llm.TextOps.chunk(
+        Tables.documents(s, dir).filter(col("doc_id") < 200),
+        "doc_id", "text", chunkSize = 64, overlap = 16)
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** STREAMING sessionization (`session_window` + watermark) — the q43
     * batch island-detection run as a stateful stream over the same
     * bounded replay; sessions merge across micro-batches in the state
@@ -2518,5 +2529,6 @@ object Queries {
     "q129_perceptual_dedup" -> q129_perceptual_dedup,
     "q130_audio_decode"  -> q130_audio_decode,
     "q131_media_pipeline" -> q131_media_pipeline,
+    "q132_chunking"      -> q132_chunking,
   )
 }

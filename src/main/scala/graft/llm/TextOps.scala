@@ -216,4 +216,33 @@ object TextOps {
           sequence(lit(0), greatest(size(col("__hashes")) - w, lit(0))),
           j => array_min(slice(col("__hashes"), j + 1, lit(w)))))).as("fingerprint"))
   }
+
+  /** Fixed-size token CHUNKING with overlap — the embedding-prep op: a
+    * long document embeds in windows of `chunkSize` tokens advancing by
+    * `stride = chunkSize − overlap` (chunk k covers tokens
+    * [k·stride, k·stride + chunkSize)); the trailing chunk may be short,
+    * and a doc no longer than one window yields exactly one chunk. The
+    * inverse of [[graft.llm.Similarity.meanPool]]'s chunk→doc pooling.
+    * Map-only: stage tokens, one explode over a tiny chunk-index range,
+    * slice per chunk — no shuffle; at 100 TB chunking is scan-speed.
+    * Tokenization is the [[graft.llm.Dedup.normText]] whitespace
+    * convention (the engine↔oracle-proven pairing). */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            chunkSize: Int, overlap: Int = 0): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize): $overlap vs $chunkSize")
+    val stride = chunkSize - overlap
+    docs
+      .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("__toks"))
+      .withColumn("__k", greatest(lit(1),
+        expr(s"(size(__toks) - $overlap + ${stride - 1}) div $stride")))
+      .select(col("doc_id"), col("__toks"),
+        explode(sequence(lit(0), col("__k") - 1)).as("chunk_id"))
+      .withColumn("__c",
+        slice(col("__toks"), col("chunk_id") * stride + 1, lit(chunkSize)))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("__c")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__c")).as("chunk_text"))
+  }
 }

@@ -902,6 +902,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs == (0L until 40L by 5).map(id => (id, id + 1000L, 2)).toSet)
   }
 
+  test("chunk: windows advance by stride, trailing short, short docs one chunk") {
+    val df = Seq((1L, "a b c d e"), (2L, "x"), (3L, "a b c d")).toDF("doc_id", "text")
+    val got = TextOps.chunk(df, "doc_id", "text", chunkSize = 3, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 0L, 3L, "a b c"), (1L, 1L, 3L, "c d e"),       // stride 2, full cover
+      (2L, 0L, 1L, "x"),                                  // short doc: one chunk
+      (3L, 0L, 3L, "a b c"), (3L, 1L, 2L, "c d")))        // trailing chunk short
+    intercept[IllegalArgumentException] {
+      TextOps.chunk(df, "doc_id", "text", chunkSize = 2, overlap = 2)
+    }
+  }
+
   test("fingerprint survives small edits (winnowing overlap)") {
     val fp = TextOps.fingerprint(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
