@@ -501,6 +501,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.size == 2)
   }
 
+  test("streaming media near-dup suppression: re-encoded images collapse by aHash") {
+    // the perceptual power at the ingest boundary: the SAME picture at a
+    // DIFFERENT resolution produces different bytes (content-hash dedup
+    // misses it) but the identical aHash — each grid cell of the scaled
+    // copy averages a block of identical pixels — and the signature
+    // feeds the standard watermark-bounded dedup state
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def png(seed: Int, scale: Int): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      val colors = Array.fill(64)(rnd.nextInt(1 << 24))
+      val img = new java.awt.image.BufferedImage(8 * scale, 8 * scale,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8 * scale; x <- 0 until 8 * scale)
+        img.setRGB(x, y, colors((y / scale) * 8 + (x / scale)))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val a1 = png(5, 1)
+    val a2 = png(5, 2) // same picture, 2x resolution
+    val b  = png(9, 1) // different picture
+    assert(!java.util.Arrays.equals(a1, a2), "re-encode must change the bytes")
+    val input = MemoryStream[(Long, Array[Byte])]
+    val sigs = graft.llm.Multimodal.aHashSignatures(
+        graft.llm.Multimodal.decodeBinaryPartitioned(
+          input.toDF().toDF("doc_id", "png"),
+          "doc_id", "png", graft.llm.Multimodal.ImageIoCodec(grid = 8)))
+      .withColumn("ts", current_timestamp())
+    val deduped = EventStream.dedupWithinWatermark(sigs, Seq("simhash"), "1 hour")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("t_media_dedup").start()
+    try {
+      input.addData(Seq((1L, a1), (2L, a2), (3L, b)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("t_media_dedup").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.size == 2 && kept.contains(3L) &&
+      (kept.contains(1L) ^ kept.contains(2L)),
+      s"perceptual suppress failed: kept=$kept")
+  }
+
   test("quantizeInt8 runs unchanged on a streaming frame (== batch)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
