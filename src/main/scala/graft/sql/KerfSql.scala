@@ -1012,6 +1012,7 @@ object KerfSql {
         case "dedup"   if pipelineVerbForm(toks) => p.pop(); last = Left(runDedup(spark, p, near = false))
         case "neardup" if pipelineVerbForm(toks) => p.pop(); last = Left(runDedup(spark, p, near = true))
         case "semdedup" if pipelineVerbForm(toks) => p.pop(); last = Left(runSemDedup(spark, p))
+        case "chunk"   if pipelineVerbForm(toks) => p.pop(); last = Left(runChunk(spark, p))
         case "sample"  if pipelineVerbForm(toks) => p.pop(); last = Left(runSample(spark, p))
         case "shard"   if pipelineVerbForm(toks) => p.pop(); last = Left(runShard(spark, p))
         case "cap"     if pipelineVerbForm(toks) => p.pop(); last = Left(runCap(spark, p))
@@ -1219,7 +1220,7 @@ object KerfSql {
             df.createOrReplaceTempView(name)
             last = Left(df)
           } else if ((p.peekIs("dedup") || p.peekIs("neardup") ||
-                      p.peekIs("semdedup") ||
+                      p.peekIs("semdedup") || p.peekIs("chunk") ||
                       p.peekIs("sample") || p.peekIs("shard") || p.peekIs("cap")) &&
                      pipelineVerbForm(p.toks)) {
             // table-valued pipeline verbs assign like a select: the
@@ -1229,6 +1230,7 @@ object KerfSql {
               case "dedup"    => runDedup(spark, p, near = false)
               case "neardup"  => runDedup(spark, p, near = true)
               case "semdedup" => runSemDedup(spark, p)
+              case "chunk"    => runChunk(spark, p)
               case "sample"   => runSample(spark, p)
               case "shard"    => runShard(spark, p)
               case "cap"      => runCap(spark, p)
@@ -1979,6 +1981,26 @@ object KerfSql {
     require(p.done, s"trailing tokens in compact: ${p.toks.mkString(" ")}")
     graft.io.Folio.compact(spark, path, parts, sorts, files, zs)
     graft.io.Folio.promotedRead(spark, path)
+  }
+
+  /** `chunk t by id on text size 64 [overlap 16]` →
+    * [[graft.llm.TextOps.chunk]]: fixed-size token windows advancing by
+    * size − overlap (the embedding-prep op; trailing chunk short, short
+    * docs one chunk). */
+  private def runChunk(spark: SparkSession, p: P): DataFrame = {
+    val df = spark.table(p.pop())
+    p.expect("by"); val idCol = p.pop()
+    p.expect("on"); val textCol = p.pop()
+    p.expect("size")
+    def posInt(what: String): Int = {
+      val t = p.pop()
+      require(t.forall(_.isDigit), s"chunk … $what needs a non-negative int, got $t")
+      t.toInt
+    }
+    val size = posInt("size")
+    val overlap = if (p.peekIs("overlap")) { p.pop(); posInt("overlap") } else 0
+    require(p.done, s"trailing tokens in chunk: ${p.toks.mkString(" ")}")
+    graft.llm.TextOps.chunk(df, idCol, textCol, size, overlap)
   }
 
   /** `sample t by key at '29'` → [[graft.llm.Pipeline.hashSample]]:

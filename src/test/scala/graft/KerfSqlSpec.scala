@@ -930,6 +930,21 @@ class KerfSqlSpec extends SparkSpec {
     }
   }
 
+  test("chunk verb == TextOps.chunk (text front-end, same trees)") {
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_kv")
+    val got = KerfSql.run(spark,
+      "c: chunk docs_kv by doc_id on text size 64 overlap 16; " +
+      "select count(*) as n, sum(n_tokens) as toks from c")
+    val want = graft.llm.TextOps.chunk(
+        Tables.documents(spark, sf), "doc_id", "text", 64, 16)
+      .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("toks"))
+    assert(got.collect().toSeq == want.collect().toSeq)
+    intercept[Exception] {
+      KerfSql.run(spark, "chunk docs_kv by doc_id on text size 4 overlap 4")
+    }
+    intercept[Exception] { KerfSql.run(spark, "chunk docs_kv by doc_id on text") }
+  }
+
   test("dedup/neardup parse errors are loud, not silent column guesses") {
     Tables.documents(spark, sf).createOrReplaceTempView("docs_kv")
     intercept[Exception] { KerfSql.run(spark, "dedup docs_kv on text") }
