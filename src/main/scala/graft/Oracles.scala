@@ -1479,6 +1479,15 @@ object Oracles {
                 max(epoch_ns(ts)) AS last_ns
          FROM events GROUP BY event_type ORDER BY event_type""",
 
+    // persisted-index probe: q46's planted-replica closed form — the
+    // round-trip through the stored layout must not change the answer
+    "q133_ann_ivf_indexed" ->
+      """SELECT q.vec_id AS q_id, CAST(t.j AS BIGINT) AS rk,
+                q.vec_id + t.j * 20000000 AS cand_id,
+                CAST(1.0 AS DOUBLE) AS sim
+         FROM embeddings q CROSS JOIN (VALUES (1), (2), (3)) t(j)
+         WHERE q.vec_id < 5 ORDER BY q_id, rk""",
+
     // identical slicing over DuckDB list algebra: same normalization
     // and whitespace tokenization as the q29/q93-proven pairing; list
     // slices are 1-based inclusive and clamp, matching Spark's slice

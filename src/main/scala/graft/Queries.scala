@@ -2383,6 +2383,26 @@ object Queries {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** PERSISTED IVF index probe (the production ANN posture — q46's
+    * train-per-call becomes train-ONCE): write the index (centroid
+    * model + list_id-partitioned lists), then answer the query batch
+    * against the stored layout with a statically partition-pruned scan.
+    * Same planted-replica closed form as q46 — identical vectors share
+    * the query's nearest list, so any probe set containing it has
+    * structural recall 1.0. */
+  val q133_ann_ivf_indexed: Q = (s, dir) => {
+    val base = Scratch.dir(s, "ivfidx", new java.io.File(dir).getName)
+    val index = s"$base/idx_${System.nanoTime}" // fresh per run (bench runs twice)
+    val emb = Tables.fanOut(Tables.embeddings(s, dir))
+    val qs = emb.filter(col("vec_id") < 5)
+    val planted = (1 to 3).map(j =>
+        qs.withColumn("vec_id", col("vec_id") + lit(j * 20000000L)))
+      .reduce(_ unionByName _)
+    llm.Similarity.writeIvfIndex(emb.unionByName(planted), index, nLists = 16)
+    llm.Similarity.ivfTopKIndexed(s, index, qs, 3, nProbe = 6)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** STREAMING sessionization (`session_window` + watermark) — the q43
     * batch island-detection run as a stateful stream over the same
     * bounded replay; sessions merge across micro-batches in the state
@@ -2530,5 +2550,6 @@ object Queries {
     "q130_audio_decode"  -> q130_audio_decode,
     "q131_media_pipeline" -> q131_media_pipeline,
     "q132_chunking"      -> q132_chunking,
+    "q133_ann_ivf_indexed" -> q133_ann_ivf_indexed,
   )
 }

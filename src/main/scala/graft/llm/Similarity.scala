@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -392,6 +392,80 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("cand_id"), col("sim"))
     (res, if (own) Seq(cand) else Nil)
+  }
+
+  // ----- persistent IVF index: train once, probe forever -----
+
+  /** PERSIST an IVF index at `path` — the production ANN posture: pay
+    * the training/assignment passes ONCE, then every query batch probes
+    * the stored layout. On disk:
+    *  - `centroids.json`: the nLists×dim model (KBs — Jackson, the
+    *    checkpoint-JSON convention of the chunk feed);
+    *  - `lists/`: candidates PARTITIONED BY `list_id` — so a probe of
+    *    nProbe lists PRUNES at the directory level (static
+    *    `PartitionFilters`, no catalog, no DPP reliance): the scan reads
+    *    ~nProbe/nLists of the corpus from disk, which at 100 TB is the
+    *    difference between an index and a full pass. */
+  def writeIvfIndex(candidates: DataFrame, path: String, nLists: Int = 16,
+                    iters: Int = 1,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    import graft.ops.Caches
+    val (cand, own) = Caches.acquire(candidates)
+    val centroids = trainCentroids(cand, nLists, idCol, vecCol, iters)
+    new java.io.File(path).mkdirs()
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    java.nio.file.Files.write(
+      new java.io.File(path, "centroids.json").toPath,
+      om.writeValueAsBytes(centroids))
+    assignLists(cand.filter(col(vecCol).isNotNull), centroids, idCol, vecCol)
+      .select(col(idCol), col(vecCol), col("list_id"))
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+    if (own) cand.unpersist(false)
+  }
+
+  /** The stored centroid model of [[writeIvfIndex]]. */
+  def readIvfCentroids(path: String): Array[Array[Double]] = {
+    val f = new java.io.File(path, "centroids.json")
+    require(f.isFile, s"no IVF index at $path (centroids.json missing)")
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(java.nio.file.Files.readAllBytes(f.toPath),
+        classOf[Array[Array[Double]]])
+  }
+
+  /** Probe a persisted IVF index: same probe-join shape as [[ivfTopK]]
+    * but with NO training pass and a STATIC partition-pruned scan — the
+    * distinct probed list ids (≤ nLists ints, bounded by construction)
+    * become an `isin` literal the planner turns into `PartitionFilters`
+    * (pinned in PlanSpec). */
+  def ivfTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
+                     k: Int, nProbe: Int = 4,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = readIvfCentroids(path)
+    val nl = centroids.length
+    val np = math.min(nProbe, nl)
+    val q = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("__qsims",
+        graft.functions.MatVecDots.matVecDots(col("q_vec"), unitRows(centroids)))
+      .withColumn("probes", slice(transform(
+        array_sort(zip_with(col("__qsims"), sequence(lit(0), lit(nl - 1)),
+          (s, i) => struct((-s).as("negsim"), i.as("cid")))),
+        p => p.getField("cid")), 1, np))
+      .withColumn("list_id", explode(col("probes")))
+      .drop("probes", "__qsims")
+    val probed = q.select(col("list_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("list_id").isin(probed: _*))
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"), col("list_id"))
+    val cands = lists.join(broadcast(q), Seq("list_id"))
+      .filter(col("q_id") =!= col("cand_id"))
+      .withColumn("sim", round(cosine(col("q_vec"), col("cand_vec")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("cand_id"))
+    cands.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("cand_id"), col("sim"))
   }
 
   // ----- Product quantization (PQ) — the extreme-compression ANN tier -----

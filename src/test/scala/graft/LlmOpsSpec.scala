@@ -916,6 +916,28 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF index: probe equals the train-per-call answer exactly") {
+    val vecs = marginFixture(41)
+    val df = vecs.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfidx").toString
+    Similarity.writeIvfIndex(df, s"$path/idx", nLists = 4, iters = 2)
+    // stored model == retrained model (deterministic training)
+    val stored = Similarity.readIvfCentroids(s"$path/idx")
+    val fresh = Similarity.trainCentroids(df, nLists = 4, iters = 2)
+    assert(stored.map(_.toSeq).toSeq == fresh.map(_.toSeq).toSeq)
+    val qs = df.filter(col("vec_id") < 4)
+    val indexed = Similarity.ivfTopKIndexed(spark, s"$path/idx", qs, 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    val direct = Similarity.ivfTopK(qs, df, 5, nLists = 4, nProbe = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(indexed == direct, "stored-layout probe diverged from train-per-call")
+    intercept[IllegalArgumentException] {
+      Similarity.readIvfCentroids(s"$path/nowhere")
+    }
+  }
+
   test("fingerprint survives small edits (winnowing overlap)") {
     val fp = TextOps.fingerprint(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap

@@ -263,6 +263,21 @@ class PlanSpec extends SparkSpec {
     caches.foreach(_.unpersist(true))
   }
 
+  test("persisted IVF probe: the scan is statically partition-pruned on list_id") {
+    val emb = Tables.fanOut(Tables.embeddings(spark, sf))
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfplan").toString
+    llm.Similarity.writeIvfIndex(emb, s"$path/idx", nLists = 8)
+    val probe = llm.Similarity.ivfTopKIndexed(spark, s"$path/idx",
+      emb.filter(col("vec_id") < 3), 3, nProbe = 2)
+    probe.collect()
+    val p = probe.queryExecution.executedPlan.toString
+    // the probed-list isin literal must reach the scan as a partition
+    // filter — the index's whole point: read nProbe/nLists of the corpus
+    assert(p.contains("PartitionFilters") &&
+      p.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("list_id")),
+      s"probe scan not partition-pruned:\n$p")
+  }
+
   test("topK tiers: row_number<=k rewrites to WindowGroupLimit partial limits") {
     // the 100 TB re-rank property: each per-q_id top-k window must run a
     // PARTIAL (map-side) group limit before its shuffle, so the exchange
