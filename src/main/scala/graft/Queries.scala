@@ -2403,6 +2403,23 @@ object Queries {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** PERSISTED PQ index probe (q114's train-per-call becomes
+    * train-once): codebooks + the CODES-ONLY corpus land on disk; the
+    * query batch ADC-scans stored codes (m ints/vector) and joins the
+    * original table back only for the exact re-rank of survivors. Same
+    * planted-replica closed form as q114. */
+  val q134_ann_pq_indexed: Q = (s, dir) => {
+    val base = Scratch.dir(s, "pqidx", new java.io.File(dir).getName)
+    val index = s"$base/idx_${System.nanoTime}" // fresh per run (bench runs twice)
+    val emb = Tables.fanOut(Tables.embeddings(s, dir))
+    val qs = emb.filter(col("vec_id") < 5)
+    val planted = qs.withColumn("vec_id", col("vec_id") + lit(20000000L))
+    val corpus = emb.unionByName(planted)
+    llm.Similarity.writePqIndex(corpus, index)
+    llm.Similarity.pqTopKIndexed(s, index, qs, corpus, 1)
+      .orderBy(col("q_id"))
+  }
+
   /** STREAMING sessionization (`session_window` + watermark) — the q43
     * batch island-detection run as a stateful stream over the same
     * bounded replay; sessions merge across micro-batches in the state
@@ -2551,5 +2568,6 @@ object Queries {
     "q131_media_pipeline" -> q131_media_pipeline,
     "q132_chunking"      -> q132_chunking,
     "q133_ann_ivf_indexed" -> q133_ann_ivf_indexed,
+    "q134_ann_pq_indexed" -> q134_ann_pq_indexed,
   )
 }

@@ -593,14 +593,23 @@ object Similarity {
     import graft.ops.Caches
     val (cand, own) = Caches.acquire(candidates)
     val books = trainPQ(cand, m, ksub, idCol, vecCol, iters)
-    val dsub = books(0)(0).length
     // NULL embeddings are excluded from the index (as in perTableSketches):
     // a null vector encodes to non-null codes of nulls, whose NULL __adc
     // would sort NULLS FIRST into the prefilter's top slots.
     val coded = cand.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("cand_id"),
         pqCodes(col(vecCol), books).as("__codes"))
-    val q = queries
+    val q = pqQueryLut(queries, books, idCol, vecCol)
+    val out = pqAdcProbe(coded, q, cand, k, rerank, idCol, vecCol)
+    (out, if (own) Seq(cand) else Nil)
+  }
+
+  /** Per-query ADC lookup table over the codebooks (shared by the
+    * train-per-call and persisted-index PQ paths). */
+  private def pqQueryLut(queries: DataFrame, books: Array[Array[Array[Double]]],
+                         idCol: String, vecCol: String): DataFrame = {
+    val dsub = books(0)(0).length
+    queries
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("__lut", array(books.indices.map { s =>
         val cb = books(s)
@@ -610,6 +619,14 @@ object Similarity {
             slice(col("q_vec"), s * dsub + 1, dsub), cb),
           typedLit(half.toSeq), (d, h) => h - d)
       }: _*))
+  }
+
+  /** The codes-only ADC scan + exact re-rank (shared probe tail): scan
+    * `coded` against the broadcast LUT, keep the top `rerank` per query,
+    * join `originals` back by id for the exact-cosine final order. */
+  private def pqAdcProbe(coded: DataFrame, q: DataFrame, originals: DataFrame,
+                         k: Int, rerank: Int,
+                         idCol: String, vecCol: String): DataFrame = {
     val adc = coded.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("cand_id"))
       .withColumn("__adc", aggregate(
@@ -620,14 +637,58 @@ object Similarity {
       .filter(col("__prk") <= math.max(rerank, k))
       .select(col("q_id"), col("q_vec"), col("cand_id"))
     val res = survivors
-      .join(cand.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")),
+      .join(originals.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")),
         Seq("cand_id"))
       .withColumn("sim", round(cosine(col("q_vec"), col("cand_vec")), 6))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("cand_id"))
-    val out = res.withColumn("rk", row_number().over(w).cast("long"))
+    res.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("cand_id"), col("sim"))
-    (out, if (own) Seq(cand) else Nil)
+  }
+
+  /** PERSIST a PQ index: codebook model (checkpoint-JSON) + the
+    * CODES-ONLY corpus (m small ints per vector — the 32×-smaller scan
+    * artifact is what lands on disk, so every later query batch reads
+    * codes, never the float corpus). Originals stay wherever the corpus
+    * lives; [[pqTopKIndexed]] joins them back only for the top-`rerank`
+    * survivors. */
+  def writePqIndex(candidates: DataFrame, path: String, m: Int = 8,
+                   ksub: Int = 16, iters: Int = 1,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    import graft.ops.Caches
+    val (cand, own) = Caches.acquire(candidates)
+    val books = trainPQ(cand, m, ksub, idCol, vecCol, iters)
+    new java.io.File(path).mkdirs()
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    java.nio.file.Files.write(
+      new java.io.File(path, "codebooks.json").toPath,
+      om.writeValueAsBytes(books))
+    cand.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("cand_id"),
+        pqCodes(col(vecCol), books).as("__codes"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    if (own) cand.unpersist(false)
+  }
+
+  /** The stored codebook model of [[writePqIndex]]. */
+  def readPqCodebooks(path: String): Array[Array[Array[Double]]] = {
+    val f = new java.io.File(path, "codebooks.json")
+    require(f.isFile, s"no PQ index at $path (codebooks.json missing)")
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(java.nio.file.Files.readAllBytes(f.toPath),
+        classOf[Array[Array[Array[Double]]]])
+  }
+
+  /** Probe a persisted PQ index: no training, no encode pass — the scan
+    * reads the stored codes (m ints/vector); `originals` (the corpus
+    * table) joins back only for the top-`rerank` exact re-rank. */
+  def pqTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
+                    originals: DataFrame, k: Int, rerank: Int = 32,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val books = readPqCodebooks(path)
+    val coded = spark.read.parquet(s"$path/codes")
+    val q = pqQueryLut(queries, books, idCol, vecCol)
+    pqAdcProbe(coded, q, originals, k, rerank, idCol, vecCol)
   }
 
   /** IVF-PQ: the COMPOSED scale path — IVF's probe dial × PQ's

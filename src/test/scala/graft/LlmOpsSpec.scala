@@ -938,6 +938,27 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("persisted PQ index: codes-only probe equals the train-per-call answer") {
+    val vecs = marginFixture(47)
+    val df = vecs.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_pqidx").toString
+    Similarity.writePqIndex(df, s"$path/idx", m = 4, ksub = 8, iters = 2)
+    val stored = Similarity.readPqCodebooks(s"$path/idx")
+    val fresh = Similarity.trainPQ(df, m = 4, ksub = 8, iters = 2)
+    assert(stored.map(_.map(_.toSeq).toSeq).toSeq ==
+           fresh.map(_.map(_.toSeq).toSeq).toSeq)
+    val qs = df.filter(col("vec_id") < 4)
+    def key(df2: org.apache.spark.sql.DataFrame) = df2.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    val indexed = key(Similarity.pqTopKIndexed(spark, s"$path/idx", qs, df, 5))
+    val direct = key(Similarity.pqTopK(qs, df, 5, m = 4, ksub = 8, iters = 2))
+    assert(indexed == direct, "stored-codes probe diverged from train-per-call")
+    intercept[IllegalArgumentException] {
+      Similarity.readPqCodebooks(s"$path/nowhere")
+    }
+  }
+
   test("fingerprint survives small edits (winnowing overlap)") {
     val fp = TextOps.fingerprint(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
