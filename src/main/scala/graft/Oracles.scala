@@ -1479,6 +1479,13 @@ object Oracles {
                 max(epoch_ns(ts)) AS last_ns
          FROM events GROUP BY event_type ORDER BY event_type""",
 
+    // persisted IVF-PQ probe: q115's closed form through the on-disk
+    // index (pruned dirs × stored codes)
+    "q135_ann_ivfpq_indexed" ->
+      """SELECT vec_id AS q_id, CAST(1 AS BIGINT) AS rk,
+                vec_id + 20000000 AS cand_id, CAST(1.0 AS DOUBLE) AS sim
+         FROM embeddings WHERE vec_id < 5 ORDER BY q_id""",
+
     // persisted-codes probe: q114's planted-replica closed form — the
     // stored codes + LUT must reproduce the train-per-call ADC order
     "q134_ann_pq_indexed" ->

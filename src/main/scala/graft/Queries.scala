@@ -2420,6 +2420,21 @@ object Queries {
       .orderBy(col("q_id"))
   }
 
+  /** PERSISTED IVF-PQ index probe (q115's architecture as an on-disk
+    * artifact): directory-pruned probe × codes-only rows — both storage
+    * dials multiply. Same planted-replica closed form as q115. */
+  val q135_ann_ivfpq_indexed: Q = (s, dir) => {
+    val base = Scratch.dir(s, "ivfpqidx", new java.io.File(dir).getName)
+    val index = s"$base/idx_${System.nanoTime}" // fresh per run (bench runs twice)
+    val emb = Tables.fanOut(Tables.embeddings(s, dir))
+    val qs = emb.filter(col("vec_id") < 5)
+    val planted = qs.withColumn("vec_id", col("vec_id") + lit(20000000L))
+    val corpus = emb.unionByName(planted)
+    llm.Similarity.writeIvfPqIndex(corpus, index, nLists = 16)
+    llm.Similarity.ivfPqTopKIndexed(s, index, qs, corpus, 1, nProbe = 4)
+      .orderBy(col("q_id"))
+  }
+
   /** STREAMING sessionization (`session_window` + watermark) — the q43
     * batch island-detection run as a stateful stream over the same
     * bounded replay; sessions merge across micro-batches in the state
@@ -2569,5 +2584,6 @@ object Queries {
     "q132_chunking"      -> q132_chunking,
     "q133_ann_ivf_indexed" -> q133_ann_ivf_indexed,
     "q134_ann_pq_indexed" -> q134_ann_pq_indexed,
+    "q135_ann_ivfpq_indexed" -> q135_ann_ivfpq_indexed,
   )
 }

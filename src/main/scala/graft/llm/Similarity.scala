@@ -776,6 +776,91 @@ object Similarity {
     (out, if (own) Seq(cand) else Nil)
   }
 
+  /** PERSIST an IVF-PQ index — the on-disk form of the very-large-scale
+    * architecture: coarse centroids + PQ codebooks (checkpoint-JSON) and
+    * the codes-only corpus PARTITIONED BY `list_id`. A probe composes
+    * BOTH storage wins: the scan is directory-pruned to the probed
+    * lists (~nProbe/nLists of the files) AND each row read is m ints,
+    * not dim floats — the dials multiply on disk exactly as they do in
+    * memory. */
+  def writeIvfPqIndex(candidates: DataFrame, path: String,
+                      nLists: Int = 16, m: Int = 8, ksub: Int = 16,
+                      iters: Int = 1,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    import graft.ops.Caches
+    val (cand, own) = Caches.acquire(candidates)
+    val centroids = trainCentroids(cand, nLists, idCol, vecCol, iters)
+    val books = trainPQ(cand, m, ksub, idCol, vecCol, iters)
+    new java.io.File(path).mkdirs()
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    java.nio.file.Files.write(
+      new java.io.File(path, "centroids.json").toPath,
+      om.writeValueAsBytes(centroids))
+    java.nio.file.Files.write(
+      new java.io.File(path, "codebooks.json").toPath,
+      om.writeValueAsBytes(books))
+    assignLists(cand.filter(col(vecCol).isNotNull), centroids, idCol, vecCol)
+      .select(col(idCol).as("cand_id"), col("list_id"),
+        pqCodes(col(vecCol), books).as("__codes"))
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/codes")
+    if (own) cand.unpersist(false)
+  }
+
+  /** Probe a persisted IVF-PQ index: no training/assignment/encode pass;
+    * the distinct probed lists become a static partition filter over the
+    * codes store, the ADC runs on stored codes, and `originals` joins
+    * back only for the exact re-rank. */
+  def ivfPqTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
+                       originals: DataFrame, k: Int, nProbe: Int = 4,
+                       rerank: Int = 32,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = readIvfCentroids(path)
+    val books = readPqCodebooks(path)
+    val dsub = books(0)(0).length
+    val nl = centroids.length
+    val np = math.min(nProbe, nl)
+    val q = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("__qsims",
+        graft.functions.MatVecDots.matVecDots(col("q_vec"), unitRows(centroids)))
+      .withColumn("probes", slice(transform(
+        array_sort(zip_with(col("__qsims"), sequence(lit(0), lit(nl - 1)),
+          (s, i) => struct((-s).as("negsim"), i.as("cid")))),
+        p => p.getField("cid")), 1, np))
+      .withColumn("__lut", array(books.indices.map { s =>
+        val cb = books(s)
+        val half = cb.map(c => c.map(x => x * x).sum / 2.0)
+        zip_with(
+          graft.functions.MatVecDots.matVecDots(
+            slice(col("q_vec"), s * dsub + 1, dsub), cb),
+          typedLit(half.toSeq), (d, h) => h - d)
+      }: _*))
+      .withColumn("list_id", explode(col("probes")))
+      .drop("probes", "__qsims")
+    val probed = q.select(col("list_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val coded = spark.read.parquet(s"$path/codes")
+      .filter(col("list_id").isin(probed: _*))
+    val adc = coded.join(broadcast(q), Seq("list_id"))
+      .filter(col("q_id") =!= col("cand_id"))
+      .withColumn("__adc", aggregate(
+        zip_with(col("__codes"), col("__lut"), (c, row) => element_at(row, c + 1)),
+        lit(0.0), (acc, x) => acc + x))
+    val wPre = Window.partitionBy(col("q_id")).orderBy(col("__adc"), col("cand_id"))
+    val survivors = adc.withColumn("__prk", row_number().over(wPre))
+      .filter(col("__prk") <= math.max(rerank, k))
+      .select(col("q_id"), col("q_vec"), col("cand_id"))
+    val res = survivors
+      .join(originals.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")),
+        Seq("cand_id"))
+      .withColumn("sim", round(cosine(col("q_vec"), col("cand_vec")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("cand_id"))
+    res.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("cand_id"), col("sim"))
+  }
+
   /** ANN via multi-probe hyperplane LSH: `tables` independent sketches of
     * `nBits` bits; pairs colliding in any table are candidates; exact
     * cosine re-rank keeps top-k. Recall grows with tables, cost with

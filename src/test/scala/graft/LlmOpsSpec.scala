@@ -959,6 +959,23 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF-PQ index: pruned+coded probe equals the train-per-call answer") {
+    val vecs = marginFixture(53)
+    val df = vecs.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpqidx").toString
+    Similarity.writeIvfPqIndex(df, s"$path/idx", nLists = 4, m = 4, ksub = 8,
+      iters = 2)
+    val qs = df.filter(col("vec_id") < 4)
+    def key(df2: org.apache.spark.sql.DataFrame) = df2.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    val indexed = key(Similarity.ivfPqTopKIndexed(spark, s"$path/idx", qs, df,
+      5, nProbe = 2))
+    val direct = key(Similarity.ivfPqTopK(qs, df, 5, nLists = 4, nProbe = 2,
+      m = 4, ksub = 8, iters = 2))
+    assert(indexed == direct, "on-disk IVF-PQ probe diverged from train-per-call")
+  }
+
   test("fingerprint survives small edits (winnowing overlap)") {
     val fp = TextOps.fingerprint(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
