@@ -433,6 +433,23 @@ object Similarity {
         classOf[Array[Array[Double]]])
   }
 
+  /** INCREMENTAL index maintenance: assign a NEW batch against the
+    * STORED centroid model and append its rows into the `list_id`
+    * partition dirs — the index stays fresh without retraining (the
+    * standard IVF posture: the coarse quantizer drifts slowly; re-train
+    * via [[writeIvfIndex]] on a cadence, append between). Appends are
+    * eventually-visible per file commit, same contract as
+    * [[graft.io.Folio.appendPartition]]. NULL embeddings are skipped
+    * (no geometry — the index-wide contract). */
+  def appendToIvfIndex(batch: DataFrame, path: String,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val centroids = readIvfCentroids(path)
+    assignLists(batch.filter(col(vecCol).isNotNull), centroids, idCol, vecCol)
+      .select(col(idCol), col(vecCol), col("list_id"))
+      .repartition(col("list_id"))
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/lists")
+  }
+
   /** Probe a persisted IVF index: same probe-join shape as [[ivfTopK]]
     * but with NO training pass and a STATIC partition-pruned scan — the
     * distinct probed list ids (≤ nLists ints, bounded by construction)

@@ -936,6 +936,16 @@ class LlmOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.readIvfCentroids(s"$path/nowhere")
     }
+    // incremental maintenance: a new EXACT copy appended to the stored
+    // index must assign to its original's list (pure function of the
+    // vector) and surface at similarity 1.0 on the next probe
+    val copy = Seq((900L, vecs.find(_._1 == 0L).get._2)).toDF("vec_id", "embedding")
+    Similarity.appendToIvfIndex(copy, s"$path/idx")
+    val again = Similarity.ivfTopKIndexed(spark, s"$path/idx",
+        df.filter(col("vec_id") === 0L), 1, nProbe = 1)
+      .collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(again.toSeq == Seq((900L, 1.0)),
+      s"appended replica not found by the stored index: ${again.toSeq}")
   }
 
   test("persisted PQ index: codes-only probe equals the train-per-call answer") {
