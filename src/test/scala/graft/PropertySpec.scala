@@ -131,4 +131,36 @@ class PropertySpec extends SparkSpec {
       .orderBy("k").collect().toSeq
     assert(once == twice)
   }
+
+  test("chunk equals the sequential reference on random docs (coverage + overlap laws)") {
+    val rnd = new scala.util.Random(97)
+    // reference implementation: the spec in plain Scala
+    def ref(tokens: Seq[String], size: Int, overlap: Int): Seq[(Long, Long, String)] = {
+      val stride = size - overlap
+      val n = tokens.length
+      val k = math.max(1, (n - overlap + stride - 1) / stride)
+      (0 until k).map { c =>
+        val s = tokens.slice(c * stride, c * stride + size)
+        (c.toLong, s.length.toLong, s.mkString(" "))
+      }
+    }
+    val docs = (0 until 30).map { i =>
+      val n = rnd.nextInt(25) // includes 0-token docs
+      (i.toLong, (0 until n).map(j => s"w${rnd.nextInt(9)}").mkString(" "))
+    }
+    for ((size, overlap) <- Seq((3, 0), (4, 1), (5, 4), (1, 0))) {
+      val got = llm.TextOps.chunk(docs.toDF("doc_id", "text"),
+          "doc_id", "text", size, overlap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._2, t._3, t._4)).toSeq)
+        .toMap
+      docs.foreach { case (id, text) =>
+        // the engine tokenizes the normalized text; empty docs become [""]
+        val toks = text.toLowerCase.replaceAll("\\s+", " ").trim.split(" ", -1).toSeq
+        assert(got(id) == ref(toks, size, overlap),
+          s"doc $id size=$size overlap=$overlap: ${got(id)} vs ${ref(toks, size, overlap)}")
+      }
+    }
+  }
 }

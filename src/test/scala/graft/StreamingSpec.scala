@@ -545,6 +545,25 @@ class StreamingSpec extends SparkSpec {
       s"perceptual suppress failed: kept=$kept")
   }
 
+  test("chunk runs unchanged on a streaming frame (== batch): chunk-at-ingest") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq((1L, "a b c d e f g"), (2L, "x y"), (3L, ""))
+    val input = MemoryStream[(Long, String)]
+    val stream = graft.llm.TextOps.chunk(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", 3, 1)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("t_chunk").start()
+    try { input.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val streamed = key(spark.table("t_chunk"))
+    val batch = key(graft.llm.TextOps.chunk(
+      rows.toDF("doc_id", "text"), "doc_id", "text", 3, 1))
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("quantizeInt8 runs unchanged on a streaming frame (== batch)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
