@@ -310,6 +310,24 @@ object Folio {
     fragmented
   }
 
+  /** VACUUM a promoted folio: delete crash leftovers — orphaned version
+    * dirs beyond the live + previous pair (a publish that lost the
+    * last-pointer-wins race, or died before its swap) and a stale
+    * `_CURRENT.tmp`. Never touches the live version or its fallback, so
+    * it is safe on a cadence; returns the names removed. */
+  def vacuum(path: String): Seq[String] = {
+    val keep = currentVersion(path).toSeq.flatMap { v =>
+      Seq(v, f"v${v.stripPrefix("v").toLong - 1}%08d")
+    }.toSet
+    val dir = new java.io.File(path)
+    val goneVersions = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.matches("v\\d{8}") && !keep(d.getName))
+      .map { d => rmTree(d); d.getName }
+    val tmp = new java.io.File(path, "_CURRENT.tmp")
+    val goneTmp = if (tmp.isFile) { tmp.delete(); Seq("_CURRENT.tmp") } else Nil
+    (goneVersions.toSeq ++ goneTmp).sorted
+  }
+
   /** Versions currently on disk for a promoted folio, ascending — the
     * live one plus the previous kept as crash fallback / time travel. */
   def versions(path: String): Seq[String] =

@@ -119,6 +119,24 @@ class FolioSpec extends SparkSpec {
     }
   }
 
+  test("vacuum removes crash leftovers, never the live version or its fallback") {
+    val dir = tmp()
+    import spark.implicits._
+    val base = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+    Folio.appendWithPromotion(base, s"$dir/t")                    // v1
+    Folio.upsertPublish(Seq((1L, 9.0)).toDF("k", "v"), s"$dir/t", Seq("k")) // v2
+    // plant crash leftovers: an orphaned loser version + a stale tmp
+    base.write.parquet(s"$dir/t/v00000007")
+    java.nio.file.Files.write(new java.io.File(s"$dir/t", "_CURRENT.tmp").toPath,
+      "v00000007".getBytes("UTF-8"))
+    assert(Folio.vacuum(s"$dir/t") == Seq("_CURRENT.tmp", "v00000007"))
+    // live pair untouched, data intact, repeat vacuum is a no-op
+    assert(Folio.versions(s"$dir/t") == Seq("v00000001", "v00000002"))
+    assert(Folio.promotedRead(spark, s"$dir/t").count() == 2)
+    assert(Folio.readVersion(spark, s"$dir/t", "v00000001").count() == 2)
+    assert(Folio.vacuum(s"$dir/t").isEmpty)
+  }
+
   test("upsertPublish merges by key copy-on-write; time travel reads the pre-image") {
     val dir = tmp()
     import spark.implicits._
