@@ -1013,6 +1013,10 @@ object KerfSql {
         case "neardup" if pipelineVerbForm(toks) => p.pop(); last = Left(runDedup(spark, p, near = true))
         case "semdedup" if pipelineVerbForm(toks) => p.pop(); last = Left(runSemDedup(spark, p))
         case "chunk"   if pipelineVerbForm(toks) => p.pop(); last = Left(runChunk(spark, p))
+        case "index"   if pipelineVerbForm(toks) => p.pop(); last = Left(runIndex(spark, p))
+        // `probe 'path' …` — path-first like compact
+        case "probe" if toks.lengthCompare(2) >= 0 && toks(1).startsWith("'") =>
+          p.pop(); last = Left(runProbe(spark, p))
         case "sample"  if pipelineVerbForm(toks) => p.pop(); last = Left(runSample(spark, p))
         case "shard"   if pipelineVerbForm(toks) => p.pop(); last = Left(runShard(spark, p))
         case "cap"     if pipelineVerbForm(toks) => p.pop(); last = Left(runCap(spark, p))
@@ -1213,14 +1217,15 @@ object KerfSql {
             require(p.done, s"trailing tokens in assignment: ${p.toks.mkString(" ")}")
             df.createOrReplaceTempView(name)
             last = Left(df)
-          } else if (p.peekIs("compact") &&
+          } else if ((p.peekIs("compact") || p.peekIs("probe")) &&
                      p.toks.lengthCompare(2) >= 0 && p.toks(1).startsWith("'")) {
-            p.pop()
-            val df = runCompact(spark, p)
+            val verb = p.pop().toLowerCase
+            val df = if (verb == "probe") runProbe(spark, p) else runCompact(spark, p)
             df.createOrReplaceTempView(name)
             last = Left(df)
           } else if ((p.peekIs("dedup") || p.peekIs("neardup") ||
                       p.peekIs("semdedup") || p.peekIs("chunk") ||
+                      p.peekIs("index") ||
                       p.peekIs("sample") || p.peekIs("shard") || p.peekIs("cap")) &&
                      pipelineVerbForm(p.toks)) {
             // table-valued pipeline verbs assign like a select: the
@@ -1231,6 +1236,7 @@ object KerfSql {
               case "neardup"  => runDedup(spark, p, near = true)
               case "semdedup" => runSemDedup(spark, p)
               case "chunk"    => runChunk(spark, p)
+              case "index"    => runIndex(spark, p)
               case "sample"   => runSample(spark, p)
               case "shard"    => runShard(spark, p)
               case "cap"      => runCap(spark, p)
@@ -2001,6 +2007,106 @@ object KerfSql {
     val overlap = if (p.peekIs("overlap")) { p.pop(); posInt("overlap") } else 0
     require(p.done, s"trailing tokens in chunk: ${p.toks.mkString(" ")}")
     graft.llm.TextOps.chunk(df, idCol, textCol, size, overlap)
+  }
+
+  /** `index t by id on vec at 'path' [lists 16] [pq 8 16]` → the
+    * persisted-ANN writers: `lists` alone = IVF
+    * ([[graft.llm.Similarity.writeIvfIndex]]), `pq m ksub` alone = PQ
+    * codes-only store ([[graft.llm.Similarity.writePqIndex]]), both =
+    * the composed IVF-PQ ([[graft.llm.Similarity.writeIvfPqIndex]]).
+    * Returns the stored probe-ready layout read back (assigns like a
+    * select). */
+  private def runIndex(spark: SparkSession, p: P): DataFrame = {
+    val df = spark.table(p.pop())
+    p.expect("by"); val idCol = p.pop()
+    p.expect("on"); val vecCol = p.pop()
+    p.expect("at")
+    val path = {
+      val t = p.pop()
+      require(t.startsWith("'") && t.endsWith("'") && t.length > 2,
+        s"index … at needs a quoted path, got $t")
+      t.substring(1, t.length - 1)
+    }
+    def posInt(what: String): Int = {
+      val t = p.pop()
+      require(t.forall(_.isDigit) && t.toInt > 0,
+        s"index … $what needs a positive int, got $t")
+      t.toInt
+    }
+    var lists: Option[Int] = None
+    if (p.peekIs("lists")) { p.pop(); lists = Some(posInt("lists")) }
+    var pq: Option[(Int, Int)] = None
+    if (p.peekIs("pq")) {
+      p.pop()
+      val m = posInt("pq m"); val ksub = posInt("pq ksub")
+      pq = Some((m, ksub))
+    }
+    require(p.done, s"trailing tokens in index: ${p.toks.mkString(" ")}")
+    (lists, pq) match {
+      case (Some(nl), None) =>
+        graft.llm.Similarity.writeIvfIndex(df, path, nl, idCol = idCol, vecCol = vecCol)
+        spark.read.parquet(s"$path/lists")
+      case (None, Some((m, ksub))) =>
+        graft.llm.Similarity.writePqIndex(df, path, m, ksub, idCol = idCol, vecCol = vecCol)
+        spark.read.parquet(s"$path/codes")
+      case (Some(nl), Some((m, ksub))) =>
+        graft.llm.Similarity.writeIvfPqIndex(df, path, nl, m, ksub,
+          idCol = idCol, vecCol = vecCol)
+        spark.read.parquet(s"$path/codes")
+      case (None, None) =>
+        throw new IllegalArgumentException(
+          "index needs a layout: `lists N` (IVF), `pq M K` (codes-only), or both (IVF-PQ)")
+    }
+  }
+
+  /** `probe 'path' with q by id on vec top K [probes N] [rerank R]
+    * [using originals]` → the persisted-index probes; the index KIND is
+    * read from the stored model files, and the PQ forms require
+    * `using <table>` for the exact re-rank join. */
+  private def runProbe(spark: SparkSession, p: P): DataFrame = {
+    val path = {
+      val t = p.pop()
+      require(t.startsWith("'") && t.endsWith("'") && t.length > 2,
+        s"probe needs a quoted index path, got $t")
+      t.substring(1, t.length - 1)
+    }
+    p.expect("with"); val queries = spark.table(p.pop())
+    p.expect("by"); val idCol = p.pop()
+    p.expect("on"); val vecCol = p.pop()
+    p.expect("top")
+    def posInt(what: String): Int = {
+      val t = p.pop()
+      require(t.forall(_.isDigit) && t.toInt > 0,
+        s"probe … $what needs a positive int, got $t")
+      t.toInt
+    }
+    val k = posInt("top")
+    var nProbe = 4
+    if (p.peekIs("probes")) { p.pop(); nProbe = posInt("probes") }
+    var rerank = 32
+    if (p.peekIs("rerank")) { p.pop(); rerank = posInt("rerank") }
+    var originals: Option[DataFrame] = None
+    if (p.peekIs("using")) { p.pop(); originals = Some(spark.table(p.pop())) }
+    require(p.done, s"trailing tokens in probe: ${p.toks.mkString(" ")}")
+    val hasCentroids = new java.io.File(path, "centroids.json").isFile
+    val hasBooks = new java.io.File(path, "codebooks.json").isFile
+    (hasCentroids, hasBooks) match {
+      case (true, false) =>
+        graft.llm.Similarity.ivfTopKIndexed(spark, path, queries, k, nProbe,
+          idCol, vecCol)
+      case (false, true) =>
+        val orig = originals.getOrElse(throw new IllegalArgumentException(
+          "probe of a PQ index needs `using <originals>` for the exact re-rank"))
+        graft.llm.Similarity.pqTopKIndexed(spark, path, queries, orig, k, rerank,
+          idCol, vecCol)
+      case (true, true) =>
+        val orig = originals.getOrElse(throw new IllegalArgumentException(
+          "probe of an IVF-PQ index needs `using <originals>` for the exact re-rank"))
+        graft.llm.Similarity.ivfPqTopKIndexed(spark, path, queries, orig, k,
+          nProbe, rerank, idCol, vecCol)
+      case (false, false) =>
+        throw new IllegalArgumentException(s"no index at $path")
+    }
   }
 
   /** `sample t by key at '29'` → [[graft.llm.Pipeline.hashSample]]:

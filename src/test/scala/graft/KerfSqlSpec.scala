@@ -945,6 +945,41 @@ class KerfSqlSpec extends SparkSpec {
     intercept[Exception] { KerfSql.run(spark, "chunk docs_kv by doc_id on text") }
   }
 
+  test("index/probe verbs: persisted-ANN lifecycle from the text surface") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kerf_index").toString
+    val base = Tables.embeddings(spark, sf)
+    val planted = base.filter(col("vec_id") % 20 === 0)
+      .withColumn("vec_id", col("vec_id") + lit(10000000L))
+    base.unionByName(planted).createOrReplaceTempView("emb_ix")
+    base.filter(col("vec_id") < 3).createOrReplaceTempView("emb_q")
+    // IVF: planted replicas rank 1 at cos 1.0 for their originals
+    KerfSql.run(spark,
+      s"index emb_ix by vec_id on embedding at '$dir/ivf' lists 8")
+    val got = KerfSql.run(spark,
+        s"t: probe '$dir/ivf' with emb_q by vec_id on embedding top 1 probes 2; " +
+        "select q_id, cand_id, sim from t order q_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // vec_id 0 finds its planted replica at exactly 1.0; 1 and 2 have no
+    // replica and top out at organic similarity (margin < 0.9)
+    assert(got.size == 3 && got.head == (0L, 10000000L, 1.0), s"got $got")
+    assert(got.tail.forall(_._3 < 0.9), s"organic margin broke: $got")
+    // IVF-PQ: same closed form through the composed on-disk layout
+    KerfSql.run(spark,
+      s"index emb_ix by vec_id on embedding at '$dir/ivfpq' lists 8 pq 8 16")
+    val got2 = KerfSql.run(spark,
+        s"probe '$dir/ivfpq' with emb_q by vec_id on embedding top 1 probes 4 using emb_ix")
+      .filter(col("q_id") === 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got2 == Seq((0L, 10000000L, 1.0)))
+    // loud errors: no layout clause; PQ probe without originals
+    intercept[IllegalArgumentException] {
+      KerfSql.run(spark, s"index emb_ix by vec_id on embedding at '$dir/none'")
+    }
+    intercept[IllegalArgumentException] {
+      KerfSql.run(spark, s"probe '$dir/ivfpq' with emb_q by vec_id on embedding top 1")
+    }
+  }
+
   test("dedup/neardup parse errors are loud, not silent column guesses") {
     Tables.documents(spark, sf).createOrReplaceTempView("docs_kv")
     intercept[Exception] { KerfSql.run(spark, "dedup docs_kv on text") }
