@@ -1502,6 +1502,29 @@ object Oracles {
          FROM embeddings q CROSS JOIN (VALUES (1), (2), (3)) t(j)
          WHERE q.vec_id < 5 ORDER BY q_id, rk""",
 
+    // corpus-unigram LM stats: census over the WHOLE corpus, smoothed
+    // probabilities summed in SORTED order (the q71 fold discipline),
+    // every statistic a log-free rational
+    "q136_unigram_lm" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+           FROM documents),
+         census AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+         g AS (SELECT CAST(sum(cnt) + count(*) AS DOUBLE) AS denom FROM census),
+         scored AS (
+           SELECT t.doc_id, c.cnt,
+                  CAST(c.cnt + 1 AS DOUBLE) / (SELECT denom FROM g) AS p
+           FROM toks t JOIN census c USING (tok))
+         SELECT doc_id, count(*) AS n_tokens,
+                round(list_sum(list_sort(list(p))) / count(*), 6) AS mean_p,
+                round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*), 6) AS hapax_frac,
+                round(CAST(sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*), 6) AS rare_frac
+         FROM scored WHERE doc_id < 200
+         GROUP BY doc_id ORDER BY doc_id""",
+
     // identical slicing over DuckDB list algebra: same normalization
     // and whitespace tokenization as the q29/q93-proven pairing; list
     // slices are 1-based inclusive and clamp, matching Spark's slice

@@ -2435,6 +2435,18 @@ object Queries {
       .orderBy(col("q_id"))
   }
 
+  /** Corpus-unigram-LM scoring (the CCNet-style LM quality filter with
+    * the corpus's own unigram distribution as the model): smoothed mean
+    * token probability + hapax/rare fractions per doc. Log-free by
+    * design — every statistic is a division/count rational both engines
+    * compute bit-identically (the q39 libm rule), with the per-doc mean
+    * folded over a SORTED probability list on both sides. */
+  val q136_unigram_lm: Q = (s, dir) => {
+    llm.TextOps.unigramStats(Tables.documents(s, dir), "doc_id", "text")
+      .filter(col("doc_id") < 200)
+      .orderBy(col("doc_id"))
+  }
+
   /** STREAMING sessionization (`session_window` + watermark) — the q43
     * batch island-detection run as a stateful stream over the same
     * bounded replay; sessions merge across micro-batches in the state
@@ -2585,5 +2597,6 @@ object Queries {
     "q133_ann_ivf_indexed" -> q133_ann_ivf_indexed,
     "q134_ann_pq_indexed" -> q134_ann_pq_indexed,
     "q135_ann_ivfpq_indexed" -> q135_ann_ivfpq_indexed,
+    "q136_unigram_lm"    -> q136_unigram_lm,
   )
 }

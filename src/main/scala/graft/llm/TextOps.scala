@@ -217,6 +217,47 @@ object TextOps {
           j => array_min(slice(col("__hashes"), j + 1, lit(w)))))).as("fingerprint"))
   }
 
+  /** Corpus-unigram-LM document statistics — the CCNet-style "score
+    * docs against a language model" filter with the corpus's OWN
+    * unigram distribution as the model (fully in-engine, no external
+    * LM): per doc,
+    *  - `mean_p`: mean add-one-smoothed token probability
+    *    (cnt+1)/(total+vocab) — boilerplate scores high, gibberish low;
+    *  - `hapax_frac` / `rare_frac`: fraction of tokens occurring once /
+    *    ≤ `rareMax` times in the corpus — the novelty tail.
+    * Deliberately LOG-FREE: ln/log2 are libm-dependent (the q39
+    * determinism rule), while these are division/count rationals both
+    * engines compute bit-identically; the per-doc mean folds a SORTED
+    * probability array (the q71 entropy discipline) so the float sum is
+    * order-deterministic. Shuffle shape: one term census + one
+    * token→census join + one per-doc agg — all partial-agged; the
+    * census is the only global state and it lives as a table, never on
+    * the driver. */
+  def unigramStats(docs: DataFrame, idCol: String, textCol: String,
+                   rareMax: Int = 2): DataFrame = {
+    import graft.ops.Caches
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(Dedup.tokens(col(textCol))).as("tok"))
+    // persist the VOCAB-sized census (bounded model state, the right
+    // cache at 100 TB); the token-level frame stays a recomputed
+    // map-only explode — never cached, never on the driver
+    val census = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .persist(Caches.lvl)
+    val g = census.agg(sum(col("cnt")).as("total"), count(lit(1)).as("vocab")).first()
+    val denom = (g.getLong(0) + g.getLong(1)).toDouble
+    val out = toks.join(census, Seq("tok"))
+      .withColumn("__p", (col("cnt") + 1).cast("double") / lit(denom))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+           round(aggregate(array_sort(collect_list(col("__p"))),
+             lit(0.0), (a, x) => a + x) / count(lit(1)), 6).as("mean_p"),
+           round(sum(when(col("cnt") === 1, 1).otherwise(0)).cast("double")
+             / count(lit(1)), 6).as("hapax_frac"),
+           round(sum(when(col("cnt") <= rareMax, 1).otherwise(0)).cast("double")
+             / count(lit(1)), 6).as("rare_frac"))
+    Caches.seal(out, census)
+  }
+
   /** Fixed-size token CHUNKING with overlap — the embedding-prep op: a
     * long document embeds in windows of `chunkSize` tokens advancing by
     * `stride = chunkSize − overlap` (chunk k covers tokens
