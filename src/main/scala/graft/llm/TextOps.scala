@@ -236,16 +236,32 @@ object TextOps {
   def unigramStats(docs: DataFrame, idCol: String, textCol: String,
                    rareMax: Int = 2): DataFrame = {
     import graft.ops.Caches
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(Dedup.tokens(col(textCol))).as("tok"))
     // persist the VOCAB-sized census (bounded model state, the right
     // cache at 100 TB); the token-level frame stays a recomputed
     // map-only explode — never cached, never on the driver
-    val census = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      .persist(Caches.lvl)
+    val census = unigramCensus(docs, idCol, textCol).persist(Caches.lvl)
+    Caches.seal(unigramScore(docs, census, idCol, textCol, rareMax), census)
+  }
+
+  /** The unigram model: corpus-wide `(tok, cnt)`. Bounded by vocabulary
+    * — the table a production deployment persists and reuses. */
+  def unigramCensus(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(explode(Dedup.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+
+  /** Score ANY frame (batch or stream) against a FIXED census — the
+    * deployment split: the model is trained on the reference corpus,
+    * incoming documents score at ingest via a stream-static join. A
+    * token absent from the census scores with cnt = 0 (the smoothing
+    * already budgets for unseen tokens). */
+  def unigramScore(docs: DataFrame, census: DataFrame,
+                   idCol: String, textCol: String, rareMax: Int = 2): DataFrame = {
     val g = census.agg(sum(col("cnt")).as("total"), count(lit(1)).as("vocab")).first()
     val denom = (g.getLong(0) + g.getLong(1)).toDouble
-    val out = toks.join(census, Seq("tok"))
+    docs.select(col(idCol).as("doc_id"),
+        explode(Dedup.tokens(col(textCol))).as("tok"))
+      .join(census, Seq("tok"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
       .withColumn("__p", (col("cnt") + 1).cast("double") / lit(denom))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
@@ -255,7 +271,6 @@ object TextOps {
              / count(lit(1)), 6).as("hapax_frac"),
            round(sum(when(col("cnt") <= rareMax, 1).otherwise(0)).cast("double")
              / count(lit(1)), 6).as("rare_frac"))
-    Caches.seal(out, census)
   }
 
   /** Fixed-size token CHUNKING with overlap — the embedding-prep op: a

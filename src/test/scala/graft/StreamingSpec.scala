@@ -564,6 +564,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("unigram-LM scoring at ingest: stream vs static census == batch") {
+    // the deployment split: the model (census) is batch-trained on the
+    // reference corpus; incoming docs score at ingest via a
+    // stream-static join, incl. tokens the census has never seen
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Tables.documents(spark, sf).filter(col("doc_id") < 50)
+    val census = graft.llm.TextOps.unigramCensus(corpus, "doc_id", "text")
+      .persist()
+    val rows = Seq((900L, "the quick brown fox jumps"),
+                   (901L, "zzzqx wqqzy unseen gibberish"))
+    val input = MemoryStream[(Long, String)]
+    val stream = graft.llm.TextOps.unigramScore(
+      input.toDF().toDF("doc_id", "text"), census, "doc_id", "text")
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("t_lmscore").start()
+    try { input.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+                 r.getDouble(4))).toSet
+    val streamed = key(spark.table("t_lmscore"))
+    val batch = key(graft.llm.TextOps.unigramScore(
+      rows.toDF("doc_id", "text"), census, "doc_id", "text"))
+    assert(streamed == batch && streamed.size == 2)
+    // unseen-token doc scores strictly lower mean_p than common words
+    val byId = streamed.map(t => t._1 -> t._3).toMap
+    assert(byId(901L) < byId(900L), s"gibberish must score lower: $byId")
+    census.unpersist()
+  }
+
   test("quantizeInt8 runs unchanged on a streaming frame (== batch)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
