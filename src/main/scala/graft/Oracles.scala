@@ -1502,6 +1502,18 @@ object Oracles {
          FROM embeddings q CROSS JOIN (VALUES (1), (2), (3)) t(j)
          WHERE q.vec_id < 5 ORDER BY q_id, rk""",
 
+    // quality-aware SemDeDup: replicas outscore originals (score =
+    // vec_id) so the election keeps the copies; component labels are
+    // min-id, sizes 2 for planted pairs, 1 for organic singletons
+    "q137_semdedup_keepbest" ->
+      """SELECT vec_id, vec_id AS cluster, CAST(1 AS BIGINT) AS n_members
+         FROM embeddings WHERE vec_id % 20 <> 0
+         UNION ALL
+         SELECT vec_id + 10000000 AS vec_id, vec_id AS cluster,
+                CAST(2 AS BIGINT) AS n_members
+         FROM embeddings WHERE vec_id % 20 = 0
+         ORDER BY vec_id""",
+
     // corpus-unigram LM stats: census over the WHOLE corpus, smoothed
     // probabilities summed in SORTED order (the q71 fold discipline),
     // every statistic a log-free rational

@@ -2447,6 +2447,23 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-aware SemDeDup under the oracle gate (q122's min-id prune
+    * flipped): score = vec_id, so every planted replica OUTSCORES its
+    * original and the component election keeps the copy — the exact
+    * inverse of q122's witness set, plus each survivor's component
+    * label (min id) and size. */
+  val q137_semdedup_keepbest: Q = (s, dir) => {
+    val base = Tables.embeddings(s, dir)
+    val planted = base.filter(col("vec_id") % 20 === 0)
+      .withColumn("vec_id", col("vec_id") + lit(10000000L))
+    val all = Tables.fanOut(base.unionByName(planted))
+      .withColumn("score", col("vec_id").cast("double"))
+    llm.Similarity.semDedupKeepBest(all, "score", threshold = 0.95,
+        nClusters = 8, iters = 2)
+      .select(col("vec_id"), col("cluster"), col("n_members"))
+      .orderBy(col("vec_id"))
+  }
+
   /** STREAMING sessionization (`session_window` + watermark) — the q43
     * batch island-detection run as a stateful stream over the same
     * bounded replay; sessions merge across micro-batches in the state
@@ -2598,5 +2615,6 @@ object Queries {
     "q134_ann_pq_indexed" -> q134_ann_pq_indexed,
     "q135_ann_ivfpq_indexed" -> q135_ann_ivfpq_indexed,
     "q136_unigram_lm"    -> q136_unigram_lm,
+    "q137_semdedup_keepbest" -> q137_semdedup_keepbest,
   )
 }
