@@ -1502,6 +1502,24 @@ object Oracles {
          FROM embeddings q CROSS JOIN (VALUES (1), (2), (3)) t(j)
          WHERE q.vec_id < 5 ORDER BY q_id, rk""",
 
+    // sequential EMA via recursive CTE: the identical
+    // prev + 0.25*(x - prev) expression tree per step — dyadic alpha,
+    // no libm, bit-identical fold on both engines
+    "q138_ema" ->
+      """WITH RECURSIVE e AS (
+           SELECT user_id, epoch_us(ts) AS ts_us, value,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), value) AS rn
+           FROM events WHERE user_id < 10),
+         r AS (
+           SELECT user_id, rn, ts_us, CAST(value AS DOUBLE) AS ema FROM e WHERE rn = 1
+           UNION ALL
+           SELECT e.user_id, e.rn, e.ts_us,
+                  r.ema + 0.25 * (CAST(e.value AS DOUBLE) - r.ema)
+           FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+         SELECT user_id, ts_us, round(ema, 6) AS ema
+         FROM r ORDER BY user_id, ts_us""",
+
     // quality-aware SemDeDup: replicas outscore originals (score =
     // vec_id) so the election keeps the copies; component labels are
     // min-id, sizes 2 for planted pairs, 1 for organic singletons

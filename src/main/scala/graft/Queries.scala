@@ -2464,6 +2464,27 @@ object Queries {
       .orderBy(col("vec_id"))
   }
 
+  /** EMA down the ticks (the q-family `ema` scan, SURVEY §2.5): per
+    * user, chronological exponential moving average of `value` at
+    * α = 0.25 (dyadic). The update is the literal prev + α·(x − prev)
+    * tree on BOTH engines — sequential fp identical, adjudicated
+    * bit-for-bit via a DuckDB recursive CTE. */
+  val q138_ema: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .filter(col("user_id") < 10)
+    ev.groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("ts_us"), col("value")))).as("series"))
+      .withColumn("emas",
+        ops.Adverbs.ema(transform(col("series"), _.getField("value")), 0.25))
+      .select(col("user_id"),
+        posexplode(zip_with(col("series"), col("emas"),
+          (sv, e) => struct(sv.getField("ts_us").as("ts_us"), e.as("ema")))))
+      .select(col("user_id"), col("col.ts_us").as("ts_us"),
+        round(col("col.ema"), 6).as("ema"))
+      .orderBy(col("user_id"), col("ts_us"))
+  }
+
   /** STREAMING sessionization (`session_window` + watermark) — the q43
     * batch island-detection run as a stateful stream over the same
     * bounded replay; sessions merge across micro-batches in the state
@@ -2616,5 +2637,6 @@ object Queries {
     "q135_ann_ivfpq_indexed" -> q135_ann_ivfpq_indexed,
     "q136_unigram_lm"    -> q136_unigram_lm,
     "q137_semdedup_keepbest" -> q137_semdedup_keepbest,
+    "q138_ema"           -> q138_ema,
   )
 }

@@ -42,6 +42,25 @@ object Adverbs {
       transform(sequence(lit(1), size(arr)),
         i => aggregate(slice(arr, lit(1), i), zero, f)))
 
+  /** Exponential moving average — the tick-DB scan specialization
+    * (q-family `ema`): ema₀ = x₀, emaᵢ = emaᵢ₋₁ + α·(xᵢ − emaᵢ₋₁),
+    * computed as ONE left fold that appends to a running array (O(n)
+    * arithmetic; the per-key series is bounded by construction — the
+    * same contract as sequence packing). The update is written in
+    * exactly that prev + α·(x − prev) form so an oracle replaying the
+    * same expression tree reproduces it bit-for-bit (α dyadic → no
+    * rounding surprises). Empty in → empty out. */
+  def ema(arr: Column, alpha: Double): Column = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    when(size(arr) === 0, array().cast("array<double>")).otherwise(
+      aggregate(
+        slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
+        array(element_at(arr, 1).cast("double")),
+        (acc, x) => concat(acc, array(
+          element_at(acc, -1) +
+            lit(alpha) * (x.cast("double") - element_at(acc, -1))))))
+  }
+
   /** each/mapdown: elementwise (adverbs.h:125–134). */
   def each(arr: Column)(f: Column => Column): Column = transform(arr, f)
 

@@ -26,6 +26,15 @@ class SemanticsSpec extends SparkSpec {
     assert(one(Adverbs.eachPrior(array(lit(0), lit(1), lit(2), lit(3)), lit(4))(_ - _))
       == Seq(-4, 1, 1, 1))
   }
+  test("ema: seeds with head, prev + a*(x-prev) updates; empty safe; loud alpha") {
+    assert(one(Adverbs.ema(array(lit(1.0), lit(2.0), lit(3.0), lit(4.0)), 0.5))
+      == Seq(1.0, 1.5, 2.25, 3.125))
+    assert(one(Adverbs.ema(array(lit(7.0)), 0.25)) == Seq(7.0))
+    val empty = slice(array(lit(1.0)), lit(1), lit(0))
+    assert(one(Adverbs.ema(empty, 0.5)) == Seq())
+    intercept[IllegalArgumentException] { Adverbs.ema(array(lit(1.0)), 0.0) }
+  }
+
   test("scan/eachprior on empty arrays yield empty (sequence/zip_with edge)") {
     val empty = slice(array(lit(1)), lit(1), lit(0)) // array<int> of size 0
     assert(one(Adverbs.scan(empty, lit(0))(_ + _)) == Seq())
