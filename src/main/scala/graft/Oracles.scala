@@ -1502,6 +1502,18 @@ object Oracles {
          FROM embeddings q CROSS JOIN (VALUES (1), (2), (3)) t(j)
          WHERE q.vec_id < 5 ORDER BY q_id, rk""",
 
+    // rolling median over FULL 3-row frames only: the median is the
+    // picked middle element (no interpolation, no fp reconciliation)
+    "q139_rolling_median" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS ts_us, value,
+                  row_number() OVER w AS rn,
+                  median(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS med3
+           FROM events WHERE user_id < 10
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), value))
+         SELECT user_id, ts_us, med3 FROM e WHERE rn >= 3
+         ORDER BY user_id, ts_us""",
+
     // sequential EMA via recursive CTE: the identical
     // prev + 0.25*(x - prev) expression tree per step — dyadic alpha,
     // no libm, bit-identical fold on both engines

@@ -2485,6 +2485,25 @@ object Queries {
       .orderBy(col("user_id"), col("ts_us"))
   }
 
+  /** Rolling MEDIAN down the ticks (the order-statistic smoother the
+    * frame-spec family was missing): exact `percentile 0.5` over a
+    * 3-row frame per user. Only FULL frames are emitted (rn ≥ 3), so
+    * the median is always the middle element — no interpolation, hence
+    * no engine-specific fp tree to reconcile: pick-exact adjudication. */
+  val q139_rolling_median: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .filter(col("user_id") < 10)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("value"))
+    ev.withColumn("rn", row_number().over(w))
+      .withColumn("med3",
+        expr("percentile(value, 0.5)").over(w.rowsBetween(-2, 0)))
+      .filter(col("rn") >= 3)
+      .select(col("user_id"), col("ts_us"), col("med3"))
+      .orderBy(col("user_id"), col("ts_us"))
+  }
+
   /** STREAMING sessionization (`session_window` + watermark) — the q43
     * batch island-detection run as a stateful stream over the same
     * bounded replay; sessions merge across micro-batches in the state
@@ -2638,5 +2657,6 @@ object Queries {
     "q136_unigram_lm"    -> q136_unigram_lm,
     "q137_semdedup_keepbest" -> q137_semdedup_keepbest,
     "q138_ema"           -> q138_ema,
+    "q139_rolling_median" -> q139_rolling_median,
   )
 }

@@ -1013,6 +1013,7 @@ object KerfSql {
         case "neardup" if pipelineVerbForm(toks) => p.pop(); last = Left(runDedup(spark, p, near = true))
         case "semdedup" if pipelineVerbForm(toks) => p.pop(); last = Left(runSemDedup(spark, p))
         case "chunk"   if pipelineVerbForm(toks) => p.pop(); last = Left(runChunk(spark, p))
+        case "lmscore" if pipelineVerbForm(toks) => p.pop(); last = Left(runLmScore(spark, p))
         case "index"   if pipelineVerbForm(toks) => p.pop(); last = Left(runIndex(spark, p))
         // `probe 'path' …` — path-first like compact
         case "probe" if toks.lengthCompare(2) >= 0 && toks(1).startsWith("'") =>
@@ -1225,7 +1226,7 @@ object KerfSql {
             last = Left(df)
           } else if ((p.peekIs("dedup") || p.peekIs("neardup") ||
                       p.peekIs("semdedup") || p.peekIs("chunk") ||
-                      p.peekIs("index") ||
+                      p.peekIs("index") || p.peekIs("lmscore") ||
                       p.peekIs("sample") || p.peekIs("shard") || p.peekIs("cap")) &&
                      pipelineVerbForm(p.toks)) {
             // table-valued pipeline verbs assign like a select: the
@@ -1236,6 +1237,7 @@ object KerfSql {
               case "neardup"  => runDedup(spark, p, near = true)
               case "semdedup" => runSemDedup(spark, p)
               case "chunk"    => runChunk(spark, p)
+              case "lmscore"  => runLmScore(spark, p)
               case "index"    => runIndex(spark, p)
               case "sample"   => runSample(spark, p)
               case "shard"    => runShard(spark, p)
@@ -2106,6 +2108,27 @@ object KerfSql {
           nProbe, rerank, idCol, vecCol)
       case (false, false) =>
         throw new IllegalArgumentException(s"no index at $path")
+    }
+  }
+
+  /** `lmscore t by id on text [using model]` →
+    * [[graft.llm.TextOps.unigramStats]] (self-census) or
+    * [[graft.llm.TextOps.unigramScore]] against a census TABLE
+    * `(tok, cnt)` — the deployment split: train the model once, score
+    * any corpus (or stream) against it. */
+  private def runLmScore(spark: SparkSession, p: P): DataFrame = {
+    val df = spark.table(p.pop())
+    p.expect("by"); val idCol = p.pop()
+    p.expect("on"); val textCol = p.pop()
+    val model: Option[DataFrame] =
+      if (p.peekIs("using")) { p.pop(); Some(spark.table(p.pop())) } else None
+    require(p.done, s"trailing tokens in lmscore: ${p.toks.mkString(" ")}")
+    model match {
+      case Some(census) =>
+        require(census.columns.toSet == Set("tok", "cnt"),
+          s"lmscore … using needs a (tok, cnt) census table, got ${census.columns.mkString(", ")}")
+        graft.llm.TextOps.unigramScore(df, census, idCol, textCol)
+      case None => graft.llm.TextOps.unigramStats(df, idCol, textCol)
     }
   }
 

@@ -980,6 +980,31 @@ class KerfSqlSpec extends SparkSpec {
     }
   }
 
+  test("lmscore verb: self-census and using-model forms == API") {
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_lm")
+    val self = KerfSql.run(spark, "lmscore docs_lm by doc_id on text")
+      .orderBy("doc_id").collect().toSeq
+    val want = graft.llm.TextOps.unigramStats(
+        Tables.documents(spark, sf), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(self == want)
+    // deployment split: model trained on half the corpus, scores the rest
+    graft.llm.TextOps.unigramCensus(
+        Tables.documents(spark, sf).filter(col("doc_id") < 250), "doc_id", "text")
+      .createOrReplaceTempView("lm_model")
+    val scored = KerfSql.run(spark,
+      "rest: select doc_id, text from docs_lm where doc_id >= 250; " +
+      "lmscore rest by doc_id on text using lm_model")
+    val wantScored = graft.llm.TextOps.unigramScore(
+        Tables.documents(spark, sf).filter(col("doc_id") >= 250),
+        spark.table("lm_model"), "doc_id", "text")
+    assert(scored.orderBy("doc_id").collect().toSeq ==
+           wantScored.orderBy("doc_id").collect().toSeq)
+    intercept[IllegalArgumentException] {
+      KerfSql.run(spark, "lmscore docs_lm by doc_id on text using docs_lm")
+    }
+  }
+
   test("dedup/neardup parse errors are loud, not silent column guesses") {
     Tables.documents(spark, sf).createOrReplaceTempView("docs_kv")
     intercept[Exception] { KerfSql.run(spark, "dedup docs_kv on text") }
