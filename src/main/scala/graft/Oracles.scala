@@ -1502,6 +1502,30 @@ object Oracles {
          FROM embeddings q CROSS JOIN (VALUES (1), (2), (3)) t(j)
          WHERE q.vec_id < 5 ORDER BY q_id, rk""",
 
+    // corpus drift in exact integer numerators: |cntA*totB - cntB*totA|
+    // summed as HUGEINT (order-free), divided once; rank ties on token
+    "q140_corpus_drift" ->
+      """WITH ta AS (
+           SELECT tok, count(*) AS cnt FROM (
+             SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+             FROM documents WHERE doc_id < 250) GROUP BY tok),
+         tbl AS (
+           SELECT tok, count(*) AS cnt FROM (
+             SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+             FROM documents WHERE doc_id >= 250) GROUP BY tok),
+         tot AS (SELECT (SELECT sum(cnt) FROM ta) AS sa, (SELECT sum(cnt) FROM tbl) AS sb),
+         j AS (
+           SELECT coalesce(a.tok, b.tok) AS tok,
+                  coalesce(a.cnt, 0) AS cnt_a, coalesce(b.cnt, 0) AS cnt_b,
+                  abs(CAST(coalesce(a.cnt, 0) AS HUGEINT) * (SELECT sb FROM tot)
+                    - CAST(coalesce(b.cnt, 0) AS HUGEINT) * (SELECT sa FROM tot)) AS num
+           FROM ta a FULL JOIN tbl b ON a.tok = b.tok),
+         tv AS (SELECT round(CAST(sum(num) AS DOUBLE)
+                  / (2.0 * (SELECT sa FROM tot) * (SELECT sb FROM tot)), 6) AS d FROM j)
+         SELECT CAST(row_number() OVER (ORDER BY num DESC, tok) AS BIGINT) AS drift_rank,
+                tok, cnt_a, cnt_b, (SELECT d FROM tv) AS tv_distance
+         FROM j ORDER BY num DESC, tok LIMIT 10""",
+
     // rolling median over FULL 3-row frames only: the median is the
     // picked middle element (no interpolation, no fp reconciliation)
     "q139_rolling_median" ->

@@ -2504,6 +2504,20 @@ object Queries {
       .orderBy(col("user_id"), col("ts_us"))
   }
 
+  /** Corpus DRIFT between two census snapshots (crawl-over-crawl
+    * monitoring): TV distance + top drifted tokens between the first
+    * and second halves of the documents fixture, computed in EXACT
+    * integer numerators (DECIMAL 38) — order-free, no libm, one
+    * division at the end. */
+  val q140_corpus_drift: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    llm.TextOps.censusDrift(
+        llm.TextOps.unigramCensus(docs.filter(col("doc_id") < 250), "doc_id", "text"),
+        llm.TextOps.unigramCensus(docs.filter(col("doc_id") >= 250), "doc_id", "text"),
+        topK = 10)
+      .orderBy(col("drift_rank"))
+  }
+
   /** STREAMING sessionization (`session_window` + watermark) — the q43
     * batch island-detection run as a stateful stream over the same
     * bounded replay; sessions merge across micro-batches in the state
@@ -2658,5 +2672,6 @@ object Queries {
     "q137_semdedup_keepbest" -> q137_semdedup_keepbest,
     "q138_ema"           -> q138_ema,
     "q139_rolling_median" -> q139_rolling_median,
+    "q140_corpus_drift"  -> q140_corpus_drift,
   )
 }

@@ -273,6 +273,38 @@ object TextOps {
              / count(lit(1)), 6).as("rare_frac"))
   }
 
+  /** Corpus DRIFT between two unigram censuses (crawl-over-crawl
+    * monitoring: did the token distribution move?): total-variation
+    * distance TV = Σ|p_A − p_B| / 2 plus the top-`topK` drifted tokens.
+    * Computed in EXACT integer arithmetic — |cntA·totalB − cntB·totalA|
+    * as DECIMAL(38,0) numerators summed order-free, one division at the
+    * end — so there is no fp fold order to reconcile and no overflow at
+    * any corpus size (cnt·total fits 38 digits far past 100 TB). The
+    * ranking ties break on the token itself: fully deterministic. */
+  def censusDrift(a: DataFrame, b: DataFrame, topK: Int = 10): DataFrame = {
+    val ta = a.agg(sum(col("cnt"))).first().getLong(0)
+    val tb = b.agg(sum(col("cnt"))).first().getLong(0)
+    require(ta > 0 && tb > 0, "censusDrift needs two non-empty censuses")
+    val joined = a.select(col("tok"), col("cnt").as("cnt_a"))
+      .join(b.select(col("tok"), col("cnt").as("cnt_b")), Seq("tok"), "full")
+      .na.fill(0L, Seq("cnt_a", "cnt_b"))
+      .withColumn("__num", abs(
+        col("cnt_a").cast("decimal(38,0)") * lit(tb) -
+        col("cnt_b").cast("decimal(38,0)") * lit(ta)))
+    // one DOUBLE division over the exact integer sum — the identical
+    // expression an oracle computes — then the standard round(…, 6)
+    val tv = joined.agg(sum(col("__num"))).first().getDecimal(0)
+      .doubleValue() / (2.0 * ta * tb)
+    // top-K via orderBy+limit (TakeOrderedAndProject — never a global
+    // sort materialization), rank assigned within the K-row result
+    joined.orderBy(col("__num").desc, col("tok")).limit(topK)
+      .withColumn("drift_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__num").desc, col("tok"))).cast("long"))
+      .select(col("drift_rank"), col("tok"), col("cnt_a"), col("cnt_b"),
+        round(lit(tv), 6).as("tv_distance"))
+  }
+
   /** Fixed-size token CHUNKING with overlap — the embedding-prep op: a
     * long document embeds in windows of `chunkSize` tokens advancing by
     * `stride = chunkSize − overlap` (chunk k covers tokens
