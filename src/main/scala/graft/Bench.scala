@@ -37,6 +37,11 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // stage-level attribution (index build vs probe, dedup cascade):
+    // composite queries report named slices that land next to ms/spill
+    // in BENCH_ATTRIBUTION.json, so a per-query regression is
+    // attributable to its stage from the bench record alone
+    graft.tools.StageTimer.enable()
     val spark = Engine.session()
     val listener = new BenchListener
     spark.sparkContext.addSparkListener(listener)
@@ -57,6 +62,7 @@ object Bench {
       org.apache.spark.GraftBenchGlue.drainListeners(spark.sparkContext)
       val before = listener.snapshot()
       listener.resetPeak()
+      graft.tools.StageTimer.drain() // clear any carry-over
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -66,11 +72,16 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       org.apache.spark.GraftBenchGlue.drainListeners(spark.sparkContext)
       val after = listener.snapshot()
+      val stages = graft.tools.StageTimer.drain()
+      val stagesJson = if (stages.isEmpty) ""
+        else stages.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"\"$k\":$v" }
+          .mkString(""","stages":{""", ",", "}")
       val attr =
         s"""{"ms":${math.round(sec * 1000)},"spillMB":${mb(after.spill - before.spill)},""" +
         s""""gcMs":${after.gcMs - before.gcMs},"peakMB":${mb(listener.peak)},""" +
         s""""srMB":${mb(after.shufRead - before.shufRead)},"swMB":${mb(after.shufWrite - before.shufWrite)},""" +
-        s""""tasks":${after.tasks - before.tasks}}"""
+        s""""tasks":${after.tasks - before.tasks}$stagesJson}"""
       (name, sec, attr)
     }
 

@@ -20,8 +20,19 @@ object Tables {
     * many files; locally it converts serial minhash/sketch stages into
     * 32-way parallel ones. */
   def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // width estimate from the file listing + optimizer stats (analysis
+    // only — `df.rdd.getNumPartitions` materialized the physical plan
+    // AND the RDD lineage on every call): a scan yields at least one
+    // task per file and one per maxPartitionBytes of input, so either
+    // reaching the core count means the scan is already wide enough —
+    // including the single-huge-file case, which splits by bytes and
+    // must NOT be shrunk through a repartition
+    val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
+    val est = (BigInt(df.inputFiles.length)
+      max (df.queryExecution.optimizedPlan.stats.sizeInBytes / maxPart + 1))
+    if (est < target) df.repartition(target) else df
   }
 
   def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")

@@ -65,7 +65,31 @@ object Folio {
         s"$path/$v"
       case None => path
     }
+    // same fail-loud posture as the flat-layout guard: an append whose
+    // partition keys differ from the dirs already on disk (user_id=…
+    // landing next to event_type=…) writes two interleaved layouts into
+    // one dataset — partition discovery then fails (or worse, guesses)
+    // at READ time, far from the write that caused it
+    val onDisk = partitionColsOnDisk(new java.io.File(target))
+    require(onDisk.isEmpty || onDisk == partitionCols,
+      s"partition-column mismatch: folio at $target is laid out by " +
+      s"(${onDisk.mkString(", ")}) but the append partitions by " +
+      s"(${partitionCols.mkString(", ")}) — recompact to change layout")
     write(df, target, partitionCols, sortCols, SaveMode.Append)
+  }
+
+  /** The partition-column chain a directory-expanded dataset already has
+    * on disk, read off its `name=value` dir nesting (empty for a flat
+    * layout). Descends the FIRST matching dir at each level — Spark's
+    * own partition discovery requires every sibling branch to share one
+    * column sequence, so any branch is representative. */
+  private[graft] def partitionColsOnDisk(dir: java.io.File): Seq[String] = {
+    val kv = Option(dir.listFiles()).getOrElse(Array.empty)
+      .find(d => d.isDirectory && d.getName.contains("=") && !d.getName.startsWith("_"))
+    kv match {
+      case Some(d) => d.getName.takeWhile(_ != '=') +: partitionColsOnDisk(d)
+      case None => Nil
+    }
   }
 
   /** Kerf's transparent type promotion at the table boundary
@@ -138,6 +162,33 @@ object Folio {
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.matches("v\\d{8}") && !live(d.getName))
       .foreach(rmTree)
+  }
+
+  /** Stage-and-swap publish for an arbitrary ARTIFACT TREE (model JSON +
+    * data dirs — the ANN index layout): the caller writes everything
+    * under the staged next-version dir, and only then does the same
+    * atomic `_CURRENT` swap as [[publishVersion]] make it live. A crash
+    * mid-write leaves the previous version fully intact and the staged
+    * dir invisible (vacuumable); a concurrent reader can never observe a
+    * new model file paired with old data files, because both live inside
+    * one immutable version dir. Returns the published version name. */
+  def publishArtifacts(path: String)(write: java.io.File => Unit): String = {
+    val cur = currentVersion(path)
+    val n = cur.map(_.stripPrefix("v").toLong + 1L).getOrElse(1L)
+    val vname = f"v$n%08d"
+    val vdir = new java.io.File(path, vname)
+    vdir.mkdirs()
+    write(vdir)
+    val tmp = new java.io.File(path, "_CURRENT.tmp")
+    java.nio.file.Files.write(tmp.toPath, vname.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, currentFile(path).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val live = Set(vname, f"v${n - 1}%08d")
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.matches("v\\d{8}") && !live(d.getName))
+      .foreach(rmTree)
+    vname
   }
 
   private def rmTree(f: java.io.File): Unit = {
@@ -276,6 +327,12 @@ object Folio {
       case Some(v) => Some(spark.read.parquet(s"$path/$v"))
       case None => try Some(spark.read.parquet(path)) catch { case _: Exception => None }
     }
+    // preserve the live version's dir layout: an upsert is a row merge,
+    // not a layout change — publishing flat over a partitioned version
+    // would silently drop the clustering compact built (and the next
+    // appendPartition would then fail its flat-layout guard)
+    val liveParts = cur.map(v => partitionColsOnDisk(new java.io.File(path, v)))
+      .getOrElse(partitionColsOnDisk(new java.io.File(path)))
     existing match {
       case None => publishVersion(df, path, 1L)
       case Some(old) =>
@@ -286,7 +343,7 @@ object Folio {
           s"unknown ${(incoming -- stored).mkString(", ")}")
         require(keys.forall(stored), s"upsert keys not in table: ${keys.filterNot(stored).mkString(", ")}")
         val next = cur.map(_.stripPrefix("v").toLong + 1L).getOrElse(1L)
-        publishVersion(graft.ops.TableOps.upsert(old, df, keys), path, next)
+        publishVersion(graft.ops.TableOps.upsert(old, df, keys), path, next, liveParts)
         if (cur.isEmpty) {
           Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
             .filter(f => f.getName != "_CURRENT" && !f.getName.matches("v\\d{8}"))

@@ -95,10 +95,21 @@ object Dedup {
                    maxBucket: Int = 64): DataFrame = {
     val (result, caches) = minhashPairsPlan(docs, idCol, textCol,
       numHashes, bands, shingleN, jaccardThreshold, maxBucket)
+    // bench-only stage attribution: force each persisted intermediate at
+    // its boundary so shingle+sign / band+explode / candidate+verify get
+    // separate wall-clock slices (same total work — the seal would have
+    // populated these caches anyway, just inside one undifferentiated
+    // action)
+    if (graft.tools.StageTimer.enabled) {
+      graft.tools.StageTimer.time("shingle") { caches.head.count() }
+      graft.tools.StageTimer.time("band") { caches(1).count() }
+    }
     // the pair list (≪ n²) is materialized eagerly so the shingle/band
     // caches can be RELEASED here instead of pinning executor storage for
     // the session's lifetime (cache-scope contract, graft.ops.Caches)
-    graft.ops.Caches.seal(result, caches: _*)
+    graft.tools.StageTimer.time("verify") {
+      graft.ops.Caches.seal(result, caches: _*)
+    }
   }
 
   /** The lazy plan behind [[minhashPairs]] plus the intermediate caches it
@@ -301,7 +312,7 @@ object Dedup {
   def keepBestPerCluster(docs: DataFrame, idCol: String, scoreCol: String,
                          pairs: DataFrame,
                          idA: String = "id_a", idB: String = "id_b"): DataFrame = {
-    val labels = clusters(pairs, idA, idB)
+    val labels = graft.tools.StageTimer.time("cc") { clusters(pairs, idA, idB) }
       .select(col("id").as("__lid"), col("cluster"))
     val labeled = docs
       .join(labels, col(idCol).cast("long") === col("__lid"), "left")

@@ -408,25 +408,36 @@ object Similarity {
     *    difference between an index and a full pass. */
   def writeIvfIndex(candidates: DataFrame, path: String, nLists: Int = 16,
                     iters: Int = 1,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = graft.tools.StageTimer.time("build") {
     import graft.ops.Caches
     val (cand, own) = Caches.acquire(candidates)
     val centroids = trainCentroids(cand, nLists, idCol, vecCol, iters)
-    new java.io.File(path).mkdirs()
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    java.nio.file.Files.write(
-      new java.io.File(path, "centroids.json").toPath,
-      om.writeValueAsBytes(centroids))
-    assignLists(cand.filter(col(vecCol).isNotNull), centroids, idCol, vecCol)
-      .select(col(idCol), col(vecCol), col("list_id"))
-      .repartition(col("list_id"))
-      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+    // stage-and-swap (Folio `_CURRENT` protocol): model JSON and list
+    // data land together in one immutable version dir, so a re-train
+    // can never leave a probe reading new centroids over old lists
+    graft.io.Folio.publishArtifacts(path) { vdir =>
+      assignLists(cand.filter(col(vecCol).isNotNull), centroids, idCol, vecCol)
+        .select(col(idCol), col(vecCol), col("list_id"))
+        .repartition(col("list_id"))
+        .write.mode("overwrite").partitionBy("list_id").parquet(s"$vdir/lists")
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      java.nio.file.Files.write(
+        new java.io.File(vdir, "centroids.json").toPath,
+        om.writeValueAsBytes(centroids))
+    }
     if (own) cand.unpersist(false)
   }
 
+  /** Resolve the LIVE artifact root of a versioned index (written under
+    * the Folio `_CURRENT` protocol); a legacy flat index resolves to the
+    * path itself — both layouts stay readable. */
+  def indexRoot(path: String): String =
+    graft.io.Folio.currentVersion(path).map(v => s"$path/$v").getOrElse(path)
+
   /** The stored centroid model of [[writeIvfIndex]]. */
   def readIvfCentroids(path: String): Array[Array[Double]] = {
-    val f = new java.io.File(path, "centroids.json")
+    val f = new java.io.File(indexRoot(path), "centroids.json")
     require(f.isFile, s"no IVF index at $path (centroids.json missing)")
     new com.fasterxml.jackson.databind.ObjectMapper()
       .readValue(java.nio.file.Files.readAllBytes(f.toPath),
@@ -447,7 +458,7 @@ object Similarity {
     assignLists(batch.filter(col(vecCol).isNotNull), centroids, idCol, vecCol)
       .select(col(idCol), col(vecCol), col("list_id"))
       .repartition(col("list_id"))
-      .write.mode("append").partitionBy("list_id").parquet(s"$path/lists")
+      .write.mode("append").partitionBy("list_id").parquet(s"${indexRoot(path)}/lists")
   }
 
   /** Probe a persisted IVF index: same probe-join shape as [[ivfTopK]]
@@ -473,7 +484,7 @@ object Similarity {
       .drop("probes", "__qsims")
     val probed = q.select(col("list_id")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val lists = spark.read.parquet(s"$path/lists")
+    val lists = spark.read.parquet(s"${indexRoot(path)}/lists")
       .filter(col("list_id").isin(probed: _*))
       .select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"), col("list_id"))
     val cands = lists.join(broadcast(q), Seq("list_id"))
@@ -671,25 +682,28 @@ object Similarity {
     * survivors. */
   def writePqIndex(candidates: DataFrame, path: String, m: Int = 8,
                    ksub: Int = 16, iters: Int = 1,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Unit = graft.tools.StageTimer.time("build") {
     import graft.ops.Caches
     val (cand, own) = Caches.acquire(candidates)
     val books = trainPQ(cand, m, ksub, idCol, vecCol, iters)
-    new java.io.File(path).mkdirs()
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    java.nio.file.Files.write(
-      new java.io.File(path, "codebooks.json").toPath,
-      om.writeValueAsBytes(books))
-    cand.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("cand_id"),
-        pqCodes(col(vecCol), books).as("__codes"))
-      .write.mode("overwrite").parquet(s"$path/codes")
+    // stage-and-swap publish — same rationale as [[writeIvfIndex]]
+    graft.io.Folio.publishArtifacts(path) { vdir =>
+      cand.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as("cand_id"),
+          pqCodes(col(vecCol), books).as("__codes"))
+        .write.mode("overwrite").parquet(s"$vdir/codes")
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      java.nio.file.Files.write(
+        new java.io.File(vdir, "codebooks.json").toPath,
+        om.writeValueAsBytes(books))
+    }
     if (own) cand.unpersist(false)
   }
 
   /** The stored codebook model of [[writePqIndex]]. */
   def readPqCodebooks(path: String): Array[Array[Array[Double]]] = {
-    val f = new java.io.File(path, "codebooks.json")
+    val f = new java.io.File(indexRoot(path), "codebooks.json")
     require(f.isFile, s"no PQ index at $path (codebooks.json missing)")
     new com.fasterxml.jackson.databind.ObjectMapper()
       .readValue(java.nio.file.Files.readAllBytes(f.toPath),
@@ -703,7 +717,7 @@ object Similarity {
                     originals: DataFrame, k: Int, rerank: Int = 32,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val books = readPqCodebooks(path)
-    val coded = spark.read.parquet(s"$path/codes")
+    val coded = spark.read.parquet(s"${indexRoot(path)}/codes")
     val q = pqQueryLut(queries, books, idCol, vecCol)
     pqAdcProbe(coded, q, originals, k, rerank, idCol, vecCol)
   }
@@ -803,24 +817,27 @@ object Similarity {
   def writeIvfPqIndex(candidates: DataFrame, path: String,
                       nLists: Int = 16, m: Int = 8, ksub: Int = 16,
                       iters: Int = 1,
-                      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit = graft.tools.StageTimer.time("build") {
     import graft.ops.Caches
     val (cand, own) = Caches.acquire(candidates)
     val centroids = trainCentroids(cand, nLists, idCol, vecCol, iters)
     val books = trainPQ(cand, m, ksub, idCol, vecCol, iters)
-    new java.io.File(path).mkdirs()
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    java.nio.file.Files.write(
-      new java.io.File(path, "centroids.json").toPath,
-      om.writeValueAsBytes(centroids))
-    java.nio.file.Files.write(
-      new java.io.File(path, "codebooks.json").toPath,
-      om.writeValueAsBytes(books))
-    assignLists(cand.filter(col(vecCol).isNotNull), centroids, idCol, vecCol)
-      .select(col(idCol).as("cand_id"), col("list_id"),
-        pqCodes(col(vecCol), books).as("__codes"))
-      .repartition(col("list_id"))
-      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/codes")
+    // stage-and-swap publish — same rationale as [[writeIvfIndex]]
+    graft.io.Folio.publishArtifacts(path) { vdir =>
+      assignLists(cand.filter(col(vecCol).isNotNull), centroids, idCol, vecCol)
+        .select(col(idCol).as("cand_id"), col("list_id"),
+          pqCodes(col(vecCol), books).as("__codes"))
+        .repartition(col("list_id"))
+        .write.mode("overwrite").partitionBy("list_id").parquet(s"$vdir/codes")
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      java.nio.file.Files.write(
+        new java.io.File(vdir, "centroids.json").toPath,
+        om.writeValueAsBytes(centroids))
+      java.nio.file.Files.write(
+        new java.io.File(vdir, "codebooks.json").toPath,
+        om.writeValueAsBytes(books))
+    }
     if (own) cand.unpersist(false)
   }
 
@@ -857,7 +874,7 @@ object Similarity {
       .drop("probes", "__qsims")
     val probed = q.select(col("list_id")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val coded = spark.read.parquet(s"$path/codes")
+    val coded = spark.read.parquet(s"${indexRoot(path)}/codes")
       .filter(col("list_id").isin(probed: _*))
     val adc = coded.join(broadcast(q), Seq("list_id"))
       .filter(col("q_id") =!= col("cand_id"))

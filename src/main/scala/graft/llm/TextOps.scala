@@ -257,6 +257,10 @@ object TextOps {
   def unigramScore(docs: DataFrame, census: DataFrame,
                    idCol: String, textCol: String, rareMax: Int = 2): DataFrame = {
     val g = census.agg(sum(col("cnt")).as("total"), count(lit(1)).as("vocab")).first()
+    // an empty census makes sum(cnt) NULL — fail with the same loud
+    // posture as censusDrift instead of a bare NPE out of getLong
+    require(!g.isNullAt(0) && g.getLong(0) > 0,
+      "unigramScore needs a non-empty census (sum(cnt) must be > 0)")
     val denom = (g.getLong(0) + g.getLong(1)).toDouble
     docs.select(col(idCol).as("doc_id"),
         explode(Dedup.tokens(col(textCol))).as("tok"))

@@ -2090,8 +2090,12 @@ object KerfSql {
     var originals: Option[DataFrame] = None
     if (p.peekIs("using")) { p.pop(); originals = Some(spark.table(p.pop())) }
     require(p.done, s"trailing tokens in probe: ${p.toks.mkString(" ")}")
-    val hasCentroids = new java.io.File(path, "centroids.json").isFile
-    val hasBooks = new java.io.File(path, "codebooks.json").isFile
+    // kind inference reads the LIVE version (versioned indexes publish
+    // under the Folio _CURRENT protocol; legacy flat layouts resolve to
+    // the path itself), so a mid-rewrite crash can't change the kind
+    val root = graft.llm.Similarity.indexRoot(path)
+    val hasCentroids = new java.io.File(root, "centroids.json").isFile
+    val hasBooks = new java.io.File(root, "codebooks.json").isFile
     (hasCentroids, hasBooks) match {
       case (true, false) =>
         graft.llm.Similarity.ivfTopKIndexed(spark, path, queries, k, nProbe,

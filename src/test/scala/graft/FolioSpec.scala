@@ -170,6 +170,63 @@ class FolioSpec extends SparkSpec {
     }
   }
 
+  test("appendPartition rejects a partition-column mismatch with the live layout") {
+    val dir = tmp()
+    import spark.implicits._
+    val a = Seq((1L, "x", "2024-01-01"), (2L, "y", "2024-01-02")).toDF("k", "s", "d")
+    Folio.write(a, s"$dir/t", Seq("d"), Seq("k"))
+    // matching layout appends fine
+    Folio.appendPartition(Seq((3L, "z", "2024-01-03")).toDF("k", "s", "d"),
+      s"$dir/t", Seq("d"), Seq("k"))
+    assert(Folio.read(spark, s"$dir/t").count() == 3)
+    // different partition keys would interleave two dir layouts — loud
+    val err = intercept[IllegalArgumentException] {
+      Folio.appendPartition(Seq((4L, "w", "2024-01-04")).toDF("k", "s", "d"),
+        s"$dir/t", Seq("s"), Seq("k"))
+    }
+    assert(err.getMessage.contains("partition-column mismatch"))
+  }
+
+  test("upsertPublish preserves the live version's partition layout") {
+    val dir = tmp()
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "g", "v")
+    Folio.appendWithPromotion(base, s"$dir/t") // v1 flat
+    Folio.compact(spark, s"$dir/t", partitionCols = Seq("g")) // v2 partitioned by g
+    assert(Folio.partitionColsOnDisk(
+      new java.io.File(s"$dir/t", "v00000002")) == Seq("g"))
+    Folio.upsertPublish(Seq((2L, "b", 99.0), (3L, "c", 30.0)).toDF("k", "g", "v"),
+      s"$dir/t", Seq("k")) // v3 must STAY partitioned by g
+    assert(Folio.partitionColsOnDisk(
+      new java.io.File(s"$dir/t", "v00000003")) == Seq("g"))
+    val live = Folio.promotedRead(spark, s"$dir/t")
+      .select("k", "g", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(live == Set((1L, "a", 10.0), (2L, "b", 99.0), (3L, "c", 30.0)))
+    // and the partitioned append that failed before the fix now lands
+    Folio.appendPartition(Seq((4L, "d", 40.0)).toDF("k", "g", "v"),
+      s"$dir/t", Seq("g"), Seq("k"))
+    assert(Folio.promotedRead(spark, s"$dir/t").count() == 4)
+  }
+
+  test("publishArtifacts: versioned stage-and-swap for artifact trees") {
+    val dir = tmp()
+    val v1 = Folio.publishArtifacts(s"$dir/idx") { vdir =>
+      java.nio.file.Files.write(new java.io.File(vdir, "model.json").toPath,
+        "{\"v\":1}".getBytes("UTF-8"))
+    }
+    assert(v1 == "v00000001" && Folio.currentVersion(s"$dir/idx").contains(v1))
+    val v2 = Folio.publishArtifacts(s"$dir/idx") { vdir =>
+      java.nio.file.Files.write(new java.io.File(vdir, "model.json").toPath,
+        "{\"v\":2}".getBytes("UTF-8"))
+    }
+    assert(Folio.currentVersion(s"$dir/idx").contains(v2))
+    // live + previous retained (crash fallback), nothing older
+    assert(Folio.versions(s"$dir/idx") == Seq("v00000001", "v00000002"))
+    Folio.publishArtifacts(s"$dir/idx") { _ => () }
+    assert(Folio.versions(s"$dir/idx") == Seq("v00000002", "v00000003"))
+  }
+
   test("zvalue: monotone in every dimension (Morton order property)") {
     import spark.implicits._
     val grid = (for (x <- 0 until 16; y <- 0 until 16) yield (x, y)).toDF("x", "y")

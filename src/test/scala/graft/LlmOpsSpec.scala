@@ -948,6 +948,25 @@ class LlmOpsSpec extends SparkSpec {
       s"appended replica not found by the stored index: ${again.toSeq}")
   }
 
+  test("index re-train publishes a new version atomically (_CURRENT swap)") {
+    val vecs = marginFixture(43)
+    val df = vecs.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfver").toString
+    Similarity.writeIvfIndex(df, s"$path/idx", nLists = 4, iters = 1)
+    assert(graft.io.Folio.currentVersion(s"$path/idx").contains("v00000001"))
+    // a RE-TRAIN (different nLists) lands as v2 — readers resolve through
+    // _CURRENT, so model+data always come from ONE immutable version and
+    // a crash mid-rewrite would have left v1 live and intact
+    Similarity.writeIvfIndex(df, s"$path/idx", nLists = 2, iters = 1)
+    assert(graft.io.Folio.currentVersion(s"$path/idx").contains("v00000002"))
+    assert(Similarity.readIvfCentroids(s"$path/idx").length == 2)
+    assert(new java.io.File(s"$path/idx/v00000002/lists").isDirectory)
+    val qs = df.filter(col("vec_id") === 0L)
+    val got = Similarity.ivfTopKIndexed(spark, s"$path/idx", qs, 1, nProbe = 2)
+      .collect()
+    assert(got.nonEmpty, "probe against the re-trained live version failed")
+  }
+
   test("persisted PQ index: codes-only probe equals the train-per-call answer") {
     val vecs = marginFixture(47)
     val df = vecs.toDF("vec_id", "embedding")

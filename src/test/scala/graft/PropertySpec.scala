@@ -21,6 +21,28 @@ class PropertySpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("ema bounded-series contract: long series fails loudly, bounded matches fold") {
+    // over the bound: the guard throws at RUNTIME with a named message
+    // (not a silent quadratic task) — adverbs.h:76–120's unfold is O(n),
+    // and a formulation that can't be is required to say so
+    val long = spark.range(1).select(
+      graft.ops.Adverbs.ema(sequence(lit(1), lit(50)).cast("array<double>"),
+        0.5, maxLen = 10).as("e"))
+    val err = intercept[Exception] { long.collect() }
+    assert(err.getMessage.contains("bounded-series contract"))
+    // at the bound: identical to the unguarded recurrence, element for element
+    val n = 512
+    val xs = {
+      val rnd = new scala.util.Random(99)
+      (1 to n).map(_ => rnd.nextDouble() * 100 - 50)
+    }
+    val want = xs.tail.scanLeft(xs.head)((prev, x) => prev + 0.25 * (x - prev))
+    val got = Seq(Tuple1(xs)).toDF("a")
+      .select(graft.ops.Adverbs.ema(col("a"), 0.25, maxLen = n).as("e"))
+      .first().getSeq[Double](0)
+    assert(got.size == n && got.zip(want).forall { case (g, w) => g == w })
+  }
+
   test("eachPrior-with-subtraction telescopes: fold(+)(deltas) == last - seed") {
     val rnd = new scala.util.Random(7)
     val vectors = (1 to 20).map(_ => (1 to (1 + rnd.nextInt(10))).map(_ => rnd.nextInt(200) - 100))
