@@ -30,4 +30,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JDK 17 reserves 240 MB of JIT code cache by default; a 138-query
+  // bench JVM generates far more Janino/whole-stage-codegen classes
+  // than that, and a full cache flushes COLD compiled methods →
+  // recompile churn that shows up as multi-x slowdowns on UNCHANGED
+  // queries scheduled late in the suite (the round-10 q113/q114
+  // phantom regressions). Reservation is virtual address space, not
+  // resident memory — 1g is free insurance.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -1696,5 +1696,21 @@ object Oracles {
                 max(ts_us) - min(ts_us) AS duration_us
          FROM sessions GROUP BY user_id, sid
          ORDER BY user_id, session_start""",
+
+    // nested-document twin: struct field paths recomputed as JSON path
+    // extraction; the absent $.extra.depth branch must agree as NULL →
+    // count 0 on both engines
+    "q141_nested_atlas" ->
+      """WITH t AS (
+           SELECT event_type,
+                  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+                  CAST(json_extract_string(props, '$.extra.depth') AS INTEGER) AS deep
+           FROM events)
+         SELECT event_type, count(*) AS n,
+                CAST(sum(k) AS BIGINT) AS sum_k,
+                min(k) AS min_k, max(k) AS max_k,
+                count(deep) AS n_deep
+         FROM t WHERE k >= 5
+         GROUP BY event_type ORDER BY event_type""",
   )
 }

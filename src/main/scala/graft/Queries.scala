@@ -2532,6 +2532,26 @@ object Queries {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** ATLAS / NESTED-DOCUMENT surface in the dialect
+    * (/root/reference/enums.h:262 — the Kerf-lineage JSON/doc store;
+    * SURVEY §1.7 maps it to nested StructType + from_json): a two-
+    * statement program that (1) lowers the JSON props column to a TYPED
+    * struct with `fromjson(props, '<ddl>')` — explicit schema, no
+    * inference pass — and (2) filters/groups/aggregates through dotted
+    * FIELD PATHS (`pj.k`, the two-hop `pj.extra.depth`). The `extra`
+    * branch is absent from every fixture row, pinning missing-path →
+    * null → count 0 (doc-store lookup-miss semantics) against the
+    * oracle's json_extract, which agrees nulls for absent paths. */
+  val q141_nested_atlas: Q = (s, dir) => {
+    Tables.events(s, dir).createOrReplaceTempView("events_v141")
+    sql.KerfSql.run(s,
+      "t: select event_type, fromjson(props, 'k int, extra struct<depth: int>') as pj " +
+      "from events_v141; " +
+      "select event_type, count(*) as n, sum(pj.k) as sum_k, " +
+      "min(pj.k) as min_k, max(pj.k) as max_k, count(pj.extra.depth) as n_deep " +
+      "from t where pj.k >= 5 group event_type order event_type")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2673,5 +2693,6 @@ object Queries {
     "q138_ema"           -> q138_ema,
     "q139_rolling_median" -> q139_rolling_median,
     "q140_corpus_drift"  -> q140_corpus_drift,
+    "q141_nested_atlas"  -> q141_nested_atlas,
   )
 }

@@ -56,7 +56,7 @@ object KerfSql {
      """\d+\.\d+|\.\d+|\d+|""" +                              // numbers
      """'[^']*'|""" +                                         // string lit
      """`[A-Za-z_][A-Za-z0-9_]*|""" +                         // backtick symbol
-     """>>=|>>|<<|<=|>=|!=|<>|==|[(),*+\-/%<>=\[\]{};:]|""" + // operators (file verbs first)
+     """>>=|>>|<<|<=|>=|!=|<>|==|[(),*+\-/%<>=\[\]{};:.]|""" + // operators (file verbs first; bare `.` = postfix field access)
      """[A-Za-z_][A-Za-z0-9_.]*""" +                          // idents
      """)""").r
 
@@ -134,7 +134,46 @@ object KerfSql {
     env.vars.get(name).orElse(
       env.schema.flatMap(_.find(_.name.equalsIgnoreCase(name))
         .map(f => T(col(f.name), f.dataType))))
+      .orElse(resolvePath(name, env))
       .getOrElse(T(col(name), NullType)) // late-bound (group/order names etc.)
+
+  /** Dotted FIELD PATHS — the ATLAS/nested-document access surface
+    * (/root/reference/enums.h:262; SURVEY §1.7 maps the doc store to
+    * nested StructType): `props.device.os` walks struct fields (typed,
+    * case-insensitive) and string-keyed maps from a root column or
+    * variable. A leading table-alias segment (`t.props.k`) is skipped
+    * when the remainder resolves — the common qualified form after a
+    * join. Missing-path semantics are Spark's: absent struct field =
+    * plan-time error (caught at walk), absent MAP key = null. */
+  private def resolvePath(name: String, env: Env): Option[T] = {
+    if (!name.contains(".")) return None
+    val parts = name.split("\\.").toList
+    def root(seg: String): Option[T] =
+      env.vars.get(seg).orElse(
+        env.schema.flatMap(_.find(_.name.equalsIgnoreCase(seg))
+          .map(f => T(col(f.name), f.dataType))))
+    def walk(base: T, rest: List[String]): Option[T] =
+      rest.foldLeft(Option(base))((acc, seg) => acc.flatMap(b =>
+        try Some(fieldAccess(b, seg))
+        catch { case _: IllegalArgumentException => None }))
+    root(parts.head).flatMap(walk(_, parts.tail))
+      .orElse(if (parts.lengthCompare(2) >= 0) root(parts(1)).flatMap(walk(_, parts.drop(2)))
+              else None)
+  }
+
+  /** One field-path step: struct → typed getField; string-keyed map →
+    * element_at (null when absent — the doc-store lookup miss). */
+  private def fieldAccess(t: T, field: String): T = t.dt match {
+    case st: StructType =>
+      st.fields.find(_.name.equalsIgnoreCase(field)) match {
+        case Some(f) => T(t.col.getField(f.name), f.dataType)
+        case None => throw new IllegalArgumentException(
+          s"no field '$field' in struct<${st.fieldNames.mkString(", ")}>")
+      }
+    case MapType(StringType, vdt, _) => T(element_at(t.col, lit(field)), vdt)
+    case other => throw new IllegalArgumentException(
+      s"field access '.$field' needs a struct or string-keyed map, got $other")
+  }
 
   // ------------------------------------------------------------- type algebra
   private def widenArith(x: DataType, y: DataType): DataType = (x, y) match {
@@ -468,7 +507,19 @@ object KerfSql {
     * dicts index by key (`d['a']`). */
   private def parsePostfix(p: P, env: Env): T = {
     var t = parsePrimary(p, env)
-    while (p.peek.contains("[")) {
+    while (p.peek.contains("[") || p.peek.contains(".")) {
+      if (p.peek.contains(".")) {
+        // postfix field access on an EXPRESSION result:
+        // `fromjson(props, 'k int').k` — the dotted-ident fast path in
+        // resolveIdent covers bare column paths; this covers computed
+        // structs. The popped segment may itself be a dotted ident
+        // (`.device.os` lexes as `.` + `device.os`) — walk every hop.
+        p.pop()
+        val seg = p.pop()
+        require(seg.matches("[A-Za-z_][A-Za-z0-9_.]*"),
+          s"expected a field name after '.', got '$seg'")
+        seg.split("\\.").foreach { f => t = fieldAccess(t, f) }
+      } else {
       p.pop()
       val idx = parseExpr(p, env)
       p.expect("]")
@@ -481,6 +532,7 @@ object KerfSql {
           val tc = t.col; val e = elemOf(t)
           T(transform(idx.col, i => element_at(tc, (i + 1).cast("int"))), ArrayType(e))
         case _ => T(element_at(t.col, (idx.col + 1).cast("int")), elemOf(t))
+      }
       }
     }
     t
@@ -682,6 +734,25 @@ object KerfSql {
         val n = if (p.peekIs("(")) { p.pop(); val e = parseExpr(p, env); p.expect(")"); e }
                 else parsePrimary(p, env)
         T(Verbs.rangeArr(n.col), ArrayType(LongType))
+      case fn if fn.toLowerCase == "fromjson" && p.peekIs("(") =>
+        // from_json-to-struct lowering — the ATLAS/nested-document entry
+        // point (enums.h:262): parse a JSON string column into a TYPED
+        // struct against an EXPLICIT DDL schema (no inference scan — at
+        // 100 TB schema inference is a full extra pass), then field
+        // paths/group/agg compose: `fromjson(props, 'k int').k`.
+        // Malformed rows yield null fields (Spark PERMISSIVE mode), the
+        // doc-store lookup-miss convention, not a job abort.
+        p.pop()
+        val inner = parseExpr(p, env)
+        p.expect(",")
+        val ddlTok = p.pop()
+        require(ddlTok.startsWith("'") && ddlTok.endsWith("'") && ddlTok.length > 2,
+          s"fromjson needs a quoted DDL schema ('k int, tag string'), got $ddlTok")
+        p.expect(")")
+        require(inner.dt == StringType,
+          s"fromjson input must be a string column, got ${inner.dt}")
+        val st = StructType.fromDDL(ddlTok.substring(1, ddlTok.length - 1))
+        T(from_json(inner.col, st), st)
       case fn if listVerbs.contains(fn.toLowerCase) && p.peekIs("(") =>
         // string/list verbs, call form only (so a column named `length`
         // still resolves bare)
@@ -2047,14 +2118,14 @@ object KerfSql {
     (lists, pq) match {
       case (Some(nl), None) =>
         graft.llm.Similarity.writeIvfIndex(df, path, nl, idCol = idCol, vecCol = vecCol)
-        spark.read.parquet(s"$path/lists")
+        spark.read.parquet(s"${graft.llm.Similarity.indexRoot(path)}/lists")
       case (None, Some((m, ksub))) =>
         graft.llm.Similarity.writePqIndex(df, path, m, ksub, idCol = idCol, vecCol = vecCol)
-        spark.read.parquet(s"$path/codes")
+        spark.read.parquet(s"${graft.llm.Similarity.indexRoot(path)}/codes")
       case (Some(nl), Some((m, ksub))) =>
         graft.llm.Similarity.writeIvfPqIndex(df, path, nl, m, ksub,
           idCol = idCol, vecCol = vecCol)
-        spark.read.parquet(s"$path/codes")
+        spark.read.parquet(s"${graft.llm.Similarity.indexRoot(path)}/codes")
       case (None, None) =>
         throw new IllegalArgumentException(
           "index needs a layout: `lists N` (IVF), `pq M K` (codes-only), or both (IVF-PQ)")

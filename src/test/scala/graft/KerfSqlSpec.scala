@@ -945,6 +945,48 @@ class KerfSqlSpec extends SparkSpec {
     intercept[Exception] { KerfSql.run(spark, "chunk docs_kv by doc_id on text") }
   }
 
+  test("nested-document surface: fromjson lowering + dotted field paths == API") {
+    import spark.implicits._
+    Seq((1L, """{"k": 3, "m": {"device": "ios", "v": 2}}""", "a"),
+        (2L, """{"k": 7, "m": {"device": "web", "v": 5}}""", "a"),
+        (3L, """{"k": 4}""", "b"))
+      .toDF("id", "props", "grp").createOrReplaceTempView("docs_nested")
+    val ddl = "k int, m struct<device: string, v: int>"
+    // fromjson + immediate postfix path on the computed struct
+    val got1 = KerfSql.run(spark,
+      s"select id, fromjson(props, '$ddl').m.device as dev, " +
+      s"fromjson(props, '$ddl').k as k from docs_nested order id")
+    val want1 = spark.table("docs_nested")
+      .withColumn("pj", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL(ddl)))
+      .select(col("id"), col("pj.m.device").as("dev"), col("pj.k").as("k"))
+      .orderBy("id")
+    assert(got1.collect().toSeq == want1.collect().toSeq)
+    // dotted-ident paths over a stored struct column: filter, group on a
+    // NESTED field, aggregate another; alias-qualified (t.pj.k) resolves
+    val got2 = KerfSql.run(spark,
+      s"t: select id, grp, fromjson(props, '$ddl') as pj from docs_nested; " +
+      "select dev, count(*) as n, sum(t.pj.k) as sk " +
+      "from t where pj.k > 2 group pj.m.device as dev order dev")
+    val want2 = want1
+      .withColumn("dev2", col("dev"))
+      .filter(col("k") > 2)
+      .groupBy(col("dev").as("dev"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sk"))
+      .orderBy(col("dev").asc_nulls_first)
+    assert(got2.collect().toSeq == want2.collect().toSeq)
+    // missing JSON branch → typed nulls (doc-store lookup miss), and an
+    // unknown STRUCT field is a loud plan-time error, not a null
+    val got3 = KerfSql.run(spark,
+      s"select count(fromjson(props, '$ddl').m.v) as nv from docs_nested")
+      .collect().head.getLong(0)
+    assert(got3 == 2) // id=3 has no m → null v
+    val err = intercept[IllegalArgumentException] {
+      KerfSql.run(spark, s"select fromjson(props, '$ddl').nope from docs_nested")
+    }
+    assert(err.getMessage.contains("no field 'nope'"))
+  }
+
   test("index/probe verbs: persisted-ANN lifecycle from the text surface") {
     val dir = java.nio.file.Files.createTempDirectory("graft_kerf_index").toString
     val base = Tables.embeddings(spark, sf)
