@@ -1712,5 +1712,18 @@ object Oracles {
                 count(deep) AS n_deep
          FROM t WHERE k >= 5
          GROUP BY event_type ORDER BY event_type""",
+
+    // Kerf-mode ordering twin: the total order (NaN smallest, ==null)
+    // emulated with an explicit CASE … NULLS FIRST — neither engine's
+    // native NaN sort placement is trusted
+    "q142_kerf_order" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+         FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+                      CASE WHEN l_orderkey % 7 = 0 THEN CAST('NaN' AS DOUBLE)
+                           ELSE l_extendedprice END AS x
+               FROM lineitem)
+         ORDER BY (CASE WHEN isnan(x) THEN NULL ELSE x END) ASC NULLS FIRST,
+                  l_orderkey, l_linenumber
+         LIMIT 25""",
   )
 }

@@ -2552,6 +2552,26 @@ object Queries {
       "from t where pj.k >= 5 group event_type order event_type")
   }
 
+  /** KERF-MODE ORDERING from the text surface (grade.cc:15–26
+    * FLOAT_NANS_COMPARE_AS_SMALLEST, opt-in per key): NaN is planted on
+    * every %7 orderkey, and `order kerf(x)` puts those rows FIRST —
+    * under engine-default (Spark/ANSI) ordering NaN sorts largest, so
+    * the limited result would be the smallest prices instead: the two
+    * orderings provably differ on this input. Oracle emulates the Kerf
+    * total order with an explicit CASE … NULLS FIRST (the q84-style
+    * derived-fact adjudication — no engine-native NaN placement is
+    * trusted on either side). */
+  val q142_kerf_order: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        when(col("l_orderkey") % 7 === 0, lit(Double.NaN))
+          .otherwise(col("l_extendedprice")).as("x"))
+      .createOrReplaceTempView("lineitem_v142")
+    sql.KerfSql.run(s,
+      "select l_orderkey, l_linenumber, l_extendedprice from lineitem_v142 " +
+      "order kerf(x), l_orderkey, l_linenumber limit 25")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2694,5 +2714,6 @@ object Queries {
     "q139_rolling_median" -> q139_rolling_median,
     "q140_corpus_drift"  -> q140_corpus_drift,
     "q141_nested_atlas"  -> q141_nested_atlas,
+    "q142_kerf_order"    -> q142_kerf_order,
   )
 }

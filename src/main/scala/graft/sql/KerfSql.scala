@@ -1896,12 +1896,25 @@ object KerfSql {
     df
   }
 
-  /** `order a, -b` — q-style leading minus for descending. */
+  /** `order a, -b` — q-style leading minus for descending. An `order
+    * kerf(c)` / `-kerf(c)` item opts INTO the reference's total order
+    * for that key (grade.cc:15–26: NaN compares SMALLEST and coincides
+    * with null — Spark natively sorts NaN largest, above every number):
+    * lowered to the [[graft.functions.KerfOrdering]] sort-key transform.
+    * Engine default stays Spark/ANSI; Kerf-mode is per-column opt-in,
+    * the same posture as the eps_eq shim. */
   private def parseOrderCols(p: P): Seq[Column] = {
     val cols = scala.collection.mutable.ArrayBuffer[Column]()
     var more = true
     while (more) {
-      if (p.peekIs("-")) { p.pop(); cols += col(p.pop()).desc }
+      val desc = p.peekIs("-") && { p.pop(); true }
+      if (p.peekIs("kerf") && p.peek2.contains("(")) {
+        p.pop(); p.expect("(")
+        val c = col(p.pop())
+        p.expect(")")
+        cols += (if (desc) graft.functions.KerfOrdering.nanSmallestDesc(c)
+                 else graft.functions.KerfOrdering.nanSmallestAsc(c))
+      } else if (desc) cols += col(p.pop()).desc
       else cols += col(p.pop()).asc
       if (p.peekIs(",")) p.pop() else more = false
     }

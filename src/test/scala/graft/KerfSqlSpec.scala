@@ -987,6 +987,25 @@ class KerfSqlSpec extends SparkSpec {
     assert(err.getMessage.contains("no field 'nope'"))
   }
 
+  test("order kerf(c): NaN sorts smallest (grade.cc:15), provably unlike default") {
+    import spark.implicits._
+    Seq((1L, 5.0), (2L, Double.NaN), (3L, 1.0), (4L, Double.NaN), (5L, 3.0))
+      .toDF("id", "x").createOrReplaceTempView("kerford")
+    // Kerf mode: NaN rows first (ties by id), then numeric ascending
+    val kerf = KerfSql.run(spark, "select id from kerford order kerf(x), id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kerf == Seq(2L, 4L, 3L, 5L, 1L))
+    // engine default (Spark/ANSI): NaN sorts LARGEST — different answer
+    // on the same input, which is exactly why the modifier is opt-in
+    val std = KerfSql.run(spark, "select id from kerford order x, id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(std == Seq(3L, 5L, 1L, 2L, 4L))
+    // descending mirror: numbers first (largest down), NaN/null at the end
+    val desc = KerfSql.run(spark, "select id from kerford order -kerf(x), id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(desc == Seq(1L, 5L, 3L, 2L, 4L))
+  }
+
   test("index/probe verbs: persisted-ANN lifecycle from the text surface") {
     val dir = java.nio.file.Files.createTempDirectory("graft_kerf_index").toString
     val base = Tables.embeddings(spark, sf)
