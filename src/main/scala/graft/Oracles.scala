@@ -1725,5 +1725,13 @@ object Oracles {
          ORDER BY (CASE WHEN isnan(x) THEN NULL ELSE x END) ASC NULLS FIRST,
                   l_orderkey, l_linenumber
          LIMIT 25""",
+
+    // fp16 tier closed form: pack/unpack is a pure function, so each
+    // query's planted replica decodes to identical floats — rank 1 at
+    // cosine exactly 1.0 (the q104/q114 pattern)
+    "q143_fp16_tier" ->
+      """SELECT vec_id AS q_id, CAST(1 AS BIGINT) AS rk,
+                vec_id + 20000000 AS cand_id, CAST(1.0 AS DOUBLE) AS sim
+         FROM embeddings WHERE vec_id < 5 ORDER BY q_id""",
   )
 }

@@ -2572,6 +2572,31 @@ object Queries {
       "order kerf(x), l_orderkey, l_linenumber limit 25")
   }
 
+  /** HALF-PRECISION embedding storage tier (reference FLOAT1_ARRAY,
+    * enums.h:196; slab.h:307–324 stores f16 natively): the corpus —
+    * with planted replicas — is WRITTEN as fp16 bit patterns
+    * (array<smallint> parquet, graft.functions.HalfPack), read back,
+    * decoded (HalfUnpack), and probed with the exact brute-force top-1.
+    * Closed form survives the tier because pack∘unpack is a pure
+    * function of the input vector: a query and its replica decode to
+    * IDENTICAL floats, so the replica still ranks 1 at cosine exactly
+    * 1.0, while fp16's ≤2^-11 relative error cannot lift the organic
+    * bulk (cos ≲ 0.6) anywhere near it. */
+  val q143_fp16_tier: Q = (s, dir) => {
+    val base = Scratch.dir(s, "fp16", new java.io.File(dir).getName)
+    val path = s"$base/emb_${System.nanoTime}" // fresh per run (bench runs twice)
+    val emb = Tables.fanOut(Tables.embeddings(s, dir))
+    val planted = emb.filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + lit(20000000L))
+    emb.unionByName(planted)
+      .select(col("vec_id"), functions.Half.pack(col("embedding")).as("h"))
+      .write.mode("overwrite").parquet(path)
+    val back = s.read.parquet(path)
+      .select(col("vec_id"), functions.Half.unpack(col("h")).as("embedding"))
+    llm.Similarity.bruteForceTopK(back.filter(col("vec_id") < 5), back, 1)
+      .orderBy(col("q_id"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2715,5 +2740,6 @@ object Queries {
     "q140_corpus_drift"  -> q140_corpus_drift,
     "q141_nested_atlas"  -> q141_nested_atlas,
     "q142_kerf_order"    -> q142_kerf_order,
+    "q143_fp16_tier"     -> q143_fp16_tier,
   )
 }

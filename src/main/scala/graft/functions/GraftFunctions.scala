@@ -72,6 +72,10 @@ object GraftFunctions {
       (c, n) => ShingleHashes.shingleHashes(c, n))
     withIntLit(spark, "graft_minhash_signature")(
       (c, h) => MinHashSignature.minhashSignature(c, h))
+    // fp16 storage tier (FLOAT1_ARRAY, enums.h:196): pack at write,
+    // unpack at scan
+    unary(spark, "graft_half_pack")(Half.pack)
+    unary(spark, "graft_half_unpack")(Half.unpack)
     EpsilonEquals.register(spark)
     MinHashAgg.register(spark)
   }

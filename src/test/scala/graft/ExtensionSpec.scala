@@ -22,6 +22,49 @@ class ExtensionSpec extends SparkSpec {
     assert(got == Seq(true, false, true, true, false, true))
   }
 
+  test("fp16 tier: round-trip error bound, specials, bit-stable re-pack") {
+    import graft.functions.{HalfPack, HalfUnpack}
+    // scalar conversions: IEEE binary16 golden values
+    def rt(f: Float): Float = HalfUnpack.halfToFloat(HalfPack.floatToHalf(f))
+    assert(HalfPack.floatToHalf(1.0f) == 0x3c00.toShort)
+    assert(HalfPack.floatToHalf(-2.0f) == 0xc000.toShort)
+    assert(HalfPack.floatToHalf(65504f) == 0x7bff.toShort)      // max finite
+    assert(HalfPack.floatToHalf(65536f) == 0x7c00.toShort)      // overflow → inf
+    assert(HalfPack.floatToHalf(Float.NaN) == 0x7e00.toShort)   // canonical qNaN
+    assert(HalfUnpack.halfToFloat(0x0001.toShort) == math.pow(2, -24).toFloat) // min subnormal
+    assert(rt(0.0f) == 0.0f && rt(-0.0f) == -0.0f &&
+           rt(Float.PositiveInfinity) == Float.PositiveInfinity)
+    // relative error ≤ 2^-11 across magnitudes (normal range), and the
+    // round-trip is IDEMPOTENT on the bit pattern (re-pack is identity)
+    val rnd = new scala.util.Random(7)
+    (1 to 2000).foreach { _ =>
+      val x = (rnd.nextFloat() * 2 - 1) * math.pow(10, rnd.nextInt(9) - 4).toFloat
+      if (math.abs(x) >= 6.2e-5f && math.abs(x) <= 65000f) {
+        val y = rt(x)
+        assert(math.abs(y - x) <= math.abs(x) * math.pow(2, -11),
+          s"fp16 error bound broke at $x -> $y")
+        assert(HalfPack.floatToHalf(y) == HalfPack.floatToHalf(x),
+          s"re-pack not idempotent at $x")
+      }
+    }
+    // column path: identical input vectors decode identically (the q143
+    // closed-form premise), nulls pass through, and the expressions run
+    // over a real scan inside codegen
+    val df = Seq(
+      (1L, Seq(0.25f, -1.5f, 3.1f)),
+      (2L, Seq(0.25f, -1.5f, 3.1f)),
+      (3L, null.asInstanceOf[Seq[Float]])).toDF("id", "v")
+    val dec = df.select(col("id"),
+        graft.functions.Half.unpack(graft.functions.Half.pack(col("v"))).as("d"))
+      .collect().map(r => (r.getLong(0), Option(r.getSeq[Float](1)))).toMap
+    assert(dec(1L).get == dec(2L).get && dec(3L).isEmpty)
+    // double input narrows through float then half
+    val d2 = Seq(Seq(1.0, 0.5)).toDF("v")
+      .select(graft.functions.Half.unpack(graft.functions.Half.pack(col("v"))))
+      .first().getSeq[Float](0)
+    assert(d2 == Seq(1.0f, 0.5f))
+  }
+
   test("eps_eq inlines into whole-stage codegen over a real scan") {
     val li = Tables.lineitem(spark, sf)
     val n = li.filter(eps_eq(col("l_discount"), lit(0.05))).count()
