@@ -1733,5 +1733,21 @@ object Oracles {
       """SELECT vec_id AS q_id, CAST(1 AS BIGINT) AS rk,
                 vec_id + 20000000 AS cand_id, CAST(1.0 AS DOUBLE) AS sim
          FROM embeddings WHERE vec_id < 5 ORDER BY q_id""",
+
+    // streaming EMA twin: the identical prev + a*(x - prev) double
+    // recurrence replayed with a recursive CTE in per-key event order
+    "q144_stream_ema" ->
+      """WITH RECURSIVE e AS (
+           SELECT user_id, epoch_us(ts) AS ts_us, value,
+                  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS rn
+           FROM events WHERE event_type = 'view'),
+         r AS (
+           SELECT user_id, ts_us, value, rn, value AS ema FROM e WHERE rn = 1
+           UNION ALL
+           SELECT e.user_id, e.ts_us, e.value, e.rn,
+                  r.ema + 0.25 * (e.value - r.ema)
+           FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+         SELECT user_id, ts_us, value, ema
+         FROM r ORDER BY user_id, ts_us""",
   )
 }

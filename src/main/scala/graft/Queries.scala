@@ -2597,6 +2597,39 @@ object Queries {
       .orderBy(col("q_id"))
   }
 
+  /** STREAMING EMA (q138's recurrence as an UNBOUNDED stateful stream —
+    * the formulation Adverbs.ema's bounded-series guard points at):
+    * transformWithState keeps O(1) state per key (last ts + ema in
+    * RocksDB) and emits the identical prev + α·(x − prev) arithmetic
+    * per tick, so the bounded replay reproduces the batch fold exactly.
+    * Oracle replays the same recurrence with a recursive CTE — both
+    * engines run the same double expression in the same order. */
+  val q144_stream_ema: Q = (s, dir) => {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = streaming.EventStream.readEvents(s, dir)
+        .filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_ns"), col("value"))
+      val ema = streaming.EventStream.emaByKey(ev, 0.25)
+      streaming.EventStream.runToCompletion(s, ema,
+          s"stream_ema_${System.nanoTime}",
+          mode = org.apache.spark.sql.streaming.OutputMode.Append())
+        // UNROUNDED ema on purpose: α=0.25 is dyadic, so the recurrence
+        // lands exactly on .xxxxxx5 boundaries where the two engines'
+        // round() conventions differ — the raw doubles are bit-identical
+        // (same expression, same order), rounding would DESYNC them
+        .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+          col("value"), col("ema"))
+        .orderBy(col("user_id"), col("ts_us"))
+    } finally prev match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2741,5 +2774,6 @@ object Queries {
     "q141_nested_atlas"  -> q141_nested_atlas,
     "q142_kerf_order"    -> q142_kerf_order,
     "q143_fp16_tier"     -> q143_fp16_tier,
+    "q144_stream_ema"    -> q144_stream_ema,
   )
 }

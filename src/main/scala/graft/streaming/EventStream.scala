@@ -241,6 +241,61 @@ object EventStream {
       .toDF()
   }
 
+  // ----- streaming EMA: the UNBOUNDED-series form of Adverbs.ema -----
+
+  case class EmaState(ts_ns: Long, ema: Double)
+  case class EmaRow(user_id: Long, ts_ns: Long, value: Double, ema: Double)
+
+  /** Running exponential moving average per key — the scale-correct
+    * formulation for UNBOUNDED per-key series that
+    * [[graft.ops.Adverbs.ema]]'s array fold deliberately refuses (its
+    * loud maxLen guard names this processor as the alternative): state
+    * is O(1) per key (last ts + last ema in RocksDB), each row costs
+    * one multiply-add, and the emitted recurrence is the IDENTICAL
+    * prev + α·(x − prev) expression — a bounded replay reproduces the
+    * batch fold bit-for-bit (StreamingSpec pins it; q144 oracles it
+    * against a recursive-CTE replay of the same arithmetic).
+    *
+    * Within a micro-batch rows process in event-time order; a
+    * cross-batch regression (row older than the last applied tick) is
+    * SKIPPED rather than corrupting the recurrence — same
+    * no-state-regression posture as [[AsOfEnrichProcessor]]. */
+  class EmaProcessor(alpha: Double) extends StatefulProcessor[Long, Tick, EmaRow] {
+    @transient private var st: ValueState[EmaState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[EmaState]("ema",
+        Encoders.product[EmaState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Tick],
+                                 tv: TimerValues): Iterator[EmaRow] = {
+      val out = List.newBuilder[EmaRow]
+      rows.toSeq.sortBy(_.ts_ns).foreach { r =>
+        val prev = if (st.exists()) Some(st.get()) else None
+        if (!prev.exists(_.ts_ns >= r.ts_ns)) {
+          val ema = prev match {
+            case None => r.value
+            case Some(p) => p.ema + alpha * (r.value - p.ema)
+          }
+          st.update(EmaState(r.ts_ns, ema))
+          out += EmaRow(key, r.ts_ns, r.value, ema)
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Input columns: (user_id, ts_ns, value). */
+  def emaByKey(stream: DataFrame, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col("user_id"), col("ts_ns"), col("value")).as[Tick]
+      .groupByKey(_.user_id)
+      .transformWithState(new EmaProcessor(alpha), TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
   /** Last-tick via transformWithState (the mapGroupsWithState successor).
     * Emits the updated current-value row per key per micro-batch.
     *

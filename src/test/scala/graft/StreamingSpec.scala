@@ -734,6 +734,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming EMA == batch array fold bit-for-bit; regressions skipped") {
+    withRocksDb {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[EventStream.Tick]
+      val q = EventStream.emaByKey(input.toDF(), alpha = 0.25)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("t_ema").start()
+      try {
+        // batch 1: two keys, in-batch out-of-order rows (sorted inside)
+        input.addData(
+          EventStream.Tick(1L, 300L, 9.0), EventStream.Tick(1L, 100L, 1.0),
+          EventStream.Tick(1L, 200L, 5.0), EventStream.Tick(2L, 100L, 4.0))
+        q.processAllAvailable()
+        // batch 2: continuation + a cross-batch REGRESSION (ts 150 < 300)
+        // that must be skipped, not applied
+        input.addData(
+          EventStream.Tick(1L, 400L, 13.0), EventStream.Tick(1L, 150L, 99.0),
+          EventStream.Tick(2L, 200L, 8.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("t_ema")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      // the batch substrate: Adverbs.ema over the same per-key series
+      def fold(xs: Seq[Double]): Seq[Double] =
+        xs.tail.scanLeft(xs.head)((p, x) => p + 0.25 * (x - p))
+      val k1 = fold(Seq(1.0, 5.0, 9.0, 13.0))
+      val k2 = fold(Seq(4.0, 8.0))
+      val want = Seq(
+        (1L, 100L, k1(0)), (1L, 200L, k1(1)), (1L, 300L, k1(2)), (1L, 400L, k1(3)),
+        (2L, 100L, k2(0)), (2L, 200L, k2(1)))
+      assert(got == want, s"streaming ema diverged: $got vs $want")
+      // and the array-local fold agrees with the same scanLeft exactly
+      val arr = Seq(Tuple1(Seq(1.0, 5.0, 9.0, 13.0))).toDF("a")
+        .select(graft.ops.Adverbs.ema(col("a"), 0.25)).first().getSeq[Double](0)
+      assert(arr == k1)
+    }
+  }
+
   test("transformWithState idle timer evicts state (n_events restarts)") {
     withRocksDb {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
