@@ -1749,5 +1749,12 @@ object Oracles {
            FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
          SELECT user_id, ts_us, value, ema
          FROM r ORDER BY user_id, ts_us""",
+
+    // fp16 x IVF composed tiers: symmetric quantization preserves
+    // replica identity — same closed form as the other indexed probes
+    "q145_ann_ivf_fp16" ->
+      """SELECT vec_id AS q_id, CAST(1 AS BIGINT) AS rk,
+                vec_id + 20000000 AS cand_id, CAST(1.0 AS DOUBLE) AS sim
+         FROM embeddings WHERE vec_id < 5 ORDER BY q_id""",
   )
 }

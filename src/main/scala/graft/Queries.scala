@@ -2630,6 +2630,25 @@ object Queries {
     }
   }
 
+  /** fp16 × IVF COMPOSED tiers (the dials multiply on disk: directory-
+    * pruned probe × half-width vector pages): the persisted IVF index
+    * stores its lists as binary16 bit patterns (self-describing —
+    * array<smallint> IS the tier marker), the probe decodes at scan and
+    * quantizes the query through the same tier. Same planted-replica
+    * closed form as q133: symmetric quantization keeps an identical
+    * vector identical, so the replica ranks 1 at cosine exactly 1.0. */
+  val q145_ann_ivf_fp16: Q = (s, dir) => {
+    val base = Scratch.dir(s, "ivffp16", new java.io.File(dir).getName)
+    val index = s"$base/idx_${System.nanoTime}" // fresh per run (bench runs twice)
+    val emb = Tables.fanOut(Tables.embeddings(s, dir))
+    val qs = emb.filter(col("vec_id") < 5)
+    val planted = qs.withColumn("vec_id", col("vec_id") + lit(20000000L))
+    llm.Similarity.writeIvfIndex(emb.unionByName(planted), index, nLists = 16,
+      halfPrecision = true)
+    llm.Similarity.ivfTopKIndexed(s, index, qs, 1, nProbe = 4)
+      .orderBy(col("q_id"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2775,5 +2794,6 @@ object Queries {
     "q142_kerf_order"    -> q142_kerf_order,
     "q143_fp16_tier"     -> q143_fp16_tier,
     "q144_stream_ema"    -> q144_stream_ema,
+    "q145_ann_ivf_fp16"  -> q145_ann_ivf_fp16,
   )
 }

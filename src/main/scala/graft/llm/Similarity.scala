@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, ShortType}
 
 /** Embedding similarity search (BASELINE north-star). Two tiers:
   *
@@ -409,16 +410,25 @@ object Similarity {
   def writeIvfIndex(candidates: DataFrame, path: String, nLists: Int = 16,
                     iters: Int = 1,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): Unit = graft.tools.StageTimer.time("build") {
+                    vecCol: String = "embedding",
+                    halfPrecision: Boolean = false): Unit = graft.tools.StageTimer.time("build") {
     import graft.ops.Caches
     val (cand, own) = Caches.acquire(candidates)
     val centroids = trainCentroids(cand, nLists, idCol, vecCol, iters)
+    // optional fp16 STORAGE tier (FLOAT1_ARRAY, enums.h:196): list
+    // vectors land as binary16 bit patterns — half the float32 page
+    // bytes on the probe scan. SELF-DESCRIBING: the tier is the stored
+    // element type (array<smallint>), no side-channel metadata — probes
+    // and appends detect it from the schema.
+    val storedVec =
+      if (halfPrecision) graft.functions.Half.pack(col(vecCol)).as(vecCol)
+      else col(vecCol)
     // stage-and-swap (Folio `_CURRENT` protocol): model JSON and list
     // data land together in one immutable version dir, so a re-train
     // can never leave a probe reading new centroids over old lists
     graft.io.Folio.publishArtifacts(path) { vdir =>
       assignLists(cand.filter(col(vecCol).isNotNull), centroids, idCol, vecCol)
-        .select(col(idCol), col(vecCol), col("list_id"))
+        .select(col(idCol), storedVec, col("list_id"))
         .repartition(col("list_id"))
         .write.mode("overwrite").partitionBy("list_id").parquet(s"$vdir/lists")
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -428,6 +438,14 @@ object Similarity {
     }
     if (own) cand.unpersist(false)
   }
+
+  /** Whether a stored vector column rides the fp16 tier (the element
+    * type IS the metadata). */
+  private def isHalfStored(df: DataFrame, vecCol: String): Boolean =
+    df.schema(vecCol).dataType match {
+      case ArrayType(ShortType, _) => true
+      case _ => false
+    }
 
   /** Resolve the LIVE artifact root of a versioned index (written under
     * the Folio `_CURRENT` protocol); a legacy flat index resolves to the
@@ -455,10 +473,18 @@ object Similarity {
   def appendToIvfIndex(batch: DataFrame, path: String,
                        idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val centroids = readIvfCentroids(path)
+    val root = indexRoot(path)
+    // match the stored tier: appending float rows into an fp16 index
+    // (or vice versa) would fail parquet schema merge at read time
+    val storedHalf = isHalfStored(
+      batch.sparkSession.read.parquet(s"$root/lists"), vecCol)
+    val storedVec =
+      if (storedHalf) graft.functions.Half.pack(col(vecCol)).as(vecCol)
+      else col(vecCol)
     assignLists(batch.filter(col(vecCol).isNotNull), centroids, idCol, vecCol)
-      .select(col(idCol), col(vecCol), col("list_id"))
+      .select(col(idCol), storedVec, col("list_id"))
       .repartition(col("list_id"))
-      .write.mode("append").partitionBy("list_id").parquet(s"${indexRoot(path)}/lists")
+      .write.mode("append").partitionBy("list_id").parquet(s"$root/lists")
   }
 
   /** Probe a persisted IVF index: same probe-join shape as [[ivfTopK]]
@@ -472,8 +498,17 @@ object Similarity {
     val centroids = readIvfCentroids(path)
     val nl = centroids.length
     val np = math.min(nProbe, nl)
+    val listsRaw = spark.read.parquet(s"${indexRoot(path)}/lists")
+    // fp16-tier index: decode stored vectors at scan, and quantize the
+    // QUERY through the same tier so both sides compare in the decode
+    // domain (symmetric quantization — an identical planted vector
+    // still scores cosine exactly 1.0 against its replica)
+    val half = isHalfStored(listsRaw, vecCol)
+    val qVec =
+      if (half) graft.functions.Half.unpack(graft.functions.Half.pack(col(vecCol)))
+      else col(vecCol)
     val q = queries
-      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .select(col(idCol).as("q_id"), qVec.as("q_vec"))
       .withColumn("__qsims",
         graft.functions.MatVecDots.matVecDots(col("q_vec"), unitRows(centroids)))
       .withColumn("probes", slice(transform(
@@ -484,9 +519,11 @@ object Similarity {
       .drop("probes", "__qsims")
     val probed = q.select(col("list_id")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val lists = spark.read.parquet(s"${indexRoot(path)}/lists")
+    val candVec =
+      if (half) graft.functions.Half.unpack(col(vecCol)) else col(vecCol)
+    val lists = listsRaw
       .filter(col("list_id").isin(probed: _*))
-      .select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"), col("list_id"))
+      .select(col(idCol).as("cand_id"), candVec.as("cand_vec"), col("list_id"))
     val cands = lists.join(broadcast(q), Seq("list_id"))
       .filter(col("q_id") =!= col("cand_id"))
       .withColumn("sim", round(cosine(col("q_vec"), col("cand_vec")), 6))

@@ -967,6 +967,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.nonEmpty, "probe against the re-trained live version failed")
   }
 
+  test("fp16 IVF index: smallint lists, replica exact at 1.0, append matches tier") {
+    val vecs = marginFixture(59)
+    val df = vecs.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivffp16").toString
+    Similarity.writeIvfIndex(df, s"$path/idx", nLists = 4, halfPrecision = true)
+    // the tier is the schema: stored lists are array<smallint>
+    val stored = spark.read.parquet(
+      s"${Similarity.indexRoot(s"$path/idx")}/lists")
+    assert(stored.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ShortType, containsNull = true))
+    // append detects and matches the stored tier (float batch packs)
+    val copy = Seq((900L, vecs.find(_._1 == 0L).get._2)).toDF("vec_id", "embedding")
+    Similarity.appendToIvfIndex(copy, s"$path/idx")
+    val got = Similarity.ivfTopKIndexed(spark, s"$path/idx",
+        df.filter(col("vec_id") === 0L), 1, nProbe = 1)
+      .collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((900L, 1.0)),
+      s"fp16-tier replica not exact: ${got.toSeq}")
+  }
+
   test("persisted PQ index: codes-only probe equals the train-per-call answer") {
     val vecs = marginFixture(47)
     val df = vecs.toDF("vec_id", "embedding")
