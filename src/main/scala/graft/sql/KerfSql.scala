@@ -753,6 +753,18 @@ object KerfSql {
           s"fromjson input must be a string column, got ${inner.dt}")
         val st = StructType.fromDDL(ddlTok.substring(1, ddlTok.length - 1))
         T(from_json(inner.col, st), st)
+      case fn if fn.toLowerCase == "tojson" && p.peekIs("(") =>
+        // the inverse lowering: serialize a struct/map/array back to a
+        // JSON string (doc-store egress; round-trips with fromjson)
+        p.pop()
+        val inner = parseExpr(p, env)
+        p.expect(")")
+        inner.dt match {
+          case _: StructType | _: MapType | _: ArrayType =>
+            T(to_json(inner.col), StringType)
+          case other => throw new IllegalArgumentException(
+            s"tojson needs a struct/map/array, got $other")
+        }
       case fn if listVerbs.contains(fn.toLowerCase) && p.peekIs("(") =>
         // string/list verbs, call form only (so a column named `length`
         // still resolves bare)
@@ -2127,10 +2139,17 @@ object KerfSql {
       val m = posInt("pq m"); val ksub = posInt("pq ksub")
       pq = Some((m, ksub))
     }
+    // `half` stores IVF list vectors on the fp16 tier (FLOAT1_ARRAY,
+    // enums.h:196); probes detect the tier from the stored schema
+    var half = false
+    if (p.peekIs("half")) { p.pop(); half = true }
     require(p.done, s"trailing tokens in index: ${p.toks.mkString(" ")}")
+    require(!half || (lists.isDefined && pq.isEmpty),
+      "`half` applies to the IVF layout (lists N) — PQ codes are already sub-byte")
     (lists, pq) match {
       case (Some(nl), None) =>
-        graft.llm.Similarity.writeIvfIndex(df, path, nl, idCol = idCol, vecCol = vecCol)
+        graft.llm.Similarity.writeIvfIndex(df, path, nl, idCol = idCol, vecCol = vecCol,
+          halfPrecision = half)
         spark.read.parquet(s"${graft.llm.Similarity.indexRoot(path)}/lists")
       case (None, Some((m, ksub))) =>
         graft.llm.Similarity.writePqIndex(df, path, m, ksub, idCol = idCol, vecCol = vecCol)

@@ -985,6 +985,39 @@ class KerfSqlSpec extends SparkSpec {
       KerfSql.run(spark, s"select fromjson(props, '$ddl').nope from docs_nested")
     }
     assert(err.getMessage.contains("no field 'nope'"))
+    // egress: tojson round-trips the struct (field order = DDL order)
+    val rt = KerfSql.run(spark,
+      s"select id, tojson(fromjson(props, 'k int')) as j from docs_nested order id")
+      .collect().map(_.getString(1)).toSeq
+    assert(rt == Seq("""{"k":3}""", """{"k":7}""", """{"k":4}"""))
+    intercept[IllegalArgumentException] {
+      KerfSql.run(spark, "select tojson(id) from docs_nested")
+    }
+  }
+
+  test("index verb `half` stores the fp16 tier; probe stays exact on replicas") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kerf_fp16").toString
+    val base = Tables.embeddings(spark, sf)
+    val planted = base.filter(col("vec_id") < 2)
+      .withColumn("vec_id", col("vec_id") + lit(10000000L))
+    base.unionByName(planted).createOrReplaceTempView("emb_h")
+    base.filter(col("vec_id") < 2).createOrReplaceTempView("emb_hq")
+    KerfSql.run(spark,
+      s"index emb_h by vec_id on embedding at '$dir/ivf' lists 8 half")
+    val stored = spark.read.parquet(
+      s"${graft.llm.Similarity.indexRoot(s"$dir/ivf")}/lists")
+    assert(stored.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ShortType, containsNull = true))
+    val got = KerfSql.run(spark,
+        s"probe '$dir/ivf' with emb_hq by vec_id on embedding top 1 probes 2")
+      .orderBy(col("q_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq((0L, 10000000L, 1.0), (1L, 10000001L, 1.0)), s"got $got")
+    intercept[IllegalArgumentException] {
+      KerfSql.run(spark,
+        s"index emb_h by vec_id on embedding at '$dir/pqh' pq 8 16 half")
+    }
   }
 
   test("order kerf(c): NaN sorts smallest (grade.cc:15), provably unlike default") {
