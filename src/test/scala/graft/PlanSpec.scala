@@ -278,6 +278,36 @@ class PlanSpec extends SparkSpec {
       s"probe scan not partition-pruned:\n$p")
   }
 
+  test("fp16 IVF probe keeps the static list_id partition pruning") {
+    // the tiers must COMPOSE: decoding fp16 at scan cannot cost the
+    // directory pruning (the decode is a projection over the pruned scan)
+    val emb = Tables.fanOut(Tables.embeddings(spark, sf))
+    val path = java.nio.file.Files.createTempDirectory("graft_ivffp16plan").toString
+    llm.Similarity.writeIvfIndex(emb, s"$path/idx", nLists = 8, halfPrecision = true)
+    val probe = llm.Similarity.ivfTopKIndexed(spark, s"$path/idx",
+      emb.filter(col("vec_id") < 3), 3, nProbe = 2)
+    probe.collect()
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("list_id")),
+      s"fp16 probe scan not partition-pruned:\n$p")
+  }
+
+  test("nested-path select prunes the events scan to the referenced columns") {
+    // ATLAS access must not widen the scan: a dialect select touching
+    // only (event_type, props) reads exactly those two columns —
+    // from_json is a projection, never a schema-inference pass
+    Tables.events(spark, sf).createOrReplaceTempView("events_planspec")
+    val df = sql.KerfSql.run(spark,
+      "t: select event_type, fromjson(props, 'k int') as pj from events_planspec; " +
+      "select event_type, sum(pj.k) as sk from t group event_type order event_type")
+    val p = df.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scanLine.contains("props") && scanLine.contains("event_type") &&
+      !scanLine.contains("user_id") && !scanLine.contains("value"),
+      s"nested select read more than (event_type, props):\n$scanLine")
+  }
+
   test("topK tiers: row_number<=k rewrites to WindowGroupLimit partial limits") {
     // the 100 TB re-rank property: each per-q_id top-k window must run a
     // PARTIAL (map-side) group limit before its shuffle, so the exchange
