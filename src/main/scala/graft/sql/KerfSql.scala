@@ -753,6 +753,20 @@ object KerfSql {
           s"fromjson input must be a string column, got ${inner.dt}")
         val st = StructType.fromDDL(ddlTok.substring(1, ddlTok.length - 1))
         T(from_json(inner.col, st), st)
+      case fn if fn.toLowerCase == "ema" && p.peekIs("(") =>
+        // the q-family ema scan, array form (Adverbs.ema): alpha must be
+        // a literal — it parameterizes the fold, it isn't data
+        p.pop()
+        val inner = parseExpr(p, env)
+        p.expect(",")
+        val aTok = p.pop()
+        require(aTok.matches("""\d+\.\d+|\.\d+|\d+"""),
+          s"ema needs a literal alpha in (0,1], got '$aTok'")
+        p.expect(")")
+        require(inner.dt.isInstanceOf[ArrayType],
+          s"ema runs over a numeric list, got ${inner.dt} (row series: " +
+          "group to a sorted list first, or stream via emaByKey)")
+        T(graft.ops.Adverbs.ema(inner.col, aTok.toDouble), ArrayType(DoubleType))
       case fn if fn.toLowerCase == "tojson" && p.peekIs("(") =>
         // the inverse lowering: serialize a struct/map/array back to a
         // JSON string (doc-store egress; round-trips with fromjson)

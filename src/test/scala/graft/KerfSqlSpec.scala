@@ -1020,6 +1020,21 @@ class KerfSqlSpec extends SparkSpec {
     }
   }
 
+  test("ema verb: array-form scan == Adverbs.ema; loud on non-lists") {
+    import spark.implicits._
+    Seq((1L, Seq(1.0, 2.0, 3.0, 4.0))).toDF("id", "xs")
+      .createOrReplaceTempView("ema_t")
+    val got = KerfSql.run(spark, "select id, ema(xs, 0.5) as e from ema_t")
+      .collect().head.getSeq[Double](1)
+    assert(got == Seq(1.0, 1.5, 2.25, 3.125))
+    intercept[IllegalArgumentException] {
+      KerfSql.run(spark, "select ema(id, 0.5) from ema_t")
+    }
+    intercept[IllegalArgumentException] {
+      KerfSql.run(spark, "select ema(xs, x) from ema_t")
+    }
+  }
+
   test("order kerf(c): NaN sorts smallest (grade.cc:15), provably unlike default") {
     import spark.implicits._
     Seq((1L, 5.0), (2L, Double.NaN), (3L, 1.0), (4L, Double.NaN), (5L, 3.0))
