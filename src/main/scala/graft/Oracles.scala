@@ -1756,5 +1756,21 @@ object Oracles {
       """SELECT vec_id AS q_id, CAST(1 AS BIGINT) AS rk,
                 vec_id + 20000000 AS cand_id, CAST(1.0 AS DOUBLE) AS sim
          FROM embeddings WHERE vec_id < 5 ORDER BY q_id""",
+
+    // hashed linear classifier twin: same md5-prefix buckets, same
+    // synthetic integer weight grid, exact BIGINT sum, one division
+    "q146_quality_classifier" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+           FROM documents),
+         b AS (
+           SELECT doc_id,
+                  CAST(concat('0x', substring(md5(tok), 1, 6)) AS BIGINT) % 1024 AS bucket
+           FROM toks)
+         SELECT doc_id, count(*) AS n_tokens,
+                CAST(sum((bucket * 2654435761) % 1997) AS DOUBLE)
+                  / (1997.0 * count(*)) - 0.5 AS score
+         FROM b GROUP BY doc_id ORDER BY doc_id""",
   )
 }

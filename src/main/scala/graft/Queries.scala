@@ -2649,6 +2649,20 @@ object Queries {
       .orderBy(col("q_id"))
   }
 
+  /** Hashing-trick linear quality CLASSIFIER applied at corpus scale
+    * (the fastText-style learned filter, the last archetype of the
+    * production quality stack beside the heuristic signals q26/q27 and
+    * the corpus-LM q136): md5-bucketed bag-of-tokens features × integer
+    * weights, exact BIGINT accumulation, one double division at the
+    * rim. Weights here are the deterministic synthetic grid (the model
+    * is an INPUT; the pipeline is what's oracled) — DuckDB recomputes
+    * the same buckets, weights, and division from scratch. */
+  val q146_quality_classifier: Q = (s, dir) => {
+    llm.TextOps.hashedLinearScore(Tables.documents(s, dir), "doc_id", "text",
+        llm.TextOps.syntheticWeights(1024), scale = 1997L, dim = 1024)
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2795,5 +2809,6 @@ object Queries {
     "q143_fp16_tier"     -> q143_fp16_tier,
     "q144_stream_ema"    -> q144_stream_ema,
     "q145_ann_ivf_fp16"  -> q145_ann_ivf_fp16,
+    "q146_quality_classifier" -> q146_quality_classifier,
   )
 }

@@ -309,6 +309,50 @@ object TextOps {
         round(lit(tv), 6).as("tv_distance"))
   }
 
+  /** Hashing-trick LINEAR quality scorer — the fastText-style classifier
+    * archetype of production corpus filters (a learned linear model over
+    * bag-of-tokens features, applied at scan speed to every document):
+    * each token hashes into one of `dim` buckets (md5-prefix → int, the
+    * engine-portable convention of the sampling family — hashSample),
+    * each bucket carries an INTEGER weight (trained weights quantized to
+    * a 1/`scale` grid — the standard determinism move; floats would make
+    * the per-doc sum fold-order-dependent), and a document scores the
+    * mean bucket weight, centered: Σw / (scale·n) − 0.5.
+    *
+    * Exactness discipline (the censusDrift pattern): the per-doc
+    * accumulation is an exact BIGINT sum — order-free — with ONE double
+    * division at the rim, so two engines agree bit-for-bit. No
+    * sigmoid/exp on purpose (the q39 libm rule): thresholding is
+    * monotone in the raw score, which is all a filter needs.
+    *
+    * Map-only + one hash shuffle on the doc id; weights ride the plan as
+    * a literal array (KBs at dim ≤ 64k — broadcast-in-plan). At 100 TB
+    * this is scan-speed like the other in-row quality signals. */
+  def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
+                        weights: Array[Long], scale: Long,
+                        dim: Int = 1024): DataFrame = {
+    require(dim > 0 && weights.length == dim,
+      s"weights must have exactly dim=$dim entries, got ${weights.length}")
+    require(scale > 0, s"scale must be positive, got $scale")
+    docs.select(col(idCol).as("doc_id"),
+        explode(Dedup.tokens(col(textCol))).as("tok"))
+      .withColumn("__bucket",
+        pmod(conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("long"), lit(dim)))
+      .withColumn("__w", element_at(typedLit(weights.toSeq), (col("__bucket") + 1).cast("int")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__w")).as("__sw"))
+      .withColumn("score",
+        col("__sw").cast("double") / (lit(scale.toDouble) * col("n_tokens")) - 0.5)
+      .drop("__sw")
+  }
+
+  /** Deterministic placeholder weights on the 1/1997 grid — a stand-in
+    * for an offline-trained model so the scoring path is testable
+    * end-to-end (production swaps in real quantized weights; the
+    * PIPELINE is what this exercises). */
+  def syntheticWeights(dim: Int): Array[Long] =
+    Array.tabulate(dim)(b => (b.toLong * 2654435761L) % 1997L)
+
   /** Fixed-size token CHUNKING with overlap — the embedding-prep op: a
     * long document embeds in windows of `chunkSize` tokens advancing by
     * `stride = chunkSize − overlap` (chunk k covers tokens

@@ -902,6 +902,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs == (0L until 40L by 5).map(id => (id, id + 1000L, 2)).toSet)
   }
 
+  test("hashedLinearScore: partition-invariant, exact-sum, loud guards") {
+    val df = Seq((1L, "the quick brown fox"), (2L, "lazy dog"), (3L, "the the the"))
+      .toDF("doc_id", "text")
+    val w = TextOps.syntheticWeights(64)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextOps.hashedLinearScore(d, "doc_id", "text", w, scale = 1997L, dim = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    val a = run(df)
+    // scores are deterministic under repartitioning (exact integer sum —
+    // no fp fold order) and bounded in [-0.5, 0.5)
+    assert(a == run(df.repartition(7)))
+    assert(a.forall(t => t._3 >= -0.5 && t._3 < 0.5))
+    assert(a.map(_._2) == Seq(4L, 2L, 3L)) // token counts
+    // identical token multiset ⇒ identical score regardless of doc
+    val same = Seq((10L, "dog lazy"), (11L, "lazy dog")).toDF("doc_id", "text")
+    val s2 = run(same)
+    assert(s2(0)._3 == s2(1)._3)
+    intercept[IllegalArgumentException] {
+      TextOps.hashedLinearScore(df, "doc_id", "text", w, scale = 1997L, dim = 128)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.hashedLinearScore(df, "doc_id", "text", w, scale = 0L, dim = 64)
+    }
+  }
+
   test("chunk: windows advance by stride, trailing short, short docs one chunk") {
     val df = Seq((1L, "a b c d e"), (2L, "x"), (3L, "a b c d")).toDF("doc_id", "text")
     val got = TextOps.chunk(df, "doc_id", "text", chunkSize = 3, overlap = 1)
