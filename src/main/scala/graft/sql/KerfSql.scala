@@ -1111,6 +1111,7 @@ object KerfSql {
         case "semdedup" if pipelineVerbForm(toks) => p.pop(); last = Left(runSemDedup(spark, p))
         case "chunk"   if pipelineVerbForm(toks) => p.pop(); last = Left(runChunk(spark, p))
         case "lmscore" if pipelineVerbForm(toks) => p.pop(); last = Left(runLmScore(spark, p))
+        case "classify" if pipelineVerbForm(toks) => p.pop(); last = Left(runClassify(spark, p))
         case "index"   if pipelineVerbForm(toks) => p.pop(); last = Left(runIndex(spark, p))
         // `probe 'path' …` — path-first like compact
         case "probe" if toks.lengthCompare(2) >= 0 && toks(1).startsWith("'") =>
@@ -1324,6 +1325,7 @@ object KerfSql {
           } else if ((p.peekIs("dedup") || p.peekIs("neardup") ||
                       p.peekIs("semdedup") || p.peekIs("chunk") ||
                       p.peekIs("index") || p.peekIs("lmscore") ||
+                      p.peekIs("classify") ||
                       p.peekIs("sample") || p.peekIs("shard") || p.peekIs("cap")) &&
                      pipelineVerbForm(p.toks)) {
             // table-valued pipeline verbs assign like a select: the
@@ -1335,6 +1337,7 @@ object KerfSql {
               case "semdedup" => runSemDedup(spark, p)
               case "chunk"    => runChunk(spark, p)
               case "lmscore"  => runLmScore(spark, p)
+              case "classify" => runClassify(spark, p)
               case "index"    => runIndex(spark, p)
               case "sample"   => runSample(spark, p)
               case "shard"    => runShard(spark, p)
@@ -2251,6 +2254,48 @@ object KerfSql {
         graft.llm.TextOps.unigramScore(df, census, idCol, textCol)
       case None => graft.llm.TextOps.unigramStats(df, idCol, textCol)
     }
+  }
+
+  /** `classify t by id on text [using weights] [dim N] [scale S]` →
+    * [[graft.llm.TextOps.hashedLinearScore]] — the learned linear
+    * quality filter. `using` takes a `(bucket, w)` INTEGER-weight table
+    * (the offline-trained model, quantized to the 1/scale grid;
+    * unlisted buckets weigh 0); without it the deterministic synthetic
+    * grid stands in (scale fixed at 1997 there — the grid's own
+    * modulus). The weight table is vocabulary-bounded model state
+    * (dim entries max), so the collect is the same bounded-model-state
+    * contract as the IVF centroid read. */
+  private def runClassify(spark: SparkSession, p: P): DataFrame = {
+    val df = spark.table(p.pop())
+    p.expect("by"); val idCol = p.pop()
+    p.expect("on"); val textCol = p.pop()
+    var wtable: Option[DataFrame] = None
+    if (p.peekIs("using")) { p.pop(); wtable = Some(spark.table(p.pop())) }
+    def posLong(what: String): Long = {
+      val t = p.pop()
+      require(t.forall(_.isDigit) && t.toLong > 0,
+        s"classify … $what needs a positive int, got $t")
+      t.toLong
+    }
+    var dim = 1024
+    if (p.peekIs("dim")) { p.pop(); dim = posLong("dim").toInt }
+    var scale = 1997L
+    if (p.peekIs("scale")) { p.pop(); scale = posLong("scale") }
+    require(p.done, s"trailing tokens in classify: ${p.toks.mkString(" ")}")
+    val weights = wtable match {
+      case Some(t) =>
+        require(t.columns.toSet == Set("bucket", "w"),
+          s"classify … using needs a (bucket, w) weight table, got ${t.columns.mkString(", ")}")
+        val arr = new Array[Long](dim)
+        t.collect().foreach { r =>
+          val b = r.getAs[Number]("bucket").longValue()
+          require(b >= 0 && b < dim, s"weight bucket $b outside [0, $dim)")
+          arr(b.toInt) = r.getAs[Number]("w").longValue()
+        }
+        arr
+      case None => graft.llm.TextOps.syntheticWeights(dim)
+    }
+    graft.llm.TextOps.hashedLinearScore(df, idCol, textCol, weights, scale, dim)
   }
 
   /** `sample t by key at '29'` → [[graft.llm.Pipeline.hashSample]]:

@@ -995,6 +995,31 @@ class KerfSqlSpec extends SparkSpec {
     }
   }
 
+  test("classify verb: synthetic and using-model forms == API; loud weight table") {
+    import spark.implicits._
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_cls")
+    val self = KerfSql.run(spark, "classify docs_cls by doc_id on text dim 256")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1).toSeq
+    val api = graft.llm.TextOps.hashedLinearScore(Tables.documents(spark, sf),
+        "doc_id", "text", graft.llm.TextOps.syntheticWeights(256), 1997L, 256)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(self == api)
+    // trained-model form: a sparse (bucket, w) table; unlisted buckets = 0
+    Seq((0L, 100L), (7L, -50L)).toDF("bucket", "w")
+      .createOrReplaceTempView("cls_w")
+    val used = KerfSql.run(spark,
+      "classify docs_cls by doc_id on text using cls_w dim 16 scale 100")
+    assert(used.count() > 0 && used.columns.toSeq == Seq("doc_id", "n_tokens", "score"))
+    intercept[IllegalArgumentException] {
+      Seq((99L, 1L)).toDF("bucket", "w").createOrReplaceTempView("cls_bad")
+      KerfSql.run(spark, "classify docs_cls by doc_id on text using cls_bad dim 16")
+    }
+    intercept[IllegalArgumentException] {
+      Seq((1L, "x")).toDF("b", "x").createOrReplaceTempView("cls_bad2")
+      KerfSql.run(spark, "classify docs_cls by doc_id on text using cls_bad2")
+    }
+  }
+
   test("index verb `half` stores the fp16 tier; probe stays exact on replicas") {
     val dir = java.nio.file.Files.createTempDirectory("graft_kerf_fp16").toString
     val base = Tables.embeddings(spark, sf)
