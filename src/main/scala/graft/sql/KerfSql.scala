@@ -123,10 +123,11 @@ object KerfSql {
     * select — the window spec the table verbs (sums/deltas/…) close over. */
   private class Env(val schema: Option[StructType], val vars: Map[String, T],
                     val funcs: Map[String, FVal] = Map.empty,
-                    val wspec: Option[org.apache.spark.sql.expressions.WindowSpec] = None) {
-    def bind(ps: Seq[(String, T)]): Env = new Env(schema, vars ++ ps, funcs, wspec)
+                    val wspec: Option[org.apache.spark.sql.expressions.WindowSpec] = None,
+                    val tnames: Set[String] = Set.empty) {
+    def bind(ps: Seq[(String, T)]): Env = new Env(schema, vars ++ ps, funcs, wspec, tnames)
     def withWspec(w: org.apache.spark.sql.expressions.WindowSpec): Env =
-      new Env(schema, vars, funcs, Some(w))
+      new Env(schema, vars, funcs, Some(w), tnames)
   }
   private def emptyEnv = new Env(None, Map.empty)
 
@@ -141,10 +142,12 @@ object KerfSql {
     * (/root/reference/enums.h:262; SURVEY §1.7 maps the doc store to
     * nested StructType): `props.device.os` walks struct fields (typed,
     * case-insensitive) and string-keyed maps from a root column or
-    * variable. A leading table-alias segment (`t.props.k`) is skipped
-    * when the remainder resolves — the common qualified form after a
-    * join. Missing-path semantics are Spark's: absent struct field =
-    * plan-time error (caught at walk), absent MAP key = null. */
+    * variable. A leading segment naming a FROM table (`t.props.k`) is
+    * skipped when the remainder resolves — the common qualified form
+    * after a join; arbitrary prefixes do NOT qualify (a typo'd table
+    * name stays an error). Missing-path semantics are Spark's: absent
+    * struct field = plan-time error (caught at walk), absent MAP key =
+    * null. */
   private def resolvePath(name: String, env: Env): Option[T] = {
     if (!name.contains(".")) return None
     val parts = name.split("\\.").toList
@@ -157,8 +160,13 @@ object KerfSql {
         try Some(fieldAccess(b, seg))
         catch { case _: IllegalArgumentException => None }))
     root(parts.head).flatMap(walk(_, parts.tail))
-      .orElse(if (parts.lengthCompare(2) >= 0) root(parts(1)).flatMap(walk(_, parts.drop(2)))
-              else None)
+      .orElse(
+        // alias-qualified form: the skipped head must be an actual FROM
+        // table name — an arbitrary prefix resolving silently would make
+        // typos (`ordersx.o_custkey`) legal
+        if (parts.lengthCompare(2) >= 0 && env.tnames(parts.head.toLowerCase))
+          root(parts(1)).flatMap(walk(_, parts.drop(2)))
+        else None)
   }
 
   /** One field-path step: struct → typed getField; string-keyed map →
@@ -1695,7 +1703,8 @@ object KerfSql {
                               programVars: Map[String, T],
                               programFuncs: Map[String, FVal]): (DataFrame, Env) = {
     val p = new P(toks)
-    val left = spark.table(p.pop())
+    val leftName = p.pop()
+    val left = spark.table(leftName)
     if (p.peekIs("join") || p.peekIs("left") || p.peekIs("semi") || p.peekIs("anti")) {
       // plain relational joins in the from clause — the PRESENTED `join`
       // overload the reference declares (presented.h:406 TODO):
@@ -1710,7 +1719,8 @@ object KerfSql {
           case "anti" => "left_anti"
         }
       }
-      val right = spark.table(p.pop())
+      val rightName = p.pop()
+      val right = spark.table(rightName)
       p.expect("on")
       // key list: `a` (same name both sides) or `a = b`, comma-separated
       val using = scala.collection.mutable.ArrayBuffer[String]()
@@ -1731,13 +1741,16 @@ object KerfSql {
             .reduce(_ && _)
           left.join(right, cond, how)
         }
-      (joined, new Env(Some(joined.schema), programVars, programFuncs))
+      (joined, new Env(Some(joined.schema), programVars, programFuncs,
+        tnames = Set(leftName.toLowerCase, rightName.toLowerCase)))
     } else if (!p.peekIs("asof")) {
       require(p.done, s"trailing tokens in from clause: ${p.toks.mkString(" ")}")
-      (left, new Env(Some(left.schema), programVars, programFuncs))
+      (left, new Env(Some(left.schema), programVars, programFuncs,
+        tnames = Set(leftName.toLowerCase)))
     } else {
       p.pop(); p.expect("join")
-      val right = spark.table(p.pop())
+      val asofRightName = p.pop()
+      val right = spark.table(asofRightName)
       p.expect("on")
       val keys = scala.collection.mutable.ArrayBuffer[String](p.pop())
       while (p.peekIs(",")) { p.pop(); keys += p.pop() }
@@ -1762,7 +1775,8 @@ object KerfSql {
       }
       val joined = graft.ops.AsOf.joinNative(left, right, keys.toSeq, lts, rts,
         strict = false, tolerance = tol, forward = fwd)
-      (joined, new Env(Some(joined.schema), programVars, programFuncs))
+      (joined, new Env(Some(joined.schema), programVars, programFuncs,
+        tnames = Set(leftName.toLowerCase, asofRightName.toLowerCase)))
     }
   }
 

@@ -981,6 +981,12 @@ class KerfSqlSpec extends SparkSpec {
       s"select count(fromjson(props, '$ddl').m.v) as nv from docs_nested")
       .collect().head.getLong(0)
     assert(got3 == 2) // id=3 has no m → null v
+    // a typo'd table prefix must NOT silently resolve through the skip
+    intercept[Exception] {
+      KerfSql.run(spark,
+        s"u: select id, fromjson(props, '$ddl') as pj from docs_nested; " +
+        "select nope.pj.k as k from u order k").collect()
+    }
     val err = intercept[IllegalArgumentException] {
       KerfSql.run(spark, s"select fromjson(props, '$ddl').nope from docs_nested")
     }
