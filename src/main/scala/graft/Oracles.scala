@@ -1772,5 +1772,9 @@ object Oracles {
                 CAST(sum((bucket * 2654435761) % 1997) AS DOUBLE)
                   / (1997.0 * count(*)) - 0.5 AS score
          FROM b GROUP BY doc_id ORDER BY doc_id""",
+
+    "q147_select_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
   )
 }

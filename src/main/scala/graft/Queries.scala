@@ -2663,6 +2663,17 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** `select distinct` from the TEXT surface (§2.7's row-level set
+    * projection as a dialect form; q09 is the API twin): dedup after
+    * the projection, before order — rejected with `group`/window verbs
+    * where it would be redundant or ambiguous. */
+  val q147_select_distinct: Q = (s, dir) => {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v147")
+    sql.KerfSql.run(s,
+      "select distinct l_returnflag, l_linestatus from lineitem_v147 " +
+      "order l_returnflag, l_linestatus")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2810,5 +2821,6 @@ object Queries {
     "q144_stream_ema"    -> q144_stream_ema,
     "q145_ann_ivf_fp16"  -> q145_ann_ivf_fp16,
     "q146_quality_classifier" -> q146_quality_classifier,
+    "q147_select_distinct" -> q147_select_distinct,
   )
 }

@@ -1792,7 +1792,14 @@ object KerfSql {
     def segParser(name: String): Option[P] = segs.get(name).map(new P(_))
     def finish(sp: P, what: String): Unit =
       require(sp.done, s"trailing tokens in $what: ${sp.toks.mkString(" ")}")
-    val selToks = segs.getOrElse("select", Nil)
+    val selToksRaw = segs.getOrElse("select", Nil)
+    // `select distinct a, b …` — the SQL set-projection form (the §2.7
+    // row-level sibling of the list verb): dedup AFTER the projection,
+    // before order/limit. Redundant (and rejected) with `group` — the
+    // grouped result is already one row per key.
+    val distinctSel = selToksRaw.headOption.exists(_.equalsIgnoreCase("distinct")) &&
+      selToksRaw.lengthCompare(1) > 0
+    val selToks = if (distinctSel) selToksRaw.tail else selToksRaw
     def parseItems(e: Env) =
       if (selToks.map(_.toLowerCase) == List("*") || selToks.isEmpty) Nil
       else {
@@ -1874,6 +1881,9 @@ object KerfSql {
         "window verbs (sums/deltas/…) cannot mix with plain aggregates " +
         "(sum/avg/…) in one select: `group` is the window PARTITION BY " +
         "here, not an aggregation — split into two selects")
+      require(!distinctSel,
+        "select distinct cannot combine with window verbs (sums/deltas/…): " +
+        "dedup the input or the result in a separate select")
       // same trap for the grouping-set forms: silently downgrading
       // `group cube (a, b)` to a plain PARTITION BY would return wrong
       // results, so reject it the way the aggregate mix is rejected
@@ -1893,6 +1903,9 @@ object KerfSql {
         .orderBy(groupItems.map(_.col) ++ orderCols: _*)
     } else {
       val items = parseItems(env)
+      require(!(distinctSel && groupItems.nonEmpty),
+        "select distinct cannot combine with group — the grouped result " +
+        "is already one row per key")
       df =
         if (groupItems.nonEmpty) {
           // group items matching a select item (same source tokens, or the
@@ -1921,6 +1934,7 @@ object KerfSql {
         }
         else if (items.nonEmpty) df.select(items.map(_.col): _*)
         else df
+      if (distinctSel) df = df.dropDuplicates()
       segParser("order").foreach { op =>
         df = df.orderBy(parseOrderCols(op): _*); finish(op, "order")
       }

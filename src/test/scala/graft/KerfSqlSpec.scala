@@ -1051,6 +1051,24 @@ class KerfSqlSpec extends SparkSpec {
     }
   }
 
+  test("select distinct: projection dedup; loud with group / window verbs") {
+    init
+    val got = KerfSql.run(spark,
+      "select distinct l_returnflag from lineitem_v order l_returnflag")
+      .collect().map(_.getString(0)).toSeq
+    val want = Tables.lineitem(spark, sf).select("l_returnflag")
+      .distinct().orderBy("l_returnflag").collect().map(_.getString(0)).toSeq
+    assert(got == want && got.nonEmpty)
+    intercept[IllegalArgumentException] {
+      KerfSql.run(spark,
+        "select distinct l_returnflag, count(*) as n from lineitem_v group l_returnflag")
+    }
+    intercept[IllegalArgumentException] {
+      KerfSql.run(spark,
+        "select distinct l_orderkey, sums(l_quantity) from lineitem_v order l_orderkey")
+    }
+  }
+
   test("ema verb: array-form scan == Adverbs.ema; loud on non-lists") {
     import spark.implicits._
     Seq((1L, Seq(1.0, 2.0, 3.0, 4.0))).toDF("id", "xs")
