@@ -1776,5 +1776,29 @@ object Oracles {
     "q147_select_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
          ORDER BY l_returnflag, l_linestatus""",
+
+    // fuzzy-join twin: identical normalization, prefix blocks, skew
+    // guard, length band, and Levenshtein — recomputed from scratch
+    "q148_fuzzy_join" ->
+      """WITH corpus AS (
+           SELECT doc_id, substring(text, 1, 40) AS title FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000,
+                  concat(substring(substring(text, 1, 40), 1, 10), 'X',
+                         substring(substring(text, 1, 40), 12, 29))
+           FROM documents WHERE doc_id < 20),
+         k AS (
+           SELECT doc_id, trim(regexp_replace(lower(title), '\s+', ' ', 'g')) AS t
+           FROM corpus),
+         kb AS (SELECT doc_id, t, substring(t, 1, 8) AS blk FROM k),
+         keep AS (SELECT blk FROM kb GROUP BY blk HAVING count(*) <= 256)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(levenshtein(a.t, b.t) AS INTEGER) AS dist
+         FROM kb a JOIN keep ka ON a.blk = ka.blk
+              JOIN kb b ON a.blk = b.blk
+         WHERE a.doc_id < b.doc_id
+           AND abs(length(a.t) - length(b.t)) <= 3
+           AND levenshtein(a.t, b.t) <= 3
+         ORDER BY id_a, id_b""",
   )
 }

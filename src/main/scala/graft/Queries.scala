@@ -2674,6 +2674,25 @@ object Queries {
       "order l_returnflag, l_linestatus")
   }
 
+  /** EDIT-DISTANCE fuzzy join (the typo-tolerant member of the dedup
+    * family — title/name matching where token-set measures miss
+    * single-character edits): prefix-blocked candidates, length-band
+    * prefilter, exact Levenshtein verify. Planted single-char typos
+    * (position 11 — beyond the 8-char block prefix, so blocking keeps
+    * them together) must pair with their originals; the oracle runs the
+    * identical blocking, band, guard, and distance from scratch. */
+  val q148_fuzzy_join: Q = (s, dir) => {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("title"))
+    val typos = base.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(substring(col("title"), 1, 10), lit("X"),
+          substring(col("title"), 12, 29)).as("title"))
+    llm.Dedup.fuzzyPairs(base.unionByName(typos), "doc_id", "title",
+        maxDist = 3, prefixLen = 8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2822,5 +2841,6 @@ object Queries {
     "q145_ann_ivf_fp16"  -> q145_ann_ivf_fp16,
     "q146_quality_classifier" -> q146_quality_classifier,
     "q147_select_distinct" -> q147_select_distinct,
+    "q148_fuzzy_join"    -> q148_fuzzy_join,
   )
 }

@@ -902,6 +902,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs == (0L until 40L by 5).map(id => (id, id + 1000L, 2)).toSet)
   }
 
+  test("fuzzyPairs: planted typo found, prefix-block miss documented, skew guard") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brawn fox jumps"),   // 1 substitution past the prefix → pair
+      (3L, "Xhe quick brown fox jumps"),   // first-char edit → different block → MISS
+      (4L, "completely different text here"),
+      (5L, "the quick brown fox jum")      // 2 deletions from (1) → pair
+    ).toDF("doc_id", "title")
+    val got = Dedup.fuzzyPairs(df, "doc_id", "title", maxDist = 3, prefixLen = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 1), (1L, 5L, 2), (2L, 5L, 3)),
+      s"unexpected pair set: $got") // (3) missed by design: the recall contract
+    // skew guard: a degenerate block larger than maxBlock yields NO pairs
+    val boiler = (1 to 10).map(i => (i.toLong, s"prefix00 tail $i")).toDF("doc_id", "title")
+    assert(Dedup.fuzzyPairs(boiler, "doc_id", "title",
+      maxDist = 3, prefixLen = 8, maxBlock = 4).count() == 0)
+    // under the cap the same block pairs normally
+    assert(Dedup.fuzzyPairs(boiler, "doc_id", "title",
+      maxDist = 3, prefixLen = 8, maxBlock = 64).count() > 0)
+    intercept[IllegalArgumentException] {
+      Dedup.fuzzyPairs(df, "doc_id", "title", maxDist = 0)
+    }
+  }
+
   test("hashedLinearScore: partition-invariant, exact-sum, loud guards") {
     val df = Seq((1L, "the quick brown fox"), (2L, "lazy dog"), (3L, "the the the"))
       .toDF("doc_id", "text")

@@ -151,6 +151,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed(1L)._1 > 0.5)
   }
 
+  test("classifier scores at ingest: streaming == batch (exact integer sums)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq((1L, "the quick brown fox"), (2L, "buy now buy now"), (3L, "x"))
+    val w = graft.llm.TextOps.syntheticWeights(64)
+    val input = MemoryStream[(Long, String)]
+    // the per-doc groupBy is a stateful streaming aggregate — update mode
+    val stream = graft.llm.TextOps.hashedLinearScore(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", w, 1997L, 64)
+    val q = stream.writeStream.outputMode("update")
+      .format("memory").queryName("t_cls").start()
+    try { input.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("t_cls").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val batch = graft.llm.TextOps.hashedLinearScore(
+        rows.toDF("doc_id", "text"), "doc_id", "text", w, 1997L, 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+  }
+
   test("contamination probe: bloom ingest filter runs unchanged on a stream (== batch)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
