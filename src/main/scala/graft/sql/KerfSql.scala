@@ -2025,13 +2025,40 @@ object KerfSql {
     val df = spark.table(p.pop())
     p.expect("by"); val idCol = p.pop()
     p.expect("on"); val textCol = p.pop()
+    // `neardup … edit N [prefix P]` switches the pair metric from
+    // MinHash-Jaccard to blocked Levenshtein (Dedup.fuzzyPairs) — the
+    // typo-tolerant short-string form (q148)
+    var edit: Option[Int] = None
+    var prefix = 8
+    if (near && p.peekIs("edit")) {
+      p.pop()
+      val t = p.pop()
+      require(t.forall(_.isDigit) && t.toInt > 0,
+        s"neardup … edit needs a positive int, got $t")
+      edit = Some(t.toInt)
+      if (p.peekIs("prefix")) {
+        p.pop()
+        val t2 = p.pop()
+        require(t2.forall(_.isDigit) && t2.toInt > 0,
+          s"neardup … prefix needs a positive int, got $t2")
+        prefix = t2.toInt
+      }
+    }
     var tau = 0.7
-    if (near && p.peekIs("within")) { p.pop(); tau = p.pop().toDouble }
+    if (near && p.peekIs("within")) {
+      require(edit.isEmpty, "neardup: `edit` and `within` are alternative metrics — pick one")
+      p.pop(); tau = p.pop().toDouble
+    }
     var keepBest: Option[String] = None
     if (near && p.peekIs("keep")) { p.pop(); p.expect("best"); keepBest = Some(p.pop()) }
     val base =
       if (near) {
-        val pairs = graft.llm.Dedup.minhashPairs(df, idCol, textCol, jaccardThreshold = tau)
+        val pairs = edit match {
+          case Some(d) => graft.llm.Dedup.fuzzyPairs(df, idCol, textCol,
+            maxDist = d, prefixLen = prefix)
+          case None => graft.llm.Dedup.minhashPairs(df, idCol, textCol,
+            jaccardThreshold = tau)
+        }
         keepBest match {
           case Some(sc) => graft.llm.Dedup.keepBestPerCluster(df, idCol, sc, pairs)
           case None     => pairs

@@ -1001,6 +1001,27 @@ class KerfSqlSpec extends SparkSpec {
     }
   }
 
+  test("neardup edit metric: blocked Levenshtein pairs from the text surface") {
+    import spark.implicits._
+    Seq((1L, "the quick brown fox"), (2L, "the quick brawn fox"),
+        (3L, "unrelated content entirely"))
+      .toDF("doc_id", "title").createOrReplaceTempView("fuzzy_t")
+    val got = KerfSql.run(spark,
+      "neardup fuzzy_t by doc_id on title edit 2 order id_a, id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == Seq((1L, 2L, 1)))
+    // keep best composes with the edit metric (same witness election)
+    Seq((1L, "the quick brown fox", 10L), (2L, "the quick brawn fox", 99L))
+      .toDF("doc_id", "title", "quality").createOrReplaceTempView("fuzzy_q")
+    val kept = KerfSql.run(spark,
+      "neardup fuzzy_q by doc_id on title edit 2 keep best quality")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(2L)) // higher quality wins the cluster
+    intercept[IllegalArgumentException] {
+      KerfSql.run(spark, "neardup fuzzy_t by doc_id on title edit 2 within 0.5")
+    }
+  }
+
   test("classify verb: synthetic and using-model forms == API; loud weight table") {
     import spark.implicits._
     Tables.documents(spark, sf).createOrReplaceTempView("docs_cls")
