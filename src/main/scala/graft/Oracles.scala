@@ -1800,5 +1800,13 @@ object Oracles {
            AND abs(length(a.t) - length(b.t)) <= 3
            AND levenshtein(a.t, b.t) <= 3
          ORDER BY id_a, id_b""",
+
+    // video near-dup closed form: byte-identical planted copies share
+    // their original's frame-hash set exactly (Jaccard 1.0); the organic
+    // pattern family is pairwise-distinct below the threshold
+    "q149_video_dedup" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+                CAST(1.0 AS DOUBLE) AS jaccard
+         FROM documents WHERE doc_id < 16 ORDER BY id_a""",
   )
 }

@@ -2693,6 +2693,53 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** VIDEO perceptual near-dup (the multi-frame tier of the media dedup
+    * stack): synthetic multi-frame GIFs with per-frame two-tone
+    * patterns, plus byte-identical planted copies under shifted ids.
+    * Frame aHashes are computed AT the decode seam, per-video hash SETS
+    * go through the shared MinHash band engine, and exact Jaccard
+    * verifies. Closed form: a planted copy's frame-hash set equals its
+    * original's exactly (same bytes ⇒ same frames ⇒ same hashes), so
+    * the pair list is precisely (id, id+1000000) at Jaccard 1.0 — and
+    * the organic pattern family is constructed pairwise-distinct (
+    * arithmetic-progression sets with step 13 mod 64 only coincide when
+    * ids do), so no organic pair reaches τ=0.9. */
+  val q149_video_dedup: Q = (s, dir) => {
+    import s.implicits._
+    val vids = Tables.documents(s, dir).filter(col("doc_id") < 64)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val nf = 1 + (id % 4).toInt
+          val baos = new java.io.ByteArrayOutputStream()
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("gif").next()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          (0 until nf).foreach { k =>
+            val bright = ((7 * id + 13 * k) % 64).toInt
+            val img = new java.awt.image.BufferedImage(8, 8,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var c = 0
+            while (c < 64) {
+              val rgb = if (c < bright) 0xFFFFFF else 0x000000
+              img.setRGB(c % 8, c / 8, rgb)
+              c += 1
+            }
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          }
+          writer.endWriteSequence(); ios.close(); writer.dispose()
+          (id, baos.toByteArray)
+        }
+      }.toDF("doc_id", "gif")
+    val planted = vids.filter(col("doc_id") < 16)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("gif"))
+    llm.Multimodal.videoPerceptualPairs(vids.unionByName(planted),
+        "doc_id", "gif", jaccardThreshold = 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2842,5 +2889,6 @@ object Queries {
     "q146_quality_classifier" -> q146_quality_classifier,
     "q147_select_distinct" -> q147_select_distinct,
     "q148_fuzzy_join"    -> q148_fuzzy_join,
+    "q149_video_dedup"   -> q149_video_dedup,
   )
 }

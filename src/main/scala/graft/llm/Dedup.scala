@@ -161,9 +161,6 @@ object Dedup {
                    numHashes: Int = 32, bands: Int = 8,
                    shingleN: Int = 3, jaccardThreshold: Double = 0.7,
                    maxBucket: Int = 64): (DataFrame, Seq[DataFrame]) = {
-    val rows = bands; val r = numHashes / bands
-    require(numHashes % bands == 0, "bands must divide numHashes")
-
     // shingle strings never exist at all: the native ShingleHashes
     // expression hashes token windows in place over the normalized
     // text's bytes (bit-identical to xxhash64 of the shingle string,
@@ -177,6 +174,21 @@ object Dedup {
       .select(col(idCol).as("doc_id"),
         graft.functions.ShingleHashes.shingleHashes(normText(col(textCol)), shingleN).as("shh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairsFromHashSets(hashed, numHashes, bands, jaccardThreshold, maxBucket)
+  }
+
+  /** The MinHash→band→bucket→verify engine over an ALREADY-HASHED set
+    * column `(doc_id, shh: array<bigint>)` — the reusable lower half of
+    * [[minhashPairsPlan]]: text shingles, media frame-hash sets, or any
+    * other set-valued feature ride the same banding. The input MUST be
+    * persisted by the caller (it is read 3×: signature + both verify
+    * joins); it is returned in the caches list for release-after-seal. */
+  private[graft] def pairsFromHashSets(hashed: DataFrame,
+                   numHashes: Int, bands: Int,
+                   jaccardThreshold: Double,
+                   maxBucket: Int): (DataFrame, Seq[DataFrame]) = {
+    val rows = bands; val r = numHashes / bands
+    require(numHashes % bands == 0, "bands must divide numHashes")
 
     // banded rows carry NOTHING but (doc_id, band_id, band_hash); also
     // persisted — read by the skew-guard aggregate and both self-join

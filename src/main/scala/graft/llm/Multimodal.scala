@@ -218,6 +218,98 @@ object Multimodal {
       .toDF()
   }
 
+  case class FrameHashRow(doc_id: Long, frame_no: Int, fhash: Long)
+
+  /** Per-frame PERCEPTUAL HASH sampler — the video-dedup feature pass:
+    * same container seam as [[sampleFramesPartitioned]] (open → decode
+    * every `stride`-th frame), but each frame emits its 64-bit aHash
+    * (grid×grid cell lumas, cell brighter than the frame mean ⇒ bit
+    * set, MSB-first — the [[aHashSignatures]] convention computed at
+    * the decode site, where the pixels already are: no second decode
+    * pass, no pixel column ever shuffles). One blob in flight per task;
+    * output is 16 bytes per sampled frame regardless of resolution. */
+  def sampleFrameHashesPartitioned(docs: DataFrame, idCol: String, binCol: String,
+                                   stride: Int = 1, grid: Int = 8): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    require(grid >= 1 && grid * grid <= 64, s"aHash64 holds at most 64 cells, grid=$grid")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val reader = javax.imageio.ImageIO
+            .getImageReadersByFormatName("gif").next()
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            reader.setInput(iis, false)
+            val n = reader.getNumImages(true)
+            (0 until n by stride).map { k =>
+              val img = reader.read(k)
+              val w = img.getWidth; val h = img.getHeight
+              val cells = grid * grid
+              val lumas = new Array[Double](cells)
+              val counts = new Array[Long](cells)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val px = img.getRGB(x, y)
+                  val c = math.min(grid - 1, y * grid / h) * grid +
+                          math.min(grid - 1, x * grid / w)
+                  lumas(c) += (((px >> 16) & 0xFF) + ((px >> 8) & 0xFF) + (px & 0xFF)) / 3.0
+                  counts(c) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              var mean = 0.0
+              var c = 0
+              while (c < cells) {
+                if (counts(c) > 0) lumas(c) /= counts(c)
+                mean += lumas(c); c += 1
+              }
+              mean /= cells
+              var hash = 0L
+              c = 0
+              while (c < cells) {
+                hash = (hash << 1) | (if (lumas(c) > mean) 1L else 0L)
+                c += 1
+              }
+              FrameHashRow(id, k, hash)
+            }
+          } finally { reader.dispose(); iis.close() }
+        }
+      }
+      .toDF()
+  }
+
+  /** VIDEO perceptual near-dup pairs — multi-frame containers whose
+    * sampled-frame hash SETS overlap at Jaccard ≥ τ (re-encoded,
+    * re-muxed, or padded copies collapse; byte-identity is
+    * [[graft.llm.Dedup.exactBinary]]'s job). Composition of the
+    * existing tiers, Spark-first: frame aHashes from the decode seam
+    * (map-only, 16 bytes/frame), per-video hash SET via one partial-agg
+    * groupBy, then the SAME MinHash→band→bucket→verify engine as text
+    * near-dup ([[graft.llm.Dedup.pairsFromHashSets]]) — at 100 TB the
+    * banding cost model carries over unchanged because the engine is
+    * literally shared. Returns (id_a, id_b, jaccard). */
+  def videoPerceptualPairs(videos: DataFrame, idCol: String, binCol: String,
+                           stride: Int = 1, numHashes: Int = 32, bands: Int = 8,
+                           jaccardThreshold: Double = 0.9,
+                           maxBucket: Int = 64): DataFrame = {
+    val hashed = sampleFrameHashesPartitioned(videos, idCol, binCol, stride)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("fhash")).as("shh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the engine returns (hashed, banded) as its cache list — the input
+    // set frame is released with the rest after the seal
+    val (result, caches) = graft.llm.Dedup.pairsFromHashSets(
+      hashed, numHashes, bands, jaccardThreshold, maxBucket)
+    graft.ops.Caches.seal(result, caches: _*)
+  }
+
   /** One resized image: re-encoded blob + its new dims. */
   case class ResizedRow(doc_id: Long, png: Array[Byte], width: Int, height: Int)
 

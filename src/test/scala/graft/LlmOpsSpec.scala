@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Similarity, TextOps}
+import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
 
 object LlmOpsSpec {
   /** A "real" codec stand-in: features derived from blob length only —
@@ -900,6 +900,43 @@ class LlmOpsSpec extends SparkSpec {
     val pairs = graft.llm.Multimodal.perceptualPairs(blobs, "doc_id", "png")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(pairs == (0L until 40L by 5).map(id => (id, id + 1000L, 2)).toSet)
+  }
+
+  test("video near-dup: padded copy pairs at its true Jaccard, threshold dials") {
+    def gif(patterns: Seq[Int]): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      writer.setOutput(ios); writer.prepareWriteSequence(null)
+      patterns.foreach { bright =>
+        val img = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        (0 until 64).foreach(c =>
+          img.setRGB(c % 8, c / 8, if (c < bright) 0xFFFFFF else 0))
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence(); ios.close(); writer.dispose()
+      baos.toByteArray
+    }
+    val vids = Seq(
+      (1L, gif(Seq(10, 20))),        // two frames
+      (2L, gif(Seq(10, 20, 30))),    // same two + one extra (padded copy)
+      (3L, gif(Seq(50)))             // unrelated
+    ).toDF("doc_id", "gif")
+    // frame hashes are a pure function of pixels: shared frames collide
+    val fh = Multimodal.sampleFrameHashesPartitioned(vids, "doc_id", "gif")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(fh((1L, 0)) == fh((2L, 0)) && fh((1L, 1)) == fh((2L, 1)))
+    assert(fh((1L, 0)) != fh((3L, 0)))
+    // padded copy: |{h10,h20}| ∩ |{h10,h20,h30}| / union = 2/3
+    val loose = Multimodal.videoPerceptualPairs(vids, "doc_id", "gif",
+        jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1000) / 1000)).toSet
+    assert(loose == Set((1L, 2L, 0.667)), s"got $loose")
+    // tight threshold drops the padded pair
+    assert(Multimodal.videoPerceptualPairs(vids, "doc_id", "gif",
+      jaccardThreshold = 0.9).count() == 0)
   }
 
   test("fuzzyPairs: planted typo found, prefix-block miss documented, skew guard") {
