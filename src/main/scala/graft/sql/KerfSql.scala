@@ -2025,12 +2025,19 @@ object KerfSql {
     val df = spark.table(p.pop())
     p.expect("by"); val idCol = p.pop()
     p.expect("on"); val textCol = p.pop()
+    // `neardup … frames [within τ]` switches the metric to VIDEO
+    // perceptual near-dup (Multimodal.videoPerceptualPairs over a
+    // multi-frame binary column, q149); `within` is the set-Jaccard
+    // threshold there, same as the MinHash meaning
+    var frames = false
+    if (near && p.peekIs("frames")) { p.pop(); frames = true }
     // `neardup … edit N [prefix P]` switches the pair metric from
     // MinHash-Jaccard to blocked Levenshtein (Dedup.fuzzyPairs) — the
     // typo-tolerant short-string form (q148)
     var edit: Option[Int] = None
     var prefix = 8
     if (near && p.peekIs("edit")) {
+      require(!frames, "neardup: `frames` and `edit` are alternative metrics — pick one")
       p.pop()
       val t = p.pop()
       require(t.forall(_.isDigit) && t.toInt > 0,
@@ -2044,7 +2051,7 @@ object KerfSql {
         prefix = t2.toInt
       }
     }
-    var tau = 0.7
+    var tau = if (frames) 0.9 else 0.7 // the two set-Jaccard defaults
     if (near && p.peekIs("within")) {
       require(edit.isEmpty, "neardup: `edit` and `within` are alternative metrics — pick one")
       p.pop(); tau = p.pop().toDouble
@@ -2053,10 +2060,12 @@ object KerfSql {
     if (near && p.peekIs("keep")) { p.pop(); p.expect("best"); keepBest = Some(p.pop()) }
     val base =
       if (near) {
-        val pairs = edit match {
-          case Some(d) => graft.llm.Dedup.fuzzyPairs(df, idCol, textCol,
+        val pairs = (edit, frames) match {
+          case (Some(d), _) => graft.llm.Dedup.fuzzyPairs(df, idCol, textCol,
             maxDist = d, prefixLen = prefix)
-          case None => graft.llm.Dedup.minhashPairs(df, idCol, textCol,
+          case (None, true) => graft.llm.Multimodal.videoPerceptualPairs(
+            df, idCol, textCol, jaccardThreshold = tau)
+          case (None, false) => graft.llm.Dedup.minhashPairs(df, idCol, textCol,
             jaccardThreshold = tau)
         }
         keepBest match {

@@ -1022,6 +1022,37 @@ class KerfSqlSpec extends SparkSpec {
     }
   }
 
+  test("neardup frames metric: video near-dup from the text surface") {
+    import spark.implicits._
+    def gif(patterns: Seq[Int]): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      writer.setOutput(ios); writer.prepareWriteSequence(null)
+      patterns.foreach { bright =>
+        val img = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        (0 until 64).foreach(c =>
+          img.setRGB(c % 8, c / 8, if (c < bright) 0xFFFFFF else 0))
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence(); ios.close(); writer.dispose()
+      baos.toByteArray
+    }
+    Seq((1L, gif(Seq(10, 20))), (2L, gif(Seq(10, 20, 30))), (3L, gif(Seq(50))))
+      .toDF("doc_id", "vid").createOrReplaceTempView("vids_t")
+    val got = KerfSql.run(spark,
+      "neardup vids_t by doc_id on vid frames within 0.5 order id_a, id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L)))
+    // default τ=0.9 drops the padded pair
+    assert(KerfSql.run(spark,
+      "neardup vids_t by doc_id on vid frames").count() == 0)
+    intercept[IllegalArgumentException] {
+      KerfSql.run(spark, "neardup vids_t by doc_id on vid frames edit 2")
+    }
+  }
+
   test("classify verb: synthetic and using-model forms == API; loud weight table") {
     import spark.implicits._
     Tables.documents(spark, sf).createOrReplaceTempView("docs_cls")
