@@ -1119,6 +1119,7 @@ object KerfSql {
         case "semdedup" if pipelineVerbForm(toks) => p.pop(); last = Left(runSemDedup(spark, p))
         case "chunk"   if pipelineVerbForm(toks) => p.pop(); last = Left(runChunk(spark, p))
         case "lmscore" if pipelineVerbForm(toks) => p.pop(); last = Left(runLmScore(spark, p))
+        case "census"  if pipelineVerbForm(toks) => p.pop(); last = Left(runCensus(spark, p))
         case "classify" if pipelineVerbForm(toks) => p.pop(); last = Left(runClassify(spark, p))
         case "index"   if pipelineVerbForm(toks) => p.pop(); last = Left(runIndex(spark, p))
         // `probe 'path' …` — path-first like compact
@@ -1333,7 +1334,7 @@ object KerfSql {
           } else if ((p.peekIs("dedup") || p.peekIs("neardup") ||
                       p.peekIs("semdedup") || p.peekIs("chunk") ||
                       p.peekIs("index") || p.peekIs("lmscore") ||
-                      p.peekIs("classify") ||
+                      p.peekIs("census") || p.peekIs("classify") ||
                       p.peekIs("sample") || p.peekIs("shard") || p.peekIs("cap")) &&
                      pipelineVerbForm(p.toks)) {
             // table-valued pipeline verbs assign like a select: the
@@ -1345,6 +1346,7 @@ object KerfSql {
               case "semdedup" => runSemDedup(spark, p)
               case "chunk"    => runChunk(spark, p)
               case "lmscore"  => runLmScore(spark, p)
+              case "census"   => runCensus(spark, p)
               case "classify" => runClassify(spark, p)
               case "index"    => runIndex(spark, p)
               case "sample"   => runSample(spark, p)
@@ -2318,6 +2320,19 @@ object KerfSql {
         graft.llm.TextOps.unigramScore(df, census, idCol, textCol)
       case None => graft.llm.TextOps.unigramStats(df, idCol, textCol)
     }
+  }
+
+  /** `census t by id on text` → [[graft.llm.TextOps.unigramCensus]]:
+    * build the corpus-wide `(tok, cnt)` unigram model — the table
+    * `lmscore … using <census>` scores against. Completes the
+    * train/deploy loop in the dialect: census on the reference corpus,
+    * lmscore-at-ingest everywhere else. */
+  private def runCensus(spark: SparkSession, p: P): DataFrame = {
+    val df = spark.table(p.pop())
+    p.expect("by"); val idCol = p.pop()
+    p.expect("on"); val textCol = p.pop()
+    require(p.done, s"trailing tokens in census: ${p.toks.mkString(" ")}")
+    graft.llm.TextOps.unigramCensus(df, idCol, textCol)
   }
 
   /** `classify t by id on text [using weights] [dim N] [scale S]` →

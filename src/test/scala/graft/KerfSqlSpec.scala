@@ -1022,6 +1022,22 @@ class KerfSqlSpec extends SparkSpec {
     }
   }
 
+  test("census verb closes the lmscore train/deploy loop in the dialect") {
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_census")
+    val viaVerb = KerfSql.run(spark,
+      "m: census docs_census by doc_id on text; " +
+      "lmscore docs_census by doc_id on text using m")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1).toSeq
+    val self = KerfSql.run(spark, "lmscore docs_census by doc_id on text")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(viaVerb == self, "census-then-score diverged from self-census form")
+    val census = KerfSql.run(spark, "census docs_census by doc_id on text")
+    assert(census.columns.toSeq == Seq("tok", "cnt") && census.count() > 0)
+    intercept[IllegalArgumentException] {
+      KerfSql.run(spark, "census docs_census by doc_id on text extra")
+    }
+  }
+
   test("neardup frames metric: video near-dup from the text surface") {
     import spark.implicits._
     def gif(patterns: Seq[Int]): Array[Byte] = {
