@@ -1808,5 +1808,28 @@ object Oracles {
       """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
                 CAST(1.0 AS DOUBLE) AS jaccard
          FROM documents WHERE doc_id < 16 ORDER BY id_a""",
+
+    // the dialect-driven workflow computes q140's exact answer
+    "q150_dialect_drift" ->
+      """WITH ta AS (
+           SELECT tok, count(*) AS cnt FROM (
+             SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+             FROM documents WHERE doc_id < 250) GROUP BY tok),
+         tbl AS (
+           SELECT tok, count(*) AS cnt FROM (
+             SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+             FROM documents WHERE doc_id >= 250) GROUP BY tok),
+         tot AS (SELECT (SELECT sum(cnt) FROM ta) AS sa, (SELECT sum(cnt) FROM tbl) AS sb),
+         j AS (
+           SELECT coalesce(a.tok, b.tok) AS tok,
+                  coalesce(a.cnt, 0) AS cnt_a, coalesce(b.cnt, 0) AS cnt_b,
+                  abs(CAST(coalesce(a.cnt, 0) AS HUGEINT) * (SELECT sb FROM tot)
+                    - CAST(coalesce(b.cnt, 0) AS HUGEINT) * (SELECT sa FROM tot)) AS num
+           FROM ta a FULL JOIN tbl b ON a.tok = b.tok),
+         tv AS (SELECT round(CAST(sum(num) AS DOUBLE)
+                  / (2.0 * (SELECT sa FROM tot) * (SELECT sb FROM tot)), 6) AS d FROM j)
+         SELECT CAST(row_number() OVER (ORDER BY num DESC, tok) AS BIGINT) AS drift_rank,
+                tok, cnt_a, cnt_b, (SELECT d FROM tv) AS tv_distance
+         FROM j ORDER BY num DESC, tok LIMIT 10""",
   )
 }

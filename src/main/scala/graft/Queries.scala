@@ -2740,6 +2740,23 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** The corpus-MONITORING workflow end-to-end from the TEXT surface
+    * (q140's computation driven entirely by dialect statements): split
+    * the corpus, build both unigram censuses with the `census` verb,
+    * measure drift with the `drift` verb, order the report — five
+    * statements, zero API calls. Same exact-integer TV distance as
+    * q140, so the identical DuckDB twin adjudicates. */
+  val q150_dialect_drift: Q = (s, dir) => {
+    Tables.documents(s, dir).createOrReplaceTempView("docs_v150")
+    sql.KerfSql.run(s,
+      "a: select doc_id, text from docs_v150 where doc_id < 250; " +
+      "b: select doc_id, text from docs_v150 where doc_id >= 250; " +
+      "ca: census a by doc_id on text; " +
+      "cb: census b by doc_id on text; " +
+      "d: drift ca against cb top 10; " +
+      "select drift_rank, tok, cnt_a, cnt_b, tv_distance from d order drift_rank")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2890,5 +2907,6 @@ object Queries {
     "q147_select_distinct" -> q147_select_distinct,
     "q148_fuzzy_join"    -> q148_fuzzy_join,
     "q149_video_dedup"   -> q149_video_dedup,
+    "q150_dialect_drift" -> q150_dialect_drift,
   )
 }

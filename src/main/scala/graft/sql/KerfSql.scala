@@ -1120,6 +1120,8 @@ object KerfSql {
         case "chunk"   if pipelineVerbForm(toks) => p.pop(); last = Left(runChunk(spark, p))
         case "lmscore" if pipelineVerbForm(toks) => p.pop(); last = Left(runLmScore(spark, p))
         case "census"  if pipelineVerbForm(toks) => p.pop(); last = Left(runCensus(spark, p))
+        case "drift" if toks.lengthCompare(3) >= 0 && toks(2).equalsIgnoreCase("against") =>
+          p.pop(); last = Left(runDrift(spark, p))
         case "classify" if pipelineVerbForm(toks) => p.pop(); last = Left(runClassify(spark, p))
         case "index"   if pipelineVerbForm(toks) => p.pop(); last = Left(runIndex(spark, p))
         // `probe 'path' …` — path-first like compact
@@ -1336,7 +1338,10 @@ object KerfSql {
                       p.peekIs("index") || p.peekIs("lmscore") ||
                       p.peekIs("census") || p.peekIs("classify") ||
                       p.peekIs("sample") || p.peekIs("shard") || p.peekIs("cap")) &&
-                     pipelineVerbForm(p.toks)) {
+                     pipelineVerbForm(p.toks) ||
+                     // drift's shape is `drift a against b`, not `… by …`
+                     (p.peekIs("drift") && p.toks.lengthCompare(3) >= 0 &&
+                      p.toks(2).equalsIgnoreCase("against"))) {
             // table-valued pipeline verbs assign like a select: the
             // result registers as a temp view for later `from` clauses
             val verb = p.pop().toLowerCase
@@ -1347,6 +1352,7 @@ object KerfSql {
               case "chunk"    => runChunk(spark, p)
               case "lmscore"  => runLmScore(spark, p)
               case "census"   => runCensus(spark, p)
+              case "drift"    => runDrift(spark, p)
               case "classify" => runClassify(spark, p)
               case "index"    => runIndex(spark, p)
               case "sample"   => runSample(spark, p)
@@ -2333,6 +2339,31 @@ object KerfSql {
     p.expect("on"); val textCol = p.pop()
     require(p.done, s"trailing tokens in census: ${p.toks.mkString(" ")}")
     graft.llm.TextOps.unigramCensus(df, idCol, textCol)
+  }
+
+  /** `drift a against b [top K]` → [[graft.llm.TextOps.censusDrift]]:
+    * total-variation distance + top drifted tokens between two census
+    * tables — the crawl-over-crawl monitor, fed by the `census` verb. */
+  private def runDrift(spark: SparkSession, p: P): DataFrame = {
+    def censusTable(name: String): DataFrame = {
+      val t = spark.table(name)
+      require(t.columns.toSet == Set("tok", "cnt"),
+        s"drift needs (tok, cnt) census tables, got ${t.columns.mkString(", ")} in $name")
+      t
+    }
+    val a = censusTable(p.pop())
+    p.expect("against")
+    val b = censusTable(p.pop())
+    var topK = 10
+    if (p.peekIs("top")) {
+      p.pop()
+      val t = p.pop()
+      require(t.forall(_.isDigit) && t.toInt > 0,
+        s"drift … top needs a positive int, got $t")
+      topK = t.toInt
+    }
+    require(p.done, s"trailing tokens in drift: ${p.toks.mkString(" ")}")
+    graft.llm.TextOps.censusDrift(a, b, topK)
   }
 
   /** `classify t by id on text [using weights] [dim N] [scale S]` →
