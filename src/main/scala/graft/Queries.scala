@@ -2711,26 +2711,8 @@ object Queries {
       .mapPartitions { it =>
         it.map { id =>
           val nf = 1 + (id % 4).toInt
-          val baos = new java.io.ByteArrayOutputStream()
-          val writer = javax.imageio.ImageIO
-            .getImageWritersByFormatName("gif").next()
-          val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
-          writer.setOutput(ios)
-          writer.prepareWriteSequence(null)
-          (0 until nf).foreach { k =>
-            val bright = ((7 * id + 13 * k) % 64).toInt
-            val img = new java.awt.image.BufferedImage(8, 8,
-              java.awt.image.BufferedImage.TYPE_INT_RGB)
-            var c = 0
-            while (c < 64) {
-              val rgb = if (c < bright) 0xFFFFFF else 0x000000
-              img.setRGB(c % 8, c / 8, rgb)
-              c += 1
-            }
-            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
-          }
-          writer.endWriteSequence(); ios.close(); writer.dispose()
-          (id, baos.toByteArray)
+          (id, llm.Multimodal.synthGif(
+            (0 until nf).map(k => ((7 * id + 13 * k) % 64).toInt)))
         }
       }.toDF("doc_id", "gif")
     val planted = vids.filter(col("doc_id") < 16)

@@ -24,11 +24,13 @@ object Tables {
     val target = spark.sparkContext.defaultParallelism
     // width estimate from the file listing + optimizer stats (analysis
     // only — `df.rdd.getNumPartitions` materialized the physical plan
-    // AND the RDD lineage on every call): a scan yields at least one
-    // task per file and one per maxPartitionBytes of input, so either
-    // reaching the core count means the scan is already wide enough —
-    // including the single-huge-file case, which splits by bytes and
-    // must NOT be shrunk through a repartition
+    // AND the RDD lineage on every call). #files approximates task
+    // count because the default 4 MB filesOpenCostInBytes makes the
+    // packer charge every small file ~4 MB, so small files land ~one
+    // per split; the bytes term covers the single-huge-file case, which
+    // splits by maxPartitionBytes and must NOT be shrunk through a
+    // repartition. (A deployment that lowers openCostInBytes packs
+    // more files per task and should lower this estimate to match.)
     val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
     val est = (BigInt(df.inputFiles.length)
       max (df.queryExecution.optimizedPlan.stats.sizeInBytes / maxPart + 1))

@@ -151,12 +151,18 @@ object Folio {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(s"$path/$vname")
+    swapCurrentAndVacuum(path, vname, n)
+  }
+
+  /** The shared tail of every publisher: atomic `_CURRENT` swap, then GC
+    * of versions older than the previous (kept as the crash fallback).
+    * One implementation so the two publish paths can never diverge. */
+  private def swapCurrentAndVacuum(path: String, vname: String, n: Long): Unit = {
     val tmp = new java.io.File(path, "_CURRENT.tmp")
     java.nio.file.Files.write(tmp.toPath, vname.getBytes("UTF-8"))
     java.nio.file.Files.move(tmp.toPath, currentFile(path).toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // GC versions older than the previous (kept as the crash fallback)
     val dir = new java.io.File(path)
     val live = Set(vname, f"v${n - 1}%08d")
     Option(dir.listFiles()).getOrElse(Array.empty)
@@ -177,17 +183,13 @@ object Folio {
     val n = cur.map(_.stripPrefix("v").toLong + 1L).getOrElse(1L)
     val vname = f"v$n%08d"
     val vdir = new java.io.File(path, vname)
+    // a CRASHED previous attempt leaves a stale staging dir under this
+    // same name — clear it, or its leftovers (e.g. another index kind's
+    // model JSON) would publish alongside the fresh artifacts
+    if (vdir.exists()) rmTree(vdir)
     vdir.mkdirs()
     write(vdir)
-    val tmp = new java.io.File(path, "_CURRENT.tmp")
-    java.nio.file.Files.write(tmp.toPath, vname.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath, currentFile(path).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val live = Set(vname, f"v${n - 1}%08d")
-    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.matches("v\\d{8}") && !live(d.getName))
-      .foreach(rmTree)
+    swapCurrentAndVacuum(path, vname, n)
     vname
   }
 
@@ -226,9 +228,16 @@ object Folio {
         def castTo(d: DataFrame) =
           d.select(target.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
         val next = cur.map(_.stripPrefix("v").toLong + 1L).getOrElse(1L)
+        // preserve the live dir layout (same contract as upsertPublish:
+        // an append is a row change, never a layout change — publishing
+        // flat over a compacted partitioned version would silently drop
+        // the clustering). Layout CHANGES go through compact, which
+        // passes its partitionCols explicitly.
+        val liveParts = cur.map(v => partitionColsOnDisk(new java.io.File(path, v)))
+          .getOrElse(partitionColsOnDisk(new java.io.File(path)))
         // legacy (pre-versioned) layouts must be read BEFORE publishing:
         // the union materializes during the version write
-        publishVersion(castTo(old).unionByName(castTo(df)), path, next)
+        publishVersion(castTo(old).unionByName(castTo(df)), path, next, liveParts)
         if (cur.isEmpty) {
           // migrate-in-place: the legacy root-level files/partition dirs
           // were folded into v1 — remove them so a PLAIN read of the path

@@ -161,6 +161,9 @@ object Dedup {
                    numHashes: Int = 32, bands: Int = 8,
                    shingleN: Int = 3, jaccardThreshold: Double = 0.7,
                    maxBucket: Int = 64): (DataFrame, Seq[DataFrame]) = {
+    // argument validation BEFORE the persist below — a throw after
+    // registering the cache would leak a pinned CacheManager entry
+    require(numHashes % bands == 0, "bands must divide numHashes")
     // shingle strings never exist at all: the native ShingleHashes
     // expression hashes token windows in place over the normalized
     // text's bytes (bit-identical to xxhash64 of the shingle string,

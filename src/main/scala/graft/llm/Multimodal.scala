@@ -218,6 +218,32 @@ object Multimodal {
       .toDF()
   }
 
+  /** Deterministic multi-frame GIF synthesizer for fixtures/benches: one
+    * 8×8 two-tone frame per pattern value (first `bright` cells white) —
+    * the q149 family. One implementation shared by the query fixture,
+    * the scaling bench, and the specs. */
+  def synthGif(patterns: Seq[Int]): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      patterns.foreach { bright =>
+        val img = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var c = 0
+        while (c < 64) {
+          img.setRGB(c % 8, c / 8, if (c < bright) 0xFFFFFF else 0x000000)
+          c += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    baos.toByteArray
+  }
+
   case class FrameHashRow(doc_id: Long, frame_no: Int, fhash: Long)
 
   /** Per-frame PERCEPTUAL HASH sampler — the video-dedup feature pass:

@@ -454,8 +454,11 @@ object Similarity {
     graft.io.Folio.currentVersion(path).map(v => s"$path/$v").getOrElse(path)
 
   /** The stored centroid model of [[writeIvfIndex]]. */
-  def readIvfCentroids(path: String): Array[Array[Double]] = {
-    val f = new java.io.File(indexRoot(path), "centroids.json")
+  def readIvfCentroids(path: String): Array[Array[Double]] =
+    readCentroidsFromRoot(indexRoot(path), path)
+
+  private def readCentroidsFromRoot(root: String, path: String): Array[Array[Double]] = {
+    val f = new java.io.File(root, "centroids.json")
     require(f.isFile, s"no IVF index at $path (centroids.json missing)")
     new com.fasterxml.jackson.databind.ObjectMapper()
       .readValue(java.nio.file.Files.readAllBytes(f.toPath),
@@ -472,8 +475,10 @@ object Similarity {
     * (no geometry — the index-wide contract). */
   def appendToIvfIndex(batch: DataFrame, path: String,
                        idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    val centroids = readIvfCentroids(path)
+    // ONE root resolution: centroids and lists must come from the same
+    // immutable version even if a re-train publishes mid-call
     val root = indexRoot(path)
+    val centroids = readCentroidsFromRoot(root, path)
     // match the stored tier: appending float rows into an fp16 index
     // (or vice versa) would fail parquet schema merge at read time
     val storedHalf = isHalfStored(
@@ -495,10 +500,13 @@ object Similarity {
   def ivfTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
                      k: Int, nProbe: Int = 4,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = readIvfCentroids(path)
+    // ONE root resolution: model and data from the same immutable
+    // version — two resolutions could straddle a concurrent republish
+    val root = indexRoot(path)
+    val centroids = readCentroidsFromRoot(root, path)
     val nl = centroids.length
     val np = math.min(nProbe, nl)
-    val listsRaw = spark.read.parquet(s"${indexRoot(path)}/lists")
+    val listsRaw = spark.read.parquet(s"$root/lists")
     // fp16-tier index: decode stored vectors at scan, and quantize the
     // QUERY through the same tier so both sides compare in the decode
     // domain (symmetric quantization — an identical planted vector
@@ -739,8 +747,11 @@ object Similarity {
   }
 
   /** The stored codebook model of [[writePqIndex]]. */
-  def readPqCodebooks(path: String): Array[Array[Array[Double]]] = {
-    val f = new java.io.File(indexRoot(path), "codebooks.json")
+  def readPqCodebooks(path: String): Array[Array[Array[Double]]] =
+    readCodebooksFromRoot(indexRoot(path), path)
+
+  private def readCodebooksFromRoot(root: String, path: String): Array[Array[Array[Double]]] = {
+    val f = new java.io.File(root, "codebooks.json")
     require(f.isFile, s"no PQ index at $path (codebooks.json missing)")
     new com.fasterxml.jackson.databind.ObjectMapper()
       .readValue(java.nio.file.Files.readAllBytes(f.toPath),
@@ -753,8 +764,9 @@ object Similarity {
   def pqTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
                     originals: DataFrame, k: Int, rerank: Int = 32,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val books = readPqCodebooks(path)
-    val coded = spark.read.parquet(s"${indexRoot(path)}/codes")
+    val root = indexRoot(path) // one resolution (see ivfTopKIndexed)
+    val books = readCodebooksFromRoot(root, path)
+    val coded = spark.read.parquet(s"$root/codes")
     val q = pqQueryLut(queries, books, idCol, vecCol)
     pqAdcProbe(coded, q, originals, k, rerank, idCol, vecCol)
   }
@@ -886,8 +898,9 @@ object Similarity {
                        originals: DataFrame, k: Int, nProbe: Int = 4,
                        rerank: Int = 32,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = readIvfCentroids(path)
-    val books = readPqCodebooks(path)
+    val root = indexRoot(path) // one resolution (see ivfTopKIndexed)
+    val centroids = readCentroidsFromRoot(root, path)
+    val books = readCodebooksFromRoot(root, path)
     val dsub = books(0)(0).length
     val nl = centroids.length
     val np = math.min(nProbe, nl)
@@ -911,7 +924,7 @@ object Similarity {
       .drop("probes", "__qsims")
     val probed = q.select(col("list_id")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val coded = spark.read.parquet(s"${indexRoot(path)}/codes")
+    val coded = spark.read.parquet(s"$root/codes")
       .filter(col("list_id").isin(probed: _*))
     val adc = coded.join(broadcast(q), Seq("list_id"))
       .filter(col("q_id") =!= col("cand_id"))

@@ -1805,8 +1805,11 @@ object KerfSql {
     // row-level sibling of the list verb): dedup AFTER the projection,
     // before order/limit. Redundant (and rejected) with `group` — the
     // grouped result is already one row per key.
+    // NOT the modifier when followed by '(' — `distinct(xs)` is the
+    // documented call-form LIST verb (per-row array dedup) and must
+    // keep its semantics
     val distinctSel = selToksRaw.headOption.exists(_.equalsIgnoreCase("distinct")) &&
-      selToksRaw.lengthCompare(1) > 0
+      selToksRaw.lengthCompare(1) > 0 && selToksRaw(1) != "("
     val selToks = if (distinctSel) selToksRaw.tail else selToksRaw
     def parseItems(e: Env) =
       if (selToks.map(_.toLowerCase) == List("*") || selToks.isEmpty) Nil
@@ -2388,7 +2391,12 @@ object KerfSql {
       t.toLong
     }
     var dim = 1024
-    if (p.peekIs("dim")) { p.pop(); dim = posLong("dim").toInt }
+    if (p.peekIs("dim")) {
+      p.pop()
+      val d = posLong("dim")
+      require(d <= 1000000, s"classify … dim must be <= 1e6, got $d")
+      dim = d.toInt
+    }
     var scale = 1997L
     if (p.peekIs("scale")) { p.pop(); scale = posLong("scale") }
     require(p.done, s"trailing tokens in classify: ${p.toks.mkString(" ")}")

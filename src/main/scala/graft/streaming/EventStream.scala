@@ -256,10 +256,16 @@ object EventStream {
     * batch fold bit-for-bit (StreamingSpec pins it; q144 oracles it
     * against a recursive-CTE replay of the same arithmetic).
     *
-    * Within a micro-batch rows process in event-time order; a
-    * cross-batch regression (row older than the last applied tick) is
-    * SKIPPED rather than corrupting the recurrence — same
-    * no-state-regression posture as [[AsOfEnrichProcessor]]. */
+    * Within a micro-batch rows process in event-time order (ties broken
+    * by value — deterministic); a cross-batch regression OR equal-ts
+    * redelivery (row not strictly newer than the last applied tick) is
+    * SKIPPED rather than corrupting the recurrence — the same
+    * no-state-regression posture as [[AsOfEnrichProcessor]], and it
+    * makes at-least-once replays idempotent. Consequence, stated: on
+    * inputs with duplicate (key, ts) pairs the stream applies ONE tick
+    * per timestamp while the batch fold applies every row — unique
+    * per-key timestamps (the tick-stream invariant, held by the
+    * fixture) are the parity contract q144 oracles. */
   class EmaProcessor(alpha: Double) extends StatefulProcessor[Long, Tick, EmaRow] {
     @transient private var st: ValueState[EmaState] = _
 
@@ -270,7 +276,7 @@ object EventStream {
     override def handleInputRows(key: Long, rows: Iterator[Tick],
                                  tv: TimerValues): Iterator[EmaRow] = {
       val out = List.newBuilder[EmaRow]
-      rows.toSeq.sortBy(_.ts_ns).foreach { r =>
+      rows.toSeq.sortBy(r => (r.ts_ns, r.value)).foreach { r =>
         val prev = if (st.exists()) Some(st.get()) else None
         if (!prev.exists(_.ts_ns >= r.ts_ns)) {
           val ema = prev match {

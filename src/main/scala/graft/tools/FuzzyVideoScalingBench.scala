@@ -40,20 +40,8 @@ object FuzzyVideoScalingBench {
     def gifs(n: Int) = spark.range(n).as[Long].mapPartitions { it =>
       it.map { id =>
         val nf = 1 + (id % 4).toInt
-        val baos = new java.io.ByteArrayOutputStream()
-        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-        val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
-        writer.setOutput(ios); writer.prepareWriteSequence(null)
-        (0 until nf).foreach { k =>
-          val bright = ((7 * id + 13 * k) % 64).toInt
-          val img = new java.awt.image.BufferedImage(8, 8,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          (0 until 64).foreach(c =>
-            img.setRGB(c % 8, c / 8, if (c < bright) 0xFFFFFF else 0))
-          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
-        }
-        writer.endWriteSequence(); ios.close(); writer.dispose()
-        (id, baos.toByteArray)
+        (id, graft.llm.Multimodal.synthGif(
+          (0 until nf).map(k => ((7 * id + 13 * k) % 64).toInt)))
       }
     }.toDF("doc_id", "gif")
     for (n <- Seq(256, 1024, 4096)) {

@@ -209,6 +209,41 @@ class FolioSpec extends SparkSpec {
     assert(Folio.promotedRead(spark, s"$dir/t").count() == 4)
   }
 
+  test("appendWithPromotion preserves a partitioned live layout (like upsert)") {
+    val dir = tmp()
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "g", "v")
+    Folio.appendWithPromotion(base, s"$dir/t") // v1 flat
+    Folio.compact(spark, s"$dir/t", partitionCols = Seq("g")) // v2 by g
+    Folio.appendWithPromotion(Seq((3L, "c", 30.0)).toDF("k", "g", "v"), s"$dir/t")
+    // v3 must STAY partitioned by g — an append is never a layout change
+    assert(Folio.partitionColsOnDisk(
+      new java.io.File(s"$dir/t", "v00000003")) == Seq("g"))
+    assert(Folio.promotedRead(spark, s"$dir/t").count() == 3)
+  }
+
+  test("publishArtifacts clears a stale crashed staging dir before writing") {
+    val dir = tmp()
+    // v1 live
+    Folio.publishArtifacts(s"$dir/idx") { vdir =>
+      java.nio.file.Files.write(new java.io.File(vdir, "a.json").toPath,
+        "{}".getBytes("UTF-8"))
+    }
+    // simulate a CRASHED v2 attempt of a different artifact kind: the
+    // staging dir exists with leftovers, but _CURRENT still points at v1
+    val stale = new java.io.File(s"$dir/idx", "v00000002")
+    stale.mkdirs()
+    java.nio.file.Files.write(new java.io.File(stale, "leftover.json").toPath,
+      "{}".getBytes("UTF-8"))
+    // the retry publishes v2 fresh — the leftover must NOT ride along
+    Folio.publishArtifacts(s"$dir/idx") { vdir =>
+      java.nio.file.Files.write(new java.io.File(vdir, "b.json").toPath,
+        "{}".getBytes("UTF-8"))
+    }
+    val files = new java.io.File(s"$dir/idx", "v00000002").listFiles().map(_.getName).toSet
+    assert(files == Set("b.json"), s"stale artifacts published: $files")
+  }
+
   test("publishArtifacts: versioned stage-and-swap for artifact trees") {
     val dir = tmp()
     val v1 = Folio.publishArtifacts(s"$dir/idx") { vdir =>

@@ -1040,21 +1040,7 @@ class KerfSqlSpec extends SparkSpec {
 
   test("neardup frames metric: video near-dup from the text surface") {
     import spark.implicits._
-    def gif(patterns: Seq[Int]): Array[Byte] = {
-      val baos = new java.io.ByteArrayOutputStream()
-      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
-      writer.setOutput(ios); writer.prepareWriteSequence(null)
-      patterns.foreach { bright =>
-        val img = new java.awt.image.BufferedImage(8, 8,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        (0 until 64).foreach(c =>
-          img.setRGB(c % 8, c / 8, if (c < bright) 0xFFFFFF else 0))
-        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
-      }
-      writer.endWriteSequence(); ios.close(); writer.dispose()
-      baos.toByteArray
-    }
+    def gif(patterns: Seq[Int]): Array[Byte] = graft.llm.Multimodal.synthGif(patterns)
     Seq((1L, gif(Seq(10, 20))), (2L, gif(Seq(10, 20, 30))), (3L, gif(Seq(50))))
       .toDF("doc_id", "vid").createOrReplaceTempView("vids_t")
     val got = KerfSql.run(spark,
@@ -1135,6 +1121,13 @@ class KerfSqlSpec extends SparkSpec {
       KerfSql.run(spark,
         "select distinct l_orderkey, sums(l_quantity) from lineitem_v order l_orderkey")
     }
+    // `distinct(xs)` stays the call-form LIST verb (per-row array dedup),
+    // NOT the set-projection modifier
+    import spark.implicits._
+    Seq((1L, Seq(3, 3, 1))).toDF("id", "xs").createOrReplaceTempView("dl_t")
+    val arr = KerfSql.run(spark, "select distinct(xs) as d from dl_t")
+      .collect().head.getSeq[Int](0)
+    assert(arr == Seq(3, 1))
   }
 
   test("ema verb: array-form scan == Adverbs.ema; loud on non-lists") {

@@ -903,21 +903,7 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("video near-dup: padded copy pairs at its true Jaccard, threshold dials") {
-    def gif(patterns: Seq[Int]): Array[Byte] = {
-      val baos = new java.io.ByteArrayOutputStream()
-      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
-      writer.setOutput(ios); writer.prepareWriteSequence(null)
-      patterns.foreach { bright =>
-        val img = new java.awt.image.BufferedImage(8, 8,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        (0 until 64).foreach(c =>
-          img.setRGB(c % 8, c / 8, if (c < bright) 0xFFFFFF else 0))
-        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
-      }
-      writer.endWriteSequence(); ios.close(); writer.dispose()
-      baos.toByteArray
-    }
+    def gif(patterns: Seq[Int]): Array[Byte] = graft.llm.Multimodal.synthGif(patterns)
     val vids = Seq(
       (1L, gif(Seq(10, 20))),        // two frames
       (2L, gif(Seq(10, 20, 30))),    // same two + one extra (padded copy)
