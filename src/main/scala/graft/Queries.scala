@@ -2742,12 +2742,12 @@ object Queries {
   val q150_dialect_drift: Q = (s, dir) => {
     Tables.documents(s, dir).createOrReplaceTempView("docs_v150")
     sql.KerfSql.run(s,
-      "a: select doc_id, text from docs_v150 where doc_id < 250; " +
-      "b: select doc_id, text from docs_v150 where doc_id >= 250; " +
-      "ca: census a by doc_id on text; " +
-      "cb: census b by doc_id on text; " +
-      "d: drift ca against cb top 10; " +
-      "select drift_rank, tok, cnt_a, cnt_b, tv_distance from d order drift_rank")
+      "half_a_v150: select doc_id, text from docs_v150 where doc_id < 250; " +
+      "half_b_v150: select doc_id, text from docs_v150 where doc_id >= 250; " +
+      "census_a_v150: census half_a_v150 by doc_id on text; " +
+      "census_b_v150: census half_b_v150 by doc_id on text; " +
+      "drift_v150: drift census_a_v150 against census_b_v150 top 10; " +
+      "select drift_rank, tok, cnt_a, cnt_b, tv_distance from drift_v150 order drift_rank")
   }
 
   // ---------------------------------------------------------------- registry

@@ -253,7 +253,8 @@ object Multimodal {
     * set, MSB-first — the [[aHashSignatures]] convention computed at
     * the decode site, where the pixels already are: no second decode
     * pass, no pixel column ever shuffles). One blob in flight per task;
-    * output is 16 bytes per sampled frame regardless of resolution. */
+    * output is one 20-byte row (id, frame_no, hash) per sampled frame
+    * regardless of resolution. */
   def sampleFrameHashesPartitioned(docs: DataFrame, idCol: String, binCol: String,
                                    stride: Int = 1, grid: Int = 8): DataFrame = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
@@ -316,7 +317,7 @@ object Multimodal {
     * re-muxed, or padded copies collapse; byte-identity is
     * [[graft.llm.Dedup.exactBinary]]'s job). Composition of the
     * existing tiers, Spark-first: frame aHashes from the decode seam
-    * (map-only, 16 bytes/frame), per-video hash SET via one partial-agg
+    * (map-only, ~20 bytes/frame), per-video hash SET via one partial-agg
     * groupBy, then the SAME MinHash→band→bucket→verify engine as text
     * near-dup ([[graft.llm.Dedup.pairsFromHashSets]]) — at 100 TB the
     * banding cost model carries over unchanged because the engine is
@@ -325,6 +326,10 @@ object Multimodal {
                            stride: Int = 1, numHashes: Int = 32, bands: Int = 8,
                            jaccardThreshold: Double = 0.9,
                            maxBucket: Int = 64): DataFrame = {
+    // validate BEFORE the persist below (the Dedup.minhashPairsPlan
+    // invariant): a throw after registering the cache would leak a
+    // pinned CacheManager entry for the session
+    require(numHashes % bands == 0, "bands must divide numHashes")
     val hashed = sampleFrameHashesPartitioned(videos, idCol, binCol, stride)
       .groupBy(col("doc_id"))
       .agg(collect_set(col("fhash")).as("shh"))

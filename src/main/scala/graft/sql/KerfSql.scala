@@ -895,7 +895,10 @@ object KerfSql {
     }
     case ("distinct", Seq(a)) => a.dt match { // first-occurrence order
       case ArrayType(e, _) => T(array_distinct(a.col), ArrayType(e))
-      case other => throw new IllegalArgumentException(s"distinct: need a list, got $other")
+      case other => throw new IllegalArgumentException(
+        s"distinct(…) is the LIST verb (per-row array dedup) and needs a list, " +
+        s"got $other — for row-level DISTINCT write `select distinct c1, c2 …` " +
+        "(no parens)")
     }
     case ("ascend", Seq(a)) => a.dt match {
       case ArrayType(_, _) =>
