@@ -1809,6 +1809,10 @@ object Oracles {
                 CAST(1.0 AS DOUBLE) AS jaccard
          FROM documents WHERE doc_id < 16 ORDER BY id_a""",
 
+    "q151_kerf_countd" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS nc, count(*) AS n
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
     // the dialect-driven workflow computes q140's exact answer
     "q150_dialect_drift" ->
       """WITH ta AS (

@@ -2750,6 +2750,16 @@ object Queries {
       "select drift_rank, tok, cnt_a, cnt_b, tv_distance from drift_v150 order drift_rank")
   }
 
+  /** Exact distinct-count aggregate from the text surface (`countd`,
+    * the set-cardinality verb — §2.7's counting face; q09/q25 are the
+    * API twins): per-status distinct customers over orders. */
+  val q151_kerf_countd: Q = (s, dir) => {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v151")
+    sql.KerfSql.run(s,
+      "select o_orderstatus, countd(o_custkey) as nc, count(*) as n " +
+      "from orders_v151 group o_orderstatus order o_orderstatus")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2901,5 +2911,6 @@ object Queries {
     "q148_fuzzy_join"    -> q148_fuzzy_join,
     "q149_video_dedup"   -> q149_video_dedup,
     "q150_dialect_drift" -> q150_dialect_drift,
+    "q151_kerf_countd"   -> q151_kerf_countd,
   )
 }

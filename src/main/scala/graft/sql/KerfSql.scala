@@ -689,6 +689,13 @@ object KerfSql {
             }
             T(inner.col - lag(inner.col, 1).over(w), deltaDt)
         }
+      case fn if fn.toLowerCase == "countd" && p.peekIs("(") =>
+        // exact distinct count — the SQL COUNT(DISTINCT c) as a Kerf-
+        // style verb (set cardinality, §2.7); two-phase partial agg
+        p.expect("(")
+        val inner = parseExpr(p, env)
+        p.expect(")")
+        T(count_distinct(inner.col), LongType)
       case fn if fn.toLowerCase == "pctl" && p.peekIs("(") =>
         // exact interpolated percentile — `pctl(l_quantity, 0.5)`; the
         // engine-portable exact aggregate (DuckDB: quantile_cont), like
