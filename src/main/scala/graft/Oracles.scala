@@ -1813,6 +1813,12 @@ object Oracles {
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS nc, count(*) AS n
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
+    "q152_kerf_ranks" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(row_number() OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rk
+         FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""",
+
     // the dialect-driven workflow computes q140's exact answer
     "q150_dialect_drift" ->
       """WITH ta AS (

@@ -2760,6 +2760,16 @@ object Queries {
       "from orders_v151 group o_orderstatus order o_orderstatus")
   }
 
+  /** `ranks()` window TABLE verb (the grade-then-index rank face of
+    * grade.cc, down the rows like sums/deltas): per-customer order rank
+    * by date — `group` is the PARTITION BY, `order` the rank axis. */
+  val q152_kerf_ranks: Q = (s, dir) => {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v152")
+    sql.KerfSql.run(s,
+      "select o_custkey, o_orderkey, ranks(o_orderdate) as rk " +
+      "from orders_v152 group o_custkey order o_orderdate, o_orderkey")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2912,5 +2922,6 @@ object Queries {
     "q149_video_dedup"   -> q149_video_dedup,
     "q150_dialect_drift" -> q150_dialect_drift,
     "q151_kerf_countd"   -> q151_kerf_countd,
+    "q152_kerf_ranks"    -> q152_kerf_ranks,
   )
 }

@@ -102,7 +102,7 @@ object KerfSql {
     * ORDER BY the order items — ops.Adverbs.scanRows/eachPriorRows made
     * first-class in the dialect. */
   private val windowVerbs = Set("sums", "avgs", "mins", "maxs", "counts",
-    "deltas", "prev")
+    "deltas", "prev", "ranks")
   private val listVerbs = Set("length", "upper", "lower", "reverse",
     "first", "last", "enlist", "join", "find", "keys", "values", "amend",
     "take", "drop", "distinct", "ascend", "descend", "flip", "bars",
@@ -678,6 +678,13 @@ object KerfSql {
           case "maxs"   => T(max(inner.col).over(frame), inner.dt)
           case "counts" => T(count(inner.col).over(frame), LongType)
           case "prev"   => T(lag(inner.col, 1).over(w), inner.dt)
+          case "ranks"  =>
+            // 1-based row rank down the ordered rows (grade-then-index,
+            // grade.cc's sort-rank face): the argument picks nothing —
+            // rank is a property of the (group, order) axes — but the
+            // call form keeps the verb family uniform; pass the order
+            // column for readability
+            T(row_number().over(w).cast("long"), LongType)
           case "deltas" =>
             // the subtraction's result type differs from the input on
             // temporal axes: ts - ts and date - date yield ANSI intervals

@@ -1022,6 +1022,22 @@ class KerfSqlSpec extends SparkSpec {
     }
   }
 
+  test("ranks window verb == row_number over the (group, order) axes") {
+    init
+    val got = KerfSql.run(spark,
+      "select o_custkey, o_orderkey, ranks(o_orderdate) as rk from orders_v " +
+      "group o_custkey order o_orderdate, o_orderkey")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val want = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).cast("long").as("rk"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      .select("o_custkey", "o_orderkey", "rk")
+    assert(got.select("o_custkey", "o_orderkey", "rk").collect().toSeq ==
+           want.collect().toSeq)
+  }
+
   test("census verb closes the lmscore train/deploy loop in the dialect") {
     Tables.documents(spark, sf).createOrReplaceTempView("docs_census")
     val viaVerb = KerfSql.run(spark,

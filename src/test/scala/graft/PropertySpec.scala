@@ -43,6 +43,22 @@ class PropertySpec extends SparkSpec {
     assert(got.size == n && got.zip(want).forall { case (g, w) => g == w })
   }
 
+  test("fp16 pack is order-preserving: a <= b implies rt(a) <= rt(b)") {
+    // monotonicity is what makes the fp16 tier safe under range
+    // predicates and ordered scans: quantization can merge neighbors
+    // but can never SWAP them (IEEE sign-magnitude bit patterns are
+    // monotone in the value; round-half-up preserves weak order)
+    import graft.functions.{HalfPack, HalfUnpack}
+    def rt(f: Float): Float = HalfUnpack.halfToFloat(HalfPack.floatToHalf(f))
+    val rnd = new scala.util.Random(21)
+    (1 to 3000).foreach { _ =>
+      val a = (rnd.nextFloat() * 2 - 1) * math.pow(10, rnd.nextInt(10) - 5).toFloat
+      val b = (rnd.nextFloat() * 2 - 1) * math.pow(10, rnd.nextInt(10) - 5).toFloat
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      assert(rt(lo) <= rt(hi), s"fp16 order swap: $lo -> ${rt(lo)}, $hi -> ${rt(hi)}")
+    }
+  }
+
   test("eachPrior-with-subtraction telescopes: fold(+)(deltas) == last - seed") {
     val rnd = new scala.util.Random(7)
     val vectors = (1 to 20).map(_ => (1 to (1 + rnd.nextInt(10))).map(_ => rnd.nextInt(200) - 100))
