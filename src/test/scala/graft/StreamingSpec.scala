@@ -796,6 +796,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming EMA state survives checkpoint restart (fold continues)") {
+    withRocksDb {
+      import spark.implicits._
+      // ticks arrive as CSV lines over the chunk feed (a recoverable
+      // source, unlike MemoryStream) so the SAME checkpoint can be
+      // resumed — the test pins that the per-key EMA state is RESTORED
+      // from RocksDB: the post-restart tick folds on top of the
+      // pre-restart recurrence instead of re-seeding
+      val feed = java.nio.file.Files.createTempDirectory("graft_ema_feed").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ema_ckpt").toString
+      def put(chunk: Int, lines: String*): Unit = {
+        val dir = java.nio.file.Paths.get(feed, "p0")
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.write(dir.resolve(f"chunk-$chunk%08d"),
+          lines.mkString("\n").getBytes("UTF-8"))
+      }
+      def runOnce(): Seq[(Long, Long, Double)] = {
+        val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+        val ticks = spark.readStream.format("graft.sources.ChunkFeedSource")
+          .option("path", feed).load()
+          .select(
+            split(col("line"), ",").getItem(0).cast("long").as("user_id"),
+            split(col("line"), ",").getItem(1).cast("long").as("ts_ns"),
+            split(col("line"), ",").getItem(2).cast("double").as("value"))
+        val q = EventStream.emaByKey(ticks, alpha = 0.5)
+          .writeStream.outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val rows = batch.select("user_id", "ts_ns", "ema")
+              .as[(Long, Long, Double)].collect()
+            buf.synchronized { buf ++= rows }
+            ()
+          }
+          .option("checkpointLocation", ckpt).start()
+        try q.processAllAvailable() finally q.stop()
+        buf.synchronized(buf.toSeq.sortBy(t => (t._1, t._2)))
+      }
+      put(0, "1,100,8.0", "1,200,4.0")
+      val run1 = runOnce()
+      assert(run1 == Seq((1L, 100L, 8.0), (1L, 200L, 6.0)), s"run1: $run1")
+      // a tick arrives while the query is DOWN; after restart the fold
+      // must CONTINUE: ema = 6.0 + 0.5·(10 − 6.0) = 8.0 — a re-seeded
+      // state would emit 10.0 instead
+      put(1, "1,300,10.0")
+      val run2 = runOnce()
+      assert(run2 == Seq((1L, 300L, 8.0)),
+        s"state not restored across restart: $run2")
+    }
+  }
+
   test("transformWithState idle timer evicts state (n_events restarts)") {
     withRocksDb {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
