@@ -541,6 +541,30 @@ object Similarity {
       .select(col("q_id"), col("rk"), col("cand_id"), col("sim"))
   }
 
+  /** REALTIME RETRIEVAL against a persisted IVF index: probe with a
+    * STREAM of query vectors. Each micro-batch runs the stored-layout
+    * probe ([[ivfTopKIndexed]] — static directory pruning, no training
+    * pass) and hands the scored top-k frame to `sink` (production: a
+    * Kafka topic / result table; tests: a buffer). The index build is
+    * amortized across the stream's lifetime — the query-side cost per
+    * batch is the probe of ~nProbe/nLists of the corpus, which is the
+    * whole point of shipping the index to realtime. foreachBatch is the
+    * right seam (not a stream-static join): the probed list set is a
+    * per-batch DRIVER decision (the static `isin` the planner prunes
+    * on), which a declarative join could not re-plan per batch. */
+  def ivfProbeStream(queries: DataFrame, path: String, k: Int, nProbe: Int = 4,
+                     idCol: String = "vec_id", vecCol: String = "embedding")
+                    (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = queries.sparkSession
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          sink(ivfTopKIndexed(spark, path, batch, k, nProbe, idCol, vecCol))
+        ()
+      }
+      .start()
+  }
+
   // ----- Product quantization (PQ) — the extreme-compression ANN tier -----
 
   /** Train per-subspace PQ codebooks: the vector is split into `m`

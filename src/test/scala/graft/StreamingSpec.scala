@@ -796,6 +796,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("realtime retrieval: streamed queries probe the persisted IVF index == batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus with planted replicas of the two query vectors
+    val vecs = (0L until 40L).map { i =>
+      val base = Array.tabulate(8)(d => math.sin(i * 7.0 + d).toFloat)
+      (i, base.toSeq)
+    }
+    val corpus = (vecs ++ Seq((900L, vecs(0)._2), (901L, vecs(1)._2)))
+      .toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_streamprobe").toString
+    graft.llm.Similarity.writeIvfIndex(corpus, s"$path/idx", nLists = 4)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.llm.Similarity.ivfProbeStream(
+        input.toDF().toDF("vec_id", "embedding"), s"$path/idx", 1, nProbe = 2) { out =>
+      val rows = out.select("q_id", "cand_id", "sim")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      buf.synchronized { buf ++= rows }
+    }
+    try {
+      input.addData((0L, vecs(0)._2))
+      q.processAllAvailable()
+      input.addData((1L, vecs(1)._2)) // second batch probes the SAME artifact
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = buf.synchronized(buf.toSeq.sortBy(_._1))
+    // each streamed query finds its planted replica at cosine exactly 1.0,
+    // identical to the batch probe of the same index
+    assert(got == Seq((0L, 900L, 1.0), (1L, 901L, 1.0)), s"got $got")
+  }
+
   test("streaming EMA state survives checkpoint restart (fold continues)") {
     withRocksDb {
       import spark.implicits._
