@@ -1061,6 +1061,23 @@ class LlmOpsSpec extends SparkSpec {
       s"fp16-tier replica not exact: ${got.toSeq}")
   }
 
+  test("in-flight probe survives a concurrent re-train (fallback version retained)") {
+    val vecs = marginFixture(61)
+    val df = vecs.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfconc").toString
+    Similarity.writeIvfIndex(df, s"$path/idx", nLists = 4)
+    // a LAZY probe plan resolved against v1 (single root resolution)
+    val probe = Similarity.ivfTopKIndexed(spark, s"$path/idx",
+      df.filter(col("vec_id") === 0L), 1, nProbe = 2)
+    // re-train publishes v2 while the probe is in flight; v1 is RETAINED
+    // as the crash fallback, so the resolved plan still reads real files
+    Similarity.writeIvfIndex(df, s"$path/idx", nLists = 2)
+    assert(graft.io.Folio.versions(s"$path/idx") ==
+      Seq("v00000001", "v00000002"))
+    assert(probe.collect().nonEmpty,
+      "probe resolved before the republish must still execute")
+  }
+
   test("persisted PQ index: codes-only probe equals the train-per-call answer") {
     val vecs = marginFixture(47)
     val df = vecs.toDF("vec_id", "embedding")
