@@ -1151,6 +1151,8 @@ object KerfSql {
         // second token keeps `compact(x)` an expression over user names
         case "compact" if toks.lengthCompare(2) >= 0 && toks(1).startsWith("'") =>
           p.pop(); last = Left(runCompact(spark, p))
+        case "vacuum" if toks.lengthCompare(2) >= 0 && toks(1).startsWith("'") =>
+          p.pop(); last = Left(runVacuum(spark, p))
         case "def" =>
           p.pop()
           val name = p.pop()
@@ -2165,6 +2167,22 @@ object KerfSql {
     * convention, `zorder` switches to the Morton clustering (row-group
     * stats then prune on ANY listed column). Returns the compacted
     * read, so `t: compact '…' …` assigns like a select. */
+  /** `vacuum 'path'` → [[graft.io.Folio.vacuum]]: delete crash leftovers
+    * (orphaned version dirs beyond live+fallback, stale `_CURRENT.tmp`) —
+    * the maintenance-cadence sibling of `compact`; returns one row per
+    * removed name so the cadence job can log its work. */
+  private def runVacuum(spark: SparkSession, p: P): DataFrame = {
+    val path = {
+      val t = p.pop()
+      require(t.startsWith("'") && t.endsWith("'") && t.length > 2,
+        s"vacuum needs a quoted path, got $t")
+      t.substring(1, t.length - 1)
+    }
+    require(p.done, s"trailing tokens in vacuum: ${p.toks.mkString(" ")}")
+    import spark.implicits._
+    graft.io.Folio.vacuum(path).toDF("removed")
+  }
+
   private def runCompact(spark: SparkSession, p: P): DataFrame = {
     val path = {
       val t = p.pop()
