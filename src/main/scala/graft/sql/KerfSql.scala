@@ -2258,6 +2258,16 @@ object KerfSql {
         s"index … $what needs a positive int, got $t")
       t.toInt
     }
+    // `index t by id on vec at 'path' append` — INCREMENTAL maintenance:
+    // assign the batch against the STORED centroid model and append into
+    // the live version's list dirs (no retraining; retrain on a cadence
+    // with the build form, append between — the q133 posture)
+    if (p.peekIs("append")) {
+      p.pop()
+      require(p.done, s"trailing tokens in index append: ${p.toks.mkString(" ")}")
+      graft.llm.Similarity.appendToIvfIndex(df, path, idCol, vecCol)
+      return spark.read.parquet(s"${graft.llm.Similarity.indexRoot(path)}/lists")
+    }
     var lists: Option[Int] = None
     if (p.peekIs("lists")) { p.pop(); lists = Some(posInt("lists")) }
     var pq: Option[(Int, Int)] = None

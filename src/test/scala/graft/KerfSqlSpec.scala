@@ -1112,6 +1112,29 @@ class KerfSqlSpec extends SparkSpec {
     }
   }
 
+  test("index append form: incremental maintenance from the text surface") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kerf_idxapp").toString
+    val base = Tables.embeddings(spark, sf)
+    base.createOrReplaceTempView("emb_app_base")
+    base.filter(col("vec_id") === 0L)
+      .withColumn("vec_id", lit(7000000L))
+      .createOrReplaceTempView("emb_app_new")
+    base.filter(col("vec_id") === 0L).createOrReplaceTempView("emb_app_q")
+    KerfSql.run(spark,
+      s"index emb_app_base by vec_id on embedding at '$dir/ivf' lists 8")
+    // append an exact replica of query 0 WITHOUT retraining, then probe
+    KerfSql.run(spark,
+      s"index emb_app_new by vec_id on embedding at '$dir/ivf' append")
+    val got = KerfSql.run(spark,
+        s"probe '$dir/ivf' with emb_app_q by vec_id on embedding top 1 probes 1")
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq((7000000L, 1.0)), s"appended replica not found: $got")
+    intercept[IllegalArgumentException] {
+      KerfSql.run(spark,
+        s"index emb_app_new by vec_id on embedding at '$dir/ivf' append lists 8")
+    }
+  }
+
   test("index verb `half` stores the fp16 tier; probe stays exact on replicas") {
     val dir = java.nio.file.Files.createTempDirectory("graft_kerf_fp16").toString
     val base = Tables.embeddings(spark, sf)
