@@ -1813,6 +1813,33 @@ object Oracles {
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS nc, count(*) AS n
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
+    // the six-statement dialect pipeline replayed stage by stage: md5
+    // min-id dedup witnesses -> survivors -> hashed linear classifier
+    // (exact integer sums, one rim division) -> threshold -> md5-prefix
+    // Bernoulli sample
+    "q153_dialect_pipeline" ->
+      """WITH keep AS (
+           SELECT min(doc_id) AS doc_id FROM documents
+           GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))),
+         surv AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),
+         toks AS (
+           SELECT doc_id,
+                  unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+           FROM surv),
+         b AS (
+           SELECT doc_id,
+                  CAST(concat('0x', substring(md5(tok), 1, 6)) AS BIGINT) % 1024 AS bucket
+           FROM toks),
+         sc AS (
+           SELECT doc_id, count(*) AS n_tokens,
+                  CAST(sum((bucket * 2654435761) % 1997) AS DOUBLE)
+                    / (1997.0 * count(*)) - 0.5 AS score
+           FROM b GROUP BY doc_id),
+         flt AS (SELECT * FROM sc WHERE score > -0.01)
+         SELECT doc_id, n_tokens, score FROM flt
+         WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+         ORDER BY doc_id""",
+
     "q152_kerf_ranks" ->
       """SELECT o_custkey, o_orderkey,
                 CAST(row_number() OVER (

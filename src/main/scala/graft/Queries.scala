@@ -2770,6 +2770,25 @@ object Queries {
       "from orders_v152 group o_custkey order o_orderdate, o_orderkey")
   }
 
+  /** The PRODUCTION corpus pipeline composed end-to-end from the TEXT
+    * surface — dedup → survivors → learned quality filter → threshold →
+    * deterministic sample, six statements, zero API calls (the full
+    * train-data assembly loop q110 sketched for sample/shard, now with
+    * the round's classifier in the middle). Every stage is engine-
+    * portable arithmetic (md5 witnesses, integer bucket weights, one
+    * rim division, md5-prefix Bernoulli), so DuckDB replays the whole
+    * pipeline from scratch. */
+  val q153_dialect_pipeline: Q = (s, dir) => {
+    Tables.documents(s, dir).createOrReplaceTempView("docs_v153")
+    sql.KerfSql.run(s,
+      "w_v153: dedup docs_v153 by doc_id on text; " +
+      "surv_v153: select doc_id, text from docs_v153 join w_v153 on doc_id = keep_id; " +
+      "cls_v153: classify surv_v153 by doc_id on text; " +
+      "flt_v153: select doc_id, n_tokens, score from cls_v153 where score > 0 - 0.01; " +
+      "smp_v153: sample flt_v153 by doc_id at 'cc'; " +
+      "select doc_id, n_tokens, score from smp_v153 order doc_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2923,5 +2942,6 @@ object Queries {
     "q150_dialect_drift" -> q150_dialect_drift,
     "q151_kerf_countd"   -> q151_kerf_countd,
     "q152_kerf_ranks"    -> q152_kerf_ranks,
+    "q153_dialect_pipeline" -> q153_dialect_pipeline,
   )
 }
