@@ -1846,6 +1846,35 @@ object Oracles {
                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rk
          FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""",
 
+    // forward-fill: purchase prices left-joined onto every tick (the
+    // null plant), then carried with last_value IGNORE NULLS over the
+    // same running frame — rows before a user's first purchase stay null
+    "q154_kerf_fills" ->
+      """WITH pur AS (
+           SELECT event_id AS pe, value AS pv FROM events
+           WHERE event_type = 'purchase'),
+         j AS (
+           SELECT e.user_id, epoch_us(e.ts) * 1000 AS ts_ns, e.event_id, p.pv
+           FROM events e LEFT JOIN pur p ON e.event_id = p.pe)
+         SELECT user_id, ts_ns,
+                last_value(pv IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY ts_ns, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lastp
+         FROM j ORDER BY user_id, ts_ns, event_id""",
+
+    // rolling 3-tick sum/mean + 5-tick min/max per user: bounded ROWS
+    // frames over one (user, time) window; ≤3-term double sums associate
+    // identically left-to-right in both engines, min/max are exact picks
+    "q155_kerf_moving" ->
+      """SELECT user_id, epoch_us(ts) * 1000 AS ts_ns,
+                sum(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ms3,
+                avg(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3,
+                min(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mn5,
+                max(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mx5
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) * 1000, event_id)
+         ORDER BY user_id, ts_ns, event_id""",
+
     // the dialect-driven workflow computes q140's exact answer
     "q150_dialect_drift" ->
       """WITH ta AS (

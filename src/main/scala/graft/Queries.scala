@@ -2784,9 +2784,43 @@ object Queries {
       "w_v153: dedup docs_v153 by doc_id on text; " +
       "surv_v153: select doc_id, text from docs_v153 join w_v153 on doc_id = keep_id; " +
       "cls_v153: classify surv_v153 by doc_id on text; " +
-      "flt_v153: select doc_id, n_tokens, score from cls_v153 where score > 0 - 0.01; " +
+      "flt_v153: select doc_id, n_tokens, score from cls_v153 where score > -0.01; " +
       "smp_v153: sample flt_v153 by doc_id at 'cc'; " +
       "select doc_id, n_tokens, score from smp_v153 order doc_id")
+  }
+
+  /** FORWARD-FILL from the text surface (`fills`, the tick-DB quote
+    * carry — adverbs.h:76–120's unfold specialised to "last non-null so
+    * far"): sparse purchase prices land on every event tick per user.
+    * The null plant is a LEFT JOIN against the purchase subset (how a
+    * real tick join produces gaps), the carry is one window scan —
+    * `last(ignoreNulls).over(running frame)`, the same substrate
+    * AsOf.scala's staleness carry runs on. Rows before a user's first
+    * purchase stay null (nothing to carry). */
+  val q154_kerf_fills: Q = (s, dir) => {
+    Tables.events(s, dir).createOrReplaceTempView("events_v154")
+    sql.KerfSql.run(s,
+      "pur_v154: select event_id as pe, value as pv from events_v154 " +
+      "where event_type = 'purchase'; " +
+      "select user_id, ts_ns, fills(pv) as lastp " +
+      "from events_v154 left join pur_v154 on event_id = pe " +
+      "group user_id order ts_ns, event_id")
+  }
+
+  /** FIXED-WIDTH MOVING AGGREGATES from the text surface (`msums/mavgs/
+    * mmins/mmaxs`, the q-family msum/mavg heritage): rolling 3-tick
+    * sum/mean and 5-tick min/max per user down the time axis. Each verb
+    * is one bounded ROWS frame over the SAME (group, order) window —
+    * one shuffle for all four columns; ragged leading frames (fewer
+    * than N rows) aggregate what exists, the q/kdb convention. Sums of
+    * ≤3 doubles associate identically left-to-right in both engines, so
+    * the comparison is exact. */
+  val q155_kerf_moving: Q = (s, dir) => {
+    Tables.events(s, dir).createOrReplaceTempView("events_v155")
+    sql.KerfSql.run(s,
+      "select user_id, ts_ns, msums(3, value) as ms3, mavgs(3, value) as ma3, " +
+      "mmins(5, value) as mn5, mmaxs(5, value) as mx5 " +
+      "from events_v155 group user_id order ts_ns, event_id")
   }
 
   // ---------------------------------------------------------------- registry
@@ -2943,5 +2977,7 @@ object Queries {
     "q151_kerf_countd"   -> q151_kerf_countd,
     "q152_kerf_ranks"    -> q152_kerf_ranks,
     "q153_dialect_pipeline" -> q153_dialect_pipeline,
+    "q154_kerf_fills"    -> q154_kerf_fills,
+    "q155_kerf_moving"   -> q155_kerf_moving,
   )
 }

@@ -93,7 +93,11 @@ object KerfSql {
 
   private val clauseWords = Set("from", "where", "group", "order", "limit",
     "select", "set", "values", "into")
-  private val aggFns = Set("sum", "avg", "min", "max", "count", "pctl")
+  // `countd` has its own parse branch (exact distinct count) but is an
+  // aggregate for the windowed-select mix guard: without it here,
+  // `select sums(x), countd(y) …` would leak a raw Spark analysis error
+  // instead of the friendly "cannot mix" rejection.
+  private val aggFns = Set("sum", "avg", "min", "max", "count", "pctl", "countd")
   /** Windowed TABLE verbs — the down-the-rows forms of the adverb family
     * (unfold/scan ⇒ running aggregates, mapback/eachprior ⇒ prev/deltas;
     * reference semantics adverbs.h:76–120, 157–206) as select items:
@@ -102,7 +106,11 @@ object KerfSql {
     * ORDER BY the order items — ops.Adverbs.scanRows/eachPriorRows made
     * first-class in the dialect. */
   private val windowVerbs = Set("sums", "avgs", "mins", "maxs", "counts",
-    "deltas", "prev", "ranks")
+    "deltas", "prev", "ranks", "fills", "msums", "mavgs", "mmins", "mmaxs")
+  /** Fixed-width moving aggregates (`msums(5, x)` = rolling 5-row sum) —
+    * the q-family msum/mavg heritage down the table's rows: a bounded
+    * ROWS frame instead of the running UNBOUNDED PRECEDING one. */
+  private val movingVerbs = Set("msums", "mavgs", "mmins", "mmaxs")
   private val listVerbs = Set("length", "upper", "lower", "reverse",
     "first", "last", "enlist", "join", "find", "keys", "values", "amend",
     "take", "drop", "distinct", "ascend", "descend", "flip", "bars",
@@ -124,10 +132,16 @@ object KerfSql {
   private class Env(val schema: Option[StructType], val vars: Map[String, T],
                     val funcs: Map[String, FVal] = Map.empty,
                     val wspec: Option[org.apache.spark.sql.expressions.WindowSpec] = None,
-                    val tnames: Set[String] = Set.empty) {
-    def bind(ps: Seq[(String, T)]): Env = new Env(schema, vars ++ ps, funcs, wspec, tnames)
-    def withWspec(w: org.apache.spark.sql.expressions.WindowSpec): Env =
-      new Env(schema, vars, funcs, Some(w), tnames)
+                    val tnames: Set[String] = Set.empty,
+                    // first order-clause key (source tokens, lowercased) —
+                    // only so `ranks(c)` can reject an argument that is NOT
+                    // what the rank actually runs on
+                    val firstOrderKey: Option[List[String]] = None) {
+    def bind(ps: Seq[(String, T)]): Env =
+      new Env(schema, vars ++ ps, funcs, wspec, tnames, firstOrderKey)
+    def withWspec(w: org.apache.spark.sql.expressions.WindowSpec,
+                  firstKey: Option[List[String]]): Env =
+      new Env(schema, vars, funcs, Some(w), tnames, firstKey)
   }
   private def emptyEnv = new Env(None, Map.empty)
 
@@ -663,27 +677,64 @@ object KerfSql {
           "(select … from t [group keys] order cols)"))
         import org.apache.spark.sql.expressions.Window
         val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fnl = fn.toLowerCase
         p.expect("(")
-        val inner = parseExpr(p, env)
+        // moving verbs take a literal width first: msums(5, x). Literal
+        // only — a per-row frame width has no meaning for a window frame.
+        val mWidth = if (movingVerbs(fnl)) {
+          val n = p.pop()
+          require(n.matches("""\d+""") && n.toLong >= 1,
+            s"$fnl needs a positive integer width literal first: $fnl(5, x) " +
+            s"(got '$n')")
+          p.expect(",")
+          n.toLong
+        } else 0L
+        // ranks() takes no real argument — rank is a property of the
+        // (group, order) axes. Accept the empty call, or the first order
+        // key spelled out; anything else would read as "rank by this
+        // expression" and silently return a rank by the order clause,
+        // so reject it loudly.
+        val innerToksBefore = p.toks
+        val inner =
+          if (fnl == "ranks" && p.peekIs(")")) T(lit(1L), LongType)
+          else parseExpr(p, env)
+        if (fnl == "ranks" && !(innerToksBefore eq p.toks)) {
+          val used = innerToksBefore
+            .take(innerToksBefore.length - p.toks.length)
+            .map(_.toLowerCase)
+          require(env.firstOrderKey.contains(used),
+            s"ranks(${used.mkString(" ")}) would NOT rank by that expression — " +
+            "rank runs on the order clause. Use ranks() or pass the first " +
+            s"order key${env.firstOrderKey.fold("")(k => s" (${k.mkString(" ")})")}")
+        }
         p.expect(")")
         val sumDt = inner.dt match {
           case DoubleType | FloatType => DoubleType
           case d: DecimalType => d
           case _ => LongType
         }
-        fn.toLowerCase match {
+        // bounded trailing frame for the moving family: N rows = N-1
+        // preceding + current
+        lazy val mFrame = w.rowsBetween(-(mWidth - 1), Window.currentRow)
+        fnl match {
           case "sums"   => T(sum(inner.col).over(frame), sumDt)
           case "avgs"   => T(avg(inner.col).over(frame), DoubleType)
           case "mins"   => T(min(inner.col).over(frame), inner.dt)
           case "maxs"   => T(max(inner.col).over(frame), inner.dt)
           case "counts" => T(count(inner.col).over(frame), LongType)
           case "prev"   => T(lag(inner.col, 1).over(w), inner.dt)
+          case "msums"  => T(sum(inner.col).over(mFrame), sumDt)
+          case "mavgs"  => T(avg(inner.col).over(mFrame), DoubleType)
+          case "mmins"  => T(min(inner.col).over(mFrame), inner.dt)
+          case "mmaxs"  => T(max(inner.col).over(mFrame), inner.dt)
+          case "fills"  =>
+            // forward-fill: carry the last non-null down the ordered rows
+            // (the tick-DB quote-carry; last() IGNORE NULLS over the
+            // running frame — same substrate as AsOf's staleness carry)
+            T(last(inner.col, ignoreNulls = true).over(frame), inner.dt)
           case "ranks"  =>
             // 1-based row rank down the ordered rows (grade-then-index,
-            // grade.cc's sort-rank face): the argument picks nothing —
-            // rank is a property of the (group, order) axes — but the
-            // call form keeps the verb family uniform; pass the order
-            // column for readability
+            // grade.cc's sort-rank face)
             T(row_number().over(w).cast("long"), LongType)
           case "deltas" =>
             // the subtraction's result type differs from the input on
@@ -1922,12 +1973,22 @@ object KerfSql {
         "rollup/cube/sets are aggregations, the windowed select's `group` is " +
         "a PARTITION BY — split into two selects")
       import org.apache.spark.sql.expressions.Window
-      val orderCols = segParser("order").map { op =>
-        val c = parseOrderCols(op); finish(op, "order"); c
+      val (orderCols, firstKey) = segParser("order").map { op =>
+        // first order key's source tokens (desc `-` and the kerf(…)
+        // ordering wrapper stripped) — the only thing ranks() may name
+        val fk = {
+          val raw = op.toks.takeWhile(_ != ",").map(_.toLowerCase)
+          val noDesc = if (raw.headOption.contains("-")) raw.tail else raw
+          noDesc match {
+            case "kerf" :: "(" :: rest => rest.takeWhile(_ != ")")
+            case other => other
+          }
+        }
+        val c = parseOrderCols(op); finish(op, "order"); (c, fk)
       }.getOrElse(throw new IllegalArgumentException(
         "window verbs (sums/deltas/…) need an order clause"))
       val wspec = Window.partitionBy(groupItems.map(_.col): _*).orderBy(orderCols: _*)
-      val items = parseItems(env.withWspec(wspec))
+      val items = parseItems(env.withWspec(wspec, Some(firstKey)))
       require(items.nonEmpty, "windowed select needs explicit select items")
       df = df.select(items.map(_.col): _*)
         .orderBy(groupItems.map(_.col) ++ orderCols: _*)

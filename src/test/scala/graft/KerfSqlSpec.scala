@@ -1369,4 +1369,115 @@ class KerfSqlSpec extends SparkSpec {
     assert(got.count() == before + 1)
     assert(got.filter(col("o_orderkey") === existing).first().getString(2) == "X")
   }
+
+  // ---------------------------------------------------------- round 12
+
+  test("negative literals parse in predicate, select-item, and span positions") {
+    import spark.implicits._
+    Seq(("a", -0.5), ("b", 0.5), ("c", -2.0)).toDF("k", "v")
+      .createOrReplaceTempView("neg_v")
+    // predicate position (the q153 seam: `where score > -0.01`)
+    val pred = KerfSql.run(spark, "select k from neg_v where v > -1.0 order k")
+    assert(pred.as[String].collect().toSeq == Seq("a", "b"))
+    // select-item position, including after a binary operator
+    val sel = KerfSql.run(spark,
+      "select k, -v as nv, v + -1.0 as vm1 from neg_v order k")
+    assert(sel.select("nv").as[Double].collect().toSeq == Seq(0.5, -0.5, 2.0))
+    assert(sel.select("vm1").as[Double].collect().toSeq == Seq(-1.5, -0.5, -3.0))
+    // span position: ts + -1h == ts - 1h on the exact ns axis
+    assert(evalOne("(2024.01.05T12:00:00 + -1h) == (2024.01.05T12:00:00 - 1h)")
+      == true)
+  }
+
+  test("fills window verb == last(ignoreNulls) over the running frame") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, Some(10.0)), ("a", 2L, None), ("a", 3L, None),
+      ("a", 4L, Some(40.0)), ("a", 5L, None),
+      ("b", 1L, None), ("b", 2L, Some(7.0)), ("b", 3L, None)
+    ).toDF("k", "ts", "v")
+    df.createOrReplaceTempView("fills_v")
+    val got = KerfSql.run(spark,
+      "select k, ts, fills(v) as fv from fills_v group k order ts")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("k").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df
+      .select(col("k"), col("ts"), last(col("v"), ignoreNulls = true).over(w).as("fv"))
+      .orderBy("k", "ts")
+    assert(got.collect().toSeq == want.collect().toSeq)
+    // leading rows before any non-null stay null; gaps carry the last value
+    val a = got.filter(col("k") === "a").select("fv").collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(a.toSeq == Seq(Some(10.0), Some(10.0), Some(10.0), Some(40.0), Some(40.0)))
+    val b = got.filter(col("k") === "b").select("fv").collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(b.toSeq == Seq(None, Some(7.0), Some(7.0)))
+  }
+
+  test("moving verbs msums/mavgs/mmins/mmaxs == bounded ROWS frame API") {
+    init
+    Tables.lineitem(spark, sf).limit(500)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .createOrReplaceTempView("li_mv_v")
+    val got = KerfSql.run(spark,
+      "select l_orderkey, l_linenumber, msums(3, l_quantity) as ms, " +
+      "mavgs(3, l_quantity) as ma, mmins(2, l_quantity) as mn, " +
+      "mmaxs(2, l_quantity) as mx " +
+      "from li_mv_v group l_orderkey order l_linenumber")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    val f3 = w.rowsBetween(-2, Window.currentRow)
+    val f2 = w.rowsBetween(-1, Window.currentRow)
+    val want = spark.table("li_mv_v")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        sum("l_quantity").over(f3).as("ms"), avg("l_quantity").over(f3).as("ma"),
+        min("l_quantity").over(f2).as("mn"), max("l_quantity").over(f2).as("mx"))
+      .orderBy("l_orderkey", "l_linenumber")
+    assert(got.collect().toSeq == want.collect().toSeq)
+  }
+
+  test("moving verbs demand a literal positive integer width") {
+    import spark.implicits._
+    Seq(("a", 1L, 1.0)).toDF("k", "ts", "v").createOrReplaceTempView("mw_v")
+    val e = intercept[IllegalArgumentException] {
+      KerfSql.run(spark, "select k, msums(v, 3) as s from mw_v group k order ts")
+    }
+    assert(e.getMessage.contains("width literal"), s"wrong error: ${e.getMessage}")
+    val e0 = intercept[IllegalArgumentException] {
+      KerfSql.run(spark, "select k, msums(0, v) as s from mw_v group k order ts")
+    }
+    assert(e0.getMessage.contains("width literal"), s"wrong error: ${e0.getMessage}")
+  }
+
+  test("ranks(arg): empty call and the first order key pass; anything else is loud") {
+    init
+    // empty call form
+    val g0 = KerfSql.run(spark,
+      "select o_custkey, o_orderkey, ranks() as rk from orders_v " +
+      "group o_custkey order o_orderdate, o_orderkey")
+    // first-order-key form (q152's spelling) — identical result
+    val g1 = KerfSql.run(spark,
+      "select o_custkey, o_orderkey, ranks(o_orderdate) as rk from orders_v " +
+      "group o_custkey order o_orderdate, o_orderkey")
+    assert(g0.collect().toSeq == g1.collect().toSeq)
+    // an argument that is NOT the order key would silently rank by the
+    // order clause — reject it loudly instead
+    val e = intercept[IllegalArgumentException] {
+      KerfSql.run(spark,
+        "select o_custkey, ranks(o_totalprice) as rk from orders_v " +
+        "group o_custkey order o_orderdate")
+    }
+    assert(e.getMessage.contains("order clause"), s"wrong error: ${e.getMessage}")
+  }
+
+  test("countd mixes with window verbs → the friendly dialect error") {
+    import spark.implicits._
+    Seq(("a", 1L, 2L)).toDF("k", "ts", "v").createOrReplaceTempView("cdm_v")
+    val e = intercept[IllegalArgumentException] {
+      KerfSql.run(spark,
+        "select k, sums(v) as run, countd(v) as d from cdm_v group k order ts")
+    }
+    assert(e.getMessage.contains("cannot mix"), s"wrong error: ${e.getMessage}")
+  }
 }
