@@ -43,38 +43,22 @@ object Adverbs {
         i => aggregate(slice(arr, lit(1), i), zero, f)))
 
   /** Exponential moving average — the tick-DB scan specialization
-    * (q-family `ema`): ema₀ = x₀, emaᵢ = emaᵢ₋₁ + α·(xᵢ − emaᵢ₋₁),
-    * computed as ONE left fold that appends to a running array. The
-    * update is written in exactly that prev + α·(x − prev) form so an
-    * oracle replaying the same expression tree reproduces it
-    * bit-for-bit (α dyadic → no rounding surprises). Empty in → empty
-    * out.
+    * (q-family `ema`): ema₀ = x₀, emaᵢ = emaᵢ₋₁ + α·(xᵢ − emaᵢ₋₁), as
+    * ONE native O(n) pass ([[graft.functions.EmaScan]]). The recurrence
+    * is evaluated in exactly that prev + α·(x − prev) association so an
+    * oracle replaying the same expression tree reproduces it bit-for-bit
+    * (α dyadic → no rounding surprises). Empty in → empty out; a null
+    * element poisons the tail (the fold's accumulator goes null).
     *
-    * BOUNDED-SERIES CONTRACT, enforced: each `concat` copies the whole
-    * accumulator, so a series of n ticks costs O(n²) element copies in
-    * ONE task — fine for the bar/session series this models (the same
-    * bound as sequence packing), quadratic poison for an unbounded key.
-    * A series longer than `maxLen` now fails loudly at runtime instead
-    * of silently going quadratic; callers with genuinely unbounded
-    * per-key streams belong on [[scanRows]]'s windowed substrate (or
-    * `transformWithState` when streaming), not an array-local fold. */
-  def ema(arr: Column, alpha: Double, maxLen: Int = 16384): Column = {
-    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
-    require(maxLen > 0, s"maxLen must be positive, got $maxLen")
-    when(size(arr) > maxLen,
-        raise_error(concat(lit("ema: series of "), size(arr).cast("string"),
-          lit(s" ticks exceeds the bounded-series contract (maxLen=$maxLen); " +
-             "use scanRows/transformWithState for unbounded keys")))
-          .cast("array<double>"))
-      .when(size(arr) === 0, array().cast("array<double>"))
-      .otherwise(
-        aggregate(
-          slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
-          array(element_at(arr, 1).cast("double")),
-          (acc, x) => concat(acc, array(
-            element_at(acc, -1) +
-              lit(alpha) * (x.cast("double") - element_at(acc, -1))))))
-  }
+    * The former `aggregate(… concat …)` fold copied the whole
+    * accumulator per element — O(n²) inside one task, which forced a
+    * maxLen raise_error guard. The native scan retires that guard: the
+    * only bound left is the row's own size, the same contract as every
+    * other array column. Genuinely unbounded per-key streams still
+    * belong on [[scanRows]]'s windowed substrate or
+    * `EventStream.emaByKey` (transformWithState). */
+  def ema(arr: Column, alpha: Double): Column =
+    graft.functions.EmaScan.ema(arr, alpha)
 
   /** each/mapdown: elementwise (adverbs.h:125–134). */
   def each(arr: Column)(f: Column => Column): Column = transform(arr, f)

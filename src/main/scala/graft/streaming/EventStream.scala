@@ -247,9 +247,9 @@ object EventStream {
   case class EmaRow(user_id: Long, ts_ns: Long, value: Double, ema: Double)
 
   /** Running exponential moving average per key — the scale-correct
-    * formulation for UNBOUNDED per-key series that
-    * [[graft.ops.Adverbs.ema]]'s array fold deliberately refuses (its
-    * loud maxLen guard names this processor as the alternative): state
+    * formulation for UNBOUNDED per-key series, where even
+    * [[graft.ops.Adverbs.ema]]'s O(n) native scan would need the whole
+    * series collected into one row first: state
     * is O(1) per key (last ts + last ema in RocksDB), each row costs
     * one multiply-add, and the emitted recurrence is the IDENTICAL
     * prev + α·(x − prev) expression — a bounded replay reproduces the

@@ -21,26 +21,46 @@ class PropertySpec extends SparkSpec {
     assert(bad == 0)
   }
 
-  test("ema bounded-series contract: long series fails loudly, bounded matches fold") {
-    // over the bound: the guard throws at RUNTIME with a named message
-    // (not a silent quadratic task) — adverbs.h:76–120's unfold is O(n),
-    // and a formulation that can't be is required to say so
-    val long = spark.range(1).select(
-      graft.ops.Adverbs.ema(sequence(lit(1), lit(50)).cast("array<double>"),
-        0.5, maxLen = 10).as("e"))
-    val err = intercept[Exception] { long.collect() }
-    assert(err.getMessage.contains("bounded-series contract"))
-    // at the bound: identical to the unguarded recurrence, element for element
-    val n = 512
-    val xs = {
-      val rnd = new scala.util.Random(99)
-      (1 to n).map(_ => rnd.nextDouble() * 100 - 50)
+  test("ema native scan: bit-identical to the Catalyst fold it replaced, O(n)") {
+    // the retired formulation (kept HERE as the semantic reference): the
+    // aggregate fold whose concat-per-element was O(n²) — EmaScan must
+    // reproduce it bit for bit, including the null-poisoned tail
+    def emaFold(arr: org.apache.spark.sql.Column,
+                alpha: Double): org.apache.spark.sql.Column =
+      when(size(arr) === 0, array().cast("array<double>"))
+        .otherwise(aggregate(
+          slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
+          array(element_at(arr, 1).cast("double")),
+          (acc, x) => concat(acc, array(
+            element_at(acc, -1) +
+              lit(alpha) * (x.cast("double") - element_at(acc, -1))))))
+    val rnd = new scala.util.Random(99)
+    val series: Seq[Seq[Option[Double]]] = Seq(
+      (1 to 512).map(_ => Some(rnd.nextDouble() * 100 - 50)),  // dense
+      Seq(Some(1.0), None, Some(3.0), Some(4.0)),              // poisoned tail
+      Seq[Option[Double]](None, Some(2.0)),                    // null head
+      Seq(Some(7.0)),                                          // singleton
+      Seq.empty                                                // empty
+    )
+    for (alpha <- Seq(0.25, 0.37); xs <- series) {
+      val df = Seq(Tuple1(xs)).toDF("a")
+      val got = df.select(graft.ops.Adverbs.ema(col("a"), alpha).as("e"))
+        .first().getSeq[java.lang.Double](0)
+      val want = df.select(emaFold(col("a"), alpha).as("e"))
+        .first().getSeq[java.lang.Double](0)
+      assert(got == want, s"alpha=$alpha xs=${xs.take(8)}: $got != $want")
     }
+    // scan-form Scala reference too (the q138 oracle's recurrence)
+    val xs = (1 to 256).map(_ => rnd.nextDouble() * 10)
     val want = xs.tail.scanLeft(xs.head)((prev, x) => prev + 0.25 * (x - prev))
     val got = Seq(Tuple1(xs)).toDF("a")
-      .select(graft.ops.Adverbs.ema(col("a"), 0.25, maxLen = n).as("e"))
+      .select(graft.ops.Adverbs.ema(col("a"), 0.25).as("e"))
       .first().getSeq[Double](0)
-    assert(got.size == n && got.zip(want).forall { case (g, w) => g == w })
+    assert(got.zip(want).forall { case (g, w) => g == w })
+    // the O(n) point: a series far beyond the old 16384 guard completes
+    val big = spark.range(1).select(graft.ops.Adverbs.ema(
+        sequence(lit(1), lit(200000)).cast("array<double>"), 0.5).as("e"))
+    assert(big.select(size(col("e"))).first().getInt(0) == 200000)
   }
 
   test("fp16 pack is order-preserving: a <= b implies rt(a) <= rt(b)") {
