@@ -1493,6 +1493,14 @@ object Oracles {
                 vec_id + 20000000 AS cand_id, CAST(1.0 AS DOUBLE) AS sim
          FROM embeddings WHERE vec_id < 5 ORDER BY q_id""",
 
+    // streamed replicas are retrievable exactly: each query's top hit is
+    // its stream-appended copy at cosine 1.0 (q133's closed form; the
+    // stream side is pinned separately in StreamingSpec)
+    "q156_ann_stream_append" ->
+      """SELECT vec_id AS q_id, CAST(1 AS BIGINT) AS rk,
+                vec_id + 20000000 AS cand_id, CAST(1.0 AS DOUBLE) AS sim
+         FROM embeddings WHERE vec_id < 5 ORDER BY q_id""",
+
     // persisted-index probe: q46's planted-replica closed form — the
     // round-trip through the stored layout must not change the answer
     "q133_ann_ivf_indexed" ->

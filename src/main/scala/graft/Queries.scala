@@ -2807,6 +2807,44 @@ object Queries {
       "group user_id order ts_ns, event_id")
   }
 
+  /** STREAMING INDEX INGESTION — the other half of the realtime corpus
+    * loop (q133 persists the index, `ivfProbeStream` queries it in
+    * realtime; this feeds it in realtime): the IVF index is built
+    * WITHOUT the planted replicas, which then ARRIVE over a stream in
+    * two micro-batches (`Similarity.ivfAppendStream` → foreachBatch
+    * `appendToIvfIndex`: assign against the STORED model, append into
+    * the live version's list_id dirs, fail loudly if a retrain
+    * republishes mid-append). The closing batch probe retrieves every
+    * streamed row exactly — same planted-replica closed form as q133.
+    * Build+stream run once per JVM (the q133 amortization pattern), so
+    * the second bench pass prices the probe. The driver-side collect is
+    * the 5 bounded replica rows — stream fixture, not data motion. */
+  val q156_ann_stream_append: Q = (s, dir) => {
+    val base = Scratch.dir(s, "ivfstream", new java.io.File(dir).getName)
+    val index = s"$base/idx_shared"
+    val emb = Tables.fanOut(Tables.embeddings(s, dir))
+    val qs = emb.filter(col("vec_id") < 5)
+    if (io.Folio.currentVersion(index).isEmpty) {
+      llm.Similarity.writeIvfIndex(emb, index, nLists = 16)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val replicas = qs.select(col("vec_id") + lit(20000000L), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val input = MemoryStream[(Long, Seq[Float])]
+      val q = llm.Similarity.ivfAppendStream(
+        input.toDF().toDF("vec_id", "embedding"), index)
+      try {
+        input.addData(replicas.take(2).toIndexedSeq)
+        q.processAllAvailable()
+        input.addData(replicas.drop(2).toIndexedSeq) // appends into the SAME version
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    llm.Similarity.ivfTopKIndexed(s, index, qs, 1, nProbe = 6)
+      .orderBy(col("q_id"))
+  }
+
   /** FIXED-WIDTH MOVING AGGREGATES from the text surface (`msums/mavgs/
     * mmins/mmaxs`, the q-family msum/mavg heritage): rolling 3-tick
     * sum/mean and 5-tick min/max per user down the time axis. Each verb
@@ -2979,5 +3017,6 @@ object Queries {
     "q153_dialect_pipeline" -> q153_dialect_pipeline,
     "q154_kerf_fills"    -> q154_kerf_fills,
     "q155_kerf_moving"   -> q155_kerf_moving,
+    "q156_ann_stream_append" -> q156_ann_stream_append,
   )
 }

@@ -32,8 +32,16 @@ object Tables {
     // repartition. (A deployment that lowers openCostInBytes packs
     // more files per task and should lower this estimate to match.)
     val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
-    val est = (BigInt(df.inputFiles.length)
-      max (df.queryExecution.optimizedPlan.stats.sizeInBytes / maxPart + 1))
+    // stats.sizeInBytes on an unstatted leaf (LogicalRDD, local relation)
+    // is the defaultSizeInBytes SENTINEL (Long.MaxValue by default) — not
+    // a size. Taken at face value it makes est >= target always and
+    // silently disables the fan-out for every non-file-backed frame, so
+    // fall back to the file-listing term alone when we see it.
+    val statBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bytesTerm =
+      if (statBytes == BigInt(spark.sessionState.conf.defaultSizeInBytes)) BigInt(0)
+      else statBytes / maxPart + 1
+    val est = BigInt(df.inputFiles.length) max bytesTerm
     if (est < target) df.repartition(target) else df
   }
 

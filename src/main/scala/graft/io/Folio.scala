@@ -155,8 +155,13 @@ object Folio {
   }
 
   /** The shared tail of every publisher: atomic `_CURRENT` swap, then GC
-    * of versions older than the previous (kept as the crash fallback).
-    * One implementation so the two publish paths can never diverge. */
+    * of versions STRICTLY OLDER than the previous (kept as the crash
+    * fallback). Dirs NEWER than the swapped pointer are never touched —
+    * under the single-writer protocol none should exist, but deleting
+    * one would race a concurrent publisher's in-flight staging dir
+    * (tasks committing after the rmTree would resurrect a PARTIAL tree
+    * that its later swap then publishes as live). One implementation so
+    * the publish paths can never diverge. */
   private def swapCurrentAndVacuum(path: String, vname: String, n: Long): Unit = {
     val tmp = new java.io.File(path, "_CURRENT.tmp")
     java.nio.file.Files.write(tmp.toPath, vname.getBytes("UTF-8"))
@@ -164,9 +169,9 @@ object Folio {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val dir = new java.io.File(path)
-    val live = Set(vname, f"v${n - 1}%08d")
     Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.matches("v\\d{8}") && !live(d.getName))
+      .filter(d => d.isDirectory && d.getName.matches("v\\d{8}") &&
+        d.getName.stripPrefix("v").toLong < n - 1)
       .foreach(rmTree)
   }
 
@@ -376,18 +381,25 @@ object Folio {
     fragmented
   }
 
-  /** VACUUM a promoted folio: delete crash leftovers — orphaned version
-    * dirs beyond the live + previous pair (a publish that lost the
-    * last-pointer-wins race, or died before its swap) and a stale
-    * `_CURRENT.tmp`. Never touches the live version or its fallback, so
-    * it is safe on a cadence; returns the names removed. */
+  /** VACUUM a promoted folio: delete crash leftovers — version dirs
+    * STRICTLY OLDER than the live + previous pair (a superseded publish
+    * the GC tail missed) and a stale `_CURRENT.tmp`. Dirs NEWER than
+    * `_CURRENT` are left alone: [[publishArtifacts]] stages the next
+    * version under its final vN name while writing, so a cadence vacuum
+    * firing during a long index build must not rmTree the in-flight
+    * staging dir (tasks committing afterwards would resurrect a PARTIAL
+    * tree that the subsequent swap then publishes as live). A newer dir
+    * that really is a crash orphan is reclaimed by the next publish
+    * (publishArtifacts clears its staging name; publishVersion writes
+    * with Overwrite), not by vacuum. Never touches the live version or
+    * its fallback, so it is safe on a cadence; returns the names
+    * removed. */
   def vacuum(path: String): Seq[String] = {
-    val keep = currentVersion(path).toSeq.flatMap { v =>
-      Seq(v, f"v${v.stripPrefix("v").toLong - 1}%08d")
-    }.toSet
+    val floor = currentVersion(path).map(_.stripPrefix("v").toLong - 1)
     val dir = new java.io.File(path)
     val goneVersions = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.matches("v\\d{8}") && !keep(d.getName))
+      .filter(d => d.isDirectory && d.getName.matches("v\\d{8}") &&
+        floor.exists(f => d.getName.stripPrefix("v").toLong < f))
       .map { d => rmTree(d); d.getName }
     val tmp = new java.io.File(path, "_CURRENT.tmp")
     val goneTmp = if (tmp.isFile) { tmp.delete(); Seq("_CURRENT.tmp") } else Nil

@@ -472,7 +472,16 @@ object Similarity {
     * via [[writeIvfIndex]] on a cadence, append between). Appends are
     * eventually-visible per file commit, same contract as
     * [[graft.io.Folio.appendPartition]]. NULL embeddings are skipped
-    * (no geometry — the index-wide contract). */
+    * (no geometry — the index-wide contract).
+    *
+    * APPEND × RETRAIN: the documented cadence posture makes these two
+    * different jobs, so the single-writer protocol alone doesn't cover
+    * the race. The call re-resolves `_CURRENT` AFTER the append lands
+    * and fails loudly if a retrain published mid-append — the appended
+    * rows sit in the just-superseded version (kept on disk as the
+    * fallback) and would otherwise be silently absent from every later
+    * probe. On that error, re-run the append: the stored model is
+    * re-read from the NEW version. */
   def appendToIvfIndex(batch: DataFrame, path: String,
                        idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     // ONE root resolution: centroids and lists must come from the same
@@ -490,6 +499,13 @@ object Similarity {
       .select(col(idCol), storedVec, col("list_id"))
       .repartition(col("list_id"))
       .write.mode("append").partitionBy("list_id").parquet(s"$root/lists")
+    val rootAfter = indexRoot(path)
+    if (rootAfter != root)
+      throw new IllegalStateException(
+        s"appendToIvfIndex: a re-train republished $path mid-append " +
+        s"(was $root, now $rootAfter) — the appended rows landed in the " +
+        "superseded version and are invisible to the live index; re-run " +
+        "the append against the new version")
   }
 
   /** Probe a persisted IVF index: same probe-join shape as [[ivfTopK]]
@@ -564,6 +580,31 @@ object Similarity {
       }
       .start()
   }
+
+  /** REALTIME INGESTION into a persisted IVF index — the other half of
+    * the realtime corpus loop ([[ivfProbeStream]] is the query side):
+    * each micro-batch of arriving embeddings is assigned against the
+    * STORED centroid model and appended into the live version's
+    * `list_id` dirs via [[appendToIvfIndex]]. Rows are retrievable by
+    * the NEXT probe batch (per-file-commit visibility — the probe scan
+    * lists the partition dirs fresh each batch; StreamingSpec pins it).
+    * The stored tier is preserved (fp16 lists stay fp16). foreachBatch
+    * is the seam for the same reason as the probe side: assignment
+    * against the model is a per-batch driver decision, and the
+    * append-vs-retrain race check (appendToIvfIndex's `_CURRENT`
+    * re-resolution) fails the STREAM loudly — the restart re-reads the
+    * new model, which is exactly the cadenced-retrain contract. The
+    * coarse quantizer itself drifts only at retrain: this stream keeps
+    * the corpus fresh, not the model (COVERAGE.md's cadence posture). */
+  def ivfAppendStream(embeddings: DataFrame, path: String,
+                      idCol: String = "vec_id", vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    embeddings.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) appendToIvfIndex(batch, path, idCol, vecCol)
+        ()
+      }
+      .start()
 
   // ----- Product quantization (PQ) — the extreme-compression ANN tier -----
 

@@ -119,22 +119,32 @@ class FolioSpec extends SparkSpec {
     }
   }
 
-  test("vacuum removes crash leftovers, never the live version or its fallback") {
+  test("vacuum removes strictly-older leftovers; never live, fallback, or NEWER dirs") {
     val dir = tmp()
     import spark.implicits._
     val base = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
     Folio.appendWithPromotion(base, s"$dir/t")                    // v1
     Folio.upsertPublish(Seq((1L, 9.0)).toDF("k", "v"), s"$dir/t", Seq("k")) // v2
-    // plant crash leftovers: an orphaned loser version + a stale tmp
-    base.write.parquet(s"$dir/t/v00000007")
+    // plant: a superseded-era leftover (older than the fallback), an
+    // IN-FLIGHT staging dir (newer than _CURRENT — what publishArtifacts
+    // looks like mid-build), and a stale tmp
+    base.write.parquet(s"$dir/t/v00000000")
+    base.write.parquet(s"$dir/t/v00000003")
     java.nio.file.Files.write(new java.io.File(s"$dir/t", "_CURRENT.tmp").toPath,
-      "v00000007".getBytes("UTF-8"))
-    assert(Folio.vacuum(s"$dir/t") == Seq("_CURRENT.tmp", "v00000007"))
-    // live pair untouched, data intact, repeat vacuum is a no-op
-    assert(Folio.versions(s"$dir/t") == Seq("v00000001", "v00000002"))
+      "v00000003".getBytes("UTF-8"))
+    // only the STRICTLY-older dir and the tmp go; the staged newer dir
+    // survives (a cadence vacuum during a long build must not kill it)
+    assert(Folio.vacuum(s"$dir/t") == Seq("_CURRENT.tmp", "v00000000"))
+    assert(Folio.versions(s"$dir/t") == Seq("v00000001", "v00000002", "v00000003"))
     assert(Folio.promotedRead(spark, s"$dir/t").count() == 2)
     assert(Folio.readVersion(spark, s"$dir/t", "v00000001").count() == 2)
     assert(Folio.vacuum(s"$dir/t").isEmpty)
+    // the next publish claims the staged name for itself (Overwrite) and
+    // its swap-tail GC then reclaims everything older than its fallback
+    Folio.upsertPublish(Seq((2L, 7.0)).toDF("k", "v"), s"$dir/t", Seq("k")) // v3
+    assert(Folio.versions(s"$dir/t") == Seq("v00000002", "v00000003"))
+    assert(Folio.promotedRead(spark, s"$dir/t").filter(col("k") === 2L)
+      .first().getDouble(1) == 7.0)
   }
 
   test("upsertPublish merges by key copy-on-write; time travel reads the pre-image") {

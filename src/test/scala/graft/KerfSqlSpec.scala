@@ -1044,13 +1044,15 @@ class KerfSqlSpec extends SparkSpec {
     val t = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
     graft.io.Folio.appendWithPromotion(t, s"$dir/f")                    // v1
     graft.io.Folio.upsertPublish(Seq((1L, 9.0)).toDF("k", "v"), s"$dir/f", Seq("k")) // v2
-    // plant crash leftovers: an orphaned loser version + a stale tmp
-    new java.io.File(s"$dir/f/v00000007").mkdirs()
+    // plant crash leftovers: a superseded-era version + a stale tmp
+    // (dirs NEWER than _CURRENT are in-flight staging and must survive —
+    // FolioSpec pins that side)
+    new java.io.File(s"$dir/f/v00000000").mkdirs()
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/f/_CURRENT.tmp"), "junk".getBytes("UTF-8"))
     val removed = KerfSql.run(spark, s"vacuum '$dir/f'")
       .collect().map(_.getString(0)).toSeq
-    assert(removed == Seq("_CURRENT.tmp", "v00000007"), s"got $removed")
+    assert(removed == Seq("_CURRENT.tmp", "v00000000"), s"got $removed")
     assert(graft.io.Folio.versions(s"$dir/f") == Seq("v00000001", "v00000002"))
   }
 

@@ -338,4 +338,20 @@ class PlanSpec extends SparkSpec {
     val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     assert(p.contains("ReadSchema"), "no schema info in scan")
   }
+
+  test("fanOut widens unstatted non-file leaves (defaultSizeInBytes sentinel)") {
+    // an RDD-backed frame has no file listing AND reports the
+    // defaultSizeInBytes sentinel as its stats — taking the sentinel at
+    // face value would make the width estimate >= target always and
+    // silently skip the repartition for exactly the frames that need it
+    import spark.implicits._
+    val rddDf = spark.createDataset(
+      spark.sparkContext.parallelize(Seq(1L, 2L, 3L), 1)).toDF("v")
+    assert(rddDf.rdd.getNumPartitions == 1)
+    assert(Tables.fanOut(rddDf).rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    // file-backed behavior unchanged: a small parquet still fans out
+    assert(Tables.fanOut(Tables.documents(spark, sf)).rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+  }
 }

@@ -829,6 +829,52 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((0L, 900L, 1.0), (1L, 901L, 1.0)), s"got $got")
   }
 
+  test("realtime ingestion: streamed appends retrievable by the next probe; tier preserved") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 7.0 + d).toFloat).toSeq)
+    }
+    val path = java.nio.file.Files.createTempDirectory("graft_streamappend").toString
+    for (half <- Seq(false, true)) {
+      val idx = s"$path/idx_${if (half) "fp16" else "float"}"
+      // index built WITHOUT the replica rows — they arrive by stream
+      graft.llm.Similarity.writeIvfIndex(vecs.toDF("vec_id", "embedding"),
+        idx, nLists = 4, halfPrecision = half)
+      val input = MemoryStream[(Long, Seq[Float])]
+      val q = graft.llm.Similarity.ivfAppendStream(
+        input.toDF().toDF("vec_id", "embedding"), idx)
+      try {
+        input.addData((900L, vecs(0)._2))
+        q.processAllAvailable()
+        // per-file-commit visibility: the FIRST append is already
+        // probe-able while the stream is still running
+        val mid = graft.llm.Similarity.ivfTopKIndexed(spark, idx,
+            Seq((0L, vecs(0)._2)).toDF("vec_id", "embedding"), 1, nProbe = 4)
+          .select("q_id", "cand_id", "sim").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        assert(mid == Seq((0L, 900L, 1.0)), s"half=$half mid-stream probe: $mid")
+        input.addData((901L, vecs(1)._2))
+        q.processAllAvailable()
+      } finally q.stop()
+      // the stored tier survived the appends (fp16 lists stay fp16 —
+      // the element type IS the tier marker)
+      import org.apache.spark.sql.types.{ArrayType, ShortType, FloatType}
+      val elem = spark.read.parquet(s"${graft.llm.Similarity.indexRoot(idx)}/lists")
+        .schema("embedding").dataType.asInstanceOf[ArrayType].elementType
+      assert(elem == (if (half) ShortType else FloatType),
+        s"half=$half tier drifted to $elem")
+      // both appended rows retrievable by the next (batch) probe, exact
+      val got = graft.llm.Similarity.ivfTopKIndexed(spark, idx,
+          Seq((0L, vecs(0)._2), (1L, vecs(1)._2)).toDF("vec_id", "embedding"),
+          1, nProbe = 4)
+        .select("q_id", "cand_id", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+      assert(got == Seq((0L, 900L, 1.0), (1L, 901L, 1.0)), s"half=$half: $got")
+    }
+  }
+
   test("streaming EMA state survives checkpoint restart (fold continues)") {
     withRocksDb {
       import spark.implicits._
