@@ -24,6 +24,7 @@ object StageTimer {
   private val acc = new ConcurrentHashMap[String, AtomicLong]()
 
   def enable(): Unit = { on = true }
+  def disable(): Unit = { on = false }
   def enabled: Boolean = on
 
   /** Run `f`, attributing its wall-clock to `stage` (no-op pass-through
