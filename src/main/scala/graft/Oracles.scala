@@ -1854,6 +1854,18 @@ object Oracles {
                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rk
          FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""",
 
+    // streaming forward-fill replay == the batch IGNORE NULLS window:
+    // carried values are copies, so equality is bit-exact
+    "q157_stream_fills" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us,
+                CASE WHEN event_type = 'purchase' THEN value END AS value,
+                last_value(CASE WHEN event_type = 'purchase' THEN value END
+                           IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         FROM events WHERE user_id < 20
+         ORDER BY user_id, ts_us""",
+
     // forward-fill: purchase prices left-joined onto every tick (the
     // null plant), then carried with last_value IGNORE NULLS over the
     // same running frame — rows before a user's first purchase stay null
@@ -1865,10 +1877,13 @@ object Oracles {
            SELECT e.user_id, epoch_us(e.ts) * 1000 AS ts_ns, e.event_id, p.pv
            FROM events e LEFT JOIN pur p ON e.event_id = p.pe)
          SELECT user_id, ts_ns,
-                last_value(pv IGNORE NULLS) OVER (
-                  PARTITION BY user_id ORDER BY ts_ns, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lastp
-         FROM j ORDER BY user_id, ts_ns, event_id""",
+                last_value(pv IGNORE NULLS) OVER (w
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lastp,
+                first_value(pv IGNORE NULLS) OVER (w
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nextp
+         FROM j
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)
+         ORDER BY user_id, ts_ns, event_id""",
 
     // rolling 3-tick sum/mean + 5-tick min/max per user: bounded ROWS
     // frames over one (user, time) window; ≤3-term double sums associate

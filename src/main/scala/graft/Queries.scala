@@ -2796,13 +2796,15 @@ object Queries {
     * real tick join produces gaps), the carry is one window scan —
     * `last(ignoreNulls).over(running frame)`, the same substrate
     * AsOf.scala's staleness carry runs on. Rows before a user's first
-    * purchase stay null (nothing to carry). */
+    * purchase stay null (nothing to carry); `bfills` is the mirror
+    * (NEXT purchase price — null after the last one), so one query
+    * brackets every tick between its neighboring purchases. */
   val q154_kerf_fills: Q = (s, dir) => {
     Tables.events(s, dir).createOrReplaceTempView("events_v154")
     sql.KerfSql.run(s,
       "pur_v154: select event_id as pe, value as pv from events_v154 " +
       "where event_type = 'purchase'; " +
-      "select user_id, ts_ns, fills(pv) as lastp " +
+      "select user_id, ts_ns, fills(pv) as lastp, bfills(pv) as nextp " +
       "from events_v154 left join pur_v154 on event_id = pe " +
       "group user_id order ts_ns, event_id")
   }
@@ -2843,6 +2845,36 @@ object Queries {
     }
     llm.Similarity.ivfTopKIndexed(s, index, qs, 1, nProbe = 6)
       .orderBy(col("q_id"))
+  }
+
+  /** STREAMING FORWARD-FILL (q154's `fills` on a live feed): only
+    * purchase ticks carry a price; every event emits the price carried
+    * from the latest purchase at-or-before it, per user, via O(1)
+    * RocksDB state (`EventStream.fillForwardByKey` — the batch
+    * window's UNBOUNDED PRECEDING frame would be unbounded state on a
+    * stream). Carried values are copied, never computed, so the
+    * bounded replay equals DuckDB's IGNORE NULLS window bit-for-bit. */
+  val q157_stream_fills: Q = (s, dir) => {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = streaming.EventStream.readEvents(s, dir)
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("ts_ns"),
+          when(col("event_type") === "purchase", col("value")).as("value"))
+      val filled = streaming.EventStream.fillForwardByKey(ev)
+      streaming.EventStream.runToCompletion(s, filled,
+          s"stream_fills_${System.nanoTime}",
+          mode = org.apache.spark.sql.streaming.OutputMode.Append())
+        .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+          col("value"), col("filled"))
+        .orderBy(col("user_id"), col("ts_us"))
+    } finally prev match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
   }
 
   /** FIXED-WIDTH MOVING AGGREGATES from the text surface (`msums/mavgs/
@@ -3018,5 +3050,6 @@ object Queries {
     "q154_kerf_fills"    -> q154_kerf_fills,
     "q155_kerf_moving"   -> q155_kerf_moving,
     "q156_ann_stream_append" -> q156_ann_stream_append,
+    "q157_stream_fills"  -> q157_stream_fills,
   )
 }

@@ -106,7 +106,8 @@ object KerfSql {
     * ORDER BY the order items — ops.Adverbs.scanRows/eachPriorRows made
     * first-class in the dialect. */
   private val windowVerbs = Set("sums", "avgs", "mins", "maxs", "counts",
-    "deltas", "prev", "ranks", "fills", "msums", "mavgs", "mmins", "mmaxs")
+    "deltas", "prev", "ranks", "fills", "bfills",
+    "msums", "mavgs", "mmins", "mmaxs")
   /** Fixed-width moving aggregates (`msums(5, x)` = rolling 5-row sum) —
     * the q-family msum/mavg heritage down the table's rows: a bounded
     * ROWS frame instead of the running UNBOUNDED PRECEDING one. */
@@ -732,6 +733,13 @@ object KerfSql {
             // (the tick-DB quote-carry; last() IGNORE NULLS over the
             // running frame — same substrate as AsOf's staleness carry)
             T(last(inner.col, ignoreNulls = true).over(frame), inner.dt)
+          case "bfills" =>
+            // backward-fill: the NEXT non-null up the ordered rows (the
+            // mirror carry — first() IGNORE NULLS over the trailing-
+            // to-end frame; null after the group's last non-null)
+            T(first(inner.col, ignoreNulls = true).over(
+              w.rowsBetween(Window.currentRow, Window.unboundedFollowing)),
+              inner.dt)
           case "ranks"  =>
             // 1-based row rank down the ordered rows (grade-then-index,
             // grade.cc's sort-rank face)

@@ -291,6 +291,61 @@ object EventStream {
     }
   }
 
+  // ----- streaming forward-fill: the UNBOUNDED form of dialect `fills` -----
+
+  case class SparseTick(user_id: Long, ts_ns: Long, value: Option[Double])
+  case class FillState(ts_ns: Long, has: Boolean, last: Double)
+  case class FillRow(user_id: Long, ts_ns: Long, value: Option[Double],
+                     filled: Option[Double])
+
+  /** Per-key forward-fill state machine: carries the last non-null value
+    * down the per-key time axis. O(1) state per key — (ts, last) — the
+    * same monotonic-clock discipline as [[EmaProcessor]]: a row at or
+    * before the state's timestamp is late and SKIPPED (never re-carried),
+    * so a bounded replay reproduces the batch `fills` window exactly. A
+    * null tick advances the clock but not the carry. */
+  class FillForwardProcessor extends StatefulProcessor[Long, SparseTick, FillRow] {
+    @transient private var st: ValueState[FillState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FillState]("fill",
+        Encoders.product[FillState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[SparseTick],
+                                 tv: TimerValues): Iterator[FillRow] = {
+      val out = List.newBuilder[FillRow]
+      rows.toSeq.sortBy(_.ts_ns).foreach { r =>
+        val prev = if (st.exists()) Some(st.get()) else None
+        if (!prev.exists(_.ts_ns >= r.ts_ns)) {
+          val ns = r.value match {
+            case Some(v) => FillState(r.ts_ns, has = true, v)
+            case None => FillState(r.ts_ns,
+              prev.exists(_.has), prev.map(_.last).getOrElse(0.0))
+          }
+          st.update(ns)
+          out += FillRow(key, r.ts_ns, r.value,
+            if (ns.has) Some(ns.last) else None)
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Streaming forward-fill per key — the realtime quote carry (the
+    * dialect `fills` verb for a live feed, where the batch window's
+    * UNBOUNDED PRECEDING frame would mean unbounded state): input
+    * columns (user_id, ts_ns, value NULLABLE); output adds `filled` =
+    * the last non-null value at or before each tick (null until the
+    * key's first non-null). */
+  def fillForwardByKey(stream: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col("user_id"), col("ts_ns"), col("value")).as[SparseTick]
+      .groupByKey(_.user_id)
+      .transformWithState(new FillForwardProcessor, TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
   /** Input columns: (user_id, ts_ns, value). */
   def emaByKey(stream: DataFrame, alpha: Double): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")

@@ -1400,14 +1400,21 @@ class KerfSqlSpec extends SparkSpec {
     ).toDF("k", "ts", "v")
     df.createOrReplaceTempView("fills_v")
     val got = KerfSql.run(spark,
-      "select k, ts, fills(v) as fv from fills_v group k order ts")
+      "select k, ts, fills(v) as fv, bfills(v) as bv from fills_v group k order ts")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("k").orderBy("ts")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wb = Window.partitionBy("k").orderBy("ts")
+    val w = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = wb.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val want = df
-      .select(col("k"), col("ts"), last(col("v"), ignoreNulls = true).over(w).as("fv"))
+      .select(col("k"), col("ts"),
+        last(col("v"), ignoreNulls = true).over(w).as("fv"),
+        first(col("v"), ignoreNulls = true).over(wf).as("bv"))
       .orderBy("k", "ts")
     assert(got.collect().toSeq == want.collect().toSeq)
+    // backward-fill mirrors: next non-null, null after the last one
+    val bvs = got.filter(col("k") === "a").select("bv").collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(bvs.toSeq == Seq(Some(10.0), Some(40.0), Some(40.0), Some(40.0), None))
     // leading rows before any non-null stay null; gaps carry the last value
     val a = got.filter(col("k") === "a").select("fv").collect().map(r =>
       if (r.isNullAt(0)) None else Some(r.getDouble(0)))

@@ -875,6 +875,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming forward-fill: carry crosses batches, null ticks advance the clock, late ticks skip") {
+   withRocksDb {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Option[Double])]
+    val filled = EventStream.fillForwardByKey(
+      input.toDF().toDF("user_id", "ts_ns", "value"))
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Double])]()
+    val q = filled.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.select("user_id", "ts_ns", "filled")
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        buf.synchronized { buf ++= rows }
+        ()
+      }.start()
+    try {
+      input.addData((1L, 100L, Some(5.0)), (1L, 200L, None), (2L, 100L, None))
+      q.processAllAvailable()
+      // batch 2: the carry must come from batch 1's state; (1,150) is
+      // LATE (clock already at 200) and must be skipped, not re-carried
+      input.addData((1L, 300L, None), (1L, 150L, Some(99.0)),
+        (2L, 200L, Some(7.0)), (2L, 300L, None))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = buf.synchronized(buf.toSeq).sortBy(t => (t._1, t._2))
+    assert(got == Seq(
+      (1L, 100L, Some(5.0)),  // first non-null seeds the carry
+      (1L, 200L, Some(5.0)),  // null tick carries, clock advances
+      (1L, 300L, Some(5.0)),  // carry survives the batch boundary
+      (2L, 100L, None),       // nothing to carry before the first non-null
+      (2L, 200L, Some(7.0)),
+      (2L, 300L, Some(7.0))), s"got $got")
+   }
+  }
+
   test("streaming EMA state survives checkpoint restart (fold continues)") {
     withRocksDb {
       import spark.implicits._
