@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.sql.KerfSql
+
+/** DIFFERENTIAL fuzz over the dialect's select surface: a seeded
+  * generator draws random (where, group, aggregate, order, limit)
+  * shapes over lineitem, renders each shape BOTH as dialect text and
+  * as the directly-constructed DataFrame plan, and requires row-exact
+  * equality. The two sides lower to the same Catalyst operations, so
+  * any divergence is a parser/lowering bug, not fp noise — this is the
+  * regression net under every hand-written KerfSqlSpec golden (the
+  * reference parses this surface but never evaluates it;
+  * /root/reference/parser.h:541–567). */
+class KerfSqlFuzzSpec extends SparkSpec {
+
+  private case class Shape(
+      pred: Option[(String, Column)],          // (dialect, api)
+      groups: Seq[String],                     // group columns
+      aggs: Seq[(String, String, String)],     // (fn, col, alias)
+      orderDesc: Boolean,
+      limit: Option[Int])
+
+  private val numCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val keyCols = Seq("l_returnflag", "l_linestatus", "l_linenumber")
+  private val aggFns = Seq("sum", "avg", "min", "max", "count")
+
+  // literal in the column's actual value range, so predicates select
+  // real subsets instead of vacuously empty/full ones
+  private def litFor(c: String, rnd: scala.util.Random): Double = {
+    val (lo, hi) = c match {
+      case "l_quantity" => (1.0, 50.0)
+      case "l_extendedprice" => (1000.0, 90000.0)
+      case _ => (0.0, 0.08) // discount/tax
+    }
+    math.round((lo + rnd.nextDouble() * (hi - lo)) * 100) / 100.0
+  }
+
+  private def draw(rnd: scala.util.Random): Shape = {
+    val pred = if (rnd.nextBoolean()) {
+      val c = numCols(rnd.nextInt(numCols.length))
+      val lo = litFor(c, rnd)
+      rnd.nextInt(3) match {
+        case 0 => Some((s"$c >= $lo", col(c) >= lo))
+        case 1 => Some((s"$c < $lo", col(c) < lo))
+        case _ =>
+          val c2 = numCols(rnd.nextInt(numCols.length))
+          val hi = litFor(c2, rnd)
+          Some((s"$c >= $lo and $c2 < $hi", col(c) >= lo && col(c2) < hi))
+      }
+    } else None
+    val groups = rnd.shuffle(keyCols).take(rnd.nextInt(3))
+    val nAggs = 1 + rnd.nextInt(3)
+    val aggs = (0 until nAggs).map { i =>
+      val fn = aggFns(rnd.nextInt(aggFns.length))
+      val c = numCols(rnd.nextInt(numCols.length))
+      (fn, c, s"a$i")
+    }
+    Shape(pred, groups, aggs, rnd.nextBoolean(),
+      if (rnd.nextBoolean()) Some(1 + rnd.nextInt(50)) else None)
+  }
+
+  private def dialectOf(s: Shape): String = {
+    val aggTxt = s.aggs.map { case (fn, c, a) =>
+      if (fn == "count") s"count(*) as $a" else s"$fn($c) as $a"
+    }
+    val items = (s.groups ++ aggTxt).mkString(", ")
+    val sb = new StringBuilder(s"select $items from lineitem_fuzz")
+    s.pred.foreach { case (txt, _) => sb.append(s" where $txt") }
+    if (s.groups.nonEmpty) sb.append(s" group ${s.groups.mkString(", ")}")
+    val ord = (s.groups.headOption.orElse(Some(s.aggs.head._3)).get)
+    sb.append(s" order ${if (s.orderDesc) "-" else ""}$ord")
+    // tie-break on the remaining output columns so row order is total
+    (s.groups.drop(1) ++ s.aggs.map(_._3).filterNot(_ == ord))
+      .foreach(c => sb.append(s", $c"))
+    s.limit.foreach(n => sb.append(s" limit $n"))
+    sb.toString
+  }
+
+  private def apiOf(df: DataFrame, s: Shape): DataFrame = {
+    // the dialect's aggregate typing: sum over double stays double,
+    // count(*) is a long — mirror with the same functions
+    def aggCol(fn: String, c: String, a: String): Column = fn match {
+      case "count" => count(lit(1)).as(a)
+      case "sum" => sum(col(c)).as(a)
+      case "avg" => avg(col(c)).as(a)
+      case "min" => min(col(c)).as(a)
+      case "max" => max(col(c)).as(a)
+    }
+    val filtered = s.pred.map { case (_, p) => df.filter(p) }.getOrElse(df)
+    val agged =
+      if (s.groups.nonEmpty) {
+        val cols = s.aggs.map { case (f, c, a) => aggCol(f, c, a) }
+        filtered.groupBy(s.groups.map(col): _*).agg(cols.head, cols.tail: _*)
+      } else {
+        val cols = s.aggs.map { case (f, c, a) => aggCol(f, c, a) }
+        filtered.agg(cols.head, cols.tail: _*)
+      }
+    val ord = s.groups.headOption.getOrElse(s.aggs.head._3)
+    val rest = (s.groups.drop(1) ++ s.aggs.map(_._3).filterNot(_ == ord)).map(col)
+    val sorted = agged.orderBy(
+      (if (s.orderDesc) col(ord).desc else col(ord).asc) +: rest: _*)
+    s.limit.map(sorted.limit).getOrElse(sorted)
+  }
+
+  test("dialect select fuzz: 60 seeded shapes equal their direct API plans row-exactly") {
+    Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem_fuzz")
+    val df = spark.table("lineitem_fuzz")
+    var nonEmpty = 0
+    for (seed <- 1 to 60) {
+      val rnd = new scala.util.Random(seed)
+      val shape = draw(rnd)
+      val txt = dialectOf(shape)
+      val got = try KerfSql.run(spark, txt).collect().toSeq
+        catch { case e: Throwable => fail(s"seed $seed: '$txt' threw: $e") }
+      val want = apiOf(df, shape).collect().toSeq
+      assert(got == want,
+        s"seed $seed diverged\n  dialect: $txt\n  got:  ${got.take(3)}\n  want: ${want.take(3)}")
+      if (want.nonEmpty) nonEmpty += 1
+    }
+    // the generator must actually exercise data, not vacuously pass
+    assert(nonEmpty > 40, s"only $nonEmpty/60 shapes returned rows")
+  }
+}

@@ -339,6 +339,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema"), "no schema info in scan")
   }
 
+  test("q155: all four moving-verb columns share ONE window shuffle + sort") {
+    // fills/msums/mavgs/mmins/mmaxs ride the SAME (group, order) window
+    // spec, so Catalyst collapses them into one Window operator over one
+    // Exchange and one Sort — a per-verb shuffle would multiply the cost
+    // of exactly the multi-column tick queries the family exists for
+    val p = planOf("q155_kerf_moving")
+    val windows = "Window ".r.findAllIn(p).length
+    // frame specs differ (3-row vs 5-row), so Spark may emit one Window
+    // op per distinct frame — but never per column, and all downstream
+    // of a single hash exchange on the partition key
+    assert(windows <= 2, s"expected <=2 Window ops (one per frame), got $windows:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly 1 window shuffle, got $exchanges:\n$p")
+  }
+
   test("fanOut widens unstatted non-file leaves (defaultSizeInBytes sentinel)") {
     // an RDD-backed frame has no file listing AND reports the
     // defaultSizeInBytes sentinel as its stats — taking the sentinel at
