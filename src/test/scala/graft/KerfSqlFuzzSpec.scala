@@ -122,4 +122,65 @@ class KerfSqlFuzzSpec extends SparkSpec {
     // the generator must actually exercise data, not vacuously pass
     assert(nonEmpty > 40, s"only $nonEmpty/60 shapes returned rows")
   }
+
+  test("windowed-verb fuzz: 40 seeded shapes equal their Window-API plans row-exactly") {
+    import org.apache.spark.sql.expressions.Window
+    // small slice: window fuzz cost is per-shape shuffle, keep it tight
+    Tables.lineitem(spark, sf).limit(800)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"), col("l_returnflag"))
+      .createOrReplaceTempView("lineitem_wfuzz")
+    val df = spark.table("lineitem_wfuzz")
+    val runningVerbs = Seq("sums", "avgs", "mins", "maxs", "counts", "fills")
+    val movingVerbs = Seq("msums", "mavgs", "mmins", "mmaxs")
+    for (seed <- 1 to 40) {
+      val rnd = new scala.util.Random(1000 + seed)
+      val group = if (rnd.nextBoolean()) Seq("l_returnflag") else Seq("l_orderkey")
+      val vcol = if (rnd.nextBoolean()) "l_quantity" else "l_discount"
+      val nVerbs = 1 + rnd.nextInt(3)
+      val verbs = (0 until nVerbs).map { i =>
+        if (rnd.nextBoolean()) {
+          val v = runningVerbs(rnd.nextInt(runningVerbs.length))
+          (v, 0, s"w$i")
+        } else {
+          val v = movingVerbs(rnd.nextInt(movingVerbs.length))
+          (v, 2 + rnd.nextInt(4), s"w$i")
+        }
+      }
+      val verbTxt = verbs.map { case (v, n, a) =>
+        if (n == 0) s"$v($vcol) as $a" else s"$v($n, $vcol) as $a"
+      }.mkString(", ")
+      val txt = s"select ${group.mkString(", ")}, l_linenumber, $verbTxt " +
+        s"from lineitem_wfuzz group ${group.mkString(", ")} " +
+        s"order l_orderkey, l_linenumber" // total order: tie-free running frames
+      val got = try KerfSql.run(spark, txt).collect().toSeq
+        catch { case e: Throwable => fail(s"seed $seed: '$txt' threw: $e") }
+      // API side: the same verbs over the same (group, order) window
+      val wb = Window.partitionBy(group.map(col): _*)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      val running = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def apiVerb(v: String, n: Int): Column = {
+        val mf = if (n > 0) wb.rowsBetween(-(n - 1), Window.currentRow) else running
+        v match {
+          case "sums" => sum(col(vcol)).over(running)
+          case "avgs" => avg(col(vcol)).over(running)
+          case "mins" => min(col(vcol)).over(running)
+          case "maxs" => max(col(vcol)).over(running)
+          case "counts" => count(col(vcol)).over(running)
+          case "fills" => last(col(vcol), ignoreNulls = true).over(running)
+          case "msums" => sum(col(vcol)).over(mf)
+          case "mavgs" => avg(col(vcol)).over(mf)
+          case "mmins" => min(col(vcol)).over(mf)
+          case "mmaxs" => max(col(vcol)).over(mf)
+        }
+      }
+      val want = df.select(
+          group.map(col) ++ Seq(col("l_linenumber")) ++
+            verbs.map { case (v, n, a) => apiVerb(v, n).as(a) }: _*)
+        .orderBy(group.map(col) ++ Seq(col("l_orderkey"), col("l_linenumber")): _*)
+        .collect().toSeq
+      assert(got == want,
+        s"seed $seed diverged\n  dialect: $txt\n  got:  ${got.take(3)}\n  want: ${want.take(3)}")
+    }
+  }
 }
