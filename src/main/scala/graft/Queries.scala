@@ -1895,7 +1895,9 @@ object Queries {
     * segment shared with the original) disappear. DuckDB rebuilds the
     * identical segmentation and census from raw string algebra. */
   val q111_repeated_spans: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
+    // fanOut: the pass tokenizes the corpus twice (census + anti-join
+    // side); a single-file fixture would run both on one core
+    val docs = Tables.fanOut(Tables.documents(s, dir))
     llm.Pipeline.dropRepeatedSegments(docs, "doc_id", "text",
         tokensPerSeg = 8, minDocs = 2)
       .select(col("doc_id"), md5(col("text")).as("content_md5"),
