@@ -1854,6 +1854,43 @@ object Oracles {
                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rk
          FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""",
 
+    // statistical aggregates replay the IDENTICAL expression tree:
+    // exact DECIMAL(38,6) sums (order-free), double rim arithmetic in
+    // the same association — bit-exact across engines by construction
+    "q158_kerf_stats" ->
+      """WITH q AS (
+           SELECT l_returnflag,
+                  -- width 19 forces INT128 physical so the in-decimal
+                  -- products cannot overflow; the VALUES equal Spark's
+                  -- DECIMAL(18,6) quantization exactly
+                  CAST(l_quantity AS DECIMAL(19,6)) AS dq,
+                  CAST(l_extendedprice AS DECIMAL(19,6)) AS dp,
+                  CAST(l_discount AS DECIMAL(19,6)) AS dd
+           FROM lineitem),
+         g AS (
+           -- decimal -> double through VARCHAR: DuckDB's direct decimal
+           -- cast double-rounds (int128 -> double, then /10^scale); the
+           -- string path is correctly rounded, matching the JVM
+           SELECT l_returnflag,
+                  CAST(count(*) AS DOUBLE) AS n,
+                  CAST(CAST(sum(dq) AS VARCHAR) AS DOUBLE) AS sq,
+                  CAST(CAST(sum(dp) AS VARCHAR) AS DOUBLE) AS sp,
+                  CAST(CAST(sum(dd) AS VARCHAR) AS DOUBLE) AS sd_,
+                  CAST(CAST(sum(dq * dp) AS VARCHAR) AS DOUBLE) AS sqp,
+                  CAST(CAST(sum(dq * dq) AS VARCHAR) AS DOUBLE) AS sqq,
+                  CAST(CAST(sum(dp * dp) AS VARCHAR) AS DOUBLE) AS spp,
+                  CAST(CAST(sum(dd * dd) AS VARCHAR) AS DOUBLE) AS sdd
+           FROM q GROUP BY l_returnflag)
+         SELECT l_returnflag,
+                sqp / sq AS vwap,
+                (sdd / n) - (sd_ / n) * (sd_ / n) AS vr,
+                sqrt((sdd / n) - (sd_ / n) * (sd_ / n)) AS sd,
+                (sqp / n) - (sq / n) * (sp / n) AS cv,
+                ((sqp / n) - (sq / n) * (sp / n))
+                  / (sqrt((sqq / n) - (sq / n) * (sq / n))
+                     * sqrt((spp / n) - (sp / n) * (sp / n))) AS cr
+         FROM g ORDER BY l_returnflag""",
+
     // streaming forward-fill replay == the batch IGNORE NULLS window:
     // carried values are copies, so equality is bit-exact
     "q157_stream_fills" ->

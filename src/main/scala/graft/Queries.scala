@@ -2895,6 +2895,24 @@ object Queries {
       "from events_v155 group user_id order ts_ns, event_id")
   }
 
+  /** STATISTICAL AGGREGATES from the text surface (`wavg/var/dev/cov/
+    * cor` — the q-family moments; Kerf1 heritage like pctl/ranks): the
+    * VWAP shape Σ(w·x)/Σw plus population variance/deviation/
+    * covariance/correlation per return flag. Every moment is computed
+    * from EXACT DECIMAL(38,6) sums — order-free across any
+    * partitioning, so the value is deterministic on any cluster shape
+    * — with the rim arithmetic in doubles; the oracle replays the
+    * identical expression tree, so the comparison is bit-exact. */
+  val q158_kerf_stats: Q = (s, dir) => {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v158")
+    sql.KerfSql.run(s,
+      "select l_returnflag, wavg(l_quantity, l_extendedprice) as vwap, " +
+      "var(l_discount) as vr, dev(l_discount) as sd, " +
+      "cov(l_quantity, l_extendedprice) as cv, " +
+      "cor(l_quantity, l_extendedprice) as cr " +
+      "from lineitem_v158 group l_returnflag order l_returnflag")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3053,5 +3071,6 @@ object Queries {
     "q155_kerf_moving"   -> q155_kerf_moving,
     "q156_ann_stream_append" -> q156_ann_stream_append,
     "q157_stream_fills"  -> q157_stream_fills,
+    "q158_kerf_stats"    -> q158_kerf_stats,
   )
 }

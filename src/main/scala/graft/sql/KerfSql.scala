@@ -93,11 +93,13 @@ object KerfSql {
 
   private val clauseWords = Set("from", "where", "group", "order", "limit",
     "select", "set", "values", "into")
-  // `countd` has its own parse branch (exact distinct count) but is an
-  // aggregate for the windowed-select mix guard: without it here,
-  // `select sums(x), countd(y) …` would leak a raw Spark analysis error
-  // instead of the friendly "cannot mix" rejection.
-  private val aggFns = Set("sum", "avg", "min", "max", "count", "pctl", "countd")
+  // `countd` and the statistical family have their own parse branches
+  // but are aggregates for the windowed-select mix guard: without them
+  // here, `select sums(x), countd(y) …` would leak a raw Spark analysis
+  // error instead of the friendly "cannot mix" rejection.
+  private val statAggFns = Set("wavg", "var", "dev", "cov", "cor")
+  private val aggFns = Set("sum", "avg", "min", "max", "count", "pctl",
+    "countd") ++ statAggFns
   /** Windowed TABLE verbs — the down-the-rows forms of the adverb family
     * (unfold/scan ⇒ running aggregates, mapback/eachprior ⇒ prev/deltas;
     * reference semantics adverbs.h:76–120, 157–206) as select items:
@@ -762,6 +764,47 @@ object KerfSql {
         val inner = parseExpr(p, env)
         p.expect(")")
         T(count_distinct(inner.col), LongType)
+      case fn if statAggFns(fn.toLowerCase) && p.peekIs("(") =>
+        // the q-family statistical aggregates (Kerf1 heritage, like
+        // pctl/ranks): wavg(w, x) — the VWAP shape Σ(w·x)/Σw — and the
+        // POPULATION moments var/dev/cov/cor. INPUTS are quantized to
+        // DECIMAL(18,6) and every product/sum happens IN DECIMAL
+        // (exact, order-free across any partitioning — the q140
+        // integer-numerator discipline); only the rim divisions/sqrt
+        // run in doubles. Critically, products are NOT double-squared
+        // then converted: a double of magnitude 1e10 has ulp coarser
+        // than the 1e-6 decimal grid, and engines legitimately differ
+        // in how they pick the grid point — quantize-then-multiply is
+        // exact and engine-agnostic. The scale-6 input quantization is
+        // the determinism contract (values with >6 fractional digits
+        // round at ingestion); nulls follow the sums. */
+        p.expect("(")
+        val fnl = fn.toLowerCase
+        val a = parseExpr(p, env)
+        val b = if (Set("wavg", "cov", "cor")(fnl)) {
+          p.expect(","); Some(parseExpr(p, env))
+        } else None
+        p.expect(")")
+        def dq(c: Column) = c.cast(DecimalType(18, 6))
+        def dsum(c: Column) = sum(c).cast(DoubleType)
+        val n = count(a.col).cast(DoubleType)
+        def varOf(x: Column) = {
+          val sx = dsum(dq(x)); val sxx = dsum(dq(x) * dq(x))
+          (sxx / n) - (sx / n) * (sx / n)
+        }
+        val out = fnl match {
+          case "wavg" => dsum(dq(a.col) * dq(b.get.col)) / dsum(dq(a.col))
+          case "var"  => varOf(a.col)
+          case "dev"  => sqrt(varOf(a.col))
+          case "cov"  =>
+            (dsum(dq(a.col) * dq(b.get.col)) / n) -
+              (dsum(dq(a.col)) / n) * (dsum(dq(b.get.col)) / n)
+          case "cor"  =>
+            val cv = (dsum(dq(a.col) * dq(b.get.col)) / n) -
+              (dsum(dq(a.col)) / n) * (dsum(dq(b.get.col)) / n)
+            cv / (sqrt(varOf(a.col)) * sqrt(varOf(b.get.col)))
+        }
+        T(out, DoubleType)
       case fn if fn.toLowerCase == "pctl" && p.peekIs("(") =>
         // exact interpolated percentile — `pctl(l_quantity, 0.5)`; the
         // engine-portable exact aggregate (DuckDB: quantile_cont), like

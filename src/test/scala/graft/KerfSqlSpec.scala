@@ -1480,6 +1480,38 @@ class KerfSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("order clause"), s"wrong error: ${e.getMessage}")
   }
 
+  test("statistical aggregates wavg/var/dev/cov/cor: q-family moments, exact decimal sums") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 7.0), (4.0, 11.0))
+      .toDF("x", "y")
+    df.createOrReplaceTempView("stats_v")
+    val r = KerfSql.run(spark,
+      "select wavg(x, y) as wa, var(x) as vr, dev(x) as sd, " +
+      "cov(x, y) as cv, cor(x, y) as cr from stats_v").first()
+    // hand-computed population moments on the tiny exact-value frame:
+    // wavg = Σxy/Σx = (2+8+21+44)/10 = 7.5
+    // var(x): mean 2.5, Σx²/n - mean² = 30/4 - 6.25 = 1.25
+    // cov:    Σxy/n - mx·my = 75/4 - 2.5·6 = 3.75
+    // cor:    3.75 / (sqrt(1.25)·sqrt(var y)); var y = 190/4 - 36 = 11.5
+    assert(r.getDouble(0) == 7.5)
+    assert(r.getDouble(1) == 1.25)
+    assert(r.getDouble(2) == math.sqrt(1.25))
+    assert(r.getDouble(3) == 3.75)
+    assert(r.getDouble(4) == 3.75 / (math.sqrt(1.25) * math.sqrt(11.5)))
+    // grouped form runs through groupBy().agg() like any aggregate
+    Seq(("a", 1.0), ("a", 3.0), ("b", 5.0)).toDF("k", "x")
+      .createOrReplaceTempView("stats_g_v")
+    val g = KerfSql.run(spark,
+      "select k, var(x) as vr from stats_g_v group k order k")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(g == Seq(("a", 1.0), ("b", 0.0)))
+    // two-arg forms demand both arguments
+    val e = intercept[Exception] {
+      KerfSql.run(spark, "select wavg(x) as w from stats_v")
+    }
+    assert(e.getMessage.contains(","), s"wrong error: ${e.getMessage}")
+  }
+
   test("countd mixes with window verbs → the friendly dialect error") {
     import spark.implicits._
     Seq(("a", 1L, 2L)).toDF("k", "ts", "v").createOrReplaceTempView("cdm_v")
