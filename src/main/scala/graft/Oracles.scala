@@ -1883,12 +1883,12 @@ object Oracles {
            FROM q GROUP BY l_returnflag)
          SELECT l_returnflag,
                 sqp / sq AS vwap,
-                (sdd / n) - (sd_ / n) * (sd_ / n) AS vr,
-                sqrt((sdd / n) - (sd_ / n) * (sd_ / n)) AS sd,
+                greatest((sdd / n) - (sd_ / n) * (sd_ / n), 0.0) AS vr,
+                sqrt(greatest((sdd / n) - (sd_ / n) * (sd_ / n), 0.0)) AS sd,
                 (sqp / n) - (sq / n) * (sp / n) AS cv,
                 ((sqp / n) - (sq / n) * (sp / n))
-                  / (sqrt((sqq / n) - (sq / n) * (sq / n))
-                     * sqrt((spp / n) - (sp / n) * (sp / n))) AS cr
+                  / (sqrt(greatest((sqq / n) - (sq / n) * (sq / n), 0.0))
+                     * sqrt(greatest((spp / n) - (sp / n) * (sp / n), 0.0))) AS cr
          FROM g ORDER BY l_returnflag""",
 
     // streaming forward-fill replay == the batch IGNORE NULLS window:
@@ -1922,18 +1922,32 @@ object Oracles {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)
          ORDER BY user_id, ts_ns, event_id""",
 
-    // rolling 3-tick sum/mean + 5-tick min/max per user: bounded ROWS
-    // frames over one (user, time) window; ≤3-term double sums associate
-    // identically left-to-right in both engines, min/max are exact picks
+    // rolling 3-tick sum/mean + 5-tick min/max + 4-tick volatility per
+    // user: bounded ROWS frames over one (user, time) window; ≤3-term
+    // double sums associate identically left-to-right in both engines,
+    // min/max are exact picks, and the volatility pair replays the
+    // exact decimal-sum tree (VARCHAR-path casts: DuckDB's direct
+    // decimal->double cast double-rounds)
     "q155_kerf_moving" ->
-      """SELECT user_id, epoch_us(ts) * 1000 AS ts_ns,
-                sum(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ms3,
-                avg(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3,
-                min(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mn5,
-                max(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mx5
-         FROM events
-         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) * 1000, event_id)
-         ORDER BY user_id, ts_ns, event_id""",
+      """WITH b AS (
+           SELECT user_id, epoch_us(ts) * 1000 AS ts_ns, event_id, value,
+                  CAST(value AS DECIMAL(19,6)) AS dv
+           FROM events),
+         v AS (
+           SELECT user_id, ts_ns, event_id, value,
+                  CAST(count(value) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS c4,
+                  CAST(CAST(sum(dv) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS sx4,
+                  CAST(CAST(sum(dv * dv) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS sxx4,
+                  sum(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ms3,
+                  avg(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3,
+                  min(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mn5,
+                  max(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mx5
+           FROM b
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id))
+         SELECT user_id, ts_ns, ms3, ma3, mn5, mx5,
+                greatest((sxx4 / c4) - (sx4 / c4) * (sx4 / c4), 0.0) AS mv4,
+                sqrt(greatest((sxx4 / c4) - (sx4 / c4) * (sx4 / c4), 0.0)) AS md4
+         FROM v ORDER BY user_id, ts_ns, event_id""",
 
     // the dialect-driven workflow computes q140's exact answer
     "q150_dialect_drift" ->

@@ -2883,15 +2883,17 @@ object Queries {
     * mmins/mmaxs`, the q-family msum/mavg heritage): rolling 3-tick
     * sum/mean and 5-tick min/max per user down the time axis. Each verb
     * is one bounded ROWS frame over the SAME (group, order) window —
-    * one shuffle for all four columns; ragged leading frames (fewer
+    * one shuffle for all six columns; ragged leading frames (fewer
     * than N rows) aggregate what exists, the q/kdb convention. Sums of
-    * ≤3 doubles associate identically left-to-right in both engines, so
-    * the comparison is exact. */
+    * ≤3 doubles associate identically left-to-right in both engines,
+    * and the rolling volatility pair (`mvars/mdevs`) runs on exact
+    * DECIMAL(18,6)-quantized sums, so the whole comparison is exact. */
   val q155_kerf_moving: Q = (s, dir) => {
     Tables.events(s, dir).createOrReplaceTempView("events_v155")
     sql.KerfSql.run(s,
       "select user_id, ts_ns, msums(3, value) as ms3, mavgs(3, value) as ma3, " +
-      "mmins(5, value) as mn5, mmaxs(5, value) as mx5 " +
+      "mmins(5, value) as mn5, mmaxs(5, value) as mx5, " +
+      "mvars(4, value) as mv4, mdevs(4, value) as md4 " +
       "from events_v155 group user_id order ts_ns, event_id")
   }
 

@@ -109,11 +109,15 @@ object KerfSql {
     * first-class in the dialect. */
   private val windowVerbs = Set("sums", "avgs", "mins", "maxs", "counts",
     "deltas", "prev", "ranks", "fills", "bfills",
-    "msums", "mavgs", "mmins", "mmaxs")
+    "msums", "mavgs", "mmins", "mmaxs", "mvars", "mdevs")
   /** Fixed-width moving aggregates (`msums(5, x)` = rolling 5-row sum) —
     * the q-family msum/mavg heritage down the table's rows: a bounded
-    * ROWS frame instead of the running UNBOUNDED PRECEDING one. */
-  private val movingVerbs = Set("msums", "mavgs", "mmins", "mmaxs")
+    * ROWS frame instead of the running UNBOUNDED PRECEDING one.
+    * `mvars/mdevs` are the rolling POPULATION variance/deviation (tick
+    * volatility), on the same exact-decimal-sum discipline as the
+    * var/dev aggregates. */
+  private val movingVerbs = Set("msums", "mavgs", "mmins", "mmaxs",
+    "mvars", "mdevs")
   private val listVerbs = Set("length", "upper", "lower", "reverse",
     "first", "last", "enlist", "join", "find", "keys", "values", "amend",
     "take", "drop", "distinct", "ascend", "descend", "flip", "bars",
@@ -730,6 +734,22 @@ object KerfSql {
           case "mavgs"  => T(avg(inner.col).over(mFrame), DoubleType)
           case "mmins"  => T(min(inner.col).over(mFrame), inner.dt)
           case "mmaxs"  => T(max(inner.col).over(mFrame), inner.dt)
+          case "mvars" | "mdevs" =>
+            // rolling population variance/deviation — the same exact
+            // DECIMAL(18,6)-quantized sum discipline as the var/dev
+            // aggregates, per bounded frame; ragged leading frames use
+            // their own (smaller) count, the q/kdb convention
+            val dq = inner.col.cast(DecimalType(18, 6))
+            val cnt = count(inner.col).over(mFrame).cast(DoubleType)
+            val sx = sum(dq).over(mFrame).cast(DoubleType)
+            val sxx = sum(dq * dq).over(mFrame).cast(DoubleType)
+            // clamp at 0: on a 1-row frame the two sides of the
+            // difference take different fp routes (decimal-exact x² vs
+            // double x·x) and can cancel to −ε — which sqrt would turn
+            // into NaN here and an error in stricter engines
+            val v = greatest(
+              (sxx / cnt) - (sx / cnt) * (sx / cnt), lit(0.0))
+            T(if (fnl == "mvars") v else sqrt(v), DoubleType)
           case "fills"  =>
             // forward-fill: carry the last non-null down the ordered rows
             // (the tick-DB quote-carry; last() IGNORE NULLS over the
@@ -788,9 +808,11 @@ object KerfSql {
         def dq(c: Column) = c.cast(DecimalType(18, 6))
         def dsum(c: Column) = sum(c).cast(DoubleType)
         val n = count(a.col).cast(DoubleType)
+        // clamped at 0: a 1-row group's difference can cancel to −ε
+        // (decimal-exact x² vs double x·x routes) and sqrt would NaN
         def varOf(x: Column) = {
           val sx = dsum(dq(x)); val sxx = dsum(dq(x) * dq(x))
-          (sxx / n) - (sx / n) * (sx / n)
+          greatest((sxx / n) - (sx / n) * (sx / n), lit(0.0))
         }
         val out = fnl match {
           case "wavg" => dsum(dq(a.col) * dq(b.get.col)) / dsum(dq(a.col))
