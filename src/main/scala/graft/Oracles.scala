@@ -1817,6 +1817,18 @@ object Oracles {
                 CAST(1.0 AS DOUBLE) AS jaccard
          FROM documents WHERE doc_id < 16 ORDER BY id_a""",
 
+    // audio near-dup closed form: the 3 volume-rescaled copies of each
+    // of the 8 waveform patterns pair up exactly (volume-invariant
+    // envelope hash -> identical hash sets -> jaccard 1.0); patterns
+    // share no window hash, so no cross-pattern pair survives
+    "q159_audio_neardup" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(1.0 AS DOUBLE) AS jaccard
+         FROM documents a JOIN documents b
+           ON b.doc_id > a.doc_id AND a.doc_id % 8 = b.doc_id % 8
+         WHERE a.doc_id < 24 AND b.doc_id < 24
+         ORDER BY id_a, id_b""",
+
     "q151_kerf_countd" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS nc, count(*) AS n
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",

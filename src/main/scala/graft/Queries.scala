@@ -2897,6 +2897,29 @@ object Queries {
       "from events_v155 group user_id order ts_ns, event_id")
   }
 
+  /** AUDIO perceptual near-dup (completing the media family: image
+    * aHash q129, video frame-hash q149, audio window-envelope here):
+    * 24 synthesized PCM clips = 8 waveform patterns × 3 VOLUMES — the
+    * envelope hash compares each cell against its window's own mean,
+    * so a gain-rescaled copy emits identical hashes and each pattern's
+    * three volumes collapse into exact-Jaccard-1.0 pairs, while
+    * different patterns share no window hash. Same shared band engine
+    * as text/video near-dup (`Dedup.pairsFromHashSets`). */
+  val q159_audio_neardup: Q = (s, dir) => {
+    import s.implicits._
+    val clips = Tables.documents(s, dir).filter(col("doc_id") < 24)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          (id, llm.Multimodal.synthWav(
+            patternSeed = id % 8, scale = 0.3 + 0.3 * (id / 8).toDouble))
+        }
+      }.toDF("doc_id", "wav")
+    llm.Multimodal.audioPerceptualPairs(clips, "doc_id", "wav",
+        jaccardThreshold = 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** STATISTICAL AGGREGATES from the text surface (`wavg/var/dev/cov/
     * cor` — the q-family moments; Kerf1 heritage like pctl/ranks): the
     * VWAP shape Σ(w·x)/Σw plus population variance/deviation/
@@ -3074,5 +3097,6 @@ object Queries {
     "q156_ann_stream_append" -> q156_ann_stream_append,
     "q157_stream_fills"  -> q157_stream_fills,
     "q158_kerf_stats"    -> q158_kerf_stats,
+    "q159_audio_neardup" -> q159_audio_neardup,
   )
 }

@@ -341,6 +341,139 @@ object Multimodal {
     graft.ops.Caches.seal(result, caches: _*)
   }
 
+  case class AudioHashRow(doc_id: Long, window_no: Int, ahash: Long)
+
+  /** Per-window PERCEPTUAL HASH sampler for audio — the audio analog of
+    * [[sampleFrameHashesPartitioned]]: decode 16-bit LE PCM at the codec
+    * seam (the [[WavCodec]] parse), split the sample stream into fixed
+    * `windowSamples` windows, and hash each window's ENVELOPE: 64 equal
+    * cells, bit = cell mean |amplitude| > window mean |amplitude|,
+    * MSB-first (the aHash convention on the waveform instead of the
+    * raster). The comparison is against the window's OWN mean, so the
+    * hash is VOLUME-INVARIANT — a gain-rescaled copy emits identical
+    * window hashes, which is the perceptual property that makes it a
+    * dedup feature rather than a checksum. One blob in flight per task;
+    * ~20 bytes out per window regardless of sample rate. */
+  def sampleAudioHashesPartitioned(docs: DataFrame, idCol: String, binCol: String,
+                                   windowSamples: Int = 1024): DataFrame = {
+    val cells = 64
+    require(windowSamples >= cells && windowSamples % cells == 0,
+      s"windowSamples must be a positive multiple of $cells, got $windowSamples")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val data = try in.readAllBytes() finally in.close()
+          val nSamples = data.length / 2
+          val nWindows = nSamples / windowSamples
+          val per = windowSamples / cells
+          (0 until nWindows).map { w =>
+            val base = w * windowSamples
+            val cellMeans = new Array[Double](cells)
+            var c = 0
+            var total = 0.0
+            while (c < cells) {
+              var s = 0.0
+              var k = 0
+              while (k < per) {
+                val i = (base + c * per + k) * 2
+                s += math.abs((((data(i + 1) & 0xFF) << 8) | (data(i) & 0xFF)).toShort.toDouble)
+                k += 1
+              }
+              cellMeans(c) = s / per
+              total += cellMeans(c)
+              c += 1
+            }
+            val mean = total / cells
+            var hash = 0L
+            c = 0
+            while (c < cells) {
+              hash = (hash << 1) | (if (cellMeans(c) > mean) 1L else 0L)
+              c += 1
+            }
+            AudioHashRow(id, w, hash)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** AUDIO perceptual near-dup pairs — clips whose window-envelope hash
+    * SETS overlap at Jaccard ≥ τ: gain-rescaled, re-muxed, or padded
+    * copies collapse (byte-identity is [[graft.llm.Dedup.exactBinary]]'s
+    * job). Same composition as [[videoPerceptualPairs]], and literally
+    * the same engine: envelope hashes from the decode seam (map-only,
+    * ~20 bytes/window), per-clip hash SET via one partial-agg groupBy,
+    * then the shared MinHash→band→bucket→verify path
+    * ([[graft.llm.Dedup.pairsFromHashSets]]) — the 100 TB banding cost
+    * model carries over unchanged. Returns (id_a, id_b, jaccard). */
+  def audioPerceptualPairs(audios: DataFrame, idCol: String, binCol: String,
+                           windowSamples: Int = 1024, numHashes: Int = 32,
+                           bands: Int = 8, jaccardThreshold: Double = 0.9,
+                           maxBucket: Int = 64): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val hashed = sampleAudioHashesPartitioned(audios, idCol, binCol, windowSamples)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("ahash")).as("shh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (result, caches) = graft.llm.Dedup.pairsFromHashSets(
+      hashed, numHashes, bands, jaccardThreshold, maxBucket)
+    graft.ops.Caches.seal(result, caches: _*)
+  }
+
+  /** Deterministic block-pattern PCM WAV (16-bit LE mono, 8 kHz) for
+    * the audio-dedup fixtures: window w's 64 cells take high/low
+    * amplitude from a splitmix64 bit pattern of (`patternSeed`, w);
+    * `scale` rescales the volume WITHOUT touching the pattern, so the
+    * rescaled clip is the canonical perceptual near-dup (identical
+    * envelope hashes) while clips with different seeds share no window
+    * hash. Margins are 10×, so integer quantization of the scale can
+    * never flip a cell-vs-mean comparison. */
+  def synthWav(patternSeed: Long, scale: Double, windows: Int = 6,
+               windowSamples: Int = 1024): Array[Byte] = {
+    require(scale > 0.0 && scale <= 1.0, s"scale must be in (0,1], got $scale")
+    val cells = 64
+    val per = windowSamples / cells
+    val n = windows * windowSamples
+    val data = new Array[Byte](n * 2)
+    def mix(a: Long, b: Long): Long = {
+      var z = a ^ (b * 0x9E3779B97F4A7C15L)
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    var idx = 0
+    var w = 0
+    while (w < windows) {
+      val pattern = mix(patternSeed, w.toLong + 1L)
+      var c = 0
+      while (c < cells) {
+        val high = ((pattern >>> c) & 1L) == 1L
+        val amp = ((if (high) 24000.0 else 2400.0) * scale).toInt
+        var k = 0
+        while (k < per) {
+          data(2 * idx) = (amp & 0xFF).toByte
+          data(2 * idx + 1) = ((amp >> 8) & 0xFF).toByte
+          idx += 1
+          k += 1
+        }
+        c += 1
+      }
+      w += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
   /** One resized image: re-encoded blob + its new dims. */
   case class ResizedRow(doc_id: Long, png: Array[Byte], width: Int, height: Int)
 

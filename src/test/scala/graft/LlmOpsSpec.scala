@@ -925,6 +925,33 @@ class LlmOpsSpec extends SparkSpec {
       jaccardThreshold = 0.9).count() == 0)
   }
 
+  test("audio near-dup: volume-invariant envelope hash; padded copy at true Jaccard") {
+    def wav(seed: Long, scale: Double, windows: Int = 4): Array[Byte] =
+      graft.llm.Multimodal.synthWav(seed, scale, windows)
+    val clips = Seq(
+      (1L, wav(7L, 0.9)),   // the original
+      (2L, wav(7L, 0.3)),   // gain-rescaled copy — the perceptual dup
+      (3L, wav(7L, 0.9, windows = 6)), // padded copy: 4 shared + 2 extra
+      (4L, wav(99L, 0.9))   // unrelated pattern
+    ).toDF("doc_id", "wav")
+    // window hashes are volume-invariant: rescaling changes no bit
+    val ah = Multimodal.sampleAudioHashesPartitioned(clips, "doc_id", "wav")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    (0 until 4).foreach(w => assert(ah((1L, w)) == ah((2L, w)),
+      s"volume rescale flipped window $w"))
+    assert(ah((1L, 0)) != ah((4L, 0)), "distinct patterns collided")
+    // exact copy pairs at 1.0; padded copy at 4/6; unrelated absent
+    val pairs = Multimodal.audioPerceptualPairs(clips, "doc_id", "wav",
+        jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1000) / 1000)).toSet
+    assert(pairs == Set((1L, 2L, 1.0), (1L, 3L, 0.667), (2L, 3L, 0.667)),
+      s"got $pairs")
+    assert(Multimodal.audioPerceptualPairs(clips, "doc_id", "wav",
+      jaccardThreshold = 0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((1L, 2L)))
+  }
+
   test("fuzzyPairs: planted typo found, prefix-block miss documented, skew guard") {
     val df = Seq(
       (1L, "the quick brown fox jumps"),
