@@ -2195,13 +2195,22 @@ object KerfSql {
     // threshold there, same as the MinHash meaning
     var frames = false
     if (near && p.peekIs("frames")) { p.pop(); frames = true }
+    // `neardup … envelope [within τ]` is the AUDIO sibling
+    // (Multimodal.audioPerceptualPairs — volume-invariant window-
+    // envelope hashes over a PCM binary column, q159)
+    var envelope = false
+    if (near && p.peekIs("envelope")) {
+      require(!frames, "neardup: `frames` and `envelope` are alternative metrics — pick one")
+      p.pop(); envelope = true
+    }
     // `neardup … edit N [prefix P]` switches the pair metric from
     // MinHash-Jaccard to blocked Levenshtein (Dedup.fuzzyPairs) — the
     // typo-tolerant short-string form (q148)
     var edit: Option[Int] = None
     var prefix = 8
     if (near && p.peekIs("edit")) {
-      require(!frames, "neardup: `frames` and `edit` are alternative metrics — pick one")
+      require(!frames && !envelope,
+        "neardup: `frames`/`envelope` and `edit` are alternative metrics — pick one")
       p.pop()
       val t = p.pop()
       require(t.forall(_.isDigit) && t.toInt > 0,
@@ -2215,7 +2224,7 @@ object KerfSql {
         prefix = t2.toInt
       }
     }
-    var tau = if (frames) 0.9 else 0.7 // the two set-Jaccard defaults
+    var tau = if (frames || envelope) 0.9 else 0.7 // the set-Jaccard defaults
     if (near && p.peekIs("within")) {
       require(edit.isEmpty, "neardup: `edit` and `within` are alternative metrics — pick one")
       p.pop(); tau = p.pop().toDouble
@@ -2224,12 +2233,14 @@ object KerfSql {
     if (near && p.peekIs("keep")) { p.pop(); p.expect("best"); keepBest = Some(p.pop()) }
     val base =
       if (near) {
-        val pairs = (edit, frames) match {
-          case (Some(d), _) => graft.llm.Dedup.fuzzyPairs(df, idCol, textCol,
+        val pairs = (edit, frames, envelope) match {
+          case (Some(d), _, _) => graft.llm.Dedup.fuzzyPairs(df, idCol, textCol,
             maxDist = d, prefixLen = prefix)
-          case (None, true) => graft.llm.Multimodal.videoPerceptualPairs(
+          case (None, true, _) => graft.llm.Multimodal.videoPerceptualPairs(
             df, idCol, textCol, jaccardThreshold = tau)
-          case (None, false) => graft.llm.Dedup.minhashPairs(df, idCol, textCol,
+          case (None, _, true) => graft.llm.Multimodal.audioPerceptualPairs(
+            df, idCol, textCol, jaccardThreshold = tau)
+          case _ => graft.llm.Dedup.minhashPairs(df, idCol, textCol,
             jaccardThreshold = tau)
         }
         keepBest match {

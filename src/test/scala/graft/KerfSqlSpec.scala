@@ -1089,6 +1089,28 @@ class KerfSqlSpec extends SparkSpec {
     }
   }
 
+  test("neardup envelope metric: audio near-dup from the text surface") {
+    import spark.implicits._
+    def wav(seed: Long, scale: Double, w: Int = 4): Array[Byte] =
+      graft.llm.Multimodal.synthWav(seed, scale, w)
+    Seq((1L, wav(7L, 0.9)), (2L, wav(7L, 0.3)), (3L, wav(7L, 0.9, w = 6)),
+        (4L, wav(99L, 0.9)))
+      .toDF("doc_id", "wav").createOrReplaceTempView("clips_t")
+    // default τ=0.9: only the gain-rescaled exact copy pairs
+    val tight = KerfSql.run(spark,
+      "neardup clips_t by doc_id on wav envelope order id_a, id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(tight == Seq((1L, 2L)))
+    // loose τ picks up the padded copy at its true 4/6 Jaccard
+    val loose = KerfSql.run(spark,
+      "neardup clips_t by doc_id on wav envelope within 0.5 order id_a, id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(loose == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    intercept[IllegalArgumentException] {
+      KerfSql.run(spark, "neardup clips_t by doc_id on wav frames envelope")
+    }
+  }
+
   test("classify verb: synthetic and using-model forms == API; loud weight table") {
     import spark.implicits._
     Tables.documents(spark, sf).createOrReplaceTempView("docs_cls")
