@@ -56,6 +56,27 @@ object GraftFunctions {
       },
       "built-in")
 
+  /** (column, literal-double) shape — EmaScan carries α as a
+    * constructor parameter (it parameterizes the fold, it isn't data). */
+  private def withDoubleLit(spark: SparkSession, name: String)
+                           (f: (Column, Double) => Column): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
+        require(exprs.length == 2, s"$name takes 2 arguments")
+        val a = exprs(1) match {
+          case Literal(v: Double, DoubleType) => v
+          case Literal(v: Int, IntegerType) => v.toDouble
+          case Literal(v: org.apache.spark.sql.types.Decimal, _: DecimalType) => v.toDouble
+          case other => throw new IllegalArgumentException(
+            s"$name: second argument must be a literal number, got $other")
+        }
+        toCatalystExpr(f(toColumn(exprs.head), a))
+      },
+      "built-in")
+
   /** Register the whole graft function surface on a session. */
   def registerAll(spark: SparkSession): Unit = {
     unary(spark, "graft_norm_text")(graft.llm.Dedup.normText)
@@ -76,6 +97,7 @@ object GraftFunctions {
     // unpack at scan
     unary(spark, "graft_half_pack")(Half.pack)
     unary(spark, "graft_half_unpack")(Half.unpack)
+    withDoubleLit(spark, "graft_ema")(graft.ops.Adverbs.ema)
     EpsilonEquals.register(spark)
     MinHashAgg.register(spark)
   }

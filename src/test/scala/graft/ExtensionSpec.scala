@@ -106,6 +106,16 @@ class ExtensionSpec extends SparkSpec {
     assert(withNull.isNullAt(0))
   }
 
+  test("graft_ema SQL surface: literal alpha, scan semantics, loud non-literal") {
+    val r = spark.sql(
+      "SELECT graft_ema(array(1.0d, 5.0d, 9.0d), 0.25) AS e").first().getSeq[Double](0)
+    assert(r == Seq(1.0, 2.0, 3.75)) // 1; 1+.25·4=2; 2+.25·7=3.75
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_ema(array(1.0d), rand()) AS e").collect()
+    }
+    assert(e.getMessage.contains("literal"), s"wrong error: ${e.getMessage}")
+  }
+
   test("DotProduct runs inside whole-stage codegen at the top level") {
     val emb = Tables.embeddings(spark, sf).limit(50)
     val out = emb.select(graft.functions.DotProduct.dot(col("embedding"), col("embedding")).as("d"))
