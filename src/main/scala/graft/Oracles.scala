@@ -1866,6 +1866,51 @@ object Oracles {
                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rk
          FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""",
 
+    // the tick capstone replayed stage by stage: DuckDB's native ASOF
+    // LEFT JOIN is the same latest-at-or-before merge; the moment
+    // formulas replay q158's exact-decimal tree (VARCHAR-path casts)
+    "q160_tick_pipeline" ->
+      """WITH trades AS (
+           SELECT user_id, epoch_us(ts) * 1000 AS t_ts, value AS price
+           FROM events WHERE event_type = 'purchase'),
+         quotes AS (
+           SELECT user_id, epoch_us(ts) * 1000 AS q_ts, value AS quote
+           FROM events WHERE event_type = 'view'),
+         enr AS (
+           SELECT t.user_id, t.t_ts, t.price, q.quote
+           FROM trades t ASOF LEFT JOIN quotes q
+             ON t.user_id = q.user_id AND t.t_ts >= q.q_ts),
+         liq AS (SELECT * FROM enr WHERE quote >= 0),
+         dec AS (
+           SELECT user_id, t_ts, price, quote,
+                  CAST(price AS DECIMAL(19,6)) AS dp,
+                  CAST(quote AS DECIMAL(19,6)) AS dq
+           FROM liq),
+         summ AS (
+           SELECT user_id,
+                  CAST(count(*) AS DOUBLE) AS n,
+                  CAST(CAST(sum(dp) AS VARCHAR) AS DOUBLE) AS sp,
+                  CAST(CAST(sum(dq) AS VARCHAR) AS DOUBLE) AS sq,
+                  CAST(CAST(sum(dq * dp) AS VARCHAR) AS DOUBLE) AS sqp,
+                  CAST(CAST(sum(dp * dp) AS VARCHAR) AS DOUBLE) AS spp,
+                  CAST(CAST(sum(dq * dq) AS VARCHAR) AS DOUBLE) AS sqq
+           FROM dec GROUP BY user_id),
+         mom AS (
+           SELECT user_id,
+                  sqp / sq AS vwap,
+                  ((sqp / n) - (sp / n) * (sq / n))
+                    / (sqrt(greatest((spp / n) - (sp / n) * (sp / n), 0.0))
+                       * sqrt(greatest((sqq / n) - (sq / n) * (sq / n), 0.0))) AS pq
+           FROM summ)
+         SELECT l.user_id, l.t_ts, l.price, l.quote,
+                sum(l.price) OVER w3 AS ms3,
+                avg(l.price) OVER w3 AS ma3,
+                m.vwap, m.pq
+         FROM liq l JOIN mom m USING (user_id)
+         WINDOW w3 AS (PARTITION BY l.user_id ORDER BY l.t_ts
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         ORDER BY l.user_id, l.t_ts""",
+
     // statistical aggregates replay the IDENTICAL expression tree:
     // exact DECIMAL(38,6) sums (order-free), double rim arithmetic in
     // the same association — bit-exact across engines by construction

@@ -2938,6 +2938,35 @@ object Queries {
       "from lineitem_v158 group l_returnflag order l_returnflag")
   }
 
+  /** The TICK-ANALYTICS capstone from the text surface — the Kerf
+    * daily bread composed end-to-end in one dialect program (the
+    * trading twin of q153's corpus pipeline): purchases are trades,
+    * views are quotes; AS-OF join each trade to the latest quote
+    * at-or-before it (native merge exec), drop trades with no quote
+    * yet (value ≥ 0 on both engines ⇔ non-null), compute per-user
+    * summary moments (quote-weighted VWAP + price/quote correlation —
+    * r12's exact-decimal aggregates), and re-join them onto the
+    * windowed tick frame with rolling 3-trade sum/mean. Six
+    * statements, zero API calls, every stage engine-portable. */
+  val q160_tick_pipeline: Q = (s, dir) => {
+    Tables.events(s, dir).createOrReplaceTempView("events_v160")
+    sql.KerfSql.run(s,
+      "trades_v160: select user_id, ts_ns as t_ts, value as price " +
+      "from events_v160 where event_type = 'purchase'; " +
+      "quotes_v160: select user_id, ts_ns as q_ts, value as quote " +
+      "from events_v160 where event_type = 'view'; " +
+      "enr_v160: select user_id, t_ts, price, quote from trades_v160 " +
+      "asof join quotes_v160 on user_id at t_ts, q_ts; " +
+      "liq_v160: select user_id, t_ts, price, quote from enr_v160 " +
+      "where quote >= 0; " +
+      "summ_v160: select user_id, wavg(quote, price) as vwap, " +
+      "cor(price, quote) as pq from liq_v160 group user_id; " +
+      "select user_id, t_ts, price, quote, msums(3, price) as ms3, " +
+      "mavgs(3, price) as ma3, vwap, pq " +
+      "from liq_v160 join summ_v160 on user_id " +
+      "group user_id order t_ts")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3098,5 +3127,6 @@ object Queries {
     "q157_stream_fills"  -> q157_stream_fills,
     "q158_kerf_stats"    -> q158_kerf_stats,
     "q159_audio_neardup" -> q159_audio_neardup,
+    "q160_tick_pipeline" -> q160_tick_pipeline,
   )
 }
