@@ -1905,10 +1905,16 @@ object Oracles {
          SELECT l.user_id, l.t_ts, l.price, l.quote,
                 sum(l.price) OVER w3 AS ms3,
                 avg(l.price) OVER w3 AS ma3,
+                CAST(CAST(sum(CAST(l.quote AS DECIMAL(19,6)) * CAST(l.price AS DECIMAL(19,6)))
+                          OVER wr AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST(sum(CAST(l.quote AS DECIMAL(19,6)))
+                          OVER wr AS VARCHAR) AS DOUBLE) AS cvwap,
                 m.vwap, m.pq
          FROM liq l JOIN mom m USING (user_id)
          WINDOW w3 AS (PARTITION BY l.user_id ORDER BY l.t_ts
-                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                wr AS (PARTITION BY l.user_id ORDER BY l.t_ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          ORDER BY l.user_id, l.t_ts""",
 
     // statistical aggregates replay the IDENTICAL expression tree:

@@ -2962,7 +2962,7 @@ object Queries {
       "summ_v160: select user_id, wavg(quote, price) as vwap, " +
       "cor(price, quote) as pq from liq_v160 group user_id; " +
       "select user_id, t_ts, price, quote, msums(3, price) as ms3, " +
-      "mavgs(3, price) as ma3, vwap, pq " +
+      "mavgs(3, price) as ma3, wavgs(quote, price) as cvwap, vwap, pq " +
       "from liq_v160 join summ_v160 on user_id " +
       "group user_id order t_ts")
   }

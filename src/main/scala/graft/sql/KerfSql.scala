@@ -108,7 +108,7 @@ object KerfSql {
     * ORDER BY the order items — ops.Adverbs.scanRows/eachPriorRows made
     * first-class in the dialect. */
   private val windowVerbs = Set("sums", "avgs", "mins", "maxs", "counts",
-    "deltas", "prev", "ranks", "fills", "bfills",
+    "deltas", "prev", "ranks", "fills", "bfills", "wavgs",
     "msums", "mavgs", "mmins", "mmaxs", "mvars", "mdevs")
   /** Fixed-width moving aggregates (`msums(5, x)` = rolling 5-row sum) —
     * the q-family msum/mavg heritage down the table's rows: a bounded
@@ -714,6 +714,11 @@ object KerfSql {
             "rank runs on the order clause. Use ranks() or pass the first " +
             s"order key${env.firstOrderKey.fold("")(k => s" (${k.mkString(" ")})")}")
         }
+        // wavgs is the one two-EXPRESSION window verb: wavgs(w, x) =
+        // running Σ(w·x)/Σw down the ordered rows (cumulative VWAP)
+        val second = if (fnl == "wavgs") {
+          p.expect(","); Some(parseExpr(p, env))
+        } else None
         p.expect(")")
         val sumDt = inner.dt match {
           case DoubleType | FloatType => DoubleType
@@ -750,6 +755,13 @@ object KerfSql {
             val v = greatest(
               (sxx / cnt) - (sx / cnt) * (sx / cnt), lit(0.0))
             T(if (fnl == "mvars") v else sqrt(v), DoubleType)
+          case "wavgs"  =>
+            // the running form of the wavg aggregate, same exact-decimal
+            // discipline: quote-weighted price so far, per ordered row
+            val dw = inner.col.cast(DecimalType(18, 6))
+            val dx = second.get.col.cast(DecimalType(18, 6))
+            T(sum(dw * dx).over(frame).cast(DoubleType) /
+              sum(dw).over(frame).cast(DoubleType), DoubleType)
           case "fills"  =>
             // forward-fill: carry the last non-null down the ordered rows
             // (the tick-DB quote-carry; last() IGNORE NULLS over the

@@ -1534,6 +1534,22 @@ class KerfSqlSpec extends SparkSpec {
     assert(e.getMessage.contains(","), s"wrong error: ${e.getMessage}")
   }
 
+  test("wavgs window verb: running weighted mean == decimal-sum window API") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 2.0, 10.0), ("a", 2L, 3.0, 20.0), ("a", 3L, 5.0, 30.0))
+      .toDF("k", "ts", "w", "x")
+    df.createOrReplaceTempView("wavgs_v")
+    val got = KerfSql.run(spark,
+      "select k, ts, wavgs(w, x) as cw from wavgs_v group k order ts")
+      .select("cw").as[Double].collect().toSeq
+    // running Σ(w·x)/Σw: 20/2; (20+60)/5; (20+60+150)/10
+    assert(got == Seq(10.0, 16.0, 23.0))
+    // two-expression form demands both arguments
+    intercept[Exception] {
+      KerfSql.run(spark, "select k, wavgs(w) as cw from wavgs_v group k order ts")
+    }
+  }
+
   test("countd mixes with window verbs → the friendly dialect error") {
     import spark.implicits._
     Seq(("a", 1L, 2L)).toDF("k", "ts", "v").createOrReplaceTempView("cdm_v")
