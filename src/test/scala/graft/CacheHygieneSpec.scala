@@ -42,7 +42,15 @@ class CacheHygieneSpec extends SparkSpec {
     val dc     = graft.llm.Pipeline.decontaminate(
                    docs, docs.filter(col("doc_id") === 0), "doc_id", "text")
 
-    val results = Seq(pairs, labels, ivf, nd, sh, dc)
+    // the media near-dup paths ride the same seal discipline: the
+    // per-clip hash-set persist and the band engine's caches must all
+    // release with the result
+    val au = graft.llm.Multimodal.audioPerceptualPairs(
+      Seq((1L, graft.llm.Multimodal.synthWav(7L, 0.9)),
+          (2L, graft.llm.Multimodal.synthWav(7L, 0.3))).toDF("doc_id", "wav"),
+      "doc_id", "wav")
+
+    val results = Seq(pairs, labels, ivf, nd, sh, dc, au)
     results.foreach(_.collect()) // consume
 
     // only the sealed results themselves may still hold storage
