@@ -751,17 +751,22 @@ object KerfSql {
             // clamp at 0: on a 1-row frame the two sides of the
             // difference take different fp routes (decimal-exact x² vs
             // double x·x) and can cancel to −ε — which sqrt would turn
-            // into NaN here and an error in stricter engines
-            val v = greatest(
-              (sxx / cnt) - (sx / cnt) * (sx / cnt), lit(0.0))
+            // into NaN here and an error in stricter engines. An
+            // all-null frame (cnt 0) is null, not an ANSI divide error
+            val v = when(cnt === 0.0, lit(null).cast(DoubleType))
+              .otherwise(greatest(
+                (sxx / cnt) - (sx / cnt) * (sx / cnt), lit(0.0)))
             T(if (fnl == "mvars") v else sqrt(v), DoubleType)
           case "wavgs"  =>
             // the running form of the wavg aggregate, same exact-decimal
-            // discipline: quote-weighted price so far, per ordered row
+            // discipline: quote-weighted price so far, per ordered row;
+            // zero weight-mass so far is null, not an ANSI divide error
             val dw = inner.col.cast(DecimalType(18, 6))
             val dx = second.get.col.cast(DecimalType(18, 6))
-            T(sum(dw * dx).over(frame).cast(DoubleType) /
-              sum(dw).over(frame).cast(DoubleType), DoubleType)
+            val den = sum(dw).over(frame).cast(DoubleType)
+            T(when(den === 0.0, lit(null).cast(DoubleType))
+              .otherwise(sum(dw * dx).over(frame).cast(DoubleType) / den),
+              DoubleType)
           case "fills"  =>
             // forward-fill: carry the last non-null down the ordered rows
             // (the tick-DB quote-carry; last() IGNORE NULLS over the
@@ -820,23 +825,31 @@ object KerfSql {
         def dq(c: Column) = c.cast(DecimalType(18, 6))
         def dsum(c: Column) = sum(c).cast(DoubleType)
         val n = count(a.col).cast(DoubleType)
+        // zero denominators return NULL (the SQL corr/covar convention;
+        // under ANSI a bare division would THROW on an all-equal or
+        // zero-weight group — a fuzz-found hazard, not a theory)
+        def safeDiv(num: Column, den: Column): Column =
+          when(den === 0.0, lit(null).cast(DoubleType)).otherwise(num / den)
         // clamped at 0: a 1-row group's difference can cancel to −ε
-        // (decimal-exact x² vs double x·x routes) and sqrt would NaN
+        // (decimal-exact x² vs double x·x routes) and sqrt would NaN;
+        // n = 0 (all-null input) is null, not a division error
         def varOf(x: Column) = {
           val sx = dsum(dq(x)); val sxx = dsum(dq(x) * dq(x))
-          greatest((sxx / n) - (sx / n) * (sx / n), lit(0.0))
+          when(n === 0.0, lit(null).cast(DoubleType))
+            .otherwise(greatest((sxx / n) - (sx / n) * (sx / n), lit(0.0)))
         }
+        def covOf(x: Column, y: Column) =
+          when(n === 0.0, lit(null).cast(DoubleType))
+            .otherwise((dsum(dq(x) * dq(y)) / n) -
+              (dsum(dq(x)) / n) * (dsum(dq(y)) / n))
         val out = fnl match {
-          case "wavg" => dsum(dq(a.col) * dq(b.get.col)) / dsum(dq(a.col))
+          case "wavg" => safeDiv(dsum(dq(a.col) * dq(b.get.col)), dsum(dq(a.col)))
           case "var"  => varOf(a.col)
           case "dev"  => sqrt(varOf(a.col))
-          case "cov"  =>
-            (dsum(dq(a.col) * dq(b.get.col)) / n) -
-              (dsum(dq(a.col)) / n) * (dsum(dq(b.get.col)) / n)
+          case "cov"  => covOf(a.col, b.get.col)
           case "cor"  =>
-            val cv = (dsum(dq(a.col) * dq(b.get.col)) / n) -
-              (dsum(dq(a.col)) / n) * (dsum(dq(b.get.col)) / n)
-            cv / (sqrt(varOf(a.col)) * sqrt(varOf(b.get.col)))
+            safeDiv(covOf(a.col, b.get.col),
+              sqrt(varOf(a.col)) * sqrt(varOf(b.get.col)))
         }
         T(out, DoubleType)
       case fn if fn.toLowerCase == "pctl" && p.peekIs("(") =>

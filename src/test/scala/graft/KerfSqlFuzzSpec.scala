@@ -16,15 +16,18 @@ import graft.sql.KerfSql
 class KerfSqlFuzzSpec extends SparkSpec {
 
   private case class Shape(
-      pred: Option[(String, Column)],          // (dialect, api)
-      groups: Seq[String],                     // group columns
-      aggs: Seq[(String, String, String)],     // (fn, col, alias)
+      pred: Option[(String, Column)],               // (dialect, api)
+      groups: Seq[String],                          // group columns
+      aggs: Seq[(String, String, Option[String], String)], // (fn, col, col2, alias)
       orderDesc: Boolean,
       limit: Option[Int])
 
   private val numCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
   private val keyCols = Seq("l_returnflag", "l_linestatus", "l_linenumber")
   private val aggFns = Seq("sum", "avg", "min", "max", "count")
+  // the r12 statistical family: 1-arg moments + 2-arg weighted/joint
+  private val statFns1 = Seq("var", "dev")
+  private val statFns2 = Seq("wavg", "cov", "cor")
 
   // literal in the column's actual value range, so predicates select
   // real subsets instead of vacuously empty/full ones
@@ -53,52 +56,83 @@ class KerfSqlFuzzSpec extends SparkSpec {
     val groups = rnd.shuffle(keyCols).take(rnd.nextInt(3))
     val nAggs = 1 + rnd.nextInt(3)
     val aggs = (0 until nAggs).map { i =>
-      val fn = aggFns(rnd.nextInt(aggFns.length))
       val c = numCols(rnd.nextInt(numCols.length))
-      (fn, c, s"a$i")
+      rnd.nextInt(3) match {
+        case 0 =>
+          (statFns1(rnd.nextInt(statFns1.length)), c, None, s"a$i")
+        case 1 =>
+          val c2 = numCols(rnd.nextInt(numCols.length))
+          (statFns2(rnd.nextInt(statFns2.length)), c, Some(c2), s"a$i")
+        case _ =>
+          (aggFns(rnd.nextInt(aggFns.length)), c, None, s"a$i")
+      }
     }
     Shape(pred, groups, aggs, rnd.nextBoolean(),
       if (rnd.nextBoolean()) Some(1 + rnd.nextInt(50)) else None)
   }
 
   private def dialectOf(s: Shape): String = {
-    val aggTxt = s.aggs.map { case (fn, c, a) =>
-      if (fn == "count") s"count(*) as $a" else s"$fn($c) as $a"
+    val aggTxt = s.aggs.map {
+      case ("count", _, _, a) => s"count(*) as $a"
+      case (fn, c, Some(c2), a) => s"$fn($c, $c2) as $a"
+      case (fn, c, None, a) => s"$fn($c) as $a"
     }
     val items = (s.groups ++ aggTxt).mkString(", ")
     val sb = new StringBuilder(s"select $items from lineitem_fuzz")
     s.pred.foreach { case (txt, _) => sb.append(s" where $txt") }
     if (s.groups.nonEmpty) sb.append(s" group ${s.groups.mkString(", ")}")
-    val ord = (s.groups.headOption.orElse(Some(s.aggs.head._3)).get)
+    val ord = (s.groups.headOption.orElse(Some(s.aggs.head._4)).get)
     sb.append(s" order ${if (s.orderDesc) "-" else ""}$ord")
     // tie-break on the remaining output columns so row order is total
-    (s.groups.drop(1) ++ s.aggs.map(_._3).filterNot(_ == ord))
+    (s.groups.drop(1) ++ s.aggs.map(_._4).filterNot(_ == ord))
       .foreach(c => sb.append(s", $c"))
     s.limit.foreach(n => sb.append(s" limit $n"))
     sb.toString
   }
 
   private def apiOf(df: DataFrame, s: Shape): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
     // the dialect's aggregate typing: sum over double stays double,
-    // count(*) is a long — mirror with the same functions
-    def aggCol(fn: String, c: String, a: String): Column = fn match {
-      case "count" => count(lit(1)).as(a)
-      case "sum" => sum(col(c)).as(a)
-      case "avg" => avg(col(c)).as(a)
-      case "min" => min(col(c)).as(a)
-      case "max" => max(col(c)).as(a)
+    // count(*) is a long; the statistical family replays the exact
+    // decimal-sum tree (the q158 discipline), clamp included
+    def dq(c: Column) = c.cast(DecimalType(18, 6))
+    def dsum(c: Column) = sum(c).cast(DoubleType)
+    def safeDiv(num: Column, den: Column): Column =
+      when(den === 0.0, lit(null).cast(DoubleType)).otherwise(num / den)
+    def varOf(x: Column, n: Column) = {
+      val sx = dsum(dq(x)); val sxx = dsum(dq(x) * dq(x))
+      when(n === 0.0, lit(null).cast(DoubleType))
+        .otherwise(greatest((sxx / n) - (sx / n) * (sx / n), lit(0.0)))
+    }
+    def covOf(x: Column, y: Column, n: Column) =
+      when(n === 0.0, lit(null).cast(DoubleType))
+        .otherwise((dsum(dq(x) * dq(y)) / n) -
+          (dsum(dq(x)) / n) * (dsum(dq(y)) / n))
+    def aggCol(fn: String, c: String, c2: Option[String], a: String): Column = {
+      lazy val n = count(col(c)).cast(DoubleType)
+      (fn match {
+        case "count" => count(lit(1))
+        case "sum" => sum(col(c))
+        case "avg" => avg(col(c))
+        case "min" => min(col(c))
+        case "max" => max(col(c))
+        case "var" => varOf(col(c), n)
+        case "dev" => sqrt(varOf(col(c), n))
+        case "wavg" => safeDiv(dsum(dq(col(c)) * dq(col(c2.get))), dsum(dq(col(c))))
+        case "cov" => covOf(col(c), col(c2.get), n)
+        case "cor" =>
+          safeDiv(covOf(col(c), col(c2.get), n),
+            sqrt(varOf(col(c), n)) * sqrt(varOf(col(c2.get), n)))
+      }).as(a)
     }
     val filtered = s.pred.map { case (_, p) => df.filter(p) }.getOrElse(df)
+    val cols = s.aggs.map { case (f, c, c2, a) => aggCol(f, c, c2, a) }
     val agged =
-      if (s.groups.nonEmpty) {
-        val cols = s.aggs.map { case (f, c, a) => aggCol(f, c, a) }
+      if (s.groups.nonEmpty)
         filtered.groupBy(s.groups.map(col): _*).agg(cols.head, cols.tail: _*)
-      } else {
-        val cols = s.aggs.map { case (f, c, a) => aggCol(f, c, a) }
-        filtered.agg(cols.head, cols.tail: _*)
-      }
-    val ord = s.groups.headOption.getOrElse(s.aggs.head._3)
-    val rest = (s.groups.drop(1) ++ s.aggs.map(_._3).filterNot(_ == ord)).map(col)
+      else filtered.agg(cols.head, cols.tail: _*)
+    val ord = s.groups.headOption.getOrElse(s.aggs.head._4)
+    val rest = (s.groups.drop(1) ++ s.aggs.map(_._4).filterNot(_ == ord)).map(col)
     val sorted = agged.orderBy(
       (if (s.orderDesc) col(ord).desc else col(ord).asc) +: rest: _*)
     s.limit.map(sorted.limit).getOrElse(sorted)
