@@ -147,6 +147,34 @@ class FolioSpec extends SparkSpec {
       .first().getDouble(1) == 7.0)
   }
 
+  test("a cadence vacuum DURING publishArtifacts staging cannot destroy the in-flight version") {
+    val dir = tmp()
+    import spark.implicits._
+    val base = Seq((1L, 1.0)).toDF("k", "v")
+    // two published versions so vacuum has a live+fallback pair to keep
+    Folio.appendWithPromotion(base, s"$dir/t")                          // v1
+    Folio.upsertPublish(Seq((1L, 2.0)).toDF("k", "v"), s"$dir/t", Seq("k")) // v2
+    // plant a genuinely stale dir so the mid-publish vacuum has work
+    base.write.parquet(s"$dir/t/v00000000")
+    // deterministic race: vacuum fires FROM INSIDE the staging write —
+    // exactly a cadence job landing during a long index build
+    val vname = Folio.publishArtifacts(s"$dir/t") { vdir =>
+      java.nio.file.Files.writeString(
+        new java.io.File(vdir, "model.json").toPath, "{\"phase\":1}")
+      val gone = Folio.vacuum(s"$dir/t")
+      assert(gone == Seq("v00000000"),
+        s"mid-publish vacuum should reap only the stale dir, got $gone")
+      assert(new java.io.File(vdir, "model.json").isFile,
+        "vacuum destroyed the in-flight staging dir")
+      Seq((9L, 9.0)).toDF("k", "v").write.parquet(s"$vdir/data")
+    }
+    // the publish completed INTACT: both artifacts live in one version
+    val root = s"$dir/t/$vname"
+    assert(new java.io.File(root, "model.json").isFile)
+    assert(spark.read.parquet(s"$root/data").count() == 1)
+    assert(Folio.currentVersion(s"$dir/t").contains(vname))
+  }
+
   test("upsertPublish merges by key copy-on-write; time travel reads the pre-image") {
     val dir = tmp()
     import spark.implicits._

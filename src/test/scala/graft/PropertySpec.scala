@@ -63,6 +63,42 @@ class PropertySpec extends SparkSpec {
     assert(big.select(size(col("e"))).first().getInt(0) == 200000)
   }
 
+  test("moment aggregates match independent two-pass math on random frames") {
+    // the q158 family is computed from exact decimal sums in the
+    // one-pass E[x²]−E[x]² form; an INDEPENDENT two-pass Scala
+    // reference (subtract-the-mean) catches any systematic formula
+    // error (population-vs-sample, swapped args) the dialect==API
+    // fuzz cannot see
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map { _ =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(10000) / 100.0, rnd.nextInt(10000) / 100.0)
+    }
+    val df = rows.toDF("k", "x", "y")
+    df.createOrReplaceTempView("mom_v")
+    val got = graft.sql.KerfSql.run(spark,
+      "select k, wavg(x, y) as wa, var(x) as vr, dev(x) as sd, " +
+      "cov(x, y) as cv, cor(x, y) as cr from mom_v group k order k")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    def close(a: Double, b: Double): Boolean =
+      math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b))
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val xs = g.map(_._2); val ys = g.map(_._3); val n = g.size.toDouble
+      val mx = xs.sum / n; val my = ys.sum / n
+      val vr = xs.map(x => (x - mx) * (x - mx)).sum / n
+      val cv = g.map(t => (t._2 - mx) * (t._3 - my)).sum / n
+      val vy = ys.map(y => (y - my) * (y - my)).sum / n
+      val wa = g.map(t => t._2 * t._3).sum / xs.sum
+      val (gwa, gvr, gsd, gcv, gcr) = got(k)
+      assert(close(gwa, wa), s"$k wavg: $gwa vs $wa")
+      assert(close(gvr, vr), s"$k var: $gvr vs $vr")
+      assert(close(gsd, math.sqrt(vr)), s"$k dev: $gsd vs ${math.sqrt(vr)}")
+      assert(close(gcv, cv), s"$k cov: $gcv vs $cv")
+      assert(close(gcr, cv / (math.sqrt(vr) * math.sqrt(vy))), s"$k cor")
+    }
+  }
+
   test("fp16 pack is order-preserving: a <= b implies rt(a) <= rt(b)") {
     // monotonicity is what makes the fp16 tier safe under range
     // predicates and ordered scans: quantization can merge neighbors
