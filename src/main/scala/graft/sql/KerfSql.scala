@@ -108,8 +108,8 @@ object KerfSql {
     * ORDER BY the order items — ops.Adverbs.scanRows/eachPriorRows made
     * first-class in the dialect. */
   private val windowVerbs = Set("sums", "avgs", "mins", "maxs", "counts",
-    "deltas", "prev", "ranks", "fills", "bfills", "wavgs",
-    "msums", "mavgs", "mmins", "mmaxs", "mvars", "mdevs")
+    "deltas", "prev", "nexts", "ranks", "fills", "bfills", "wavgs",
+    "msums", "mavgs", "mmins", "mmaxs", "mcounts", "mvars", "mdevs")
   /** Fixed-width moving aggregates (`msums(5, x)` = rolling 5-row sum) —
     * the q-family msum/mavg heritage down the table's rows: a bounded
     * ROWS frame instead of the running UNBOUNDED PRECEDING one.
@@ -117,7 +117,7 @@ object KerfSql {
     * volatility), on the same exact-decimal-sum discipline as the
     * var/dev aggregates. */
   private val movingVerbs = Set("msums", "mavgs", "mmins", "mmaxs",
-    "mvars", "mdevs")
+    "mcounts", "mvars", "mdevs")
   private val listVerbs = Set("length", "upper", "lower", "reverse",
     "first", "last", "enlist", "join", "find", "keys", "values", "amend",
     "take", "drop", "distinct", "ascend", "descend", "flip", "bars",
@@ -735,6 +735,8 @@ object KerfSql {
           case "maxs"   => T(max(inner.col).over(frame), inner.dt)
           case "counts" => T(count(inner.col).over(frame), LongType)
           case "prev"   => T(lag(inner.col, 1).over(w), inner.dt)
+          case "nexts"  => T(lead(inner.col, 1).over(w), inner.dt)
+          case "mcounts" => T(count(inner.col).over(mFrame), LongType)
           case "msums"  => T(sum(inner.col).over(mFrame), sumDt)
           case "mavgs"  => T(avg(inner.col).over(mFrame), DoubleType)
           case "mmins"  => T(min(inner.col).over(mFrame), inner.dt)

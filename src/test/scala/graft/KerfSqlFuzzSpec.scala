@@ -165,8 +165,9 @@ class KerfSqlFuzzSpec extends SparkSpec {
         col("l_discount"), col("l_returnflag"))
       .createOrReplaceTempView("lineitem_wfuzz")
     val df = spark.table("lineitem_wfuzz")
-    val runningVerbs = Seq("sums", "avgs", "mins", "maxs", "counts", "fills")
-    val movingVerbs = Seq("msums", "mavgs", "mmins", "mmaxs")
+    val runningVerbs = Seq("sums", "avgs", "mins", "maxs", "counts", "fills",
+      "bfills", "nexts")
+    val movingVerbs = Seq("msums", "mavgs", "mmins", "mmaxs", "mcounts")
     for (seed <- 1 to 40) {
       val rnd = new scala.util.Random(1000 + seed)
       val group = if (rnd.nextBoolean()) Seq("l_returnflag") else Seq("l_orderkey")
@@ -198,6 +199,10 @@ class KerfSqlFuzzSpec extends SparkSpec {
         v match {
           case "sums" => sum(col(vcol)).over(running)
           case "avgs" => avg(col(vcol)).over(running)
+          case "bfills" => first(col(vcol), ignoreNulls = true)
+            .over(wb.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+          case "nexts" => lead(col(vcol), 1).over(wb)
+          case "mcounts" => count(col(vcol)).over(mf)
           case "mins" => min(col(vcol)).over(running)
           case "maxs" => max(col(vcol)).over(running)
           case "counts" => count(col(vcol)).over(running)
