@@ -1862,9 +1862,11 @@ object Oracles {
 
     "q152_kerf_ranks" ->
       """SELECT o_custkey, o_orderkey,
-                CAST(row_number() OVER (
-                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rk
-         FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""",
+                CAST(row_number() OVER w AS BIGINT) AS rk,
+                CAST(ntile(4) OVER w AS BIGINT) AS nt
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderdate, o_orderkey""",
 
     // the tick capstone replayed stage by stage: DuckDB's native ASOF
     // LEFT JOIN is the same latest-at-or-before merge; the moment

@@ -2768,7 +2768,8 @@ object Queries {
   val q152_kerf_ranks: Q = (s, dir) => {
     Tables.orders(s, dir).createOrReplaceTempView("orders_v152")
     sql.KerfSql.run(s,
-      "select o_custkey, o_orderkey, ranks(o_orderdate) as rk " +
+      "select o_custkey, o_orderkey, ranks(o_orderdate) as rk, " +
+      "ntiles(4) as nt " +
       "from orders_v152 group o_custkey order o_orderdate, o_orderkey")
   }
 

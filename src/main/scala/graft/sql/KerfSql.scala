@@ -108,7 +108,7 @@ object KerfSql {
     * ORDER BY the order items — ops.Adverbs.scanRows/eachPriorRows made
     * first-class in the dialect. */
   private val windowVerbs = Set("sums", "avgs", "mins", "maxs", "counts",
-    "deltas", "prev", "nexts", "ranks", "fills", "bfills", "wavgs",
+    "deltas", "prev", "nexts", "ranks", "ntiles", "fills", "bfills", "wavgs",
     "msums", "mavgs", "mmins", "mmaxs", "mcounts", "mvars", "mdevs")
   /** Fixed-width moving aggregates (`msums(5, x)` = rolling 5-row sum) —
     * the q-family msum/mavg heritage down the table's rows: a bounded
@@ -695,6 +695,14 @@ object KerfSql {
             s"(got '$n')")
           p.expect(",")
           n.toLong
+        } else if (fnl == "ntiles") {
+          // ntiles(n): the q xrank face — n equal buckets down the
+          // (group, order) axes; bucket count is a literal, and like
+          // ranks there is no column argument (the axes decide)
+          val n = p.pop()
+          require(n.matches("""\d+""") && n.toLong >= 2,
+            s"ntiles needs a literal bucket count >= 2: ntiles(10) (got '$n')")
+          n.toLong
         } else 0L
         // ranks() takes no real argument — rank is a property of the
         // (group, order) axes. Accept the empty call, or the first order
@@ -703,7 +711,7 @@ object KerfSql {
         // so reject it loudly.
         val innerToksBefore = p.toks
         val inner =
-          if (fnl == "ranks" && p.peekIs(")")) T(lit(1L), LongType)
+          if ((fnl == "ranks" || fnl == "ntiles") && p.peekIs(")")) T(lit(1L), LongType)
           else parseExpr(p, env)
         if (fnl == "ranks" && !(innerToksBefore eq p.toks)) {
           val used = innerToksBefore
@@ -736,6 +744,7 @@ object KerfSql {
           case "counts" => T(count(inner.col).over(frame), LongType)
           case "prev"   => T(lag(inner.col, 1).over(w), inner.dt)
           case "nexts"  => T(lead(inner.col, 1).over(w), inner.dt)
+          case "ntiles" => T(ntile(mWidth.toInt).over(w).cast("long"), LongType)
           case "mcounts" => T(count(inner.col).over(mFrame), LongType)
           case "msums"  => T(sum(inner.col).over(mFrame), sumDt)
           case "mavgs"  => T(avg(inner.col).over(mFrame), DoubleType)
