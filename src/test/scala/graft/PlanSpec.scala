@@ -354,6 +354,16 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly 1 window shuffle, got $exchanges:\n$p")
   }
 
+  test("q158: five moments share one aggregation pass (deduped decimal sums)") {
+    // wavg/var/dev/cov/cor re-derive the same decimal sums; Catalyst
+    // must dedup the aggregate expressions into ONE partial+final pair
+    // over ONE shuffle — per-moment passes would multiply the scan cost
+    val p = planOf("q158_kerf_stats")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 agg shuffle, got $exchanges:\n$p")
+    assert(p.contains("partial"), "no partial aggregation before the shuffle")
+  }
+
   test("fanOut widens unstatted non-file leaves (defaultSizeInBytes sentinel)") {
     // an RDD-backed frame has no file listing AND reports the
     // defaultSizeInBytes sentinel as its stats — taking the sentinel at
