@@ -1868,6 +1868,23 @@ object Oracles {
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
          ORDER BY o_custkey, o_orderdate, o_orderkey""",
 
+    // table-ordered EMA from the dialect: the identical recurrence as
+    // the q138/q144 twins, sequenced by the same (ts, event_id) axis
+    "q161_kerf_emas" ->
+      """WITH RECURSIVE e AS (
+           SELECT user_id, epoch_us(ts) * 1000 AS ts_ns, value,
+                  CAST(row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS BIGINT) AS rn
+           FROM events WHERE user_id < 10),
+         r AS (
+           SELECT user_id, ts_ns, value, rn, value AS ema FROM e WHERE rn = 1
+           UNION ALL
+           SELECT e.user_id, e.ts_ns, e.value, e.rn,
+                  r.ema + 0.25 * (e.value - r.ema)
+           FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+         SELECT user_id, ts_ns, value, ema
+         FROM r ORDER BY user_id, ts_ns""",
+
     // the tick capstone replayed stage by stage: DuckDB's native ASOF
     // LEFT JOIN is the same latest-at-or-before merge; the moment
     // formulas replay q158's exact-decimal tree (VARCHAR-path casts)

@@ -2968,6 +2968,24 @@ object Queries {
       "group user_id order t_ts")
   }
 
+  /** TABLE-ORDERED EMA from the text surface (`emas(α, x)` — the
+    * unfold adverb down the rows as a window verb, closing the last
+    * dialect gap in the EMA family: the array form is `ema(list, α)`
+    * (q138), the stream form `emaByKey` (q144), and this is the
+    * windowed-select form). The engine is an INCREMENTAL window
+    * aggregate (EmaWindowAgg): the running frame feeds each row
+    * through `reduce` exactly once — O(n) per key, no array
+    * collection, no state beyond (seen, ema). Bit-identical to the
+    * recursive-CTE twin: same prev + α·(x − prev) association. */
+  val q161_kerf_emas: Q = (s, dir) => {
+    Tables.events(s, dir).createOrReplaceTempView("events_v161_all")
+    sql.KerfSql.run(s,
+      "ev_v161: select user_id, ts_ns, event_id, value " +
+      "from events_v161_all where user_id < 10; " +
+      "select user_id, ts_ns, value, emas(0.25, value) as ema " +
+      "from ev_v161 group user_id order ts_ns, event_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3129,5 +3147,6 @@ object Queries {
     "q158_kerf_stats"    -> q158_kerf_stats,
     "q159_audio_neardup" -> q159_audio_neardup,
     "q160_tick_pipeline" -> q160_tick_pipeline,
+    "q161_kerf_emas"     -> q161_kerf_emas,
   )
 }

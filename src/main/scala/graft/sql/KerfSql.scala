@@ -109,7 +109,7 @@ object KerfSql {
     * first-class in the dialect. */
   private val windowVerbs = Set("sums", "avgs", "mins", "maxs", "counts",
     "deltas", "prev", "nexts", "ranks", "ntiles", "fills", "bfills", "wavgs",
-    "msums", "mavgs", "mmins", "mmaxs", "mcounts", "mvars", "mdevs")
+    "emas", "msums", "mavgs", "mmins", "mmaxs", "mcounts", "mvars", "mdevs")
   /** Fixed-width moving aggregates (`msums(5, x)` = rolling 5-row sum) —
     * the q-family msum/mavg heritage down the table's rows: a bounded
     * ROWS frame instead of the running UNBOUNDED PRECEDING one.
@@ -704,6 +704,15 @@ object KerfSql {
             s"ntiles needs a literal bucket count >= 2: ntiles(10) (got '$n')")
           n.toLong
         } else 0L
+        // emas(alpha, x): table-ordered EMA — alpha is a literal in
+        // (0,1] FIRST (it parameterizes the recurrence, it isn't data)
+        val emaAlpha = if (fnl == "emas") {
+          val aTok = p.pop()
+          require(aTok.matches("""\d+\.\d+|\.\d+|\d+"""),
+            s"emas needs a literal alpha in (0,1] first: emas(0.25, x) (got '$aTok')")
+          p.expect(",")
+          aTok.toDouble
+        } else 0.0
         // ranks() takes no real argument — rank is a property of the
         // (group, order) axes. Accept the empty call, or the first order
         // key spelled out; anything else would read as "rank by this
@@ -768,6 +777,11 @@ object KerfSql {
               .otherwise(greatest(
                 (sxx / cnt) - (sx / cnt) * (sx / cnt), lit(0.0)))
             T(if (fnl == "mvars") v else sqrt(v), DoubleType)
+          case "emas"   =>
+            // incremental O(n) per partition: the running frame feeds
+            // each row through the aggregator's reduce exactly once
+            T(graft.functions.EmaWindowAgg.emas(emaAlpha)(inner.col).over(frame),
+              DoubleType)
           case "wavgs"  =>
             // the running form of the wavg aggregate, same exact-decimal
             // discipline: quote-weighted price so far, per ordered row;

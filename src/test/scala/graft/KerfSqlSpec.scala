@@ -1550,6 +1550,32 @@ class KerfSqlSpec extends SparkSpec {
     }
   }
 
+  test("emas window verb == the array-form ema scan, bit for bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = for (k <- Seq("a", "b"); i <- 1 to 50)
+      yield (k, i.toLong, rnd.nextDouble() * 100 - 50)
+    rows.toDF("k", "ts", "v").createOrReplaceTempView("emas_v")
+    val got = KerfSql.run(spark,
+      "select k, ts, emas(0.25, v) as e from emas_v group k order ts")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // the array substrate: group to a sorted series, EmaScan, re-zip
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (k, g) =>
+      val sorted = g.sortBy(_._2)
+      val emas = sorted.map(_._3).tail
+        .scanLeft(sorted.head._3)((prev, x) => prev + 0.25 * (x - prev))
+      sorted.map(_._2).zip(emas).map { case (ts, e) => (k, ts, e) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got == want)
+    // alpha must be a literal, and in range
+    intercept[Exception] {
+      KerfSql.run(spark, "select k, emas(v, v) as e from emas_v group k order ts")
+    }
+    intercept[Exception] {
+      KerfSql.run(spark, "select k, emas(2.5, v) as e from emas_v group k order ts")
+    }
+  }
+
   test("countd mixes with window verbs → the friendly dialect error") {
     import spark.implicits._
     Seq(("a", 1L, 2L)).toDF("k", "ts", "v").createOrReplaceTempView("cdm_v")
