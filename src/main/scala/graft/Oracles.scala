@@ -2023,12 +2023,14 @@ object Oracles {
                   sum(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ms3,
                   avg(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3,
                   min(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mn5,
-                  max(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mx5
+                  max(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mx5,
+                  lag(value, 1) OVER w AS pv
            FROM b
            WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id))
          SELECT user_id, ts_ns, ms3, ma3, mn5, mx5,
                 greatest((sxx4 / c4) - (sx4 / c4) * (sx4 / c4), 0.0) AS mv4,
-                sqrt(greatest((sxx4 / c4) - (sx4 / c4) * (sx4 / c4), 0.0)) AS md4
+                sqrt(greatest((sxx4 / c4) - (sx4 / c4) * (sx4 / c4), 0.0)) AS md4,
+                CASE WHEN pv = 0 OR pv IS NULL THEN NULL ELSE value / pv END AS rt
          FROM v ORDER BY user_id, ts_ns, event_id""",
 
     // the dialect-driven workflow computes q140's exact answer

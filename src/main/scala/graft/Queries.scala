@@ -2894,7 +2894,8 @@ object Queries {
     sql.KerfSql.run(s,
       "select user_id, ts_ns, msums(3, value) as ms3, mavgs(3, value) as ma3, " +
       "mmins(5, value) as mn5, mmaxs(5, value) as mx5, " +
-      "mvars(4, value) as mv4, mdevs(4, value) as md4 " +
+      "mvars(4, value) as mv4, mdevs(4, value) as md4, " +
+      "ratios(value) as rt " +
       "from events_v155 group user_id order ts_ns, event_id")
   }
 

@@ -108,7 +108,8 @@ object KerfSql {
     * ORDER BY the order items — ops.Adverbs.scanRows/eachPriorRows made
     * first-class in the dialect. */
   private val windowVerbs = Set("sums", "avgs", "mins", "maxs", "counts",
-    "deltas", "prev", "nexts", "ranks", "ntiles", "fills", "bfills", "wavgs",
+    "deltas", "prev", "nexts", "ratios", "ranks", "ntiles",
+    "fills", "bfills", "wavgs",
     "emas", "msums", "mavgs", "mmins", "mmaxs", "mcounts", "mvars", "mdevs")
   /** Fixed-width moving aggregates (`msums(5, x)` = rolling 5-row sum) —
     * the q-family msum/mavg heritage down the table's rows: a bounded
@@ -753,6 +754,15 @@ object KerfSql {
           case "counts" => T(count(inner.col).over(frame), LongType)
           case "prev"   => T(lag(inner.col, 1).over(w), inner.dt)
           case "nexts"  => T(lead(inner.col, 1).over(w), inner.dt)
+          case "ratios" =>
+            // deltas' multiplicative twin (tick returns): x / prev x,
+            // null on the first row AND on a zero prior (an ANSI
+            // division would throw; a tick series with a zero print
+            // has no defined return there)
+            val prior = lag(inner.col, 1).over(w)
+            T(when(prior === 0 || prior.isNull, lit(null).cast(DoubleType))
+              .otherwise(inner.col.cast(DoubleType) / prior.cast(DoubleType)),
+              DoubleType)
           case "ntiles" => T(ntile(mWidth.toInt).over(w).cast("long"), LongType)
           case "mcounts" => T(count(inner.col).over(mFrame), LongType)
           case "msums"  => T(sum(inner.col).over(mFrame), sumDt)

@@ -166,7 +166,7 @@ class KerfSqlFuzzSpec extends SparkSpec {
       .createOrReplaceTempView("lineitem_wfuzz")
     val df = spark.table("lineitem_wfuzz")
     val runningVerbs = Seq("sums", "avgs", "mins", "maxs", "counts", "fills",
-      "bfills", "nexts")
+      "bfills", "nexts", "ratios")
     val movingVerbs = Seq("msums", "mavgs", "mmins", "mmaxs", "mcounts")
     for (seed <- 1 to 40) {
       val rnd = new scala.util.Random(1000 + seed)
@@ -202,6 +202,10 @@ class KerfSqlFuzzSpec extends SparkSpec {
           case "bfills" => first(col(vcol), ignoreNulls = true)
             .over(wb.rowsBetween(Window.currentRow, Window.unboundedFollowing))
           case "nexts" => lead(col(vcol), 1).over(wb)
+          case "ratios" =>
+            val prior = lag(col(vcol), 1).over(wb)
+            when(prior === 0 || prior.isNull, lit(null).cast("double"))
+              .otherwise(col(vcol).cast("double") / prior.cast("double"))
           case "mcounts" => count(col(vcol)).over(mf)
           case "mins" => min(col(vcol)).over(running)
           case "maxs" => max(col(vcol)).over(running)
