@@ -160,8 +160,12 @@ class KerfSqlFuzzSpec extends SparkSpec {
   test("windowed-verb fuzz: 40 seeded shapes equal their Window-API plans row-exactly") {
     import org.apache.spark.sql.expressions.Window
     // small slice: window fuzz cost is per-shape shuffle, keep it tight
+    // l_quantity gets planted NULL gaps so the carry/lag/ratio verbs
+    // exercise their null paths, not just the dense case
     Tables.lineitem(spark, sf).limit(800)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+      .select(col("l_orderkey"), col("l_linenumber"),
+        when(col("l_linenumber") % 3 === 0, lit(null).cast("double"))
+          .otherwise(col("l_quantity")).as("l_quantity"),
         col("l_discount"), col("l_returnflag"))
       .createOrReplaceTempView("lineitem_wfuzz")
     val df = spark.table("lineitem_wfuzz")
