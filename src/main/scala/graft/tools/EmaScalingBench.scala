@@ -31,17 +31,31 @@ object EmaScalingBench {
     def series(n: Int) = spark.range(1)
       .select(sequence(lit(1), lit(n)).cast("array<double>").as("a"))
 
-    println("len,native_sec,fold_sec")
+    // the windowed (q161 emas) form: ONE key of n ordered rows — the
+    // worst case for a window frame; the incremental aggregate must
+    // stay O(n) (a re-scanning frame would be quadratic here)
+    def windowed(n: Int) = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("k").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spark.range(n).select(lit(1).as("k"), col("id"),
+          (col("id") % 97).cast("double").as("x"))
+        .select(graft.functions.EmaWindowAgg.emas(0.25)(col("x")).over(w).as("e"))
+        .agg(sum(col("e")))
+    }
+
+    println("len,native_sec,windowed_sec,fold_sec")
     for (n <- Seq(1000, 4000, 16000, 64000, 256000, 1000000)) {
       val tNative = timeIt(series(n)
         .select(sum(element_at(graft.ops.Adverbs.ema(col("a"), 0.25), -1))).first())
+      val tWin = timeIt(windowed(n).first())
       // the fold is quadratic: past the old guard's regime it would take
       // minutes — measure it only where the old implementation ran
       val tFold = if (n <= 16000)
         timeIt(series(n)
           .select(sum(element_at(emaFold(col("a"), 0.25), -1))).first()).toString
         else "-"
-      println(s"$n,$tNative,$tFold")
+      println(s"$n,$tNative,$tWin,$tFold")
     }
     spark.stop()
   }
