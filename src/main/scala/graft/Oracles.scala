@@ -1868,6 +1868,18 @@ object Oracles {
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
          ORDER BY o_custkey, o_orderdate, o_orderkey""",
 
+    // fby: rows achieving the groupwise max, via the same window
+    "q162_kerf_fby" ->
+      """WITH pur AS (
+           SELECT user_id, event_id, value FROM events
+           WHERE event_type = 'purchase'),
+         w AS (
+           SELECT user_id, event_id, value,
+                  max(value) OVER (PARTITION BY user_id) AS mx
+           FROM pur)
+         SELECT user_id, event_id, value FROM w WHERE value = mx
+         ORDER BY user_id, event_id""",
+
     // table-ordered EMA from the dialect: the identical recurrence as
     // the q138/q144 twins, sequenced by the same (ts, event_id) axis
     "q161_kerf_emas" ->

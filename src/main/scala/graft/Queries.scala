@@ -2987,6 +2987,23 @@ object Queries {
       "from ev_v161 group user_id order ts_ns, event_id")
   }
 
+  /** FBY from the text surface (kdb/q's groupwise-aggregate filter,
+    * Kerf1 heritage): "each user's largest purchases" — `value =
+    * max(value) by user_id` windows the aggregate over the partition
+    * keys and compares per row. ONE window pass, no self-join (the
+    * classic SQL spelling joins the table against its own groupwise
+    * max). The purchase pre-filter is its own statement because the
+    * dialect's where is one expression, not q's sequential clause
+    * list — the fby window must see exactly the purchase rows. */
+  val q162_kerf_fby: Q = (s, dir) => {
+    Tables.events(s, dir).createOrReplaceTempView("events_v162_all")
+    sql.KerfSql.run(s,
+      "pur_v162: select user_id, event_id, value from events_v162_all " +
+      "where event_type = 'purchase'; " +
+      "select user_id, event_id, value from pur_v162 " +
+      "where value = max(value) by user_id order user_id, event_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3149,5 +3166,6 @@ object Queries {
     "q159_audio_neardup" -> q159_audio_neardup,
     "q160_tick_pipeline" -> q160_tick_pipeline,
     "q161_kerf_emas"     -> q161_kerf_emas,
+    "q162_kerf_fby"      -> q162_kerf_fby,
   )
 }

@@ -493,16 +493,38 @@ object KerfSql {
     left
   }
 
+  /** Aggregates that may window for the fby form (single aggregate
+    * function — a compound like wavg cannot `.over` as one unit). */
+  private val fbyAggFns = Set("sum", "avg", "min", "max", "count", "pctl")
+
   private def parseCmp(p: P, env: Env): T = {
     var left = parseAdd(p, env)
     while (p.peek.exists(t => Set("<", ">", "<=", ">=", "=", "==", "!=", "<>").contains(t))) {
       val op = p.pop()
+      val beforeRight = p.toks
       val right = parseAdd(p, env)
+      // q's FBY: `x = max(x) by k1, k2` — the right-side aggregate
+      // evaluates OVER the partition keys (one window, no self-join)
+      // and is compared per row: the groupwise-max/min/mean filter
+      // idiom (kdb/q fby; Kerf1 heritage). The window runs over the
+      // FROM table as a whole — the where clause is ONE expression
+      // here, not q's sequential clause list; pre-filter in a prior
+      // statement when the aggregate should see a subset.
+      val rightCol =
+        if (p.peekIs("by") &&
+            beforeRight.headOption.exists(t => fbyAggFns(t.toLowerCase)) &&
+            beforeRight.drop(1).headOption.contains("(")) {
+          p.pop()
+          import org.apache.spark.sql.expressions.Window
+          val keys = scala.collection.mutable.ArrayBuffer[Column](parsePostfix(p, env).col)
+          while (p.peekIs(",")) { p.pop(); keys += parsePostfix(p, env).col }
+          right.col.over(Window.partitionBy(keys.toSeq: _*))
+        } else right.col
       val c = op match {
-        case "<" => left.col < right.col;   case ">" => left.col > right.col
-        case "<=" => left.col <= right.col; case ">=" => left.col >= right.col
-        case "=" | "==" => left.col === right.col
-        case "!=" | "<>" => left.col =!= right.col
+        case "<" => left.col < rightCol;   case ">" => left.col > rightCol
+        case "<=" => left.col <= rightCol; case ">=" => left.col >= rightCol
+        case "=" | "==" => left.col === rightCol
+        case "!=" | "<>" => left.col =!= rightCol
       }
       left = T(c, BooleanType)
     }
@@ -2022,7 +2044,21 @@ object KerfSql {
         finish(sp, "select items"); its
       }
     segParser("where").foreach { wp =>
-      df = df.filter(parseExpr(wp, env).col); finish(wp, "where")
+      // an fby predicate contains a WINDOW, which Spark rejects inside
+      // a bare WHERE — stage it as a projected boolean and filter on
+      // that. Detection is a conservative token scan (agg "(" … "by"):
+      // a false positive only costs a projection Catalyst collapses.
+      val hasFby = {
+        val toks = wp.toks
+        toks.exists(_.equalsIgnoreCase("by")) &&
+          toks.sliding(2).exists(w => w.lengthCompare(2) == 0 &&
+            fbyAggFns(w.head.toLowerCase) && w(1) == "(")
+      }
+      val pred = parseExpr(wp, env).col
+      finish(wp, "where")
+      df = if (hasFby)
+        df.withColumn("__fby_p", pred).filter(col("__fby_p")).drop("__fby_p")
+      else df.filter(pred)
     }
     // `group a, b % 3 as bucket` — full expressions with optional aliases
     // (Kerf groups by computed keys: time buckets, mod classes, …);

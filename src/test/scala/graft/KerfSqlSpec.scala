@@ -1576,6 +1576,37 @@ class KerfSqlSpec extends SparkSpec {
     }
   }
 
+  test("fby: groupwise-aggregate filter is one window, never a self-join") {
+    import spark.implicits._
+    val df = Seq(("a", "x", 1.0), ("a", "x", 3.0), ("a", "y", 3.0),
+                 ("b", "x", 5.0), ("b", "x", 4.0))
+      .toDF("k", "k2", "v")
+    df.createOrReplaceTempView("fby_v")
+    val got = KerfSql.run(spark,
+      "select k, k2, v from fby_v where v = max(v) by k order k, k2, v")
+    import org.apache.spark.sql.expressions.Window
+    val want = df
+      .withColumn("__mx", max(col("v")).over(Window.partitionBy(col("k"))))
+      .filter(col("v") === col("__mx")).drop("__mx")
+      .orderBy("k", "k2", "v")
+    assert(got.collect().toSeq == want.collect().toSeq)
+    // ties all qualify (both 'a' rows at 3.0)
+    assert(got.filter(col("k") === "a").count() == 2)
+    // composes with plain conjuncts and multi-key partitions
+    val multi = KerfSql.run(spark,
+      "select k, k2, v from fby_v where v >= 1.0 and v = max(v) by k, k2 " +
+      "order k, k2, v").collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(multi.toSeq ==
+      Seq(("a", "x", 3.0), ("a", "y", 3.0), ("b", "x", 5.0)))
+    // the lowering is ONE window over one scan — the classic SQL
+    // self-join spelling is exactly what fby exists to avoid
+    val plan = KerfSql.run(spark,
+      "select k, v from fby_v where v = max(v) by k")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"fby lowered to a self-join:\n$plan")
+    assert(plan.contains("Window"), s"no window in fby plan:\n$plan")
+  }
+
   test("countd mixes with window verbs → the friendly dialect error") {
     import spark.implicits._
     Seq(("a", 1L, 2L)).toDF("k", "ts", "v").createOrReplaceTempView("cdm_v")
