@@ -1868,6 +1868,25 @@ object Oracles {
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
          ORDER BY o_custkey, o_orderdate, o_orderkey""",
 
+    // wj: per-trade band aggregates over the in-window quotes — the
+    // same equi-band left join + group; max/min/count are exact picks
+    "q163_kerf_wj" ->
+      """WITH t AS (
+           SELECT user_id, event_id AS t_id, epoch_us(ts) * 1000 AS t_ts,
+                  value AS price
+           FROM events WHERE event_type = 'purchase'),
+         q AS (
+           SELECT user_id, epoch_us(ts) * 1000 AS q_ts, value AS quote
+           FROM events WHERE event_type = 'view')
+         SELECT t.user_id, t.t_id, t.t_ts, t.price,
+                max(q.quote) AS top_q, min(q.quote) AS low_q,
+                count(q.quote) AS n_q
+         FROM t LEFT JOIN q ON t.user_id = q.user_id
+           AND q.q_ts >= t.t_ts - 600000000000
+           AND q.q_ts <= t.t_ts + 600000000000
+         GROUP BY t.user_id, t.t_id, t.t_ts, t.price
+         ORDER BY t.user_id, t.t_id""",
+
     // fby: rows achieving the groupwise max, via the same window
     "q162_kerf_fby" ->
       """WITH pur AS (

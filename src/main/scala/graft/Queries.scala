@@ -3004,6 +3004,27 @@ object Queries {
       "where value = max(value) by user_id order user_id, event_id")
   }
 
+  /** WINDOW JOIN from the text surface (q's `wj` — the second
+    * canonical tick join next to as-of; Kerf1 heritage): for each
+    * purchase, the view quotes within ±10 minutes on the same user,
+    * aggregated by the ordinary grouped select. ONE equi-band left
+    * join (equality on user_id keeps it hash/merge, never cartesian);
+    * empty bands keep the trade with a null max and count 0 — the wj
+    * convention. Aggregates are exact picks (max/min/count), so the
+    * comparison needs no fp reconciliation. */
+  val q163_kerf_wj: Q = (s, dir) => {
+    Tables.events(s, dir).createOrReplaceTempView("events_v163_all")
+    sql.KerfSql.run(s,
+      "pur_v163: select user_id, event_id as t_id, ts_ns as t_ts, " +
+      "value as price from events_v163_all where event_type = 'purchase'; " +
+      "quo_v163: select user_id, ts_ns as q_ts, value as quote " +
+      "from events_v163_all where event_type = 'view'; " +
+      "select user_id, t_id, t_ts, price, max(quote) as top_q, " +
+      "min(quote) as low_q, count(quote) as n_q " +
+      "from pur_v163 window join quo_v163 on user_id at t_ts, q_ts within 10i " +
+      "group user_id, t_id, t_ts, price order user_id, t_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3167,5 +3188,6 @@ object Queries {
     "q160_tick_pipeline" -> q160_tick_pipeline,
     "q161_kerf_emas"     -> q161_kerf_emas,
     "q162_kerf_fby"      -> q162_kerf_fby,
+    "q163_kerf_wj"       -> q163_kerf_wj,
   )
 }

@@ -1976,6 +1976,70 @@ object KerfSql {
         }
       (joined, new Env(Some(joined.schema), programVars, programFuncs,
         tnames = Set(leftName.toLowerCase, rightName.toLowerCase)))
+    } else if (p.peekIs("window")) {
+      // WINDOW JOIN (q's wj, the second canonical tick join next to
+      // asof; Kerf1 heritage): for each left row, the right rows whose
+      // time axis falls in a band around the left's — the caller then
+      // aggregates them with the ordinary grouped select (`group` over
+      // the left columns, aggregates over the right's):
+      //   from trades window join quotes on sym at t_ts, q_ts within 1s
+      //   [back|forward]   (default: symmetric ±tol)
+      // Lowers to ONE equi-band left join: equality on the keys makes
+      // it a hash/sort-merge join with a band residual — never a
+      // cartesian — and empty bands keep the left row with null
+      // aggregates (the wj convention). Time axes must be LongType
+      // (the engine's exact-ns convention; `within` span literals are
+      // ns, a bare integer is in the column's own unit).
+      p.pop(); p.expect("join")
+      val rightName = p.pop()
+      val right = spark.table(rightName)
+      p.expect("on")
+      val keys = scala.collection.mutable.ArrayBuffer[String](p.pop())
+      while (p.peekIs(",")) { p.pop(); keys += p.pop() }
+      p.expect("at")
+      val lts = p.pop()
+      val rts = if (p.peekIs(",")) { p.pop(); p.pop() } else lts
+      p.expect("within")
+      val tTok = p.pop()
+      val tol: Long =
+        if (tTok.matches("""\d+""")) tTok.toLong
+        else {
+          val sp = Temporal.Span.parse(tTok)
+          require(sp.months == 0, "window-join band must be a fixed-length span")
+          sp.nanos
+        }
+      var back = false; var fwd = false
+      while (!p.done) {
+        if (p.peekIs("back")) { p.pop(); back = true }
+        else if (p.peekIs("forward")) { p.pop(); fwd = true }
+        else throw new IllegalArgumentException(
+          s"unexpected from-clause token '${p.pop()}'")
+      }
+      require(!(back && fwd), "window join: pick `back` or `forward`, not both")
+      import org.apache.spark.sql.types.LongType
+      require(left.schema(lts).dataType == LongType &&
+              right.schema(rts).dataType == LongType,
+        s"window join time axes must be LongType epochs (ns) — got " +
+        s"${left.schema(lts).dataType}/${right.schema(rts).dataType}; " +
+        "use the ts_ns column (Tables.normalizeEvents convention)")
+      val lo = if (fwd) 0L else tol
+      val hi = if (back) 0L else tol
+      val sfx = "__wj_r"
+      val r2 = right.toDF(right.columns.map(_ + sfx): _*)
+      val cond = keys.map(k => left(k) === r2(k + sfx)).reduce(_ && _) &&
+        r2(rts + sfx) >= left(lts) - lit(lo) &&
+        r2(rts + sfx) <= left(lts) + lit(hi)
+      val joined0 = left.join(r2, cond, "left")
+      val dropCols = (keys.toSeq :+ rts).distinct.map(_ + sfx)
+      var out = joined0.drop(dropCols: _*)
+      right.columns.filterNot(c => keys.contains(c) || c == rts).foreach { c =>
+        require(!left.columns.contains(c),
+          s"window join: right column '$c' collides with a left column — " +
+          "alias it in a prior statement")
+        out = out.withColumnRenamed(c + sfx, c)
+      }
+      (out, new Env(Some(out.schema), programVars, programFuncs,
+        tnames = Set(leftName.toLowerCase, rightName.toLowerCase)))
     } else if (!p.peekIs("asof")) {
       require(p.done, s"trailing tokens in from clause: ${p.toks.mkString(" ")}")
       (left, new Env(Some(left.schema), programVars, programFuncs,

@@ -1607,6 +1607,48 @@ class KerfSqlSpec extends SparkSpec {
     assert(plan.contains("Window"), s"no window in fby plan:\n$plan")
   }
 
+  test("window join (wj): band membership, back/forward, empty-band nulls, no cartesian") {
+    import spark.implicits._
+    Seq((1L, 100L, 9.0), (1L, 300L, 11.0), (2L, 100L, 20.0))
+      .toDF("sym", "t_ts", "px").createOrReplaceTempView("wj_t")
+    Seq((1L, 80L, 1.0), (1L, 120L, 2.0), (1L, 290L, 3.0), (2L, 500L, 4.0))
+      .toDF("sym", "q_ts", "bid").createOrReplaceTempView("wj_q")
+    def run(band: String) = KerfSql.run(spark,
+      "select sym, t_ts, px, max(bid) as top, count(bid) as n " +
+      s"from wj_t window join wj_q on sym at t_ts, q_ts within $band " +
+      "group sym, t_ts, px order sym, t_ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getLong(4))).toSeq
+    // symmetric ±50: trade@100 sees 80+120; trade@300 sees 290;
+    // trade@(2,100) sees nothing → null max, count 0 (the wj convention)
+    assert(run("50") == Seq(
+      (1L, 100L, Some(2.0), 2L), (1L, 300L, Some(3.0), 1L),
+      (2L, 100L, None, 0L)))
+    // back: only quotes at-or-before; forward: only at-or-after
+    assert(run("50 back") == Seq(
+      (1L, 100L, Some(1.0), 1L), (1L, 300L, Some(3.0), 1L),
+      (2L, 100L, None, 0L)))
+    assert(run("50 forward") == Seq(
+      (1L, 100L, Some(2.0), 1L), (1L, 300L, None, 0L),
+      (2L, 100L, None, 0L)))
+    // the equi keys keep the plan a hash/merge join — never cartesian
+    val plan = KerfSql.run(spark,
+      "select sym, t_ts, max(bid) as top from wj_t window join wj_q " +
+      "on sym at t_ts, q_ts within 50 group sym, t_ts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"window join degenerated:\n$plan")
+    // right value-column collision is loud
+    Seq((1L, 100L, 5.0)).toDF("sym", "q_ts", "px").createOrReplaceTempView("wj_qc")
+    val e = intercept[IllegalArgumentException] {
+      KerfSql.run(spark,
+        "select sym, t_ts from wj_t window join wj_qc on sym at t_ts, q_ts " +
+        "within 50 group sym, t_ts")
+    }
+    assert(e.getMessage.contains("collides"), s"wrong error: ${e.getMessage}")
+  }
+
   test("countd mixes with window verbs → the friendly dialect error") {
     import spark.implicits._
     Seq(("a", 1L, 2L)).toDF("k", "ts", "v").createOrReplaceTempView("cdm_v")
