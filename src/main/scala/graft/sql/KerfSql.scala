@@ -2016,19 +2016,28 @@ object KerfSql {
           s"unexpected from-clause token '${p.pop()}'")
       }
       require(!(back && fwd), "window join: pick `back` or `forward`, not both")
-      import org.apache.spark.sql.types.LongType
-      require(left.schema(lts).dataType == LongType &&
-              right.schema(rts).dataType == LongType,
-        s"window join time axes must be LongType epochs (ns) — got " +
-        s"${left.schema(lts).dataType}/${right.schema(rts).dataType}; " +
-        "use the ts_ns column (Tables.normalizeEvents convention)")
-      val lo = if (fwd) 0L else tol
-      val hi = if (back) 0L else tol
+      import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+      val lt = left.schema(lts).dataType
+      val isTs = lt == TimestampType || lt == TimestampNTZType
+      require((lt == LongType || isTs) && right.schema(rts).dataType == lt,
+        s"window join time axes must both be LongType epochs (ns) or " +
+        s"Timestamps — got $lt/${right.schema(rts).dataType}")
+      // long axes band in the column's own unit (span literals are ns —
+      // the ts_ns convention); timestamp axes band in µs (a timestamp
+      // IS a µs long physically; span ns → µs, bare integers are µs —
+      // the same unit contract as the as-of tolerance)
+      val tolU = if (isTs && !tTok.matches("""\d+""")) tol / 1000L else tol
+      val lo = if (fwd) 0L else tolU
+      val hi = if (back) 0L else tolU
       val sfx = "__wj_r"
       val r2 = right.toDF(right.columns.map(_ + sfx): _*)
+      // NTZ → session-tz cast is the identity under the engine's pinned
+      // UTC session (Engine.scala) and keeps unix_micros analyzable
+      def axis(c: Column): Column =
+        if (isTs) unix_micros(c.cast(TimestampType)) else c
       val cond = keys.map(k => left(k) === r2(k + sfx)).reduce(_ && _) &&
-        r2(rts + sfx) >= left(lts) - lit(lo) &&
-        r2(rts + sfx) <= left(lts) + lit(hi)
+        axis(r2(rts + sfx)) >= axis(left(lts)) - lit(lo) &&
+        axis(r2(rts + sfx)) <= axis(left(lts)) + lit(hi)
       val joined0 = left.join(r2, cond, "left")
       val dropCols = (keys.toSeq :+ rts).distinct.map(_ + sfx)
       var out = joined0.drop(dropCols: _*)

@@ -1647,6 +1647,20 @@ class KerfSqlSpec extends SparkSpec {
         "within 50 group sym, t_ts")
     }
     assert(e.getMessage.contains("collides"), s"wrong error: ${e.getMessage}")
+    // TIMESTAMP axes: the band is µs (span ns → µs, the as-of unit
+    // contract); same membership as the long form scaled to seconds
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-05 12:00:00"), 9.0))
+      .toDF("sym", "t_ts", "px").createOrReplaceTempView("wj_tt")
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-05 11:59:30"), 1.0),
+        (1L, java.sql.Timestamp.valueOf("2024-01-05 12:02:00"), 2.0))
+      .toDF("sym", "q_ts", "bid").createOrReplaceTempView("wj_tq")
+    val ts = KerfSql.run(spark,
+      "select sym, px, max(bid) as top, count(bid) as n " +
+      "from wj_tt window join wj_tq on sym at t_ts, q_ts within 1i " +
+      "group sym, px order sym")
+      .collect().map(r => (r.getDouble(2), r.getLong(3))).toSeq
+    // ±1 minute: only the 11:59:30 quote is in band
+    assert(ts == Seq((1.0, 1L)), s"timestamp band: $ts")
   }
 
   test("countd mixes with window verbs → the friendly dialect error") {
