@@ -157,6 +157,36 @@ class KerfSqlFuzzSpec extends SparkSpec {
     assert(nonEmpty > 40, s"only $nonEmpty/60 shapes returned rows")
   }
 
+  test("join fuzz: 30 seeded inner/left/semi/anti shapes equal their API joins") {
+    Tables.orders(spark, sf).createOrReplaceTempView("orders_jf")
+    Tables.customer(spark, sf).createOrReplaceTempView("customer_jf")
+    val orders = spark.table("orders_jf")
+    val customer = spark.table("customer_jf")
+    for (seed <- 1 to 30) {
+      val rnd = new scala.util.Random(2000 + seed)
+      val how = Seq("join", "left join", "semi join", "anti join")(rnd.nextInt(4))
+      val pred = if (rnd.nextBoolean()) s" where o_totalprice < ${50000 + rnd.nextInt(100000)}" else ""
+      val items = how match {
+        case "semi join" | "anti join" =>
+          // existence filters keep only left columns
+          "o_orderstatus, count(*) as n, sum(o_totalprice) as s"
+        case _ => "o_orderstatus, count(*) as n, sum(o_totalprice) as s"
+      }
+      val txt = s"select $items from orders_jf $how customer_jf " +
+        s"on o_custkey = c_custkey$pred group o_orderstatus order o_orderstatus"
+      val got = KerfSql.run(spark, txt).collect().toSeq
+      val apiHow = Map("join" -> "inner", "left join" -> "left",
+        "semi join" -> "left_semi", "anti join" -> "left_anti")(how)
+      var j = orders.join(customer, orders("o_custkey") === customer("c_custkey"), apiHow)
+      if (pred.nonEmpty)
+        j = j.filter(col("o_totalprice") < pred.split("< ")(1).toInt)
+      val want = j.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("s"))
+        .orderBy("o_orderstatus").collect().toSeq
+      assert(got == want, s"seed $seed ($how) diverged\n  $txt")
+    }
+  }
+
   test("windowed-verb fuzz: 40 seeded shapes equal their Window-API plans row-exactly") {
     import org.apache.spark.sql.expressions.Window
     // small slice: window fuzz cost is per-shape shuffle, keep it tight
