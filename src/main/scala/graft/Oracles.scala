@@ -1868,6 +1868,24 @@ object Oracles {
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
          ORDER BY o_custkey, o_orderdate, o_orderkey""",
 
+    // uj: schema-aligning union — null-fill + width promotion, then
+    // exact statistics across both sides (sum of integer-valued
+    // doubles is order-free exact below 2^53)
+    "q164_kerf_uj" ->
+      """WITH a AS (
+           SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS key_c,
+                  l_quantity, CAST(NULL AS DOUBLE) AS l_extendedprice
+           FROM lineitem WHERE l_linenumber <= 3),
+         b AS (
+           SELECT l_orderkey, l_suppkey AS key_c,
+                  CAST(NULL AS DOUBLE) AS l_quantity, l_extendedprice
+           FROM lineitem WHERE l_linenumber > 3),
+         u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+         SELECT count(*) AS n, sum(l_quantity) AS sq,
+                max(l_extendedprice) AS mp, max(key_c) AS mk,
+                count(DISTINCT l_orderkey) AS no
+         FROM u""",
+
     // wj: per-trade band aggregates over the in-window quotes — the
     // same equi-band left join + group; max/min/count are exact picks
     "q163_kerf_wj" ->

@@ -3025,6 +3025,27 @@ object Queries {
       "group user_id, t_id, t_ts, price order user_id, t_id")
   }
 
+  /** UNION JOIN from the text surface (q's `uj`, Kerf1 heritage — the
+    * table-level face of §2.7 union): two projections with DIFFERENT
+    * column sets and a width-drifting shared column (int linenumber vs
+    * long suppkey as `key_c`) align into one table — missing columns
+    * null-fill, the shared column widens through the Folio append
+    * lattice (promote, never truncate). The closing aggregate reads
+    * across both sides; every statistic is exact (integer-valued
+    * double sums, max picks, exact distinct). */
+  val q164_kerf_uj: Q = (s, dir) => {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v164")
+    sql.KerfSql.run(s,
+      "a_v164: select l_orderkey, l_linenumber as key_c, l_quantity " +
+      "from lineitem_v164 where l_linenumber <= 3; " +
+      "b_v164: select l_orderkey, l_suppkey as key_c, l_extendedprice " +
+      "from lineitem_v164 where l_linenumber > 3; " +
+      "u_v164: uj a_v164, b_v164; " +
+      "select count(*) as n, sum(l_quantity) as sq, " +
+      "max(l_extendedprice) as mp, max(key_c) as mk, " +
+      "countd(l_orderkey) as no from u_v164")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3189,5 +3210,6 @@ object Queries {
     "q161_kerf_emas"     -> q161_kerf_emas,
     "q162_kerf_fby"      -> q162_kerf_fby,
     "q163_kerf_wj"       -> q163_kerf_wj,
+    "q164_kerf_uj"       -> q164_kerf_uj,
   )
 }

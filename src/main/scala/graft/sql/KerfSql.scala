@@ -1337,6 +1337,8 @@ object KerfSql {
         // call to a user def named cap. The verb form is always
         // `<verb> <table> by …`, so dispatch only when the next token is
         // not a call/operator shape.
+        case "uj" if toks.lengthCompare(3) >= 0 && toks(2) == "," =>
+          p.pop(); last = Left(runUj(spark, p))
         case "dedup"   if pipelineVerbForm(toks) => p.pop(); last = Left(runDedup(spark, p, near = false))
         case "neardup" if pipelineVerbForm(toks) => p.pop(); last = Left(runDedup(spark, p, near = true))
         case "semdedup" if pipelineVerbForm(toks) => p.pop(); last = Left(runSemDedup(spark, p))
@@ -1556,6 +1558,12 @@ object KerfSql {
                      p.toks.lengthCompare(2) >= 0 && p.toks(1).startsWith("'")) {
             val verb = p.pop().toLowerCase
             val df = if (verb == "probe") runProbe(spark, p) else runCompact(spark, p)
+            df.createOrReplaceTempView(name)
+            last = Left(df)
+          } else if (p.peekIs("uj") && p.toks.lengthCompare(3) >= 0 &&
+                     p.toks(2) == ",") {
+            p.pop()
+            val df = runUj(spark, p)
             df.createOrReplaceTempView(name)
             last = Left(df)
           } else if ((p.peekIs("dedup") || p.peekIs("neardup") ||
@@ -2818,6 +2826,31 @@ object KerfSql {
     * reserves only control/number/SQL heads, lexer.h:100-105), so
     * `cap(99)` or `sample + 1` must stay expressions over user names —
     * dispatch to a pipeline verb only when the table-form shape holds. */
+  /** `uj t1, t2[, t3 …]` — q's UNION JOIN (Kerf1 heritage; the
+    * table-level face of §2.7 union): union with SCHEMA ALIGNMENT.
+    * The output carries every column ANY input has in first-appearance
+    * order; missing columns fill with null; same-named numeric columns
+    * WIDEN through the Folio append lattice (promote, never truncate —
+    * the appendWithPromotion rule applied across tables). Incompatible
+    * same-named types (string vs long) fail loudly. */
+  private def runUj(spark: SparkSession, p: P): DataFrame = {
+    val tables = scala.collection.mutable.ArrayBuffer[DataFrame](spark.table(p.pop()))
+    while (p.peekIs(",")) { p.pop(); tables += spark.table(p.pop()) }
+    require(p.done, s"trailing tokens in uj: ${p.toks.mkString(" ")}")
+    require(tables.lengthCompare(2) >= 0, "uj needs at least two tables")
+    val names = tables.flatMap(_.schema.map(_.name)).distinct.toSeq
+    val target = names.map { n =>
+      n -> tables.flatMap(_.schema.find(_.name == n)).map(_.dataType)
+        .reduce(graft.io.Folio.widen)
+    }.toMap
+    tables.map { t =>
+      val have = t.columns.toSet
+      t.select(names.map(n =>
+        (if (have(n)) col(n).cast(target(n))
+         else lit(null).cast(target(n))).as(n)): _*)
+    }.reduce(_.unionByName(_))
+  }
+
   private def pipelineVerbForm(toks: List[String]): Boolean =
     toks.lengthCompare(3) >= 0 &&
       toks(1).headOption.exists(c => c.isLetter || c == '_') &&

@@ -1663,6 +1663,30 @@ class KerfSqlSpec extends SparkSpec {
     assert(ts == Seq((1.0, 1L)), s"timestamp band: $ts")
   }
 
+  test("uj: schema-aligning union — null fill, width promotion, loud mismatches") {
+    import spark.implicits._
+    Seq((1, 1.5)).toDF("k", "x").createOrReplaceTempView("uj_a")  // k: int
+    Seq((2L, "s")).toDF("k", "y").createOrReplaceTempView("uj_b") // k: long
+    val got = KerfSql.run(spark, "uj uj_a, uj_b")
+    // first-appearance column order; k widened int → long
+    assert(got.columns.toSeq == Seq("k", "x", "y"))
+    assert(got.schema("k").dataType ==
+      org.apache.spark.sql.types.LongType, "k did not widen to long")
+    val rows = got.orderBy("k").collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+      if (r.isNullAt(2)) None else Some(r.getString(2)))).toSeq
+    assert(rows == Seq((1L, Some(1.5), None), (2L, None, Some("s"))))
+    // three-way form; assignment registers a view
+    val three = KerfSql.run(spark,
+      "u: uj uj_a, uj_b, uj_a; select count(*) as n from u").first().getLong(0)
+    assert(three == 3L)
+    // incompatible same-named types are loud, not silently stringified
+    Seq((1, "oops")).toDF("x", "k").createOrReplaceTempView("uj_c")
+    intercept[IllegalArgumentException] {
+      KerfSql.run(spark, "uj uj_a, uj_c").collect()
+    }
+  }
+
   test("countd mixes with window verbs → the friendly dialect error") {
     import spark.implicits._
     Seq(("a", 1L, 2L)).toDF("k", "ts", "v").createOrReplaceTempView("cdm_v")
