@@ -1868,6 +1868,14 @@ object Oracles {
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
          ORDER BY o_custkey, o_orderdate, o_orderkey""",
 
+    // pivot with an explicit value domain replays as conditional
+    // aggregation; integer-valued quantity sums are order-free exact
+    "q165_kerf_pivot" ->
+      """SELECT l_returnflag,
+                sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS "O",
+                sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS "F"
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     // uj: schema-aligning union — null-fill + width promotion, then
     // exact statistics across both sides (sum of integer-valued
     // doubles is order-free exact below 2^53)

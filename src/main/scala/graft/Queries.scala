@@ -3046,6 +3046,21 @@ object Queries {
       "countd(l_orderkey) as no from u_v164")
   }
 
+  /** PIVOT from the text surface (the kdb pivot idiom, Kerf1/q
+    * heritage): one wide row per return flag with a column per
+    * ENUMERATED line status, cells = summed quantity. The value
+    * domain is explicit in the query, so the output schema is part of
+    * the contract (no data-dependent discovery scan) and the oracle
+    * replays it as conditional aggregation. Integer-valued quantity
+    * sums are order-free exact. */
+  val q165_kerf_pivot: Q = (s, dir) => {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v165")
+    sql.KerfSql.run(s,
+      "w_v165: pivot lineitem_v165 by l_returnflag on l_linestatus " +
+      "in ('O', 'F') agg sum(l_quantity); " +
+      "select * from w_v165 order l_returnflag")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3211,5 +3226,6 @@ object Queries {
     "q162_kerf_fby"      -> q162_kerf_fby,
     "q163_kerf_wj"       -> q163_kerf_wj,
     "q164_kerf_uj"       -> q164_kerf_uj,
+    "q165_kerf_pivot"    -> q165_kerf_pivot,
   )
 }

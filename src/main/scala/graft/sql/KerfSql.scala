@@ -1339,6 +1339,8 @@ object KerfSql {
         // not a call/operator shape.
         case "uj" if toks.lengthCompare(3) >= 0 && toks(2) == "," =>
           p.pop(); last = Left(runUj(spark, p))
+        case "pivot" if pipelineVerbForm(toks) =>
+          p.pop(); last = Left(runPivot(spark, p))
         case "dedup"   if pipelineVerbForm(toks) => p.pop(); last = Left(runDedup(spark, p, near = false))
         case "neardup" if pipelineVerbForm(toks) => p.pop(); last = Left(runDedup(spark, p, near = true))
         case "semdedup" if pipelineVerbForm(toks) => p.pop(); last = Left(runSemDedup(spark, p))
@@ -1564,6 +1566,11 @@ object KerfSql {
                      p.toks(2) == ",") {
             p.pop()
             val df = runUj(spark, p)
+            df.createOrReplaceTempView(name)
+            last = Left(df)
+          } else if (p.peekIs("pivot") && pipelineVerbForm(p.toks)) {
+            p.pop()
+            val df = runPivot(spark, p)
             df.createOrReplaceTempView(name)
             last = Left(df)
           } else if ((p.peekIs("dedup") || p.peekIs("neardup") ||
@@ -2826,6 +2833,48 @@ object KerfSql {
     * reserves only control/number/SQL heads, lexer.h:100-105), so
     * `cap(99)` or `sample + 1` must stay expressions over user names —
     * dispatch to a pipeline verb only when the table-form shape holds. */
+  /** `pivot t by k1[, k2] on p in ('a', 'b', …) agg fn(c)` — the kdb
+    * pivot idiom (Kerf1/q heritage): one wide row per key with one
+    * column per ENUMERATED value of `p`, cells aggregated by fn. The
+    * value domain is explicit — output columns are part of the query's
+    * contract, never a data-dependent surprise (and the lowering stays
+    * one groupBy.pivot pass with no discovery scan). Absent
+    * (key, value) cells are null. */
+  private def runPivot(spark: SparkSession, p: P): DataFrame = {
+    val df = spark.table(p.pop())
+    p.expect("by")
+    val keys = scala.collection.mutable.ArrayBuffer[String](p.pop())
+    while (p.peekIs(",")) { p.pop(); keys += p.pop() }
+    p.expect("on")
+    val pcol = p.pop()
+    p.expect("in")
+    p.expect("(")
+    def quoted(t: String): String = {
+      require(t.startsWith("'") && t.endsWith("'"),
+        s"pivot values must be quoted strings, got $t")
+      t.substring(1, t.length - 1)
+    }
+    val vals = scala.collection.mutable.ArrayBuffer[String](quoted(p.pop()))
+    while (p.peekIs(",")) { p.pop(); vals += quoted(p.pop()) }
+    p.expect(")")
+    p.expect("agg")
+    val fn = p.pop().toLowerCase
+    require(fbyAggFns(fn) && fn != "pctl",
+      s"pivot agg must be one of sum/avg/min/max/count, got '$fn'")
+    p.expect("(")
+    val c = p.pop()
+    p.expect(")")
+    require(p.done, s"trailing tokens in pivot: ${p.toks.mkString(" ")}")
+    val aggCol = fn match {
+      case "sum" => sum(col(c)); case "avg" => avg(col(c))
+      case "min" => min(col(c)); case "max" => max(col(c))
+      case "count" => count(col(c))
+    }
+    df.groupBy(keys.toSeq.map(col): _*)
+      .pivot(pcol, vals.toSeq)
+      .agg(aggCol)
+  }
+
   /** `uj t1, t2[, t3 …]` — q's UNION JOIN (Kerf1 heritage; the
     * table-level face of §2.7 union): union with SCHEMA ALIGNMENT.
     * The output carries every column ANY input has in first-appearance

@@ -1687,6 +1687,32 @@ class KerfSqlSpec extends SparkSpec {
     }
   }
 
+  test("pivot: enumerated domain == groupBy.pivot API; absent cells null") {
+    import spark.implicits._
+    Seq(("a", "x", 1.0), ("a", "x", 2.0), ("a", "y", 5.0), ("b", "y", 7.0))
+      .toDF("k", "p", "v").createOrReplaceTempView("pv_t")
+    val got = KerfSql.run(spark,
+      "w: pivot pv_t by k on p in ('x', 'y', 'z') agg sum(v); " +
+      "select * from w order k")
+    assert(got.columns.toSeq == Seq("k", "x", "y", "z"))
+    val rows = got.collect().map(r => (r.getString(0),
+      (1 to 3).map(i => if (r.isNullAt(i)) None else Some(r.getDouble(i))))).toSeq
+    // 'z' never occurs → all-null column; (b, x) absent → null cell
+    assert(rows == Seq(
+      ("a", Seq(Some(3.0), Some(5.0), None)),
+      ("b", Seq(None, Some(7.0), None))))
+    val want = spark.table("pv_t").groupBy("k").pivot("p", Seq("x", "y", "z"))
+      .agg(sum(col("v"))).orderBy("k")
+    assert(got.collect().toSeq == want.collect().toSeq)
+    // unquoted values and unknown aggregates are loud
+    intercept[IllegalArgumentException] {
+      KerfSql.run(spark, "pivot pv_t by k on p in (x) agg sum(v)")
+    }
+    intercept[IllegalArgumentException] {
+      KerfSql.run(spark, "pivot pv_t by k on p in ('x') agg countd(v)")
+    }
+  }
+
   test("countd mixes with window verbs → the friendly dialect error") {
     import spark.implicits._
     Seq(("a", 1L, 2L)).toDF("k", "ts", "v").createOrReplaceTempView("cdm_v")
