@@ -1876,6 +1876,19 @@ object Oracles {
                 sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS "F"
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    // unpivot: the melt inverse — UNION ALL keeps null cells as null
+    // qty rows, the exact round trip of the pivot
+    "q166_kerf_unpivot" ->
+      """WITH w AS (
+           SELECT l_returnflag,
+                  sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS o_q,
+                  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS f_q
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, 'F' AS status, f_q AS qty FROM w
+         UNION ALL
+         SELECT l_returnflag, 'O' AS status, o_q AS qty FROM w
+         ORDER BY l_returnflag, status""",
+
     // uj: schema-aligning union — null-fill + width promotion, then
     // exact statistics across both sides (sum of integer-valued
     // doubles is order-free exact below 2^53)

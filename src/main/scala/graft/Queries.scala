@@ -3061,6 +3061,21 @@ object Queries {
       "select * from w_v165 order l_returnflag")
   }
 
+  /** PIVOT → UNPIVOT round trip from the text surface: q165's wide
+    * frame melts back to (flag, status, qty) rows. Null cells SURVIVE
+    * as null qty rows — the exact inverse (engines that drop nulls on
+    * unpivot silently lose the absent-cell fact), and the oracle's
+    * UNION ALL spelling makes that explicit. */
+  val q166_kerf_unpivot: Q = (s, dir) => {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v166")
+    sql.KerfSql.run(s,
+      "w_v166: pivot lineitem_v166 by l_returnflag on l_linestatus " +
+      "in ('O', 'F') agg sum(l_quantity); " +
+      "long_v166: unpivot w_v166 by l_returnflag on (O, F) as status, qty; " +
+      "select l_returnflag, status, qty from long_v166 " +
+      "order l_returnflag, status")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3227,5 +3242,6 @@ object Queries {
     "q163_kerf_wj"       -> q163_kerf_wj,
     "q164_kerf_uj"       -> q164_kerf_uj,
     "q165_kerf_pivot"    -> q165_kerf_pivot,
+    "q166_kerf_unpivot"  -> q166_kerf_unpivot,
   )
 }

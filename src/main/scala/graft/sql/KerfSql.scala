@@ -1341,6 +1341,8 @@ object KerfSql {
           p.pop(); last = Left(runUj(spark, p))
         case "pivot" if pipelineVerbForm(toks) =>
           p.pop(); last = Left(runPivot(spark, p))
+        case "unpivot" if pipelineVerbForm(toks) =>
+          p.pop(); last = Left(runUnpivot(spark, p))
         case "dedup"   if pipelineVerbForm(toks) => p.pop(); last = Left(runDedup(spark, p, near = false))
         case "neardup" if pipelineVerbForm(toks) => p.pop(); last = Left(runDedup(spark, p, near = true))
         case "semdedup" if pipelineVerbForm(toks) => p.pop(); last = Left(runSemDedup(spark, p))
@@ -1571,6 +1573,11 @@ object KerfSql {
           } else if (p.peekIs("pivot") && pipelineVerbForm(p.toks)) {
             p.pop()
             val df = runPivot(spark, p)
+            df.createOrReplaceTempView(name)
+            last = Left(df)
+          } else if (p.peekIs("unpivot") && pipelineVerbForm(p.toks)) {
+            p.pop()
+            val df = runUnpivot(spark, p)
             df.createOrReplaceTempView(name)
             last = Left(df)
           } else if ((p.peekIs("dedup") || p.peekIs("neardup") ||
@@ -2873,6 +2880,31 @@ object KerfSql {
     df.groupBy(keys.toSeq.map(col): _*)
       .pivot(pcol, vals.toSeq)
       .agg(aggCol)
+  }
+
+  /** `unpivot t by k1[, k2] on (c1, c2, …) as namecol, valcol` — the
+    * melt inverse of [[runPivot]]: the enumerated wide columns fold
+    * into (namecol, valcol) rows per key. Null cells SURVIVE as null
+    * valcol rows (the exact pivot round-trip — engines that drop
+    * nulls on unpivot silently lose the fact that a cell was absent).
+    * Wide columns must share a type family (they widen to one). */
+  private def runUnpivot(spark: SparkSession, p: P): DataFrame = {
+    val df = spark.table(p.pop())
+    p.expect("by")
+    val keys = scala.collection.mutable.ArrayBuffer[String](p.pop())
+    while (p.peekIs(",")) { p.pop(); keys += p.pop() }
+    p.expect("on")
+    p.expect("(")
+    val vals = scala.collection.mutable.ArrayBuffer[String](p.pop())
+    while (p.peekIs(",")) { p.pop(); vals += p.pop() }
+    p.expect(")")
+    p.expect("as")
+    val nameCol = p.pop()
+    p.expect(",")
+    val valCol = p.pop()
+    require(p.done, s"trailing tokens in unpivot: ${p.toks.mkString(" ")}")
+    df.unpivot(keys.toSeq.map(col).toArray, vals.toSeq.map(col).toArray,
+      nameCol, valCol)
   }
 
   /** `uj t1, t2[, t3 …]` — q's UNION JOIN (Kerf1 heritage; the

@@ -1713,6 +1713,32 @@ class KerfSqlSpec extends SparkSpec {
     }
   }
 
+  test("unpivot: melt is pivot's exact inverse, null cells survive") {
+    import spark.implicits._
+    Seq(("a", "x", 1.0), ("a", "y", 5.0), ("b", "y", 7.0))
+      .toDF("k", "p", "v").createOrReplaceTempView("upv_t")
+    val got = KerfSql.run(spark,
+      "w: pivot upv_t by k on p in ('x', 'y') agg sum(v); " +
+      "long: unpivot w by k on (x, y) as p, v; " +
+      "select k, p, v from long order k, p")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    // (b, x) was an absent cell → it comes back as a NULL row, not lost
+    assert(got == Seq(
+      ("a", "x", Some(1.0)), ("a", "y", Some(5.0)),
+      ("b", "x", None), ("b", "y", Some(7.0))))
+    // round trip: re-pivoting the melt equals the original wide frame
+    val again = KerfSql.run(spark,
+      "w2: pivot upv_t by k on p in ('x', 'y') agg sum(v); " +
+      "l2: unpivot w2 by k on (x, y) as p, v; " +
+      "w3: pivot l2 by k on p in ('x', 'y') agg sum(v); " +
+      "select * from w3 order k")
+    val orig = KerfSql.run(spark,
+      "w4: pivot upv_t by k on p in ('x', 'y') agg sum(v); " +
+      "select * from w4 order k")
+    assert(again.collect().toSeq == orig.collect().toSeq)
+  }
+
   test("countd mixes with window verbs → the friendly dialect error") {
     import spark.implicits._
     Seq(("a", 1L, 2L)).toDF("k", "ts", "v").createOrReplaceTempView("cdm_v")
