@@ -871,7 +871,7 @@ object KerfSql {
         // in how they pick the grid point — quantize-then-multiply is
         // exact and engine-agnostic. The scale-6 input quantization is
         // the determinism contract (values with >6 fractional digits
-        // round at ingestion); nulls follow the sums. */
+        // round at ingestion); nulls follow the sums.
         p.expect("(")
         val fnl = fn.toLowerCase
         val a = parseExpr(p, env)
