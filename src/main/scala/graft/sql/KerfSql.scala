@@ -2856,13 +2856,16 @@ object KerfSql {
     val pcol = p.pop()
     p.expect("in")
     p.expect("(")
-    def quoted(t: String): String = {
-      require(t.startsWith("'") && t.endsWith("'"),
-        s"pivot values must be quoted strings, got $t")
-      t.substring(1, t.length - 1)
-    }
-    val vals = scala.collection.mutable.ArrayBuffer[String](quoted(p.pop()))
-    while (p.peekIs(",")) { p.pop(); vals += quoted(p.pop()) }
+    // quoted strings or bare numeric literals — a numeric pivot axis
+    // (line numbers, bucket ids) is as common as a string one
+    def pval(t: String): Any =
+      if (t.startsWith("'") && t.endsWith("'")) t.substring(1, t.length - 1)
+      else if (t.matches("""\d+""")) t.toLong
+      else if (t.matches("""\d+\.\d+""")) t.toDouble
+      else throw new IllegalArgumentException(
+        s"pivot values must be quoted strings or numeric literals, got $t")
+    val vals = scala.collection.mutable.ArrayBuffer[Any](pval(p.pop()))
+    while (p.peekIs(",")) { p.pop(); vals += pval(p.pop()) }
     p.expect(")")
     p.expect("agg")
     val fn = p.pop().toLowerCase

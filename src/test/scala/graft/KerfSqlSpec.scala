@@ -1704,7 +1704,17 @@ class KerfSqlSpec extends SparkSpec {
     val want = spark.table("pv_t").groupBy("k").pivot("p", Seq("x", "y", "z"))
       .agg(sum(col("v"))).orderBy("k")
     assert(got.collect().toSeq == want.collect().toSeq)
-    // unquoted values and unknown aggregates are loud
+    // numeric pivot axis: bare literals enumerate the domain
+    Seq(("a", 1L, 2.0), ("a", 2L, 3.0), ("b", 1L, 5.0))
+      .toDF("k", "ln", "v").createOrReplaceTempView("pvn_t")
+    val num = KerfSql.run(spark,
+      "w: pivot pvn_t by k on ln in (1, 2) agg sum(v); select * from w order k")
+    assert(num.columns.toSeq == Seq("k", "1", "2"))
+    assert(num.collect().map(r => (r.getString(0),
+      if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq ==
+      Seq(("a", Some(2.0), Some(3.0)), ("b", Some(5.0), None)))
+    // non-literal values and unknown aggregates are loud
     intercept[IllegalArgumentException] {
       KerfSql.run(spark, "pivot pv_t by k on p in (x) agg sum(v)")
     }
