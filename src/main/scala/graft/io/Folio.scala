@@ -106,12 +106,24 @@ object Folio {
   }
 
   def widen(a: org.apache.spark.sql.types.DataType,
-            b: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+            b: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
     if (a == b) a
     else (widthRank.get(a), widthRank.get(b)) match {
+      // int/long × float must jump to DOUBLE: float's 24-bit mantissa
+      // cannot hold ints above 2^24, so the naive rank pick (float >
+      // long) would silently truncate — violating the promote-never-
+      // truncate contract. byte/short × float stay float (|x| < 2^15
+      // is exact in binary32). long × double is the lattice top: SQL's
+      // convention, 2^53 caveat and all.
+      case (Some(_), Some(_))
+          if (a == FloatType && (b == IntegerType || b == LongType)) ||
+             (b == FloatType && (a == IntegerType || a == LongType)) =>
+        DoubleType
       case (Some(ra), Some(rb)) => if (ra >= rb) a else b
       case _ => throw new IllegalArgumentException(s"cannot promote $a vs $b")
     }
+  }
 
   // ----- promote-on-append: versioned rewrite + pointer swap (SURVEY §7.5.4)
 

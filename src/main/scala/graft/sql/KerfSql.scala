@@ -89,6 +89,12 @@ object KerfSql {
       require(t.equalsIgnoreCase(s), s"expected '$s', got '$t'")
     }
     def done: Boolean = toks.isEmpty
+    /** True while parsing a comma-separated select item — fby's
+      * multi-key comma loop is disabled there so `select x = max(x) by
+      * k, b …` cannot absorb the following item `b` as a partition
+      * key (`by` takes exactly one key in item context; use a where
+      * clause for multi-key fby). */
+    var inSelectItem: Boolean = false
   }
 
   private val clauseWords = Set("from", "where", "group", "order", "limit",
@@ -510,14 +516,32 @@ object KerfSql {
       // FROM table as a whole — the where clause is ONE expression
       // here, not q's sequential clause list; pre-filter in a prior
       // statement when the aggregate should see a subset.
+      // the right side must be EXACTLY one aggregate call to window as
+      // a unit: `max(x)` fby-windows; `max(x) + 1` cannot (.over on a
+      // compound is a raw Spark analysis error) — reject it loudly
+      // with the staging workaround instead of leaking that error
+      val consumed = beforeRight.take(beforeRight.length - p.toks.length)
+      def singleAggCall: Boolean =
+        consumed.lengthCompare(3) >= 0 && consumed(1) == "(" && {
+          var depth = 0; var close = -1; var i = 1
+          while (i < consumed.length && close < 0) {
+            if (consumed(i) == "(") depth += 1
+            else if (consumed(i) == ")") { depth -= 1; if (depth == 0) close = i }
+            i += 1
+          }
+          close == consumed.length - 1
+        }
       val rightCol =
         if (p.peekIs("by") &&
-            beforeRight.headOption.exists(t => fbyAggFns(t.toLowerCase)) &&
-            beforeRight.drop(1).headOption.contains("(")) {
+            consumed.headOption.exists(t => fbyAggFns(t.toLowerCase))) {
+          require(singleAggCall,
+            s"fby windows exactly one aggregate call (x = max(x) by k); " +
+            s"got '${consumed.mkString(" ")}' — stage the compound " +
+            "expression in a prior select/assignment, then compare")
           p.pop()
           import org.apache.spark.sql.expressions.Window
           val keys = scala.collection.mutable.ArrayBuffer[Column](parsePostfix(p, env).col)
-          while (p.peekIs(",")) { p.pop(); keys += parsePostfix(p, env).col }
+          while (!p.inSelectItem && p.peekIs(",")) { p.pop(); keys += parsePostfix(p, env).col }
           right.col.over(Window.partitionBy(keys.toSeq: _*))
         } else right.col
       val c = op match {
@@ -881,32 +905,44 @@ object KerfSql {
         p.expect(")")
         def dq(c: Column) = c.cast(DecimalType(18, 6))
         def dsum(c: Column) = sum(c).cast(DoubleType)
-        val n = count(a.col).cast(DoubleType)
         // zero denominators return NULL (the SQL corr/covar convention;
         // under ANSI a bare division would THROW on an all-equal or
         // zero-weight group — a fuzz-found hazard, not a theory)
         def safeDiv(num: Column, den: Column): Column =
           when(den === 0.0, lit(null).cast(DoubleType)).otherwise(num / den)
+        // PAIRWISE DELETION for the two-argument moments (SQL's
+        // corr/covar_pop convention): each input is nulled where its
+        // PARTNER is null, so every sum and the count cover the same
+        // row set. Without this, mismatched null patterns make the
+        // moments inconsistent (cor can leave [-1,1]; var of the
+        // second column would be normalized by the first's count).
+        lazy val bothNN = a.col.isNotNull && b.get.col.isNotNull
+        def paired(c: Column) = when(bothNN, c)
         // clamped at 0: a 1-row group's difference can cancel to −ε
         // (decimal-exact x² vs double x·x routes) and sqrt would NaN;
         // n = 0 (all-null input) is null, not a division error
-        def varOf(x: Column) = {
+        def varOf(x: Column, n: Column) = {
           val sx = dsum(dq(x)); val sxx = dsum(dq(x) * dq(x))
           when(n === 0.0, lit(null).cast(DoubleType))
             .otherwise(greatest((sxx / n) - (sx / n) * (sx / n), lit(0.0)))
         }
-        def covOf(x: Column, y: Column) =
+        def covOf(x: Column, y: Column, n: Column) =
           when(n === 0.0, lit(null).cast(DoubleType))
             .otherwise((dsum(dq(x) * dq(y)) / n) -
               (dsum(dq(x)) / n) * (dsum(dq(y)) / n))
+        def nOf(c: Column) = count(c).cast(DoubleType)
         val out = fnl match {
-          case "wavg" => safeDiv(dsum(dq(a.col) * dq(b.get.col)), dsum(dq(a.col)))
-          case "var"  => varOf(a.col)
-          case "dev"  => sqrt(varOf(a.col))
-          case "cov"  => covOf(a.col, b.get.col)
+          // wavg masks the weight where the value is null (and vice
+          // versa): a weight whose value vanished must not dilute Σw
+          case "wavg" => safeDiv(dsum(dq(paired(a.col)) * dq(paired(b.get.col))),
+            dsum(dq(paired(a.col))))
+          case "var"  => varOf(a.col, nOf(a.col))
+          case "dev"  => sqrt(varOf(a.col, nOf(a.col)))
+          case "cov"  => covOf(paired(a.col), paired(b.get.col), nOf(paired(a.col)))
           case "cor"  =>
-            safeDiv(covOf(a.col, b.get.col),
-              sqrt(varOf(a.col)) * sqrt(varOf(b.get.col)))
+            val n = nOf(paired(a.col))
+            safeDiv(covOf(paired(a.col), paired(b.get.col), n),
+              sqrt(varOf(paired(a.col), n)) * sqrt(varOf(paired(b.get.col), n)))
         }
         T(out, DoubleType)
       case fn if fn.toLowerCase == "pctl" && p.peekIs("(") =>
@@ -1261,7 +1297,9 @@ object KerfSql {
 
   private def parseSelectItem(p: P, env: Env): Item = {
     val start = p.toks
-    val e = parseExpr(p, env)
+    val wasItem = p.inSelectItem
+    p.inSelectItem = true
+    val e = try parseExpr(p, env) finally p.inSelectItem = wasItem
     val src = start.take(start.length - p.toks.length)
     val alias =
       if (p.peekIs("as")) { p.pop(); p.pop() }

@@ -299,11 +299,17 @@ object EventStream {
                      filled: Option[Double])
 
   /** Per-key forward-fill state machine: carries the last non-null value
-    * down the per-key time axis. O(1) state per key — (ts, last) — the
-    * same monotonic-clock discipline as [[EmaProcessor]]: a row at or
-    * before the state's timestamp is late and SKIPPED (never re-carried),
-    * so a bounded replay reproduces the batch `fills` window exactly. A
-    * null tick advances the clock but not the carry. */
+    * down the per-key time axis. O(1) state per key — (ts, last). EVERY
+    * row is emitted (the batch `fills` window emits every row too):
+    * TIED timestamps advance the carry in arrival order (the batch
+    * window's event_id tiebreak), so same-grain ticks are never lost;
+    * strictly-LATE rows (ts < the state's clock — out-of-order arrival)
+    * emit with the CURRENT carry without perturbing the state, since
+    * O(1) state cannot reconstruct the carry as of a historical ts. A
+    * null tick advances the clock but not the carry. Under an
+    * at-least-once source, replayed old rows therefore re-emit (with
+    * the now-carry); a sink keyed on (user_id, ts_ns) restores
+    * exactly-once. */
   class FillForwardProcessor extends StatefulProcessor[Long, SparseTick, FillRow] {
     @transient private var st: ValueState[FillState] = _
 
@@ -316,7 +322,12 @@ object EventStream {
       val out = List.newBuilder[FillRow]
       rows.toSeq.sortBy(_.ts_ns).foreach { r =>
         val prev = if (st.exists()) Some(st.get()) else None
-        if (!prev.exists(_.ts_ns >= r.ts_ns)) {
+        if (prev.exists(_.ts_ns > r.ts_ns)) {
+          // strictly late: own value wins, else the current carry;
+          // the clock and carry stay put
+          out += FillRow(key, r.ts_ns, r.value,
+            r.value.orElse(prev.filter(_.has).map(_.last)))
+        } else {
           val ns = r.value match {
             case Some(v) => FillState(r.ts_ns, has = true, v)
             case None => FillState(r.ts_ns,

@@ -1687,6 +1687,80 @@ class KerfSqlSpec extends SparkSpec {
     }
   }
 
+  test("uj widen: long × float promotes to DOUBLE, never truncates to float") {
+    import spark.implicits._
+    // 2^24 + 1 is NOT representable in binary32 — the old rank pick
+    // (float above long) would have silently rounded it to 16777216.0
+    val big = (1L << 24) + 1
+    Seq((big, "l")).toDF("v", "tag").createOrReplaceTempView("ujw_l")
+    Seq((0.5f, "f")).toDF("v", "tag").createOrReplaceTempView("ujw_f")
+    val got = KerfSql.run(spark, "uj ujw_l, ujw_f")
+    assert(got.schema("v").dataType ==
+      org.apache.spark.sql.types.DoubleType, "long × float must widen to double")
+    val vs = got.orderBy("tag").collect().map(_.getDouble(0)).toSeq
+    assert(vs == Seq(0.5, big.toDouble), s"values drifted: $vs")
+    // int × float takes the same double route (ints above 2^24 exist)
+    Seq((1, "i")).toDF("v", "tag").createOrReplaceTempView("ujw_i")
+    assert(KerfSql.run(spark, "uj ujw_i, ujw_f").schema("v").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    // byte/short × float stay float (exact in binary32); the lattice
+    // below float is untouched
+    assert(graft.io.Folio.widen(org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.FloatType) ==
+      org.apache.spark.sql.types.FloatType)
+    assert(graft.io.Folio.widen(org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType) ==
+      org.apache.spark.sql.types.LongType)
+  }
+
+  test("fby guards: compound right side rejected loudly; select-item comma is an item boundary") {
+    import spark.implicits._
+    Seq(("a", 1.0, 10L), ("a", 3.0, 20L), ("b", 5.0, 30L))
+      .toDF("k", "v", "b").createOrReplaceTempView("fbyg_v")
+    // `max(v) + 1` is not ONE aggregate call — a dialect error naming
+    // fby and the staging workaround, not a raw Spark AnalysisException
+    val e = intercept[IllegalArgumentException] {
+      KerfSql.run(spark, "select k, v from fbyg_v where v = max(v) + 1 by k")
+    }
+    assert(e.getMessage.contains("fby") && e.getMessage.contains("stage"),
+      s"wrong error: ${e.getMessage}")
+    // in select-item position `by` takes exactly ONE key: the `, b`
+    // after it is the NEXT select item, not a second partition key
+    val got = KerfSql.run(spark,
+      "select k, v = max(v) by k as hit, b from fbyg_v order b")
+    assert(got.columns.toSeq == Seq("k", "hit", "b"), s"b was swallowed: ${got.columns.toSeq}")
+    val rows = got.collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("a", false, 10L), ("a", true, 20L), ("b", true, 30L)), s"got $rows")
+    // multi-key fby still works in WHERE position (comma is unambiguous)
+    val n = KerfSql.run(spark,
+      "select k, v from fbyg_v where v = max(v) by k, b").count()
+    assert(n == 3L, "per-(k,b) max keeps every singleton row")
+  }
+
+  test("cov/cor/wavg: pairwise deletion under mismatched null patterns") {
+    import spark.implicits._
+    // x null where y present and vice versa — the sums and the count
+    // must cover the SAME row set (rows 3 complete pairs: (1,2) (2,4)
+    // (3,6) → perfect correlation, cov over the pair set only)
+    Seq((Some(1.0), Some(2.0)), (Some(2.0), Some(4.0)), (Some(3.0), Some(6.0)),
+        (Some(100.0), None: Option[Double]), (None: Option[Double], Some(100.0)))
+      .toDF("x", "y").createOrReplaceTempView("pw_v")
+    val r = KerfSql.run(spark,
+      "select cor(x, y) as cr, cov(x, y) as cv, wavg(x, y) as wa from pw_v").first()
+    // pairwise pearson of an exact line is 1.0; the orphaned 100s must
+    // not drag it (shared-denominator bug: cor left [-1,1] entirely)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12, s"cor=${r.getDouble(0)}")
+    // pair-set population cov: E[xy]-E[x]E[y] = 28/3 - 2*4 = 4/3
+    assert(math.abs(r.getDouble(1) - 4.0 / 3.0) < 1e-9, s"cov=${r.getDouble(1)}")
+    // wavg masks weights whose value is null: (1*2+2*4+3*6)/(1+2+3),
+    // NOT /(1+2+3+100)
+    assert(math.abs(r.getDouble(2) - 28.0 / 6.0) < 1e-9, s"wavg=${r.getDouble(2)}")
+    // single-column var/dev keep their own count (unchanged semantics)
+    val v = KerfSql.run(spark, "select var(x) as vr from pw_v").first().getDouble(0)
+    // over {1,2,3,100}: mean 26.5, E[x^2] = (1+4+9+10000)/4 = 2503.5
+    assert(math.abs(v - (2503.5 - 26.5 * 26.5)) < 1e-9, s"var=$v")
+  }
+
   test("pivot: enumerated domain == groupBy.pivot API; absent cells null") {
     import spark.implicits._
     Seq(("a", "x", 1.0), ("a", "x", 2.0), ("a", "y", 5.0), ("b", "y", 7.0))

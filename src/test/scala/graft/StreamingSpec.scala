@@ -875,7 +875,7 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
-  test("streaming forward-fill: carry crosses batches, null ticks advance the clock, late ticks skip") {
+  test("streaming forward-fill: carry crosses batches, ties carry in order, late ticks emit with the now-carry") {
    withRocksDb {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
@@ -893,20 +893,32 @@ class StreamingSpec extends SparkSpec {
         ()
       }.start()
     try {
-      input.addData((1L, 100L, Some(5.0)), (1L, 200L, None), (2L, 100L, None))
+      // (2,100) is a TIED pair within one batch: the null tick and a
+      // non-null tick share a timestamp — both must emit (nothing is
+      // silently dropped) and the non-null one advances the carry in
+      // arrival order (the batch window's event_id tiebreak)
+      input.addData((1L, 100L, Some(5.0)), (1L, 200L, None),
+        (2L, 100L, None), (2L, 100L, Some(3.0)))
       q.processAllAvailable()
       // batch 2: the carry must come from batch 1's state; (1,150) is
-      // LATE (clock already at 200) and must be skipped, not re-carried
+      // strictly LATE (clock already at 200) — it still EMITS (own
+      // value wins) but must not perturb the carry
       input.addData((1L, 300L, None), (1L, 150L, Some(99.0)),
         (2L, 200L, Some(7.0)), (2L, 300L, None))
+      q.processAllAvailable()
+      // batch 3: state was NOT rewound by the late ticks
+      input.addData((1L, 400L, None))
       q.processAllAvailable()
     } finally q.stop()
     val got = buf.synchronized(buf.toSeq).sortBy(t => (t._1, t._2))
     assert(got == Seq(
       (1L, 100L, Some(5.0)),  // first non-null seeds the carry
+      (1L, 150L, Some(99.0)), // late tick emits (own value), carry untouched
       (1L, 200L, Some(5.0)),  // null tick carries, clock advances
       (1L, 300L, Some(5.0)),  // carry survives the batch boundary
-      (2L, 100L, None),       // nothing to carry before the first non-null
+      (1L, 400L, Some(5.0)),  // …and was never rewound by the late 99.0
+      (2L, 100L, None),       // tied pair: null first (arrival order) …
+      (2L, 100L, Some(3.0)),  // … then the non-null advances the carry
       (2L, 200L, Some(7.0)),
       (2L, 300L, Some(7.0))), s"got $got")
    }
