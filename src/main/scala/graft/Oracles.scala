@@ -2125,5 +2125,78 @@ object Oracles {
          SELECT CAST(row_number() OVER (ORDER BY num DESC, tok) AS BIGINT) AS drift_rank,
                 tok, cnt_a, cnt_b, (SELECT d FROM tv) AS tv_distance
          FROM j ORDER BY num DESC, tok LIMIT 10""",
+
+    // pairwise deletion replayed as the identical masked decimal tree:
+    // both inputs null where the partner is, n = the pair count —
+    // every sum and the count cover the same row set (q158 cast
+    // discipline: DECIMAL(19,6) int128 sums, VARCHAR-path to double)
+    "q167_stats_pairwise" ->
+      """WITH p AS (
+           SELECT l_returnflag,
+                  CASE WHEN l_linenumber = 1 THEN NULL ELSE l_quantity END AS x,
+                  CASE WHEN l_linenumber = 2 THEN NULL ELSE l_extendedprice END AS y
+           FROM lineitem),
+         q AS (
+           SELECT l_returnflag,
+                  CAST(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x END
+                       AS DECIMAL(19,6)) AS dx,
+                  CAST(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN y END
+                       AS DECIMAL(19,6)) AS dy
+           FROM p),
+         g AS (
+           SELECT l_returnflag,
+                  CAST(count(dx) AS DOUBLE) AS n,
+                  CAST(CAST(sum(dx) AS VARCHAR) AS DOUBLE) AS sx,
+                  CAST(CAST(sum(dy) AS VARCHAR) AS DOUBLE) AS sy,
+                  CAST(CAST(sum(dx * dy) AS VARCHAR) AS DOUBLE) AS sxy,
+                  CAST(CAST(sum(dx * dx) AS VARCHAR) AS DOUBLE) AS sxx,
+                  CAST(CAST(sum(dy * dy) AS VARCHAR) AS DOUBLE) AS syy
+           FROM q GROUP BY l_returnflag)
+         SELECT l_returnflag,
+                ((sxy / n) - (sx / n) * (sy / n))
+                  / (sqrt(greatest((sxx / n) - (sx / n) * (sx / n), 0.0))
+                     * sqrt(greatest((syy / n) - (sy / n) * (sy / n), 0.0))) AS cr,
+                (sxy / n) - (sx / n) * (sy / n) AS cv,
+                sxy / sx AS wa
+         FROM g ORDER BY l_returnflag""",
+
+    // collect = list with a TOTAL order: (axis, value) for the
+    // axis-ordered form, value-sorted for the bare form
+    "q168_kerf_collect" ->
+      """WITH p AS (
+           SELECT user_id, epoch_us(ts) * 1000 AS ts_ns, value
+           FROM events WHERE event_type = 'purchase')
+         SELECT user_id,
+                list(value ORDER BY ts_ns, value) AS series,
+                list(ts_ns ORDER BY ts_ns) AS ticks,
+                count(*) AS n
+         FROM p GROUP BY user_id ORDER BY user_id""",
+
+    // DuckDB zips multiple unnests in one SELECT — the same lockstep
+    // contract as ungroup; the round trip reproduces the input rows
+    "q169_kerf_ungroup" ->
+      """WITH p AS (
+           SELECT user_id, epoch_us(ts) * 1000 AS ts_ns, value
+           FROM events WHERE event_type = 'purchase'),
+         g AS (
+           SELECT user_id,
+                  list(ts_ns ORDER BY ts_ns) AS t,
+                  list(value ORDER BY ts_ns, value) AS v
+           FROM p GROUP BY user_id)
+         SELECT user_id, unnest(t) AS ts_ns, unnest(v) AS value FROM g
+         ORDER BY user_id, ts_ns, value""",
+
+    // q's differ: first row opens a run; IS DISTINCT FROM is the
+    // null-safe change test (null→null no change, null↔value change)
+    "q170_kerf_differs" ->
+      """WITH p AS (
+           SELECT user_id, epoch_us(ts) * 1000 AS ts_ns, value
+           FROM events WHERE event_type = 'purchase')
+         SELECT user_id, ts_ns, value,
+                (row_number() OVER w = 1) OR
+                (value IS DISTINCT FROM lag(value) OVER w) AS chg
+         FROM p
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, value)
+         ORDER BY user_id, ts_ns, value""",
   )
 }

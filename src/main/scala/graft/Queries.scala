@@ -3076,6 +3076,75 @@ object Queries {
       "order l_returnflag, status")
   }
 
+  /** PAIRWISE-DELETION statistical moments (the SQL corr/covar_pop
+    * convention): nulls PLANTED with disjoint patterns in each input —
+    * x vanishes on linenumber 1, y on linenumber 2 — so the masked
+    * sums and the pair count must cover the same row set. A shared
+    * denominator (count of the first arg) would push cor outside
+    * [-1,1] here; the oracle replays the identical masked
+    * exact-decimal tree, bit-exact by construction. */
+  val q167_stats_pairwise: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        when(col("l_linenumber") === 1, lit(null))
+          .otherwise(col("l_quantity")).as("x"),
+        when(col("l_linenumber") === 2, lit(null))
+          .otherwise(col("l_extendedprice")).as("y"))
+      .createOrReplaceTempView("pw_v167")
+    sql.KerfSql.run(s,
+      "select l_returnflag, cor(x, y) as cr, cov(x, y) as cv, " +
+      "wavg(x, y) as wa from pw_v167 group l_returnflag order l_returnflag")
+  }
+
+  /** COLLECT from the text surface (q's xgroup face — the Kerf
+    * table-of-vectors model): per-user purchase series gathered into
+    * vectors. `collect(value, ts_ns)` orders by the time axis (ties
+    * broken by value), `collect(ts_ns)` is value-sorted — both orders
+    * TOTAL, so the arrays are deterministic across any shuffle
+    * schedule (a bare collect_list is not). One partial-agg groupBy;
+    * array bytes only exist post-aggregation. */
+  val q168_kerf_collect: Q = (s, dir) => {
+    Tables.events(s, dir).createOrReplaceTempView("events_v168")
+    sql.KerfSql.run(s,
+      "pur_v168: select user_id, ts_ns, value from events_v168 " +
+      "where event_type = 'purchase'; " +
+      "select user_id, collect(value, ts_ns) as series, " +
+      "collect(ts_ns) as ticks, count(*) as n from pur_v168 " +
+      "group user_id order user_id")
+  }
+
+  /** UNGROUP round trip (q's ungroup — the inverse of collect): the
+    * grouped per-user vectors explode back in LOCKSTEP (row i of each
+    * vector on one output row) and must reproduce the original
+    * purchase rows exactly. The lockstep zip is one generate over the
+    * grouped frame — no shuffle beyond the collect's own. */
+  val q169_kerf_ungroup: Q = (s, dir) => {
+    Tables.events(s, dir).createOrReplaceTempView("events_v169")
+    sql.KerfSql.run(s,
+      "pur_v169: select user_id, ts_ns, value from events_v169 " +
+      "where event_type = 'purchase'; " +
+      "g_v169: select user_id, collect(ts_ns) as ts_ns, " +
+      "collect(value, ts_ns) as value from pur_v169 group user_id; " +
+      "u_v169: ungroup g_v169; " +
+      "select user_id, ts_ns, value from u_v169 " +
+      "order user_id, ts_ns, value")
+  }
+
+  /** DIFFERS from the text surface (q's differ — run boundaries): true
+    * where the purchase value changes from the previous tick down the
+    * per-user time axis; the first row opens a run; null-safe equality
+    * (null→null is no change). The substrate of run-length encoding,
+    * `where differs` dedup-by-change, and the sums(chg) run-id idiom.
+    * ONE window, no self-join. */
+  val q170_kerf_differs: Q = (s, dir) => {
+    Tables.events(s, dir).createOrReplaceTempView("events_v170")
+    sql.KerfSql.run(s,
+      "pur_v170: select user_id, ts_ns, value from events_v170 " +
+      "where event_type = 'purchase'; " +
+      "select user_id, ts_ns, value, differs(value) as chg " +
+      "from pur_v170 group user_id order ts_ns, value")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3243,5 +3312,9 @@ object Queries {
     "q164_kerf_uj"       -> q164_kerf_uj,
     "q165_kerf_pivot"    -> q165_kerf_pivot,
     "q166_kerf_unpivot"  -> q166_kerf_unpivot,
+    "q167_stats_pairwise" -> q167_stats_pairwise,
+    "q168_kerf_collect"  -> q168_kerf_collect,
+    "q169_kerf_ungroup"  -> q169_kerf_ungroup,
+    "q170_kerf_differs"  -> q170_kerf_differs,
   )
 }

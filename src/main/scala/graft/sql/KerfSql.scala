@@ -105,7 +105,7 @@ object KerfSql {
   // error instead of the friendly "cannot mix" rejection.
   private val statAggFns = Set("wavg", "var", "dev", "cov", "cor")
   private val aggFns = Set("sum", "avg", "min", "max", "count", "pctl",
-    "countd") ++ statAggFns
+    "countd", "collect") ++ statAggFns
   /** Windowed TABLE verbs — the down-the-rows forms of the adverb family
     * (unfold/scan ⇒ running aggregates, mapback/eachprior ⇒ prev/deltas;
     * reference semantics adverbs.h:76–120, 157–206) as select items:
@@ -115,7 +115,7 @@ object KerfSql {
     * first-class in the dialect. */
   private val windowVerbs = Set("sums", "avgs", "mins", "maxs", "counts",
     "deltas", "prev", "nexts", "ratios", "ranks", "ntiles",
-    "fills", "bfills", "wavgs",
+    "fills", "bfills", "wavgs", "differs",
     "emas", "msums", "mavgs", "mmins", "mmaxs", "mcounts", "mvars", "mdevs")
   /** Fixed-width moving aggregates (`msums(5, x)` = rolling 5-row sum) —
     * the q-family msum/mavg heritage down the table's rows: a bounded
@@ -789,11 +789,15 @@ object KerfSql {
           case d: DecimalType => d
           case _ => LongType
         }
+        // booleans sum as 0/1 (the `sums(chg)` run-id idiom over
+        // differs flags); Spark's sum rejects raw booleans
+        val summable =
+          if (inner.dt == BooleanType) inner.col.cast("long") else inner.col
         // bounded trailing frame for the moving family: N rows = N-1
         // preceding + current
         lazy val mFrame = w.rowsBetween(-(mWidth - 1), Window.currentRow)
         fnl match {
-          case "sums"   => T(sum(inner.col).over(frame), sumDt)
+          case "sums"   => T(sum(summable).over(frame), sumDt)
           case "avgs"   => T(avg(inner.col).over(frame), DoubleType)
           case "mins"   => T(min(inner.col).over(frame), inner.dt)
           case "maxs"   => T(max(inner.col).over(frame), inner.dt)
@@ -811,7 +815,7 @@ object KerfSql {
               DoubleType)
           case "ntiles" => T(ntile(mWidth.toInt).over(w).cast("long"), LongType)
           case "mcounts" => T(count(inner.col).over(mFrame), LongType)
-          case "msums"  => T(sum(inner.col).over(mFrame), sumDt)
+          case "msums"  => T(sum(summable).over(mFrame), sumDt)
           case "mavgs"  => T(avg(inner.col).over(mFrame), DoubleType)
           case "mmins"  => T(min(inner.col).over(mFrame), inner.dt)
           case "mmaxs"  => T(max(inner.col).over(mFrame), inner.dt)
@@ -864,6 +868,14 @@ object KerfSql {
             // 1-based row rank down the ordered rows (grade-then-index,
             // grade.cc's sort-rank face)
             T(row_number().over(w).cast("long"), LongType)
+          case "differs" =>
+            // q's differ: true where x changes from the previous row
+            // down the (group, order) axes; the first row opens a run
+            // by definition. Null-safe (<=>): null→null is NOT a
+            // change, null↔value is — so `sums` over the flags is the
+            // run-id and `where differs` keeps one row per run.
+            T((row_number().over(w) === 1) ||
+              !(inner.col <=> lag(inner.col, 1).over(w)), BooleanType)
           case "deltas" =>
             // the subtraction's result type differs from the input on
             // temporal axes: ts - ts and date - date yield ANSI intervals
@@ -882,6 +894,27 @@ object KerfSql {
         val inner = parseExpr(p, env)
         p.expect(")")
         T(count_distinct(inner.col), LongType)
+      case fn if fn.toLowerCase == "collect" && p.peekIs("(") =>
+        // q's xgroup face: group rows into per-key VECTORS (the Kerf
+        // table-of-vectors model; reference substrate slop.h grouped
+        // lists). `collect(x)` gathers x value-sorted; `collect(x,
+        // axis)` gathers x ordered by axis (ties broken by x) — the
+        // tick-series shape `collect(price, ts)`. Both orders are
+        // TOTAL, so the result is deterministic across any
+        // partitioning/shuffle schedule (collect_list alone is not).
+        // `ungroup` is the inverse.
+        p.expect("(")
+        val inner = parseExpr(p, env)
+        val axis = if (p.peekIs(",")) { p.pop(); Some(parseExpr(p, env)) } else None
+        p.expect(")")
+        axis match {
+          case None => T(array_sort(collect_list(inner.col)), ArrayType(inner.dt))
+          case Some(ax) =>
+            T(transform(
+                array_sort(collect_list(struct(ax.col.as("__a"), inner.col.as("__x")))),
+                s => s.getField("__x")),
+              ArrayType(inner.dt))
+        }
       case fn if statAggFns(fn.toLowerCase) && p.peekIs("(") =>
         // the q-family statistical aggregates (Kerf1 heritage, like
         // pctl/ranks): wavg(w, x) — the VWAP shape Σ(w·x)/Σw — and the
@@ -1381,6 +1414,8 @@ object KerfSql {
           p.pop(); last = Left(runPivot(spark, p))
         case "unpivot" if pipelineVerbForm(toks) =>
           p.pop(); last = Left(runUnpivot(spark, p))
+        case "ungroup" if ungroupForm(toks) =>
+          p.pop(); last = Left(runUngroup(spark, p))
         case "dedup"   if pipelineVerbForm(toks) => p.pop(); last = Left(runDedup(spark, p, near = false))
         case "neardup" if pipelineVerbForm(toks) => p.pop(); last = Left(runDedup(spark, p, near = true))
         case "semdedup" if pipelineVerbForm(toks) => p.pop(); last = Left(runSemDedup(spark, p))
@@ -1616,6 +1651,11 @@ object KerfSql {
           } else if (p.peekIs("unpivot") && pipelineVerbForm(p.toks)) {
             p.pop()
             val df = runUnpivot(spark, p)
+            df.createOrReplaceTempView(name)
+            last = Left(df)
+          } else if (p.peekIs("ungroup") && ungroupForm(p.toks)) {
+            p.pop()
+            val df = runUngroup(spark, p)
             df.createOrReplaceTempView(name)
             last = Left(df)
           } else if ((p.peekIs("dedup") || p.peekIs("neardup") ||
@@ -2948,6 +2988,51 @@ object KerfSql {
       nameCol, valCol)
   }
 
+  /** `ungroup t [on c1, c2]` — q's ungroup, the inverse of the
+    * `collect` aggregate: every array column (or the named ones)
+    * explodes in LOCKSTEP — row i of each vector lands on the same
+    * output row — while scalar columns repeat. Ragged vectors in one
+    * row are a LOUD error (q's 'length), not a silent null-pad; a row
+    * whose vectors are empty (or all null) contributes no rows, q's
+    * convention. One generate, no shuffle — scales at scan speed. */
+  private def runUngroup(spark: SparkSession, p: P): DataFrame = {
+    import org.apache.spark.sql.types.ArrayType
+    val df = spark.table(p.pop())
+    val arrCols: Seq[String] =
+      if (p.peekIs("on")) {
+        p.pop()
+        val cs = scala.collection.mutable.ArrayBuffer[String](p.pop())
+        while (p.peekIs(",")) { p.pop(); cs += p.pop() }
+        cs.toSeq
+      } else df.schema.fields.filter(_.dataType.isInstanceOf[ArrayType]).map(_.name).toSeq
+    require(p.done, s"trailing tokens in ungroup: ${p.toks.mkString(" ")}")
+    require(arrCols.nonEmpty,
+      "ungroup: no array columns — nothing to explode (collect first, " +
+      "or name columns with `on`)")
+    arrCols.foreach(c => require(df.schema(c).dataType.isInstanceOf[ArrayType],
+      s"ungroup: '$c' is ${df.schema(c).dataType.simpleString}, not an array"))
+    // the rag guard lives INSIDE the exploded column so Catalyst can
+    // never prune it (the meanPool discipline)
+    val sz0 = size(col(arrCols.head))
+    val allEq = arrCols.tail.foldLeft(lit(true))((acc, c) => acc && size(col(c)) === sz0)
+    val zipped =
+      if (arrCols.lengthCompare(1) == 0) col(arrCols.head)
+      else when(allEq, arrays_zip(arrCols.map(col): _*))
+        .otherwise(raise_error(concat(
+          lit("ungroup: ragged vectors in one row (sizes "),
+          concat_ws(",", arrCols.map(c => size(col(c)).cast("string")): _*),
+          lit(") — q's 'length error; align or pad upstream"))))
+    val scalarCols = df.columns.filterNot(arrCols.contains)
+    val exploded = df
+      .select(scalarCols.map(col) :+ explode(zipped).as("__zs"): _*)
+    // original column order; single-column form explodes the bare value
+    exploded.select(df.columns.toSeq.map { n =>
+      if (!arrCols.contains(n)) col(n).as(n)
+      else if (arrCols.lengthCompare(1) == 0) col("__zs").as(n)
+      else col("__zs")(n).as(n)
+    }: _*)
+  }
+
   /** `uj t1, t2[, t3 …]` — q's UNION JOIN (Kerf1 heritage; the
     * table-level face of §2.7 union): union with SCHEMA ALIGNMENT.
     * The output carries every column ANY input has in first-appearance
@@ -2978,6 +3063,14 @@ object KerfSql {
       toks(1).headOption.exists(c => c.isLetter || c == '_') &&
       toks(1).forall(c => c.isLetterOrDigit || c == '_') &&
       toks(2).equalsIgnoreCase("by")
+
+  /** `ungroup t` / `ungroup t on c1, c2` — bare-ident table, then end
+    * or `on` (so a user def named ungroup keeps its call form). */
+  private def ungroupForm(toks: List[String]): Boolean =
+    toks.lengthCompare(2) >= 0 &&
+      toks(1).headOption.exists(c => c.isLetter || c == '_') &&
+      toks(1).forall(c => c.isLetterOrDigit || c == '_') &&
+      (toks.lengthCompare(2) == 0 || toks(2).equalsIgnoreCase("on"))
 
   /** `cap t by strata at 40 on key` → [[graft.llm.Pipeline.capPerStratum]]:
     * the absolute per-stratum ceiling (≤ N rows per stratum, the rows

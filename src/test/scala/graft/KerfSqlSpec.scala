@@ -1761,6 +1761,71 @@ class KerfSqlSpec extends SparkSpec {
     assert(math.abs(v - (2503.5 - 26.5 * 26.5)) < 1e-9, s"var=$v")
   }
 
+  test("collect/ungroup: grouped vectors round-trip in lockstep; ragged is loud") {
+    import spark.implicits._
+    Seq((1L, 30L, 3.0), (1L, 10L, 1.0), (1L, 20L, 2.0),
+        (2L, 10L, 7.0), (2L, 20L, 7.0), (2L, 30L, 8.0))
+      .toDF("k", "ts", "v").createOrReplaceTempView("cg_v")
+    // collect(x) sorts by value; collect(x, axis) orders by the axis
+    val g = KerfSql.run(spark,
+      "select k, collect(v, ts) as vs, collect(ts) as tss, collect(v) as sv " +
+      "from cg_v group k order k").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getSeq[Long](2), r.getSeq[Double](3)))
+    assert(g(0) == ((1L, Seq(1.0, 2.0, 3.0), Seq(10L, 20L, 30L), Seq(1.0, 2.0, 3.0))))
+    assert(g(1) == ((2L, Seq(7.0, 7.0, 8.0), Seq(10L, 20L, 30L), Seq(7.0, 7.0, 8.0))))
+    // ungroup explodes every array column in lockstep, scalars repeat —
+    // the collect round-trip reproduces the original rows
+    val u = KerfSql.run(spark,
+      "grp: select k, collect(ts) as ts, collect(v, ts) as v from cg_v group k; " +
+      "ungroup grp")
+    assert(u.columns.toSeq == Seq("k", "ts", "v"), u.columns.mkString(","))
+    val back = u.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(back == Set((1L, 10L, 1.0), (1L, 20L, 2.0), (1L, 30L, 3.0),
+      (2L, 10L, 7.0), (2L, 20L, 7.0), (2L, 30L, 8.0)), s"round-trip drifted: $back")
+    // `on` restricts which arrays explode (the rest stay vectors)
+    val one = KerfSql.run(spark,
+      "grp2: select k, collect(ts) as ts, collect(v, ts) as v from cg_v group k; " +
+      "ungroup grp2 on ts")
+    assert(one.schema("v").dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+    assert(one.count() == 6L)
+    // ragged vectors in one row fail LOUDLY (q's 'length), never null-pad
+    Seq((1L, Seq(1.0, 2.0), Seq(10L))).toDF("k", "a", "b")
+      .createOrReplaceTempView("cg_rag")
+    val e = intercept[Exception] { KerfSql.run(spark, "ungroup cg_rag").collect() }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    assert(chain(e).contains("ragged"), s"wrong error: ${chain(e)}")
+    // a non-array column named in `on` is rejected at parse time
+    intercept[IllegalArgumentException] { KerfSql.run(spark, "ungroup cg_v on v") }
+  }
+
+  test("differs: q's differ — run boundaries down the (group, order) axes") {
+    import spark.implicits._
+    Seq((1L, 10L, Some(1.0)), (1L, 20L, Some(1.0)), (1L, 30L, Some(2.0)),
+        (2L, 10L, None: Option[Double]), (2L, 20L, None: Option[Double]),
+        (2L, 30L, Some(5.0)))
+      .toDF("k", "ts", "v").createOrReplaceTempView("dif_v")
+    val got = KerfSql.run(spark,
+      "select k, ts, differs(v) as chg from dif_v group k order ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == Seq(
+      (1L, 10L, true),   // first row opens a run
+      (1L, 20L, false),  // 1.0 → 1.0: same
+      (1L, 30L, true),   // 1.0 → 2.0: change
+      (2L, 10L, true),   // first row — even a null one
+      (2L, 20L, false),  // null → null is NOT a change (null-safe)
+      (2L, 30L, true)),  // null → 5.0 is
+      s"got $got")
+    // the run-count idiom: stage the flags, then sums is the run id
+    // (nesting one window verb in another would nest window functions)
+    val runs = KerfSql.run(spark,
+      "d: select k, ts, differs(v) as chg from dif_v group k order ts; " +
+      "select k, ts, sums(chg) as run from d group k order ts")
+    val r = runs.collect().map(x => (x.getLong(0), x.getLong(2))).toSeq
+    assert(r == Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L), (2L, 1L), (2L, 2L)),
+      s"run ids: $r")
+  }
+
   test("pivot: enumerated domain == groupBy.pivot API; absent cells null") {
     import spark.implicits._
     Seq(("a", "x", 1.0), ("a", "x", 2.0), ("a", "y", 5.0), ("b", "y", 7.0))
