@@ -357,6 +357,54 @@ object EventStream {
       .toDF()
   }
 
+  // ----- streaming on-change conflation: the streaming face of `differs` -----
+
+  case class ChangeState(ts_ns: Long, last: Double)
+
+  /** Per-key ON-CHANGE conflation — the tick-feed "publish only when
+    * the value changes" pattern, the streaming face of the `differs`
+    * window verb (and equivalent to it: a suppressed tick's value
+    * equals the last emitted one, so comparing against the last
+    * EMITTED value is the same test as against the previous row).
+    * O(1) RocksDB state per key: (clock, last value). Suppressed ticks
+    * still advance the clock (they are real ticks); strictly-late rows
+    * are dropped — their change status against history is unknowable
+    * with O(1) state, and emitting them would break the on-change
+    * invariant downstream consumers rely on. */
+  class OnChangeProcessor extends StatefulProcessor[Long, Tick, Tick] {
+    @transient private var st: ValueState[ChangeState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[ChangeState]("chg",
+        Encoders.product[ChangeState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Tick],
+                                 tv: TimerValues): Iterator[Tick] = {
+      val out = List.newBuilder[Tick]
+      rows.toSeq.sortBy(r => (r.ts_ns, r.value)).foreach { r =>
+        val prev = if (st.exists()) Some(st.get()) else None
+        if (!prev.exists(_.ts_ns > r.ts_ns)) {
+          if (!prev.exists(_.last == r.value)) out += r
+          st.update(ChangeState(r.ts_ns, r.value))
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Streaming on-change filter per key — emits a tick iff its value
+    * differs from the key's last emitted value (first tick always
+    * emits). Input columns: (user_id, ts_ns, value). The conflation
+    * that turns a dense quote feed into a change feed at O(1) state. */
+  def onChangeByKey(stream: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col("user_id"), col("ts_ns"), col("value")).as[Tick]
+      .groupByKey(_.user_id)
+      .transformWithState(new OnChangeProcessor, TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
   /** Input columns: (user_id, ts_ns, value). */
   def emaByKey(stream: DataFrame, alpha: Double): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")

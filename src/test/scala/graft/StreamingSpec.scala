@@ -924,6 +924,44 @@ class StreamingSpec extends SparkSpec {
    }
   }
 
+  test("streaming on-change conflation: first tick emits, repeats suppress, changes emit across batches") {
+   withRocksDb {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double)]
+    val changed = EventStream.onChangeByKey(
+      input.toDF().toDF("user_id", "ts_ns", "value"))
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val q = changed.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        buf.synchronized { buf ++= rows }
+        ()
+      }.start()
+    try {
+      input.addData((1L, 100L, 5.0), (1L, 200L, 5.0), (1L, 300L, 6.0),
+        (2L, 100L, 9.0))
+      q.processAllAvailable()
+      // the suppression carry crosses the batch boundary: (1,400,6.0)
+      // repeats the last EMITTED value and stays suppressed even though
+      // the suppressed (1,200,5.0) sits between; (1,500,5.0) is a real
+      // change; a strictly-late tick (1,250) is dropped (its change
+      // status against history is unknowable with O(1) state)
+      input.addData((1L, 400L, 6.0), (1L, 500L, 5.0), (1L, 250L, 7.0),
+        (2L, 200L, 9.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = buf.synchronized(buf.toSeq).sortBy(t => (t._1, t._2))
+    assert(got == Seq(
+      (1L, 100L, 5.0),   // first tick always emits
+      (1L, 300L, 6.0),   // change
+      (1L, 500L, 5.0),   // change back
+      (2L, 100L, 9.0)),  // key 2: first emits, repeat suppressed
+      s"got $got")
+   }
+  }
+
   test("streaming EMA state survives checkpoint restart (fold continues)") {
     withRocksDb {
       import spark.implicits._
