@@ -2186,6 +2186,21 @@ object Oracles {
          SELECT user_id, unnest(t) AS ts_ns, unnest(v) AS value FROM g
          ORDER BY user_id, ts_ns, value""",
 
+    // the streaming conflation replayed as the batch differs filter:
+    // a suppressed tick's value equals the last emitted one, so
+    // "differs from last emitted" == "differs from previous row"
+    "q171_stream_onchange" ->
+      """WITH p AS (
+           SELECT user_id, epoch_us(ts) AS ts_us, value
+           FROM events WHERE user_id < 20 AND event_type = 'purchase'),
+         d AS (
+           SELECT user_id, ts_us, value,
+                  (value IS DISTINCT FROM lag(value) OVER
+                    (PARTITION BY user_id ORDER BY ts_us, value)) AS chg
+           FROM p)
+         SELECT user_id, ts_us, value FROM d WHERE chg
+         ORDER BY user_id, ts_us, value""",
+
     // q's differ: first row opens a run; IS DISTINCT FROM is the
     // null-safe change test (null→null no change, null↔value change)
     "q170_kerf_differs" ->

@@ -3076,6 +3076,34 @@ object Queries {
       "order l_returnflag, status")
   }
 
+  /** STREAMING ON-CHANGE CONFLATION (the tick-feed "publish only when
+    * the value changes" pattern — the streaming face of q170's
+    * `differs`): per-user purchase prices stream through O(1) RocksDB
+    * state and emit only when the price differs from the last emitted
+    * one. Emitted values are COPIES of input values, so the bounded
+    * replay equals the batch differs-filter (DuckDB IS DISTINCT FROM
+    * lag) exactly — the same replay discipline as q157. */
+  val q171_stream_onchange: Q = (s, dir) => {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = streaming.EventStream.readEvents(s, dir)
+        .filter(col("user_id") < 20 && col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_ns"), col("value"))
+      val changed = streaming.EventStream.onChangeByKey(ev)
+      streaming.EventStream.runToCompletion(s, changed,
+          s"stream_onchange_${System.nanoTime}",
+          mode = org.apache.spark.sql.streaming.OutputMode.Append())
+        .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"), col("value"))
+        .orderBy(col("user_id"), col("ts_us"), col("value"))
+    } finally prev match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+  }
+
   /** PAIRWISE-DELETION statistical moments (the SQL corr/covar_pop
     * convention): nulls PLANTED with disjoint patterns in each input —
     * x vanishes on linenumber 1, y on linenumber 2 — so the masked
@@ -3316,5 +3344,6 @@ object Queries {
     "q168_kerf_collect"  -> q168_kerf_collect,
     "q169_kerf_ungroup"  -> q169_kerf_ungroup,
     "q170_kerf_differs"  -> q170_kerf_differs,
+    "q171_stream_onchange" -> q171_stream_onchange,
   )
 }
