@@ -2186,6 +2186,71 @@ object Oracles {
          SELECT user_id, unnest(t) AS ts_ns, unnest(v) AS value FROM g
          ORDER BY user_id, ts_ns, value""",
 
+    // BPE apply replayed as the identical replace chain over the
+    // doubled-separator representation ('||c||h||a||t||</w>||'; a
+    // merge consumes only the INNER separator pair, so replace's
+    // left-to-right scan equals BPE's one-round merge of every
+    // occurrence); tokens per word = pipes//2 − 1
+    "q172_bpe_tokenize" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  unnest(string_split(trim(regexp_replace(
+                    replace(lower(text), '|', ' '), '\s+', ' ', 'g')), ' ')) AS w
+           FROM documents),
+         r0 AS (
+           SELECT doc_id,
+                  '||' || regexp_replace(w, '(.)', '\1||', 'g') || '</w>||' AS rep
+           FROM w WHERE length(w) > 0),
+         r1 AS (SELECT doc_id, replace(rep, '|t||h|', '|th|') AS rep FROM r0),
+         r2 AS (SELECT doc_id, replace(rep, '|th||e|', '|the|') AS rep FROM r1),
+         r3 AS (SELECT doc_id, replace(rep, '|the||</w>|', '|the</w>|') AS rep FROM r2),
+         r4 AS (SELECT doc_id, replace(rep, '|v||a|', '|va|') AS rep FROM r3),
+         r5 AS (SELECT doc_id, replace(rep, '|va||l|', '|val|') AS rep FROM r4),
+         r6 AS (SELECT doc_id, replace(rep, '|a||</w>|', '|a</w>|') AS rep FROM r5)
+         SELECT doc_id, count(*) AS n_words,
+                CAST(sum((length(rep) - length(replace(rep, '|', ''))) // 2 - 1)
+                     AS BIGINT) AS n_tokens
+         FROM r6 GROUP BY doc_id ORDER BY doc_id""",
+
+    // the dialect face drives the SAME chain with the same published
+    // rules — q172's oracle verbatim
+    "q174_dialect_bpe" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  unnest(string_split(trim(regexp_replace(
+                    replace(lower(text), '|', ' '), '\s+', ' ', 'g')), ' ')) AS w
+           FROM documents),
+         r0 AS (
+           SELECT doc_id,
+                  '||' || regexp_replace(w, '(.)', '\1||', 'g') || '</w>||' AS rep
+           FROM w WHERE length(w) > 0),
+         r1 AS (SELECT doc_id, replace(rep, '|t||h|', '|th|') AS rep FROM r0),
+         r2 AS (SELECT doc_id, replace(rep, '|th||e|', '|the|') AS rep FROM r1),
+         r3 AS (SELECT doc_id, replace(rep, '|the||</w>|', '|the</w>|') AS rep FROM r2),
+         r4 AS (SELECT doc_id, replace(rep, '|v||a|', '|va|') AS rep FROM r3),
+         r5 AS (SELECT doc_id, replace(rep, '|va||l|', '|val|') AS rep FROM r4),
+         r6 AS (SELECT doc_id, replace(rep, '|a||</w>|', '|a</w>|') AS rep FROM r5)
+         SELECT doc_id, count(*) AS n_words,
+                CAST(sum((length(rep) - length(replace(rep, '|', ''))) // 2 - 1)
+                     AS BIGINT) AS n_tokens
+         FROM r6 GROUP BY doc_id ORDER BY doc_id""",
+
+    // one BPE training round's argmax input: adjacent-pair counts over
+    // the distinct-word census, weighted by word frequency
+    "q173_bpe_pair_census" ->
+      """WITH w AS (
+           SELECT unnest(string_split(trim(regexp_replace(
+                    replace(lower(text), '|', ' '), '\s+', ' ', 'g')), ' ')) AS w
+           FROM documents),
+         wf AS (SELECT w, count(*) AS freq FROM w WHERE length(w) > 0 GROUP BY w),
+         s AS (SELECT freq, list_append(string_split(w, ''), '</w>') AS syms FROM wf),
+         pr AS (SELECT freq,
+                       unnest(list_transform(range(1, len(syms)),
+                         i -> struct_pack(l := syms[i], r := syms[i+1]))) AS p
+                FROM s)
+         SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
+         FROM pr GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 10""",
+
     // the streaming conflation replayed as the batch differs filter:
     // a suppressed tick's value equals the last emitted one, so
     // "differs from last emitted" == "differs from previous row"

@@ -3173,6 +3173,51 @@ object Queries {
       "from pur_v170 group user_id order ts_ns, value")
   }
 
+  /** BPE TOKENIZATION with a published merge list (the deployment face
+    * of [[graft.llm.TextOps.bpeTrain]] — train once, tokenize any
+    * corpus, like `lmscore … using census`): six merge rules apply in
+    * rank order as a chain of plain string replaces over the
+    * doubled-separator symbol representation — whole-stage-codegen
+    * scan-speed work, no UDF, no shuffle before the per-doc rollup.
+    * Every merge that fires shrinks a word's token count by one, so
+    * the per-doc (n_words, n_tokens) verify the entire chain; the
+    * oracle replays the identical replace sequence. Training itself is
+    * pinned in LlmOpsSpec against the classic Sennrich corpus golden
+    * (an iterative argmax is not SQL-expressible; its per-round pair
+    * census IS — oracled as q173). */
+  val q172_bpe_tokenize: Q = (s, dir) =>
+    llm.TextOps.bpeApply(Tables.documents(s, dir), "doc_id", "text",
+      Seq(("t", "h"), ("th", "e"), ("the", "</w>"),
+          ("v", "a"), ("va", "l"), ("a", "</w>")))
+      .orderBy(col("doc_id"))
+
+  /** BPE PAIR CENSUS — the oracle-checkable heart of one training
+    * round: adjacent-symbol pair counts over the distinct-word census
+    * (chars + end marker), weighted by word frequency; top 10 by
+    * (cnt desc, l, r) — the argmax whose winner becomes the round's
+    * merge. ONE corpus pass for the word census, then vocab-bounded
+    * work: exactly the shape that scales to 100 TB. */
+  val q173_bpe_pair_census: Q = (s, dir) =>
+    llm.TextOps.bpePairCensus(
+      llm.TextOps.bpeWordCensus(Tables.documents(s, dir), "text"))
+      .limit(10)
+
+  /** BPE from the TEXT SURFACE (`bpe … using merges` — the dialect
+    * face of q172's deployment split): the same six published rules in
+    * a registered (rank, left, right) table drive the same replace
+    * chain; the oracle is q172's twin verbatim. `bpetrain`'s dialect
+    * face (the learning side) is pinned verb==API in KerfSqlSpec. */
+  val q174_dialect_bpe: Q = (s, dir) => {
+    Tables.documents(s, dir).createOrReplaceTempView("docs_v174")
+    import s.implicits._
+    Seq((0L, "t", "h"), (1L, "th", "e"), (2L, "the", "</w>"),
+        (3L, "v", "a"), (4L, "va", "l"), (5L, "a", "</w>"))
+      .toDF("rank", "left", "right").createOrReplaceTempView("merges_v174")
+    sql.KerfSql.run(s,
+      "b_v174: bpe docs_v174 by doc_id on text using merges_v174; " +
+      "select doc_id, n_words, n_tokens from b_v174 order doc_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3345,5 +3390,8 @@ object Queries {
     "q169_kerf_ungroup"  -> q169_kerf_ungroup,
     "q170_kerf_differs"  -> q170_kerf_differs,
     "q171_stream_onchange" -> q171_stream_onchange,
+    "q172_bpe_tokenize"  -> q172_bpe_tokenize,
+    "q173_bpe_pair_census" -> q173_bpe_pair_census,
+    "q174_dialect_bpe"   -> q174_dialect_bpe,
   )
 }

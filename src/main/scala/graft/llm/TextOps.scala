@@ -381,4 +381,136 @@ object TextOps {
         size(col("__c")).cast("long").as("n_tokens"),
         concat_ws(" ", col("__c")).as("chunk_text"))
   }
+
+  // ----- BPE vocabulary induction (tokenizer training at corpus scale) -----
+  //
+  // Byte-pair encoding (Sennrich et al. 2016, the public subword
+  // algorithm behind GPT/Llama-family tokenizers): start from
+  // characters, repeatedly merge the most frequent adjacent symbol
+  // pair. The scale design: ONE corpus-sized pass builds the
+  // distinct-word census; every merge round then iterates on that
+  // VOCAB-bounded table (a groupBy over adjacent pairs + a 1-row
+  // argmax collect — the same bounded-model-state discipline as the
+  // k-means centroids). At 100 TB the corpus is touched once; 1000
+  // rounds touch only the vocabulary.
+  //
+  // Symbol representation: DOUBLED separators. A word is
+  // `||c||h||a||t||</w>||`; merging (l, r) is the plain string replace
+  // `|l||r|` → `|lr|`. Because each match consumes only the INNER
+  // separator pair, the neighbors' separators survive and replace's
+  // left-to-right non-overlapping scan equals BPE's one-round merge of
+  // every occurrence ('a a a a' merges to 'aa aa', not the 'aa a a' a
+  // single-space representation would give — the shared-boundary
+  // artifact). Plain replace, no regex: codegen string ops at scan
+  // speed, identical semantics in any engine.
+
+  /** `'|'` cannot be a symbol character (it IS the separator): the
+    * normalization maps it to a space before tokenizing. */
+  private def bpeSanitize(t: Column): Column = regexp_replace(t, "\\|", " ")
+
+  /** word → its initial symbol representation (chars + end-of-word
+    * marker): `chat` → `||c||h||a||t||</w>||`. */
+  private def bpeRep(w: Column, endMark: String): Column =
+    concat(lit("||"), regexp_replace(w, "(.)", "$1||"), lit(endMark + "||"))
+
+  private def bpeSyms(rep: Column): Column =
+    split(regexp_replace(rep, "^\\|\\||\\|\\|$", ""), "\\|\\|")
+
+  /** Adjacent-pair census over a (rep, freq) word table: `(l, r, cnt)`
+    * with cnt = Σ word-freq per occurrence — the argmax input of one
+    * BPE round, and the oracle-checkable heart of the training loop.
+    * Deterministic total order: (cnt desc, l, r). */
+  def bpePairCensus(words: DataFrame): DataFrame =
+    words
+      .select(col("freq"), bpeSyms(col("rep")).as("__syms"))
+      .filter(size(col("__syms")) >= 2)
+      .select(col("freq"), explode(transform(
+        sequence(lit(0), size(col("__syms")) - 2),
+        i => struct(element_at(col("__syms"), i + 1).as("l"),
+                    element_at(col("__syms"), i + 2).as("r")))).as("__p"))
+      .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("l"), col("r"))
+
+  /** The distinct-word census in symbol representation — the ONE
+    * corpus-scale pass of BPE training. */
+  def bpeWordCensus(docs: DataFrame, textCol: String,
+                    endMark: String = "</w>"): DataFrame =
+    docs.select(explode(Dedup.tokens(bpeSanitize(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(bpeRep(col("w"), endMark).as("rep"), col("freq"))
+
+  /** Train `numMerges` BPE merges over a corpus. Returns the ordered
+    * merge table `(rank, left, right, merged)` — the published
+    * tokenizer model (k rows of driver state, like the IVF centroids).
+    * Ties in the pair census break on (left, right): fully
+    * deterministic on any cluster shape. Stops early when no pair
+    * occurs at least `minCount` times. */
+  def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int,
+               minCount: Long = 2, endMark: String = "</w>"): DataFrame = {
+    require(numMerges >= 1 && numMerges <= 10000,
+      s"numMerges must be in [1, 10000], got $numMerges")
+    val spark = docs.sparkSession
+    import graft.ops.Caches
+    var words = bpeWordCensus(docs, textCol, endMark).persist(Caches.lvl)
+    words.count()
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var done = false
+    while (!done && merges.lengthCompare(numMerges) < 0) {
+      val top = bpePairCensus(words).limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < minCount) done = true
+      else {
+        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        merges += ((l, r))
+        val next = words.withColumn("rep",
+          replace(col("rep"), lit("|" + l + "||" + r + "|"), lit("|" + l + r + "|")))
+          .persist(Caches.lvl)
+        next.count()
+        words.unpersist()
+        words = next
+      }
+    }
+    words.unpersist()
+    import spark.implicits._
+    merges.toSeq.zipWithIndex
+      .map { case ((l, r), i) => (i.toLong, l, r, l + r) }
+      .toDF("rank", "left", "right", "merged")
+  }
+
+  /** Tokenize with a TRAINED merge list (the deployment split, like
+    * `lmscore … using census`): per word, the merges apply in rank
+    * order as a chain of plain string replaces — whole-stage-codegen
+    * scan-speed work, no UDF, no shuffle before the per-doc rollup.
+    * Returns one row per (doc, word occurrence): (doc_id, toks). */
+  def bpeWordTokens(docs: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[(String, String)],
+                    endMark: String = "</w>"): DataFrame = {
+    require(merges.nonEmpty && merges.lengthCompare(10000) <= 0,
+      s"merges must be 1..10000 rules, got ${merges.length}")
+    merges.foreach { case (l, r) =>
+      require(l.nonEmpty && r.nonEmpty && !l.contains("|") && !r.contains("|"),
+        s"malformed merge rule ($l, $r)") }
+    val start = docs
+      .select(col(idCol).as("doc_id"),
+        explode(Dedup.tokens(bpeSanitize(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), bpeRep(col("w"), endMark).as("rep"))
+    val mergedRep = merges.foldLeft(start) { case (df, (l, r)) =>
+      df.withColumn("rep",
+        replace(col("rep"), lit("|" + l + "||" + r + "|"), lit("|" + l + r + "|")))
+    }
+    mergedRep.select(col("doc_id"), bpeSyms(col("rep")).as("toks"))
+  }
+
+  /** Per-document BPE tokenization summary: (doc_id, n_words,
+    * n_tokens) — each merge that fires shrinks n_tokens by one, so the
+    * counts verify the whole merge chain. */
+  def bpeApply(docs: DataFrame, idCol: String, textCol: String,
+               merges: Seq[(String, String)],
+               endMark: String = "</w>"): DataFrame =
+    bpeWordTokens(docs, idCol, textCol, merges, endMark)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+           sum(size(col("toks"))).cast("long").as("n_tokens"))
 }

@@ -1421,6 +1421,9 @@ object KerfSql {
         case "semdedup" if pipelineVerbForm(toks) => p.pop(); last = Left(runSemDedup(spark, p))
         case "chunk"   if pipelineVerbForm(toks) => p.pop(); last = Left(runChunk(spark, p))
         case "lmscore" if pipelineVerbForm(toks) => p.pop(); last = Left(runLmScore(spark, p))
+        case "bpe"     if pipelineVerbForm(toks) => p.pop(); last = Left(runBpe(spark, p))
+        case "bpetrain" if toks.lengthCompare(3) >= 0 && toks(2).equalsIgnoreCase("on") =>
+          p.pop(); last = Left(runBpeTrain(spark, p))
         case "census"  if pipelineVerbForm(toks) => p.pop(); last = Left(runCensus(spark, p))
         case "drift" if toks.lengthCompare(3) >= 0 && toks(2).equalsIgnoreCase("against") =>
           p.pop(); last = Left(runDrift(spark, p))
@@ -1662,11 +1665,15 @@ object KerfSql {
                       p.peekIs("semdedup") || p.peekIs("chunk") ||
                       p.peekIs("index") || p.peekIs("lmscore") ||
                       p.peekIs("census") || p.peekIs("classify") ||
-                      p.peekIs("sample") || p.peekIs("shard") || p.peekIs("cap")) &&
+                      p.peekIs("sample") || p.peekIs("shard") || p.peekIs("cap") ||
+                      p.peekIs("bpe")) &&
                      pipelineVerbForm(p.toks) ||
                      // drift's shape is `drift a against b`, not `… by …`
                      (p.peekIs("drift") && p.toks.lengthCompare(3) >= 0 &&
-                      p.toks(2).equalsIgnoreCase("against"))) {
+                      p.toks(2).equalsIgnoreCase("against")) ||
+                     // bpetrain's shape is `bpetrain t on text at N`
+                     (p.peekIs("bpetrain") && p.toks.lengthCompare(3) >= 0 &&
+                      p.toks(2).equalsIgnoreCase("on"))) {
             // table-valued pipeline verbs assign like a select: the
             // result registers as a temp view for later `from` clauses
             val verb = p.pop().toLowerCase
@@ -1683,6 +1690,8 @@ object KerfSql {
               case "sample"   => runSample(spark, p)
               case "shard"    => runShard(spark, p)
               case "cap"      => runCap(spark, p)
+              case "bpe"      => runBpe(spark, p)
+              case "bpetrain" => runBpeTrain(spark, p)
             }
             df.createOrReplaceTempView(name)
             last = Left(df)
@@ -3071,6 +3080,55 @@ object KerfSql {
       toks(1).headOption.exists(c => c.isLetter || c == '_') &&
       toks(1).forall(c => c.isLetterOrDigit || c == '_') &&
       (toks.lengthCompare(2) == 0 || toks(2).equalsIgnoreCase("on"))
+
+  /** `bpe t by id on text using merges` → [[graft.llm.TextOps.bpeApply]]
+    * against a published `(rank, left, right)` merge table — the
+    * deployment split, like `lmscore … using census`: train the
+    * tokenizer once, tokenize any corpus against it. The merge table
+    * is a bounded model input (≤10000 rules, the classifier-weights
+    * discipline). */
+  private def runBpe(spark: SparkSession, p: P): DataFrame = {
+    val df = spark.table(p.pop())
+    p.expect("by"); val idCol = p.pop()
+    p.expect("on"); val textCol = p.pop()
+    p.expect("using"); val mt = spark.table(p.pop())
+    require(p.done, s"trailing tokens in bpe: ${p.toks.mkString(" ")}")
+    require(Seq("rank", "left", "right").forall(mt.columns.contains),
+      s"bpe … using needs a (rank, left, right) merge table, " +
+      s"got ${mt.columns.mkString(", ")}")
+    val rows = mt.select(col("rank").cast("long"), col("left"), col("right"))
+      .orderBy("rank").limit(10001).collect()
+    require(rows.nonEmpty && rows.length <= 10000,
+      s"bpe merge table must have 1..10000 rows, got ${rows.length}")
+    graft.llm.TextOps.bpeApply(df, idCol, textCol,
+      rows.map(r => (r.getString(1), r.getString(2))).toSeq)
+  }
+
+  /** `bpetrain t on text at 20 [min 2]` →
+    * [[graft.llm.TextOps.bpeTrain]]: learn the merge table itself from
+    * the corpus (one corpus pass for the word census, then
+    * vocab-bounded rounds). Completes the tokenizer train/deploy loop
+    * in the dialect: bpetrain on the reference corpus, `bpe … using`
+    * everywhere else. */
+  private def runBpeTrain(spark: SparkSession, p: P): DataFrame = {
+    val df = spark.table(p.pop())
+    p.expect("on"); val textCol = p.pop()
+    p.expect("at")
+    val n = {
+      val t = p.pop()
+      require(t.forall(_.isDigit) && t.toInt >= 1 && t.toInt <= 10000,
+        s"bpetrain … at needs a merge count in 1..10000, got $t")
+      t.toInt
+    }
+    val minC = if (p.peekIs("min")) {
+      p.pop(); val t = p.pop()
+      require(t.forall(_.isDigit) && t.toLong >= 1,
+        s"bpetrain … min needs a positive integer, got $t")
+      t.toLong
+    } else 2L
+    require(p.done, s"trailing tokens in bpetrain: ${p.toks.mkString(" ")}")
+    graft.llm.TextOps.bpeTrain(df, textCol, n, minC)
+  }
 
   /** `cap t by strata at 40 on key` → [[graft.llm.Pipeline.capPerStratum]]:
     * the absolute per-stratum ceiling (≤ N rows per stratum, the rows

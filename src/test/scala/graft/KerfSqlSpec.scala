@@ -1799,6 +1799,36 @@ class KerfSqlSpec extends SparkSpec {
     intercept[IllegalArgumentException] { KerfSql.run(spark, "ungroup cg_v on v") }
   }
 
+  test("bpe/bpetrain dialect: verb == API, loud malformed-model errors") {
+    import spark.implicits._
+    (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      .createOrReplaceTempView("bpe_docs")
+    // train from the dialect == API train (same corpus, same rules)
+    val m = KerfSql.run(spark, "bpetrain bpe_docs on text at 6")
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(m == Seq(("e", "s"), ("es", "t"), ("est", "</w>"),
+      ("l", "o"), ("lo", "w"), ("e", "w")), s"dialect-trained merges: $m")
+    // the full train→deploy loop from text: assignment registers the
+    // model view, bpe … using consumes it
+    val got = KerfSql.run(spark,
+      "m: bpetrain bpe_docs on text at 6; " +
+      "b: bpe bpe_docs by doc_id on text using m; " +
+      "select doc_id, n_words, n_tokens from b where doc_id = 7")
+      .first()
+    assert((got.getLong(1), got.getLong(2)) == ((1L, 3L)))  // newest → 3 tokens
+    // malformed model tables are loud
+    Seq((0L, "a")).toDF("rank", "left").createOrReplaceTempView("bpe_badm")
+    val e = intercept[IllegalArgumentException] {
+      KerfSql.run(spark, "bpe bpe_docs by doc_id on text using bpe_badm")
+    }
+    assert(e.getMessage.contains("rank, left, right"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      KerfSql.run(spark, "bpetrain bpe_docs on text at 0")
+    }
+  }
+
   test("differs: q's differ — run boundaries down the (group, order) axes") {
     import spark.implicits._
     Seq((1L, 10L, Some(1.0)), (1L, 20L, Some(1.0)), (1L, 30L, Some(2.0)),

@@ -1016,6 +1016,50 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpe: training learns the classic merge sequence; apply tokenizes with it") {
+    // the Sennrich et al. corpus {low×5, lower×2, newest×6, widest×3};
+    // expected sequence hand-computed under OUR deterministic tie-break
+    // (cnt desc, then (l, r) lexicographic): es 9, est 9, est</w> 9,
+    // lo 7, low 7, then the three-way cnt-6 tie (e,w)/(n,e)/(w,est</w>)
+    // resolves to (e, w)
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(docs, "text", 6)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("est", "</w>"),
+      ("l", "o"), ("lo", "w"), ("e", "w")), s"merge sequence: $merges")
+    // tokenize with the learned model: newest → [n, ew, est</w>],
+    // widest → [w, i, d, est</w>], low → [low, </w>] (low</w> was
+    // never merged — its count 5 lost the round-6 tie)
+    val toks = TextOps.bpeWordTokens(docs, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    assert(toks(7L) == Seq("n", "ew", "est</w>"))
+    assert(toks(13L) == Seq("w", "i", "d", "est</w>"))
+    assert(toks(0L) == Seq("low", "</w>"))
+    assert(toks(5L) == Seq("low", "e", "r", "</w>"))
+    // the repeat-run merge: 'aaaa' under (a,a) merges BOTH pairs (the
+    // doubled-separator invariant; a shared-boundary representation
+    // would merge only alternate pairs)
+    val rep = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
+    val rt = TextOps.bpeWordTokens(rep, "doc_id", "text", Seq(("a", "a")))
+      .collect().map(_.getSeq[String](1)).toSet
+    assert(rt == Set(Seq("aa", "aa", "</w>"), Seq("aa", "a", "</w>")), s"got $rt")
+    // per-doc counts: each fired merge shrinks n_tokens by one
+    val c7 = TextOps.bpeApply(docs.filter(col("doc_id") === 7), "doc_id", "text", merges)
+      .first()
+    assert((c7.getLong(1), c7.getLong(2)) == ((1L, 3L)))
+    // '|' is the separator — sanitized to a space before tokenizing
+    val pipe = Seq((1L, "ab|ab")).toDF("doc_id", "text")
+    val pt = TextOps.bpeWordTokens(pipe, "doc_id", "text", Seq(("a", "b")))
+      .collect().map(_.getSeq[String](1)).toSeq
+    assert(pt == Seq(Seq("ab", "</w>"), Seq("ab", "</w>")), s"got $pt")
+    // early stop: minCount prunes the long tail
+    val tiny = Seq((1L, "xy")).toDF("doc_id", "text")
+    assert(TextOps.bpeTrain(tiny, "text", 5, minCount = 2).count() == 0L)
+  }
+
   test("persisted IVF index: probe equals the train-per-call answer exactly") {
     val vecs = marginFixture(41)
     val df = vecs.toDF("vec_id", "embedding")
