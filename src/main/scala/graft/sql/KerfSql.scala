@@ -505,6 +505,20 @@ object KerfSql {
 
   private def parseCmp(p: P, env: Env): T = {
     var left = parseAdd(p, env)
+    // `x in (a, b, c)` / `x not in (…)` — the SQL/q membership
+    // predicate as sugar over Column.isin (the q06/q20 membership
+    // family at the expression level). Values are full expressions.
+    val notIn = p.peekIs("not") && p.peek2.exists(_.equalsIgnoreCase("in")) &&
+      p.peek3.contains("(")
+    if (notIn || (p.peekIs("in") && p.peek2.contains("("))) {
+      if (notIn) p.pop()
+      p.pop(); p.expect("(")
+      val items = scala.collection.mutable.ArrayBuffer[T](parseExpr(p, env))
+      while (p.peekIs(",")) { p.pop(); items += parseExpr(p, env) }
+      p.expect(")")
+      val in = left.col.isin(items.toSeq.map(_.col): _*)
+      left = T(if (notIn) !in else in, BooleanType)
+    }
     while (p.peek.exists(t => Set("<", ">", "<=", ">=", "=", "==", "!=", "<>").contains(t))) {
       val op = p.pop()
       val beforeRight = p.toks

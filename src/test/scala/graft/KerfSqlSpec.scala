@@ -1799,6 +1799,25 @@ class KerfSqlSpec extends SparkSpec {
     intercept[IllegalArgumentException] { KerfSql.run(spark, "ungroup cg_v on v") }
   }
 
+  test("in / not in: the membership predicate over expression lists") {
+    import spark.implicits._
+    Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L))
+      .toDF("k", "v").createOrReplaceTempView("in_v")
+    val got = KerfSql.run(spark,
+      "select k from in_v where k in ('a', 'c') order k")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("a", "c"))
+    val not = KerfSql.run(spark,
+      "select k from in_v where k not in ('a', 'c') order k")
+      .collect().map(_.getString(0)).toSeq
+    assert(not == Seq("b", "d"))
+    // values are full expressions, and the predicate composes
+    val ex = KerfSql.run(spark,
+      "select k from in_v where v in (1 + 1, 8 / 2) and k != 'z' order k")
+      .collect().map(_.getString(0)).toSeq
+    assert(ex == Seq("b", "d"))
+  }
+
   test("bpe/bpetrain dialect: verb == API, loud malformed-model errors") {
     import spark.implicits._
     (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
