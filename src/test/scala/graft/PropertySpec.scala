@@ -257,4 +257,70 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("collect → ungroup round-trips the original multiset on random tables") {
+    val rnd = new scala.util.Random(4242)
+    val rows = (0 until 300).map(_ =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(50).toLong, rnd.nextInt(5).toDouble))
+    rows.toDF("k", "ts", "v").createOrReplaceTempView("pp_cg")
+    val back = sql.KerfSql.run(spark,
+      "g: select k, collect(ts) as ts, collect(v, ts) as v from pp_cg group k; " +
+      "ungroup g")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // multiset equality: the zip pairs i-th smallest ts with the value
+    // ordered by (ts, v) — for tied ts the values redistribute within
+    // the tie, preserving the per-key multiset of (ts, v) pairs
+    def ms(s: Seq[(Long, Long, Double)]) = s.groupBy(identity).view.mapValues(_.size).toMap
+    assert(ms(back) == ms(rows), "round trip drifted")
+  }
+
+  test("differs equals the brute-force run-boundary scan on random series") {
+    val rnd = new scala.util.Random(777)
+    // unique ts per key so the order axis is total (differs on tied
+    // axes is order-dependent by design)
+    val rows = (0 until 12).flatMap { k =>
+      rnd.shuffle((0 until 40).toList).take(25).map { t =>
+        (k.toLong, t.toLong,
+         if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(3).toDouble))
+      }
+    }
+    rows.toDF("k", "ts", "v").createOrReplaceTempView("pp_dif")
+    val got = sql.KerfSql.run(spark,
+      "select k, ts, differs(v) as chg from pp_dif group k order ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (k, g) =>
+      val s = g.sortBy(_._2)
+      s.zipWithIndex.map { case ((_, t, v), i) =>
+        (k, t, i == 0 || v != s(i - 1)._3) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.sortBy(t => (t._1, t._2)) == want)
+  }
+
+  test("bpe: the trained first merge equals the pair-census argmax; counts shrink per fired merge") {
+    val rnd = new scala.util.Random(31337)
+    val words = Seq("spark", "sparse", "parse", "park", "shark", "scala")
+    val docs = (0 until 40).map(i =>
+      (i.toLong, (0 until 1 + rnd.nextInt(6)).map(_ => words(rnd.nextInt(words.length))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val census = llm.TextOps.bpePairCensus(llm.TextOps.bpeWordCensus(docs, "text"))
+      .limit(1).collect()(0)
+    val m1 = llm.TextOps.bpeTrain(docs, "text", 1).collect()(0)
+    assert((m1.getString(1), m1.getString(2)) == ((census.getString(0), census.getString(1))))
+    // token-count conservation: n_tokens(after k merges) =
+    // n_tokens(chars+mark) − (occurrences each merge fired), and is
+    // monotonically non-increasing in k
+    // a merge that can never fire (no 2-char symbols exist in round 1)
+    // gives the raw chars+mark token counts as the baseline
+    val base = llm.TextOps.bpeApply(docs, "doc_id", "text", Seq(("zz", "qq")))
+      .agg(sum(col("n_tokens"))).first().getLong(0)
+    var prev = base
+    for (k <- 1 to 4) {
+      val merges = llm.TextOps.bpeTrain(docs, "text", k)
+        .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val n = llm.TextOps.bpeApply(docs, "doc_id", "text", merges)
+        .agg(sum(col("n_tokens"))).first().getLong(0)
+      assert(n <= prev, s"k=$k token count grew: $n > $prev")
+      prev = n
+    }
+  }
 }
