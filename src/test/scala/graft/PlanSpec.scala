@@ -364,6 +364,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial"), "no partial aggregation before the shuffle")
   }
 
+  test("q168/q169: collect is ONE partial-agg shuffle; ungroup adds a generate, no extra shuffle") {
+    // collect_list cannot partial-aggregate element-wise, but the plan
+    // must still be ONE hash shuffle into ObjectHashAggregate — and
+    // the array bytes exist only post-aggregation (the scan reads
+    // scalar columns)
+    val p8 = planOf("q168_kerf_collect")
+    val agg8 = "Exchange hashpartitioning".r.findAllIn(p8).length
+    assert(agg8 == 1, s"expected 1 collect shuffle, got $agg8:\n$p8")
+    // ungroup: the round trip is collect's shuffle + one Generate —
+    // the lockstep zip-explode itself must NOT shuffle
+    val p9 = planOf("q169_kerf_ungroup")
+    assert(p9.contains("Generate"), s"no generate in ungroup plan:\n$p9")
+    val agg9 = "Exchange hashpartitioning".r.findAllIn(p9).length
+    assert(agg9 == 1, s"ungroup added a shuffle beyond collect's: $agg9:\n$p9")
+  }
+
+  test("q170: differs is ONE window pass, never a self-join") {
+    val p = planOf("q170_kerf_differs")
+    assert(p.contains("Window"), s"no window in differs plan:\n$p")
+    assert(!p.contains("Join"), s"differs lowered to a join:\n$p")
+  }
+
+  test("q172: BPE apply is map-only until the per-doc rollup (codegen replaces, no UDF)") {
+    val p = planOf("q172_bpe_tokenize")
+    // one shuffle: the per-doc groupBy; the merge chain itself is
+    // projection work at scan speed
+    val agg = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(agg == 1, s"expected 1 rollup shuffle, got $agg:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"UDF in the BPE hot path:\n$p")
+    // the whole merge chain must collapse into ONE projection (nested
+    // codegen `replace` calls), not one projection per rule
+    val projects = "Project \\[".r.findAllIn(p).length
+    assert(projects <= 2, s"merge chain did not collapse ($projects projects):\n$p")
+  }
+
   test("fanOut widens unstatted non-file leaves (defaultSizeInBytes sentinel)") {
     // an RDD-backed frame has no file listing AND reports the
     // defaultSizeInBytes sentinel as its stats — taking the sentinel at
