@@ -2186,6 +2186,28 @@ object Oracles {
          SELECT user_id, unnest(t) AS ts_ns, unnest(v) AS value FROM g
          ORDER BY user_id, ts_ns, value""",
 
+    // TWAP replayed stage by stage: lead for the interval end, the
+    // seconds conversion (whole-µs ticks land exactly on the 6-decimal
+    // grid), the identical exact-decimal wavg tree (q158 discipline)
+    "q175_kerf_twap" ->
+      """WITH p AS (
+           SELECT user_id, epoch_us(ts) * 1000 AS ts_ns, value
+           FROM events WHERE event_type = 'view'),
+         d AS (
+           SELECT user_id, value, ts_ns,
+                  lead(ts_ns) OVER (PARTITION BY user_id
+                                    ORDER BY ts_ns, value) AS nts
+           FROM p),
+         f AS (
+           SELECT user_id,
+                  CAST((nts - ts_ns) / 1000000000 AS DECIMAL(19,6)) AS w,
+                  CAST(value AS DECIMAL(19,6)) AS x
+           FROM d WHERE nts > 0)
+         SELECT user_id,
+                CAST(CAST(sum(w * x) AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST(sum(w) AS VARCHAR) AS DOUBLE) AS twap
+         FROM f GROUP BY user_id ORDER BY user_id""",
+
     // BPE apply replayed as the identical replace chain over the
     // doubled-separator representation ('||c||h||a||t||</w>||'; a
     // merge consumes only the INNER separator pair, so replace's

@@ -3218,6 +3218,26 @@ object Queries {
       "select doc_id, n_words, n_tokens from b_v174 order doc_id")
   }
 
+  /** TWAP — time-weighted average price, composed ENTIRELY from
+    * existing verbs (the Kerf way: no dedicated operator): each view
+    * quote holds over [ts, next ts), so TWAP = wavg(holding-time,
+    * price). `nexts` supplies the interval end down the per-user time
+    * axis; the last quote has no interval and drops (`where nts > 0`
+    * — null-comparison false). Durations convert ns → seconds, which
+    * land EXACTLY on wavg's 6-decimal quantization grid (ts values
+    * are whole µs), so the moment stays order-free exact; the oracle
+    * replays the identical tree. */
+  val q175_kerf_twap: Q = (s, dir) => {
+    Tables.events(s, dir).createOrReplaceTempView("events_v175")
+    sql.KerfSql.run(s,
+      "e_v175: select user_id, ts_ns, value from events_v175 " +
+      "where event_type = 'view'; " +
+      "d_v175: select user_id, value, ts_ns, nexts(ts_ns) as nts " +
+      "from e_v175 group user_id order ts_ns, value; " +
+      "select user_id, wavg((nts - ts_ns) / 1000000000, value) as twap " +
+      "from d_v175 where nts > 0 group user_id order user_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3393,5 +3413,6 @@ object Queries {
     "q172_bpe_tokenize"  -> q172_bpe_tokenize,
     "q173_bpe_pair_census" -> q173_bpe_pair_census,
     "q174_dialect_bpe"   -> q174_dialect_bpe,
+    "q175_kerf_twap"     -> q175_kerf_twap,
   )
 }
