@@ -921,12 +921,24 @@ object KerfSql {
         val inner = parseExpr(p, env)
         val axis = if (p.peekIs(",")) { p.pop(); Some(parseExpr(p, env)) } else None
         p.expect(")")
+        // BOUNDED-GROUP CONTRACT, stated loudly (the EMA-guard lesson:
+        // an explicit raise beats a silent executor OOM): a per-key
+        // vector materializes in ONE aggregation buffer, so collect is
+        // for keys whose history fits an executor — unbounded keys
+        // belong to the windowed verbs or streaming state
+        val collectMax = 4194304
+        def guarded(c: Column) =
+          when(size(c) <= lit(collectMax), c)
+            .otherwise(raise_error(
+              lit(s"collect: group exceeds $collectMax elements — a per-key " +
+                "vector lives in one aggregation buffer; use windowed verbs " +
+                "or streaming state for unbounded keys")))
         axis match {
-          case None => T(array_sort(collect_list(inner.col)), ArrayType(inner.dt))
+          case None => T(guarded(array_sort(collect_list(inner.col))), ArrayType(inner.dt))
           case Some(ax) =>
-            T(transform(
+            T(guarded(transform(
                 array_sort(collect_list(struct(ax.col.as("__a"), inner.col.as("__x")))),
-                s => s.getField("__x")),
+                s => s.getField("__x"))),
               ArrayType(inner.dt))
         }
       case fn if statAggFns(fn.toLowerCase) && p.peekIs("(") =>

@@ -962,6 +962,40 @@ class StreamingSpec extends SparkSpec {
    }
   }
 
+  test("bpe tokenize-at-ingest: the replace chain is stateless map work on a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    val input = MemoryStream[(Long, String)]
+    val toks = graft.llm.TextOps.bpeWordTokens(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", merges)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Seq[String])]()
+    val q = toks.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+        buf.synchronized { buf ++= rows }
+        ()
+      }.start()
+    try {
+      input.addData((1L, "low lower"), (2L, "slow"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = buf.synchronized(buf.toSeq).sortBy(t => (t._1, t._2.mkString(" ")))
+    assert(got == Seq(
+      (1L, Seq("low", "</w>")),            // both merges fire
+      (1L, Seq("low", "e", "r", "</w>")),  // prefix merges, tail chars
+      (2L, Seq("s", "low", "</w>"))),      // merge fires mid-word
+      s"got $got")
+    // stream == batch (the deploy invariant: same model, same answer)
+    val batch = graft.llm.TextOps.bpeWordTokens(
+        Seq((1L, "low lower"), (2L, "slow")).toDF("doc_id", "text"),
+        "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+      .sortBy(t => (t._1, t._2.mkString(" "))).toSeq
+    assert(batch == got)
+  }
+
   test("streaming EMA state survives checkpoint restart (fold continues)") {
     withRocksDb {
       import spark.implicits._
