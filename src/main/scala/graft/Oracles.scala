@@ -2186,6 +2186,26 @@ object Oracles {
          SELECT user_id, unnest(t) AS ts_ns, unnest(v) AS value FROM g
          ORDER BY user_id, ts_ns, value""",
 
+    // one batch-perceptron epoch from v=0: every margin is 0 (counts
+    // as misclassified), so the update is the label-weighted bucket
+    // census, published on the [0, scale) grid centered at scale/2
+    "q176_perceptron_step" ->
+      """WITH toks AS (
+           SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS y,
+                  unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+           FROM documents),
+         b AS (
+           SELECT doc_id, y,
+                  CAST(concat('0x', substring(md5(tok), 1, 6)) AS BIGINT) % 1024 AS bucket
+           FROM toks),
+         c AS (SELECT doc_id, y, bucket, count(*) AS c FROM b GROUP BY 1, 2, 3),
+         u AS (SELECT bucket, CAST(sum(y * c) AS BIGINT) AS u FROM c GROUP BY bucket),
+         g AS (SELECT r.range AS bucket, coalesce(u.u, 0) AS u
+               FROM range(0, 1024) r LEFT JOIN u ON u.bucket = r.range)
+         SELECT CAST(bucket AS BIGINT) AS bucket,
+                CAST(greatest(0, least(1996, 998 + u)) AS BIGINT) AS w
+         FROM g ORDER BY bucket""",
+
     // TWAP replayed stage by stage: lead for the interval end, the
     // seconds conversion (whole-µs ticks land exactly on the 6-decimal
     // grid), the identical exact-decimal wavg tree (q158 discipline)

@@ -3238,6 +3238,24 @@ object Queries {
       "from d_v175 where nts > 0 group user_id order user_id")
   }
 
+  /** PERCEPTRON TRAINING STEP (the learning side of q146's hashed
+    * linear classifier — `classifytrain` → `classify … using`, the
+    * classifier's train/deploy loop like bpetrain → bpe): one batch
+    * epoch from zero weights. A zero margin counts as misclassified,
+    * so epoch 1 IS the label-weighted bucket census mapped onto the
+    * scorer's [0, scale) grid — exactly SQL-expressible, so the whole
+    * first optimization step is oracle-gated (the iterative loop is
+    * spec-pinned on a separable planted corpus, the q173 pattern).
+    * Integer arithmetic throughout: exact on any partitioning. */
+  val q176_perceptron_step: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .withColumn("lbl", (col("doc_id") % 2) === 0)
+      .createOrReplaceTempView("docs_v176")
+    sql.KerfSql.run(s,
+      "w_v176: classifytrain docs_v176 by doc_id on text label lbl epochs 1; " +
+      "select bucket, w from w_v176 order bucket")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3414,5 +3432,6 @@ object Queries {
     "q173_bpe_pair_census" -> q173_bpe_pair_census,
     "q174_dialect_bpe"   -> q174_dialect_bpe,
     "q175_kerf_twap"     -> q175_kerf_twap,
+    "q176_perceptron_step" -> q176_perceptron_step,
   )
 }

@@ -513,4 +513,65 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
            sum(size(col("toks"))).cast("long").as("n_tokens"))
+
+  // ----- perceptron training for the hashed linear quality classifier -----
+
+  /** Batch-perceptron training — the LEARNING side of
+    * [[hashedLinearScore]] (deploy via `classify … using`, the same
+    * train/deploy split as census→lmscore and bpetrain→bpe): labels
+    * are ±1 (any boolean-castable column), features the SAME md5-bucket
+    * token counts the scorer reads, so a trained table drops straight
+    * into the deployed scorer. Each epoch: per-doc integer margins
+    * against the broadcast weight vector, then the summed update from
+    * misclassified docs (batch perceptron: v[b] += Σ y·count over docs
+    * with y·margin ≤ 0; a ZERO margin counts as misclassified, so
+    * epoch 1 from v = 0 is exactly the label-weighted bucket census —
+    * the oracle-checkable step, q176). All arithmetic is INTEGER
+    * (exact, order-free on any partitioning); the published (bucket,
+    * w) table maps the signed weights onto the scorer's [0, scale)
+    * grid centered at scale/2: w = clamp(scale/2 + v, 0, scale−1).
+    * Model state is dim-bounded driver memory (the classify ≤ 1e6
+    * contract); the feature frame is computed once and cached, each
+    * epoch is two bounded jobs over it. */
+  def perceptronTrain(docs: DataFrame, idCol: String, textCol: String,
+                      labelCol: String, dim: Int = 1024, epochs: Int = 5,
+                      scale: Long = 1997L): DataFrame = {
+    require(dim >= 1 && dim <= 1000000, s"dim must be in [1, 1e6], got $dim")
+    require(epochs >= 1 && epochs <= 100, s"epochs must be in [1, 100], got $epochs")
+    require(scale >= 2, s"scale must be >= 2, got $scale")
+    val spark = docs.sparkSession
+    import graft.ops.Caches
+    val feats = docs.select(col(idCol).as("doc_id"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(-1L).as("y"),
+        explode(Dedup.tokens(col(textCol))).as("tok"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("long"), lit(dim)))
+      .groupBy(col("doc_id"), col("y"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .persist(Caches.lvl)
+    feats.count()
+    val v = new Array[Long](dim)
+    try {
+      for (_ <- 1 to epochs) {
+        val scored = feats.withColumn("w",
+          element_at(typedLit(v.toSeq), (col("bucket") + 1).cast("int")))
+        val wrong = scored
+          .groupBy(col("doc_id"), col("y"))
+          .agg(sum(col("w") * col("c")).as("m"))
+          .filter(col("y") * col("m") <= 0)
+          .select("doc_id")
+        val upd = feats.join(wrong, Seq("doc_id"))
+          .groupBy(col("bucket"))
+          .agg(sum(col("y") * col("c")).as("u"))
+          .collect()
+        if (upd.isEmpty) ()  // converged: nothing misclassified
+        else upd.foreach(r => v(r.getLong(0).toInt) += r.getLong(1))
+      }
+    } finally feats.unpersist()
+    val half = scale / 2
+    import spark.implicits._
+    (0 until dim).map(b =>
+        (b.toLong, math.max(0L, math.min(scale - 1, half + v(b)))))
+      .toDF("bucket", "w")
+  }
 }

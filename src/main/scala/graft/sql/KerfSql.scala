@@ -1454,6 +1454,8 @@ object KerfSql {
         case "drift" if toks.lengthCompare(3) >= 0 && toks(2).equalsIgnoreCase("against") =>
           p.pop(); last = Left(runDrift(spark, p))
         case "classify" if pipelineVerbForm(toks) => p.pop(); last = Left(runClassify(spark, p))
+        case "classifytrain" if pipelineVerbForm(toks) =>
+          p.pop(); last = Left(runClassifyTrain(spark, p))
         case "index"   if pipelineVerbForm(toks) => p.pop(); last = Left(runIndex(spark, p))
         // `probe 'path' …` — path-first like compact
         case "probe" if toks.lengthCompare(2) >= 0 && toks(1).startsWith("'") =>
@@ -1692,7 +1694,7 @@ object KerfSql {
                       p.peekIs("index") || p.peekIs("lmscore") ||
                       p.peekIs("census") || p.peekIs("classify") ||
                       p.peekIs("sample") || p.peekIs("shard") || p.peekIs("cap") ||
-                      p.peekIs("bpe")) &&
+                      p.peekIs("bpe") || p.peekIs("classifytrain")) &&
                      pipelineVerbForm(p.toks) ||
                      // drift's shape is `drift a against b`, not `… by …`
                      (p.peekIs("drift") && p.toks.lengthCompare(3) >= 0 &&
@@ -1718,6 +1720,7 @@ object KerfSql {
               case "cap"      => runCap(spark, p)
               case "bpe"      => runBpe(spark, p)
               case "bpetrain" => runBpeTrain(spark, p)
+              case "classifytrain" => runClassifyTrain(spark, p)
             }
             df.createOrReplaceTempView(name)
             last = Left(df)
@@ -2908,6 +2911,41 @@ object KerfSql {
       case None => graft.llm.TextOps.syntheticWeights(dim)
     }
     graft.llm.TextOps.hashedLinearScore(df, idCol, textCol, weights, scale, dim)
+  }
+
+  /** `classifytrain t by id on text label lbl [dim 1024] [epochs 5]
+    * [scale 1997]` → [[graft.llm.TextOps.perceptronTrain]]: learn the
+    * (bucket, w) weight table `classify … using` deploys — the
+    * classifier's train/deploy loop from text, like bpetrain → bpe. */
+  private def runClassifyTrain(spark: SparkSession, p: P): DataFrame = {
+    val df = spark.table(p.pop())
+    p.expect("by"); val idCol = p.pop()
+    p.expect("on"); val textCol = p.pop()
+    p.expect("label"); val labelCol = p.pop()
+    var dim = 1024; var epochs = 5; var scale = 1997L
+    def posLong(what: String): Long = {
+      val t = p.pop()
+      require(t.forall(_.isDigit) && t.toLong > 0,
+        s"classifytrain … $what needs a positive int, got $t")
+      t.toLong
+    }
+    while (!p.done) {
+      val kw = p.pop().toLowerCase
+      kw match {
+        case "dim" =>
+          val d = posLong("dim")
+          require(d <= 1000000, s"classifytrain … dim must be <= 1e6, got $d")
+          dim = d.toInt
+        case "epochs" =>
+          val e = posLong("epochs")
+          require(e <= 100, s"classifytrain … epochs must be <= 100, got $e")
+          epochs = e.toInt
+        case "scale" => scale = posLong("scale")
+        case other => throw new IllegalArgumentException(
+          s"trailing tokens in classifytrain: $other ${p.toks.mkString(" ")}")
+      }
+    }
+    graft.llm.TextOps.perceptronTrain(df, idCol, textCol, labelCol, dim, epochs, scale)
   }
 
   /** `sample t by key at '29'` → [[graft.llm.Pipeline.hashSample]]:

@@ -1060,6 +1060,46 @@ class LlmOpsSpec extends SparkSpec {
     assert(TextOps.bpeTrain(tiny, "text", 5, minCount = 2).count() == 0L)
   }
 
+  test("perceptron: separates a planted corpus; trained table deploys through classify") {
+    // planted separable corpus: good docs use one vocabulary, bad
+    // another (distinct md5 buckets with overwhelming probability)
+    val good = Seq("alpha beta gamma", "beta gamma alpha", "gamma alpha beta")
+    val bad = Seq("omega psi chi", "psi chi omega", "chi omega psi")
+    val docs = (good.map((_, true)) ++ bad.map((_, false))).zipWithIndex
+      .map { case ((t, l), i) => (i.toLong, t, l) }.toDF("doc_id", "text", "lbl")
+    val w = TextOps.perceptronTrain(docs, "doc_id", "text", "lbl",
+      dim = 64, epochs = 5, scale = 1997L)
+    assert(w.count() == 64L)
+    // deploy: the trained table drives the SAME scorer the classify
+    // verb uses — every good doc must outscore every bad one, and the
+    // sign convention must hold (good > 0 > bad: weights above/below
+    // the scale/2 center)
+    val arr = new Array[Long](64)
+    w.collect().foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    val scored = TextOps.hashedLinearScore(docs, "doc_id", "text", arr, 1997L, 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val (gs, bs) = (good.indices.map(i => scored(i.toLong)),
+                    bad.indices.map(i => scored((i + 3).toLong)))
+    assert(gs.min > bs.max, s"not separated: good=$gs bad=$bs")
+    assert(gs.forall(_ > 0) && bs.forall(_ < 0), s"sign drifted: good=$gs bad=$bs")
+    // epoch-1-from-zero law: the update is the label-weighted bucket
+    // census on the grid (the q176 oracle's closed form)
+    val e1 = TextOps.perceptronTrain(docs, "doc_id", "text", "lbl",
+        dim = 64, epochs = 1, scale = 1997L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val census = docs.select(col("doc_id"),
+        when(col("lbl"), 1L).otherwise(-1L).as("y"),
+        explode(graft.llm.Dedup.tokens(col("text"))).as("tok"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("long"), lit(64)))
+      .groupBy("bucket").agg(sum(col("y")).as("u"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0 until 64).foreach { b =>
+      val want = math.max(0L, math.min(1996L, 998L + census.getOrElse(b.toLong, 0L)))
+      assert(e1(b.toLong) == want, s"bucket $b: ${e1(b.toLong)} != $want")
+    }
+  }
+
   test("persisted IVF index: probe equals the train-per-call answer exactly") {
     val vecs = marginFixture(41)
     val df = vecs.toDF("vec_id", "embedding")
