@@ -2186,6 +2186,44 @@ object Oracles {
          SELECT user_id, unnest(t) AS ts_ns, unnest(v) AS value FROM g
          ORDER BY user_id, ts_ns, value""",
 
+    // the capstone replayed as one tree: change filter (differs), TWAP
+    // over conflated intervals (lead + exact-decimal wavg), exact
+    // distinct count, axis-ordered list — every stage's oracle pattern
+    // reused verbatim
+    "q177_conflation_capstone" ->
+      """WITH p AS (
+           SELECT user_id, epoch_us(ts) * 1000 AS ts_ns, value
+           FROM events WHERE event_type = 'purchase'),
+         d AS (
+           SELECT user_id, ts_ns, value,
+                  (row_number() OVER w = 1) OR
+                  (value IS DISTINCT FROM lag(value) OVER w) AS chg
+           FROM p
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, value)),
+         c AS (SELECT user_id, ts_ns, value FROM d WHERE chg),
+         n AS (
+           SELECT user_id, value, ts_ns,
+                  lead(ts_ns) OVER (PARTITION BY user_id
+                                    ORDER BY ts_ns, value) AS nts
+           FROM c),
+         f AS (
+           SELECT user_id,
+                  CAST((nts - ts_ns) / 1000000000 AS DECIMAL(19,6)) AS w,
+                  CAST(value AS DECIMAL(19,6)) AS x
+           FROM n WHERE nts > 0),
+         t AS (
+           SELECT user_id,
+                  CAST(CAST(sum(w * x) AS VARCHAR) AS DOUBLE)
+                    / CAST(CAST(sum(w) AS VARCHAR) AS DOUBLE) AS twap,
+                  count(DISTINCT x) AS nv
+           FROM f GROUP BY user_id),
+         g AS (
+           SELECT user_id, list(value ORDER BY ts_ns, value) AS series
+           FROM c GROUP BY user_id)
+         SELECT t.user_id, t.twap, t.nv, g.series
+         FROM t JOIN g ON t.user_id = g.user_id
+         ORDER BY t.user_id""",
+
     // one batch-perceptron epoch from v=0: every margin is 0 (counts
     // as misclassified), so the update is the label-weighted bucket
     // census, published on the [0, scale) grid centered at scale/2

@@ -3256,6 +3256,34 @@ object Queries {
       "select bucket, w from w_v176 order bucket")
   }
 
+  /** CONFLATION CAPSTONE — the round-13 verbs composed end-to-end in
+    * one dialect program (the third capstone next to q153's corpus
+    * pipeline and q160's tick pipeline): purchase ticks → `differs`
+    * change flags → conflated change feed (`where chg` — the batch
+    * twin of q171's streaming on-change) → TWAP over the conflated
+    * intervals (nexts + wavg on the exact seconds grid) + exact
+    * distinct change-count → the conflated series as a per-user
+    * vector (`collect`) — joined into one summary row per user. Six
+    * statements, zero API calls; every stage individually oracled
+    * (q170/q175/q168), here replayed as one DuckDB tree. */
+  val q177_conflation_capstone: Q = (s, dir) => {
+    Tables.events(s, dir).createOrReplaceTempView("events_v177")
+    sql.KerfSql.run(s,
+      "p_v177: select user_id, ts_ns, value from events_v177 " +
+      "where event_type = 'purchase'; " +
+      "d_v177: select user_id, ts_ns, value, differs(value) as chg " +
+      "from p_v177 group user_id order ts_ns, value; " +
+      "c_v177: select user_id, ts_ns, value from d_v177 where chg; " +
+      "n_v177: select user_id, value, ts_ns, nexts(ts_ns) as nts " +
+      "from c_v177 group user_id order ts_ns, value; " +
+      "t_v177: select user_id, wavg((nts - ts_ns) / 1000000000, value) as twap, " +
+      "countd(value) as nv from n_v177 where nts > 0 group user_id; " +
+      "g_v177: select user_id, collect(value, ts_ns) as series from c_v177 " +
+      "group user_id; " +
+      "select user_id, twap, nv, series from t_v177 join g_v177 on user_id " +
+      "order user_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3433,5 +3461,6 @@ object Queries {
     "q174_dialect_bpe"   -> q174_dialect_bpe,
     "q175_kerf_twap"     -> q175_kerf_twap,
     "q176_perceptron_step" -> q176_perceptron_step,
+    "q177_conflation_capstone" -> q177_conflation_capstone,
   )
 }
