@@ -2186,6 +2186,20 @@ object Oracles {
          SELECT user_id, unnest(t) AS ts_ns, unnest(v) AS value FROM g
          ORDER BY user_id, ts_ns, value""",
 
+    // top-N per group: the row_number-filter twin with the identical
+    // total tiebreak
+    "q178_kerf_top" ->
+      """WITH p AS (
+           SELECT user_id, event_id, value FROM events
+           WHERE event_type = 'purchase'),
+         r AS (
+           SELECT user_id, event_id, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY value DESC, event_id) AS rn
+           FROM p)
+         SELECT user_id, event_id, value FROM r WHERE rn <= 3
+         ORDER BY user_id, value DESC, event_id""",
+
     // the capstone replayed as one tree: change filter (differs), TWAP
     // over conflated intervals (lead + exact-decimal wavg), exact
     // distinct count, axis-ordered list — every stage's oracle pattern

@@ -3284,6 +3284,23 @@ object Queries {
       "order user_id")
   }
 
+  /** TOP-N PER GROUP from the text surface (q's `N # select … by sym`
+    * sublist idiom — `cap`'s score-ordered sibling): the 3 highest
+    * purchases per user, event_id tiebreak for a total order. Lowers
+    * to row_number over one window + filter, which Spark rewrites to
+    * WindowGroupLimit PARTIAL limits (plan-pinned): each partition
+    * forwards at most N rows per key BEFORE the shuffle — the only
+    * top-k-per-group shape that survives 100 TB. */
+  val q178_kerf_top: Q = (s, dir) => {
+    Tables.events(s, dir).createOrReplaceTempView("events_v178")
+    sql.KerfSql.run(s,
+      "p_v178: select user_id, event_id, value from events_v178 " +
+      "where event_type = 'purchase'; " +
+      "t_v178: top p_v178 by user_id at 3 order -value, event_id; " +
+      "select user_id, event_id, value from t_v178 " +
+      "order user_id, -value, event_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3462,5 +3479,6 @@ object Queries {
     "q175_kerf_twap"     -> q175_kerf_twap,
     "q176_perceptron_step" -> q176_perceptron_step,
     "q177_conflation_capstone" -> q177_conflation_capstone,
+    "q178_kerf_top"      -> q178_kerf_top,
   )
 }

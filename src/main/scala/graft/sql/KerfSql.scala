@@ -1463,6 +1463,7 @@ object KerfSql {
         case "sample"  if pipelineVerbForm(toks) => p.pop(); last = Left(runSample(spark, p))
         case "shard"   if pipelineVerbForm(toks) => p.pop(); last = Left(runShard(spark, p))
         case "cap"     if pipelineVerbForm(toks) => p.pop(); last = Left(runCap(spark, p))
+        case "top"     if pipelineVerbForm(toks) => p.pop(); last = Left(runTop(spark, p))
         // `compact 'path' …` — a FILE verb like >>/<<: the quoted-path
         // second token keeps `compact(x)` an expression over user names
         case "compact" if toks.lengthCompare(2) >= 0 && toks(1).startsWith("'") =>
@@ -1694,7 +1695,8 @@ object KerfSql {
                       p.peekIs("index") || p.peekIs("lmscore") ||
                       p.peekIs("census") || p.peekIs("classify") ||
                       p.peekIs("sample") || p.peekIs("shard") || p.peekIs("cap") ||
-                      p.peekIs("bpe") || p.peekIs("classifytrain")) &&
+                      p.peekIs("bpe") || p.peekIs("classifytrain") ||
+                      p.peekIs("top")) &&
                      pipelineVerbForm(p.toks) ||
                      // drift's shape is `drift a against b`, not `… by …`
                      (p.peekIs("drift") && p.toks.lengthCompare(3) >= 0 &&
@@ -1721,6 +1723,7 @@ object KerfSql {
               case "bpe"      => runBpe(spark, p)
               case "bpetrain" => runBpeTrain(spark, p)
               case "classifytrain" => runClassifyTrain(spark, p)
+              case "top"      => runTop(spark, p)
             }
             df.createOrReplaceTempView(name)
             last = Left(df)
@@ -2946,6 +2949,36 @@ object KerfSql {
       }
     }
     graft.llm.TextOps.perceptronTrain(df, idCol, textCol, labelCol, dim, epochs, scale)
+  }
+
+  /** `top t by k1[, k2] at 3 order c1[, -c2, …]` — top-N rows per
+    * group under an explicit order (q's `N # select … by sym` sublist
+    * idiom; `cap`'s score-ordered sibling — cap ranks by md5 for an
+    * unbiased ceiling, top ranks by the caller's columns). Lowers to
+    * row_number over one window + filter, which Spark rewrites to
+    * WindowGroupLimit PARTIAL limits before the shuffle — each
+    * partition forwards at most N rows per key, the only top-k shape
+    * that survives 100 TB. Give the order a total tiebreak (trailing
+    * unique column) for deterministic output. */
+  private def runTop(spark: SparkSession, p: P): DataFrame = {
+    val df = spark.table(p.pop())
+    p.expect("by")
+    val keys = scala.collection.mutable.ArrayBuffer[String](p.pop())
+    while (p.peekIs(",")) { p.pop(); keys += p.pop() }
+    p.expect("at")
+    val n = {
+      val t = p.pop()
+      require(t.forall(_.isDigit) && t.toInt > 0,
+        s"top … at needs a positive row count, got $t")
+      t.toInt
+    }
+    p.expect("order")
+    val cols = parseOrderCols(p)
+    require(p.done, s"trailing tokens in top: ${p.toks.mkString(" ")}")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.toSeq.map(col): _*).orderBy(cols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
   }
 
   /** `sample t by key at '29'` → [[graft.llm.Pipeline.hashSample]]:

@@ -1799,6 +1799,26 @@ class KerfSqlSpec extends SparkSpec {
     intercept[IllegalArgumentException] { KerfSql.run(spark, "ungroup cg_v on v") }
   }
 
+  test("top: N per group equals the API window; WindowGroupLimit partial limits") {
+    import spark.implicits._
+    Seq((1L, 10L, 5.0), (1L, 11L, 9.0), (1L, 12L, 9.0), (1L, 13L, 1.0),
+        (2L, 20L, 3.0))
+      .toDF("k", "id", "v").createOrReplaceTempView("top_v")
+    val got = KerfSql.run(spark, "top top_v by k at 2 order -v, id")
+    val rows = got.orderBy(col("k"), col("v").desc, col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // ties break on id: both 9.0 rows win, the 5.0 loses
+    assert(rows == Seq((1L, 11L, 9.0), (1L, 12L, 9.0), (2L, 20L, 3.0)), s"got $rows")
+    // the at-scale shape: the row_number filter must rewrite to
+    // WindowGroupLimit partial limits (per-partition top-N BEFORE the
+    // shuffle), never a full sort of every row
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
+    intercept[IllegalArgumentException] {
+      KerfSql.run(spark, "top top_v by k at 0 order -v")
+    }
+  }
+
   test("in / not in: the membership predicate over expression lists") {
     import spark.implicits._
     Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L))
