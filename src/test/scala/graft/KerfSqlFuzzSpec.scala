@@ -200,7 +200,7 @@ class KerfSqlFuzzSpec extends SparkSpec {
       .createOrReplaceTempView("lineitem_wfuzz")
     val df = spark.table("lineitem_wfuzz")
     val runningVerbs = Seq("sums", "avgs", "mins", "maxs", "counts", "fills",
-      "bfills", "nexts", "ratios")
+      "bfills", "nexts", "ratios", "differs")
     val movingVerbs = Seq("msums", "mavgs", "mmins", "mmaxs", "mcounts")
     for (seed <- 1 to 40) {
       val rnd = new scala.util.Random(1000 + seed)
@@ -245,6 +245,8 @@ class KerfSqlFuzzSpec extends SparkSpec {
           case "maxs" => max(col(vcol)).over(running)
           case "counts" => count(col(vcol)).over(running)
           case "fills" => last(col(vcol), ignoreNulls = true).over(running)
+          case "differs" => (row_number().over(wb) === 1) ||
+            !(col(vcol) <=> lag(col(vcol), 1).over(wb))
           case "msums" => sum(col(vcol)).over(mf)
           case "mavgs" => avg(col(vcol)).over(mf)
           case "mmins" => min(col(vcol)).over(mf)
