@@ -2186,6 +2186,41 @@ object Oracles {
          SELECT user_id, unnest(t) AS ts_ns, unnest(v) AS value FROM g
          ORDER BY user_id, ts_ns, value""",
 
+    // wj proper = wj1's band pairs UNION the prevailing-on-entry row
+    // (latest quote strictly before band start; quotes deduped per
+    // (user, ts) so the carried row is tie-free)
+    "q179_kerf_wj_prevailing" ->
+      """WITH pur AS (
+           SELECT user_id, event_id AS t_id, epoch_us(ts) * 1000 AS t_ts,
+                  value AS price
+           FROM events WHERE event_type = 'purchase'),
+         q0 AS (
+           SELECT DISTINCT user_id, epoch_us(ts) * 1000 AS q_ts, value AS quote
+           FROM events WHERE event_type = 'view'),
+         quo AS (
+           SELECT user_id, q_ts, quote FROM (
+             SELECT user_id, q_ts, quote,
+                    max(quote) OVER (PARTITION BY user_id, q_ts) AS mx
+             FROM q0) WHERE quote = mx),
+         band AS (
+           SELECT p.user_id, p.t_id, p.t_ts, p.price, q.quote
+           FROM pur p LEFT JOIN quo q ON p.user_id = q.user_id
+             AND q.q_ts >= p.t_ts - 600000000000
+             AND q.q_ts <= p.t_ts + 600000000000),
+         pv AS (
+           SELECT user_id, t_id, t_ts, price, quote FROM (
+             SELECT p.user_id, p.t_id, p.t_ts, p.price, q.quote,
+                    row_number() OVER (PARTITION BY p.t_id
+                                       ORDER BY q.q_ts DESC) AS rn
+             FROM pur p JOIN quo q ON p.user_id = q.user_id
+               AND q.q_ts < p.t_ts - 600000000000)
+           WHERE rn = 1),
+         allp AS (SELECT * FROM band UNION ALL SELECT * FROM pv)
+         SELECT user_id, t_id, t_ts, price, max(quote) AS top_q,
+                count(quote) AS n_q
+         FROM allp GROUP BY user_id, t_id, t_ts, price
+         ORDER BY user_id, t_id""",
+
     // top-N per group: the row_number-filter twin with the identical
     // total tiebreak
     "q178_kerf_top" ->

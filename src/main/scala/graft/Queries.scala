@@ -3301,6 +3301,29 @@ object Queries {
       "order user_id, -value, event_id")
   }
 
+  /** WINDOW JOIN WITH PREVAILING (q's wj proper, vs q163's wj1): each
+    * trade's band ALSO carries the quote in effect on entry — the
+    * latest quote STRICTLY before the band start, fetched by the
+    * native as-of merge at the shifted axis and unioned into the pair
+    * frame. Quotes are deduped per (user, ts) upstream (distinct +
+    * fby max) so the carried row is tie-free on both engines. The
+    * oracle replays band ∪ prevailing explicitly. */
+  val q179_kerf_wj_prevailing: Q = (s, dir) => {
+    Tables.events(s, dir).createOrReplaceTempView("events_v179")
+    sql.KerfSql.run(s,
+      "pur_v179: select user_id, event_id as t_id, ts_ns as t_ts, " +
+      "value as price from events_v179 where event_type = 'purchase'; " +
+      "quo0_v179: select distinct user_id, ts_ns as q_ts, value as quote " +
+      "from events_v179 where event_type = 'view'; " +
+      "quo_v179: select user_id, q_ts, quote from quo0_v179 " +
+      "where quote = max(quote) by user_id, q_ts; " +
+      "select user_id, t_id, t_ts, price, max(quote) as top_q, " +
+      "count(quote) as n_q " +
+      "from pur_v179 window join quo_v179 on user_id at t_ts, q_ts " +
+      "within 10i prevailing " +
+      "group user_id, t_id, t_ts, price order user_id, t_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3480,5 +3503,6 @@ object Queries {
     "q176_perceptron_step" -> q176_perceptron_step,
     "q177_conflation_capstone" -> q177_conflation_capstone,
     "q178_kerf_top"      -> q178_kerf_top,
+    "q179_kerf_wj_prevailing" -> q179_kerf_wj_prevailing,
   )
 }

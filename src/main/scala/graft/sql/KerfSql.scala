@@ -2149,10 +2149,11 @@ object KerfSql {
           require(sp.months == 0, "window-join band must be a fixed-length span")
           sp.nanos
         }
-      var back = false; var fwd = false
+      var back = false; var fwd = false; var prevailing = false
       while (!p.done) {
         if (p.peekIs("back")) { p.pop(); back = true }
         else if (p.peekIs("forward")) { p.pop(); fwd = true }
+        else if (p.peekIs("prevailing")) { p.pop(); prevailing = true }
         else throw new IllegalArgumentException(
           s"unexpected from-clause token '${p.pop()}'")
       }
@@ -2187,6 +2188,27 @@ object KerfSql {
           s"window join: right column '$c' collides with a left column — " +
           "alias it in a prior statement")
         out = out.withColumnRenamed(c + sfx, c)
+      }
+      if (prevailing) {
+        // q's wj (vs wj1): each window ALSO carries the value in
+        // effect on entry — the latest right row STRICTLY before the
+        // band start (at-start rows are already in-band; strict keeps
+        // the count single). One extra pair-row per left row via the
+        // native as-of merge at the shifted axis, unioned into the
+        // pair frame the grouped select aggregates. Right-side ts
+        // ties: dedup the right table per (key, ts) upstream, or the
+        // carried value is whichever tied row the merge keeps.
+        require(!left.columns.contains(rts),
+          s"window join prevailing: right ts '$rts' collides with a left column")
+        val entry = if (isTs)
+          (col(lts) - expr(s"INTERVAL '$lo' MICROSECOND")).cast(lt)
+        else col(lts) - lit(lo)
+        val shifted = left.withColumn("__wj_entry", entry)
+        val prev0 = graft.ops.AsOf.joinNative(shifted, right, keys.toSeq,
+          "__wj_entry", rts, strict = true)
+        val prevPairs = prev0.filter(col(rts).isNotNull)
+          .drop("__wj_entry", rts)
+        out = out.unionByName(prevPairs)
       }
       (out, new Env(Some(out.schema), programVars, programFuncs,
         tnames = Set(leftName.toLowerCase, rightName.toLowerCase)))

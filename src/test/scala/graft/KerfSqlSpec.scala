@@ -1647,6 +1647,19 @@ class KerfSqlSpec extends SparkSpec {
         "within 50 group sym, t_ts")
     }
     assert(e.getMessage.contains("collides"), s"wrong error: ${e.getMessage}")
+    // PREVAILING (q's wj proper vs wj1): each band also carries the
+    // latest quote STRICTLY before the band start. trade@300 band
+    // [250,350] holds 290 AND carries 120's 2.0 → count 2; trade@100
+    // band [50,150] has no earlier quote (80 is in-band) → unchanged;
+    // (2,100) has neither → still the null row
+    assert(run("50 prevailing") == Seq(
+      (1L, 100L, Some(2.0), 2L), (1L, 300L, Some(3.0), 2L),
+      (2L, 100L, None, 0L)))
+    // back band [250,300]: trade@300 still carries 120's 2.0 into the
+    // window; trade@100's band [50,100] holds 80 and nothing precedes
+    assert(run("50 back prevailing") == Seq(
+      (1L, 100L, Some(1.0), 1L), (1L, 300L, Some(3.0), 2L),
+      (2L, 100L, None, 0L)))
     // TIMESTAMP axes: the band is µs (span ns → µs, the as-of unit
     // contract); same membership as the long form scaled to seconds
     Seq((1L, java.sql.Timestamp.valueOf("2024-01-05 12:00:00"), 9.0))
