@@ -2186,6 +2186,24 @@ object Oracles {
          SELECT user_id, unnest(t) AS ts_ns, unnest(v) AS value FROM g
          ORDER BY user_id, ts_ns, value""",
 
+    // the maintained rollup must equal the FULL recompute bit-for-bit:
+    // exact decimal sums (VARCHAR-path to double), count/min/max picks
+    "q180_folio_rollup" ->
+      """SELECT l_returnflag,
+                count(*) AS n_rows,
+                count(l_quantity) AS q_cnt,
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR)
+                     AS DOUBLE) AS q_sum,
+                min(l_quantity) AS q_min,
+                max(l_quantity) AS q_max,
+                count(l_extendedprice) AS p_cnt,
+                CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR)
+                     AS DOUBLE) AS p_sum,
+                min(l_extendedprice) AS p_min,
+                max(l_extendedprice) AS p_max
+         FROM lineitem WHERE l_linenumber <= 7
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     // wj proper = wj1's band pairs UNION the prevailing-on-entry row
     // (latest quote strictly before band start; quotes deduped per
     // (user, ts) so the carried row is tie-free)

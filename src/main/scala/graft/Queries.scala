@@ -3324,6 +3324,40 @@ object Queries {
       "group user_id, t_id, t_ts, price order user_id, t_id")
   }
 
+  /** INCREMENTALLY-MAINTAINED ROLLUP (the kdb EOD-aggregate pattern at
+    * folio scale): three appended slices each merge a vocab-sized
+    * partial into the stored per-flag aggregate — the history is never
+    * re-aggregated — and each batch's visibility commits ATOMICALLY
+    * with the rollup that covers it (manifest-log publish: data and
+    * aggregate can never be observed out of sync). Sums are exact
+    * DECIMAL(38,6) partials (order-free merge), so the maintained
+    * rollup equals the oracle's full recompute bit-for-bit. */
+  val q180_folio_rollup: Q = (s, dir) => {
+    val path = Scratch.dir(s, "rollupq", new java.io.File(dir).getName) + "/ru"
+    if (io.Folio.currentVersion(s"$path/meta").isEmpty) {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+      Seq((1, 2), (3, 4), (5, 7)).foreach { case (lo, hi) =>
+        io.Folio.appendWithRollup(
+          li.filter(col("l_linenumber") >= lo && col("l_linenumber") <= hi)
+            .drop("l_linenumber"),
+          path, Seq("l_returnflag"), Seq("l_quantity", "l_extendedprice"))
+      }
+    }
+    io.Folio.rollupRead(s, path)
+      .select(col("l_returnflag"), col("n_rows"),
+        col("l_quantity_cnt").as("q_cnt"),
+        col("l_quantity_sum").cast("double").as("q_sum"),
+        col("l_quantity_min").as("q_min"),
+        col("l_quantity_max").as("q_max"),
+        col("l_extendedprice_cnt").as("p_cnt"),
+        col("l_extendedprice_sum").cast("double").as("p_sum"),
+        col("l_extendedprice_min").as("p_min"),
+        col("l_extendedprice_max").as("p_max"))
+      .orderBy("l_returnflag")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3504,5 +3538,6 @@ object Queries {
     "q177_conflation_capstone" -> q177_conflation_capstone,
     "q178_kerf_top"      -> q178_kerf_top,
     "q179_kerf_wj_prevailing" -> q179_kerf_wj_prevailing,
+    "q180_folio_rollup"  -> q180_folio_rollup,
   )
 }

@@ -677,4 +677,132 @@ object Folio {
     program.loadProgram(path)
     tables
   }
+
+  // ----- incrementally-maintained rollup (manifest-committed appends) -----
+  //
+  // The kdb EOD-aggregate pattern at folio scale: a per-key aggregate
+  // (count / exact decimal sum / min / max per value column) maintained
+  // INCREMENTALLY on append — each batch contributes one vocab-sized
+  // partial merged with the stored rollup, so the 100 TB history is
+  // never re-aggregated. Atomicity is the mini manifest log: a batch's
+  // parquet dir becomes visible ONLY when the meta version that lists
+  // it (manifest + merged rollup, one immutable tree) publishes via
+  // the same stage-and-swap as every other folio artifact. A crash at
+  // any point leaves either the old state (orphan batch dir, invisible
+  // and vacuumable) or the new one — data and rollup can NEVER be
+  // observed out of sync, the invariant a bolted-on aggregate cache
+  // always breaks.
+
+  private def rollupOf(df: DataFrame, keys: Seq[String],
+                       valCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++ valCols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}_cnt"),
+          // exact, order-free on any partitioning — the q140/q158
+          // decimal discipline; merge = plain sum of partials
+          sum(col(c).cast(DecimalType(38, 6))).as(s"${c}_sum"),
+          min(col(c)).as(s"${c}_min"),
+          max(col(c)).as(s"${c}_max"))
+    }
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def mergeRollups(a: DataFrame, b: DataFrame, keys: Seq[String],
+                           valCols: Seq[String]): DataFrame = {
+    val aggs = Seq(sum(col("n_rows")).as("n_rows")) ++ valCols.flatMap { c =>
+      Seq(sum(col(s"${c}_cnt")).as(s"${c}_cnt"),
+          sum(col(s"${c}_sum")).as(s"${c}_sum"),
+          min(col(s"${c}_min")).as(s"${c}_min"),
+          max(col(s"${c}_max")).as(s"${c}_max"))
+    }
+    a.unionByName(b).groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def rollupMetaDir(path: String) = s"$path/meta"
+
+  private def rollupManifest(path: String): Seq[String] =
+    currentVersion(rollupMetaDir(path)) match {
+      case None => Nil
+      case Some(v) =>
+        val f = new java.io.File(s"${rollupMetaDir(path)}/$v", "_MANIFEST")
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    }
+
+  /** Append `batch` and fold its partial into the stored rollup, as one
+    * atomic commit. `keys`/`valCols` must match the folio's existing
+    * rollup spec (validated from the stored schema). */
+  def appendWithRollup(batch: DataFrame, path: String, keys: Seq[String],
+                       valCols: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    require(keys.nonEmpty && valCols.nonEmpty, "rollup needs keys and value columns")
+    (keys ++ valCols).foreach(c => require(batch.columns.contains(c),
+      s"appendWithRollup: batch is missing column '$c'"))
+    val prev = currentVersion(rollupMetaDir(path)) match {
+      case None => None
+      case Some(v) =>
+        val r = spark.read.parquet(s"${rollupMetaDir(path)}/$v/rollup")
+        val expect = (Seq("n_rows") ++ valCols.flatMap(c =>
+          Seq(s"${c}_cnt", s"${c}_sum", s"${c}_min", s"${c}_max")) ++ keys).toSet
+        require(r.columns.toSet == expect,
+          s"appendWithRollup: stored rollup schema ${r.columns.sorted.mkString(",")} " +
+          s"does not match keys=$keys valCols=$valCols")
+        Some(r)
+    }
+    // the batch dir is INVISIBLE until manifested — its name only
+    // reaches readers through the atomically-published manifest
+    val bdir = s"$path/batches/b_${System.nanoTime()}"
+    batch.write.mode(SaveMode.ErrorIfExists).parquet(bdir)
+    val partial = rollupOf(spark.read.parquet(bdir), keys, valCols)
+    val merged = prev match {
+      case None => partial
+      case Some(r) => mergeRollups(r, partial, keys, valCols)
+    }
+    val manifest = (rollupManifest(path) :+ bdir).mkString("\n")
+    publishArtifacts(rollupMetaDir(path)) { vdir =>
+      // the previous rollup stays readable during this write (the
+      // publish vacuum keeps live+fallback), so the lazy merge plan is
+      // safe; the manifest and the merged rollup commit together
+      merged.write.parquet(new java.io.File(vdir, "rollup").toString)
+      java.nio.file.Files.write(new java.io.File(vdir, "_MANIFEST").toPath,
+        manifest.getBytes("UTF-8"))
+    }
+  }
+
+  /** The maintained aggregate — vocab-sized, no scan of the history. */
+  def rollupRead(spark: SparkSession, path: String): DataFrame = {
+    val v = currentVersion(rollupMetaDir(path)).getOrElse(
+      throw new IllegalArgumentException(s"no rollup published at $path"))
+    spark.read.parquet(s"${rollupMetaDir(path)}/$v/rollup")
+  }
+
+  /** The raw rows — exactly the manifested batches (an orphan dir from
+    * a crashed append is invisible here, by construction). */
+  def rollupDataRead(spark: SparkSession, path: String): DataFrame = {
+    val dirs = rollupManifest(path)
+    require(dirs.nonEmpty, s"no rollup batches manifested at $path")
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Reap batch dirs no manifest (live or fallback) references — the
+    * crash leftovers of interrupted appends. Returns removed names. */
+  def rollupVacuum(path: String): Seq[String] = {
+    val meta = rollupMetaDir(path)
+    val keep: Set[String] = (currentVersion(meta) match {
+      case None => Nil
+      case Some(v) =>
+        val n = v.stripPrefix("v").toLong
+        Seq(v, f"v${n - 1}%08d").flatMap { vn =>
+          val f = new java.io.File(s"$meta/$vn", "_MANIFEST")
+          if (f.isFile)
+            new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+              .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+          else Nil
+        }
+    }).map(p => new java.io.File(p).getName).toSet
+    val broot = new java.io.File(path, "batches")
+    Option(broot.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && !keep.contains(d.getName))
+      .map { d => rmTree(d); d.getName }.toSeq.sorted
+  }
 }

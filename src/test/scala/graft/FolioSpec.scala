@@ -524,6 +524,45 @@ class FolioSpec extends SparkSpec {
     intercept[Exception] { untouched.run("k") }
   }
 
+  test("rollup folio: incremental merge == full recompute; orphans invisible; vacuum reaps") {
+    import spark.implicits._
+    val path = tmp()
+    val b1 = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("b", Some(2.0))).toDF("k", "v")
+    val b2 = Seq(("a", Some(5.0)), ("c", Some(7.0))).toDF("k", "v")
+    // nulls: n_rows counts them, v_cnt/min/max/sum skip them
+    val b3 = Seq(("b", Option.empty[Double]), ("b", Some(9.0))).toDF("k", "v")
+    Seq(b1, b2, b3).foreach(Folio.appendWithRollup(_, path, Seq("k"), Seq("v")))
+    val got = Folio.rollupRead(spark, path)
+      .select(col("k"), col("n_rows"), col("v_cnt"),
+        col("v_sum").cast("double"), col("v_min"), col("v_max"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("a", 3L, 3L, 9.0, 1.0, 5.0),
+      ("b", 3L, 2L, 11.0, 2.0, 9.0),
+      ("c", 1L, 1L, 7.0, 7.0, 7.0)), s"rollup drifted: $got")
+    // the data read is exactly the manifested batches
+    assert(Folio.rollupDataRead(spark, path).count() == 7L)
+    // a crashed append's orphan batch dir is INVISIBLE (never
+    // manifested) and reaped by vacuum — data+rollup stay in sync
+    Seq(("z", 1.0)).toDF("k", "v").write.parquet(s"$path/batches/b_000orphan")
+    assert(Folio.rollupDataRead(spark, path).count() == 7L)
+    assert(!Folio.rollupRead(spark, path).collect().exists(_.getString(0) == "z"))
+    assert(Folio.rollupVacuum(path) == Seq("b_000orphan"))
+    assert(Folio.rollupDataRead(spark, path).count() == 7L)
+    // vacuum never touches manifested batches (live or fallback)
+    assert(Folio.rollupVacuum(path).isEmpty)
+    // spec drift is loud: stored rollup tracks (k, v), not (k, w)
+    val bad = Seq(("a", 1.0)).toDF("k", "w")
+    intercept[IllegalArgumentException] {
+      Folio.appendWithRollup(bad, path, Seq("k"), Seq("w"))
+    }
+    // and a batch missing the declared columns is loud before any write
+    intercept[IllegalArgumentException] {
+      Folio.appendWithRollup(bad, path, Seq("k"), Seq("v"))
+    }
+  }
+
   test("program restore resolves defs regardless of name-sort order (fixpoint rebind)") {
     val dir = tmp()
     val sess = new graft.sql.KerfSql.Interp(spark)
