@@ -405,6 +405,26 @@ object EventStream {
       .toDF()
   }
 
+  /** Streaming ROLLUP maintenance — the realtime face of
+    * [[graft.io.Folio.appendWithRollup]] (the kdb EOD loop, closed the
+    * way [[graft.llm.Similarity.ivfAppendStream]] closes the index's):
+    * each micro-batch lands as one manifest-committed append, so the
+    * maintained aggregate is exact after every batch and a reader can
+    * never observe data without its rollup. Exactly-once economics:
+    * under an at-least-once replay a batch would double-append — key
+    * the sink's checkpoint to the folio (one writer per path) and let
+    * the manifest log be the audit trail. */
+  def rollupStream(stream: DataFrame, path: String, keys: Seq[String],
+                   valCols: Seq[String])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.io.Folio.appendWithRollup(batch.toDF(), path, keys, valCols)
+        ()
+      }
+      .start()
+
   /** Input columns: (user_id, ts_ns, value). */
   def emaByKey(stream: DataFrame, alpha: Double): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")

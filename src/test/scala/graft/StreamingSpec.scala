@@ -996,6 +996,34 @@ class StreamingSpec extends SparkSpec {
     assert(batch == got)
   }
 
+  test("streaming rollup: per-batch manifest commits keep the aggregate exact after every batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft_rollup_stream").toString
+    val input = MemoryStream[(String, Double)]
+    val q = EventStream.rollupStream(
+      input.toDF().toDF("k", "v"), path, Seq("k"), Seq("v"))
+    try {
+      input.addData(("a", 1.0), ("a", 3.0), ("b", 2.0))
+      q.processAllAvailable()
+      // exact after the FIRST batch already
+      val mid = graft.io.Folio.rollupRead(spark, path)
+        .select(col("k"), col("v_sum").cast("double"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq
+      assert(mid == Seq(("a", 4.0), ("b", 2.0)), s"mid: $mid")
+      input.addData(("a", 5.0), ("c", 7.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = graft.io.Folio.rollupRead(spark, path)
+      .select(col("k"), col("n_rows"), col("v_sum").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(("a", 3L, 9.0), ("b", 1L, 2.0), ("c", 1L, 7.0)), s"got $got")
+    // the manifested data is exactly the streamed rows
+    assert(graft.io.Folio.rollupDataRead(spark, path).count() == 5L)
+  }
+
   test("streaming EMA state survives checkpoint restart (fold continues)") {
     withRocksDb {
       import spark.implicits._
