@@ -2186,6 +2186,58 @@ object Oracles {
          SELECT user_id, unnest(t) AS ts_ns, unnest(v) AS value FROM g
          ORDER BY user_id, ts_ns, value""",
 
+    // encode replayed end-to-end: positions via range-zip structs, the
+    // same replace chain on documents AND on the vocab census, ids =
+    // rank by (cnt desc, token), sequences ordered (wpos, tpos)
+    "q181_bpe_encode" ->
+      """WITH doc AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(
+                    replace(lower(text), '|', ' '), '\s+', ' ', 'g')), ' ') AS ws
+           FROM documents),
+         w AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+                    i -> struct_pack(wpos := i, w := ws[i]))) AS p
+           FROM doc),
+         w2 AS (SELECT doc_id, p.wpos AS wpos, p.w AS w FROM w
+                WHERE length(p.w) > 0),
+         r0 AS (SELECT doc_id, wpos,
+                       '||' || regexp_replace(w, '(.)', '\1||', 'g') || '</w>||' AS rep
+                FROM w2),
+         r1 AS (SELECT doc_id, wpos, replace(rep, '|t||h|', '|th|') AS rep FROM r0),
+         r2 AS (SELECT doc_id, wpos, replace(rep, '|th||e|', '|the|') AS rep FROM r1),
+         r3 AS (SELECT doc_id, wpos, replace(rep, '|the||</w>|', '|the</w>|') AS rep FROM r2),
+         r4 AS (SELECT doc_id, wpos, replace(rep, '|v||a|', '|va|') AS rep FROM r3),
+         r5 AS (SELECT doc_id, wpos, replace(rep, '|va||l|', '|val|') AS rep FROM r4),
+         r6 AS (SELECT doc_id, wpos, replace(rep, '|a||</w>|', '|a</w>|') AS rep FROM r5),
+         tk0 AS (SELECT doc_id, wpos, string_split(trim(rep, '|'), '||') AS tl FROM r6),
+         tk AS (SELECT doc_id, wpos, unnest(list_transform(range(1, len(tl) + 1),
+                  i -> struct_pack(tpos := i, tok := tl[i]))) AS p
+                FROM tk0),
+         tk2 AS (SELECT doc_id, wpos, p.tpos AS tpos, p.tok AS token FROM tk),
+         wf AS (SELECT w, count(*) AS freq FROM w2 GROUP BY w),
+         vr0 AS (SELECT freq,
+                        '||' || regexp_replace(w, '(.)', '\1||', 'g') || '</w>||' AS rep
+                 FROM wf),
+         vr1 AS (SELECT freq, replace(rep, '|t||h|', '|th|') AS rep FROM vr0),
+         vr2 AS (SELECT freq, replace(rep, '|th||e|', '|the|') AS rep FROM vr1),
+         vr3 AS (SELECT freq, replace(rep, '|the||</w>|', '|the</w>|') AS rep FROM vr2),
+         vr4 AS (SELECT freq, replace(rep, '|v||a|', '|va|') AS rep FROM vr3),
+         vr5 AS (SELECT freq, replace(rep, '|va||l|', '|val|') AS rep FROM vr4),
+         vr6 AS (SELECT freq, replace(rep, '|a||</w>|', '|a</w>|') AS rep FROM vr5),
+         vt AS (SELECT freq, unnest(string_split(trim(rep, '|'), '||')) AS token
+                FROM vr6),
+         voc AS (SELECT token, sum(freq) AS cnt FROM vt GROUP BY token),
+         vid AS (SELECT token,
+                        CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1
+                             AS BIGINT) AS id
+                 FROM voc)
+         SELECT t.doc_id,
+                list(coalesce(v.id, -1) ORDER BY t.wpos, t.tpos) AS ids,
+                count(*) AS n_tokens
+         FROM tk2 t LEFT JOIN vid v ON t.token = v.token
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
+
     // the maintained rollup must equal the FULL recompute bit-for-bit:
     // exact decimal sums (VARCHAR-path to double), count/min/max picks
     "q180_folio_rollup" ->

@@ -3358,6 +3358,21 @@ object Queries {
       .orderBy("l_returnflag")
   }
 
+  /** BPE ENCODE — the tensor-ready last mile (tokenize → ids): each
+    * document becomes its id sequence in DOCUMENT ORDER (word position
+    * × in-word position) through the corpus-ranked vocabulary
+    * (id = rank by count desc, token — deterministic). Map-only until
+    * the per-doc rollup; the vocabulary joins broadcast. The oracle
+    * rebuilds the identical vocabulary and sequence in SQL. */
+  val q181_bpe_encode: Q = (s, dir) => {
+    val merges = Seq(("t", "h"), ("th", "e"), ("the", "</w>"),
+      ("v", "a"), ("va", "l"), ("a", "</w>"))
+    val docs = Tables.documents(s, dir)
+    val vocab = llm.TextOps.bpeVocab(docs, "text", merges)
+    llm.TextOps.bpeEncode(docs, "doc_id", "text", merges, vocab)
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3539,5 +3554,6 @@ object Queries {
     "q178_kerf_top"      -> q178_kerf_top,
     "q179_kerf_wj_prevailing" -> q179_kerf_wj_prevailing,
     "q180_folio_rollup"  -> q180_folio_rollup,
+    "q181_bpe_encode"    -> q181_bpe_encode,
   )
 }

@@ -514,6 +514,61 @@ object TextOps {
       .agg(count(lit(1)).as("n_words"),
            sum(size(col("toks"))).cast("long").as("n_tokens"))
 
+  /** The learned VOCABULARY: distinct post-merge tokens ranked by
+    * corpus frequency — `(token, id, cnt)` with id = rank by
+    * (cnt desc, token), the deterministic tie-break. Computed from the
+    * distinct-word census (vocab-bounded, like training itself). */
+  def bpeVocab(docs: DataFrame, textCol: String,
+               merges: Seq[(String, String)],
+               endMark: String = "</w>"): DataFrame = {
+    val words = bpeWordCensus(docs, textCol, endMark)
+    val mergedRep = merges.foldLeft(words) { case (df, (l, r)) =>
+      df.withColumn("rep",
+        replace(col("rep"), lit("|" + l + "||" + r + "|"), lit("|" + l + r + "|")))
+    }
+    import org.apache.spark.sql.expressions.Window
+    mergedRep
+      .select(col("freq"), explode(bpeSyms(col("rep"))).as("token"))
+      .groupBy("token").agg(sum(col("freq")).as("cnt"))
+      .withColumn("id",
+        (row_number().over(Window.orderBy(col("cnt").desc, col("token"))) - 1)
+          .cast("long"))
+      .select("token", "id", "cnt")
+  }
+
+  /** ENCODE documents to id sequences — the tensor-ready last mile
+    * (tokenize → ids → [[graft.llm.Pipeline]] packing): per doc, the
+    * BPE tokens in DOCUMENT ORDER (word position × in-word position)
+    * mapped through the vocabulary; tokens outside it encode as -1
+    * (UNK). Map-only until the per-doc rollup; the vocabulary joins
+    * broadcast (vocab-bounded). Returns (doc_id, ids, n_tokens). */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)], vocab: DataFrame,
+                endMark: String = "</w>"): DataFrame = {
+    require(Seq("token", "id").forall(vocab.columns.contains),
+      s"bpeEncode needs a (token, id) vocabulary, got ${vocab.columns.mkString(", ")}")
+    val words = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(Dedup.tokens(bpeSanitize(col(textCol)))).as(Seq("wpos", "w")))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), col("wpos"), bpeRep(col("w"), endMark).as("rep"))
+    val mergedRep = merges.foldLeft(words) { case (df, (l, r)) =>
+      df.withColumn("rep",
+        replace(col("rep"), lit("|" + l + "||" + r + "|"), lit("|" + l + r + "|")))
+    }
+    mergedRep
+      .select(col("doc_id"), col("wpos"),
+        posexplode(bpeSyms(col("rep"))).as(Seq("tpos", "token")))
+      .join(broadcast(vocab.select(col("token"), col("id"))), Seq("token"), "left")
+      .select(col("doc_id"),
+        struct(col("wpos"), col("tpos"),
+          coalesce(col("id"), lit(-1L)).as("id")).as("__p"))
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(col("__p"))), s => s.getField("id"))
+             .as("ids"),
+           count(lit(1)).as("n_tokens"))
+  }
+
   // ----- perceptron training for the hashed linear quality classifier -----
 
   /** Batch-perceptron training — the LEARNING side of

@@ -1060,6 +1060,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(TextOps.bpeTrain(tiny, "text", 5, minCount = 2).count() == 0L)
   }
 
+  test("bpe encode: ids in document order, UNK = -1, vocab ranked by frequency") {
+    val docs = Seq((1L, "low low slow"), (2L, "low")).toDF("doc_id", "text")
+    val merges = Seq(("l", "o"), ("lo", "w"), ("low", "</w>"))
+    val vocab = TextOps.bpeVocab(docs, "text", merges)
+    val v = vocab.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._2)
+    // 'low' fully merges to one token low</w> (freq 3); 'slow' merges
+    // its tail too: [s, low</w>] — so the vocab is low</w> (cnt 4) then s
+    assert(v == Seq(("low</w>", 0L, 4L), ("s", 1L, 1L)), s"vocab: $v")
+    val enc = TextOps.bpeEncode(docs, "doc_id", "text", merges, vocab)
+      .collect().map(r => (r.getLong(0), (r.getSeq[Long](1), r.getLong(2)))).toMap
+    // document order: low low s·low</w> → 0 0 1 0
+    assert(enc(1L) == ((Seq(0L, 0L, 1L, 0L), 4L)), s"doc1: ${enc(1L)}")
+    assert(enc(2L) == ((Seq(0L), 1L)), s"doc2: ${enc(2L)}")
+    // unseen tokens encode as -1 (UNK), never a silent drop
+    val unk = TextOps.bpeEncode(Seq((9L, "zz")).toDF("doc_id", "text"),
+        "doc_id", "text", merges, vocab)
+      .collect().map(r => r.getSeq[Long](1)).head
+    assert(unk == Seq(-1L, -1L, -1L), s"unk: $unk")
+  }
+
   test("perceptron: separates a planted corpus; trained table deploys through classify") {
     // planted separable corpus: good docs use one vocabulary, bad
     // another (distinct md5 buckets with overwhelming probability)
