@@ -2186,6 +2186,41 @@ object Oracles {
          SELECT user_id, unnest(t) AS ts_ns, unnest(v) AS value FROM g
          ORDER BY user_id, ts_ns, value""",
 
+    // packing on the tokenizer's counts: q172's merge-chain counts
+    // feed the per-stream running-offset chunk layout
+    "q182_bpe_packing" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  unnest(string_split(trim(regexp_replace(
+                    replace(lower(text), '|', ' '), '\s+', ' ', 'g')), ' ')) AS w
+           FROM documents),
+         r0 AS (
+           SELECT doc_id,
+                  '||' || regexp_replace(w, '(.)', '\1||', 'g') || '</w>||' AS rep
+           FROM w WHERE length(w) > 0),
+         r1 AS (SELECT doc_id, replace(rep, '|t||h|', '|th|') AS rep FROM r0),
+         r2 AS (SELECT doc_id, replace(rep, '|th||e|', '|the|') AS rep FROM r1),
+         r3 AS (SELECT doc_id, replace(rep, '|the||</w>|', '|the</w>|') AS rep FROM r2),
+         r4 AS (SELECT doc_id, replace(rep, '|v||a|', '|va|') AS rep FROM r3),
+         r5 AS (SELECT doc_id, replace(rep, '|va||l|', '|val|') AS rep FROM r4),
+         r6 AS (SELECT doc_id, replace(rep, '|a||</w>|', '|a</w>|') AS rep FROM r5),
+         counts AS (
+           SELECT doc_id,
+                  CAST(sum((length(rep) - length(replace(rep, '|', ''))) // 2 - 1)
+                       AS BIGINT) AS n_tokens
+           FROM r6 GROUP BY doc_id),
+         c AS (SELECT doc_id, doc_id % 4 AS stream, n_tokens FROM counts),
+         p AS (
+           SELECT doc_id, stream, n_tokens,
+                  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY stream
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS start_tok
+           FROM c)
+         SELECT doc_id, stream, n_tokens, start_tok,
+                start_tok // 512 AS chunk_id
+         FROM p ORDER BY doc_id""",
+
     // encode replayed end-to-end: positions via range-zip structs, the
     // same replace chain on documents AND on the vocab census, ids =
     // rank by (cnt desc, token), sequences ordered (wpos, tpos)

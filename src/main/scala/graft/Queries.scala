@@ -3373,6 +3373,28 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** TOKENIZER-AWARE PACKING — the budget a training-data writer
+    * actually spends: GPT concat-and-chunk layout (q65's engine) on
+    * the BPE token counts instead of the whitespace proxy. Four
+    * independent streams (doc_id mod 4) pack in parallel — the
+    * per-stream window is the packChunks contract, one shuffle.
+    * Every count comes from the oracled q172 merge chain, every
+    * offset from an exact integer running sum. */
+  val q182_bpe_packing: Q = (s, dir) => {
+    val merges = Seq(("t", "h"), ("th", "e"), ("the", "</w>"),
+      ("v", "a"), ("va", "l"), ("a", "</w>"))
+    val counts = llm.TextOps.bpeApply(Tables.documents(s, dir),
+      "doc_id", "text", merges)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("stream")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counts.withColumn("stream", pmod(col("doc_id"), lit(4)))
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("chunk_id", expr("start_tok div 512"))
+      .select("doc_id", "stream", "n_tokens", "start_tok", "chunk_id")
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3555,5 +3577,6 @@ object Queries {
     "q179_kerf_wj_prevailing" -> q179_kerf_wj_prevailing,
     "q180_folio_rollup"  -> q180_folio_rollup,
     "q181_bpe_encode"    -> q181_bpe_encode,
+    "q182_bpe_packing"   -> q182_bpe_packing,
   )
 }
