@@ -1470,6 +1470,8 @@ object KerfSql {
           p.pop(); last = Left(runCompact(spark, p))
         case "vacuum" if toks.lengthCompare(2) >= 0 && toks(1).startsWith("'") =>
           p.pop(); last = Left(runVacuum(spark, p))
+        case "rollup" if toks.lengthCompare(2) >= 0 && toks(1).startsWith("'") =>
+          p.pop(); last = Left(runRollup(spark, p))
         case "def" =>
           p.pop()
           val name = p.pop()
@@ -1663,10 +1665,15 @@ object KerfSql {
             require(p.done, s"trailing tokens in assignment: ${p.toks.mkString(" ")}")
             df.createOrReplaceTempView(name)
             last = Left(df)
-          } else if ((p.peekIs("compact") || p.peekIs("probe")) &&
+          } else if ((p.peekIs("compact") || p.peekIs("probe") ||
+                      p.peekIs("rollup")) &&
                      p.toks.lengthCompare(2) >= 0 && p.toks(1).startsWith("'")) {
             val verb = p.pop().toLowerCase
-            val df = if (verb == "probe") runProbe(spark, p) else runCompact(spark, p)
+            val df = verb match {
+              case "probe"  => runProbe(spark, p)
+              case "rollup" => runRollup(spark, p)
+              case _        => runCompact(spark, p)
+            }
             df.createOrReplaceTempView(name)
             last = Left(df)
           } else if (p.peekIs("uj") && p.toks.lengthCompare(3) >= 0 &&
@@ -2936,6 +2943,35 @@ object KerfSql {
       case None => graft.llm.TextOps.syntheticWeights(dim)
     }
     graft.llm.TextOps.hashedLinearScore(df, idCol, textCol, weights, scale, dim)
+  }
+
+  /** `rollup 'path'` — read the maintained aggregate;
+    * `rollup 'path' append t by k1[, k2] on v1[, v2]` — one atomic
+    * manifest-committed append folding t's partial into the stored
+    * rollup, returning the updated aggregate. The dialect face of
+    * [[graft.io.Folio.appendWithRollup]]/[[graft.io.Folio.rollupRead]]
+    * (path-first like compact/vacuum). */
+  private def runRollup(spark: SparkSession, p: P): DataFrame = {
+    def quoted(t: String): String = {
+      require(t.length >= 2 && t.startsWith("'") && t.endsWith("'"),
+        s"rollup needs a quoted path, got $t")
+      t.substring(1, t.length - 1)
+    }
+    val path = quoted(p.pop())
+    if (p.done) graft.io.Folio.rollupRead(spark, path)
+    else {
+      p.expect("append")
+      val df = spark.table(p.pop())
+      p.expect("by")
+      val keys = scala.collection.mutable.ArrayBuffer[String](p.pop())
+      while (p.peekIs(",")) { p.pop(); keys += p.pop() }
+      p.expect("on")
+      val vals = scala.collection.mutable.ArrayBuffer[String](p.pop())
+      while (p.peekIs(",")) { p.pop(); vals += p.pop() }
+      require(p.done, s"trailing tokens in rollup: ${p.toks.mkString(" ")}")
+      graft.io.Folio.appendWithRollup(df, path, keys.toSeq, vals.toSeq)
+      graft.io.Folio.rollupRead(spark, path)
+    }
   }
 
   /** `classifytrain t by id on text label lbl [dim 1024] [epochs 5]

@@ -1832,6 +1832,28 @@ class KerfSqlSpec extends SparkSpec {
     }
   }
 
+  test("rollup dialect: append folds partials atomically; read returns the maintained aggregate") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_rollup_dialect").toString
+    Seq(("a", 1.0), ("a", 3.0), ("b", 2.0)).toDF("k", "v")
+      .createOrReplaceTempView("ru_b1")
+    Seq(("a", 5.0), ("c", 7.0)).toDF("k", "v").createOrReplaceTempView("ru_b2")
+    KerfSql.run(spark, s"rollup '$path' append ru_b1 by k on v")
+    val got = KerfSql.run(spark,
+      s"r2: rollup '$path' append ru_b2 by k on v; " +
+      "select k, n_rows, v_sum from r2 order k")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).doubleValue())).toSeq
+    assert(got == Seq(("a", 3L, 9.0), ("b", 1L, 2.0), ("c", 1L, 7.0)), s"got $got")
+    // bare read face returns the same maintained table
+    val rd = KerfSql.run(spark, s"rollup '$path'")
+    assert(rd.count() == 3L)
+    // anything other than the bare read or the append form is loud
+    intercept[IllegalArgumentException] {
+      KerfSql.run(spark, s"rollup '$path' compact")
+    }
+  }
+
   test("in / not in: the membership predicate over expression lists") {
     import spark.implicits._
     Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L))
