@@ -2235,6 +2235,7 @@ object KerfSql {
       val rts = if (p.peekIs(",")) { p.pop(); p.pop() } else lts
       var tol: Option[Long] = None
       var fwd = false
+      var strict = false
       while (!p.done) {
         if (p.peekIs("within")) {
           p.pop(); val t = p.pop()
@@ -2246,11 +2247,14 @@ object KerfSql {
               sp.nanos
             })
         } else if (p.peekIs("forward")) { p.pop(); fwd = true }
+        // `strict` — before, never AT (kdb's aj vs the < variant): the
+        // latest right row with rts < lts (rts > lts under forward)
+        else if (p.peekIs("strict")) { p.pop(); strict = true }
         else throw new IllegalArgumentException(
           s"unexpected from-clause token '${p.pop()}'")
       }
       val joined = graft.ops.AsOf.joinNative(left, right, keys.toSeq, lts, rts,
-        strict = false, tolerance = tol, forward = fwd)
+        strict = strict, tolerance = tol, forward = fwd)
       (joined, new Env(Some(joined.schema), programVars, programFuncs,
         tnames = Set(leftName.toLowerCase, asofRightName.toLowerCase)))
     }

@@ -562,6 +562,14 @@ class KerfSqlSpec extends SparkSpec {
     assert(got.collect().toSeq == want.collect().toSeq)
     assert(got.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq ==
       Seq((1L, 100L, 1.0), (1L, 200L, 2.0), (2L, 150L, 3.0)))
+    // `strict` — before, never AT: a quote exactly at the trade's ts is
+    // excluded and the previous one carries instead
+    Seq((1L, 100L, 5.0), (1L, 90L, 1.0)).toDF("sym", "q_ts", "bid")
+      .createOrReplaceTempView("quotes_ks")
+    val st = KerfSql.run(spark,
+      "select sym, t_ts, bid from trades_k asof join quotes_ks " +
+      "on sym at t_ts, q_ts strict order sym, t_ts").collect()
+    assert(st(0).getDouble(2) == 1.0, "strict must skip the at-ts quote")
   }
 
   test("asof join: forward + within tolerance from text") {
