@@ -607,7 +607,9 @@ object TextOps {
     feats.count()
     val v = new Array[Long](dim)
     try {
-      for (_ <- 1 to epochs) {
+      var epoch = 0
+      var converged = false
+      while (epoch < epochs && !converged) {
         val scored = feats.withColumn("w",
           element_at(typedLit(v.toSeq), (col("bucket") + 1).cast("int")))
         val wrong = scored
@@ -619,8 +621,11 @@ object TextOps {
           .groupBy(col("bucket"))
           .agg(sum(col("y") * col("c")).as("u"))
           .collect()
-        if (upd.isEmpty) ()  // converged: nothing misclassified
+        // an empty update = nothing misclassified: converged, stop —
+        // burning the remaining epochs on empty jobs helps nobody
+        if (upd.isEmpty) converged = true
         else upd.foreach(r => v(r.getLong(0).toInt) += r.getLong(1))
+        epoch += 1
       }
     } finally feats.unpersist()
     val half = scale / 2
