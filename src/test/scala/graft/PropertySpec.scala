@@ -296,6 +296,35 @@ class PropertySpec extends SparkSpec {
     assert(got.sortBy(t => (t._1, t._2)) == want)
   }
 
+  test("rollup: any batch split merges to the one-shot recompute (random splits)") {
+    val rnd = new scala.util.Random(2024)
+    val rows = (0 until 200).map(_ => (s"k${rnd.nextInt(6)}",
+      if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(1000) / 100.0),
+      rnd.nextInt(100).toLong))
+    def snap(path: String): Seq[String] =
+      graft.io.Folio.rollupRead(spark, path)
+        .collect().map(_.mkString("|")).sorted.toSeq
+    // the truth: ONE append of everything
+    val one = java.nio.file.Files.createTempDirectory("graft_rup_one").toString
+    graft.io.Folio.appendWithRollup(rows.toDF("k", "v", "w"), one,
+      Seq("k"), Seq("v", "w"))
+    val want = snap(one)
+    for (seed <- 1 to 3) {
+      val r2 = new scala.util.Random(seed)
+      val cuts = (0 until 1 + r2.nextInt(3)).map(_ => r2.nextInt(rows.length))
+      val bounds = (Seq(0) ++ cuts :+ rows.length).distinct.sorted
+      val path = java.nio.file.Files.createTempDirectory(s"graft_rup$seed").toString
+      bounds.sliding(2).map { case Seq(a, b) => rows.slice(a, b) }
+        .filter(_.nonEmpty)
+        .foreach(b => graft.io.Folio.appendWithRollup(b.toDF("k", "v", "w"),
+          path, Seq("k"), Seq("v", "w")))
+      // incremental merge across ANY split == the one-shot aggregate,
+      // including the exact decimal sums (order-free by construction)
+      assert(snap(path) == want, s"seed $seed split drifted")
+      assert(graft.io.Folio.rollupDataRead(spark, path).count() == rows.length)
+    }
+  }
+
   test("bpe: the trained first merge equals the pair-census argmax; counts shrink per fired merge") {
     val rnd = new scala.util.Random(31337)
     val words = Seq("spark", "sparse", "parse", "park", "shark", "scala")
