@@ -2186,6 +2186,22 @@ object Oracles {
          SELECT user_id, unnest(t) AS ts_ns, unnest(v) AS value FROM g
          ORDER BY user_id, ts_ns, value""",
 
+    // coverage sampling: exact sign-test octants + q112's md5-rank cut
+    "q183_diversity_sample" ->
+      """WITH s AS (
+           SELECT vec_id,
+                  (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+                   CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+                   CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) AS octant
+           FROM embeddings)
+         SELECT vec_id, octant FROM (
+           SELECT vec_id, octant,
+                  row_number() OVER (PARTITION BY octant
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                             CAST(vec_id AS VARCHAR)) AS rk
+           FROM s) t
+         WHERE rk <= 25 ORDER BY octant, vec_id""",
+
     // packing on the tokenizer's counts: q172's merge-chain counts
     // feed the per-stream running-offset chunk layout
     "q182_bpe_packing" ->

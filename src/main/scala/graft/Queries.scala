@@ -3395,6 +3395,26 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** DIVERSITY-AWARE (coverage) sampling over the embedding space: cap
+    * the sample per GEOMETRIC stratum so every region contributes, the
+    * curation move that plain Bernoulli sampling cannot make (it
+    * mirrors the density skew). The stratum here is the axis-sign
+    * octant of the first three dimensions — sign tests are exact in
+    * both engines, so the whole query is oracle-replayable; production
+    * swaps in the hyperplane sketch (q46's engine — the same
+    * stratify-then-cap plan shape, just a richer bucket key). Within a
+    * stratum the md5-rank cut keeps the pick unbiased and
+    * deterministic (q112's engine). */
+  val q183_diversity_sample: Q = (s, dir) => {
+    val strata = Tables.embeddings(s, dir).select(col("vec_id"),
+      concat_ws("", (1 to 3).map(i =>
+        when(element_at(col("embedding"), i) >= 0f, lit("1"))
+          .otherwise(lit("0"))): _*).as("octant"))
+    llm.Pipeline.capPerStratum(strata, col("octant"),
+        col("vec_id").cast("string"), 25)
+      .orderBy(col("octant"), col("vec_id"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3578,5 +3598,6 @@ object Queries {
     "q180_folio_rollup"  -> q180_folio_rollup,
     "q181_bpe_encode"    -> q181_bpe_encode,
     "q182_bpe_packing"   -> q182_bpe_packing,
+    "q183_diversity_sample" -> q183_diversity_sample,
   )
 }
