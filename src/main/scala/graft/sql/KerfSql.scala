@@ -1607,9 +1607,22 @@ object KerfSql {
               s"$name >> needs a quoted path, got $t")
             t.substring(1, t.length - 1)
           }
+          // `t >> 'path' jsonl|csv` — delivery formats: training data
+          // ships as JSONL shards, exports as CSV; parquet stays the
+          // default storage tier. `shard … into N` upstream controls
+          // the file count (one file per partition).
+          val fmt =
+            if (p.peekIs("jsonl") || p.peekIs("json")) { p.pop(); "json" }
+            else if (p.peekIs("csv")) { p.pop(); "csv" }
+            else "parquet"
           require(p.done, s"trailing tokens after >>: ${p.toks.mkString(" ")}")
           val df = spark.table(name)
-          df.write.mode("overwrite").parquet(path)
+          fmt match {
+            case "json" => df.write.mode("overwrite").json(path)
+            case "csv"  => df.write.mode("overwrite")
+              .option("header", "true").csv(path)
+            case _      => df.write.mode("overwrite").parquet(path)
+          }
           last = Left(df)
         case name if toks.lengthCompare(1) > 0 && toks(1) == ":" &&
                      name.matches("[A-Za-z_][A-Za-z0-9_.]*") =>

@@ -1840,6 +1840,30 @@ class KerfSqlSpec extends SparkSpec {
     }
   }
 
+  test(">> delivery formats: jsonl and csv shards round-trip") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "k", "v")
+      .createOrReplaceTempView("fmt_t")
+    KerfSql.run(spark, s"fmt_t >> '$base/j' jsonl")
+    val j = spark.read.json(s"$base/j")
+      .select("id", "k", "v").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(j == Seq((1L, "a", 1.5), (2L, "b", 2.5)))
+    // the on-disk bytes ARE JSONL (one object per line)
+    val line = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$base/j").listFiles()
+        .filter(_.getName.endsWith(".json")).head.toPath), "UTF-8")
+      .split("\n").head
+    assert(line.startsWith("{") && line.endsWith("}"), s"not JSONL: $line")
+    KerfSql.run(spark, s"fmt_t >> '$base/c' csv")
+    val c = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(s"$base/c")
+      .select("id", "k", "v").orderBy("id")
+      .collect().map(r => (r.getInt(0).toLong, r.getString(1), r.getDouble(2))).toSeq
+    assert(c == Seq((1L, "a", 1.5), (2L, "b", 2.5)))
+  }
+
   test("rollup dialect: append folds partials atomically; read returns the maintained aggregate") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_rollup_dialect").toString
