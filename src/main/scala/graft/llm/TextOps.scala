@@ -547,6 +547,9 @@ object TextOps {
                 endMark: String = "</w>"): DataFrame = {
     require(Seq("token", "id").forall(vocab.columns.contains),
       s"bpeEncode needs a (token, id) vocabulary, got ${vocab.columns.mkString(", ")}")
+    // CONTRACT: vocab tokens must be UNIQUE ([[bpeVocab]]'s output is,
+    // by construction) — a duplicated token would silently multiply
+    // sequence rows through the join below
     val words = docs
       .select(col(idCol).as("doc_id"),
         posexplode(Dedup.tokens(bpeSanitize(col(textCol)))).as(Seq("wpos", "w")))
@@ -587,7 +590,9 @@ object TextOps {
     * grid centered at scale/2: w = clamp(scale/2 + v, 0, scale−1).
     * Model state is dim-bounded driver memory (the classify ≤ 1e6
     * contract); the feature frame is computed once and cached, each
-    * epoch is two bounded jobs over it. */
+    * epoch is two bounded jobs over it. A NULL label reads as false
+    * (−1) via the boolean cast — filter upstream if null means
+    * unknown rather than negative. */
   def perceptronTrain(docs: DataFrame, idCol: String, textCol: String,
                       labelCol: String, dim: Int = 1024, epochs: Int = 5,
                       scale: Long = 1997L): DataFrame = {
