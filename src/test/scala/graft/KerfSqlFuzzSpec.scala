@@ -262,4 +262,56 @@ class KerfSqlFuzzSpec extends SparkSpec {
         s"seed $seed diverged\n  dialect: $txt\n  got:  ${got.take(3)}\n  want: ${want.take(3)}")
     }
   }
+
+  test("program fuzz: 25 seeded multi-statement pipelines are run-to-run deterministic") {
+    // the determinism net: every registered query's oracle comparison
+    // depends on a second evaluation producing the SAME rows — this
+    // fuzz drives random multi-statement programs (assignment-staged
+    // filters with in-lists and fby, grouped aggregates incl. collect,
+    // window-verb stages, the top verb) twice through a fresh parse
+    // and requires identical collected multisets. Catches any plan
+    // whose output depends on partitioning or visit order (the trap
+    // array_sort-ed collect and md5-ranked cuts exist to avoid).
+    Tables.lineitem(spark, sf).limit(600)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"), col("l_returnflag"), col("l_linestatus"))
+      .createOrReplaceTempView("lineitem_pfuzz")
+    for (seed <- 1 to 25) {
+      val rnd = new scala.util.Random(7000 + seed)
+      val flag = Seq("'A'", "'N'", "'R'")(rnd.nextInt(3))
+      val stages = scala.collection.mutable.ArrayBuffer[String]()
+      // stage 1: a filtered projection (in-list or comparison or fby)
+      val pred = rnd.nextInt(3) match {
+        case 0 => s"l_returnflag in ($flag, 'X')"
+        case 1 => s"l_quantity > ${1 + rnd.nextInt(40)}"
+        case 2 => "l_quantity = max(l_quantity) by l_returnflag"
+      }
+      stages += s"s1_$seed: select l_orderkey, l_linenumber, l_quantity, " +
+        s"l_discount, l_returnflag from lineitem_pfuzz where $pred"
+      // stage 2: either a grouped aggregate (maybe with collect) or a
+      // windowed-verb stage or a top cut
+      val fin = rnd.nextInt(3) match {
+        case 0 =>
+          val extra = if (rnd.nextBoolean()) ", collect(l_quantity) as qs" else ""
+          s"select l_returnflag, count(*) as n, sum(l_quantity) as sq, " +
+            s"countd(l_orderkey) as no$extra from s1_$seed " +
+            "group l_returnflag order l_returnflag"
+        case 1 =>
+          s"select l_returnflag, l_orderkey, l_linenumber, " +
+            "sums(l_quantity) as cum, differs(l_quantity) as chg " +
+            s"from s1_$seed group l_returnflag order l_orderkey, l_linenumber"
+        case 2 =>
+          s"t_$seed: top s1_$seed by l_returnflag at ${1 + rnd.nextInt(5)} " +
+            "order -l_quantity, l_orderkey, l_linenumber; " +
+            s"select * from t_$seed order l_returnflag, l_orderkey, l_linenumber"
+      }
+      val program = (stages :+ fin).mkString("; ")
+      def run(): Seq[String] =
+        KerfSql.run(spark, program).collect().map(_.mkString("|")).sorted.toSeq
+      val a = run(); val b = run()
+      assert(a == b, s"seed $seed nondeterministic\n  program: $program\n" +
+        s"  first:  ${a.take(3)}\n  second: ${b.take(3)}")
+      assert(a.nonEmpty || pred.contains("in"), s"seed $seed empty result: $program")
+    }
+  }
 }
