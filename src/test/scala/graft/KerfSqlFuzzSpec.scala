@@ -263,6 +263,42 @@ class KerfSqlFuzzSpec extends SparkSpec {
     }
   }
 
+  test("asof-text fuzz: 20 seeded tolerance/forward/strict shapes equal the API join") {
+    import spark.implicits._
+    // random tick fixtures: duplicate-free (sym, ts) on the right so
+    // the carried row is unambiguous on both paths
+    val rnd0 = new scala.util.Random(555)
+    val trades = (0 until 120).map(_ =>
+      (rnd0.nextInt(5).toLong, rnd0.nextInt(1000).toLong, rnd0.nextInt(100).toDouble))
+      .toDF("sym", "t_ts", "px")
+    val quotes = rnd0.shuffle((0 until 5).flatMap(s =>
+        rnd0.shuffle((0 until 1000).toList).take(60).map(t =>
+          (s.toLong, t.toLong, rnd0.nextInt(50).toDouble))))
+      .toDF("sym", "q_ts", "bid")
+    trades.createOrReplaceTempView("af_trades")
+    quotes.createOrReplaceTempView("af_quotes")
+    for (seed <- 1 to 20) {
+      val rnd = new scala.util.Random(9000 + seed)
+      val tol = if (rnd.nextBoolean()) Some(1L + rnd.nextInt(300)) else None
+      val fwd = rnd.nextBoolean()
+      val strict = rnd.nextBoolean()
+      val txt = s"select sym, t_ts, px, bid from af_trades " +
+        "asof join af_quotes on sym at t_ts, q_ts" +
+        tol.map(t => s" within $t").getOrElse("") +
+        (if (fwd) " forward" else "") +
+        (if (strict) " strict" else "") +
+        " order sym, t_ts, px, bid"
+      val got = KerfSql.run(spark, txt).collect().map(_.mkString("|")).toSeq
+      val want = graft.ops.AsOf.joinNative(trades, quotes, Seq("sym"),
+          "t_ts", "q_ts", strict = strict, tolerance = tol, forward = fwd)
+        .select(col("sym"), col("t_ts"), col("px"), col("bid"))
+        .orderBy(col("sym"), col("t_ts"), col("px"), col("bid"))
+        .collect().map(_.mkString("|")).toSeq
+      assert(got == want, s"seed $seed diverged (tol=$tol fwd=$fwd strict=$strict)\n" +
+        s"  got:  ${got.take(3)}\n  want: ${want.take(3)}")
+    }
+  }
+
   test("program fuzz: 25 seeded multi-statement pipelines are run-to-run deterministic") {
     // the determinism net: every registered query's oracle comparison
     // depends on a second evaluation producing the SAME rows — this
