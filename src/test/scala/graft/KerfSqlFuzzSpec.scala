@@ -299,6 +299,47 @@ class KerfSqlFuzzSpec extends SparkSpec {
     }
   }
 
+  test("wj fuzz: 12 seeded band/back/forward/prevailing shapes equal brute force") {
+    import spark.implicits._
+    val rnd0 = new scala.util.Random(777)
+    val tr = (0 until 40).map(i =>
+      (rnd0.nextInt(3).toLong, (10 + rnd0.nextInt(200)).toLong, i.toDouble))
+    val qu = rnd0.shuffle((0 until 3).flatMap(s =>
+      rnd0.shuffle((0 until 220).toList).take(30).map(t =>
+        (s.toLong, t.toLong, rnd0.nextInt(30).toDouble))))
+    tr.toDF("sym", "t_ts", "px").createOrReplaceTempView("wjf_t")
+    qu.toDF("sym", "q_ts", "bid").createOrReplaceTempView("wjf_q")
+    val bySym = qu.groupBy(_._1)
+    for (seed <- 1 to 12) {
+      val rnd = new scala.util.Random(3000 + seed)
+      val tol = 1L + rnd.nextInt(60)
+      val mode = rnd.nextInt(3) // 0 sym, 1 back, 2 forward
+      val prevailing = rnd.nextBoolean()
+      val kw = (mode match {
+        case 1 => " back"; case 2 => " forward"; case _ => ""
+      }) + (if (prevailing) " prevailing" else "")
+      val got = KerfSql.run(spark,
+        "select sym, t_ts, px, max(bid) as top, count(bid) as n " +
+        s"from wjf_t window join wjf_q on sym at t_ts, q_ts within $tol$kw " +
+        "group sym, t_ts, px order sym, t_ts, px")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getLong(4))).toSeq
+      val want = tr.map { case (s, t, px) =>
+        val lo = if (mode == 2) t else t - tol
+        val hi = if (mode == 1) t else t + tol
+        val qs = bySym.getOrElse(s, Nil)
+        val inBand = qs.filter(q => q._2 >= lo && q._2 <= hi)
+        val prev = if (prevailing)
+          qs.filter(_._2 < lo).sortBy(_._2).lastOption.toSeq else Nil
+        val all = inBand ++ prev
+        (s, t, px,
+         if (all.isEmpty) None else Some(all.map(_._3).max), all.size.toLong)
+      }.sortBy(x => (x._1, x._2, x._3))
+      assert(got == want, s"seed $seed diverged (tol=$tol kw='$kw')\n" +
+        s"  got:  ${got.take(4)}\n  want: ${want.take(4)}")
+    }
+  }
+
   test("program fuzz: 25 seeded multi-statement pipelines are run-to-run deterministic") {
     // the determinism net: every registered query's oracle comparison
     // depends on a second evaluation producing the SAME rows — this
