@@ -2186,6 +2186,15 @@ object Oracles {
          SELECT user_id, unnest(t) AS ts_ns, unnest(v) AS value FROM g
          ORDER BY user_id, ts_ns, value""",
 
+    // the dialect rollup face: the maintained picks == full recompute
+    "q184_dialect_rollup" ->
+      """SELECT l_returnflag AS k,
+                count(*) AS n_rows,
+                count(l_quantity) AS v_cnt,
+                min(l_quantity) AS v_min,
+                max(l_quantity) AS v_max
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     // coverage sampling: exact sign-test octants + q112's md5-rank cut
     "q183_diversity_sample" ->
       """WITH s AS (

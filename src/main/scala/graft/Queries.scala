@@ -3415,6 +3415,28 @@ object Queries {
       .orderBy(col("octant"), col("vec_id"))
   }
 
+  /** ROLLUP from the TEXT surface — the dialect face of q180's
+    * manifest-committed maintenance driven end-to-end by a program:
+    * two filtered slices append through the `rollup` verb, the read
+    * face returns the maintained aggregate (sums are bit-proven by
+    * q180; this gate covers the verb wiring with the count/min/max
+    * picks). */
+  val q184_dialect_rollup: Q = (s, dir) => {
+    val path = Scratch.dir(s, "rollupd", new java.io.File(dir).getName) + "/ru"
+    Tables.lineitem(s, dir).select(col("l_returnflag").as("k"),
+        col("l_linenumber"), col("l_quantity").as("v"))
+      .createOrReplaceTempView("li_v184")
+    if (io.Folio.currentVersion(s"$path/meta").isEmpty) {
+      sql.KerfSql.run(s,
+        "a_v184: select k, v from li_v184 where l_linenumber <= 3; " +
+        "b_v184: select k, v from li_v184 where l_linenumber > 3; " +
+        s"rollup '$path' append a_v184 by k on v; " +
+        s"rollup '$path' append b_v184 by k on v")
+    }
+    sql.KerfSql.run(s, s"r_v184: rollup '$path'; " +
+      "select k, n_rows, v_cnt, v_min, v_max from r_v184 order k")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3599,5 +3621,6 @@ object Queries {
     "q181_bpe_encode"    -> q181_bpe_encode,
     "q182_bpe_packing"   -> q182_bpe_packing,
     "q183_diversity_sample" -> q183_diversity_sample,
+    "q184_dialect_rollup" -> q184_dialect_rollup,
   )
 }
