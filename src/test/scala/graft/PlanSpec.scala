@@ -400,6 +400,28 @@ class PlanSpec extends SparkSpec {
     assert(projects <= 2, s"merge chain did not collapse ($projects projects):\n$p")
   }
 
+  test("q175/q179/q183: TWAP one window+agg; prevailing stays merge-joined; cap gets WindowGroupLimit") {
+    // TWAP: one window pass (nexts) + one grouped aggregate — no join,
+    // no second window
+    val p175 = planOf("q175_kerf_twap")
+    assert(!p175.contains("Join"), s"TWAP grew a join:\n$p175")
+    assert("Window\\b".r.findAllIn(p175).length >= 1 &&
+      !p175.contains("CartesianProduct"), s"TWAP window shape:\n$p175")
+    // wj prevailing: the band join stays hash/merge and the prevailing
+    // rows ride the native as-of merge — never a nested-loop
+    val p179 = planOf("q179_kerf_wj_prevailing")
+    assert(!p179.contains("CartesianProduct") &&
+           !p179.contains("BroadcastNestedLoopJoin"),
+      s"prevailing degenerated:\n$p179")
+    assert(p179.contains("AsOfJoin") || p179.contains("AsOfMerge") ||
+           p179.toLowerCase.contains("asof"),
+      s"prevailing did not use the native as-of merge:\n$p179")
+    // coverage sampling: the per-stratum cut must be WindowGroupLimit
+    // partial limits, not a full per-stratum sort
+    val p183 = planOf("q183_diversity_sample")
+    assert(p183.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$p183")
+  }
+
   test("fanOut widens unstatted non-file leaves (defaultSizeInBytes sentinel)") {
     // an RDD-backed frame has no file listing AND reports the
     // defaultSizeInBytes sentinel as its stats — taking the sentinel at
