@@ -1425,6 +1425,18 @@ object KerfSql {
       val p = new P(toks)
       toks.head.toLowerCase match {
         case "select" => p.pop(); last = Left(runSelect(spark, p, vars.toMap, funcs.toMap))
+        case "explain" if toks.lengthCompare(2) >= 0 &&
+            toks(1).equalsIgnoreCase("select") =>
+          // `explain select …` — the REPL's plan window: the formatted
+          // Catalyst physical plan as a one-row frame, so a dialect
+          // user can check pushdown/broadcast/codegen without leaving
+          // the text surface (the discipline SCALING.md preaches).
+          p.pop(); p.pop()
+          val df = runSelect(spark, p, vars.toMap, funcs.toMap)
+          import spark.implicits._
+          last = Left(Seq(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+            .toDF("plan"))
         case "update" => p.pop(); last = Left(runUpdate(spark, p, vars.toMap))
         case "delete" => p.pop(); last = Left(runDelete(spark, p, vars.toMap))
         case h @ ("insert" | "upsert") =>

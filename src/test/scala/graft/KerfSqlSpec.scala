@@ -1840,6 +1840,20 @@ class KerfSqlSpec extends SparkSpec {
     }
   }
 
+  test("explain select: the formatted physical plan from the text surface") {
+    import spark.implicits._
+    Seq((1L, 2.0), (2L, 3.0)).toDF("k", "v").createOrReplaceTempView("ex_t")
+    val plan = KerfSql.run(spark,
+      "explain select k, sum(v) as s from ex_t where k > 0 group k")
+      .first().getString(0)
+    assert(plan.contains("HashAggregate") || plan.contains("Aggregate"),
+      s"no aggregate in plan:\n$plan")
+    // note: the local-relation filter constant-folds away — the point
+    // here is the plan WINDOW itself, and on parquet tables the same
+    // verb shows PushedFilters (PlanSpec pins those on real scans)
+    assert(plan.contains("Exchange"), s"no exchange in plan:\n$plan")
+  }
+
   test(">> delivery formats: jsonl and csv shards round-trip") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_fmt").toString
