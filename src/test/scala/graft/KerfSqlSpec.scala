@@ -1682,6 +1682,19 @@ class KerfSqlSpec extends SparkSpec {
       .collect().map(r => (r.getDouble(2), r.getLong(3))).toSeq
     // ±1 minute: only the 11:59:30 quote is in band
     assert(ts == Seq((1.0, 1L)), s"timestamp band: $ts")
+    // prevailing on a TIMESTAMP axis: the µs-interval shift must hold —
+    // an 11:50 quote is strictly before the 11:59 band start and is
+    // carried in; the in-band 11:59:30 stays; count 2
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-05 11:50:00"), 0.5),
+        (1L, java.sql.Timestamp.valueOf("2024-01-05 11:59:30"), 1.0),
+        (1L, java.sql.Timestamp.valueOf("2024-01-05 12:02:00"), 2.0))
+      .toDF("sym", "q_ts", "bid").createOrReplaceTempView("wj_tq2")
+    val tp = KerfSql.run(spark,
+      "select sym, px, max(bid) as top, count(bid) as n " +
+      "from wj_tt window join wj_tq2 on sym at t_ts, q_ts within 1i prevailing " +
+      "group sym, px order sym")
+      .collect().map(r => (r.getDouble(2), r.getLong(3))).toSeq
+    assert(tp == Seq((1.0, 2L)), s"timestamp prevailing: $tp")
   }
 
   test("uj: schema-aligning union — null fill, width promotion, loud mismatches") {
