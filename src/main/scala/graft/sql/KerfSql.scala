@@ -105,7 +105,7 @@ object KerfSql {
   // error instead of the friendly "cannot mix" rejection.
   private val statAggFns = Set("wavg", "var", "dev", "cov", "cor")
   private val aggFns = Set("sum", "avg", "min", "max", "count", "pctl",
-    "countd", "collect") ++ statAggFns
+    "countd", "collect", "med") ++ statAggFns
   /** Windowed TABLE verbs — the down-the-rows forms of the adverb family
     * (unfold/scan ⇒ running aggregates, mapback/eachprior ⇒ prev/deltas;
     * reference semantics adverbs.h:76–120, 157–206) as select items:
@@ -1004,6 +1004,13 @@ object KerfSql {
               sqrt(varOf(paired(a.col), n)) * sqrt(varOf(paired(b.get.col), n)))
         }
         T(out, DoubleType)
+      case fn if fn.toLowerCase == "med" && p.peekIs("(") =>
+        // q's med — the 50th percentile with pctl's exact-interpolation
+        // semantics (med(x) ≡ pctl(x, 0.5); DuckDB: quantile_cont 0.5)
+        p.expect("(")
+        val inner = parseExpr(p, env)
+        p.expect(")")
+        T(call_function("percentile", inner.col, lit(0.5)), DoubleType)
       case fn if fn.toLowerCase == "pctl" && p.peekIs("(") =>
         // exact interpolated percentile — `pctl(l_quantity, 0.5)`; the
         // engine-portable exact aggregate (DuckDB: quantile_cont), like

@@ -1853,6 +1853,19 @@ class KerfSqlSpec extends SparkSpec {
     }
   }
 
+  test("med: q's median == pctl(x, 0.5), grouped and global") {
+    import spark.implicits._
+    Seq(("a", 1.0), ("a", 3.0), ("a", 10.0), ("b", 2.0), ("b", 4.0))
+      .toDF("k", "v").createOrReplaceTempView("med_v")
+    val g = KerfSql.run(spark,
+      "select k, med(v) as m, pctl(v, 0.5) as p from med_v group k order k")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(g == Seq(("a", 3.0, 3.0), ("b", 3.0, 3.0)), s"got $g")
+    val tot = KerfSql.run(spark, "select med(v) as m from med_v")
+      .first().getDouble(0)
+    assert(tot == 3.0)
+  }
+
   test("explain select: the formatted physical plan from the text surface") {
     import spark.implicits._
     Seq((1L, 2.0), (2L, 3.0)).toDF("k", "v").createOrReplaceTempView("ex_t")
