@@ -43,6 +43,9 @@ object Engine {
         // auto-rewrite of the plain-SQL as-of idiom (join + row_number()=1)
         // into the native O(1)-state merge — see AsOfRewriteRule
         e.injectOptimizerRule(_ => graft.plans.AsOfRewriteRule)
+        // aggregate navigation over rollup folios (opt-in per session:
+        // spark.graft.rollup.rewrite=true) — see RollupRewriteRule
+        e.injectOptimizerRule(_ => graft.plans.RollupRewriteRule)
       }
       .config("spark.sql.shuffle.partitions", sp.toString)
       .config("spark.sql.adaptive.enabled", "true")

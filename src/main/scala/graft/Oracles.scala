@@ -2186,6 +2186,19 @@ object Oracles {
          SELECT user_id, unnest(t) AS ts_ns, unnest(v) AS value FROM g
          ORDER BY user_id, ts_ns, value""",
 
+    // aggregate navigation must return the full recompute's answer
+    // (exact decimal sums; avg = exact sum / exact count in doubles)
+    "q185_rollup_navigation" ->
+      """SELECT l_returnflag AS k,
+                count(*) AS n_rows,
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR)
+                     AS DOUBLE) AS sv,
+                min(l_quantity) AS mn,
+                max(l_quantity) AS mx,
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR)
+                     AS DOUBLE) / count(l_quantity) AS av
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     // the dialect rollup face: the maintained picks == full recompute
     "q184_dialect_rollup" ->
       """SELECT l_returnflag AS k,

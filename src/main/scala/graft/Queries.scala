@@ -3437,6 +3437,33 @@ object Queries {
       "select k, n_rows, v_cnt, v_min, v_max from r_v184 order k")
   }
 
+  /** AGGREGATE NAVIGATION (plans.RollupRewriteRule — the
+    * materialized-view rewrite as a Catalyst optimizer rule): a plain
+    * SQL aggregate over the rollup-backed DATA view rewrites to
+    * re-aggregate the maintained rollup — the history never moves.
+    * The flag stays on for the session; every gate (filters, DISTINCT,
+    * untracked aggregates, stale scans) falls back to the raw scan,
+    * pinned in RollupRewriteSpec. Values are exact either way here
+    * (integer-valued quantities), so the oracle checks the ANSWER
+    * while PlanSpec pins the navigation itself. */
+  val q185_rollup_navigation: Q = (s, dir) => {
+    val path = Scratch.dir(s, "rollupnav", new java.io.File(dir).getName) + "/ru"
+    if (io.Folio.currentVersion(s"$path/meta").isEmpty) {
+      val li = Tables.lineitem(s, dir).select(col("l_returnflag").as("k"),
+        col("l_linenumber"), col("l_quantity").as("v"))
+      Seq((1, 3), (4, 7)).foreach { case (lo, hi) =>
+        io.Folio.appendWithRollup(
+          li.filter(col("l_linenumber") >= lo && col("l_linenumber") <= hi)
+            .drop("l_linenumber"),
+          path, Seq("k"), Seq("v"))
+      }
+    }
+    io.Folio.rollupDataView(s, path, "ru_nav185")
+    s.conf.set("spark.graft.rollup.rewrite", "true")
+    s.sql("SELECT k, count(*) AS n_rows, sum(v) AS sv, min(v) AS mn, " +
+      "max(v) AS mx, avg(v) AS av FROM ru_nav185 GROUP BY k ORDER BY k")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3622,5 +3649,6 @@ object Queries {
     "q182_bpe_packing"   -> q182_bpe_packing,
     "q183_diversity_sample" -> q183_diversity_sample,
     "q184_dialect_rollup" -> q184_dialect_rollup,
+    "q185_rollup_navigation" -> q185_rollup_navigation,
   )
 }

@@ -784,6 +784,20 @@ object Folio {
     spark.read.parquet(dirs: _*)
   }
 
+  /** Register the rollup's raw-data frame as a temp view AND enroll
+    * the folio for AGGREGATE NAVIGATION: with
+    * `spark.graft.rollup.rewrite=true`, a mergeable aggregate over
+    * this view rewrites to re-aggregate the maintained rollup instead
+    * of scanning the history (see
+    * [[graft.plans.RollupRewriteRule]]). */
+  def rollupDataView(spark: SparkSession, path: String,
+                     viewName: String): DataFrame = {
+    graft.plans.RollupRewriteRule.register(spark, path)
+    val df = rollupDataRead(spark, path)
+    df.createOrReplaceTempView(viewName)
+    df
+  }
+
   /** Reap batch dirs no manifest (live or fallback) references — the
     * crash leftovers of interrupted appends. Returns removed names. */
   def rollupVacuum(path: String): Seq[String] = {

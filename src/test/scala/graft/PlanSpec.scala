@@ -422,6 +422,12 @@ class PlanSpec extends SparkSpec {
     assert(p183.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$p183")
   }
 
+  test("q185: aggregate navigation scans the rollup, never the batch history") {
+    val p = planOf("q185_rollup_navigation")
+    assert(p.contains("/meta/"), s"navigation missed the rollup:\n$p")
+    assert(!p.contains("/batches/"), s"history scanned despite navigation:\n$p")
+  }
+
   test("fanOut widens unstatted non-file leaves (defaultSizeInBytes sentinel)") {
     // an RDD-backed frame has no file listing AND reports the
     // defaultSizeInBytes sentinel as its stats — taking the sentinel at
