@@ -2199,6 +2199,26 @@ object Oracles {
                      AS DOUBLE) / count(l_quantity) AS av
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    // the dialect string family: 0-based substr/find, regex ssr with
+    // the 'g' flag (Spark's regexp_replace replaces every match),
+    // literal split, wildcard like
+    "q186_kerf_strings" ->
+      """SELECT p_partkey,
+                substring(p_name, 6) AS tail5,
+                substring(p_name, 1, 4) AS head4,
+                replace(p_type, 'ECONOMY', 'econ') AS ty,
+                regexp_replace(p_name, '[aeiou]', '*', 'g') AS starred,
+                CAST(CASE WHEN strpos(p_name, 'widget') = 0
+                          THEN length(p_name)
+                          ELSE strpos(p_name, 'widget') - 1 END AS BIGINT) AS w_at,
+                regexp_matches(p_name, 'gadget|gizmo') AS is_g,
+                trim(lpad(p_brand, 12, ' ')) AS br,
+                CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+                rpad(p_brand, 10, '.') AS brp
+         FROM part
+         WHERE p_name LIKE '%e%' AND p_name NOT LIKE 'small%'
+         ORDER BY p_partkey""",
+
     // the dialect rollup face: the maintained picks == full recompute
     "q184_dialect_rollup" ->
       """SELECT l_returnflag AS k,

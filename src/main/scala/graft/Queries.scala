@@ -3464,6 +3464,31 @@ object Queries {
       "max(v) AS mx, avg(v) AS av FROM ru_nav185 GROUP BY k ORDER BY k")
   }
 
+  /** The dialect STRING FAMILY end-to-end (SURVEY §2.8 string row —
+    * the adopted concat/substring/like/regexp surface with q/k verb
+    * names: ssr, find-as-ss, split-as-vs): wildcard `like`/`not like`
+    * predicates, 0-based substr, literal replace, regex ssr/rlike,
+    * find on strings (first index or length when absent — both
+    * branches exercised), literal split, trim/lpad/rpad. Everything
+    * lowers to codegen'd built-ins; the DuckDB twin replays the same
+    * chain (regexp_replace with 'g', strpos→0-based CASE). */
+  val q186_kerf_strings: Q = (s, dir) => {
+    Tables.part(s, dir).createOrReplaceTempView("part_v186")
+    sql.KerfSql.run(s,
+      "select p_partkey, substr(p_name, 5) as tail5, " +
+      "substr(p_name, 0, 4) as head4, " +
+      "replace(p_type, 'ECONOMY', 'econ') as ty, " +
+      "ssr(p_name, '[aeiou]', '*') as starred, " +
+      "find(p_name, 'widget') as w_at, " +
+      "rlike(p_name, 'gadget|gizmo') as is_g, " +
+      "trim(lpad(p_brand, 12, ' ')) as br, " +
+      "length(split(p_name, ' ')) as n_words, " +
+      "rpad(p_brand, 10, '.') as brp " +
+      "from part_v186 " +
+      "where p_name like '%e%' and p_name not like 'small%' " +
+      "order p_partkey")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3650,5 +3675,6 @@ object Queries {
     "q183_diversity_sample" -> q183_diversity_sample,
     "q184_dialect_rollup" -> q184_dialect_rollup,
     "q185_rollup_navigation" -> q185_rollup_navigation,
+    "q186_kerf_strings"  -> q186_kerf_strings,
   )
 }

@@ -129,7 +129,9 @@ object KerfSql {
     "first", "last", "enlist", "join", "find", "keys", "values", "amend",
     "take", "drop", "distinct", "ascend", "descend", "flip", "bars",
     "abs", "sqrt", "exp", "ln", "floor", "ceil",
-    "asc", "desc", "union", "intersect", "except")
+    "asc", "desc", "union", "intersect", "except",
+    "substr", "replace", "ssr", "rlike", "split", "trim", "ltrim",
+    "rtrim", "lpad", "rpad")
   private val verbSyms = Set("+", "-", "*", "/", "%")
   private val adverbNames = Set("fold", "over", "unfold", "scan",
     "mapdown", "each", "mapback", "eachprior", "mapright", "mapleft")
@@ -518,6 +520,18 @@ object KerfSql {
       p.expect(")")
       val in = left.col.isin(items.toSeq.map(_.col): _*)
       left = T(if (notIn) !in else in, BooleanType)
+    }
+    // `s like '%pat%'` / `s not like '…'` — the SQL wildcard predicate
+    // (% any run, _ one char; SURVEY §2.8 string row adopts like/regexp_*).
+    // The pattern is a full expression; regex matching is the rlike(s, re)
+    // verb.
+    val notLike = p.peekIs("not") && p.peek2.exists(_.equalsIgnoreCase("like"))
+    if (notLike || p.peekIs("like")) {
+      if (notLike) p.pop()
+      p.pop()
+      val pat = parseAdd(p, env)
+      val lk = call_function("like", left.col, pat.col)
+      left = T(if (notLike) !lk else lk, BooleanType)
     }
     while (p.peek.exists(t => Set("<", ">", "<=", ">=", "=", "==", "!=", "<>").contains(t))) {
       val op = p.pop()
@@ -1130,9 +1144,46 @@ object KerfSql {
     * cursor). `join` is concatenation (cow_join), pervading a scalar
     * operand to a one-element list first. */
   private def applyListVerb(fn: String, args: Seq[T]): T = (fn, args) match {
-    case ("length", Seq(a)) => T(length(a.col).cast("long"), LongType)
+    case ("length", Seq(a)) => a.dt match { // slop.h count: chars OR items
+      case ArrayType(_, _) => T(size(a.col).cast("long"), LongType)
+      case MapType(_, _, _) => T(size(a.col).cast("long"), LongType)
+      case _ => T(length(a.col).cast("long"), LongType)
+    }
     case ("upper", Seq(a))  => T(upper(a.col), StringType)
     case ("lower", Seq(a))  => T(lower(a.col), StringType)
+    // ── String family (SURVEY §2.8 string row: the reference renders
+    // strings, presented.cc:62–246, and the survey adopts the standard
+    // concat/substring/like/regexp_* surface; q/k heritage: ss/ssr/vs).
+    // All lower to codegen'd built-ins — no UDFs.
+    // substr is 0-BASED (the dialect's operator[] convention, not SQL's
+    // 1-based substring): substr(s, i) to the end, substr(s, i, n) for n
+    // chars.
+    case ("substr", Seq(a, i)) =>
+      T(a.col.substr(i.col.cast("int") + 1, length(a.col)), StringType)
+    case ("substr", Seq(a, i, n)) =>
+      T(a.col.substr(i.col.cast("int") + 1, n.col.cast("int")), StringType)
+    // replace: LITERAL substring replace (every occurrence); ssr is the
+    // regex form (q's ssr — "string search replace").
+    case ("replace", Seq(a, f, r)) =>
+      T(call_function("replace", a.col, f.col, r.col), StringType)
+    case ("ssr", Seq(a, re, r)) =>
+      T(regexp_replace(a.col, re.col, r.col), StringType)
+    // rlike: the regexp predicate (Java regex, unanchored — anchor with
+    // ^$ for whole-string match); `like` is the infix wildcard form.
+    case ("rlike", Seq(a, re)) =>
+      T(call_function("regexp_like", a.col, re.col), BooleanType)
+    // split: LITERAL separator (quoted into the regex engine via \Q…\E,
+    // so '.' or '|' separators split literally — q's vs).
+    case ("split", Seq(a, sep)) =>
+      T(call_function("split", a.col,
+          concat(lit("\\Q"), sep.col, lit("\\E"))), ArrayType(StringType))
+    case ("trim", Seq(a))  => T(trim(a.col), StringType)
+    case ("ltrim", Seq(a)) => T(ltrim(a.col), StringType)
+    case ("rtrim", Seq(a)) => T(rtrim(a.col), StringType)
+    case ("lpad", Seq(a, n, pd)) =>
+      T(call_function("lpad", a.col, n.col.cast("int"), pd.col), StringType)
+    case ("rpad", Seq(a, n, pd)) =>
+      T(call_function("rpad", a.col, n.col.cast("int"), pd.col), StringType)
     case ("reverse", Seq(a)) => T(reverse(a.col), a.dt) // strings AND lists
     case ("first", Seq(a)) => a.dt match {
       case ArrayType(e, _) => T(element_at(a.col, 1), e)
@@ -1172,6 +1223,14 @@ object KerfSql {
       case ArrayType(_, _) =>
         val pos = array_position(h.col, n.col)
         T(when(pos === 0, size(h.col).cast("long")).otherwise(pos - 1), LongType)
+      // strings are char lists: find('abcd', 'cd') = 2 — the 0-based
+      // first index of the substring, or the string's length when
+      // absent (the same exhausted-cursor convention as the list form,
+      // slop.cc:827–847; q's ss first hit)
+      case StringType =>
+        val pos = instr(h.col, n.col)
+        T(when(pos === 0, length(h.col).cast("long"))
+            .otherwise((pos - 1).cast("long")), LongType)
       case other => throw new IllegalArgumentException(s"find: need a list, got $other")
     }
     case ("amend", Seq(d, k, v)) => d.dt match { // amend_one (test.cc:413):

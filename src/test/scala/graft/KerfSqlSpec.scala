@@ -2064,6 +2064,67 @@ class KerfSqlSpec extends SparkSpec {
     assert(again.collect().toSeq == orig.collect().toSeq)
   }
 
+  // --- String family (SURVEY §2.8 string row — the adopted
+  // substring/like/regexp surface with q/k verb names)
+
+  test("string verbs: substr is 0-based, replace literal, ssr regex") {
+    assert(evalOne("substr('abcdef', 2)") == "cdef")
+    assert(evalOne("substr('abcdef', 0, 3)") == "abc")
+    assert(evalOne("substr('abcdef', 4, 10)") == "ef") // over-length clamps
+    assert(evalOne("replace('a.b.c', '.', '--')") == "a--b--c")
+    assert(evalOne("ssr('a1b22c', '[0-9]+', '#')") == "a#b#c") // EVERY match
+  }
+
+  test("string verbs: find on strings is 0-based ss; absent = length") {
+    assert(evalOne("find('abcd', 'cd')") == 2L)
+    assert(evalOne("find('abcd', 'xy')") == 4L) // exhausted cursor = length
+    assert(evalOne("find('abcd', 'abcd')") == 0L)
+  }
+
+  test("string verbs: split is LITERAL (regex metachars split literally)") {
+    assert(evalOne("split('a.b.c', '.')") == Seq("a", "b", "c"))
+    assert(evalOne("split('a|b|c', '|')") == Seq("a", "b", "c"))
+    assert(evalOne("length(split('x y z', ' '))") == 3L)
+  }
+
+  test("string verbs: trim family and pads") {
+    assert(evalOne("trim('  pad  ')") == "pad")
+    assert(evalOne("ltrim('  pad  ')") == "pad  ")
+    assert(evalOne("rtrim('  pad  ')") == "  pad")
+    assert(evalOne("lpad('7', 3, '0')") == "007")
+    assert(evalOne("rpad('ab', 5, '.')") == "ab...")
+    assert(evalOne("lpad('abcdef', 3, '0')") == "abc") // truncates to len
+  }
+
+  test("like / not like predicates and rlike") {
+    import spark.implicits._
+    Seq(("cold widget", 1L), ("small gadget", 2L), ("green gizmo", 3L))
+      .toDF("name", "id").createOrReplaceTempView("lk_v")
+    val got = KerfSql.run(spark,
+      "select id from lk_v where name like '%g_dget%' order id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L))
+    val got2 = KerfSql.run(spark,
+      "select id from lk_v where name not like '%widget%' order id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got2 == Seq(2L, 3L))
+    val got3 = KerfSql.run(spark,
+      "select id, rlike(name, 'g(adget|izmo)') as g from lk_v order id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(got3 == Seq((1L, false), (2L, true), (3L, true)))
+  }
+
+  test("like composes with and/or and in-predicates in one where") {
+    import spark.implicits._
+    Seq(("cold widget", "A", 1L), ("warm widget", "B", 2L),
+        ("green gizmo", "A", 3L))
+      .toDF("name", "grp", "id").createOrReplaceTempView("lkc_v")
+    val got = KerfSql.run(spark,
+      "select id from lkc_v where name like '%widget%' and grp in ('A') " +
+      "order id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L))
+  }
+
   test("countd mixes with window verbs → the friendly dialect error") {
     import spark.implicits._
     Seq(("a", 1L, 2L)).toDF("k", "ts", "v").createOrReplaceTempView("cdm_v")
