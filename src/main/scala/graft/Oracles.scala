@@ -2219,6 +2219,20 @@ object Oracles {
          WHERE p_name LIKE '%e%' AND p_name NOT LIKE 'small%'
          ORDER BY p_partkey""",
 
+    // table management: meta of (lineitem minus 3 dropped columns) —
+    // the fixture-contract schema as a closed-form VALUES frame
+    "q187_kerf_meta" ->
+      """SELECT * FROM (VALUES
+           ('l_orderkey',      'bigint', TRUE),
+           ('l_partkey',       'bigint', TRUE),
+           ('l_suppkey',       'bigint', TRUE),
+           ('l_quantity',      'double', TRUE),
+           ('l_extendedprice', 'double', TRUE),
+           ('l_discount',      'double', TRUE),
+           ('l_returnflag',    'string', TRUE),
+           ('l_linestatus',    'string', TRUE)
+         ) AS t(col, "type", nullable) ORDER BY col""",
+
     // the dialect rollup face: the maintained picks == full recompute
     "q184_dialect_rollup" ->
       """SELECT l_returnflag AS k,

@@ -3489,6 +3489,20 @@ object Queries {
       "order p_partkey")
   }
 
+  /** Table management from the dialect: q's COLUMN deletion (`delete
+    * c1, c2 from t` — presented.cc:327–336 cow_delete on the column
+    * map) composed with `meta t`, the REPL's schema window (one row
+    * per column: name, type, nullable — the table renderer's header,
+    * presented.cc:62–246). The oracle is the closed-form schema the
+    * fixture contract guarantees (FixtureCanary pins it), so a wrong
+    * drop, a type drift, or a phantom column all hash-mismatch. */
+  val q187_kerf_meta: Q = (s, dir) => {
+    Tables.lineitem(s, dir).createOrReplaceTempView("li_v187")
+    sql.KerfSql.run(s,
+      "slim_v187: delete l_tax, l_shipdate, l_linenumber from li_v187; " +
+      "meta slim_v187")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3676,5 +3690,6 @@ object Queries {
     "q184_dialect_rollup" -> q184_dialect_rollup,
     "q185_rollup_navigation" -> q185_rollup_navigation,
     "q186_kerf_strings"  -> q186_kerf_strings,
+    "q187_kerf_meta"     -> q187_kerf_meta,
   )
 }

@@ -1548,6 +1548,10 @@ object KerfSql {
           p.pop(); last = Left(runCompact(spark, p))
         case "vacuum" if toks.lengthCompare(2) >= 0 && toks(1).startsWith("'") =>
           p.pop(); last = Left(runVacuum(spark, p))
+        // `meta t` — exactly two tokens so `meta(x)` stays a user call
+        case "meta" if toks.lengthCompare(2) == 0 &&
+            toks(1).matches("[A-Za-z_][A-Za-z0-9_]*") =>
+          p.pop(); last = Left(runMeta(spark, p))
         case "rollup" if toks.lengthCompare(2) >= 0 && toks(1).startsWith("'") =>
           p.pop(); last = Left(runRollup(spark, p))
         case "def" =>
@@ -1756,6 +1760,14 @@ object KerfSql {
             require(p.done, s"trailing tokens in assignment: ${p.toks.mkString(" ")}")
             df.createOrReplaceTempView(name)
             last = Left(df)
+          } else if (p.peekIs("delete")) {
+            // table-valued delete: `slim: delete c1, c2 from t` (column
+            // drop) or `kept: delete from t where p` (row filter)
+            p.pop()
+            val df = runDelete(spark, p, vars.toMap)
+            require(p.done, s"trailing tokens in assignment: ${p.toks.mkString(" ")}")
+            df.createOrReplaceTempView(name)
+            last = Left(df)
           } else if ((p.peekIs("compact") || p.peekIs("probe") ||
                       p.peekIs("rollup")) &&
                      p.toks.lengthCompare(2) >= 0 && p.toks(1).startsWith("'")) {
@@ -1786,6 +1798,12 @@ object KerfSql {
           } else if (p.peekIs("ungroup") && ungroupForm(p.toks)) {
             p.pop()
             val df = runUngroup(spark, p)
+            df.createOrReplaceTempView(name)
+            last = Left(df)
+          } else if (p.peekIs("meta") && p.toks.lengthCompare(2) == 0 &&
+                     p.toks(1).matches("[A-Za-z_][A-Za-z0-9_]*")) {
+            p.pop()
+            val df = runMeta(spark, p)
             df.createOrReplaceTempView(name)
             last = Left(df)
           } else if ((p.peekIs("dedup") || p.peekIs("neardup") ||
@@ -2593,11 +2611,42 @@ object KerfSql {
 
   private def runDelete(spark: SparkSession, p: P,
                         programVars: Map[String, T] = Map.empty): DataFrame = {
+    // q's COLUMN deletion: `delete c1, c2 from t` drops the named
+    // columns (presented.cc:327–336 cow_delete on the column map).
+    // `delete from t [where p]` stays the row form. Unknown columns
+    // fail loudly; dropping every column is rejected (a table with no
+    // columns is not a table).
+    if (!p.peekIs("from")) {
+      val cols = scala.collection.mutable.ArrayBuffer[String](p.pop())
+      while (p.peekIs(",")) { p.pop(); cols += p.pop() }
+      p.expect("from")
+      val df = spark.table(p.pop())
+      val have = df.columns.map(_.toLowerCase).toSet
+      val missing = cols.filterNot(c => have(c.toLowerCase))
+      require(missing.isEmpty,
+        s"delete: no such column(s) ${missing.mkString(", ")} — table has " +
+        df.columns.mkString(", "))
+      require(cols.size < df.columns.length,
+        "delete: cannot drop every column")
+      return df.drop(cols.toSeq: _*)
+    }
     p.expect("from")
     val df = spark.table(p.pop())
     val env = new Env(Some(df.schema), programVars)
     val pred = if (p.peekIs("where")) { p.pop(); parseExpr(p, env).col } else lit(true)
     graft.ops.TableOps.delete(df, pred)
+  }
+
+  /** `meta t` — the REPL's schema window (the reference's table
+    * renderer prints column names and types, presented.cc:62–246):
+    * one row per column in table order — (col, type, nullable) — with
+    * Spark's simpleString type names. A closed-form frame, no scan. */
+  private def runMeta(spark: SparkSession, p: P): DataFrame = {
+    val df = spark.table(p.pop())
+    import spark.implicits._
+    df.schema.fields.toSeq
+      .map(f => (f.name, f.dataType.simpleString, f.nullable))
+      .toDF("col", "type", "nullable")
   }
 
   /** The text dialect's last mile to the LLM dedup tier (SURVEY

@@ -2125,6 +2125,41 @@ class KerfSqlSpec extends SparkSpec {
     assert(got == Seq(1L))
   }
 
+  test("delete columns: q's column drop; unknown/all-columns fail loudly") {
+    import spark.implicits._
+    Seq((1L, "a", 2.0), (2L, "b", 3.0)).toDF("id", "k", "v")
+      .createOrReplaceTempView("delc_v")
+    val got = KerfSql.run(spark,
+      "slim: delete k from delc_v; select id, v from slim order id")
+    assert(got.columns.toSeq == Seq("id", "v"))
+    assert(got.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 2.0), (2L, 3.0)))
+    val e1 = intercept[IllegalArgumentException] {
+      KerfSql.run(spark, "delete nope from delc_v")
+    }
+    assert(e1.getMessage.contains("no such column"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      KerfSql.run(spark, "delete id, k, v from delc_v")
+    }
+    assert(e2.getMessage.contains("every column"), e2.getMessage)
+    // the row form still works with the same head
+    val rows = KerfSql.run(spark,
+      "delete from delc_v where id = 1").count()
+    assert(rows == 1L)
+  }
+
+  test("meta: one row per column in table order — name, type, nullable") {
+    import spark.implicits._
+    Seq((1L, "a", 2.0)).toDF("id", "k", "v").createOrReplaceTempView("meta_v")
+    val got = KerfSql.run(spark, "meta meta_v")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("id", "bigint"), ("k", "string"), ("v", "double")))
+    // assignable like any table-valued verb
+    val n = KerfSql.run(spark,
+      "m: meta meta_v; select count(*) as n from m").collect()(0).getLong(0)
+    assert(n == 3L)
+  }
+
   test("countd mixes with window verbs → the friendly dialect error") {
     import spark.implicits._
     Seq(("a", 1L, 2L)).toDF("k", "ts", "v").createOrReplaceTempView("cdm_v")
