@@ -2219,6 +2219,21 @@ object Oracles {
          WHERE p_name LIKE '%e%' AND p_name NOT LIKE 'small%'
          ORDER BY p_partkey""",
 
+    // cast family: trunc-toward-zero long, TRY_CAST null on malformed,
+    // stamp/nanos epoch arithmetic (ts is µs; ns = µs × 1000)
+    "q188_kerf_casts" ->
+      """SELECT event_id,
+                CAST(trunc(value) AS BIGINT) AS lv,
+                CAST(event_id AS DOUBLE) AS dv,
+                CAST(event_id AS VARCHAR) AS sv,
+                TRY_CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS rt,
+                TRY_CAST('not a number' AS BIGINT) AS bad,
+                ts AS t_us,
+                epoch_us(ts) * 1000 AS ns_us,
+                epoch_us(ts) * 1000 AS ts_long
+         FROM events WHERE event_type = 'purchase'
+         ORDER BY event_id LIMIT 500""",
+
     // table management: meta of (lineitem minus 3 dropped columns) —
     // the fixture-contract schema as a closed-form VALUES frame
     "q187_kerf_meta" ->

@@ -3503,6 +3503,25 @@ object Queries {
       "meta slim_v187")
   }
 
+  /** The dialect CAST/CONSTRUCTOR family (Kerf's 64-bit INT model;
+    * renderers presented.cc:62–246): long/double/string conversions
+    * (double→long TRUNCATES toward zero; string parses are try_cast —
+    * malformed → null, the fromjson posture), and the stamp/nanos
+    * bridge between the ns-long and TimestampType faces of the
+    * dual-column time convention (ts_ns exact ns; stamp is µs). The
+    * DuckDB twin replays trunc + TRY_CAST + epoch_us arithmetic. */
+  val q188_kerf_casts: Q = (s, dir) => {
+    Tables.events(s, dir).createOrReplaceTempView("events_v188")
+    sql.KerfSql.run(s,
+      "select event_id, long(value) as lv, double(event_id) as dv, " +
+      "string(event_id) as sv, long(string(event_id)) as rt, " +
+      "long('not a number') as bad, " +
+      "stamp(ts_ns) as t_us, nanos(stamp(ts_ns)) as ns_us, " +
+      "long(ts) as ts_long " +
+      "from events_v188 where event_type = 'purchase' " +
+      "order event_id limit 500")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3691,5 +3710,6 @@ object Queries {
     "q185_rollup_navigation" -> q185_rollup_navigation,
     "q186_kerf_strings"  -> q186_kerf_strings,
     "q187_kerf_meta"     -> q187_kerf_meta,
+    "q188_kerf_casts"    -> q188_kerf_casts,
   )
 }

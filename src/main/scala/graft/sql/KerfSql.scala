@@ -131,7 +131,8 @@ object KerfSql {
     "abs", "sqrt", "exp", "ln", "floor", "ceil",
     "asc", "desc", "union", "intersect", "except",
     "substr", "replace", "ssr", "rlike", "split", "trim", "ltrim",
-    "rtrim", "lpad", "rpad")
+    "rtrim", "lpad", "rpad",
+    "long", "double", "string", "stamp", "nanos")
   private val verbSyms = Set("+", "-", "*", "/", "%")
   private val adverbNames = Set("fold", "over", "unfold", "scan",
     "mapdown", "each", "mapback", "eachprior", "mapright", "mapleft")
@@ -1184,6 +1185,48 @@ object KerfSql {
       T(call_function("lpad", a.col, n.col.cast("int"), pd.col), StringType)
     case ("rpad", Seq(a, n, pd)) =>
       T(call_function("rpad", a.col, n.col.cast("int"), pd.col), StringType)
+    // ── Casts/constructors (Kerf's INT is 64-bit; the reference's
+    // to_string renderers, presented.cc:62–246). Numeric forms pervade
+    // through lists like the math verbs. double→long TRUNCATES toward
+    // zero (Spark/ANSI; overflow throws loudly). STRING parses go
+    // through try_cast — malformed input is null, the fromjson
+    // malformed-row posture, never a mid-job crash.
+    case ("long", Seq(a)) => a.dt match {
+      case StringType => T(a.col.try_cast("long"), LongType)
+      case TimestampType | TimestampNTZType => // a stamp's long face IS its ns epoch
+        T(unix_micros(a.col.cast(TimestampType)) * lit(1000L), LongType)
+      case _ => T(Verbs.pervadeUnary(a.dt)(a.col)(_.cast("long")),
+        mapLeafType(a.dt, LongType))
+    }
+    case ("double", Seq(a)) => a.dt match {
+      case StringType => T(a.col.try_cast("double"), DoubleType)
+      case _ => T(Verbs.pervadeUnary(a.dt)(a.col)(_.cast("double")),
+        mapLeafType(a.dt, DoubleType))
+    }
+    case ("string", Seq(a)) => a.dt match {
+      case ArrayType(_, _) | MapType(_, _, _) => throw new IllegalArgumentException(
+        "string: renders scalars (for lists/dicts use tojson)")
+      case _ => T(a.col.cast("string"), StringType)
+    }
+    // stamp(ns_long): the ns epoch's TimestampType face (µs — Spark's
+    // resolution; the dual-column ts/ts_ns convention). stamp(string)
+    // parses ISO forms, null on malformed.
+    case ("stamp", Seq(a)) => a.dt match {
+      case LongType | IntegerType =>
+        T(timestamp_micros(call_function("div", a.col, lit(1000L))), TimestampType)
+      case StringType => T(a.col.try_cast("timestamp"), TimestampType)
+      case TimestampType | TimestampNTZType => a
+      case other => throw new IllegalArgumentException(
+        s"stamp: need an ns long or a string, got $other")
+    }
+    // nanos(stamp): the inverse — a stamp's exact ns epoch (µs × 1000)
+    case ("nanos", Seq(a)) => a.dt match {
+      case TimestampType | TimestampNTZType =>
+        T(unix_micros(a.col.cast(TimestampType)) * lit(1000L), LongType)
+      case LongType => a
+      case other => throw new IllegalArgumentException(
+        s"nanos: need a stamp, got $other")
+    }
     case ("reverse", Seq(a)) => T(reverse(a.col), a.dt) // strings AND lists
     case ("first", Seq(a)) => a.dt match {
       case ArrayType(e, _) => T(element_at(a.col, 1), e)

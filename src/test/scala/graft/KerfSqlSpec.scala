@@ -2160,6 +2160,32 @@ class KerfSqlSpec extends SparkSpec {
     assert(n == 3L)
   }
 
+  test("casts: long truncates toward zero; string parses null on junk") {
+    assert(evalOne("long(2.7)") == 2L)
+    assert(evalOne("long(0 - 2.7)") == -2L) // toward zero, not floor
+    assert(evalOne("long('42')") == 42L)
+    assert(evalOne("long('nope')") == null)
+    assert(evalOne("double('2.5')") == 2.5)
+    assert(evalOne("double(3)") == 3.0)
+    assert(evalOne("string(7)") == "7")
+    assert(evalOne("long(string(123456789012345))") == 123456789012345L)
+    // numeric casts pervade through lists like the math verbs
+    assert(evalOne("long([1.9, 2.1])") == Seq(1L, 2L))
+  }
+
+  test("stamp/nanos bridge the ns-long and TimestampType faces exactly") {
+    // 2024-01-05T00:00:00.123456789 → stamp truncates to µs; nanos
+    // returns the µs-grid ns epoch
+    val ns = 1704412800123456789L
+    assert(evalOne(s"nanos(stamp($ns))") == 1704412800123456000L)
+    val ts = evalOne(s"stamp($ns)")
+    assert(ts.isInstanceOf[java.sql.Timestamp])
+    // a string parse round-trips through the ISO form
+    assert(evalOne("nanos(stamp('2024-01-05 00:00:00'))") ==
+      1704412800L * 1000000000L)
+    assert(evalOne("stamp('garbage')") == null)
+  }
+
   test("countd mixes with window verbs → the friendly dialect error") {
     import spark.implicits._
     Seq(("a", 1L, 2L)).toDF("k", "ts", "v").createOrReplaceTempView("cdm_v")
