@@ -2219,6 +2219,15 @@ object Oracles {
          WHERE p_name LIKE '%e%' AND p_name NOT LIKE 'small%'
          ORDER BY p_partkey""",
 
+    // Kerf IPC: the remote evaluation must equal the undivided-table
+    // recompute (exact integer sum after the trunc-toward-zero cast)
+    "q189_kerf_rexec" ->
+      """SELECT l_returnflag,
+                count(*) AS n,
+                CAST(sum(CAST(trunc(l_quantity) AS BIGINT)) AS BIGINT) AS sq
+         FROM lineitem WHERE l_linestatus = 'F'
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     // cast family: trunc-toward-zero long, TRY_CAST null on malformed,
     // stamp/nanos epoch arithmetic (ts is µs; ns = µs × 1000)
     "q188_kerf_casts" ->

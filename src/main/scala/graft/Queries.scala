@@ -3522,6 +3522,27 @@ object Queries {
       "order event_id limit 500")
   }
 
+  /** Kerf IPC from the dialect (`rexec` — the reference's
+    * REPLICATED_SOCKET_THINGS/MESSAGE surface, enums.h:264,278; kdb's
+    * `h "program"` RPC): the PROGRAM ships to the site, evaluates on
+    * the site's Spark session against the site's tables, and only the
+    * result value crosses the wire. The shipped program exercises the
+    * full dialect (a quoted literal via the `''` escape, the cast
+    * family, group/order) and the result registers as a local view for
+    * ordinary composition. The DuckDB twin recomputes the remote
+    * answer from the undivided table — so a wrong remote evaluation,
+    * a lossy wire codec, or a dropped row all hash-mismatch. */
+  val q189_kerf_rexec: Q = (s, dir) => {
+    val srv = sources.RemoteTableServer.sharedEvalFor(
+      s, "li", s"$dir/lineitem.parquet")
+    sql.KerfSql.run(s,
+      s"r189: rexec '127.0.0.1:${srv.port}' " +
+      "'select l_returnflag, count(*) as n, sum(long(l_quantity)) as sq " +
+      "from li where l_linestatus = ''F'' " +
+      "group l_returnflag order l_returnflag'; " +
+      "select l_returnflag, n, sq from r189 order l_returnflag")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3711,5 +3732,6 @@ object Queries {
     "q186_kerf_strings"  -> q186_kerf_strings,
     "q187_kerf_meta"     -> q187_kerf_meta,
     "q188_kerf_casts"    -> q188_kerf_casts,
+    "q189_kerf_rexec"    -> q189_kerf_rexec,
   )
 }

@@ -1,0 +1,121 @@
+package graft.sources
+
+import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ArrayNode
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Driver-side client for the remote EVAL protocol — Kerf IPC's
+  * "send a program, get a value" (reference: the REPLICATED_SOCKET_THINGS
+  * + MESSAGE presented types, /root/reference/enums.h:264,278; the
+  * folio-of-sockets remote execution surface presented.h:427–430). The
+  * dialect's `rexec 'host:port' 'program'` verb lands here.
+  *
+  * This is the QUESTION-to-the-data direction: the program evaluates on
+  * the site's Spark session (its own cluster, its own tables) and only
+  * the result VALUE crosses the wire — REPL-sized by the server's
+  * maxEvalRows contract. The returned frame is a LOCAL dataset on the
+  * caller (the rows already crossed the wire; there is nothing left to
+  * push down), so compose rexec results with local tables via ordinary
+  * joins — Spark will broadcast the small side.
+  */
+object RemoteEval {
+  private val connectTimeoutMs = 5000
+  private val readTimeoutMs = 600000 // programs run real queries remotely
+
+  /** `site` accepts `host:port` or `remote://host:port`. */
+  def call(spark: SparkSession, site: String, program: String): DataFrame = {
+    val hp = site.stripPrefix("remote://").stripSuffix("/")
+    val (host, portStr) = hp.lastIndexOf(':') match {
+      case -1 => throw new IllegalArgumentException(
+        s"rexec: site must be host:port or remote://host:port, got '$site'")
+      case i => (hp.substring(0, i), hp.substring(i + 1))
+    }
+    val port = portStr.toInt
+    val sock = new Socket()
+    try {
+      sock.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+      sock.setSoTimeout(readTimeoutMs)
+      val out = new BufferedWriter(
+        new OutputStreamWriter(sock.getOutputStream, StandardCharsets.UTF_8))
+      val in = new BufferedReader(
+        new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+      val m = new ObjectMapper()
+      val req = m.createObjectNode()
+      req.put("op", "eval")
+      req.put("program", program)
+      out.write(req.toString); out.newLine(); out.flush()
+
+      val first = in.readLine()
+      require(first != null, s"rexec: $host:$port closed the connection")
+      val hdr = m.readTree(first)
+      if (hdr.has("error"))
+        throw new RuntimeException(s"rexec failed at $host:$port: " +
+          hdr.path("error").asText())
+      val schema = StructType.fromDDL(hdr.path("schema").asText())
+      val fields = schema.fields
+      val rows = scala.collection.mutable.ArrayBuffer[Row]()
+      var done = false
+      while (!done) {
+        val line = in.readLine()
+        require(line != null, s"rexec: $host:$port closed mid-result")
+        val node = m.readTree(line)
+        if (node.isObject) {
+          if (node.has("error"))
+            throw new RuntimeException(s"rexec failed at $host:$port: " +
+              node.path("error").asText())
+          done = true // {"done":n}
+        } else {
+          val arr = node.asInstanceOf[ArrayNode]
+          val vals = new Array[Any](fields.length)
+          var i = 0
+          while (i < fields.length) {
+            vals(i) = fromWire(arr.get(i), fields(i).dataType)
+            i += 1
+          }
+          rows += Row.fromSeq(vals.toIndexedSeq)
+        }
+      }
+      spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows.toSeq).asJava), schema)
+    } finally {
+      try sock.close() catch { case _: Throwable => () }
+    }
+  }
+
+  /** Wire JSON → EXTERNAL Row values (the mirror of the server's
+    * toWire: µs longs → timestamps, epoch days → dates). */
+  private def fromWire(n: com.fasterxml.jackson.databind.JsonNode,
+                       dt: DataType): Any =
+    if (n == null || n.isNull) null
+    else dt match {
+      case LongType    => n.asLong()
+      case IntegerType => n.asInt()
+      case DoubleType =>
+        if (n.isTextual) java.lang.Double.parseDouble(n.asText()) else n.asDouble()
+      case FloatType =>
+        if (n.isTextual) java.lang.Float.parseFloat(n.asText()) else n.floatValue()
+      case BooleanType => n.asBoolean()
+      case StringType  => n.asText()
+      case TimestampType =>
+        val us = n.asLong()
+        java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+      case TimestampNTZType =>
+        val us = n.asLong()
+        java.time.LocalDateTime.ofInstant(
+          java.time.Instant.ofEpochSecond(
+            Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L),
+          java.time.ZoneOffset.UTC)
+      case DateType => java.time.LocalDate.ofEpochDay(n.asInt().toLong)
+      case ArrayType(et, _) =>
+        val a = n.asInstanceOf[ArrayNode]
+        (0 until a.size()).map(i => fromWire(a.get(i), et))
+      case other => throw new UnsupportedOperationException(s"rexec codec: $other")
+    }
+}

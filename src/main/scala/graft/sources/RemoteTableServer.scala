@@ -61,7 +61,8 @@ import org.apache.spark.sql.types._
   * lazily only through read errors, matching the reference's
   * fixed-layout folio members.
   */
-final class RemoteTableServer private (tables: Map[String, RemoteTableServer.Served]) {
+final class RemoteTableServer private (tables: Map[String, RemoteTableServer.Served],
+    evalSession: Option[SparkSession]) {
   import RemoteTableServer._
 
   private val server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
@@ -112,6 +113,7 @@ final class RemoteTableServer private (tables: Map[String, RemoteTableServer.Ser
         req.path("op").asText() match {
           case "plan" => servePlan(mapper, out, req)
           case "scan" => serveScan(mapper, out, counting, req)
+          case "eval" => serveEval(mapper, out, req)
           case other  => throw new IllegalArgumentException(s"unknown op '$other'")
         }
       }
@@ -127,6 +129,84 @@ final class RemoteTableServer private (tables: Map[String, RemoteTableServer.Ser
       try sock.close() catch { case _: Throwable => () }
     }
   }
+
+  /** Kerf IPC made literal (the reference's REPLICATED_SOCKET_THINGS +
+    * MESSAGE presented types, enums.h:264,278; kdb/Kerf1's `h "program"`
+    * RPC): the client ships a PROGRAM, the site evaluates it against its
+    * own tables on its own Spark session and ships back the result
+    * VALUE. The opposite data movement of the scan protocol — eval moves
+    * the QUESTION to the data; the table protocol moves rows to the
+    * question. Results are REPL-sized by contract (maxEvalRows guard,
+    * loud error beyond): corpus-scale answers belong on the scan path.
+    *
+    *   → {"op":"eval","program":"select …"}
+    *   ← {"schema":"<spark DDL>"}
+    *   ← one JSON array per row       (RemoteCodec values)
+    *   ← {"done":<rowCount>}          (or {"error":"…"} at any point)
+    *
+    * Unlike scans (Spark-free by design — they run inside blocked
+    * executor slots), eval runs ON the site's Spark session: the caller
+    * is a DRIVER-side verb, so no executor slot blocks while waiting.
+    * Served tables register as temp views under their served names,
+    * re-read per request (the live-listing philosophy). */
+  private def serveEval(m: ObjectMapper, out: BufferedWriter, req: JsonNode): Unit = {
+    val spark = evalSession.getOrElse(throw new IllegalStateException(
+      "eval is not enabled on this site (start(…, enableEval = true))"))
+    val program = req.path("program").asText()
+    require(program.nonEmpty, "eval: empty program")
+    tables.foreach { case (name, served) =>
+      spark.read.parquet(served.dir).createOrReplaceTempView(name)
+    }
+    val df = graft.sql.KerfSql.run(spark, program)
+    validate("<eval result>", df.schema)
+    val rows = df.limit(maxEvalRows + 1).collect()
+    require(rows.length <= maxEvalRows,
+      s"eval result exceeds $maxEvalRows rows — REPL-sized results only; " +
+      "read corpus-scale data through the remote:// table protocol")
+    val hdr = m.createObjectNode()
+    hdr.put("schema", df.schema.toDDL)
+    out.write(hdr.toString); out.newLine()
+    val fields = df.schema.fields
+    rows.foreach { r =>
+      val arr = m.createArrayNode()
+      var i = 0
+      while (i < fields.length) {
+        RemoteCodec.addJson(arr, toWire(r.get(i), fields(i).dataType), fields(i).dataType)
+        i += 1
+      }
+      out.write(arr.toString); out.newLine()
+    }
+    val done = m.createObjectNode()
+    done.put("done", rows.length.toLong)
+    out.write(done.toString); out.newLine()
+    rowsSent.addAndGet(rows.length.toLong)
+    ()
+  }
+
+  /** External collect() values → the wire's codec values (timestamps are
+    * µs longs on the wire; dates are epoch days). */
+  private def toWire(v: Any, dt: DataType): Any =
+    if (v == null) null
+    else dt match {
+      case TimestampType | TimestampNTZType => v match {
+        case t: java.sql.Timestamp =>
+          t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+        case i: java.time.Instant =>
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+        case l: java.time.LocalDateTime =>
+          val i = l.toInstant(java.time.ZoneOffset.UTC)
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+        case other => other
+      }
+      case DateType => v match {
+        case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+        case d: java.time.LocalDate => d.toEpochDay.toInt
+        case other => other
+      }
+      case ArrayType(et, _) =>
+        v.asInstanceOf[Seq[Any]].map(e => toWire(e, et))
+      case _ => v
+    }
 
   private def servedOf(req: JsonNode): (String, Served) = {
     val t = req.path("table").asText()
@@ -436,15 +516,20 @@ object RemoteTableServer {
   /** Start a server for `tables` (name → parquet file or directory).
     * Spark is used once per table, HERE, to derive the Spark schema —
     * scans are Spark-free by design (see class doc). */
-  def start(spark: SparkSession, tables: Map[String, String]): RemoteTableServer = {
+  def start(spark: SparkSession, tables: Map[String, String],
+            enableEval: Boolean = false): RemoteTableServer = {
     val served = tables.map { case (name, path) =>
       require(new java.io.File(path).exists(), s"remote table '$name': no such path $path")
       val schema = spark.read.parquet(path).schema
       validate(name, schema)
       name -> Served(path, schema)
     }
-    new RemoteTableServer(served)
+    new RemoteTableServer(served, if (enableEval) Some(spark) else None)
   }
+
+  /** Result-size ceiling for `eval` responses (REPL-sized by contract;
+    * @volatile so specs can force tiny caps). */
+  @volatile var maxEvalRows: Int = 1000000
 
   // ---------------------------------------------------------------------
   // remote partial aggregation — the "executes queries remotely" of
@@ -638,5 +723,11 @@ object RemoteTableServer {
   def sharedFor(spark: SparkSession, table: String, dir: String): RemoteTableServer =
     synchronized {
       shared.getOrElseUpdate(dir, start(spark, Map(table -> dir)))
+    }
+  /** Like [[sharedFor]] but with program EVAL enabled (the rexec side). */
+  def sharedEvalFor(spark: SparkSession, table: String, dir: String): RemoteTableServer =
+    synchronized {
+      shared.getOrElseUpdate("eval:" + dir,
+        start(spark, Map(table -> dir), enableEval = true))
     }
 }

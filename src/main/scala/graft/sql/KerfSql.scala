@@ -46,6 +46,12 @@ import graft.ops.Verbs
   */
 object KerfSql {
 
+  /** Strip a string literal's outer quotes and unescape doubled quotes
+    * (`''` = one literal `'` — the SQL convention, so programs shipped
+    * over rexec can themselves contain string literals). */
+  private def unq(t: String): String =
+    t.substring(1, t.length - 1).replace("''", "'")
+
   // ---------------------------------------------------------------- lexer
   private val spanReStr = """\d+[ymdhistun](?:\d+[ymdhistun])*"""
   private val tokenRe =
@@ -54,7 +60,7 @@ object KerfSql {
      """\d{4}\.\d{2}\.\d{2}|""" +                             // date lit
      spanReStr + """|""" +                                    // span lit (1d2h)
      """\d+\.\d+|\.\d+|\d+|""" +                              // numbers
-     """'[^']*'|""" +                                         // string lit
+     """'(?:[^']|'')*'|""" +                                  // string lit ('' = a literal quote)
      """`[A-Za-z_][A-Za-z0-9_]*|""" +                         // backtick symbol
      """>>=|>>|<<|<=|>=|!=|<>|==|[(),*+\-/%<>=\[\]{};:.]|""" + // operators (file verbs first; bare `.` = postfix field access)
      """[A-Za-z_][A-Za-z0-9_.]*""" +                          // idents
@@ -679,7 +685,7 @@ object KerfSql {
     var more = true
     while (more && !p.peekIs("}")) {
       val k = p.pop()
-      ks += (if (k.startsWith("'")) k.substring(1, k.length - 1)
+      ks += (if (k.startsWith("'")) unq(k)
              else if (k.startsWith("`")) k.tail else k)
       p.expect(":")
       vs += parseExpr(p, env)
@@ -719,7 +725,7 @@ object KerfSql {
           while (p.peek.exists(isNumTok)) items += numT(p.pop())
           buildArray(items.toSeq)
         } else numT(v)
-      case v if v.startsWith("'") => T(lit(v.substring(1, v.length - 1)), StringType)
+      case v if v.startsWith("'") => T(lit(unq(v)), StringType)
       // reserved literal names (lexer.h:101-102 RESERVED_NUMBER_NAMES /
       // RESERVED_NAME_NAMES): reserved GLOBALLY in the reference, so the
       // literal wins over any same-named column — case-insensitive like
@@ -1096,7 +1102,7 @@ object KerfSql {
         p.expect(")")
         require(inner.dt == StringType,
           s"fromjson input must be a string column, got ${inner.dt}")
-        val st = StructType.fromDDL(ddlTok.substring(1, ddlTok.length - 1))
+        val st = StructType.fromDDL(unq(ddlTok))
         T(from_json(inner.col, st), st)
       case fn if fn.toLowerCase == "ema" && p.peekIs("(") =>
         // the q-family ema scan, array form (Adverbs.ema): alpha must be
@@ -1595,6 +1601,10 @@ object KerfSql {
         case "meta" if toks.lengthCompare(2) == 0 &&
             toks(1).matches("[A-Za-z_][A-Za-z0-9_]*") =>
           p.pop(); last = Left(runMeta(spark, p))
+        // `rexec 'host:port' 'program'` — Kerf IPC: ship the program,
+        // get the value (path-first quoted shape like compact/probe)
+        case "rexec" if toks.lengthCompare(3) >= 0 && toks(1).startsWith("'") =>
+          p.pop(); last = Left(runRexec(spark, p))
         case "rollup" if toks.lengthCompare(2) >= 0 && toks(1).startsWith("'") =>
           p.pop(); last = Left(runRollup(spark, p))
         case "def" =>
@@ -1730,7 +1740,7 @@ object KerfSql {
             val t = p.pop()
             require(t.startsWith("'") && t.endsWith("'"),
               s"$name >> needs a quoted path, got $t")
-            t.substring(1, t.length - 1)
+            unq(t)
           }
           // `t >> 'path' jsonl|csv` — delivery formats: training data
           // ships as JSONL shards, exports as CSV; parquet stays the
@@ -1766,7 +1776,7 @@ object KerfSql {
             def quoted(t: String): String = {
               require(t.startsWith("'") && t.endsWith("'"),
                 s"<< needs a quoted path, got $t")
-              t.substring(1, t.length - 1)
+              unq(t)
             }
             val df =
               if (p.peekIs("[")) {
@@ -1847,6 +1857,12 @@ object KerfSql {
                      p.toks(1).matches("[A-Za-z_][A-Za-z0-9_]*")) {
             p.pop()
             val df = runMeta(spark, p)
+            df.createOrReplaceTempView(name)
+            last = Left(df)
+          } else if (p.peekIs("rexec") && p.toks.lengthCompare(3) >= 0 &&
+                     p.toks(1).startsWith("'")) {
+            p.pop()
+            val df = runRexec(spark, p)
             df.createOrReplaceTempView(name)
             last = Left(df)
           } else if ((p.peekIs("dedup") || p.peekIs("neardup") ||
@@ -2680,6 +2696,22 @@ object KerfSql {
     graft.ops.TableOps.delete(df, pred)
   }
 
+  /** `rexec 'host:port' 'program'` — Kerf IPC from the dialect
+    * (reference: the REPLICATED_SOCKET_THINGS/MESSAGE surface,
+    * enums.h:264,278): the program string ships to the site, evaluates
+    * on ITS Spark session against ITS tables, and the result VALUE
+    * comes back as a LOCAL frame (REPL-sized by the server's
+    * maxEvalRows contract; corpus-scale reads belong on the
+    * `remote://` table protocol, where projection/filter/aggregate
+    * push down). `''` escapes a quote inside the shipped program. */
+  private def runRexec(spark: SparkSession, p: P): DataFrame = {
+    val site = unq(p.pop())
+    val progTok = p.pop()
+    require(progTok.startsWith("'"),
+      "rexec: the program must be a quoted string ('' escapes a quote)")
+    graft.sources.RemoteEval.call(spark, site, unq(progTok))
+  }
+
   /** `meta t` — the REPL's schema window (the reference's table
     * renderer prints column names and types, presented.cc:62–246):
     * one row per column in table order — (col, type, nullable) — with
@@ -2847,7 +2879,7 @@ object KerfSql {
       val t = p.pop()
       require(t.startsWith("'") && t.endsWith("'") && t.length > 2,
         s"vacuum needs a quoted path, got $t")
-      t.substring(1, t.length - 1)
+      unq(t)
     }
     require(p.done, s"trailing tokens in vacuum: ${p.toks.mkString(" ")}")
     import spark.implicits._
@@ -2859,7 +2891,7 @@ object KerfSql {
       val t = p.pop()
       require(t.startsWith("'") && t.endsWith("'") && t.length > 2,
         s"compact needs a quoted path, got $t")
-      t.substring(1, t.length - 1)
+      unq(t)
     }
     def nameList(): Seq[String] = {
       val out = scala.collection.mutable.ArrayBuffer[String](p.pop())
@@ -2921,7 +2953,7 @@ object KerfSql {
       val t = p.pop()
       require(t.startsWith("'") && t.endsWith("'") && t.length > 2,
         s"index … at needs a quoted path, got $t")
-      t.substring(1, t.length - 1)
+      unq(t)
     }
     def posInt(what: String): Int = {
       val t = p.pop()
@@ -2981,7 +3013,7 @@ object KerfSql {
       val t = p.pop()
       require(t.startsWith("'") && t.endsWith("'") && t.length > 2,
         s"probe needs a quoted index path, got $t")
-      t.substring(1, t.length - 1)
+      unq(t)
     }
     p.expect("with"); val queries = spark.table(p.pop())
     p.expect("by"); val idCol = p.pop()
@@ -3142,7 +3174,7 @@ object KerfSql {
     def quoted(t: String): String = {
       require(t.length >= 2 && t.startsWith("'") && t.endsWith("'"),
         s"rollup needs a quoted path, got $t")
-      t.substring(1, t.length - 1)
+      unq(t)
     }
     val path = quoted(p.pop())
     if (p.done) graft.io.Folio.rollupRead(spark, path)
@@ -3239,7 +3271,7 @@ object KerfSql {
       val t = p.pop()
       require(t.startsWith("'") && t.endsWith("'") && t.length > 2,
         s"sample … at needs a quoted hex ceiling like '29', got $t")
-      t.substring(1, t.length - 1)
+      unq(t)
     }
     require(ceil.forall(c => c.isDigit || ('a' <= c && c <= 'f')),
       s"sample ceiling must be lowercase hex, got '$ceil'")
@@ -3288,7 +3320,7 @@ object KerfSql {
     // quoted strings or bare numeric literals — a numeric pivot axis
     // (line numbers, bucket ids) is as common as a string one
     def pval(t: String): Any =
-      if (t.startsWith("'") && t.endsWith("'")) t.substring(1, t.length - 1)
+      if (t.startsWith("'") && t.endsWith("'")) unq(t)
       else if (t.matches("""\d+""")) t.toLong
       else if (t.matches("""\d+\.\d+""")) t.toDouble
       else throw new IllegalArgumentException(
@@ -3534,7 +3566,7 @@ object KerfSql {
           case v if v.equalsIgnoreCase("null") => null
           case v if v.matches("""-?\d+\.\d+""") => v.toDouble
           case v if v.matches("""-?\d+""") => v.toLong
-          case v if v.startsWith("'") => v.substring(1, v.length - 1)
+          case v if v.startsWith("'") => unq(v)
           case v => v
         })
         if (p.peekIs(",")) p.pop() else more = false

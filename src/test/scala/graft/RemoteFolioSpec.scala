@@ -21,6 +21,86 @@ class RemoteFolioSpec extends SparkSpec {
       .option("endpoint", s"127.0.0.1:${server.port}")
       .option("table", table).load()
 
+  // ── Kerf IPC: remote program EVAL (the rexec verb's transport) ──
+
+  private lazy val evalServer =
+    RemoteTableServer.start(spark, Map(
+      "customer" -> s"$sf/customer.parquet"), enableEval = true)
+
+  test("rexec: program evaluates REMOTELY, value comes back exactly") {
+    val got = graft.sql.KerfSql.run(spark,
+      s"r: rexec '127.0.0.1:${evalServer.port}' " +
+      "'select c_mktsegment, count(*) as n, sum(c_acctbal) as bal " +
+      "from customer group c_mktsegment order c_mktsegment'; " +
+      "select * from r order c_mktsegment")
+    val want = spark.read.parquet(s"$sf/customer.parquet")
+      .groupBy("c_mktsegment")
+      .agg(org.apache.spark.sql.functions.count(
+             org.apache.spark.sql.functions.lit(1)).as("n"),
+           org.apache.spark.sql.functions.sum("c_acctbal").as("bal"))
+      .orderBy("c_mktsegment")
+    assert(got.collect().toSeq == want.collect().toSeq)
+  }
+
+  test("rexec: quoted literals inside the shipped program ('' escape)") {
+    val got = graft.sql.KerfSql.run(spark,
+      s"rexec '127.0.0.1:${evalServer.port}' " +
+      "'select count(*) as n from customer where c_mktsegment = " +
+      "''FURNITURE'''")
+      .collect()(0).getLong(0)
+    val want = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(org.apache.spark.sql.functions.col("c_mktsegment") === "FURNITURE")
+      .count()
+    assert(got == want && got > 0)
+  }
+
+  test("rexec: remote errors surface with the site named") {
+    val e = intercept[RuntimeException] {
+      graft.sql.KerfSql.run(spark,
+        s"rexec '127.0.0.1:${evalServer.port}' 'select nope from customer'")
+        .collect()
+    }
+    assert(e.getMessage.contains("rexec failed"), e.getMessage)
+  }
+
+  test("rexec: eval refused when not enabled; result-size cap is loud") {
+    val noEval = RemoteTableServer.start(spark,
+      Map("customer" -> s"$sf/customer.parquet"))
+    try {
+      val e = intercept[RuntimeException] {
+        graft.sql.KerfSql.run(spark,
+          s"rexec '127.0.0.1:${noEval.port}' 'select count(*) as n from customer'")
+          .collect()
+      }
+      assert(e.getMessage.contains("not enabled"), e.getMessage)
+    } finally noEval.stop()
+    val before = RemoteTableServer.maxEvalRows
+    RemoteTableServer.maxEvalRows = 3
+    try {
+      val e2 = intercept[RuntimeException] {
+        graft.sql.KerfSql.run(spark,
+          s"rexec '127.0.0.1:${evalServer.port}' " +
+          "'select c_custkey from customer order c_custkey'")
+          .collect()
+      }
+      assert(e2.getMessage.contains("exceeds 3 rows"), e2.getMessage)
+    } finally RemoteTableServer.maxEvalRows = before
+  }
+
+  test("rexec: timestamps cross the wire on the us grid exactly") {
+    val evDir = s"$sf/events.parquet"
+    val srv = RemoteTableServer.start(spark,
+      Map("ev" -> evDir), enableEval = true)
+    try {
+      val got = graft.sql.KerfSql.run(spark,
+        s"rexec '127.0.0.1:${srv.port}' " +
+        "'select event_id, ts from ev order event_id limit 5'")
+      val want = spark.read.parquet(evDir)
+        .select("event_id", "ts").orderBy("event_id").limit(5)
+      assert(got.collect().toSeq == want.collect().toSeq)
+    } finally srv.stop()
+  }
+
   test("remote scan == local scan, values and schema (customer)") {
     val local = spark.read.parquet(s"$sf/customer.parquet")
     val remote = remoteRead("customer")
