@@ -2219,6 +2219,25 @@ object Oracles {
          WHERE p_name LIKE '%e%' AND p_name NOT LIKE 'small%'
          ORDER BY p_partkey""",
 
+    // stamp attribute indexing: every date part replayed from DuckDB's
+    // extract family; sub-second parts from the epoch remainder
+    "q190_kerf_stamp_attrs" ->
+      """SELECT event_id,
+                CAST(year(ts) AS BIGINT) AS y,
+                CAST(month(ts) AS BIGINT) AS mo,
+                CAST(day(ts) AS BIGINT) AS d,
+                CAST(hour(ts) AS BIGINT) AS h,
+                CAST(minute(ts) AS BIGINT) AS mi,
+                CAST(date_part('second', ts) AS BIGINT) AS sec,
+                (epoch_us(ts) % 1000000) // 1000 AS msec,
+                epoch_us(ts) % 1000000 AS usec,
+                CAST(ts AS DATE) AS dte,
+                CAST(isodow(ts) AS BIGINT) AS dow,
+                CAST(dayofyear(ts) AS BIGINT) AS doy,
+                CAST(weekofyear(ts) AS BIGINT) AS wk
+         FROM events WHERE event_type = 'click'
+         ORDER BY event_id LIMIT 400""",
+
     // Kerf IPC: the remote evaluation must equal the undivided-table
     // recompute (exact integer sum after the trunc-toward-zero cast)
     "q189_kerf_rexec" ->

@@ -3543,6 +3543,27 @@ object Queries {
       "select l_returnflag, n, sq from r189 order l_returnflag")
   }
 
+  /** STAMP ATTRIBUTE INDEXING (Kerf1's `ts['year']` accessor face —
+    * stamps answer date-part keys like a dict; reference temporal
+    * surface lexer.h:247–311, presented.h:150–185): the full part
+    * family off one timestamp column, integer parts as 64-bit longs,
+    * `dow` ISO (1=Monday), ms/us within-second remainders, `date` the
+    * truncation. The DuckDB twin replays each part with its own
+    * extract family (epoch_us remainders for the sub-second parts —
+    * DuckDB's millisecond() includes whole seconds, so the oracle
+    * derives from the epoch like the engine does). */
+  val q190_kerf_stamp_attrs: Q = (s, dir) => {
+    Tables.events(s, dir).createOrReplaceTempView("events_v190")
+    sql.KerfSql.run(s,
+      "select event_id, ts['year'] as y, ts['month'] as mo, " +
+      "ts['day'] as d, ts['hour'] as h, ts['minute'] as mi, " +
+      "ts['second'] as sec, ts['ms'] as msec, ts['us'] as usec, " +
+      "ts['date'] as dte, ts['dow'] as dow, ts['doy'] as doy, " +
+      "ts['week'] as wk " +
+      "from events_v190 where event_type = 'click' " +
+      "order event_id limit 400")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3733,5 +3754,6 @@ object Queries {
     "q187_kerf_meta"     -> q187_kerf_meta,
     "q188_kerf_casts"    -> q188_kerf_casts,
     "q189_kerf_rexec"    -> q189_kerf_rexec,
+    "q190_kerf_stamp_attrs" -> q190_kerf_stamp_attrs,
   )
 }

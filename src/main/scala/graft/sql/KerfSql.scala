@@ -632,6 +632,18 @@ object KerfSql {
         seg.split("\\.").foreach { f => t = fieldAccess(t, f) }
       } else {
       p.pop()
+      // STAMP ATTRIBUTE INDEXING (Kerf1's `ts['year']`/`ts['date']`
+      // accessor face — stamps answer date-part keys like a dict;
+      // reference temporal surface lexer.h:247–311, presented.h:150–185):
+      // a string-literal index on a TimestampType routes to the date-part
+      // family instead of element indexing. ns-longs go through
+      // stamp(x) first — a bare long is just a number here.
+      if ((t.dt == TimestampType || t.dt == TimestampNTZType) &&
+          p.peek.exists(_.startsWith("'"))) {
+        val key = unq(p.pop())
+        p.expect("]")
+        t = stampAttr(t, key)
+      } else {
       val idx = parseExpr(p, env)
       p.expect("]")
       t = (t.dt, idx.dt) match {
@@ -645,8 +657,35 @@ object KerfSql {
         case _ => T(element_at(t.col, (idx.col + 1).cast("int")), elemOf(t))
       }
       }
+      }
     }
     t
+  }
+
+  /** The date-part family behind stamp attribute indexing. Integer
+    * parts are LongType (Kerf's 64-bit INT); `dow` is ISO (1=Monday);
+    * `ms`/`us` are within-second remainders; `date` truncates. */
+  private def stampAttr(t: T, key: String): T = {
+    val c = t.col.cast(TimestampType) // NTZ → TS is identity under UTC
+    def L(x: Column) = T(x.cast("long"), LongType)
+    key match {
+      case "year"   => L(year(c))
+      case "month"  => L(month(c))
+      case "day" | "mday" => L(dayofmonth(c))
+      case "hour"   => L(hour(c))
+      case "minute" => L(minute(c))
+      case "second" => L(second(c))
+      case "millisecond" | "ms" =>
+        L(call_function("div", pmod(unix_micros(c), lit(1000000L)), lit(1000L)))
+      case "microsecond" | "us" => L(pmod(unix_micros(c), lit(1000000L)))
+      case "date" => T(to_date(c), DateType)
+      case "dow"  => L(weekday(c) + lit(1)) // ISO: 1=Monday … 7=Sunday
+      case "doy"  => L(dayofyear(c))
+      case "week" => L(weekofyear(c))
+      case other => throw new IllegalArgumentException(
+        s"stamp attribute '$other' — one of year month day hour minute " +
+        "second ms us date dow doy week")
+    }
   }
 
   private val dateReStr = """\d{4}\.\d{2}\.\d{2}(T.*)?"""

@@ -2186,6 +2186,26 @@ class KerfSqlSpec extends SparkSpec {
     assert(evalOne("stamp('garbage')") == null)
   }
 
+  test("stamp attribute indexing: ts['year'] family (Kerf1 accessor face)") {
+    // 2024-03-05T14:30:45.123456 UTC — a Tuesday, day-of-year 65
+    val e = "stamp(1709649045123456789)"
+    assert(evalOne(s"$e['year']") == 2024L)
+    assert(evalOne(s"$e['month']") == 3L)
+    assert(evalOne(s"$e['day']") == 5L)
+    assert(evalOne(s"$e['hour']") == 14L)
+    assert(evalOne(s"$e['minute']") == 30L)
+    assert(evalOne(s"$e['second']") == 45L)
+    assert(evalOne(s"$e['ms']") == 123L)
+    assert(evalOne(s"$e['us']") == 123456L)
+    assert(evalOne(s"$e['dow']") == 2L)  // ISO: Tuesday
+    assert(evalOne(s"$e['doy']") == 65L)
+    assert(evalOne(s"$e['date']").toString == "2024-03-05")
+    val err = intercept[IllegalArgumentException] {
+      evalOne(s"$e['century']")
+    }
+    assert(err.getMessage.contains("stamp attribute"), err.getMessage)
+  }
+
   test("countd mixes with window verbs → the friendly dialect error") {
     import spark.implicits._
     Seq(("a", 1L, 2L)).toDF("k", "ts", "v").createOrReplaceTempView("cdm_v")
