@@ -2238,6 +2238,15 @@ object Oracles {
          FROM events WHERE event_type = 'click'
          ORDER BY event_id LIMIT 400""",
 
+    // scatter-gather rexec: per-site partials re-aggregated == the
+    // undivided recompute (exact integer arithmetic end to end)
+    "q191_rexec_scatter" ->
+      """SELECT l_returnflag,
+                count(*) AS n,
+                CAST(sum(CAST(trunc(l_quantity) AS BIGINT)) AS BIGINT) AS sq
+         FROM lineitem
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     // Kerf IPC: the remote evaluation must equal the undivided-table
     // recompute (exact integer sum after the trunc-toward-zero cast)
     "q189_kerf_rexec" ->

@@ -3564,6 +3564,34 @@ object Queries {
       "order event_id limit 400")
   }
 
+  /** SCATTER-GATHER rexec over a folio of sites (presented.h:427–430
+    * "executes queries remotely" at the PROGRAM level): the same
+    * partial-aggregate program ships to two sites holding disjoint
+    * halves of lineitem, evaluates concurrently on each site's own
+    * session, and the per-site partials re-aggregate locally — the
+    * classic two-phase distributed aggregate written entirely in the
+    * text dialect. Exact by construction (counts and truncated-integer
+    * sums), so the DuckDB undivided-table recompute must match
+    * bit-for-bit. */
+  val q191_rexec_scatter: Q = (s, dir) => {
+    val base = Scratch.dir(s, "rexecsc", new java.io.File(dir).getName)
+    val li = Tables.lineitem(s, dir)
+    if (!new java.io.File(s"$base/half_a/_SUCCESS").exists()) {
+      li.filter(col("l_orderkey") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$base/half_a")
+      li.filter(col("l_orderkey") % 2 =!= 0)
+        .write.mode("overwrite").parquet(s"$base/half_b")
+    }
+    val sa = sources.RemoteTableServer.sharedEvalFor(s, "li", s"$base/half_a")
+    val sb = sources.RemoteTableServer.sharedEvalFor(s, "li", s"$base/half_b")
+    sql.KerfSql.run(s,
+      s"parts_v191: rexec ['127.0.0.1:${sa.port}', '127.0.0.1:${sb.port}'] " +
+      "'select l_returnflag, count(*) as n, sum(long(l_quantity)) as sq " +
+      "from li group l_returnflag'; " +
+      "select l_returnflag, sum(n) as n, sum(sq) as sq from parts_v191 " +
+      "group l_returnflag order l_returnflag")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3755,5 +3783,6 @@ object Queries {
     "q188_kerf_casts"    -> q188_kerf_casts,
     "q189_kerf_rexec"    -> q189_kerf_rexec,
     "q190_kerf_stamp_attrs" -> q190_kerf_stamp_attrs,
+    "q191_rexec_scatter" -> q191_rexec_scatter,
   )
 }

@@ -149,7 +149,8 @@ final class RemoteTableServer private (tables: Map[String, RemoteTableServer.Ser
     * is a DRIVER-side verb, so no executor slot blocks while waiting.
     * Served tables register as temp views under their served names,
     * re-read per request (the live-listing philosophy). */
-  private def serveEval(m: ObjectMapper, out: BufferedWriter, req: JsonNode): Unit = {
+  private val evalLock = new Object
+  private def serveEval(m: ObjectMapper, out: BufferedWriter, req: JsonNode): Unit = evalLock.synchronized {
     val spark = evalSession.getOrElse(throw new IllegalStateException(
       "eval is not enabled on this site (start(…, enableEval = true))"))
     val program = req.path("program").asText()
@@ -524,7 +525,21 @@ object RemoteTableServer {
       validate(name, schema)
       name -> Served(path, schema)
     }
-    new RemoteTableServer(served, if (enableEval) Some(spark) else None)
+    // Each eval site gets its OWN child session (shared SparkContext,
+    // isolated temp-view catalog): two sites serving the same table NAME
+    // would otherwise race on createOrReplaceTempView in a shared catalog
+    // during a concurrent scatter rexec — last registration wins for both
+    // sites and the union silently double-reads one half. newSession()
+    // inherits SparkConf-level settings but not runtime conf.set values,
+    // so carry the caller's current session conf across.
+    val evalSession = if (enableEval) {
+      val es = spark.newSession()
+      spark.conf.getAll.foreach { case (k, v) =>
+        scala.util.Try(es.conf.set(k, v))
+      }
+      Some(es)
+    } else None
+    new RemoteTableServer(served, evalSession)
   }
 
   /** Result-size ceiling for `eval` responses (REPL-sized by contract;

@@ -1642,7 +1642,8 @@ object KerfSql {
           p.pop(); last = Left(runMeta(spark, p))
         // `rexec 'host:port' 'program'` — Kerf IPC: ship the program,
         // get the value (path-first quoted shape like compact/probe)
-        case "rexec" if toks.lengthCompare(3) >= 0 && toks(1).startsWith("'") =>
+        case "rexec" if toks.lengthCompare(3) >= 0 &&
+            (toks(1).startsWith("'") || toks(1) == "[") =>
           p.pop(); last = Left(runRexec(spark, p))
         case "rollup" if toks.lengthCompare(2) >= 0 && toks(1).startsWith("'") =>
           p.pop(); last = Left(runRollup(spark, p))
@@ -1899,7 +1900,7 @@ object KerfSql {
             df.createOrReplaceTempView(name)
             last = Left(df)
           } else if (p.peekIs("rexec") && p.toks.lengthCompare(3) >= 0 &&
-                     p.toks(1).startsWith("'")) {
+                     (p.toks(1).startsWith("'") || p.toks(1) == "[")) {
             p.pop()
             val df = runRexec(spark, p)
             df.createOrReplaceTempView(name)
@@ -2744,6 +2745,36 @@ object KerfSql {
     * `remote://` table protocol, where projection/filter/aggregate
     * push down). `''` escapes a quote inside the shipped program. */
   private def runRexec(spark: SparkSession, p: P): DataFrame = {
+    // `rexec ['s1', 's2'] 'program'` — SCATTER-GATHER over a folio of
+    // sites (presented.h:427–430 "executes queries remotely"): the same
+    // program ships to every site CONCURRENTLY, each evaluates against
+    // its own tables, and the results union by name (schemas must
+    // match exactly — a drifted site is a loud error, not a null-fill;
+    // per-site partial aggregates re-aggregate in the next statement,
+    // the classic two-phase map-reduce from the text surface).
+    if (p.peekIs("[")) {
+      p.pop()
+      val sites = scala.collection.mutable.ArrayBuffer[String](unq(p.pop()))
+      while (p.peekIs(",")) { p.pop(); sites += unq(p.pop()) }
+      p.expect("]")
+      val progTok = p.pop()
+      require(progTok.startsWith("'"),
+        "rexec: the program must be a quoted string ('' escapes a quote)")
+      val prog = unq(progTok)
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.DurationInt
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val fs = sites.toSeq.map(site =>
+        Future(graft.sources.RemoteEval.call(spark, site, prog)))
+      val dfs = fs.map(Await.result(_, 10.minutes))
+      val first = dfs.head
+      dfs.zip(sites).foreach { case (d, site) =>
+        require(d.schema == first.schema,
+          s"rexec: site '$site' answered with a different schema " +
+          s"(${d.schema.toDDL}) than '${sites.head}' (${first.schema.toDDL})")
+      }
+      return dfs.reduce(_ unionByName _)
+    }
     val site = unq(p.pop())
     val progTok = p.pop()
     require(progTok.startsWith("'"),

@@ -101,6 +101,37 @@ class RemoteFolioSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("rexec scatter: same program to N sites, union; drift is loud") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("rexsc").toString
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    cust.filter(col("c_custkey") % 2 === 0).write.parquet(s"$base/a")
+    cust.filter(col("c_custkey") % 2 =!= 0).write.parquet(s"$base/b")
+    val sa = RemoteTableServer.start(spark, Map("c" -> s"$base/a"), enableEval = true)
+    val sb = RemoteTableServer.start(spark, Map("c" -> s"$base/b"), enableEval = true)
+    try {
+      val got = graft.sql.KerfSql.run(spark,
+        s"p: rexec ['127.0.0.1:${sa.port}', '127.0.0.1:${sb.port}'] " +
+        "'select c_mktsegment, count(*) as n from c group c_mktsegment'; " +
+        "select c_mktsegment, sum(n) as n from p group c_mktsegment " +
+        "order c_mktsegment")
+      val want = cust.groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+      assert(got.collect().toSeq == want.collect().toSeq)
+      // a site answering a DIFFERENT schema is a loud error naming it
+      val sn = RemoteTableServer.start(spark,
+        Map("c" -> s"$sf/nation.parquet"), enableEval = true)
+      try {
+        val e = intercept[IllegalArgumentException] {
+          graft.sql.KerfSql.run(spark,
+            s"rexec ['127.0.0.1:${sa.port}', '127.0.0.1:${sn.port}'] " +
+            "'select * from c'").collect()
+        }
+        assert(e.getMessage.contains("different schema"), e.getMessage)
+      } finally sn.stop()
+    } finally { sa.stop(); sb.stop() }
+  }
+
   test("remote scan == local scan, values and schema (customer)") {
     val local = spark.read.parquet(s"$sf/customer.parquet")
     val remote = remoteRead("customer")
