@@ -8,6 +8,35 @@ package graft
   * ns-long (`ts_ns`) → the SQL twin uses epoch_ns(ts).
   */
 object Oracles {
+
+  // ── SplitMix64 replayed in DuckDB (graft.functions.Rng twin) ───────
+  // a·b mod 2^64 via 32-bit limb split: a full 64×64 product would
+  // overflow signed HUGEINT, the limbs never do.
+  private def mm(a: String, b: String): String =
+    s"(((($a) % 4294967296) * (($b) % 4294967296) + " +
+    s"((((($a) % 4294967296) * (($b) // 4294967296)) + " +
+    s"((($a) // 4294967296) * (($b) % 4294967296))) % 4294967296) * " +
+    s"4294967296) % 18446744073709551616)"
+  // z ^ (z >>> k) — logical shift and xor in UBIGINT, back to HUGEINT
+  private def xs(z: String, k: Int): String =
+    s"xor(($z)::UBIGINT, ($z)::UBIGINT >> $k)::HUGEINT"
+  private val G  = "11400714819323198485::HUGEINT" // 0x9E3779B97F4A7C15
+  private val C1 = "13787848793156543929::HUGEINT" // 0xBF58476D1CE4E5B9
+  private val C2 = "10723151780598845931::HUGEINT" // 0x94D049BB133111EB
+  /** CTE stage columns for u64(seed, key): z0→z1→z2→u per stage. */
+  private def rngZ0(seed: Long, key: String): String =
+    s"($seed::HUGEINT + ${mm(s"($key)::HUGEINT + 1", G)}) % 18446744073709551616"
+  private def rngZ1(z: String): String = mm(xs(z, 30), C1)
+  private def rngZ2(z: String): String = mm(xs(z, 27), C2)
+  private def rngU(z: String): String = xs(z, 31)
+  /** unsigned [0,2^64) → the engine's signed-long face */
+  private def signed(u: String): String =
+    s"(($u) - CASE WHEN ($u) >= 9223372036854775808::HUGEINT " +
+    s"THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT"
+  /** unsigned → the 53-bit [0,1) conversion (exact in doubles) */
+  private def u01(u: String): String =
+    s"((($u)::UBIGINT >> 11)::DOUBLE / 9007199254740992.0)"
+
   val all: Map[String, String] = Map(
 
     "q01_agg_pricing" ->
@@ -2636,5 +2665,47 @@ object Oracles {
          FROM p
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, value)
          ORDER BY user_id, ts_ns, value""",
+
+    // seeded split: SplitMix64(11, doc_id) → u01 → cumulative-weight
+    // fold (8:1:1 → thresholds .8/.9), fold populations hash-compared
+    "q192_rng_split" ->
+      s"""WITH s0 AS (SELECT doc_id, n_chars, ${rngZ0(11, "doc_id")} AS z FROM documents),
+          s1 AS (SELECT doc_id, n_chars, ${rngZ1("z")} AS z FROM s0),
+          s2 AS (SELECT doc_id, n_chars, ${rngZ2("z")} AS z FROM s1),
+          s3 AS (SELECT doc_id, n_chars, ${rngU("z")} AS u FROM s2),
+          f AS (SELECT n_chars,
+                  CAST(CASE WHEN ${u01("u")} < 0.8::DOUBLE THEN 0
+                            WHEN ${u01("u")} < 0.9::DOUBLE THEN 1
+                            ELSE 2 END AS BIGINT) AS fold FROM s3)
+          SELECT fold, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+          FROM f GROUP BY fold ORDER BY fold""",
+
+    // exact-n sample: order by the signed u64 draw (seed 3), tiebreak
+    // doc_id, limit 64; the u01 face under seed 7 pins both conversions
+    "q193_rng_sample" ->
+      s"""WITH s0 AS (SELECT doc_id, ${rngZ0(3, "doc_id")} AS za,
+                             ${rngZ0(7, "doc_id")} AS zb FROM documents),
+          s1 AS (SELECT doc_id, ${rngZ1("za")} AS za, ${rngZ1("zb")} AS zb FROM s0),
+          s2 AS (SELECT doc_id, ${rngZ2("za")} AS za, ${rngZ2("zb")} AS zb FROM s1),
+          s3 AS (SELECT doc_id, ${rngU("za")} AS ua, ${rngU("zb")} AS ub FROM s2)
+          SELECT doc_id, ${signed("ua")} AS draw, ${u01("ub")} AS u
+          FROM s3 ORDER BY draw, doc_id LIMIT 64""",
+
+    // bitops family: &, |, xor, ~, << (wrapping), arithmetic >>,
+    // bit_count, pow2 test, grouped by the bin-length floor-log2
+    "q194_bitops" ->
+      """SELECT CAST(CASE WHEN l_orderkey <= 0 THEN NULL
+                          ELSE length(bin(l_orderkey)) - 1 END AS BIGINT) AS lg,
+                count(*) AS n,
+                CAST(sum(l_orderkey & 255) AS BIGINT) AS low8,
+                CAST(sum(l_orderkey | l_linenumber) AS BIGINT) AS orr,
+                CAST(sum(xor(l_orderkey, l_partkey)) AS BIGINT) AS xr,
+                CAST(sum((~l_orderkey) & 1023) AS BIGINT) AS nt,
+                CAST(sum((l_orderkey << 3) & 4095) AS BIGINT) AS sl,
+                CAST(sum(l_orderkey >> 4) AS BIGINT) AS sr,
+                CAST(sum(bit_count(l_orderkey)) AS BIGINT) AS bits,
+                CAST(sum(CAST(l_orderkey > 0 AND
+                              (l_orderkey & (l_orderkey - 1)) = 0 AS BIGINT)) AS BIGINT) AS pows
+         FROM lineitem GROUP BY lg ORDER BY lg""",
   )
 }

@@ -3592,6 +3592,57 @@ object Queries {
       "group l_returnflag order l_returnflag")
   }
 
+  /** SEEDED RNG — reproducible sampling/splitting (reference rng.h:18–29
+    * per-thread PCG with `seed_fixed`, re-expressed as the stateless
+    * SplitMix64 counter RNG in [[graft.functions.Rng]]): `splitid(seed,
+    * key, w…)` assigns every doc a train/val/test fold as a pure
+    * function of (seed, key) — stable under retries, repartitioning,
+    * and re-runs, consistent across tables sharing the key. The DuckDB
+    * twin replays SplitMix64 bit-for-bit in HUGEINT arithmetic, so the
+    * fold populations must hash-match exactly. */
+  val q192_rng_split: Q = (s, dir) => {
+    Tables.documents(s, dir).createOrReplaceTempView("documents_v192")
+    sql.KerfSql.run(s,
+      "select count(*) as n, sum(n_chars) as chars from documents_v192 " +
+      "group splitid(11, doc_id, 8, 1, 1) as fold order fold")
+  }
+
+  /** EXACT-N REPRODUCIBLE SAMPLE — `order randu64(seed, key), key
+    * limit n`: the draw is a pure function of (seed, key), the plan is
+    * TakeOrderedAndProject (per-partition top-n heap, never a global
+    * sort) — the only exact-n sample that survives 100 TB. Projects the
+    * u64 draw (signed long) and the u01 face under a second seed so the
+    * oracle pins BOTH conversions. */
+  val q193_rng_sample: Q = (s, dir) => {
+    Tables.documents(s, dir).createOrReplaceTempView("documents_v193")
+    sql.KerfSql.run(s,
+      "select doc_id, randu64(3, doc_id) as draw, randu01(7, doc_id) as u " +
+      "from documents_v193 order randu64(3, doc_id), doc_id limit 64")
+  }
+
+  /** BITOPS verb family (reference bitops.h): and/or/xor/not, shifts,
+    * popcount, and the two bitops.h originals — floor_log_2
+    * (bitops.h:17; exact via binary-string length where fp log2
+    * misrounds) and is_power_of_2 (bitops.h:94) — grouped by the
+    * orderkey's bit-length band. All integer arithmetic, so the DuckDB
+    * replay (&, |, xor, ~, <<, arithmetic >>, bit_count, bin-length)
+    * must match bit-for-bit. */
+  val q194_bitops: Q = (s, dir) => {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v194")
+    sql.KerfSql.run(s,
+      "select count(*) as n, " +
+      "sum(band(l_orderkey, 255)) as low8, " +
+      "sum(bor(l_orderkey, l_linenumber)) as orr, " +
+      "sum(bxor(l_orderkey, l_partkey)) as xr, " +
+      "sum(band(bnot(l_orderkey), 1023)) as nt, " +
+      "sum(band(shl(l_orderkey, 3), 4095)) as sl, " +
+      "sum(shr(l_orderkey, 4)) as sr, " +
+      "sum(popcount(l_orderkey)) as bits, " +
+      "sum(long(ispow2(l_orderkey))) as pows " +
+      "from lineitem_v194 " +
+      "group log2floor(l_orderkey) as lg order lg")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3784,5 +3835,8 @@ object Queries {
     "q189_kerf_rexec"    -> q189_kerf_rexec,
     "q190_kerf_stamp_attrs" -> q190_kerf_stamp_attrs,
     "q191_rexec_scatter" -> q191_rexec_scatter,
+    "q192_rng_split"     -> q192_rng_split,
+    "q193_rng_sample"    -> q193_rng_sample,
+    "q194_bitops"        -> q194_bitops,
   )
 }

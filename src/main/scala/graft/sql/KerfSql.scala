@@ -138,7 +138,10 @@ object KerfSql {
     "asc", "desc", "union", "intersect", "except",
     "substr", "replace", "ssr", "rlike", "split", "trim", "ltrim",
     "rtrim", "lpad", "rpad",
-    "long", "double", "string", "stamp", "nanos")
+    "long", "double", "string", "stamp", "nanos",
+    "randu64", "randu01", "splitid", "rand", "deal", "shuffle",
+    "band", "bor", "bxor", "bnot", "shl", "shr", "popcount",
+    "log2floor", "ispow2")
   private val verbSyms = Set("+", "-", "*", "/", "%")
   private val adverbNames = Set("fold", "over", "unfold", "scan",
     "mapdown", "each", "mapback", "eachprior", "mapright", "mapleft")
@@ -1488,8 +1491,140 @@ object KerfSql {
       case MapType(_, v, _) => T(map_values(a.col), ArrayType(v))
       case other => throw new IllegalArgumentException(s"values: need a dict, got $other")
     }
+    // ── Seeded RNG family (rng.h:18–29, rng.cc, pcg/) ────────────────
+    // The reference's per-thread PCG streams with `seed_fixed`
+    // reproducibility become a stateless counter RNG: every draw is a
+    // pure function of (seed, counter-or-key), so it survives task
+    // retries and repartitioning — the seed is an EXPLICIT argument
+    // everywhere (a hidden mutable seed is exactly the state a
+    // distributed engine cannot keep). See functions.Rng.
+    case ("randu64", Seq(s, x)) => x.dt match {
+      case ArrayType(_, _) =>
+        T(transform(x.col, v =>
+          graft.functions.Rng.randu64(s.col.cast("long"), v.cast("long"))),
+          ArrayType(LongType))
+      case _ => T(graft.functions.Rng.randu64(s.col.cast("long"),
+        x.col.cast("long")), LongType)
+    }
+    case ("randu01", Seq(s, x)) => x.dt match {
+      case ArrayType(_, _) =>
+        T(transform(x.col, v =>
+          graft.functions.Rng.randu01(s.col.cast("long"), v.cast("long"))),
+          ArrayType(DoubleType))
+      case _ => T(graft.functions.Rng.randu01(s.col.cast("long"),
+        x.col.cast("long")), DoubleType)
+    }
+    case ("splitid", s +: k +: ws) if ws.nonEmpty =>
+      // train/val/test fold assignment: `splitid(seed, key, 8, 1, 1)`
+      // → 0/1/2 by cumulative weight on the key's uniform draw.
+      // Weights are literal positives (they parameterize the split);
+      // the last fold catches the remainder so every row lands.
+      val weights = ws.map(w => litDouble(w).getOrElse(throw
+        new IllegalArgumentException("splitid: weights must be literal numbers")))
+      require(weights.forall(_ > 0), "splitid: weights must be positive")
+      val total = weights.sum
+      val cum = weights.scanLeft(0.0)(_ + _).tail.map(_ / total)
+      val u = graft.functions.Rng.randu01(s.col.cast("long"), k.col.cast("long"))
+      var e: Column = lit((weights.length - 1).toLong)
+      cum.init.zipWithIndex.reverse.foreach { case (c, idx) =>
+        e = when(u < c, lit(idx.toLong)).otherwise(e)
+      }
+      T(e, LongType)
+    case ("rand", Seq(s, n)) => // n uniform doubles on [0,1) — REPL face
+      val (sd, cnt) = randArgs("rand", s, n)
+      T(typedLit((0L until cnt).map(i => graft.functions.Rng.randU01(sd, i))),
+        ArrayType(DoubleType))
+    case ("rand", Seq(s, n, k)) => // n uniform longs on [0,k) — the
+      // kerf1 bound convention: bound × unit-interval draw (rng.h:24)
+      val (sd, cnt) = randArgs("rand", s, n)
+      val bound = litLong(k).getOrElse(throw new IllegalArgumentException(
+        "rand: the bound must be a literal"))
+      require(bound > 0, s"rand: bound must be positive, got $bound")
+      T(typedLit((0L until cnt).map(i =>
+          (graft.functions.Rng.randU01(sd, i) * bound).toLong)),
+        ArrayType(LongType))
+    case ("deal", Seq(s, n, k)) => // n DISTINCT draws from [0,k) —
+      // order the domain by its draw, take n (same rule both engines)
+      val (sd, cnt) = randArgs("deal", s, n)
+      val domain = litLong(k).getOrElse(throw new IllegalArgumentException(
+        "deal: the domain size must be a literal"))
+      require(domain <= 1000000L,
+        s"deal: domain $domain exceeds the REPL bound 1000000 — sample a " +
+        "table by its key instead: `order randu64(seed, key), key limit n`")
+      require(cnt <= domain, s"deal: cannot draw $cnt distinct from $domain")
+      T(typedLit((0L until domain)
+          .sortBy(i => graft.functions.Rng.randU64(sd, i))
+          .take(cnt.toInt)),
+        ArrayType(LongType))
+    case ("shuffle", Seq(s, x)) => x.dt match {
+      // permute a list by drawing a key per POSITION and sorting on it
+      // (64-bit keys: collisions are below any practical list size)
+      case ArrayType(et, _) =>
+        val perm = transform(
+          array_sort(zip_with(x.col, sequence(lit(0L), size(x.col).cast("long") - 1L),
+            (v, i) => struct(
+              graft.functions.Rng.randu64(s.col.cast("long"), i).as("k"),
+              v.as("v")))),
+          st => st.getField("v"))
+        T(when(size(x.col) <= 1, x.col).otherwise(perm), ArrayType(et))
+      case other => throw new IllegalArgumentException(
+        s"shuffle: need a list, got $other")
+    }
+    // ── Bit operations (bitops.h) ────────────────────────────────────
+    // The reference's bit toolkit made user-facing on 64-bit longs:
+    // and/or/xor/not, shifts (shl wraps — Java semantics; shr is
+    // ARITHMETIC, the `>>` both Spark and DuckDB agree on), popcount,
+    // and the two bitops.h originals — floor_log_2 (bitops.h:17; via
+    // the binary-string length, exact where fp log2 misrounds near
+    // powers of two) and is_power_of_2 (bitops.h:94).
+    case ("band", Seq(a, b)) =>
+      T(a.col.cast("long").bitwiseAND(b.col.cast("long")), LongType)
+    case ("bor", Seq(a, b)) =>
+      T(a.col.cast("long").bitwiseOR(b.col.cast("long")), LongType)
+    case ("bxor", Seq(a, b)) =>
+      T(a.col.cast("long").bitwiseXOR(b.col.cast("long")), LongType)
+    case ("bnot", Seq(a)) => T(bitwise_not(a.col.cast("long")), LongType)
+    case ("shl", Seq(a, n)) =>
+      T(call_function("shiftleft", a.col.cast("long"), n.col.cast("int")), LongType)
+    case ("shr", Seq(a, n)) =>
+      T(call_function("shiftright", a.col.cast("long"), n.col.cast("int")), LongType)
+    case ("popcount", Seq(a)) =>
+      T(call_function("bit_count", a.col.cast("long")).cast("long"), LongType)
+    case ("log2floor", Seq(a)) =>
+      val v = a.col.cast("long")
+      T(when(v <= 0, lit(null).cast(LongType))
+        .otherwise(length(bin(v)).cast("long") - 1), LongType)
+    case ("ispow2", Seq(a)) =>
+      val v = a.col.cast("long")
+      T(when(v <= 0, lit(false))
+        .otherwise(v.bitwiseAND(v - 1) === 0), BooleanType)
     case _ => throw new IllegalArgumentException(
       s"verb '$fn' does not take ${args.length} arguments")
+  }
+
+  /** Literal extraction for verbs whose arguments parameterize the PLAN
+    * (RNG seeds/counts): plain numeric literals only. */
+  private def litLong(t: T): Option[Long] =
+    org.apache.spark.sql.GraftColumnGlue.toCatalystExpr(t.col) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, LongType) => Some(v)
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => Some(v.toLong)
+      case _ => None
+    }
+  private def litDouble(t: T): Option[Double] =
+    litLong(t).map(_.toDouble).orElse(
+      org.apache.spark.sql.GraftColumnGlue.toCatalystExpr(t.col) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, DoubleType) => Some(v)
+        case _ => None
+      })
+  private def randArgs(verb: String, s: T, n: T): (Long, Long) = {
+    val sd = litLong(s).getOrElse(throw new IllegalArgumentException(
+      s"$verb: the seed must be a literal (reproducibility is the point)"))
+    val cnt = litLong(n).getOrElse(throw new IllegalArgumentException(
+      s"$verb: the count must be a literal"))
+    require(cnt >= 0 && cnt <= 1000000L,
+      s"$verb: count $cnt outside [0, 1000000] — the REPL bound; draw " +
+      "per-row values with randu64/randu01(seed, key) instead")
+    (sd, cnt)
   }
 
   /** Replace the LEAF type under any array nesting — the result type of
@@ -2608,7 +2743,7 @@ object KerfSql {
             case other => other
           }
         }
-        val c = parseOrderCols(op); finish(op, "order"); (c, fk)
+        val c = parseOrderCols(op, env); finish(op, "order"); (c, fk)
       }.getOrElse(throw new IllegalArgumentException(
         "window verbs (sums/deltas/…) need an order clause"))
       val wspec = Window.partitionBy(groupItems.map(_.col): _*).orderBy(orderCols: _*)
@@ -2651,7 +2786,7 @@ object KerfSql {
         else df
       if (distinctSel) df = df.dropDuplicates()
       segParser("order").foreach { op =>
-        df = df.orderBy(parseOrderCols(op): _*); finish(op, "order")
+        df = df.orderBy(parseOrderCols(op, env): _*); finish(op, "order")
       }
     }
     segParser("limit").foreach { lp =>
@@ -2675,7 +2810,7 @@ object KerfSql {
     * lowered to the [[graft.functions.KerfOrdering]] sort-key transform.
     * Engine default stays Spark/ANSI; Kerf-mode is per-column opt-in,
     * the same posture as the eps_eq shim. */
-  private def parseOrderCols(p: P): Seq[Column] = {
+  private def parseOrderCols(p: P, env: Env = emptyEnv): Seq[Column] = {
     val cols = scala.collection.mutable.ArrayBuffer[Column]()
     var more = true
     while (more) {
@@ -2686,8 +2821,16 @@ object KerfSql {
         p.expect(")")
         cols += (if (desc) graft.functions.KerfOrdering.nanSmallestDesc(c)
                  else graft.functions.KerfOrdering.nanSmallestAsc(c))
-      } else if (desc) cols += col(p.pop()).desc
-      else cols += col(p.pop()).asc
+      } else {
+        // bare name (next token is `,` or clause end) stays LATE-BOUND —
+        // it may be a post-aggregation alias the env's schema can't see;
+        // anything else is a full expression (`order randu64(seed, key)`
+        // is the exact-n sampling idiom — TakeOrderedAndProject, no sort)
+        val c =
+          if (p.peek2.forall(_ == ",")) col(p.pop())
+          else parseExpr(p, env).col
+        cols += (if (desc) c.desc else c.asc)
+      }
       if (p.peekIs(",")) p.pop() else more = false
     }
     cols.toSeq
@@ -3320,7 +3463,7 @@ object KerfSql {
       t.toInt
     }
     p.expect("order")
-    val cols = parseOrderCols(p)
+    val cols = parseOrderCols(p, new Env(Some(df.schema), Map.empty))
     require(p.done, s"trailing tokens in top: ${p.toks.mkString(" ")}")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keys.toSeq.map(col): _*).orderBy(cols: _*)
