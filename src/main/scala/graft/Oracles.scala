@@ -2691,6 +2691,40 @@ object Oracles {
           SELECT doc_id, ${signed("ua")} AS draw, ${u01("ub")} AS u
           FROM s3 ORDER BY draw, doc_id LIMIT 64""",
 
+    // histogram-rollup quantile navigation: rebuild the identical
+    // (flag × grid-bucket) histogram from the raw rows, then replay the
+    // identical rank → cumulative-bucket → interpolate → clamp math
+    "q195_hist_quantile" ->
+      """WITH h AS (
+           SELECT l_returnflag,
+                  CASE WHEN l_extendedprice < 900.0 THEN -1
+                       WHEN l_extendedprice >= 900.0 + 1750.0 * 64 THEN 64
+                       ELSE CAST(floor((l_extendedprice - 900.0) / 1750.0) AS BIGINT)
+                  END AS b,
+                  count(l_extendedprice) AS cnt,
+                  min(l_extendedprice) AS bmin,
+                  max(l_extendedprice) AS bmax
+           FROM lineitem GROUP BY l_returnflag, b),
+         c AS (
+           SELECT *,
+                  CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                  CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS total
+           FROM h),
+         j AS (
+           SELECT c.*, q.q,
+                  greatest(CAST(ceil(q.q * c.total) AS BIGINT), 1) AS rank
+           FROM c CROSS JOIN
+             (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE, 0.99::DOUBLE]) AS q) q)
+         SELECT l_returnflag, q, rank,
+                least(greatest(
+                  900.0 + 1750.0 * (CAST(b AS DOUBLE) +
+                    CAST(rank - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)),
+                  bmin), bmax) AS est,
+                bmin AS lo_bound, bmax AS hi_bound
+         FROM j WHERE cum >= rank AND (cum - cnt) < rank
+         ORDER BY l_returnflag, q""",
+
     // bitops family: &, |, xor, ~, << (wrapping), arithmetic >>,
     // bit_count, pow2 test, grouped by the bin-length floor-log2
     "q194_bitops" ->

@@ -3643,6 +3643,34 @@ object Queries {
       "group log2floor(l_orderkey) as lg order lg")
   }
 
+  /** HISTOGRAM ROLLUP quantile navigation (the maintained-rollup
+    * protocol extended from mergeable moments to ORDER STATISTICS):
+    * three appended slices maintain a per-(flag × grid-bucket)
+    * count/min/max aggregate — vocab-sized, exact, mergeable, never
+    * re-scanning history — and p50/p95/p99 read the histogram, not the
+    * data. The estimate interpolates within the hit bucket and the
+    * bucket's exact observed min/max bracket the true quantile. The
+    * DuckDB twin rebuilds the identical histogram from the raw rows and
+    * replays the identical rank/interpolate/clamp arithmetic — every
+    * step is deterministic IEEE math, so the match is bit-for-bit. */
+  val q195_hist_quantile: Q = (s, dir) => {
+    val path = Scratch.dir(s, "histq", new java.io.File(dir).getName) + "/h"
+    val (lo, width, n) = (900.0, 1750.0, 64) // covers l_extendedprice
+    if (io.Folio.currentVersion(s"$path/meta").isEmpty) {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_linenumber"), col("l_extendedprice"))
+      Seq((1, 2), (3, 4), (5, 7)).foreach { case (a, b) =>
+        io.Folio.appendWithHistogram(
+          li.filter(col("l_linenumber") >= a && col("l_linenumber") <= b)
+            .drop("l_linenumber"),
+          path, Seq("l_returnflag"), "l_extendedprice", lo, width, n)
+      }
+    }
+    io.Folio.histogramQuantiles(s, path, Seq("l_returnflag"),
+        "l_extendedprice", lo, width, n, Seq(0.5, 0.95, 0.99))
+      .orderBy(col("l_returnflag"), col("q"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3838,5 +3866,6 @@ object Queries {
     "q192_rng_split"     -> q192_rng_split,
     "q193_rng_sample"    -> q193_rng_sample,
     "q194_bitops"        -> q194_bitops,
+    "q195_hist_quantile" -> q195_hist_quantile,
   )
 }

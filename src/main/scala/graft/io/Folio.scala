@@ -798,6 +798,91 @@ object Folio {
     df
   }
 
+  // ── histogram rollup: maintained quantiles ─────────────────────────
+
+  /** Grid bucket id for the histogram rollup: −1 underflow, `nBuckets`
+    * overflow, else floor((v − lo)/width). Pure IEEE arithmetic, so any
+    * engine derives the identical bucket from the identical row. */
+  def histBucket(v: Column, lo: Double, width: Double, nBuckets: Int): Column =
+    when(v.isNull, lit(null).cast("long"))
+      .when(v < lo, lit(-1L))
+      .when(v >= lo + width * nBuckets, lit(nBuckets.toLong))
+      .otherwise(floor((v - lo) / width).cast("long"))
+
+  /** The grid IS part of the column name, so [[appendWithRollup]]'s
+    * stored-schema check rejects a drifted grid loudly — no separate
+    * spec file to keep in sync. */
+  private def histColName(lo: Double, width: Double, nBuckets: Int): String =
+    s"__hb_${lo}_${width}_$nBuckets".replaceAll("[^A-Za-z0-9_]", "_")
+
+  /** HISTOGRAM rollup — quantiles over 100 TB without scanning it.
+    *
+    * The maintained-rollup protocol ([[appendWithRollup]]: manifest-log
+    * atomicity, history never re-aggregated) applied to the derived key
+    * (keys × grid bucket): each append folds per-bucket count/sum/min/max
+    * into a (|keys| × nBuckets)-row aggregate — vocab-sized state, exact
+    * and mergeable (counts add; min/min, max/max), unlike a quantile
+    * SKETCH whose merge is approximate and engine-specific. Quantile
+    * queries then read the histogram, not the data: rank → bucket by
+    * cumulative count, interpolate within the bucket, and the bucket's
+    * exact min/max BRACKET the true quantile (error ≤ bucket width,
+    * tighter where data is dense). Same navigation economics as
+    * [[rollupRead]]/RollupRewriteRule, extended from mergeable moments
+    * to order statistics. */
+  def appendWithHistogram(batch: DataFrame, path: String, keys: Seq[String],
+                          valCol: String, lo: Double, width: Double,
+                          nBuckets: Int): Unit = {
+    require(width > 0 && nBuckets >= 1,
+      s"histogram needs width > 0 and nBuckets >= 1, got $width / $nBuckets")
+    val b = histColName(lo, width, nBuckets)
+    appendWithRollup(
+      batch.withColumn(b, histBucket(col(valCol), lo, width, nBuckets)),
+      path, keys :+ b, Seq(valCol))
+  }
+
+  /** Per-(key, q) quantile navigation over the maintained histogram:
+    * rank = max(1, ceil(q·n)); the hit bucket is the first whose
+    * cumulative count reaches the rank; `est` interpolates linearly
+    * within the bucket and is clamped into the bucket's EXACT observed
+    * [min, max] (also returned as `lo_bound`/`hi_bound` — the true
+    * quantile provably lies between them). Every step is deterministic
+    * IEEE arithmetic over the histogram counts, so an independent
+    * engine replays it bit-for-bit from the raw rows. */
+  def histogramQuantiles(spark: SparkSession, path: String,
+                         keys: Seq[String], valCol: String,
+                         lo: Double, width: Double, nBuckets: Int,
+                         qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must lie in (0, 1], got $qs")
+    val b = histColName(lo, width, nBuckets)
+    val r = rollupRead(spark, path)
+    require(r.columns.contains(b),
+      s"histogram grid mismatch: stored rollup has no '$b' column " +
+      s"(grids present: ${r.columns.filter(_.startsWith("__hb_")).mkString(",")})")
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(b)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val cnt = col(s"${valCol}_cnt")
+    val withCum = r.filter(col(b).isNotNull)
+      .withColumn("__cum", sum(cnt).over(wCum))
+      .withColumn("__total", sum(cnt).over(wAll))
+    val qFrame = spark.range(1).select(explode(typedLit(qs)).as("q"))
+    val hits = withCum.crossJoin(broadcast(qFrame))
+      .withColumn("rank", greatest(ceil(col("q") * col("__total")), lit(1L)))
+      .filter(col("__cum") >= col("rank") &&
+              (col("__cum") - cnt) < col("rank"))
+    val est0 = lit(lo) + lit(width) *
+      (col(b).cast("double") +
+        (col("rank") - (col("__cum") - cnt)).cast("double") / cnt.cast("double"))
+    hits.select(
+      keys.map(col) ++ Seq(
+        col("q"), col("rank"),
+        least(greatest(est0, col(s"${valCol}_min")), col(s"${valCol}_max")).as("est"),
+        col(s"${valCol}_min").as("lo_bound"),
+        col(s"${valCol}_max").as("hi_bound")): _*)
+  }
+
   /** Reap batch dirs no manifest (live or fallback) references — the
     * crash leftovers of interrupted appends. Returns removed names. */
   def rollupVacuum(path: String): Seq[String] = {

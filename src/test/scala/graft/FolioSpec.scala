@@ -563,6 +563,49 @@ class FolioSpec extends SparkSpec {
     }
   }
 
+  test("histogram rollup: bounds bracket the exact quantile; grid drift is loud") {
+    import spark.implicits._
+    val path = tmp()
+    val rnd = new scala.util.Random(99L)
+    val all = (1 to 900).map(i => (if (i % 3 == 0) "a" else "b",
+      math.floor(rnd.nextDouble() * 1000) / 4.0)) // quarter grid, [0, 250)
+    val (lo, width, n) = (0.0, 10.0, 25)
+    // three appends maintain the same histogram one shot would build
+    all.grouped(300).foreach { sl =>
+      Folio.appendWithHistogram(sl.toDF("k", "v"), path, Seq("k"), "v",
+        lo, width, n)
+    }
+    val qs = Seq(0.5, 0.9, 0.99)
+    val got = Folio.histogramQuantiles(spark, path, Seq("k"), "v",
+        lo, width, n, qs)
+      .collect().map(r => ((r.getString(0), r.getDouble(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.size == 6) // 2 keys × 3 quantiles, exactly one hit each
+    // exact quantile by definition: rank-th smallest (rank = ceil(q·n))
+    val byKey = all.groupBy(_._1).map { case (k, xs) =>
+      k -> xs.map(_._2).sorted }
+    for (k <- Seq("a", "b"); q <- qs) {
+      val xs = byKey(k)
+      val rank = math.max(1, math.ceil(q * xs.length).toLong)
+      val exact = xs((rank - 1).toInt)
+      val (gr, est, lob, hib) = got((k, q))
+      assert(gr == rank, s"($k,$q): rank $gr != $rank")
+      assert(lob <= exact && exact <= hib,
+        s"($k,$q): exact $exact outside [$lob, $hib]")
+      assert(est >= lob && est <= hib)
+      assert(math.abs(est - exact) <= width, s"($k,$q): |$est - $exact| > width")
+    }
+    // a drifted grid is a different stored column name -> loud schema
+    // mismatch from the rollup spec check, and a loud read-side error
+    intercept[IllegalArgumentException] {
+      Folio.appendWithHistogram(Seq(("a", 1.0)).toDF("k", "v"), path,
+        Seq("k"), "v", lo, width + 1, n)
+    }
+    intercept[IllegalArgumentException] {
+      Folio.histogramQuantiles(spark, path, Seq("k"), "v", lo, width + 1, n, qs)
+    }
+  }
+
   test("program restore resolves defs regardless of name-sort order (fixpoint rebind)") {
     val dir = tmp()
     val sess = new graft.sql.KerfSql.Interp(spark)
