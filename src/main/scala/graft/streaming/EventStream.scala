@@ -425,6 +425,25 @@ object EventStream {
       }
       .start()
 
+  /** Streaming face of the HISTOGRAM rollup ([[graft.io.Folio
+    * .appendWithHistogram]]): each micro-batch folds its grid-bucket
+    * partial into the maintained histogram under the same manifest-log
+    * commit — live p50/p95/p99 over an unbounded feed from vocab-sized
+    * state, no history rescan, same exactly-once economics as
+    * [[rollupStream]]. */
+  def histogramStream(stream: DataFrame, path: String, keys: Seq[String],
+                      valCol: String, lo: Double, width: Double,
+                      nBuckets: Int)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.io.Folio.appendWithHistogram(batch.toDF(), path, keys,
+            valCol, lo, width, nBuckets)
+        ()
+      }
+      .start()
+
   /** Input columns: (user_id, ts_ns, value). */
   def emaByKey(stream: DataFrame, alpha: Double): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")

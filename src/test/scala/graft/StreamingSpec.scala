@@ -1024,6 +1024,39 @@ class StreamingSpec extends SparkSpec {
     assert(graft.io.Folio.rollupDataRead(spark, path).count() == 5L)
   }
 
+  test("streaming histogram: live quantiles are exact-bracketed after every batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft_hist_stream").toString
+    val (lo, width, n) = (0.0, 10.0, 10)
+    val input = MemoryStream[(String, Double)]
+    val q = EventStream.histogramStream(
+      input.toDF().toDF("k", "v"), path, Seq("k"), "v", lo, width, n)
+    val fed = scala.collection.mutable.ArrayBuffer[Double]()
+    def p90Row() = graft.io.Folio.histogramQuantiles(
+        spark, path, Seq("k"), "v", lo, width, n, Seq(0.9))
+      .collect().map(r => (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    def checkBracket(): Unit = {
+      val Array((rank, est, lob, hib)) = p90Row()
+      val exact = fed.sorted.apply((math.max(1,
+        math.ceil(0.9 * fed.length).toLong) - 1).toInt)
+      assert(rank == math.max(1, math.ceil(0.9 * fed.length).toLong))
+      assert(lob <= exact && exact <= hib, s"exact $exact outside [$lob, $hib]")
+      assert(est >= lob && est <= hib)
+    }
+    try {
+      val b1 = Seq(3.25, 17.5, 44.0, 91.0, 12.0)
+      input.addData(b1.map(("a", _)): _*); q.processAllAvailable()
+      fed ++= b1; checkBracket() // live after the FIRST batch
+      val b2 = Seq(55.5, 61.0, 8.0, 99.0)
+      input.addData(b2.map(("a", _)): _*); q.processAllAvailable()
+      fed ++= b2; checkBracket() // and exact-bracketed after the second
+    } finally q.stop()
+    // the manifested data is exactly the streamed rows
+    assert(graft.io.Folio.rollupDataRead(spark, path).count() == fed.length.toLong)
+  }
+
   test("streaming EMA state survives checkpoint restart (fold continues)") {
     withRocksDb {
       import spark.implicits._
