@@ -729,11 +729,26 @@ object Folio {
           .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
     }
 
+  /** The commit tag of the LIVE rollup version (None when the folio is
+    * empty or the last commit carried no tag). The streaming sinks use
+    * it as the replay guard: an at-least-once re-delivery of the batch
+    * that just committed sees its own tag live and skips. */
+  def lastRollupCommitTag(path: String): Option[String] =
+    currentVersion(rollupMetaDir(path)).flatMap { v =>
+      val f = new java.io.File(s"${rollupMetaDir(path)}/$v", "_COMMIT_TAG")
+      if (f.isFile)
+        Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim)
+      else None
+    }
+
   /** Append `batch` and fold its partial into the stored rollup, as one
     * atomic commit. `keys`/`valCols` must match the folio's existing
-    * rollup spec (validated from the stored schema). */
+    * rollup spec (validated from the stored schema). `commitTag` (if
+    * given) publishes atomically WITH the data — the idempotence
+    * breadcrumb for at-least-once writers (see [[lastRollupCommitTag]]). */
   def appendWithRollup(batch: DataFrame, path: String, keys: Seq[String],
-                       valCols: Seq[String]): Unit = {
+                       valCols: Seq[String],
+                       commitTag: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     require(keys.nonEmpty && valCols.nonEmpty, "rollup needs keys and value columns")
     (keys ++ valCols).foreach(c => require(batch.columns.contains(c),
@@ -766,6 +781,9 @@ object Folio {
       merged.write.parquet(new java.io.File(vdir, "rollup").toString)
       java.nio.file.Files.write(new java.io.File(vdir, "_MANIFEST").toPath,
         manifest.getBytes("UTF-8"))
+      commitTag.foreach(t =>
+        java.nio.file.Files.write(new java.io.File(vdir, "_COMMIT_TAG").toPath,
+          t.getBytes("UTF-8")))
     }
   }
 
@@ -831,13 +849,14 @@ object Folio {
     * to order statistics. */
   def appendWithHistogram(batch: DataFrame, path: String, keys: Seq[String],
                           valCol: String, lo: Double, width: Double,
-                          nBuckets: Int): Unit = {
+                          nBuckets: Int,
+                          commitTag: Option[String] = None): Unit = {
     require(width > 0 && nBuckets >= 1,
       s"histogram needs width > 0 and nBuckets >= 1, got $width / $nBuckets")
     val b = histColName(lo, width, nBuckets)
     appendWithRollup(
       batch.withColumn(b, histBucket(col(valCol), lo, width, nBuckets)),
-      path, keys :+ b, Seq(valCol))
+      path, keys :+ b, Seq(valCol), commitTag)
   }
 
   /** Per-(key, q) quantile navigation over the maintained histogram:
@@ -884,8 +903,17 @@ object Folio {
   }
 
   /** Reap batch dirs no manifest (live or fallback) references — the
-    * crash leftovers of interrupted appends. Returns removed names. */
-  def rollupVacuum(path: String): Seq[String] = {
+    * crash leftovers of interrupted appends. Returns removed names.
+    *
+    * `graceMs`: an appendWithRollup writes its batch dir BEFORE the
+    * manifest that makes it visible, so a vacuum racing a live append
+    * would see a not-yet-manifested dir as an orphan and delete it out
+    * from under the writer (the publish would then manifest a missing
+    * path — every subsequent read fails). Dirs younger than the grace
+    * window are left alone; a genuinely crashed orphan is reaped by
+    * the next cadence run once it ages past the window. Pass 0 only
+    * when no writer can be live (tests, decommission). */
+  def rollupVacuum(path: String, graceMs: Long = 10 * 60 * 1000L): Seq[String] = {
     val meta = rollupMetaDir(path)
     val keep: Set[String] = (currentVersion(meta) match {
       case None => Nil
@@ -900,8 +928,10 @@ object Folio {
         }
     }).map(p => new java.io.File(p).getName).toSet
     val broot = new java.io.File(path, "batches")
+    val cutoff = System.currentTimeMillis() - graceMs
     Option(broot.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && !keep.contains(d.getName))
+      .filter(d => d.isDirectory && !keep.contains(d.getName) &&
+        d.lastModified() < cutoff)
       .map { d => rmTree(d); d.getName }.toSeq.sorted
   }
 }

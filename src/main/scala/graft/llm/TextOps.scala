@@ -413,6 +413,16 @@ object TextOps {
   private def bpeRep(w: Column, endMark: String): Column =
     concat(lit("||"), regexp_replace(w, "(.)", "$1||"), lit(endMark + "||"))
 
+  /** Apply a merge chain to the `rep` column — each rule rewrites
+    * `|l||r|` to `|lr|` left-to-right (the shared last mile of
+    * bpeWordTokens/bpeVocab/bpeEncode: one definition, one encoding). */
+  private def applyMerges(df: DataFrame,
+                          merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(df) { case (d, (l, r)) =>
+      d.withColumn("rep",
+        replace(col("rep"), lit("|" + l + "||" + r + "|"), lit("|" + l + r + "|")))
+    }
+
   private def bpeSyms(rep: Column): Column =
     split(regexp_replace(rep, "^\\|\\||\\|\\|$", ""), "\\|\\|")
 
@@ -496,10 +506,7 @@ object TextOps {
         explode(Dedup.tokens(bpeSanitize(col(textCol)))).as("w"))
       .filter(length(col("w")) > 0)
       .select(col("doc_id"), bpeRep(col("w"), endMark).as("rep"))
-    val mergedRep = merges.foldLeft(start) { case (df, (l, r)) =>
-      df.withColumn("rep",
-        replace(col("rep"), lit("|" + l + "||" + r + "|"), lit("|" + l + r + "|")))
-    }
+    val mergedRep = applyMerges(start, merges)
     mergedRep.select(col("doc_id"), bpeSyms(col("rep")).as("toks"))
   }
 
@@ -522,10 +529,7 @@ object TextOps {
                merges: Seq[(String, String)],
                endMark: String = "</w>"): DataFrame = {
     val words = bpeWordCensus(docs, textCol, endMark)
-    val mergedRep = merges.foldLeft(words) { case (df, (l, r)) =>
-      df.withColumn("rep",
-        replace(col("rep"), lit("|" + l + "||" + r + "|"), lit("|" + l + r + "|")))
-    }
+    val mergedRep = applyMerges(words, merges)
     import org.apache.spark.sql.expressions.Window
     mergedRep
       .select(col("freq"), explode(bpeSyms(col("rep"))).as("token"))
@@ -555,10 +559,7 @@ object TextOps {
         posexplode(Dedup.tokens(bpeSanitize(col(textCol)))).as(Seq("wpos", "w")))
       .filter(length(col("w")) > 0)
       .select(col("doc_id"), col("wpos"), bpeRep(col("w"), endMark).as("rep"))
-    val mergedRep = merges.foldLeft(words) { case (df, (l, r)) =>
-      df.withColumn("rep",
-        replace(col("rep"), lit("|" + l + "||" + r + "|"), lit("|" + l + r + "|")))
-    }
+    val mergedRep = applyMerges(words, merges)
     mergedRep
       .select(col("doc_id"), col("wpos"),
         posexplode(bpeSyms(col("rep"))).as(Seq("tpos", "token")))
@@ -615,8 +616,18 @@ object TextOps {
       var epoch = 0
       var converged = false
       while (epoch < epochs && !converged) {
-        val scored = feats.withColumn("w",
-          element_at(typedLit(v.toSeq), (col("bucket") + 1).cast("int")))
+        // weights travel as a BROADCAST (bucket, w) join, not a plan
+        // literal: a typedLit array re-embeds all dim entries into the
+        // plan each epoch (serialized to every task, ~8 MB at the 1e6
+        // dim cap × up to 100 epochs); the broadcast ships once per
+        // epoch and only the NONZERO rows. A missing bucket is weight
+        // 0 — identical integer math to the element_at lookup.
+        import spark.implicits._
+        val wTab = v.iterator.zipWithIndex
+          .collect { case (w, b) if w != 0L => (b.toLong, w) }
+          .toSeq.toDF("bucket", "w")
+        val scored = feats.join(broadcast(wTab), Seq("bucket"), "left")
+          .withColumn("w", coalesce(col("w"), lit(0L)))
         val wrong = scored
           .groupBy(col("doc_id"), col("y"))
           .agg(sum(col("w") * col("c")).as("m"))

@@ -68,7 +68,7 @@ object RollupRewriteRule extends Rule[LogicalPlan] {
     }
   }
 
-  private def scanInfo(p: LogicalPlan): Option[Info] = p match {
+  private def scanInfo(p: LogicalPlan): Option[(Info, String)] = p match {
     case SubqueryAlias(_, c) => scanInfo(c)
     case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => scanInfo(c)
     case l: LogicalRelation => l.relation match {
@@ -79,20 +79,28 @@ object RollupRewriteRule extends Rule[LogicalPlan] {
         else {
           val parents = roots.map(_.getParentFile.getCanonicalPath).distinct
           if (parents.lengthCompare(1) != 0) None
-          else Option(registry.get(parents.head)).filter { info =>
+          else Option(registry.get(parents.head)).flatMap { info =>
             // the scan must cover EXACTLY the live manifest — re-read
-            // it now so a concurrent append invalidates the match
-            val manifested = try {
+            // it now so a concurrent append invalidates the match, and
+            // PIN the matched version: the rewrite must read THIS
+            // version's rollup, not whatever is current by the time it
+            // builds the replacement (a concurrent append between here
+            // and there would graft a rollup covering MORE batches than
+            // the scan — silently inflated aggregates)
+            try {
               val meta = s"${info.path}/meta"
-              graft.io.Folio.currentVersion(meta).map { v =>
+              graft.io.Folio.currentVersion(meta).flatMap { v =>
                 val f = new java.io.File(s"$meta/$v", "_MANIFEST")
-                new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-                  .split("\n").map(_.trim).filter(_.nonEmpty)
-                  .map(d => new java.io.File(d).getCanonicalPath).toSet
-              }.getOrElse(Set.empty[String])
-            } catch { case _: Exception => Set.empty[String] }
-            manifested.nonEmpty &&
-              roots.map(_.getCanonicalPath).toSet == manifested
+                val manifested =
+                  new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+                    .split("\n").map(_.trim).filter(_.nonEmpty)
+                    .map(d => new java.io.File(d).getCanonicalPath).toSet
+                if (manifested.nonEmpty &&
+                    roots.map(_.getCanonicalPath).toSet == manifested)
+                  Some((info, v))
+                else None
+              }
+            } catch { case _: Exception => None }
           }
       }
       case _ => None
@@ -103,7 +111,7 @@ object RollupRewriteRule extends Rule[LogicalPlan] {
   private def rewrite(agg: Aggregate, groups: Seq[Expression],
                       aggExprs: Seq[NamedExpression],
                       child: LogicalPlan): Option[LogicalPlan] = {
-    val info = scanInfo(child).getOrElse(return None)
+    val (info, pinnedV) = scanInfo(child).getOrElse(return None)
     val groupNames = groups.map {
       case a: AttributeReference if info.keys.contains(a.name) => a.name
       case _ => return None
@@ -118,10 +126,15 @@ object RollupRewriteRule extends Rule[LogicalPlan] {
           Some(fmin(col(s"${a.name}_min")).cast(ae.dataType))
         case Max(a: AttributeReference) if info.valCols.contains(a.name) =>
           Some(fmax(col(s"${a.name}_max")).cast(ae.dataType))
+        // counts coalesce to 0: a GLOBAL count over an empty rollup
+        // (manifested batches with zero rows) must answer 0 like the
+        // raw scan would, not sum's empty-input NULL
         case Count(Seq(Literal(1, _))) =>
-          Some(fsum(col("n_rows")).cast(ae.dataType))
+          Some(org.apache.spark.sql.functions.coalesce(
+            fsum(col("n_rows")), lit(0L)).cast(ae.dataType))
         case Count(Seq(a: AttributeReference)) if info.valCols.contains(a.name) =>
-          Some(fsum(col(s"${a.name}_cnt")).cast(ae.dataType))
+          Some(org.apache.spark.sql.functions.coalesce(
+            fsum(col(s"${a.name}_cnt")), lit(0L)).cast(ae.dataType))
         case Average(a: AttributeReference, _) if info.valCols.contains(a.name) =>
           // divide in DOUBLES (a decimal quotient would round at scale
           // 6): exact decimal sum → correctly-rounded double, exact
@@ -146,8 +159,10 @@ object RollupRewriteRule extends Rule[LogicalPlan] {
       case (scala.util.Right(c), i) => c.as(s"__m$i") }
     if (aggCols.isEmpty) return None // bare DISTINCT-shaped aggregate
     val spark = SparkSession.active
-    val v = graft.io.Folio.currentVersion(s"${info.path}/meta").getOrElse(return None)
-    val ru = spark.read.parquet(s"${info.path}/meta/$v/rollup")
+    // the version scanInfo MATCHED, never re-resolved (TOCTOU guard);
+    // a vacuumed pin falls back to no rewrite
+    val ru = try spark.read.parquet(s"${info.path}/meta/$pinnedV/rollup")
+             catch { case _: Exception => return None }
     val grouped =
       if (groupNames.isEmpty) ru.agg(aggCols.head, aggCols.tail: _*)
       else ru.groupBy(groupNames.distinct.map(col): _*)

@@ -1261,7 +1261,11 @@ object KerfSql {
     // parses ISO forms, null on malformed.
     case ("stamp", Seq(a)) => a.dt match {
       case LongType | IntegerType =>
-        T(timestamp_micros(call_function("div", a.col, lit(1000L))), TimestampType)
+        // FLOOR division to the µs grid (pmod is nonneg): `div` truncates
+        // toward zero, which would round PRE-EPOCH ns toward the epoch —
+        // the opposite direction from RemoteEval's Math.floorDiv bridge
+        T(timestamp_micros(call_function("div",
+            a.col - pmod(a.col, lit(1000L)), lit(1000L))), TimestampType)
       case StringType => T(a.col.try_cast("timestamp"), TimestampType)
       case TimestampType | TimestampNTZType => a
       case other => throw new IllegalArgumentException(
@@ -2548,16 +2552,20 @@ object KerfSql {
         // pair frame the grouped select aggregates. Right-side ts
         // ties: dedup the right table per (key, ts) upstream, or the
         // carried value is whichever tied row the merge keeps.
-        require(!left.columns.contains(rts),
-          s"window join prevailing: right ts '$rts' collides with a left column")
+        // the single-axis form (`at ts`) shares the axis NAME between
+        // sides — rename the right axis for the merge instead of
+        // rejecting the most common tick-table shape
+        val rAxis = if (left.columns.contains(rts)) "__wj_rts" else rts
+        val rightA = if (rAxis == rts) right
+                     else right.withColumnRenamed(rts, rAxis)
         val entry = if (isTs)
           (col(lts) - expr(s"INTERVAL '$lo' MICROSECOND")).cast(lt)
         else col(lts) - lit(lo)
         val shifted = left.withColumn("__wj_entry", entry)
-        val prev0 = graft.ops.AsOf.joinNative(shifted, right, keys.toSeq,
-          "__wj_entry", rts, strict = true)
-        val prevPairs = prev0.filter(col(rts).isNotNull)
-          .drop("__wj_entry", rts)
+        val prev0 = graft.ops.AsOf.joinNative(shifted, rightA, keys.toSeq,
+          "__wj_entry", rAxis, strict = true)
+        val prevPairs = prev0.filter(col(rAxis).isNotNull)
+          .drop("__wj_entry", rAxis)
         out = out.unionByName(prevPairs)
       }
       (out, new Env(Some(out.schema), programVars, programFuncs,
@@ -3608,9 +3616,13 @@ object KerfSql {
     arrCols.foreach(c => require(df.schema(c).dataType.isInstanceOf[ArrayType],
       s"ungroup: '$c' is ${df.schema(c).dataType.simpleString}, not an array"))
     // the rag guard lives INSIDE the exploded column so Catalyst can
-    // never prune it (the meanPool discipline)
-    val sz0 = size(col(arrCols.head))
-    val allEq = arrCols.tail.foldLeft(lit(true))((acc, c) => acc && size(col(c)) === sz0)
+    // never prune it (the meanPool discipline). A NULL vector counts as
+    // size 0 (q's null ~ empty): an all-null row contributes no rows —
+    // without the coalesce the size comparison is NULL and the when()
+    // would fall through to the rag error instead of skipping the row.
+    def sz(c: String) = coalesce(size(col(c)), lit(0))
+    val sz0 = sz(arrCols.head)
+    val allEq = arrCols.tail.foldLeft(lit(true))((acc, c) => acc && sz(c) === sz0)
     val zipped =
       if (arrCols.lengthCompare(1) == 0) col(arrCols.head)
       else when(allEq, arrays_zip(arrCols.map(col): _*))

@@ -381,6 +381,13 @@ object EventStream {
     override def handleInputRows(key: Long, rows: Iterator[Tick],
                                  tv: TimerValues): Iterator[Tick] = {
       val out = List.newBuilder[Tick]
+      // (ts, value) is the DETERMINISM contract, not a convenience:
+      // "arrival order" within a micro-batch is post-shuffle order,
+      // which is not stable across runs — tied-timestamp ticks must
+      // tie-break on the value so the emitted change set is a pure
+      // function of the data (the q170/q171 oracle's ORDER BY ts,
+      // value convention; batch `differs` runs over the caller's
+      // declared order clause, which carries the same tiebreak)
       rows.toSeq.sortBy(r => (r.ts_ns, r.value)).foreach { r =>
         val prev = if (st.exists()) Some(st.get()) else None
         if (!prev.exists(_.ts_ns > r.ts_ns)) {
@@ -410,17 +417,25 @@ object EventStream {
     * way [[graft.llm.Similarity.ivfAppendStream]] closes the index's):
     * each micro-batch lands as one manifest-committed append, so the
     * maintained aggregate is exact after every batch and a reader can
-    * never observe data without its rollup. Exactly-once economics:
-    * under an at-least-once replay a batch would double-append — key
-    * the sink's checkpoint to the folio (one writer per path) and let
-    * the manifest log be the audit trail. */
+    * never observe data without its rollup. Exactly-once: the batchId
+    * publishes atomically WITH the data as the version's commit tag,
+    * so an at-least-once re-delivery (crash between the folio commit
+    * and the checkpoint advance) sees its own tag live and SKIPS —
+    * no double-append. Contract: one checkpoint per folio path (a
+    * fresh checkpoint restarts batch ids at 0, which the tag of an
+    * older writer could shadow — pair a new checkpoint with a new
+    * path, the same rule the doc always stated as one writer per
+    * path). */
   def rollupStream(stream: DataFrame, path: String, keys: Seq[String],
                    valCols: Seq[String])
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream.outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty)
-          graft.io.Folio.appendWithRollup(batch.toDF(), path, keys, valCols)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val tag = s"stream-batch:$id"
+        if (!batch.isEmpty &&
+            !graft.io.Folio.lastRollupCommitTag(path).contains(tag))
+          graft.io.Folio.appendWithRollup(batch.toDF(), path, keys, valCols,
+            Some(tag))
         ()
       }
       .start()
@@ -429,17 +444,19 @@ object EventStream {
     * .appendWithHistogram]]): each micro-batch folds its grid-bucket
     * partial into the maintained histogram under the same manifest-log
     * commit — live p50/p95/p99 over an unbounded feed from vocab-sized
-    * state, no history rescan, same exactly-once economics as
-    * [[rollupStream]]. */
+    * state, no history rescan, same exactly-once replay guard as
+    * [[rollupStream]] (batchId commit tag; one checkpoint per path). */
   def histogramStream(stream: DataFrame, path: String, keys: Seq[String],
                       valCol: String, lo: Double, width: Double,
                       nBuckets: Int)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream.outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val tag = s"stream-batch:$id"
+        if (!batch.isEmpty &&
+            !graft.io.Folio.lastRollupCommitTag(path).contains(tag))
           graft.io.Folio.appendWithHistogram(batch.toDF(), path, keys,
-            valCol, lo, width, nBuckets)
+            valCol, lo, width, nBuckets, Some(tag))
         ()
       }
       .start()

@@ -548,10 +548,11 @@ class FolioSpec extends SparkSpec {
     Seq(("z", 1.0)).toDF("k", "v").write.parquet(s"$path/batches/b_000orphan")
     assert(Folio.rollupDataRead(spark, path).count() == 7L)
     assert(!Folio.rollupRead(spark, path).collect().exists(_.getString(0) == "z"))
-    assert(Folio.rollupVacuum(path) == Seq("b_000orphan"))
+    assert(Folio.rollupVacuum(path) == Nil) // grace window protects young dirs
+    assert(Folio.rollupVacuum(path, graceMs = 0) == Seq("b_000orphan"))
     assert(Folio.rollupDataRead(spark, path).count() == 7L)
     // vacuum never touches manifested batches (live or fallback)
-    assert(Folio.rollupVacuum(path).isEmpty)
+    assert(Folio.rollupVacuum(path, graceMs = 0).isEmpty)
     // spec drift is loud: stored rollup tracks (k, v), not (k, w)
     val bad = Seq(("a", 1.0)).toDF("k", "w")
     intercept[IllegalArgumentException] {
@@ -561,6 +562,28 @@ class FolioSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Folio.appendWithRollup(bad, path, Seq("k"), Seq("v"))
     }
+  }
+
+  test("rollup commit tag: the at-least-once replay guard skips a re-delivered batch") {
+    import spark.implicits._
+    val path = tmp()
+    val b = Seq(("a", 1.0), ("a", 3.0)).toDF("k", "v")
+    def deliver(id: Long): Unit = { // the streaming sink's guard, verbatim
+      val tag = s"stream-batch:$id"
+      if (!Folio.lastRollupCommitTag(path).contains(tag))
+        Folio.appendWithRollup(b, path, Seq("k"), Seq("v"), Some(tag))
+    }
+    deliver(0)
+    assert(Folio.lastRollupCommitTag(path).contains("stream-batch:0"))
+    deliver(0) // crash-replay of the SAME batch: tag is live → skipped
+    val once = Folio.rollupRead(spark, path)
+      .select(col("n_rows"), col("v_sum").cast("double")).first()
+    assert((once.getLong(0), once.getDouble(1)) == ((2L, 4.0)),
+      s"replay double-counted: $once")
+    assert(Folio.rollupDataRead(spark, path).count() == 2L)
+    deliver(1) // the NEXT batch commits normally
+    assert(Folio.rollupDataRead(spark, path).count() == 4L)
+    assert(Folio.lastRollupCommitTag(path).contains("stream-batch:1"))
   }
 
   test("histogram rollup: bounds bracket the exact quantile; grid drift is loud") {

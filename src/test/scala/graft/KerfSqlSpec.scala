@@ -1695,6 +1695,20 @@ class KerfSqlSpec extends SparkSpec {
       "group sym, px order sym")
       .collect().map(r => (r.getDouble(2), r.getLong(3))).toSeq
     assert(tp == Seq((1.0, 2L)), s"timestamp prevailing: $tp")
+    // the SINGLE-AXIS form (`at ts`, both sides share the name) must
+    // support prevailing too — the common tick-table shape; the right
+    // axis is renamed internally for the as-of merge, not rejected
+    Seq((1L, 300L, 9.0)).toDF("sym", "ts", "px")
+      .createOrReplaceTempView("wj_st")
+    Seq((1L, 120L, 2.0), (1L, 290L, 3.0))
+      .toDF("sym", "ts", "bid").createOrReplaceTempView("wj_sq")
+    val sp = KerfSql.run(spark,
+      "select sym, px, max(bid) as top, count(bid) as n " +
+      "from wj_st window join wj_sq on sym at ts within 50 prevailing " +
+      "group sym, px order sym")
+      .collect().map(r => (r.getDouble(2), r.getLong(3))).toSeq
+    // band [250,350] holds 290; 120's 2.0 is carried as the entry value
+    assert(sp == Seq((3.0, 2L)), s"single-axis prevailing: $sp")
   }
 
   test("uj: schema-aligning union — null fill, width promotion, loud mismatches") {
@@ -1831,6 +1845,19 @@ class KerfSqlSpec extends SparkSpec {
     assert(chain(e).contains("ragged"), s"wrong error: ${chain(e)}")
     // a non-array column named in `on` is rejected at parse time
     intercept[IllegalArgumentException] { KerfSql.run(spark, "ungroup cg_v on v") }
+    // an ALL-NULL row contributes no rows (null vector ~ empty, q's
+    // convention) — it must NOT trip the rag guard; a null NEXT TO a
+    // non-empty vector IS ragged (size 0 vs n)
+    Seq((1L, Some(Seq(1.0, 2.0)), Some(Seq(10L, 20L))),
+        (2L, Option.empty[Seq[Double]], Option.empty[Seq[Long]]))
+      .toDF("k", "a", "b").createOrReplaceTempView("cg_nulls")
+    val nn = KerfSql.run(spark, "ungroup cg_nulls").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(nn == Set((1L, 1.0, 10L), (1L, 2.0, 20L)), s"all-null row: $nn")
+    Seq((1L, Option.empty[Seq[Double]], Some(Seq(10L))))
+      .toDF("k", "a", "b").createOrReplaceTempView("cg_nullrag")
+    val en = intercept[Exception] { KerfSql.run(spark, "ungroup cg_nullrag").collect() }
+    assert(chain(en).contains("ragged"), s"null-vs-nonempty: ${chain(en)}")
   }
 
   test("top: N per group equals the API window; WindowGroupLimit partial limits") {
@@ -2184,6 +2211,13 @@ class KerfSqlSpec extends SparkSpec {
     assert(evalOne("nanos(stamp('2024-01-05 00:00:00'))") ==
       1704412800L * 1000000000L)
     assert(evalOne("stamp('garbage')") == null)
+    // PRE-EPOCH ns floor to the µs grid: the instant −1500ns lies
+    // inside microsecond −2 — trunc-toward-zero would round it toward
+    // the epoch (µs −1), the opposite direction from RemoteEval's
+    // Math.floorDiv wire bridge
+    assert(evalOne("nanos(stamp(0 - 1500))") == -2000L)
+    assert(evalOne("nanos(stamp(0 - 1000))") == -1000L) // exact grid point
+    assert(evalOne("nanos(stamp(1500))") == 1000L)      // post-epoch unchanged
   }
 
   test("stamp attribute indexing: ts['year'] family (Kerf1 accessor face)") {

@@ -96,4 +96,26 @@ class RollupRewriteSpec extends SparkSpec {
       graft.plans.RollupRewriteRule.clear()
     }
   }
+
+  test("navigated GLOBAL count over an all-empty rollup answers 0, not NULL") {
+    val path = java.nio.file.Files.createTempDirectory("graft_nav0").toString
+    // a manifested batch with ZERO rows: the maintained rollup is empty,
+    // and sum(n_rows) over it is NULL — the rewrite must coalesce to the
+    // raw scan's answer (count(*) over no rows = 0)
+    Seq(("a", 1.0)).toDF("k", "v").filter(col("k") === "never")
+      .pipe(Folio.appendWithRollup(_, path, Seq("k"), Seq("v")))
+    Folio.rollupDataView(spark, path, "ru_nav0")
+    spark.conf.set("spark.graft.rollup.rewrite", "true")
+    try {
+      val q = spark.sql("SELECT count(*) AS n, count(v) AS cv FROM ru_nav0")
+      assert(q.queryExecution.executedPlan.toString.contains("/meta/"),
+        "empty rollup should still navigate")
+      val r = q.first()
+      assert(!r.isNullAt(0) && r.getLong(0) == 0L, s"count(*): $r")
+      assert(!r.isNullAt(1) && r.getLong(1) == 0L, s"count(v): $r")
+    } finally {
+      spark.conf.unset("spark.graft.rollup.rewrite")
+      graft.plans.RollupRewriteRule.clear()
+    }
+  }
 }
