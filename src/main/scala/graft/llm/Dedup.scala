@@ -74,8 +74,12 @@ object Dedup {
     a.join(b, Seq("__blk"))
       .filter(col("id_a") < col("id_b"))
       .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("__ta"), col("__tb")))
-      .filter(col("dist") <= maxDist)
+      // THRESHOLDED levenshtein: the banded O(len·maxDist) algorithm
+      // with early exit (-1 once the distance provably exceeds the
+      // bound) — the verify is the quadratic part of the operator, and
+      // most candidate pairs are far apart, so the bound does the work
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
