@@ -1502,22 +1502,14 @@ object KerfSql {
     // retries and repartitioning — the seed is an EXPLICIT argument
     // everywhere (a hidden mutable seed is exactly the state a
     // distributed engine cannot keep). See functions.Rng.
-    case ("randu64", Seq(s, x)) => x.dt match {
-      case ArrayType(_, _) =>
-        T(transform(x.col, v =>
+    case ("randu64", Seq(s, x)) => // pervades like any unary verb
+      T(Verbs.pervadeUnary(x.dt)(x.col)(v =>
           graft.functions.Rng.randu64(s.col.cast("long"), v.cast("long"))),
-          ArrayType(LongType))
-      case _ => T(graft.functions.Rng.randu64(s.col.cast("long"),
-        x.col.cast("long")), LongType)
-    }
-    case ("randu01", Seq(s, x)) => x.dt match {
-      case ArrayType(_, _) =>
-        T(transform(x.col, v =>
+        mapLeafType(x.dt, LongType))
+    case ("randu01", Seq(s, x)) =>
+      T(Verbs.pervadeUnary(x.dt)(x.col)(v =>
           graft.functions.Rng.randu01(s.col.cast("long"), v.cast("long"))),
-          ArrayType(DoubleType))
-      case _ => T(graft.functions.Rng.randu01(s.col.cast("long"),
-        x.col.cast("long")), DoubleType)
-    }
+        mapLeafType(x.dt, DoubleType))
     case ("splitid", s +: k +: ws) if ws.nonEmpty =>
       // train/val/test fold assignment: `splitid(seed, key, 8, 1, 1)`
       // → 0/1/2 by cumulative weight on the key's uniform draw.
@@ -1526,6 +1518,9 @@ object KerfSql {
       val weights = ws.map(w => litDouble(w).getOrElse(throw
         new IllegalArgumentException("splitid: weights must be literal numbers")))
       require(weights.forall(_ > 0), "splitid: weights must be positive")
+      require(weights.lengthCompare(64) <= 0,
+        s"splitid: ${weights.length} folds — the draw re-evaluates per " +
+        "threshold in the CASE chain; 64 is the sanity bound")
       val total = weights.sum
       val cum = weights.scanLeft(0.0)(_ + _).tail.map(_ / total)
       val u = graft.functions.Rng.randu01(s.col.cast("long"), k.col.cast("long"))
@@ -1533,7 +1528,10 @@ object KerfSql {
       cum.init.zipWithIndex.reverse.foreach { case (c, idx) =>
         e = when(u < c, lit(idx.toLong)).otherwise(e)
       }
-      T(e, LongType)
+      // a NULL key draws NO fold (u is null, every `<` is null, the
+      // chain would otherwise FALL THROUGH to the last fold and silently
+      // contaminate the test split with every null-keyed row)
+      T(when(u.isNotNull, e), LongType)
     case ("rand", Seq(s, n)) => // n uniform doubles on [0,1) — REPL face
       val (sd, cnt) = randArgs("rand", s, n)
       T(typedLit((0L until cnt).map(i => graft.functions.Rng.randU01(sd, i))),
@@ -1608,16 +1606,59 @@ object KerfSql {
 
   /** Literal extraction for verbs whose arguments parameterize the PLAN
     * (RNG seeds/counts): plain numeric literals only. */
+  /** Constant-fold a PLAN-TIME argument column (seeds/counts/weights).
+    * Column trees are pre-analysis here — arithmetic on literals shows
+    * up as UnresolvedFunction('-'/'+'/'*'/negative) over Literal
+    * children, never as a foldable resolved node — so fold the closed
+    * arithmetic set by hand: `-7` and `0 - 7` are constants a caller
+    * legitimately writes (a seed is an arbitrary long — half the seed
+    * space is negative). */
+  private def foldConst(e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Any] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    e match {
+      case Literal(v, _) => Option(v)
+      case f: UnresolvedFunction =>
+        val args = f.arguments.map(foldConst)
+        if (args.exists(_.isEmpty)) None
+        else {
+          def num2(op: (Long, Long) => Long, fop: (Double, Double) => Double): Option[Any] =
+            (args(0).get, args(1).get) match {
+              case (a: Long, b: Long) => Some(op(a, b))
+              case (a: Int, b: Int) => Some(op(a.toLong, b.toLong))
+              case (a: Long, b: Int) => Some(op(a, b.toLong))
+              case (a: Int, b: Long) => Some(op(a.toLong, b))
+              case (a: Double, b: Double) => Some(fop(a, b))
+              case (a: Double, b: Long) => Some(fop(a, b.toDouble))
+              case (a: Long, b: Double) => Some(fop(a.toDouble, b))
+              case _ => None
+            }
+          f.nameParts.last match {
+            case "+" if args.lengthCompare(2) == 0 => num2(_ + _, _ + _)
+            case "-" if args.lengthCompare(2) == 0 => num2(_ - _, _ - _)
+            case "*" if args.lengthCompare(2) == 0 => num2(_ * _, _ * _)
+            case "negative" if args.lengthCompare(1) == 0 => args(0).get match {
+              case v: Long => Some(-v)
+              case v: Int => Some(-v.toLong)
+              case v: Double => Some(-v)
+              case _ => None
+            }
+            case _ => None
+          }
+        }
+      case _ => None
+    }
+  }
   private def litLong(t: T): Option[Long] =
-    org.apache.spark.sql.GraftColumnGlue.toCatalystExpr(t.col) match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, LongType) => Some(v)
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => Some(v.toLong)
+    foldConst(org.apache.spark.sql.GraftColumnGlue.toCatalystExpr(t.col)) match {
+      case Some(v: Long) => Some(v)
+      case Some(v: Int) => Some(v.toLong)
       case _ => None
     }
   private def litDouble(t: T): Option[Double] =
     litLong(t).map(_.toDouble).orElse(
-      org.apache.spark.sql.GraftColumnGlue.toCatalystExpr(t.col) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, DoubleType) => Some(v)
+      foldConst(org.apache.spark.sql.GraftColumnGlue.toCatalystExpr(t.col)) match {
+        case Some(v: Double) => Some(v)
         case _ => None
       })
   private def randArgs(verb: String, s: T, n: T): (Long, Long) = {
@@ -2744,7 +2785,13 @@ object KerfSql {
         // first order key's source tokens (desc `-` and the kerf(…)
         // ordering wrapper stripped) — the only thing ranks() may name
         val fk = {
-          val raw = op.toks.takeWhile(_ != ",").map(_.toLowerCase)
+          // first ITEM = up to the first TOP-LEVEL comma (an expression
+          // key like randu64(3, k) carries commas inside its parens)
+          var depth = 0
+          val raw = op.toks.takeWhile { t =>
+            if (t == "(") depth += 1 else if (t == ")") depth -= 1
+            !(t == "," && depth == 0)
+          }.map(_.toLowerCase)
           val noDesc = if (raw.headOption.contains("-")) raw.tail else raw
           noDesc match {
             case "kerf" :: "(" :: rest => rest.takeWhile(_ != ")")

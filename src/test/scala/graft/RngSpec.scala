@@ -96,6 +96,25 @@ class RngSpec extends SparkSpec {
     }
   }
 
+  test("negative literal seeds work (half the seed space); null keys draw NO fold") {
+    // -7 parses as UnaryMinus(Literal) — still a literal seed
+    val xs = one("rand(0 - 7, 3)").asInstanceOf[scala.collection.Seq[Double]].toSeq
+    assert(xs == (0L until 3L).map(Rng.randU01(-7L, _)))
+    assert(one("randu64(0 - 7, 5)") == Rng.randU64(-7L, 5L))
+    // a NULL key must return NULL, not fall through to the LAST fold
+    // (which would silently funnel every null-keyed row into the test
+    // split); the scalar faces null-propagate the same way
+    assert(one("splitid(11, long('nope'), 8, 1, 1)") == null)
+    assert(one("randu64(42, long('nope'))") == null)
+    assert(one("randu01(42, long('nope'))") == null)
+  }
+
+  test("randu64/randu01 pervade through NESTED lists like any unary verb") {
+    val v = one("randu64(42, enlist(til 2))")
+      .asInstanceOf[scala.collection.Seq[scala.collection.Seq[Long]]]
+    assert(v.map(_.toSeq) == Seq((0L until 2L).map(Rng.randU64(42L, _))))
+  }
+
   test("RNG guards are loud: non-literal seed, oversized count/domain") {
     val e1 = intercept[Exception](one("rand(1, 2000000)"))
     assert(e1.getMessage.contains("REPL bound"))
