@@ -82,6 +82,13 @@ object Engine {
                 "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
                 .distinct.mkString(","))
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // NOTE on timestamps in parquet: the session keeps Spark's INT96
+      // default because DuckDB reads INT96 as a NAIVE timestamp (the
+      // oracle compare's rendering), while INT64 TIMESTAMP(MICROS,
+      // adjusted=true) reads back WITH TIME ZONE. Tables served over the
+      // remote-scan wire need INT64 MICROS (the scan's physical-type
+      // check says so loudly); set spark.sql.parquet.outputTimestampType
+      // =TIMESTAMP_MICROS around those writes.
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
       .getOrCreate()

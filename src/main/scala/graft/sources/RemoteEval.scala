@@ -27,15 +27,19 @@ object RemoteEval {
   private val connectTimeoutMs = 5000
   private val readTimeoutMs = 600000 // programs run real queries remotely
 
-  /** `site` accepts `host:port` or `remote://host:port`. */
+  /** `site` accepts `host:port`, `remote://host:port`, or a full
+    * `remote://host:port/table` endpoint (what [[RemoteTableServer
+    * .endpoint]] prints — the table suffix is irrelevant to eval and
+    * is dropped, not parsed into the port). */
   def call(spark: SparkSession, site: String, program: String): DataFrame = {
-    val hp = site.stripPrefix("remote://").stripSuffix("/")
+    val hp = site.stripPrefix("remote://").takeWhile(_ != '/')
     val (host, portStr) = hp.lastIndexOf(':') match {
       case -1 => throw new IllegalArgumentException(
-        s"rexec: site must be host:port or remote://host:port, got '$site'")
+        s"rexec: site must be host:port or remote://host:port[/table], got '$site'")
       case i => (hp.substring(0, i), hp.substring(i + 1))
     }
-    val port = portStr.toInt
+    val port = portStr.toIntOption.getOrElse(throw new IllegalArgumentException(
+      s"rexec: malformed port '$portStr' in site '$site'"))
     val sock = new Socket()
     try {
       sock.connect(new InetSocketAddress(host, port), connectTimeoutMs)

@@ -102,10 +102,13 @@ object RemoteFolioSource {
       val req = m.createObjectNode()
       req.put("op", "plan"); req.put("table", table)
       out.write(req.toString); out.newLine(); out.flush()
-      val resp = m.readTree(in.readLine())
-      if (resp == null || resp.has("error"))
+      val line = in.readLine() // null = closed without a byte; readTree
+      if (line == null)        // would throw IAE, masking the IO failure
+        throw new java.io.IOException("remote plan failed: connection closed")
+      val resp = m.readTree(line)
+      if (resp.has("error"))
         throw new java.io.IOException(
-          s"remote plan failed: ${Option(resp).map(_.path("error").asText()).getOrElse("connection closed")}")
+          s"remote plan failed: ${resp.path("error").asText()}")
       val frags = {
         val it = resp.path("fragments").elements()
         val b = Seq.newBuilder[String]
@@ -547,8 +550,12 @@ object RemoteFilters {
 
   private def simpleCol(name: String): Boolean = !name.contains(".")
 
+  // shared: ObjectMapper is heavyweight and thread-safe for node
+  // creation; toJson runs once per filter per scan build
+  private val sharedMapper = new ObjectMapper()
+
   def toJson(f: Filter): Option[ObjectNode] = {
-    val m = new ObjectMapper()
+    val m = sharedMapper
     def leaf(op: String, col: String, v: Any): Option[ObjectNode] =
       if (!simpleCol(col)) None
       else litJson(m, v).map { jn =>
@@ -605,7 +612,15 @@ object RemoteFilters {
       Some(java.lang.Double.compare(n.doubleValue(), lit.asDouble()))
     case n: java.lang.Float if lit.isNumber && !n.isNaN =>
       Some(java.lang.Double.compare(n.doubleValue(), lit.asDouble()))
-    case s: String if lit.isTextual => Some(s.compareTo(lit.asText()))
+    case s: String if lit.isTextual =>
+      // UTF8String (byte/code-point) order, NOT Java's UTF-16 code-unit
+      // order: Spark compares UTF8String, and the two disagree whenever
+      // a supplementary-plane character (U+10000 and up, a surrogate
+      // pair in UTF-16) meets a high BMP one (U+E000..U+FFFF) - a Java
+      // compare could definitely-drop rows Spark would keep
+      // (under-shipping = wrong results; ExtremeAcc already does this)
+      Some(org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(lit.asText())))
     case b: java.lang.Boolean if lit.isBoolean =>
       Some(java.lang.Boolean.compare(b.booleanValue(), lit.asBoolean()))
     case _ => None

@@ -85,6 +85,11 @@ final class RemoteTableServer private (tables: Map[String, RemoteTableServer.Ser
       while (running) {
         try {
           val sock = server.accept()
+          // bounded patience on the SERVER side too: a client that
+          // connects and never sends (or never reads) must not park a
+          // handler thread forever — reads time out, the handler dies,
+          // the socket closes (writes unblock with a reset)
+          sock.setSoTimeout(120000)
           val h = new Thread(() => handle(sock), s"remote-table-handler-$port")
           h.setDaemon(true)
           h.start()
@@ -150,24 +155,31 @@ final class RemoteTableServer private (tables: Map[String, RemoteTableServer.Ser
     * Served tables register as temp views under their served names,
     * re-read per request (the live-listing philosophy). */
   private val evalLock = new Object
-  private def serveEval(m: ObjectMapper, out: BufferedWriter, req: JsonNode): Unit = evalLock.synchronized {
-    val spark = evalSession.getOrElse(throw new IllegalStateException(
-      "eval is not enabled on this site (start(…, enableEval = true))"))
-    val program = req.path("program").asText()
-    require(program.nonEmpty, "eval: empty program")
-    tables.foreach { case (name, served) =>
-      spark.read.parquet(served.dir).createOrReplaceTempView(name)
+  private def serveEval(m: ObjectMapper, out: BufferedWriter, req: JsonNode): Unit = {
+    // EVALUATION serializes on the lock (shared session, shared temp
+    // views); the socket WRITE happens OUTSIDE it — Java sockets have
+    // no write timeout, so a client that requests a big result and
+    // never reads would otherwise hold the lock forever and wedge eval
+    // service for every caller (it now wedges only its own handler)
+    val (schemaDdl, fields, rows) = evalLock.synchronized {
+      val spark = evalSession.getOrElse(throw new IllegalStateException(
+        "eval is not enabled on this site (start(…, enableEval = true))"))
+      val program = req.path("program").asText()
+      require(program.nonEmpty, "eval: empty program")
+      tables.foreach { case (name, served) =>
+        spark.read.parquet(served.dir).createOrReplaceTempView(name)
+      }
+      val df = graft.sql.KerfSql.run(spark, program)
+      validate("<eval result>", df.schema)
+      val collected = df.limit(maxEvalRows + 1).collect()
+      require(collected.length <= maxEvalRows,
+        s"eval result exceeds $maxEvalRows rows — REPL-sized results only; " +
+        "read corpus-scale data through the remote:// table protocol")
+      (df.schema.toDDL, df.schema.fields, collected)
     }
-    val df = graft.sql.KerfSql.run(spark, program)
-    validate("<eval result>", df.schema)
-    val rows = df.limit(maxEvalRows + 1).collect()
-    require(rows.length <= maxEvalRows,
-      s"eval result exceeds $maxEvalRows rows — REPL-sized results only; " +
-      "read corpus-scale data through the remote:// table protocol")
     val hdr = m.createObjectNode()
-    hdr.put("schema", df.schema.toDDL)
+    hdr.put("schema", schemaDdl)
     out.write(hdr.toString); out.newLine()
-    val fields = df.schema.fields
     rows.foreach { r =>
       val arr = m.createArrayNode()
       var i = 0
@@ -320,8 +332,13 @@ final class RemoteTableServer private (tables: Map[String, RemoteTableServer.Ser
                             req: JsonNode): Unit = {
     val (_, s) = servedOf(req)
     val fragment = req.path("fragment").asText()
-    require(new java.io.File(fragment).getCanonicalPath
-              .startsWith(new java.io.File(s.dir).getCanonicalPath),
+    // containment check with the SEPARATOR included: a bare prefix test
+    // would admit a sibling dir sharing the name prefix (/data/t vs
+    // /data/t2) — files outside the served tree must never ship
+    val servedRoot = new java.io.File(s.dir).getCanonicalPath
+    val fragPath = new java.io.File(fragment).getCanonicalPath
+    require(fragPath == servedRoot ||
+            fragPath.startsWith(servedRoot + java.io.File.separator),
       s"fragment '$fragment' is not under this table's directory")
     val cols: Seq[String] = {
       val it = req.path("columns").elements()
@@ -365,6 +382,30 @@ final class RemoteTableServer private (tables: Map[String, RemoteTableServer.Ser
       val pruned = new MessageType("graft_remote",
         driveCols.map(c => fileSchema.getType(fileSchema.getFieldIndex(c))): _*)
       conf.set(ReadSupport.PARQUET_READ_SCHEMA, pruned.toString)
+    }
+    // timestamp columns decode as raw INT64 µs (groupValue) — verify the
+    // FILE actually stores that: INT96 (Spark's legacy default elsewhere;
+    // Engine.session writes MICROS) would throw an opaque read error, and
+    // an INT64 MILLIS annotation would ship values silently 1000× off.
+    // Checked per fragment because the server re-lists fragments live.
+    driveCols.foreach { c =>
+      if (s.schema(c).dataType == TimestampType ||
+          s.schema(c).dataType == TimestampNTZType) {
+        import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+        val t = fileSchema.getType(fileSchema.getFieldIndex(c))
+        val ok = t.isPrimitive &&
+          t.asPrimitiveType().getPrimitiveTypeName ==
+            PrimitiveType.PrimitiveTypeName.INT64 &&
+          (t.getLogicalTypeAnnotation match {
+            case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+            case _ => false
+          })
+        require(ok, s"remote scan: timestamp column '$c' in $fragment is " +
+          s"stored as ${t} — the wire decodes INT64 TIMESTAMP(MICROS) only; " +
+          "rewrite the table with spark.sql.parquet.outputTimestampType=" +
+          "TIMESTAMP_MICROS (the Engine.session default)")
+      }
     }
     val driveIdx: Map[String, (Int, DataType)] =
       driveCols.zipWithIndex.map { case (c, i) =>
@@ -508,7 +549,8 @@ object RemoteTableServer {
         case t if supportedAtomic(t)                     => ()
         case ArrayType(et, _) if supportedAtomic(et) &&
             !et.isInstanceOf[DateType.type] &&
-            !et.isInstanceOf[TimestampType.type]         => ()
+            !et.isInstanceOf[TimestampType.type] &&
+            !et.isInstanceOf[TimestampNTZType.type]      => ()
         case other => throw new UnsupportedOperationException(
           s"remote table '$table': column '${f.name}' has unsupported type $other")
       }
@@ -734,15 +776,17 @@ object RemoteTableServer {
   // one shared server per served directory, for queries that re-run in the
   // same JVM (bench two-pass, Verify): the directory may be overwritten
   // between runs, the lazily-listed fragments follow it
+  // keyed by (table, dir) — a dir-only key would silently hand back a
+  // server that does not serve the requested table name
   private val shared = scala.collection.mutable.Map.empty[String, RemoteTableServer]
   def sharedFor(spark: SparkSession, table: String, dir: String): RemoteTableServer =
     synchronized {
-      shared.getOrElseUpdate(dir, start(spark, Map(table -> dir)))
+      shared.getOrElseUpdate(s"$table@$dir", start(spark, Map(table -> dir)))
     }
   /** Like [[sharedFor]] but with program EVAL enabled (the rexec side). */
   def sharedEvalFor(spark: SparkSession, table: String, dir: String): RemoteTableServer =
     synchronized {
-      shared.getOrElseUpdate("eval:" + dir,
+      shared.getOrElseUpdate(s"eval:$table@$dir",
         start(spark, Map(table -> dir), enableEval = true))
     }
 }

@@ -534,6 +534,81 @@ class RemoteFolioSpec extends SparkSpec {
     assert(e.getMessage.contains("nope") || e.getMessage.contains("remote plan failed"))
   }
 
+  test("hardening pins: endpoint-with-table rexec, sibling-dir containment, per-table shared cache") {
+    // rexec accepts the FULL endpoint string the server prints (the
+    // /table suffix is dropped, not parsed into the port)
+    val viaEndpoint = graft.sources.RemoteEval.call(spark,
+      s"remote://127.0.0.1:${evalServer.port}/customer",
+      "select count(*) as n from customer")
+    assert(viaEndpoint.first().getLong(0) ==
+      spark.read.parquet(s"$sf/customer.parquet").count())
+    // a fragment in a SIBLING directory sharing the served dir's name
+    // prefix must be rejected (containment includes the separator)
+    val base = java.nio.file.Files.createTempDirectory("graft_sibling").toString
+    spark.read.parquet(s"$sf/customer.parquet").limit(3)
+      .write.parquet(s"$base/t")
+    spark.read.parquet(s"$sf/customer.parquet").limit(5)
+      .write.parquet(s"$base/t2")
+    val srv = RemoteTableServer.start(spark, Map("t" -> s"$base/t"))
+    try {
+      val sibling = new java.io.File(s"$base/t2").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+      val sock = new java.net.Socket("127.0.0.1", srv.port)
+      try {
+        val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+          sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          sock.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+        out.write(s"""{"op":"scan","table":"t","fragment":"$sibling","columns":["c_custkey"],"wireCodec":"none","wireFormat":"json"}""")
+        out.newLine(); out.flush()
+        val resp = in.readLine()
+        assert(resp != null && resp.contains("error") &&
+               resp.contains("not under"), s"sibling fragment shipped: $resp")
+      } finally sock.close()
+    } finally srv.stop()
+    // sharedFor keyed by (table, dir): a second name over the same dir
+    // gets a server that actually serves THAT name
+    val s1 = RemoteTableServer.sharedFor(spark, "alpha", s"$base/t")
+    val s2 = RemoteTableServer.sharedFor(spark, "beta", s"$base/t")
+    assert(s1.endpoint("alpha").nonEmpty && s2.endpoint("beta").nonEmpty)
+    // a timestamp table written as INT64 TIMESTAMP(MICROS) scans exactly
+    // over the wire; the session's INT96 default is rejected LOUDLY by
+    // the scan's physical-type check instead of erroring opaquely
+    import spark.implicits._
+    val tsDir = java.nio.file.Files.createTempDirectory("graft_tswire").toString
+    val tsDf = Seq(
+        (1L, java.sql.Timestamp.valueOf("2024-03-05 14:30:45.123456")),
+        (2L, java.sql.Timestamp.valueOf("1969-12-31 23:59:59.999999")))
+      .toDF("id", "ts")
+    tsDf.write.parquet(s"$tsDir/int96") // session default
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try tsDf.write.parquet(s"$tsDir/t")
+    finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    val bad = RemoteTableServer.start(spark, Map("t" -> s"$tsDir/int96"))
+    try {
+      val e = intercept[Exception] {
+        spark.read.format("graft.sources.RemoteFolioSource")
+          .option("endpoint", s"127.0.0.1:${bad.port}").option("table", "t")
+          .load().collect()
+      }
+      def chain(t: Throwable): String =
+        if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+      assert(chain(e).contains("TIMESTAMP_MICROS") ||
+             chain(e).contains("INT64"), s"INT96 not rejected loudly: ${chain(e)}")
+    } finally bad.stop()
+    val tsrv = RemoteTableServer.start(spark, Map("t" -> s"$tsDir/t"))
+    try {
+      val got = spark.read.format("graft.sources.RemoteFolioSource")
+        .option("endpoint", s"127.0.0.1:${tsrv.port}").option("table", "t")
+        .load().orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1))).toSeq
+      assert(got == Seq(
+        (1L, java.sql.Timestamp.valueOf("2024-03-05 14:30:45.123456")),
+        (2L, java.sql.Timestamp.valueOf("1969-12-31 23:59:59.999999"))),
+        s"timestamp wire drifted: $got")
+    } finally tsrv.stop()
+  }
+
   test("overwritten table serves fresh fragments (live listing)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_remote_live").toString
     val cust = spark.read.parquet(s"$sf/customer.parquet")
