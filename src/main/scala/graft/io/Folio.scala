@@ -63,7 +63,17 @@ object Folio {
           s"live version $v is a FLAT layout; a partitioned append would " +
           "conflict — recompact with partition columns first")
         s"$path/$v"
-      case None => path
+      case None =>
+        // the same flat-layout guard for the PLAIN root: partition dirs
+        // landing next to root-level flat parquet files break partition
+        // discovery at read time, far from this write
+        val flatRoot = Option(new java.io.File(path).listFiles())
+          .getOrElse(Array.empty)
+          .exists(f => f.isFile && f.getName.endsWith(".parquet"))
+        require(!flatRoot,
+          s"$path holds a FLAT layout; a partitioned append would " +
+          "conflict — compact with partition columns first")
+        path
     }
     // same fail-loud posture as the flat-layout guard: an append whose
     // partition keys differ from the dirs already on disk (user_id=…
@@ -75,6 +85,26 @@ object Folio {
       s"partition-column mismatch: folio at $target is laid out by " +
       s"(${onDisk.mkString(", ")}) but the append partitions by " +
       s"(${partitionCols.mkString(", ")}) — recompact to change layout")
+    // physical-width guard: parquet cannot merge int32/int64 files in
+    // one dataset — a narrower batch would corrupt reads far from this
+    // write. Column SET must match too (mergeSchema is off; a drifted
+    // column silently vanishes or nulls depending on footer sampling).
+    val tdir = new java.io.File(target)
+    val hasData = tdir.isDirectory && Option(tdir.listFiles()).exists(_.exists(f =>
+      (f.isDirectory && !f.getName.startsWith("_")) || f.getName.endsWith(".parquet")))
+    if (hasData) {
+      val stored = df.sparkSession.read.parquet(target).schema
+      require(df.schema.fieldNames.toSet == stored.fieldNames.toSet,
+        s"appendPartition: batch columns (${df.schema.fieldNames.sorted.mkString(", ")}) " +
+        s"drift from the folio's (${stored.fieldNames.sorted.mkString(", ")})")
+      stored.filterNot(f => partitionCols.contains(f.name)).foreach { f =>
+        val b = df.schema(f.name).dataType
+        require(b == f.dataType,
+          s"appendPartition: column '${f.name}' is ${f.dataType.simpleString} on disk " +
+          s"but ${b.simpleString} in the batch — parquet cannot merge physical " +
+          "widths; widen through appendWithPromotion or compact")
+      }
+    }
     write(df, target, partitionCols, sortCols, SaveMode.Append)
   }
 
@@ -147,6 +177,27 @@ object Folio {
       case None    => spark.read.parquet(path)
     }
 
+  /** Read the PRE-VERSIONED root content of `path`: root-level parquet
+    * files and legacy partition dirs, EXCLUDING version dirs and pointer
+    * files — a crashed first publish leaves a `vN` dir with no
+    * `_CURRENT`, and unioning it would double-count (worse: the next
+    * publish Overwrites that very dir while the lazy plan still reads
+    * it). Returns None only when the root genuinely holds no data; a
+    * real read failure PROPAGATES — mapping it to None would publish a
+    * v1 that silently hides a populated folio behind one transient FS
+    * error. */
+  private def legacyRead(spark: SparkSession, path: String): Option[DataFrame] = {
+    val root = new java.io.File(path)
+    if (!root.isDirectory) return None
+    val entries = Option(root.listFiles()).getOrElse(Array.empty)
+      .filterNot(f => f.getName == "_CURRENT" || f.getName == "_CURRENT.tmp" ||
+        f.getName.matches("v\\d{8}"))
+      .filter(f => f.isDirectory || f.getName.endsWith(".parquet"))
+    if (entries.isEmpty) None
+    else Some(spark.read.option("basePath", path)
+      .parquet(entries.map(_.getAbsolutePath).toSeq: _*))
+  }
+
   /** Publish `df` as the next folio version: write the data to a fresh
     * `vN` dir, then ATOMICALLY swap the `_CURRENT` pointer (tmp file +
     * rename — the only mutation readers can observe, and it is all-or-
@@ -158,9 +209,20 @@ object Folio {
     * concurrent promoters are last-pointer-wins, with the loser's data in
     * an orphaned version dir. */
   private def publishVersion(df: DataFrame, path: String, n: Long,
-                             partitionCols: Seq[String] = Nil): Unit = {
+                             partitionCols: Seq[String] = Nil,
+                             preSpread: Boolean = false): Unit = {
     val vname = f"v$n%08d"
-    val w = df.write.mode(SaveMode.Overwrite)
+    // partitionBy on an arbitrarily-partitioned plan writes one file per
+    // (task x partition value) — tasks-times-dirs small files, undoing
+    // the compaction this protocol exists to preserve. Co-locate each
+    // partition value on one task first, unless the caller (compact)
+    // already spread the plan deliberately.
+    val out =
+      if (partitionCols.nonEmpty && !preSpread)
+        df.repartition(partitionCols.map(col): _*)
+          .sortWithinPartitions(partitionCols.map(col): _*)
+      else df
+    val w = out.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(s"$path/$vname")
     swapCurrentAndVacuum(path, vname, n)
@@ -228,7 +290,7 @@ object Folio {
     val cur = currentVersion(path)
     val existing: Option[DataFrame] = cur match {
       case Some(v) => Some(spark.read.parquet(s"$path/$v"))
-      case None => try Some(spark.read.parquet(path)) catch { case _: Exception => None }
+      case None => legacyRead(spark, path)
     }
     existing match {
       case None => publishVersion(df, path, 1L)
@@ -297,7 +359,9 @@ object Folio {
     require(sortCols.isEmpty || zorderCols.isEmpty,
       "sortCols and zorderCols are alternative clusterings — pick one")
     val cur = currentVersion(path)
-    val df = promotedRead(spark, path)
+    val df = cur.map(v => spark.read.parquet(s"$path/$v"))
+      .orElse(legacyRead(spark, path))
+      .getOrElse(throw new IllegalArgumentException(s"compact: no data at $path"))
     val keyCols = partitionCols.map(col)
     // z-value is STAGED as a column (withZValue) — the single-Column
     // form replicates the bucket when-tree per interleaved bit and pays
@@ -326,7 +390,7 @@ object Folio {
       case None => spread.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
     }
     val next = cur.map(_.stripPrefix("v").toLong + 1L).getOrElse(1L)
-    publishVersion(sorted, path, next, partitionCols)
+    publishVersion(sorted, path, next, partitionCols, preSpread = true)
     if (cur.isEmpty) {
       // migrate-in-place (same post-swap cleanup as appendWithPromotion):
       // the legacy root-level files/partition dirs were folded into v1
@@ -351,7 +415,7 @@ object Folio {
     val cur = currentVersion(path)
     val existing: Option[DataFrame] = cur match {
       case Some(v) => Some(spark.read.parquet(s"$path/$v"))
-      case None => try Some(spark.read.parquet(path)) catch { case _: Exception => None }
+      case None => legacyRead(spark, path)
     }
     // preserve the live version's dir layout: an upsert is a row merge,
     // not a layout change — publishing flat over a partitioned version
@@ -406,15 +470,22 @@ object Folio {
     * with Overwrite), not by vacuum. Never touches the live version or
     * its fallback, so it is safe on a cadence; returns the names
     * removed. */
-  def vacuum(path: String): Seq[String] = {
+  def vacuum(path: String, graceMs: Long = 10 * 60 * 1000L): Seq[String] = {
     val floor = currentVersion(path).map(_.stripPrefix("v").toLong - 1)
     val dir = new java.io.File(path)
     val goneVersions = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.matches("v\\d{8}") &&
         floor.exists(f => d.getName.stripPrefix("v").toLong < f))
       .map { d => rmTree(d); d.getName }
+    // the tmp pointer gets the same in-flight grace as young batch dirs:
+    // swapCurrentAndVacuum writes _CURRENT.tmp then moves it — a cadence
+    // vacuum in that window would make the publisher's move throw after
+    // the full version write. Stale tmps age past the window and reap.
+    val cutoff = System.currentTimeMillis() - graceMs
     val tmp = new java.io.File(path, "_CURRENT.tmp")
-    val goneTmp = if (tmp.isFile) { tmp.delete(); Seq("_CURRENT.tmp") } else Nil
+    val goneTmp = if (tmp.isFile && tmp.lastModified() < cutoff) {
+      tmp.delete(); Seq("_CURRENT.tmp")
+    } else Nil
     (goneVersions.toSeq ++ goneTmp).sorted
   }
 
@@ -490,13 +561,20 @@ object Folio {
         when(c < lit(bounds(mid - 1)), bucketOf(c, bounds, lo, mid - 1))
           .otherwise(bucketOf(c, bounds, mid, hi))
       }
-    (cols.map { name =>
-      // try_cast, not cast: ANSI mode would throw CAST_INVALID_INPUT on
-      // the first malformed row mid-job — the rim guard below owns the
-      // failure with the actual cause (non-numeric column, all-null,
-      // empty folio: all yield no boundaries)
-      val bounds = df.select(col(name).try_cast("double").as("__z"))
-        .na.drop().stat.approxQuantile("__z", qs, 0.001)
+    // ONE distributed pass for every column's boundaries (the
+    // multi-column approxQuantile overload) — a per-column call would
+    // scan the full folio |cols| times just to collect bucket edges.
+    // try_cast, not cast: ANSI mode would throw CAST_INVALID_INPUT on
+    // the first malformed row mid-job — the rim guard below owns the
+    // failure with the actual cause (non-numeric column, all-null,
+    // empty folio: all yield no boundaries). approxQuantile ignores
+    // nulls per column, same semantics as the old per-column na.drop.
+    val staged = df.select(cols.zipWithIndex.map { case (name, j) =>
+      col(name).try_cast("double").as(s"__zq$j") }: _*)
+    val allBounds = staged.stat.approxQuantile(
+      cols.indices.map(j => s"__zq$j").toArray, qs, 0.001)
+    (cols.zipWithIndex.map { case (name, j) =>
+      val bounds = allBounds(j)
       require(bounds.length == qs.length,
         s"zorder column '$name' yielded no quantile boundaries — " +
         "it must be numeric (castable to double) with at least one non-null row")
@@ -547,6 +625,13 @@ object Folio {
     // and the conventional guess would both miss the orphan and leave
     // the CTAS failing with the very location-reuse error this cleans.
     val spark = df.sparkSession
+    // qualified names would silently target the wrong identifier below
+    // (backtick-wrapping treats the whole string as one name in the
+    // current database, and defaultTablePath would compute a location
+    // under the wrong db) — reject loudly rather than miss the cleanup
+    require(!table.contains("."),
+      s"writeSortedTable: unqualified table names only, got '$table' — " +
+      "set the database via spark.catalog.setCurrentDatabase first")
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.defaultTablePath(
@@ -763,6 +848,24 @@ object Folio {
           s"appendWithRollup: stored rollup schema ${r.columns.sorted.mkString(",")} " +
           s"does not match keys=$keys valCols=$valCols")
         Some(r)
+    }
+    // full batch-schema consistency across manifested dirs: rollupDataRead
+    // reads them as ONE dataset with mergeSchema off, so a drifted column
+    // would silently vanish or null depending on footer sampling — the
+    // keys/valCols check above only covers the TRACKED columns
+    val manifested = rollupManifest(path)
+    if (manifested.nonEmpty) {
+      val stored = spark.read.parquet(manifested.head).schema
+      require(batch.schema.fieldNames.sorted.sameElements(stored.fieldNames.sorted),
+        s"appendWithRollup: batch columns (${batch.columns.sorted.mkString(", ")}) " +
+        s"drift from the folio's (${stored.fieldNames.sorted.mkString(", ")}) — " +
+        "rollupDataRead serves one schema")
+      stored.foreach { f =>
+        val b = batch.schema(f.name).dataType
+        require(b == f.dataType,
+          s"appendWithRollup: column '${f.name}' is ${f.dataType.simpleString} " +
+          s"stored but ${b.simpleString} in the batch")
+      }
     }
     // the batch dir is INVISIBLE until manifested — its name only
     // reaches readers through the atomically-published manifest

@@ -133,8 +133,12 @@ class FolioSpec extends SparkSpec {
     java.nio.file.Files.write(new java.io.File(s"$dir/t", "_CURRENT.tmp").toPath,
       "v00000003".getBytes("UTF-8"))
     // only the STRICTLY-older dir and the tmp go; the staged newer dir
-    // survives (a cadence vacuum during a long build must not kill it)
-    assert(Folio.vacuum(s"$dir/t") == Seq("_CURRENT.tmp", "v00000000"))
+    // survives (a cadence vacuum during a long build must not kill it).
+    // A YOUNG tmp is protected by the in-flight grace window (it may be
+    // a publish's write-then-move in progress) — graceMs = 0 models the
+    // stale case
+    assert(Folio.vacuum(s"$dir/t") == Seq("v00000000"))
+    assert(Folio.vacuum(s"$dir/t", graceMs = 0) == Seq("_CURRENT.tmp"))
     assert(Folio.versions(s"$dir/t") == Seq("v00000001", "v00000002", "v00000003"))
     assert(Folio.promotedRead(spark, s"$dir/t").count() == 2)
     assert(Folio.readVersion(spark, s"$dir/t", "v00000001").count() == 2)
@@ -145,6 +149,32 @@ class FolioSpec extends SparkSpec {
     assert(Folio.versions(s"$dir/t") == Seq("v00000002", "v00000003"))
     assert(Folio.promotedRead(spark, s"$dir/t").filter(col("k") === 2L)
       .first().getDouble(1) == 7.0)
+  }
+
+  test("first-publish crash retry: an orphan vN never double-counts or shadows legacy data") {
+    import spark.implicits._
+    val dir = tmp()
+    // legacy (pre-versioned) data + a CRASHED first publish's leftover
+    // version dir, no _CURRENT: the retry must fold ONLY the legacy rows
+    // with the batch — unioning the orphan would double-count, and the
+    // Overwrite of that same dir would delete files mid-plan
+    Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v").write.parquet(s"$dir/t")
+    Seq((1L, 1.0), (9L, 9.0)).toDF("k", "v").write.parquet(s"$dir/t/v00000001")
+    Folio.appendWithPromotion(Seq((3L, 3.0)).toDF("k", "v"), s"$dir/t")
+    val got = Folio.promotedRead(spark, s"$dir/t")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((1L, 1.0), (2L, 2.0), (3L, 3.0)), s"crash-retry drifted: $got")
+    // a read FAILURE on a populated legacy root must THROW, never
+    // publish a v1 that silently hides the existing data
+    val dir2 = tmp()
+    Seq((1L, 1.0)).toDF("k", "v").write.parquet(s"$dir2/t")
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$dir2/t", "junk.parquet").toPath, "not parquet")
+    intercept[Exception] {
+      Folio.appendWithPromotion(Seq((2L, 2.0)).toDF("k", "v"), s"$dir2/t")
+    }
+    assert(Folio.currentVersion(s"$dir2/t").isEmpty,
+      "a failed legacy read must not publish a version")
   }
 
   test("a cadence vacuum DURING publishArtifacts staging cannot destroy the in-flight version") {

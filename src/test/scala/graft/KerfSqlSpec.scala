@@ -1058,6 +1058,10 @@ class KerfSqlSpec extends SparkSpec {
     new java.io.File(s"$dir/f/v00000000").mkdirs()
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/f/_CURRENT.tmp"), "junk".getBytes("UTF-8"))
+    // age the tmp past the in-flight grace window (a YOUNG tmp may be a
+    // publish's write-then-move in progress and is protected)
+    new java.io.File(s"$dir/f/_CURRENT.tmp")
+      .setLastModified(System.currentTimeMillis() - 11 * 60 * 1000L)
     val removed = KerfSql.run(spark, s"vacuum '$dir/f'")
       .collect().map(_.getString(0)).toSeq
     assert(removed == Seq("_CURRENT.tmp", "v00000000"), s"got $removed")
