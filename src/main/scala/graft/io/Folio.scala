@@ -89,15 +89,16 @@ object Folio {
     // one dataset — a narrower batch would corrupt reads far from this
     // write. Column SET must match too (mergeSchema is off; a drifted
     // column silently vanishes or nulls depending on footer sampling).
-    val tdir = new java.io.File(target)
-    val hasData = tdir.isDirectory && Option(tdir.listFiles()).exists(_.exists(f =>
-      (f.isDirectory && !f.getName.startsWith("_")) || f.getName.endsWith(".parquet")))
-    if (hasData) {
-      val stored = df.sparkSession.read.parquet(target).schema
-      require(df.schema.fieldNames.toSet == stored.fieldNames.toSet,
-        s"appendPartition: batch columns (${df.schema.fieldNames.sorted.mkString(", ")}) " +
+    // ONE representative footer, not a dataset listing: every file in a
+    // valid folio shares one schema, and a full listing per append would
+    // grow with fragmentation (the exact state this append creates)
+    firstParquetFile(new java.io.File(target)).foreach { sample =>
+      val stored = df.sparkSession.read.parquet(sample.getAbsolutePath).schema
+      val dataCols = df.schema.fieldNames.filterNot(partitionCols.contains)
+      require(dataCols.toSet == stored.fieldNames.toSet,
+        s"appendPartition: batch data columns (${dataCols.sorted.mkString(", ")}) " +
         s"drift from the folio's (${stored.fieldNames.sorted.mkString(", ")})")
-      stored.filterNot(f => partitionCols.contains(f.name)).foreach { f =>
+      stored.foreach { f =>
         val b = df.schema(f.name).dataType
         require(b == f.dataType,
           s"appendPartition: column '${f.name}' is ${f.dataType.simpleString} on disk " +
@@ -106,6 +107,17 @@ object Folio {
       }
     }
     write(df, target, partitionCols, sortCols, SaveMode.Append)
+  }
+
+  /** First parquet data file under `dir` (depth-first through partition
+    * dirs) — the representative footer for schema checks. */
+  private def firstParquetFile(dir: java.io.File): Option[java.io.File] = {
+    val entries = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filterNot(_.getName.startsWith("_")).sortBy(_.getName)
+    entries.collectFirst {
+      case f if f.isFile && f.getName.endsWith(".parquet") => f
+    }.orElse(entries.filter(_.isDirectory).iterator
+      .flatMap(d => firstParquetFile(d)).take(1).toSeq.headOption)
   }
 
   /** The partition-column chain a directory-expanded dataset already has
