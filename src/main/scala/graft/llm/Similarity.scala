@@ -34,7 +34,31 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / norm(a) / norm(b)
+  /** Embedding width probed from the first NON-NULL vector (a null
+    * embedding in the first scanned row would make size() null and the
+    * bare getInt NPE before any exclusion logic runs); empty input gets
+    * the loud message, not an iterator error. */
+  private def dimOf(df: DataFrame, vecCol: String): Int = {
+    val r = df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect()
+    require(r.nonEmpty, s"no non-null '$vecCol' vectors to probe the dimension from")
+    r(0).getInt(0)
+  }
+
+  /** NaN-guarded: a zero-magnitude (or NaN-bearing) vector yields 0/0 =
+    * NaN, which Spark orders GREATER than every number — unguarded, a
+    * degenerate embedding would take the rank-1 slot in every top-k and
+    * pass every `>= threshold` near-dup filter as a false pair (which
+    * semDedup then DROPS — data loss). The −2 sentinel sits strictly
+    * below the cosine range, so degenerates lose every ranking and fail
+    * every threshold; null vectors stay null (excluded upstream). */
+  def cosine(a: Column, b: Column): Column = {
+    // try_divide: under ANSI a zero norm is DIVIDE_BY_ZERO mid-job, not
+    // NaN — the degenerate row must lose the ranking, not kill the query
+    val c = try_divide(try_divide(dot(a, b), norm(a)), norm(b))
+    when(a.isNull || b.isNull, lit(null).cast("double"))
+      .otherwise(coalesce(nanvl(c, lit(-2.0)), lit(-2.0)))
+  }
 
   /** Exact top-k: for each row of `queries`, the k nearest of `candidates`
     * by cosine. Ranking uses cosine rounded to 6 dp with id tie-break —
@@ -168,10 +192,11 @@ object Similarity {
                          nBits: Int = 0, tables: Int = 8,
                          idCol: String = "vec_id", vecCol: String = "embedding",
                          maxBucket: Int = 256): DataFrame = {
-    val bits = if (nBits == 0) autoNBits(df.count()) else nBits
-    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val (acq, ownDf) = graft.ops.Caches.acquire(df)
+    val bits = if (nBits == 0) autoNBits(acq.count()) else nBits
+    val dim = dimOf(acq, vecCol)
     val sk = perTableSketches(
-      df.select(col(idCol).as("vid"),
+      acq.select(col(idCol).as("vid"),
         allSketches(col(vecCol), bits, tables, dim).as("__sks")),
       Seq(col("vid")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -186,14 +211,16 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
     val verified = cands
-      .join(df.select(col(idCol).as("id_a"), col(vecCol).as("__va")), Seq("id_a"))
-      .join(df.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), Seq("id_b"))
+      .join(acq.select(col(idCol).as("id_a"), col(vecCol).as("__va")), Seq("id_a"))
+      .join(acq.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), Seq("id_b"))
       .withColumn("cos", round(cosine(col("__va"), col("__vb")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
-    // pair list materialized eagerly so the sketch cache is released
-    // rather than pinned for the session (see graft.ops.Caches)
-    graft.ops.Caches.seal(verified, sk)
+    // pair list materialized eagerly so the sketch + input caches are
+    // released rather than pinned for the session (see graft.ops.Caches)
+    val out = graft.ops.Caches.seal(verified, sk)
+    if (ownDf) acq.unpersist(false)
+    out
   }
 
   // ----- int8 embedding quantization — the storage scale path -----
@@ -208,7 +235,14 @@ object Similarity {
   def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame =
     df.select(col(idCol),
-        (array_max(transform(col(vecCol), x => abs(x.cast("double")))) / 127.0)
+        // a single NaN element would poison silently: scale = NaN, every
+        // least(127, x/NaN) resolves to 127 (Spark orders NaN greatest)
+        // and the reconstruction is all-NaN — fail fast instead
+        when(exists(col(vecCol), x => isnan(x.cast("double"))),
+            raise_error(concat(lit("quantizeInt8: NaN element in vector of "),
+              col(idCol).cast("string"), lit(" — fix upstream embeddings"))))
+          .otherwise(
+            array_max(transform(col(vecCol), x => abs(x.cast("double")))) / 127.0)
           .as("scale"),
         col(vecCol).as("__v"))
       .select(col(idCol), col("scale"),
@@ -246,18 +280,28 @@ object Similarity {
         posexplode_outer(col(vecCol)).as(Seq("__pos", "__x")))
       .groupBy(col("group_key"), col("__pos"))
       .agg(avg(col("__x").cast("double")).as("__m"),
-           count(lit(1)).as("__n"))
+           count(lit(1)).as("__n"),
+           // a null ELEMENT inside a vector: avg would silently skip it
+           // and present a fewer-contributor mean as the full mean —
+           // the third drift shape the fail-fast contract covers
+           max(when(col("__pos").isNotNull && col("__x").isNull, 1)
+             .otherwise(0)).as("__null_elem"))
       .groupBy(col("group_key"))
       .agg(transform(array_sort(collect_list(
                when(col("__pos").isNotNull, struct(col("__pos"), col("__m"))))),
              s => s.getField("__m")).as("pooled"),
            min(when(col("__pos").isNotNull, col("__n"))).as("__n_min"),
            max(when(col("__pos").isNotNull, col("__n"))).as("__n_max"),
-           max(when(col("__pos").isNull, 1).otherwise(0)).as("__has_empty"))
+           max(when(col("__pos").isNull, 1).otherwise(0)).as("__has_empty"),
+           max(col("__null_elem")).as("__has_null_elem"))
       .select(col("group_key"), col("pooled"),
         when(col("__has_empty") === 1, raise_error(concat(
             lit("meanPool: group "), col("group_key").cast("string"),
             lit(" contains an empty or null vector — fix upstream embedding failures"))))
+          .when(col("__has_null_elem") === 1, raise_error(concat(
+            lit("meanPool: group "), col("group_key").cast("string"),
+            lit(" contains a NULL element inside a vector — the mean would " +
+                "silently average fewer contributors; fix upstream"))))
           .when(col("__n_min") === col("__n_max"), col("__n_max"))
           .otherwise(raise_error(concat(
             lit("meanPool: ragged group "), col("group_key").cast("string"),
@@ -294,7 +338,7 @@ object Similarity {
     // Lloyd means, same contract as trainPQ/perTableSketches
     val cand = acq.filter(col(vecCol).isNotNull)
     val seedRows = cand
-      .select(col(idCol).cast("long").as("__sid"), col(vecCol).as("__v"))
+      .select(col(idCol).as("__sid"), col(vecCol).as("__v"))
       .orderBy(xxhash64(col("__sid")), col("__sid"))
       .limit(nLists)
       .collect()
@@ -423,11 +467,21 @@ object Similarity {
     val storedVec =
       if (halfPrecision) graft.functions.Half.pack(col(vecCol)).as(vecCol)
       else col(vecCol)
+    // fp16 tier: ASSIGN in the decode domain too — the probe ranks its
+    // lists with the fp16-quantized query (symmetric cosine), so a
+    // boundary vector assigned by its fp32 form could live in a list
+    // the quantized twin never probes (a planted replica would vanish
+    // from the candidate set). Quantize-then-assign restores symmetry.
+    val assignSrc =
+      if (halfPrecision)
+        cand.filter(col(vecCol).isNotNull).withColumn(vecCol,
+          graft.functions.Half.unpack(graft.functions.Half.pack(col(vecCol))))
+      else cand.filter(col(vecCol).isNotNull)
     // stage-and-swap (Folio `_CURRENT` protocol): model JSON and list
     // data land together in one immutable version dir, so a re-train
     // can never leave a probe reading new centroids over old lists
     graft.io.Folio.publishArtifacts(path) { vdir =>
-      assignLists(cand.filter(col(vecCol).isNotNull), centroids, idCol, vecCol)
+      assignLists(assignSrc, centroids, idCol, vecCol)
         .select(col(idCol), storedVec, col("list_id"))
         .repartition(col("list_id"))
         .write.mode("overwrite").partitionBy("list_id").parquet(s"$vdir/lists")
@@ -495,7 +549,14 @@ object Similarity {
     val storedVec =
       if (storedHalf) graft.functions.Half.pack(col(vecCol)).as(vecCol)
       else col(vecCol)
-    assignLists(batch.filter(col(vecCol).isNotNull), centroids, idCol, vecCol)
+    // assign in the DECODE domain on an fp16 index (same symmetry rule
+    // as writeIvfIndex: the probe ranks with the quantized query)
+    val assignSrc =
+      if (storedHalf)
+        batch.filter(col(vecCol).isNotNull).withColumn(vecCol,
+          graft.functions.Half.unpack(graft.functions.Half.pack(col(vecCol))))
+      else batch.filter(col(vecCol).isNotNull)
+    assignLists(assignSrc, centroids, idCol, vecCol)
       .select(col(idCol), storedVec, col("list_id"))
       .repartition(col("list_id"))
       .write.mode("append").partitionBy("list_id").parquet(s"$root/lists")
@@ -541,6 +602,11 @@ object Similarity {
         p => p.getField("cid")), 1, np))
       .withColumn("list_id", explode(col("probes")))
       .drop("probes", "__qsims")
+    // NOTE: the probed-list collect below and the candidate join both
+    // evaluate this query-side plan (a MatVecDots pass per query row —
+    // cheap; queries are probe-batch-sized). Callers with a
+    // NONDETERMINISTIC query source must persist it first, or the isin
+    // filter and the joined rows could disagree.
     val probed = q.select(col("list_id")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val candVec =
@@ -569,11 +635,13 @@ object Similarity {
     * per-batch DRIVER decision (the static `isin` the planner prunes
     * on), which a declarative join could not re-plan per batch. */
   def ivfProbeStream(queries: DataFrame, path: String, k: Int, nProbe: Int = 4,
-                     idCol: String = "vec_id", vecCol: String = "embedding")
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     options: Map[String, String] = Map.empty)
                     (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = queries.sparkSession
-    queries.writeStream.outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+    val w = options.foldLeft(queries.writeStream.outputMode("append")) {
+      case (b, (key, v)) => b.option(key, v) }
+    w.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty)
           sink(ivfTopKIndexed(spark, path, batch, k, nProbe, idCol, vecCol))
         ()
@@ -597,14 +665,23 @@ object Similarity {
     * coarse quantizer itself drifts only at retrain: this stream keeps
     * the corpus fresh, not the model (COVERAGE.md's cadence posture). */
   def ivfAppendStream(embeddings: DataFrame, path: String,
-                      idCol: String = "vec_id", vecCol: String = "embedding")
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    embeddings.writeStream.outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      options: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // pass options = Map("checkpointLocation" -> …) in production: on a
+    // TEMPORARY checkpoint a restart forgets its offsets and an
+    // at-least-once source re-delivers rows the index already holds —
+    // mode("append") would then store duplicates every probe returns
+    // twice. With a durable checkpoint the source replays only the
+    // uncommitted batch (the usual exactly-once-per-checkpoint story).
+    val w = options.foldLeft(embeddings.writeStream.outputMode("append")) {
+      case (b, (key, v)) => b.option(key, v) }
+    w.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) appendToIvfIndex(batch, path, idCol, vecCol)
         ()
       }
       .start()
+  }
 
   // ----- Product quantization (PQ) — the extreme-compression ANN tier -----
 
@@ -635,11 +712,11 @@ object Similarity {
     // (getSeq on null NPEs) nor contribute to a subspace mean — excluded
     // here exactly as perTableSketches excludes them from LSH indexes.
     val cand = acq.filter(col(vecCol).isNotNull)
-    val dim = cand.select(size(col(vecCol))).first().getInt(0)
+    val dim = dimOf(cand, vecCol)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
     val seedRows = cand
-      .select(col(idCol).cast("long").as("__sid"), col(vecCol).as("__v"))
+      .select(col(idCol).as("__sid"), col(vecCol).as("__v"))
       .orderBy(xxhash64(col("__sid")), col("__sid"))
       .limit(ksub)
       .collect()
@@ -987,6 +1064,8 @@ object Similarity {
       }: _*))
       .withColumn("list_id", explode(col("probes")))
       .drop("probes", "__qsims")
+    // same two-action caveat as ivfTopKIndexed: persist nondeterministic
+    // query sources upstream
     val probed = q.select(col("list_id")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val coded = spark.read.parquet(s"$root/codes")
@@ -1026,7 +1105,7 @@ object Similarity {
               nBits: Int = 0, tables: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bits = if (nBits == 0) autoNBits(candidates.count()) else nBits
-    val dim = queries.select(size(col(vecCol))).first().getInt(0)
+    val dim = dimOf(queries, vecCol)
     // one fused sketch pass; identical bit layout to the chained
     // hyperplaneSketch with seedBase = t·nBits (pinned in ExtensionSpec)
     def sk(df: DataFrame, id: String, vec: String) =

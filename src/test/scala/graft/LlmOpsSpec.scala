@@ -150,6 +150,15 @@ class LlmOpsSpec extends SparkSpec {
     val got = Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, 3)
       .orderBy("rk").select("cand_id").as[Long].collect().toSeq
     assert(got == Seq(1L, 2L, 3L))
+    // a ZERO vector's cosine is NaN, which Spark orders GREATER than
+    // everything — unguarded it would steal rank 1 from every true
+    // neighbor and pass >= thresholds as a false near-dup pair
+    val withZero = vecs.unionByName(
+      Seq((9L, Seq(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val gz = Similarity.bruteForceTopK(
+        withZero.filter(col("vec_id") === 0), withZero, 3)
+      .orderBy("rk").select("cand_id").as[Long].collect().toSeq
+    assert(gz == Seq(1L, 2L, 3L), s"zero vector polluted top-k: $gz")
   }
 
   test("LSH ANN exactly equals brute-force top-k on planted-margin clusters") {
