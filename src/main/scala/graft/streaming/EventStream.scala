@@ -29,8 +29,11 @@ object EventStream {
   }
 
   /** Tumbling event-time window aggregation with watermark. Complete
-    * output mode so a bounded replay reproduces the batch answer exactly
-    * (watermark still bounds state on a live feed). */
+    * output mode so a bounded replay reproduces the batch answer exactly.
+    * NOTE: in Complete mode the watermark evicts NOTHING (every window
+    * ever created is retained to re-emit the full result) — a live
+    * unbounded feed runs this in Append/Update mode, where the 2-hour
+    * watermark actually bounds state. */
   def hourlyByType(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
@@ -92,9 +95,11 @@ object EventStream {
     * (plain dropDuplicates would accumulate every key ever seen). */
   def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
                            horizon: String = "2 hours",
-                           tsCol: String = "ts"): DataFrame =
+                           tsCol: String = "ts"): DataFrame = {
+    require(keyCols.nonEmpty, "dedupWithinWatermark needs at least one key column")
     events.withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+  }
 
   /** Streaming NEAR-dup suppression: documents whose 64-bit SimHash
     * signature collides inside the watermark horizon are collapsed to the
@@ -113,9 +118,6 @@ object EventStream {
       .dropDuplicatesWithinWatermark("simhash")
   }
 
-  /** Append-mode twin of [[runToCompletion]] for non-aggregating stateful
-    * streams (dedup, suppression): rows land in the memory sink as they
-    * are emitted. */
   // ----- stateful: last-tick (Kerf's realtime "current value" table) -----
 
   case class Tick(user_id: Long, ts_ns: Long, value: Double)
@@ -123,13 +125,17 @@ object EventStream {
 
   /** mapGroupsWithState keeper of the latest tick per key — the order-book
     * /last-value state a tick DB maintains. State is one row per key
-    * (bounded); timeout drops idle keys on a live feed. */
+    * ever seen — NO idle eviction on this legacy face (state grows with
+    * the key space); a live unbounded feed belongs on [[LastTickProcessor]],
+    * whose idle timer actually evicts. Tied max timestamps resolve by
+    * VALUE (post-shuffle arrival order is not stable across replays —
+    * the emitted state must be a pure function of the data). */
   def lastTickUpdate(key: Long, ticks: Iterator[Tick],
                      state: GroupState[LastTick]): LastTick = {
     val prev = state.getOption
     val all = ticks.toSeq
     val latest = (prev.map(p => Tick(p.user_id, p.ts_ns, p.value)) ++ all)
-      .maxBy(_.ts_ns)
+      .maxBy(t => (t.ts_ns, t.value))
     val updated = LastTick(key, latest.ts_ns, latest.value,
       prev.map(_.n_events).getOrElse(0L) + all.size)
     state.update(updated)
@@ -168,8 +174,9 @@ object EventStream {
                                  tv: TimerValues): Iterator[LastTick] = {
       val prev = if (last.exists()) Some(last.get()) else None
       val all = rows.toSeq
+      // value tiebreak on equal timestamps: determinism under replay
       val latest = (prev.map(p => Tick(p.user_id, p.ts_ns, p.value)) ++ all)
-        .maxBy(_.ts_ns)
+        .maxBy(t => (t.ts_ns, t.value))
       val updated = LastTick(key, latest.ts_ns, latest.value,
         prev.map(_.n_events).getOrElse(0L) + all.size)
       last.update(updated)
@@ -217,16 +224,21 @@ object EventStream {
     override def handleInputRows(key: Long, rows: Iterator[MarketRow],
                                  tv: TimerValues): Iterator[EnrichedTrade] = {
       val out = List.newBuilder[EnrichedTrade]
-      rows.toSeq.sortBy(r => (r.ts_ns, r.kind)).foreach { r =>
+      // (ts, kind, value): equal-timestamp quotes tie-break on value —
+      // the <= update rule would otherwise keep whichever sorted last
+      // in unstable post-shuffle order, and every subsequent trade
+      // would enrich differently across replays
+      var cur = if (quote.exists()) Some(quote.get()) else None
+      rows.toSeq.sortBy(r => (r.ts_ns, r.kind, r.value)).foreach { r =>
         if (r.kind == "q") {
-          if (!quote.exists() || quote.get().ts_ns <= r.ts_ns)
-            quote.update(LastQuote(r.ts_ns, r.value))
+          if (!cur.exists(_.ts_ns > r.ts_ns))
+            cur = Some(LastQuote(r.ts_ns, r.value))
         } else {
-          val m = (if (quote.exists()) Some(quote.get()) else None)
-            .filter(_.ts_ns <= r.ts_ns)
+          val m = cur.filter(_.ts_ns <= r.ts_ns)
           out += EnrichedTrade(key, r.ts_ns, r.value, m.map(_.ts_ns), m.map(_.value))
         }
       }
+      cur.foreach(quote.update)
       out.result().iterator
     }
   }
@@ -276,17 +288,20 @@ object EventStream {
     override def handleInputRows(key: Long, rows: Iterator[Tick],
                                  tv: TimerValues): Iterator[EmaRow] = {
       val out = List.newBuilder[EmaRow]
+      // one state read before the loop, one write after (per-row
+      // RocksDB I/O is the hot-path cost on dense keys)
+      var cur = if (st.exists()) Some(st.get()) else None
       rows.toSeq.sortBy(r => (r.ts_ns, r.value)).foreach { r =>
-        val prev = if (st.exists()) Some(st.get()) else None
-        if (!prev.exists(_.ts_ns >= r.ts_ns)) {
-          val ema = prev match {
+        if (!cur.exists(_.ts_ns >= r.ts_ns)) {
+          val ema = cur match {
             case None => r.value
             case Some(p) => p.ema + alpha * (r.value - p.ema)
           }
-          st.update(EmaState(r.ts_ns, ema))
+          cur = Some(EmaState(r.ts_ns, ema))
           out += EmaRow(key, r.ts_ns, r.value, ema)
         }
       }
+      cur.foreach(st.update)
       out.result().iterator
     }
   }
@@ -301,8 +316,9 @@ object EventStream {
   /** Per-key forward-fill state machine: carries the last non-null value
     * down the per-key time axis. O(1) state per key — (ts, last). EVERY
     * row is emitted (the batch `fills` window emits every row too):
-    * TIED timestamps advance the carry in arrival order (the batch
-    * window's event_id tiebreak), so same-grain ticks are never lost;
+    * TIED timestamps advance the carry in VALUE order (deterministic —
+    * post-shuffle arrival order is not), so same-grain ticks are never
+    * lost;
     * strictly-LATE rows (ts < the state's clock — out-of-order arrival)
     * emit with the CURRENT carry without perturbing the state, since
     * O(1) state cannot reconstruct the carry as of a historical ts. A
@@ -320,8 +336,12 @@ object EventStream {
     override def handleInputRows(key: Long, rows: Iterator[SparseTick],
                                  tv: TimerValues): Iterator[FillRow] = {
       val out = List.newBuilder[FillRow]
-      rows.toSeq.sortBy(_.ts_ns).foreach { r =>
-        val prev = if (st.exists()) Some(st.get()) else None
+      // (ts, value) ordering: post-shuffle "arrival order" is NOT stable
+      // across runs or checkpoint replays, so tied-timestamp ticks must
+      // tie-break on the value or the final carry is nondeterministic
+      var cur = if (st.exists()) Some(st.get()) else None
+      rows.toSeq.sortBy(r => (r.ts_ns, r.value)).foreach { r =>
+        val prev = cur
         if (prev.exists(_.ts_ns > r.ts_ns)) {
           // strictly late: own value wins, else the current carry;
           // the clock and carry stay put
@@ -333,11 +353,14 @@ object EventStream {
             case None => FillState(r.ts_ns,
               prev.exists(_.has), prev.map(_.last).getOrElse(0.0))
           }
-          st.update(ns)
+          cur = Some(ns)
           out += FillRow(key, r.ts_ns, r.value,
             if (ns.has) Some(ns.last) else None)
         }
       }
+      // ONE state-store write per (key, batch) — a dense key would
+      // otherwise pay a RocksDB serialize+write per row
+      cur.foreach(st.update)
       out.result().iterator
     }
   }
@@ -388,13 +411,17 @@ object EventStream {
       // function of the data (the q170/q171 oracle's ORDER BY ts,
       // value convention; batch `differs` runs over the caller's
       // declared order clause, which carries the same tiebreak)
+      var cur = if (st.exists()) Some(st.get()) else None
       rows.toSeq.sortBy(r => (r.ts_ns, r.value)).foreach { r =>
-        val prev = if (st.exists()) Some(st.get()) else None
-        if (!prev.exists(_.ts_ns > r.ts_ns)) {
-          if (!prev.exists(_.last == r.value)) out += r
-          st.update(ChangeState(r.ts_ns, r.value))
+        if (!cur.exists(_.ts_ns > r.ts_ns)) {
+          // Double.compare, not ==: batch `differs` uses <=> where
+          // NaN equals NaN — a NaN run must suppress, not re-emit
+          if (!cur.exists(p => java.lang.Double.compare(p.last, r.value) == 0))
+            out += r
+          cur = Some(ChangeState(r.ts_ns, r.value))
         }
       }
+      cur.foreach(st.update)
       out.result().iterator
     }
   }
