@@ -46,6 +46,18 @@ for name in sorted(oracle):
             if sptypes.get(c) != ddtypes.get(c)}
     if tmis:
         print(f"TYPEWARN {name}: {tmis}")
+    # The driver compares with pandas sort_values, which throws
+    # "unhashable type" on numpy-array cells (r13: q168/q177/q181).
+    # Mirror that contract: raw LIST/ARRAY/STRUCT columns on either
+    # side are a FAIL here — stringify them in the query (the q41
+    # array_join / array_to_string convention).
+    nested = {c: (sptypes.get(c), ddtypes.get(c)) for c in ddcols
+              if any(t and ("[]" in t or "STRUCT" in t or "MAP" in t)
+                     for t in (sptypes.get(c), ddtypes.get(c)))}
+    if nested:
+        fails.append((name, f"raw nested column(s) {nested} — the driver's "
+                      "pandas compare cannot sort these; stringify per the "
+                      "q41 convention")); continue
     # driver sorts columns by name; do the same, then sort rows
     dperm = sorted(range(len(ddcols)), key=lambda i: ddcols[i])
     sperm = sorted(range(len(spcols)), key=lambda i: spcols[i])

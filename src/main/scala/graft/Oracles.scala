@@ -2190,14 +2190,15 @@ object Oracles {
          FROM g ORDER BY l_returnflag""",
 
     // collect = list with a TOTAL order: (axis, value) for the
-    // axis-ordered form, value-sorted for the bare form
+    // axis-ordered form, value-sorted for the bare form; stringified
+    // (array_to_string — the q41 pandas-compare convention)
     "q168_kerf_collect" ->
       """WITH p AS (
            SELECT user_id, epoch_us(ts) * 1000 AS ts_ns, value
            FROM events WHERE event_type = 'purchase')
          SELECT user_id,
-                list(value ORDER BY ts_ns, value) AS series,
-                list(ts_ns ORDER BY ts_ns) AS ticks,
+                array_to_string(list(value ORDER BY ts_ns, value), ',') AS series,
+                array_to_string(list(ts_ns ORDER BY ts_ns), ',') AS ticks,
                 count(*) AS n
          FROM p GROUP BY user_id ORDER BY user_id""",
 
@@ -2421,7 +2422,8 @@ object Oracles {
                              AS BIGINT) AS id
                  FROM voc)
          SELECT t.doc_id,
-                list(coalesce(v.id, -1) ORDER BY t.wpos, t.tpos) AS ids,
+                array_to_string(list(coalesce(v.id, -1)
+                                     ORDER BY t.wpos, t.tpos), ',') AS ids,
                 count(*) AS n_tokens
          FROM tk2 t LEFT JOIN vid v ON t.token = v.token
          GROUP BY t.doc_id ORDER BY t.doc_id""",
@@ -2525,7 +2527,9 @@ object Oracles {
                   count(DISTINCT x) AS nv
            FROM f GROUP BY user_id),
          g AS (
-           SELECT user_id, list(value ORDER BY ts_ns, value) AS series
+           SELECT user_id,
+                  array_to_string(list(value ORDER BY ts_ns, value), ',')
+                    AS series
            FROM c GROUP BY user_id)
          SELECT t.user_id, t.twap, t.nv, g.series
          FROM t JOIN g ON t.user_id = g.user_id

@@ -3130,7 +3130,11 @@ object Queries {
     * broken by value), `collect(ts_ns)` is value-sorted — both orders
     * TOTAL, so the arrays are deterministic across any shuffle
     * schedule (a bare collect_list is not). One partial-agg groupBy;
-    * array bytes only exist post-aggregation. */
+    * array bytes only exist post-aggregation. The final projection
+    * stringifies the vectors (q41's convention, Queries.scala q41) so
+    * the driver's pandas-based oracle compare can sort/hash them —
+    * the dialect's collect itself stays array-returning (q169
+    * round-trips the raw arrays). */
   val q168_kerf_collect: Q = (s, dir) => {
     Tables.events(s, dir).createOrReplaceTempView("events_v168")
     sql.KerfSql.run(s,
@@ -3139,6 +3143,12 @@ object Queries {
       "select user_id, collect(value, ts_ns) as series, " +
       "collect(ts_ns) as ticks, count(*) as n from pur_v168 " +
       "group user_id order user_id")
+      .select(col("user_id"),
+        array_join(transform(col("series"), v => v.cast("string")), ",")
+          .as("series"),
+        array_join(transform(col("ticks"), v => v.cast("string")), ",")
+          .as("ticks"),
+        col("n"))
   }
 
   /** UNGROUP round trip (q's ungroup — the inverse of collect): the
@@ -3265,7 +3275,9 @@ object Queries {
     * distinct change-count → the conflated series as a per-user
     * vector (`collect`) — joined into one summary row per user. Six
     * statements, zero API calls; every stage individually oracled
-    * (q170/q175/q168), here replayed as one DuckDB tree. */
+    * (q170/q175/q168), here replayed as one DuckDB tree. The wrapper
+    * projection stringifies `series` (q41's pandas-compare
+    * convention) — a harness seam, not part of the program. */
   val q177_conflation_capstone: Q = (s, dir) => {
     Tables.events(s, dir).createOrReplaceTempView("events_v177")
     sql.KerfSql.run(s,
@@ -3282,6 +3294,9 @@ object Queries {
       "group user_id; " +
       "select user_id, twap, nv, series from t_v177 join g_v177 on user_id " +
       "order user_id")
+      .select(col("user_id"), col("twap"), col("nv"),
+        array_join(transform(col("series"), v => v.cast("string")), ",")
+          .as("series"))
   }
 
   /** TOP-N PER GROUP from the text surface (q's `N # select … by sym`
@@ -3363,13 +3378,20 @@ object Queries {
     * × in-word position) through the corpus-ranked vocabulary
     * (id = rank by count desc, token — deterministic). Map-only until
     * the per-doc rollup; the vocabulary joins broadcast. The oracle
-    * rebuilds the identical vocabulary and sequence in SQL. */
+    * rebuilds the identical vocabulary and sequence in SQL. The id
+    * sequence is stringified in the compared projection (q41's
+    * pandas-compare convention); [[llm.TextOps.bpeEncode]] itself
+    * keeps returning the raw array (q182 packs from it). */
   val q181_bpe_encode: Q = (s, dir) => {
     val merges = Seq(("t", "h"), ("th", "e"), ("the", "</w>"),
       ("v", "a"), ("va", "l"), ("a", "</w>"))
     val docs = Tables.documents(s, dir)
     val vocab = llm.TextOps.bpeVocab(docs, "text", merges)
     llm.TextOps.bpeEncode(docs, "doc_id", "text", merges, vocab)
+      .select(col("doc_id"),
+        array_join(transform(col("ids"), v => v.cast("string")), ",")
+          .as("ids"),
+        col("n_tokens"))
       .orderBy("doc_id")
   }
 
