@@ -3558,7 +3558,7 @@ object Queries {
     val srv = sources.RemoteTableServer.sharedEvalFor(
       s, "li", s"$dir/lineitem.parquet")
     sql.KerfSql.run(s,
-      s"r189: rexec '127.0.0.1:${srv.port}' " +
+      s"r189: rexec '${srv.evalHandle}' " +
       "'select l_returnflag, count(*) as n, sum(long(l_quantity)) as sq " +
       "from li where l_linestatus = ''F'' " +
       "group l_returnflag order l_returnflag'; " +
@@ -3607,7 +3607,7 @@ object Queries {
     val sa = sources.RemoteTableServer.sharedEvalFor(s, "li", s"$base/half_a")
     val sb = sources.RemoteTableServer.sharedEvalFor(s, "li", s"$base/half_b")
     sql.KerfSql.run(s,
-      s"parts_v191: rexec ['127.0.0.1:${sa.port}', '127.0.0.1:${sb.port}'] " +
+      s"parts_v191: rexec ['${sa.evalHandle}', '${sb.evalHandle}'] " +
       "'select l_returnflag, count(*) as n, sum(long(l_quantity)) as sq " +
       "from li group l_returnflag'; " +
       "select l_returnflag, sum(n) as n, sum(sq) as sq from parts_v191 " +

@@ -828,8 +828,9 @@ object Folio {
 
   /** The commit tag of the LIVE rollup version (None when the folio is
     * empty or the last commit carried no tag). The streaming sinks use
-    * it as the replay guard: an at-least-once re-delivery of the batch
-    * that just committed sees its own tag live and skips. */
+    * [[rollupCommitTags]] (the full applied set) as the replay guard;
+    * this single-tag face remains for observability and legacy
+    * single-writer guards. */
   def lastRollupCommitTag(path: String): Option[String] =
     currentVersion(rollupMetaDir(path)).flatMap { v =>
       val f = new java.io.File(s"${rollupMetaDir(path)}/$v", "_COMMIT_TAG")
@@ -837,6 +838,38 @@ object Folio {
         Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim)
       else None
     }
+
+  // streaming commit tags carry (writer, batch) so the applied set can
+  // compact: per checkpoint, Spark batch ids are MONOTONE, so only the
+  // latest batch per writer needs retaining — the set stays
+  // writer-count-sized forever, never micro-batch-count-sized
+  private val StreamTagRe = raw"stream-batch:(.+):(\d+)".r
+  private def compactTags(tags: Seq[String]): Seq[String] = {
+    val (stream, other) = tags.partition(StreamTagRe.matches(_))
+    val latest = stream.map { case StreamTagRe(w, n) => (w, n.toLong) }
+      .groupMapReduce(_._1)(_._2)(math.max)
+    (other ++ latest.toSeq.sortBy(_._1).map { case (w, n) => s"stream-batch:$w:$n" })
+      .distinct
+  }
+
+  /** ALL applied commit tags of the live rollup version (compacted to
+    * the latest batch per streaming writer). This is the replay guard
+    * the streaming sinks check: unlike the single last tag, it stays
+    * correct when TWO writers (distinct checkpoints) interleave on one
+    * folio — writer A's crash re-delivery must skip even when writer
+    * B's commit landed in between. A fresh checkpoint mints a fresh
+    * writer id, so its batch 0 is never shadowed by an old writer's. */
+  def rollupCommitTags(path: String): Set[String] =
+    currentVersion(rollupMetaDir(path)).map { v =>
+      val f = new java.io.File(s"${rollupMetaDir(path)}/$v", "_COMMIT_TAGS")
+      val set =
+        if (f.isFile)
+          new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+            .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+        else Nil
+      // legacy versions (pre writer-id) carry only the single tag file
+      (set ++ lastRollupCommitTag(path)).toSet
+    }.getOrElse(Set.empty)
 
   /** Append `batch` and fold its partial into the stored rollup, as one
     * atomic commit. `keys`/`valCols` must match the folio's existing
@@ -896,9 +929,15 @@ object Folio {
       merged.write.parquet(new java.io.File(vdir, "rollup").toString)
       java.nio.file.Files.write(new java.io.File(vdir, "_MANIFEST").toPath,
         manifest.getBytes("UTF-8"))
-      commitTag.foreach(t =>
+      commitTag.foreach { t =>
         java.nio.file.Files.write(new java.io.File(vdir, "_COMMIT_TAG").toPath,
-          t.getBytes("UTF-8")))
+          t.getBytes("UTF-8"))
+        // the APPLIED SET carries forward (compacted per writer) so a
+        // multi-writer folio's replay guard survives interleaving
+        val tags = compactTags((rollupCommitTags(path) + t).toSeq.sorted)
+        java.nio.file.Files.write(new java.io.File(vdir, "_COMMIT_TAGS").toPath,
+          tags.mkString("\n").getBytes("UTF-8"))
+      }
     }
   }
 
@@ -1027,7 +1066,18 @@ object Folio {
     * path — every subsequent read fails). Dirs younger than the grace
     * window are left alone; a genuinely crashed orphan is reaped by
     * the next cadence run once it ages past the window. Pass 0 only
-    * when no writer can be live (tests, decommission). */
+    * when no writer can be live (tests, decommission).
+    *
+    * Plan/execute window (ADVICE r13): [[graft.plans.RollupRewriteRule]]
+    * pins the live version at PLAN time and the pinned rollup parquet is
+    * eagerly read then, but a long-queued query still re-reads the
+    * pinned dir at EXECUTE time — the live+fallback floor tolerates one
+    * append landing in between; two appends plus a vacuum inside the
+    * window turn the pinned dir into a runtime file-not-found (a loud
+    * failure, never a wrong answer). Single-writer cadence (append ≫
+    * plan-to-execute latency) makes this unreachable in practice; a
+    * deployment with aggressive vacuum cadence should keep a deeper
+    * floor by vacuuming less often, not by widening graceMs. */
   def rollupVacuum(path: String, graceMs: Long = 10 * 60 * 1000L): Seq[String] = {
     val meta = rollupMetaDir(path)
     val keep: Set[String] = (currentVersion(meta) match {

@@ -27,17 +27,26 @@ object RemoteEval {
   private val connectTimeoutMs = 5000
   private val readTimeoutMs = 600000 // programs run real queries remotely
 
-  /** `site` accepts `host:port`, `remote://host:port`, or a full
-    * `remote://host:port/table` endpoint (what [[RemoteTableServer
-    * .endpoint]] prints — the table suffix is irrelevant to eval and
-    * is dropped, not parsed into the port). */
+  /** `site` accepts `host:port:token` (what [[RemoteTableServer
+    * .evalHandle]] prints — the kdb `host:port:user:pass` handle shape;
+    * eval sites authenticate, so this is the normal form), plus
+    * token-less `host:port` / `remote://host:port[/table]` forms for
+    * sites that would refuse anyway (the not-enabled error path). The
+    * table suffix is irrelevant to eval and is dropped, not parsed
+    * into the port; tokens never parse as ports (they carry a letter),
+    * so the two handle shapes stay unambiguous. */
   def call(spark: SparkSession, site: String, program: String): DataFrame = {
     val hp = site.stripPrefix("remote://").takeWhile(_ != '/')
-    val (host, portStr) = hp.lastIndexOf(':') match {
-      case -1 => throw new IllegalArgumentException(
-        s"rexec: site must be host:port or remote://host:port[/table], got '$site'")
-      case i => (hp.substring(0, i), hp.substring(i + 1))
-    }
+    val segs = hp.split(':')
+    val (host, portStr, token) =
+      if (segs.length >= 3 && segs.last.toIntOption.isEmpty &&
+          segs(segs.length - 2).toIntOption.isDefined)
+        (segs.dropRight(2).mkString(":"), segs(segs.length - 2), segs.last)
+      else hp.lastIndexOf(':') match {
+        case -1 => throw new IllegalArgumentException(
+          s"rexec: site must be host:port[:token] or remote://host:port[/table], got '$site'")
+        case i => (hp.substring(0, i), hp.substring(i + 1), "")
+      }
     val port = portStr.toIntOption.getOrElse(throw new IllegalArgumentException(
       s"rexec: malformed port '$portStr' in site '$site'"))
     val sock = new Socket()
@@ -52,6 +61,7 @@ object RemoteEval {
       val req = m.createObjectNode()
       req.put("op", "eval")
       req.put("program", program)
+      if (token.nonEmpty) req.put("token", token)
       out.write(req.toString); out.newLine(); out.flush()
 
       val first = in.readLine()

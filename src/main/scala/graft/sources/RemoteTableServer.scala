@@ -62,7 +62,7 @@ import org.apache.spark.sql.types._
   * fixed-layout folio members.
   */
 final class RemoteTableServer private (tables: Map[String, RemoteTableServer.Served],
-    evalSession: Option[SparkSession]) {
+    evalSession: Option[SparkSession], evalToken: Option[String]) {
   import RemoteTableServer._
 
   private val server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
@@ -70,6 +70,17 @@ final class RemoteTableServer private (tables: Map[String, RemoteTableServer.Ser
   def endpoint(table: String): String = {
     require(tables.contains(table), s"table '$table' not served here")
     s"remote://127.0.0.1:$port/$table"
+  }
+
+  /** The kdb-style EVAL handle (`host:port:token`) for `rexec` — eval
+    * is the arbitrary-program surface (the dialect includes file and
+    * table-mutation verbs), so unlike the read-only scan protocol it
+    * authenticates: requests must carry the shared-secret token minted
+    * at [[RemoteTableServer.start]] (auto-generated when the caller
+    * does not supply one). Whoever holds the handle holds the site. */
+  def evalHandle: String = {
+    require(evalSession.isDefined, "eval is not enabled on this site")
+    s"127.0.0.1:$port:${evalToken.get}"
   }
 
   // observability for specs: bytes don't lie about pushdown
@@ -164,6 +175,20 @@ final class RemoteTableServer private (tables: Map[String, RemoteTableServer.Ser
     val (schemaDdl, fields, rows) = evalLock.synchronized {
       val spark = evalSession.getOrElse(throw new IllegalStateException(
         "eval is not enabled on this site (start(…, enableEval = true))"))
+      // AUTHENTICATE before touching the program: eval executes
+      // arbitrary dialect code (file '>>'/'<<' verbs included), so a
+      // loopback-reachable process without the shared secret gets a
+      // loud refusal, never an evaluation. Constant-time compare — a
+      // byte-by-byte mismatch must not leak the token's prefix.
+      val sent = req.path("token").asText("")
+      val want = evalToken.getOrElse(throw new IllegalStateException(
+        "eval site started without a token (RemoteTableServer bug)"))
+      if (!java.security.MessageDigest.isEqual(
+            sent.getBytes(StandardCharsets.UTF_8),
+            want.getBytes(StandardCharsets.UTF_8)))
+        throw new SecurityException(
+          "eval: bad or missing token — use the site's evalHandle " +
+          "(host:port:token) as the rexec target")
       val program = req.path("program").asText()
       require(program.nonEmpty, "eval: empty program")
       tables.foreach { case (name, served) =>
@@ -171,9 +196,12 @@ final class RemoteTableServer private (tables: Map[String, RemoteTableServer.Ser
       }
       val df = graft.sql.KerfSql.run(spark, program)
       validate("<eval result>", df.schema)
-      val collected = df.limit(maxEvalRows + 1).collect()
-      require(collected.length <= maxEvalRows,
-        s"eval result exceeds $maxEvalRows rows — REPL-sized results only; " +
+      // one read of the mutable cap — the limit and the require must
+      // see the SAME value under a concurrent spec mutation
+      val cap = maxEvalRows
+      val collected = df.limit(cap + 1).collect()
+      require(collected.length <= cap,
+        s"eval result exceeds $cap rows — REPL-sized results only; " +
         "read corpus-scale data through the remote:// table protocol")
       (df.schema.toDDL, df.schema.fields, collected)
     }
@@ -560,7 +588,8 @@ object RemoteTableServer {
     * Spark is used once per table, HERE, to derive the Spark schema —
     * scans are Spark-free by design (see class doc). */
   def start(spark: SparkSession, tables: Map[String, String],
-            enableEval: Boolean = false): RemoteTableServer = {
+            enableEval: Boolean = false,
+            evalToken: String = ""): RemoteTableServer = {
     val served = tables.map { case (name, path) =>
       require(new java.io.File(path).exists(), s"remote table '$name': no such path $path")
       val schema = spark.read.parquet(path).schema
@@ -581,7 +610,20 @@ object RemoteTableServer {
       }
       Some(es)
     } else None
-    new RemoteTableServer(served, evalSession)
+    // Eval sites ALWAYS authenticate (kdb's `host:port:user:pass` handle
+    // discipline): an operator-supplied token, or a fresh SecureRandom
+    // one. The 'g' prefix keeps the token from ever parsing as a port,
+    // so `host:port` and `host:port:token` handles stay unambiguous.
+    require(!evalToken.contains(':'),
+      "evalToken must not contain ':' (it rides the host:port:token handle)")
+    val token = if (!enableEval) None
+    else if (evalToken.nonEmpty) Some(evalToken)
+    else {
+      val bytes = new Array[Byte](16)
+      new java.security.SecureRandom().nextBytes(bytes)
+      Some("g" + bytes.map("%02x".format(_)).mkString)
+    }
+    new RemoteTableServer(served, evalSession, token)
   }
 
   /** Result-size ceiling for `eval` responses (REPL-sized by contract;

@@ -444,49 +444,72 @@ object EventStream {
     * way [[graft.llm.Similarity.ivfAppendStream]] closes the index's):
     * each micro-batch lands as one manifest-committed append, so the
     * maintained aggregate is exact after every batch and a reader can
-    * never observe data without its rollup. Exactly-once: the batchId
-    * publishes atomically WITH the data as the version's commit tag,
-    * so an at-least-once re-delivery (crash between the folio commit
-    * and the checkpoint advance) sees its own tag live and SKIPS —
-    * no double-append. Contract: one checkpoint per folio path (a
-    * fresh checkpoint restarts batch ids at 0, which the tag of an
-    * older writer could shadow — pair a new checkpoint with a new
-    * path, the same rule the doc always stated as one writer per
-    * path). */
+    * never observe data without its rollup. Exactly-once: the
+    * (writerId, batchId) pair publishes atomically WITH the data as
+    * the version's commit tag, and the guard checks the folio's FULL
+    * applied-tag set ([[graft.io.Folio.rollupCommitTags]], compacted
+    * to the latest batch per writer), so an at-least-once re-delivery
+    * (crash between the folio commit and the checkpoint advance)
+    * SKIPS — even when another writer's commit landed in between. The
+    * writer id derives from the CHECKPOINT location (stable across
+    * restarts of the same logical query; a fresh checkpoint = a fresh
+    * writer whose batch 0 is never shadowed by an old writer's tags).
+    * Passing `checkpoint` pins both the Spark checkpoint and the
+    * writer id; without it the query uses Spark's session default
+    * checkpoint and a single shared writer id — fine for the
+    * one-writer-per-path deployments the doc always assumed. */
   def rollupStream(stream: DataFrame, path: String, keys: Seq[String],
-                   valCols: Seq[String])
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream.outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val tag = s"stream-batch:$id"
+                   valCols: Seq[String], checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writerId = writerIdOf(checkpoint)
+    val w0 = stream.writeStream.outputMode("append")
+    val w = checkpoint.fold(w0)(cp => w0.option("checkpointLocation", cp))
+    w.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val tag = s"stream-batch:$writerId:$id"
         if (!batch.isEmpty &&
-            !graft.io.Folio.lastRollupCommitTag(path).contains(tag))
+            !graft.io.Folio.rollupCommitTags(path).contains(tag))
           graft.io.Folio.appendWithRollup(batch.toDF(), path, keys, valCols,
             Some(tag))
         ()
       }
       .start()
+  }
+
+  /** Stable writer id for the streaming folio sinks: a hash of the
+    * checkpoint location (the identity Spark itself scopes batch ids
+    * to), or the shared legacy id when the caller runs checkpoint-
+    * defaulted. Hex — it rides inside commit-tag strings. */
+  private def writerIdOf(checkpoint: Option[String]): String =
+    checkpoint.map { cp =>
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(cp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      d.take(8).map("%02x".format(_)).mkString
+    }.getOrElse("default")
 
   /** Streaming face of the HISTOGRAM rollup ([[graft.io.Folio
     * .appendWithHistogram]]): each micro-batch folds its grid-bucket
     * partial into the maintained histogram under the same manifest-log
     * commit — live p50/p95/p99 over an unbounded feed from vocab-sized
     * state, no history rescan, same exactly-once replay guard as
-    * [[rollupStream]] (batchId commit tag; one checkpoint per path). */
+    * [[rollupStream]] ((writerId, batchId) tag against the applied
+    * set; writer id from the checkpoint location). */
   def histogramStream(stream: DataFrame, path: String, keys: Seq[String],
                       valCol: String, lo: Double, width: Double,
-                      nBuckets: Int)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream.outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val tag = s"stream-batch:$id"
+                      nBuckets: Int, checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writerId = writerIdOf(checkpoint)
+    val w0 = stream.writeStream.outputMode("append")
+    val w = checkpoint.fold(w0)(cp => w0.option("checkpointLocation", cp))
+    w.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val tag = s"stream-batch:$writerId:$id"
         if (!batch.isEmpty &&
-            !graft.io.Folio.lastRollupCommitTag(path).contains(tag))
+            !graft.io.Folio.rollupCommitTags(path).contains(tag))
           graft.io.Folio.appendWithHistogram(batch.toDF(), path, keys,
             valCol, lo, width, nBuckets, Some(tag))
         ()
       }
       .start()
+  }
 
   /** Input columns: (user_id, ts_ns, value). */
   def emaByKey(stream: DataFrame, alpha: Double): DataFrame = {

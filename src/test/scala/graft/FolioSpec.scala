@@ -598,22 +598,37 @@ class FolioSpec extends SparkSpec {
     import spark.implicits._
     val path = tmp()
     val b = Seq(("a", 1.0), ("a", 3.0)).toDF("k", "v")
-    def deliver(id: Long): Unit = { // the streaming sink's guard, verbatim
-      val tag = s"stream-batch:$id"
-      if (!Folio.lastRollupCommitTag(path).contains(tag))
+    def deliver(writer: String, id: Long): Unit = { // the streaming sink's guard, verbatim
+      val tag = s"stream-batch:$writer:$id"
+      if (!Folio.rollupCommitTags(path).contains(tag))
         Folio.appendWithRollup(b, path, Seq("k"), Seq("v"), Some(tag))
     }
-    deliver(0)
-    assert(Folio.lastRollupCommitTag(path).contains("stream-batch:0"))
-    deliver(0) // crash-replay of the SAME batch: tag is live → skipped
+    deliver("w1", 0)
+    assert(Folio.lastRollupCommitTag(path).contains("stream-batch:w1:0"))
+    deliver("w1", 0) // crash-replay of the SAME batch: tag applied → skipped
     val once = Folio.rollupRead(spark, path)
       .select(col("n_rows"), col("v_sum").cast("double")).first()
     assert((once.getLong(0), once.getDouble(1)) == ((2L, 4.0)),
       s"replay double-counted: $once")
     assert(Folio.rollupDataRead(spark, path).count() == 2L)
-    deliver(1) // the NEXT batch commits normally
+    deliver("w1", 1) // the NEXT batch commits normally
     assert(Folio.rollupDataRead(spark, path).count() == 4L)
-    assert(Folio.lastRollupCommitTag(path).contains("stream-batch:1"))
+    assert(Folio.lastRollupCommitTag(path).contains("stream-batch:w1:1"))
+    // INTERLEAVED second writer (its own checkpoint, ids restart at 0):
+    // its batch 0 is NOT shadowed by w1's history — it commits…
+    deliver("w2", 0)
+    assert(Folio.rollupDataRead(spark, path).count() == 6L)
+    // …and w1's crash re-delivery of batch 1 still skips even though
+    // w2's commit is now the LAST tag (the r13 single-tag guard's hole)
+    deliver("w1", 1)
+    assert(Folio.rollupDataRead(spark, path).count() == 6L,
+      "w1 re-delivery double-appended past an interleaved w2 commit")
+    // and w2's own replay skips too
+    deliver("w2", 0)
+    assert(Folio.rollupDataRead(spark, path).count() == 6L)
+    // the applied set is compacted per writer, not batch-count-sized
+    assert(Folio.rollupCommitTags(path) ==
+      Set("stream-batch:w1:1", "stream-batch:w2:0"))
   }
 
   test("histogram rollup: bounds bracket the exact quantile; grid drift is loud") {

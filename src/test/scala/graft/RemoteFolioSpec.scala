@@ -29,7 +29,7 @@ class RemoteFolioSpec extends SparkSpec {
 
   test("rexec: program evaluates REMOTELY, value comes back exactly") {
     val got = graft.sql.KerfSql.run(spark,
-      s"r: rexec '127.0.0.1:${evalServer.port}' " +
+      s"r: rexec '${evalServer.evalHandle}' " +
       "'select c_mktsegment, count(*) as n, sum(c_acctbal) as bal " +
       "from customer group c_mktsegment order c_mktsegment'; " +
       "select * from r order c_mktsegment")
@@ -44,7 +44,7 @@ class RemoteFolioSpec extends SparkSpec {
 
   test("rexec: quoted literals inside the shipped program ('' escape)") {
     val got = graft.sql.KerfSql.run(spark,
-      s"rexec '127.0.0.1:${evalServer.port}' " +
+      s"rexec '${evalServer.evalHandle}' " +
       "'select count(*) as n from customer where c_mktsegment = " +
       "''FURNITURE'''")
       .collect()(0).getLong(0)
@@ -57,7 +57,7 @@ class RemoteFolioSpec extends SparkSpec {
   test("rexec: remote errors surface with the site named") {
     val e = intercept[RuntimeException] {
       graft.sql.KerfSql.run(spark,
-        s"rexec '127.0.0.1:${evalServer.port}' 'select nope from customer'")
+        s"rexec '${evalServer.evalHandle}' 'select nope from customer'")
         .collect()
     }
     assert(e.getMessage.contains("rexec failed"), e.getMessage)
@@ -79,12 +79,42 @@ class RemoteFolioSpec extends SparkSpec {
     try {
       val e2 = intercept[RuntimeException] {
         graft.sql.KerfSql.run(spark,
-          s"rexec '127.0.0.1:${evalServer.port}' " +
+          s"rexec '${evalServer.evalHandle}' " +
           "'select c_custkey from customer order c_custkey'")
           .collect()
       }
       assert(e2.getMessage.contains("exceeds 3 rows"), e2.getMessage)
     } finally RemoteTableServer.maxEvalRows = before
+  }
+
+  test("rexec: eval authenticates — missing or wrong token is refused, right one serves") {
+    // the threat (ADVICE r13): eval executes arbitrary dialect programs
+    // (file verbs included), so a loopback process WITHOUT the handle's
+    // shared secret must get a refusal, never an evaluation
+    val missing = intercept[RuntimeException] {
+      graft.sql.KerfSql.run(spark,
+        s"rexec '127.0.0.1:${evalServer.port}' 'select count(*) as n from customer'")
+        .collect()
+    }
+    assert(missing.getMessage.contains("token"), missing.getMessage)
+    val wrong = intercept[RuntimeException] {
+      graft.sql.KerfSql.run(spark,
+        s"rexec '127.0.0.1:${evalServer.port}:gdeadbeef' " +
+        "'select count(*) as n from customer'")
+        .collect()
+    }
+    assert(wrong.getMessage.contains("token"), wrong.getMessage)
+    // operator-supplied token works through the same handle shape
+    val tok = RemoteTableServer.start(spark,
+      Map("customer" -> s"$sf/customer.parquet"),
+      enableEval = true, evalToken = "gsecret")
+    try {
+      assert(tok.evalHandle == s"127.0.0.1:${tok.port}:gsecret")
+      val n = graft.sql.KerfSql.run(spark,
+        s"rexec '${tok.evalHandle}' 'select count(*) as n from customer'")
+        .collect()(0).getLong(0)
+      assert(n == spark.read.parquet(s"$sf/customer.parquet").count())
+    } finally tok.stop()
   }
 
   test("rexec: timestamps cross the wire on the us grid exactly") {
@@ -93,7 +123,7 @@ class RemoteFolioSpec extends SparkSpec {
       Map("ev" -> evDir), enableEval = true)
     try {
       val got = graft.sql.KerfSql.run(spark,
-        s"rexec '127.0.0.1:${srv.port}' " +
+        s"rexec '${srv.evalHandle}' " +
         "'select event_id, ts from ev order event_id limit 5'")
       val want = spark.read.parquet(evDir)
         .select("event_id", "ts").orderBy("event_id").limit(5)
@@ -111,7 +141,7 @@ class RemoteFolioSpec extends SparkSpec {
     val sb = RemoteTableServer.start(spark, Map("c" -> s"$base/b"), enableEval = true)
     try {
       val got = graft.sql.KerfSql.run(spark,
-        s"p: rexec ['127.0.0.1:${sa.port}', '127.0.0.1:${sb.port}'] " +
+        s"p: rexec ['${sa.evalHandle}', '${sb.evalHandle}'] " +
         "'select c_mktsegment, count(*) as n from c group c_mktsegment'; " +
         "select c_mktsegment, sum(n) as n from p group c_mktsegment " +
         "order c_mktsegment")
@@ -124,7 +154,7 @@ class RemoteFolioSpec extends SparkSpec {
       try {
         val e = intercept[IllegalArgumentException] {
           graft.sql.KerfSql.run(spark,
-            s"rexec ['127.0.0.1:${sa.port}', '127.0.0.1:${sn.port}'] " +
+            s"rexec ['${sa.evalHandle}', '${sn.evalHandle}'] " +
             "'select * from c'").collect()
         }
         assert(e.getMessage.contains("different schema"), e.getMessage)
@@ -535,10 +565,10 @@ class RemoteFolioSpec extends SparkSpec {
   }
 
   test("hardening pins: endpoint-with-table rexec, sibling-dir containment, per-table shared cache") {
-    // rexec accepts the FULL endpoint string the server prints (the
-    // /table suffix is dropped, not parsed into the port)
+    // rexec accepts a FULL remote:// endpoint around the eval handle
+    // (the /table suffix is dropped, not parsed into the port or token)
     val viaEndpoint = graft.sources.RemoteEval.call(spark,
-      s"remote://127.0.0.1:${evalServer.port}/customer",
+      s"remote://${evalServer.evalHandle}/customer",
       "select count(*) as n from customer")
     assert(viaEndpoint.first().getLong(0) ==
       spark.read.parquet(s"$sf/customer.parquet").count())

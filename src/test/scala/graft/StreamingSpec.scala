@@ -1024,6 +1024,39 @@ class StreamingSpec extends SparkSpec {
     assert(graft.io.Folio.rollupDataRead(spark, path).count() == 5L)
   }
 
+  test("streaming rollup: a fresh-checkpoint writer's batch 0 is not shadowed by an older writer's tags") {
+    // ADVICE r13: with a single last-tag guard, a SECOND query on the
+    // same folio (new checkpoint → batch ids restart at 0) could be
+    // silently skipped or double-applied depending on interleaving;
+    // writer-scoped tags make both writers exactly-once independently
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft_rollup_2w").toString
+    val cp1 = java.nio.file.Files.createTempDirectory("graft_rollup_cp1").toString
+    val cp2 = java.nio.file.Files.createTempDirectory("graft_rollup_cp2").toString
+    val in1 = MemoryStream[(String, Double)]
+    val q1 = EventStream.rollupStream(
+      in1.toDF().toDF("k", "v"), path, Seq("k"), Seq("v"), Some(cp1))
+    try {
+      in1.addData(("a", 1.0)); q1.processAllAvailable() // writer 1, batch 0
+    } finally q1.stop()
+    val in2 = MemoryStream[(String, Double)]
+    val q2 = EventStream.rollupStream(
+      in2.toDF().toDF("k", "v"), path, Seq("k"), Seq("v"), Some(cp2))
+    try {
+      in2.addData(("a", 2.0)); q2.processAllAvailable() // writer 2, batch 0
+    } finally q2.stop()
+    val got = graft.io.Folio.rollupRead(spark, path)
+      .select(col("n_rows"), col("v_sum").cast("double")).first()
+    assert((got.getLong(0), got.getDouble(1)) == ((2L, 3.0)),
+      s"second writer's batch 0 was shadowed or double-applied: $got")
+    // both writers' tags are live in the applied set, writer-scoped
+    val tags = graft.io.Folio.rollupCommitTags(path)
+    assert(tags.size == 2 && tags.forall(_.matches("stream-batch:[0-9a-f]{16}:0")),
+      s"tags: $tags")
+  }
+
   test("streaming histogram: live quantiles are exact-bracketed after every batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
