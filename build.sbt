@@ -14,6 +14,8 @@ run / fork := true
 // Forked runMain output must reach stdout RAW (no sbt "[info] " logger
 // prefix): the driver tail-parses graft.Bench's final JSON line.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// The console (graft.Repl) reads stdin from the forked JVM.
+run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,0 +1,88 @@
+package graft
+
+import java.io.{BufferedReader, ByteArrayOutputStream, PrintStream, StringReader}
+
+/** The console wrapper (reference main.cc:83–97): multi-line intake per
+  * lexer.h:620–631's parenthetically_complete, session state across
+  * prompts, errors return to a fresh prompt. The loop is IO-injected, so
+  * these specs script stdin and assert on the transcript. */
+class ReplSpec extends SparkSpec {
+
+  private def transcript(lines: String*): String = {
+    val in = new BufferedReader(new StringReader(lines.mkString("\n")))
+    val bytes = new ByteArrayOutputStream()
+    val out = new PrintStream(bytes, true, "UTF-8")
+    Repl.runLoop(in, out, spark)
+    new String(bytes.toByteArray, "UTF-8")
+  }
+
+  test("is_complete: the parenthetically_complete contract (lexer.h:620–631)") {
+    assert(Repl.isComplete("select a from t"))
+    assert(!Repl.isComplete("def f(x) {"))           // open brace
+    assert(!Repl.isComplete("g: (1 + "))             // open paren
+    assert(!Repl.isComplete("x: [1, 2,"))            // open bracket
+    assert(!Repl.isComplete("s: 'unterminated"))     // open string
+    assert(Repl.isComplete("s: 'it''s fine'"))       // '' escape inside string
+    assert(!Repl.isComplete("s: 'it''s not"))        // escape then still open
+    assert(Repl.isComplete("m: '(' "))               // opener inside a string doesn't count
+    assert(Repl.isComplete("def f(x) { return x }")) // balanced across kinds
+    assert(Repl.isComplete("oops )"))                // stray closer: complete (error loudly)
+  }
+
+  test("multi-line intake: continue prompt until complete, then one evaluation") {
+    val t = transcript(
+      "def tier(x) {",
+      "  if (x >= 4) { return 2 };",
+      "  return 1",
+      "}; tier(9) + tier(1)",
+      "\\q")
+    // continuation prompts appeared (3 continue lines before completion)
+    assert(t.contains(Repl.ContinuePrompt))
+    // the joined program evaluated once, to 3
+    assert(t.contains("3"), s"transcript:\n$t")
+    assert(!t.contains("error:"), s"transcript:\n$t")
+  }
+
+  test("session state persists across prompts (Interp, not one-shot run)") {
+    val t = transcript(
+      "lim: 0; for (i: til 5) { lim: lim + i }",
+      "mult: 1; do { mult: mult * 2 } while (mult < 8)",
+      "def tier(x) { if (x >= lim * mult) { return 2 }; return 1 }",
+      "tier(90)",
+      "tier(3)",
+      "\\q")
+    // q105's control-flow program entered statement-by-statement:
+    // lim = 0+1+2+3+4 = 10, mult = 8, tier(90) = 2 (90 >= 80), tier(3) = 1
+    val answers = t.linesIterator.map(_.trim).filter(_.matches("\\d+")).toSeq
+    assert(answers.containsSlice(Seq("2", "1")), s"transcript:\n$t")
+  }
+
+  test("errors return to a fresh prompt with state intact (hard_jmp_wrapper)") {
+    val t = transcript(
+      "x: 42",
+      "select nope from no_such_table",
+      "x + 1",
+      "\\q")
+    assert(t.contains("error:"), s"transcript:\n$t")
+    assert(t.contains("43"), s"transcript:\n$t")
+  }
+
+  test("table results render aligned and clipped at ShowRows") {
+    spark.read.parquet(s"$sf/nation.parquet").createOrReplaceTempView("nation_repl")
+    val t = transcript(
+      "select n_name, n_regionkey from nation_repl order n_name",
+      "\\q")
+    assert(t.contains("n_name"), s"transcript:\n$t")
+    assert(t.contains("NATION_"), s"transcript:\n$t")
+    // 25 nations > ShowRows=20 → ellipsis row
+    assert(t.contains("…"), s"transcript:\n$t")
+    val shown = t.linesIterator.count(_.trim.matches("NATION_\\d+\\s+\\d+"))
+    assert(shown == Repl.ShowRows, s"expected ${Repl.ShowRows} data rows, got $shown")
+  }
+
+  test("ctrl-D (drained reader) exits; unknown meta command is named") {
+    val t = transcript("\\zap", "1 + 1")
+    assert(t.contains("unknown meta command '\\zap'"), s"transcript:\n$t")
+    assert(t.contains("2"), s"transcript:\n$t") // then the loop continued to EOF
+  }
+}
