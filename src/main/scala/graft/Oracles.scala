@@ -2695,6 +2695,19 @@ object Oracles {
           SELECT doc_id, ${signed("ua")} AS draw, ${u01("ub")} AS u
           FROM s3 ORDER BY draw, doc_id LIMIT 64""",
 
+    // bigint (DECIMAL(38,0)) arithmetic: DuckDB replays in HUGEINT
+    // (int128 — same exact-integer semantics, different carrier); the
+    // digits cross as strings so the compare is representation-exact
+    "q196_bigint" ->
+      """SELECT l_returnflag,
+                CAST(sum(CAST(l_orderkey AS HUGEINT) * l_orderkey * l_orderkey
+                         * 10000) AS VARCHAR) AS cube_sum,
+                CAST(sum(CAST(l_orderkey AS HUGEINT) * 1000000000000) AS VARCHAR)
+                  AS big_sum,
+                CAST(max(CAST('123456789012345678901234567890' AS HUGEINT)
+                         + l_orderkey) AS VARCHAR) AS lit_max
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     // histogram-rollup quantile navigation: rebuild the identical
     // (flag × grid-bucket) histogram from the raw rows, then replay the
     // identical rank → cumulative-bucket → interpolate → clamp math

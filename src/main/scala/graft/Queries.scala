@@ -3693,6 +3693,26 @@ object Queries {
       .orderBy(col("l_returnflag"), col("q"))
   }
 
+  /** BIGINT arithmetic — the DECIMAL(38,0) face of the reference's
+    * walled-off A_BIGINT_UNIT (presented.h:327–331; slab.h:47–49 defers
+    * it): 38 exact digits where int64 wraps and double's 53-bit
+    * mantissa rounds. The checked sums overflow BOTH: Σ key³·10⁴ per
+    * flag runs ~10²⁰ (> 2^63 ≈ 9.2·10¹⁸, and far past 2^53 exactness).
+    * One partial-agg shuffle — Spark's decimal sum partial-aggregates
+    * like any numeric; the digits cross engines as STRINGS so the
+    * compare is representation-exact. */
+  val q196_bigint: Q = (s, dir) => {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v196")
+    sql.KerfSql.run(s,
+      "select l_returnflag, " +
+      "string(sum(bigint(l_orderkey) * bigint(l_orderkey) * bigint(l_orderkey) " +
+      "* 10000)) as cube_sum, " +
+      "string(sum(bigint(l_orderkey) * 1000000000000)) as big_sum, " +
+      "string(max(bigint('123456789012345678901234567890') + bigint(l_orderkey))) " +
+      "as lit_max " +
+      "from lineitem_v196 group l_returnflag order l_returnflag")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3889,5 +3909,6 @@ object Queries {
     "q193_rng_sample"    -> q193_rng_sample,
     "q194_bitops"        -> q194_bitops,
     "q195_hist_quantile" -> q195_hist_quantile,
+    "q196_bigint"        -> q196_bigint,
   )
 }

@@ -138,7 +138,7 @@ object KerfSql {
     "asc", "desc", "union", "intersect", "except",
     "substr", "replace", "ssr", "rlike", "split", "trim", "ltrim",
     "rtrim", "lpad", "rpad",
-    "long", "double", "string", "stamp", "nanos",
+    "long", "double", "string", "stamp", "nanos", "bigint",
     "randu64", "randu01", "splitid", "rand", "deal", "shuffle",
     "band", "bor", "bxor", "bnot", "shl", "shr", "popcount",
     "log2floor", "ispow2")
@@ -233,7 +233,14 @@ object KerfSql {
     case (StringType, _) | (_, StringType)    => StringType
     case (DoubleType | FloatType, _)          => DoubleType
     case (_, DoubleType | FloatType)          => DoubleType
-    case (_: DecimalType, _) | (_, _: DecimalType) => DoubleType
+    // decimals (the bigint family) stay EXACT under +,-,* with decimals
+    // and integrals; mixing with doubles (handled above) is the caller
+    // opting into binary rounding. The label tracks scale, not the
+    // op-specific precision — the physical column carries Spark's own
+    // decimal result type; this label only drives rank/branch dispatch.
+    case (a: DecimalType, b: DecimalType)     => DecimalType(38, a.scale max b.scale)
+    case (d: DecimalType, _)                  => DecimalType(38, d.scale)
+    case (_, d: DecimalType)                  => DecimalType(38, d.scale)
     case _                                    => LongType
   }
 
@@ -1250,6 +1257,25 @@ object KerfSql {
       case StringType => T(a.col.try_cast("double"), DoubleType)
       case _ => T(Verbs.pervadeUnary(a.dt)(a.col)(_.cast("double")),
         mapLeafType(a.dt, DoubleType))
+    }
+    // bigint(x): the DECIMAL(38,0)-backed face of the reference's
+    // walled-off A_BIGINT_UNIT (presented.h:327–331; slab.h:47–49
+    // "Don't actually implement any BigInt stuff yet"). 38 exact digits
+    // — sums/products beyond int64 and double's 53-bit mantissa stay
+    // EXACT and match DuckDB's DECIMAL(38,0) bit-for-bit. Integral and
+    // string sources only: a double→bigint cast would smuggle binary
+    // rounding into an exact-arithmetic family, so it is a loud error
+    // (go through long() or string() and own the rounding).
+    case ("bigint", Seq(a)) => a.dt match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        T(Verbs.pervadeUnary(a.dt)(a.col)(_.cast(DecimalType(38, 0))),
+          mapLeafType(a.dt, DecimalType(38, 0)))
+      case StringType => T(a.col.try_cast(DecimalType(38, 0).sql), DecimalType(38, 0))
+      case d: DecimalType if d.scale == 0 =>
+        T(a.col.cast(DecimalType(38, 0)), DecimalType(38, 0))
+      case other => throw new IllegalArgumentException(
+        s"bigint: need an integral, digit-string, or scale-0 decimal, got " +
+        s"$other (doubles are inexact — convert explicitly first)")
     }
     case ("string", Seq(a)) => a.dt match {
       case ArrayType(_, _) | MapType(_, _, _) => throw new IllegalArgumentException(

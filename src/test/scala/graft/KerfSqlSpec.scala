@@ -2244,6 +2244,23 @@ class KerfSqlSpec extends SparkSpec {
     assert(err.getMessage.contains("stamp attribute"), err.getMessage)
   }
 
+  test("bigint: DECIMAL(38,0) exactness past int64 and double (A_BIGINT_UNIT face)") {
+    // 2^63 ≈ 9.22e18: long wraps, double rounds, bigint carries digits
+    assert(evalOne("string(bigint('9223372036854775807') + 1)")
+      == "9223372036854775808")
+    assert(evalOne("string(bigint(9000000000000000000) * 1000)")
+      == "9000000000000000000000")
+    // a 30-digit literal round-trips through arithmetic exactly
+    assert(evalOne("string(bigint('123456789012345678901234567890') - 90)")
+      == "123456789012345678901234567800")
+    // malformed digit strings are null (the try_cast posture), not a crash
+    assert(evalOne("bigint('not a number')") == null)
+    // doubles are rejected LOUDLY — no silent binary rounding into the
+    // exact family
+    val e = intercept[IllegalArgumentException] { evalOne("bigint(1.5)") }
+    assert(e.getMessage.contains("inexact"), e.getMessage)
+  }
+
   test("countd mixes with window verbs → the friendly dialect error") {
     import spark.implicits._
     Seq(("a", 1L, 2L)).toDF("k", "ts", "v").createOrReplaceTempView("cdm_v")

@@ -66,4 +66,69 @@ class TemporalSpec extends SparkSpec {
       .distinct().collect()
     assert(moved.length == 1 && moved(0).getLong(0) == 3600L * 1000000000L)
   }
+
+  // ── ns fidelity (DIALECT.md "Nanosecond contract"): off-grid ticks ──
+
+  test("ns fidelity: as-of on LongType axes resolves ticks 1 ns apart") {
+    import spark.implicits._
+    // quotes 1 ns apart, NOT on the µs grid — a µs-floored engine would
+    // see them as one instant and pick arbitrarily
+    val base = 1455000000000000001L // …001 ns: off-grid
+    val quotes = Seq(("a", base, 10.0), ("a", base + 1, 20.0))
+      .toDF("sym", "q_ts", "bid")
+    val trades = Seq(("a", base), ("a", base + 1), ("a", base + 2))
+      .toDF("sym", "t_ts")
+    val got = graft.ops.AsOf.join(trades, quotes, Seq("sym"),
+        "t_ts", "q_ts", Seq("bid"))
+      .orderBy("t_ts").select("bid").collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(10.0, 20.0, 20.0), s"got $got")
+    // 1 ns tolerance: the trade 2 ns after a quote must MISS it
+    val tol = graft.ops.AsOf.join(trades, quotes, Seq("sym"),
+        "t_ts", "q_ts", Seq("bid"), tolerance = Some(1L))
+      .orderBy("t_ts").select("bid").collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(tol == Seq(Some(10.0), Some(20.0), Some(20.0)), s"tol $tol")
+    val tol0 = graft.ops.AsOf.join(trades.filter(col("t_ts") === base + 2),
+        quotes.filter(col("q_ts") === base), Seq("sym"),
+        "t_ts", "q_ts", Seq("bid"), tolerance = Some(1L))
+      .select("bid").collect()
+    assert(tol0.length == 1 && tol0(0).isNullAt(0),
+      "a 2 ns stale quote matched a 1 ns tolerance")
+  }
+
+  test("ns fidelity: stamp() floors to the µs grid; nanos()/long() invert on it") {
+    import spark.implicits._
+    // off-grid ns epochs, including PRE-EPOCH (floor ≠ truncate there)
+    val xs = Seq(1455000000000000999L, 1455000000000001001L, -999L, -1001L)
+    xs.toDF("x").createOrReplaceTempView("nsfid")
+    val rows = graft.sql.KerfSql.run(spark,
+      "select x, nanos(stamp(x)) as rt, long(stamp(x)) as lg from nsfid order x")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (x, rt, lg) =>
+      val floored = x - java.lang.Math.floorMod(x, 1000L)
+      assert(rt == floored, s"stamp($x) round-tripped to $rt, want $floored")
+      assert(lg == floored, s"long(stamp($x)) = $lg, want $floored")
+    }
+    // on-grid values round-trip to themselves exactly
+    val onGrid = graft.sql.KerfSql.run(spark,
+      "select count(*) as n from nsfid where nanos(stamp(x - (x % 1000))) == x - (x % 1000)")
+      .collect()(0).getLong(0)
+    assert(onGrid == xs.length.toLong)
+  }
+
+  test("ns fidelity: window verbs are pure integer algebra on off-grid ticks") {
+    import spark.implicits._
+    val base = 7000000000000000003L // off-grid, near Long-safe magnitude
+    Seq(("u", base, 1.0), ("u", base + 1, 1.0), ("u", base + 3, 2.0))
+      .toDF("user_id", "ts_ns", "value").createOrReplaceTempView("nswin")
+    val got = graft.sql.KerfSql.run(spark,
+      "select user_id, ts_ns, deltas(ts_ns) as gap, differs(value) as chg " +
+      "from nswin group user_id order ts_ns")
+      .collect().map(r => (r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3))).toSeq
+    // deltas: first row has no prior (null), then exact 1 ns and 2 ns
+    // gaps; differs: tick 2 repeats the value → false
+    assert(got == Seq((base, -1L, true), (base + 1, 1L, false), (base + 3, 2L, true)),
+      s"got $got")
+  }
 }
