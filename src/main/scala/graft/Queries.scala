@@ -2112,11 +2112,18 @@ object Queries {
     val base = Scratch.dir(s, "compactq", new java.io.File(dir).getName)
     val folio = s"$base/f_${System.nanoTime}" // fresh per run (bench runs twice)
     val ev = Tables.events(s, dir).drop("ts")
-    (0 until 4).foreach { b =>
-      io.Folio.appendPartition(ev.filter(col("event_id") % 4 === b),
-        folio, Seq("event_type"), Seq("ts_ns"))
+    // stage attribution (the q113 pattern): this query PHYSICALLY
+    // rewrites files — append and compact wall is disk, not plan, so a
+    // bench spike must be attributable to its I/O stage from the record
+    graft.tools.StageTimer.time("append") {
+      (0 until 4).foreach { b =>
+        io.Folio.appendPartition(ev.filter(col("event_id") % 4 === b),
+          folio, Seq("event_type"), Seq("ts_ns"))
+      }
     }
-    io.Folio.compact(s, folio, Seq("event_type"), Seq("ts_ns"))
+    graft.tools.StageTimer.time("compact") {
+      io.Folio.compact(s, folio, Seq("event_type"), Seq("ts_ns"))
+    }
     io.Folio.promotedRead(s, folio)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
