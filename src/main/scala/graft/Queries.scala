@@ -3720,6 +3720,28 @@ object Queries {
       "from lineitem_v196 group l_returnflag order l_returnflag")
   }
 
+  /** INCREMENTAL dedup against the persisted LSH index — the daily-
+    * ingest shape a 100 TB corpus actually runs: the corpus (2/3 of
+    * documents) is indexed ONCE (banded signatures + shingle sets under
+    * the manifest-log protocol); the new batch (the other 1/3) probes
+    * WITHOUT re-shingling or shuffling the stored side (its bands
+    * broadcast; the corpus tables scan map-only — plan-pinned in
+    * DedupIndexSpec). The DuckDB twin recomputes the exact cross-set
+    * Jaccard pairs from scratch, so band recall, the stored layout, and
+    * the verify all prove out in one hash compare (q29's oracle tree,
+    * restricted to corpus×batch). */
+  val q197_dedup_incremental: Q = (s, dir) => {
+    val base = Scratch.dir(s, "lshidx", new java.io.File(dir).getName)
+    val path = s"$base/idx"
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    if (io.Folio.currentVersion(s"$path/meta").isEmpty)
+      llm.Dedup.indexAppend(docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", path)
+    llm.Dedup.indexProbe(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", path, jaccardThreshold = 0.2)
+      .orderBy("id_a", "id_b")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3917,5 +3939,6 @@ object Queries {
     "q194_bitops"        -> q194_bitops,
     "q195_hist_quantile" -> q195_hist_quantile,
     "q196_bigint"        -> q196_bigint,
+    "q197_dedup_incremental" -> q197_dedup_incremental,
   )
 }

@@ -184,6 +184,28 @@ object Dedup {
     pairsFromHashSets(hashed, numHashes, bands, jaccardThreshold, maxBucket)
   }
 
+  /** `(doc_id, shh)` → `(doc_id, band_id, band_hash)` — the LSH banding
+    * projection shared by the batch engine and the persisted index.
+    * Each band hash is its OWN top-level column referencing the staged
+    * `sig` attribute: >1 top-level reference blocks CollapseProject from
+    * inlining the H-min signature into the explode lambda, where it
+    * would be re-evaluated once PER BAND (the no-CSE-in-lambda trap —
+    * a transform(sequence(0,bands),…slice(sig)…) formulation recomputed
+    * the whole signature `bands`× per doc). */
+  private[graft] def bandedRows(hashed: DataFrame, numHashes: Int,
+                                bands: Int): DataFrame = {
+    val r = numHashes / bands
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    hashed
+      .select(col("doc_id"), minhashSignature(col("shh"), numHashes).as("sig"))
+      .select(col("doc_id") +: (0 until bands).map(b =>
+        xxhash64(lit(b), concat_ws(",", slice(col("sig"), b * r + 1, r)))
+          .as(s"__band$b")): _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until bands).map(b => col(s"__band$b")): _*))
+          .as(Seq("band_id", "band_hash")))
+  }
+
   /** The MinHash→band→bucket→verify engine over an ALREADY-HASHED set
     * column `(doc_id, shh: array<bigint>)` — the reusable lower half of
     * [[minhashPairsPlan]]: text shingles, media frame-hash sets, or any
@@ -194,26 +216,12 @@ object Dedup {
                    numHashes: Int, bands: Int,
                    jaccardThreshold: Double,
                    maxBucket: Int): (DataFrame, Seq[DataFrame]) = {
-    val rows = bands; val r = numHashes / bands
     require(numHashes % bands == 0, "bands must divide numHashes")
 
     // banded rows carry NOTHING but (doc_id, band_id, band_hash); also
     // persisted — read by the skew-guard aggregate and both self-join
     // sides (3×), and at 24 bytes/row it is far smaller than the docs.
-    // Each band hash is its OWN top-level column referencing the staged
-    // `sig` attribute: >1 top-level reference blocks CollapseProject from
-    // inlining the 32-min signature into the explode lambda, where it
-    // would be re-evaluated once PER BAND (the no-CSE-in-lambda trap —
-    // a transform(sequence(0,bands),…slice(sig)…) formulation recomputed
-    // the whole signature `bands`× per doc).
-    val banded = hashed
-      .select(col("doc_id"), minhashSignature(col("shh"), numHashes).as("sig"))
-      .select(col("doc_id") +: (0 until rows).map(b =>
-        xxhash64(lit(b), concat_ws(",", slice(col("sig"), b * r + 1, r)))
-          .as(s"__band$b")): _*)
-      .select(col("doc_id"),
-        posexplode(array((0 until rows).map(b => col(s"__band$b")): _*))
-          .as(Seq("band_id", "band_hash")))
+    val banded = bandedRows(hashed, numHashes, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // skew guard: degenerate buckets (boilerplate) are identified with a
@@ -473,5 +481,175 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
     (result, Seq(chunked))
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted, appendable MinHash-LSH index — INCREMENTAL dedup.
+  //
+  // The batch engine above re-shingles the whole corpus per run; at
+  // 100 TB a daily ingest must instead probe the EXISTING corpus's
+  // stored bands and append only its survivors. Layout (the rollup
+  // folio's manifest-log protocol, [[graft.io.Folio.appendWithRollup]],
+  // reused verbatim — a batch dir becomes visible only when a meta
+  // version listing it publishes via the stage-and-swap, so a crashed
+  // append is invisible and [[graft.io.Folio.rollupVacuum]] reaps it):
+  //
+  //   <path>/batches/b_<nano>/bands/  (band_id, band_hash, doc_id)
+  //   <path>/batches/b_<nano>/sets/   (doc_id, shh array<bigint>)
+  //   <path>/meta/vNNNNNNNN/_MANIFEST (visible batch dirs)
+  //   <path>/meta/vNNNNNNNN/_PARAMS   (numHashes;bands;shingleN — probes
+  //                                    read params from the STORE, so
+  //                                    caller drift is impossible; an
+  //                                    append with different params is a
+  //                                    loud error)
+  //
+  // Probe plan shape (the 100 TB contract, pinned in DedupIndexSpec):
+  // the stored band table NEVER shuffles — the new batch's bands
+  // broadcast and the corpus side is filtered map-side (broadcast hash
+  // join); shingle sets re-enter only for surviving candidate ids, also
+  // via a broadcast of the (small) candidate list. Band files are
+  // written sorted by (band_id, band_hash) so row-group min/max stats
+  // prune non-colliding ranges before the join even sees them.
+  // Contract: the probe BATCH is ≪ the corpus (its banded rows must fit
+  // a broadcast); dedup WITHIN the batch is [[minhashPairs]] on the
+  // batch alone.
+  // ------------------------------------------------------------------
+
+  private def indexParams(path: String): Option[(Int, Int, Int)] =
+    graft.io.Folio.currentVersion(s"$path/meta").flatMap { v =>
+      val f = new java.io.File(s"$path/meta/$v", "_PARAMS")
+      if (!f.isFile) None
+      else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .trim.split(";") match {
+          case Array(nh, b, sn) => Some((nh.toInt, b.toInt, sn.toInt))
+          case _ => None
+        }
+    }
+
+  private def indexManifest(path: String): Seq[String] =
+    graft.io.Folio.currentVersion(s"$path/meta") match {
+      case None => Nil
+      case Some(v) =>
+        val f = new java.io.File(s"$path/meta/$v", "_MANIFEST")
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    }
+
+  /** Append `docs` to the persisted LSH index at `path` (creating it on
+    * first use). One map-only pass computes shingle-hash sets and banded
+    * signatures; the batch publishes atomically through the manifest
+    * log. The caller is responsible for having probed/filtered the batch
+    * first — append does not dedup. */
+  def indexAppend(docs: DataFrame, idCol: String, textCol: String,
+                  path: String, numHashes: Int = 32, bands: Int = 8,
+                  shingleN: Int = 3): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    indexParams(path).foreach { case (nh, b, sn) =>
+      require((nh, b, sn) == ((numHashes, bands, shingleN)),
+        s"indexAppend: params ($numHashes,$bands,$shingleN) drift from the " +
+        s"index's stored ($nh,$b,$sn) — an index has ONE hash family")
+    }
+    val bdir = s"$path/batches/b_${System.nanoTime()}"
+    val hashed = docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.ShingleHashes.shingleHashes(
+          normText(col(textCol)), shingleN).as("shh"))
+      .persist(graft.ops.Caches.lvl)
+    // sorted-by-band files: row-group stats prune band_hash ranges at
+    // probe time (the folio sorted-run discipline)
+    bandedRows(hashed, numHashes, bands)
+      .repartitionByRange(col("band_id"), col("band_hash"))
+      .sortWithinPartitions("band_id", "band_hash")
+      .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+      .parquet(s"$bdir/bands")
+    hashed.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+      .parquet(s"$bdir/sets")
+    hashed.unpersist()
+    val manifest = (indexManifest(path) :+ bdir).mkString("\n")
+    graft.io.Folio.publishArtifacts(s"$path/meta") { vdir =>
+      java.nio.file.Files.write(new java.io.File(vdir, "_MANIFEST").toPath,
+        manifest.getBytes("UTF-8"))
+      java.nio.file.Files.write(new java.io.File(vdir, "_PARAMS").toPath,
+        s"$numHashes;$bands;$shingleN".getBytes("UTF-8"))
+    }
+  }
+
+  /** Probe the index with a NEW batch: returns (id_a = indexed doc,
+    * id_b = new doc, jaccard) for every cross pair at or above
+    * `jaccardThreshold` — the exact-Jaccard verify over candidate band
+    * collisions, same semantics as [[minhashPairs]] restricted to
+    * corpus×batch pairs. Params come from the store. The corpus's band
+    * and set tables are read map-only (no shuffle — the batch
+    * broadcasts); `maxBucket` drops oversize CANDIDATE buckets by their
+    * total (corpus-side ∩ probe buckets + batch) population, the same
+    * boilerplate skew guard as the batch engine. */
+  def indexProbe(newDocs: DataFrame, idCol: String, textCol: String,
+                 path: String, jaccardThreshold: Double = 0.7,
+                 maxBucket: Int = 64): DataFrame = {
+    val (verified, caches) = indexProbePlan(newDocs, idCol, textCol, path,
+      jaccardThreshold, maxBucket)
+    graft.ops.Caches.seal(verified, caches: _*)
+  }
+
+  /** The lazy plan behind [[indexProbe]] plus its pinned caches —
+    * exposed for plan-shape tests (the seal materializes the result,
+    * hiding the join shape from executedPlan). */
+  private[graft] def indexProbePlan(newDocs: DataFrame, idCol: String,
+                 textCol: String, path: String, jaccardThreshold: Double,
+                 maxBucket: Int): (DataFrame, Seq[DataFrame]) = {
+    val spark = newDocs.sparkSession
+    val (numHashes, bands, shingleN) = indexParams(path).getOrElse(
+      throw new IllegalArgumentException(s"no LSH index published at $path"))
+    val dirs = indexManifest(path)
+    require(dirs.nonEmpty, s"LSH index at $path has an empty manifest")
+    val corpusBands = spark.read.parquet(dirs.map(d => s"$d/bands"): _*)
+    val corpusSets = spark.read.parquet(dirs.map(d => s"$d/sets"): _*)
+
+    val newHashed = newDocs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.ShingleHashes.shingleHashes(
+          normText(col(textCol)), shingleN).as("shh"))
+      .persist(graft.ops.Caches.lvl)
+    val newBanded = bandedRows(newHashed, numHashes, bands)
+      .persist(graft.ops.Caches.lvl)
+
+    // corpus side filtered MAP-SIDE by the broadcast batch bands — the
+    // stored table never enters an exchange
+    val hit = corpusBands
+      .select(col("band_id"), col("band_hash"), col("doc_id").as("id_a"))
+      .join(broadcast(newBanded.select(col("band_id"), col("band_hash")).distinct()),
+        Seq("band_id", "band_hash"), "left_semi")
+    // skew guard over the SURVIVING buckets only (tiny by construction):
+    // total population = corpus hits + batch rows in the bucket
+    val bucketN = hit.groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("cn"))
+      .join(newBanded.groupBy(col("band_id"), col("band_hash"))
+              .agg(count(lit(1)).as("bn")),
+        Seq("band_id", "band_hash"))
+    val oversize = bucketN.filter(col("cn") + col("bn") > maxBucket)
+      .select(col("band_id"), col("band_hash"))
+    val candidates = hit
+      .join(broadcast(oversize), Seq("band_id", "band_hash"), "left_anti")
+      .join(broadcast(newBanded.select(col("band_id"), col("band_hash"),
+              col("doc_id").as("id_b"))),
+        Seq("band_id", "band_hash"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .persist(graft.ops.Caches.lvl)
+
+    // exact-Jaccard verify: corpus sets scanned ONCE, map-only against
+    // the broadcast candidate list; batch sets come from the local cache
+    val verified = corpusSets
+      .select(col("doc_id").as("id_a"), col("shh"))
+      .join(broadcast(candidates), Seq("id_a"))
+      .join(broadcast(newHashed.select(col("doc_id").as("id_b"), col("shh").as("sh_b"))),
+        Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("shh"), col("sh_b"))).cast("double") /
+        size(array_union(col("shh"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    (verified, Seq(newHashed, newBanded, candidates))
   }
 }

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Dedup
+
+/** Persisted, appendable MinHash-LSH index — incremental dedup
+  * (probe-then-append) must answer exactly like the batch engine run
+  * over the union, while the stored corpus never re-shingles and never
+  * shuffles. */
+class DedupIndexSpec extends SparkSpec {
+
+  private def docs() = spark.read.parquet(s"$sf/documents.parquet")
+    .select(col("doc_id"), col("text"))
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_lshidx").toString + "/idx"
+
+  // documents + q29's parameters: threshold 0.2 — the band recall the
+  // oracled batch query already proves total on this fixture
+  private val (nh, nb, sn, thr) = (32, 8, 3, 0.2)
+
+  test("incremental == batch: probe pairs equal the cross-subset of minhashPairs on the union") {
+    val path = tmp()
+    val corpus = docs().filter(col("doc_id") % 3 =!= 0)
+    val batch = docs().filter(col("doc_id") % 3 === 0)
+    Dedup.indexAppend(corpus, "doc_id", "text", path, nh, nb, sn)
+    val got = Dedup.indexProbe(batch, "doc_id", "text", path, thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // ground truth: the batch engine over the UNION, restricted to
+    // corpus×batch pairs (either orientation — the index fixes id_a to
+    // the indexed side)
+    val all = Dedup.minhashPairs(docs(), "doc_id", "text", nh, nb, sn, thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = all.flatMap { case (a, b, j) =>
+      (a % 3, b % 3) match {
+        case (0, x) if x != 0 => Some((b, a, j)) // indexed, new
+        case (x, 0) if x != 0 => Some((a, b, j))
+        case _                => None
+      }
+    }.sortBy(t => (t._1, t._2)).toSeq
+    assert(want.nonEmpty, "fixture produced no cross pairs — test is vacuous")
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}\n" +
+      s"got:  ${got.take(5)}\nwant: ${want.take(5)}")
+  }
+
+  test("append round trip: survivors appended, second probe finds them") {
+    val path = tmp()
+    val corpus = docs().filter(col("doc_id") < 100)
+    Dedup.indexAppend(corpus, "doc_id", "text", path, nh, nb, sn)
+    // re-probe the SAME docs under shifted ids: every doc must hit its
+    // own indexed copy at jaccard exactly 1.0
+    val replay = corpus.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val hits = Dedup.indexProbe(replay, "doc_id", "text", path, 0.99)
+    val n = corpus.count()
+    assert(hits.filter(col("id_b") === col("id_a") + 1000000L &&
+                       col("jaccard") === 1.0).count() == n)
+    // append a disjoint second batch; the manifest now serves BOTH
+    val more = docs().filter(col("doc_id") >= 100 && col("doc_id") < 150)
+    Dedup.indexAppend(more, "doc_id", "text", path, nh, nb, sn)
+    val replay2 = more.select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val hits2 = Dedup.indexProbe(replay2, "doc_id", "text", path, 0.99)
+    assert(hits2.filter(col("id_b") === col("id_a") + 2000000L).count() == more.count())
+  }
+
+  test("param drift is loud; probing an unpublished path is loud") {
+    val path = tmp()
+    Dedup.indexAppend(docs().limit(10), "doc_id", "text", path, nh, nb, sn)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.indexAppend(docs().limit(5), "doc_id", "text", path, 64, 16, sn)
+    }
+    assert(e.getMessage.contains("drift"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.indexProbe(docs().limit(5), "doc_id", "text", tmp())
+    }
+    assert(e2.getMessage.contains("no LSH index"), e2.getMessage)
+  }
+
+  test("crash orphan is invisible: an unmanifested batch dir never answers a probe") {
+    val path = tmp()
+    val corpus = docs().filter(col("doc_id") < 50)
+    Dedup.indexAppend(corpus, "doc_id", "text", path, nh, nb, sn)
+    val before = Dedup.indexProbe(
+      corpus.select((col("doc_id") + 500000L).as("doc_id"), col("text")),
+      "doc_id", "text", path, 0.99).count()
+    // simulate a crashed append: batch dir on disk, no manifest publish
+    val orphanSrc = docs().filter(col("doc_id") >= 50 && col("doc_id") < 60)
+    val bdir = s"$path/batches/b_${System.nanoTime()}"
+    orphanSrc.select(col("doc_id"),
+        graft.functions.ShingleHashes.shingleHashes(
+          Dedup.normText(col("text")), sn).as("shh"))
+      .write.parquet(s"$bdir/sets")
+    Dedup.bandedRows(
+        orphanSrc.select(col("doc_id"),
+          graft.functions.ShingleHashes.shingleHashes(
+            Dedup.normText(col("text")), sn).as("shh")), nh, nb)
+      .write.parquet(s"$bdir/bands")
+    // probe with the orphan's own docs: zero hits — the orphan is invisible
+    val ghost = Dedup.indexProbe(
+      orphanSrc.select((col("doc_id") + 600000L).as("doc_id"), col("text")),
+      "doc_id", "text", path, 0.99)
+    assert(ghost.filter(col("id_a") >= 50 && col("id_a") < 60).count() == 0,
+      "unmanifested batch answered a probe")
+    // and the original corpus still answers exactly as before
+    val after = Dedup.indexProbe(
+      corpus.select((col("doc_id") + 500000L).as("doc_id"), col("text")),
+      "doc_id", "text", path, 0.99).count()
+    assert(after == before)
+  }
+
+  test("plan pin: the stored band table never shuffles (batch broadcasts, corpus is map-side)") {
+    val path = tmp()
+    Dedup.indexAppend(docs().filter(col("doc_id") < 200), "doc_id", "text",
+      path, nh, nb, sn)
+    val (probe, caches) = Dedup.indexProbePlan(
+      docs().filter(col("doc_id") >= 200).limit(50), "doc_id", "text", path,
+      thr, 64)
+    val plan = probe.queryExecution.executedPlan.toString
+    caches.foreach(_.unpersist())
+    // broadcast joins carry the corpus side without an exchange; the only
+    // hash exchanges allowed are over BATCH-derived frames (banding's
+    // dropDuplicates + the skew-guard partial agg), which are bounded by
+    // the probe batch, never the corpus
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    val scanToExchange = plan.linesIterator.zipWithIndex.collect {
+      case (l, i) if l.contains("Exchange hashpartitioning") => i
+    }.toSeq
+    // the corpus parquet scans (bands/sets under the index path) must not
+    // feed a hash exchange: check no Exchange consumes a corpus scan by
+    // verifying the corpus file scans appear only under broadcast sides
+    val corpusScanLines = plan.linesIterator.filter(l =>
+      l.contains("Scan parquet") && l.contains("graft_lshidx")).toSeq
+    assert(corpusScanLines.nonEmpty, s"no corpus scan found:\n$plan")
+    assert(scanToExchange.size <= 4,
+      s"too many hash exchanges for a batch-bounded probe:\n$plan")
+  }
+}
