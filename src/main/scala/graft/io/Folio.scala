@@ -844,7 +844,7 @@ object Folio {
   // latest batch per writer needs retaining — the set stays
   // writer-count-sized forever, never micro-batch-count-sized
   private val StreamTagRe = raw"stream-batch:(.+):(\d+)".r
-  private def compactTags(tags: Seq[String]): Seq[String] = {
+  private[graft] def compactTags(tags: Seq[String]): Seq[String] = {
     val (stream, other) = tags.partition(StreamTagRe.matches(_))
     val latest = stream.map { case StreamTagRe(w, n) => (w, n.toLong) }
       .groupMapReduce(_._1)(_._2)(math.max)

@@ -526,6 +526,9 @@ object Dedup {
         }
     }
 
+  private[graft] def indexManifestForTest(path: String): Seq[String] =
+    indexManifest(path)
+
   private def indexManifest(path: String): Seq[String] =
     graft.io.Folio.currentVersion(s"$path/meta") match {
       case None => Nil
@@ -542,7 +545,8 @@ object Dedup {
     * first — append does not dedup. */
   def indexAppend(docs: DataFrame, idCol: String, textCol: String,
                   path: String, numHashes: Int = 32, bands: Int = 8,
-                  shingleN: Int = 3): Unit = {
+                  shingleN: Int = 3,
+                  commitTag: Option[String] = None): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     indexParams(path).foreach { case (nh, b, sn) =>
       require((nh, b, sn) == ((numHashes, bands, shingleN)),
@@ -571,7 +575,64 @@ object Dedup {
         manifest.getBytes("UTF-8"))
       java.nio.file.Files.write(new java.io.File(vdir, "_PARAMS").toPath,
         s"$numHashes;$bands;$shingleN".getBytes("UTF-8"))
+      // the streaming sinks' exactly-once breadcrumb — same meta layout
+      // as the rollup folios, so Folio.rollupCommitTags reads it verbatim
+      commitTag.foreach { t =>
+        java.nio.file.Files.write(new java.io.File(vdir, "_COMMIT_TAG").toPath,
+          t.getBytes("UTF-8"))
+        val tags = graft.io.Folio.compactTags(
+          (graft.io.Folio.rollupCommitTags(path) + t).toSeq.sorted)
+        java.nio.file.Files.write(new java.io.File(vdir, "_COMMIT_TAGS").toPath,
+          tags.mkString("\n").getBytes("UTF-8"))
+      }
     }
+  }
+
+  /** STREAMING ingest with dedup-at-the-boundary — the reference's
+    * dedup-on-append SET semantics (presented.cc:475–503) as the full
+    * corpus loop: each micro-batch (1) drops docs already in the index
+    * (probe ≥ `jaccardThreshold`), (2) collapses within-batch near-dup
+    * clusters to their min-id witness, (3) appends the survivors — all
+    * under the manifest-log's exactly-once commit tag ((writerId,
+    * batchId) against the applied set, [[graft.io.Folio
+    * .rollupCommitTags]]), so an at-least-once re-delivery never
+    * double-indexes a batch. Input columns: (idCol, textCol). */
+  def indexIngestStream(docs: DataFrame, idCol: String, textCol: String,
+                        path: String, jaccardThreshold: Double = 0.7,
+                        numHashes: Int = 32, bands: Int = 8,
+                        shingleN: Int = 3,
+                        checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writerId = graft.streaming.EventStream.writerIdOf(checkpoint)
+    val w0 = docs.writeStream.outputMode("append")
+    val w = checkpoint.fold(w0)(cp => w0.option("checkpointLocation", cp))
+    w.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val tag = s"stream-batch:$writerId:$id"
+        if (!batch.isEmpty &&
+            !graft.io.Folio.rollupCommitTags(path).contains(tag)) {
+          val b = batch.toDF().persist(graft.ops.Caches.lvl)
+          try {
+            // (1) drop docs duplicating the EXISTING corpus
+            val vsCorpus =
+              if (graft.io.Folio.currentVersion(s"$path/meta").isEmpty) b
+              else {
+                val hits = indexProbe(b, idCol, textCol, path,
+                  jaccardThreshold)
+                b.join(hits.select(col("id_b").as(idCol)).distinct(),
+                  Seq(idCol), "left_anti")
+              }
+            // (2) collapse within-batch clusters to one witness
+            val pairs = minhashPairs(vsCorpus, idCol, textCol, numHashes,
+              bands, shingleN, jaccardThreshold)
+            val survivors = dropNearDuplicates(vsCorpus, idCol, pairs)
+            // (3) commit — tag publishes atomically with the manifest
+            indexAppend(survivors, idCol, textCol, path, numHashes, bands,
+              shingleN, Some(tag))
+          } finally b.unpersist()
+        }
+        ()
+      }
+      .start()
   }
 
   /** Probe the index with a NEW batch: returns (id_a = indexed doc,

@@ -3041,6 +3041,28 @@ object KerfSql {
     val df = spark.table(p.pop())
     p.expect("by"); val idCol = p.pop()
     p.expect("on"); val textCol = p.pop()
+    // the PERSISTED-index faces (incremental dedup, q197's engine):
+    //   `neardup t by id on text against 'path' [within τ]` probes the
+    //     stored corpus — (id_a indexed, id_b new, jaccard) pairs;
+    //   `neardup t by id on text into 'path'` appends the batch to the
+    //     index (creating it) and returns a one-row (path, docs) receipt.
+    if (near && (p.peekIs("against") || p.peekIs("into"))) {
+      val mode = p.pop().toLowerCase
+      val t = p.pop()
+      require(t.startsWith("'") && t.endsWith("'") && t.length > 2,
+        s"neardup … $mode needs a quoted path, got $t")
+      val path = unq(t)
+      if (mode == "into") {
+        require(p.done, s"trailing tokens in neardup into: ${p.toks.mkString(" ")}")
+        graft.llm.Dedup.indexAppend(df, idCol, textCol, path)
+        import spark.implicits._
+        return Seq((path, df.count())).toDF("path", "docs")
+      }
+      var tau = 0.7
+      if (p.peekIs("within")) { p.pop(); tau = p.pop().toDouble }
+      require(p.done, s"trailing tokens in neardup against: ${p.toks.mkString(" ")}")
+      return graft.llm.Dedup.indexProbe(df, idCol, textCol, path, tau)
+    }
     // `neardup … frames [within τ]` switches the metric to VIDEO
     // perceptual near-dup (Multimodal.videoPerceptualPairs over a
     // multi-frame binary column, q149); `within` is the set-Jaccard

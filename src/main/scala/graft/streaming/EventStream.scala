@@ -479,7 +479,7 @@ object EventStream {
     * checkpoint location (the identity Spark itself scopes batch ids
     * to), or the shared legacy id when the caller runs checkpoint-
     * defaulted. Hex — it rides inside commit-tag strings. */
-  private def writerIdOf(checkpoint: Option[String]): String =
+  private[graft] def writerIdOf(checkpoint: Option[String]): String =
     checkpoint.map { cp =>
       val d = java.security.MessageDigest.getInstance("SHA-256")
         .digest(cp.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -109,6 +109,75 @@ class DedupIndexSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("streaming ingest loop: probe → within-batch collapse → append, exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmp()
+    val cp = java.nio.file.Files.createTempDirectory("graft_lsh_cp").toString
+    val rows = docs().filter(col("doc_id") < 40)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = llm.Dedup.indexIngestStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", path,
+      jaccardThreshold = 0.9, checkpoint = Some(cp))
+    try {
+      // batch 0: fixture docs plus an EXACT within-batch duplicate pair;
+      // expectation computed with the BATCH engine (the fixture may hold
+      // organic within-batch clusters of its own at this threshold)
+      val dup = rows.head
+      val b0 = rows :+ ((dup._1 + 900000L, dup._2))
+      val b0df = b0.toDF("doc_id", "text")
+      val expectB0 = llm.Dedup.dropNearDuplicates(b0df, "doc_id",
+        llm.Dedup.minhashPairs(b0df, "doc_id", "text",
+          jaccardThreshold = 0.9)).count()
+      input.addData(b0: _*)
+      q.processAllAvailable()
+      val afterB0 = spark.read.parquet(
+        llm.Dedup.indexManifestForTest(path).map(d => s"$d/sets"): _*)
+      assert(afterB0.count() == expectB0)
+      // the planted duplicate collapsed to the min-id witness
+      assert(afterB0.filter(col("doc_id") === dup._1 + 900000L).count() == 0)
+      // batch 1: re-sends of batch 0 under shifted ids + one doc that
+      // cannot duplicate anything (synthetic distinct text)
+      val fresh = (999999L,
+        "zebra quantum affordance kumquat hyperbole meridian " +
+        "ostinato fjord glyph tessellate umbra parallax")
+      input.addData(rows.take(5).map { case (i, t) => (i + 800000L, t) }
+        :+ fresh: _*)
+      q.processAllAvailable()
+      val afterB1 = spark.read.parquet(
+        llm.Dedup.indexManifestForTest(path).map(d => s"$d/sets"): _*)
+      // corpus-probe dropped the 5 re-sends; only the fresh doc appended
+      assert(afterB1.count() == expectB0 + 1)
+      assert(afterB1.filter(col("doc_id") >= 800000L &&
+                            col("doc_id") < 999999L).count() == 0)
+      assert(afterB1.filter(col("doc_id") === 999999L).count() == 1)
+    } finally q.stop()
+    // both batches' tags applied, writer-scoped
+    val tags = graft.io.Folio.rollupCommitTags(path)
+    assert(tags.size == 1 &&
+      tags.head.matches("stream-batch:[0-9a-f]{16}:1"), s"tags: $tags")
+  }
+
+  test("dialect faces: `neardup … into 'path'` appends, `… against 'path'` probes == API") {
+    val path = tmp()
+    docs().filter(col("doc_id") % 3 =!= 0).createOrReplaceTempView("corp_v")
+    docs().filter(col("doc_id") % 3 === 0).createOrReplaceTempView("batch_v")
+    val receipt = graft.sql.KerfSql.run(spark,
+      s"neardup corp_v by doc_id on text into '$path'").collect()(0)
+    assert(receipt.getString(0) == path && receipt.getLong(1) > 0)
+    val got = graft.sql.KerfSql.run(spark,
+      s"p_v: neardup batch_v by doc_id on text against '$path' within 0.2; " +
+      "select id_a, id_b, jaccard from p_v order id_a, id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = Dedup.indexProbe(docs().filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", path, 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("plan pin: the stored band table never shuffles (batch broadcasts, corpus is map-side)") {
     val path = tmp()
     Dedup.indexAppend(docs().filter(col("doc_id") < 200), "doc_id", "text",
