@@ -515,13 +515,18 @@ object Dedup {
   // batch alone.
   // ------------------------------------------------------------------
 
-  private def indexParams(path: String): Option[(Int, Int, Int)] =
+  /** Stored hash-family parameters: (numHashes, bands, feature). The
+    * FEATURE string pins how set elements were produced ("text:3" =
+    * 3-gram shingle hashes, "video:1" = stride-1 frame aHashes,
+    * "audio:1024" = 1024-sample envelope hashes, …) — probing a text
+    * index with video sets is a loud error, not a silent zero-recall. */
+  private def indexParams(path: String): Option[(Int, Int, String)] =
     graft.io.Folio.currentVersion(s"$path/meta").flatMap { v =>
       val f = new java.io.File(s"$path/meta/$v", "_PARAMS")
       if (!f.isFile) None
       else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
         .trim.split(";") match {
-          case Array(nh, b, sn) => Some((nh.toInt, b.toInt, sn.toInt))
+          case Array(nh, b, feat) => Some((nh.toInt, b.toInt, feat))
           case _ => None
         }
     }
@@ -538,26 +543,26 @@ object Dedup {
           .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
     }
 
-  /** Append `docs` to the persisted LSH index at `path` (creating it on
-    * first use). One map-only pass computes shingle-hash sets and banded
-    * signatures; the batch publishes atomically through the manifest
-    * log. The caller is responsible for having probed/filtered the batch
-    * first — append does not dedup. */
-  def indexAppend(docs: DataFrame, idCol: String, textCol: String,
-                  path: String, numHashes: Int = 32, bands: Int = 8,
-                  shingleN: Int = 3,
-                  commitTag: Option[String] = None): Unit = {
+  /** Feature-string for the text faces: 3-gram shingle hashes etc. */
+  private def textFeature(shingleN: Int) = s"text:$shingleN"
+
+  /** Append a pre-hashed SET frame `(doc_id, shh: array<bigint>)` to the
+    * index — the feature-agnostic core: text shingles, video frame
+    * hashes, audio envelope hashes all ride the same store, disambiguated
+    * by the pinned `feature` string. */
+  def indexAppendSets(sets: DataFrame, path: String, numHashes: Int,
+                      bands: Int, feature: String,
+                      commitTag: Option[String] = None): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    indexParams(path).foreach { case (nh, b, sn) =>
-      require((nh, b, sn) == ((numHashes, bands, shingleN)),
-        s"indexAppend: params ($numHashes,$bands,$shingleN) drift from the " +
-        s"index's stored ($nh,$b,$sn) — an index has ONE hash family")
+    require(feature.nonEmpty && !feature.contains(";"),
+      s"feature tag must be non-empty and ';'-free, got '$feature'")
+    indexParams(path).foreach { case (nh, b, feat) =>
+      require((nh, b, feat) == ((numHashes, bands, feature)),
+        s"indexAppend: params ($numHashes,$bands,$feature) drift from the " +
+        s"index's stored ($nh,$b,$feat) — an index has ONE hash family")
     }
     val bdir = s"$path/batches/b_${System.nanoTime()}"
-    val hashed = docs
-      .select(col(idCol).as("doc_id"),
-        graft.functions.ShingleHashes.shingleHashes(
-          normText(col(textCol)), shingleN).as("shh"))
+    val hashed = sets.select(col("doc_id"), col("shh"))
       .persist(graft.ops.Caches.lvl)
     // sorted-by-band files: row-group stats prune band_hash ranges at
     // probe time (the folio sorted-run discipline)
@@ -574,7 +579,7 @@ object Dedup {
       java.nio.file.Files.write(new java.io.File(vdir, "_MANIFEST").toPath,
         manifest.getBytes("UTF-8"))
       java.nio.file.Files.write(new java.io.File(vdir, "_PARAMS").toPath,
-        s"$numHashes;$bands;$shingleN".getBytes("UTF-8"))
+        s"$numHashes;$bands;$feature".getBytes("UTF-8"))
       // the streaming sinks' exactly-once breadcrumb — same meta layout
       // as the rollup folios, so Folio.rollupCommitTags reads it verbatim
       commitTag.foreach { t =>
@@ -587,6 +592,21 @@ object Dedup {
       }
     }
   }
+
+  /** Append text `docs` to the persisted LSH index at `path` (creating
+    * it on first use). One map-only pass computes shingle-hash sets and
+    * banded signatures; the batch publishes atomically through the
+    * manifest log. The caller is responsible for having probed/filtered
+    * the batch first — append does not dedup. */
+  def indexAppend(docs: DataFrame, idCol: String, textCol: String,
+                  path: String, numHashes: Int = 32, bands: Int = 8,
+                  shingleN: Int = 3,
+                  commitTag: Option[String] = None): Unit =
+    indexAppendSets(
+      docs.select(col(idCol).as("doc_id"),
+        graft.functions.ShingleHashes.shingleHashes(
+          normText(col(textCol)), shingleN).as("shh")),
+      path, numHashes, bands, textFeature(shingleN), commitTag)
 
   /** STREAMING ingest with dedup-at-the-boundary — the reference's
     * dedup-on-append SET semantics (presented.cc:475–503) as the full
@@ -652,24 +672,52 @@ object Dedup {
     graft.ops.Caches.seal(verified, caches: _*)
   }
 
+  /** Probe with a pre-hashed SET frame `(doc_id, shh)` — the feature-
+    * agnostic core. `feature` must match the store's pinned tag: a probe
+    * hashed differently than the corpus would silently return zero
+    * recall, so the mismatch is a loud error instead. */
+  def indexProbeSets(newSets: DataFrame, path: String, feature: String,
+                     jaccardThreshold: Double = 0.7,
+                     maxBucket: Int = 64): DataFrame = {
+    val (verified, caches) = indexProbeSetsPlan(newSets, path, feature,
+      jaccardThreshold, maxBucket)
+    graft.ops.Caches.seal(verified, caches: _*)
+  }
+
   /** The lazy plan behind [[indexProbe]] plus its pinned caches —
     * exposed for plan-shape tests (the seal materializes the result,
     * hiding the join shape from executedPlan). */
   private[graft] def indexProbePlan(newDocs: DataFrame, idCol: String,
                  textCol: String, path: String, jaccardThreshold: Double,
                  maxBucket: Int): (DataFrame, Seq[DataFrame]) = {
-    val spark = newDocs.sparkSession
-    val (numHashes, bands, shingleN) = indexParams(path).getOrElse(
+    val feat = indexParams(path).getOrElse(
+      throw new IllegalArgumentException(s"no LSH index published at $path"))._3
+    require(feat.startsWith("text:"),
+      s"indexProbe is the TEXT face but the index at $path stores '$feat' " +
+      "sets — probe with the matching face (indexProbeSets)")
+    val shingleN = feat.stripPrefix("text:").toInt
+    indexProbeSetsPlan(
+      newDocs.select(col(idCol).as("doc_id"),
+        graft.functions.ShingleHashes.shingleHashes(
+          normText(col(textCol)), shingleN).as("shh")),
+      path, feat, jaccardThreshold, maxBucket)
+  }
+
+  private[graft] def indexProbeSetsPlan(newSets: DataFrame, path: String,
+                 feature: String, jaccardThreshold: Double,
+                 maxBucket: Int): (DataFrame, Seq[DataFrame]) = {
+    val spark = newSets.sparkSession
+    val (numHashes, bands, feat) = indexParams(path).getOrElse(
       throw new IllegalArgumentException(s"no LSH index published at $path"))
+    require(feat == feature,
+      s"indexProbe: probe sets are '$feature' but the index at $path " +
+      s"stores '$feat' — one hash family per index")
     val dirs = indexManifest(path)
     require(dirs.nonEmpty, s"LSH index at $path has an empty manifest")
     val corpusBands = spark.read.parquet(dirs.map(d => s"$d/bands"): _*)
     val corpusSets = spark.read.parquet(dirs.map(d => s"$d/sets"): _*)
 
-    val newHashed = newDocs
-      .select(col(idCol).as("doc_id"),
-        graft.functions.ShingleHashes.shingleHashes(
-          normText(col(textCol)), shingleN).as("shh"))
+    val newHashed = newSets.select(col("doc_id"), col("shh"))
       .persist(graft.ops.Caches.lvl)
     val newBanded = bandedRows(newHashed, numHashes, bands)
       .persist(graft.ops.Caches.lvl)

@@ -425,6 +425,59 @@ object Multimodal {
     graft.ops.Caches.seal(result, caches: _*)
   }
 
+  // ----- persisted media LSH indexes (the incremental-dedup store,
+  // [[graft.llm.Dedup.indexAppendSets]], with media feature tags) -----
+
+  /** Per-video frame-hash SET `(doc_id, shh)` — the index-ready form. */
+  private def videoSets(videos: DataFrame, idCol: String, binCol: String,
+                        stride: Int): DataFrame =
+    sampleFrameHashesPartitioned(videos, idCol, binCol, stride)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("fhash")).as("shh"))
+
+  private def audioSets(audios: DataFrame, idCol: String, binCol: String,
+                        windowSamples: Int): DataFrame =
+    sampleAudioHashesPartitioned(audios, idCol, binCol, windowSamples)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("ahash")).as("shh"))
+
+  /** Append videos' frame-hash sets to a persisted LSH index — the
+    * incremental face of [[videoPerceptualPairs]]: a re-encoded copy
+    * arriving TOMORROW probes today's stored bands without re-decoding
+    * the corpus. The feature tag pins the stride, so a probe sampled
+    * differently is a loud error. */
+  def videoIndexAppend(videos: DataFrame, idCol: String, binCol: String,
+                       path: String, stride: Int = 1, numHashes: Int = 32,
+                       bands: Int = 8,
+                       commitTag: Option[String] = None): Unit =
+    graft.llm.Dedup.indexAppendSets(videoSets(videos, idCol, binCol, stride),
+      path, numHashes, bands, s"video:$stride", commitTag)
+
+  /** Probe the video index: (id_a indexed, id_b new, jaccard ≥ τ). */
+  def videoIndexProbe(videos: DataFrame, idCol: String, binCol: String,
+                      path: String, stride: Int = 1,
+                      jaccardThreshold: Double = 0.9,
+                      maxBucket: Int = 64): DataFrame =
+    graft.llm.Dedup.indexProbeSets(videoSets(videos, idCol, binCol, stride),
+      path, s"video:$stride", jaccardThreshold, maxBucket)
+
+  /** Audio siblings — window-envelope hash sets on the shared store. */
+  def audioIndexAppend(audios: DataFrame, idCol: String, binCol: String,
+                       path: String, windowSamples: Int = 1024,
+                       numHashes: Int = 32, bands: Int = 8,
+                       commitTag: Option[String] = None): Unit =
+    graft.llm.Dedup.indexAppendSets(
+      audioSets(audios, idCol, binCol, windowSamples),
+      path, numHashes, bands, s"audio:$windowSamples", commitTag)
+
+  def audioIndexProbe(audios: DataFrame, idCol: String, binCol: String,
+                      path: String, windowSamples: Int = 1024,
+                      jaccardThreshold: Double = 0.9,
+                      maxBucket: Int = 64): DataFrame =
+    graft.llm.Dedup.indexProbeSets(
+      audioSets(audios, idCol, binCol, windowSamples),
+      path, s"audio:$windowSamples", jaccardThreshold, maxBucket)
+
   /** Deterministic block-pattern PCM WAV (16-bit LE mono, 8 kHz) for
     * the audio-dedup fixtures: window w's 64 cells take high/low
     * amplitude from a splitmix64 bit pattern of (`patternSeed`, w);

@@ -178,6 +178,46 @@ class DedupIndexSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("media faces: video/audio sets ride the shared store; cross-feature probes are loud") {
+    import spark.implicits._
+    import graft.llm.Multimodal
+    // three distinct synthetic videos; a re-encoded copy = same patterns
+    val vids = Seq(
+      (1L, Multimodal.synthGif(Seq(1, 2, 3))),
+      (2L, Multimodal.synthGif(Seq(4, 5, 6))),
+      (3L, Multimodal.synthGif(Seq(7, 8, 9)))).toDF("doc_id", "gif")
+    val vPath = tmp()
+    Multimodal.videoIndexAppend(vids, "doc_id", "gif", vPath)
+    val copies = Seq((11L, Multimodal.synthGif(Seq(1, 2, 3))), // dup of 1
+                     (12L, Multimodal.synthGif(Seq(9, 8, 7)))) // frames of 3, reordered
+      .toDF("doc_id", "gif")
+    val hits = Multimodal.videoIndexProbe(copies, "doc_id", "gif", vPath,
+        jaccardThreshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._2).toSeq
+    // both collapse: hash SETS ignore frame order, so the re-order is a
+    // perceptual dup too
+    assert(hits == Seq((1L, 11L, 1.0), (3L, 12L, 1.0)), s"hits: $hits")
+    // audio sets on their own store
+    val auds = Seq((1L, Multimodal.synthWav(7L, 1.0)),
+                   (2L, Multimodal.synthWav(8L, 1.0))).toDF("doc_id", "wav")
+    val aPath = tmp()
+    Multimodal.audioIndexAppend(auds, "doc_id", "wav", aPath)
+    val rescaled = Seq((21L, Multimodal.synthWav(7L, 0.5))).toDF("doc_id", "wav")
+    val ah = Multimodal.audioIndexProbe(rescaled, "doc_id", "wav", aPath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ah == Seq((1L, 21L)), s"audio hits: $ah") // volume-invariant
+    // cross-feature probe: text probe against a video store is LOUD
+    val e = intercept[IllegalArgumentException] {
+      Dedup.indexProbe(docs().limit(3), "doc_id", "text", vPath)
+    }
+    assert(e.getMessage.contains("video"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.videoIndexProbe(copies, "doc_id", "gif", vPath, stride = 2)
+    }
+    assert(e2.getMessage.contains("video:1"), e2.getMessage)
+  }
+
   test("plan pin: the stored band table never shuffles (batch broadcasts, corpus is map-side)") {
     val path = tmp()
     Dedup.indexAppend(docs().filter(col("doc_id") < 200), "doc_id", "text",
