@@ -2197,7 +2197,8 @@ object Oracles {
            SELECT user_id, epoch_us(ts) * 1000 AS ts_ns, value
            FROM events WHERE event_type = 'purchase')
          SELECT user_id,
-                array_to_string(list(value ORDER BY ts_ns, value), ',') AS series,
+                array_to_string(list(printf('%.4f', value)
+                                     ORDER BY ts_ns, value), ',') AS series,
                 array_to_string(list(ts_ns ORDER BY ts_ns), ',') AS ticks,
                 count(*) AS n
          FROM p GROUP BY user_id ORDER BY user_id""",
@@ -2528,8 +2529,8 @@ object Oracles {
            FROM f GROUP BY user_id),
          g AS (
            SELECT user_id,
-                  array_to_string(list(value ORDER BY ts_ns, value), ',')
-                    AS series
+                  array_to_string(list(printf('%.4f', value)
+                                       ORDER BY ts_ns, value), ',') AS series
            FROM c GROUP BY user_id)
          SELECT t.user_id, t.twap, t.nv, g.series
          FROM t JOIN g ON t.user_id = g.user_id

@@ -3151,8 +3151,12 @@ object Queries {
       "collect(ts_ns) as ticks, count(*) as n from pur_v168 " +
       "group user_id order user_id")
       .select(col("user_id"),
-        array_join(transform(col("series"), v => v.cast("string")), ",")
-          .as("series"),
+        // FIXED-FORMAT doubles (%.4f both engines): shortest-repr casts
+        // happen to agree on this fixture's magnitudes but diverge into
+        // scientific notation at |x| ≥ 1e7 / < 1e-3 on the Spark side —
+        // the compare must not depend on formatter coincidence
+        array_join(transform(col("series"),
+          v => format_string("%.4f", v)), ",").as("series"),
         array_join(transform(col("ticks"), v => v.cast("string")), ",")
           .as("ticks"),
         col("n"))
@@ -3302,8 +3306,9 @@ object Queries {
       "select user_id, twap, nv, series from t_v177 join g_v177 on user_id " +
       "order user_id")
       .select(col("user_id"), col("twap"), col("nv"),
-        array_join(transform(col("series"), v => v.cast("string")), ",")
-          .as("series"))
+        // %.4f — q168's fixed-format discipline
+        array_join(transform(col("series"),
+          v => format_string("%.4f", v)), ",").as("series"))
   }
 
   /** TOP-N PER GROUP from the text surface (q's `N # select … by sym`

@@ -20,8 +20,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * that reading can stop and the interpreter take over.
   *
   * Meta commands ride a leading backslash (unlexable in the dialect, so
-  * they can never shadow a program): `\q` quits (Ctrl-D works too).
-  * Workspace save/load are dialect verbs, not console features.
+  * they can never shadow a program): `\q` quits (Ctrl-D works too) and
+  * `\c` clears the intake buffer — both recognized MID-CONTINUATION, so
+  * a mistyped opener never traps the session. Workspace save/load are
+  * dialect verbs, not console features.
   */
 object Repl {
   val Prompt = "kerf> "
@@ -92,11 +94,19 @@ object Repl {
       if (line == null) { // Ctrl-D (main.cc:37–41)
         out.println()
         done = true
+      } else if (line.trim == "\\q") {
+        // recognized even MID-CONTINUATION: a user trapped inside an
+        // unterminated string/bracket must be able to leave
+        done = true
+      } else if (line.trim == "\\c") {
+        // clear the intake buffer — the escape hatch from a mistyped
+        // opener (the other way out of a stuck continuation)
+        if (buf.nonEmpty) { buf.clear(); out.println("(input cleared)") }
       } else if (buf.isEmpty && line.trim.startsWith("\\")) {
         line.trim match {
-          case "\\q" => done = true
           case other => out.println(
-            s"unknown meta command '$other' (\\q quits; everything else is dialect)")
+            s"unknown meta command '$other' (\\q quits, \\c clears the " +
+            "buffer; everything else is dialect)")
         }
       } else {
         if (buf.nonEmpty) buf.append('\n') // main.cc:49's lex("\n") join

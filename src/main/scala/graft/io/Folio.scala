@@ -817,7 +817,7 @@ object Folio {
 
   private def rollupMetaDir(path: String) = s"$path/meta"
 
-  private def rollupManifest(path: String): Seq[String] =
+  private[graft] def rollupManifest(path: String): Seq[String] =
     currentVersion(rollupMetaDir(path)) match {
       case None => Nil
       case Some(v) =>
@@ -929,16 +929,28 @@ object Folio {
       merged.write.parquet(new java.io.File(vdir, "rollup").toString)
       java.nio.file.Files.write(new java.io.File(vdir, "_MANIFEST").toPath,
         manifest.getBytes("UTF-8"))
-      commitTag.foreach { t =>
-        java.nio.file.Files.write(new java.io.File(vdir, "_COMMIT_TAG").toPath,
-          t.getBytes("UTF-8"))
-        // the APPLIED SET carries forward (compacted per writer) so a
-        // multi-writer folio's replay guard survives interleaving
-        val tags = compactTags((rollupCommitTags(path) + t).toSeq.sorted)
-        java.nio.file.Files.write(new java.io.File(vdir, "_COMMIT_TAGS").toPath,
-          tags.mkString("\n").getBytes("UTF-8"))
-      }
+      writeCommitArtifacts(vdir, path, commitTag)
     }
+  }
+
+  /** Persist the replay-guard breadcrumbs into a manifest-log version
+    * dir. The applied-tag SET carries forward on EVERY publish —
+    * tagged or not: an untagged publish (a manual dialect append
+    * interleaving with a streaming sink) must not wipe the set, or a
+    * crashed stream's re-delivery would double-apply right after it
+    * (the r14 review's untagged-publish hole). `_COMMIT_TAG` (the
+    * single last tag) is written only when this publish carries one. */
+  private[graft] def writeCommitArtifacts(vdir: java.io.File, path: String,
+                                          commitTag: Option[String]): Unit = {
+    commitTag.foreach { t =>
+      java.nio.file.Files.write(new java.io.File(vdir, "_COMMIT_TAG").toPath,
+        t.getBytes("UTF-8"))
+    }
+    val tags = compactTags(
+      (rollupCommitTags(path) ++ commitTag).toSeq.sorted)
+    if (tags.nonEmpty)
+      java.nio.file.Files.write(new java.io.File(vdir, "_COMMIT_TAGS").toPath,
+        tags.mkString("\n").getBytes("UTF-8"))
   }
 
   /** The maintained aggregate — vocab-sized, no scan of the history. */

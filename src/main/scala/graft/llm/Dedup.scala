@@ -534,14 +534,10 @@ object Dedup {
   private[graft] def indexManifestForTest(path: String): Seq[String] =
     indexManifest(path)
 
+  // the index shares the rollup folio's meta layout EXACTLY, so the
+  // manifest read is Folio's — one protocol, one implementation
   private def indexManifest(path: String): Seq[String] =
-    graft.io.Folio.currentVersion(s"$path/meta") match {
-      case None => Nil
-      case Some(v) =>
-        val f = new java.io.File(s"$path/meta/$v", "_MANIFEST")
-        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-          .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-    }
+    graft.io.Folio.rollupManifest(path)
 
   /** Feature-string for the text faces: 3-gram shingle hashes etc. */
   private def textFeature(shingleN: Int) = s"text:$shingleN"
@@ -552,7 +548,7 @@ object Dedup {
     * by the pinned `feature` string. */
   def indexAppendSets(sets: DataFrame, path: String, numHashes: Int,
                       bands: Int, feature: String,
-                      commitTag: Option[String] = None): Unit = {
+                      commitTag: Option[String] = None): String = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(feature.nonEmpty && !feature.contains(";"),
       s"feature tag must be non-empty and ';'-free, got '$feature'")
@@ -580,17 +576,12 @@ object Dedup {
         manifest.getBytes("UTF-8"))
       java.nio.file.Files.write(new java.io.File(vdir, "_PARAMS").toPath,
         s"$numHashes;$bands;$feature".getBytes("UTF-8"))
-      // the streaming sinks' exactly-once breadcrumb — same meta layout
-      // as the rollup folios, so Folio.rollupCommitTags reads it verbatim
-      commitTag.foreach { t =>
-        java.nio.file.Files.write(new java.io.File(vdir, "_COMMIT_TAG").toPath,
-          t.getBytes("UTF-8"))
-        val tags = graft.io.Folio.compactTags(
-          (graft.io.Folio.rollupCommitTags(path) + t).toSeq.sorted)
-        java.nio.file.Files.write(new java.io.File(vdir, "_COMMIT_TAGS").toPath,
-          tags.mkString("\n").getBytes("UTF-8"))
-      }
+      // the streaming sinks' exactly-once breadcrumbs — same meta layout
+      // AND same writer (applied set carries forward on every publish,
+      // tagged or not) as the rollup folios
+      graft.io.Folio.writeCommitArtifacts(vdir, path, commitTag)
     }
+    bdir
   }
 
   /** Append text `docs` to the persisted LSH index at `path` (creating
@@ -601,7 +592,7 @@ object Dedup {
   def indexAppend(docs: DataFrame, idCol: String, textCol: String,
                   path: String, numHashes: Int = 32, bands: Int = 8,
                   shingleN: Int = 3,
-                  commitTag: Option[String] = None): Unit =
+                  commitTag: Option[String] = None): String =
     indexAppendSets(
       docs.select(col(idCol).as("doc_id"),
         graft.functions.ShingleHashes.shingleHashes(
@@ -622,38 +613,30 @@ object Dedup {
                         numHashes: Int = 32, bands: Int = 8,
                         shingleN: Int = 3,
                         checkpoint: Option[String] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val writerId = graft.streaming.EventStream.writerIdOf(checkpoint)
-    val w0 = docs.writeStream.outputMode("append")
-    val w = checkpoint.fold(w0)(cp => w0.option("checkpointLocation", cp))
-    w.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val tag = s"stream-batch:$writerId:$id"
-        if (!batch.isEmpty &&
-            !graft.io.Folio.rollupCommitTags(path).contains(tag)) {
-          val b = batch.toDF().persist(graft.ops.Caches.lvl)
-          try {
-            // (1) drop docs duplicating the EXISTING corpus
-            val vsCorpus =
-              if (graft.io.Folio.currentVersion(s"$path/meta").isEmpty) b
-              else {
-                val hits = indexProbe(b, idCol, textCol, path,
-                  jaccardThreshold)
-                b.join(hits.select(col("id_b").as(idCol)).distinct(),
-                  Seq(idCol), "left_anti")
-              }
-            // (2) collapse within-batch clusters to one witness
-            val pairs = minhashPairs(vsCorpus, idCol, textCol, numHashes,
-              bands, shingleN, jaccardThreshold)
-            val survivors = dropNearDuplicates(vsCorpus, idCol, pairs)
-            // (3) commit — tag publishes atomically with the manifest
-            indexAppend(survivors, idCol, textCol, path, numHashes, bands,
-              shingleN, Some(tag))
-          } finally b.unpersist()
-        }
-        ()
-      }
-      .start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.EventStream.taggedBatchSink(docs, path, checkpoint) {
+      (batch, tag) =>
+        val b = batch.persist(graft.ops.Caches.lvl)
+        try {
+          // (1) drop docs duplicating the EXISTING corpus
+          val vsCorpus =
+            if (graft.io.Folio.currentVersion(s"$path/meta").isEmpty) b
+            else {
+              val hits = indexProbe(b, idCol, textCol, path,
+                jaccardThreshold)
+              b.join(hits.select(col("id_b").as(idCol)).distinct(),
+                Seq(idCol), "left_anti")
+            }
+          // (2) collapse within-batch clusters to one witness
+          val pairs = minhashPairs(vsCorpus, idCol, textCol, numHashes,
+            bands, shingleN, jaccardThreshold)
+          val survivors = dropNearDuplicates(vsCorpus, idCol, pairs)
+          // (3) commit — tag publishes atomically with the manifest
+          indexAppend(survivors, idCol, textCol, path, numHashes, bands,
+            shingleN, tag)
+          ()
+        } finally { b.unpersist(); () }
+    }
 
   /** Probe the index with a NEW batch: returns (id_a = indexed doc,
     * id_b = new doc, jaccard) for every cross pair at or above
@@ -723,11 +706,15 @@ object Dedup {
       .persist(graft.ops.Caches.lvl)
 
     // corpus side filtered MAP-SIDE by the broadcast batch bands — the
-    // stored table never enters an exchange
+    // stored table never enters an exchange. PERSISTED: read by both the
+    // skew-guard aggregate and the candidates join, and an unpersisted
+    // plan would scan the (dominant) corpus band parquet twice per probe;
+    // the hit set itself is tiny — colliding rows only.
     val hit = corpusBands
       .select(col("band_id"), col("band_hash"), col("doc_id").as("id_a"))
       .join(broadcast(newBanded.select(col("band_id"), col("band_hash")).distinct()),
         Seq("band_id", "band_hash"), "left_semi")
+      .persist(graft.ops.Caches.lvl)
     // skew guard over the SURVIVING buckets only (tiny by construction):
     // total population = corpus hits + batch rows in the bucket
     val bucketN = hit.groupBy(col("band_id"), col("band_hash"))
@@ -759,6 +746,6 @@ object Dedup {
         size(array_union(col("shh"), col("sh_b"))).cast("double"))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    (verified, Seq(newHashed, newBanded, candidates))
+    (verified, Seq(newHashed, newBanded, hit, candidates))
   }
 }

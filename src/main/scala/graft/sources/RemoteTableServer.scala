@@ -614,8 +614,14 @@ object RemoteTableServer {
     // discipline): an operator-supplied token, or a fresh SecureRandom
     // one. The 'g' prefix keeps the token from ever parsing as a port,
     // so `host:port` and `host:port:token` handles stay unambiguous.
-    require(!evalToken.contains(':'),
-      "evalToken must not contain ':' (it rides the host:port:token handle)")
+    // Operator tokens carry the same obligations the handle grammar
+    // imposes: no ':' (the segment separator), no '/' (RemoteEval drops
+    // everything after a slash as an endpoint's /table suffix), and not
+    // all-digits (the parser would read it as the PORT and dial it).
+    require(!evalToken.contains(':') && !evalToken.contains('/'),
+      "evalToken must not contain ':' or '/' (it rides the host:port:token handle)")
+    require(evalToken.isEmpty || evalToken.exists(!_.isDigit),
+      "evalToken must not be all digits (the handle parser would read it as a port)")
     val token = if (!enableEval) None
     else if (evalToken.nonEmpty) Some(evalToken)
     else {

@@ -3054,9 +3054,12 @@ object KerfSql {
       val path = unq(t)
       if (mode == "into") {
         require(p.done, s"trailing tokens in neardup into: ${p.toks.mkString(" ")}")
-        graft.llm.Dedup.indexAppend(df, idCol, textCol, path)
+        val bdir = graft.llm.Dedup.indexAppend(df, idCol, textCol, path)
         import spark.implicits._
-        return Seq((path, df.count())).toDF("path", "docs")
+        // receipt count from the WRITTEN batch's parquet footers (a
+        // metadata count), never a recompute of the source plan
+        return Seq((path, spark.read.parquet(s"$bdir/sets").count()))
+          .toDF("path", "docs")
       }
       var tau = 0.7
       if (p.peekIs("within")) { p.pop(); tau = p.pop().toDouble }

@@ -460,6 +460,21 @@ object EventStream {
     * one-writer-per-path deployments the doc always assumed. */
   def rollupStream(stream: DataFrame, path: String, keys: Seq[String],
                    valCols: Seq[String], checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    taggedBatchSink(stream, path, checkpoint) { (batch, tag) =>
+      graft.io.Folio.appendWithRollup(batch, path, keys, valCols, tag)
+    }
+
+  /** The shared exactly-once scaffold for every manifest-log sink
+    * (rollup, histogram, LSH-index ingest): mint the (writerId, batchId)
+    * tag, skip if the folio's applied set already holds it, otherwise
+    * run `append` — which MUST publish the tag atomically with its data
+    * (all three appends do, through [[graft.io.Folio
+    * .writeCommitArtifacts]]). One implementation so the replay
+    * semantics cannot silently diverge between sinks. */
+  private[graft] def taggedBatchSink(stream: DataFrame, path: String,
+      checkpoint: Option[String])(
+      append: (DataFrame, Option[String]) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val writerId = writerIdOf(checkpoint)
     val w0 = stream.writeStream.outputMode("append")
@@ -468,8 +483,7 @@ object EventStream {
         val tag = s"stream-batch:$writerId:$id"
         if (!batch.isEmpty &&
             !graft.io.Folio.rollupCommitTags(path).contains(tag))
-          graft.io.Folio.appendWithRollup(batch.toDF(), path, keys, valCols,
-            Some(tag))
+          append(batch.toDF(), Some(tag))
         ()
       }
       .start()
@@ -496,20 +510,11 @@ object EventStream {
   def histogramStream(stream: DataFrame, path: String, keys: Seq[String],
                       valCol: String, lo: Double, width: Double,
                       nBuckets: Int, checkpoint: Option[String] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val writerId = writerIdOf(checkpoint)
-    val w0 = stream.writeStream.outputMode("append")
-    val w = checkpoint.fold(w0)(cp => w0.option("checkpointLocation", cp))
-    w.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val tag = s"stream-batch:$writerId:$id"
-        if (!batch.isEmpty &&
-            !graft.io.Folio.rollupCommitTags(path).contains(tag))
-          graft.io.Folio.appendWithHistogram(batch.toDF(), path, keys,
-            valCol, lo, width, nBuckets, Some(tag))
-        ()
-      }
-      .start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    taggedBatchSink(stream, path, checkpoint) { (batch, tag) =>
+      graft.io.Folio.appendWithHistogram(batch, path, keys, valCol,
+        lo, width, nBuckets, tag)
+    }
 
   /** Input columns: (user_id, ts_ns, value). */
   def emaByKey(stream: DataFrame, alpha: Double): DataFrame = {

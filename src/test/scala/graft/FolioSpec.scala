@@ -629,6 +629,19 @@ class FolioSpec extends SparkSpec {
     // the applied set is compacted per writer, not batch-count-sized
     assert(Folio.rollupCommitTags(path) ==
       Set("stream-batch:w1:1", "stream-batch:w2:0"))
+    // an UNTAGGED publish (a manual dialect append interleaving with the
+    // streams) must CARRY the applied set forward, not wipe it — else the
+    // next crash re-delivery double-applies (r14 review finding)
+    Folio.appendWithRollup(b, path, Seq("k"), Seq("v")) // no tag
+    assert(Folio.rollupCommitTags(path) ==
+      Set("stream-batch:w1:1", "stream-batch:w2:0"),
+      "untagged publish wiped the applied-tag set")
+    assert(Folio.lastRollupCommitTag(path).isEmpty,
+      "untagged publish must not claim the last-tag face")
+    val rowsBefore = Folio.rollupDataRead(spark, path).count()
+    deliver("w1", 1) // w1's crash re-delivery STILL skips
+    assert(Folio.rollupDataRead(spark, path).count() == rowsBefore,
+      "re-delivery double-applied after an untagged publish")
   }
 
   test("histogram rollup: bounds bracket the exact quantile; grid drift is loud") {

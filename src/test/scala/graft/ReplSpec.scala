@@ -85,4 +85,14 @@ class ReplSpec extends SparkSpec {
     assert(t.contains("unknown meta command '\\zap'"), s"transcript:\n$t")
     assert(t.contains("2"), s"transcript:\n$t") // then the loop continued to EOF
   }
+
+  test("\\q and \\c escape a stuck continuation (mistyped opener never traps)") {
+    // \c clears an unterminated string so the next line evaluates fresh
+    val t = transcript("s: 'oops", "\\c", "7 + 7", "\\q")
+    assert(t.contains("(input cleared)"), s"transcript:\n$t")
+    assert(t.linesIterator.map(_.trim).contains("14"), s"transcript:\n$t")
+    // \q exits even while a bracket is open — no trailing evaluation
+    val t2 = transcript("g: (1 +", "\\q", "9 + 9")
+    assert(!t2.linesIterator.map(_.trim).contains("18"), s"transcript:\n$t2")
+  }
 }
