@@ -2696,6 +2696,15 @@ object Oracles {
           SELECT doc_id, ${signed("ua")} AS draw, ${u01("ub")} AS u
           FROM s3 ORDER BY draw, doc_id LIMIT 64""",
 
+    // incremental SEMANTIC dedup: q55's planted closed form — the probe
+    // batch is exactly the shifted twins, each hits its original at
+    // cosine exactly 1.0, and nothing organic reaches τ=0.9
+    "q198_semdedup_incremental" ->
+      """SELECT vec_id AS id_a, vec_id + 10000000 AS id_b,
+                CAST(1.0 AS DOUBLE) AS cos
+         FROM embeddings WHERE vec_id % 20 = 0
+         ORDER BY id_a, id_b""",
+
     // incremental LSH-index dedup: the exact cross-set Jaccard between
     // the indexed corpus (doc_id % 3 != 0) and the probe batch — q29's
     // oracle tree restricted to corpus×batch pairs, id_a = indexed side

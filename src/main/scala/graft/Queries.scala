@@ -3747,6 +3747,28 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** INCREMENTAL SEMANTIC dedup — the embedding-space face of q197's
+    * ingest question, against the PERSISTED IVF index: the corpus
+    * embeddings index once; the new batch (q55's planted twins — every
+    * 20th vector under a shifted id) probes for its nearest stored
+    * neighbor and any ≥ τ cosine is a semantic dup. The planted
+    * construction makes this fully oracled (the q55 closed form): each
+    * twin coarse-assigns to its original's centroid, lands in the first
+    * probe list, and scores cosine exactly 1.0; the organic bulk stays
+    * below ~0.5. Probe cost is ~nProbe/nLists of the corpus — the
+    * corpus vectors never retrain, never shuffle. */
+  val q198_semdedup_incremental: Q = (s, dir) => {
+    val base = Scratch.dir(s, "semidx", new java.io.File(dir).getName)
+    val index = s"$base/idx_shared"
+    val emb = Tables.fanOut(Tables.embeddings(s, dir))
+    if (io.Folio.currentVersion(index).isEmpty)
+      llm.Similarity.writeIvfIndex(emb, index, nLists = 16)
+    val batch = emb.filter(col("vec_id") % 20 === 0)
+      .withColumn("vec_id", col("vec_id") + lit(10000000L))
+    llm.Similarity.semDedupProbe(s, index, batch, tau = 0.9, nProbe = 4)
+      .orderBy("id_a", "id_b")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3945,5 +3967,6 @@ object Queries {
     "q195_hist_quantile" -> q195_hist_quantile,
     "q196_bigint"        -> q196_bigint,
     "q197_dedup_incremental" -> q197_dedup_incremental,
+    "q198_semdedup_incremental" -> q198_semdedup_incremental,
   )
 }

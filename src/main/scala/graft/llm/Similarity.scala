@@ -623,6 +623,29 @@ object Similarity {
       .select(col("q_id"), col("rk"), col("cand_id"), col("sim"))
   }
 
+  /** INCREMENTAL semantic dedup against the persisted IVF index — the
+    * embedding-space sibling of [[graft.llm.Dedup.indexProbe]] (and the
+    * third incremental modality next to the lexical LSH and media
+    * stores): a new batch's vectors probe the STORED corpus index, and
+    * any whose nearest stored neighbor reaches `tau` cosine is a
+    * semantic duplicate of it. k = 1 is the dedup decision (ANY match
+    * suffices, and the nearest one is the witness); cost per batch is
+    * the ivfTopKIndexed probe — ~nProbe/nLists of the corpus scanned,
+    * no training pass, corpus vectors never shuffle. The ingest loop is
+    * probe → filter → [[appendToIvfIndex]] survivors, and a recall
+    * escape exists by construction: an identical or near-identical
+    * vector coarse-assigns to the same centroid as its stored twin, so
+    * it lands in the FIRST probe list (the q133/q143 closed form).
+    * Returns (id_a = stored corpus id, id_b = new id, cos). */
+  def semDedupProbe(spark: SparkSession, path: String, newVecs: DataFrame,
+                    tau: Double = 0.9, nProbe: Int = 4,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame =
+    ivfTopKIndexed(spark, path, newVecs, k = 1, nProbe, idCol, vecCol)
+      .filter(col("sim") >= tau)
+      .select(col("cand_id").as("id_a"), col("q_id").as("id_b"),
+        col("sim").as("cos"))
+
   /** REALTIME RETRIEVAL against a persisted IVF index: probe with a
     * STREAM of query vectors. Each micro-batch runs the stored-layout
     * probe ([[ivfTopKIndexed]] — static directory pruning, no training

@@ -1130,6 +1130,36 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental semantic dedup: probe → filter → append closes the ingest loop") {
+    val vecs = marginFixture(43)
+    val df = vecs.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_semidx").toString + "/idx"
+    Similarity.writeIvfIndex(df, path, nLists = 4, iters = 2)
+    // a batch of EXACT copies under shifted ids: every one is a semantic
+    // dup of its original at cosine exactly 1.0
+    val copies = df.filter(col("vec_id") < 6)
+      .withColumn("vec_id", col("vec_id") + lit(1000L))
+    val hits = Similarity.semDedupProbe(spark, path, copies, tau = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._2).toSeq
+    assert(hits == (0 until 6).map(i => (i.toLong, i + 1000L, 1.0)),
+      s"hits: $hits")
+    // the organic (isotropic) fixture bulk never reaches τ against a
+    // DISJOINT probe half — rotate ids so no probe equals its own copy
+    val organic = df.filter(col("vec_id") >= 6 && col("vec_id") < 12)
+      .withColumn("vec_id", col("vec_id") + lit(2000L))
+      .withColumn("embedding", reverse(col("embedding"))) // decorrelate
+    assert(Similarity.semDedupProbe(spark, path, organic, tau = 0.99)
+      .count() == 0)
+    // ingest loop: append the survivors; a re-send of them now HITS
+    Similarity.appendToIvfIndex(organic, path)
+    val resend = organic.withColumn("vec_id", col("vec_id") + lit(3000L))
+    val second = Similarity.semDedupProbe(spark, path, resend, tau = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(second == (6 until 12).map(i => (i + 2000L, i + 5000L)),
+      s"second: $second")
+  }
+
   test("persisted IVF index: probe equals the train-per-call answer exactly") {
     val vecs = marginFixture(41)
     val df = vecs.toDF("vec_id", "embedding")
