@@ -2696,6 +2696,41 @@ object Oracles {
           SELECT doc_id, ${signed("ua")} AS draw, ${u01("ub")} AS u
           FROM s3 ORDER BY draw, doc_id LIMIT 64""",
 
+    // the dialect faces of the incremental probes reuse their engines'
+    // oracles verbatim (same engine, same answer — the lowering is what
+    // the extra queries pin)
+    "q116_dialect_dedup_probe" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         shing AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                  END AS s
+           FROM toks),
+         ex AS (SELECT doc_id, unnest(s) AS sh FROM shing),
+         sizes AS (SELECT doc_id, count(*) AS c FROM ex GROUP BY 1),
+         inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+                   FROM ex a JOIN ex b ON a.sh = b.sh
+                   WHERE a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0
+                   GROUP BY 1, 2)
+         SELECT ia AS id_a, ib AS id_b,
+                i::DOUBLE / (sa.c + sb.c - i)::DOUBLE AS jaccard
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = ia
+         JOIN sizes sb ON sb.doc_id = ib
+         WHERE i::DOUBLE / (sa.c + sb.c - i)::DOUBLE >= 0.2
+         ORDER BY id_a, id_b""",
+
+    "q117_dialect_semdedup_probe" ->
+      """SELECT vec_id AS id_a, vec_id + 10000000 AS id_b,
+                CAST(1.0 AS DOUBLE) AS cos
+         FROM embeddings WHERE vec_id % 20 = 0
+         ORDER BY id_a, id_b""",
+
     // incremental SEMANTIC dedup: q55's planted closed form — the probe
     // batch is exactly the shifted twins, each hits its original at
     // cosine exactly 1.0, and nothing organic reaches τ=0.9

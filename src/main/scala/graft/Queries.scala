@@ -3769,6 +3769,42 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** q197's engine through the TEXT SURFACE — filling the q116 registry
+    * gap: the index builds once via the API (idempotence guard; the
+    * dialect's `into` face would re-append per bench pass), the PROBE is
+    * the dialect verb `neardup … against 'path'`. Same oracle tree as
+    * q197, so dialect lowering and engine answer in one hash compare. */
+  val q116_dialect_dedup_probe: Q = (s, dir) => {
+    val base = Scratch.dir(s, "lshidx", new java.io.File(dir).getName)
+    val path = s"$base/idx"
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    if (io.Folio.currentVersion(s"$path/meta").isEmpty)
+      llm.Dedup.indexAppend(docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", path)
+    docs.filter(col("doc_id") % 3 === 0).createOrReplaceTempView("batch_v116")
+    sql.KerfSql.run(s,
+      s"p_v116: neardup batch_v116 by doc_id on text against '$path' within 0.2; " +
+      "select id_a, id_b, jaccard from p_v116 order id_a, id_b")
+  }
+
+  /** q198's engine through the TEXT SURFACE — filling the q117 gap:
+    * `semdedup … against 'path'`, the incremental semantic probe as a
+    * dialect verb, over the same planted construction. */
+  val q117_dialect_semdedup_probe: Q = (s, dir) => {
+    val base = Scratch.dir(s, "semidx", new java.io.File(dir).getName)
+    val index = s"$base/idx_shared"
+    val emb = Tables.fanOut(Tables.embeddings(s, dir))
+    if (io.Folio.currentVersion(index).isEmpty)
+      llm.Similarity.writeIvfIndex(emb, index, nLists = 16)
+    emb.filter(col("vec_id") % 20 === 0)
+      .withColumn("vec_id", col("vec_id") + lit(10000000L))
+      .createOrReplaceTempView("batch_v117")
+    sql.KerfSql.run(s,
+      s"p_v117: semdedup batch_v117 by vec_id on embedding against '$index' " +
+      "within 0.9; " +
+      "select id_a, id_b, cos from p_v117 order id_a, id_b")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3887,6 +3923,8 @@ object Queries {
     "q113_dedup_keepbest" -> q113_dedup_keepbest,
     "q114_ann_pq"        -> q114_ann_pq,
     "q115_ann_ivfpq"     -> q115_ann_ivfpq,
+    "q116_dialect_dedup_probe" -> q116_dialect_dedup_probe,
+    "q117_dialect_semdedup_probe" -> q117_dialect_semdedup_probe,
     "q118_grouping_sets" -> q118_grouping_sets,
     "q119_remote_folio"  -> q119_remote_folio,
     "q120_sketch_agg"    -> q120_sketch_agg,

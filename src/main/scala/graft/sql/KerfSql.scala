@@ -3151,6 +3151,21 @@ object KerfSql {
     val df = spark.table(p.pop())
     p.expect("by"); val idCol = p.pop()
     p.expect("on"); val vecCol = p.pop()
+    // `semdedup t by id on vec against 'path' [within τ]` — the
+    // INCREMENTAL face (q198's engine): probe the persisted IVF index
+    // for the nearest STORED neighbor; ≥ τ = semantic dup of it
+    if (p.peekIs("against")) {
+      p.pop()
+      val t = p.pop()
+      require(t.startsWith("'") && t.endsWith("'") && t.length > 2,
+        s"semdedup … against needs a quoted path, got $t")
+      val path = unq(t)
+      var tau = 0.9
+      if (p.peekIs("within")) { p.pop(); tau = p.pop().toDouble }
+      require(p.done, s"trailing tokens in semdedup against: ${p.toks.mkString(" ")}")
+      return graft.llm.Similarity.semDedupProbe(spark, path, df, tau,
+        idCol = idCol, vecCol = vecCol)
+    }
     var tau = 0.95
     if (p.peekIs("within")) { p.pop(); tau = p.pop().toDouble }
     var k = 16
