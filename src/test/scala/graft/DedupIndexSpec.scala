@@ -218,6 +218,65 @@ class DedupIndexSpec extends SparkSpec {
     assert(e2.getMessage.contains("video:1"), e2.getMessage)
   }
 
+  test("streaming ingest: an ALL-duplicate batch still commits its tag (empty append, no re-apply)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmp()
+    val cp = java.nio.file.Files.createTempDirectory("graft_lsh_cp2").toString
+    val rows = docs().filter(col("doc_id") < 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = llm.Dedup.indexIngestStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", path,
+      jaccardThreshold = 0.9, checkpoint = Some(cp))
+    try {
+      input.addData(rows: _*); q.processAllAvailable() // batch 0 seeds
+      val n0 = spark.read.parquet(
+        llm.Dedup.indexManifestForTest(path).map(d => s"$d/sets"): _*).count()
+      // batch 1: ONLY re-sends — zero survivors, but the tag must land
+      input.addData(rows.map { case (i, t) => (i + 100000L, t) }: _*)
+      q.processAllAvailable()
+      val n1 = spark.read.parquet(
+        llm.Dedup.indexManifestForTest(path).map(d => s"$d/sets"): _*).count()
+      assert(n1 == n0, s"all-dup batch appended rows: $n0 -> $n1")
+      val tags = graft.io.Folio.rollupCommitTags(path)
+      assert(tags.exists(_.endsWith(":1")),
+        s"all-dup batch did not commit its tag: $tags")
+      // and the (empty) manifested batch does not break later probes
+      assert(llm.Dedup.indexProbe(
+        rows.take(3).map { case (i, t) => (i + 200000L, t) }
+          .toDF("doc_id", "text"),
+        "doc_id", "text", path, 0.9).count() == 3)
+    } finally q.stop()
+  }
+
+  test("rollupVacuum reaps an unmanifested LSH orphan and keeps every manifested batch (shared protocol)") {
+    val path = tmp()
+    Dedup.indexAppend(docs().limit(20), "doc_id", "text", path)
+    Dedup.indexAppend(docs().filter(col("doc_id") >= 20).limit(10),
+      "doc_id", "text", path)
+    val manifested = Dedup.indexManifestForTest(path)
+    assert(manifested.size == 2)
+    // a crashed append's leftover: batch dir on disk, never manifested
+    val orphan = s"$path/batches/b_${System.nanoTime()}"
+    docs().limit(3).select(col("doc_id"),
+        graft.functions.ShingleHashes.shingleHashes(
+          Dedup.normText(col("text")), 3).as("shh"))
+      .write.parquet(s"$orphan/sets")
+    val reaped = graft.io.Folio.rollupVacuum(path, graceMs = 0)
+    assert(reaped.contains(new java.io.File(orphan).getName),
+      s"orphan not reaped: $reaped")
+    assert(!new java.io.File(orphan).exists())
+    manifested.foreach(d => assert(new java.io.File(d).isDirectory,
+      s"vacuum deleted a manifested batch: $d"))
+    // the index still answers correctly after the vacuum
+    val replay = docs().limit(20)
+      .select((col("doc_id") + 700000L).as("doc_id"), col("text"))
+    assert(Dedup.indexProbe(replay, "doc_id", "text", path, 0.99)
+      .count() == 20)
+  }
+
   test("plan pin: the stored band table never shuffles (batch broadcasts, corpus is map-side)") {
     val path = tmp()
     Dedup.indexAppend(docs().filter(col("doc_id") < 200), "doc_id", "text",
