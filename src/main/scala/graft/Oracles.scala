@@ -37,6 +37,42 @@ object Oracles {
   private def u01(u: String): String =
     s"((($u)::UBIGINT >> 11)::DOUBLE / 9007199254740992.0)"
 
+  // ONE definition for an engine that answers through two faces (API
+  // query + dialect-verb query): the incremental probes' oracles are
+  // shared vals, so the "same engine, same answer" contract cannot
+  // drift between the q197/q116 and q198/q117 pairs
+  private val incrementalDedupSql =
+    """WITH toks AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         shing AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                  END AS s
+           FROM toks),
+         ex AS (SELECT doc_id, unnest(s) AS sh FROM shing),
+         sizes AS (SELECT doc_id, count(*) AS c FROM ex GROUP BY 1),
+         inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+                   FROM ex a JOIN ex b ON a.sh = b.sh
+                   WHERE a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0
+                   GROUP BY 1, 2)
+         SELECT ia AS id_a, ib AS id_b,
+                i::DOUBLE / (sa.c + sb.c - i)::DOUBLE AS jaccard
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = ia
+         JOIN sizes sb ON sb.doc_id = ib
+         WHERE i::DOUBLE / (sa.c + sb.c - i)::DOUBLE >= 0.2
+         ORDER BY id_a, id_b"""
+
+  private val incrementalSemDedupSql =
+    """SELECT vec_id AS id_a, vec_id + 10000000 AS id_b,
+                CAST(1.0 AS DOUBLE) AS cos
+         FROM embeddings WHERE vec_id % 20 = 0
+         ORDER BY id_a, id_b"""
+
   val all: Map[String, String] = Map(
 
     "q01_agg_pricing" ->
@@ -2699,75 +2735,19 @@ object Oracles {
     // the dialect faces of the incremental probes reuse their engines'
     // oracles verbatim (same engine, same answer — the lowering is what
     // the extra queries pin)
-    "q116_dialect_dedup_probe" ->
-      """WITH toks AS (
-           SELECT doc_id,
-                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
-           FROM documents),
-         shing AS (
-           SELECT doc_id,
-                  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-                       ELSE list_distinct(list_transform(range(1, len(t) - 1),
-                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-                  END AS s
-           FROM toks),
-         ex AS (SELECT doc_id, unnest(s) AS sh FROM shing),
-         sizes AS (SELECT doc_id, count(*) AS c FROM ex GROUP BY 1),
-         inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
-                   FROM ex a JOIN ex b ON a.sh = b.sh
-                   WHERE a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0
-                   GROUP BY 1, 2)
-         SELECT ia AS id_a, ib AS id_b,
-                i::DOUBLE / (sa.c + sb.c - i)::DOUBLE AS jaccard
-         FROM inter
-         JOIN sizes sa ON sa.doc_id = ia
-         JOIN sizes sb ON sb.doc_id = ib
-         WHERE i::DOUBLE / (sa.c + sb.c - i)::DOUBLE >= 0.2
-         ORDER BY id_a, id_b""",
+    "q116_dialect_dedup_probe" -> incrementalDedupSql,
 
-    "q117_dialect_semdedup_probe" ->
-      """SELECT vec_id AS id_a, vec_id + 10000000 AS id_b,
-                CAST(1.0 AS DOUBLE) AS cos
-         FROM embeddings WHERE vec_id % 20 = 0
-         ORDER BY id_a, id_b""",
+    "q117_dialect_semdedup_probe" -> incrementalSemDedupSql,
 
     // incremental SEMANTIC dedup: q55's planted closed form — the probe
     // batch is exactly the shifted twins, each hits its original at
     // cosine exactly 1.0, and nothing organic reaches τ=0.9
-    "q198_semdedup_incremental" ->
-      """SELECT vec_id AS id_a, vec_id + 10000000 AS id_b,
-                CAST(1.0 AS DOUBLE) AS cos
-         FROM embeddings WHERE vec_id % 20 = 0
-         ORDER BY id_a, id_b""",
+    "q198_semdedup_incremental" -> incrementalSemDedupSql,
 
     // incremental LSH-index dedup: the exact cross-set Jaccard between
     // the indexed corpus (doc_id % 3 != 0) and the probe batch — q29's
     // oracle tree restricted to corpus×batch pairs, id_a = indexed side
-    "q197_dedup_incremental" ->
-      """WITH toks AS (
-           SELECT doc_id,
-                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
-           FROM documents),
-         shing AS (
-           SELECT doc_id,
-                  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-                       ELSE list_distinct(list_transform(range(1, len(t) - 1),
-                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-                  END AS s
-           FROM toks),
-         ex AS (SELECT doc_id, unnest(s) AS sh FROM shing),
-         sizes AS (SELECT doc_id, count(*) AS c FROM ex GROUP BY 1),
-         inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
-                   FROM ex a JOIN ex b ON a.sh = b.sh
-                   WHERE a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0
-                   GROUP BY 1, 2)
-         SELECT ia AS id_a, ib AS id_b,
-                i::DOUBLE / (sa.c + sb.c - i)::DOUBLE AS jaccard
-         FROM inter
-         JOIN sizes sa ON sa.doc_id = ia
-         JOIN sizes sb ON sb.doc_id = ib
-         WHERE i::DOUBLE / (sa.c + sb.c - i)::DOUBLE >= 0.2
-         ORDER BY id_a, id_b""",
+    "q197_dedup_incremental" -> incrementalDedupSql,
 
     // bigint (DECIMAL(38,0)) arithmetic: DuckDB replays in HUGEINT
     // (int128 — same exact-integer semantics, different carrier); the

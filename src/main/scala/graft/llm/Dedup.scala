@@ -545,7 +545,8 @@ object Dedup {
   /** Append a pre-hashed SET frame `(doc_id, shh: array<bigint>)` to the
     * index — the feature-agnostic core: text shingles, video frame
     * hashes, audio envelope hashes all ride the same store, disambiguated
-    * by the pinned `feature` string. */
+    * by the pinned `feature` string. Returns the manifested batch dir,
+    * or "" when the batch was empty (tag published, nothing stored). */
   def indexAppendSets(sets: DataFrame, path: String, numHashes: Int,
                       bands: Int, feature: String,
                       commitTag: Option[String] = None): String = {
@@ -560,17 +561,27 @@ object Dedup {
     val bdir = s"$path/batches/b_${System.nanoTime()}"
     val hashed = sets.select(col("doc_id"), col("shh"))
       .persist(graft.ops.Caches.lvl)
-    // sorted-by-band files: row-group stats prune band_hash ranges at
-    // probe time (the folio sorted-run discipline)
-    bandedRows(hashed, numHashes, bands)
-      .repartitionByRange(col("band_id"), col("band_hash"))
-      .sortWithinPartitions("band_id", "band_hash")
-      .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
-      .parquet(s"$bdir/bands")
-    hashed.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
-      .parquet(s"$bdir/sets")
+    // an EMPTY batch (the steady state of a duplicate-heavy ingest
+    // stream: every doc deduplicated away) publishes its commit tag but
+    // manifests NO dir — the tag, not a dir, is what makes re-delivery
+    // exactly-once, and N all-dup batches must not leave N empty dirs
+    // for every future probe to list and footer-read
+    val empty = hashed.isEmpty
+    if (!empty) {
+      // sorted-by-band files: row-group stats prune band_hash ranges at
+      // probe time (the folio sorted-run discipline)
+      bandedRows(hashed, numHashes, bands)
+        .repartitionByRange(col("band_id"), col("band_hash"))
+        .sortWithinPartitions("band_id", "band_hash")
+        .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+        .parquet(s"$bdir/bands")
+      hashed.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+        .parquet(s"$bdir/sets")
+    }
     hashed.unpersist()
-    val manifest = (indexManifest(path) :+ bdir).mkString("\n")
+    val manifest =
+      (if (empty) indexManifest(path) else indexManifest(path) :+ bdir)
+        .mkString("\n")
     graft.io.Folio.publishArtifacts(s"$path/meta") { vdir =>
       java.nio.file.Files.write(new java.io.File(vdir, "_MANIFEST").toPath,
         manifest.getBytes("UTF-8"))
@@ -581,7 +592,7 @@ object Dedup {
       // tagged or not) as the rollup folios
       graft.io.Folio.writeCommitArtifacts(vdir, path, commitTag)
     }
-    bdir
+    if (empty) "" else bdir
   }
 
   /** Append text `docs` to the persisted LSH index at `path` (creating

@@ -576,7 +576,8 @@ object Similarity {
     * (pinned in PlanSpec). */
   def ivfTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
                      k: Int, nProbe: Int = 4,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     excludeSelf: Boolean = true): DataFrame = {
     // ONE root resolution: model and data from the same immutable
     // version — two resolutions could straddle a concurrent republish
     val root = indexRoot(path)
@@ -614,8 +615,13 @@ object Similarity {
     val lists = listsRaw
       .filter(col("list_id").isin(probed: _*))
       .select(col(idCol).as("cand_id"), candVec.as("cand_vec"), col("list_id"))
-    val cands = lists.join(broadcast(q), Seq("list_id"))
-      .filter(col("q_id") =!= col("cand_id"))
+    // excludeSelf is the kNN default (a vector is trivially its own
+    // nearest neighbor); the DEDUP face turns it OFF — an at-least-once
+    // re-delivery of the SAME id must still match its stored copy, or
+    // the ingest loop would re-append it (r14 review finding)
+    val joined = lists.join(broadcast(q), Seq("list_id"))
+    val cands = (if (excludeSelf) joined.filter(col("q_id") =!= col("cand_id"))
+                 else joined)
       .withColumn("sim", round(cosine(col("q_vec"), col("cand_vec")), 6))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("cand_id"))
     cands.withColumn("rk", row_number().over(w).cast("long"))
@@ -636,12 +642,16 @@ object Similarity {
     * escape exists by construction: an identical or near-identical
     * vector coarse-assigns to the same centroid as its stored twin, so
     * it lands in the FIRST probe list (the q133/q143 closed form).
+    * Unlike the kNN faces, the probe does NOT exclude same-id pairs: a
+    * re-delivered row whose id already lives in the index IS a
+    * duplicate of its stored copy and must be flagged, not re-appended.
     * Returns (id_a = stored corpus id, id_b = new id, cos). */
   def semDedupProbe(spark: SparkSession, path: String, newVecs: DataFrame,
                     tau: Double = 0.9, nProbe: Int = 4,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame =
-    ivfTopKIndexed(spark, path, newVecs, k = 1, nProbe, idCol, vecCol)
+    ivfTopKIndexed(spark, path, newVecs, k = 1, nProbe, idCol, vecCol,
+        excludeSelf = false)
       .filter(col("sim") >= tau)
       .select(col("cand_id").as("id_a"), col("q_id").as("id_b"),
         col("sim").as("cos"))

@@ -3037,6 +3037,19 @@ object KerfSql {
     *
     * Same Catalyst trees as the Column API — the dialect adds parsing,
     * not a second engine. */
+  /** Quoted-path operand shared by every persisted-store verb
+    * (`index … at`, `neardup … into/against`, `semdedup … against`). */
+  private def parseQuotedPath(p: P, verb: String): String = {
+    val t = p.pop()
+    require(t.startsWith("'") && t.endsWith("'") && t.length > 2,
+      s"$verb needs a quoted path, got $t")
+    unq(t)
+  }
+
+  /** Optional `within τ` threshold with a verb-specific default. */
+  private def parseWithin(p: P, default: Double): Double =
+    if (p.peekIs("within")) { p.pop(); p.pop().toDouble } else default
+
   private def runDedup(spark: SparkSession, p: P, near: Boolean): DataFrame = {
     val df = spark.table(p.pop())
     p.expect("by"); val idCol = p.pop()
@@ -3048,21 +3061,19 @@ object KerfSql {
     //     index (creating it) and returns a one-row (path, docs) receipt.
     if (near && (p.peekIs("against") || p.peekIs("into"))) {
       val mode = p.pop().toLowerCase
-      val t = p.pop()
-      require(t.startsWith("'") && t.endsWith("'") && t.length > 2,
-        s"neardup … $mode needs a quoted path, got $t")
-      val path = unq(t)
+      val path = parseQuotedPath(p, s"neardup … $mode")
       if (mode == "into") {
         require(p.done, s"trailing tokens in neardup into: ${p.toks.mkString(" ")}")
         val bdir = graft.llm.Dedup.indexAppend(df, idCol, textCol, path)
         import spark.implicits._
         // receipt count from the WRITTEN batch's parquet footers (a
-        // metadata count), never a recompute of the source plan
-        return Seq((path, spark.read.parquet(s"$bdir/sets").count()))
-          .toDF("path", "docs")
+        // metadata count), never a recompute of the source plan; an
+        // empty batch manifests no dir and receipts 0
+        val n = if (bdir.isEmpty) 0L
+                else spark.read.parquet(s"$bdir/sets").count()
+        return Seq((path, n)).toDF("path", "docs")
       }
-      var tau = 0.7
-      if (p.peekIs("within")) { p.pop(); tau = p.pop().toDouble }
+      val tau = parseWithin(p, 0.7)
       require(p.done, s"trailing tokens in neardup against: ${p.toks.mkString(" ")}")
       return graft.llm.Dedup.indexProbe(df, idCol, textCol, path, tau)
     }
@@ -3156,12 +3167,8 @@ object KerfSql {
     // for the nearest STORED neighbor; ≥ τ = semantic dup of it
     if (p.peekIs("against")) {
       p.pop()
-      val t = p.pop()
-      require(t.startsWith("'") && t.endsWith("'") && t.length > 2,
-        s"semdedup … against needs a quoted path, got $t")
-      val path = unq(t)
-      var tau = 0.9
-      if (p.peekIs("within")) { p.pop(); tau = p.pop().toDouble }
+      val path = parseQuotedPath(p, "semdedup … against")
+      val tau = parseWithin(p, 0.9)
       require(p.done, s"trailing tokens in semdedup against: ${p.toks.mkString(" ")}")
       return graft.llm.Similarity.semDedupProbe(spark, path, df, tau,
         idCol = idCol, vecCol = vecCol)
@@ -3283,12 +3290,7 @@ object KerfSql {
     p.expect("by"); val idCol = p.pop()
     p.expect("on"); val vecCol = p.pop()
     p.expect("at")
-    val path = {
-      val t = p.pop()
-      require(t.startsWith("'") && t.endsWith("'") && t.length > 2,
-        s"index … at needs a quoted path, got $t")
-      unq(t)
-    }
+    val path = parseQuotedPath(p, "index … at")
     def posInt(what: String): Int = {
       val t = p.pop()
       require(t.forall(_.isDigit) && t.toInt > 0,

@@ -1158,6 +1158,15 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(second == (6 until 12).map(i => (i + 2000L, i + 5000L)),
       s"second: $second")
+    // SAME-ID re-delivery (an at-least-once source re-sending a row
+    // verbatim) must still flag the duplicate — the kNN self-pair
+    // filter does not apply to the DEDUP face (r14 review finding)
+    val verbatim = df.filter(col("vec_id") < 3)
+    val selfHits = Similarity.semDedupProbe(spark, path, verbatim, tau = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(selfHits == (0 until 3).map(i => (i.toLong, i.toLong, 1.0)),
+      s"same-id re-delivery not flagged: $selfHits")
   }
 
   test("persisted IVF index: probe equals the train-per-call answer exactly") {
