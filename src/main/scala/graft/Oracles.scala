@@ -2739,6 +2739,39 @@ object Oracles {
 
     "q117_dialect_semdedup_probe" -> incrementalSemDedupSql,
 
+    // as-of on a RAW int64-ns axis with a 300-NANOSECOND tolerance:
+    // DuckDB replays the identical planted integer axis from epoch_ns,
+    // so every match/no-match decided below the microsecond crosses as
+    // a bigint compare — a µs-rounding engine fails the hash
+    "q199_asof_ns" ->
+      """WITH t AS (SELECT user_id, event_id,
+                           epoch_ns(ts) + event_id % 997 AS tick_ns
+                    FROM events WHERE event_type = 'click'),
+              q AS (SELECT user_id,
+                           tick_ns - event_id % 499 AS q_ns,
+                           CAST(event_id % 499 AS DOUBLE) AS q_val
+                    FROM t)
+         SELECT t.user_id, t.event_id, t.tick_ns,
+                CASE WHEN t.tick_ns - q.q_ns <= 300 THEN q.q_val END AS q_val,
+                CASE WHEN t.tick_ns - q.q_ns <= 300 THEN q.q_ns END AS q_ns_at
+         FROM t ASOF LEFT JOIN q
+           ON t.user_id = q.user_id AND q.q_ns <= t.tick_ns
+         ORDER BY t.user_id, t.tick_ns, t.event_id""",
+
+    // single-arg fromjson INFERENCE: the sampled schema must land on
+    // {k: bigint} for this fixture (every props row carries integer k),
+    // so the aggregates replay exactly as q141's explicit-DDL tree
+    "q200_atlas_infer" ->
+      """WITH t AS (
+           SELECT event_type,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events)
+         SELECT event_type, count(*) AS n,
+                CAST(sum(k) AS BIGINT) AS sum_k,
+                min(k) AS min_k, max(k) AS max_k
+         FROM t WHERE k >= 5
+         GROUP BY event_type ORDER BY event_type""",
+
     // incremental SEMANTIC dedup: q55's planted closed form — the probe
     // batch is exactly the shifted twins, each hits its original at
     // cosine exactly 1.0, and nothing organic reaches τ=0.9

@@ -3805,6 +3805,46 @@ object Queries {
       "select id_a, id_b, cos from p_v117 order id_a, id_b")
   }
 
+  /** AS-OF ON A RAW NANOSECOND AXIS through the dialect — the horology
+    * contract end-to-end (kerf.h ns STAMP model; DIALECT.md's ns-long
+    * lane): the parquet µs grid carries no sub-µs ticks, so the query
+    * PLANTS deterministic ns jitter (`event_id % 997`) on the tick axis
+    * and derives a quote `event_id % 499` ns EARLIER — then joins as-of
+    * backward `within 300` (300 NANOSECONDS). Whether a tick matches
+    * its quote is decided entirely below the microsecond: an engine
+    * that rounds the axis to µs (or to Spark's TimestampType) gets
+    * every `delta in (300, 997)` row wrong. The DuckDB twin computes
+    * the identical integer axis from epoch_ns. */
+  val q199_asof_ns: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).filter(col("event_type") === "click")
+    ev.select(col("user_id"), col("event_id"),
+        (col("ts_ns") + col("event_id") % 997).as("tick_ns"))
+      .createOrReplaceTempView("ticks_v199")
+    ev.select(col("user_id"),
+        (col("ts_ns") + col("event_id") % 997 - col("event_id") % 499).as("q_ns"),
+        (col("event_id") % 499).cast("double").as("q_val"))
+      .createOrReplaceTempView("quotes_v199")
+    sql.KerfSql.run(s,
+      "select user_id, event_id, tick_ns, q_val, q_ns as q_ns_at " +
+      "from ticks_v199 asof join quotes_v199 on user_id at tick_ns, q_ns " +
+      "within 300 order user_id, tick_ns, event_id")
+  }
+
+  /** ATLAS SCHEMA INFERENCE (enums.h:262 doc-store lineage): the
+    * single-arg `fromjson(props)` — no DDL — infers the struct schema
+    * from a bounded 1024-row sample, then parses the full column
+    * FAILFAST (type drift past the sample is loud, never a silent
+    * null). Same aggregate tree as q141's explicit-DDL face, so the
+    * two answers must agree wherever both see the `k` field. */
+  val q200_atlas_infer: Q = (s, dir) => {
+    Tables.events(s, dir).createOrReplaceTempView("events_v200")
+    sql.KerfSql.run(s,
+      "t: select event_type, fromjson(props) as pj from events_v200; " +
+      "select event_type, count(*) as n, sum(pj.k) as sum_k, " +
+      "min(pj.k) as min_k, max(pj.k) as max_k " +
+      "from t where pj.k >= 5 group event_type order event_type")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -4006,5 +4046,7 @@ object Queries {
     "q196_bigint"        -> q196_bigint,
     "q197_dedup_incremental" -> q197_dedup_incremental,
     "q198_semdedup_incremental" -> q198_semdedup_incremental,
+    "q199_asof_ns"       -> q199_asof_ns,
+    "q200_atlas_infer"   -> q200_atlas_infer,
   )
 }

@@ -124,8 +124,11 @@ object Repl {
               out.println(s"(${ms}ms)")
             } catch {
               // the reference's hard_jmp_wrapper: any error returns to a
-              // fresh prompt with the session state intact
-              case e: Throwable =>
+              // fresh prompt with the session state intact — but only
+              // recoverable errors; a fatal JVM error (OutOfMemoryError,
+              // ThreadDeath) leaves the session undefined and must
+              // propagate, not print as an ordinary 'error:' line
+              case scala.util.control.NonFatal(e) =>
                 out.println(s"error: ${Option(e.getMessage).getOrElse(e.toString)}")
             }
           }

@@ -15,6 +15,21 @@ import org.apache.spark.sql.functions._
   * min/max stats that Catalyst prunes on; mmap laziness is
   * `spark.read.parquet` laziness.
   */
+/** A folio publish lost its commit race: another writer's version landed
+  * between this writer's state read (the basis its merge/manifest was
+  * computed from) and its pointer swap. The winner's commit is intact
+  * and no version number is skipped or lost; the thrower's staged data
+  * was discarded. Re-read the folio and redo the append to recover —
+  * the reference's FILE_REGISTRY contract (file.h:39–310) surfaced as a
+  * loud error instead of a silent last-pointer-wins overwrite. */
+final class ConcurrentPublishException(path: String,
+    expected: Option[String], found: Option[String])
+  extends RuntimeException(
+    s"concurrent publish at $path: commit based on " +
+    s"${expected.map(v => s"basis $v").getOrElse("an empty folio")} but " +
+    s"_CURRENT is now ${found.getOrElse("absent")} — another writer won; " +
+    "re-read and retry the append")
+
 object Folio {
 
   /** Directory-expanded write: one subdir per partition key value
@@ -202,8 +217,8 @@ object Folio {
     val root = new java.io.File(path)
     if (!root.isDirectory) return None
     val entries = Option(root.listFiles()).getOrElse(Array.empty)
-      .filterNot(f => f.getName == "_CURRENT" || f.getName == "_CURRENT.tmp" ||
-        f.getName.matches("v\\d{8}"))
+      .filterNot(f => f.getName.startsWith("_CURRENT") ||
+        f.getName.matches("v\\d{8}(\\.stage-.*)?"))
       .filter(f => f.isDirectory || f.getName.endsWith(".parquet"))
     if (entries.isEmpty) None
     else Some(spark.read.option("basePath", path)
@@ -211,15 +226,18 @@ object Folio {
   }
 
   /** Publish `df` as the next folio version: write the data to a fresh
-    * `vN` dir, then ATOMICALLY swap the `_CURRENT` pointer (tmp file +
-    * rename — the only mutation readers can observe, and it is all-or-
-    * nothing). A crash at ANY earlier point leaves a stale `vN`/tmp dir
-    * on disk but readers still resolve the old version. Local-FS model of
-    * the object-store "write new immutable version, CAS the catalog
-    * pointer" protocol a 100 TB folio store uses. SINGLE WRITER per folio
-    * (the reference's FILE_REGISTRY lock, kept as a protocol rule here):
-    * concurrent promoters are last-pointer-wins, with the loser's data in
-    * an orphaned version dir. */
+    * staging dir, then ATOMICALLY rename it to `vN` and swap the
+    * `_CURRENT` pointer — the only mutations readers can observe, each
+    * all-or-nothing. A crash at ANY earlier point leaves a stale
+    * stage/tmp dir on disk but readers still resolve the old version.
+    * Local-FS model of the object-store "write new immutable version,
+    * CAS the catalog pointer" protocol a 100 TB folio store uses. The
+    * CAS is REAL (the reference's FILE_REGISTRY concurrency contract,
+    * file.h:39–310, as a commit protocol rather than an advisory rule):
+    * the swap verifies under a lock that `_CURRENT` still names version
+    * n-1, so of two concurrent read-modify-write publishers exactly one
+    * wins and the loser throws [[ConcurrentPublishException]] — never a
+    * silent overwrite of the winner's rows or manifest entries. */
   private def publishVersion(df: DataFrame, path: String, n: Long,
                              partitionCols: Seq[String] = Nil,
                              preSpread: Boolean = false): Unit = {
@@ -234,53 +252,115 @@ object Folio {
         df.repartition(partitionCols.map(col): _*)
           .sortWithinPartitions(partitionCols.map(col): _*)
       else df
+    val stage = stageDir(path, vname)
     val w = out.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(s"$path/$vname")
-    swapCurrentAndVacuum(path, vname, n)
+      .parquet(stage.getPath)
+    commitStaged(path, stage, vname, n)
   }
 
-  /** The shared tail of every publisher: atomic `_CURRENT` swap, then GC
-    * of versions STRICTLY OLDER than the previous (kept as the crash
-    * fallback). Dirs NEWER than the swapped pointer are never touched —
-    * under the single-writer protocol none should exist, but deleting
-    * one would race a concurrent publisher's in-flight staging dir
-    * (tasks committing after the rmTree would resurrect a PARTIAL tree
-    * that its later swap then publishes as live). One implementation so
-    * the publish paths can never diverge. */
-  private def swapCurrentAndVacuum(path: String, vname: String, n: Long): Unit = {
-    val tmp = new java.io.File(path, "_CURRENT.tmp")
-    java.nio.file.Files.write(tmp.toPath, vname.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath, currentFile(path).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  /** Each publish attempt stages under a UNIQUE name (never the final
+    * `vN`): two racing writers that both computed n must not interleave
+    * file writes inside one directory — the loser would corrupt the
+    * winner's data before either pointer swap. Suffixed names fail the
+    * strict `v\d{8}` match everywhere (readers, [[versions]], vacuum),
+    * so a stage is invisible until its atomic rename. */
+  private def stageDir(path: String, vname: String): java.io.File =
+    new java.io.File(path,
+      s"$vname.stage-${System.nanoTime()}-${Thread.currentThread().getId}")
+
+  // per-path monitor serializing the check-and-swap among THIS JVM's
+  // writers (the local[*] and one-driver deployments); the file lock
+  // inside extends the exclusion across processes on a shared FS
+  private val publishMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def publishMonitor(path: String): Object =
+    publishMonitors.computeIfAbsent(
+      new java.io.File(path).getAbsolutePath, _ => new Object)
+
+  /** The shared tail of every publisher — the COMMIT: under the folio's
+    * publish lock, verify `_CURRENT` still names version n-1 (the basis
+    * every caller computed n from), atomically rename the staged dir to
+    * `vN`, swap the pointer, then GC versions STRICTLY OLDER than the
+    * previous (kept as the crash fallback). A basis mismatch means
+    * another writer committed since this writer read its state — its
+    * merge/manifest is stale, so the commit throws
+    * [[ConcurrentPublishException]] (stage discarded, winner untouched,
+    * no version lost) instead of silently dropping the winner's work.
+    * Stage dirs are GC'd at the same floor as version dirs: one
+    * targeting n or n+1 may be a live concurrent attempt mid-write, and
+    * rmTree under it would resurrect partial trees. One implementation
+    * so the publish paths can never diverge. */
+  private def commitStaged(path: String, stage: java.io.File, vname: String,
+                           n: Long, keep: Int = 1): Unit = {
+    val expected = if (n <= 1L) None else Some(f"v${n - 1L}%08d")
+    publishMonitor(path).synchronized {
+      val lockCh = java.nio.channels.FileChannel.open(
+        new java.io.File(path, "_CURRENT.lock").toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val flock = lockCh.lock()
+        try {
+          val now = currentVersion(path)
+          if (now != expected) {
+            rmTree(stage)
+            throw new ConcurrentPublishException(path, expected, now)
+          }
+          val vdir = new java.io.File(path, vname)
+          // a CRASHED pre-staging-era attempt may have left a dir under
+          // the final name; no live writer can own it (it would have had
+          // to commit, and then `now` would be >= n), so clear it
+          if (vdir.exists()) rmTree(vdir)
+          java.nio.file.Files.move(stage.toPath, vdir.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          val tmp = new java.io.File(path, "_CURRENT.tmp")
+          java.nio.file.Files.write(tmp.toPath, vname.getBytes("UTF-8"))
+          java.nio.file.Files.move(tmp.toPath, currentFile(path).toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        } finally flock.release()
+      } finally lockCh.close()
+    }
     val dir = new java.io.File(path)
     Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.matches("v\\d{8}") &&
-        d.getName.stripPrefix("v").toLong < n - 1)
+      .filter(d => d.isDirectory &&
+        d.getName.matches("v\\d{8}(\\.stage-.*)?") &&
+        d.getName.substring(1, 9).toLong < n - keep)
       .foreach(rmTree)
   }
 
   /** Stage-and-swap publish for an arbitrary ARTIFACT TREE (model JSON +
     * data dirs — the ANN index layout): the caller writes everything
-    * under the staged next-version dir, and only then does the same
-    * atomic `_CURRENT` swap as [[publishVersion]] make it live. A crash
+    * under a staged dir, and only then does the same atomic rename +
+    * `_CURRENT` swap as [[publishVersion]] make it live. A crash
     * mid-write leaves the previous version fully intact and the staged
     * dir invisible (vacuumable); a concurrent reader can never observe a
     * new model file paired with old data files, because both live inside
-    * one immutable version dir. Returns the published version name. */
-  def publishArtifacts(path: String)(write: java.io.File => Unit): String = {
-    val cur = currentVersion(path)
-    val n = cur.map(_.stripPrefix("v").toLong + 1L).getOrElse(1L)
+    * one immutable version dir. Returns the published version name.
+    * The version number derives from `_CURRENT` at ENTRY and the commit
+    * CAS-checks it is still the basis at swap — callers whose
+    * read-modify-write began earlier (manifest-log appenders) pass
+    * their own basis through [[publishArtifactsFrom]]. */
+  def publishArtifacts(path: String)(write: java.io.File => Unit): String =
+    publishArtifactsFrom(path, currentVersion(path))(write)
+
+  /** [[publishArtifacts]] with an explicit BASIS: `basedOn` is the
+    * `_CURRENT` value the caller's read-modify-write started from (None
+    * for "expected empty"). If any other writer commits between that
+    * read and this swap, the commit throws
+    * [[ConcurrentPublishException]] — the guard that makes two
+    * concurrent manifest appenders safe: the loser's stale manifest
+    * (missing the winner's entry) is discarded instead of silently
+    * published over it. */
+  def publishArtifactsFrom(path: String, basedOn: Option[String],
+      keep: Int = 1)(write: java.io.File => Unit): String = {
+    val n = basedOn.map(_.stripPrefix("v").toLong + 1L).getOrElse(1L)
     val vname = f"v$n%08d"
-    val vdir = new java.io.File(path, vname)
-    // a CRASHED previous attempt leaves a stale staging dir under this
-    // same name — clear it, or its leftovers (e.g. another index kind's
-    // model JSON) would publish alongside the fresh artifacts
-    if (vdir.exists()) rmTree(vdir)
-    vdir.mkdirs()
-    write(vdir)
-    swapCurrentAndVacuum(path, vname, n)
+    val stage = stageDir(path, vname)
+    stage.mkdirs()
+    write(stage)
+    commitStaged(path, stage, vname, n, keep)
     vname
   }
 
@@ -336,7 +416,8 @@ object Folio {
           // crash before this point leaves extra files but promotedRead
           // (and workspaceLoad) still resolve exactly one version.
           Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-            .filter(f => f.getName != "_CURRENT" && !f.getName.matches("v\\d{8}"))
+            .filter(f => !f.getName.startsWith("_CURRENT") &&
+              !f.getName.matches("v\\d{8}(\\.stage-.*)?"))
             .foreach(rmTree)
         }
     }
@@ -407,7 +488,8 @@ object Folio {
       // migrate-in-place (same post-swap cleanup as appendWithPromotion):
       // the legacy root-level files/partition dirs were folded into v1
       Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName != "_CURRENT" && !f.getName.matches("v\\d{8}"))
+        .filter(f => !f.getName.startsWith("_CURRENT") &&
+              !f.getName.matches("v\\d{8}(\\.stage-.*)?"))
         .foreach(rmTree)
     }
   }
@@ -448,7 +530,8 @@ object Folio {
         publishVersion(graft.ops.TableOps.upsert(old, df, keys), path, next, liveParts)
         if (cur.isEmpty) {
           Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-            .filter(f => f.getName != "_CURRENT" && !f.getName.matches("v\\d{8}"))
+            .filter(f => !f.getName.startsWith("_CURRENT") &&
+              !f.getName.matches("v\\d{8}(\\.stage-.*)?"))
             .foreach(rmTree)
         }
     }
@@ -469,25 +552,23 @@ object Folio {
     fragmented
   }
 
-  /** VACUUM a promoted folio: delete crash leftovers — version dirs
-    * STRICTLY OLDER than the live + previous pair (a superseded publish
-    * the GC tail missed) and a stale `_CURRENT.tmp`. Dirs NEWER than
-    * `_CURRENT` are left alone: [[publishArtifacts]] stages the next
-    * version under its final vN name while writing, so a cadence vacuum
-    * firing during a long index build must not rmTree the in-flight
-    * staging dir (tasks committing afterwards would resurrect a PARTIAL
-    * tree that the subsequent swap then publishes as live). A newer dir
-    * that really is a crash orphan is reclaimed by the next publish
-    * (publishArtifacts clears its staging name; publishVersion writes
-    * with Overwrite), not by vacuum. Never touches the live version or
-    * its fallback, so it is safe on a cadence; returns the names
-    * removed. */
+  /** VACUUM a promoted folio: delete crash leftovers — version AND stage
+    * dirs STRICTLY OLDER than the live + previous pair (a superseded or
+    * race-losing publish the GC tail missed) and a stale `_CURRENT.tmp`.
+    * Dirs AT or ABOVE the floor are left alone: a stage dir targeting
+    * the next version may be a live writer mid-write, and rmTree under
+    * it would resurrect a PARTIAL tree (tasks committing after the
+    * delete), while one that really is a crash orphan falls under the
+    * floor after two more publishes and is reclaimed then — or by the
+    * commit CAS itself, which discards a losing stage on the spot.
+    * Never touches the live version or its fallback, so it is safe on a
+    * cadence; returns the names removed. */
   def vacuum(path: String, graceMs: Long = 10 * 60 * 1000L): Seq[String] = {
     val floor = currentVersion(path).map(_.stripPrefix("v").toLong - 1)
     val dir = new java.io.File(path)
     val goneVersions = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.matches("v\\d{8}") &&
-        floor.exists(f => d.getName.stripPrefix("v").toLong < f))
+      .filter(d => d.isDirectory && d.getName.matches("v\\d{8}(\\.stage-.*)?") &&
+        floor.exists(f => d.getName.substring(1, 9).toLong < f))
       .map { d => rmTree(d); d.getName }
     // the tmp pointer gets the same in-flight grace as young batch dirs:
     // swapCurrentAndVacuum writes _CURRENT.tmp then moves it — a cadence
@@ -883,7 +964,13 @@ object Folio {
     require(keys.nonEmpty && valCols.nonEmpty, "rollup needs keys and value columns")
     (keys ++ valCols).foreach(c => require(batch.columns.contains(c),
       s"appendWithRollup: batch is missing column '$c'"))
-    val prev = currentVersion(rollupMetaDir(path)) match {
+    // the CAS basis: everything below (stored rollup, manifest, applied
+    // tags) is read against THIS version, and the commit verifies no
+    // other writer advanced it in between — two concurrent appenders
+    // cannot both fold into the same base rollup and silently drop one
+    // batch (ConcurrentPublishException for the loser instead)
+    val base = currentVersion(rollupMetaDir(path))
+    val prev = base match {
       case None => None
       case Some(v) =>
         val r = spark.read.parquet(s"${rollupMetaDir(path)}/$v/rollup")
@@ -922,7 +1009,12 @@ object Folio {
       case Some(r) => mergeRollups(r, partial, keys, valCols)
     }
     val manifest = (rollupManifest(path) :+ bdir).mkString("\n")
-    publishArtifacts(rollupMetaDir(path)) { vdir =>
+    // keep = 2: the aggregate-navigation rewrite (RollupRewriteRule)
+    // pins the version it matched into an optimized plan; between plan
+    // and task execution up to two appends could land, and keeping one
+    // extra (vocab-sized) rollup version closes that read-after-GC
+    // window instead of failing the pinned read
+    publishArtifactsFrom(rollupMetaDir(path), base, keep = 2) { vdir =>
       // the previous rollup stays readable during this write (the
       // publish vacuum keeps live+fallback), so the lazy merge plan is
       // safe; the manifest and the merged rollup commit together

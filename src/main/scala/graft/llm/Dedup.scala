@@ -553,6 +553,12 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(feature.nonEmpty && !feature.contains(";"),
       s"feature tag must be non-empty and ';'-free, got '$feature'")
+    // CAS basis for the manifest read-modify-write below: a concurrent
+    // appender (a manual `neardup … into` racing the indexIngestStream
+    // sink on one path) that commits in between fails this writer's
+    // publish loudly (ConcurrentPublishException) instead of letting
+    // the second publish silently drop the first's manifest entry
+    val base = graft.io.Folio.currentVersion(s"$path/meta")
     indexParams(path).foreach { case (nh, b, feat) =>
       require((nh, b, feat) == ((numHashes, bands, feature)),
         s"indexAppend: params ($numHashes,$bands,$feature) drift from the " +
@@ -582,7 +588,7 @@ object Dedup {
     val manifest =
       (if (empty) indexManifest(path) else indexManifest(path) :+ bdir)
         .mkString("\n")
-    graft.io.Folio.publishArtifacts(s"$path/meta") { vdir =>
+    graft.io.Folio.publishArtifactsFrom(s"$path/meta", base) { vdir =>
       java.nio.file.Files.write(new java.io.File(vdir, "_MANIFEST").toPath,
         manifest.getBytes("UTF-8"))
       java.nio.file.Files.write(new java.io.File(vdir, "_PARAMS").toPath,
@@ -707,7 +713,17 @@ object Dedup {
       s"indexProbe: probe sets are '$feature' but the index at $path " +
       s"stores '$feat' — one hash family per index")
     val dirs = indexManifest(path)
-    require(dirs.nonEmpty, s"LSH index at $path has an empty manifest")
+    // a PUBLISHED index can legitimately be empty: an all-duplicate
+    // first batch appends no dir but does publish (params + empty
+    // manifest + its commit tag), and the streaming ingest loop probes
+    // before every append — an empty corpus has zero hits, not an
+    // error. Only a missing/unpublished meta is loud (indexParams above).
+    if (dirs.isEmpty) {
+      val idT = newSets.schema("doc_id").dataType
+      return (spark.range(0).select(
+        lit(null).cast(idT).as("id_a"), lit(null).cast(idT).as("id_b"),
+        lit(0.0).as("jaccard")), Seq.empty)
+    }
     val corpusBands = spark.read.parquet(dirs.map(d => s"$d/bands"): _*)
     val corpusSets = spark.read.parquet(dirs.map(d => s"$d/sets"): _*)
 

@@ -1223,10 +1223,20 @@ object Similarity {
     import graft.ops.Caches
     val (acq, own) = Caches.acquire(df)
     val cand = acq.filter(col(vecCol).isNotNull)
-    val centroids = trainCentroids(cand, nClusters, idCol, vecCol, iters)
+    // bench attribution (the r14 q122 adjudication gap): train is
+    // eager (Lloyd passes collect centroids) so it times naturally;
+    // assign is forced ONLY under the bench flag — it materializes the
+    // persisted cache the pair join would otherwise fill lazily, same
+    // total work with an earlier boundary — leaving the headline
+    // remainder attributable to the in-cluster pair stage
+    val centroids = graft.tools.StageTimer.time("train") {
+      trainCentroids(cand, nClusters, idCol, vecCol, iters)
+    }
     val assigned = assignLists(cand, centroids, idCol, vecCol)
       .select(col(idCol).as("__id"), col(vecCol).as("__v"), col("list_id"))
       .persist(Caches.lvl)
+    if (graft.tools.StageTimer.enabled)
+      graft.tools.StageTimer.time("assign") { assigned.count(); () }
     val oversize = assigned.groupBy(col("list_id"))
       .agg(count(lit(1)).as("n")).filter(col("n") > maxCluster)
     val guarded = assigned.join(broadcast(oversize.select(col("list_id"))),

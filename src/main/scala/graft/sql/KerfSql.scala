@@ -1137,22 +1137,52 @@ object KerfSql {
       case fn if fn.toLowerCase == "fromjson" && p.peekIs("(") =>
         // from_json-to-struct lowering — the ATLAS/nested-document entry
         // point (enums.h:262): parse a JSON string column into a TYPED
-        // struct against an EXPLICIT DDL schema (no inference scan — at
-        // 100 TB schema inference is a full extra pass), then field
-        // paths/group/agg compose: `fromjson(props, 'k int').k`.
-        // Malformed rows yield null fields (Spark PERMISSIVE mode), the
-        // doc-store lookup-miss convention, not a job abort.
+        // struct against an EXPLICIT DDL schema, then field paths/group/
+        // agg compose: `fromjson(props, 'k int').k`. Malformed rows
+        // yield null fields (Spark PERMISSIVE mode), the doc-store
+        // lookup-miss convention, not a job abort. The single-arg form
+        // infers the schema from a bounded sample instead (and flips to
+        // FAILFAST — see below); the full-inference-pass-at-100TB
+        // objection is answered by the 1024-row cap.
         p.pop()
         val inner = parseExpr(p, env)
-        p.expect(",")
-        val ddlTok = p.pop()
-        require(ddlTok.startsWith("'") && ddlTok.endsWith("'") && ddlTok.length > 2,
-          s"fromjson needs a quoted DDL schema ('k int, tag string'), got $ddlTok")
-        p.expect(")")
         require(inner.dt == StringType,
           s"fromjson input must be a string column, got ${inner.dt}")
-        val st = StructType.fromDDL(unq(ddlTok))
-        T(from_json(inner.col, st), st)
+        if (p.peekIs(")")) {
+          // SINGLE-ARG INFERENCE face — doc-store ergonomics: the schema
+          // comes from a BOUNDED sample (1024 non-null rows — one cheap
+          // limit-pushed job, never a full inference pass at 100 TB),
+          // and the full scan then parses FAILFAST: a row whose types
+          // drift from the sampled schema fails LOUDLY instead of
+          // silently nulling (fields absent from the sample are dropped
+          // — the doc-store projection convention; pin them with the
+          // explicit-DDL face when they matter)
+          p.pop()
+          val spark = SparkSession.active
+          require(env.tnames.size == 1,
+            "fromjson(col) schema inference samples the source table — " +
+            s"needs exactly one (have ${env.tnames.size}); " +
+            "give an explicit DDL schema instead")
+          import spark.implicits._
+          val sample = spark.table(env.tnames.head)
+            .select(inner.col.as("__j")).filter(col("__j").isNotNull)
+            .limit(1024).as[String]
+          val fields = spark.read.json(sample).schema.fields
+            .filterNot(_.name == "_corrupt_record")
+          require(fields.nonEmpty,
+            "fromjson(col): nothing inferable from the sample (all rows " +
+            "null or malformed) — give an explicit DDL schema")
+          val st = StructType(fields)
+          T(from_json(inner.col, st, Map("mode" -> "FAILFAST")), st)
+        } else {
+          p.expect(",")
+          val ddlTok = p.pop()
+          require(ddlTok.startsWith("'") && ddlTok.endsWith("'") && ddlTok.length > 2,
+            s"fromjson needs a quoted DDL schema ('k int, tag string'), got $ddlTok")
+          p.expect(")")
+          val st = StructType.fromDDL(unq(ddlTok))
+          T(from_json(inner.col, st), st)
+        }
       case fn if fn.toLowerCase == "ema" && p.peekIs("(") =>
         // the q-family ema scan, array form (Adverbs.ema): alpha must be
         // a literal — it parameterizes the fold, it isn't data

@@ -480,14 +480,24 @@ object EventStream {
     val w0 = stream.writeStream.outputMode("append")
     val w = checkpoint.fold(w0)(cp => w0.option("checkpointLocation", cp))
     w.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val tag = s"stream-batch:$writerId:$id"
         if (!batch.isEmpty &&
-            !graft.io.Folio.rollupCommitTags(path).contains(tag))
-          append(batch.toDF(), Some(tag))
+            batchUnapplied(graft.io.Folio.rollupCommitTags(path), writerId, id))
+          append(batch.toDF(), Some(s"stream-batch:$writerId:$id"))
         ()
       }
       .start()
   }
+
+  /** The replay guard: true iff batch `id` from `writerId` has NOT been
+    * committed to the folio yet. Pre-writer-id folios tagged batches
+    * 'stream-batch:<batchId>' (no writer segment); a crash re-delivery
+    * that straddles that code upgrade replays a batch whose applied tag
+    * is in the LEGACY form, so the guard must honor both spellings or
+    * the batch double-applies (rollup double-count). */
+  private[graft] def batchUnapplied(applied: Set[String], writerId: String,
+                                    id: Long): Boolean =
+    !applied.contains(s"stream-batch:$writerId:$id") &&
+    !applied.contains(s"stream-batch:$id")
 
   /** Stable writer id for the streaming folio sinks: a hash of the
     * checkpoint location (the identity Spark itself scopes batch ids

@@ -303,4 +303,59 @@ class DedupIndexSpec extends SparkSpec {
     assert(scanToExchange.size <= 4,
       s"too many hash exchanges for a batch-bounded probe:\n$plan")
   }
+
+  test("a published-but-EMPTY index probes to zero hits, not an error") {
+    val path = tmp()
+    // an all-duplicate first batch: appends no dir but legitimately
+    // publishes (params + empty manifest + its commit tag) — the steady
+    // state of a duplicate-heavy ingest stream's first delivery
+    Dedup.indexAppend(docs().limit(0), "doc_id", "text", path, nh, nb, sn)
+    assert(graft.io.Folio.currentVersion(s"$path/meta").nonEmpty,
+      "empty first batch must still publish the index meta")
+    val hits = Dedup.indexProbe(docs().limit(20), "doc_id", "text", path, thr)
+    assert(hits.columns.toSeq == Seq("id_a", "id_b", "jaccard"))
+    assert(hits.count() == 0L,
+      "empty corpus has zero near-duplicates of anything")
+    // and the index remains appendable + probe-able afterwards
+    Dedup.indexAppend(docs().filter(col("doc_id") < 50), "doc_id", "text",
+      path, nh, nb, sn)
+    val replay = docs().filter(col("doc_id") < 50)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    assert(Dedup.indexProbe(replay, "doc_id", "text", path, 0.99).count() > 0)
+  }
+
+  test("concurrent manifest appenders: the commit CAS never drops a batch") {
+    val path = tmp()
+    val nWriters = 4
+    val slices = (0 until nWriters).map(i =>
+      docs().filter(col("doc_id") % nWriters === i && col("doc_id") < 200))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = slices.zipWithIndex.map { case (slice, i) =>
+      new Thread(() => {
+        try {
+          var done = false
+          var tries = 0
+          while (!done && tries < 32) {
+            tries += 1
+            try {
+              Dedup.indexAppend(slice, "doc_id", "text", path, nh, nb, sn)
+              done = true
+            } catch { case _: graft.io.ConcurrentPublishException => () }
+          }
+          if (!done) errs.add(new AssertionError(s"writer $i never committed"))
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(180000))
+    assert(errs.isEmpty, s"unexpected failures: ${errs.toArray.toSeq}")
+    // every slice's batch dir survived into the final manifest — the
+    // silent-drop failure mode (loser's stale manifest publishing over
+    // the winner's entry) is exactly what the CAS exists to prevent
+    val replay = docs().filter(col("doc_id") < 200)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val hits = Dedup.indexProbe(replay, "doc_id", "text", path, 0.99)
+    assert(hits.filter(col("id_b") === col("id_a") + 1000000L).count() ==
+      docs().filter(col("doc_id") < 200).count(),
+      "a concurrently-appended batch vanished from the manifest")
+  }
 }

@@ -496,7 +496,7 @@ class FolioSpec extends SparkSpec {
     // legacy root-level files folded into v1 and removed: only the
     // versioned layout remains
     val names = new java.io.File(s"$dir/t").listFiles().map(_.getName).toSet
-    assert(names.forall(n => n == "_CURRENT" || n.matches("v\\d{8}")),
+    assert(names.forall(n => n.startsWith("_CURRENT") || n.matches("v\\d{8}")),
       s"legacy files survived migration: $names")
     assert(Folio.promotedRead(spark, s"$dir/t").count() == 3)
   }
@@ -702,5 +702,75 @@ class FolioSpec extends SparkSpec {
     Folio.workspaceLoad(spark, dir, restored)
     assert(restored.run("a(5)").collect()(0).get(0) == 22L,
       "restored def chain a→b→z must resolve after name-sorted save")
+  }
+
+  test("two-writer race: the commit CAS — one wins, the loser errors loudly, no version lost") {
+    val dir = tmp()
+    val p = s"$dir/idx"
+    def manifest(vdir: java.io.File, s: String): Unit =
+      java.nio.file.Files.write(new java.io.File(vdir, "_MANIFEST").toPath,
+        s.getBytes("UTF-8"))
+    def readManifest(): String = {
+      val v = Folio.currentVersion(p).get
+      new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(s"$p/$v", "_MANIFEST").toPath), "UTF-8")
+    }
+    Folio.publishArtifacts(p)(manifest(_, "a"))                 // v1
+    // writers A and B both read their basis at v1 (the read-modify-write
+    // start of a manifest append); B commits first
+    val basis = Folio.currentVersion(p)
+    Folio.publishArtifactsFrom(p, basis)(manifest(_, "a\nb"))   // v2 — B wins
+    // A's commit, still based on v1, must LOSE LOUDLY — a silent publish
+    // here would drop B's manifest entry ('b' gone = data loss)
+    intercept[graft.io.ConcurrentPublishException] {
+      Folio.publishArtifactsFrom(p, basis)(manifest(_, "a\nc"))
+    }
+    // the winner's commit is intact; no version skipped or lost; the
+    // loser's stage was discarded on the spot
+    assert(Folio.currentVersion(p).contains("v00000002"))
+    assert(readManifest() == "a\nb", "the race loser clobbered the winner")
+    assert(Folio.versions(p) == Seq("v00000001", "v00000002"))
+    val leftovers = new java.io.File(p).listFiles()
+      .map(_.getName).filter(_.contains(".stage-")).toSeq
+    assert(leftovers.isEmpty, s"losing stage not discarded: $leftovers")
+    // a retry that re-reads the folio state commits cleanly
+    val v3 = Folio.publishArtifactsFrom(p, Folio.currentVersion(p))(
+      manifest(_, "a\nb\nc"))
+    assert(v3 == "v00000003" && readManifest() == "a\nb\nc")
+  }
+
+  test("concurrent rollup appenders with retry: every batch folds exactly once") {
+    import spark.implicits._
+    val dir = tmp()
+    val path = s"$dir/roll"
+    val nWriters = 4
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val lost = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to nWriters).map { i =>
+      new Thread(() => {
+        try {
+          val b = Seq(("k", i.toDouble)).toDF("k", "v")
+          var done = false
+          var tries = 0
+          while (!done && tries < 32) {
+            tries += 1
+            try { Folio.appendWithRollup(b, path, Seq("k"), Seq("v")); done = true }
+            catch { case _: graft.io.ConcurrentPublishException => () }
+          }
+          if (!done) lost.incrementAndGet()
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"unexpected failure kinds: ${errs.toArray.toSeq}")
+    assert(lost.get() == 0, "a writer could not commit within the retry budget")
+    // each batch folded EXACTLY once: neither a lost append (silent
+    // manifest drop) nor a double-fold (stale-base re-merge)
+    val row = Folio.rollupRead(spark, path).collect()
+    assert(row.length == 1)
+    val sumV = row(0).getAs[java.math.BigDecimal]("v_sum").doubleValue()
+    assert(sumV == (1 to nWriters).map(_.toDouble).sum,
+      s"rollup sum drifted under concurrency: $sumV")
+    assert(Folio.rollupDataRead(spark, path).count() == nWriters.toLong)
   }
 }

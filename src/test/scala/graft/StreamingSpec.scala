@@ -1057,6 +1057,22 @@ class StreamingSpec extends SparkSpec {
       s"tags: $tags")
   }
 
+  test("upgrade replay guard: a LEGACY 'stream-batch:<id>' applied tag still skips the batch") {
+    // a pre-writer-id folio tagged its batches without the writer
+    // segment; a crash re-delivery straddling that code upgrade replays
+    // a batch whose applied tag is in the legacy form — the guard must
+    // honor it, or the batch double-applies (rollup double-count)
+    val legacyApplied = Set("stream-batch:7")
+    assert(!EventStream.batchUnapplied(legacyApplied, "deadbeefcafef00d", 7L),
+      "legacy-tagged batch 7 must be treated as applied by any writer")
+    assert(EventStream.batchUnapplied(legacyApplied, "deadbeefcafef00d", 8L))
+    // the modern form still guards writer-scoped, not globally
+    val modern = Set("stream-batch:aaaaaaaaaaaaaaaa:0")
+    assert(!EventStream.batchUnapplied(modern, "aaaaaaaaaaaaaaaa", 0L))
+    assert(EventStream.batchUnapplied(modern, "bbbbbbbbbbbbbbbb", 0L),
+      "another writer's batch 0 must not be shadowed")
+  }
+
   test("streaming histogram: live quantiles are exact-bracketed after every batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
