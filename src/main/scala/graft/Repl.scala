@@ -22,8 +22,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Meta commands ride a leading backslash (unlexable in the dialect, so
   * they can never shadow a program): `\q` quits (Ctrl-D works too) and
   * `\c` clears the intake buffer — both recognized MID-CONTINUATION, so
-  * a mistyped opener never traps the session. Workspace save/load are
-  * dialect verbs, not console features.
+  * a mistyped opener never traps the session. The workspace pair —
+  * `\s <dir>` saves every temp view plus the session's vars/defs,
+  * `\l <dir>` restores them into the LIVE session (the reference
+  * console's workspace_save/load, main.cc:83–97 + file.cc:994–1023) —
+  * and `\tables` lists the catalog. `\t <prefix>` prints completion
+  * candidates ([[completions]]: catalog tables, session vars/defs,
+  * dialect keywords) — the hook a raw-mode/readline front end binds to
+  * TAB; the plain-stdin loop exposes it as a command so the behavior
+  * stays scriptable and spec-pinned.
   */
 object Repl {
   val Prompt = "kerf> "
@@ -80,6 +87,30 @@ object Repl {
     body.mkString("\n")
   }
 
+  /** Dialect surface worth completing at a prompt — statement heads,
+    * clause keywords, and the join/storage verbs a console user types
+    * mid-query. Verbs that only appear inside expressions resolve
+    * through the catalog/vars instead. */
+  private val Keywords = Seq(
+    "select", "update", "insert", "upsert", "delete", "distinct",
+    "from", "where", "group", "order", "limit", "rollup", "cube", "sets",
+    "asof", "join", "window", "on", "at", "within", "forward", "strict",
+    "back", "against", "into", "by", "def", "if", "else", "while",
+    "neardup", "semdedup", "vacuum", "compact", "meta", "explain",
+    "fromjson", "tojson", "til", "ema", "kerf")
+
+  /** Completion candidates for `prefix`: catalog tables (temp views and
+    * catalog tables alike), the session's variables and `def`s, and the
+    * dialect keywords — case-insensitive prefix match, sorted. The
+    * reference console's linenoise completion feed (main.cc:83–97). */
+  def completions(spark: SparkSession, interp: sql.KerfSql.Interp,
+                  prefix: String): Seq[String] = {
+    val tables = spark.catalog.listTables().collect().map(_.name).toSeq
+    (tables ++ interp.varNames ++ interp.defNames ++ Keywords)
+      .filter(_.toLowerCase.startsWith(prefix.toLowerCase))
+      .distinct.sorted
+  }
+
   /** The read-eval-print loop, IO-injected so ReplSpec can drive it with
     * a scripted reader and assert on the captured transcript. Returns
     * when the reader drains (Ctrl-D) or on `\q`. */
@@ -103,10 +134,43 @@ object Repl {
         // opener (the other way out of a stuck continuation)
         if (buf.nonEmpty) { buf.clear(); out.println("(input cleared)") }
       } else if (buf.isEmpty && line.trim.startsWith("\\")) {
-        line.trim match {
+        try line.trim match {
+          case "\\tables" =>
+            val ts = spark.catalog.listTables().collect()
+              .map(t => s"${t.name}${if (t.isTemporary) "" else "  [stored]"}")
+            out.println(if (ts.isEmpty) "(no tables)" else ts.sorted.mkString("\n"))
+          case t if t.startsWith("\\t ") =>
+            val cs = completions(spark, interp, t.stripPrefix("\\t ").trim)
+            out.println(if (cs.isEmpty) "(no completions)" else cs.mkString(" "))
+          case s if s.startsWith("\\s ") =>
+            // `\s <dir> [t1 t2 …]` — whole visible tree by default (the
+            // reference's workspace_save), or just the named views
+            val toks = s.stripPrefix("\\s ").trim.split("\\s+").toSeq
+            require(toks.nonEmpty && toks.head.nonEmpty, "\\s needs a directory")
+            val (dir, only) = (toks.head, toks.tail.toSet)
+            val views = spark.catalog.listTables().collect()
+              .filter(_.isTemporary).map(_.name)
+              .filter(n => only.isEmpty || only(n))
+              .map(n => n -> spark.table(n)).toMap
+            val missing = only -- views.keySet
+            require(missing.isEmpty,
+              s"\\s: no such temp view(s): ${missing.toSeq.sorted.mkString(", ")}")
+            io.Folio.workspaceSave(views, dir, interp)
+            out.println(s"saved ${views.size} table(s) + program state to $dir")
+          case l if l.startsWith("\\l ") =>
+            val dir = l.stripPrefix("\\l ").trim
+            require(dir.nonEmpty, "\\l needs a directory")
+            require(new java.io.File(dir).isDirectory,
+              s"no workspace directory at $dir")
+            val loaded = io.Folio.workspaceLoad(spark, dir, interp)
+            out.println(s"loaded: ${loaded.keys.toSeq.sorted.mkString(", ")}")
           case other => out.println(
             s"unknown meta command '$other' (\\q quits, \\c clears the " +
-            "buffer; everything else is dialect)")
+            "buffer, \\tables lists, \\t <prefix> completes, " +
+            "\\s/\\l <dir> save/load the workspace; everything else is dialect)")
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            out.println(s"error: ${Option(e.getMessage).getOrElse(e.toString)}")
         }
       } else {
         if (buf.nonEmpty) buf.append('\n') // main.cc:49's lex("\n") join

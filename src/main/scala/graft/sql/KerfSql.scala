@@ -2243,6 +2243,10 @@ object KerfSql {
     def run(statement: String): DataFrame =
       KerfSql.runWith(spark, statement, vars, funcs)
 
+    /** Session variable / `def` names — the console's completion feed. */
+    def varNames: Seq[String] = vars.keys.toSeq.sorted
+    def defNames: Seq[String] = funcs.keys.toSeq.sorted
+
     /** Program state → `path/_PROGRAM.json` (pairs with
       * Folio.workspaceSave into the same workspace directory). */
     def saveProgram(path: String): Unit = {

@@ -7,11 +7,20 @@ import org.apache.spark.sql.functions._
   * train-per-call path because it skips training + assignment/encode.
   * Same decorrelated-replica staging idea as [[DedupScalingBench]]
   * (rotation keeps within-replica geometry, cross-replica pairs
-  * decorrelate). Run: `sbt "runMain graft.tools.AnnIndexBench [reps]"`.
+  * decorrelate). Run: `sbt "runMain graft.tools.AnnIndexBench [reps]"`
+  * — or pass an explicit CSV of replica counts (`1,16,128,400`) to
+  * sweep probe-wall vs corpus size directly. Replica counts past 2·dim
+  * repeat transforms (exact-duplicate geometry under fresh ids): fine
+  * for the PROBE-COST curve — probe work is nProbe·meanList vectors
+  * regardless of duplication — and flagged `geometry_repeats` in the
+  * output so recall-shaped conclusions aren't drawn from those points.
   * Prints one JSON line per (op, scale). */
 object AnnIndexBench {
   def main(args: Array[String]): Unit = {
-    val replicas = args.headOption.map(_.toInt).getOrElse(10)
+    val replicas = args.headOption.filterNot(_.contains(","))
+      .map(_.toInt).getOrElse(10)
+    val explicit: Option[Seq[Int]] = args.headOption.filter(_.contains(","))
+      .map(_.split(",").map(_.trim.toInt).toSeq)
     val spark = graft.Engine.session()
     val out = s"/tmp/graft_ann_index/${spark.sparkContext.applicationId}"
 
@@ -22,14 +31,16 @@ object AnnIndexBench {
     // production posture for the comparison: 2 Lloyd passes (training is
     // the cost the index amortizes; iters=1 under-states it)
     val iters = 2
-    val scales: Seq[(String, Int)] =
-      Seq(("sf0.1", 1), (s"sf0.1x$replicas", replicas),
+    val scales: Seq[(String, Int)] = explicit match {
+      case Some(rs) => rs.map(r => (if (r == 1) "sf0.1" else s"sf0.1x$r", r))
+      case None => Seq(("sf0.1", 1), (s"sf0.1x$replicas", replicas),
           (s"sf0.1x${replicas * 10}", replicas * 10))
+    }
     scales.foreach { case (label, reps) =>
       val src = graft.Tables.embeddings(spark, "/root/testdata/sf0.1")
         .select(col("vec_id"), col("embedding"))
       val dim = src.select(size(col("embedding"))).first().getInt(0)
-      require(reps <= 2 * dim, s"replica transforms repeat beyond 2*dim: $reps")
+      val repeats = reps > 2 * dim
       val vecs0 =
         if (reps == 1) src
         else (0 until reps).map { r =>
@@ -69,6 +80,7 @@ object AnnIndexBench {
       val tProbeSmall = time(graft.llm.Similarity
         .ivfTopKIndexed(spark, idx, small, 5, nProbe = 4).count())
       println(f"""{"scale":"$label","rows":$n,"queries":$nq,"nLists":$k,""" +
+        f""""geometry_repeats":$repeats,""" +
         f""""write_sec":$tWrite%.2f,"train_per_call_sec":$tPerCall%.2f,""" +
         f""""indexed_probe_sec":$tProbe%.2f,""" +
         f""""small_batch_per_call_sec":$tPerCallSmall%.2f,""" +

@@ -95,4 +95,61 @@ class ReplSpec extends SparkSpec {
     val t2 = transcript("g: (1 +", "\\q", "9 + 9")
     assert(!t2.linesIterator.map(_.trim).contains("18"), s"transcript:\n$t2")
   }
+
+  test("\\t completion: catalog tables, session vars/defs, and keywords by prefix") {
+    import org.apache.spark.sql.functions.lit
+    spark.range(3).select(lit(1).as("x"))
+      .createOrReplaceTempView("compl_trades")
+    val t = transcript(
+      "compl_total: 42",
+      "def compl_tier(x) { return x }",
+      "\\t compl_t",
+      "\\t selec",
+      "\\t zzz_nothing",
+      "\\q")
+    // one line carries all three compl_t candidates, space-joined sorted
+    assert(t.contains("compl_tier compl_total compl_trades"),
+      s"transcript:\n$t")
+    assert(t.contains("select"), s"transcript:\n$t")
+    assert(t.contains("(no completions)"), s"transcript:\n$t")
+  }
+
+  test("\\s / \\l: workspace save and load round-trip through the live session") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_repl_ws").toString
+    spark.range(5).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .createOrReplaceTempView("ws_t")
+    val t = transcript(
+      "ws_base: 100",
+      "def ws_f(x) { return x + ws_base }",
+      s"\\s $dir/ws ws_t",
+      "\\q")
+    assert(t.contains("program state"), s"transcript:\n$t")
+    // a FRESH session (new runLoop = new Interp) restores tables AND
+    // program state — the reference's workspace_load rerun contract
+    spark.catalog.dropTempView("ws_t")
+    val t2 = transcript(
+      s"\\l $dir/ws",
+      "select sum(v) as s from ws_t",
+      "ws_f(11)",
+      "\\q")
+    assert(t2.contains("ws_t"), s"transcript:\n$t2")
+    assert(t2.linesIterator.map(_.trim).contains("20"),
+      s"transcript:\n$t2") // sum(0,2,4,6,8) = 20
+    assert(t2.linesIterator.map(_.trim).contains("111"), s"transcript:\n$t2")
+  }
+
+  test("\\tables lists the catalog; meta-command errors return to the prompt") {
+    import org.apache.spark.sql.functions.lit
+    spark.range(1).select(lit(1).as("x"))
+      .createOrReplaceTempView("listme_t")
+    val t = transcript(
+      "\\tables",
+      "\\l /nonexistent_graft_dir_xyz",
+      "2 + 2",
+      "\\q")
+    assert(t.contains("listme_t"), s"transcript:\n$t")
+    // the failed load printed an error line and the loop kept going
+    assert(t.linesIterator.map(_.trim).contains("4"), s"transcript:\n$t")
+  }
 }
