@@ -300,7 +300,11 @@ object Folio {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
       try {
-        val flock = lockCh.lock()
+        // cross-process exclusion where the FS supports it; a filesystem
+        // without byte-range locks degrades to the in-JVM monitor plus
+        // the CAS re-read below (still loud, window merely narrower)
+        val flock = try lockCh.lock()
+                    catch { case _: java.io.IOException => null }
         try {
           val now = currentVersion(path)
           if (now != expected) {
@@ -319,7 +323,7 @@ object Folio {
           java.nio.file.Files.move(tmp.toPath, currentFile(path).toPath,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        } finally flock.release()
+        } finally { if (flock != null) flock.release() }
       } finally lockCh.close()
     }
     val dir = new java.io.File(path)
