@@ -480,12 +480,41 @@ object EventStream {
     val w0 = stream.writeStream.outputMode("append")
     val w = checkpoint.fold(w0)(cp => w0.option("checkpointLocation", cp))
     w.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        if (!batch.isEmpty &&
-            batchUnapplied(graft.io.Folio.rollupCommitTags(path), writerId, id))
-          append(batch.toDF(), Some(s"stream-batch:$writerId:$id"))
-        ()
+        appendGuarded(path, writerId, id) { tag => append(batch.toDF(), tag) }(
+          () => batch.isEmpty)
       }
       .start()
+  }
+
+  /** One guarded micro-batch commit with CAS-loss retry: a sink losing
+    * the folio's commit race to a MANUAL appender (a dialect append
+    * interleaving with the stream on one path) re-reads the applied set
+    * and redoes its append instead of failing the whole streaming
+    * query — safe because the append publishes the tag atomically with
+    * its data, so a retry after a loss (where nothing of ours
+    * published) can never double-apply. Bounded: a pathological
+    * always-losing sink still fails loudly after `MaxCommitRetries`.
+    * `isEmpty` is deferred so the (Spark-job) emptiness check runs only
+    * when the batch is not already applied. */
+  private[graft] val MaxCommitRetries = 8
+  private[graft] def appendGuarded(path: String, writerId: String, id: Long)(
+      append: Option[String] => Unit)(isEmpty: () => Boolean): Unit = {
+    val tag = s"stream-batch:$writerId:$id"
+    var tries = 0
+    var done = false
+    while (!done) {
+      if (!batchUnapplied(graft.io.Folio.rollupCommitTags(path), writerId, id)
+          || isEmpty()) done = true
+      else {
+        tries += 1
+        try { append(Some(tag)); done = true }
+        catch {
+          case e: graft.io.ConcurrentPublishException =>
+            if (tries >= MaxCommitRetries) throw e
+            Thread.sleep(50L * tries)
+        }
+      }
+    }
   }
 
   /** The replay guard: true iff batch `id` from `writerId` has NOT been

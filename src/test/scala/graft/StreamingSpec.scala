@@ -1073,6 +1073,39 @@ class StreamingSpec extends SparkSpec {
       "another writer's batch 0 must not be shadowed")
   }
 
+  test("sink CAS-loss retry: a lost commit race redoes the append; exhaustion is loud") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_retry").toString
+    // append that LOSES the race twice (simulated: a competing manual
+    // append lands first and our basis goes stale), then commits
+    var calls = 0
+    EventStream.appendGuarded(path, "w1", 0L) { tag =>
+      calls += 1
+      if (calls <= 2)
+        throw new graft.io.ConcurrentPublishException(path, None, Some("v1"))
+      graft.io.Folio.appendWithRollup(
+        Seq(("k", 1.0)).toDF("k", "v"), path, Seq("k"), Seq("v"), tag)
+    }(() => false)
+    assert(calls == 3, s"expected 2 losses + 1 commit, got $calls")
+    // the commit landed exactly once, tag applied
+    assert(graft.io.Folio.rollupRead(spark, path).count() == 1)
+    assert(!EventStream.batchUnapplied(
+      graft.io.Folio.rollupCommitTags(path), "w1", 0L))
+    // an applied batch never re-appends (the replay guard short-circuits)
+    var again = 0
+    EventStream.appendGuarded(path, "w1", 0L) { _ => again += 1 }(() => false)
+    assert(again == 0, "applied batch must not re-append")
+    // a perpetually-losing sink fails loudly, not forever
+    var always = 0
+    intercept[graft.io.ConcurrentPublishException] {
+      EventStream.appendGuarded(path, "w2", 5L) { _ =>
+        always += 1
+        throw new graft.io.ConcurrentPublishException(path, None, Some("v9"))
+      }(() => false)
+    }
+    assert(always == EventStream.MaxCommitRetries)
+  }
+
   test("streaming histogram: live quantiles are exact-bracketed after every batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
