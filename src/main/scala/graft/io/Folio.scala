@@ -186,6 +186,16 @@ object Folio {
 
   private def currentFile(path: String) = new java.io.File(path, "_CURRENT")
 
+  /** Everything the versioned-publish protocol owns at a folio ROOT:
+    * pointer files (`_CURRENT` + its `.tmp`/`.lock`/`.keep` siblings),
+    * version dirs, and their unique staging names. Legacy-data scans and
+    * migrate-in-place cleanups must skip EXACTLY this set — one
+    * predicate, so the next protocol file cannot be missed at one of
+    * the copies (missing one either double-counts a protocol dir as
+    * legacy data or deletes it during migration). */
+  private[graft] def isProtocolEntry(name: String): Boolean =
+    name.startsWith("_CURRENT") || name.matches("v\\d{8}(\\.stage-.*)?")
+
   /** Live version name (`vNNNNNNNN`) of a promoted folio, if the path
     * uses the versioned layout. */
   def currentVersion(path: String): Option[String] = {
@@ -217,8 +227,7 @@ object Folio {
     val root = new java.io.File(path)
     if (!root.isDirectory) return None
     val entries = Option(root.listFiles()).getOrElse(Array.empty)
-      .filterNot(f => f.getName.startsWith("_CURRENT") ||
-        f.getName.matches("v\\d{8}(\\.stage-.*)?"))
+      .filterNot(f => isProtocolEntry(f.getName))
       .filter(f => f.isDirectory || f.getName.endsWith(".parquet"))
     if (entries.isEmpty) None
     else Some(spark.read.option("basePath", path)
@@ -289,8 +298,15 @@ object Folio {
     * no version lost) instead of silently dropping the winner's work.
     * Stage dirs are GC'd at the same floor as version dirs: one
     * targeting n or n+1 may be a live concurrent attempt mid-write, and
-    * rmTree under it would resurrect partial trees. One implementation
-    * so the publish paths can never diverge. */
+    * rmTree under it would resurrect partial trees.
+    *
+    * BOUNDED RETENTION caveat: the GC keeps live + `keep` fallbacks, so
+    * a reader (or a staling writer's merge plan) pinned to a version
+    * ≥ keep+1 commits behind can have its dir vanish MID-READ — that
+    * surfaces as FileNotFound inside the Spark job, not as this CAS
+    * error, and means the same thing: state went stale, re-read and
+    * retry (the streaming sinks do, EventStream.appendGuarded). One
+    * implementation so the publish paths can never diverge. */
   private def commitStaged(path: String, stage: java.io.File, vname: String,
                            n: Long, keep: Int = 1): Unit = {
     val expected = if (n <= 1L) None else Some(f"v${n - 1L}%08d")
@@ -326,12 +342,30 @@ object Folio {
         } finally { if (flock != null) flock.release() }
       } finally lockCh.close()
     }
+    // a non-default retention is a property of the FOLIO, not of one
+    // call: persist it so a cadence `vacuum` (which cannot know the
+    // caller's keep) honors the same floor instead of reaping the extra
+    // fallback this publish deliberately retained
+    if (keep > 1)
+      java.nio.file.Files.write(new java.io.File(path, "_CURRENT.keep").toPath,
+        keep.toString.getBytes("UTF-8"))
     val dir = new java.io.File(path)
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory &&
         d.getName.matches("v\\d{8}(\\.stage-.*)?") &&
         d.getName.substring(1, 9).toLong < n - keep)
       .foreach(rmTree)
+  }
+
+  /** The folio's published retention depth (versions kept BELOW live):
+    * 1 unless a publisher pinned more via `_CURRENT.keep` (rollup metas
+    * keep 2 for the plan-vs-execute window). */
+  private def keepDepth(path: String): Int = {
+    val f = new java.io.File(path, "_CURRENT.keep")
+    if (!f.isFile) 1
+    else scala.util.Try(new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toInt)
+      .toOption.filter(_ >= 1).getOrElse(1)
   }
 
   /** Stage-and-swap publish for an arbitrary ARTIFACT TREE (model JSON +
@@ -420,8 +454,7 @@ object Folio {
           // crash before this point leaves extra files but promotedRead
           // (and workspaceLoad) still resolve exactly one version.
           Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-            .filter(f => !f.getName.startsWith("_CURRENT") &&
-              !f.getName.matches("v\\d{8}(\\.stage-.*)?"))
+            .filter(f => !isProtocolEntry(f.getName))
             .foreach(rmTree)
         }
     }
@@ -492,8 +525,7 @@ object Folio {
       // migrate-in-place (same post-swap cleanup as appendWithPromotion):
       // the legacy root-level files/partition dirs were folded into v1
       Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-        .filter(f => !f.getName.startsWith("_CURRENT") &&
-              !f.getName.matches("v\\d{8}(\\.stage-.*)?"))
+        .filter(f => !isProtocolEntry(f.getName))
         .foreach(rmTree)
     }
   }
@@ -534,8 +566,7 @@ object Folio {
         publishVersion(graft.ops.TableOps.upsert(old, df, keys), path, next, liveParts)
         if (cur.isEmpty) {
           Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-            .filter(f => !f.getName.startsWith("_CURRENT") &&
-              !f.getName.matches("v\\d{8}(\\.stage-.*)?"))
+            .filter(f => !isProtocolEntry(f.getName))
             .foreach(rmTree)
         }
     }
@@ -568,7 +599,7 @@ object Folio {
     * Never touches the live version or its fallback, so it is safe on a
     * cadence; returns the names removed. */
   def vacuum(path: String, graceMs: Long = 10 * 60 * 1000L): Seq[String] = {
-    val floor = currentVersion(path).map(_.stripPrefix("v").toLong - 1)
+    val floor = currentVersion(path).map(_.stripPrefix("v").toLong - keepDepth(path))
     val dir = new java.io.File(path)
     val goneVersions = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.matches("v\\d{8}(\\.stage-.*)?") &&
@@ -928,12 +959,21 @@ object Folio {
   // compact: per checkpoint, Spark batch ids are MONOTONE, so only the
   // latest batch per writer needs retaining — the set stays
   // writer-count-sized forever, never micro-batch-count-sized
-  private val StreamTagRe = raw"stream-batch:(.+):(\d+)".r
+  private[graft] val StreamTagRe = raw"stream-batch:(.+):(\d+)".r
+  // pre-writer-id spelling (no writer segment) — carried by folios that
+  // committed batches before the upgrade; compacts like a writer of its
+  // own (batch ids were monotone for the one legacy query too), so at
+  // most ONE legacy tag ever lingers instead of one per ancient batch
+  private[graft] val LegacyTagRe = raw"stream-batch:(\d+)".r
   private[graft] def compactTags(tags: Seq[String]): Seq[String] = {
-    val (stream, other) = tags.partition(StreamTagRe.matches(_))
+    val (stream, rest) = tags.partition(StreamTagRe.matches(_))
+    val (legacy, other) = rest.partition(LegacyTagRe.matches(_))
     val latest = stream.map { case StreamTagRe(w, n) => (w, n.toLong) }
       .groupMapReduce(_._1)(_._2)(math.max)
-    (other ++ latest.toSeq.sortBy(_._1).map { case (w, n) => s"stream-batch:$w:$n" })
+    val legacyMax = legacy.map { case LegacyTagRe(n) => n.toLong }
+      .maxOption.map(n => s"stream-batch:$n")
+    (other ++ legacyMax ++
+      latest.toSeq.sortBy(_._1).map { case (w, n) => s"stream-batch:$w:$n" })
       .distinct
   }
 

@@ -162,12 +162,16 @@ object KerfSql {
                     // first order-clause key (source tokens, lowercased) —
                     // only so `ranks(c)` can reject an argument that is NOT
                     // what the rank actually runs on
-                    val firstOrderKey: Option[List[String]] = None) {
+                    val firstOrderKey: Option[List[String]] = None,
+                    // the SESSION the program runs on — schema inference
+                    // must sample ITS temp views, never SparkSession.active
+                    // (a multi-session driver resolves views per session)
+                    val session: Option[SparkSession] = None) {
     def bind(ps: Seq[(String, T)]): Env =
-      new Env(schema, vars ++ ps, funcs, wspec, tnames, firstOrderKey)
+      new Env(schema, vars ++ ps, funcs, wspec, tnames, firstOrderKey, session)
     def withWspec(w: org.apache.spark.sql.expressions.WindowSpec,
                   firstKey: Option[List[String]]): Env =
-      new Env(schema, vars, funcs, Some(w), tnames, firstKey)
+      new Env(schema, vars, funcs, Some(w), tnames, firstKey, session)
   }
   private def emptyEnv = new Env(None, Map.empty)
 
@@ -1158,7 +1162,7 @@ object KerfSql {
           // — the doc-store projection convention; pin them with the
           // explicit-DDL face when they matter)
           p.pop()
-          val spark = SparkSession.active
+          val spark = env.session.getOrElse(SparkSession.active)
           require(env.tnames.size == 1,
             "fromjson(col) schema inference samples the source table — " +
             s"needs exactly one (have ${env.tnames.size}); " +
@@ -2571,7 +2575,8 @@ object KerfSql {
           left.join(right, cond, how)
         }
       (joined, new Env(Some(joined.schema), programVars, programFuncs,
-        tnames = Set(leftName.toLowerCase, rightName.toLowerCase)))
+        tnames = Set(leftName.toLowerCase, rightName.toLowerCase),
+        session = Some(spark)))
     } else if (p.peekIs("window")) {
       // WINDOW JOIN (q's wj, the second canonical tick join next to
       // asof; Kerf1 heritage): for each left row, the right rows whose
@@ -2670,11 +2675,13 @@ object KerfSql {
         out = out.unionByName(prevPairs)
       }
       (out, new Env(Some(out.schema), programVars, programFuncs,
-        tnames = Set(leftName.toLowerCase, rightName.toLowerCase)))
+        tnames = Set(leftName.toLowerCase, rightName.toLowerCase),
+        session = Some(spark)))
     } else if (!p.peekIs("asof")) {
       require(p.done, s"trailing tokens in from clause: ${p.toks.mkString(" ")}")
       (left, new Env(Some(left.schema), programVars, programFuncs,
-        tnames = Set(leftName.toLowerCase)))
+        tnames = Set(leftName.toLowerCase),
+        session = Some(spark)))
     } else {
       p.pop(); p.expect("join")
       val asofRightName = p.pop()
@@ -2708,7 +2715,8 @@ object KerfSql {
       val joined = graft.ops.AsOf.joinNative(left, right, keys.toSeq, lts, rts,
         strict = strict, tolerance = tol, forward = fwd)
       (joined, new Env(Some(joined.schema), programVars, programFuncs,
-        tnames = Set(leftName.toLowerCase, asofRightName.toLowerCase)))
+        tnames = Set(leftName.toLowerCase, asofRightName.toLowerCase),
+        session = Some(spark)))
     }
   }
 

@@ -492,10 +492,15 @@ object EventStream {
     * and redoes its append instead of failing the whole streaming
     * query — safe because the append publishes the tag atomically with
     * its data, so a retry after a loss (where nothing of ours
-    * published) can never double-apply. Bounded: a pathological
-    * always-losing sink still fails loudly after `MaxCommitRetries`.
-    * `isEmpty` is deferred so the (Spark-job) emptiness check runs only
-    * when the batch is not already applied. */
+    * published) can never double-apply. A loss can also surface as a
+    * STALE-SNAPSHOT read failure rather than the CAS exception: folio
+    * retention is bounded (live + keep fallbacks), so a writer ≥ keep+1
+    * commits behind can have the very version dir its merge plan reads
+    * GC'd mid-job (FileNotFound inside a SparkException) — same cause,
+    * same cure, the retry re-plans from the live version. Bounded: a
+    * pathological always-losing sink still fails loudly after
+    * `MaxCommitRetries`. `isEmpty` is deferred so the (Spark-job)
+    * emptiness check runs only when the batch is not already applied. */
   private[graft] val MaxCommitRetries = 8
   private[graft] def appendGuarded(path: String, writerId: String, id: Long)(
       append: Option[String] => Unit)(isEmpty: () => Boolean): Unit = {
@@ -512,21 +517,54 @@ object EventStream {
           case e: graft.io.ConcurrentPublishException =>
             if (tries >= MaxCommitRetries) throw e
             Thread.sleep(50L * tries)
+          case scala.util.control.NonFatal(e) if staleSnapshotFailure(e) =>
+            if (tries >= MaxCommitRetries) throw e
+            Thread.sleep(50L * tries)
         }
       }
     }
+  }
+
+  /** A read failure whose cause chain says a file/dir vanished — the
+    * signature of scanning a folio version that lost its retention race
+    * (never of a correctness bug: version dirs are immutable while
+    * retained). Genuine persistent FS trouble re-throws after the
+    * bounded retries anyway. */
+  private def staleSnapshotFailure(t: Throwable): Boolean = {
+    var c = t; var depth = 0
+    while (c != null && depth < 16) {
+      if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+      val m = c.getMessage
+      if (m != null && (m.contains("FileNotFoundException") ||
+          m.contains("does not exist"))) return true
+      c = c.getCause; depth += 1
+    }
+    false
   }
 
   /** The replay guard: true iff batch `id` from `writerId` has NOT been
     * committed to the folio yet. Pre-writer-id folios tagged batches
     * 'stream-batch:<batchId>' (no writer segment); a crash re-delivery
     * that straddles that code upgrade replays a batch whose applied tag
-    * is in the LEGACY form, so the guard must honor both spellings or
-    * the batch double-applies (rollup double-count). */
+    * is in the LEGACY form, so the guard must honor that spelling or
+    * the batch double-applies (rollup double-count). But ONLY for a
+    * writer with no earlier progress of its own: batch ids are monotone
+    * per checkpoint, so the straddling re-delivery is necessarily the
+    * resumed query's FIRST post-upgrade batch — a writer whose applied
+    * set already carries one of its own SMALLER-id tags is an
+    * established post-upgrade writer that merely counted up to the
+    * legacy number, and skipping it would silently drop its batch (a
+    * legacy tag lingers in the applied set forever). */
   private[graft] def batchUnapplied(applied: Set[String], writerId: String,
-                                    id: Long): Boolean =
-    !applied.contains(s"stream-batch:$writerId:$id") &&
-    !applied.contains(s"stream-batch:$id")
+                                    id: Long): Boolean = {
+    if (applied.contains(s"stream-batch:$writerId:$id")) return false
+    if (!applied.contains(s"stream-batch:$id")) return true
+    val ownEarlier = applied.exists {
+      case graft.io.Folio.StreamTagRe(w, n) => w == writerId && n.toLong < id
+      case _ => false
+    }
+    ownEarlier
+  }
 
   /** Stable writer id for the streaming folio sinks: a hash of the
     * checkpoint location (the identity Spark itself scopes batch ids

@@ -1064,8 +1064,18 @@ class StreamingSpec extends SparkSpec {
     // honor it, or the batch double-applies (rollup double-count)
     val legacyApplied = Set("stream-batch:7")
     assert(!EventStream.batchUnapplied(legacyApplied, "deadbeefcafef00d", 7L),
-      "legacy-tagged batch 7 must be treated as applied by any writer")
+      "legacy-tagged batch 7 must skip for the resuming (progress-free) writer")
     assert(EventStream.batchUnapplied(legacyApplied, "deadbeefcafef00d", 8L))
+    // …but a writer with its OWN earlier progress is post-upgrade and
+    // merely counted up to the legacy number — its batch must apply
+    // (the lingering legacy tag must not shadow fresh writers forever)
+    val established = Set("stream-batch:7", "stream-batch:deadbeefcafef00d:6")
+    assert(EventStream.batchUnapplied(established, "deadbeefcafef00d", 7L),
+      "an established writer's batch 7 must not be shadowed by the legacy tag")
+    // legacy tags compact to their max alone (one lingers, not one per batch)
+    assert(graft.io.Folio.compactTags(
+      Seq("stream-batch:3", "stream-batch:7", "stream-batch:w:2", "manual"))
+      == Seq("manual", "stream-batch:7", "stream-batch:w:2"))
     // the modern form still guards writer-scoped, not globally
     val modern = Set("stream-batch:aaaaaaaaaaaaaaaa:0")
     assert(!EventStream.batchUnapplied(modern, "aaaaaaaaaaaaaaaa", 0L))
