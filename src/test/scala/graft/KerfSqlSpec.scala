@@ -2270,4 +2270,36 @@ class KerfSqlSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("cannot mix"), s"wrong error: ${e.getMessage}")
   }
+
+  test("fromjson single-arg inference == explicit DDL on a uniform column; guards are loud") {
+    import spark.implicits._
+    Seq((1L, """{"k": 3, "tag": "a"}"""), (2L, """{"k": 7, "tag": "b"}"""),
+        (3L, """{"k": 4, "tag": "a"}"""))
+      .toDF("id", "props").createOrReplaceTempView("docs_infer")
+    // the inferred face answers exactly like the explicit-DDL face
+    // (inference widens ints to bigint — DDL says so too)
+    val got = KerfSql.run(spark,
+      "select id, fromjson(props).k as k, fromjson(props).tag as tag " +
+      "from docs_infer order id")
+    val want = KerfSql.run(spark,
+      "select id, fromjson(props, 'k bigint, tag string').k as k, " +
+      "fromjson(props, 'k bigint, tag string').tag as tag " +
+      "from docs_infer order id")
+    assert(got.collect().toSeq == want.collect().toSeq)
+    // nothing inferable (all null) is loud, not a null-typed struct
+    Seq((1L, null: String), (2L, null: String))
+      .toDF("id", "props").createOrReplaceTempView("docs_infer_null")
+    val e1 = intercept[Exception] {
+      KerfSql.run(spark, "select fromjson(props).k from docs_infer_null")
+    }
+    assert(e1.getMessage.contains("nothing inferable"), e1.getMessage)
+    // inference samples ONE source table: a two-table join is ambiguous
+    // and must demand the DDL face instead
+    spark.table("docs_infer").createOrReplaceTempView("docs_infer2")
+    val e2 = intercept[Exception] {
+      KerfSql.run(spark,
+        "select fromjson(props).k as k from docs_infer join docs_infer2 on id")
+    }
+    assert(e2.getMessage.contains("exactly one"), e2.getMessage)
+  }
 }
