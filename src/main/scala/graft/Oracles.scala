@@ -485,11 +485,17 @@ object Oracles {
                 CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS total_cents
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
-    // q58: organic sources share zero sketch slots (measured max organic
-    // estimate 0.0), and a whole-source replica agrees on all 64 — the
-    // entire similarity matrix is two constants.
+    // q58: the sketch input keeps only single-source normalized texts,
+    // so organic sources share zero sketch slots BY CONSTRUCTION (at
+    // any sf) and a whole-source replica agrees on all 64 — the entire
+    // similarity matrix is two constants. Sources = those retaining at
+    // least one unique doc (all of them, both fixtures).
     "q58_group_sketch" ->
-      """WITH s AS (SELECT DISTINCT source FROM documents),
+      """WITH n AS (SELECT source,
+                           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                    FROM documents),
+              uq AS (SELECT t FROM n GROUP BY t HAVING count(DISTINCT source) = 1),
+              s AS (SELECT DISTINCT n.source FROM n JOIN uq USING (t)),
               u AS (SELECT source FROM s UNION ALL SELECT 'dup:' || source FROM s)
          SELECT a.source AS src_a, b.source AS src_b,
                 CASE WHEN b.source = 'dup:' || a.source OR a.source = 'dup:' || b.source

@@ -879,19 +879,27 @@ object Queries {
     * then signature-slot agreement over the tiny sketch table (sources ≈
     * dozens — the cross join is over sketches, never over documents). */
   val q58_group_sketch: Q = (s, dir) => {
-    // GRADUATED to a full oracle (round 7, measured in FIXTURES.md §3):
-    // every organic source pair estimates EXACTLY 0.0 (zero slot
-    // agreement across all 64 slots — fixture sources share no
-    // normalized text), so planting a whole-source replica (`dup:<s>`,
-    // an identical doc multiset → identical signature → 64/64 slots →
-    // exactly 1.0) makes the ENTIRE similarity matrix closed-form:
-    // 1.0 on (s, dup:s) pairs, 0.0 everywhere else. A sketch-merge or
-    // slot-agreement bug perturbs either constant and hash-fails.
+    // GRADUATED to a full oracle (round 7; made SCALE-PROOF round 15):
+    // the sketch input keeps only docs whose normalized text lives in
+    // exactly ONE source — cross-source sharing is then zero BY
+    // CONSTRUCTION (at sf0.01 the filter is a no-op; at sf0.1 the
+    // fixture plants 8 cross-source texts that would otherwise give
+    // organic pairs a genuine nonzero estimate), so every organic pair
+    // estimates EXACTLY 0.0 (zero slot agreement across all 64 slots)
+    // and the planted whole-source replica (`dup:<s>`, an identical doc
+    // set → identical signature → 64/64 slots) estimates exactly 1.0:
+    // the ENTIRE similarity matrix is closed-form at ANY sf. A
+    // sketch-merge or slot-agreement bug perturbs either constant and
+    // hash-fails.
     val docs = Tables.fanOut(Tables.documents(s, dir))
-    val all = docs.unionByName(
-      docs.withColumn("source", concat(lit("dup:"), col("source"))))
+    val norm = docs.select(col("source"), llm.Dedup.normText(col("text")).as("__t"))
+    val singleSource = norm.groupBy(col("__t"))
+      .agg(countDistinct(col("source")).as("__ns"))
+      .filter(col("__ns") === 1).select(col("__t"))
+    val kept = norm.join(singleSource, Seq("__t"), "left_semi")
+    val all = kept.unionByName(
+      kept.withColumn("source", concat(lit("dup:"), col("source"))))
     val sigs = all
-      .select(col("source"), llm.Dedup.normText(col("text")).as("__t"))
       .groupBy(col("source"))
       .agg(functions.MinHashAgg.minhash(col("__t"), 64).as("sig"))
     val a = sigs.select(col("source").as("src_a"), col("sig").as("sig_a"))
