@@ -87,7 +87,16 @@ object Dedup {
     * before calling [[shinglesFromTokens]]: lambdas re-evaluate referenced
     * expression trees per element (no CSE inside higher-order functions),
     * so inlining the tokenization would re-run the regex per shingle. */
-  def tokens(c: Column): Column = split(normText(c), " ")
+  /** Whitespace tokens of the normalized text. `split("")` yields the
+    * single-element `[""]`, so the filter makes an EMPTY doc produce
+    * ZERO tokens (a no-op for any non-empty doc: the normalized text is
+    * trimmed and single-spaced) — otherwise a phantom "" token gives
+    * every empty doc the same nonzero simhash (they'd all pair at
+    * hamming 0 and could drag real docs into their cluster) and skews
+    * every unigram census. The BPE family filters length>0 separately;
+    * this closes the same trap for the rest of the token consumers. */
+  def tokens(c: Column): Column =
+    filter(split(normText(c), " "), t => length(t) > 0)
 
   /** Word n-gram shingles from a materialized token-array attribute. */
   def shinglesFromTokens(toks: Column, n: Int = 3): Column =
@@ -381,17 +390,21 @@ object Dedup {
   def keepBestPerCluster(docs: DataFrame, idCol: String, scoreCol: String,
                          pairs: DataFrame,
                          idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    // id-type-agnostic like the rest of the family (clusters labels in
+    // the pairs' own id type): a cast-to-long here crashed string-id
+    // corpora under ANSI — or worse, nulled every label with ANSI off
+    // and collapsed the corpus to ONE winner
     val labels = graft.tools.StageTimer.time("cc") { clusters(pairs, idA, idB) }
       .select(col("id").as("__lid"), col("cluster"))
     val labeled = docs
-      .join(labels, col(idCol).cast("long") === col("__lid"), "left")
-      .withColumn("cluster", coalesce(col("cluster"), col(idCol).cast("long")))
+      .join(labels, col(idCol) === col("__lid"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
     val winners = labeled.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_members"),
            min(struct((-col(scoreCol).cast("double")).as("ns"),
-                      col(idCol).cast("long").as("wid"))).as("__w"))
+                      col(idCol).as("wid"))).as("__w"))
       .select(col("cluster"), col("n_members"), col("__w").getField("wid").as("__keep"))
-    docs.join(winners, col(idCol).cast("long") === col("__keep"))
+    docs.join(winners, col(idCol) === col("__keep"))
       .drop("__keep")
   }
 
@@ -460,6 +473,12 @@ object Dedup {
     * an all-pairs product. */
   private[graft] def hammingPairsFromSigsPlan(sigs: DataFrame,
                    maxHamming: Int = 3, maxBucket: Int = 256): (DataFrame, Seq[DataFrame]) = {
+    // the pigeonhole only holds through d=3 with four chunks: at d=4 a
+    // pair can differ by one bit in EVERY chunk and is never a
+    // candidate — a larger tolerance must be loud, not silently lossy
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"chunk blocking guarantees recall only for maxHamming <= 3 " +
+      s"(4 chunks, pigeonhole), got $maxHamming")
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*))

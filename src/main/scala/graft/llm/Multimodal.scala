@@ -114,6 +114,19 @@ object Multimodal {
   /** REAL audio codec on the pure-JDK WAV parser (`javax.sound.sampled`):
     * `[sampleRate, channels, nFrames, durationSec, rms]` for PCM WAV
     * blobs — header parse + one streaming pass for RMS (16-bit LE). */
+  /** Both audio decode seams hardcode a 2-bytes-per-sample LE loop; any
+    * other WAV encoding (8-bit, big-endian, u-law) would decode WITHOUT
+    * error into garbage samples — wrong RMS, wrong envelope hashes, and
+    * two gain-variants of one clip silently stop colliding in the dedup
+    * index. Loud beats wrong (the indexProbe feature-check posture). */
+  private def requirePcm16le(fmt: javax.sound.sampled.AudioFormat): Unit = {
+    require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+      s"audio decode supports 16-bit little-endian signed PCM only, got " +
+      s"${fmt.getEncoding}/${fmt.getSampleSizeInBits}-bit" +
+      s"${if (fmt.isBigEndian) "/big-endian" else ""} — transcode first")
+  }
+
   final case class WavCodec() extends MediaCodec {
     val dims: Int = 5
     def decode(bytes: Array[Byte]): Array[Double] = {
@@ -121,6 +134,7 @@ object Multimodal {
         new java.io.ByteArrayInputStream(bytes))
       try {
         val fmt = in.getFormat
+        requirePcm16le(fmt)
         val nFrames = in.getFrameLength
         val data = in.readAllBytes()
         var sum = 0.0; var n = 0L; var i = 0
@@ -367,7 +381,8 @@ object Multimodal {
         it.flatMap { case (id, bytes) =>
           val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(bytes))
-          val data = try in.readAllBytes() finally in.close()
+          val data = try { requirePcm16le(in.getFormat); in.readAllBytes() }
+                     finally in.close()
           val nSamples = data.length / 2
           val nWindows = nSamples / windowSamples
           val per = windowSamples / cells
@@ -578,6 +593,19 @@ object Multimodal {
                       featuresCol: String = "features", grid: Int = 8): DataFrame = {
     require(grid * grid <= 64, s"aHash64 holds at most 64 cells, grid=$grid")
     val cells = grid * grid
+    // the features column must carry the ImageIoCodec(grid) layout this
+    // indexes into — a frame decoded with a different codec/grid would
+    // either die mid-stage on ANSI array bounds or (ANSI off) null every
+    // luma, hash every image to 0, and flood perceptualPairs with false
+    // dup pairs. One row decides: the layout is uniform per decode pass.
+    locally {
+      val want = 2 + 3 * cells
+      decoded.select(size(col(featuresCol)).as("n")).limit(1).collect()
+        .headOption.foreach(r => require(r.getInt(0) == want,
+          s"aHashSignatures(grid=$grid) expects the ImageIoCodec(grid=$grid) " +
+          s"feature layout of $want elements, got ${r.getInt(0)} — decode " +
+          s"with ImageIoCodec($grid)"))
+    }
     // ImageIoCodec layout: [w, h, (r,g,b) × cells], element_at is 1-based
     val lumas = transform(sequence(lit(0), lit(cells - 1)), i =>
       (element_at(col(featuresCol), i * 3 + 3) +

@@ -81,6 +81,14 @@ object Pipeline {
   def packChunks(docs: DataFrame, streamCol: String, orderCol: String,
                  textCol: String, ctxTokens: Int): DataFrame = {
     require(ctxTokens > 0, "ctxTokens must be positive")
+    // same collision contract as mixCorpora's added column: composing
+    // with withQualityFeatures (which also emits n_tokens) would
+    // otherwise yield a duplicate column and AMBIGUOUS_REFERENCE far
+    // downstream
+    Seq("n_tokens", "chunk_id").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"packChunks adds a '$c' column but the input already has one — " +
+        "drop or rename it first"))
     val w = Window.partitionBy(col(streamCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
@@ -90,6 +98,16 @@ object Pipeline {
       .drop("__start")
       .withColumnRenamed("__toks", "n_tokens")
   }
+
+  /** (doc_id, __shh) frame of xxhash64'd n-gram shingles — the shared
+    * map stage of [[contamination]] and [[decontaminate]] (one
+    * implementation so the two overlap metrics can never hash
+    * differently and silently disagree). */
+  private def shingleFrame(df: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame = df
+    .select(col(idCol).as("doc_id"),
+      graft.functions.ShingleHashes.shingleHashes(
+        Dedup.normText(col(textCol)), n).as("__shh"))
 
   /** Benchmark decontamination check: for each corpus document, the
     * fraction of its distinct word n-grams that appear anywhere in the
@@ -107,10 +125,7 @@ object Pipeline {
     // string), so the exploded corpus column and the broadcast set stay
     // compact (collision odds ~|shingles|²/2⁶⁴ — immaterial for an
     // overlap metric; the DuckDB twin joins the raw strings and agrees)
-    def sh(df: DataFrame) = df
-      .select(col(idCol).as("doc_id"),
-        graft.functions.ShingleHashes.shingleHashes(
-          Dedup.normText(col(textCol)), n).as("__shh"))
+    def sh(df: DataFrame) = shingleFrame(df, idCol, textCol, n)
     val bench = sh(benchmark).select(explode(col("__shh")).as("s")).distinct()
     val corp = sh(corpus).select(col("doc_id"),
       size(col("__shh")).cast("long").as("n_shingles"), explode(col("__shh")).as("s"))
@@ -151,10 +166,7 @@ object Pipeline {
                     expectedBenchItems: Long = 0L): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     require(expectedBenchItems >= 0, "expectedBenchItems: 0 = count, else a size hint")
-    def sh(df: DataFrame) = df
-      .select(col(idCol).as("doc_id"),
-        graft.functions.ShingleHashes.shingleHashes(
-          Dedup.normText(col(textCol)), n).as("__shh"))
+    def sh(df: DataFrame) = shingleFrame(df, idCol, textCol, n)
     // three consumers of the benchmark's shingle set (sizing count,
     // bloom build, confirm join) → one sealed cache, the q29 pattern
     val (bench, ownBench) = graft.ops.Caches.acquire(
@@ -303,10 +315,23 @@ object Pipeline {
     * table: keep a row iff the integer value of md5(key)'s top 3 hex
     * chars (uniform on [0,4096)) falls under its stratum's
     * [[temperatureThresholds]] threshold. Map-only like
-    * [[stratifiedSample]]; thresholds are literals in the plan. */
+    * [[stratifiedSample]]; thresholds are literals in the plan.
+    * `resolution` MUST match the one the thresholds were derived with —
+    * the draw is uniform on [0, resolution), so a mismatch silently
+    * warps every stratum's keep rate; hence the loud range check. */
   def temperatureMix(df: DataFrame, strata: Column, key: Column,
-                     thresholds: Seq[(String, Long)]): DataFrame = {
+                     thresholds: Seq[(String, Long)],
+                     resolution: Long = 4096L): DataFrame = {
     require(thresholds.nonEmpty, "temperatureMix needs at least one stratum")
+    require(resolution == 4096L,
+      "temperatureMix draws u from md5's top 3 hex chars — uniform on " +
+      s"[0,4096) only; thresholds built at resolution=$resolution would " +
+      "silently warp keep rates (derive them at 4096, the default)")
+    thresholds.foreach { case (tag, t) =>
+      require(t >= 0 && t <= resolution,
+        s"threshold $t for '$tag' is outside [0,$resolution] — built " +
+        "with a different resolution than this draw")
+    }
     val u = conv(substring(md5(key), 1, 3), 16, 10).cast("long")
     val keep = thresholds.foldRight(lit(false)) { case ((stratum, t), acc) =>
       when(strata === stratum, u < lit(t)).otherwise(acc)

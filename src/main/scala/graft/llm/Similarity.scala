@@ -328,6 +328,19 @@ object Similarity {
     * `candidates` is scanned by the seed take, the assignment passes,
     * and the caller's probe join — cached for the call's duration unless
     * the caller already persisted it. */
+  /** Driver-side total order for seed ids of ANY column type (the seed
+    * rows were getLong'd before — a ClassCastException for int/string
+    * id corpora): numerics by value (identical order to the old long
+    * path), everything else by string form, types never interleaved. */
+  private def seedOrderKey(v: Any): (Int, Long, Double, String) = v match {
+    case n: java.lang.Long    => (0, n.longValue, 0.0, "")
+    case n: java.lang.Integer => (0, n.longValue, 0.0, "")
+    case n: java.lang.Short   => (0, n.longValue, 0.0, "")
+    case n: java.lang.Byte    => (0, n.longValue, 0.0, "")
+    case n: Number            => (1, 0L, n.doubleValue, "")
+    case x                    => (2, 0L, 0.0, String.valueOf(x))
+  }
+
   def trainCentroids(candidates: DataFrame, nLists: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      iters: Int = 1): Array[Array[Double]] = {
@@ -347,7 +360,7 @@ object Similarity {
     // partitioning or hash order. Elements unbox via Number: float AND
     // double embedding columns both work (every other entry point casts
     // per-element already)
-    val seeds = seedRows.sortBy(_.getLong(0))
+    val seeds = seedRows.sortBy(r => seedOrderKey(r.get(0)))
       .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
     val refined = (1 to iters).foldLeft(seeds) { (current, _) =>
       val assigned = assignLists(cand, current, idCol, vecCol)
@@ -754,7 +767,7 @@ object Similarity {
       .limit(ksub)
       .collect()
     require(seedRows.nonEmpty, "no candidate vectors to seed PQ codebooks from")
-    val seedVecs = seedRows.sortBy(_.getLong(0))
+    val seedVecs = seedRows.sortBy(r => seedOrderKey(r.get(0)))
       .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
     var books: Array[Array[Array[Double]]] =
       Array.tabulate(m)(s => seedVecs.map(v => v.slice(s * dsub, (s + 1) * dsub)))

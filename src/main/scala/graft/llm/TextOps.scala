@@ -207,14 +207,26 @@ object TextOps {
     // higher-order functions), so the normalized text and the k-gram hash
     // array must each be materialized attributes before the next step
     // slices them — otherwise this is O(len²·regex) per row.
+    // sequence(1, hi) is INCLUSIVE and runs DESCENDING when hi < 1 (the
+    // segmented() trap): a doc shorter than k must short-circuit to one
+    // whole-text gram (the shinglesFromTokens convention) and an EMPTY
+    // doc to no grams at all — the old greatest(...,0) clamp instead
+    // produced sequence(1,0)=[1,0] and gave every empty doc the same
+    // phantom fingerprint, pairing them all with each other.
     docs
       .select(col(idCol), Dedup.normText(col(textCol)).as("__t"))
-      .select(col(idCol), transform(
-          sequence(lit(1), greatest(length(col("__t")) - (k - 1), lit(0))),
-          i => xxhash64(col("__t").substr(i, lit(k)))).as("__hashes"))
-      .select(col(idCol), array_sort(array_distinct(transform(
-          sequence(lit(0), greatest(size(col("__hashes")) - w, lit(0))),
-          j => array_min(slice(col("__hashes"), j + 1, lit(w)))))).as("fingerprint"))
+      .select(col(idCol),
+        when(length(col("__t")) === 0, array().cast("array<bigint>"))
+          .when(length(col("__t")) < k, array(xxhash64(col("__t"))))
+          .otherwise(transform(
+            sequence(lit(1), length(col("__t")) - (k - 1)),
+            i => xxhash64(col("__t").substr(i, lit(k))))).as("__hashes"))
+      .select(col(idCol),
+        when(size(col("__hashes")) === 0, array().cast("array<bigint>"))
+          .otherwise(array_sort(array_distinct(transform(
+            sequence(lit(0), greatest(size(col("__hashes")) - w, lit(0))),
+            j => array_min(slice(col("__hashes"), j + 1, lit(w)))))))
+          .as("fingerprint"))
   }
 
   /** Corpus-unigram-LM document statistics — the CCNet-style "score

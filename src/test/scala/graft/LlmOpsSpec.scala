@@ -1305,4 +1305,83 @@ class LlmOpsSpec extends SparkSpec {
     assert(overlap01 > 0.5)           // near-dup → high overlap
     assert(overlap02 < 0.2)           // unrelated → low overlap
   }
+
+  test("empty/short docs: zero tokens, simhash 0, empty/whole-text fingerprints") {
+    val edge = Seq((0L, ""), (1L, "   "), (2L, "hi"), (3L, "a real document here"))
+      .toDF("doc_id", "text")
+    // tokens: [""]-free — empty docs produce ZERO tokens
+    val tok = edge.select(col("doc_id"), size(Dedup.tokens(col("text"))).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(tok(0L) == 0 && tok(1L) == 0 && tok(2L) == 1 && tok(3L) == 4)
+    // simhash: the documented 'empty docs get signature 0' now holds —
+    // two empty docs must NOT form a hamming-0 pair via a phantom token
+    val sigs = Dedup.simhash(edge, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) == 0L && sigs(1L) == 0L, s"empty-doc simhash: $sigs")
+    assert(sigs(3L) != 0L)
+    // fingerprint: empty → no grams; shorter-than-k → one whole-text gram
+    val fps = TextOps.fingerprint(edge, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fps(0L).isEmpty && fps(1L).isEmpty, s"empty-doc fingerprint: $fps")
+    assert(fps(2L).length == 1)
+    // the unigram census sees no phantom "" token
+    val census = TextOps.unigramCensus(edge, "doc_id", "text")
+    assert(census.filter(col("tok") === "").count() == 0)
+  }
+
+  test("hamming blocking refuses maxHamming > 3 (pigeonhole recall bound)") {
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 4)
+    }
+    assert(e.getMessage.contains("maxHamming <= 3"), e.getMessage)
+  }
+
+  test("keepBestPerCluster is id-type-agnostic: string ids elect winners too") {
+    val all = Seq(("d0", 10.0), ("d1", 50.0), ("d2", 30.0), ("d9", 1.0))
+      .toDF("doc_id", "score")
+    val pairs = Seq(("d0", "d1"), ("d1", "d2")).toDF("id_a", "id_b")
+    val won = Dedup.keepBestPerCluster(all, "doc_id", "score", pairs)
+      .select("doc_id", "n_members").as[(String, Long)].collect().toSet
+    assert(won == Set(("d1", 3L), ("d9", 1L)),
+      s"string-id clusters must elect the max-score winner, got $won")
+  }
+
+  test("IVF/PQ training accepts non-Long id columns (int ids)") {
+    val vecs = (0 until 40).map(i =>
+      (i, Array.tabulate(8)(d => if (d == i % 4) 1.0 else 0.01 * i)))
+      .toDF("vec_id", "embedding")
+    // int vec_id: the seed sort must not getLong-crash; probe answers
+    val got = Similarity.ivfTopK(vecs.limit(2), vecs, k = 1,
+      nLists = 4, nProbe = 4)
+    assert(got.count() == 2)
+    val books = Similarity.trainPQ(vecs, m = 2, ksub = 4)
+    assert(books.length == 2 && books(0).length == 4)
+  }
+
+  test("audio decode refuses non-16-bit-LE-PCM WAVs loudly") {
+    // an 8-bit PCM WAV: decodes fine in javax.sound but would pair
+    // bytes wrongly in the 16-bit loop — must be loud, not garbage
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val samples = Array.tabulate[Byte](800)(i => (128 + 100 * math.sin(i / 10.0)).toByte)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(samples), fmt, samples.length),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.WavCodec().decode(bos.toByteArray)
+    }
+    assert(e.getMessage.contains("16-bit little-endian"), e.getMessage)
+  }
+
+  test("aHashSignatures refuses a features column from a different codec layout") {
+    val blobs = Seq((1L, "x".getBytes("UTF-8"))).toDF("doc_id", "data")
+    val decoded = Multimodal.decodeBinaryPartitioned(
+      blobs.withColumn("__blob", col("data")), "doc_id", "__blob",
+      LlmOpsSpec.LenCodec(2)) // 2 features ≠ 2 + 3·64
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.aHashSignatures(decoded).collect()
+    }
+    assert(e.getMessage.contains("feature layout"), e.getMessage)
+  }
 }

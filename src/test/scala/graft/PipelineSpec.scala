@@ -251,6 +251,28 @@ class PipelineSpec extends SparkSpec {
     assert(cm(common) > 2 * cm(rare), "fixture should be skewed")
     assert(frac(rare) > frac(common),
       s"temperature must favor rare strata: $frac")
+    // resolution drift is LOUD: the draw is pinned to [0,4096), so
+    // thresholds built at another resolution would silently warp every
+    // keep rate (e.g. 65536-built thresholds keep 100% of everything)
+    val e1 = intercept[IllegalArgumentException] {
+      Pipeline.temperatureMix(docs, col("lang"), col("doc_id").cast("string"),
+        Pipeline.temperatureThresholds(counts, resolution = 65536L))
+    }
+    assert(e1.getMessage.contains("outside"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Pipeline.temperatureMix(docs, col("lang"), col("doc_id").cast("string"),
+        Seq("a" -> 1L), resolution = 1024L)
+    }
+    assert(e2.getMessage.contains("4096"), e2.getMessage)
+  }
+
+  test("packChunks refuses inputs already carrying n_tokens/chunk_id") {
+    import spark.implicits._
+    val withN = Seq(("s", 1L, "a b c", 3L)).toDF("st", "ord", "text", "n_tokens")
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.packChunks(withN, "st", "ord", "text", 4)
+    }
+    assert(e.getMessage.contains("n_tokens"), e.getMessage)
   }
 
   test("dropRepeatedSegments: shared spans cut, order kept, all-boilerplate docs drop") {
