@@ -39,7 +39,10 @@ case class EpsilonEquals(left: Expression, right: Expression, eps: Double)
     if (aMissing || bMissing) aMissing && bMissing
     else {
       val x = a.asInstanceOf[Double]; val y = b.asInstanceOf[Double]
-      x == y || math.abs(x - y) <= eps * math.max(math.abs(x), math.abs(y))
+      // epsilon branch is FINITE-only: |Inf - finite| <= eps·Inf holds,
+      // so an overflow-produced infinity would otherwise equal everything
+      x == y || (!x.isInfinite && !y.isInfinite &&
+        math.abs(x - y) <= eps * math.max(math.abs(x), math.abs(y)))
     }
   }
 
@@ -57,8 +60,9 @@ case class EpsilonEquals(left: Expression, right: Expression, eps: Double)
         boolean ${ev.value} = ($aM || $bM)
           ? ($aM && $bM)
           : (${a.value} == ${b.value} ||
-             Math.abs(${a.value} - ${b.value}) <=
-               $eps * Math.max(Math.abs(${a.value}), Math.abs(${b.value})));
+             (!Double.isInfinite(${a.value}) && !Double.isInfinite(${b.value}) &&
+              Math.abs(${a.value} - ${b.value}) <=
+                $eps * Math.max(Math.abs(${a.value}), Math.abs(${b.value}))));
       """,
       isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }

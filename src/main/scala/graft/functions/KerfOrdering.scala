@@ -29,9 +29,17 @@ object KerfOrdering {
   }
 
   /** Epsilon-relative float equality: |a-b| <= E*max(|a|,|b|)
-    * (grade.cc:9,41; E mirrors the reference's tolerance intent). */
-  def epsEq(a: Column, b: Column, eps: Double = 1e-14): Column =
-    kerfEq(a, b) || abs(a - b) <= lit(eps) * greatest(abs(a), abs(b))
+    * (grade.cc:9,41; E mirrors the reference's tolerance intent). The
+    * epsilon branch applies to FINITE pairs only: with a NaN operand,
+    * `NaN <= NaN` is TRUE under Spark's NaN-equals-NaN ordering (so NaN
+    * would epsilon-equal every number), and with an infinite operand
+    * `Inf <= eps·Inf` holds (so +Inf would equal every finite and -Inf).
+    * NaN==NaN and Inf==Inf still hold, via kerfEq's exact branch. */
+  def epsEq(a: Column, b: Column, eps: Double = 1e-14): Column = {
+    val inf = lit(Double.PositiveInfinity)
+    val finite = !isnan(a) && !isnan(b) && abs(a) =!= inf && abs(b) =!= inf
+    kerfEq(a, b) || (finite && abs(a - b) <= lit(eps) * greatest(abs(a), abs(b)))
+  }
 
   /** Three-way compare with Kerf total-order rules for doubles:
     * NaN/null smallest, then numeric (grade.cc:2–69). */

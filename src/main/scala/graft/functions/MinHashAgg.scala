@@ -36,6 +36,16 @@ case class MinHashAgg(
 
   require(numHashes > 0, "numHashes must be positive")
 
+  // analysis-time type check (the sibling-expression convention): a
+  // non-string child would otherwise pass analysis and die per-task
+  // with a ClassCastException deep inside update()
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"minhash_agg expects a string item column, got ${child.dataType.simpleString}")
+
   override def children: Seq[Expression] = child :: Nil
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -64,34 +64,57 @@ object ShingleHashes {
     val numBytes = s.numBytes()
     val base = s.getBaseObject
     val offset = s.getBaseOffset
-    // token boundaries (normText guarantees single spaces, no edges)
-    val starts = new java.util.ArrayList[Integer]()
-    starts.add(0)
+    // token boundaries (normText guarantees single spaces, no edges) —
+    // a growable PRIMITIVE int array: the boxed ArrayList/HashSet
+    // formulation allocated one Integer per token and ~two boxed Longs
+    // per distinct shingle on the hottest map stage in the dedup family
+    var starts = new Array[Int](16)
+    starts(0) = 0
+    var nTokens = 1
     var i = 0
     while (i < numBytes) {
-      if (s.getByte(i) == ' '.toByte) starts.add(i + 1)
+      if (s.getByte(i) == ' '.toByte) {
+        if (nTokens == starts.length)
+          starts = java.util.Arrays.copyOf(starts, nTokens << 1)
+        starts(nTokens) = i + 1
+        nTokens += 1
+      }
       i += 1
     }
-    val nTokens = starts.size()
-    val seen = new java.util.HashSet[java.lang.Long]()
-    val out = new java.util.ArrayList[java.lang.Long]()
     if (nTokens < n) {
       // fewer than n tokens: one shingle = the whole (possibly empty) text
-      out.add(XXH64.hashUnsafeBytes(base, offset, numBytes, 42L))
-    } else {
-      var t = 0
-      while (t <= nTokens - n) {
-        val from = starts.get(t)
-        val to = if (t + n < nTokens) starts.get(t + n) - 1 else numBytes
-        val h = XXH64.hashUnsafeBytes(base, offset + from, to - from, 42L)
-        if (seen.add(h)) out.add(h)
-        t += 1
-      }
+      return new GenericArrayData(
+        Array(XXH64.hashUnsafeBytes(base, offset, numBytes, 42L)))
     }
-    val arr = new Array[Long](out.size())
-    var j = 0
-    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
-    new GenericArrayData(arr)
+    val nShingles = nTokens - n + 1
+    // open-addressing long set at load factor <= 0.5 (power-of-two cap;
+    // a used[] presence plane sidesteps the 0-as-empty-sentinel trap)
+    var cap = 4
+    while (cap < (nShingles << 1)) cap <<= 1
+    val table = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    val mask = cap - 1
+    val out = new Array[Long](nShingles)
+    var outN = 0
+    var t = 0
+    while (t < nShingles) {
+      val from = starts(t)
+      val to = if (t + n < nTokens) starts(t + n) - 1 else numBytes
+      val h = XXH64.hashUnsafeBytes(base, offset + from, to - from, 42L)
+      var idx = java.lang.Long.hashCode(h) & mask
+      var dup = false
+      while (used(idx) && !dup) {
+        if (table(idx) == h) dup = true
+        else idx = (idx + 1) & mask
+      }
+      if (!dup) {
+        used(idx) = true; table(idx) = h
+        out(outN) = h; outN += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(
+      if (outN == nShingles) out else java.util.Arrays.copyOf(out, outN))
   }
 
   /** Column API: distinct n-gram shingle hashes of an ALREADY-normalized

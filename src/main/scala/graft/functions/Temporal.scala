@@ -76,7 +76,14 @@ object Temporal {
   }
 
   /** stamp + span (verbs.cc:121–204's STAMP×SPAN case matrix): calendar
-    * part via add_months-semantics, fixed part via µs interval. */
+    * part via add_months-semantics, fixed part via µs interval. The
+    * TimestampType axis is µs, so a span's sub-µs remainder DROPS —
+    * symmetrically, toward zero, in the DELTA's own sign: `+500n` and
+    * `-500n` both move the stamp 0 µs, preserving `t + s - s == t`
+    * (floor-division would move them 0 and −1 and break the involution
+    * through [[subSpan]]). This is the µs FACE of the span algebra by
+    * design; a sub-µs span that must land exactly belongs on the
+    * ns-long lane ([[addSpanNs]], q199's axis), where it is exact. */
   def addSpan(stamp: Column, span: Span): Column = {
     val withMonths =
       if (span.months != 0) stamp + expr(s"INTERVAL '${span.months}' MONTH") else stamp

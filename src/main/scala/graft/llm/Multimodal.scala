@@ -598,7 +598,10 @@ object Multimodal {
     // either die mid-stage on ANSI array bounds or (ANSI off) null every
     // luma, hash every image to 0, and flood perceptualPairs with false
     // dup pairs. One row decides: the layout is uniform per decode pass.
-    locally {
+    // batch frames only: a streaming frame cannot run the eager sample
+    // (and its layout was produced by the same per-batch codec anyway —
+    // the ANSI array-bounds error still catches a mismatch at runtime)
+    if (!decoded.isStreaming) {
       val want = 2 + 3 * cells
       decoded.select(size(col(featuresCol)).as("n")).limit(1).collect()
         .headOption.foreach(r => require(r.getInt(0) == want,

@@ -231,7 +231,12 @@ object EventStream {
       var cur = if (quote.exists()) Some(quote.get()) else None
       rows.toSeq.sortBy(r => (r.ts_ns, r.kind, r.value)).foreach { r =>
         if (r.kind == "q") {
-          if (!cur.exists(_.ts_ns > r.ts_ns))
+          // state advances only MONOTONICALLY in (ts, value) — the same
+          // total order lastTickUpdate keeps. A bare ts compare let an
+          // at-least-once REDELIVERY of an equal-ts quote regress the
+          // stored value (every later trade then enriched differently)
+          if (!cur.exists(c => c.ts_ns > r.ts_ns ||
+                (c.ts_ns == r.ts_ns && c.value > r.value)))
             cur = Some(LastQuote(r.ts_ns, r.value))
         } else {
           val m = cur.filter(_.ts_ns <= r.ts_ns)
@@ -342,7 +347,11 @@ object EventStream {
       var cur = if (st.exists()) Some(st.get()) else None
       rows.toSeq.sortBy(r => (r.ts_ns, r.value)).foreach { r =>
         val prev = cur
-        if (prev.exists(_.ts_ns > r.ts_ns)) {
+        // late = behind the carry in the SAME (ts, value) total order
+        // the intra-batch sort uses — an equal-ts redelivery of an
+        // older-valued tick must not regress the stored carry
+        if (prev.exists(p => p.ts_ns > r.ts_ns ||
+              (p.ts_ns == r.ts_ns && p.has && r.value.forall(_ < p.last)))) {
           // strictly late: own value wins, else the current carry;
           // the clock and carry stay put
           out += FillRow(key, r.ts_ns, r.value,
@@ -413,7 +422,11 @@ object EventStream {
       // declared order clause, which carries the same tiebreak)
       var cur = if (st.exists()) Some(st.get()) else None
       rows.toSeq.sortBy(r => (r.ts_ns, r.value)).foreach { r =>
-        if (!cur.exists(_.ts_ns > r.ts_ns)) {
+        // skip anything behind the state in the (ts, value) order — an
+        // equal-ts redelivery of an older value must neither re-emit a
+        // spurious change nor regress the 'last emitted' comparison point
+        if (!cur.exists(c => c.ts_ns > r.ts_ns ||
+              (c.ts_ns == r.ts_ns && c.last > r.value))) {
           // Double.compare, not ==: batch `differs` uses <=> where
           // NaN equals NaN — a NaN run must suppress, not re-emit
           if (!cur.exists(p => java.lang.Double.compare(p.last, r.value) == 0))
@@ -477,10 +490,18 @@ object EventStream {
       append: (DataFrame, Option[String]) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val writerId = writerIdOf(checkpoint)
+    // the legacy-tag shadow is honored for THIS RUN's first processed
+    // batch only (see batchUnapplied): the straddling re-delivery, when
+    // it exists, is necessarily the first batch a resumed query hands
+    // this sink — every later batch id colliding with the lingering
+    // legacy tag belongs to this (post-upgrade) writer and must apply
+    val firstBatch = new java.util.concurrent.atomic.AtomicBoolean(true)
     val w0 = stream.writeStream.outputMode("append")
     val w = checkpoint.fold(w0)(cp => w0.option("checkpointLocation", cp))
     w.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        appendGuarded(path, writerId, id) { tag => append(batch.toDF(), tag) }(
+        appendGuarded(path, writerId, id,
+          honorLegacy = firstBatch.getAndSet(false)) {
+          tag => append(batch.toDF(), tag) }(
           () => batch.isEmpty)
       }
       .start()
@@ -502,13 +523,15 @@ object EventStream {
     * `MaxCommitRetries`. `isEmpty` is deferred so the (Spark-job)
     * emptiness check runs only when the batch is not already applied. */
   private[graft] val MaxCommitRetries = 8
-  private[graft] def appendGuarded(path: String, writerId: String, id: Long)(
+  private[graft] def appendGuarded(path: String, writerId: String, id: Long,
+      honorLegacy: Boolean = true)(
       append: Option[String] => Unit)(isEmpty: () => Boolean): Unit = {
     val tag = s"stream-batch:$writerId:$id"
     var tries = 0
     var done = false
     while (!done) {
-      if (!batchUnapplied(graft.io.Folio.rollupCommitTags(path), writerId, id)
+      if (!batchUnapplied(graft.io.Folio.rollupCommitTags(path), writerId, id,
+            honorLegacy)
           || isEmpty()) done = true
       else {
         tries += 1
@@ -547,18 +570,24 @@ object EventStream {
     * 'stream-batch:<batchId>' (no writer segment); a crash re-delivery
     * that straddles that code upgrade replays a batch whose applied tag
     * is in the LEGACY form, so the guard must honor that spelling or
-    * the batch double-applies (rollup double-count). But ONLY for a
-    * writer with no earlier progress of its own: batch ids are monotone
-    * per checkpoint, so the straddling re-delivery is necessarily the
-    * resumed query's FIRST post-upgrade batch — a writer whose applied
-    * set already carries one of its own SMALLER-id tags is an
-    * established post-upgrade writer that merely counted up to the
-    * legacy number, and skipping it would silently drop its batch (a
-    * legacy tag lingers in the applied set forever). */
+    * the batch double-applies (rollup double-count). But the legacy tag
+    * carries no writer, so honoring it too widely silently DROPS other
+    * writers' batches (it lingers in the applied set forever) — the
+    * shadow is therefore scoped to where the straddling re-delivery can
+    * actually occur: the query run's FIRST processed batch
+    * (`honorLegacy`, minted by [[taggedBatchSink]]; batch ids are
+    * monotone per checkpoint, so a resumed pre-upgrade query re-delivers
+    * its uncommitted batch first), and only for a writer with no earlier
+    * progress of its own in the applied set. Residual ambiguity — a
+    * fresh-checkpoint query that crashes before its very first commit
+    * AND whose first batch id collides with the legacy tag — is
+    * undecidable from the tags alone and resolves on the side of not
+    * double-applying, like the reference's at-least-once posture. */
   private[graft] def batchUnapplied(applied: Set[String], writerId: String,
-                                    id: Long): Boolean = {
+                                    id: Long,
+                                    honorLegacy: Boolean = true): Boolean = {
     if (applied.contains(s"stream-batch:$writerId:$id")) return false
-    if (!applied.contains(s"stream-batch:$id")) return true
+    if (!honorLegacy || !applied.contains(s"stream-batch:$id")) return true
     val ownEarlier = applied.exists {
       case graft.io.Folio.StreamTagRe(w, n) => w == writerId && n.toLong < id
       case _ => false
@@ -566,16 +595,28 @@ object EventStream {
     ownEarlier
   }
 
-  /** Stable writer id for the streaming folio sinks: a hash of the
-    * checkpoint location (the identity Spark itself scopes batch ids
-    * to), or the shared legacy id when the caller runs checkpoint-
-    * defaulted. Hex — it rides inside commit-tag strings. */
+  /** Writer id for the streaming folio sinks: a hash of the checkpoint
+    * location (the identity Spark itself scopes batch ids to). A
+    * checkpoint-DEFAULTED query gets a FRESH id per sink start: Spark
+    * backs it with a temporary checkpoint whose batch ids restart at 0
+    * on every run, so a stable shared id ('default', the pre-r15
+    * spelling) made a plain restart's batch 0 collide with a compacted
+    * tag history — double-applying old data or skipping new — and two
+    * concurrently-running defaulted queries on one path shaded each
+    * other's batches. A fresh id keeps same-run foreachBatch retries
+    * exactly-once (the tag guard's actual job here); cross-RESTART
+    * exactly-once genuinely requires a durable checkpoint, which is the
+    * documented contract. Hex — it rides inside commit-tag strings. */
   private[graft] def writerIdOf(checkpoint: Option[String]): String =
     checkpoint.map { cp =>
       val d = java.security.MessageDigest.getInstance("SHA-256")
         .digest(cp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       d.take(8).map("%02x".format(_)).mkString
-    }.getOrElse("default")
+    }.getOrElse {
+      val b = new Array[Byte](8)
+      java.util.concurrent.ThreadLocalRandom.current().nextBytes(b)
+      b.map("%02x".format(_)).mkString
+    }
 
   /** Streaming face of the HISTOGRAM rollup ([[graft.io.Folio
     * .appendWithHistogram]]): each micro-batch folds its grid-bucket

@@ -35,7 +35,7 @@ class CacheHygieneSpec extends SparkSpec {
     val ivf    = Similarity.ivfTopK(vecs.filter(col("vec_id") < 2), vecs, 3,
                                     nLists = 4, nProbe = 2)
     val nd     = Similarity.cosineNearDupPairs(vecs, threshold = 0.5)
-    val sh     = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
+    val sh     = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
     // decontaminate seals only its tiny dirty-id list; the corpus-sized
     // clean result stays an uncached lazy anti-join (collect() here
     // consumes it without pinning corpus-scale storage)

@@ -333,4 +333,21 @@ class ExtensionSpec extends SparkSpec {
       .toMap
     assert(typed == want)
   }
+
+  test("OHLC ties on timestamp are deterministic under any partitioning") {
+    import OhlcAggregator._
+    // two ticks at the SAME open ts and same close ts: open must be the
+    // min value at the earliest ts, close the max value at the latest —
+    // a first-arrival rule would flip across replays/merge orders
+    val ticks = Seq((1L, Tick(100L, 7.0)), (1L, Tick(100L, 3.0)),
+                    (1L, Tick(200L, 9.0)), (1L, Tick(200L, 4.0)))
+    def runWith(parts: Int): Ohlc =
+      spark.createDataset(ticks).repartition(parts)
+        .groupByKey(_._1).mapValues(_._2).agg(ohlc.toColumn)
+        .collect().head._2
+    val want = Ohlc(3.0, 9.0, 3.0, 9.0, 4L)
+    Seq(1, 2, 4, 7).foreach { p =>
+      assert(runWith(p) == want, s"parts=$p drifted: ${runWith(p)}")
+    }
+  }
 }

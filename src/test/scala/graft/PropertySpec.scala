@@ -250,8 +250,12 @@ class PropertySpec extends SparkSpec {
         .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._2, t._3, t._4)).toSeq)
         .toMap
       docs.foreach { case (id, text) =>
-        // the engine tokenizes the normalized text; empty docs become [""]
-        val toks = text.toLowerCase.replaceAll("\\s+", " ").trim.split(" ", -1).toSeq
+        // the engine tokenizes the normalized text; EMPTY docs have ZERO
+        // tokens (the r15 phantom-""-token fix) and still produce one
+        // empty chunk (k = max(1, ...) in the reference too)
+        val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+        val toks = if (norm.isEmpty) Seq.empty[String]
+                   else norm.split(" ", -1).toSeq
         assert(got(id) == ref(toks, size, overlap),
           s"doc $id size=$size overlap=$overlap: ${got(id)} vs ${ref(toks, size, overlap)}")
       }

@@ -962,6 +962,43 @@ class StreamingSpec extends SparkSpec {
    }
   }
 
+  test("stateful processors: an equal-ts REDELIVERY neither regresses state nor re-emits") {
+   withRocksDb {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double)]
+    val changed = EventStream.onChangeByKey(
+      input.toDF().toDF("user_id", "ts_ns", "value"))
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val q = changed.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        buf.synchronized { buf ++= rows }
+        ()
+      }.start()
+    try {
+      // batch 1: tied-ts ticks — (100,8.0) wins the (ts,value) order
+      input.addData((1L, 100L, 3.0), (1L, 100L, 8.0))
+      q.processAllAvailable()
+      // batch 2: an at-least-once source REDELIVERS only the older
+      // (100,3.0) — it is behind the state in (ts,value) order and must
+      // be dropped, not re-emitted (and must not regress 'last emitted'
+      // back to 3.0, which would make the next 8.0 a spurious change)
+      input.addData((1L, 100L, 3.0))
+      q.processAllAvailable()
+      // a genuinely newer tied-ts value still applies and emits
+      input.addData((1L, 100L, 9.0))
+      q.processAllAvailable()
+      input.addData((1L, 100L, 9.0)) // exact redelivery: suppressed
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = buf.synchronized(buf.toSeq)
+    assert(got == Seq((1L, 100L, 3.0), (1L, 100L, 8.0), (1L, 100L, 9.0)),
+      s"got $got")
+   }
+  }
+
   test("bpe tokenize-at-ingest: the replace chain is stateless map work on a stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
@@ -1072,6 +1109,19 @@ class StreamingSpec extends SparkSpec {
     val established = Set("stream-batch:7", "stream-batch:deadbeefcafef00d:6")
     assert(EventStream.batchUnapplied(established, "deadbeefcafef00d", 7L),
       "an established writer's batch 7 must not be shadowed by the legacy tag")
+    // the shadow is scoped to the run's FIRST processed batch: a fresh
+    // writer that worked through empty batches 0..6 (no tags minted)
+    // reaches id 7 with honorLegacy=false and must apply
+    assert(EventStream.batchUnapplied(legacyApplied, "deadbeefcafef00d", 7L,
+      honorLegacy = false),
+      "a later-in-run batch must ignore the legacy tag")
+    // checkpoint-pinned writer ids are stable; DEFAULTED ids are fresh
+    // per sink start (Spark's temp checkpoint restarts batch ids at 0,
+    // so a stable shared id would collide with compacted tag history)
+    assert(EventStream.writerIdOf(Some("/cp/x")) ==
+           EventStream.writerIdOf(Some("/cp/x")))
+    val d1 = EventStream.writerIdOf(None)
+    assert(d1 != EventStream.writerIdOf(None) && d1.matches("[0-9a-f]{16}"))
     // legacy tags compact to their max alone (one lingers, not one per batch)
     assert(graft.io.Folio.compactTags(
       Seq("stream-batch:3", "stream-batch:7", "stream-batch:w:2", "manual"))

@@ -80,4 +80,29 @@ class TableOpsSpec extends SparkSpec {
       .toDF("a", "b")
     assert(df.select(KerfOrdering.kerfEq(col("a"), col("b"))).as[Boolean].collect()(0))
   }
+
+  test("epsEq/kerfCompare: NaN and Infinity never epsilon-equal finite values") {
+    // Spark orders NaN == NaN and largest, so the naive epsilon formula
+    // evaluates NaN <= NaN = true — NaN would equal EVERY number; same
+    // for Inf <= eps*Inf. The finite guard pins these out.
+    val df = Seq[(java.lang.Double, java.lang.Double, Boolean)](
+      (Double.NaN, 5.0, false),
+      (Double.NaN, Double.NaN, true),
+      (Double.PositiveInfinity, 1.0, false),
+      (Double.PositiveInfinity, Double.NegativeInfinity, false),
+      (Double.PositiveInfinity, Double.PositiveInfinity, true),
+      (Double.NegativeInfinity, Double.NegativeInfinity, true),
+      (1.0, 1.0 + 1e-21, true),
+      (1.0, 1.2, false)
+    ).toDF("a", "b", "want")
+    val bad = df.filter(
+      KerfOrdering.epsEq(col("a"), col("b")) =!= col("want")).collect()
+    assert(bad.isEmpty, s"epsEq drifted on: ${bad.mkString(", ")}")
+    // the three-way compare orders NaN smallest, Inf largest — never 0
+    val cmp = Seq((Double.NaN, 5.0), (Double.PositiveInfinity, 5.0))
+      .toDF("a", "b")
+      .select(KerfOrdering.kerfCompare(col("a"), col("b")))
+      .as[Int].collect().toSeq
+    assert(cmp == Seq(-1, 1), s"kerfCompare: $cmp")
+  }
 }
