@@ -28,6 +28,15 @@ object AsOf {
            leftTs: String, rightTs: String, rightCols: Seq[String],
            strict: Boolean = false, tolerance: Option[Long] = None,
            forward: Boolean = false): DataFrame = {
+    // same collision contract as joinNative's doc, enforced: the
+    // attach-fold below is withColumn, which REPLACES an existing left
+    // column of the same name in place — a caller attaching a right
+    // 'px' onto a left table that has its own 'px' would silently
+    // clobber trade prices with quote prices (null when unmatched)
+    rightCols.foreach(c =>
+      require(!left.columns.contains(c),
+        s"as-of right column '$c' collides with a left column — rename " +
+        "one side before joining"))
     val ts = "__asof_ts"; val side = "__asof_side"; val payload = "__asof_payload"
     // visibility of right rows at equal ts is purely their sort position
     // relative to left (=1): backward frame looks back (right before left
@@ -97,6 +106,17 @@ object AsOf {
     val rt = right.schema(rightTs).dataType
     require(okTypes.contains(lt) && rt == lt,
       s"joinNative expects matching LongType (epoch ns/µs) or Timestamp ts columns, got $lt/$rt")
+    // key types must match PER POSITION: the plan is grafted below the
+    // analyzer (no implicit cast gets inserted), so an int-vs-long key
+    // pair would hash equal values to DIFFERENT partitions
+    // (ClusteredDistribution's int and long murmur paths) and the merge
+    // would silently miss matches — loud beats wrong
+    keys.foreach { k =>
+      val (lk, rk) = (left.schema(k).dataType, right.schema(k).dataType)
+      require(lk == rk,
+        s"joinNative key '$k' type mismatch: $lk (left) vs $rk (right) — " +
+        "cast one side first (no analyzer coercion runs under the native plan)")
+    }
     // Re-alias the whole right side: in the self-join case both inputs
     // share attribute exprIds (same lineage), which would make the
     // combined output ambiguous. toDF() allocates fresh exprIds.

@@ -58,7 +58,11 @@ object MapSetEnum {
     * name would remove BOTH same-named columns). */
   def applyIntern(df: DataFrame, dict: DataFrame, valueCol: String): DataFrame = {
     val d = dict.select(col("value").as("__intern_value"), col("code").as("__intern_code"))
-    df.join(broadcast(d), df(valueCol) === d("__intern_value"))
+    // null-SAFE equality: internTable's distinct() keeps a null value
+    // and codes it like any other; a null-unsafe === would silently
+    // drop every null-valued row from the inner join (shrunken output,
+    // no code ever observed for null)
+    df.join(broadcast(d), df(valueCol) <=> d("__intern_value"))
       .drop("__intern_value")
       .withColumnRenamed("__intern_code", s"${valueCol}_code")
   }

@@ -29,7 +29,13 @@ import org.apache.spark.sql.functions.{col, count => fcount, lit, max => fmax, m
   * DECIMAL(38,6) partials cast to the original aggregate type — the
   * deterministic value the oracle discipline prescribes. A raw fp scan
   * may differ in the last ulp depending on partitioning; the rewrite's
-  * answer is the partition-order-free one (hence opt-in).
+  * answer is the partition-order-free one (hence opt-in). Scale 6 IS
+  * the maintained rollup's resolution contract: double values carrying
+  * signal below 1e-6 per row are quantized in the stored partials (a
+  * property of appendWithRollup, not of this rule), and DECIMAL source
+  * columns finer than scale 6 — where the quantization is provable
+  * from the type alone — never rewrite (nor does avg over any decimal
+  * column, whose native Spark semantics is exact decimal division).
   *
   * Same (c)-tier machinery as [[AsOfRewriteRule]]: the replacement
   * subtree is built with the DataFrame API, optimized eagerly, and
@@ -119,8 +125,18 @@ object RollupRewriteRule extends Rule[LogicalPlan] {
     // one mergeable rollup column expression per ORIGINAL output slot
     def mapAgg(ae: AggregateExpression): Option[org.apache.spark.sql.Column] = {
       if (ae.isDistinct || ae.filter.isDefined) return None
+      // the rollup stores value partials at DECIMAL(38,6): a source
+      // column FINER than that (decimal scale > 6) was quantized on
+      // append, so its sum/avg from the rollup could differ from the
+      // raw scan by far more than an ulp — those columns never rewrite
+      def finerThanPartials(dt: org.apache.spark.sql.types.DataType) =
+        dt match {
+          case d: org.apache.spark.sql.types.DecimalType => d.scale > 6
+          case _ => false
+        }
       ae.aggregateFunction match {
-        case Sum(a: AttributeReference, _) if info.valCols.contains(a.name) =>
+        case Sum(a: AttributeReference, _)
+            if info.valCols.contains(a.name) && !finerThanPartials(a.dataType) =>
           Some(fsum(col(s"${a.name}_sum")).cast(ae.dataType))
         case Min(a: AttributeReference) if info.valCols.contains(a.name) =>
           Some(fmin(col(s"${a.name}_min")).cast(ae.dataType))
@@ -135,11 +151,15 @@ object RollupRewriteRule extends Rule[LogicalPlan] {
         case Count(Seq(a: AttributeReference)) if info.valCols.contains(a.name) =>
           Some(org.apache.spark.sql.functions.coalesce(
             fsum(col(s"${a.name}_cnt")), lit(0L)).cast(ae.dataType))
-        case Average(a: AttributeReference, _) if info.valCols.contains(a.name) =>
+        case Average(a: AttributeReference, _) if info.valCols.contains(a.name)
+            && !a.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
           // divide in DOUBLES (a decimal quotient would round at scale
           // 6): exact decimal sum → correctly-rounded double, exact
           // long count → exact double, one IEEE division — the q158
-          // rim discipline
+          // rim discipline. DECIMAL source columns never take this
+          // branch: Spark's native decimal Average divides exactly in
+          // decimal, and this double quotient loses integer units once
+          // the exact sum passes 2^53
           Some((fsum(col(s"${a.name}_sum")).cast("double") /
                 fsum(col(s"${a.name}_cnt")).cast("double"))
             .cast(ae.dataType))

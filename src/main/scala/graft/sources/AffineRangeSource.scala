@@ -52,10 +52,13 @@ private class AffineTable(length: Long, base: Long, imult: Long, slices: Int)
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] = {
         val n = math.max(1, slices)
+        // overflow-safe split points: `length * i` wraps for the very
+        // O(1)-huge ranges this source exists for (length > MaxValue/n);
+        // quotient-first keeps every term < length + n²
+        def point(i: Int): Long =
+          (length / n) * i + ((length % n) * i) / n
         (0 until n).map { i =>
-          val start = length * i / n
-          val end = length * (i + 1) / n
-          AffineSlice(start, end, base, imult): InputPartition
+          AffineSlice(point(i), point(i + 1), base, imult): InputPartition
         }.toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =

@@ -244,6 +244,17 @@ private class ChunkFeedStream(root: String) extends MicroBatchStream {
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[ChunkOffsets].entries
     val until = end.asInstanceOf[ChunkOffsets].entries
+    // a committed partition must still EXIST in the new listing: the
+    // plan below iterates `until`, so a wholesale-deleted partition dir
+    // would otherwise silently drop out of the offset (and a later
+    // recreation would restart its numbering at 0 — the exact
+    // never-skip/never-mislabel violation the per-partition shrink
+    // guards below catch for surviving dirs)
+    val gone = from.keySet -- until.keySet
+    require(gone.isEmpty,
+      s"chunk feed: committed partition dir(s) ${gone.toSeq.sorted.mkString(", ")} " +
+      "vanished from the listing — the feed is append-only; use " +
+      "offsets=seq for retention")
     val f = FeedFs.fs(root)
     until.toSeq.sortBy(_._1).flatMap { case (part, (hi, endLast)) =>
       // unseen partition ⇒ expansion from 0

@@ -72,6 +72,14 @@ object RemoteEval {
           hdr.path("error").asText())
       val schema = StructType.fromDDL(hdr.path("schema").asText())
       val fields = schema.fields
+      // one decoder for BOTH protocol halves: values decode through
+      // RemoteCodec.fromJson (the scan wire's decoder — quoted-NaN
+      // handling and all), then convert Catalyst-internal -> external
+      // for Row. A duplicated switch here once let a codec fix land on
+      // only one side.
+      val toExternal = fields.map(f =>
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToScalaConverter(f.dataType))
       val rows = scala.collection.mutable.ArrayBuffer[Row]()
       var done = false
       while (!done) {
@@ -88,7 +96,8 @@ object RemoteEval {
           val vals = new Array[Any](fields.length)
           var i = 0
           while (i < fields.length) {
-            vals(i) = fromWire(arr.get(i), fields(i).dataType)
+            vals(i) = toExternal(i)(
+              RemoteCodec.fromJson(arr.get(i), fields(i).dataType))
             i += 1
           }
           rows += Row.fromSeq(vals.toIndexedSeq)
@@ -102,34 +111,4 @@ object RemoteEval {
     }
   }
 
-  /** Wire JSON → EXTERNAL Row values (the mirror of the server's
-    * toWire: µs longs → timestamps, epoch days → dates). */
-  private def fromWire(n: com.fasterxml.jackson.databind.JsonNode,
-                       dt: DataType): Any =
-    if (n == null || n.isNull) null
-    else dt match {
-      case LongType    => n.asLong()
-      case IntegerType => n.asInt()
-      case DoubleType =>
-        if (n.isTextual) java.lang.Double.parseDouble(n.asText()) else n.asDouble()
-      case FloatType =>
-        if (n.isTextual) java.lang.Float.parseFloat(n.asText()) else n.floatValue()
-      case BooleanType => n.asBoolean()
-      case StringType  => n.asText()
-      case TimestampType =>
-        val us = n.asLong()
-        java.time.Instant.ofEpochSecond(
-          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
-      case TimestampNTZType =>
-        val us = n.asLong()
-        java.time.LocalDateTime.ofInstant(
-          java.time.Instant.ofEpochSecond(
-            Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L),
-          java.time.ZoneOffset.UTC)
-      case DateType => java.time.LocalDate.ofEpochDay(n.asInt().toLong)
-      case ArrayType(et, _) =>
-        val a = n.asInstanceOf[ArrayNode]
-        (0 until a.size()).map(i => fromWire(a.get(i), et))
-      case other => throw new UnsupportedOperationException(s"rexec codec: $other")
-    }
 }
