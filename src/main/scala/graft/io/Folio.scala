@@ -415,8 +415,22 @@ object Folio {
     * previous version intact and readable. Schemas are validated
     * explicitly — a batch missing stored columns, or carrying unknown
     * ones, is an error rather than silent data loss. */
+  /** A path whose state is the ROLLUP manifest-log (meta/_CURRENT or a
+    * batches dir) belongs exclusively to the appendWithRollup protocol:
+    * the versioned-data publishers below would read its protocol trees
+    * as legacy data (double-counting batches with the stored rollup)
+    * and their migrate-in-place cleanup would rmTree the manifest, the
+    * applied commit tags, and the rollup itself. Loud beats destroyed. */
+  private def requireNotRollupManaged(path: String, op: String): Unit =
+    require(!new java.io.File(path, "meta/_CURRENT").isFile &&
+            !new java.io.File(path, "batches").isDirectory,
+      s"$op: $path is a rollup-managed folio (manifest-log layout) — " +
+      "append through appendWithRollup / read through rollupRead; the " +
+      "versioned-data publishers would destroy its manifest state")
+
   def appendWithPromotion(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
+    requireNotRollupManaged(path, "appendWithPromotion")
     val cur = currentVersion(path)
     val existing: Option[DataFrame] = cur match {
       case Some(v) => Some(spark.read.parquet(s"$path/$v"))
@@ -488,6 +502,7 @@ object Folio {
     require(filesPerPartition >= 1, s"filesPerPartition must be >= 1, got $filesPerPartition")
     require(sortCols.isEmpty || zorderCols.isEmpty,
       "sortCols and zorderCols are alternative clusterings — pick one")
+    requireNotRollupManaged(path, "compact")
     val cur = currentVersion(path)
     val df = cur.map(v => spark.read.parquet(s"$path/$v"))
       .orElse(legacyRead(spark, path))
@@ -542,6 +557,7 @@ object Folio {
     * [[appendWithPromotion]]). */
   def upsertPublish(df: DataFrame, path: String, keys: Seq[String]): Unit = {
     val spark = df.sparkSession
+    requireNotRollupManaged(path, "upsertPublish")
     val cur = currentVersion(path)
     val existing: Option[DataFrame] = cur match {
       case Some(v) => Some(spark.read.parquet(s"$path/$v"))

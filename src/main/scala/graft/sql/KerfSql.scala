@@ -275,7 +275,22 @@ object KerfSql {
       }
     case (Some(_), None) =>
       throw new IllegalArgumentException("span literal must be on the right of +/-")
-    case _ => dyad(a, b)(if (plus) _ + _ else _ - _)
+    case _ =>
+      def stampish(dt: DataType) = dt match {
+        case TimestampType | TimestampNTZType | DateType => true
+        case _ => false
+      }
+      if (stampish(a.dt) && stampish(b.dt)) {
+        // stamp - stamp = a FIXED-NS SPAN (t-t = 0span, test.cc:299) —
+        // the generic dyad would produce Spark's DayTimeIntervalType
+        // while the type label said TimestampType, misrouting every
+        // downstream dispatch (stamp attrs, span adds) into raw engine
+        // cast errors. Exact at the µs the stamps physically carry.
+        require(!plus, "stamp + stamp is undefined — subtract for a span, " +
+          "or add a span literal to a stamp")
+        T(Temporal.diffNs(a.col.cast(TimestampType), b.col.cast(TimestampType)),
+          LongType)
+      } else dyad(a, b)(if (plus) _ + _ else _ - _)
   }
 
   /** Fixed-length spans are ns longs; CALENDAR spans (months ≠ 0) carry a
@@ -1115,8 +1130,13 @@ object KerfSql {
               (acc, v) => acc + v.cast(sumDt))
             fn.toLowerCase match {
               case "sum" => T(arrSum, sumDt)
-              case "avg" => T(arrSum.cast("double") /
-                greatest(size(inner.col), lit(1)).cast("double"), DoubleType)
+              // mean of an EMPTY list is missing (q's 0n, SQL's null) —
+              // the old greatest(size,1) guard substituted 0.0, which a
+              // consumer cannot tell apart from a true zero mean
+              case "avg" => T(when(size(inner.col) === 0,
+                  lit(null).cast("double"))
+                .otherwise(arrSum.cast("double") /
+                  size(inner.col).cast("double")), DoubleType)
               case "min" => T(array_min(inner.col), e)
               case "max" => T(array_max(inner.col), e)
               case "count" => T(size(inner.col).cast("long"), LongType)
@@ -1746,7 +1766,7 @@ object KerfSql {
     * .groupingSets matches set members to grouping columns structurally,
     * and an Alias on either side makes every key resolve to NULL. */
   private case class Item(col: Column, srcToks: List[String], alias: String,
-                          raw: Column)
+                          raw: Column, autoAliased: Boolean = false)
 
   private def parseSelectItem(p: P, env: Env): Item = {
     val start = p.toks
@@ -1754,10 +1774,10 @@ object KerfSql {
     p.inSelectItem = true
     val e = try parseExpr(p, env) finally p.inSelectItem = wasItem
     val src = start.take(start.length - p.toks.length)
-    val alias =
-      if (p.peekIs("as")) { p.pop(); p.pop() }
-      else src.mkString("_").replaceAll("[^A-Za-z0-9_]", "_")
-    Item(e.col.as(alias), src, alias, e.col)
+    val (alias, auto) =
+      if (p.peekIs("as")) { p.pop(); (p.pop(), false) }
+      else (src.mkString("_").replaceAll("[^A-Za-z0-9_]", "_"), true)
+    Item(e.col.as(alias), src, alias, e.col, auto)
   }
 
   private def parseExprList(p: P, env: Env)(stop: => Boolean): Seq[Item] = {
@@ -1767,7 +1787,19 @@ object KerfSql {
       items += parseSelectItem(p, env)
       if (p.peekIs(",")) p.pop() else more = false
     }
-    items.toSeq
+    // AUTO-generated aliases sanitize every operator to '_', so
+    // `a + b, a - b` would both land on `a___b` — uniquify later
+    // auto collisions with a positional suffix (explicit `as` names
+    // are the user's to collide if they insist)
+    val seen = scala.collection.mutable.Set[String]()
+    items.zipWithIndex.map { case (it, i) =>
+      if (!seen.add(it.alias.toLowerCase) && it.autoAliased) {
+        var k = 2
+        var a = s"${it.alias}_$k"
+        while (!seen.add(a.toLowerCase)) { k += 1; a = s"${it.alias}_$k" }
+        it.copy(col = it.raw.as(a), alias = a)
+      } else it
+    }.toSeq
   }
 
   // ---------------------------------------------------------------- driver
@@ -1831,8 +1863,8 @@ object KerfSql {
           last = Left(Seq(df.queryExecution.explainString(
             org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
             .toDF("plan"))
-        case "update" => p.pop(); last = Left(runUpdate(spark, p, vars.toMap))
-        case "delete" => p.pop(); last = Left(runDelete(spark, p, vars.toMap))
+        case "update" => p.pop(); last = Left(runUpdate(spark, p, vars.toMap, funcs.toMap))
+        case "delete" => p.pop(); last = Left(runDelete(spark, p, vars.toMap, funcs.toMap))
         case h @ ("insert" | "upsert") =>
           p.pop(); last = Left(runMerge(spark, p, h == "upsert", vars.toMap, funcs.toMap))
         // pipeline verbs are NOT reserved words (the reference reserves
@@ -2016,12 +2048,7 @@ object KerfSql {
             ">>= (directory-expanded write) needs partition keys: use " +
             "Folio.write(df, path, partCols…) — `t >> 'path'` writes flat")
           p.pop(); p.pop()
-          val path = {
-            val t = p.pop()
-            require(t.startsWith("'") && t.endsWith("'"),
-              s"$name >> needs a quoted path, got $t")
-            unq(t)
-          }
+          val path = parseQuotedPath(p, s"$name >>")
           // `t >> 'path' jsonl|csv` — delivery formats: training data
           // ships as JSONL shards, exports as CSV; parquet stays the
           // default storage tier. `shard … into N` upstream controls
@@ -2054,7 +2081,7 @@ object KerfSql {
             // scans, remote:// endpoints go through the socket client.
             p.pop()
             def quoted(t: String): String = {
-              require(t.startsWith("'") && t.endsWith("'"),
+              require(t.startsWith("'") && t.endsWith("'") && t.length > 2,
                 s"<< needs a quoted path, got $t")
               unq(t)
             }
@@ -2450,6 +2477,8 @@ object KerfSql {
     case d: Double       => T(lit(d), DoubleType)
     case s: String       => T(lit(s), StringType)
     case ts: java.sql.Timestamp => T(lit(ts), TimestampType)
+    case d: java.sql.Date => T(lit(d), DateType)
+    case d: java.time.LocalDate => T(lit(d), DateType)
     case seq: scala.collection.Seq[_] =>
       val vals = seq.toSeq
       if (vals.forall(_.isInstanceOf[Long]))
@@ -2960,9 +2989,13 @@ object KerfSql {
   }
 
   private def runUpdate(spark: SparkSession, p: P,
-                        programVars: Map[String, T] = Map.empty): DataFrame = {
+                        programVars: Map[String, T] = Map.empty,
+                        programFuncs: Map[String, FVal] = Map.empty): DataFrame = {
     val df = spark.table(p.pop())
-    val env = new Env(Some(df.schema), programVars)
+    // same environment as select expressions: program `def`s resolve,
+    // and schema inference samples THIS session's views
+    val env = new Env(Some(df.schema), programVars, programFuncs,
+      session = Some(spark))
     p.expect("set")
     val sets = scala.collection.mutable.ArrayBuffer[(String, Column)]()
     var more = true
@@ -2971,11 +3004,13 @@ object KerfSql {
       if (p.peekIs(",")) p.pop() else more = false
     }
     val pred = if (p.peekIs("where")) { p.pop(); parseExpr(p, env).col } else lit(true)
+    require(p.done, s"trailing tokens in update: ${p.toks.mkString(" ")}")
     graft.ops.TableOps.update(df, pred, sets.toSeq: _*)
   }
 
   private def runDelete(spark: SparkSession, p: P,
-                        programVars: Map[String, T] = Map.empty): DataFrame = {
+                        programVars: Map[String, T] = Map.empty,
+                        programFuncs: Map[String, FVal] = Map.empty): DataFrame = {
     // q's COLUMN deletion: `delete c1, c2 from t` drops the named
     // columns (presented.cc:327–336 cow_delete on the column map).
     // `delete from t [where p]` stays the row form. Unknown columns
@@ -2997,8 +3032,10 @@ object KerfSql {
     }
     p.expect("from")
     val df = spark.table(p.pop())
-    val env = new Env(Some(df.schema), programVars)
+    val env = new Env(Some(df.schema), programVars, programFuncs,
+      session = Some(spark))
     val pred = if (p.peekIs("where")) { p.pop(); parseExpr(p, env).col } else lit(true)
+    require(p.done, s"trailing tokens in delete: ${p.toks.mkString(" ")}")
     graft.ops.TableOps.delete(df, pred)
   }
 
@@ -3081,6 +3118,23 @@ object KerfSql {
     * not a second engine. */
   /** Quoted-path operand shared by every persisted-store verb
     * (`index … at`, `neardup … into/against`, `semdedup … against`). */
+  /** Non-negative integer operand of a pipeline verb — ONE contract for
+    * every verb's `size/overlap/lists/top/…` numbers (the copies had
+    * begun to drift). */
+  /** Strictly-positive variant for count-like operands. */
+  private def parseStrictPosInt(p: P, ctx: String): Int = {
+    val n = parsePosInt(p, ctx)
+    require(n > 0, s"$ctx needs a positive int, got $n")
+    n
+  }
+
+  private def parsePosInt(p: P, ctx: String): Int = {
+    val t = p.pop()
+    require(t.nonEmpty && t.forall(_.isDigit),
+      s"$ctx needs a non-negative int, got $t")
+    t.toInt
+  }
+
   private def parseQuotedPath(p: P, verb: String): String = {
     val t = p.pop()
     require(t.startsWith("'") && t.endsWith("'") && t.length > 2,
@@ -3309,11 +3363,7 @@ object KerfSql {
     p.expect("by"); val idCol = p.pop()
     p.expect("on"); val textCol = p.pop()
     p.expect("size")
-    def posInt(what: String): Int = {
-      val t = p.pop()
-      require(t.forall(_.isDigit), s"chunk … $what needs a non-negative int, got $t")
-      t.toInt
-    }
+    def posInt(what: String): Int = parsePosInt(p, s"chunk … $what")
     val size = posInt("size")
     val overlap = if (p.peekIs("overlap")) { p.pop(); posInt("overlap") } else 0
     require(p.done, s"trailing tokens in chunk: ${p.toks.mkString(" ")}")
@@ -3333,12 +3383,7 @@ object KerfSql {
     p.expect("on"); val vecCol = p.pop()
     p.expect("at")
     val path = parseQuotedPath(p, "index … at")
-    def posInt(what: String): Int = {
-      val t = p.pop()
-      require(t.forall(_.isDigit) && t.toInt > 0,
-        s"index … $what needs a positive int, got $t")
-      t.toInt
-    }
+    def posInt(what: String): Int = parseStrictPosInt(p, s"index … $what")
     // `index t by id on vec at 'path' append` — INCREMENTAL maintenance:
     // assign the batch against the STORED centroid model and append into
     // the live version's list dirs (no retraining; retrain on a cadence
@@ -3397,12 +3442,7 @@ object KerfSql {
     p.expect("by"); val idCol = p.pop()
     p.expect("on"); val vecCol = p.pop()
     p.expect("top")
-    def posInt(what: String): Int = {
-      val t = p.pop()
-      require(t.forall(_.isDigit) && t.toInt > 0,
-        s"probe … $what needs a positive int, got $t")
-      t.toInt
-    }
+    def posInt(what: String): Int = parseStrictPosInt(p, s"probe … $what")
     val k = posInt("top")
     var nProbe = 4
     if (p.peekIs("probes")) { p.pop(); nProbe = posInt("probes") }
@@ -3550,7 +3590,7 @@ object KerfSql {
     * (path-first like compact/vacuum). */
   private def runRollup(spark: SparkSession, p: P): DataFrame = {
     def quoted(t: String): String = {
-      require(t.length >= 2 && t.startsWith("'") && t.endsWith("'"),
+      require(t.length > 2 && t.startsWith("'") && t.endsWith("'"),
         s"rollup needs a quoted path, got $t")
       unq(t)
     }
@@ -3954,9 +3994,17 @@ object KerfSql {
         if (p.peekIs(",")) p.pop() else more = false
       }
       p.expect(")")
+      // arity is checked AT THE PARSE SITE: a long row would silently
+      // drop its extra values against the positional schema below, a
+      // short one would die with a row-length error deep inside the job
+      require(vals.length == df.columns.length,
+        s"values row has ${vals.length} value(s) but ${name} has " +
+        s"${df.columns.length} column(s) (${df.columns.mkString(", ")})")
       rows += vals.toSeq
       if (p.peekIs(",")) p.pop()
     }
+    require(rows.nonEmpty, "insert: VALUES lists at least one row")
+    require(p.done, s"trailing tokens in insert/upsert: ${p.toks.mkString(" ")}")
     // values arrive untyped: build a string frame, cast per target schema
     val strSchema = StructType(df.schema.map(f => StructField(f.name, StringType)))
     val rdd = spark.sparkContext.parallelize(rows.toSeq.map(r =>

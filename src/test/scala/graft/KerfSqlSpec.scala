@@ -2302,4 +2302,55 @@ class KerfSqlSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("exactly one"), e2.getMessage)
   }
+
+  test("mutation statements are loud on trailing tokens, arity drift, and resolve defs") {
+    import spark.implicits._
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+      .createOrReplaceTempView("mut_t")
+    // trailing tokens after the where were SILENTLY dropped before
+    val e1 = intercept[Exception] {
+      KerfSql.run(spark, "update mut_t set v = 0.0 where k = 1 limit 10")
+    }
+    assert(e1.getMessage.contains("trailing"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      KerfSql.run(spark, "delete from mut_t where k = 1 order k")
+    }
+    assert(e2.getMessage.contains("trailing"), e2.getMessage)
+    // VALUES arity: a long row silently lost its extra value; short rows
+    // died mid-job — both are parse-site errors now
+    val e3 = intercept[Exception] {
+      KerfSql.run(spark, "insert into mut_t values (1, 2, 3)")
+    }
+    assert(e3.getMessage.contains("column"), e3.getMessage)
+    val e4 = intercept[Exception] {
+      KerfSql.run(spark, "insert into mut_t values (1)")
+    }
+    assert(e4.getMessage.contains("column"), e4.getMessage)
+    // program defs resolve inside update/delete expressions
+    val got = KerfSql.run(spark,
+      "def bump(x) { x + 5 }; update mut_t set v = bump(v) where k = 1")
+      .orderBy("k").select("v").as[Double].collect().toSeq
+    assert(got == Seq(15.0, 20.0), s"got $got")
+  }
+
+  test("auto-aliases never collide; stamp-stamp is a ns span; avg of empty is null") {
+    import spark.implicits._
+    Seq((3L, 1L)).toDF("a", "b").createOrReplaceTempView("alias_t")
+    // `a + b` and `a - b` both sanitized to a___b before — ambiguous
+    val cols = KerfSql.run(spark,
+      "select a + b, a - b, a * b from alias_t").columns.toSeq
+    assert(cols.distinct.size == 3, s"alias collision: $cols")
+    // t - t is a FIXED-NS span (test.cc:299), not a mislabeled timestamp
+    val d = KerfSql.run(spark,
+      "select 2024.01.05 - 2024.01.03 as gap from alias_t")
+      .first().getLong(0)
+    assert(d == 2L * 24 * 3600 * 1000000000L, s"gap = $d")
+    intercept[Exception] {
+      KerfSql.run(spark, "select 2024.01.05 + 2024.01.03 as nope from alias_t")
+    }
+    // mean of an empty list is MISSING, not 0.0
+    val r = KerfSql.run(spark, "avg(til 0)").collect()(0)
+    assert(r.isNullAt(0), s"avg(til 0) = ${r.get(0)}")
+    assert(KerfSql.run(spark, "avg(til 4)").first().getDouble(0) == 1.5)
+  }
 }
