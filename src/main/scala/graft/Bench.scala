@@ -35,14 +35,22 @@ private class BenchListener extends SparkListener {
 object Bench {
   private def mb(bytes: Long): Long = bytes >> 20
 
+  private def jq(x: String): String = graft.tools.JsonText.str(x)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.session()
     val listener = new BenchListener
     spark.sparkContext.addSparkListener(listener)
     // untimed warmup: pays one-off session/codegen/JIT costs so per-query
-    // numbers reflect steady state (first-run victim was +6s of warmup)
-    try { SparkEntry.entry(spark).count() } catch { case _: Throwable => }
+    // numbers reflect steady state (first-run victim was +6s of warmup).
+    // Against THIS run's sfDir — entry() hardcodes sf0.001, which may
+    // not exist on a bench-only host; a swallowed failure is at least
+    // named so a cold first query is explainable from the log
+    try { SparkEntry.queries.head._2(spark, sfDir).count() } catch {
+      case e: Throwable =>
+        System.err.println(s"BENCH WARMUP SKIPPED: ${e.getMessage}")
+    }
     // optional comma-separated prefix filter for local iteration, e.g.
     // SPARK_GRAFT_ONLY=q29,q33 — driver runs unfiltered
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
@@ -70,7 +78,7 @@ object Bench {
       val stages = graft.tools.StageTimer.drain()
       val stagesJson = if (stages.isEmpty) ""
         else stages.toSeq.sortBy(_._1)
-          .map { case (k, v) => s"\"$k\":$v" }
+          .map { case (k, v) => jq(k) + s":$v" }
           .mkString(""","stages":{""", ",", "}")
       val attr =
         s"""{"ms":${math.round(sec * 1000)},"spillMB":${mb(after.spill - before.spill)},""" +
@@ -106,7 +114,9 @@ object Bench {
     // in BOTH sequential passes to survive into the headline. Both raws +
     // per-pass attribution persist to BENCH_FAMILY.json so any residual
     // outlier is inspectable without a re-run.
-    val nPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(2)
+    val nPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(2)
     val passes = (1 to math.max(1, nPasses)).map { _ => runPass() }
     val names = queryList.map(_._1)
     // per-query min across passes, plus the pass index that achieved it
@@ -151,7 +161,7 @@ object Bench {
     val allPassTotals = (attrPass.toSeq ++ passes)
       .map(p => math.round(p.map(_._2).sum * 1000) / 1000.0)
     val familyDoc =
-      s"""{"passes":${allPassTotals.mkString("[", ",", "]")},"pass_kinds":$passKinds,"sf":"$sfDir","queries":$family}"""
+      s"""{"passes":${allPassTotals.mkString("[", ",", "]")},"pass_kinds":$passKinds,"sf":${jq(sfDir)},"queries":$family}"""
     // A failing query contributes only its fail-fast ms, so a correctness
     // break would otherwise SHRINK the headline and read as a speedup.
     // Stamp the headline invalid whenever any query failed: round-over-
@@ -161,11 +171,17 @@ object Bench {
     // ran under (always false now — attribution is its own pass), so
     // round-over-round diffs can check they compare like with like
     val line =
-      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","qunit":"ms","valid":$valid,"stages_in_headline":false,"attr_pass":$withAttr,"n_failures":${failures.size},"passes":${passTotals.mkString("[", ",", "]")},"queries":$qs,"failures":$fails,$attrSummary,"sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_ATTRIBUTION.json"),
-      (perQuery + "\n").getBytes("UTF-8"))
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FAMILY.json"),
-      (familyDoc + "\n").getBytes("UTF-8"))
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","qunit":"ms","valid":$valid,"stages_in_headline":false,"attr_pass":$withAttr,"n_failures":${failures.size},"passes":${passTotals.mkString("[", ",", "]")},"queries":$qs,"failures":$fails,$attrSummary,"sf":${jq(sfDir)}}"""
+    // a SPARK_GRAFT_ONLY iteration run must not overwrite the official
+    // full-suite records with subset data (an adjudicator reading the
+    // file later would see a tiny "suite" with no marker a filter ran)
+    if (only.isEmpty) {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_ATTRIBUTION.json"),
+        (perQuery + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FAMILY.json"),
+        (familyDoc + "\n").getBytes("UTF-8"))
+    } else System.err.println(
+      "BENCH: SPARK_GRAFT_ONLY set — attribution/family files NOT written")
     println(s"""{"metric":"attribution","queries":$perQuery}""")
     println(line)
     spark.stop()

@@ -28,13 +28,29 @@ object Engine {
     // spark-defaults.conf), or an active session that getOrCreate reuses
     val priorExcludedRules: Seq[String] = {
       val key = "spark.sql.optimizer.excludedRules"
-      val fromProps = sys.props.get(key)
+      // SparkConf(loadDefaults=true) already folds in every spark.* JVM
+      // system property, so the conf channel covers both
       val fromConf = new org.apache.spark.SparkConf(true).getOption(key)
       val fromSession = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
         .flatMap(s => scala.util.Try(s.conf.get(key)).toOption)
-      (fromProps.toSeq ++ fromConf.toSeq ++ fromSession.toSeq)
+      (fromConf.toSeq ++ fromSession.toSeq)
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).distinct
     }
+    // getOrCreate REUSES any active session, and SparkSessionExtensions
+    // only apply at construction — a foreign session would come back
+    // without AsOfStrategy/the rewrite rules and every native as-of
+    // would die at planning with an opaque 'No plan for AsOfJoinPlan'.
+    // The marker conf (set at build below) makes the reuse loud instead.
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .filterNot(_.sparkContext.isStopped)
+      .foreach { prior =>
+        require(scala.util.Try(prior.conf.get("spark.graft.engine"))
+                  .toOption.contains("true"),
+          "an active SparkSession exists that was NOT built by " +
+          "graft.Engine.session() — its planner lacks the graft " +
+          "extensions (native as-of, rewrite rules). stop() it first, " +
+          "or build every session through Engine.session()")
+      }
     val spark = SparkSession.builder()
       .master(master)
       .appName("graft")
@@ -91,6 +107,7 @@ object Engine {
       // =TIMESTAMP_MICROS around those writes.
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
+      .config("spark.graft.engine", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the graft SQL surface (text/pipeline macros + native fns/aggs):

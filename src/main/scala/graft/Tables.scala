@@ -38,8 +38,13 @@ object Tables {
     // silently disables the fan-out for every non-file-backed frame, so
     // fall back to the file-listing term alone when we see it.
     val statBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // a Project/Aggregate ABOVE an unstatted leaf scales the sentinel by
+    // a width ratio, producing a huge non-sentinel value — so for a
+    // frame with no file backing at all (inputFiles empty) the stats
+    // term is never trusted: AT-OR-ABOVE the sentinel means unstatted
     val bytesTerm =
-      if (statBytes == BigInt(spark.sessionState.conf.defaultSizeInBytes)) BigInt(0)
+      if (statBytes >= BigInt(spark.sessionState.conf.defaultSizeInBytes) ||
+          df.inputFiles.isEmpty) BigInt(0)
       else statBytes / maxPart + 1
     val est = BigInt(df.inputFiles.length) max bytesTerm
     if (est < target) df.repartition(target) else df
@@ -70,9 +75,13 @@ object Tables {
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumnRenamed("ts", "ts_ns")
-          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-          // NB: integer `div`, not `/` — ns epochs (~1.7e18) overflow double's
-          // 53-bit mantissa, so float division silently corrupts the low µs.
+          // FLOOR to the µs grid — (x - pmod(x,1000)) div 1000, all
+          // integer: plain `div` truncates toward zero, which rounds a
+          // PRE-EPOCH off-grid ns UP (one µs late, breaking ts/ts_ns
+          // boundary-filter agreement); float `/` is worse — ns epochs
+          // (~1.7e18) overflow double's 53-bit mantissa entirely.
+          .withColumn("ts", timestamp_micros(
+            expr("(ts_ns - pmod(ts_ns, 1000)) div 1000")))
       case TimestampType | TimestampNTZType =>
         // NTZ → session-tz timestamp is the IDENTITY on the stored µs value
         // under the engine's pinned UTC session (Engine.scala), and keeps
