@@ -67,6 +67,59 @@ object Oracles {
          WHERE i::DOUBLE / (sa.c + sb.c - i)::DOUBLE >= 0.2
          ORDER BY id_a, id_b"""
 
+  // one truth per BEHAVIORAL PAIR (batch/stream, API/dialect twins):
+  // a verbatim duplicate string lets an edit to one copy silently
+  // strand its twin (the incrementalDedupSql lesson, generalized)
+  private val hourlyBucketsSql =
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
+                count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+                min(value) AS low, max(value) AS high
+         FROM events GROUP BY 1, 2 ORDER BY bucket, event_type"""
+
+  private val bpeTokenizeSql =
+    """WITH w AS (
+           SELECT doc_id,
+                  unnest(string_split(trim(regexp_replace(
+                    replace(lower(text), '|', ' '), '\s+', ' ', 'g')), ' ')) AS w
+           FROM documents),
+         r0 AS (
+           SELECT doc_id,
+                  '||' || regexp_replace(w, '(.)', '\1||', 'g') || '</w>||' AS rep
+           FROM w WHERE length(w) > 0),
+         r1 AS (SELECT doc_id, replace(rep, '|t||h|', '|th|') AS rep FROM r0),
+         r2 AS (SELECT doc_id, replace(rep, '|th||e|', '|the|') AS rep FROM r1),
+         r3 AS (SELECT doc_id, replace(rep, '|the||</w>|', '|the</w>|') AS rep FROM r2),
+         r4 AS (SELECT doc_id, replace(rep, '|v||a|', '|va|') AS rep FROM r3),
+         r5 AS (SELECT doc_id, replace(rep, '|va||l|', '|val|') AS rep FROM r4),
+         r6 AS (SELECT doc_id, replace(rep, '|a||</w>|', '|a</w>|') AS rep FROM r5)
+         SELECT doc_id, count(*) AS n_words,
+                CAST(sum((length(rep) - length(replace(rep, '|', ''))) // 2 - 1)
+                     AS BIGINT) AS n_tokens
+         FROM r6 GROUP BY doc_id ORDER BY doc_id"""
+
+  private val corpusDriftSql =
+    """WITH ta AS (
+           SELECT tok, count(*) AS cnt FROM (
+             SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+             FROM documents WHERE doc_id < 250) GROUP BY tok),
+         tbl AS (
+           SELECT tok, count(*) AS cnt FROM (
+             SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+             FROM documents WHERE doc_id >= 250) GROUP BY tok),
+         tot AS (SELECT (SELECT sum(cnt) FROM ta) AS sa, (SELECT sum(cnt) FROM tbl) AS sb),
+         j AS (
+           SELECT coalesce(a.tok, b.tok) AS tok,
+                  coalesce(a.cnt, 0) AS cnt_a, coalesce(b.cnt, 0) AS cnt_b,
+                  abs(CAST(coalesce(a.cnt, 0) AS HUGEINT) * (SELECT sb FROM tot)
+                    - CAST(coalesce(b.cnt, 0) AS HUGEINT) * (SELECT sa FROM tot)) AS num
+           FROM ta a FULL JOIN tbl b ON a.tok = b.tok),
+         tv AS (SELECT round(CAST(sum(num) AS DOUBLE)
+                  / (2.0 * (SELECT sa FROM tot) * (SELECT sb FROM tot)), 6) AS d FROM j)
+         SELECT CAST(row_number() OVER (ORDER BY num DESC, tok) AS BIGINT) AS drift_rank,
+                tok, cnt_a, cnt_b, (SELECT d FROM tv) AS tv_distance
+         FROM j ORDER BY num DESC, tok LIMIT 10"""
+
   private val incrementalSemDedupSql =
     """SELECT vec_id AS id_a, vec_id + 10000000 AS id_b,
                 CAST(1.0 AS DOUBLE) AS cos
@@ -170,12 +223,7 @@ object Oracles {
          FROM events
          ORDER BY user_id, epoch_us(ts), event_id""",
 
-    "q14_hourly_buckets" ->
-      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
-                count(*) AS n,
-                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-                min(value) AS low, max(value) AS high
-         FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""",
+    "q14_hourly_buckets" -> hourlyBucketsSql,
 
     "q15_span_shift" ->
       """SELECT strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m') AS due_month,
@@ -453,7 +501,7 @@ object Oracles {
     "q100_kerf_bars" ->
       """SELECT epoch_us(ts) - epoch_us(ts) % 900000000 AS bucket_us,
                 count(value) AS n,
-                CAST(round(sum(value) * 100) AS BIGINT) AS total_cents
+                CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS total_cents
          FROM events WHERE event_type = 'click'
          GROUP BY 1 ORDER BY bucket_us""",
 
@@ -482,7 +530,7 @@ object Oracles {
     // table; integer cents for the order-insensitive sum.
     "q103_kerf_fileverbs" ->
       """SELECT o_orderstatus, count(*) AS n,
-                CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS total_cents
+                CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS total_cents
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     // q58: the sketch input keeps only single-source normalized texts,
@@ -1054,7 +1102,8 @@ object Oracles {
          SELECT l_orderkey, len(qtys) AS n_items,
                 list_sum(qtys) AS qty_total,
                 qtys[-1] AS qty_max,
-                array_to_string(list_reverse_sort(qtys), ',') AS qtys_desc
+                array_to_string(list_transform(list_reverse_sort(qtys),
+                    v -> printf('%.2f', v)), ',') AS qtys_desc
          FROM g ORDER BY l_orderkey""",
 
     "q42_percentiles" ->
@@ -1093,12 +1142,7 @@ object Oracles {
            ON a.user_id = b.user_id AND abs(b.p_ts - a.err_ts) <= 300000000
          ORDER BY a.user_id, a.err_id, b.p_id""",
 
-    "q36_stream_hourly" ->
-      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
-                count(*) AS n,
-                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-                min(value) AS low, max(value) AS high
-         FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""",
+    "q36_stream_hourly" -> hourlyBucketsSql,
 
     // text-path forward as-of with tolerance — same truth as q51 (DuckDB
     // ASOF with the inequality reversed IS forward; tolerance via CASE)
@@ -1583,27 +1627,7 @@ object Oracles {
 
     // corpus drift in exact integer numerators: |cntA*totB - cntB*totA|
     // summed as HUGEINT (order-free), divided once; rank ties on token
-    "q140_corpus_drift" ->
-      """WITH ta AS (
-           SELECT tok, count(*) AS cnt FROM (
-             SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
-             FROM documents WHERE doc_id < 250) GROUP BY tok),
-         tbl AS (
-           SELECT tok, count(*) AS cnt FROM (
-             SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
-             FROM documents WHERE doc_id >= 250) GROUP BY tok),
-         tot AS (SELECT (SELECT sum(cnt) FROM ta) AS sa, (SELECT sum(cnt) FROM tbl) AS sb),
-         j AS (
-           SELECT coalesce(a.tok, b.tok) AS tok,
-                  coalesce(a.cnt, 0) AS cnt_a, coalesce(b.cnt, 0) AS cnt_b,
-                  abs(CAST(coalesce(a.cnt, 0) AS HUGEINT) * (SELECT sb FROM tot)
-                    - CAST(coalesce(b.cnt, 0) AS HUGEINT) * (SELECT sa FROM tot)) AS num
-           FROM ta a FULL JOIN tbl b ON a.tok = b.tok),
-         tv AS (SELECT round(CAST(sum(num) AS DOUBLE)
-                  / (2.0 * (SELECT sa FROM tot) * (SELECT sb FROM tot)), 6) AS d FROM j)
-         SELECT CAST(row_number() OVER (ORDER BY num DESC, tok) AS BIGINT) AS drift_rank,
-                tok, cnt_a, cnt_b, (SELECT d FROM tv) AS tv_distance
-         FROM j ORDER BY num DESC, tok LIMIT 10""",
+    "q140_corpus_drift" -> corpusDriftSql,
 
     // rolling median over FULL 3-row frames only: the median is the
     // picked middle element (no interpolation, no fp reconciliation)
@@ -1632,7 +1656,7 @@ object Oracles {
            SELECT e.user_id, e.rn, e.ts_us,
                   r.ema + 0.25 * (CAST(e.value AS DOUBLE) - r.ema)
            FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
-         SELECT user_id, ts_us, round(ema, 6) AS ema
+         SELECT user_id, ts_us, ema
          FROM r ORDER BY user_id, ts_us""",
 
     // quality-aware SemDeDup: replicas outscore originals (score =
@@ -2175,27 +2199,7 @@ object Oracles {
          FROM v ORDER BY user_id, ts_ns, event_id""",
 
     // the dialect-driven workflow computes q140's exact answer
-    "q150_dialect_drift" ->
-      """WITH ta AS (
-           SELECT tok, count(*) AS cnt FROM (
-             SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
-             FROM documents WHERE doc_id < 250) GROUP BY tok),
-         tbl AS (
-           SELECT tok, count(*) AS cnt FROM (
-             SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
-             FROM documents WHERE doc_id >= 250) GROUP BY tok),
-         tot AS (SELECT (SELECT sum(cnt) FROM ta) AS sa, (SELECT sum(cnt) FROM tbl) AS sb),
-         j AS (
-           SELECT coalesce(a.tok, b.tok) AS tok,
-                  coalesce(a.cnt, 0) AS cnt_a, coalesce(b.cnt, 0) AS cnt_b,
-                  abs(CAST(coalesce(a.cnt, 0) AS HUGEINT) * (SELECT sb FROM tot)
-                    - CAST(coalesce(b.cnt, 0) AS HUGEINT) * (SELECT sa FROM tot)) AS num
-           FROM ta a FULL JOIN tbl b ON a.tok = b.tok),
-         tv AS (SELECT round(CAST(sum(num) AS DOUBLE)
-                  / (2.0 * (SELECT sa FROM tot) * (SELECT sb FROM tot)), 6) AS d FROM j)
-         SELECT CAST(row_number() OVER (ORDER BY num DESC, tok) AS BIGINT) AS drift_rank,
-                tok, cnt_a, cnt_b, (SELECT d FROM tv) AS tv_distance
-         FROM j ORDER BY num DESC, tok LIMIT 10""",
+    "q150_dialect_drift" -> corpusDriftSql,
 
     // pairwise deletion replayed as the identical masked decimal tree:
     // both inputs null where the partner is, n = the pair count —
@@ -2625,49 +2629,11 @@ object Oracles {
     // merge consumes only the INNER separator pair, so replace's
     // left-to-right scan equals BPE's one-round merge of every
     // occurrence); tokens per word = pipes//2 − 1
-    "q172_bpe_tokenize" ->
-      """WITH w AS (
-           SELECT doc_id,
-                  unnest(string_split(trim(regexp_replace(
-                    replace(lower(text), '|', ' '), '\s+', ' ', 'g')), ' ')) AS w
-           FROM documents),
-         r0 AS (
-           SELECT doc_id,
-                  '||' || regexp_replace(w, '(.)', '\1||', 'g') || '</w>||' AS rep
-           FROM w WHERE length(w) > 0),
-         r1 AS (SELECT doc_id, replace(rep, '|t||h|', '|th|') AS rep FROM r0),
-         r2 AS (SELECT doc_id, replace(rep, '|th||e|', '|the|') AS rep FROM r1),
-         r3 AS (SELECT doc_id, replace(rep, '|the||</w>|', '|the</w>|') AS rep FROM r2),
-         r4 AS (SELECT doc_id, replace(rep, '|v||a|', '|va|') AS rep FROM r3),
-         r5 AS (SELECT doc_id, replace(rep, '|va||l|', '|val|') AS rep FROM r4),
-         r6 AS (SELECT doc_id, replace(rep, '|a||</w>|', '|a</w>|') AS rep FROM r5)
-         SELECT doc_id, count(*) AS n_words,
-                CAST(sum((length(rep) - length(replace(rep, '|', ''))) // 2 - 1)
-                     AS BIGINT) AS n_tokens
-         FROM r6 GROUP BY doc_id ORDER BY doc_id""",
+    "q172_bpe_tokenize" -> bpeTokenizeSql,
 
     // the dialect face drives the SAME chain with the same published
     // rules — q172's oracle verbatim
-    "q174_dialect_bpe" ->
-      """WITH w AS (
-           SELECT doc_id,
-                  unnest(string_split(trim(regexp_replace(
-                    replace(lower(text), '|', ' '), '\s+', ' ', 'g')), ' ')) AS w
-           FROM documents),
-         r0 AS (
-           SELECT doc_id,
-                  '||' || regexp_replace(w, '(.)', '\1||', 'g') || '</w>||' AS rep
-           FROM w WHERE length(w) > 0),
-         r1 AS (SELECT doc_id, replace(rep, '|t||h|', '|th|') AS rep FROM r0),
-         r2 AS (SELECT doc_id, replace(rep, '|th||e|', '|the|') AS rep FROM r1),
-         r3 AS (SELECT doc_id, replace(rep, '|the||</w>|', '|the</w>|') AS rep FROM r2),
-         r4 AS (SELECT doc_id, replace(rep, '|v||a|', '|va|') AS rep FROM r3),
-         r5 AS (SELECT doc_id, replace(rep, '|va||l|', '|val|') AS rep FROM r4),
-         r6 AS (SELECT doc_id, replace(rep, '|a||</w>|', '|a</w>|') AS rep FROM r5)
-         SELECT doc_id, count(*) AS n_words,
-                CAST(sum((length(rep) - length(replace(rep, '|', ''))) // 2 - 1)
-                     AS BIGINT) AS n_tokens
-         FROM r6 GROUP BY doc_id ORDER BY doc_id""",
+    "q174_dialect_bpe" -> bpeTokenizeSql,
 
     // one BPE training round's argmax input: adjacent-pair counts over
     // the distinct-word census, weighted by word frequency
@@ -2755,7 +2721,7 @@ object Oracles {
                     FROM events WHERE event_type = 'click'),
               q AS (SELECT user_id,
                            tick_ns - event_id % 499 AS q_ns,
-                           CAST(event_id % 499 AS DOUBLE) AS q_val
+                           CAST((tick_ns - event_id % 499) % 997 AS DOUBLE) AS q_val
                     FROM t)
          SELECT t.user_id, t.event_id, t.tick_ns,
                 CASE WHEN t.tick_ns - q.q_ns <= 300 THEN q.q_val END AS q_val,

@@ -627,8 +627,11 @@ object Queries {
         aggregate(col("qtys"), lit(0.0), (acc, v) => acc + v).as("qty_total"),
         element_at(col("qtys"), -1).as("qty_max"),
         // stringified (not a raw array) so the driver's pandas-based
-        // oracle compare can sort/hash the column
-        array_join(transform(reverse(col("qtys")), v => v.cast("string")), ",")
+        // oracle compare can sort/hash the column — FIXED FORMAT (the
+        // q168 discipline): a raw double cast flips to scientific
+        // notation at |x| >= 1e7, where DuckDB's varchar cast does not
+        array_join(transform(reverse(col("qtys")),
+            v => format_string("%.2f", v)), ",")
           .as("qtys_desc"))
       .orderBy(col("l_orderkey"))
   }
@@ -1362,7 +1365,10 @@ object Queries {
         array_join(map_keys(col("m")), ",").as("statuses"),
         array_join(transform(map_values(col("m")), v => v.cast("string")), ",")
           .as("counts"),
-        element_at(col("m"), "F").as("n_f"))
+        // try_element_at: ANSI element_at THROWS on a missing key,
+        // while the oracle's CASE form answers NULL — a fixture whose
+        // priority group lacks an 'F' order would crash vs diverge
+        expr("try_element_at(m, 'F')").as("n_f"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -1719,12 +1725,15 @@ object Queries {
       .select(col("user_id"), col("ts"), col("value"), col("event_type"))
       .createOrReplaceTempView("events_v100")
     sql.KerfSql.run(s,
-      "select count(value) as n, sum(value) as total " +
+      // per-row integer cents BEFORE the sum: summing integral doubles
+      // is order-exact up to 2^53 on both engines, while rounding a raw
+      // double SUM tolerates only half a cent of summation-order drift
+      // — a margin that shrinks with row count and dies at sf1
+      "select count(value) as n, sum(floor(value * 100 + 0.5)) as total_cents " +
       "from events_v100 where event_type = 'click' " +
       "group bars(15i, ts) as bucket order bucket")
-      // µs epoch + integer cents: the order-insensitive oracle forms
       .select(unix_micros(col("bucket")).as("bucket_us"), col("n"),
-        round(col("total") * 100).cast("long").as("total_cents"))
+        col("total_cents").cast("long").as("total_cents"))
   }
 
   /** OHLC from the TEXT surface via the ordered first/last aggregates
@@ -1771,10 +1780,11 @@ object Queries {
       "o2: select o_custkey, o_totalprice, o_orderstatus from orders_v103; " +
       s"o2 >> '$path'; " +
       s"rb: << '$path'; " +
-      "select o_orderstatus, count(*) as n, sum(o_totalprice) as total " +
+      "select o_orderstatus, count(*) as n, " +
+      "sum(floor(o_totalprice * 100 + 0.5)) as total_cents " +
       "from rb group o_orderstatus order o_orderstatus")
       .select(col("o_orderstatus"), col("n"),
-        round(col("total") * 100).cast("long").as("total_cents"))
+        col("total_cents").cast("long").as("total_cents"))
   }
 
   /** The INT8 STORAGE PATH end-to-end (the documented 4×-smaller
@@ -2507,7 +2517,11 @@ object Queries {
         posexplode(zip_with(col("series"), col("emas"),
           (sv, e) => struct(sv.getField("ts_us").as("ts_us"), e.as("ema")))))
       .select(col("user_id"), col("col.ts_us").as("ts_us"),
-        round(col("col.ema"), 6).as("ema"))
+        // UNROUNDED (the q144/q161 discipline): the dyadic-alpha
+        // recurrence is bit-identical across engines, while round(x,6)
+        // is HALF_UP-on-shortest-repr in Spark vs multiply-based in
+        // DuckDB — a '...5' at the 7th decimal would split them
+        col("col.ema").as("ema"))
       .orderBy(col("user_id"), col("ts_us"))
   }
 
@@ -3829,8 +3843,13 @@ object Queries {
         (col("ts_ns") + col("event_id") % 997).as("tick_ns"))
       .createOrReplaceTempView("ticks_v199")
     ev.select(col("user_id"),
-        (col("ts_ns") + col("event_id") % 997 - col("event_id") % 499).as("q_ns"),
-        (col("event_id") % 499).cast("double").as("q_val"))
+        (col("ts_ns") + col("event_id") % 997 - col("event_id") % 499).as("q_ns"))
+      // q_val derives from q_ns itself, so two quotes that ever COLLIDE
+      // on the axis carry identical values — the as-of's equal-axis
+      // winner is unspecified on both engines, and tying the payload to
+      // the axis makes any pick answer-identical (tie-PROOF, not merely
+      // tie-improbable on this fixture's seconds-scale gaps)
+      .withColumn("q_val", pmod(col("q_ns"), lit(997L)).cast("double"))
       .createOrReplaceTempView("quotes_v199")
     sql.KerfSql.run(s,
       "select user_id, event_id, tick_ns, q_val, q_ns as q_ns_at " +
