@@ -1065,23 +1065,35 @@ object Queries {
     * production codec seam (`ImageIoCodec`). PNG is lossless, so the
     * pooled RGB features must equal the closed-form construction — which
     * is exactly what the DuckDB oracle checks. */
-  val q70_image_decode: Q = (s, dir) => {
+  /** (doc_id, png) fixture frame of deterministic solid-color PNGs —
+    * the ONE construction behind q70/q127/q128/q131 (each had its own
+    * copy that had to agree with its closed-form oracle independently).
+    * `rgbOf` is the per-id color recipe; blobs build in-partition
+    * (the multimodal codec-seam shape, never driver-side). */
+  private def solidPngBlobs(s: SparkSession, dir: String, w: Int, h: Int,
+                            rgbOf: Long => Int): DataFrame = {
     import s.implicits._
-    val blobs = Tables.documents(s, dir).filter(col("doc_id") < 64)
+    Tables.documents(s, dir).filter(col("doc_id") < 64)
       .select(col("doc_id").cast("long")).as[Long]
-      .mapPartitions { it =>
-        it.map { id =>
-          val img = new java.awt.image.BufferedImage(16, 8,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val rgb = (((id * 7) % 256).toInt << 16) |
-                    (((id * 13) % 256).toInt << 8) | ((id * 31) % 256).toInt
-          var y = 0
-          while (y < 8) { var x = 0; while (x < 16) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
-          val baos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", baos)
-          (id, baos.toByteArray)
-        }
-      }.toDF("doc_id", "png")
+      .mapPartitions(it => it.map(id =>
+        (id, llm.Multimodal.synthPng(w, h, rgbOf(id)))))
+      .toDF("doc_id", "png")
+  }
+
+  /** q70/q127's per-id color: three coprime multipliers mod 256. */
+  private val idRgb: Long => Int = id =>
+    (((id * 7) % 256).toInt << 16) | (((id * 13) % 256).toInt << 8) |
+      ((id * 31) % 256).toInt
+
+  /** q128/q131's 16-group color: doc_id % 16 → planted byte-identical
+    * quadruples (the exact-dedup closed form). */
+  private val groupRgb: Long => Int = id => {
+    val k = (id % 16).toInt
+    (k * 17 << 16) | (k * 11 << 8) | (k * 5)
+  }
+
+  val q70_image_decode: Q = (s, dir) => {
+    val blobs = solidPngBlobs(s, dir, 16, 8, idRgb)
     llm.Multimodal.decodeBinaryPartitioned(blobs, "doc_id", "png",
         llm.Multimodal.ImageIoCodec())
       .select(col("doc_id"),
@@ -1530,10 +1542,14 @@ object Queries {
     * derives from its own Jaccard computation alone. Misses (blocking
     * bug), organic leaks (verify bug), and signature nondeterminism all
     * hash-fail. */
-  val q93_simhash_dedup: Q = (s, dir) => {
-    val d = Tables.documents(s, dir).filter(col("doc_id") < 200)
-    // J on shingle-HASH sets (longs), not strings: same values by the
-    // q29-proven no-collision pairing, ~2x cheaper set intersections
+  /** q93/q94's shared fixture staging: the ≤200-doc subset with every
+    * organic near-dup pair (exact shingle-hash Jaccard ≥ 0.3, all-pairs
+    * on the BOUNDED subset only) removed, then a +1e7 planted replica
+    * per survivor — ONE implementation so the two signature queries'
+    * closed forms (and their oracles' identical ndp CTEs) stay in
+    * lockstep on threshold, shingle width, and subset cut. Returns the
+    * cleaned originals unioned with their replicas. */
+  private def cleanedWithReplicas(d: DataFrame): DataFrame = {
     val sh = d.select(col("doc_id"),
       llm.Dedup.shingleHashes(
         llm.Dedup.shinglesFromTokens(llm.Dedup.tokens(col("text")), 3)).as("shg"))
@@ -1544,8 +1560,16 @@ object Queries {
               size(array_union(col("ga"), col("gb"))).cast("double") >= 0.3)
       .select(explode(array(col("ia"), col("ib"))).as("doc_id")).distinct()
     val clean = d.join(ndIds, Seq("doc_id"), "left_anti")
-    val planted = clean.withColumn("doc_id", col("doc_id") + lit(10000000L))
-    llm.Dedup.simhashPairs(clean.unionByName(planted), "doc_id", "text",
+    clean.unionByName(
+      clean.withColumn("doc_id", col("doc_id") + lit(10000000L)))
+  }
+
+  val q93_simhash_dedup: Q = (s, dir) => {
+    // J on shingle-HASH sets (longs), not strings: same values by the
+    // q29-proven no-collision pairing, ~2x cheaper set intersections
+    val corpus = cleanedWithReplicas(
+      Tables.documents(s, dir).filter(col("doc_id") < 200))
+    llm.Dedup.simhashPairs(corpus, "doc_id", "text",
         maxHamming = 1)
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
       .orderBy(col("id_a"))
@@ -1561,19 +1585,9 @@ object Queries {
     * any change to the rolling hash, window choice, or set ordering
     * breaks replica equality or leaks an organic pair. */
   val q94_fingerprint_dedup: Q = (s, dir) => {
-    val d = Tables.documents(s, dir).filter(col("doc_id") < 200)
-    val sh = d.select(col("doc_id"),
-      llm.Dedup.shingleHashes(
-        llm.Dedup.shinglesFromTokens(llm.Dedup.tokens(col("text")), 3)).as("shg"))
-    val a = sh.select(col("doc_id").as("ia"), col("shg").as("ga"))
-    val b = sh.select(col("doc_id").as("ib"), col("shg").as("gb"))
-    val ndIds = a.crossJoin(b).filter(col("ia") < col("ib"))
-      .filter(size(array_intersect(col("ga"), col("gb"))).cast("double") /
-              size(array_union(col("ga"), col("gb"))).cast("double") >= 0.3)
-      .select(explode(array(col("ia"), col("ib"))).as("doc_id")).distinct()
-    val clean = d.join(ndIds, Seq("doc_id"), "left_anti")
-    val planted = clean.withColumn("doc_id", col("doc_id") + lit(10000000L))
-    val fps = llm.TextOps.fingerprint(clean.unionByName(planted), "doc_id", "text")
+    val corpus = cleanedWithReplicas(
+      Tables.documents(s, dir).filter(col("doc_id") < 200))
+    val fps = llm.TextOps.fingerprint(corpus, "doc_id", "text")
     val fa = fps.select(col("doc_id").as("id_a"), col("fingerprint").as("fa"))
     val fb = fps.select(col("doc_id").as("id_b"), col("fingerprint").as("fb"))
     fa.join(fb, col("fa") === col("fb") && col("id_a") < col("id_b"))
@@ -2216,22 +2230,7 @@ object Queries {
     * proving the transform emits a well-formed blob column that flows
     * through the same codec seam as originals. */
   val q127_image_resize: Q = (s, dir) => {
-    import s.implicits._
-    val blobs = Tables.documents(s, dir).filter(col("doc_id") < 64)
-      .select(col("doc_id").cast("long")).as[Long]
-      .mapPartitions { it =>
-        it.map { id =>
-          val img = new java.awt.image.BufferedImage(16, 8,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val rgb = (((id * 7) % 256).toInt << 16) |
-                    (((id * 13) % 256).toInt << 8) | ((id * 31) % 256).toInt
-          var y = 0
-          while (y < 8) { var x = 0; while (x < 16) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
-          val baos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", baos)
-          (id, baos.toByteArray)
-        }
-      }.toDF("doc_id", "png")
+    val blobs = solidPngBlobs(s, dir, 16, 8, idRgb)
     val resized = llm.Multimodal.resizePartitioned(blobs, "doc_id", "png", 4, 4)
     llm.Multimodal.decodeBinaryPartitioned(resized, "doc_id", "png",
         llm.Multimodal.ImageIoCodec(grid = 1))
@@ -2250,22 +2249,7 @@ object Queries {
     * groups of 4 byte-identical blobs (PNG encoding is deterministic);
     * min-id witnesses and group sizes are closed form. */
   val q128_media_dedup: Q = (s, dir) => {
-    import s.implicits._
-    val blobs = Tables.documents(s, dir).filter(col("doc_id") < 64)
-      .select(col("doc_id").cast("long")).as[Long]
-      .mapPartitions { it =>
-        it.map { id =>
-          val k = (id % 16).toInt
-          val img = new java.awt.image.BufferedImage(8, 8,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val rgb = ((k * 17) << 16) | ((k * 11) << 8) | (k * 5)
-          var y = 0
-          while (y < 8) { var x = 0; while (x < 8) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
-          val baos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", baos)
-          (id, baos.toByteArray)
-        }
-      }.toDF("doc_id", "png")
+    val blobs = solidPngBlobs(s, dir, 8, 8, groupRgb)
     llm.Dedup.exactBinary(blobs, "doc_id", "png")
       .select(col("keep_id"), col("group_size"))
       .orderBy(col("keep_id"))
@@ -2365,22 +2349,7 @@ object Queries {
     * oracled op; the closed form survives the whole chain because
     * solid colors are exact under bilinear resize. */
   val q131_media_pipeline: Q = (s, dir) => {
-    import s.implicits._
-    val blobs = Tables.documents(s, dir).filter(col("doc_id") < 64)
-      .select(col("doc_id").cast("long")).as[Long]
-      .mapPartitions { it =>
-        it.map { id =>
-          val k = (id % 16).toInt
-          val img = new java.awt.image.BufferedImage(16, 8,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val rgb = ((k * 17) << 16) | ((k * 11) << 8) | (k * 5)
-          var y = 0
-          while (y < 8) { var x = 0; while (x < 16) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
-          val baos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", baos)
-          (id, baos.toByteArray)
-        }
-      }.toDF("doc_id", "png")
+    val blobs = solidPngBlobs(s, dir, 16, 8, groupRgb)
     val keep = llm.Dedup.exactBinary(blobs, "doc_id", "png")
       .select(col("keep_id").as("doc_id"))
     val survivors = blobs.join(keep, Seq("doc_id"))

@@ -236,6 +236,25 @@ object Multimodal {
     * 8×8 two-tone frame per pattern value (first `bright` cells white) —
     * the q149 family. One implementation shared by the query fixture,
     * the scaling bench, and the specs. */
+  /** Deterministic SOLID-COLOR PNG (the image sibling of synthGif/
+    * synthWav): w×h, every pixel `rgb`. PNG encoding is deterministic,
+    * so equal inputs yield byte-identical blobs — the exact-dedup
+    * fixtures stand on that. One builder, so the four image queries'
+    * closed-form oracles agree with ONE construction, not four copies. */
+  def synthPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
   def synthGif(patterns: Seq[Int]): Array[Byte] = {
     val baos = new java.io.ByteArrayOutputStream()
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
