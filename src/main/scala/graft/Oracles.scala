@@ -1103,7 +1103,10 @@ object Oracles {
                 list_sum(qtys) AS qty_total,
                 qtys[-1] AS qty_max,
                 array_to_string(list_transform(list_reverse_sort(qtys),
-                    v -> printf('%.2f', v)), ',') AS qtys_desc
+                    v -> printf('%d.%02d',
+                                CAST(floor(v * 100 + 0.5) AS BIGINT) // 100,
+                                CAST(floor(v * 100 + 0.5) AS BIGINT) % 100)),
+                    ',') AS qtys_desc
          FROM g ORDER BY l_orderkey""",
 
     "q42_percentiles" ->

@@ -629,9 +629,17 @@ object Queries {
         // stringified (not a raw array) so the driver's pandas-based
         // oracle compare can sort/hash the column — FIXED FORMAT (the
         // q168 discipline): a raw double cast flips to scientific
-        // notation at |x| >= 1e7, where DuckDB's varchar cast does not
-        array_join(transform(reverse(col("qtys")),
-            v => format_string("%.2f", v)), ",")
+        // notation at |x| >= 1e7, where DuckDB's varchar cast does not.
+        // Rendered from an INTEGER-CENTS value (the q100/q103 cents
+        // discipline), not "%.2f": Java format_string rounds HALF_UP
+        // where DuckDB printf rounds half-even, so a value whose binary
+        // expansion ties exactly at the 3rd decimal would format
+        // differently — identical integer math on both sides is
+        // tie-proof rather than fixture-safe
+        array_join(transform(reverse(col("qtys")), v => {
+            val c = floor(v * lit(100) + lit(0.5)).cast("long")
+            format_string("%d.%02d", (c / lit(100)).cast("long"), c % lit(100))
+          }), ",")
           .as("qtys_desc"))
       .orderBy(col("l_orderkey"))
   }

@@ -307,6 +307,12 @@ object Folio {
     * error, and means the same thing: state went stale, re-read and
     * retry (the streaming sinks do, EventStream.appendGuarded). One
     * implementation so the publish paths can never diverge. */
+  // paths already warned about a missing cross-process file lock — the
+  // degradation is a property of the FILESYSTEM, one line per path is
+  // signal, one line per publish is noise
+  private val flockWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def commitStaged(path: String, stage: java.io.File, vname: String,
                            n: Long, keep: Int = 1): Unit = {
     val expected = if (n <= 1L) None else Some(f"v${n - 1L}%08d")
@@ -318,15 +324,37 @@ object Folio {
       try {
         // cross-process exclusion where the FS supports it; a filesystem
         // without byte-range locks degrades to the in-JVM monitor plus
-        // the CAS re-read below (still loud, window merely narrower)
+        // the CAS re-read below (still loud, window merely narrower) —
+        // surfaced ONCE per path so operators know the guarantee is
+        // advisory there instead of discovering it from an interleave
         val flock = try lockCh.lock()
-                    catch { case _: java.io.IOException => null }
+                    catch { case e: java.io.IOException =>
+                      if (flockWarned.add(new java.io.File(path).getAbsolutePath))
+                        System.err.println(
+                          s"[graft] WARN: cross-process file lock unavailable at " +
+                          s"$path (${e.getClass.getSimpleName}) — publish exclusion " +
+                          "degrades to in-JVM serialization plus the CAS re-read; " +
+                          "two writers in DIFFERENT processes on this filesystem " +
+                          "can interleave check-and-swap")
+                      null }
         try {
           val now = currentVersion(path)
           if (now != expected) {
             rmTree(stage)
             throw new ConcurrentPublishException(path, expected, now)
           }
+          // a non-default retention is a property of the FOLIO, not of
+          // one call: persist it so a cadence `vacuum` (which cannot know
+          // the caller's keep) honors the same floor. INSIDE the lock and
+          // BEFORE the pointer swap (it is idempotent): written after
+          // release, a vacuum racing the FIRST keep=2 publish could read
+          // keepDepth()=1 and reap the extra fallback this publish
+          // deliberately retains — the exact plan-vs-execute window
+          // keep=2 exists to close
+          if (keep > 1)
+            java.nio.file.Files.write(
+              new java.io.File(path, "_CURRENT.keep").toPath,
+              keep.toString.getBytes("UTF-8"))
           val vdir = new java.io.File(path, vname)
           // a CRASHED pre-staging-era attempt may have left a dir under
           // the final name; no live writer can own it (it would have had
@@ -342,18 +370,15 @@ object Folio {
         } finally { if (flock != null) flock.release() }
       } finally lockCh.close()
     }
-    // a non-default retention is a property of the FOLIO, not of one
-    // call: persist it so a cadence `vacuum` (which cannot know the
-    // caller's keep) honors the same floor instead of reaping the extra
-    // fallback this publish deliberately retained
-    if (keep > 1)
-      java.nio.file.Files.write(new java.io.File(path, "_CURRENT.keep").toPath,
-        keep.toString.getBytes("UTF-8"))
+    // GC with the FOLIO's floor, not just this call's: a default-keep
+    // publisher (a manual dialect append) interleaving on a keep=2
+    // folio must not reap the extra fallback a rollup publisher pinned
+    val effKeep = math.max(keep, keepDepth(path))
     val dir = new java.io.File(path)
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory &&
         d.getName.matches("v\\d{8}(\\.stage-.*)?") &&
-        d.getName.substring(1, 9).toLong < n - keep)
+        d.getName.substring(1, 9).toLong < n - effKeep)
       .foreach(rmTree)
   }
 
@@ -981,6 +1006,28 @@ object Folio {
   // own (batch ids were monotone for the one legacy query too), so at
   // most ONE legacy tag ever lingers instead of one per ancient batch
   private[graft] val LegacyTagRe = raw"stream-batch:(\d+)".r
+  // EPHEMERAL writer ids (checkpoint-DEFAULTED sinks) carry their mint
+  // time: eph<millis-hex>-<random-hex>. Spark backs a defaulted query
+  // with a temporary checkpoint, so its tags matter only for same-RUN
+  // foreachBatch retries — cross-restart exactly-once needs a durable
+  // checkpoint (the documented contract). Without an age-out, every
+  // restart of a defaulted query leaves one permanent tag in the
+  // applied set (writer count is unbounded across restarts); any later
+  // publish therefore drops ephemeral tags older than the retention
+  // window. The race this reopens — a defaulted run idle LONGER than
+  // the window between a batch commit and that same batch's retry — is
+  // not a real Spark retry shape (retries follow failures within
+  // seconds). Pre-r16 random ids (bare 16-hex) are indistinguishable
+  // from checkpoint-derived ids and are retained; growth stops for new
+  // runs.
+  private[graft] val EphWriterRe = raw"eph([0-9a-f]+)-[0-9a-f]+".r
+  private[graft] val EphemeralTagRetentionMs: Long = 24L * 60 * 60 * 1000
+  private[graft] def expiredEphemeralTag(tag: String, nowMs: Long): Boolean =
+    tag match {
+      case StreamTagRe(EphWriterRe(ms), _) =>
+        java.lang.Long.parseLong(ms, 16) < nowMs - EphemeralTagRetentionMs
+      case _ => false
+    }
   private[graft] def compactTags(tags: Seq[String]): Seq[String] = {
     val (stream, rest) = tags.partition(StreamTagRe.matches(_))
     val (legacy, other) = rest.partition(LegacyTagRe.matches(_))
@@ -1098,8 +1145,10 @@ object Folio {
       java.nio.file.Files.write(new java.io.File(vdir, "_COMMIT_TAG").toPath,
         t.getBytes("UTF-8"))
     }
+    val nowMs = System.currentTimeMillis()
     val tags = compactTags(
       (rollupCommitTags(path) ++ commitTag).toSeq.sorted)
+      .filterNot(expiredEphemeralTag(_, nowMs))
     if (tags.nonEmpty)
       java.nio.file.Files.write(new java.io.File(vdir, "_COMMIT_TAGS").toPath,
         tags.mkString("\n").getBytes("UTF-8"))

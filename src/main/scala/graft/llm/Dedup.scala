@@ -323,15 +323,28 @@ object Dedup {
       (r.getLong(0), r.getLong(1))
     }
 
+    // round-boundary lineage truncation: localCheckpoint (executor-local
+    // blocks, no FS round trip) is the local[*] default, but its blocks
+    // are NOT fault-tolerant — on a real cluster an executor loss
+    // mid-loop fails the job unrecoverable-by-lineage. When the session
+    // has a RELIABLE checkpoint dir configured
+    // (sparkContext.setCheckpointDir — the multi-executor deployment
+    // posture), rounds checkpoint there instead, so the loop survives
+    // executor loss at the cost of one FS write per round (the edge set
+    // is pair-list-sized, orders of magnitude under the corpus).
+    def roundCheckpoint(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
     val init = pairs.select(col(idA).as("u"), col(idB).as("v"))
       .filter(col("u") =!= col("v"))
-    var e = smallStar(init).localCheckpoint(true)
+    var e = roundCheckpoint(smallStar(init))
     var prev: DataFrame = null
     var sig = signature(e)
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = roundCheckpoint(smallStar(largeStar(e)))
       val nsig = signature(next)
       if (prev != null) Caches.release(prev)
       prev = e; e = next

@@ -3571,7 +3571,15 @@ object KerfSql {
         require(t.columns.toSet == Set("bucket", "w"),
           s"classify … using needs a (bucket, w) weight table, got ${t.columns.mkString(", ")}")
         val arr = new Array[Long](dim)
-        t.collect().foreach { r =>
+        // bound BEFORE collecting (the BPE merge-table discipline): a
+        // valid model table has at most dim rows, so limit(dim+1) caps
+        // the driver materialization — a malformed million-row "weight
+        // table" errors loudly instead of OOMing the driver
+        val rows = t.limit(dim + 1).collect()
+        require(rows.length <= dim,
+          s"classify … using: weight table has more than dim=$dim rows — " +
+          "not a (bucket, w) model table (each bucket appears at most once)")
+        rows.foreach { r =>
           val b = r.getAs[Number]("bucket").longValue()
           require(b >= 0 && b < dim, s"weight bucket $b outside [0, $dim)")
           arr(b.toInt) = r.getAs[Number]("w").longValue()

@@ -531,7 +531,7 @@ object EventStream {
     var done = false
     while (!done) {
       if (!batchUnapplied(graft.io.Folio.rollupCommitTags(path), writerId, id,
-            honorLegacy)
+            honorLegacy, where = path)
           || isEmpty()) done = true
       else {
         tries += 1
@@ -582,16 +582,27 @@ object EventStream {
     * fresh-checkpoint query that crashes before its very first commit
     * AND whose first batch id collides with the legacy tag — is
     * undecidable from the tags alone and resolves on the side of not
-    * double-applying, like the reference's at-least-once posture. */
+    * double-applying, like the reference's at-least-once posture —
+    * but LOUDLY: the suppression is logged (with the colliding tag) so
+    * a drop that was actually fresh data is observable in the driver
+    * log instead of silent. */
   private[graft] def batchUnapplied(applied: Set[String], writerId: String,
                                     id: Long,
-                                    honorLegacy: Boolean = true): Boolean = {
+                                    honorLegacy: Boolean = true,
+                                    where: String = "?"): Boolean = {
     if (applied.contains(s"stream-batch:$writerId:$id")) return false
     if (!honorLegacy || !applied.contains(s"stream-batch:$id")) return true
     val ownEarlier = applied.exists {
       case graft.io.Folio.StreamTagRe(w, n) => w == writerId && n.toLong < id
       case _ => false
     }
+    if (!ownEarlier)
+      System.err.println(
+        s"[graft] WARN: legacy tag 'stream-batch:$id' at $where shadows writer " +
+        s"$writerId's first batch $id — skipped as a presumed pre-upgrade " +
+        "re-delivery (at-least-once posture). If this query is NOT resuming a " +
+        "pre-writer-id checkpoint, the batch was fresh data: replay it, and " +
+        "vacuum the legacy tag once a post-upgrade writer has committed.")
     ownEarlier
   }
 
@@ -606,7 +617,13 @@ object EventStream {
     * other's batches. A fresh id keeps same-run foreachBatch retries
     * exactly-once (the tag guard's actual job here); cross-RESTART
     * exactly-once genuinely requires a durable checkpoint, which is the
-    * documented contract. Hex — it rides inside commit-tag strings. */
+    * documented contract. Hex — it rides inside commit-tag strings.
+    * The fresh id is minted in the EPHEMERAL spelling
+    * (`eph<mint-millis-hex>-<random-hex>`) so the applied set does not
+    * grow one permanent tag per defaulted-query restart: any later
+    * publish ages ephemeral tags out past
+    * [[graft.io.Folio.EphemeralTagRetentionMs]] (their only job is
+    * same-run retry idempotence, which lives well inside the window). */
   private[graft] def writerIdOf(checkpoint: Option[String]): String =
     checkpoint.map { cp =>
       val d = java.security.MessageDigest.getInstance("SHA-256")
@@ -615,7 +632,8 @@ object EventStream {
     }.getOrElse {
       val b = new Array[Byte](8)
       java.util.concurrent.ThreadLocalRandom.current().nextBytes(b)
-      b.map("%02x".format(_)).mkString
+      s"eph${java.lang.Long.toHexString(System.currentTimeMillis())}-" +
+        b.map("%02x".format(_)).mkString
     }
 
   /** Streaming face of the HISTOGRAM rollup ([[graft.io.Folio

@@ -739,6 +739,47 @@ class FolioSpec extends SparkSpec {
     assert(v3 == "v00000003" && readManifest() == "a\nb\nc")
   }
 
+  test("retention floor: a default-keep publish honors a folio-pinned keep=2") {
+    // keep is a property of the FOLIO (_CURRENT.keep), not of one call:
+    // a manual default-keep publisher interleaving on a keep=2 folio
+    // must not reap the extra fallback a rollup publisher pinned there
+    val p = s"${tmp()}/keep"
+    def pub(s: String, keep: Int = 1): String =
+      Folio.publishArtifactsFrom(p, Folio.currentVersion(p), keep) { v =>
+        java.nio.file.Files.write(new java.io.File(v, "m").toPath,
+          s.getBytes("UTF-8"))
+      }
+    pub("1", keep = 2); pub("2", keep = 2); pub("3", keep = 2)
+    assert(Folio.versions(p) == Seq("v00000001", "v00000002", "v00000003"))
+    pub("4") // default keep=1 — the pinned floor must still hold
+    assert(Folio.versions(p) == Seq("v00000002", "v00000003", "v00000004"),
+      "a default-keep publish reaped the folio's pinned extra fallback")
+  }
+
+  test("applied-set hygiene: expired ephemeral writer tags age out on publish") {
+    import spark.implicits._
+    val path = s"${tmp()}/roll"
+    def b(v: Double) = Seq(("k", v)).toDF("k", "v")
+    val nowMs = System.currentTimeMillis()
+    val freshEph = s"eph${java.lang.Long.toHexString(nowMs)}-aabbccddeeff0022"
+    val oldEph = s"eph${java.lang.Long.toHexString(
+      nowMs - Folio.EphemeralTagRetentionMs - 60000L)}-aabbccddeeff0011"
+    Folio.appendWithRollup(b(1.0), path, Seq("k"), Seq("v"),
+      Some(s"stream-batch:$freshEph:0"))
+    Folio.appendWithRollup(b(2.0), path, Seq("k"), Seq("v"),
+      Some(s"stream-batch:$oldEph:3"))
+    // a later durable-writer publish sweeps the expired tag (and leaves
+    // the fresh ephemeral + checkpoint-derived tags intact)
+    Folio.appendWithRollup(b(3.0), path, Seq("k"), Seq("v"),
+      Some("stream-batch:deadbeefcafef00d:5"))
+    val tags = Folio.rollupCommitTags(path)
+    assert(!tags.exists(_.contains(oldEph)),
+      s"expired ephemeral tag still in the applied set: $tags")
+    assert(tags.contains(s"stream-batch:$freshEph:0"),
+      "a fresh ephemeral tag (same-run retry guard) must survive")
+    assert(tags.contains("stream-batch:deadbeefcafef00d:5"))
+  }
+
   test("concurrent rollup appenders with retry: every batch folds exactly once") {
     import spark.implicits._
     val dir = tmp()

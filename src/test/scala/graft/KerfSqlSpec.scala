@@ -1146,6 +1146,16 @@ class KerfSqlSpec extends SparkSpec {
       Seq((1L, "x")).toDF("b", "x").createOrReplaceTempView("cls_bad2")
       KerfSql.run(spark, "classify docs_cls by doc_id on text using cls_bad2")
     }
+    // a malformed million-row "weight table" must error LOUDLY without
+    // the driver ever materializing it: the collect is limit(dim+1)-
+    // capped (the BPE merge-table discipline), so only 17 rows move
+    val huge = spark.range(0, 1000000L)
+      .selectExpr("id % 16 as bucket", "1L as w")
+    huge.createOrReplaceTempView("cls_huge")
+    val ex = intercept[IllegalArgumentException] {
+      KerfSql.run(spark, "classify docs_cls by doc_id on text using cls_huge dim 16")
+    }
+    assert(ex.getMessage.contains("more than dim"))
   }
 
   test("index append form: incremental maintenance from the text surface") {

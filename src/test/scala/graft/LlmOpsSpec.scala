@@ -84,6 +84,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.length == 64 && got.forall(_.getLong(1) == 0L))
   }
 
+  test("clusters: a reliable checkpoint dir switches rounds to lineage-safe checkpoint()") {
+    // localCheckpoint blocks die with their executor; when the session
+    // has a reliable checkpoint dir (the multi-executor deployment
+    // posture) the CC loop must write its rounds THERE, so executor
+    // loss mid-loop recomputes from files instead of failing the job
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val prev = sc.getCheckpointDir
+    // private[spark] var — public at the JVM level; restored in finally
+    // so the shared test session keeps its local[*] default
+    val setter = sc.getClass.getMethod("checkpointDir_$eq", classOf[Option[String]])
+    sc.setCheckpointDir(dir)
+    try {
+      val chain = (0L until 63L).map(i => (i, i + 1, 1.0))
+        .toDF("id_a", "id_b", "jaccard")
+      val got = Dedup.clusters(chain, maxIters = 10).collect()
+      assert(got.length == 64 && got.forall(_.getLong(1) == 0L),
+        "labels must be identical under reliable checkpointing")
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "CC rounds did not checkpoint to the reliable dir")
+    } finally setter.invoke(sc, prev)
+  }
+
   test("clusters: hitting maxIters THROWS instead of returning split clusters") {
     val chain = (0L until 63L).map(i => (i, i + 1, 1.0))
       .toDF("id_a", "id_b", "jaccard")

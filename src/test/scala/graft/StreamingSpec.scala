@@ -1100,8 +1100,18 @@ class StreamingSpec extends SparkSpec {
     // a batch whose applied tag is in the legacy form — the guard must
     // honor it, or the batch double-applies (rollup double-count)
     val legacyApplied = Set("stream-batch:7")
-    assert(!EventStream.batchUnapplied(legacyApplied, "deadbeefcafef00d", 7L),
+    // the undecidable skip is LOUD: the suppression lands in the driver
+    // log so a drop that was actually fresh data is observable
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val origErr = System.err
+    System.setErr(new java.io.PrintStream(errBuf, true))
+    try assert(!EventStream.batchUnapplied(legacyApplied, "deadbeefcafef00d", 7L,
+        where = "/folio/x"),
       "legacy-tagged batch 7 must skip for the resuming (progress-free) writer")
+    finally System.setErr(origErr)
+    val warned = new String(errBuf.toByteArray, "UTF-8")
+    assert(warned.contains("shadows writer") && warned.contains("/folio/x"),
+      s"legacy shadow skip must warn, got: '$warned'")
     assert(EventStream.batchUnapplied(legacyApplied, "deadbeefcafef00d", 8L))
     // …but a writer with its OWN earlier progress is post-upgrade and
     // merely counted up to the legacy number — its batch must apply
@@ -1120,8 +1130,23 @@ class StreamingSpec extends SparkSpec {
     // so a stable shared id would collide with compacted tag history)
     assert(EventStream.writerIdOf(Some("/cp/x")) ==
            EventStream.writerIdOf(Some("/cp/x")))
+    // defaulted ids are minted EPHEMERAL (mint time in the id) so the
+    // applied set can age them out instead of growing per restart
     val d1 = EventStream.writerIdOf(None)
-    assert(d1 != EventStream.writerIdOf(None) && d1.matches("[0-9a-f]{16}"))
+    assert(d1 != EventStream.writerIdOf(None) &&
+      d1.matches("eph[0-9a-f]+-[0-9a-f]{16}"))
+    // age-out: an ephemeral tag older than the retention window expires
+    // on the next publish; fresh ephemeral, checkpoint-derived, legacy,
+    // and manual tags never do
+    import graft.io.Folio.{expiredEphemeralTag, EphemeralTagRetentionMs}
+    val now = 1755200000000L
+    val oldMs = java.lang.Long.toHexString(now - EphemeralTagRetentionMs - 1)
+    val newMs = java.lang.Long.toHexString(now - 1000L)
+    assert(expiredEphemeralTag(s"stream-batch:eph$oldMs-0011223344556677:4", now))
+    assert(!expiredEphemeralTag(s"stream-batch:eph$newMs-0011223344556677:4", now))
+    assert(!expiredEphemeralTag("stream-batch:deadbeefcafef00d:4", now))
+    assert(!expiredEphemeralTag("stream-batch:7", now))
+    assert(!expiredEphemeralTag("manual", now))
     // legacy tags compact to their max alone (one lingers, not one per batch)
     assert(graft.io.Folio.compactTags(
       Seq("stream-batch:3", "stream-batch:7", "stream-batch:w:2", "manual"))
