@@ -2733,6 +2733,21 @@ object Oracles {
            ON t.user_id = q.user_id AND q.q_ns <= t.tick_ns
          ORDER BY t.user_id, t.tick_ns, t.event_id""",
 
+    // granularity verbs on the raw ns lane: identical BIGINT floor/mod
+    // math — hourly bars, within-second ns, hour/minute of day. The
+    // planted `event_id % 997` jitter makes sum_subsec_ns depend on
+    // sub-µs bits, so a µs round-trip anywhere fails the hash.
+    "q201_ns_bars" ->
+      """WITH t AS (SELECT user_id, event_id,
+                           epoch_ns(ts) + event_id % 997 AS tick_ns
+                    FROM events WHERE event_type = 'click')
+         SELECT user_id, tick_ns - tick_ns % 3600000000000 AS bar_ns,
+                count(*) AS n,
+                CAST(sum(tick_ns % 1000000000) AS BIGINT) AS sum_subsec_ns,
+                min((tick_ns // 3600000000000) % 24) AS h_min,
+                max((tick_ns // 60000000000) % 60) AS m_max
+         FROM t GROUP BY user_id, bar_ns ORDER BY user_id, bar_ns""",
+
     // single-arg fromjson INFERENCE: the sampled schema must land on
     // {k: bigint} for this fixture (every props row carries integer k),
     // so the aggregates replay exactly as q141's explicit-DDL tree

@@ -3849,6 +3849,27 @@ object Queries {
       "from t where pj.k >= 5 group event_type order event_type")
   }
 
+  /** GRANULARITY VERBS ON THE RAW NS LANE (horology.h:4–12 keeps STAMP
+    * at ns; DIALECT.md's int64-ns contract): hourly `bars(1h, tick_ns)`
+    * plus the date-part family (`tick_ns['hour']`, `['ns']`, …) — all
+    * PURE long arithmetic, no TimestampType anywhere in the plan. Like
+    * q199 the axis plants deterministic sub-µs jitter (`event_id %
+    * 997`), and the sub-second aggregate is decided entirely below the
+    * microsecond: an engine that rounds the axis to µs gets
+    * `sum_subsec_ns` wrong on every jittered row. The DuckDB twin is
+    * the identical BIGINT floor/mod math. */
+  val q201_ns_bars: Q = (s, dir) => {
+    Tables.events(s, dir).filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"),
+        (col("ts_ns") + col("event_id") % 997).as("tick_ns"))
+      .createOrReplaceTempView("ticks_v201")
+    sql.KerfSql.run(s,
+      "select count(*) as n, sum(tick_ns['ns']) as sum_subsec_ns, " +
+      "min(tick_ns['hour']) as h_min, max(tick_ns['minute']) as m_max " +
+      "from ticks_v201 group user_id, bars(1h, tick_ns) as bar_ns " +
+      "order user_id, bar_ns")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -4052,5 +4073,6 @@ object Queries {
     "q198_semdedup_incremental" -> q198_semdedup_incremental,
     "q199_asof_ns"       -> q199_asof_ns,
     "q200_atlas_infer"   -> q200_atlas_infer,
+    "q201_ns_bars"       -> q201_ns_bars,
   )
 }

@@ -665,13 +665,19 @@ object KerfSql {
       // accessor face — stamps answer date-part keys like a dict;
       // reference temporal surface lexer.h:247–311, presented.h:150–185):
       // a string-literal index on a TimestampType routes to the date-part
-      // family instead of element indexing. ns-longs go through
-      // stamp(x) first — a bare long is just a number here.
+      // family instead of element indexing. A string-literal index on a
+      // LONG routes to the same family on the int64-ns lane (nsAttr) —
+      // pure long arithmetic, never a µs round-trip, so sub-µs bits
+      // survive (previously a loud type error, so no meaning changed).
       if ((t.dt == TimestampType || t.dt == TimestampNTZType) &&
           p.peek.exists(_.startsWith("'"))) {
         val key = unq(p.pop())
         p.expect("]")
         t = stampAttr(t, key)
+      } else if (t.dt == LongType && p.peek.exists(_.startsWith("'"))) {
+        val key = unq(p.pop())
+        p.expect("]")
+        t = nsAttr(t, key)
       } else {
       val idx = parseExpr(p, env)
       p.expect("]")
@@ -714,6 +720,38 @@ object KerfSql {
       case other => throw new IllegalArgumentException(
         s"stamp attribute '$other' — one of year month day hour minute " +
         "second ms us date dow doy week")
+    }
+  }
+
+  /** The date-part family on the int64-ns lane (DIALECT.md's ns-long
+    * contract; horology.h:4–12 keeps STAMP at ns where Spark's
+    * TimestampType is µs): sub-day parts are PURE long arithmetic —
+    * floor-division + modulus on the UTC grid, no TimestampType
+    * round-trip — so the sub-µs bits a ns user keeps their axis as
+    * longs FOR actually reach the answer ('ns'/'us'/'ms' are decided
+    * entirely below the microsecond). Calendar parts (year/month/…)
+    * discard sub-day precision by definition, so they ride
+    * timestamp_micros(ts div 1000) with zero loss. Floor semantics
+    * (not truncate-toward-zero) so pre-1970 axes stay correct. */
+  private def nsAttr(t: T, key: String): T = {
+    val c = t.col
+    def L(x: Column) = T(x.cast("long"), LongType)
+    // exact floor division: a - pmod(a, n) is divisible, so `div` (which
+    // truncates) equals floor; never `/` (double mantissa corrupts ns)
+    def fdiv(a: Column, n: Long): Column =
+      call_function("div", a - pmod(a, lit(n)), lit(n))
+    key match {
+      case "hour"   => L(pmod(fdiv(c, 3600000000000L), lit(24L)))
+      case "minute" => L(pmod(fdiv(c, 60000000000L), lit(60L)))
+      case "second" => L(pmod(fdiv(c, 1000000000L), lit(60L)))
+      case "millisecond" | "ms" => L(fdiv(pmod(c, lit(1000000000L)), 1000000L))
+      case "microsecond" | "us" => L(fdiv(pmod(c, lit(1000000000L)), 1000L))
+      case "nanosecond" | "ns"  => L(pmod(c, lit(1000000000L)))
+      case "date" | "year" | "month" | "day" | "mday" | "dow" | "doy" | "week" =>
+        stampAttr(T(timestamp_micros(fdiv(c, 1000L)), TimestampType), key)
+      case other => throw new IllegalArgumentException(
+        s"ns-stamp attribute '$other' — one of year month day hour minute " +
+        "second ms us ns date dow doy week")
     }
   }
 

@@ -2254,6 +2254,51 @@ class KerfSqlSpec extends SparkSpec {
     assert(err.getMessage.contains("stamp attribute"), err.getMessage)
   }
 
+  test("ns-lane date-part family: pure long math, sub-µs exact, pre-1970 floor-correct") {
+    import spark.implicits._
+    // 2024-03-05T14:30:45.123456789 (sub-µs tail), one tick BEFORE the
+    // epoch (floor semantics, not truncate-toward-zero), and a sub-µs-
+    // only value — each part independently derivable via java.time
+    val axes = Seq(1709649045123456789L, -1L, 997L)
+    axes.toDF("ts_ns").createOrReplaceTempView("ns_attr_t")
+    val got = KerfSql.run(spark,
+      "select ts_ns, ts_ns['hour'] as h, ts_ns['minute'] as mi, " +
+      "ts_ns['second'] as s, ts_ns['ms'] as ms, ts_ns['us'] as us, " +
+      "ts_ns['ns'] as nn, ts_ns['year'] as y from ns_attr_t order ts_ns")
+    // no TimestampType round-trip for the SUB-DAY parts: the sub-µs
+    // columns must come from pure long arithmetic (the 'year' column is
+    // the one place a µs cast is allowed — it discards sub-day anyway)
+    val subDay = KerfSql.run(spark,
+      "select ts_ns['hour'] as h, ts_ns['ns'] as nn from ns_attr_t")
+    assert(!subDay.queryExecution.analyzed.toString.toLowerCase
+        .contains("timestamp"),
+      "sub-day ns attributes must never touch TimestampType")
+    got.collect().foreach { r =>
+      val t = r.getLong(0)
+      val inst = java.time.Instant.ofEpochSecond(
+        Math.floorDiv(t, 1000000000L), Math.floorMod(t, 1000000000L))
+      val z = inst.atZone(java.time.ZoneOffset.UTC)
+      assert(r.getLong(1) == z.getHour.toLong, s"hour of $t")
+      assert(r.getLong(2) == z.getMinute.toLong, s"minute of $t")
+      assert(r.getLong(3) == z.getSecond.toLong, s"second of $t")
+      assert(r.getLong(4) == z.getNano / 1000000L, s"ms of $t")
+      assert(r.getLong(5) == z.getNano / 1000L, s"us of $t")
+      assert(r.getLong(6) == z.getNano.toLong, s"ns of $t")
+      assert(r.getLong(7) == z.getYear.toLong, s"year of $t")
+    }
+    // hourly bars on the raw axis: pure long floor (negative included)
+    val bars = KerfSql.run(spark,
+      "select ts_ns, bars(1h, ts_ns) as bar from ns_attr_t order ts_ns")
+    bars.collect().foreach { r =>
+      assert(r.getLong(1) == Math.floorDiv(r.getLong(0), 3600000000000L)
+        * 3600000000000L, s"bar of ${r.getLong(0)}")
+    }
+    val err = intercept[IllegalArgumentException] {
+      KerfSql.run(spark, "select ts_ns['century'] as c from ns_attr_t")
+    }
+    assert(err.getMessage.contains("ns-stamp attribute"), err.getMessage)
+  }
+
   test("bigint: DECIMAL(38,0) exactness past int64 and double (A_BIGINT_UNIT face)") {
     // 2^63 ≈ 9.22e18: long wraps, double rounds, bigint carries digits
     assert(evalOne("string(bigint('9223372036854775807') + 1)")
