@@ -88,15 +88,23 @@ object Dedup {
     * expression trees per element (no CSE inside higher-order functions),
     * so inlining the tokenization would re-run the regex per shingle. */
   /** Whitespace tokens of the normalized text. `split("")` yields the
-    * single-element `[""]`, so the filter makes an EMPTY doc produce
-    * ZERO tokens (a no-op for any non-empty doc: the normalized text is
-    * trimmed and single-spaced) — otherwise a phantom "" token gives
-    * every empty doc the same nonzero simhash (they'd all pair at
-    * hamming 0 and could drag real docs into their cluster) and skews
-    * every unigram census. The BPE family filters length>0 separately;
-    * this closes the same trap for the rest of the token consumers. */
+    * single-element `[""]`, so the empty-string removal makes an EMPTY
+    * doc produce ZERO tokens (a no-op for any non-empty doc: the
+    * normalized text is trimmed and single-spaced, so "" can only be
+    * the phantom) — otherwise a phantom "" token gives every empty doc
+    * the same nonzero simhash (they'd all pair at hamming 0 and could
+    * drag real docs into their cluster) and skews every unigram
+    * census. The BPE family filters length>0 separately; this closes
+    * the same trap for the rest of the token consumers.
+    *
+    * `array_remove`, NOT `filter(_, t => length(t) > 0)`: higher-order
+    * functions are CodegenFallback — the r15 lambda spelling dropped
+    * every text pipeline out of whole-stage codegen and cost the
+    * q136/q140/q153 family 20–27% (r16 A/B at the r14 commit);
+    * array_remove is a native codegen'd expression with the identical
+    * result on trimmed single-spaced input. */
   def tokens(c: Column): Column =
-    filter(split(normText(c), " "), t => length(t) > 0)
+    array_remove(split(normText(c), " "), "")
 
   /** Word n-gram shingles from a materialized token-array attribute. */
   def shinglesFromTokens(toks: Column, n: Int = 3): Column =
