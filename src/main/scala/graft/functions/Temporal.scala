@@ -75,6 +75,52 @@ object Temporal {
     to_timestamp(lit(norm))
   }
 
+  /** Parse a stamp literal to an EXACT ns epoch long (the ns-lane twin
+    * of [[stampLit]]; horology.h:4–12 keeps STAMP at ns where Spark's
+    * TimestampType is µs): seconds via java.time on the UTC grid,
+    * fraction as 1–9 integer digits right-padded to ns — the sub-µs
+    * digits a TimestampType round-trip would silently drop. Accepts
+    * the Kerf dotted forms (`2016.02.03T12:34:56.123456789`, month and
+    * year stamps) and ISO dashes. Pre-1970 is exact: epochSecond is
+    * floor-aligned, the fraction is always the non-negative ns after
+    * that second. */
+  def stampLitNs(s: String): Long = {
+    val v = s.trim.replace(" ", "T")
+    val (whole, fracNs) = v.indexOf('T') match {
+      case -1 => (v, 0L)
+      case ti =>
+        val t = v.substring(ti + 1)
+        val fi = t.indexOf('.')
+        if (fi < 0) (v, 0L)
+        else {
+          val digits = t.substring(fi + 1)
+          require(digits.nonEmpty && digits.length <= 9 &&
+              digits.forall(_.isDigit),
+            s"stamp literal fraction '.$digits' — 1 to 9 digits of ns")
+          (v.substring(0, ti + 1 + fi), digits.padTo(9, '0').mkString.toLong)
+        }
+    }
+    val datePart = whole.takeWhile(_ != 'T')
+    val timePart = if (whole.contains('T')) whole.dropWhile(_ != 'T').tail else ""
+    val isoDate = datePart match {
+      case d if d.matches("\\d{4}y?")          => s"${d.take(4)}-01-01"
+      case d if d.matches("\\d{4}[.-]\\d{2}m?") => s"${d.take(4)}-${d.slice(5, 7)}-01"
+      case d if d.matches("\\d{4}[.-]\\d{2}[.-]\\d{2}") =>
+        s"${d.take(4)}-${d.slice(5, 7)}-${d.slice(8, 10)}"
+      case other => throw new IllegalArgumentException(
+        s"stamp literal '$s' — date part '$other' not yyyy[.MM[.dd]]")
+    }
+    val isoTime = timePart match {
+      case ""                           => "00:00:00"
+      case t if t.matches("\\d{2}:\\d{2}")          => t + ":00"
+      case t if t.matches("\\d{2}:\\d{2}:\\d{2}")   => t
+      case other => throw new IllegalArgumentException(
+        s"stamp literal '$s' — time part '$other' not HH:mm[:ss][.f]")
+    }
+    val ldt = java.time.LocalDateTime.parse(s"${isoDate}T$isoTime")
+    ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L + fracNs
+  }
+
   /** stamp + span (verbs.cc:121–204's STAMP×SPAN case matrix): calendar
     * part via add_months-semantics, fixed part via µs interval. The
     * TimestampType axis is µs, so a span's sub-µs remainder DROPS —

@@ -823,7 +823,21 @@ object KerfSql {
         require(items.nonEmpty, "empty list literal needs a type; use til 0")
         buildArray(items.toSeq)
       case v if v.startsWith("`") => T(lit(v.tail), StringType)
-      case v if v.matches(dateReStr) => T(Temporal.stampLit(v), TimestampType)
+      case v if v.matches(dateReStr) =>
+        // an unquoted stamp literal lives on the µs lane (TimestampType)
+        // — sub-µs digits would truncate SILENTLY, so they are a loud
+        // error naming the exact ns-lane spelling instead
+        val subUs = v.indexOf('T') match {
+          case -1 => false
+          case i =>
+            val t = v.substring(i + 1); val d = t.indexOf('.')
+            d >= 0 && t.substring(d + 1).takeWhile(_.isDigit).length > 6
+        }
+        if (subUs) throw new IllegalArgumentException(
+          s"stamp literal $v carries sub-microsecond digits — the stamp " +
+          "lane is µs (TimestampType); take it as an exact ns long: " +
+          s"nanos('$v')")
+        T(Temporal.stampLit(v), TimestampType)
       case v if v.matches(spanReStr) => spanT(Temporal.Span.parse(v))
       case v if isNumTok(v) => // juxtaposed numbers form a vector literal
         if (p.peek.exists(isNumTok)) {
@@ -1389,13 +1403,33 @@ object KerfSql {
       case other => throw new IllegalArgumentException(
         s"stamp: need an ns long or a string, got $other")
     }
-    // nanos(stamp): the inverse — a stamp's exact ns epoch (µs × 1000)
+    // nanos(stamp): the inverse — a stamp's exact ns epoch (µs × 1000).
+    // nanos(string): the NS-EXACT temporal literal lane (DIALECT.md) —
+    // a literal parses driver-side with up to 9 fraction digits
+    // (Temporal.stampLitNs, pure integer math), closing the gap where
+    // an unquoted sub-µs stamp literal cannot survive the µs
+    // TimestampType lane; a string COLUMN (ns-precision ingest) parses
+    // the ISO form with the fraction split off as integer digits, so
+    // sub-µs bits never touch a timestamp.
     case ("nanos", Seq(a)) => a.dt match {
       case TimestampType | TimestampNTZType =>
         T(unix_micros(a.col.cast(TimestampType)) * lit(1000L), LongType)
       case LongType => a
+      case StringType => litString(a) match {
+        case Some(s) => T(lit(graft.functions.Temporal.stampLitNs(s)), LongType)
+        case None =>
+          // 'yyyy-MM-dd HH:mm:ss[.fffffffff]' columns: seconds through
+          // the µs parser on fraction-stripped text (exact — no sub-
+          // second content left), fraction right-padded to 9 ns digits
+          // ("" pads to all-zero → 0)
+          val stripped = regexp_replace(a.col,
+            lit("(?<=\\d{2}:\\d{2}:\\d{2})\\.\\d+"), lit(""))
+          val frac = regexp_extract(a.col, ":\\d{2}\\.(\\d{1,9})", 1)
+          T(unix_micros(to_timestamp(stripped)) * lit(1000L) +
+              rpad(frac, 9, "0").cast("long"), LongType)
+      }
       case other => throw new IllegalArgumentException(
-        s"nanos: need a stamp, got $other")
+        s"nanos: need a stamp, an ns long, or a stamp string, got $other")
     }
     case ("reverse", Seq(a)) => T(reverse(a.col), a.dt) // strings AND lists
     case ("first", Seq(a)) => a.dt match {
@@ -1772,6 +1806,11 @@ object KerfSql {
       case Some(v: Long) => Some(v)
       case Some(v: Int) => Some(v.toLong)
       case _ => None
+    }
+  private def litString(t: T): Option[String] =
+    foldConst(org.apache.spark.sql.GraftColumnGlue.toCatalystExpr(t.col)).collect {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case s: String => s
     }
   private def litDouble(t: T): Option[Double] =
     litLong(t).map(_.toDouble).orElse(

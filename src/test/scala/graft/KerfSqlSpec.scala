@@ -2254,6 +2254,38 @@ class KerfSqlSpec extends SparkSpec {
     assert(err.getMessage.contains("stamp attribute"), err.getMessage)
   }
 
+  test("ns-exact temporal literals: nanos('…') keeps sub-µs digits; unquoted sub-µs is loud") {
+    import spark.implicits._
+    val want = java.time.LocalDateTime.parse("2024-01-05T12:34:56")
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L + 123456789L
+    // the ns-lane literal: full 9-digit fraction survives (a µs
+    // TimestampType round-trip would drop the trailing 789)
+    assert(evalOne("nanos('2024.01.05T12:34:56.123456789')") == want)
+    assert(evalOne("nanos('2024-01-05T12:34:56.123456789')") == want)
+    // pre-1970: floor-second + non-negative fraction
+    assert(evalOne("nanos('1969.12.31T23:59:59.999999999')") == -1L)
+    // date-only / month / year stamps land on their midnight grid
+    assert(evalOne("nanos('2024.01.05')") ==
+      evalOne("nanos(2024.01.05)"))
+    // an UNQUOTED sub-µs literal lives on the µs lane and must error
+    // loudly (silent truncation is the trap), naming the ns spelling
+    val e = intercept[IllegalArgumentException] {
+      evalOne("nanos(2024.01.05T12:34:56.123456789)")
+    }
+    assert(e.getMessage.contains("sub-microsecond") &&
+      e.getMessage.contains("nanos('"), e.getMessage)
+    // µs-precision unquoted literals keep working via the stamp lane
+    assert(evalOne("nanos(2024.01.05T12:34:56.123456)") == want - 789L)
+    // a string COLUMN (ns-precision ingest) parses with the fraction as
+    // integer digits — sub-µs bits never touch a timestamp
+    Seq("2024-01-05 12:34:56.000000300", "2024-01-05 12:34:56")
+      .toDF("s").createOrReplaceTempView("nslit_t")
+    val base = want - 123456789L
+    val got = KerfSql.run(spark, "select nanos(s) as n from nslit_t order n")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(base, base + 300L), s"got $got")
+  }
+
   test("ns-lane date-part family: pure long math, sub-µs exact, pre-1970 floor-correct") {
     import spark.implicits._
     // 2024-03-05T14:30:45.123456789 (sub-µs tail), one tick BEFORE the

@@ -400,6 +400,33 @@ class PlanSpec extends SparkSpec {
     assert(projects <= 2, s"merge chain did not collapse ($projects projects):\n$p")
   }
 
+  test("q136: the tokenize step stays inside whole-stage codegen (no higher-order fallback)") {
+    // the r16 lesson: one CodegenFallback expression in a rim verb
+    // (tokens() spelled with an ArrayFilter lambda) taxed EVERY text
+    // pipeline 20-27% — census, TF-IDF, BPE, perceptron all tokenize.
+    // Pin the hot path: no higher-order functions in the unigram plan,
+    // and the tokenize projection lives under a WholeStageCodegen span.
+    // (q136's own output is sealed behind a localCheckpoint, so pin the
+    // INNER census plan — the per-token scan path where the lambda
+    // filter lived; the deterministic sorted fold at the aggregation
+    // rim is a deliberate ArrayAggregate over a vocab-bounded list)
+    val census = graft.llm.TextOps.unigramCensus(
+      Tables.documents(spark, sf), "doc_id", "text")
+    // collect() (not count()) — count() builds its OWN queryExecution;
+    // collect() executes THIS one, so AQE finalizes and codegen spans
+    // become visible in the executed plan. The census is vocab-sized.
+    census.collect()
+    val p = census.queryExecution.executedPlan.toString
+    assert(!p.contains("array_filter") && !p.contains("ArrayFilter"),
+      s"lambda filter (CodegenFallback) back in the tokenize hot path:\n$p")
+    // AQE's final-plan rendering marks codegen'd operators with the
+    // `*(n)` prefix; the Generate(tokenize) node must carry one
+    assert("\\*\\(\\d+\\) Generate explode".r.findFirstIn(p).isDefined,
+      s"the tokenize Generate is outside whole-stage codegen:\n$p")
+    assert(p.contains("array_remove"),
+      s"empty-doc phantom guard missing from the tokenize path:\n$p")
+  }
+
   test("q175/q179/q183: TWAP one window+agg; prevailing stays merge-joined; cap gets WindowGroupLimit") {
     // TWAP: one window pass (nexts) + one grouped aggregate — no join,
     // no second window
