@@ -1025,7 +1025,11 @@ object Folio {
   private[graft] def expiredEphemeralTag(tag: String, nowMs: Long): Boolean =
     tag match {
       case StreamTagRe(EphWriterRe(ms), _) =>
-        java.lang.Long.parseLong(ms, 16) < nowMs - EphemeralTagRetentionMs
+        // a corrupt/forged mint field that overflows Long parses as
+        // "never expires" rather than throwing inside a publish — the
+        // age-out is hygiene, it must not be able to fail a commit
+        scala.util.Try(java.lang.Long.parseLong(ms, 16)).toOption
+          .exists(_ < nowMs - EphemeralTagRetentionMs)
       case _ => false
     }
   private[graft] def compactTags(tags: Seq[String]): Seq[String] = {

@@ -1421,11 +1421,13 @@ object KerfSql {
           // 'yyyy-MM-dd HH:mm:ss[.fffffffff]' columns: seconds through
           // the µs parser on fraction-stripped text (exact — no sub-
           // second content left), fraction right-padded to 9 ns digits
-          // ("" pads to all-zero → 0)
+          // ("" pads to all-zero → 0). try_to_timestamp: malformed rows
+          // are null like the stamp(string) try_cast posture, never a
+          // mid-job ANSI throw
           val stripped = regexp_replace(a.col,
             lit("(?<=\\d{2}:\\d{2}:\\d{2})\\.\\d+"), lit(""))
           val frac = regexp_extract(a.col, ":\\d{2}\\.(\\d{1,9})", 1)
-          T(unix_micros(to_timestamp(stripped)) * lit(1000L) +
+          T(unix_micros(try_to_timestamp(stripped)) * lit(1000L) +
               rpad(frac, 9, "0").cast("long"), LongType)
       }
       case other => throw new IllegalArgumentException(

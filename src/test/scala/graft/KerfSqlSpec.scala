@@ -2278,12 +2278,15 @@ class KerfSqlSpec extends SparkSpec {
     assert(evalOne("nanos(2024.01.05T12:34:56.123456)") == want - 789L)
     // a string COLUMN (ns-precision ingest) parses with the fraction as
     // integer digits — sub-µs bits never touch a timestamp
-    Seq("2024-01-05 12:34:56.000000300", "2024-01-05 12:34:56")
+    Seq("2024-01-05 12:34:56.000000300", "2024-01-05 12:34:56",
+        "not a stamp")
       .toDF("s").createOrReplaceTempView("nslit_t")
     val base = want - 123456789L
     val got = KerfSql.run(spark, "select nanos(s) as n from nslit_t order n")
-      .collect().map(_.getLong(0)).toSeq
-    assert(got == Seq(base, base + 300L), s"got $got")
+      .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSeq
+    // malformed rows are null (the stamp(string) try_cast posture;
+    // nulls sort first in the dialect's order)
+    assert(got == Seq(null, base, base + 300L), s"got $got")
   }
 
   test("ns-lane date-part family: pure long math, sub-µs exact, pre-1970 floor-correct") {
