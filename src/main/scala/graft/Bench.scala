@@ -176,9 +176,20 @@ object Bench {
     // full-suite records with subset data (an adjudicator reading the
     // file later would see a tiny "suite" with no marker a filter ran)
     if (only.isEmpty) {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_ATTRIBUTION.json"),
+      // the unsuffixed filenames are the OFFICIAL sf0.1 lane the
+      // round-over-round diffs read; a bench at any other scale factor
+      // (the sf1 sweep, a local sf0.01 iteration) writes `.<sfname>`
+      // twins so it can never overwrite the official record with
+      // numbers from a different data scale (the r16 sf1 run did
+      // exactly that — q137's 2.3 s read as an 11.6 s "regression")
+      val suffix =
+        if (sfDir == "/root/testdata/sf0.1") ""
+        else "." + new java.io.File(sfDir).getName
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"BENCH_ATTRIBUTION$suffix.json"),
         (perQuery + "\n").getBytes("UTF-8"))
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FAMILY.json"),
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"BENCH_FAMILY$suffix.json"),
         (familyDoc + "\n").getBytes("UTF-8"))
     } else System.err.println(
       "BENCH: SPARK_GRAFT_ONLY set — attribution/family files NOT written")

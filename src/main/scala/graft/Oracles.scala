@@ -2748,6 +2748,23 @@ object Oracles {
                 max((tick_ns // 60000000000) % 60) AS m_max
          FROM t GROUP BY user_id, bar_ns ORDER BY user_id, bar_ns""",
 
+    // ns-exact literal lane: every constant re-derived as epoch_ns of
+    // the seconds part + the fraction digits as BIGINT (DuckDB 1.0's
+    // string→TIMESTAMP_NS cast truncates to µs, so the decomposition
+    // IS the independent derivation). off_ns carries the literal's
+    // sub-µs digits into every row; the span is plain BIGINT ns.
+    "q202_ns_literals" ->
+      """WITH t AS (SELECT user_id, event_id,
+                           epoch_ns(ts) + event_id % 997 AS tick_ns
+                    FROM events WHERE event_type = 'click')
+         SELECT user_id, event_id,
+                tick_ns - (epoch_ns(TIMESTAMP '2024-01-10 00:00:00') + 123) AS off_ns,
+                tick_ns + (3600000000000 + 2000000000 + 150) AS bump_ns
+         FROM t
+         WHERE tick_ns >= epoch_ns(TIMESTAMP '2024-01-05 06:30:00') + 1
+           AND tick_ns < epoch_ns(TIMESTAMP '2024-02-01 00:00:00')
+         ORDER BY user_id, event_id""",
+
     // single-arg fromjson INFERENCE: the sampled schema must land on
     // {k: bigint} for this fixture (every props row carries integer k),
     // so the aggregates replay exactly as q141's explicit-DDL tree

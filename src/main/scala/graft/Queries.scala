@@ -3870,6 +3870,31 @@ object Queries {
       "order user_id, bar_ns")
   }
 
+  /** NS-EXACT TEMPORAL LITERALS (DIALECT.md's ns lane; horology.h:4–12):
+    * `nanos('2024.01.10T00:00:00.000000123')` parses all 9 fraction
+    * digits driver-side in pure integer math — here as predicate
+    * boundaries, a subtraction origin whose sub-µs digits reach every
+    * output row, and a month-stamp form (`nanos('2024.02m')`). The
+    * `+ 1h2s150n` span lands on the ns-long lane exactly (addSpanNs,
+    * sub-µs component included). The DuckDB twin derives each constant
+    * independently — epoch_ns of the seconds part plus the fraction as
+    * BIGINT — so a parser that drops or misplaces ns digits hash-fails
+    * on every row. */
+  val q202_ns_literals: Q = (s, dir) => {
+    Tables.events(s, dir).filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"),
+        (col("ts_ns") + col("event_id") % 997).as("tick_ns"))
+      .createOrReplaceTempView("ticks_v202")
+    sql.KerfSql.run(s,
+      "select user_id, event_id, " +
+      "tick_ns - nanos('2024.01.10T00:00:00.000000123') as off_ns, " +
+      "tick_ns + 1h2s150n as bump_ns " +
+      "from ticks_v202 " +
+      "where tick_ns >= nanos('2024.01.05T06:30:00.000000001') " +
+      "and tick_ns < nanos('2024.02m') " +
+      "order user_id, event_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -4074,5 +4099,6 @@ object Queries {
     "q199_asof_ns"       -> q199_asof_ns,
     "q200_atlas_infer"   -> q200_atlas_infer,
     "q201_ns_bars"       -> q201_ns_bars,
+    "q202_ns_literals"   -> q202_ns_literals,
   )
 }
