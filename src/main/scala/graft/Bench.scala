@@ -182,9 +182,15 @@ object Bench {
       // twins so it can never overwrite the official record with
       // numbers from a different data scale (the r16 sf1 run did
       // exactly that — q137's 2.3 s read as an 11.6 s "regression")
+      // canonical compare, not string equality: a trailing slash, a
+      // relative spelling, or a symlink to the same fixture must still
+      // land on the official record, not silently divert to a twin
+      val official = scala.util.Try(
+        new java.io.File(sfDir).getCanonicalFile ==
+          new java.io.File("/root/testdata/sf0.1").getCanonicalFile
+      ).getOrElse(false)
       val suffix =
-        if (sfDir == "/root/testdata/sf0.1") ""
-        else "." + new java.io.File(sfDir).getName
+        if (official) "" else "." + new java.io.File(sfDir).getName
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"BENCH_ATTRIBUTION$suffix.json"),
         (perQuery + "\n").getBytes("UTF-8"))

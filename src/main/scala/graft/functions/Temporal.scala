@@ -102,13 +102,18 @@ object Temporal {
     }
     val datePart = whole.takeWhile(_ != 'T')
     val timePart = if (whole.contains('T')) whole.dropWhile(_ != 'T').tail else ""
+    // the ns lane accepts BOTH the Kerf dotted forms (matching stampLit's
+    // µs grammar) and the dashed ISO spelling (ns-precision ingest
+    // strings are usually ISO) — but never a MIX: '2024.01-05' is a
+    // typo, not a third grammar (r16 review)
     val isoDate = datePart match {
       case d if d.matches("\\d{4}y?")          => s"${d.take(4)}-01-01"
       case d if d.matches("\\d{4}[.-]\\d{2}m?") => s"${d.take(4)}-${d.slice(5, 7)}-01"
-      case d if d.matches("\\d{4}[.-]\\d{2}[.-]\\d{2}") =>
+      case d if d.matches("\\d{4}\\.\\d{2}\\.\\d{2}|\\d{4}-\\d{2}-\\d{2}") =>
         s"${d.take(4)}-${d.slice(5, 7)}-${d.slice(8, 10)}"
       case other => throw new IllegalArgumentException(
-        s"stamp literal '$s' — date part '$other' not yyyy[.MM[.dd]]")
+        s"stamp literal '$s' — date part '$other' not yyyy[.MM[.dd]] " +
+        "(dots) or yyyy-MM-dd (ISO dashes); mixed separators rejected")
     }
     val isoTime = timePart match {
       case ""                           => "00:00:00"

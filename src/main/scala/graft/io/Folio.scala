@@ -1022,16 +1022,45 @@ object Folio {
   // runs.
   private[graft] val EphWriterRe = raw"eph([0-9a-f]+)-[0-9a-f]+".r
   private[graft] val EphemeralTagRetentionMs: Long = 24L * 60 * 60 * 1000
-  private[graft] def expiredEphemeralTag(tag: String, nowMs: Long): Boolean =
+  /** Is an EPHEMERAL tag past its retention window? The window anchors
+    * on `anchorMs` — the tag's LAST COMMIT time from the
+    * `_COMMIT_TAG_TIMES` sidecar — falling back to the writer id's mint
+    * field for pre-sidecar files. The anchor must be the commit, not
+    * the mint: a defaulted-checkpoint query with >24h of UPTIME keeps
+    * one fixed mint for the whole run, and mint-anchored expiry would
+    * strip its own just-committed tag from the applied set — reopening
+    * the same-run retry double-apply the tag exists to prevent
+    * (r16 review). */
+  private[graft] def expiredEphemeralTag(tag: String, nowMs: Long,
+                                         anchorMs: Option[Long] = None): Boolean =
     tag match {
       case StreamTagRe(EphWriterRe(ms), _) =>
         // a corrupt/forged mint field that overflows Long parses as
         // "never expires" rather than throwing inside a publish — the
         // age-out is hygiene, it must not be able to fail a commit
-        scala.util.Try(java.lang.Long.parseLong(ms, 16)).toOption
+        anchorMs.orElse(
+            scala.util.Try(java.lang.Long.parseLong(ms, 16)).toOption)
           .exists(_ < nowMs - EphemeralTagRetentionMs)
       case _ => false
     }
+
+  /** Last-commit time per EPHEMERAL tag (the expiry anchor), carried in
+    * a `_COMMIT_TAG_TIMES` sidecar beside `_COMMIT_TAGS`. Absent file
+    * (pre-sidecar versions) → empty: expiry falls back to the writer
+    * mint, the only anchor those files recorded. */
+  private[graft] def rollupCommitTagTimes(path: String): Map[String, Long] =
+    currentVersion(rollupMetaDir(path)).map { v =>
+      val f = new java.io.File(s"${rollupMetaDir(path)}/$v", "_COMMIT_TAG_TIMES")
+      if (!f.isFile) Map.empty[String, Long]
+      else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+        .flatMap { line =>
+          val i = line.lastIndexOf('\t')
+          if (i < 0) None
+          else scala.util.Try(line.substring(i + 1).toLong).toOption
+            .map(ms => line.substring(0, i) -> ms)
+        }.toMap
+    }.getOrElse(Map.empty)
   private[graft] def compactTags(tags: Seq[String]): Seq[String] = {
     val (stream, rest) = tags.partition(StreamTagRe.matches(_))
     val (legacy, other) = rest.partition(LegacyTagRe.matches(_))
@@ -1150,12 +1179,32 @@ object Folio {
         t.getBytes("UTF-8"))
     }
     val nowMs = System.currentTimeMillis()
+    val priorTimes = rollupCommitTagTimes(path)
+    // the publish's OWN tag anchors at nowMs (it IS a commit — never
+    // expirable at its own publish, whatever its writer's mint age);
+    // carried tags anchor at their recorded last commit, pre-sidecar
+    // tags at their mint (the conservative fallback)
+    def anchor(t: String): Option[Long] =
+      if (commitTag.contains(t)) Some(nowMs) else priorTimes.get(t)
     val tags = compactTags(
       (rollupCommitTags(path) ++ commitTag).toSeq.sorted)
-      .filterNot(expiredEphemeralTag(_, nowMs))
-    if (tags.nonEmpty)
+      .filterNot(t => expiredEphemeralTag(t, nowMs, anchor(t)))
+    if (tags.nonEmpty) {
       java.nio.file.Files.write(new java.io.File(vdir, "_COMMIT_TAGS").toPath,
         tags.mkString("\n").getBytes("UTF-8"))
+      // sidecar rows only for EPHEMERAL tags (the only expirable kind);
+      // a retained pre-sidecar tag gets stamped nowMs once — at most
+      // one extra retention window before it ages out
+      val times = tags.collect {
+        case t @ StreamTagRe(EphWriterRe(_), _) =>
+          t -> anchor(t).getOrElse(nowMs)
+      }
+      if (times.nonEmpty)
+        java.nio.file.Files.write(
+          new java.io.File(vdir, "_COMMIT_TAG_TIMES").toPath,
+          times.map { case (t, ms) => s"$t\t$ms" }
+            .mkString("\n").getBytes("UTF-8"))
+    }
   }
 
   /** The maintained aggregate — vocab-sized, no scan of the history. */

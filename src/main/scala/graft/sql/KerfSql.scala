@@ -1423,12 +1423,16 @@ object KerfSql {
           // second content left), fraction right-padded to 9 ns digits
           // ("" pads to all-zero → 0). try_to_timestamp: malformed rows
           // are null like the stamp(string) try_cast posture, never a
-          // mid-job ANSI throw
+          // mid-job ANSI throw. A fraction LONGER than 9 digits nulls
+          // too (same posture): this lane's whole contract is exactness,
+          // so sub-ns input must not silently truncate to a confident
+          // ns value — the literal face rejects the same string loudly
           val stripped = regexp_replace(a.col,
             lit("(?<=\\d{2}:\\d{2}:\\d{2})\\.\\d+"), lit(""))
-          val frac = regexp_extract(a.col, ":\\d{2}\\.(\\d{1,9})", 1)
-          T(unix_micros(try_to_timestamp(stripped)) * lit(1000L) +
-              rpad(frac, 9, "0").cast("long"), LongType)
+          val frac = regexp_extract(a.col, ":\\d{2}\\.(\\d+)", 1)
+          T(when(length(frac) > 9, lit(null).cast("long"))
+              .otherwise(unix_micros(try_to_timestamp(stripped)) * lit(1000L) +
+                rpad(frac, 9, "0").cast("long")), LongType)
       }
       case other => throw new IllegalArgumentException(
         s"nanos: need a stamp, an ns long, or a stamp string, got $other")

@@ -756,28 +756,74 @@ class FolioSpec extends SparkSpec {
       "a default-keep publish reaped the folio's pinned extra fallback")
   }
 
-  test("applied-set hygiene: expired ephemeral writer tags age out on publish") {
+  test("applied-set hygiene: ephemeral tags age out by LAST COMMIT, not writer mint") {
     import spark.implicits._
     val path = s"${tmp()}/roll"
     def b(v: Double) = Seq(("k", v)).toDF("k", "v")
     val nowMs = System.currentTimeMillis()
     val freshEph = s"eph${java.lang.Long.toHexString(nowMs)}-aabbccddeeff0022"
-    val oldEph = s"eph${java.lang.Long.toHexString(
+    // a writer whose MINT is past retention but which is still alive
+    // and committing — the >24h-uptime defaulted query (r16 review):
+    // mint-anchored expiry would strip its own just-committed tag
+    val oldMintEph = s"eph${java.lang.Long.toHexString(
       nowMs - Folio.EphemeralTagRetentionMs - 60000L)}-aabbccddeeff0011"
     Folio.appendWithRollup(b(1.0), path, Seq("k"), Seq("v"),
       Some(s"stream-batch:$freshEph:0"))
     Folio.appendWithRollup(b(2.0), path, Seq("k"), Seq("v"),
-      Some(s"stream-batch:$oldEph:3"))
-    // a later durable-writer publish sweeps the expired tag (and leaves
-    // the fresh ephemeral + checkpoint-derived tags intact)
+      Some(s"stream-batch:$oldMintEph:3"))
+    // commit-time anchoring: the old-mint writer's OWN publish is
+    // protected, and so is a bystander publish a moment later
     Folio.appendWithRollup(b(3.0), path, Seq("k"), Seq("v"),
       Some("stream-batch:deadbeefcafef00d:5"))
+    val tags1 = Folio.rollupCommitTags(path)
+    assert(tags1.contains(s"stream-batch:$oldMintEph:3"),
+      s"a LIVE long-uptime writer's tag was stripped (mint-anchored expiry): $tags1")
+    assert(tags1.contains(s"stream-batch:$freshEph:0"))
+    // now the writer goes quiet: age its recorded commit time out by
+    // doctoring the sidecar (what 24h of wall clock would do), then any
+    // later publish sweeps it — the applied set stays bounded
+    val metaV = Folio.currentVersion(s"$path/meta").get
+    val sidecar = new java.io.File(s"$path/meta/$metaV", "_COMMIT_TAG_TIMES")
+    val aged = new String(
+        java.nio.file.Files.readAllBytes(sidecar.toPath), "UTF-8")
+      .split("\n").map { line =>
+        if (line.startsWith(s"stream-batch:$oldMintEph:"))
+          line.takeWhile(_ != '\t') +
+            s"\t${nowMs - Folio.EphemeralTagRetentionMs - 60000L}"
+        else line
+      }.mkString("\n")
+    java.nio.file.Files.write(sidecar.toPath, aged.getBytes("UTF-8"))
+    Folio.appendWithRollup(b(4.0), path, Seq("k"), Seq("v"),
+      Some("stream-batch:deadbeefcafef00d:6"))
+    val tags2 = Folio.rollupCommitTags(path)
+    assert(!tags2.exists(_.contains(oldMintEph)),
+      s"expired ephemeral tag still in the applied set: $tags2")
+    assert(tags2.contains(s"stream-batch:$freshEph:0"),
+      "a fresh ephemeral tag (same-run retry guard) must survive")
+    assert(tags2.contains("stream-batch:deadbeefcafef00d:6"))
+  }
+
+  test("applied-set hygiene: pre-sidecar files fall back to the mint anchor") {
+    import spark.implicits._
+    val path = s"${tmp()}/roll"
+    def b(v: Double) = Seq(("k", v)).toDF("k", "v")
+    val nowMs = System.currentTimeMillis()
+    val oldEph = s"eph${java.lang.Long.toHexString(
+      nowMs - Folio.EphemeralTagRetentionMs - 60000L)}-aabbccddeeff0033"
+    Folio.appendWithRollup(b(1.0), path, Seq("k"), Seq("v"),
+      Some(s"stream-batch:$oldEph:1"))
+    // simulate a pre-sidecar version: delete _COMMIT_TAG_TIMES so the
+    // next publish sees the tag with no recorded commit time — expiry
+    // must fall back to the writer mint (the only anchor those files
+    // recorded) instead of retaining the tag forever
+    val metaV = Folio.currentVersion(s"$path/meta").get
+    java.nio.file.Files.deleteIfExists(
+      new java.io.File(s"$path/meta/$metaV", "_COMMIT_TAG_TIMES").toPath)
+    Folio.appendWithRollup(b(2.0), path, Seq("k"), Seq("v"),
+      Some("stream-batch:deadbeefcafef00d:9"))
     val tags = Folio.rollupCommitTags(path)
     assert(!tags.exists(_.contains(oldEph)),
-      s"expired ephemeral tag still in the applied set: $tags")
-    assert(tags.contains(s"stream-batch:$freshEph:0"),
-      "a fresh ephemeral tag (same-run retry guard) must survive")
-    assert(tags.contains("stream-batch:deadbeefcafef00d:5"))
+      s"pre-sidecar old-mint tag must age out via the mint fallback: $tags")
   }
 
   test("concurrent rollup appenders with retry: every batch folds exactly once") {

@@ -2279,14 +2279,22 @@ class KerfSqlSpec extends SparkSpec {
     // a string COLUMN (ns-precision ingest) parses with the fraction as
     // integer digits — sub-µs bits never touch a timestamp
     Seq("2024-01-05 12:34:56.000000300", "2024-01-05 12:34:56",
-        "not a stamp")
+        "not a stamp", "2024-01-05 12:34:56.1234567891")
       .toDF("s").createOrReplaceTempView("nslit_t")
     val base = want - 123456789L
     val got = KerfSql.run(spark, "select nanos(s) as n from nslit_t order n")
       .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSeq
     // malformed rows are null (the stamp(string) try_cast posture;
-    // nulls sort first in the dialect's order)
-    assert(got == Seq(null, base, base + 300L), s"got $got")
+    // nulls sort first in the dialect's order) — and so is a >9-digit
+    // fraction: sub-ns input must NOT silently truncate to a confident
+    // ns value in a lane whose whole contract is exactness
+    assert(got == Seq(null, null, base, base + 300L), s"got $got")
+    // mixed separators are a typo, not a third grammar: dotted Kerf
+    // forms and dashed ISO both parse, '2024.01-05' does not
+    val mixed = intercept[IllegalArgumentException] {
+      evalOne("nanos('2024.01-05T00:00:00.5')")
+    }
+    assert(mixed.getMessage.contains("mixed separators"), mixed.getMessage)
   }
 
   test("ns-lane date-part family: pure long math, sub-µs exact, pre-1970 floor-correct") {

@@ -99,12 +99,29 @@ class LlmOpsSpec extends SparkSpec {
     try {
       val chain = (0L until 63L).map(i => (i, i + 1, 1.0))
         .toDF("id_a", "id_b", "jaccard")
-      val got = Dedup.clusters(chain, maxIters = 10).collect()
+      val labels = Dedup.clusters(chain, maxIters = 10)
+      val got = labels.collect()
       assert(got.length == 64 && got.forall(_.getLong(1) == 0L),
         "labels must be identical under reliable checkpointing")
+      // the RESULT rides the reliable dir too (a local-checkpoint seal
+      // would die with an executor while the caller is consuming it)
+      val resultFiles = labels.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.getCheckpointFile
+      }.flatten
+      assert(resultFiles.nonEmpty,
+        "sealed CC result is not reliably checkpointed under a checkpoint dir")
       val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
         .filter(java.nio.file.Files.isRegularFile(_)).count()
       assert(wrote > 0, "CC rounds did not checkpoint to the reliable dir")
+      // releasing the result sweeps the LAST files: intermediate rounds
+      // were already deleted as the loop released them — the dir must
+      // not grow one rdd-N per round for the life of the session
+      graft.ops.Caches.release(labels)
+      val left = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(left == 0,
+        s"checkpoint dir leaks $left files after release (per-round growth)")
     } finally setter.invoke(sc, prev)
   }
 
