@@ -139,8 +139,10 @@ object Repl {
             val ts = spark.catalog.listTables().collect()
               .map(t => s"${t.name}${if (t.isTemporary) "" else "  [stored]"}")
             out.println(if (ts.isEmpty) "(no tables)" else ts.sorted.mkString("\n"))
-          case t if t.startsWith("\\t ") =>
-            val cs = completions(spark, interp, t.stripPrefix("\\t ").trim)
+          // bare `\t` = empty prefix (all candidates): line.trim already
+          // ate the trailing space, so `\t ` and `\t` must both land here
+          case t if t == "\\t" || t.startsWith("\\t ") =>
+            val cs = completions(spark, interp, t.stripPrefix("\\t").trim)
             out.println(if (cs.isEmpty) "(no completions)" else cs.mkString(" "))
           case s if s.startsWith("\\s ") =>
             // `\s <dir> [t1 t2 …]` — whole visible tree by default (the

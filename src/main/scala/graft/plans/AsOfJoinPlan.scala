@@ -58,19 +58,39 @@ case class AsOfJoinExec(
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
+  // float/double equi-keys: 0.0 and -0.0 are DIFFERENT under
+  // Double.compare (the merge's RowOrdering, the sort, AND the hash)
+  // but equal under SQL join equality — normalize the key expressions
+  // everywhere they flow (distribution, ordering, merge projection) so
+  // ±0.0 rows land in one partition, sort as one group with a monotone
+  // ts run, and compare equal in the merge. NaNs likewise collapse to
+  // one canonical NaN, matching Spark's own join-key normalization.
+  // The optimizer-rule path arrives pre-normalized (idempotent); this
+  // covers direct construction.
+  private def normKeys(ks: Seq[Expression]): Seq[Expression] = ks.map { k =>
+    k.dataType match {
+      case org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType =>
+        org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero(k)
+      case _ => k
+    }
+  }
+  private lazy val lKeyNorm = normKeys(leftKeys)
+  private lazy val rKeyNorm = normKeys(rightKeys)
+
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
   override def requiredChildDistribution: Seq[Distribution] =
-    Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
+    Seq(ClusteredDistribution(lKeyNorm), ClusteredDistribution(rKeyNorm))
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
-    (rightKeys :+ rightTs).map(SortOrder(_, Ascending)))
+    (lKeyNorm :+ leftTs).map(SortOrder(_, Ascending)),
+    (rKeyNorm :+ rightTs).map(SortOrder(_, Ascending)))
 
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val lKeyExprs = leftKeys; val rKeyExprs = rightKeys
+    val lKeyExprs = lKeyNorm; val rKeyExprs = rKeyNorm
     val lTsExpr = leftTs; val rTsExpr = rightTs
     val lOut = left.output; val rOut = right.output
     val strictLocal = strict
@@ -135,13 +155,23 @@ case class AsOfJoinExec(
               continue = rHead != null
             } else continue = false
           }
+          // overflow-safe tolerance: `ts - ts' <= tol` as a raw Long
+          // subtraction wraps when the axes are >2^63 apart (e.g. a
+          // Long.MinValue sentinel epoch) and would ACCEPT the out-of-
+          // band row; compare against a saturating bound instead
           if (forwardLocal) {
+            val hi = // lTs + tol, saturating to MaxValue
+              if (lTs > Long.MaxValue - tolLocal) Long.MaxValue
+              else lTs + tolLocal
             if (rHead != null && keyOrd.compare(rHeadKey, lKey) == 0 &&
-                rHeadTs - lTs <= tolLocal) joined(l, rHead)
+                rHeadTs <= hi) joined(l, rHead)
             else joined(l, nullRight)
           } else {
+            val lo = // lTs - tol, saturating to MinValue
+              if (lTs < Long.MinValue + tolLocal) Long.MinValue
+              else lTs - tolLocal
             if (held != null && keyOrd.compare(heldKey, lKey) == 0 &&
-                lTs - heldTs <= tolLocal) joined(l, held)
+                heldTs >= lo) joined(l, held)
             else joined(l, nullRight)
           }
         }

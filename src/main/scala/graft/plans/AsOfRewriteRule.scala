@@ -218,10 +218,14 @@ object AsOfRewriteRule extends Rule[LogicalPlan] {
           // exec does not replicate - leave those plans alone
           WindowSpecDefinition(partitionSpec, Seq(order), _)), _)),
         _, _, windowChild, _))
-        if isRnEqOne(cond, rnAlias.exprId) && peel(windowChild).isDefined =>
+        // peel once; the case body re-checks the Option instead of a
+        // second recursive walk in the guard
+        if isRnEqOne(cond, rnAlias.exprId) =>
 
+      peel(windowChild) match {
+        case None => f
+        case Some((kept, join)) =>
       val rnAttr = rnAlias.toAttribute
-      val (kept, join) = peel(windowChild).get
       val (left, right, joinCond) = (join.left, join.right, join.condition.get)
       val atoms = conjuncts(joinCond).map(classify(_, left.outputSet, right.outputSet))
       val eqs = atoms.collect { case EqPair(a, b) => (a, b) }
@@ -335,5 +339,6 @@ object AsOfRewriteRule extends Rule[LogicalPlan] {
           Union(mainOut :: padOut :: Nil)
         }
       }
+      } // peel match
   }
 }

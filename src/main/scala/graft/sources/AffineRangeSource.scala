@@ -27,12 +27,18 @@ class AffineRangeSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     AffineRangeSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
+                        properties: util.Map[String, String]): Table = {
+    // DSv2 hands getTable the case-PRESERVED map; reader options are
+    // case-insensitive by contract (.option("Length", …) must not be
+    // silently ignored into a length-0 table)
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(properties)
+    def get(k: String, dflt: String) = Option(opts.get(k)).getOrElse(dflt)
     new AffineTable(
-      properties.getOrDefault("length", "0").toLong,
-      properties.getOrDefault("base", "0").toLong,
-      properties.getOrDefault("imult", "1").toLong,
-      properties.getOrDefault("slices", "8").toInt)
+      get("length", "0").toLong,
+      get("base", "0").toLong,
+      get("imult", "1").toLong,
+      get("slices", "8").toInt)
+  }
 }
 
 object AffineRangeSource {

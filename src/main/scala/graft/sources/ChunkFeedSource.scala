@@ -73,9 +73,12 @@ class ChunkFeedSource extends TableProvider with DataSourceRegister {
     ChunkFeedSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
-    val path = properties.get("path")
+    // DSv2 hands getTable the case-PRESERVED map; reader options are
+    // case-insensitive by contract (.option("Path", …) must work)
+    val opts = new CaseInsensitiveStringMap(properties)
+    val path = opts.get("path")
     require(path != null && path.nonEmpty, "chunkfeed requires option 'path'")
-    val mode = Option(properties.get("offsets")).getOrElse("count")
+    val mode = Option(opts.get("offsets")).getOrElse("count")
     require(mode == "count" || mode == "seq",
       s"chunkfeed option 'offsets' must be 'count' or 'seq', got '$mode'")
     new ChunkFeedTable(path, sequenced = mode == "seq")
@@ -216,7 +219,13 @@ private object FeedFs {
   def partDirs(f: FileSystem, root: String): Seq[Path] = {
     val rootPath = new Path(root)
     if (!f.exists(rootPath)) Seq.empty
-    else f.listStatus(rootPath).filter(_.isDirectory).map(_.getPath).toSeq
+    else f.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
+      // hidden/marker DIRS are not feed partitions, same convention as
+      // chunkFiles above: a transient `_temporary`/`.tmp-*` staging dir
+      // at the feed root would otherwise emit its internals as bogus
+      // frames and then trip the vanished-partition guard when removed
+      .filterNot(p => p.getName.startsWith(".") || p.getName.startsWith("_"))
+      .toSeq
   }
   def readerFactory(): PartitionReaderFactory =
     new ChunkReaderFactory(new org.apache.spark.util.SerializableConfiguration(
@@ -366,9 +375,17 @@ private class SeqFeedStream(root: String, checkpointLocation: String)
       val tmp = new Path(checkpointLocation, "graft-seq-emitted.json.tmp")
       val out = f.create(tmp, true)
       try out.write(json.getBytes("UTF-8")) finally out.close()
+      // Hadoop delete/rename report failure by RETURNING FALSE, not
+      // throwing: only record the seed as persisted when the publish
+      // actually landed, so a transient failure retries on the next
+      // emission instead of silently leaving a stale seed to re-open
+      // the offset-regression window this file exists to close
       f.delete(seedFile, false)
-      f.rename(tmp, seedFile)
-      lastPersisted = json
+      if (f.rename(tmp, seedFile)) lastPersisted = json
+      else System.err.println(
+        s"[graft] WARN: chunkfeed seed publish failed (rename $tmp -> " +
+        s"$seedFile returned false) — will retry on the next emission; " +
+        "until then a restart may consult a stale seed")
     }
   }
   locally {

@@ -141,6 +141,10 @@ final class RemoteScanBuilder(host: String, port: Int, table: String,
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  // the wire forms computed ONCE at push time — build() reuses them, so
+  // the pushability decision and the shipped JSON can never drift (the
+  // duplicated-switch hazard RemoteEval warns about on the decode side)
+  private var pushedJson: Array[String] = Array.empty
   private var aggJson: Option[String] = None
   private var aggSchema: Option[StructType] = None
 
@@ -150,7 +154,10 @@ final class RemoteScanBuilder(host: String, port: Int, table: String,
   /** Keep EVERYTHING as residual: the remote evaluation is conservative
     * (drops only definitely-false rows), Spark re-verifies the rest. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(f => RemoteFilters.toJson(f).isDefined)
+    val translated = filters.flatMap(f =>
+      RemoteFilters.toJson(f).map(j => f -> j.toString))
+    pushed = translated.map(_._1)
+    pushedJson = translated.map(_._2)
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -176,8 +183,7 @@ final class RemoteScanBuilder(host: String, port: Int, table: String,
 
   override def build(): Scan =
     new RemoteScan(host, port, table, aggSchema.getOrElse(required),
-      pushed.flatMap(f => RemoteFilters.toJson(f)).map(_.toString), aggJson,
-      wireCodec, wireFormat)
+      pushedJson, aggJson, wireCodec, wireFormat)
 }
 
 final class RemoteScan(host: String, port: Int, table: String,

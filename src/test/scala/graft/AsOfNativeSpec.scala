@@ -23,6 +23,39 @@ class AsOfNativeSpec extends SparkSpec {
                       ("q4", Some(2.0)), ("q5", None)))
   }
 
+  test("float keys: 0.0 and -0.0 match (SQL equality), wild-apart ts never wraps") {
+    // ±0.0 are DIFFERENT under Double.compare but equal under SQL join
+    // equality — the exec normalizes keys so the merge groups them
+    val left = Seq((0.0, 100L, "l1"), (-0.0, 200L, "l2"))
+      .toDF("k", "t", "qid")
+    val right = Seq((-0.0, 50L, 1.0), (0.0, 150L, 2.0))
+      .toDF("k", "rt", "px")
+    val got = AsOf.joinNative(left, right, Seq("k"), "t", "rt")
+      .orderBy("t").select("qid", "px")
+      .as[(String, Option[Double])].collect().toSeq
+    assert(got == Seq(("l1", Some(1.0)), ("l2", Some(2.0))),
+      s"±0.0 keys must join as one group: $got")
+    // overflow guard: a Long.MinValue sentinel epoch sits >2^63 below a
+    // real ns epoch — the raw `lTs - heldTs <= tol` subtraction wraps
+    // NEGATIVE and would accept it as in-tolerance; the saturating
+    // bound must reject it
+    val l2 = Seq(("A", 1500000000000000000L, "x")).toDF("k", "t", "qid")
+    val r2 = Seq(("A", Long.MinValue, 9.9)).toDF("k", "rt", "px")
+    val g2 = AsOf.joinNative(l2, r2, Seq("k"), "t", "rt",
+        tolerance = Some(1000L))
+      .select("px").as[Option[Double]].collect().toSeq
+    assert(g2 == Seq(None),
+      s"sentinel epoch joined as in-tolerance (Long wrap): $g2")
+    // and the forward twin: sentinel MAX epoch vs `rHeadTs - lTs` wrap
+    val l3 = Seq(("A", -1500000000000000000L, "x")).toDF("k", "t", "qid")
+    val r3 = Seq(("A", Long.MaxValue, 9.9)).toDF("k", "rt", "px")
+    val g3 = AsOf.joinNative(l3, r3, Seq("k"), "t", "rt",
+        tolerance = Some(1000L), forward = true)
+      .select("px").as[Option[Double]].collect().toSeq
+    assert(g3 == Seq(None),
+      s"forward sentinel joined as in-tolerance (Long wrap): $g3")
+  }
+
   test("native matches union+window rewrite on the events table") {
     val ev = Tables.events(spark, sf).withColumn("ts_us", expr("ts_ns div 1000"))
     val clicks = ev.filter(col("event_type") === "click")

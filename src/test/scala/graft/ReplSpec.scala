@@ -112,6 +112,12 @@ class ReplSpec extends SparkSpec {
       s"transcript:\n$t")
     assert(t.contains("select"), s"transcript:\n$t")
     assert(t.contains("(no completions)"), s"transcript:\n$t")
+    // bare `\t` (and `\t ` — trim eats the trailing space) = empty
+    // prefix = ALL candidates, the raw-mode TAB binding's first press;
+    // it must not fall through to the unknown-meta-command help
+    val bare = transcript("\\t", "\\q")
+    assert(!bare.contains("unknown meta command"), s"transcript:\n$bare")
+    assert(bare.contains("select"), s"transcript:\n$bare")
   }
 
   test("\\s / \\l: workspace save and load round-trip through the live session") {

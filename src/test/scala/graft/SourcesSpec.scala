@@ -24,6 +24,24 @@ class SourcesSpec extends SparkSpec {
     assert(agg.getLong(3) == lib)
   }
 
+  test("AffineRangeSource: DSv2 options are case-insensitive (no silent empty table)") {
+    // DSv2 getTable receives the case-PRESERVED map; .option("Length",…)
+    // must not be silently ignored into a length-0 table
+    val props = new java.util.HashMap[String, String]()
+    props.put("Length", "7"); props.put("Base", "10"); props.put("IMult", "2")
+    val rows = spark.read.format("graft.sources.AffineRangeSource")
+      .options(new java.util.HashMap[String, String](props))
+      .load()
+    // go through the provider directly too (reader paths may normalize)
+    val table = new graft.sources.AffineRangeSource()
+      .getTable(graft.sources.AffineRangeSource.schema, Array.empty, props)
+    import org.apache.spark.sql.functions.col
+    val got = rows.orderBy(col("value")).collect().map(_.getLong(0)).toSeq
+    assert(got == (0 until 7).map(i => 10L + 2L * i),
+      s"case-insensitive options must reach the table: $got")
+    assert(table.name().contains("7") || got.length == 7)
+  }
+
   test("csv and json round-trip through the free readers (bus.h formats)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString
     val src = Tables.nation(spark, sf)

@@ -297,6 +297,42 @@ class StreamingSpec extends SparkSpec {
     assert(run3.isEmpty, s"no new chunks ⇒ no rows, got $run3")
   }
 
+  test("chunk feed: hidden/marker dirs are not partitions; options are case-insensitive") {
+    import spark.implicits._
+    val feed = java.nio.file.Files.createTempDirectory("graft_chunk_hidden").toString
+    def put(part: String, chunk: Int, lines: String*): Unit = {
+      val dir = java.nio.file.Paths.get(feed, part)
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve(f"chunk-$chunk%08d"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    put("p0", 0, "a0")
+    // a Spark-write staging dir and a metadata dir at the feed root:
+    // their contents must not surface as frames (and their later
+    // removal must not trip the vanished-partition guard)
+    put("_temporary", 0, "junk")
+    put(".tmp-123", 0, "junk")
+    val buf = scala.collection.mutable.ArrayBuffer[(String, Long, String)]()
+    val q = spark.readStream.format("graft.sources.ChunkFeedSource")
+      .option("path", feed).load()
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.as[(String, Long, String)].collect()
+        buf.synchronized { buf ++= rows }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(buf.toSeq.sorted == Seq(("p0", 0L, "a0")),
+      s"hidden/marker dirs surfaced as feed partitions: ${buf.toSeq.sorted}")
+    // DSv2 getTable receives the case-PRESERVED option map; reader
+    // options are case-insensitive by contract
+    val props = new java.util.HashMap[String, String]()
+    props.put("Path", feed); props.put("Offsets", "seq")
+    val table = new graft.sources.ChunkFeedSource()
+      .getTable(graft.sources.ChunkFeedSource.schema, Array.empty, props)
+    assert(table.name().contains(feed), s"got ${table.name()}")
+  }
+
   test("chunk feed: frames deleted under a committed offset fail loudly, never skip") {
     // the never-skip half of the broker contract: the feed is append-only
     // (offsets are counts), so retention deleting ANY file — here a
