@@ -64,7 +64,10 @@ object HalfPack {
     val fbits = java.lang.Float.floatToIntBits(f)
     val sign = (fbits >>> 16) & 0x8000
     val absBits = fbits & 0x7fffffff
-    if (absBits > 0x7f800000) return (sign | 0x7e00).toShort  // NaN
+    // NaN drops the SIGN too: a computed -NaN packing to 0xfe00 would
+    // put a second NaN pattern on disk and break content-hash dedup of
+    // otherwise-identical vectors — ONE canonical qNaN (0x7e00)
+    if (absBits > 0x7f800000) return 0x7e00.toShort           // NaN
     if (absBits == 0x7f800000) return (sign | 0x7c00).toShort // ±inf
     val v = absBits + 0x1000                                  // round half up
     if (v >= 0x47800000) return (sign | 0x7c00).toShort       // overflow → inf

@@ -19,8 +19,11 @@ object KerfHash {
 
   /** Canonical form whose bytes are width-independent: every numeric
     * value renders to one tagged string ("n:1" for int8/int64/1.0 alike —
-    * the representational class NUMBER, enums.h:117–121), strings stay
-    * raw (a separate class), arrays canonicalize elementwise. */
+    * the representational class NUMBER, enums.h:117–121), strings carry
+    * their own "s:" tag (classes must be DISJOINT: a raw string that
+    * happens to spell "n:1" must not collide with the number 1 — user
+    * text and log lines do contain such shapes), arrays canonicalize
+    * elementwise. */
   def canonical(c: Column, t: DataType): Column = t match {
     case ByteType | ShortType | IntegerType | LongType =>
       concat(lit("n:"), c.cast(LongType).cast(StringType))
@@ -30,6 +33,7 @@ object KerfHash {
         .when(c.cast(DoubleType) === c.cast(DoubleType).cast(LongType).cast(DoubleType),
               concat(lit("n:"), c.cast(LongType).cast(StringType)))
         .otherwise(concat(lit("n:"), c.cast(DoubleType).cast(StringType)))
+    case StringType => concat(lit("s:"), c)
     case ArrayType(et, _) => transform(c, x => canonical(x, et))
     case _ => c
   }

@@ -48,9 +48,18 @@ object Temporal {
 
     private val token = "(\\d+)([ymdhistun])".r
     /** Parse Kerf relative-span literals: "1y2m", "3d4h5i", "330t1u10n"
-      * (lexer.h:247–311 relative-datetime DFA). */
-    def parse(lit: String): Span =
-      token.findAllMatchIn(lit).map { mm =>
+      * (lexer.h:247–311 relative-datetime DFA). STRICT: the whole
+      * literal must be <n><unit> tokens (one optional leading '-'
+      * negating the whole span, so [[Temporal.formatSpan]]'s negative
+      * renders round-trip) — findAllMatchIn silently SKIPPED anything
+      * else, so a typo like `within 5x` parsed to Span(0,0) and an
+      * as-of quietly unmatched nearly every row (r16 review). */
+    def parse(lit: String): Span = {
+      val (negate, body) =
+        if (lit.startsWith("-")) (true, lit.tail) else (false, lit)
+      var consumed = 0
+      val sum = token.findAllMatchIn(body).map { mm =>
+        consumed += mm.matched.length
         val v = mm.group(1).toLong
         mm.group(2) match {
           case "y" => y(v); case "m" => m(v); case "d" => d(v)
@@ -58,6 +67,11 @@ object Temporal {
           case "t" => t(v); case "u" => u(v); case "n" => n(v)
         }
       }.foldLeft(Span())(_ + _)
+      require(body.nonEmpty && consumed == body.length,
+        s"span literal '$lit' — expected <n><unit>… with units " +
+        "y m d h i(min) s t(ms) u(µs) n(ns)")
+      if (negate) -sum else sum
+    }
   }
 
   /** Parse a Kerf stamp literal to a timestamp Column: `2016.02.03`,
@@ -164,6 +178,11 @@ object Temporal {
   /** Render a fixed span in Kerf suffix form: 93784000000123ns →
     * "1d2h3i4s0t0u123n" (presented.h:150–185 printing). */
   def formatSpan(span: Span): String = {
+    // negative FIXED spans render with one leading sign ("-1d2h…"), the
+    // form Span.parse round-trips; per-component signs ("-1d-2h") would
+    // be rejected by the strict parser
+    if (span.months == 0 && span.nanos < 0)
+      return "-" + formatSpan(Span(0, -span.nanos))
     val sb = new StringBuilder
     if (span.months != 0) {
       sb.append(s"${span.months / 12}y"); sb.append(s"${span.months % 12}m")

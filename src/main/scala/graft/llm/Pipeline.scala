@@ -225,10 +225,16 @@ object Pipeline {
     * batch [[decontaminate]] pass stays the exact authority. */
   def contaminationProbe(benchmark: DataFrame, textCol: String, n: Int = 3,
                          fpp: Double = 0.01, expectedItems: Long = 0L): Column => Column = {
-    val bench = benchmark.select(explode(
-      graft.functions.ShingleHashes.shingleHashes(
-        Dedup.normText(col(textCol)), n)).as("s")).distinct()
-    val pred = bloomPredicate(bench, "s", fpp, expectedItems)
+    // bloomPredicate runs TWO driver actions (sizing count + filter
+    // build) — cache the shingle/explode/distinct frame across them,
+    // the same discipline decontaminate applies to the identical frame
+    val (bench, ownBench) = graft.ops.Caches.acquire(
+      benchmark.select(explode(
+        graft.functions.ShingleHashes.shingleHashes(
+          Dedup.normText(col(textCol)), n)).as("s")).distinct())
+    val pred =
+      try bloomPredicate(bench, "s", fpp, expectedItems)
+      finally { if (ownBench) bench.unpersist(false) }
     (text: Column) => exists(
       graft.functions.ShingleHashes.shingleHashes(Dedup.normText(text), n), pred)
   }
@@ -392,6 +398,11 @@ object Pipeline {
     * fire on provably repeated spans. */
   def dropRepeatedSegments(docs: DataFrame, idCol: String, textCol: String,
                            tokensPerSeg: Int = 10, minDocs: Int = 2): DataFrame = {
+    // the tokenize+explode pass runs TWICE (census input + anti-join
+    // left) — deliberately: caching it would pin a corpus-SIZED frame
+    // for the life of the caller's lazy plan (the output stays lazy by
+    // design), and two map-only passes beat pinning tokenized text at
+    // the 100 TB point. The census result itself is boilerplate-sized.
     val frequent = repeatedSegments(docs, idCol, textCol, tokensPerSeg, minDocs)
       .select(col("seg"))
     segmented(docs, idCol, textCol, tokensPerSeg)

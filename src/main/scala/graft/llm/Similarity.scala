@@ -65,8 +65,14 @@ object Similarity {
     * deterministic across engines. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
+    // NULL-vec rows drop on BOTH sides, matching the LSH/IVF faces
+    // (which shed them via explode(null)): a null query would otherwise
+    // emit k fabricated rows ranked purely by cand_id with sim = null —
+    // two faces of one API must not disagree on the same input
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = candidates.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
     val sims = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("cand_id"))
       .withColumn("sim", round(cosine(col("q_vec"), col("cand_vec")), 6))
@@ -235,11 +241,14 @@ object Similarity {
   def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame =
     df.select(col(idCol),
-        // a single NaN element would poison silently: scale = NaN, every
-        // least(127, x/NaN) resolves to 127 (Spark orders NaN greatest)
-        // and the reconstruction is all-NaN — fail fast instead
-        when(exists(col(vecCol), x => isnan(x.cast("double"))),
-            raise_error(concat(lit("quantizeInt8: NaN element in vector of "),
+        // a single NaN element would poison silently (scale = NaN), and
+        // ±Inf the same way one step later: scale = Inf, every finite
+        // element quantizes to 0 and dequantize reconstructs 0·Inf = NaN
+        // across the whole vector — fail fast on any non-finite element
+        when(exists(col(vecCol), x => isnan(x.cast("double")) ||
+              abs(x.cast("double")) > lit(Double.MaxValue)),
+            raise_error(concat(
+              lit("quantizeInt8: non-finite element in vector of "),
               col(idCol).cast("string"), lit(" — fix upstream embeddings"))))
           .otherwise(
             array_max(transform(col(vecCol), x => abs(x.cast("double")))) / 127.0)
@@ -871,6 +880,11 @@ object Similarity {
                          idCol: String, vecCol: String): DataFrame = {
     val dsub = books(0)(0).length
     queries
+      // NULL-vec queries drop, matching the index side (line above) and
+      // the LSH/IVF faces: a null q_vec would produce a NULL __adc for
+      // every candidate, which sorts NULLS FIRST straight into the
+      // prefilter's top slots — k fabricated survivors per null query
+      .filter(col(vecCol).isNotNull)
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("__lut", array(books.indices.map { s =>
         val cb = books(s)

@@ -214,7 +214,14 @@ object TextOps {
     // produced sequence(1,0)=[1,0] and gave every empty doc the same
     // phantom fingerprint, pairing them all with each other.
     docs
-      .select(col(idCol), Dedup.normText(col(textCol)).as("__t"))
+      // NULL text coalesces to the empty doc BEFORE the guards: the
+      // `length === 0` branch is NULL (not true) on a null __t, so the
+      // otherwise-branch would run and — greatest(null, 0) = 0 ignores
+      // the null — hand every null-text doc the same [null] phantom
+      // fingerprint, pairing them all with each other (the exact trap
+      // the empty-string clamp below closes for "")
+      .select(col(idCol),
+        coalesce(Dedup.normText(col(textCol)), lit("")).as("__t"))
       .select(col(idCol),
         when(length(col("__t")) === 0, array().cast("array<bigint>"))
           .when(length(col("__t")) < k, array(xxhash64(col("__t"))))

@@ -37,6 +37,12 @@ object AsOf {
       require(!left.columns.contains(c),
         s"as-of right column '$c' collides with a left column — rename " +
         "one side before joining"))
+    // the synthesized match-timestamp output is a withColumn too — a
+    // left column of that name (e.g. a previous as-of's output chained
+    // back in) would be clobbered the same way
+    require(!left.columns.contains(s"${rightTs}_matched"),
+      s"as-of output column '${rightTs}_matched' collides with a left " +
+      "column — rename it before joining")
     val ts = "__asof_ts"; val side = "__asof_side"; val payload = "__asof_payload"
     // visibility of right rows at equal ts is purely their sort position
     // relative to left (=1): backward frame looks back (right before left

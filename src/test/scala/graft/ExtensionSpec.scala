@@ -31,6 +31,11 @@ class ExtensionSpec extends SparkSpec {
     assert(HalfPack.floatToHalf(65504f) == 0x7bff.toShort)      // max finite
     assert(HalfPack.floatToHalf(65536f) == 0x7c00.toShort)      // overflow → inf
     assert(HalfPack.floatToHalf(Float.NaN) == 0x7e00.toShort)   // canonical qNaN
+    // a computed -NaN (sign bit set) must pack to the SAME canonical
+    // pattern — two NaN bit patterns on disk would break content-hash
+    // dedup of otherwise-identical vectors
+    assert(HalfPack.floatToHalf(
+      java.lang.Float.intBitsToFloat(0xffc00000)) == 0x7e00.toShort)
     assert(HalfUnpack.halfToFloat(0x0001.toShort) == math.pow(2, -24).toFloat) // min subnormal
     assert(rt(0.0f) == 0.0f && rt(-0.0f) == -0.0f &&
            rt(Float.PositiveInfinity) == Float.PositiveInfinity)

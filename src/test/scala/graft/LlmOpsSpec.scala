@@ -1337,6 +1337,44 @@ class LlmOpsSpec extends SparkSpec {
     assert(indexed == direct, "on-disk IVF-PQ probe diverged from train-per-call")
   }
 
+  test("NULL-text docs: empty fingerprint (no [null] phantom), null-vec rows drop from topK") {
+    // NULL text: the empty-string clamp alone misses it (length(null)===0
+    // is NULL, and greatest(null, 0) IGNORES the null) — every null-text
+    // doc would share the phantom fingerprint [null] and pair with each
+    // other, the exact trap the clamp closes for ""
+    val edge = Seq((0L, null: String), (1L, null: String), (2L, "a real document"))
+      .toDF("doc_id", "text")
+    val fps = TextOps.fingerprint(edge, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fps(0L).isEmpty && fps(1L).isEmpty,
+      s"null-text docs must fingerprint to NO grams: $fps")
+    // null-vec rows drop on both sides of the exact scan, matching the
+    // LSH/IVF faces — a null query must not emit k fabricated rows
+    // ranked by cand_id with sim = null
+    val vecs = Seq(
+      (0L, null: Seq[Float]),
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(vecs, vecs, 2)
+    assert(got.filter(col("q_id") === 0L).count() == 0,
+      "null-vec query fabricated top-k rows")
+    assert(got.filter(col("cand_id") === 0L).count() == 0,
+      "null-vec candidate surfaced in someone's top-k")
+    assert(got.filter(col("q_id") === 1L).count() == 2)
+  }
+
+  test("int8 quantization fails fast on ±Inf (silent all-NaN reconstruction otherwise)") {
+    // scale = Inf: every finite element quantizes to 0 and dequantize
+    // reconstructs 0·Inf = NaN across the whole vector — same poisoning
+    // class as NaN, must be equally loud
+    val df = Seq((0L, Seq(1.0f, Float.PositiveInfinity))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.quantizeInt8(df).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("non-finite"),
+      s"got: ${e.getMessage}")
+  }
+
   test("fingerprint survives small edits (winnowing overlap)") {
     val fp = TextOps.fingerprint(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap

@@ -123,6 +123,17 @@ class SemanticsSpec extends SparkSpec {
       xxhash64(KerfHash.canonical(col("ai"), ArrayType(IntegerType))).as("x"),
       xxhash64(KerfHash.canonical(col("al"), ArrayType(LongType))).as("y")).collect()(0)
     assert(h.getLong(0) == h.getLong(1))
+    // classes are DISJOINT: a raw string that happens to spell "n:1"
+    // must not hash equal to the number 1 (user text contains such
+    // shapes; conflation silently merges distinct values in dedup)
+    val mixed = Seq(("n:1", 1)).toDF("s", "n")
+    val m = mixed.select(
+      KerfHash.representational(col("s"), StringType).as("hs"),
+      KerfHash.representational(col("n"), IntegerType).as("hn"),
+      KerfHash.reprEq(col("s"), StringType, col("n"), IntegerType).as("eq"))
+      .collect()(0)
+    assert(m.getLong(0) != m.getLong(1), "string 'n:1' collided with number 1")
+    assert(!m.getBoolean(2))
   }
 
   test("seeded rng is deterministic per row across runs (rng.h pcg64 analog)") {

@@ -39,4 +39,15 @@ object SpanProperties extends Properties("Temporal.Span") {
       val s = Span(m, ns)
       Span.parse(graft.functions.Temporal.formatSpan(s)) == s
     }
+
+  property("parse round-trips NEGATIVE fixed spans (leading sign form)") =
+    Prop.forAll(Gen.choose(1L, 86400000000000L)) { ns =>
+      val s = Span(0, -ns)
+      Span.parse(graft.functions.Temporal.formatSpan(s)) == s
+    }
+
+  property("parse is STRICT: junk or per-component signs are loud") =
+    Prop.forAll(Gen.oneOf("5x", "1d-2h", "", "-", "d5", "5 d", "30s ")) { bad =>
+      Prop.throws(classOf[IllegalArgumentException])(Span.parse(bad))
+    }
 }
