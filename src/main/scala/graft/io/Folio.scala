@@ -194,7 +194,7 @@ object Folio {
     * the copies (missing one either double-counts a protocol dir as
     * legacy data or deletes it during migration). */
   private[graft] def isProtocolEntry(name: String): Boolean =
-    name.startsWith("_CURRENT") || name.matches("v\\d{8}(\\.stage-.*)?")
+    name.startsWith("_CURRENT") || name.matches("v\\d{8,}(\\.stage-.*)?")
 
   /** Live version name (`vNNNNNNNN`) of a promoted folio, if the path
     * uses the versioned layout. */
@@ -272,8 +272,10 @@ object Folio {
     * `vN`): two racing writers that both computed n must not interleave
     * file writes inside one directory — the loser would corrupt the
     * winner's data before either pointer swap. Suffixed names fail the
-    * strict `v\d{8}` match everywhere (readers, [[versions]], vacuum),
-    * so a stage is invisible until its atomic rename. */
+    * strict `v\d{8,}` match everywhere (readers, [[versions]], vacuum —
+    * 8+ digits: %08d grows past v99999999 and the protocol must keep
+    * seeing those versions), so a stage is invisible until its atomic
+    * rename. */
   private def stageDir(path: String, vname: String): java.io.File =
     new java.io.File(path,
       s"$vname.stage-${System.nanoTime()}-${Thread.currentThread().getId}")
@@ -377,8 +379,8 @@ object Folio {
     val dir = new java.io.File(path)
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory &&
-        d.getName.matches("v\\d{8}(\\.stage-.*)?") &&
-        d.getName.substring(1, 9).toLong < n - effKeep)
+        d.getName.matches("v\\d{8,}(\\.stage-.*)?") &&
+        d.getName.substring(1).takeWhile(_.isDigit).toLong < n - effKeep)
       .foreach(rmTree)
   }
 
@@ -643,8 +645,8 @@ object Folio {
     val floor = currentVersion(path).map(_.stripPrefix("v").toLong - keepDepth(path))
     val dir = new java.io.File(path)
     val goneVersions = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.matches("v\\d{8}(\\.stage-.*)?") &&
-        floor.exists(f => d.getName.substring(1, 9).toLong < f))
+      .filter(d => d.isDirectory && d.getName.matches("v\\d{8,}(\\.stage-.*)?") &&
+        floor.exists(f => d.getName.substring(1).takeWhile(_.isDigit).toLong < f))
       .map { d => rmTree(d); d.getName }
     // the tmp pointer gets the same in-flight grace as young batch dirs:
     // swapCurrentAndVacuum writes _CURRENT.tmp then moves it — a cadence
@@ -662,8 +664,10 @@ object Folio {
     * live one plus the previous kept as crash fallback / time travel. */
   def versions(path: String): Seq[String] =
     Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.matches("v\\d{8}"))
-      .map(_.getName).sorted.toSeq
+      .filter(d => d.isDirectory && d.getName.matches("v\\d{8,}"))
+      // NUMERIC order: past v99999999 the names grow to 9 digits and
+      // lexicographic sort would put v100000000 before v99999999
+      .map(_.getName).sortBy(_.stripPrefix("v").toLong).toSeq
 
   /** TIME TRAVEL: read a specific retained version (the previous version
     * survives every publish as the crash fallback, so the pre-image of

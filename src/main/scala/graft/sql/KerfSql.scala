@@ -1000,9 +1000,13 @@ object KerfSql {
           case "wavgs"  =>
             // the running form of the wavg aggregate, same exact-decimal
             // discipline: quote-weighted price so far, per ordered row;
-            // zero weight-mass so far is null, not an ANSI divide error
-            val dw = inner.col.cast(DecimalType(18, 6))
-            val dx = second.get.col.cast(DecimalType(18, 6))
+            // zero weight-mass so far is null, not an ANSI divide error.
+            // PAIRWISE masking like the batch wavg: a weight whose value
+            // vanished must not dilute the running Σw (and vice versa) —
+            // numerator and denominator must cover the same row set
+            val bothNN = inner.col.isNotNull && second.get.col.isNotNull
+            val dw = when(bothNN, inner.col).cast(DecimalType(18, 6))
+            val dx = when(bothNN, second.get.col).cast(DecimalType(18, 6))
             val den = sum(dw).over(frame).cast(DoubleType)
             T(when(den === 0.0, lit(null).cast(DoubleType))
               .otherwise(sum(dw * dx).over(frame).cast(DoubleType) / den),
@@ -1082,7 +1086,8 @@ object KerfSql {
                 s => s.getField("__x"))),
               ArrayType(inner.dt))
         }
-      case fn if statAggFns(fn.toLowerCase) && p.peekIs("(") =>
+      case fn if statAggFns(fn.toLowerCase) && p.peekIs("(") &&
+          !env.funcs.contains(fn) => // user defs shadow (the windowVerbs rule)
         // the q-family statistical aggregates (Kerf1 heritage, like
         // pctl/ranks): wavg(w, x) — the VWAP shape Σ(w·x)/Σw — and the
         // POPULATION moments var/dev/cov/cor. INPUTS are quantized to
@@ -1145,14 +1150,16 @@ object KerfSql {
               sqrt(varOf(paired(a.col), n)) * sqrt(varOf(paired(b.get.col), n)))
         }
         T(out, DoubleType)
-      case fn if fn.toLowerCase == "med" && p.peekIs("(") =>
+      case fn if fn.toLowerCase == "med" && p.peekIs("(") &&
+          !env.funcs.contains(fn) =>
         // q's med — the 50th percentile with pctl's exact-interpolation
         // semantics (med(x) ≡ pctl(x, 0.5); DuckDB: quantile_cont 0.5)
         p.expect("(")
         val inner = parseExpr(p, env)
         p.expect(")")
         T(call_function("percentile", inner.col, lit(0.5)), DoubleType)
-      case fn if fn.toLowerCase == "pctl" && p.peekIs("(") =>
+      case fn if fn.toLowerCase == "pctl" && p.peekIs("(") &&
+          !env.funcs.contains(fn) =>
         // exact interpolated percentile — `pctl(l_quantity, 0.5)`; the
         // engine-portable exact aggregate (DuckDB: quantile_cont), like
         // the oracled q42 surface
@@ -1162,7 +1169,8 @@ object KerfSql {
         val q = parseExpr(p, env)
         p.expect(")")
         T(call_function("percentile", inner.col, q.col), DoubleType)
-      case fn if aggFns.contains(fn.toLowerCase) && p.peekIs("(") =>
+      case fn if aggFns.contains(fn.toLowerCase) && p.peekIs("(") &&
+          !env.funcs.contains(fn) =>
         p.expect("(")
         val inner = if (p.peekIs("*")) { p.pop(); T(lit(1), IntegerType) }
                     else parseExpr(p, env)
@@ -2463,6 +2471,12 @@ object KerfSql {
         // object-wrapped so a user STRING that looks like a stamp can
         // never be mis-restored as one
         val o = m.createObjectNode(); o.put("@ts", ts.toInstant.toString); o
+      // DateType vars bind via litOf (stamp['date'] assignments) — they
+      // must round-trip the workspace like stamps do
+      case d: java.sql.Date =>
+        val o = m.createObjectNode(); o.put("@d", d.toLocalDate.toString); o
+      case d: java.time.LocalDate =>
+        val o = m.createObjectNode(); o.put("@d", d.toString); o
       case seq: scala.collection.Seq[_] =>
         val a = m.createArrayNode()
         seq.foreach(x => a.add(anyNode(m, x)))
@@ -2492,6 +2506,8 @@ object KerfSql {
       else if (n.isTextual) n.asText()
       else if (n.isObject && n.has("@ts"))
         java.sql.Timestamp.from(java.time.Instant.parse(n.get("@ts").asText()))
+      else if (n.isObject && n.has("@d"))
+        java.sql.Date.valueOf(n.get("@d").asText())
       else if (n.isArray)
         scala.jdk.CollectionConverters.IteratorHasAsScala(n.elements())
           .asScala.map(anyValue).toSeq
@@ -2815,7 +2831,14 @@ object KerfSql {
             else {
               val sp = Temporal.Span.parse(t)
               require(sp.months == 0, "as-of tolerance must be a fixed-length span")
-              sp.nanos
+              // span literals are ns (the exact-ns convention), but a
+              // TimestampType axis is physically µs and the native exec
+              // compares raw axis longs — convert, the same unit rule
+              // as the window-join branch (a bare integer stays in the
+              // column's own unit)
+              val lt = left.schema(lts).dataType
+              if (lt == TimestampType || lt == TimestampNTZType) sp.nanos / 1000L
+              else sp.nanos
             })
         } else if (p.peekIs("forward")) { p.pop(); fwd = true }
         // `strict` — before, never AT (kdb's aj vs the < variant): the
@@ -3395,24 +3418,14 @@ object KerfSql {
     * the maintenance-cadence sibling of `compact`; returns one row per
     * removed name so the cadence job can log its work. */
   private def runVacuum(spark: SparkSession, p: P): DataFrame = {
-    val path = {
-      val t = p.pop()
-      require(t.startsWith("'") && t.endsWith("'") && t.length > 2,
-        s"vacuum needs a quoted path, got $t")
-      unq(t)
-    }
+    val path = parseQuotedPath(p, "vacuum")
     require(p.done, s"trailing tokens in vacuum: ${p.toks.mkString(" ")}")
     import spark.implicits._
     graft.io.Folio.vacuum(path).toDF("removed")
   }
 
   private def runCompact(spark: SparkSession, p: P): DataFrame = {
-    val path = {
-      val t = p.pop()
-      require(t.startsWith("'") && t.endsWith("'") && t.length > 2,
-        s"compact needs a quoted path, got $t")
-      unq(t)
-    }
+    val path = parseQuotedPath(p, "compact")
     def nameList(): Seq[String] = {
       val out = scala.collection.mutable.ArrayBuffer[String](p.pop())
       while (p.peekIs(",")) { p.pop(); out += p.pop() }
@@ -3515,12 +3528,7 @@ object KerfSql {
     * read from the stored model files, and the PQ forms require
     * `using <table>` for the exact re-rank join. */
   private def runProbe(spark: SparkSession, p: P): DataFrame = {
-    val path = {
-      val t = p.pop()
-      require(t.startsWith("'") && t.endsWith("'") && t.length > 2,
-        s"probe needs a quoted index path, got $t")
-      unq(t)
-    }
+    val path = parseQuotedPath(p, "probe")
     p.expect("with"); val queries = spark.table(p.pop())
     p.expect("by"); val idCol = p.pop()
     p.expect("on"); val vecCol = p.pop()
@@ -3680,12 +3688,7 @@ object KerfSql {
     * [[graft.io.Folio.appendWithRollup]]/[[graft.io.Folio.rollupRead]]
     * (path-first like compact/vacuum). */
   private def runRollup(spark: SparkSession, p: P): DataFrame = {
-    def quoted(t: String): String = {
-      require(t.length > 2 && t.startsWith("'") && t.endsWith("'"),
-        s"rollup needs a quoted path, got $t")
-      unq(t)
-    }
-    val path = quoted(p.pop())
+    val path = parseQuotedPath(p, "rollup")
     if (p.done) graft.io.Folio.rollupRead(spark, path)
     else {
       p.expect("append")
@@ -3941,15 +3944,21 @@ object KerfSql {
     while (p.peekIs(",")) { p.pop(); tables += spark.table(p.pop()) }
     require(p.done, s"trailing tokens in uj: ${p.toks.mkString(" ")}")
     require(tables.lengthCompare(2) >= 0, "uj needs at least two tables")
-    val names = tables.flatMap(_.schema.map(_.name)).distinct.toSeq
+    // CASE-INSENSITIVE name identity (the session's caseSensitive=false
+    // resolution): `Price` in t1 and `price` in t2 are ONE union column
+    // under the first-appearance spelling, not two half-null columns
+    val names = tables.flatMap(_.schema.map(_.name))
+      .foldLeft(Vector.empty[String]) { (acc, n) =>
+        if (acc.exists(_.equalsIgnoreCase(n))) acc else acc :+ n
+      }
     val target = names.map { n =>
-      n -> tables.flatMap(_.schema.find(_.name == n)).map(_.dataType)
-        .reduce(graft.io.Folio.widen)
+      n -> tables.flatMap(_.schema.find(_.name.equalsIgnoreCase(n)))
+        .map(_.dataType).reduce(graft.io.Folio.widen)
     }.toMap
     tables.map { t =>
-      val have = t.columns.toSet
+      val have = t.columns.map(_.toLowerCase).toSet
       t.select(names.map(n =>
-        (if (have(n)) col(n).cast(target(n))
+        (if (have(n.toLowerCase)) col(n).cast(target(n))
          else lit(null).cast(target(n))).as(n)): _*)
     }.reduce(_.unionByName(_))
   }

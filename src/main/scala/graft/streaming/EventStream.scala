@@ -625,7 +625,14 @@ object EventStream {
     * [[graft.io.Folio.EphemeralTagRetentionMs]] (their only job is
     * same-run retry idempotence, which lives well inside the window). */
   private[graft] def writerIdOf(checkpoint: Option[String]): String =
-    checkpoint.map { cp =>
+    checkpoint.map { cp0 =>
+      // canonicalize the SPELLING first (hadoop Path: collapses '//',
+      // strips a trailing '/'): the id must be a function of the
+      // checkpoint, not of how the caller typed it — '/ckpt' vs
+      // '/ckpt/' would otherwise mint two writers for one checkpoint,
+      // and a crash-then-respelled-restart's re-delivered batch would
+      // pass the replay guard and double-apply
+      val cp = new org.apache.hadoop.fs.Path(cp0).toString
       val d = java.security.MessageDigest.getInstance("SHA-256")
         .digest(cp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       d.take(8).map("%02x".format(_)).mkString

@@ -532,6 +532,7 @@ class FolioSpec extends SparkSpec {
     // scalar, vector, dict, span, and a def with an early return — the
     // full variable surface the reference's Kerf Tree snapshot carries
     sess.run("k: 3; v: til 5; d: {a: 10, b: 20}; sp: 1d2h; " +
+      "dt: 2024.01.05T06:00:00['date']; " +
       "def cap(x) { if (x > k) { return k }; x }")
     Folio.workspaceSave(Map("nation" -> Tables.nation(spark, sf)), dir, sess)
     // a FRESH session in a fresh (conceptually: restarted) interpreter
@@ -543,6 +544,9 @@ class FolioSpec extends SparkSpec {
     assert(one("{[x,y] x+y} fold v") == 10L)
     assert(one("d['a'] + d['b']") == 30L)
     assert(one("2024.01.01 + sp") != null, "span variable must restore as a span")
+    // DateType vars (stamp['date'] assignments) must round-trip too —
+    // anyNode previously threw on java.sql.Date, failing the WHOLE save
+    assert(one("dt").toString == "2024-01-05", s"date var restored as ${one("dt")}")
     // the def reruns: per-row CASE against a restored table
     val df = restored.run("select cap(n_nationkey) as c from nation order n_nationkey limit 5")
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 3L))
@@ -801,6 +805,29 @@ class FolioSpec extends SparkSpec {
     assert(tags2.contains(s"stream-batch:$freshEph:0"),
       "a fresh ephemeral tag (same-run retry guard) must survive")
     assert(tags2.contains("stream-batch:deadbeefcafef00d:6"))
+  }
+
+  test("9-digit version names: protocol keeps seeing them (regex, sort, vacuum parse)") {
+    // %08d grows past v99999999 — the v\d{8,} match, numeric sort, and
+    // whole-digit-run parse must all keep working (a 1s-cadence sink
+    // crosses 1e8 versions in ~3 years; silent GC blindness = unbounded
+    // disk growth)
+    val path = tmp()
+    Seq("v99999998", "v99999999", "v100000000").foreach { v =>
+      val d = new java.io.File(path, v); d.mkdirs()
+      java.nio.file.Files.write(new java.io.File(d, "x").toPath,
+        "1".getBytes("UTF-8"))
+    }
+    java.nio.file.Files.write(new java.io.File(path, "_CURRENT").toPath,
+      "v100000000".getBytes("UTF-8"))
+    assert(Folio.versions(path) == Seq("v99999998", "v99999999", "v100000000"),
+      s"numeric order broke: ${Folio.versions(path)}")
+    // vacuum floor = 1e8 - keep(1): v99999998 reaps, v99999999 (the
+    // fallback) and the live version survive
+    val gone = Folio.vacuum(path, graceMs = 0L)
+    assert(gone.contains("v99999998") && !gone.exists(_.endsWith("99999999")),
+      s"vacuum reaped wrong versions: $gone")
+    assert(Folio.versions(path) == Seq("v99999999", "v100000000"))
   }
 
   test("applied-set hygiene: pre-sidecar files fall back to the mint anchor") {

@@ -585,6 +585,58 @@ class KerfSqlSpec extends SparkSpec {
     assert(got(1).isNullAt(2))           // next fill at 900 is outside 100
   }
 
+  test("asof within <span> on a TimestampType axis converts ns to µs (not 1000x wide)") {
+    import spark.implicits._
+    // the axis is physically µs; span literals are ns — without the
+    // conversion the exec's tolerance is 1000x too wide and a 400s-old
+    // quote silently matches `within 1s`
+    val trades = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00")))
+      .toDF("sym", "t_ts")
+    trades.createOrReplaceTempView("trades_tsu")
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:09:59.5"), 1.0))
+      .toDF("sym", "q_ts", "bid").createOrReplaceTempView("quotes_near")
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:03:20"), 9.0))
+      .toDF("sym", "q_ts", "bid").createOrReplaceTempView("quotes_far")
+    val near = KerfSql.run(spark,
+      "select sym, bid from trades_tsu asof join quotes_near " +
+      "on sym at t_ts, q_ts within 1s").collect()
+    assert(near(0).getDouble(1) == 1.0, "0.5s-old quote must match within 1s")
+    val far = KerfSql.run(spark,
+      "select sym, bid from trades_tsu asof join quotes_far " +
+      "on sym at t_ts, q_ts within 1s").collect()
+    assert(far(0).isNullAt(1),
+      "400s-old quote matched `within 1s` — the ns tolerance reached the µs axis unconverted")
+  }
+
+  test("wavgs masks pairwise like the wavg aggregate: null values never dilute Σw") {
+    import spark.implicits._
+    Seq((1L, 1L, 10.0, Some(2.0)), (1L, 2L, 90.0, None: Option[Double]),
+        (1L, 3L, 10.0, Some(4.0)))
+      .toDF("sym", "ts", "qty", "px").createOrReplaceTempView("wavgs_t")
+    val got = KerfSql.run(spark,
+      "select sym, ts, wavgs(qty, px) as vw from wavgs_t group sym order ts")
+      .collect().map(r => if (r.isNullAt(2)) null else r.getDouble(2)).toSeq
+    // row 2's 90-weight carries a null px: it must drop from BOTH sums —
+    // the running VWAP at row 3 is (10*2+10*4)/20 = 3.0, not 60/110
+    assert(got == Seq(2.0, 2.0, 3.0), s"got $got")
+  }
+
+  test("uj folds same-named columns case-insensitively (one widened column, not two)") {
+    import spark.implicits._
+    Seq((1L, 10L)).toDF("k", "Price").createOrReplaceTempView("uj_c1")
+    Seq((2L, 1.5)).toDF("k", "price").createOrReplaceTempView("uj_c2")
+    val got = KerfSql.run(spark, "uj uj_c1, uj_c2")
+    assert(got.columns.toSeq == Seq("k", "Price"),
+      s"case variants must fold to ONE column: ${got.columns.toSeq}")
+    val rows = got.orderBy("k").collect().map(_.getDouble(1)).toSeq
+    assert(rows == Seq(10.0, 1.5), s"got $rows")
+  }
+
+  test("user defs shadow built-in aggregate names (the windowVerbs rule)") {
+    assert(evalOne("def med(x) { x + x }; med(3)") == 6L)
+    assert(evalOne("def sum(x) { 1 }; sum(9)") == 1L)
+  }
+
   test("asof join from TEXT over sorted folios: zero exchange, zero sort") {
     // the full parted-table promise (presented.h:409–430) end-to-end: a
     // Kerf-language asof query over bucketed+sorted catalog tables plans

@@ -1183,6 +1183,13 @@ class StreamingSpec extends SparkSpec {
     assert(!expiredEphemeralTag("stream-batch:deadbeefcafef00d:4", now))
     assert(!expiredEphemeralTag("stream-batch:7", now))
     assert(!expiredEphemeralTag("manual", now))
+    // writer id is a function of the CHECKPOINT, not its spelling — a
+    // respelled restart must not mint a second writer (whose re-delivered
+    // batch would pass the replay guard and double-apply)
+    assert(EventStream.writerIdOf(Some("/ckpt/a/")) ==
+           EventStream.writerIdOf(Some("/ckpt/a")))
+    assert(EventStream.writerIdOf(Some("/ckpt//a")) ==
+           EventStream.writerIdOf(Some("/ckpt/a")))
     // legacy tags compact to their max alone (one lingers, not one per batch)
     assert(graft.io.Folio.compactTags(
       Seq("stream-batch:3", "stream-batch:7", "stream-batch:w:2", "manual"))
