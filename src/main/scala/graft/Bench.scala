@@ -44,21 +44,33 @@ object Bench {
     spark.sparkContext.addSparkListener(listener)
     // untimed warmup: pays one-off session/codegen/JIT costs so per-query
     // numbers reflect steady state (first-run victim was +6s of warmup).
-    // Against THIS run's sfDir — entry() hardcodes sf0.001, which may
-    // not exist on a bench-only host; a swallowed failure is at least
-    // named so a cold first query is explainable from the log
-    try { SparkEntry.queries.head._2(spark, sfDir).count() } catch {
+    // DETERMINISTIC choice (sorted first = q01, a plain aggregate):
+    // Map.head is hash-order and could land on a per-JVM index BUILDER
+    // (q133/…), silently absorbing the build cost the attribution pass
+    // exists to capture. Against THIS run's sfDir — entry() hardcodes
+    // sf0.001, which may not exist on a bench-only host; a swallowed
+    // failure is at least named so a cold first query is explainable
+    try { SparkEntry.queries.toSeq.sortBy(_._1).head._2(spark, sfDir).count() } catch {
       case e: Throwable =>
         System.err.println(s"BENCH WARMUP SKIPPED: ${e.getMessage}")
     }
     // optional comma-separated prefix filter for local iteration, e.g.
-    // SPARK_GRAFT_ONLY=q29,q33 — driver runs unfiltered
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // SPARK_GRAFT_ONLY=q29,q33 — driver runs unfiltered. A set-but-EMPTY
+    // var (unset shell interpolation) and stray empty tokens ('q29,,')
+    // are NOT a filter: "" prefix-matches everything, which would run
+    // the full suite yet suppress the official artifact writes below
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     // a throwing query must NOT report as a fast success: its name lands
     // in "failures" (and on stderr) so a regression can't shrink the total
     val failures = scala.collection.mutable.LinkedHashSet[String]()
     val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    // a typo'd filter must not print a green valid:true 0.0s headline —
+    // the exact silent-green trap Verify guards with require(nonEmpty)
+    require(queryList.nonEmpty,
+      s"SPARK_GRAFT_ONLY=${only.fold("")(_.mkString(","))} matches no queries")
 
     // One timed sweep over the suite. Returns (name, sec, attributionJson).
     def runPass(): Seq[(String, Double, String)] = queryList.map { case (name, fn) =>

@@ -1281,7 +1281,16 @@ object Oracles {
     // identical in-row list algebra: bigram/trigram lists via the q34
     // range-comprehension idiom, per-distinct-gram counting via
     // list_filter, entropy folded in SORTED-distinct-word order (the same
-    // order Spark's array_sort fixes, so the float sum is bit-identical)
+    // order Spark's array_sort fixes, so the float sum is bit-identical).
+    // KNOWN ln() EXPOSURE (q39 keeps ln out of oracle scope; q71/q72 are
+    // the two deliberate exceptions): JVM Math.log (1-ulp contract) vs
+    // libm log can differ in the last ulp. Acceptable here, unlike the
+    // q41 HALF_UP ties: the only EXACTLY-representable entropy/idf values
+    // are ln(1)=0 (single-token docs, df=N terms), identical on both
+    // engines; every other value is irrational, so it cannot sit ON a
+    // 6-dp rounding boundary and a 1-ulp disagreement flips the rounding
+    // with probability ~1e-10 per value — tie-proof in the cases ties
+    // actually occur, not merely fixture-safe.
     "q71_repetition" ->
       """WITH toks AS (
            SELECT doc_id,

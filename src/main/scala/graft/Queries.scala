@@ -35,13 +35,8 @@ object Queries {
     /** Best-effort recursive delete at JVM exit (idempotent per path). */
     def cleanupOnExit(path: String): Unit =
       if (hooked.add(path))
-        Runtime.getRuntime.addShutdownHook(new Thread(() => {
-          def rm(f: java.io.File): Unit = {
-            val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-            f.delete(); ()
-          }
-          rm(new java.io.File(path))
-        }))
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          graft.tools.Fs.deleteRecursively(new java.io.File(path))))
   }
 
   type Q = (SparkSession, String) => DataFrame

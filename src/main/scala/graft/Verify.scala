@@ -24,12 +24,7 @@ object Verify {
       // its overwrite would otherwise leave stale parquet behind, and the
       // downstream oracle compare would pass GREEN against old results —
       // a broken query reported correct
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(outDir, name))
+      graft.tools.Fs.deleteRecursively(new java.io.File(outDir, name))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
