@@ -2774,6 +2774,22 @@ object Oracles {
            AND tick_ns < epoch_ns(TIMESTAMP '2024-02-01 00:00:00')
          ORDER BY user_id, event_id""",
 
+    // session-wide Kerf ordering twin (q142's adjudication, bare key):
+    // NaN (%7) and null (%11) coincide at the BOTTOM of the total order
+    // — emulated with an explicit CASE … NULLS FIRST, no engine-native
+    // NaN placement trusted on either side
+    "q203_kerf_session" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+         FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+                      CASE WHEN l_orderkey % 7 = 0 THEN CAST('NaN' AS DOUBLE)
+                           WHEN l_orderkey % 11 = 0 THEN NULL
+                           ELSE l_extendedprice END AS x
+               FROM lineitem)
+         ORDER BY (CASE WHEN x IS NULL OR isnan(x) THEN NULL ELSE x END)
+                    ASC NULLS FIRST,
+                  l_orderkey, l_linenumber
+         LIMIT 25""",
+
     // single-arg fromjson INFERENCE: the sampled schema must land on
     // {k: bigint} for this fixture (every props row carries integer k),
     // so the aggregates replay exactly as q141's explicit-DDL tree

@@ -3890,6 +3890,29 @@ object Queries {
       "order user_id, event_id")
   }
 
+  /** SESSION-WIDE KERF ORDERING (`set order kerf` — grade.cc:15–26 as a
+    * session default rather than q142's per-key `kerf(x)` wrapper): the
+    * program flips the mode once, then orders by a BARE float key. NaN
+    * (planted on %7 orderkeys) and genuine null (%11) both sort FIRST
+    * and coincide — Kerf's null==NaN total order (test.cc:102–108) —
+    * where engine-default ANSI would put NaN above every number and the
+    * limited result would be the smallest finite prices. Non-float tie
+    * keys (l_orderkey, l_linenumber) are untouched by the mode. Oracle
+    * emulates the total order with an explicit CASE … NULLS FIRST, the
+    * q142 adjudication — no engine-native NaN placement trusted. */
+  val q203_kerf_session: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        when(col("l_orderkey") % 7 === 0, lit(Double.NaN))
+          .when(col("l_orderkey") % 11 === 0, lit(null).cast("double"))
+          .otherwise(col("l_extendedprice")).as("x"))
+      .createOrReplaceTempView("lineitem_v203")
+    sql.KerfSql.run(s,
+      "set order kerf; " +
+      "select l_orderkey, l_linenumber, l_extendedprice from lineitem_v203 " +
+      "order x, l_orderkey, l_linenumber limit 25")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -4095,5 +4118,6 @@ object Queries {
     "q200_atlas_infer"   -> q200_atlas_infer,
     "q201_ns_bars"       -> q201_ns_bars,
     "q202_ns_literals"   -> q202_ns_literals,
+    "q203_kerf_session"  -> q203_kerf_session,
   )
 }

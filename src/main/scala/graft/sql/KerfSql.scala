@@ -1922,9 +1922,21 @@ object KerfSql {
     runWith(spark, statement,
       scala.collection.mutable.Map.empty, scala.collection.mutable.Map.empty)
 
+  /** Session-wide ordering mode (`set order kerf|ansi`, default ansi).
+    * Read at PARSE time by [[parseOrderCols]] — dialect programs build
+    * their plans on the calling thread, so a thread-local set for the
+    * duration of [[runWith]] is exact; it is saved/restored around each
+    * program so a bare `KerfSql.run` never inherits a mode leaked by an
+    * [[Interp]] that ran earlier on the same pooled thread. */
+  private val orderModeTL = new ThreadLocal[String] {
+    override def initialValue(): String = "ansi"
+  }
+
   private def runWith(spark: SparkSession, statement: String,
                       vars: scala.collection.mutable.Map[String, T],
-                      funcs: scala.collection.mutable.Map[String, FVal]): DataFrame = {
+                      funcs: scala.collection.mutable.Map[String, FVal],
+                      modes: scala.collection.mutable.Map[String, String] =
+                        scala.collection.mutable.Map.empty): DataFrame = {
     def env = new Env(None, vars.toMap, funcs.toMap)
     var last: Either[DataFrame, T] = Right(T(lit(null), NullType))
 
@@ -2010,6 +2022,21 @@ object KerfSql {
           p.pop(); last = Left(runRexec(spark, p))
         case "rollup" if toks.lengthCompare(2) >= 0 && toks(1).startsWith("'") =>
           p.pop(); last = Left(runRollup(spark, p))
+        // `set order kerf` / `set order ansi` — SESSION-WIDE ordering
+        // mode (grade.cc:15–26 FLOAT_NANS_COMPARE_AS_SMALLEST as the
+        // default a Kerf-1 migrant expects, vs Spark/ANSI NaN-largest).
+        // Under kerf mode every BARE float/double `order` key lowers
+        // through KerfOrdering.nanSmallest* — the per-key `kerf(c)`
+        // wrapper (q142) made session-wide. Exactly-three-token guard
+        // keeps `set(x)` a user call and `set` a variable name.
+        case "set" if toks.lengthCompare(3) == 0 &&
+            toks(1).equalsIgnoreCase("order") =>
+          val m = toks(2).toLowerCase
+          require(m == "kerf" || m == "ansi",
+            s"set order expects kerf or ansi, got ${toks(2)}")
+          modes("order") = m
+          orderModeTL.set(m)
+          last = Right(T(lit(m), StringType))
         case "def" =>
           p.pop()
           val name = p.pop()
@@ -2331,8 +2358,11 @@ object KerfSql {
       }
     }
 
+    val prevOrderMode = orderModeTL.get
+    orderModeTL.set(modes.getOrElse("order", "ansi"))
     try splitTop(lex(statement)).foreach(execStmt)
     catch { case _: ReturnSignal => } // `return` unwinds to here
+    finally orderModeTL.set(prevOrderMode)
     last match {
       case Left(df) => df
       case Right(t) => spark.range(1).select(t.col.as("value"))
@@ -2361,9 +2391,12 @@ object KerfSql {
   final class Interp(spark: SparkSession) {
     private val vars = scala.collection.mutable.Map[String, T]()
     private val funcs = scala.collection.mutable.Map[String, FVal]()
+    // session modes (`set order kerf|ansi`) — persist across run calls
+    // and round-trip through the workspace like vars/defs do
+    private val modes = scala.collection.mutable.Map[String, String]()
 
     def run(statement: String): DataFrame =
-      KerfSql.runWith(spark, statement, vars, funcs)
+      KerfSql.runWith(spark, statement, vars, funcs, modes)
 
     /** Session variable / `def` names — the console's completion feed. */
     def varNames: Seq[String] = vars.keys.toSeq.sorted
@@ -2387,6 +2420,10 @@ object KerfSql {
         case (name, other) => throw new IllegalArgumentException(
           s"def '$name' is not serializable: $other")
       }
+      if (modes.nonEmpty) {
+        val mn = root.putObject("modes")
+        modes.toSeq.sortBy(_._1).foreach { case (k, v) => mn.put(k, v) }
+      }
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(path, "_PROGRAM.json"), m.writeValueAsString(root))
@@ -2403,6 +2440,11 @@ object KerfSql {
       if (vn != null) {
         val it = vn.fields()
         while (it.hasNext) { val e = it.next(); vars(e.getKey) = nodeValue(e.getValue) }
+      }
+      val mn = root.get("modes")
+      if (mn != null) {
+        val it = mn.fields()
+        while (it.hasNext) { val e = it.next(); modes(e.getKey) = e.getValue.asText() }
       }
       val dn = root.get("defs")
       if (dn != null) {
@@ -3001,7 +3043,7 @@ object KerfSql {
             case other => other
           }
         }
-        val c = parseOrderCols(op, env); finish(op, "order"); (c, fk)
+        val c = parseOrderCols(op, env, Some(df.schema)); finish(op, "order"); (c, fk)
       }.getOrElse(throw new IllegalArgumentException(
         "window verbs (sums/deltas/…) need an order clause"))
       val wspec = Window.partitionBy(groupItems.map(_.col): _*).orderBy(orderCols: _*)
@@ -3044,7 +3086,8 @@ object KerfSql {
         else df
       if (distinctSel) df = df.dropDuplicates()
       segParser("order").foreach { op =>
-        df = df.orderBy(parseOrderCols(op, env): _*); finish(op, "order")
+        df = df.orderBy(parseOrderCols(op, env, Some(df.schema)): _*)
+        finish(op, "order")
       }
     }
     segParser("limit").foreach { lp =>
@@ -3066,9 +3109,24 @@ object KerfSql {
     * for that key (grade.cc:15–26: NaN compares SMALLEST and coincides
     * with null — Spark natively sorts NaN largest, above every number):
     * lowered to the [[graft.functions.KerfOrdering]] sort-key transform.
-    * Engine default stays Spark/ANSI; Kerf-mode is per-column opt-in,
-    * the same posture as the eps_eq shim. */
-  private def parseOrderCols(p: P, env: Env = emptyEnv): Seq[Column] = {
+    * Engine default stays Spark/ANSI; Kerf-mode is per-column opt-in —
+    * OR session-wide via `set order kerf`, under which every BARE key
+    * that resolves to a float/double column of `frame` (the frame the
+    * sort actually runs over — post-aggregation for a grouped select,
+    * so computed aliases are seen too) gets the same lowering. Non-float
+    * keys and full expressions are untouched in either mode: the Kerf
+    * total order only redefines FLOAT comparison. */
+  private def parseOrderCols(p: P, env: Env = emptyEnv,
+                             frame: Option[StructType] = None): Seq[Column] = {
+    val kerfMode = orderModeTL.get == "kerf"
+    // dtype of a bare key: the ordered frame first (post-aggregation
+    // aliases), then the FROM schema (a sort key projected AWAY by the
+    // select list still resolves there — Spark's missing-reference
+    // resolution re-adds it under the Sort)
+    def floatKey(name: String): Boolean =
+      (frame.toSeq ++ env.schema.toSeq).iterator
+        .flatMap(_.fields).find(_.name.equalsIgnoreCase(name))
+        .exists(f => f.dataType == DoubleType || f.dataType == FloatType)
     val cols = scala.collection.mutable.ArrayBuffer[Column]()
     var more = true
     while (more) {
@@ -3084,10 +3142,19 @@ object KerfSql {
         // it may be a post-aggregation alias the env's schema can't see;
         // anything else is a full expression (`order randu64(seed, key)`
         // is the exact-n sampling idiom — TakeOrderedAndProject, no sort)
-        val c =
-          if (p.peek2.forall(_ == ",")) col(p.pop())
-          else parseExpr(p, env).col
-        cols += (if (desc) c.desc else c.asc)
+        val bare = p.peek2.forall(_ == ",")
+        if (bare) {
+          val name = p.pop()
+          val c = col(name)
+          cols +=
+            (if (kerfMode && floatKey(name))
+               (if (desc) graft.functions.KerfOrdering.nanSmallestDesc(c)
+                else graft.functions.KerfOrdering.nanSmallestAsc(c))
+             else if (desc) c.desc else c.asc)
+        } else {
+          val c = parseExpr(p, env).col
+          cols += (if (desc) c.desc else c.asc)
+        }
       }
       if (p.peekIs(",")) p.pop() else more = false
     }

@@ -1317,6 +1317,72 @@ class KerfSqlSpec extends SparkSpec {
     assert(desc == Seq(1L, 5L, 3L, 2L, 4L))
   }
 
+  test("set order kerf: session-wide bare-key Kerf ordering (grade.cc:15–26)") {
+    import spark.implicits._
+    Seq((1L, Some(5.0), "e"), (2L, Some(Double.NaN), "b"), (3L, Some(1.0), "d"),
+        (4L, None: Option[Double], "a"), (5L, Some(3.0), "c"))
+      .toDF("id", "x", "s").createOrReplaceTempView("kerford2")
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.collect().map(_.getLong(0)).toSeq
+    // session mode on: BARE float key sorts NaN/null smallest, coinciding
+    // (null==NaN, test.cc:102–108), ties by id
+    assert(ids(KerfSql.run(spark,
+      "set order kerf; select id from kerford2 order x, id")) ==
+      Seq(2L, 4L, 3L, 5L, 1L))
+    // engine default on the same statement WITHOUT the mode: ANSI — null
+    // first but NaN LARGEST, a provably different answer
+    assert(ids(KerfSql.run(spark,
+      "select id from kerford2 order x, id")) == Seq(4L, 3L, 5L, 1L, 2L))
+    // descending mirror under the mode: numbers largest-down, NaN/null last
+    assert(ids(KerfSql.run(spark,
+      "set order kerf; select id from kerford2 order -x, id")) ==
+      Seq(1L, 5L, 3L, 2L, 4L))
+    // non-float bare key untouched by the mode (Kerf's total order only
+    // redefines FLOAT comparison)
+    assert(ids(KerfSql.run(spark,
+      "set order kerf; select id from kerford2 order s")) ==
+      Seq(4L, 2L, 5L, 3L, 1L))
+    // full EXPRESSION keys stay ANSI even in kerf mode — the mode lowers
+    // bare column keys only (explicit kerf(…) remains the expression form)
+    assert(ids(KerfSql.run(spark,
+      "set order kerf; select id from kerford2 order x + 0.0, id")) ==
+      Seq(4L, 3L, 5L, 1L, 2L))
+    // post-aggregation double ALIAS is seen via the ordered frame's schema
+    val grouped = KerfSql.run(spark,
+      "set order kerf; select s, avg(x) as ax from kerford2 group s order ax, s")
+      .collect().map(_.getString(0)).toSeq
+    assert(grouped == Seq("a", "b", "d", "c", "e"))
+    // unknown mode is a loud error
+    intercept[IllegalArgumentException] {
+      KerfSql.run(spark, "set order bogus")
+    }
+  }
+
+  test("set order kerf: persists across Interp runs, workspace round-trip, no thread leak") {
+    import spark.implicits._
+    Seq((1L, 5.0), (2L, Double.NaN), (3L, 1.0)).toDF("id", "x")
+      .createOrReplaceTempView("kerford3")
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.collect().map(_.getLong(0)).toSeq
+    val sess = new KerfSql.Interp(spark)
+    sess.run("set order kerf")
+    // mode persists into a LATER run() on the same session
+    assert(ids(sess.run("select id from kerford3 order x, id")) == Seq(2L, 3L, 1L))
+    // ... but does NOT leak into a bare one-shot run on the same thread
+    assert(ids(KerfSql.run(spark, "select id from kerford3 order x, id")) ==
+      Seq(3L, 1L, 2L))
+    // workspace round-trip: the mode saves/loads with the program tier
+    val dir = java.nio.file.Files.createTempDirectory("kerf_mode_ws").toString
+    sess.saveProgram(dir)
+    val restored = new KerfSql.Interp(spark)
+    restored.loadProgram(dir)
+    assert(ids(restored.run("select id from kerford3 order x, id")) ==
+      Seq(2L, 3L, 1L))
+    // set order ansi restores engine default mid-session
+    sess.run("set order ansi")
+    assert(ids(sess.run("select id from kerford3 order x, id")) == Seq(3L, 1L, 2L))
+  }
+
   test("index/probe verbs: persisted-ANN lifecycle from the text surface") {
     val dir = java.nio.file.Files.createTempDirectory("graft_kerf_index").toString
     val base = Tables.embeddings(spark, sf)
