@@ -391,4 +391,39 @@ class KerfSqlFuzzSpec extends SparkSpec {
       assert(a.nonEmpty || pred.contains("in"), s"seed $seed empty result: $program")
     }
   }
+
+  test("ordering-mode fuzz: `set order kerf` bare key == explicit kerf(x) == API, 30 seeds") {
+    import spark.implicits._
+    for (seed <- 1 to 30) {
+      val rnd = new scala.util.Random(4000 + seed)
+      // random doubles with NaN and null injections — the three float
+      // classes whose placement the mode redefines
+      val rows = (1L to 40L).map { id =>
+        rnd.nextInt(5) match {
+          case 0 => (id, Some(Double.NaN))
+          case 1 => (id, None: Option[Double])
+          case _ => (id, Some(math.round(rnd.nextDouble() * 1000) / 10.0))
+        }
+      }
+      rows.toDF("id", "x").createOrReplaceTempView(s"ordfuzz_$seed")
+      val desc = rnd.nextBoolean()
+      val sign = if (desc) "-" else ""
+      def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+        df.collect().map(_.getLong(0)).toSeq
+      val session = ids(KerfSql.run(spark,
+        s"set order kerf; select id from ordfuzz_$seed order ${sign}x, id"))
+      val explicit = ids(KerfSql.run(spark,
+        s"select id from ordfuzz_$seed order ${sign}kerf(x), id"))
+      val api = ids(spark.table(s"ordfuzz_$seed").orderBy(
+        (if (desc) graft.functions.KerfOrdering.nanSmallestDesc(col("x"))
+         else graft.functions.KerfOrdering.nanSmallestAsc(col("x"))),
+        col("id")).select("id"))
+      assert(session == explicit,
+        s"seed $seed desc=$desc: session mode diverged from explicit kerf(x)\n" +
+        s"  session:  ${session.take(8)}\n  explicit: ${explicit.take(8)}")
+      assert(session == api,
+        s"seed $seed desc=$desc: session mode diverged from KerfOrdering API\n" +
+        s"  session: ${session.take(8)}\n  api:     ${api.take(8)}")
+    }
+  }
 }
