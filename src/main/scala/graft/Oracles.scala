@@ -2790,6 +2790,35 @@ object Oracles {
                   l_orderkey, l_linenumber
          LIMIT 25""",
 
+    // session-wide Kerf EQUALITY twin: epsEq replayed as an explicit
+    // CASE tree — null==NaN==NaN equal, finite pairs equal within
+    // 1e-14 relative. Every operand is identical-bits on both engines
+    // (power-of-two constants, IEEE ops), so the tolerance boundary
+    // itself cannot disagree; no native NaN/tolerance semantics trusted
+    "q204_kerf_eq" ->
+      """WITH t AS (SELECT l_returnflag,
+                           CASE WHEN l_orderkey % 7 = 0 THEN CAST('NaN' AS DOUBLE)
+                                WHEN l_orderkey % 11 = 0 THEN NULL
+                                ELSE l_extendedprice END AS x
+                    FROM lineitem),
+              v AS (SELECT l_returnflag, x,
+                           x * (1.0 + power(2.0, -50.0)) AS y,
+                           x + greatest(abs(x), 1.0) * 1e-10 AS z
+                    FROM t)
+         SELECT l_returnflag, count(*) AS n_finite
+         FROM v
+         WHERE (((y IS NULL OR isnan(y)) AND (x IS NULL OR isnan(x)))
+                OR (y IS NOT NULL AND NOT isnan(y)
+                    AND x IS NOT NULL AND NOT isnan(x) AND y = x)
+                OR (isfinite(y) AND isfinite(x)
+                    AND abs(y - x) <= 1e-14 * greatest(abs(y), abs(x))))
+           AND NOT (((z IS NULL OR isnan(z)) AND (x IS NULL OR isnan(x)))
+                OR (z IS NOT NULL AND NOT isnan(z)
+                    AND x IS NOT NULL AND NOT isnan(x) AND z = x)
+                OR (isfinite(z) AND isfinite(x)
+                    AND abs(z - x) <= 1e-14 * greatest(abs(z), abs(x))))
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     // single-arg fromjson INFERENCE: the sampled schema must land on
     // {k: bigint} for this fixture (every props row carries integer k),
     // so the aggregates replay exactly as q141's explicit-DDL tree

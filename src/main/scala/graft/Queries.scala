@@ -3913,6 +3913,33 @@ object Queries {
       "order x, l_orderkey, l_linenumber limit 25")
   }
 
+  /** SESSION-WIDE KERF EQUALITY (`set eq kerf` — test.cc:102–108
+    * null==NaN, grade.cc:9–41 epsilon-relative tolerance — as a session
+    * default; q203's sibling for `=`). One filter exercises all three
+    * lanes at once: `y = x and z != x` where y = x·(1+2⁻⁵⁰) sits INSIDE
+    * the 1e-14 relative tolerance (accepted), z = x + max(|x|,1)·1e-10
+    * sits OUTSIDE it (rejected as equal ⇒ `!=` true), and the planted
+    * NaN (%7) / null (%11) rows — where y and z both propagate the
+    * non-value, so z equals x under Kerf's null==NaN==NaN — fail the
+    * `z != x` conjunct: exactly the FINITE rows survive. Every
+    * constant is a power-of-two-exact double, so both engines compute
+    * bit-identical operands; the oracle replays epsEq as an explicit
+    * CASE — no engine-native NaN/tolerance semantics trusted. */
+  val q204_kerf_eq: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        when(col("l_orderkey") % 7 === 0, lit(Double.NaN))
+          .when(col("l_orderkey") % 11 === 0, lit(null).cast("double"))
+          .otherwise(col("l_extendedprice")).as("x"))
+      .withColumn("y", col("x") * lit(1.0 + math.pow(2, -50)))
+      .withColumn("z", col("x") + greatest(abs(col("x")), lit(1.0)) * lit(1e-10))
+      .createOrReplaceTempView("lineitem_v204")
+    sql.KerfSql.run(s,
+      "set eq kerf; " +
+      "select l_returnflag, count(*) as n_finite from lineitem_v204 " +
+      "where y = x and z != x group l_returnflag order l_returnflag")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -4119,5 +4146,6 @@ object Queries {
     "q201_ns_bars"       -> q201_ns_bars,
     "q202_ns_literals"   -> q202_ns_literals,
     "q203_kerf_session"  -> q203_kerf_session,
+    "q204_kerf_eq"       -> q204_kerf_eq,
   )
 }

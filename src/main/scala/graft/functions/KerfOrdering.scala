@@ -37,7 +37,15 @@ object KerfOrdering {
     * NaN==NaN and Inf==Inf still hold, via kerfEq's exact branch. */
   def epsEq(a: Column, b: Column, eps: Double = 1e-14): Column = {
     val inf = lit(Double.PositiveInfinity)
-    val finite = !isnan(a) && !isnan(b) && abs(a) =!= inf && abs(b) =!= inf
+    // finiteness is anchored on the NULL-INCLUSIVE missing test, not
+    // bare isnan: isnan(null) is false, so `!isnan(null) && abs(null)
+    // =!= inf` leaks SQL-null and a mixed null/finite pair would make
+    // the whole predicate null instead of Kerf's definite FALSE
+    // (missingness is a comparable value, never three-valued logic —
+    // the same contract the codegen EpsilonEquals keeps)
+    val aNull = a.isNull || isnan(a)
+    val bNull = b.isNull || isnan(b)
+    val finite = !aNull && !bNull && abs(a) =!= inf && abs(b) =!= inf
     kerfEq(a, b) || (finite && abs(a - b) <= lit(eps) * greatest(abs(a), abs(b)))
   }
 

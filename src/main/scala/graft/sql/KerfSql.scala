@@ -608,10 +608,32 @@ object KerfSql {
           while (!p.inSelectItem && p.peekIs(",")) { p.pop(); keys += parsePostfix(p, env).col }
           right.col.over(Window.partitionBy(keys.toSeq: _*))
         } else right.col
+      // `set eq kerf`: equality between numeric operands with a STATIC
+      // float/double side lowers to the reference's tolerant equality
+      // (native codegen EpsilonEquals — NaN==NaN==null, |a-b| <=
+      // eps·max(|a|,|b|) on finite pairs; test.cc:102–108,
+      // grade.cc:9–41). NEVER null-producing, so `!=` is the exact
+      // complement instead of null-swallowing mixed null/finite pairs.
+      // Deliberately narrow: ordering comparisons (< <= > >=) stay
+      // ANSI, as do operands whose dtype is unknown (late-bound) or
+      // non-numeric, and spans/stamps; join `on` keys never pass
+      // through here, so equi-joins stay exact hash joins either way.
+      def floatSided: Boolean = {
+        import org.apache.spark.sql.types.NumericType
+        val dts = Seq(left.dt, right.dt)
+        left.span.isEmpty && right.span.isEmpty &&
+          dts.forall(_.isInstanceOf[NumericType]) &&
+          dts.exists(d => d == DoubleType || d == FloatType)
+      }
+      val kerfEqMode = modeOf("eq") == "kerf"
       val c = op match {
         case "<" => left.col < rightCol;   case ">" => left.col > rightCol
         case "<=" => left.col <= rightCol; case ">=" => left.col >= rightCol
+        case "=" | "==" if kerfEqMode && floatSided =>
+          graft.functions.EpsilonEquals.eps_eq(left.col, rightCol)
         case "=" | "==" => left.col === rightCol
+        case "!=" | "<>" if kerfEqMode && floatSided =>
+          !graft.functions.EpsilonEquals.eps_eq(left.col, rightCol)
         case "!=" | "<>" => left.col =!= rightCol
       }
       left = T(c, BooleanType)
@@ -1922,15 +1944,18 @@ object KerfSql {
     runWith(spark, statement,
       scala.collection.mutable.Map.empty, scala.collection.mutable.Map.empty)
 
-  /** Session-wide ordering mode (`set order kerf|ansi`, default ansi).
-    * Read at PARSE time by [[parseOrderCols]] — dialect programs build
-    * their plans on the calling thread, so a thread-local set for the
+  /** Session-wide semantic modes (`set order kerf|ansi`, `set eq
+    * kerf|ansi`; both default ansi). Read at PARSE time by
+    * [[parseOrderCols]] / [[parseCmp]] — dialect programs build their
+    * plans on the calling thread, so a thread-local set for the
     * duration of [[runWith]] is exact; it is saved/restored around each
     * program so a bare `KerfSql.run` never inherits a mode leaked by an
     * [[Interp]] that ran earlier on the same pooled thread. */
-  private val orderModeTL = new ThreadLocal[String] {
-    override def initialValue(): String = "ansi"
+  private val sessionModesTL = new ThreadLocal[Map[String, String]] {
+    override def initialValue(): Map[String, String] = Map.empty
   }
+  private def modeOf(key: String): String =
+    sessionModesTL.get.getOrElse(key, "ansi")
 
   private def runWith(spark: SparkSession, statement: String,
                       vars: scala.collection.mutable.Map[String, T],
@@ -2022,20 +2047,24 @@ object KerfSql {
           p.pop(); last = Left(runRexec(spark, p))
         case "rollup" if toks.lengthCompare(2) >= 0 && toks(1).startsWith("'") =>
           p.pop(); last = Left(runRollup(spark, p))
-        // `set order kerf` / `set order ansi` — SESSION-WIDE ordering
-        // mode (grade.cc:15–26 FLOAT_NANS_COMPARE_AS_SMALLEST as the
-        // default a Kerf-1 migrant expects, vs Spark/ANSI NaN-largest).
-        // Under kerf mode every BARE float/double `order` key lowers
-        // through KerfOrdering.nanSmallest* — the per-key `kerf(c)`
-        // wrapper (q142) made session-wide. Exactly-three-token guard
+        // `set order kerf|ansi` / `set eq kerf|ansi` — SESSION-WIDE
+        // semantic modes (grade.cc:15–26 FLOAT_NANS_COMPARE_AS_SMALLEST
+        // ordering; test.cc:102–108 null==NaN + epsilon equality — the
+        // defaults a Kerf-1 migrant expects, vs Spark/ANSI NaN-largest
+        // and exact `=`). Under kerf order-mode every BARE float/double
+        // `order` key lowers through KerfOrdering.nanSmallest* (the
+        // per-key `kerf(c)` wrapper, q142, made session-wide); under
+        // kerf eq-mode `=`/`!=` between float-sided numeric operands
+        // lower through KerfOrdering.epsEq. Exactly-three-token guard
         // keeps `set(x)` a user call and `set` a variable name.
         case "set" if toks.lengthCompare(3) == 0 &&
-            toks(1).equalsIgnoreCase("order") =>
+            (toks(1).equalsIgnoreCase("order") || toks(1).equalsIgnoreCase("eq")) =>
+          val key = toks(1).toLowerCase
           val m = toks(2).toLowerCase
           require(m == "kerf" || m == "ansi",
-            s"set order expects kerf or ansi, got ${toks(2)}")
-          modes("order") = m
-          orderModeTL.set(m)
+            s"set $key expects kerf or ansi, got ${toks(2)}")
+          modes(key) = m
+          sessionModesTL.set(sessionModesTL.get + (key -> m))
           last = Right(T(lit(m), StringType))
         case "def" =>
           p.pop()
@@ -2358,11 +2387,11 @@ object KerfSql {
       }
     }
 
-    val prevOrderMode = orderModeTL.get
-    orderModeTL.set(modes.getOrElse("order", "ansi"))
+    val prevModes = sessionModesTL.get
+    sessionModesTL.set(modes.toMap)
     try splitTop(lex(statement)).foreach(execStmt)
     catch { case _: ReturnSignal => } // `return` unwinds to here
-    finally orderModeTL.set(prevOrderMode)
+    finally sessionModesTL.set(prevModes)
     last match {
       case Left(df) => df
       case Right(t) => spark.range(1).select(t.col.as("value"))
@@ -3118,7 +3147,7 @@ object KerfSql {
     * total order only redefines FLOAT comparison. */
   private def parseOrderCols(p: P, env: Env = emptyEnv,
                              frame: Option[StructType] = None): Seq[Column] = {
-    val kerfMode = orderModeTL.get == "kerf"
+    val kerfMode = modeOf("order") == "kerf"
     // dtype of a bare key: the ordered frame first (post-aggregation
     // aliases), then the FROM schema (a sort key projected AWAY by the
     // select list still resolves there — Spark's missing-reference

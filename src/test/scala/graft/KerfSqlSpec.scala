@@ -1383,6 +1383,46 @@ class KerfSqlSpec extends SparkSpec {
     assert(ids(sess.run("select id from kerford3 order x, id")) == Seq(3L, 1L, 2L))
   }
 
+  test("set eq kerf: session-wide tolerant float equality (test.cc:102–108, grade.cc:9–41)") {
+    import spark.implicits._
+    Seq(
+      (1L, Some(100.0), Some(100.0 * (1 + math.pow(2, -50)))), // within 1e-14 rel
+      (2L, Some(100.0), Some(100.00001)),                      // outside tolerance
+      (3L, Some(Double.NaN), Some(Double.NaN)),                // NaN == NaN
+      (4L, None: Option[Double], None: Option[Double]),        // null == null
+      (5L, None: Option[Double], Some(5.0)),                   // null vs finite
+      (6L, Some(Double.NaN), Some(5.0)),                       // NaN vs finite
+      (7L, Some(3.5), Some(3.5)))                              // exact
+      .toDF("id", "a", "b").createOrReplaceTempView("kerfeq")
+    def ids(q: String): Seq[Long] =
+      KerfSql.run(spark, q).collect().map(_.getLong(0)).toSeq
+    // kerf mode: tolerant equality, null==NaN-style non-values equal
+    assert(ids("set eq kerf; select id from kerfeq where a = b order id") ==
+      Seq(1L, 3L, 4L, 7L))
+    // ... and != is its exact complement (never null-swallowed)
+    assert(ids("set eq kerf; select id from kerfeq where a != b order id") ==
+      Seq(2L, 5L, 6L))
+    // engine default: exact equality — within-eps differs, null=null is
+    // null (row dropped); Spark's own NaN=NaN-true semantics retained
+    assert(ids("select id from kerfeq where a = b order id") == Seq(3L, 7L))
+    // non-float comparisons stay exact under the mode
+    assert(ids("set eq kerf; select id from kerfeq where id = 3 order id") ==
+      Seq(3L))
+    // ordering comparisons stay ANSI under the mode (only = / != flip):
+    // the within-eps row 1 still satisfies `<` — kerf eq-mode does not
+    // absorb it into equality for the inequality operators
+    assert(ids("set eq kerf; select id from kerfeq where a < b order id") ==
+      Seq(1L, 2L))
+    // join `on` keys never pass through the mode: eps-different float
+    // keys do NOT match — equi-joins stay exact hash joins
+    Seq((100.0, "l")).toDF("k", "lv").createOrReplaceTempView("kerfeq_l")
+    Seq((100.0 * (1 + math.pow(2, -50)), "r")).toDF("k", "rv")
+      .createOrReplaceTempView("kerfeq_r")
+    val joined = KerfSql.run(spark,
+      "set eq kerf; select lv, rv from kerfeq_l join kerfeq_r on k")
+    assert(joined.count() == 0L)
+  }
+
   test("index/probe verbs: persisted-ANN lifecycle from the text surface") {
     val dir = java.nio.file.Files.createTempDirectory("graft_kerf_index").toString
     val base = Tables.embeddings(spark, sf)
