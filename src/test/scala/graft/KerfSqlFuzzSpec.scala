@@ -426,4 +426,44 @@ class KerfSqlFuzzSpec extends SparkSpec {
         s"  session: ${session.take(8)}\n  api:     ${api.take(8)}")
     }
   }
+
+  test("equality-mode fuzz: `set eq kerf` =/!= == native eps_eq API, 30 seeds") {
+    import spark.implicits._
+    import graft.functions.EpsilonEquals.eps_eq
+    for (seed <- 1 to 30) {
+      val rnd = new scala.util.Random(5000 + seed)
+      // pairs spanning the decision surface: exact, within-eps, just
+      // outside, far, NaN/null mixes — per-row class drawn at random
+      val rows = (1L to 60L).map { id =>
+        val base = (rnd.nextDouble() - 0.5) * 2e5
+        rnd.nextInt(8) match {
+          case 0 => (id, Some(base), Some(base))                          // exact
+          case 1 => (id, Some(base), Some(base * (1 + math.pow(2, -51)))) // within
+          case 2 => (id, Some(base), Some(base * (1 + 1e-13)))            // outside
+          case 3 => (id, Some(base), Some(base + 1.0))                    // far
+          case 4 => (id, Some(Double.NaN), Some(Double.NaN))
+          case 5 => (id, None: Option[Double], None: Option[Double])
+          case 6 => (id, None: Option[Double], Some(base))
+          case _ => (id, Some(Double.NaN), Some(base))
+        }
+      }
+      rows.toDF("id", "a", "b").createOrReplaceTempView(s"eqfuzz_$seed")
+      def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+        df.orderBy("id").collect().map(_.getLong(0)).toSeq
+      val frame = spark.table(s"eqfuzz_$seed")
+      val eqMode = ids(KerfSql.run(spark,
+        s"set eq kerf; select id from eqfuzz_$seed where a = b order id"))
+      val eqApi = ids(frame.filter(eps_eq(col("a"), col("b"))).select("id"))
+      assert(eqMode == eqApi, s"seed $seed: mode = diverged from eps_eq API\n" +
+        s"  mode: ${eqMode.take(10)}\n  api:  ${eqApi.take(10)}")
+      val neMode = ids(KerfSql.run(spark,
+        s"set eq kerf; select id from eqfuzz_$seed where a != b order id"))
+      val neApi = ids(frame.filter(!eps_eq(col("a"), col("b"))).select("id"))
+      assert(neMode == neApi, s"seed $seed: mode != diverged from !eps_eq API")
+      // the two filters PARTITION the frame — never-null semantics means
+      // no row is swallowed by three-valued logic
+      assert((eqMode ++ neMode).sorted == (1L to 60L),
+        s"seed $seed: =/!= did not partition the frame (null leak)")
+    }
+  }
 }
