@@ -2057,9 +2057,13 @@ object KerfSql {
         // kerf eq-mode `=`/`!=` between float-sided numeric operands
         // lower through KerfOrdering.epsEq. Exactly-three-token guard
         // keeps `set(x)` a user call and `set` a variable name.
-        case "set" if toks.lengthCompare(3) == 0 &&
+        case "set" if toks.lengthCompare(2) >= 0 &&
             (toks(1).equalsIgnoreCase("order") || toks(1).equalsIgnoreCase("eq")) =>
           val key = toks(1).toLowerCase
+          // wrong arity must not fall through to the bare-expression
+          // path (an opaque unresolved-column error); name the fix
+          require(toks.lengthCompare(3) == 0,
+            s"set $key expects exactly one mode token: set $key kerf|ansi")
           val m = toks(2).toLowerCase
           require(m == "kerf" || m == "ansi",
             s"set $key expects kerf or ansi, got ${toks(2)}")

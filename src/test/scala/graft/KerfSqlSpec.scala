@@ -1352,9 +1352,16 @@ class KerfSqlSpec extends SparkSpec {
       "set order kerf; select s, avg(x) as ax from kerford2 group s order ax, s")
       .collect().map(_.getString(0)).toSeq
     assert(grouped == Seq("a", "b", "d", "c", "e"))
-    // unknown mode is a loud error
+    // unknown mode and wrong arity are loud errors, never a fall-through
+    // to the bare-expression path
     intercept[IllegalArgumentException] {
       KerfSql.run(spark, "set order bogus")
+    }
+    intercept[IllegalArgumentException] {
+      KerfSql.run(spark, "set order kerf extra")
+    }
+    intercept[IllegalArgumentException] {
+      KerfSql.run(spark, "set eq")
     }
   }
 
