@@ -1390,6 +1390,33 @@ class KerfSqlSpec extends SparkSpec {
     assert(ids(sess.run("select id from kerford3 order x, id")) == Seq(3L, 1L, 2L))
   }
 
+  test("set order kerf: windowed selects and the top verb honor the mode") {
+    import spark.implicits._
+    Seq(("a", Double.NaN, 1L), ("a", 1.0, 10L), ("a", 2.0, 100L),
+        ("b", 5.0, 7L), ("b", Double.NaN, 3L))
+      .toDF("k", "x", "v").createOrReplaceTempView("kerfwin")
+    // window verbs: the frame order is the kerfified key, so cumulative
+    // sums accumulate the NaN row FIRST within its partition
+    val kerf = KerfSql.run(spark,
+      "set order kerf; select k, v, sums(v) as cum from kerfwin group k order x")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(kerf == Seq(("a", 1L, 1L), ("a", 10L, 11L), ("a", 100L, 111L),
+                       ("b", 3L, 3L), ("b", 7L, 10L)))
+    // engine default: NaN sorts LAST, so the same scan accumulates the
+    // finite rows first — provably different on the same input
+    val ansi = KerfSql.run(spark,
+      "select k, v, sums(v) as cum from kerfwin group k order x")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(ansi == Seq(("a", 10L, 10L), ("a", 100L, 110L), ("a", 1L, 111L),
+                       ("b", 7L, 7L), ("b", 3L, 10L)))
+    // top verb: rank-1 ascending under the mode is the NaN row
+    val top = KerfSql.run(spark,
+      "set order kerf; t1: top kerfwin by k at 1 order x; " +
+      "select k, v from t1 order k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top == Seq(("a", 1L), ("b", 3L)))
+  }
+
   test("set eq kerf: session-wide tolerant float equality (test.cc:102–108, grade.cc:9–41)") {
     import spark.implicits._
     Seq(
