@@ -237,33 +237,63 @@ object Similarity {
     * HALF_EVEN/HALF_UP divergence). A 100 TB embedding store kept int8 is
     * 4× smaller on disk AND in shuffle — candidate scans/ANN probes read
     * a quarter of the bytes and re-rank survivors against the fp
-    * original. Zero vectors quantize to all-zeros (scale 0). Map-only. */
+    * original. Zero vectors quantize to all-zeros (scale 0). Map-only.
+    *
+    * Non-finite elements FAIL FAST (a NaN poisons scale silently; ±Inf
+    * makes scale Inf and dequantize reconstructs all-NaN) — the check is
+    * folded into the scale computation itself: maxAbs is NaN/Inf iff
+    * some element is, so the guard costs zero extra passes. The whole
+    * codec runs as native codegen expressions ([[graft.functions
+    * .Int8Codec]]); the column-algebra form it replaces drove THREE
+    * interpreted higher-order lambdas per row (an `exists` guard pass +
+    * two `transform`s — CodegenFallback, one boxed call per element:
+    * the r16 q104 3.2× regression). */
   def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame =
     df.select(col(idCol),
-        // a single NaN element would poison silently (scale = NaN), and
-        // ±Inf the same way one step later: scale = Inf, every finite
-        // element quantizes to 0 and dequantize reconstructs 0·Inf = NaN
-        // across the whole vector — fail fast on any non-finite element
-        when(exists(col(vecCol), x => isnan(x.cast("double")) ||
-              abs(x.cast("double")) > lit(Double.MaxValue)),
+        graft.functions.Int8Codec.scaleOf(col(vecCol),
+          col(idCol).cast("string")).as("scale"),
+        col(vecCol).as("__v"))
+      .select(col(idCol), col("scale"),
+        graft.functions.Int8Codec.codesOf(col("__v"), col("scale")).as("q"))
+
+  /** The column-algebra twin [[quantizeInt8]] replaced — kept for
+    * bit-identity adjudication (ExtensionSpec pins native == this),
+    * with the same scalar-scale guard (test the already-computed max,
+    * never a second per-element `exists` pass) and the same null-element
+    * contract: null element → null code. (The ORIGINAL column form
+    * silently coerced a null element to +127 — `least(127.0, null)`
+    * SKIPS nulls rather than propagating — i.e. a corrupted element
+    * became the max-magnitude code; the codec rewrite fixed that to
+    * honest null propagation on both faces.) */
+  private[graft] def quantizeInt8ColumnAlgebra(df: DataFrame, idCol: String = "vec_id",
+                                               vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol),
+        (array_max(transform(col(vecCol), x => abs(x.cast("double")))) / 127.0)
+          .as("__rawscale"),
+        col(vecCol).as("__v"))
+      .select(col(idCol),
+        when(isnan(col("__rawscale")) || col("__rawscale") > lit(Double.MaxValue),
             raise_error(concat(
               lit("quantizeInt8: non-finite element in vector of "),
               col(idCol).cast("string"), lit(" — fix upstream embeddings"))))
-          .otherwise(
-            array_max(transform(col(vecCol), x => abs(x.cast("double")))) / 127.0)
-          .as("scale"),
-        col(vecCol).as("__v"))
+          .otherwise(col("__rawscale")).as("scale"),
+        col("__v"))
       .select(col(idCol), col("scale"),
         when(col("scale") === 0.0,
             transform(col("__v"), _ => lit(0).cast("int")))
           .otherwise(transform(col("__v"), x =>
-            greatest(lit(-127.0), least(lit(127.0),
-              floor(x.cast("double") / col("scale") + 0.5))).cast("int")))
+            when(x.isNull, lit(null).cast("int")).otherwise(
+              greatest(lit(-127.0), least(lit(127.0),
+                floor(x.cast("double") / col("scale") + 0.5))).cast("int"))))
           .as("q"))
 
-  /** Reconstruct doubles from an int8 quantization. */
+  /** Reconstruct doubles from an int8 quantization (native codegen). */
   def dequantize(q: Column, scale: Column): Column =
+    graft.functions.Int8Codec.dequantize(q, scale)
+
+  /** Column-algebra dequantize twin (ExtensionSpec bit-parity pin). */
+  private[graft] def dequantizeColumnAlgebra(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale)
 
   /** Per-group elementwise MEAN of vectors — chunk→document pooling (a

@@ -355,4 +355,50 @@ class ExtensionSpec extends SparkSpec {
       assert(runWith(p) == want, s"parts=$p drifted: ${runWith(p)}")
     }
   }
+
+  test("native Int8Codec == column-algebra quantize/dequantize, bit for bit") {
+    // the r17 fallback-removal (q104): native codec must reproduce the
+    // column form across every regime — organic floats, negatives,
+    // denormals, zero vectors, null vectors, null ELEMENTS, empty
+    // vectors — including the exact clamp/floor rounding and the
+    // null-propagation contract (null scale → all-null codes; zero
+    // scale → all-ZERO codes, nulls included)
+    val rnd = new scala.util.Random(53)
+    val organic = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(12)(java.lang.Float.valueOf(
+        ((rnd.nextFloat() - 0.5f) * (i + 1)).toFloat)))
+    }
+    val edges: Seq[(Long, Seq[java.lang.Float])] = Seq(
+      (100L, Seq.fill(4)(java.lang.Float.valueOf(0.0f))),          // zero vector
+      (101L, null),                                                 // null vector
+      (102L, Seq[java.lang.Float](1.0f, null, -3.0f)),              // null element
+      (103L, Seq.empty[java.lang.Float]),                           // empty vector
+      (104L, Seq[java.lang.Float](null, null)),                     // all-null elements
+      (105L, Seq[java.lang.Float](java.lang.Float.MIN_VALUE, 127f)) // denormal
+    )
+    val df = (organic ++ edges).toDF("vec_id", "embedding")
+    import graft.llm.Similarity
+    def full(q: org.apache.spark.sql.DataFrame,
+             dq: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column) =
+      q.withColumn("dq", dq(col("q"), col("scale"))).orderBy("vec_id")
+        .collect().map(r => (r.getLong(0),
+          Option(r.get(1)), Option(r.get(2)).map(_.toString),
+          Option(r.get(3)).map(_.toString)))
+    val native = full(Similarity.quantizeInt8(df), Similarity.dequantize)
+    val chain = full(Similarity.quantizeInt8ColumnAlgebra(df),
+      Similarity.dequantizeColumnAlgebra)
+    native.zip(chain).foreach { case (n, c) =>
+      assert(n == c, s"int8 codec divergence:\n  native $n\n  chain  $c")
+    }
+    // non-finite fail-fast parity: NaN and ±Inf each throw LOUDLY with
+    // the id in the message, on both faces
+    for (poison <- Seq(Float.NaN, Float.PositiveInfinity, Float.NegativeInfinity)) {
+      val bad = Seq((7L, Seq(1.0f, poison))).toDF("vec_id", "embedding")
+      val eN = intercept[Exception] { Similarity.quantizeInt8(bad).collect() }
+      assert(eN.getMessage.contains("non-finite"), s"native $poison: ${eN.getMessage}")
+      val eC = intercept[Exception] {
+        Similarity.quantizeInt8ColumnAlgebra(bad).collect() }
+      assert(eC.getMessage.contains("non-finite"), s"chain $poison: ${eC.getMessage}")
+    }
+  }
 }
