@@ -2791,10 +2791,13 @@ object Oracles {
          LIMIT 25""",
 
     // session-wide Kerf EQUALITY twin: epsEq replayed as an explicit
-    // CASE tree — null==NaN==NaN equal, finite pairs equal within
-    // 1e-14 relative. Every operand is identical-bits on both engines
-    // (power-of-two constants, IEEE ops), so the tolerance boundary
-    // itself cannot disagree; no native NaN/tolerance semantics trusted
+    // CASE tree — null==NaN==NaN equal, finite pairs equal within the
+    // reference's own E=1e-20 relative (grade.cc:9 — sub-ulp, so the
+    // epsilon clause is kept for FORM but can only admit bit-equal
+    // pairs; the r17 alignment this twin holds: z = x·(1+2⁻⁵⁰) is
+    // within the old 1e-14 but UNEQUAL now). Every operand is
+    // identical-bits on both engines (power-of-two constants, IEEE
+    // ops); no native NaN/tolerance semantics trusted
     "q204_kerf_eq" ->
       """WITH t AS (SELECT l_returnflag,
                            CASE WHEN l_orderkey % 7 = 0 THEN CAST('NaN' AS DOUBLE)
@@ -2802,8 +2805,8 @@ object Oracles {
                                 ELSE l_extendedprice END AS x
                     FROM lineitem),
               v AS (SELECT l_returnflag, x,
-                           x * (1.0 + power(2.0, -50.0)) AS y,
-                           x + greatest(abs(x), 1.0) * 1e-10 AS z
+                           x * 1.0 AS y,
+                           x * (1.0 + power(2.0, -50.0)) AS z
                     FROM t)
          SELECT l_returnflag, count(*) AS n_finite
          FROM v
@@ -2811,12 +2814,12 @@ object Oracles {
                 OR (y IS NOT NULL AND NOT isnan(y)
                     AND x IS NOT NULL AND NOT isnan(x) AND y = x)
                 OR (isfinite(y) AND isfinite(x)
-                    AND abs(y - x) <= 1e-14 * greatest(abs(y), abs(x))))
+                    AND abs(y - x) <= 1e-20 * greatest(abs(y), abs(x))))
            AND NOT (((z IS NULL OR isnan(z)) AND (x IS NULL OR isnan(x)))
                 OR (z IS NOT NULL AND NOT isnan(z)
                     AND x IS NOT NULL AND NOT isnan(x) AND z = x)
                 OR (isfinite(z) AND isfinite(x)
-                    AND abs(z - x) <= 1e-14 * greatest(abs(z), abs(x))))
+                    AND abs(z - x) <= 1e-20 * greatest(abs(z), abs(x))))
          GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     // single-arg fromjson INFERENCE: the sampled schema must land on

@@ -1324,13 +1324,17 @@ object Queries {
     * keeps eps-equal rows; `n_bitwise` counts the strict subset that is
     * bit-equal — the gap is the comparator doing real work, and both
     * counts are exactly replayable in DuckDB (IEEE multiplication and
-    * HALF_UP rounding are engine-independent). */
+    * HALF_UP rounding are engine-independent). The tolerance here is an
+    * EXPLICIT 1e-14 (≈45·DBL_EPSILON, the "small multiple of DBL_EPSILON"
+    * grade.cc:9's comment suggests): the DEFAULT eps is the reference's
+    * own E=1e-20, which is sub-ulp — effectively exact — so a usable
+    * tolerance must be asked for (q204 pins the default regime). */
   val q82_eps_predicate: Q = (s, dir) => {
     import functions.EpsilonEquals.eps_eq
     val x = col("l_discount") * 100
     val y = round(col("l_discount") * 100, 0)
     Tables.lineitem(s, dir)
-      .filter(eps_eq(x, y))
+      .filter(eps_eq(x, y, 1e-14))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
            count(when(x === y, 1)).as("n_bitwise"))
@@ -3914,25 +3918,29 @@ object Queries {
   }
 
   /** SESSION-WIDE KERF EQUALITY (`set eq kerf` — test.cc:102–108
-    * null==NaN, grade.cc:9–41 epsilon-relative tolerance — as a session
-    * default; q203's sibling for `=`). One filter exercises all three
-    * lanes at once: `y = x and z != x` where y = x·(1+2⁻⁵⁰) sits INSIDE
-    * the 1e-14 relative tolerance (accepted), z = x + max(|x|,1)·1e-10
-    * sits OUTSIDE it (rejected as equal ⇒ `!=` true), and the planted
-    * NaN (%7) / null (%11) rows — where y and z both propagate the
-    * non-value, so z equals x under Kerf's null==NaN==NaN — fail the
-    * `z != x` conjunct: exactly the FINITE rows survive. Every
-    * constant is a power-of-two-exact double, so both engines compute
-    * bit-identical operands; the oracle replays epsEq as an explicit
-    * CASE — no engine-native NaN/tolerance semantics trusted. */
+    * null==NaN, grade.cc:9–41 FLOAT_COMPARE with the reference's own
+    * E=1e-20 — as a session default; q203's sibling for `=`). E=1e-20
+    * relative is BELOW the minimum spacing of distinct doubles (2⁻⁵²),
+    * so reference equality is effectively exact-plus-null==NaN — and
+    * this query pins exactly that fidelity: `y = x and z != x` where
+    * y is a bit-exact copy of x (accepted — and on the NaN (%7) /
+    * null (%11) rows accepted via Kerf's null==NaN==NaN, never SQL
+    * three-valued logic), while z = x·(1+2⁻⁵⁰) differs by ~4 ulp —
+    * INSIDE the old 1e-14 tolerance but UNEQUAL under the reference E
+    * (the r17 ADVICE alignment this query exists to hold): on NaN/null
+    * rows z propagates the non-value so z equals x and the `!=` fails —
+    * exactly the FINITE rows survive. Every constant is a power-of-two-
+    * exact double, so both engines compute bit-identical operands; the
+    * oracle replays epsEq as an explicit CASE — no engine-native
+    * NaN/tolerance semantics trusted. */
   val q204_kerf_eq: Q = (s, dir) => {
     Tables.lineitem(s, dir)
       .select(col("l_returnflag"),
         when(col("l_orderkey") % 7 === 0, lit(Double.NaN))
           .when(col("l_orderkey") % 11 === 0, lit(null).cast("double"))
           .otherwise(col("l_extendedprice")).as("x"))
-      .withColumn("y", col("x") * lit(1.0 + math.pow(2, -50)))
-      .withColumn("z", col("x") + greatest(abs(col("x")), lit(1.0)) * lit(1e-10))
+      .withColumn("y", col("x") * lit(1.0))
+      .withColumn("z", col("x") * lit(1.0 + math.pow(2, -50)))
       .createOrReplaceTempView("lineitem_v204")
     sql.KerfSql.run(s,
       "set eq kerf; " +

@@ -72,8 +72,21 @@ case class EpsilonEquals(left: Expression, right: Expression, eps: Double)
 }
 
 object EpsilonEquals {
+  /** The reference's own E (grade.cc:9: `F E=0.00000000000000000001`).
+    * Note what that constant MEANS: 1e-20 relative is below the minimum
+    * relative spacing of distinct doubles (2⁻⁵² ≈ 2.2e-16), so for
+    * finite normalized values the epsilon branch can never fire —
+    * reference Kerf equality is EFFECTIVELY EXACT equality plus the
+    * null==NaN regime. We reproduce that faithfully as the default
+    * (r17: was 1e-14, a materially more tolerant equality than the
+    * reference — the ADVICE fidelity gap); callers who want a USABLE
+    * tolerance pass `eps` explicitly (q82 does, at 1e-14 ≈ 45·DBL_EPSILON
+    * — the "small multiple of DBL_EPSILON" the reference comment
+    * suggests as the alternative). */
+  val KerfE: Double = 1e-20
+
   /** Column API: `eps_eq($"a", $"b")`. Inputs cast to double. */
-  def eps_eq(a: Column, b: Column, eps: Double = 1e-14): Column =
+  def eps_eq(a: Column, b: Column, eps: Double = KerfE): Column =
     GraftColumnGlue.toColumn(EpsilonEquals(
       GraftColumnGlue.toExpr(a.cast("double")),
       GraftColumnGlue.toExpr(b.cast("double")), eps))
@@ -82,6 +95,6 @@ object EpsilonEquals {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "eps_eq",
-      exprs => EpsilonEquals(exprs(0), exprs(1), 1e-14),
+      exprs => EpsilonEquals(exprs(0), exprs(1), KerfE),
       "built-in")
 }

@@ -29,13 +29,14 @@ object KerfOrdering {
   }
 
   /** Epsilon-relative float equality: |a-b| <= E*max(|a|,|b|)
-    * (grade.cc:9,41; E mirrors the reference's tolerance intent). The
+    * (grade.cc:9,41; default E is the reference's own 1e-20 — see
+    * [[EpsilonEquals.KerfE]] for why that is effectively exact). The
     * epsilon branch applies to FINITE pairs only: with a NaN operand,
     * `NaN <= NaN` is TRUE under Spark's NaN-equals-NaN ordering (so NaN
     * would epsilon-equal every number), and with an infinite operand
     * `Inf <= eps·Inf` holds (so +Inf would equal every finite and -Inf).
     * NaN==NaN and Inf==Inf still hold, via kerfEq's exact branch. */
-  def epsEq(a: Column, b: Column, eps: Double = 1e-14): Column = {
+  def epsEq(a: Column, b: Column, eps: Double = EpsilonEquals.KerfE): Column = {
     val inf = lit(Double.PositiveInfinity)
     // finiteness is anchored on the NULL-INCLUSIVE missing test, not
     // bare isnan: isnan(null) is false, so `!isnan(null) && abs(null)

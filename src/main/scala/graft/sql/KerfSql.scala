@@ -2477,7 +2477,18 @@ object KerfSql {
       val mn = root.get("modes")
       if (mn != null) {
         val it = mn.fields()
-        while (it.hasNext) { val e = it.next(); modes(e.getKey) = e.getValue.asText() }
+        while (it.hasNext) {
+          val e = it.next()
+          val (k, v) = (e.getKey, e.getValue.asText())
+          // same whitelist the `set` statement enforces: a hand-edited /
+          // corrupted workspace must fail LOUDLY here, not load silently
+          // and behave as ANSI (modeOf only compares == "kerf")
+          require(k == "order" || k == "eq",
+            s"workspace _PROGRAM.json: unknown mode key '$k' (expected order|eq)")
+          require(v == "kerf" || v == "ansi",
+            s"workspace _PROGRAM.json: mode '$k' has invalid value '$v' (expected kerf|ansi)")
+          modes(k) = v
+        }
       }
       val dn = root.get("defs")
       if (dn != null) {
@@ -3156,10 +3167,23 @@ object KerfSql {
     // aliases), then the FROM schema (a sort key projected AWAY by the
     // select list still resolves there — Spark's missing-reference
     // resolution re-adds it under the Sort)
-    def floatKey(name: String): Boolean =
+    def resolveKey(name: String): Option[org.apache.spark.sql.types.StructField] =
       (frame.toSeq ++ env.schema.toSeq).iterator
         .flatMap(_.fields).find(_.name.equalsIgnoreCase(name))
-        .exists(f => f.dataType == DoubleType || f.dataType == FloatType)
+    def floatKey(name: String): Boolean = {
+      val f = resolveKey(name)
+      // under kerf mode an UNRESOLVABLE bare key must fail LOUDLY here:
+      // silently keeping ANSI NaN-largest for a key Spark later resolves
+      // to a double column would be a silent semantic divergence — the
+      // opposite failure discipline from the set/arity errors. (Resolved
+      // non-float keys stay ANSI by design: the Kerf total order only
+      // redefines FLOAT comparison.)
+      require(f.isDefined,
+        s"order key '$name' resolves in neither the ordered frame nor the " +
+        s"FROM schema — under `set order kerf` the float/non-float decision " +
+        s"cannot be made; qualify the key or order by an explicit kerf($name)")
+      f.exists(x => x.dataType == DoubleType || x.dataType == FloatType)
+    }
     val cols = scala.collection.mutable.ArrayBuffer[Column]()
     var more = true
     while (more) {

@@ -438,8 +438,8 @@ class KerfSqlFuzzSpec extends SparkSpec {
         val base = (rnd.nextDouble() - 0.5) * 2e5
         rnd.nextInt(8) match {
           case 0 => (id, Some(base), Some(base))                          // exact
-          case 1 => (id, Some(base), Some(base * (1 + math.pow(2, -51)))) // within
-          case 2 => (id, Some(base), Some(base * (1 + 1e-13)))            // outside
+          case 1 => (id, Some(base), Some(base * (1 + math.pow(2, -51)))) // sub-ulp-ish: UNEQUAL under the reference E=1e-20 (was equal at 1e-14)
+          case 2 => (id, Some(base), Some(base * (1 + 1e-13)))            // outside any regime
           case 3 => (id, Some(base), Some(base + 1.0))                    // far
           case 4 => (id, Some(Double.NaN), Some(Double.NaN))
           case 5 => (id, None: Option[Double], None: Option[Double])

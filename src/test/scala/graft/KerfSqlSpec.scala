@@ -1390,6 +1390,45 @@ class KerfSqlSpec extends SparkSpec {
     assert(ids(sess.run("select id from kerford3 order x, id")) == Seq(3L, 1L, 2L))
   }
 
+  test("loadProgram: corrupted mode keys/values fail loudly (same whitelist as `set`)") {
+    // a hand-edited workspace with {"order": "bogus"} must not load
+    // silently and behave as ANSI — the `set` statement rejects unknown
+    // modes loudly, and restore-time state must hold the same line
+    def wsWith(modes: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory("kerf_badmode_ws")
+      java.nio.file.Files.writeString(dir.resolve("_PROGRAM.json"),
+        s"""{"vars":{},"modes":$modes,"defs":{}}""")
+      dir.toString
+    }
+    val e1 = intercept[IllegalArgumentException] {
+      new KerfSql.Interp(spark).loadProgram(wsWith("""{"order":"bogus"}"""))
+    }
+    assert(e1.getMessage.contains("bogus"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      new KerfSql.Interp(spark).loadProgram(wsWith("""{"shiny":"kerf"}"""))
+    }
+    assert(e2.getMessage.contains("shiny"), e2.getMessage)
+    // the valid shapes still load
+    val ok = new KerfSql.Interp(spark)
+    ok.loadProgram(wsWith("""{"order":"kerf","eq":"ansi"}"""))
+  }
+
+  test("set order kerf: a bare key resolving in NEITHER schema fails loudly") {
+    import spark.implicits._
+    Seq((1L, 5.0)).toDF("id", "x").createOrReplaceTempView("kerford4")
+    // under kerf mode the float/non-float decision gates a SEMANTIC
+    // lowering — an unresolvable key must not silently stay ANSI
+    val e = intercept[IllegalArgumentException] {
+      KerfSql.run(spark,
+        "set order kerf; select id from kerford4 order nosuchcol, id")
+    }
+    assert(e.getMessage.contains("nosuchcol"), e.getMessage)
+    // ANSI mode keeps Spark's own resolution error path for the same typo
+    intercept[Exception] {
+      KerfSql.run(spark, "select id from kerford4 order nosuchcol, id").collect()
+    }
+  }
+
   test("set order kerf: windowed selects and the top verb honor the mode") {
     import spark.implicits._
     Seq(("a", Double.NaN, 1L), ("a", 1.0, 10L), ("a", 2.0, 100L),
@@ -1420,8 +1459,8 @@ class KerfSqlSpec extends SparkSpec {
   test("set eq kerf: session-wide tolerant float equality (test.cc:102–108, grade.cc:9–41)") {
     import spark.implicits._
     Seq(
-      (1L, Some(100.0), Some(100.0 * (1 + math.pow(2, -50)))), // within 1e-14 rel
-      (2L, Some(100.0), Some(100.00001)),                      // outside tolerance
+      (1L, Some(100.0), Some(100.0 * (1 + math.pow(2, -50)))), // ~4 ulp apart: UNEQUAL under the reference E=1e-20 (was equal at the pre-r17 1e-14)
+      (2L, Some(100.0), Some(100.00001)),                      // outside any tolerance
       (3L, Some(Double.NaN), Some(Double.NaN)),                // NaN == NaN
       (4L, None: Option[Double], None: Option[Double]),        // null == null
       (5L, None: Option[Double], Some(5.0)),                   // null vs finite
@@ -1430,12 +1469,13 @@ class KerfSqlSpec extends SparkSpec {
       .toDF("id", "a", "b").createOrReplaceTempView("kerfeq")
     def ids(q: String): Seq[Long] =
       KerfSql.run(spark, q).collect().map(_.getLong(0)).toSeq
-    // kerf mode: tolerant equality, null==NaN-style non-values equal
+    // kerf mode: reference-E equality (effectively exact for finite
+    // doubles — E=1e-20 is sub-ulp), null==NaN-style non-values equal
     assert(ids("set eq kerf; select id from kerfeq where a = b order id") ==
-      Seq(1L, 3L, 4L, 7L))
+      Seq(3L, 4L, 7L))
     // ... and != is its exact complement (never null-swallowed)
     assert(ids("set eq kerf; select id from kerfeq where a != b order id") ==
-      Seq(2L, 5L, 6L))
+      Seq(1L, 2L, 5L, 6L))
     // engine default: exact equality — within-eps differs, null=null is
     // null (row dropped); Spark's own NaN=NaN-true semantics retained
     assert(ids("select id from kerfeq where a = b order id") == Seq(3L, 7L))
@@ -1443,8 +1483,8 @@ class KerfSqlSpec extends SparkSpec {
     assert(ids("set eq kerf; select id from kerfeq where id = 3 order id") ==
       Seq(3L))
     // ordering comparisons stay ANSI under the mode (only = / != flip):
-    // the within-eps row 1 still satisfies `<` — kerf eq-mode does not
-    // absorb it into equality for the inequality operators
+    // rows 1 and 2 both satisfy `<` — kerf eq-mode does not touch the
+    // inequality operators
     assert(ids("set eq kerf; select id from kerfeq where a < b order id") ==
       Seq(1L, 2L))
     // join `on` keys never pass through the mode: eps-different float
