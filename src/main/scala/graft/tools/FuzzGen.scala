@@ -1,0 +1,253 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** DIFFERENTIAL PROGRAM FUZZ vs the DuckDB oracle (round-17 ask #5).
+  *
+  * The 30-seed ordering/equality fuzz nets check SELF-consistency
+  * (session mode == explicit form == Column API) — none of them diffs a
+  * GENERATED program against an independent engine. This generator
+  * closes that: a seeded grammar over the dialect's safe subset
+  * (select / where / group / order / limit, integer + exact-double
+  * arithmetic, a temporal literal, two-statement programs through a
+  * table variable) is lowered twice from ONE AST —
+  *
+  *   - Kerf dialect text → [[graft.sql.KerfSql.run]] → parquet dump
+  *   - portable ANSI SQL → `oracle_sql.json`
+  *
+  * — in exactly the layout [[graft.Verify]] writes, so the existing
+  * `scripts/oracle_check.py` adjudicates each seed in DuckDB with the
+  * same full-precision compare as the driver's t2 gate. Any divergence
+  * is a real semantic delta (null ordering, decimal rounding, span
+  * edges, clause lowering) of the class hand-written query pairs can't
+  * exhaust.
+  *
+  * The grammar is deliberately restricted to ENGINE-PORTABLE semantics
+  * so a FAIL means a bug, never fixture noise: integer-valued doubles
+  * (l_quantity, 2-decimal prices via min/max only), integer modulo
+  * arithmetic, timestamp literals, and total ORDER BY before any LIMIT.
+  *
+  * Usage: runMain graft.tools.FuzzGen <sfDir> <outDir> [nSeeds] [firstSeed]
+  * then:  python3 scripts/oracle_check.py <sfDir> <outDir>
+  */
+object FuzzGen {
+
+  /** One atom rendered for both surfaces. `kerf` and `sql` must be the
+    * SAME predicate/expression under each engine's semantics. */
+  private case class Two(kerf: String, sql: String)
+
+  private final class Gen(seed: Int) {
+    val rnd = new scala.util.Random(seed.toLong * 0x9E3779B97F4A7C15L + seed)
+
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
+
+    // ---- predicate atoms (lineitem) ----
+    def cmpOp(): Two = pick(Seq(
+      Two("<", "<"), Two("<=", "<="), Two(">", ">"), Two(">=", ">="),
+      Two("==", "="), Two("!=", "<>")))
+
+    def atom(): Two = rnd.nextInt(5) match {
+      case 0 =>
+        val k = pick(Seq(3, 7, 11, 13, 97))
+        val op = cmpOp()
+        val c = rnd.nextInt(k)
+        Two(s"l_orderkey % $k ${op.kerf} $c", s"l_orderkey % $k ${op.sql} $c")
+      case 1 =>
+        val v = pick(Seq("A", "N", "R"))
+        val eq = rnd.nextBoolean()
+        Two(s"l_returnflag ${if (eq) "==" else "!="} '$v'",
+            s"l_returnflag ${if (eq) "=" else "<>"} '$v'")
+      case 2 =>
+        val op = cmpOp()
+        val c = 1 + rnd.nextInt(7)
+        Two(s"l_linenumber ${op.kerf} $c", s"l_linenumber ${op.sql} $c")
+      case 3 =>
+        // l_quantity is an integer-valued double (1..50): comparisons
+        // against integer literals are exact on both engines
+        val op = cmpOp()
+        val c = 1 + rnd.nextInt(50)
+        Two(s"l_quantity ${op.kerf} $c", s"l_quantity ${op.sql} $c")
+      case _ =>
+        // the temporal-literal lane: dialect 1995.06.01 vs SQL TIMESTAMP
+        val y = 1992 + rnd.nextInt(7)
+        val m = 1 + rnd.nextInt(12)
+        val op = pick(Seq(Two("<", "<"), Two(">=", ">=")))
+        Two(f"l_shipdate ${op.kerf} $y%04d.$m%02d.01",
+            f"l_shipdate ${op.sql} TIMESTAMP '$y%04d-$m%02d-01'")
+    }
+
+    /** 1–3 atoms joined with and/or; `or` pairs are parenthesized so the
+      * two renderings share one parse shape. */
+    def predicate(): Two = {
+      val n = 1 + rnd.nextInt(3)
+      val atoms = Seq.fill(n)(atom())
+      atoms.reduceLeft { (acc, a) =>
+        if (rnd.nextInt(3) == 0)
+          Two(s"(${acc.kerf} or ${a.kerf})", s"(${acc.sql} OR ${a.sql})")
+        else Two(s"${acc.kerf} and ${a.kerf}", s"${acc.sql} AND ${a.sql}")
+      }
+    }
+
+    // ---- group keys ----
+    /** (kerf group item, sql group expr, output name, sql select item) */
+    def groupKey(): (String, String, String, String) = rnd.nextInt(4) match {
+      case 0 => ("l_returnflag", "l_returnflag", "l_returnflag", "l_returnflag")
+      case 1 => ("l_linestatus", "l_linestatus", "l_linestatus", "l_linestatus")
+      case 2 => ("l_linenumber", "l_linenumber", "l_linenumber", "l_linenumber")
+      case _ =>
+        val k = pick(Seq(3, 7, 11))
+        (s"l_orderkey % $k as bucket", s"l_orderkey % $k", "bucket",
+         s"l_orderkey % $k AS bucket")
+    }
+
+    // ---- aggregates (engine-exact on this fixture) ----
+    def aggregate(): Two = rnd.nextInt(7) match {
+      case 0 => Two("count(*) as cnt", "count(*) AS cnt")
+      case 1 => Two("sum(l_quantity) as s_qty", "sum(l_quantity) AS s_qty")
+      case 2 => Two("avg(l_quantity) as a_qty", "avg(l_quantity) AS a_qty")
+      case 3 => Two("min(l_orderkey) as mn_ok", "min(l_orderkey) AS mn_ok")
+      case 4 => Two("max(l_orderkey) as mx_ok", "max(l_orderkey) AS mx_ok")
+      case 5 => Two("min(l_extendedprice) as mn_px", "min(l_extendedprice) AS mn_px")
+      case _ => Two("countd(l_suppkey) as d_supp", "count(DISTINCT l_suppkey) AS d_supp")
+    }
+
+    /** Raw projection item for the no-aggregate shape: (item, out name). */
+    def projItem(): (Two, String) = rnd.nextInt(5) match {
+      case 0 => (Two("l_quantity", "l_quantity"), "l_quantity")
+      case 1 => (Two("l_returnflag", "l_returnflag"), "l_returnflag")
+      case 2 => (Two("l_orderkey % 13 as m13", "l_orderkey % 13 AS m13"), "m13")
+      case 3 => (Two("l_orderkey + l_suppkey as ksum",
+                     "l_orderkey + l_suppkey AS ksum"), "ksum")
+      case _ => (Two("l_extendedprice", "l_extendedprice"), "l_extendedprice")
+    }
+
+    /** One full program: (name, kerf program, portable SQL). */
+    def program(i: Int): (String, String, String) = {
+      val name = f"fz_s$i%04d"
+      val where = predicate()
+      // ~1/3 of programs run as TWO statements through a table variable
+      // (the program tier: `base: select * from lineitem where A; …`),
+      // splitting the predicate across the statements; the SQL twin
+      // carries the first half as a CTE
+      val split = rnd.nextInt(3) == 0
+      val (pre, kerfFrom, sqlPrefix, sqlFrom) =
+        if (split) {
+          val first = atom()
+          (s"base: select * from lineitem where ${first.kerf}; ",
+           "base",
+           s"WITH base AS (SELECT * FROM lineitem WHERE ${first.sql}) ",
+           "base")
+        } else ("", "lineitem", "", "lineitem")
+      // ~1/5 of programs pass the limit through a program variable
+      rnd.nextInt(3) match {
+        case 0 =>
+          // global aggregate: one row, no order needed
+          val aggs = distinctBy(Seq.fill(1 + rnd.nextInt(3))(aggregate()))
+          (name,
+           s"${pre}select ${aggs.map(_.kerf).mkString(", ")} " +
+             s"from $kerfFrom where ${where.kerf}",
+           s"${sqlPrefix}SELECT ${aggs.map(_.sql).mkString(", ")} " +
+             s"FROM $sqlFrom WHERE ${where.sql}")
+        case 1 =>
+          // grouped aggregate, total order over the keys
+          val keys = distinctBy4(Seq.fill(1 + rnd.nextInt(2))(groupKey()))
+          val aggs = distinctBy(Seq.fill(1 + rnd.nextInt(2))(aggregate()))
+          val desc = rnd.nextInt(4) == 0
+          val ord = keys.map(_._3)
+          val kerfOrd = (if (desc) "-" + ord.head else ord.head) +:
+            ord.tail
+          val sqlOrd = (ord.head + (if (desc) " DESC" else "")) +: ord.tail
+          (name,
+           s"${pre}select ${keys.map(_._1).mkString(", ")}, " +
+             s"${aggs.map(_.kerf).mkString(", ")} from $kerfFrom " +
+             s"where ${where.kerf} group ${keys.map(_._1).mkString(", ")} " +
+             s"order ${kerfOrd.mkString(", ")}",
+           s"${sqlPrefix}SELECT ${keys.map(_._4).mkString(", ")}, " +
+             s"${aggs.map(_.sql).mkString(", ")} FROM $sqlFrom " +
+             s"WHERE ${where.sql} GROUP BY ${keys.map(_._2).mkString(", ")} " +
+             s"ORDER BY ${sqlOrd.mkString(", ")}")
+        case _ =>
+          // raw projection + limit (sometimes through a program
+          // variable). The fixture's (l_orderkey, l_linenumber) is NOT
+          // unique (the synthetic generator plants dup keys — 11,785
+          // pairs at sf0.01), so the order lists EVERY output column:
+          // any remaining tie is then an IDENTICAL output tuple, and the
+          // top-N multiset is engine-independent no matter how each
+          // engine breaks it (the first fuzz sweep caught exactly this —
+          // 2/400 seeds split a tie group differently at the limit)
+          val items = distinctByName(Seq.fill(1 + rnd.nextInt(3))(projItem()))
+          val n = 10 + rnd.nextInt(190)
+          val desc = rnd.nextInt(4) == 0
+          val varLimit = rnd.nextInt(5) == 0
+          val kerfLimit = if (varLimit) "nrows" else s"$n"
+          val preVar = if (varLimit) s"nrows: $n; " else ""
+          val tailOrd = "l_linenumber" +: items.map(_._2)
+          (name,
+           s"$preVar${pre}select l_orderkey, l_linenumber, " +
+             s"${items.map(_._1.kerf).mkString(", ")} from $kerfFrom " +
+             s"where ${where.kerf} " +
+             s"order ${if (desc) "-l_orderkey" else "l_orderkey"}, ${tailOrd.mkString(", ")} " +
+             s"limit $kerfLimit",
+           s"${sqlPrefix}SELECT l_orderkey, l_linenumber, " +
+             s"${items.map(_._1.sql).mkString(", ")} FROM $sqlFrom " +
+             s"WHERE ${where.sql} " +
+             s"ORDER BY l_orderkey${if (desc) " DESC" else ""}, ${tailOrd.mkString(", ")} " +
+             s"LIMIT $n")
+      }
+    }
+
+    /** Dedup select items by their output alias (a duplicate alias is a
+      * frame error, not interesting fuzz). */
+    private def distinctBy(xs: Seq[Two]): Seq[Two] =
+      xs.groupBy(_.kerf).values.map(_.head).toSeq.sortBy(xs.indexOf)
+    private def distinctBy4(xs: Seq[(String, String, String, String)]) =
+      xs.groupBy(_._3).values.map(_.head).toSeq.sortBy(xs.indexOf)
+    private def distinctByName(xs: Seq[(Two, String)]): Seq[(Two, String)] =
+      xs.groupBy(_._2).values.map(_.head).toSeq.sortBy(xs.indexOf)
+  }
+
+  /** One generated program: (name, kerf dialect text, portable SQL that
+    * parses identically in Spark SQL and DuckDB). FuzzSpec's in-suite
+    * leg diffs the two surfaces inside Spark every `sbt test`; the
+    * DuckDB leg is this object's main + scripts/oracle_check.py. */
+  private[graft] def programFor(i: Int): (String, String, String) =
+    new Gen(i).program(i)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val outDir = if (args.length > 1) args(1) else "/tmp/fuzz_out"
+    val nSeeds = if (args.length > 2) args(2).toInt else 200
+    val first = if (args.length > 3) args(3).toInt else 1
+    val spark = graft.Engine.session()
+    graft.Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    new java.io.File(outDir).mkdirs()
+    val oracle = scala.collection.mutable.LinkedHashMap[String, String]()
+    val programs = scala.collection.mutable.LinkedHashMap[String, String]()
+    var failed = 0
+    (first until first + nSeeds).foreach { i =>
+      val (name, kerf, sql) = new Gen(i).program(i)
+      programs(name) = kerf
+      Fs.deleteRecursively(new java.io.File(outDir, name))
+      try {
+        graft.sql.KerfSql.run(spark, kerf)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        oracle(name) = sql
+      } catch {
+        case e: Throwable =>
+          failed += 1
+          System.err.println(s"[fuzz] $name FAILED to run: ${e.getMessage}\n  program: $kerf")
+      }
+    }
+    def j(s: String): String = JsonText.str(s)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+      oracle.map { case (k, v) => s"${j(k)}: ${j(v)}" }.mkString("{", ",", "}"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/programs.json"),
+      programs.map { case (k, v) => s"${j(k)}: ${j(v)}" }.mkString("{", ",", "}"))
+    println(s"[fuzz] ${nSeeds - failed}/$nSeeds programs ran; " +
+      s"now: python3 scripts/oracle_check.py $sfDir $outDir")
+    require(failed == 0, s"$failed fuzz programs failed to execute")
+    spark.stop()
+  }
+}
