@@ -59,6 +59,60 @@ object StreamStateBench {
       } finally q.stop()
     }
 
+    // ---- axis 3 (r17, SURVEY §7.5.6): transformWithState last-tick in
+    // RocksDB over a GROWING KEY SPACE — the un-evictable-state op whose
+    // footprint is keys × fixed record, measured instead of asserted.
+    // Fixed 100k-row batches cycle the key universe (every key touched
+    // ≥2×), so per-batch latency isolates per-key RocksDB I/O from row
+    // throughput; state size comes from the engine's own accounting
+    // (numRowsTotal, memoryUsedBytes, and the RocksDB SST/memory custom
+    // metrics where the provider reports them).
+    def runLastTick(nKeys: Int): String = {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = spark.conf.getOption(provKey)
+      spark.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val input = MemoryStream[(Long, Long, Double)]
+        val ticks = graft.streaming.EventStream.lastTicksTws(
+          input.toDF().toDF("user_id", "ts_ns", "value"))
+        val q = ticks.writeStream.outputMode("update")
+          .format("noop").start()
+        val rowsPerBatch = 100000
+        val nBatches = math.max(3, (nKeys.toLong * 2 / rowsPerBatch).toInt + 1)
+        val batchSec = new Array[Double](nBatches)
+        try {
+          var rowNo = 0L
+          for (b <- 0 until nBatches) {
+            val batch = (0 until rowsPerBatch).map { i =>
+              val key = (rowNo + i) % nKeys
+              (key, rowNo + i, (key % 97).toDouble)
+            }
+            rowNo += rowsPerBatch
+            val t0 = System.nanoTime()
+            input.addData(batch: _*)
+            q.processAllAvailable()
+            batchSec(b) = (System.nanoTime() - t0) / 1e9
+          }
+          val st = q.lastProgress.stateOperators(0)
+          val cm = st.customMetrics
+          def metric(name: String): Long =
+            if (cm.containsKey(name)) cm.get(name).longValue() else -1L
+          val steady = batchSec.takeRight(3).sorted.apply(1) // median of last 3
+          f"""{"keys":$nKeys,"batches":$nBatches,"rows_per_batch":$rowsPerBatch,""" +
+            f""""state_rows":${st.numRowsTotal},"mem_used_bytes":${st.memoryUsedBytes},""" +
+            f""""rocksdb_sst_bytes":${metric("rocksdbSstFileSize")},""" +
+            f""""rocksdb_mem_bytes":${metric("rocksdbTotalMemoryUsage")},""" +
+            f""""steady_batch_sec":$steady%.2f,"first_batch_sec":${batchSec(0)}%.2f}"""
+        } finally q.stop()
+      } finally prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+
     // warmup pays codegen/state-store init once
     run(2, 100)
     for ((hours, rate) <- Seq((10, 1000), (100, 1000), (10, 10000))) {
@@ -67,6 +121,9 @@ object StreamStateBench {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"hours":$hours,"rows_per_hour":$rate,"rows_in":$in,"state_rows":$state,"dropped_late":$dropped,"sec":$sec%.1f}""")
     }
+    runLastTick(1000) // RocksDB warmup (instance load ~2s/partition)
+    for (nKeys <- Seq(1000, 10000, 100000, 1000000))
+      println(runLastTick(nKeys))
     spark.stop()
   }
 }
