@@ -3122,9 +3122,43 @@ object KerfSql {
           val agged = grouped.agg(aggs.head.col, aggs.tail.map(_.col): _*)
           // groupingSets output = grouping cols (in vararg order) then
           // aggregates; rename the key columns to their dialect aliases
-          if (groupMode == "sets")
-            agged.toDF(groupItems.map(_.alias) ++ aggs.map(_.alias): _*)
-          else agged
+          val named =
+            if (groupMode == "sets")
+              agged.toDF(groupItems.map(_.alias) ++ aggs.map(_.alias): _*)
+            else agged
+          // STANDARD-SQL EMPTY-INPUT GRAND TOTAL (r17, found by the
+          // DuckDB program fuzz): a grouping-set family that includes
+          // the empty set `()` must behave like a GLOBAL aggregate for
+          // that set — on empty input the standard (and DuckDB, the t2
+          // oracle; and Postgres) returns ONE row (null keys, count 0),
+          // but Spark's Expand-based aggregation returns zero rows (no
+          // input rows → no groups). Patch declaratively, with NO second
+          // base-table scan: the grand row's VALUES are a global
+          // aggregate over limit(0) (constant-cost — empty-input global
+          // agg is exactly the standard's () semantics for any aggregate
+          // expression), guarded by a left_anti join against limit(1) of
+          // the aggregated result itself (the row survives only when the
+          // rollup produced nothing; the rollup's exchange is reused, so
+          // the guard re-reads one shuffle, never the table).
+          val emptySets = groupMode match {
+            case "rollup" | "cube" => 1
+            case "sets" => groupSetCols.count(_.isEmpty)
+            case _ => 0
+          }
+          if (emptySets == 0) named
+          else {
+            val keyFields = named.schema.fields.take(groupItems.size)
+            val emptyVals = df.limit(0).groupBy()
+              .agg(aggs.head.col, aggs.tail.map(_.col): _*)
+            val grandOne = emptyVals.select(
+              (keyFields.toSeq.map(f => lit(null).cast(f.dataType).as(f.name)) ++
+               emptyVals.columns.toSeq.map(col)): _*)
+              .toDF(named.columns.toSeq: _*)
+            // `sets` may enumerate `()` more than once: one row each
+            val grand = Seq.fill(emptySets)(grandOne).reduce(_ union _)
+            val guard = named.limit(1).select(lit(1).as("__nonempty"))
+            named.union(grand.join(guard, lit(true), "left_anti"))
+          }
         }
         else if (items.nonEmpty) df.select(items.map(_.col): _*)
         else df

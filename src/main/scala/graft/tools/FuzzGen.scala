@@ -121,6 +121,36 @@ object FuzzGen {
       case _ => (Two("l_extendedprice", "l_extendedprice"), "l_extendedprice")
     }
 
+    // ---- orders-side atoms (join shape) ----
+    def ordersAtom(): Two = rnd.nextInt(3) match {
+      case 0 =>
+        val v = pick(Seq("F", "O", "P"))
+        Two(s"o_orderstatus == '$v'", s"o_orderstatus = '$v'")
+      case 1 =>
+        val v = pick(Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"))
+        val eq = rnd.nextBoolean()
+        Two(s"o_orderpriority ${if (eq) "==" else "!="} '$v'",
+            s"o_orderpriority ${if (eq) "=" else "<>"} '$v'")
+      case _ =>
+        val op = cmpOp()
+        val c = 1000 * (1 + rnd.nextInt(300))
+        Two(s"o_totalprice ${op.kerf} $c", s"o_totalprice ${op.sql} $c")
+    }
+
+    def joinKey(): (String, String, String, String) = rnd.nextInt(3) match {
+      case 0 => ("l_returnflag", "l_returnflag", "l_returnflag", "l_returnflag")
+      case 1 => ("o_orderstatus", "o_orderstatus", "o_orderstatus", "o_orderstatus")
+      case _ => ("o_orderpriority", "o_orderpriority", "o_orderpriority", "o_orderpriority")
+    }
+
+    def joinAgg(): Two = rnd.nextInt(5) match {
+      case 0 => Two("count(*) as cnt", "count(*) AS cnt")
+      case 1 => Two("sum(l_quantity) as s_qty", "sum(l_quantity) AS s_qty")
+      case 2 => Two("min(o_totalprice) as mn_tp", "min(o_totalprice) AS mn_tp")
+      case 3 => Two("max(o_totalprice) as mx_tp", "max(o_totalprice) AS mx_tp")
+      case _ => Two("countd(o_custkey) as d_cust", "count(DISTINCT o_custkey) AS d_cust")
+    }
+
     /** One full program: (name, kerf program, portable SQL). */
     def program(i: Int): (String, String, String) = {
       val name = f"fz_s$i%04d"
@@ -139,7 +169,50 @@ object FuzzGen {
            "base")
         } else ("", "lineitem", "", "lineitem")
       // ~1/5 of programs pass the limit through a program variable
-      rnd.nextInt(3) match {
+      rnd.nextInt(5) match {
+        case 3 =>
+          // equi-join (lineitem ⋈ orders on the order key) + grouped
+          // aggregate — the dialect's named-sides join surface against
+          // both engines' own join executors; keys are total-ordered
+          val keys = distinctBy4(Seq.fill(1 + rnd.nextInt(2))(joinKey()))
+          val aggs = distinctBy(Seq.fill(1 + rnd.nextInt(2))(joinAgg()))
+          val jw = {
+            val a = atom(); val o = ordersAtom()
+            if (rnd.nextBoolean()) Two(s"${a.kerf} and ${o.kerf}", s"${a.sql} AND ${o.sql}")
+            else o
+          }
+          val ord = keys.map(_._3)
+          (name,
+           s"select ${keys.map(_._1).mkString(", ")}, " +
+             s"${aggs.map(_.kerf).mkString(", ")} " +
+             s"from lineitem join orders on l_orderkey = o_orderkey " +
+             s"where ${jw.kerf} group ${keys.map(_._1).mkString(", ")} " +
+             s"order ${ord.mkString(", ")}",
+           s"SELECT ${keys.map(_._4).mkString(", ")}, " +
+             s"${aggs.map(_.sql).mkString(", ")} " +
+             s"FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+             s"WHERE ${jw.sql} GROUP BY ${keys.map(_._2).mkString(", ")} " +
+             s"ORDER BY ${ord.mkString(", ")}")
+        case 4 =>
+          // hierarchical grouping: `group rollup (a, b)` vs GROUP BY
+          // ROLLUP — subtotal rows carry NULL keys on both engines; no
+          // LIMIT, so the multiset compare needs no total order. Keys
+          // stay bare columns (no computed-alias rollup items)
+          val bare = Seq(
+            ("l_returnflag", "l_returnflag", "l_returnflag", "l_returnflag"),
+            ("l_linestatus", "l_linestatus", "l_linestatus", "l_linestatus"),
+            ("l_linenumber", "l_linenumber", "l_linenumber", "l_linenumber"))
+          val keys = rnd.shuffle(bare).take(2)
+          val aggs = distinctBy(Seq.fill(1 + rnd.nextInt(2))(aggregate()))
+          (name,
+           s"${pre}select ${keys.map(_._1).mkString(", ")}, " +
+             s"${aggs.map(_.kerf).mkString(", ")} from $kerfFrom " +
+             s"where ${where.kerf} " +
+             s"group rollup (${keys.map(_._3).mkString(", ")})",
+           s"${sqlPrefix}SELECT ${keys.map(_._4).mkString(", ")}, " +
+             s"${aggs.map(_.sql).mkString(", ")} FROM $sqlFrom " +
+             s"WHERE ${where.sql} " +
+             s"GROUP BY ROLLUP (${keys.map(_._2).mkString(", ")})")
         case 0 =>
           // global aggregate: one row, no order needed
           val aggs = distinctBy(Seq.fill(1 + rnd.nextInt(3))(aggregate()))
@@ -220,6 +293,7 @@ object FuzzGen {
     val first = if (args.length > 3) args(3).toInt else 1
     val spark = graft.Engine.session()
     graft.Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    graft.Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
     new java.io.File(outDir).mkdirs()
     val oracle = scala.collection.mutable.LinkedHashMap[String, String]()
     val programs = scala.collection.mutable.LinkedHashMap[String, String]()

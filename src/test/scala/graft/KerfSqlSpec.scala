@@ -1390,6 +1390,36 @@ class KerfSqlSpec extends SparkSpec {
     assert(ids(sess.run("select id from kerford3 order x, id")) == Seq(3L, 1L, 2L))
   }
 
+  test("rollup/cube/sets on EMPTY input emit the standard grand-total row (DuckDB fuzz find)") {
+    import spark.implicits._
+    Seq((1L, "a", "x", 2.0)).toDF("k1", "k2", "k3", "v")
+      .filter(col("k1") > 99).createOrReplaceTempView("rollup_empty")
+    // Spark's Expand-based grouping-set aggregate returns ZERO rows on
+    // empty input; the SQL standard (and DuckDB/Postgres) says the `()`
+    // set is a global aggregate: one row, null keys, count 0, null sums
+    def rows(q: String) = sql.KerfSql.run(spark, q).collect()
+    val r = rows("select k2, k3, count(*) as n, sum(v) as s " +
+      "from rollup_empty group rollup (k2, k3)")
+    assert(r.length == 1 && r(0).isNullAt(0) && r(0).isNullAt(1) &&
+      r(0).getLong(2) == 0L && r(0).isNullAt(3), s"rollup: ${r.toSeq}")
+    val c = rows("select k2, count(*) as n from rollup_empty group cube (k2)")
+    assert(c.length == 1 && c(0).isNullAt(0) && c(0).getLong(1) == 0L,
+      s"cube: ${c.toSeq}")
+    // sets: one grand row per () occurrence; sets WITHOUT () stay empty
+    val s2 = rows("select k2, count(*) as n from rollup_empty " +
+      "group sets ((k2), (), ())")
+    assert(s2.length == 2 && s2.forall(x => x.isNullAt(0) && x.getLong(1) == 0L),
+      s"sets2: ${s2.toSeq}")
+    val s0 = rows("select k2, count(*) as n from rollup_empty group sets ((k2))")
+    assert(s0.isEmpty, s"sets-no-(): ${s0.toSeq}")
+    // NON-empty input is untouched by the guard: the () row comes from
+    // the Expand pass exactly once, not from the patch
+    Seq((1L, "a", 2.0), (2L, "b", 3.0)).toDF("k1", "k2", "v")
+      .createOrReplaceTempView("rollup_nonempty")
+    val n = rows("select k2, count(*) as n from rollup_nonempty group rollup (k2)")
+    assert(n.length == 3 && n.count(_.isNullAt(0)) == 1, s"nonempty: ${n.toSeq}")
+  }
+
   test("loadProgram: corrupted mode keys/values fail loudly (same whitelist as `set`)") {
     // a hand-edited workspace with {"order": "bogus"} must not load
     // silently and behave as ANSI — the `set` statement rejects unknown
