@@ -104,7 +104,7 @@ object StreamStateBench {
           f"""{"keys":$nKeys,"batches":$nBatches,"rows_per_batch":$rowsPerBatch,""" +
             f""""state_rows":${st.numRowsTotal},"mem_used_bytes":${st.memoryUsedBytes},""" +
             f""""rocksdb_sst_bytes":${metric("rocksdbSstFileSize")},""" +
-            f""""rocksdb_mem_bytes":${metric("rocksdbTotalMemoryUsage")},""" +
+            f""""rocksdb_pinned_bytes":${metric("rocksdbPinnedBlocksMemoryUsage")},""" +
             f""""steady_batch_sec":$steady%.2f,"first_batch_sec":${batchSec(0)}%.2f}"""
         } finally q.stop()
       } finally prevProv match {
