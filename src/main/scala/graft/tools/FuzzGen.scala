@@ -36,7 +36,11 @@ object FuzzGen {
     * SAME predicate/expression under each engine's semantics. */
   private case class Two(kerf: String, sql: String)
 
-  private final class Gen(seed: Int) {
+  /** `withAsof = true` (the DuckDB main) adds the as-of shape — its SQL
+    * twin uses DuckDB's first-class `ASOF LEFT JOIN`, which Spark's own
+    * parser cannot run, so the in-suite FuzzDifferentialSpec leg
+    * generates without it. */
+  private final class Gen(seed: Int, withAsof: Boolean = false) {
     val rnd = new scala.util.Random(seed.toLong * 0x9E3779B97F4A7C15L + seed)
 
     def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
@@ -151,9 +155,64 @@ object FuzzGen {
       case _ => Two("countd(o_custkey) as d_cust", "count(DISTINCT o_custkey) AS d_cust")
     }
 
+    /** AS-OF JOIN over the events fixture — the flagship operator
+      * differenced against DuckDB's INDEPENDENT first-class ASOF
+      * implementation (a completely different algorithm from the native
+      * sort-merge exec). Random: event-type pair, direction, strictness,
+      * tolerance (dialect `within` masks the payload beyond tolerance
+      * but keeps the left row — the oracle replays the mask as CASE).
+      * (user_id, event_type, ts) is unique in the fixture (verified both
+      * SFs), so results are tie-free on both engines. */
+    def asofProgram(name: String): (String, String) = {
+      val types = Seq("click", "view", "signup", "error", "purchase")
+      val lt = pick(types)
+      val rt = pick(types.filterNot(_ == lt))
+      val fwd = rnd.nextBoolean()
+      val strict = rnd.nextInt(3) == 0
+      val tol: Option[Long] =
+        pick(Seq(None, None, Some(3600000000L), Some(600000000L), Some(60000000L)))
+      val kerfSuffix =
+        tol.map(t => s" within $t").getOrElse("") +
+          (if (fwd) " forward" else "") + (if (strict) " strict" else "")
+      val kerf =
+        s"lvz: select user_id, event_id, ts_us, value as l_val from ev_fz " +
+          s"where event_type == '$lt'; " +
+        s"rvz: select user_id, ts_us as rts, value as r_val from ev_fz " +
+          s"where event_type == '$rt'; " +
+        s"select user_id, event_id, ts_us, l_val, r_val, rts as r_ts " +
+          s"from lvz asof join rvz on user_id at ts_us, rts$kerfSuffix " +
+          s"order user_id, ts_us, event_id"
+      val cmp = (fwd, strict) match {
+        case (false, false) => "<="
+        case (false, true)  => "<"
+        case (true, false)  => ">="
+        case (true, true)   => ">"
+      }
+      def mask(c: String): String = tol match {
+        case None => c
+        case Some(t) =>
+          val delta = if (fwd) "r.rts - l.ts_us" else "l.ts_us - r.rts"
+          s"CASE WHEN $delta <= $t THEN $c END"
+      }
+      val sql =
+        s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value, event_type FROM events),
+           |     lvz AS (SELECT user_id, event_id, ts_us, value AS l_val FROM ev WHERE event_type = '$lt'),
+           |     rvz AS (SELECT user_id, ts_us AS rts, value AS r_val FROM ev WHERE event_type = '$rt')
+           |SELECT l.user_id, l.event_id, l.ts_us, l.l_val,
+           |       ${mask("r.r_val")} AS r_val, ${mask("r.rts")} AS r_ts
+           |FROM lvz l ASOF LEFT JOIN rvz r
+           |  ON l.user_id = r.user_id AND r.rts $cmp l.ts_us
+           |ORDER BY l.user_id, l.ts_us, l.event_id""".stripMargin.replace("\n", " ")
+      (kerf, sql)
+    }
+
     /** One full program: (name, kerf program, portable SQL). */
     def program(i: Int): (String, String, String) = {
       val name = f"fz_s$i%04d"
+      if (withAsof && rnd.nextInt(4) == 0) {
+        val (k, s) = asofProgram(name)
+        return (name, k, s)
+      }
       val where = predicate()
       // ~1/3 of programs run as TWO statements through a table variable
       // (the program tier: `base: select * from lineitem where A; …`),
@@ -284,7 +343,7 @@ object FuzzGen {
     * leg diffs the two surfaces inside Spark every `sbt test`; the
     * DuckDB leg is this object's main + scripts/oracle_check.py. */
   private[graft] def programFor(i: Int): (String, String, String) =
-    new Gen(i).program(i)
+    new Gen(i, withAsof = false).program(i)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
@@ -294,12 +353,15 @@ object FuzzGen {
     val spark = graft.Engine.session()
     graft.Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
     graft.Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    graft.Tables.events(spark, sfDir)
+      .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts_ns div 1000"))
+      .createOrReplaceTempView("ev_fz")
     new java.io.File(outDir).mkdirs()
     val oracle = scala.collection.mutable.LinkedHashMap[String, String]()
     val programs = scala.collection.mutable.LinkedHashMap[String, String]()
     var failed = 0
     (first until first + nSeeds).foreach { i =>
-      val (name, kerf, sql) = new Gen(i).program(i)
+      val (name, kerf, sql) = new Gen(i, withAsof = true).program(i)
       programs(name) = kerf
       Fs.deleteRecursively(new java.io.File(outDir, name))
       try {
