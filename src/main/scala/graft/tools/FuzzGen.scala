@@ -206,11 +206,74 @@ object FuzzGen {
       (kerf, sql)
     }
 
+    /** WINDOW-VERB shape (sums/prev/deltas/… — the ordered-analytics
+      * family) over the events fixture, diffed against standard SQL
+      * window functions in DuckDB. Values ride the q77 cents discipline
+      * (CAST(round(value*100) AS BIGINT)) so every running sum is
+      * integer-exact on both engines; (user_id, ts_us, event_id) is a
+      * unique frame order, so cumulative results are deterministic. */
+    def windowProgram(name: String): (String, String) = {
+      case class V(kerf: String, sql: String)
+      def verb(): V = rnd.nextInt(9) match {
+        case 0 => V("sums(vc) as cum_vc", "CAST(sum(vc) OVER w AS BIGINT) AS cum_vc")
+        case 1 => V("counts(vc) as n_seen", "count(vc) OVER w AS n_seen")
+        case 2 => V("maxs(vc) as max_vc", "max(vc) OVER w AS max_vc")
+        case 3 => V("mins(vc) as min_vc", "min(vc) OVER w AS min_vc")
+        case 4 => V("avgs(vc) as avg_vc", "avg(vc) OVER w AS avg_vc")
+        case 5 => V("prev(vc) as prev_vc", "lag(vc) OVER w2 AS prev_vc")
+        case 6 => V("nexts(vc) as next_vc", "lead(vc) OVER w2 AS next_vc")
+        case 7 => V("deltas(vc) as d_vc", "vc - lag(vc) OVER w2 AS d_vc")
+        case _ =>
+          val k = 2 + rnd.nextInt(6)
+          V(s"msums($k, vc) as ms_vc",
+            s"CAST(sum(vc) OVER (PARTITION BY user_id ORDER BY ts_us, event_id " +
+              s"ROWS BETWEEN ${k - 1} PRECEDING AND CURRENT ROW) AS BIGINT) AS ms_vc")
+      }
+      val verbs = {
+        val vs = Seq.fill(1 + rnd.nextInt(3))(verb())
+        // dedup by OUTPUT ALIAS, not by full text: two msums with
+        // different widths share the alias ms_vc and would collide
+        // (seed 508 found exactly that)
+        def alias(v: V) = v.kerf.split(" as ").last
+        vs.groupBy(alias).values.map(_.head).toSeq.sortBy(vs.indexOf)
+      }
+      // optional filter BEFORE the window (the frame must see the same
+      // row set on both engines — one draw renders both surfaces)
+      val wf: Option[V] = rnd.nextInt(3) match {
+        case 0 =>
+          val t = pick(Seq("click", "view", "purchase", "signup", "error"))
+          Some(V(s"event_type == '$t'", s"event_type = '$t'"))
+        case 1 =>
+          val k = pick(Seq(3, 5, 7)); val c = rnd.nextInt(k)
+          Some(V(s"user_id % $k == $c", s"user_id % $k = $c"))
+        case _ => None
+      }
+      val kerf =
+        s"select user_id, event_id, ts_us, ${verbs.map(_.kerf).mkString(", ")} " +
+          s"from events_w_fz${wf.map(v => s" where ${v.kerf}").getOrElse("")} " +
+          s"group user_id order ts_us, event_id"
+      val sql =
+        s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           |                   CAST(round(value * 100) AS BIGINT) AS vc, event_type
+           |            FROM events)
+           |SELECT user_id, event_id, ts_us, ${verbs.map(_.sql).mkString(", ")}
+           |FROM ev${wf.map(v => s" WHERE ${v.sql}").getOrElse("")}
+           |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           |       w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+           |ORDER BY user_id, ts_us, event_id""".stripMargin.replace("\n", " ")
+      (kerf, sql)
+    }
+
     /** One full program: (name, kerf program, portable SQL). */
     def program(i: Int): (String, String, String) = {
       val name = f"fz_s$i%04d"
       if (withAsof && rnd.nextInt(4) == 0) {
         val (k, s) = asofProgram(name)
+        return (name, k, s)
+      }
+      if (withAsof && rnd.nextInt(4) == 0) {
+        val (k, s) = windowProgram(name)
         return (name, k, s)
       }
       val where = predicate()
@@ -356,6 +419,14 @@ object FuzzGen {
     graft.Tables.events(spark, sfDir)
       .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts_ns div 1000"))
       .createOrReplaceTempView("ev_fz")
+    spark.table("ev_fz").select(
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("ts_us"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("value") * 100).cast("long").as("vc"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .createOrReplaceTempView("events_w_fz")
     new java.io.File(outDir).mkdirs()
     val oracle = scala.collection.mutable.LinkedHashMap[String, String]()
     val programs = scala.collection.mutable.LinkedHashMap[String, String]()
