@@ -72,7 +72,11 @@ class CodegenCoverageSpec extends SparkSpec {
     // ObjectHashAggregateExec — Spark's DESIGNED engine for typed
     // aggregates; the per-row update is one native JVM call, and the
     // hash/permute arithmetic inside it is primitive loops
-    "MinHashAgg" -> "TypedImperativeAggregate (ObjectHashAggregate is its engine)"
+    "MinHashAgg" -> "TypedImperativeAggregate (ObjectHashAggregate is its engine)",
+    // group-bounded list assembly at an aggregation rim (BPE's per-doc
+    // token packing): same TypedImperativeAggregate class as MinHashAgg,
+    // buffers merge partial+final through ObjectHashAggregateExec
+    "CollectList" -> "TypedImperativeAggregate rim collect (group-bounded)"
   )
 
   /** Per-query extra allowances, for shapes a specific flagship
@@ -108,7 +112,18 @@ class CodegenCoverageSpec extends SparkSpec {
     "q176_perceptron_step",
     "q97_salted",
     "q143_fp16_tier",
-    "q92_kerf_dedup"
+    "q92_kerf_dedup",
+    // second tier (r17 widening): everything else above ~900 ms steady
+    // in the official record whose construction is a lazy plan
+    "q72_tfidf",
+    "q94_fingerprint_dedup",
+    "q148_fuzzy_join",
+    "q149_video_dedup",
+    "q150_dialect_drift",
+    "q159_audio_neardup",
+    "q173_bpe_pair_census",
+    "q181_bpe_encode",
+    "q198_semdedup_incremental"
   )
 
   test("flagship bench queries carry ZERO interpreted expressions outside the allowlist") {
