@@ -172,8 +172,25 @@ object Bench {
     // headline-only
     val allPassTotals = (attrPass.toSeq ++ passes)
       .map(p => math.round(p.map(_._2).sum * 1000) / 1000.0)
+    // MACHINE-READABLE window adjudication (r17 ask #5): the artifact
+    // self-describes whether it was taken in a quiet window, so the
+    // steal-window judgment stops being SCALING.md prose + judge ritual.
+    // Spread is over the HEADLINE passes only (the attribution pass
+    // absorbs one-off builds by design and is always slower); a host
+    // steal window inflates one pass but rarely all of them equally, so
+    // max/min-1 over sequential same-code passes is the contention
+    // signal. <= 10% ≈ the quiet records' observed 2-4%; the noisy
+    // driver windows run 40-90%.
+    val headlineTotals = passes.map(_.map(_._2).sum)
+    val spreadPct: Option[Double] =
+      if (headlineTotals.size >= 2 && headlineTotals.min > 0)
+        Some(math.round((headlineTotals.max / headlineTotals.min - 1) * 1000) / 10.0)
+      else None
+    val quiet = spreadPct.exists(_ <= 10.0)
+    val windowJson =
+      s""""quiet":$quiet,"pass_spread_pct":${spreadPct.fold("null")(_.toString)}"""
     val familyDoc =
-      s"""{"passes":${allPassTotals.mkString("[", ",", "]")},"pass_kinds":$passKinds,"sf":${jq(sfDir)},"queries":$family}"""
+      s"""{"passes":${allPassTotals.mkString("[", ",", "]")},"pass_kinds":$passKinds,$windowJson,"rejected_runs":[],"sf":${jq(sfDir)},"queries":$family}"""
     // A failing query contributes only its fail-fast ms, so a correctness
     // break would otherwise SHRINK the headline and read as a speedup.
     // Stamp the headline invalid whenever any query failed: round-over-
@@ -183,7 +200,7 @@ object Bench {
     // ran under (always false now — attribution is its own pass), so
     // round-over-round diffs can check they compare like with like
     val line =
-      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","qunit":"ms","valid":$valid,"stages_in_headline":false,"attr_pass":$withAttr,"n_failures":${failures.size},"passes":${passTotals.mkString("[", ",", "]")},"queries":$qs,"failures":$fails,$attrSummary,"sf":${jq(sfDir)}}"""
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","qunit":"ms","valid":$valid,$windowJson,"stages_in_headline":false,"attr_pass":$withAttr,"n_failures":${failures.size},"passes":${passTotals.mkString("[", ",", "]")},"queries":$qs,"failures":$fails,$attrSummary,"sf":${jq(sfDir)}}"""
     // a SPARK_GRAFT_ONLY iteration run must not overwrite the official
     // full-suite records with subset data (an adjudicator reading the
     // file later would see a tiny "suite" with no marker a filter ran)
@@ -203,12 +220,42 @@ object Bench {
       ).getOrElse(false)
       val suffix =
         if (official) "" else "." + new java.io.File(sfDir).getName
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(s"BENCH_ATTRIBUTION$suffix.json"),
-        (perQuery + "\n").getBytes("UTF-8"))
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(s"BENCH_FAMILY$suffix.json"),
-        (familyDoc + "\n").getBytes("UTF-8"))
+      // SELF-ADJUDICATING overwrite policy (r17 ask #5): a NOISY run
+      // must not replace a QUIET record (that is exactly how the r16/r17
+      // quiet artifacts got clobbered by fresh driver runs in steal
+      // windows). If the record on disk says quiet and this run does
+      // not, keep the record and log this run's pass totals into its
+      // rejected_runs — the adjudication lives IN the artifact. A quiet
+      // run (or a first / un-annotated / noisy-over-noisy state) writes
+      // through as before.
+      val famPath = java.nio.file.Paths.get(s"BENCH_FAMILY$suffix.json")
+      val existingQuiet = scala.util.Try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(famPath))
+        node.path("quiet").asBoolean(false)
+      }.getOrElse(false)
+      if (existingQuiet && !quiet) {
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = m.readTree(java.nio.file.Files.readString(famPath))
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        val rej = node.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("rejected_runs")
+        val run = rej.addObject()
+        val pa = run.putArray("passes"); allPassTotals.foreach(pa.add)
+        val pk = run.putArray("pass_kinds")
+        (attrPass.map(_ => "attribution").toSeq ++ passes.map(_ => "headline")).foreach(pk.add)
+        spreadPct.foreach(run.put("pass_spread_pct", _))
+        java.nio.file.Files.write(famPath,
+          (m.writeValueAsString(node) + "\n").getBytes("UTF-8"))
+        System.err.println(
+          s"BENCH: noisy window (spread ${spreadPct.fold("n/a")(_ + "%")}) — " +
+          s"quiet record kept, this run logged under rejected_runs")
+      } else {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"BENCH_ATTRIBUTION$suffix.json"),
+          (perQuery + "\n").getBytes("UTF-8"))
+        java.nio.file.Files.write(famPath,
+          (familyDoc + "\n").getBytes("UTF-8"))
+      }
     } else System.err.println(
       "BENCH: SPARK_GRAFT_ONLY set — attribution/family files NOT written")
     println(s"""{"metric":"attribution","queries":$perQuery}""")

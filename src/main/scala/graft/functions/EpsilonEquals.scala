@@ -91,10 +91,28 @@ object EpsilonEquals {
       GraftColumnGlue.toExpr(a.cast("double")),
       GraftColumnGlue.toExpr(b.cast("double")), eps))
 
-  /** Register as SQL function `eps_eq(a, b)` for the session. */
+  /** Register as SQL function `eps_eq(a, b[, eps])` for the session.
+    * The r17 default change (1e-14 → the reference's E = 1e-20) made the
+    * two-arg form effectively exact equality; the three-arg overload is
+    * the migration path for SQL callers who relied on a usable tolerance
+    * (`eps_eq(a, b, 1e-14)`) — the r17 ADVICE ask. `eps` must be a
+    * constant (foldable): it compiles into the generated code. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "eps_eq",
-      exprs => EpsilonEquals(exprs(0), exprs(1), KerfE),
+      { exprs =>
+        def dbl(e: Expression) =
+          org.apache.spark.sql.catalyst.expressions.Cast(e, DoubleType)
+        exprs match {
+          case Seq(a, b) => EpsilonEquals(dbl(a), dbl(b), KerfE)
+          case Seq(a, b, e) =>
+            val eps = if (e.foldable) dbl(e).eval(null) else null
+            require(eps != null,
+              s"eps_eq: third argument must be a constant numeric epsilon, got ${e.sql}")
+            EpsilonEquals(dbl(a), dbl(b), eps.asInstanceOf[Double])
+          case _ => throw new IllegalArgumentException(
+            s"eps_eq expects 2 or 3 arguments, got ${exprs.size}")
+        }
+      },
       "built-in")
 }

@@ -36,8 +36,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    extra passes.
   *  - q_i = floor(v_i/scale + 0.5) clamped to ±127 (floor(x+0.5) is the
   *    one rounding rule that is bit-identical across engines — no
-  *    HALF_EVEN/HALF_UP divergence); null element → null code;
-  *    scale 0 (zero vector) → ALL codes 0; scale null → all codes null.
+  *    HALF_EVEN/HALF_UP divergence); null element → null code (in the
+  *    zero-scale branch too); scale 0 (zero vector) → all non-null
+  *    elements code to 0; scale null → all codes null.
   *  - dequantize: q_i · scale, null element or null scale → null element.
   */
 object Int8Codec {
@@ -136,9 +137,11 @@ object Int8Codec {
       val s = scaleBoxed.doubleValue()
       var i = 0
       if (s == 0.0) {
-        // zero vector: every code 0 (nulls included — the column form's
-        // constant-lambda transform did the same)
-        while (i < n) { out(i) = 0; i += 1 }
+        // zero vector: every non-null element codes to 0; null elements
+        // stay null (same null contract as the non-zero path — r17's
+        // zero-scale branch was the lone null-coercing case, flagged by
+        // the r17 ADVICE and fixed on both faces)
+        while (i < n) { if (!input.isNullAt(i)) out(i) = 0; i += 1 }
       } else {
         while (i < n) {
           if (!input.isNullAt(i)) {

@@ -281,7 +281,8 @@ object Similarity {
         col("__v"))
       .select(col(idCol), col("scale"),
         when(col("scale") === 0.0,
-            transform(col("__v"), _ => lit(0).cast("int")))
+            transform(col("__v"), x =>
+              when(x.isNull, lit(null).cast("int")).otherwise(lit(0).cast("int"))))
           .otherwise(transform(col("__v"), x =>
             when(x.isNull, lit(null).cast("int")).otherwise(
               greatest(lit(-127.0), least(lit(127.0),

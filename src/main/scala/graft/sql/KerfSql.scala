@@ -2426,7 +2426,7 @@ object KerfSql {
     private val funcs = scala.collection.mutable.Map[String, FVal]()
     // session modes (`set order kerf|ansi`) — persist across run calls
     // and round-trip through the workspace like vars/defs do
-    private val modes = scala.collection.mutable.Map[String, String]()
+    private[graft] val modes = scala.collection.mutable.Map[String, String]()
 
     def run(statement: String): DataFrame =
       KerfSql.runWith(spark, statement, vars, funcs, modes)
@@ -2480,14 +2480,19 @@ object KerfSql {
         while (it.hasNext) {
           val e = it.next()
           val (k, v) = (e.getKey, e.getValue.asText())
-          // same whitelist the `set` statement enforces: a hand-edited /
-          // corrupted workspace must fail LOUDLY here, not load silently
-          // and behave as ANSI (modeOf only compares == "kerf")
-          require(k == "order" || k == "eq",
-            s"workspace _PROGRAM.json: unknown mode key '$k' (expected order|eq)")
-          require(v == "kerf" || v == "ansi",
-            s"workspace _PROGRAM.json: mode '$k' has invalid value '$v' (expected kerf|ansi)")
-          modes(k) = v
+          // same value whitelist the `set` statement enforces: an invalid
+          // VALUE of a known key must fail LOUDLY here, not load silently
+          // and behave as ANSI (modeOf only compares == "kerf"). An
+          // UNKNOWN key, though, is forward drift — a workspace written
+          // by a build that grew a third mode — and hard-rejecting it
+          // bricks the whole load (r17 ADVICE); warn-and-skip instead:
+          // the modes this build understands still restore.
+          if (k == "order" || k == "eq") {
+            require(v == "kerf" || v == "ansi",
+              s"workspace _PROGRAM.json: mode '$k' has invalid value '$v' (expected kerf|ansi)")
+            modes(k) = v
+          } else System.err.println(
+            s"loadProgram: skipping unknown mode key '$k' (forward-written workspace?)")
         }
       }
       val dn = root.get("defs")

@@ -84,6 +84,25 @@ class ExtensionSpec extends SparkSpec {
     assert(got)
   }
 
+  test("eps_eq SQL: 3-arg overload gives SQL callers an explicit tolerance") {
+    // the r17 default change (1e-14 → reference E=1e-20) made 2-arg
+    // eps_eq effectively exact; the 3-arg form is the SQL migration path
+    // (ADVICE r17). 1.0 vs 1.0+1e-15: within 1e-14, outside E.
+    EpsilonEquals.register(spark)
+    val r = spark.sql(
+      """SELECT eps_eq(CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE) + 1e-15, 1e-14),
+                eps_eq(CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE) + 1e-15),
+                eps_eq(1, 1)""").collect()(0)
+    assert(r.getBoolean(0), "explicit 1e-14 tolerance must accept 1e-15 delta")
+    assert(!r.getBoolean(1), "default E must reject 1e-15 delta (effectively exact)")
+    assert(r.getBoolean(2), "non-double inputs cast to double like the Column API")
+    // a non-constant epsilon can't compile into the plan — loud error
+    val e = intercept[Exception] {
+      spark.sql("SELECT eps_eq(CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE), rand())").collect()
+    }
+    assert(e.getMessage.contains("constant"), e.getMessage)
+  }
+
   test("DotProduct: bit-identical to the aggregate(zip_with) fold, all null regimes") {
     import graft.functions.DotProduct.dot
     val fold = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
@@ -362,7 +381,8 @@ class ExtensionSpec extends SparkSpec {
     // denormals, zero vectors, null vectors, null ELEMENTS, empty
     // vectors — including the exact clamp/floor rounding and the
     // null-propagation contract (null scale → all-null codes; zero
-    // scale → all-ZERO codes, nulls included)
+    // scale → non-null elements code 0, null elements STAY null — the
+    // r17 ADVICE fix: zero-scale was the lone null-coercing branch)
     val rnd = new scala.util.Random(53)
     val organic = (0 until 40).map { i =>
       (i.toLong, Seq.fill(12)(java.lang.Float.valueOf(
@@ -374,7 +394,8 @@ class ExtensionSpec extends SparkSpec {
       (102L, Seq[java.lang.Float](1.0f, null, -3.0f)),              // null element
       (103L, Seq.empty[java.lang.Float]),                           // empty vector
       (104L, Seq[java.lang.Float](null, null)),                     // all-null elements
-      (105L, Seq[java.lang.Float](java.lang.Float.MIN_VALUE, 127f)) // denormal
+      (105L, Seq[java.lang.Float](java.lang.Float.MIN_VALUE, 127f)), // denormal
+      (106L, Seq[java.lang.Float](0.0f, null, 0.0f))  // ZERO scale + null element
     )
     val df = (organic ++ edges).toDF("vec_id", "embedding")
     import graft.llm.Similarity
@@ -390,6 +411,12 @@ class ExtensionSpec extends SparkSpec {
     native.zip(chain).foreach { case (n, c) =>
       assert(n == c, s"int8 codec divergence:\n  native $n\n  chain  $c")
     }
+    // ABSOLUTE pin on the zero-scale null contract (twin parity alone
+    // would pass if both faces coerced together): non-null → 0, null
+    // STAYS null, through dequantize too
+    val zs = native.find(_._1 == 106L).get
+    assert(zs._3.exists(_.contains("0, null, 0")), s"zero-scale codes: $zs")
+    assert(zs._4.exists(_.contains("0.0, null, 0.0")), s"zero-scale dequantize: $zs")
     // non-finite fail-fast parity: NaN and ±Inf each throw LOUDLY with
     // the id in the message, on both faces
     for (poison <- Seq(Float.NaN, Float.PositiveInfinity, Float.NegativeInfinity)) {
