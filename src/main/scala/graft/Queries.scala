@@ -1135,10 +1135,8 @@ object Queries {
       .withColumn("__dq", llm.Similarity.dequantize(col("q"), col("scale")))
       .select(col("vec_id"),
         round(col("scale"), 6).as("scale_r"),
-        round(aggregate(
-          zip_with(col("embedding"), col("__dq"),
-            (a, b) => abs(a.cast("double") - b)),
-          lit(0.0), (acc, v) => greatest(acc, v)), 6).as("max_abs_err"),
+        round(functions.ArrayKernels.maxAbsDiff(
+          col("embedding"), col("__dq")), 6).as("max_abs_err"),
         round(llm.Similarity.cosine(col("embedding"), col("__dq")), 6).as("cos_keep"))
       .orderBy(col("vec_id"))
   }
@@ -1558,8 +1556,8 @@ object Queries {
     * cleaned originals unioned with their replicas. */
   private def cleanedWithReplicas(d: DataFrame): DataFrame = {
     val sh = d.select(col("doc_id"),
-      llm.Dedup.shingleHashes(
-        llm.Dedup.shinglesFromTokens(llm.Dedup.tokens(col("text")), 3)).as("shg"))
+      functions.ShingleHashes.shingleHashes(
+        llm.Dedup.normText(col("text")), 3).as("shg"))
     val a = sh.select(col("doc_id").as("ia"), col("shg").as("ga"))
     val b = sh.select(col("doc_id").as("ib"), col("shg").as("gb"))
     val ndIds = a.crossJoin(b).filter(col("ia") < col("ib"))

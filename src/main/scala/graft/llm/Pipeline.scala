@@ -356,10 +356,12 @@ object Pipeline {
     val toks = split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ")
     // sequence(0, n) is INCLUSIVE and runs DESCENDING when n < 0, so the
     // empty-doc case must short-circuit before the bound goes negative
+    // the k-token grouping is ONE native codegen loop (r18 structural-net
+    // fallback removal: the transform/array_join lambda ran interpreted
+    // per document); the empty-doc short-circuit stays OUTSIDE because
+    // split("") yields [""] — one phantom empty segment — not []
     val segs = when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), (size(toks) + lit(k - 1)).divide(lit(k)).cast("int") - 1),
-        i => array_join(slice(toks, i * k + 1, lit(k)), " ")))
+      .otherwise(graft.functions.ArrayKernels.segmentsOf(toks, k))
     docs.select(col(idCol).as("doc_id"), posexplode(segs).as(Seq("seg_idx", "seg")))
   }
 

@@ -475,10 +475,8 @@ object Similarity {
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("__qsims",
         graft.functions.MatVecDots.matVecDots(col("q_vec"), unitRows(centroids)))
-      .withColumn("probes", slice(transform(
-        array_sort(zip_with(col("__qsims"), sequence(lit(0), lit(nl - 1)),
-          (s, i) => struct((-s).as("negsim"), i.as("cid")))),
-        p => p.getField("cid")), 1, np))
+      .withColumn("probes",
+        graft.functions.ArrayKernels.topKIndices(col("__qsims"), np))
       .withColumn("list_id", explode(col("probes")))
       .drop("probes", "__qsims")
 
@@ -650,10 +648,8 @@ object Similarity {
       .select(col(idCol).as("q_id"), qVec.as("q_vec"))
       .withColumn("__qsims",
         graft.functions.MatVecDots.matVecDots(col("q_vec"), unitRows(centroids)))
-      .withColumn("probes", slice(transform(
-        array_sort(zip_with(col("__qsims"), sequence(lit(0), lit(nl - 1)),
-          (s, i) => struct((-s).as("negsim"), i.as("cid")))),
-        p => p.getField("cid")), 1, np))
+      .withColumn("probes",
+        graft.functions.ArrayKernels.topKIndices(col("__qsims"), np))
       .withColumn("list_id", explode(col("probes")))
       .drop("probes", "__qsims")
     // NOTE: the probed-list collect below and the candidate join both
@@ -838,7 +834,14 @@ object Similarity {
     * .MatVecDots]] pass (m fused passes total, exactly m·ksub·dsub mults
     * per row — the optimal count). Ties break to the lowest code
     * (array_position finds the first max). Map-only, codegen end-to-end. */
-  def pqCodes(vec: Column, books: Array[Array[Array[Double]]]): Column = {
+  def pqCodes(vec: Column, books: Array[Array[Array[Double]]]): Column =
+    graft.functions.PqKernels.pqEncode(vec, books)
+
+  /** The column-algebra twin [[pqCodes]] replaced (r18 structural-net
+    * fallback removal) — kept for bit-identity adjudication
+    * (ExtensionSpec pins native == this across all null regimes). */
+  private[graft] def pqCodesColumnAlgebra(vec: Column,
+                                          books: Array[Array[Array[Double]]]): Column = {
     val dsub = books(0)(0).length
     array(books.indices.map { s =>
       val cb = books(s)
@@ -920,10 +923,9 @@ object Similarity {
       .withColumn("__lut", array(books.indices.map { s =>
         val cb = books(s)
         val half = cb.map(c => c.map(x => x * x).sum / 2.0)
-        zip_with(
+        graft.functions.PqKernels.subFromConst(
           graft.functions.MatVecDots.matVecDots(
-            slice(col("q_vec"), s * dsub + 1, dsub), cb),
-          typedLit(half.toSeq), (d, h) => h - d)
+            slice(col("q_vec"), s * dsub + 1, dsub), cb), half)
       }: _*))
   }
 
@@ -935,9 +937,8 @@ object Similarity {
                          idCol: String, vecCol: String): DataFrame = {
     val adc = coded.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("cand_id"))
-      .withColumn("__adc", aggregate(
-        zip_with(col("__codes"), col("__lut"), (c, row) => element_at(row, c + 1)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("__adc",
+        graft.functions.PqKernels.adcScore(col("__codes"), col("__lut")))
     val wPre = Window.partitionBy(col("q_id")).orderBy(col("__adc"), col("cand_id"))
     val survivors = adc.withColumn("__prk", row_number().over(wPre))
       .filter(col("__prk") <= math.max(rerank, k))
@@ -1055,25 +1056,21 @@ object Similarity {
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("__qsims",
         graft.functions.MatVecDots.matVecDots(col("q_vec"), unitRows(centroids)))
-      .withColumn("probes", slice(transform(
-        array_sort(zip_with(col("__qsims"), sequence(lit(0), lit(nl - 1)),
-          (s, i) => struct((-s).as("negsim"), i.as("cid")))),
-        p => p.getField("cid")), 1, np))
+      .withColumn("probes",
+        graft.functions.ArrayKernels.topKIndices(col("__qsims"), np))
       .withColumn("__lut", array(books.indices.map { s =>
         val cb = books(s)
         val half = cb.map(c => c.map(x => x * x).sum / 2.0)
-        zip_with(
+        graft.functions.PqKernels.subFromConst(
           graft.functions.MatVecDots.matVecDots(
-            slice(col("q_vec"), s * dsub + 1, dsub), cb),
-          typedLit(half.toSeq), (d, h) => h - d)
+            slice(col("q_vec"), s * dsub + 1, dsub), cb), half)
       }: _*))
       .withColumn("list_id", explode(col("probes")))
       .drop("probes", "__qsims")
     val adc = coded.join(broadcast(q), Seq("list_id"))
       .filter(col("q_id") =!= col("cand_id"))
-      .withColumn("__adc", aggregate(
-        zip_with(col("__codes"), col("__lut"), (c, row) => element_at(row, c + 1)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("__adc",
+        graft.functions.PqKernels.adcScore(col("__codes"), col("__lut")))
     val wPre = Window.partitionBy(col("q_id")).orderBy(col("__adc"), col("cand_id"))
     val survivors = adc.withColumn("__prk", row_number().over(wPre))
       .filter(col("__prk") <= math.max(rerank, k))
@@ -1141,17 +1138,14 @@ object Similarity {
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("__qsims",
         graft.functions.MatVecDots.matVecDots(col("q_vec"), unitRows(centroids)))
-      .withColumn("probes", slice(transform(
-        array_sort(zip_with(col("__qsims"), sequence(lit(0), lit(nl - 1)),
-          (s, i) => struct((-s).as("negsim"), i.as("cid")))),
-        p => p.getField("cid")), 1, np))
+      .withColumn("probes",
+        graft.functions.ArrayKernels.topKIndices(col("__qsims"), np))
       .withColumn("__lut", array(books.indices.map { s =>
         val cb = books(s)
         val half = cb.map(c => c.map(x => x * x).sum / 2.0)
-        zip_with(
+        graft.functions.PqKernels.subFromConst(
           graft.functions.MatVecDots.matVecDots(
-            slice(col("q_vec"), s * dsub + 1, dsub), cb),
-          typedLit(half.toSeq), (d, h) => h - d)
+            slice(col("q_vec"), s * dsub + 1, dsub), cb), half)
       }: _*))
       .withColumn("list_id", explode(col("probes")))
       .drop("probes", "__qsims")
@@ -1163,9 +1157,8 @@ object Similarity {
       .filter(col("list_id").isin(probed: _*))
     val adc = coded.join(broadcast(q), Seq("list_id"))
       .filter(col("q_id") =!= col("cand_id"))
-      .withColumn("__adc", aggregate(
-        zip_with(col("__codes"), col("__lut"), (c, row) => element_at(row, c + 1)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("__adc",
+        graft.functions.PqKernels.adcScore(col("__codes"), col("__lut")))
     val wPre = Window.partitionBy(col("q_id")).orderBy(col("__adc"), col("cand_id"))
     val survivors = adc.withColumn("__prk", row_number().over(wPre))
       .filter(col("__prk") <= math.max(rerank, k))

@@ -42,8 +42,8 @@ object TextOps {
         greatest(chars, lit(1)).cast("double")),
       "upper_ratio" -> (size(regexp_extract_all(t, lit("[A-Z]"), lit(0))).cast("double") /
         greatest(chars, lit(1)).cast("double")),
-      "stopword_ratio" -> (size(filter(split(lower(t), "\\s+"),
-        w => w.isInCollection(stopwords))).cast("double") /
+      "stopword_ratio" -> (graft.functions.ArrayKernels.countInSet(
+        split(lower(t), "\\s+"), stopwords).cast("double") /
         greatest(toks, lit(1)).cast("double"))))
   }
 
@@ -75,7 +75,7 @@ object TextOps {
       .sortBy(m => (-m.length, m))                    // longest-first ≈ longest-match
       .map(java.util.regex.Pattern.quote).mkString("|")
     val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
-      struct(size(filter(col("__hits"), h => h.isInCollection(ms))).as("score"),
+      struct(graft.functions.ArrayKernels.countInSet(col("__hits"), ms).as("score"),
              lit(lang).as("lang"))
     }
     df.withColumn("__padded", concat(lit(" "), lower(col(textCol)), lit(" ")))
@@ -201,25 +201,43 @@ object TextOps {
     * min hash in each window of w consecutive k-grams → compact sketch of
     * positions that survives small edits (Schleimer et al., SIGMOD'03). */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String,
-                  k: Int = 8, w: Int = 4): DataFrame = {
-    // Staged through real columns: lambda bodies re-evaluate whatever
-    // expression tree they reference PER ELEMENT (no CSE inside
-    // higher-order functions), so the normalized text and the k-gram hash
-    // array must each be materialized attributes before the next step
-    // slices them — otherwise this is O(len²·regex) per row.
-    // sequence(1, hi) is INCLUSIVE and runs DESCENDING when hi < 1 (the
-    // segmented() trap): a doc shorter than k must short-circuit to one
-    // whole-text gram (the shinglesFromTokens convention) and an EMPTY
-    // doc to no grams at all — the old greatest(...,0) clamp instead
-    // produced sequence(1,0)=[1,0] and gave every empty doc the same
-    // phantom fingerprint, pairing them all with each other.
+                  k: Int = 8, w: Int = 4): DataFrame =
+    // NULL text coalesces to the empty doc BEFORE the kernel: the
+    // empty/short guards live INSIDE the native expression ("" → no
+    // grams; 0 < len < k → one whole-text gram), so every null-text doc
+    // fingerprints to the empty sketch, never a shared phantom. The
+    // whole gram-hash → window-min → distinct → sort chain is ONE
+    // native codegen loop (r18 structural-net fallback removal — the
+    // column form drove two interpreted transforms per DOCUMENT, one
+    // per k-gram and one per winnow window).
+    docs.select(col(idCol),
+      graft.functions.ArrayKernels.winnowFingerprint(
+        coalesce(Dedup.normText(col(textCol)), lit("")), k, w).as("fingerprint"))
+
+  /** The column-algebra twin [[fingerprint]] replaced — kept for
+    * bit-identity adjudication (ExtensionSpec pins native == this,
+    * including the empty/short/null guard edges the comments below
+    * document).
+    *
+    * Staged through real columns: lambda bodies re-evaluate whatever
+    * expression tree they reference PER ELEMENT (no CSE inside
+    * higher-order functions), so the normalized text and the k-gram hash
+    * array must each be materialized attributes before the next step
+    * slices them — otherwise this is O(len²·regex) per row.
+    * sequence(1, hi) is INCLUSIVE and runs DESCENDING when hi < 1 (the
+    * segmented() trap): a doc shorter than k must short-circuit to one
+    * whole-text gram (the shinglesFromTokens convention) and an EMPTY
+    * doc to no grams at all — the old greatest(...,0) clamp instead
+    * produced sequence(1,0)=[1,0] and gave every empty doc the same
+    * phantom fingerprint, pairing them all with each other. NULL text
+    * coalesces to the empty doc BEFORE the guards: the `length === 0`
+    * branch is NULL (not true) on a null __t, so the otherwise-branch
+    * would run and — greatest(null, 0) = 0 ignores the null — hand
+    * every null-text doc the same [null] phantom fingerprint. */
+  private[graft] def fingerprintColumnAlgebra(docs: DataFrame, idCol: String,
+                                              textCol: String,
+                                              k: Int = 8, w: Int = 4): DataFrame =
     docs
-      // NULL text coalesces to the empty doc BEFORE the guards: the
-      // `length === 0` branch is NULL (not true) on a null __t, so the
-      // otherwise-branch would run and — greatest(null, 0) = 0 ignores
-      // the null — hand every null-text doc the same [null] phantom
-      // fingerprint, pairing them all with each other (the exact trap
-      // the empty-string clamp below closes for "")
       .select(col(idCol),
         coalesce(Dedup.normText(col(textCol)), lit("")).as("__t"))
       .select(col(idCol),
@@ -234,7 +252,6 @@ object TextOps {
             sequence(lit(0), greatest(size(col("__hashes")) - w, lit(0))),
             j => array_min(slice(col("__hashes"), j + 1, lit(w)))))))
           .as("fingerprint"))
-  }
 
   /** Corpus-unigram-LM document statistics — the CCNet-style "score
     * docs against a language model" filter with the corpus's OWN

@@ -428,4 +428,194 @@ class ExtensionSpec extends SparkSpec {
       assert(eC.getMessage.contains("non-finite"), s"chain $poison: ${eC.getMessage}")
     }
   }
+
+  // ---------------------------------------------------------------
+  // r18 structural-net kernels: each native == its column-algebra twin
+  // bit for bit, across organic data and every null/edge regime
+  // ---------------------------------------------------------------
+
+  test("CountInSet == size(filter(isInCollection)) across null regimes") {
+    import graft.functions.ArrayKernels
+    val items = Seq("the", "and", "of")
+    val rows = Seq(
+      Seq[String]("the", "cat", "and", "the", "dog"),
+      Seq[String]("none", "here"),
+      Seq[String](),
+      Seq[String]("the", null, "of"),  // null elements don't count
+      null                              // null array → null count
+    )
+    val df = rows.toDF("arr")
+    val got = df.select(
+      ArrayKernels.countInSet(col("arr"), items).as("native"),
+      size(filter(col("arr"), x => x.isInCollection(items))).as("twin"))
+      .collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1) &&
+        (r.isNullAt(0) || r.getInt(0) == r.getInt(1)),
+        s"CountInSet divergence: $r")
+    }
+  }
+
+  test("TopKIndices == the sort-struct probe chain, ties/NaN/negzero/null-elem") {
+    import graft.functions.ArrayKernels
+    val rnd = new scala.util.Random(71)
+    val organic = (0 until 30).map(_ => Seq.fill(16)(
+      java.lang.Double.valueOf(rnd.nextDouble() * 2 - 1)))
+    val edges = Seq(
+      Seq[java.lang.Double](1.0, 1.0, 0.5, 1.0),         // ties → first index
+      Seq[java.lang.Double](Double.NaN, 0.9, -0.5),      // NaN sorts greatest
+      Seq[java.lang.Double](0.0, -0.0, 0.1),             // -0.0 == 0.0
+      Seq[java.lang.Double](0.2, null, 0.9),             // null negsim sorts FIRST
+      Seq[java.lang.Double](0.3),                        // shorter than k
+      null                                               // null array → null
+    )
+    val df = (organic ++ edges).toDF("sims")
+    for (k <- Seq(1, 3, 7)) {
+      val nl = 16 // organic width; edge rows are shorter — use their size
+      val got = df.select(
+        ArrayKernels.topKIndices(col("sims"), k).as("native"),
+        slice(transform(
+          array_sort(zip_with(col("sims"),
+            sequence(lit(0), coalesce(size(col("sims")), lit(1)) - 1),
+            (s, i) => struct((-s).as("negsim"), i.as("cid")))),
+          p => p.getField("cid")), 1, k).as("twin"))
+        .collect()
+      got.foreach { r =>
+        assert(Option(r.get(0)).map(_.toString) == Option(r.get(1)).map(_.toString),
+          s"TopKIndices k=$k divergence: native ${r.get(0)} twin ${r.get(1)}")
+      }
+    }
+  }
+
+  test("SegmentsOf == transform/array_join chain, ragged tails and null tokens") {
+    import graft.functions.ArrayKernels
+    val rows = Seq(
+      Seq[String]("a", "b", "c", "d", "e", "f", "g"),  // ragged tail
+      Seq[String]("one"),
+      Seq[String]("x", null, "y", "z"),                // join skips nulls
+      null                                             // null array → null
+    )
+    val df = rows.toDF("toks")
+    for (k <- Seq(1, 3)) {
+      val got = df.select(
+        ArrayKernels.segmentsOf(col("toks"), k).as("native"),
+        transform(
+          sequence(lit(0), (size(col("toks")) + lit(k - 1)).divide(lit(k)).cast("int") - 1),
+          i => array_join(slice(col("toks"), i * k + 1, lit(k)), " ")).as("twin"))
+        .collect()
+      got.foreach { r =>
+        assert(Option(r.get(0)).map(_.toString) == Option(r.get(1)).map(_.toString),
+          s"SegmentsOf k=$k divergence: native ${r.get(0)} twin ${r.get(1)}")
+      }
+    }
+  }
+
+  test("MaxAbsDiff == the greatest-fold, null/NaN/length-pad regimes") {
+    import graft.functions.ArrayKernels
+    val rows = Seq(
+      (Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](1.5, 1.0, 3.0)),
+      (Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](0.0, 9.0, 3.5)),
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0)),   // pad skipped
+      (Seq[java.lang.Double](Double.NaN, 1.0), Seq[java.lang.Double](0.0, 1.0)),
+      (Seq[java.lang.Double](), Seq[java.lang.Double]()),              // empty → 0.0
+      (null, Seq[java.lang.Double](1.0)),                              // null → null
+      (Seq[java.lang.Double](1.0), null)
+    )
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      ArrayKernels.maxAbsDiff(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => abs(x - y)),
+        lit(0.0), (acc, v) => greatest(acc, v)).as("twin"))
+      .collect()
+    got.foreach { r =>
+      assert(Option(r.get(0)).map(_.toString) == Option(r.get(1)).map(_.toString),
+        s"MaxAbsDiff divergence: native ${r.get(0)} twin ${r.get(1)}")
+    }
+  }
+
+  test("WinnowFingerprint == the staged column chain on real documents + edges") {
+    import graft.llm.TextOps
+    val docs = Tables.documents(spark, sf).limit(120)
+      .select(col("doc_id"), col("text"))
+      .union(Seq(
+        (90001L, ""),                       // empty → empty sketch
+        (90002L, "tiny"),                   // < k → whole-text gram
+        (90003L, null.asInstanceOf[String]) // null → empty sketch
+      ).toDF("doc_id", "text"))
+    val native = TextOps.fingerprint(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.get(1).toString))
+    val twin = TextOps.fingerprintColumnAlgebra(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.get(1).toString))
+    native.zip(twin).foreach { case (n, t) =>
+      assert(n == t, s"fingerprint divergence:\n  native $n\n  twin   $t")
+    }
+  }
+
+  test("PqEncode/SubFromConst/AdcScore == the PQ column chains, all regimes") {
+    import graft.llm.Similarity
+    import graft.functions.PqKernels
+    val rnd = new scala.util.Random(97)
+    // 2 subspaces × 4 codewords × dim 3 (total dim 6)
+    val books: Array[Array[Array[Double]]] =
+      Array.fill(2)(Array.fill(4)(Array.fill(3)(rnd.nextDouble() * 2 - 1)))
+    val organic = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(6)(java.lang.Double.valueOf(rnd.nextDouble() * 2 - 1))))
+    val edges: Seq[(Long, Seq[java.lang.Double])] = Seq(
+      (100L, null),                                        // null vec → codes of nulls
+      (101L, Seq[java.lang.Double](1.0, null, 0.0, 1.0, 2.0, 3.0)), // null elem: subspace 0 null
+      (102L, Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0)),   // short: subspace 1 null
+      (103L, Seq[java.lang.Double]())                      // empty: all null codes
+    )
+    val df = (organic ++ edges).toDF("vec_id", "embedding")
+    val enc = df.select(col("vec_id"),
+      Similarity.pqCodes(col("embedding"), books).as("native"),
+      Similarity.pqCodesColumnAlgebra(col("embedding"), books).as("twin"))
+      .orderBy("vec_id").collect()
+    enc.foreach { r =>
+      assert(Option(r.get(1)).map(_.toString) == Option(r.get(2)).map(_.toString),
+        s"PqEncode divergence at ${r.getLong(0)}: ${r.get(1)} vs ${r.get(2)}")
+    }
+    // LUT: SubFromConst vs zip_with twin (includes the all-null dots row
+    // a null/short q_vec produces through MatVecDots)
+    val dsub = 3
+    val lutDf = df.filter(col("embedding").isNotNull)
+    books.indices.foreach { s =>
+      val cb = books(s)
+      val half = cb.map(c => c.map(x => x * x).sum / 2.0)
+      val dots = graft.functions.MatVecDots.matVecDots(
+        slice(col("embedding"), s * dsub + 1, dsub), cb)
+      val got = lutDf.select(
+        PqKernels.subFromConst(dots, half).as("native"),
+        zip_with(dots, typedLit(half.toSeq), (d, h) => h - d).as("twin"))
+        .collect()
+      got.foreach { r =>
+        assert(Option(r.get(0)).map(_.toString) == Option(r.get(1)).map(_.toString),
+          s"SubFromConst s=$s divergence: ${r.get(0)} vs ${r.get(1)}")
+      }
+    }
+    // ADC: native vs the aggregate fold, over codes (incl. null codes
+    // from the null-vector row) × a real LUT from the first organic row
+    val q = df.filter(col("vec_id") === 0L)
+      .select(Similarity.pqCodes(col("embedding"), books).as("ignore"),
+        array(books.indices.map { s =>
+          val cb = books(s)
+          val half = cb.map(c => c.map(x => x * x).sum / 2.0)
+          PqKernels.subFromConst(graft.functions.MatVecDots.matVecDots(
+            slice(col("embedding"), s * dsub + 1, dsub), cb), half)
+        }: _*).as("__lut"))
+      .select(col("__lut"))
+    val adc = df.crossJoin(q)
+      .select(col("vec_id"),
+        Similarity.pqCodes(col("embedding"), books).as("__codes"), col("__lut"))
+      .select(col("vec_id"),
+        PqKernels.adcScore(col("__codes"), col("__lut")).as("native"),
+        aggregate(
+          zip_with(col("__codes"), col("__lut"), (c, row) => element_at(row, c + 1)),
+          lit(0.0), (acc, x) => acc + x).as("twin"))
+      .orderBy("vec_id").collect()
+    adc.foreach { r =>
+      assert(Option(r.get(1)).map(_.toString) == Option(r.get(2)).map(_.toString),
+        s"AdcScore divergence at ${r.getLong(0)}: ${r.get(1)} vs ${r.get(2)}")
+    }
+  }
 }
