@@ -2279,6 +2279,28 @@ object KerfSql {
             require(p.done, s"trailing tokens in assignment: ${p.toks.mkString(" ")}")
             df.createOrReplaceTempView(name)
             last = Left(df)
+          } else if (p.peekIs("update")) {
+            // table-valued update (r18, found by the mutation fuzz ask):
+            // `u: update t set c = e where p` registers the updated
+            // frame, like delete — a mutate-then-select program can then
+            // `from u`. The reference treats amend results as values
+            // (presented.cc update-returns-table semantics); only the
+            // delete face had the assignable form before.
+            p.pop()
+            val df = runUpdate(spark, p, vars.toMap, funcs.toMap)
+            require(p.done, s"trailing tokens in assignment: ${p.toks.mkString(" ")}")
+            df.createOrReplaceTempView(name)
+            last = Left(df)
+          } else if ((p.peekIs("insert") || p.peekIs("upsert")) &&
+                     p.toks.lengthCompare(2) >= 0 &&
+                     p.toks(1).equalsIgnoreCase("into")) {
+            // table-valued merge: `m: insert into t values (…)` /
+            // `m: upsert into t key k select …` assign like a select
+            val h = p.pop().toLowerCase
+            val df = runMerge(spark, p, h == "upsert", vars.toMap, funcs.toMap)
+            require(p.done, s"trailing tokens in assignment: ${p.toks.mkString(" ")}")
+            df.createOrReplaceTempView(name)
+            last = Left(df)
           } else if ((p.peekIs("compact") || p.peekIs("probe") ||
                       p.peekIs("rollup")) &&
                      p.toks.lengthCompare(2) >= 0 && p.toks(1).startsWith("'")) {

@@ -265,6 +265,137 @@ object FuzzGen {
       (kerf, sql)
     }
 
+    // ---- adverb expression programs (round-18 ask #3) ----
+    /** The adverb/lambda expression tier (reference test.cc:330–346):
+      * a seeded integer vector through fold/unfold/mapback/mapdown
+      * compositions, run as a BARE dialect expression (result column
+      * `value`). The twin is the GENERATOR's own direct evaluation of
+      * the same semantics (sum/scan/eachprior over the known literal) —
+      * a t2-style closed form both Spark SQL and DuckDB replay as a
+      * constant. A divergence means the engine's adverb lowering broke,
+      * not fixture noise. */
+    def adverbProgram(name: String): (String, String) = {
+      val n = 4 + rnd.nextInt(6)
+      val v = Seq.fill(n)((1 + rnd.nextInt(9)).toLong)
+      def vl(xs: Seq[Long]) = xs.mkString("[", ",", "]")
+      val (kerf, expected): (String, Long) = rnd.nextInt(8) match {
+        case 0 => (s"fold(+, ${vl(v)})", v.sum)
+        case 1 =>
+          val s = rnd.nextInt(20).toLong
+          (s"fold(+, $s, ${vl(v)})", s + v.sum)
+        case 2 => // scan: sum of prefix sums
+          (s"fold(+, unfold(+, ${vl(v)}))", v.scanLeft(0L)(_ + _).tail.sum)
+        case 3 => // seeded eachprior: telescopes to last − seed
+          val s = rnd.nextInt(10).toLong
+          (s"fold(+, mapback(-, ${vl(v)}, $s))", v.last - s)
+        case 4 => // unseeded eachprior DROPS the first element (n−1 diffs)
+          (s"fold(+, mapback(-, ${vl(v)}))", v.last - v.head)
+        case 5 =>
+          val a = (1 + rnd.nextInt(4)).toLong
+          val c = rnd.nextInt(10).toLong
+          (s"fold(+, {[x] $a*x + $c} mapdown ${vl(v)})", v.map(x => a * x + c).sum)
+        case 6 =>
+          (s"{[x,y] x+y} fold {[x] x*x} mapdown ${vl(v)}", v.map(x => x * x).sum)
+        case _ =>
+          val vs = v.take(4 + rnd.nextInt(3)).map(x => (x % 5) + 1)
+          (s"fold(*, ${vl(vs)})", vs.product)
+      }
+      (kerf, s"SELECT CAST($expected AS BIGINT) AS value")
+    }
+
+    // ---- mutation programs (round-18 ask #3) ----
+    /** Predicate atoms over the renamed base (k=l_orderkey,
+      * ln=l_linenumber, q=l_quantity, f=l_returnflag). */
+    def mutAtom(): Two = rnd.nextInt(4) match {
+      case 0 =>
+        val kk = pick(Seq(3, 7, 11)); val op = cmpOp(); val c = rnd.nextInt(kk)
+        Two(s"k % $kk ${op.kerf} $c", s"k % $kk ${op.sql} $c")
+      case 1 =>
+        val op = cmpOp(); val c = 1 + rnd.nextInt(7)
+        Two(s"ln ${op.kerf} $c", s"ln ${op.sql} $c")
+      case 2 =>
+        val op = cmpOp(); val c = 1 + rnd.nextInt(50)
+        Two(s"q ${op.kerf} $c", s"q ${op.sql} $c")
+      case _ =>
+        val vv = pick(Seq("A", "N", "R")); val eq = rnd.nextBoolean()
+        Two(s"f ${if (eq) "==" else "!="} '$vv'",
+            s"f ${if (eq) "=" else "<>"} '$vv'")
+    }
+
+    /** Mutate-then-select (reference parser surface lexer.h:103): a base
+      * select into a table variable, one mutation statement
+      * (update/delete/insert/upsert — the update/insert/upsert
+      * ASSIGNABLE forms are r18 surface added for exactly this), then an
+      * ordered aggregate over the mutated table. The SQL twin replays
+      * the mutation declaratively: update → CASE projection, delete →
+      * NOT-COALESCE filter, insert → UNION ALL of the literal row,
+      * upsert → key anti-filter + UNION ALL. */
+    def mutationProgram(name: String): (String, String) = {
+      val a = atom()          // base filter over lineitem columns
+      val b = mutAtom()       // mutation predicate over the renamed base
+      val baseKerf =
+        s"b_$name: select l_orderkey as k, l_linenumber as ln, " +
+          s"l_quantity as q, l_returnflag as f from lineitem where ${a.kerf}; "
+      val baseSql =
+        s"WITH b AS (SELECT l_orderkey AS k, l_linenumber AS ln, " +
+          s"l_quantity AS q, l_returnflag AS f FROM lineitem WHERE ${a.sql})"
+      val finalKerf = (from: String) =>
+        s"select f, count(*) as cnt, sum(q) as s_q, min(k) as mn_k " +
+          s"from $from group f order f"
+      val finalSql = (from: String) =>
+        s" SELECT f, count(*) AS cnt, sum(q) AS s_q, min(k) AS mn_k " +
+          s"FROM $from GROUP BY f ORDER BY f"
+      rnd.nextInt(4) match {
+        case 0 => // update … set … where
+          val d = 1 + rnd.nextInt(9)
+          val setF = rnd.nextInt(3) == 0
+          val setsKerf = s"q = q + $d" + (if (setF) ", f = 'Z'" else "")
+          val qCase = s"CASE WHEN ${b.sql} THEN q + $d ELSE q END AS q"
+          val fCase =
+            if (setF) s"CASE WHEN ${b.sql} THEN 'Z' ELSE f END AS f" else "f"
+          (s"${baseKerf}u_$name: update b_$name set $setsKerf where ${b.kerf}; " +
+             finalKerf(s"u_$name"),
+           s"$baseSql, u AS (SELECT k, ln, $qCase, $fCase FROM b)" + finalSql("u"))
+        case 1 => // delete from … where
+          (s"${baseKerf}d_$name: delete from b_$name where ${b.kerf}; " +
+             finalKerf(s"d_$name"),
+           s"$baseSql, d AS (SELECT * FROM b WHERE NOT COALESCE(${b.sql}, FALSE))" +
+             finalSql("d"))
+        case 2 => // insert values — a fresh row lands in a fresh group 'Z'
+          val kv = 900000000L + rnd.nextInt(1000)
+          val lnv = 1 + rnd.nextInt(7)
+          val qv = 1 + rnd.nextInt(50)
+          (s"${baseKerf}m_$name: insert into b_$name values ($kv, $lnv, $qv, 'Z'); " +
+             finalKerf(s"m_$name"),
+           s"$baseSql, m AS (SELECT * FROM b UNION ALL SELECT " +
+             s"CAST($kv AS BIGINT), CAST($lnv AS INT), CAST($qv AS DOUBLE), 'Z')" +
+             finalSql("m"))
+        case _ => // upsert on a keyed aggregate base
+          val kk = pick(Seq(5, 9, 13))
+          val hit = rnd.nextBoolean() // replace an existing key vs append
+          val v = if (hit) rnd.nextInt(kk) else kk + 1 + rnd.nextInt(5)
+          val nv = rnd.nextInt(1000)
+          (s"c_$name: select l_orderkey % $kk as k2, count(*) as n " +
+             s"from lineitem where ${a.kerf} group l_orderkey % $kk as k2; " +
+             s"m_$name: upsert into c_$name key k2 values ($v, $nv); " +
+             s"select k2, n from m_$name order k2",
+           s"WITH c AS (SELECT l_orderkey % $kk AS k2, count(*) AS n " +
+             s"FROM lineitem WHERE ${a.sql} GROUP BY l_orderkey % $kk), " +
+             s"m AS (SELECT * FROM c WHERE k2 <> $v UNION ALL " +
+             s"SELECT CAST($v AS BIGINT), CAST($nv AS BIGINT))" +
+             s" SELECT k2, n FROM m ORDER BY k2")
+      }
+    }
+
+    /** Mutation/adverb-only draw (the dedicated r18 wave): alternates
+      * the two new families so a +N-seed run is ~N/2 of each. */
+    def mutAdverbProgram(i: Int): (String, String, String) = {
+      val name = f"fz_s$i%04d"
+      val (k, s) = if (rnd.nextBoolean()) mutationProgram(name)
+                   else adverbProgram(name)
+      (name, k, s)
+    }
+
     /** One full program: (name, kerf program, portable SQL). */
     def program(i: Int): (String, String, String) = {
       val name = f"fz_s$i%04d"
@@ -274,6 +405,16 @@ object FuzzGen {
       }
       if (withAsof && rnd.nextInt(4) == 0) {
         val (k, s) = windowProgram(name)
+        return (name, k, s)
+      }
+      // the mutation + adverb tiers are PORTABLE (their SQL twins parse
+      // in both Spark SQL and DuckDB), so both legs draw them
+      if (rnd.nextInt(5) == 0) {
+        val (k, s) = mutationProgram(name)
+        return (name, k, s)
+      }
+      if (rnd.nextInt(5) == 0) {
+        val (k, s) = adverbProgram(name)
         return (name, k, s)
       }
       val where = predicate()
@@ -408,11 +549,15 @@ object FuzzGen {
   private[graft] def programFor(i: Int): (String, String, String) =
     new Gen(i, withAsof = false).program(i)
 
+  /** Usage: … <sfDir> <outDir> [nSeeds] [firstSeed] [family]
+    * family `all` (default) draws the whole grammar; `mut` draws only
+    * the r18 mutation/adverb tier (the dedicated +200 wave). */
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val outDir = if (args.length > 1) args(1) else "/tmp/fuzz_out"
     val nSeeds = if (args.length > 2) args(2).toInt else 200
     val first = if (args.length > 3) args(3).toInt else 1
+    val family = if (args.length > 4) args(4) else "all"
     val spark = graft.Engine.session()
     graft.Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
     graft.Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
@@ -432,7 +577,9 @@ object FuzzGen {
     val programs = scala.collection.mutable.LinkedHashMap[String, String]()
     var failed = 0
     (first until first + nSeeds).foreach { i =>
-      val (name, kerf, sql) = new Gen(i, withAsof = true).program(i)
+      val g = new Gen(i, withAsof = true)
+      val (name, kerf, sql) =
+        if (family == "mut") g.mutAdverbProgram(i) else g.program(i)
       programs(name) = kerf
       Fs.deleteRecursively(new java.io.File(outDir, name))
       try {

@@ -713,6 +713,21 @@ class KerfSqlSpec extends SparkSpec {
     assert(parsed >= 0) // reaching here at all is the property
   }
 
+  test("mutations assign like selects: u: update …; m: insert/upsert into …") {
+    // r18 (found by the mutation-fuzz ask): the reference treats amend
+    // results as values; only delete had the assignable form before.
+    import spark.implicits._
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+      .createOrReplaceTempView("mutv_t")
+    val got = KerfSql.run(spark,
+      "u_mv: update mutv_t set v = 0 where k == 2; " +
+      "i_mv: insert into u_mv values (4, 40.0); " +
+      "p_mv: upsert into i_mv key k values (1, 11.0); " +
+      "select k, v from p_mv order k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 11.0), (2L, 0.0), (3L, 30.0), (4L, 40.0)), got.toString)
+  }
+
   test("update … set … where lowers to TableOps.update") {
     init
     val got = KerfSql.run(spark,
