@@ -499,10 +499,25 @@ object EventStream {
     val w0 = stream.writeStream.outputMode("append")
     val w = checkpoint.fold(w0)(cp => w0.option("checkpointLocation", cp))
     w.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        appendGuarded(path, writerId, id,
-          honorLegacy = firstBatch.getAndSet(false)) {
-          tag => append(batch.toDF(), tag) }(
-          () => batch.isEmpty)
+        // Materialize the batch ONCE, cached, BEFORE the applied-tag
+        // guard. A stateful upstream (transformWithState) must commit
+        // its state stores for EVERY batch — including batches the
+        // guard skips as already applied (the crash-replay window) and
+        // empty batches — and a partial-partition probe (`isEmpty` is a
+        // limit job) or a no-job skip leaves state uncommitted: Spark's
+        // commit validation then fails the whole query ("expected N
+        // commits but got 0" — found by the r18 exactly-once KILL
+        // test). The full count commits state exactly once per batch,
+        // and the cache keeps the append job from recomputing the
+        // stateful subtree.
+        val b = batch.toDF().persist()
+        try {
+          val n = b.count()
+          appendGuarded(path, writerId, id,
+            honorLegacy = firstBatch.getAndSet(false)) {
+            tag => append(b, tag) }(
+            () => n == 0)
+        } finally b.unpersist(false)
       }
       .start()
   }

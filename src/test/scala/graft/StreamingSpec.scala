@@ -1449,4 +1449,108 @@ class StreamingSpec extends SparkSpec {
     assert(got.keySet == want.keySet)
     got.foreach { case (u, (ts, _)) => assert(ts == want(u)) }
   }
+
+  test("exactly-once KILL test: feed → transformWithState → foreachBatch → folio, crashed on both sides of the commit, ledger identical to an uncrashed run") {
+    // The r17 verdict's ask #4: the seam where exactly-once claims die
+    // at 100 TB is the gap between Spark's offset log, the folio commit,
+    // and Spark's commit log. Two crash injections on the FULL pipeline
+    // (MemoryStream feed → EMA transformWithState → taggedBatchSink →
+    // manifest-committed rollup append):
+    //   batch 1: crash BEFORE the folio append (offsets logged, nothing
+    //     published) — the restart must re-deliver and apply ONCE;
+    //   batch 2: crash AFTER the folio append but BEFORE the checkpoint
+    //     advance (the at-least-once re-delivery window) — the restart
+    //     re-delivers and the (writerId, batchId) guard must SKIP.
+    // The pin: rollup ledger, manifested rows, and applied-tag set all
+    // identical to an uncrashed twin run fed the same three batches.
+    withRocksDb {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val b0 = Seq(EventStream.Tick(1L, 100L, 2.0), EventStream.Tick(2L, 100L, 4.0))
+      val b1 = Seq(EventStream.Tick(1L, 200L, 6.0), EventStream.Tick(2L, 200L, 8.0))
+      val b2 = Seq(EventStream.Tick(1L, 300L, 10.0))
+
+      // ---- crashed run ----
+      val pathA = java.nio.file.Files.createTempDirectory("graft_kill_folio").toString
+      val cpA = java.nio.file.Files.createTempDirectory("graft_kill_cp").toString
+      val inA = MemoryStream[EventStream.Tick]
+      @volatile var poison = "ok" // "before" | "after" | "ok"
+      def startA() = EventStream.taggedBatchSink(
+          EventStream.emaByKey(inA.toDF(), alpha = 0.5), pathA, Some(cpA)) {
+        (batch, tag) =>
+          if (poison == "before") {
+            poison = "ok"
+            throw new RuntimeException("poison: crash BEFORE the folio append")
+          }
+          graft.io.Folio.appendWithRollup(batch, pathA,
+            Seq("user_id"), Seq("ema"), tag)
+          if (poison == "after") {
+            poison = "ok"
+            throw new RuntimeException(
+              "poison: crash AFTER folio commit, BEFORE checkpoint advance")
+          }
+      }
+      // batch 0 lands clean
+      var qA = startA()
+      try { inA.addData(b0: _*); qA.processAllAvailable() } finally qA.stop()
+      // batch 1: die before anything publishes
+      poison = "before"
+      qA = startA()
+      inA.addData(b1: _*)
+      val e1 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        qA.processAllAvailable()
+      }
+      assert(e1.getMessage.contains("poison"), e1.getMessage)
+      // restart: batch 1 re-delivers from the checkpoint and applies once
+      qA = startA()
+      try qA.processAllAvailable() finally qA.stop()
+      // batch 2: die in the at-least-once window (folio committed,
+      // checkpoint not advanced)
+      poison = "after"
+      qA = startA()
+      inA.addData(b2: _*)
+      val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        qA.processAllAvailable()
+      }
+      assert(e2.getMessage.contains("poison"), e2.getMessage)
+      // restart: batch 2 re-delivers; the applied-tag guard must skip it
+      qA = startA()
+      try qA.processAllAvailable() finally qA.stop()
+
+      // ---- uncrashed twin ----
+      val pathB = java.nio.file.Files.createTempDirectory("graft_kill_folioB").toString
+      val cpB = java.nio.file.Files.createTempDirectory("graft_kill_cpB").toString
+      val inB = MemoryStream[EventStream.Tick]
+      val qB = EventStream.rollupStream(
+        EventStream.emaByKey(inB.toDF(), alpha = 0.5), pathB,
+        Seq("user_id"), Seq("ema"), Some(cpB))
+      try {
+        inB.addData(b0: _*); qB.processAllAvailable()
+        inB.addData(b1: _*); qB.processAllAvailable()
+        inB.addData(b2: _*); qB.processAllAvailable()
+      } finally qB.stop()
+
+      // ---- the ledgers must be indistinguishable ----
+      def ledger(path: String) = graft.io.Folio.rollupRead(spark, path)
+        .select(col("user_id"), col("n_rows"), col("ema_sum").cast("double"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      def rows(path: String) = graft.io.Folio.rollupDataRead(spark, path)
+        .select(col("user_id"), col("ts_ns"), col("ema").cast("double"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val (lA, lB) = (ledger(pathA), ledger(pathB))
+      assert(lA == lB, s"rollup ledgers diverged:\n  crashed $lA\n  clean   $lB")
+      // EMA α=0.5 over the fixture: key 1 → 2, 4, 7; key 2 → 4, 6
+      assert(lA == Seq((1L, 3L, 13.0), (2L, 2L, 10.0)), s"absolute ledger: $lA")
+      val (rA, rB) = (rows(pathA), rows(pathB))
+      assert(rA == rB, s"manifested rows diverged (lost or duplicated batch):\n  crashed $rA\n  clean   $rB")
+      // tag sets compact to the latest batch per writer — one writer each
+      val (tA, tB) = (graft.io.Folio.rollupCommitTags(pathA),
+                      graft.io.Folio.rollupCommitTags(pathB))
+      assert(tA.size == tB.size && tA.size == 1,
+        s"applied-tag sets: crashed $tA vs clean $tB")
+    }
+  }
 }
