@@ -2,8 +2,11 @@
 """Synthesize an sf1-scale fixture (10x sf0.1: 6M lineitem rows) for the
 scale-differential oracle sweep, from the driver's read-only sf0.1 tables.
 
-Usage: python3 scripts/make_sf1.py [srcDir] [dstDir]
-       (defaults: /root/testdata/sf0.1 -> /tmp/sf1)
+Usage: python3 scripts/make_sf1.py [srcDir] [dstDir] [copies]
+       (defaults: /root/testdata/sf0.1 -> /tmp/sf1, 10 copies)
+       copies=100 with dst /tmp/sf10 synthesizes the sf10 rung
+       (60M lineitem). Max 100 copies: the fresh-embedding hash mixes
+       the copy index in a d*100 stride, so i must stay < 100.
 Then:  sbt -batch "runMain graft.Verify /tmp/sf1 /tmp/verify_sf1"
        python3 scripts/oracle_check.py /tmp/sf1 /tmp/verify_sf1
 
@@ -36,8 +39,10 @@ import duckdb
 
 S = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 D = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+NCOPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+assert 1 <= NCOPIES <= 100, "copy-index stride in the embedding hash caps copies at 100"
 SHIFT = 100_000_000
-copies = "(SELECT unnest(range(10)) AS i)"
+copies = f"(SELECT unnest(range({NCOPIES})) AS i)"
 
 con = duckdb.connect()
 con.sql("SET threads=16")
@@ -80,7 +85,7 @@ gen("documents", f"""
   FROM '{S}/documents.parquet', {copies}""")
 gen("embeddings", f"""
   WITH src AS (SELECT vec_id, embedding, label FROM '{S}/embeddings.parquet'),
-       cp AS (SELECT unnest(range(1, 10)) AS i),
+       cp AS (SELECT unnest(range(1, {NCOPIES})) AS i),
        fresh AS (
          SELECT s.vec_id + c.i*{SHIFT} AS vec_id,
                 list_transform(range(64), d ->
