@@ -182,13 +182,23 @@ object Bench {
     // signal. <= 10% ≈ the quiet records' observed 2-4%; the noisy
     // driver windows run 40-90%.
     val headlineTotals = passes.map(_.map(_._2).sum)
-    val spreadPct: Option[Double] =
-      if (headlineTotals.size >= 2 && headlineTotals.min > 0)
-        Some(math.round((headlineTotals.max / headlineTotals.min - 1) * 1000) / 10.0)
+    def spreadOf(ts: Seq[Double]): Option[Double] =
+      if (ts.size >= 2 && ts.min > 0)
+        Some(math.round((ts.max / ts.min - 1) * 1000) / 10.0)
       else None
-    val quiet = spreadPct.exists(_ <= 10.0)
+    val spreadPct = spreadOf(headlineTotals)
+    // QUIET is judged on the STEADY passes — all headline passes except
+    // the first when ≥3 ran: a fresh JVM's first headline pass still
+    // pays JIT-compilation tails (observed: monotone 107→97 s declines
+    // on an idle host), while genuine steal windows spike RANDOM passes.
+    // Both numbers ride in the artifact so the adjudication is
+    // inspectable either way.
+    val steadySpreadPct =
+      if (headlineTotals.size >= 3) spreadOf(headlineTotals.tail) else spreadPct
+    val quiet = steadySpreadPct.exists(_ <= 10.0)
     val windowJson =
-      s""""quiet":$quiet,"pass_spread_pct":${spreadPct.fold("null")(_.toString)}"""
+      s""""quiet":$quiet,"pass_spread_pct":${spreadPct.fold("null")(_.toString)},""" +
+      s""""steady_spread_pct":${steadySpreadPct.fold("null")(_.toString)}"""
     val familyDoc =
       s"""{"passes":${allPassTotals.mkString("[", ",", "]")},"pass_kinds":$passKinds,$windowJson,"rejected_runs":[],"sf":${jq(sfDir)},"queries":$family}"""
     // A failing query contributes only its fail-fast ms, so a correctness
