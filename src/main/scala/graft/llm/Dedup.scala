@@ -322,13 +322,29 @@ object Dedup {
         .distinct()
     }
 
-    // order-insensitive edge-set signature: fixpoint reached when a full
-    // round leaves the (distinct) edge set bit-identical. XOR fold: no
-    // overflow, commutative, and exact on DISTINCT edge sets.
-    def signature(d: DataFrame): (Long, Long) = {
-      val r = d.select(xxhash64(col("u"), col("v")).as("__h"))
-        .agg(count(lit(1)), coalesce(expr("bit_xor(__h)"), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+    // STRUCTURAL convergence: e is a fixpoint of smallStar∘largeStar
+    // exactly when it is a star forest — every child u appears in ONE
+    // edge and never as a parent v. (⇒: a u with two parents is re-hung
+    // on the smaller by smallStar; a node that is both child and parent
+    // is a depth-2 chain that largeStar shortcuts — either way the edge
+    // set changes. ⇐: on a star {(uᵢ→v)} with v < uᵢ — smallStar output
+    // is always min-oriented — both stars re-emit the same edges.) At a
+    // fixpoint the root is the component minimum: components are
+    // preserved by every round, and the min node cannot be a child
+    // (nothing smaller exists for it to hang from). Checking the
+    // STRUCTURE instead of comparing round-over-round signatures
+    // (r17 shape) detects the fixpoint on the round that REACHES it,
+    // not one confirming round later — saving a full large+small-star
+    // pass (4 shuffles + a checkpoint of the edge set) per clusters()
+    // call, for one groupBy-limit-1 probe per round on the (shrinking,
+    // already-checkpointed) edges.
+    def isStarForest(d: DataFrame): Boolean = {
+      d.select(col("u").as("n"), lit(1L).as("c"), lit(0L).as("p"))
+        .union(d.select(col("v").as("n"), lit(0L).as("c"), lit(1L).as("p")))
+        .groupBy(col("n"))
+        .agg(sum(col("c")).as("nc"), sum(col("p")).as("np"))
+        .filter(col("nc") > 1 || (col("nc") > 0 && col("np") > 0))
+        .isEmpty
     }
 
     // round-boundary lineage truncation: localCheckpoint (executor-local
@@ -347,20 +363,17 @@ object Dedup {
     val init = pairs.select(col(idA).as("u"), col(idB).as("v"))
       .filter(col("u") =!= col("v"))
     var e = roundCheckpoint(smallStar(init))
-    var prev: DataFrame = null
-    var sig = signature(e)
     var iters = 0
-    var converged = false
+    // disjoint-pair graphs (the common near-dup shape: replica↔original)
+    // are already stars after the initial smallStar — zero loop rounds
+    var converged = isStarForest(e)
     while (!converged && iters < maxIters) {
       val next = roundCheckpoint(smallStar(largeStar(e)))
-      val nsig = signature(next)
-      if (prev != null) Caches.release(prev)
-      prev = e; e = next
-      converged = nsig == sig
-      sig = nsig
+      Caches.release(e)
+      e = next
+      converged = isStarForest(next)
       iters += 1
     }
-    if (prev != null) Caches.release(prev)
     if (!converged) {
       Caches.release(e)
       throw new IllegalStateException(

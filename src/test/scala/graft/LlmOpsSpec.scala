@@ -125,6 +125,24 @@ class LlmOpsSpec extends SparkSpec {
     } finally setter.invoke(sc, prev)
   }
 
+  test("clusters: structural convergence detects the fixpoint on the round that reaches it") {
+    // r18 optimization pin: convergence is the star-forest STRUCTURE of
+    // the edge set, not a round-over-round signature compare — so the
+    // loop never pays a confirming extra round. Observable contract:
+    //  - disjoint pairs are stars after the INITIAL smallStar → zero
+    //    loop rounds, so even maxIters = 0 succeeds;
+    //  - a 3-chain needs exactly one round (the signature shape needed
+    //    two: one to reach the fixpoint, one to observe it unchanged).
+    val pairs = Seq((1L, 0L), (2L, 3L), (9L, 8L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs, maxIters = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 2L, 8L -> 8L, 9L -> 8L))
+    val chain3 = Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b")
+    val got3 = Dedup.clusters(chain3, maxIters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got3 == Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+  }
+
   test("clusters: hitting maxIters THROWS instead of returning split clusters") {
     val chain = (0L until 63L).map(i => (i, i + 1, 1.0))
       .toDF("id_a", "id_b", "jaccard")
