@@ -515,9 +515,9 @@ object Queries {
     val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      // inclusion-exclusion Jaccard (bit-identical; arrays are distinct)
       .withColumn("jaccard",
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-              size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
+        round(llm.Dedup.jaccardOfDistinct(col("sh_a"), col("sh_b")), 6))
       .filter(col("jaccard") > 0.02)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
@@ -1229,11 +1229,23 @@ object Queries {
     // over freshly-exported sites, not a read-only scan
     val base = Scratch.dir(s, "fed", new java.io.File(dir).getName)
     val li = Tables.lineitem(s, dir)
-    li.filter(col("l_orderkey") % 2 === 0)
-      .write.mode("overwrite").parquet(s"$base/site_a")
-    li.filter(col("l_orderkey") % 2 =!= 0)
-      .withColumn("l_linenumber", col("l_linenumber").cast("long"))
-      .write.mode("overwrite").parquet(s"$base/site_b")
+    // the two site exports are independent jobs on disjoint paths —
+    // submit them CONCURRENTLY (guide §2.6: overlap independent jobs so
+    // the second job's tasks back-fill the first's tail) instead of
+    // paying two sequential write-job latencies
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val wa = Future {
+      li.filter(col("l_orderkey") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$base/site_a")
+    }
+    val wb = Future {
+      li.filter(col("l_orderkey") % 2 =!= 0)
+        .withColumn("l_linenumber", col("l_linenumber").cast("long"))
+        .write.mode("overwrite").parquet(s"$base/site_b")
+    }
+    Await.result(wa, Duration.Inf); Await.result(wb, Duration.Inf)
     io.Folio.federatedRead(s, Seq(s"$base/site_a", s"$base/site_b"))
       .filter(col("l_discount") >= 0.05)
       .groupBy(col("l_returnflag"))
@@ -1517,11 +1529,16 @@ object Queries {
       col("event_id"), col("user_id"), col("event_type"),
       col("ts_us"), col("value").cast("string")).as("value"))
     // two feed partitions, populated by a Spark text write (marker/crc
-    // files are ignored by the source's chunk listing)
-    frames.filter(xxhash64(col("value")) % 2 === 0)
-      .write.mode("overwrite").text(s"$feedDir/p0")
-    frames.filter(xxhash64(col("value")) % 2 =!= 0)
-      .write.mode("overwrite").text(s"$feedDir/p1")
+    // files are ignored by the source's chunk listing); disjoint paths →
+    // concurrent submission (guide §2.6), halving the setup's job latency
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val w0 = Future { frames.filter(xxhash64(col("value")) % 2 === 0)
+      .write.mode("overwrite").text(s"$feedDir/p0") }
+    val w1 = Future { frames.filter(xxhash64(col("value")) % 2 =!= 0)
+      .write.mode("overwrite").text(s"$feedDir/p1") }
+    Await.result(w0, Duration.Inf); Await.result(w1, Duration.Inf)
     val raw = s.readStream.format("graft.sources.ChunkFeedSource")
       .option("path", feedDir).load()
     val parsed = raw.select(split(col("line"), ",").as("f"))
@@ -1560,9 +1577,15 @@ object Queries {
         llm.Dedup.normText(col("text")), 3).as("shg"))
     val a = sh.select(col("doc_id").as("ia"), col("shg").as("ga"))
     val b = sh.select(col("doc_id").as("ib"), col("shg").as("gb"))
+    // size-ratio prefilter: J ≥ t ⟹ |A∩B| ≤ min ∧ J·|A∪B| ≥ t·max ⟹
+    // min(|A|,|B|) ≥ t·max(|A|,|B|) — a necessary condition in two int
+    // comparisons, pruning most of the bounded all-pairs grid before
+    // any per-pair set intersection; then inclusion-exclusion Jaccard
+    // (bit-identical to intersect/union on these distinct hash sets)
     val ndIds = a.crossJoin(b).filter(col("ia") < col("ib"))
-      .filter(size(array_intersect(col("ga"), col("gb"))).cast("double") /
-              size(array_union(col("ga"), col("gb"))).cast("double") >= 0.3)
+      .filter(least(size(col("ga")), size(col("gb"))).cast("double") >=
+              lit(0.3) * greatest(size(col("ga")), size(col("gb"))).cast("double"))
+      .filter(llm.Dedup.jaccardOfDistinct(col("ga"), col("gb")) >= 0.3)
       .select(explode(array(col("ia"), col("ib"))).as("doc_id")).distinct()
     val clean = d.join(ndIds, Seq("doc_id"), "left_anti")
     clean.unionByName(
@@ -2029,10 +2052,15 @@ object Queries {
   val q119_remote_folio: Q = (s, dir) => {
     val base = Scratch.dir(s, "remote", new java.io.File(dir).getName)
     val cust = Tables.customer(s, dir)
-    cust.filter(col("c_custkey") % 2 === 0)
-      .write.mode("overwrite").parquet(s"$base/site_a")
-    cust.filter(col("c_custkey") % 2 =!= 0)
-      .write.mode("overwrite").parquet(s"$base/site_b")
+    // disjoint-path site exports submitted concurrently (guide §2.6)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val wa = Future { cust.filter(col("c_custkey") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$base/site_a") }
+    val wb = Future { cust.filter(col("c_custkey") % 2 =!= 0)
+      .write.mode("overwrite").parquet(s"$base/site_b") }
+    Await.result(wa, Duration.Inf); Await.result(wb, Duration.Inf)
     val srv = sources.RemoteTableServer.sharedFor(s, "site_b", s"$base/site_b")
     io.Folio.federatedRead(s,
         Seq(s"$base/site_a", s"remote://127.0.0.1:${srv.port}/site_b"))

@@ -1310,7 +1310,9 @@ object Folio {
     val withCum = r.filter(col(b).isNotNull)
       .withColumn("__cum", sum(cnt).over(wCum))
       .withColumn("__total", sum(cnt).over(wAll))
-    val qFrame = spark.range(1).select(explode(typedLit(qs)).as("q"))
+    // LocalRelation, not range(1)+explode: the broadcast build collects
+    // a LocalTableScan driver-side without scheduling a job
+    val qFrame = { import spark.implicits._; qs.toDF("q") }
     val hits = withCum.crossJoin(broadcast(qFrame))
       .withColumn("rank", greatest(ceil(col("q") * col("__total")), lit(1L)))
       .filter(col("__cum") >= col("rank") &&

@@ -139,6 +139,19 @@ object Dedup {
   def shingleHashes(shinglesCol: Column): Column =
     transform(shinglesCol, sh => xxhash64(sh))
 
+  /** Exact Jaccard of two DISTINCT-element arrays via inclusion-
+    * exclusion: |A∪B| = |A|+|B|−|A∩B|, so the union array — the
+    * expensive half of the naive intersect+union pair, a full combined
+    * hash-set build per pair — is never materialized. Bit-identical to
+    * size(intersect)/size(union) (same integer numerator/denominator,
+    * same one double division); sound ONLY for distinct arrays, which
+    * every producer here guarantees (ShingleHashes dedupes by first
+    * occurrence, shinglesFromTokens applies array_distinct). */
+  private[graft] def jaccardOfDistinct(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter).cast("double")
+  }
+
   /** MinHash + LSH banding: docs whose banded signatures collide become
     * candidate pairs; candidates are verified with exact Jaccard over the
     * shingle-hash sets. `maxBucket` caps pathological buckets
@@ -262,9 +275,7 @@ object Dedup {
     val verified = candidates
       .join(hashed.select(col("doc_id").as("id_a"), col("shh").as("sh_a")), Seq("id_a"))
       .join(hashed.select(col("doc_id").as("id_b"), col("shh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", jaccardOfDistinct(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     (verified, Seq(hashed, banded))
@@ -821,9 +832,7 @@ object Dedup {
       .join(broadcast(candidates), Seq("id_a"))
       .join(broadcast(newHashed.select(col("doc_id").as("id_b"), col("shh").as("sh_b"))),
         Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("shh"), col("sh_b"))).cast("double") /
-        size(array_union(col("shh"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", jaccardOfDistinct(col("shh"), col("sh_b")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     (verified, Seq(newHashed, newBanded, hit, candidates))

@@ -322,27 +322,41 @@ object TextOps {
     * any corpus size (cnt·total fits 38 digits far past 100 TB). The
     * ranking ties break on the token itself: fully deterministic. */
   def censusDrift(a: DataFrame, b: DataFrame, topK: Int = 10): DataFrame = {
-    val ta = a.agg(sum(col("cnt"))).first().getLong(0)
-    val tb = b.agg(sum(col("cnt"))).first().getLong(0)
+    import graft.ops.Caches
+    // the four consumers below (two totals, the TV aggregate, the top-K
+    // scan) would otherwise recompute each census — typically a full
+    // tokenize+explode+aggregate over its half of the corpus — four
+    // times over. Censuses are vocab-BOUNDED model state (the exact
+    // thing a production deployment persists), so cache them and the
+    // equally-bounded joined frame for the drift pass; the sealed
+    // result is topK rows, after which every cache is released.
+    val (ca, ownA) = Caches.acquire(a)
+    val (cb, ownB) = Caches.acquire(b)
+    val ta = ca.agg(sum(col("cnt"))).first().getLong(0)
+    val tb = cb.agg(sum(col("cnt"))).first().getLong(0)
     require(ta > 0 && tb > 0, "censusDrift needs two non-empty censuses")
-    val joined = a.select(col("tok"), col("cnt").as("cnt_a"))
-      .join(b.select(col("tok"), col("cnt").as("cnt_b")), Seq("tok"), "full")
+    val joined = ca.select(col("tok"), col("cnt").as("cnt_a"))
+      .join(cb.select(col("tok"), col("cnt").as("cnt_b")), Seq("tok"), "full")
       .na.fill(0L, Seq("cnt_a", "cnt_b"))
       .withColumn("__num", abs(
         col("cnt_a").cast("decimal(38,0)") * lit(tb) -
         col("cnt_b").cast("decimal(38,0)") * lit(ta)))
+      .persist(Caches.lvl)
     // one DOUBLE division over the exact integer sum — the identical
     // expression an oracle computes — then the standard round(…, 6)
     val tv = joined.agg(sum(col("__num"))).first().getDecimal(0)
       .doubleValue() / (2.0 * ta * tb)
     // top-K via orderBy+limit (TakeOrderedAndProject — never a global
     // sort materialization), rank assigned within the K-row result
-    joined.orderBy(col("__num").desc, col("tok")).limit(topK)
+    val result = joined.orderBy(col("__num").desc, col("tok")).limit(topK)
       .withColumn("drift_rank",
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("__num").desc, col("tok"))).cast("long"))
       .select(col("drift_rank"), col("tok"), col("cnt_a"), col("cnt_b"),
         round(lit(tv), 6).as("tv_distance"))
+    Caches.seal(result,
+      Seq(joined) ++ (if (ownA) Seq(ca) else Nil) ++
+        (if (ownB) Seq(cb) else Nil): _*)
   }
 
   /** Hashing-trick LINEAR quality scorer — the fastText-style classifier

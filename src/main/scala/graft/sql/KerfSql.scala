@@ -2420,7 +2420,7 @@ object KerfSql {
     finally sessionModesTL.set(prevModes)
     last match {
       case Left(df) => df
-      case Right(t) => spark.range(1).select(t.col.as("value"))
+      case Right(t) => oneRowFrame(spark).select(t.col.as("value"))
     }
   }
 
@@ -2676,8 +2676,24 @@ object KerfSql {
 
   /** Evaluate a table-free expression to a driver value (plan-only input;
     * one-row job). */
+  /** 1-row LocalRelation for scalar evaluation — NOT spark.range(1):
+    * Range is a real leaf that schedules a (1-task) Spark job per
+    * collect, and the dialect's control-flow tier evaluates one scalar
+    * per loop iteration (q105's for/do-while paid ~15 scheduled jobs of
+    * pure overhead). Over a LocalRelation the optimizer's
+    * ConvertToLocalRelation folds deterministic projections, so
+    * collect() answers driver-side with ZERO jobs; non-deterministic
+    * expressions (the rng verbs) still evaluate once-per-row exactly as
+    * before, just over a local 1-row scan. */
+  private def oneRowFrame(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row(0)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__one",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+
   private def evalScalar(spark: SparkSession, t: T): Any =
-    spark.range(1).select(t.col).collect()(0).get(0)
+    oneRowFrame(spark).select(t.col).collect()(0).get(0)
 
   /** Re-literalize a driver value (eager-assignment rebinding). */
   private def litOf(v: Any): T = v match {
