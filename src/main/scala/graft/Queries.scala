@@ -899,12 +899,22 @@ object Queries {
     // hash-fails.
     val docs = Tables.fanOut(Tables.documents(s, dir))
     val norm = docs.select(col("source"), llm.Dedup.normText(col("text")).as("__t"))
-    val singleSource = norm.groupBy(col("__t"))
-      .agg(countDistinct(col("source")).as("__ns"))
-      .filter(col("__ns") === 1).select(col("__t"))
-    val kept = norm.join(singleSource, Seq("__t"), "left_semi")
-    val all = kept.unionByName(
-      kept.withColumn("source", concat(lit("dup:"), col("source"))))
+    // r18: ONE aggregation replaces the groupBy + semi-join + union
+    // shape (which re-evaluated the normText regex chain over the corpus
+    // 4×): the min-hash signature is DUPLICATE-INSENSITIVE (min over
+    // per-slot hashes), so each source's sketch over its kept rows
+    // equals the sketch over its kept DISTINCT texts — and for a
+    // single-source text, min(source) IS the owning source. The planted
+    // `dup:` twin then rides a row-level explode instead of a second
+    // scan. Bit-identical signatures, normText evaluated once.
+    // null __t never equi-joined in the replaced semi-join shape — keep
+    // that exact semantic (a source whose only text is NULL must not
+    // surface an empty sketch row)
+    val dist = norm.filter(col("__t").isNotNull).groupBy(col("__t"))
+      .agg(countDistinct(col("source")).as("__ns"), min(col("source")).as("source"))
+      .filter(col("__ns") === 1)
+    val all = dist.select(col("__t"),
+      explode(array(col("source"), concat(lit("dup:"), col("source")))).as("source"))
     val sigs = all
       .groupBy(col("source"))
       .agg(functions.MinHashAgg.minhash(col("__t"), 64).as("sig"))

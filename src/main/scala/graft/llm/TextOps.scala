@@ -673,20 +673,32 @@ object TextOps {
         // epoch and only the NONZERO rows. A missing bucket is weight
         // 0 — identical integer math to the element_at lookup.
         import spark.implicits._
-        val wTab = v.iterator.zipWithIndex
-          .collect { case (w, b) if w != 0L => (b.toLong, w) }
-          .toSeq.toDF("bucket", "w")
-        val scored = feats.join(broadcast(wTab), Seq("bucket"), "left")
-          .withColumn("w", coalesce(col("w"), lit(0L)))
-        val wrong = scored
-          .groupBy(col("doc_id"), col("y"))
-          .agg(sum(col("w") * col("c")).as("m"))
-          .filter(col("y") * col("m") <= 0)
-          .select("doc_id")
-        val upd = feats.join(wrong, Seq("doc_id"))
-          .groupBy(col("bucket"))
-          .agg(sum(col("y") * col("c")).as("u"))
-          .collect()
+        val wPairs = v.iterator.zipWithIndex
+          .collect { case (w, b) if w != 0L => (b.toLong, w) }.toSeq
+        // ALL-ZERO model (every first epoch; also any epoch the updates
+        // cancelled back to zero): every margin is exactly 0 and a zero
+        // margin counts as misclassified, so `wrong` = every doc BY
+        // ALGEBRA — skip the score/filter/re-join chain (three jobs of
+        // shuffled work per epoch) and aggregate the update directly.
+        // Identical integer math: sum(y·c) per bucket over all docs.
+        val upd = if (wPairs.isEmpty) {
+          feats.groupBy(col("bucket"))
+            .agg(sum(col("y") * col("c")).as("u"))
+            .collect()
+        } else {
+          val wTab = wPairs.toDF("bucket", "w")
+          val scored = feats.join(broadcast(wTab), Seq("bucket"), "left")
+            .withColumn("w", coalesce(col("w"), lit(0L)))
+          val wrong = scored
+            .groupBy(col("doc_id"), col("y"))
+            .agg(sum(col("w") * col("c")).as("m"))
+            .filter(col("y") * col("m") <= 0)
+            .select("doc_id")
+          feats.join(wrong, Seq("doc_id"))
+            .groupBy(col("bucket"))
+            .agg(sum(col("y") * col("c")).as("u"))
+            .collect()
+        }
         // an empty update = nothing misclassified: converged, stop —
         // burning the remaining epochs on empty jobs helps nobody
         if (upd.isEmpty) converged = true
