@@ -1042,8 +1042,17 @@ object Similarity {
                 iters: Int = 1): (DataFrame, Seq[DataFrame]) = {
     import graft.ops.Caches
     val (cand, own) = Caches.acquire(candidates)
-    val centroids = trainCentroids(cand, nLists, idCol, vecCol, iters)
-    val books = trainPQ(cand, m, ksub, idCol, vecCol, iters)
+    // coarse-centroid and PQ-codebook training are INDEPENDENT Lloyd
+    // passes over the same cached candidates — submit them concurrently
+    // (guide §2.6) so the second training's tasks back-fill the first's
+    // collect tail instead of paying two sequential job latencies
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fCentroids = Future { trainCentroids(cand, nLists, idCol, vecCol, iters) }
+    val fBooks = Future { trainPQ(cand, m, ksub, idCol, vecCol, iters) }
+    val centroids = Await.result(fCentroids, Duration.Inf)
+    val books = Await.result(fBooks, Duration.Inf)
     val dsub = books(0)(0).length
     val nl = centroids.length
     val np = math.min(nProbe, nl)
@@ -1100,8 +1109,14 @@ object Similarity {
                       vecCol: String = "embedding"): Unit = graft.tools.StageTimer.time("build") {
     import graft.ops.Caches
     val (cand, own) = Caches.acquire(candidates)
-    val centroids = trainCentroids(cand, nLists, idCol, vecCol, iters)
-    val books = trainPQ(cand, m, ksub, idCol, vecCol, iters)
+    // independent trainings submitted concurrently — see ivfPqTopKPlan
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fCentroids = Future { trainCentroids(cand, nLists, idCol, vecCol, iters) }
+    val fBooks = Future { trainPQ(cand, m, ksub, idCol, vecCol, iters) }
+    val centroids = Await.result(fCentroids, Duration.Inf)
+    val books = Await.result(fBooks, Duration.Inf)
     // stage-and-swap publish — same rationale as [[writeIvfIndex]]
     graft.io.Folio.publishArtifacts(path) { vdir =>
       assignLists(cand.filter(col(vecCol).isNotNull), centroids, idCol, vecCol)
