@@ -66,6 +66,21 @@ object Engine {
       .config("spark.sql.shuffle.partitions", sp.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE SMJ→shuffled-hash conversion (guide §3.1): when every
+      // post-shuffle partition is under this bound at RUNTIME, the join
+      // skips both sort passes. Runtime-sized (not estimate-sized), and
+      // it only rewrites joins that already sit on shuffle exchanges —
+      // the bucketed sorted-folio SMJs (zero exchange, zero sort, the
+      // BucketingSpec pin) are untouched, unlike the static
+      // preferSortMergeJoin=false switch which would steal them. 64 MB
+      // per-partition build is a safe executor footprint at any scale;
+      // partitions larger than that keep the spill-graceful SMJ.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
+      // let AQE coalesce under persist() too: the dedup/census operator
+      // caches otherwise materialize at the static shuffle-partition
+      // count, fanning every downstream read of a KB-sized cached model
+      // table into dozens of near-empty tasks
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // sorted-folio reads report their sort order: bucketed scans expose
       // the sortBy order when every bucket is one file (guaranteed by
       // Folio.writeSortedTable's pre-repartition), so merge consumers
