@@ -638,15 +638,25 @@ object Dedup {
     // for every future probe to list and footer-read
     val empty = hashed.isEmpty
     if (!empty) {
-      // sorted-by-band files: row-group stats prune band_hash ranges at
-      // probe time (the folio sorted-run discipline)
-      bandedRows(hashed, numHashes, bands)
-        .repartitionByRange(col("band_id"), col("band_hash"))
-        .sortWithinPartitions("band_id", "band_hash")
-        .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
-        .parquet(s"$bdir/bands")
-      hashed.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
-        .parquet(s"$bdir/sets")
+      // bands and sets land in disjoint dirs off the same cached batch —
+      // independent write jobs, submitted concurrently (guide §2.6)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val wBands = Future {
+        // sorted-by-band files: row-group stats prune band_hash ranges at
+        // probe time (the folio sorted-run discipline)
+        bandedRows(hashed, numHashes, bands)
+          .repartitionByRange(col("band_id"), col("band_hash"))
+          .sortWithinPartitions("band_id", "band_hash")
+          .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+          .parquet(s"$bdir/bands")
+      }
+      val wSets = Future {
+        hashed.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+          .parquet(s"$bdir/sets")
+      }
+      Await.result(wBands, Duration.Inf); Await.result(wSets, Duration.Inf)
     }
     hashed.unpersist()
     val manifest =
@@ -796,6 +806,14 @@ object Dedup {
     val newBanded = bandedRows(newHashed, numHashes, bands)
       .persist(graft.ops.Caches.lvl)
 
+    // ONE batch-band broadcast, two consumers (r18): the semi-join
+    // below and the candidates equi-join both broadcast the SAME
+    // subplan — carrying id_b through the semi-join is free (left_semi
+    // ignores non-key columns) and lets ReuseExchange ship one
+    // broadcast instead of two builds of the same batch bands.
+    val bandBcast = broadcast(newBanded.select(
+      col("band_id"), col("band_hash"), col("doc_id").as("id_b")))
+
     // corpus side filtered MAP-SIDE by the broadcast batch bands — the
     // stored table never enters an exchange. PERSISTED: read by both the
     // skew-guard aggregate and the candidates join, and an unpersisted
@@ -803,27 +821,28 @@ object Dedup {
     // the hit set itself is tiny — colliding rows only.
     val hit = corpusBands
       .select(col("band_id"), col("band_hash"), col("doc_id").as("id_a"))
-      .join(broadcast(newBanded.select(col("band_id"), col("band_hash")).distinct()),
-        Seq("band_id", "band_hash"), "left_semi")
+      .join(bandBcast, Seq("band_id", "band_hash"), "left_semi")
       .persist(graft.ops.Caches.lvl)
     // skew guard over the SURVIVING buckets only (tiny by construction):
-    // total population = corpus hits + batch rows in the bucket
-    val bucketN = hit.groupBy(col("band_id"), col("band_hash"))
-      .agg(count(lit(1)).as("cn"))
-      .join(newBanded.groupBy(col("band_id"), col("band_hash"))
-              .agg(count(lit(1)).as("bn")),
-        Seq("band_id", "band_hash"))
-    val oversize = bucketN.filter(col("cn") + col("bn") > maxBucket)
+    // bucket population = corpus hits + batch rows, counted in ONE
+    // aggregate over their union (r18 — replaces two aggregates and a
+    // join). A batch-only bucket the union flags is vacuously absent
+    // from `hit`, so the anti-join below is unchanged by it; a
+    // corpus-only bucket never reaches `hit` (the semi-join requires a
+    // batch collision), exactly as the old inner join excluded it.
+    val oversize = hit.select(col("band_id"), col("band_hash"))
+      .unionAll(newBanded.select(col("band_id"), col("band_hash")))
+      .groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
       .select(col("band_id"), col("band_hash"))
+    // candidates are consumed exactly once (the verify broadcast) — no
+    // persist; the broadcast build materializes them.
     val candidates = hit
       .join(broadcast(oversize), Seq("band_id", "band_hash"), "left_anti")
-      .join(broadcast(newBanded.select(col("band_id"), col("band_hash"),
-              col("doc_id").as("id_b"))),
-        Seq("band_id", "band_hash"))
+      .join(bandBcast, Seq("band_id", "band_hash"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .persist(graft.ops.Caches.lvl)
 
     // exact-Jaccard verify: corpus sets scanned ONCE, map-only against
     // the broadcast candidate list; batch sets come from the local cache
@@ -835,6 +854,6 @@ object Dedup {
       .withColumn("jaccard", jaccardOfDistinct(col("shh"), col("sh_b")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    (verified, Seq(newHashed, newBanded, hit, candidates))
+    (verified, Seq(newHashed, newBanded, hit))
   }
 }
